@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Funcs._
+
+/** Daily (batch-lane) stock analytics: the reference's
+  * `int_daily_returns` → `int_rolling_metrics` → `mart_stock_performance`
+  * → `mart_daily_summary` chain re-expressed as pure
+  * `DataFrame => DataFrame` stages over a canonical daily-bar frame.
+  *
+  * Canonical bar schema (produced by staging / adapters):
+  *   symbol (any orderable type), trade_date (date),
+  *   open_price, high_price, low_price, close_price (double),
+  *   volume (long).
+  *
+  * Reference formulas (semantics mirrored exactly, quirks included):
+  *   - dbt/models/intermediate/int_daily_returns.sql:29-59
+  *   - dbt/models/intermediate/int_rolling_metrics.sql:33-104
+  *   - dbt/models/marts/mart_stock_performance.sql:28-118
+  *   - dbt/models/marts/mart_daily_summary.sql:24-77
+  *
+  * Scale notes (100 TB design):
+  *   - Every analytic window is `PARTITION BY symbol ORDER BY trade_date`
+  *     with a ROWS frame → ONE exchange (hash by symbol) + one sort feeds
+  *     every window function in the stage; frames are bounded so state is
+  *     O(frame), not O(partition).
+  *   - The reference computes the mart as returns ⋈ rolling on
+  *     (symbol, trade_date) (J2, with a tautological extra conjunct —
+  *     mart_stock_performance.sql:120-124). Both sides derive from the
+  *     same base, so the fused single-pass `martStockPerformance` below
+  *     is semantically identical and saves a full shuffle+sort-merge
+  *     join; `joinedStockPerformance` keeps the literal two-branch join
+  *     shape for parity testing.
+  *   - `martDailySummary` re-groups by trade_date: an unavoidable second
+  *     shuffle, but it runs over the already-reduced symbol×day grain
+  *     (universe × days rows, tiny next to tick/lineitem input) and is a
+  *     partial-aggregable hash agg.
+  */
+object DailyAnalytics {
+
+  private def bySymbol = Window.partitionBy("symbol").orderBy("trade_date")
+  private def last(n: Int) = bySymbol.rowsBetween(-(n - 1), 0)
+
+  /** int_daily_returns.sql:29-59 — lag-based returns per symbol-day. */
+  def dailyReturns(bars: DataFrame): DataFrame = {
+    val prev = lag(col("close_price"), 1).over(bySymbol)
+    bars
+      .withColumn("prev_close_price", prev)
+      .withColumn("daily_return_pct",
+        r4((col("close_price") - prev) / nullifZero(prev) * 100))
+      .withColumn("intraday_range", r4(col("high_price") - col("low_price")))
+      .withColumn("intraday_range_pct",
+        r4((col("high_price") - col("low_price")) / nullifZero(col("close_price")) * 100))
+      .withColumn("overnight_gap", r4(col("open_price") - prev))
+      .withColumn("symbol_row_num", row_number().over(bySymbol))
+  }
+
+  /** int_rolling_metrics.sql:33-104 — SMAs, rolling volatility, volume
+    * ratio, simplified RSI-14 (plain rolling mean, not Wilder EMA — a
+    * reference quirk replicated on purpose). Input: output of
+    * [[dailyReturns]].
+    */
+  def rollingMetrics(returns: DataFrame, priceScale: Int = 2): DataFrame = {
+    val ret = col("daily_return_pct")
+    val p = math.pow(10, priceScale)
+    // rolling averages run over the exact fixed-point views of the
+    // (fixed-decimal) close and of the rd4'd returns, so partial-frame
+    // averages cannot land ulp-close to rounding boundaries (Funcs.rd).
+    val closeFp = scaled(col("close_price"), priceScale)
+    def sma(n: Int) = r4(avg(closeFp).over(last(n)) / p)
+    val vol20Raw = stddev_samp(ret).over(last(20))
+    val avgVol20Raw = avg(col("volume")).over(last(20))
+    val gain = avg(scaled(when(ret > 0, ret).otherwise(lit(0)), 4)).over(last(14)) / 1e4
+    val loss = avg(scaled(when(ret < 0, abs(ret)).otherwise(lit(0)), 4)).over(last(14)) / 1e4
+    returns
+      .withColumn("sma_5d", sma(5))
+      .withColumn("sma_10d", sma(10))
+      .withColumn("sma_20d", sma(20))
+      .withColumn("sma_50d", sma(50))
+      .withColumn("volatility_20d_pct", r4(vol20Raw))
+      .withColumn("annualised_volatility_pct", r4(vol20Raw * sqrt(lit(252.0))))
+      .withColumn("avg_volume_20d", r0(avgVol20Raw))
+      .withColumn("volume_vs_avg_20d", r4(col("volume") / nullifZero(avgVol20Raw)))
+      .withColumn("rsi_14",
+        r2(lit(100) - (lit(100) / (lit(1) + nullif(gain / nullifZero(loss), lit(0))))))
+  }
+
+  /** mart_stock_performance.sql:28-118 — the wide symbol×day mart, fused
+    * into one window pass (see scale notes above). `withAudit` adds the
+    * reference's `dbt_updated_at` current-timestamp column (off by
+    * default so outputs stay deterministic for golden tests).
+    */
+  def martStockPerformance(bars: DataFrame, withAudit: Boolean = false): DataFrame = {
+    val high52Raw = max(col("high_price")).over(last(252))
+    val low52Raw = min(col("low_price")).over(last(252))
+    val enriched = rollingMetrics(dailyReturns(bars))
+      .withColumn("ma_signal_5_20",
+        when(col("sma_5d") > col("sma_20d"), "GOLDEN_CROSS")
+          .when(col("sma_5d") < col("sma_20d"), "DEATH_CROSS")
+          .otherwise("NEUTRAL"))
+      .withColumn("ma_signal_10_50",
+        when(col("sma_10d") > col("sma_50d"), "GOLDEN_CROSS")
+          .when(col("sma_10d") < col("sma_50d"), "DEATH_CROSS")
+          .otherwise("NEUTRAL"))
+      .withColumn("is_high_volume_day",
+        when(col("volume_vs_avg_20d") >= 2.0, lit(true)).otherwise(lit(false)))
+      .withColumn("rsi_signal",
+        when(col("rsi_14") >= 70, "OVERBOUGHT")
+          .when(col("rsi_14") <= 30, "OVERSOLD")
+          .otherwise("NEUTRAL"))
+      .withColumn("high_52w", high52Raw)
+      .withColumn("low_52w", low52Raw)
+      .withColumn("pct_of_52w_range",
+        r2((col("close_price") - low52Raw) / nullifZero(high52Raw - low52Raw) * 100))
+      .drop("symbol_row_num")
+    if (withAudit) enriched.withColumn("dbt_updated_at", current_timestamp()) else enriched
+  }
+
+  /** The literal J2 join shape of mart_stock_performance.sql:120-124:
+    * returns ⋈ rolling on (symbol, trade_date). Same result as the fused
+    * mart; kept for operator-parity testing and as the pattern for
+    * genuinely independent branches.
+    */
+  def joinedStockPerformance(bars: DataFrame): DataFrame = {
+    val returns = dailyReturns(bars)
+    val rolling = rollingMetrics(returns)
+      .select("symbol", "trade_date", "sma_5d", "sma_10d", "sma_20d", "sma_50d",
+        "volatility_20d_pct", "annualised_volatility_pct",
+        "avg_volume_20d", "volume_vs_avg_20d", "rsi_14")
+    returns.join(rolling, Seq("symbol", "trade_date"), "inner")
+  }
+
+  /** mart_daily_summary.sql:24-77 — cross-symbol market summary, one row
+    * per trade_date. Tie-break quirk (SURVEY §7.4): the reference's
+    * `max_by(symbol, daily_return_pct)` is nondeterministic on ties; we
+    * define the deterministic refinement — break ties toward the larger
+    * symbol for the gainer / smaller for the loser — by ordering on
+    * (return, symbol), skipping null returns like `max_by` does.
+    */
+  def martDailySummary(perf: DataFrame): DataFrame = {
+    val ret = col("daily_return_pct")
+    val orderKey = when(ret.isNotNull, struct(ret, col("symbol")))
+    // The inputs being averaged here are already fixed-decimal (rd'd)
+    // doubles, so we aggregate their exact fixed-point views (see
+    // Funcs.scaled) — order-independent integer sums → bit-stable
+    // rounded outputs, and cheaper partial aggregates at scale.
+    perf.groupBy("trade_date").agg(
+      countDistinct(col("symbol")).as("symbols_tracked"),
+      count_if(ret > 0).as("advancers"),
+      count_if(ret < 0).as("decliners"),
+      count_if(ret === 0).as("unchanged"),
+      r1(count_if(ret > 0) / nullifZero(countDistinct(col("symbol"))) * 100)
+        .as("advance_decline_ratio_pct"),
+      scaledAvg(scaled(ret, 4), 4, 4).as("avg_return_pct"),
+      r4(median(scaled(ret, 4)) / 1e4).as("median_return_pct"),
+      r4(stddev_samp(ret)).as("return_stddev"),
+      max(ret).as("best_return_pct"),
+      min(ret).as("worst_return_pct"),
+      max_by(col("symbol"), orderKey).as("top_gainer_symbol"),
+      min_by(col("symbol"), orderKey).as("top_loser_symbol"),
+      sum(col("volume")).as("total_volume"),
+      scaledAvg(scaled(col("volume_vs_avg_20d"), 4), 4, 4).as("avg_volume_vs_norm"),
+      count_if(col("is_high_volume_day")).as("high_volume_stocks"),
+      scaledAvg(scaled(col("annualised_volatility_pct"), 4), 4, 2).as("avg_annualised_vol_pct"),
+      scaledAvg(scaled(col("intraday_range_pct"), 4), 4, 4).as("avg_intraday_range_pct"),
+      count_if(col("rsi_signal") === "OVERBOUGHT").as("overbought_count"),
+      count_if(col("rsi_signal") === "OVERSOLD").as("oversold_count"),
+      count_if(col("ma_signal_5_20") === "GOLDEN_CROSS").as("golden_cross_5_20_count"),
+      count_if(col("ma_signal_5_20") === "DEATH_CROSS").as("death_cross_5_20_count")
+    ).orderBy(col("trade_date").desc)
+  }
+}

@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Funcs._
+
+/** Realtime (tick-lane) analytics: the reference's
+  * `spark_stream_batch_processor.py` window aggregations + the
+  * `stg_realtime_stock_analytics` → `int_realtime_enriched` →
+  * `mart_realtime_signals` dbt chain, as `DataFrame => DataFrame` stages.
+  *
+  * Canonical tick schema: symbol (any type), event_time (timestamp),
+  * price (double), volume (long).
+  *
+  * Reference semantics mirrored from:
+  *   - src/spark/jobs/spark_stream_batch_processor.py:42-75 (A1, A2, J1)
+  *   - dbt/models/staging/stg_realtime_stock_analytics.sql:24-65
+  *   - dbt/models/intermediate/int_realtime_enriched.sql:30-105
+  *   - dbt/models/marts/mart_realtime_signals.sql:28-72
+  *
+  * Scale notes:
+  *   - Tumbling windows are computed with `window(event_time, d)` — a
+  *     map-side bucket assignment + partial-aggregable hash agg; no sort.
+  *   - The reference's 15m↔1h attachment (J1) is an interval-containment
+  *     theta join (`spark_stream_batch_processor.py:64-71`), which Spark
+  *     would plan as an equi join on symbol with a range residual. Since
+  *     every 15-min window start falls in exactly one 1-h bucket, it is
+  *     rewritten here as a pure equi join on (symbol, hour_bucket) —
+  *     shuffle-hash/broadcast friendly, skew-safe, and exact (SURVEY
+  *     §2.3 J1 scale path). `intervalJoinLiteral` keeps the general
+  *     theta form for irregular intervals.
+  *   - The same aggregation core is reused by the Structured Streaming
+  *     job in [[graft.streaming.TickStream]]; batch recompute (reference
+  *     semantics) and watermarked streaming share one code path.
+  */
+object TickAnalytics {
+
+  /** A1/A2 — per (symbol, tumbling window) aggregates:
+    * ma = avg(price), volatility = stddev_samp(price), volume_sum.
+    * Emits window.start/window.end as top-level columns (P11).
+    * Generic floating-point path (also used by the streaming job).
+    */
+  def windowAggregates(ticks: DataFrame, duration: String): DataFrame =
+    ticks
+      .groupBy(col("symbol"), window(col("event_time"), duration).as("w"))
+      .agg(
+        r4(avg(col("price"))).as("ma"),
+        r4(stddev_samp(col("price"))).as("volatility"),
+        sum(col("volume")).as("volume_sum"))
+      .select(
+        col("symbol"),
+        col("w.start").as("window_start"),
+        col("w.end").as("window_end"),
+        col("ma"), col("volatility"), col("volume_sum"))
+
+  /** A1/A2 on fixed-decimal prices (scale s): aggregates the exact
+    * integer fixed-point view — Σx and Σx² as longs — then derives
+    * mean and sample stddev from the exact sums:
+    *   var = (n·Σx² − (Σx)²) / (n·(n−1)) / 10^2s.
+    * Exact integer partial aggregation is order-independent, so results
+    * are bit-stable across engines/retries, and the shuffled partial
+    * state is three longs per group — the preferred path for market
+    * (fixed-point) data at 100 TB. Semantics match [[windowAggregates]]
+    * up to FP noise.
+    */
+  def windowAggregatesExact(ticks: DataFrame, duration: String, priceScale: Int = 2): DataFrame = {
+    val p = math.pow(10, priceScale)
+    val x = scaled(col("price"), priceScale)
+    val n = count(lit(1))
+    val sx = sum(x)
+    val sxx = sum(x * x)
+    ticks
+      .groupBy(col("symbol"), window(col("event_time"), duration).as("w"))
+      .agg(
+        r4(sum(x) / count(x) / p).as("ma"),
+        // sample stddev: NULL for n = 1, like stddev_samp
+        when(n > 1,
+          r4(sqrt((n * sxx - sx * sx) / (n * (n - lit(1))) / (p * p)))).as("volatility"),
+        sum(col("volume")).as("volume_sum"))
+      .select(
+        col("symbol"),
+        col("w.start").as("window_start"),
+        col("w.end").as("window_end"),
+        col("ma"), col("volatility"), col("volume_sum"))
+  }
+
+  /** The processed/realtime frame of spark_stream_batch_processor.py:45-75:
+    * 15-min aggregates left-joined with the enclosing 1-h MA, via the
+    * equi-bucket rewrite of J1.
+    */
+  def realtimeAnalytics(ticks: DataFrame, priceScale: Int = 2): DataFrame = {
+    val m15 = windowAggregatesExact(ticks, "15 minutes", priceScale)
+      .withColumnRenamed("ma", "ma_15m")
+      .withColumnRenamed("volatility", "volatility_15m")
+      .withColumnRenamed("volume_sum", "volume_sum_15m")
+    val h1 = windowAggregatesExact(ticks, "1 hour", priceScale)
+      .select(col("symbol"), col("window_start").as("hour_bucket"), col("ma").as("ma_1h"))
+    m15
+      .withColumn("hour_bucket", date_trunc("hour", col("window_start")))
+      .join(h1, Seq("symbol", "hour_bucket"), "left")
+      .drop("hour_bucket")
+  }
+
+  /** J1 in its literal interval-containment form (for irregular
+    * intervals where no bucket key exists):
+    * left.symbol = right.symbol AND left.ts ∈ [right.start, right.start + dur).
+    */
+  def intervalJoinLiteral(left: DataFrame, right: DataFrame, ts: String,
+                          rightStart: String, dur: Column): DataFrame =
+    left.join(right,
+      left("symbol") === right("symbol") &&
+        left(ts) >= right(rightStart) &&
+        left(ts) < right(rightStart) + dur,
+      "left").drop(right("symbol"))
+
+  /** stg_realtime_stock_analytics.sql:24-65 — rename/derive + quality
+    * filters. `now` is injected for determinism (SURVEY §7.4 risk 3);
+    * the reference uses current_timestamp()/current_date().
+    */
+  def stagingRealtime(analytics: DataFrame, now: Column): DataFrame =
+    analytics
+      .select(
+        col("symbol"),
+        col("window_start").as("window_start_at"),
+        col("window_end").as("window_end_at"),
+        ((unix_timestamp(col("window_end")) - unix_timestamp(col("window_start"))) / 60)
+          .cast("long").as("window_duration_minutes"),
+        col("ma_15m"), col("ma_1h"),
+        col("volatility_15m"),
+        col("volume_sum_15m").as("volume_15m"))
+      .filter(
+        col("symbol").isNotNull &&
+          col("window_start_at").isNotNull && col("window_end_at").isNotNull &&
+          col("window_start_at") < col("window_end_at") &&
+          col("window_start_at") >= now - expr("INTERVAL 90 DAYS"))
+
+  /** int_realtime_enriched.sql:30-105 — deltas vs previous window,
+    * 4-window rolling volume/volatility, momentum / volatility-regime /
+    * volume-spike signals.
+    */
+  def realtimeEnriched(staged: DataFrame): DataFrame = {
+    val byWindow = Window.partitionBy("symbol").orderBy("window_start_at")
+    val last4 = byWindow.rowsBetween(-3, 0)
+    staged
+      .withColumn("ma_15m_delta", r4(col("ma_15m") - lag(col("ma_15m"), 1).over(byWindow)))
+      .withColumn("ma_1h_delta", r4(col("ma_1h") - lag(col("ma_1h"), 1).over(byWindow)))
+      .withColumn("ma_spread", r4(col("ma_15m") - col("ma_1h")))
+      // volume_15m is a long → its windowed avg sums exactly; the
+      // volatility avg runs over its exact fixed-point view (Funcs.scaled)
+      // so the rounded result is bit-stable (see Funcs.rd doc).
+      .withColumn("avg_volume_1h", r0(avg(col("volume_15m")).over(last4)))
+      .withColumn("avg_volatility_1h",
+        r4(avg(scaled(col("volatility_15m"), 4)).over(last4) / 1e4))
+      .withColumn("momentum_signal",
+        when(col("ma_spread") > 0 && col("ma_15m_delta") > 0, "BULLISH")
+          .when(col("ma_spread") < 0 && col("ma_15m_delta") < 0, "BEARISH")
+          .otherwise("NEUTRAL"))
+      .withColumn("volatility_regime",
+        when(col("volatility_15m") >= col("avg_volatility_1h") * 2.0, "HIGH")
+          .when(col("volatility_15m") >= col("avg_volatility_1h") * 1.5, "ELEVATED")
+          .when(col("volatility_15m") <= col("avg_volatility_1h") * 0.5, "LOW")
+          .otherwise("NORMAL"))
+      .withColumn("is_volume_spike",
+        when(col("avg_volume_1h") > 0 && col("volume_15m") >= col("avg_volume_1h") * 2.0,
+          lit(true)).otherwise(lit(false)))
+  }
+
+  /** mart_realtime_signals.sql:28-72 — composite alert + GenAI-ready
+    * summary string (F11/F12).
+    */
+  def martRealtimeSignals(enriched: DataFrame, withAudit: Boolean = false): DataFrame = {
+    val base = enriched
+      .withColumn("is_multi_signal_alert",
+        when(col("momentum_signal") =!= "NEUTRAL" &&
+          col("volatility_regime").isin("ELEVATED", "HIGH") &&
+          col("is_volume_spike") === true, lit(true)).otherwise(lit(false)))
+      .withColumn("signal_summary",
+        concat(
+          col("symbol").cast("string"), lit(" | "),
+          col("momentum_signal"), lit(" | Vol: "),
+          col("volatility_regime"),
+          when(col("is_volume_spike"), lit(" | VOLUME SPIKE")).otherwise(lit("")),
+          lit(" @ "), date_format(col("window_start_at"), "yyyy-MM-dd HH:mm")))
+    if (withAudit) base.withColumn("dbt_updated_at", current_timestamp()) else base
+  }
+}
