@@ -177,6 +177,44 @@ object OracleSql {
     })
   }
 
+  // ── LLM-data-op preludes ──────────────────────────────────────────
+
+  /** hash60 mirror: ('0x' || first 15 md5 hex digits)::BIGINT. */
+  private def h60(expr: String): String =
+    s"('0x' || substr(md5($expr), 1, 15))::BIGINT"
+
+  /** word-3-gram shingles per doc (mirrors Funcs.wordShingles n=3). */
+  private val shinglesSql: String =
+    """sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, len(string_split(text, ' ')) - 1),
+      |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+      |  )) AS shingles
+      |  FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3
+      |)""".stripMargin
+
+  private val jaccardExpr: String =
+    rd("len(list_intersect(s1, s2)) / CAST(len(list_distinct(list_concat(s1, s2))) AS DOUBLE)", 4)
+
+  /** quantized embeddings + exact integer norms (mirrors
+    * Similarity.quantize/normSq at scale 6). */
+  private val embSql: String =
+    """ev AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS vq
+      |  FROM embeddings
+      |),
+      |en AS (
+      |  SELECT vec_id, label, vq, list_sum(list_transform(vq, x -> x * x)) AS nq FROM ev
+      |)""".stripMargin
+
+  private def cosExpr(dot: String, n1: String, n2: String): String =
+    rd(s"($dot) / NULLIF(sqrt($n1) * sqrt($n2), 0)", 6)
+
+  private val pairDot: String =
+    "list_sum(list_transform(range(1, 65), k -> a.vq[k] * b.vq[k]))"
+
   // ── per-query statements ──────────────────────────────────────────
 
   val all: Map[String, String] = Map(
@@ -280,6 +318,207 @@ object OracleSql {
          |  symbol || ' | ' || momentum_signal || ' | Vol: ' || volatility_regime
          |    || CASE WHEN is_volume_spike THEN ' | VOLUME SPIKE' ELSE '' END
          |    || ' @ ' || strftime(window_start_at, '%Y-%m-%d %H:%M') AS signal_summary
-         |FROM signals ORDER BY symbol, window_start_at""".stripMargin
+         |FROM signals ORDER BY symbol, window_start_at""".stripMargin,
+
+    "q_merge_upsert" ->
+      s"""WITH existing AS (
+         |  SELECT o_orderkey, o_totalprice, o_orderstatus, CAST(1 AS BIGINT) AS version FROM orders
+         |),
+         |updates AS (
+         |  SELECT o_orderkey, ${rd("o_totalprice * 1.05", 2)} AS o_totalprice, o_orderstatus,
+         |         CAST(2 AS BIGINT) AS version
+         |  FROM orders WHERE o_orderkey % 3 = 0
+         |),
+         |unioned AS (SELECT * FROM existing UNION ALL SELECT * FROM updates),
+         |rn AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS __rn FROM unioned)
+         |SELECT o_orderkey, o_totalprice, o_orderstatus, version
+         |FROM rn WHERE __rn = 1 ORDER BY o_orderkey""".stripMargin,
+
+    "q_revenue_by_nation" ->
+      s"""SELECT r_name AS region, n_name AS nation,
+         |  ${rd(s"SUM(${sc4("l_extendedprice * (1 - l_discount)")}) / 10000.0", 2)} AS revenue,
+         |  COUNT(*) AS line_count,
+         |  COUNT(DISTINCT l_suppkey) AS suppliers
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_scalar_funcs" ->
+      s"""WITH ev AS (SELECT *, CAST(ts AS TIMESTAMP) AS t FROM events)
+         |SELECT event_id,
+         |  UPPER(TRIM(event_type)) AS event_type_norm,
+         |  TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INTEGER) AS k_value,
+         |  CASE WHEN CAST(user_id % 7 AS DOUBLE) = 0 OR CAST(user_id % 7 AS DOUBLE) IS NULL
+         |       THEN -1.0 ELSE value / CAST(user_id % 7 AS DOUBLE) END AS value_per_mod,
+         |  t + INTERVAL 7 DAY AS week_later,
+         |  CAST(FLOOR((FLOOR(epoch(t)) - FLOOR(epoch(TIMESTAMP '2024-01-01 00:00:00'))) / 60) AS BIGINT) AS minutes_since,
+         |  strftime(t, '%Y-%m-%d %H:%M') AS minute_str,
+         |  ${rd("sqrt(abs(value))", 4)} AS value_sqrt,
+         |  concat_ws('|', event_type, CAST(user_id AS VARCHAR)) AS tag,
+         |  user_id AS rt_user
+         |FROM ev ORDER BY event_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS event_time, value FROM events
+        |),
+        |rn AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY event_time, event_id) AS __rn FROM ev)
+        |SELECT event_id, user_id, event_type, event_time, value
+        |FROM rn WHERE __rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "q_text_analysis" -> {
+      val sw = Map(
+        "en" -> Seq("the", "a", "of", "and", "to", "is", "in"),
+        "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+        "es" -> Seq("el", "la", "los", "y", "es", "un"),
+        "fr" -> Seq("le", "la", "et", "les", "un", "est"),
+        "zh" -> Seq("de", "le", "shi", "he", "zai"))
+      val langs = Seq("en", "de", "es", "fr", "zh")
+      def lst(ws: Seq[String]) = ws.map("'" + _ + "'").mkString("[", ", ", "]")
+      val allSw = langs.flatMap(sw).distinct
+      def hits(ws: Seq[String]) = s"len(list_filter(ts, t -> list_contains(${lst(ws)}, t)))"
+      val hitCols = langs.map(l => s"${hits(sw(l))} AS h_$l").mkString(",\n         |    ")
+      val pred = langs.zipWithIndex.map { case (l, i) =>
+        val rest = langs.drop(i + 1)
+        val cond = (s"h_$l > 0" +: rest.map(r => s"h_$l >= h_$r")).mkString(" AND ")
+        s"WHEN $cond THEN '$l'"
+      }.mkString("\n         |         ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang, text, string_split(text, ' ') AS ts FROM documents
+         |),
+         |st AS (
+         |  SELECT doc_id, lang, text, ts,
+         |    $hitCols
+         |  FROM tok
+         |)
+         |SELECT doc_id, lang,
+         |  CAST(len(ts) AS INTEGER) AS n_tokens,
+         |  CAST(len(list_distinct(ts)) AS INTEGER) AS n_distinct_tokens,
+         |  ${rd("len(list_distinct(ts)) / CAST(len(ts) AS DOUBLE)", 4)} AS type_token_ratio,
+         |  ${rd("(len(text) - (len(ts) - 1)) / CAST(len(ts) AS DOUBLE)", 4)} AS avg_token_len,
+         |  CASE $pred
+         |       ELSE 'und' END AS lang_pred,
+         |  h_en + h_de + h_es + h_fr + h_zh AS stopword_hits,
+         |  ${rd(s"LEAST(CAST(len(ts) AS DOUBLE) / 100, 1.0) * 0.4" +
+             s" + len(list_distinct(ts)) / CAST(len(ts) AS DOUBLE) * 0.3" +
+             s" + LEAST(${hits(allSw)} / CAST(len(ts) AS DOUBLE) * 5, 1.0) * 0.3", 4)} AS quality_score,
+         |  list_min(list_transform(
+         |    list_distinct(list_transform(range(1, len(ts) - 1), i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])),
+         |    s -> ${h60("s")})) AS fingerprint
+         |FROM st ORDER BY doc_id""".stripMargin
+    },
+
+    "q_dedup_minhash_lsh" ->
+      s"""WITH $shinglesSql,
+         |sig AS (
+         |  SELECT doc_id, shingles,
+         |    list_transform(range(0, 32), i ->
+         |      list_min(list_transform(shingles, s -> ${h60("i || '|' || s")}))) AS sig
+         |  FROM sh
+         |),
+         |banded AS (
+         |  SELECT doc_id, shingles,
+         |    b AS band, array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), ',') AS band_key
+         |  FROM sig, (SELECT unnest(range(0, 8)) AS b) bands
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, $jaccardExpr AS jaccard
+         |  FROM (SELECT doc_id, shingles AS s1, band, band_key FROM banded) a
+         |  JOIN (SELECT doc_id, shingles AS s2, band, band_key FROM banded) b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |)
+         |SELECT id1, id2, jaccard FROM cand WHERE jaccard >= 0.5 ORDER BY id1, id2""".stripMargin,
+
+    "q_dedup_ngram_jaccard" ->
+      s"""WITH $shinglesSql,
+         |ex AS (SELECT doc_id, shingles, unnest(shingles) AS shingle FROM sh),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, a.s1, b.s2
+         |  FROM (SELECT doc_id, shingles AS s1, shingle FROM ex) a
+         |  JOIN (SELECT doc_id, shingles AS s2, shingle FROM ex) b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |),
+         |j AS (SELECT id1, id2, $jaccardExpr AS jaccard FROM cand)
+         |SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.1 ORDER BY id1, id2""".stripMargin,
+
+    "q_dedup_simhash" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS tset FROM documents
+         |),
+         |hs AS (
+         |  SELECT doc_id, list_transform(tset, t -> ${h60("t")}) AS hashes FROM tok
+         |),
+         |shx AS (
+         |  SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), j ->
+         |    CASE WHEN len(list_filter(hashes, h -> (h >> j) & 1 = 1)) * 2 - len(hashes) > 0
+         |         THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
+         |  FROM hs
+         |)
+         |SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |FROM shx a JOIN shx b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY id1, id2""".stripMargin,
+
+    "q_sim_topk" ->
+      s"""WITH $embSql,
+         |sc AS (
+         |  SELECT b.vec_id AS query_id, a.vec_id AS corpus_id,
+         |    ${cosExpr(pairDot, "a.nq", "b.nq")} AS cosine
+         |  FROM en a, en b
+         |  WHERE b.vec_id % 50 = 0 AND b.vec_id != a.vec_id
+         |),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rn FROM sc)
+         |SELECT query_id, corpus_id, cosine, CAST(rn AS INTEGER) AS rank
+         |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_sim_ann_lsh" ->
+      s"""WITH $embSql,
+         |bk AS (
+         |  SELECT vec_id, vq, nq,
+         |    CAST(list_sum(list_transform(range(0, 6), p ->
+         |      CASE WHEN list_sum(list_transform(range(0, 64), j ->
+         |             vq[j+1] * (${h60("p || ',' || j")} % 2000001 - 1000000))) >= 0
+         |           THEN (1::BIGINT << p) ELSE 0::BIGINT END)) AS BIGINT) AS bucket
+         |  FROM en
+         |),
+         |sc AS (
+         |  SELECT b.vec_id AS query_id, a.vec_id AS corpus_id,
+         |    ${cosExpr(pairDot, "a.nq", "b.nq")} AS cosine
+         |  FROM bk a JOIN bk b ON a.bucket = b.bucket
+         |  WHERE b.vec_id % 50 = 0 AND b.vec_id != a.vec_id
+         |),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rn FROM sc)
+         |SELECT query_id, corpus_id, cosine, CAST(rn AS INTEGER) AS rank
+         |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_sim_near_dup" ->
+      s"""WITH $embSql
+         |SELECT a.label AS block, a.vec_id AS id1, b.vec_id AS id2,
+         |  ${cosExpr(pairDot, "a.nq", "b.nq")} AS cosine
+         |FROM en a JOIN en b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${cosExpr(pairDot, "a.nq", "b.nq")} >= 0.3
+         |ORDER BY id1, id2""".stripMargin,
+
+    "q_multimodal_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text,
+        |    CAST(length(text) AS INTEGER) AS n_bytes,
+        |    'text/fake' AS mime,
+        |    CAST(ceil(length(text) / 256.0) AS INTEGER) AS n_frames
+        |  FROM documents
+        |),
+        |f AS (
+        |  SELECT media_id, text, n_bytes, mime, n_frames,
+        |    unnest(range(0, n_frames)) AS frame_idx
+        |  FROM m
+        |)
+        |SELECT media_id, n_bytes, mime, n_frames,
+        |  CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  CAST(length(substr(text, CAST(frame_idx * 256 + 1 AS INTEGER), 256)) AS INTEGER) AS frame_len,
+        |  md5(substr(text, CAST(frame_idx * 256 + 1 AS INTEGER), 256)) AS frame_hash
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin
   )
 }

@@ -96,6 +96,114 @@ object SparkEntry {
       .orderBy("symbol", "window_start_at")
 
   // ──────────────────────────────────────────────────────────────────
+  // Sinks / enrichment / scalar surface — SURVEY §2.1 S6, §2.3, §2.7
+  // ──────────────────────────────────────────────────────────────────
+
+  /** S6 — distributed merge-upsert replacing the reference's row-by-row
+    * Snowflake MERGE loop. */
+  private def qMergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    val existing = base.withColumn("version", lit(1L))
+    val updates = base.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", r2(col("o_totalprice") * 1.05))
+      .withColumn("version", lit(2L))
+    MergeUpsert.mergeUpsert(existing, updates, Seq("o_orderkey"), "version")
+      .orderBy("o_orderkey")
+  }
+
+  /** Broadcast dim join (the reference's implied sp500_tickers join) +
+    * exact fixed-point revenue rollup. */
+  private def qRevenueByNation(s: SparkSession, dir: String): DataFrame =
+    Enrichment.revenueByNation(s, dir).orderBy("region", "nation")
+
+  /** F1/F4/F9/F10/F12/F13/F14 + regex/json scalar surface. */
+  private def qScalarFuncs(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val t = Adapters.eventTime(ev)
+    val epoch0 = lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+    ev.select(
+      col("event_id"),
+      upper(trim(col("event_type"))).as("event_type_norm"),
+      regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int").as("k_value"),
+      safeDivide(col("value"), (col("user_id") % 7).cast("double"), lit(-1.0)).as("value_per_mod"),
+      (t + expr("INTERVAL 7 DAYS")).as("week_later"),
+      floor((unix_timestamp(t) - unix_timestamp(epoch0)) / 60).cast("long").as("minutes_since"),
+      date_format(t, "yyyy-MM-dd HH:mm").as("minute_str"),
+      r4(sqrt(abs(col("value")))).as("value_sqrt"),
+      concat_ws("|", col("event_type"), col("user_id").cast("string")).as("tag"),
+      from_json(to_json(struct(col("value"), col("user_id"))),
+          org.apache.spark.sql.types.StructType.fromDDL("value DOUBLE, user_id BIGINT"))
+        .getField("user_id").as("rt_user"))
+      .orderBy("event_id")
+  }
+
+  // ──────────────────────────────────────────────────────────────────
+  // LLM-data-pipeline operators: dedup / text / similarity / multimodal
+  // ──────────────────────────────────────────────────────────────────
+
+  private def qDedupExact(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    Dedup.keepFirst(
+      ev.select(col("event_id"), col("user_id"), col("event_type"),
+        Adapters.eventTime(ev).as("event_time"), col("value")),
+      Seq("user_id", "event_type"), Seq(col("event_time"), col("event_id")))
+      .orderBy("user_id", "event_type")
+  }
+
+  private def qTextAnalysis(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "lang", "text")
+    TextAnalysis.fingerprint(
+      TextAnalysis.qualityScore(
+        TextAnalysis.languageId(
+          TextAnalysis.tokenStats(docs, "text"), "text"), "text"), "text")
+      .drop("text")
+      .orderBy("doc_id")
+  }
+
+  private def qDedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+      n = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      .orderBy("id1", "id2")
+
+  private def qDedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+      n = 3, threshold = 0.1)
+      .orderBy("id1", "id2")
+
+  private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
+      maxHamming = 3, bands = 4)
+      .orderBy("id1", "id2")
+
+  private def qSimTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") % 50 === 0),
+      "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  private def qSimAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.annTopK(emb, emb.filter(col("vec_id") % 50 === 0),
+      "vec_id", "embedding", k = 5, numPlanes = 6)
+      .orderBy("query_id", "rank")
+  }
+
+  private def qSimNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(Tables.embeddings(s, dir),
+      "vec_id", "embedding", "label", threshold = 0.3)
+      .orderBy("id1", "id2")
+
+  private def qMultimodalFrames(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text")
+    media.select(col("media_id"), col("meta.n_bytes").as("n_bytes"),
+        col("meta.mime").as("mime"), col("meta.n_frames").as("n_frames"))
+      .join(Multimodal.sampleFrames(media), "media_id")
+      .orderBy("media_id", "frame_idx")
+  }
+
+  // ──────────────────────────────────────────────────────────────────
   // Registry
   // ──────────────────────────────────────────────────────────────────
 
@@ -109,7 +217,19 @@ object SparkEntry {
     "q_tick_windows_15m" -> (qTickWindows15m _),
     "q_tick_windows_1h" -> (qTickWindows1h _),
     "q_realtime_analytics" -> (qRealtimeAnalytics _),
-    "q_mart_realtime_signals" -> (qMartRealtimeSignals _)
+    "q_mart_realtime_signals" -> (qMartRealtimeSignals _),
+    "q_merge_upsert" -> (qMergeUpsert _),
+    "q_revenue_by_nation" -> (qRevenueByNation _),
+    "q_scalar_funcs" -> (qScalarFuncs _),
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_text_analysis" -> (qTextAnalysis _),
+    "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
+    "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
+    "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_sim_topk" -> (qSimTopK _),
+    "q_sim_ann_lsh" -> (qSimAnnLsh _),
+    "q_sim_near_dup" -> (qSimNearDup _),
+    "q_multimodal_frames" -> (qMultimodalFrames _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

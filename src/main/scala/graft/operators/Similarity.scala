@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Funcs._
+
+/** Embedding similarity search.
+  *
+  * All scoring runs over a fixed-point quantized view of the vectors
+  * (scale 10^6 — like int8/int16 ANN quantization but lossless for
+  * hash-matching): dot products and norms are exact integer sums, so
+  * results are order-independent and bit-identical across engines,
+  * and the shuffled state is longs, not floats.
+  *
+  * Scale design: brute force is O(Q·N) — fine for a bounded query
+  * batch against 10⁸ vectors when Q is broadcast; for corpus-vs-corpus
+  * use [[lshBucket]] (hyperplane LSH) so candidates co-locate in one
+  * shuffle, or a coarse-quantizer (IVF) key on a cluster id.
+  */
+object Similarity {
+
+  /** Quantized vector (array<long>) at 10^scale. */
+  def quantize(vec: Column, scale: Int = 6): Column =
+    transform(vec, x => floor(x.cast("double") * math.pow(10, scale) + 0.5).cast("long"))
+
+  /** Exact integer squared norm of a quantized vector. */
+  def normSq(vecQ: Column): Column =
+    aggregate(vecQ, lit(0L), (acc, x) => acc + x * x)
+
+  /** Exact integer dot product of two quantized vectors. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Cosine from exact integer dot/norms (rounded to 6 dp). */
+  def cosineQ(dot: Column, na: Column, nb: Column): Column =
+    rd(dot / nullifZero(sqrt(na) * sqrt(nb)), 6)
+
+  private def prep(df: DataFrame, idCol: String, vecCol: String,
+                   idAs: String, qAs: String, nAs: String): DataFrame =
+    df.select(col(idCol).as(idAs), quantize(col(vecCol)).as(qAs))
+      .withColumn(nAs, normSq(col(qAs)))
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors (ties broken by corpus id). The query side should
+    * be small — Spark broadcasts it, so the corpus scan is a single
+    * narrow pass; the only shuffle is the per-query top-k, which the
+    * window's partial rank-pushdown (WindowGroupLimit) keeps tiny.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = prep(corpus, idCol, vecCol, "corpus_id", "cq", "cn")
+    val q = prep(queries, idCol, vecCol, "query_id", "qq", "qn")
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosineQ(dotQ(col("cq"), col("qq")), col("cn"), col("qn")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Near-duplicate pairs by cosine ≥ threshold within a blocking
+    * column (e.g. a cluster/label id — the IVF pattern: compare only
+    * within the same coarse cell). */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         blockCol: String, threshold: Double): DataFrame = {
+    val a = df.select(col(blockCol).as("block"), col(idCol).as("id1"),
+      quantize(col(vecCol)).as("q1")).withColumn("n1", normSq(col("q1")))
+    val b = df.select(col(blockCol).as("block"), col(idCol).as("id2"),
+      quantize(col(vecCol)).as("q2")).withColumn("n2", normSq(col("q2")))
+    a.join(b, "block")
+      .filter(col("id1") < col("id2"))
+      .select(col("block"), col("id1"), col("id2"),
+        cosineQ(dotQ(col("q1"), col("q2")), col("n1"), col("n2")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Hyperplane-LSH bucket id (numPlanes sign bits). Plane components
+    * are deterministic pseudo-randoms derived from md5
+    * (hash60(p ',' j) mapped to [-10^6, 10^6]) so any engine computes
+    * the same buckets; the dot against each plane is an exact integer
+    * sum over the quantized vector.
+    */
+  def lshBucket(vecQ: Column, numPlanes: Int = 12, dim: Int = 64): Column =
+    expr(
+      s"""aggregate(sequence(0, ${numPlanes - 1}), 0L, (acc, p) ->
+         |  acc + if(
+         |    aggregate(sequence(0, ${dim - 1}), 0L, (s, j) ->
+         |      s + element_at(__vq, j + 1) *
+         |          (cast(conv(substring(md5(concat(p, ',', j)), 1, 15), 16, 10) as bigint)
+         |           % 2000001 - 1000000)) >= 0,
+         |    shiftleft(1L, p), 0L))""".stripMargin)
+
+  /** ANN top-k via hyperplane LSH: queries probe only their own bucket
+    * (single-probe; recall tunes with numPlanes / multi-probe). The
+    * candidate join is an equi join on bucket — shuffle-light and
+    * skew-bounded, the 100 TB path. */
+  def annTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int, numPlanes: Int = 12): DataFrame = {
+    def side(df: DataFrame, idAs: String, qAs: String, nAs: String) =
+      df.select(col(idCol).as(idAs), quantize(col(vecCol)).as("__vq"))
+        .withColumn("bucket", lshBucket(col("__vq"), numPlanes))
+        .withColumn(nAs, normSq(col("__vq")))
+        .withColumnRenamed("__vq", qAs)
+    val c = side(corpus, "corpus_id", "cq", "cn")
+    val q = side(queries, "query_id", "qq", "qn")
+    val scored = c.join(broadcast(q), "bucket")
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosineQ(dotQ(col("cq"), col("qq")), col("cn"), col("qn")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

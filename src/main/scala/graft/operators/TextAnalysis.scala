@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Funcs._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token statistics, stopword-profile language ID, quality scoring,
+  * and shingle-hash document fingerprinting.
+  *
+  * Everything is built from codegen'd array/string expressions — one
+  * narrow map stage, no UDFs, no shuffle — so a 100 TB corpus scans at
+  * parquet-reader speed and the operators fuse into whatever pipeline
+  * follows (dedup, filtering, bucketing).
+  */
+object TextAnalysis {
+
+  /** Per-language stopword profiles for the n-gram/stopword language
+    * heuristic. Tiny on purpose: broadcast as literals into codegen. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un"),
+    "fr" -> Seq("le", "la", "et", "les", "un", "est"),
+    "zh" -> Seq("de", "le", "shi", "he", "zai"))
+
+  private def tokens(text: Column): Column = split(text, " ")
+
+  private def hits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(words)))
+
+  /** Token / lexical statistics. Assumes single-space tokenization
+    * (generalize with a regex split for messy corpora). */
+  def tokenStats(df: DataFrame, textCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    df
+      .withColumn("n_tokens", size(t))
+      .withColumn("n_distinct_tokens", size(array_distinct(t)))
+      .withColumn("type_token_ratio", r4(size(array_distinct(t)) / size(t).cast("double")))
+      .withColumn("avg_token_len",
+        r4((length(col(textCol)) - (size(t) - 1)) / size(t).cast("double")))
+  }
+
+  /** Stopword-profile language ID: count stopword hits per language,
+    * pick the argmax with a fixed priority order on ties (the order of
+    * [[stopwords]]). 'und' (undetermined) when nothing matches.
+    */
+  def languageId(df: DataFrame, textCol: String): DataFrame = {
+    val hitCols = stopwords.map { case (lang, words) => lang -> hits(col(textCol), words) }
+    val total = hitCols.map(_._2).reduce(_ + _)
+    val pred = hitCols.zipWithIndex.foldRight(lit("und")) { case (((lang, h), i), els) =>
+      val rest = hitCols.drop(i + 1)
+      val isMax = rest.foldLeft(h > 0) { case (c, (_, h2)) => c && h >= h2 }
+      when(isMax, lang).otherwise(els)
+    }
+    df.withColumn("lang_pred", pred)
+      .withColumn("stopword_hits", total)
+  }
+
+  /** Composite quality score in [0,1]: length saturation, lexical
+    * diversity, stopword presence — the standard cheap pre-filter
+    * before expensive dedup/embedding stages. */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    val n = size(t).cast("double")
+    val diversity = size(array_distinct(t)) / n
+    val stop = hits(col(textCol), stopwords.flatMap(_._2).distinct) / n
+    df.withColumn("quality_score",
+      r4(least(n / 100, lit(1.0)) * 0.4 + diversity * 0.3 + least(stop * 5, lit(1.0)) * 0.3))
+  }
+
+  /** Shingle-hash fingerprint: min over word-3-gram hash60s — one long
+    * per document (a 1-permutation MinHash; equal fingerprints ⇒ likely
+    * near-duplicates). Null for texts shorter than `n` words. */
+  def fingerprint(df: DataFrame, textCol: String, n: Int = 3): DataFrame =
+    df.withColumn("fingerprint",
+      array_min(transform(wordShingles(col(textCol), n), s => hash60(s))))
+}

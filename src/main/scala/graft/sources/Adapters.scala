@@ -39,16 +39,20 @@ object Adapters {
     * long (spark.sql.legacy.parquet.nanosAsLong) — convert via integer
     * division to microseconds (double math would lose precision on
     * epoch nanos > 2^53). */
-  def ticks(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-    val eventTime = ev.schema("ts").dataType match {
+  /** events.ts as a naive-UTC timestamp column (handles the
+    * nanos-as-long read, see [[ticks]]). */
+  def eventTime(ev: DataFrame): org.apache.spark.sql.Column =
+    ev.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         expr("timestamp_micros(ts DIV 1000)").cast("timestamp_ntz")
       case _ => col("ts").cast("timestamp_ntz")
     }
+
+  def ticks(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
     ev.select(
       col("event_type").as("symbol"),
-      eventTime.as("event_time"),
+      eventTime(ev).as("event_time"),
       col("value").as("price"),
       lit(1L).as("volume"))
   }
