@@ -415,7 +415,9 @@ object OracleSql {
          |sig AS (
          |  SELECT doc_id, shingles,
          |    list_transform(range(0, 32), i ->
-         |      list_min(list_transform(shingles, s -> ${h60("i || '|' || s")}))) AS sig
+         |      list_min(list_transform(
+         |        list_transform(shingles, s -> ${h60("s")} % 1073741824),
+         |        h -> ((i * 2 + 1) * h + i * 7919) % 1073741821))) AS sig
          |  FROM sh
          |),
          |banded AS (
@@ -474,14 +476,16 @@ object OracleSql {
          |SELECT query_id, corpus_id, cosine, CAST(rn AS INTEGER) AS rank
          |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
 
-    "q_sim_ann_lsh" ->
+    "q_sim_ann_lsh" -> {
+      val planes = graft.operators.Similarity.planeComponents(6)
+      val bucket = (0 until 6).map { p =>
+        val w = planes.slice(p * 64, (p + 1) * 64).mkString("[", ", ", "]")
+        s"CASE WHEN list_sum(list_transform(range(1, 65), k -> vq[k] * ($w)[k])) >= 0 THEN ${1L << p} ELSE 0 END"
+      }.mkString("\n         |      + ")
       s"""WITH $embSql,
          |bk AS (
          |  SELECT vec_id, vq, nq,
-         |    CAST(list_sum(list_transform(range(0, 6), p ->
-         |      CASE WHEN list_sum(list_transform(range(0, 64), j ->
-         |             vq[j+1] * (${h60("p || ',' || j")} % 2000001 - 1000000))) >= 0
-         |           THEN (1::BIGINT << p) ELSE 0::BIGINT END)) AS BIGINT) AS bucket
+         |    CAST($bucket AS BIGINT) AS bucket
          |  FROM en
          |),
          |sc AS (
@@ -492,7 +496,8 @@ object OracleSql {
          |),
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rn FROM sc)
          |SELECT query_id, corpus_id, cosine, CAST(rn AS INTEGER) AS rank
-         |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+         |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+    },
 
     "q_sim_near_dup" ->
       s"""WITH $embSql

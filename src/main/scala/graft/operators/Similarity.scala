@@ -77,21 +77,31 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
-  /** Hyperplane-LSH bucket id (numPlanes sign bits). Plane components
-    * are deterministic pseudo-randoms derived from md5
-    * (hash60(p ',' j) mapped to [-10^6, 10^6]) so any engine computes
-    * the same buckets; the dot against each plane is an exact integer
-    * sum over the quantized vector.
-    */
-  def lshBucket(vecQ: Column, numPlanes: Int = 12, dim: Int = 64): Column =
-    expr(
-      s"""aggregate(sequence(0, ${numPlanes - 1}), 0L, (acc, p) ->
-         |  acc + if(
-         |    aggregate(sequence(0, ${dim - 1}), 0L, (s, j) ->
-         |      s + element_at(__vq, j + 1) *
-         |          (cast(conv(substring(md5(concat(p, ',', j)), 1, 15), 16, 10) as bigint)
-         |           % 2000001 - 1000000)) >= 0,
-         |    shiftleft(1L, p), 0L))""".stripMargin)
+  /** Deterministic hyperplane components: md5("p,j") first 15 hex
+    * digits as a long, mapped to [-10^6, 10^6]. Computed ONCE at plan
+    * time and embedded as literals (not re-hashed per row), and
+    * reproducible from any engine's md5 — the oracle embeds the same
+    * numbers. */
+  def planeComponents(numPlanes: Int, dim: Int = 64): IndexedSeq[Long] = {
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    (0 until numPlanes * dim).map { idx =>
+      val s = s"${idx / dim},${idx % dim}"
+      val hex = mdig.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 2000001L - 1000000L
+    }
+  }
+
+  /** Hyperplane-LSH bucket id (numPlanes sign bits); the dot against
+    * each plane is an exact integer sum over the quantized vector, so
+    * bucket assignment is bit-deterministic across engines. */
+  def lshBucket(vecQ: Column, numPlanes: Int = 12, dim: Int = 64): Column = {
+    val planes = planeComponents(numPlanes, dim)
+    (0 until numPlanes).map { p =>
+      val w = typedLit(planes.slice(p * dim, (p + 1) * dim))
+      val dot = aggregate(zip_with(vecQ, w, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
 
   /** ANN top-k via hyperplane LSH: queries probe only their own bucket
     * (single-probe; recall tunes with numPlanes / multi-probe). The
