@@ -107,12 +107,16 @@ object TickAnalytics {
     * left.symbol = right.symbol AND left.ts ∈ [right.start, right.start + dur).
     */
   def intervalJoinLiteral(left: DataFrame, right: DataFrame, ts: String,
-                          rightStart: String, dur: Column): DataFrame =
-    left.join(right,
-      left("symbol") === right("symbol") &&
-        left(ts) >= right(rightStart) &&
-        left(ts) < right(rightStart) + dur,
-      "left").drop(right("symbol"))
+                          rightStart: String, dur: Column): DataFrame = {
+    // rename the right-side key to dodge shared-lineage ambiguity
+    // (both frames usually derive from the same ticks scan)
+    val r = right.withColumnRenamed("symbol", "__rsymbol")
+    left.join(r,
+      col("symbol") === col("__rsymbol") &&
+        col(ts) >= col(rightStart) &&
+        col(ts) < col(rightStart) + dur,
+      "left").drop("__rsymbol")
+  }
 
   /** stg_realtime_stock_analytics.sql:24-65 — rename/derive + quality
     * filters. `now` is injected for determinism (SURVEY §7.4 risk 3);

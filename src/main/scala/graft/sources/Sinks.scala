@@ -1,0 +1,31 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Writers for the processed zone (SURVEY §2.1 S2/S3 + §4 layout).
+  *
+  * The reference partitions processed parquet by symbol
+  * (spark_batch_processor.py:57) and declares Snowflake `cluster_by`
+  * on its marts (mart_stock_performance.sql:5). The Spark translation:
+  * partition directories give coarse pruning; `sortWithinPartitions`
+  * gives parquet row-group min/max pruning inside each partition —
+  * together they are the cluster-key layout. At 100 TB, partition by a
+  * LOW-cardinality stable key (date, not symbol, when symbols are
+  * millions) and repartition first so each partition writes one file
+  * instead of #tasks small files.
+  */
+object Sinks {
+
+  /** S2 — overwrite, partitioned (batch lane). */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String,
+                       sortCols: Seq[String] = Nil, mode: String = "overwrite"): Unit = {
+    val laid = df.repartition(org.apache.spark.sql.functions.col(partitionCol))
+    val sorted = if (sortCols.nonEmpty)
+      laid.sortWithinPartitions(sortCols.head, sortCols.tail: _*) else laid
+    sorted.write.mode(mode).partitionBy(partitionCol).parquet(path)
+  }
+
+  /** S3 — append, partitioned (realtime lane). */
+  def appendPartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    writePartitioned(df, path, partitionCol, Nil, "append")
+}

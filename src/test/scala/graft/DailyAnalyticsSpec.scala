@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funspec.AnyFunSpec
+import graft.operators.DailyAnalytics
+import graft.sources.Adapters
+
+/** Golden values for the window stack (W1-W9) + the reference's dbt
+  * test suite ported as invariants (SURVEY §5). */
+class DailyAnalyticsSpec extends AnyFunSpec {
+  import SharedSpark.spark
+  import spark.implicits._
+
+  private lazy val bars = Seq(
+    // symbol, date, open, high, low, close, volume
+    ("A", "2024-01-01", 9.0, 10.5, 8.5, 10.0, 100L),
+    ("A", "2024-01-02", 10.0, 11.5, 9.5, 11.0, 200L),
+    ("A", "2024-01-03", 11.0, 12.5, 10.5, 12.0, 100L),
+    ("A", "2024-01-04", 12.0, 12.5, 10.5, 11.0, 400L),
+    ("A", "2024-01-05", 11.0, 13.5, 10.5, 13.0, 100L),
+    ("B", "2024-01-01", 50.0, 51.0, 49.0, 50.0, 1000L))
+    .toDF("symbol", "ds", "open_price", "high_price", "low_price", "close_price", "volume")
+    .withColumn("trade_date", to_date($"ds")).drop("ds")
+
+  private lazy val perf = DailyAnalytics.martStockPerformance(bars)
+    .orderBy("symbol", "trade_date").collect()
+
+  describe("dailyReturns (W1/W2)") {
+    it("computes lag-based returns and first-row markers") {
+      val a2 = perf(1) // A, 2024-01-02
+      assert(a2.getAs[Double]("prev_close_price") == 10.0)
+      assert(a2.getAs[Double]("daily_return_pct") == 10.0)   // (11-10)/10*100
+      assert(a2.getAs[Double]("overnight_gap") == 0.0)       // open 10 - prev close 10
+      val a1 = perf(0)
+      assert(a1.isNullAt(a1.fieldIndex("daily_return_pct"))) // no previous row
+    }
+  }
+
+  describe("rollingMetrics (W3-W6)") {
+    it("matches hand-computed SMA values on partial frames") {
+      assert(perf(2).getAs[Double]("sma_5d") == 11.0)  // avg(10,11,12)
+      assert(perf(4).getAs[Double]("sma_5d") == 11.4)  // avg(10,11,12,11,13)
+    }
+    it("computes the simplified RSI from rolling mean gain/loss") {
+      // A returns: null, +10, +9.0909, -8.3333, +18.1818
+      // gains avg = (0+10+9.0909+0+18.1818)/5, losses avg = 8.3333/5
+      val rsi = perf(4).getAs[Double]("rsi_14")
+      assert(rsi > 81 && rsi < 82) // 100 - 100/(1 + 37.2727/8.3333) = 81.73
+    }
+    it("volume ratio flags the 2x day") {
+      assert(perf(3).getAs[Boolean]("is_high_volume_day")) // 400 vs avg(100,200,100,400)=200
+    }
+  }
+
+  describe("reference dbt test ports (SURVEY §5)") {
+    lazy val sfPerf = DailyAnalytics.martStockPerformance(
+      Adapters.dailyBars(spark, "/root/testdata/sf0.001"))
+
+    it("assert_high_not_below_low") {
+      assert(sfPerf.filter($"high_price" < $"low_price").isEmpty)
+    }
+    it("rsi_14 in [0, 100] when present") {
+      assert(sfPerf.filter($"rsi_14".isNotNull && ($"rsi_14" < 0 || $"rsi_14" > 100)).isEmpty)
+    }
+    it("signal domains (accepted_values)") {
+      val domains = Map(
+        "ma_signal_5_20" -> Set("GOLDEN_CROSS", "DEATH_CROSS", "NEUTRAL"),
+        "ma_signal_10_50" -> Set("GOLDEN_CROSS", "DEATH_CROSS", "NEUTRAL"),
+        "rsi_signal" -> Set("OVERBOUGHT", "OVERSOLD", "NEUTRAL"))
+      domains.foreach { case (c, dom) =>
+        assert(sfPerf.filter(!col(c).isin(dom.toSeq: _*)).isEmpty, s"domain of $c")
+      }
+    }
+    it("pct_of_52w_range in [0, 100]") {
+      assert(sfPerf.filter($"pct_of_52w_range".isNotNull &&
+        ($"pct_of_52w_range" < 0 || $"pct_of_52w_range" > 100)).isEmpty)
+    }
+    it("mart_daily_summary: trade_date unique + advancers/decliners consistent") {
+      val sum = DailyAnalytics.martDailySummary(sfPerf)
+      assert(sum.groupBy("trade_date").count().filter($"count" > 1).isEmpty)
+      assert(sum.filter($"advancers" + $"decliners" + $"unchanged" > $"symbols_tracked").isEmpty)
+    }
+  }
+
+  describe("J2 join form vs fused form") {
+    it("produce identical rows on shared columns") {
+      val joined = DailyAnalytics.joinedStockPerformance(bars)
+        .select("symbol", "trade_date", "daily_return_pct", "sma_20d", "rsi_14")
+      val fused = DailyAnalytics.martStockPerformance(bars)
+        .select("symbol", "trade_date", "daily_return_pct", "sma_20d", "rsi_14")
+      assert(joined.exceptAll(fused).isEmpty && fused.exceptAll(joined).isEmpty)
+    }
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funspec.AnyFunSpec
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSpec {
+  import SharedSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+    (3L, "completely different words about spark window functions and shuffles here"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today"),   // exact dup of 1
+    (5L, "tiny doc"))
+    .toDF("doc_id", "text")
+
+  describe("keepFirst") {
+    it("keeps the lowest-order row per key and is idempotent") {
+      val df = Seq((1L, "a", 10), (2L, "a", 5), (3L, "b", 7), (4L, "a", 5))
+        .toDF("id", "k", "v")
+      val once = Dedup.keepFirst(df, Seq("k"), Seq($"v", $"id"))
+      val twice = Dedup.keepFirst(once, Seq("k"), Seq($"v", $"id"))
+      assert(once.orderBy("k").as[(Long, String, Int)].collect().toSeq ==
+        Seq((2L, "a", 5), (3L, "b", 7))) // id=2 beats id=4 on tie via id order
+      assert(once.exceptAll(twice).isEmpty)
+    }
+  }
+
+  describe("exactContentGroups") {
+    it("groups exact duplicates by content hash") {
+      val groups = Dedup.exactContentGroups(docs, "doc_id", "text")
+      assert(groups.count() == 4) // 1&4 collapse
+      val dupGroup = groups.filter($"dup_count" === 2).collect()
+      assert(dupGroup.length == 1 && dupGroup.head.getAs[Long]("rep_id") == 1L)
+    }
+  }
+
+  describe("minhashLshPairs") {
+    it("finds the planted exact and near duplicates, not the unrelated doc") {
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.5)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      assert(pairs.contains((1L, 4L))) // exact dup always survives
+      assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // near-dup
+      assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    }
+    it("agg-based signatures equal the array-lambda form") {
+      val shingled = Dedup.withShingles(docs.select($"doc_id", $"text"), "text", 3)
+        .filter(size($"shingles") > 0)
+      val viaAgg = Dedup.minhashSigAgg(shingled, "doc_id", 8)
+      val viaArr = Dedup.withMinhash(shingled, 8).select($"doc_id", $"sig")
+      assert(viaAgg.exceptAll(viaArr).isEmpty && viaArr.exceptAll(viaAgg).isEmpty)
+    }
+  }
+
+  describe("ngramJaccardPairs") {
+    it("scores the exact duplicate at 1.0") {
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.1)
+      val exact = pairs.filter($"id1" === 1 && $"id2" === 4).select("jaccard").as[Double].head()
+      assert(exact == 1.0)
+    }
+    it("is symmetric in its inputs (id1 < id2 canonical form)") {
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.0)
+      assert(pairs.filter($"id1" >= $"id2").isEmpty)
+    }
+  }
+
+  describe("simhashPairs") {
+    it("near-identical docs collide within the Hamming ball; distinct docs do not") {
+      val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      assert(pairs.contains((1L, 4L)))
+      assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    }
+    it("banding finds every pair a full pairwise scan finds (pigeonhole)") {
+      val sh = Dedup.simhashAgg(docs, "doc_id", "text")
+      val full = sh.as("a").join(sh.as("b"),
+          $"a.doc_id" < $"b.doc_id" &&
+            expr("bit_count(a.simhash ^ b.simhash)") <= 3)
+        .select($"a.doc_id".as("id1"), $"b.doc_id".as("id2"))
+      val banded = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+        .select("id1", "id2")
+      assert(full.exceptAll(banded).isEmpty && banded.exceptAll(full).isEmpty)
+    }
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funspec.AnyFunSpec
+import graft.operators.Similarity
+import graft.sources.Tables
+
+class SimilaritySpec extends AnyFunSpec {
+  import SharedSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  describe("quantized cosine") {
+    it("self-similarity of a duplicated vector is ~1") {
+      val v = Seq((1L, Array.fill(64)(0.125f)), (2L, Array.fill(64)(0.125f)),
+        (3L, (Array.fill(32)(0.125f) ++ Array.fill(32)(-0.125f))))
+        .toDF("vec_id", "embedding")
+      val top = Similarity.bruteForceTopK(v, v.filter($"vec_id" === 1), "vec_id", "embedding", 1)
+        .select("corpus_id", "cosine").as[(Long, Double)].head()
+      assert(top._1 == 2L && top._2 == 1.0)
+    }
+    it("quantization error vs float cosine is below 1e-4 on real embeddings") {
+      val emb = Tables.embeddings(spark, dir).limit(50)
+      val q = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" % 25 === 0),
+        "vec_id", "embedding", 5)
+      // recompute in float space
+      val f = emb.select($"vec_id", $"embedding")
+      val pairs = q.join(f.select($"vec_id".as("query_id"), $"embedding".as("qv")), "query_id")
+        .join(f.select($"vec_id".as("corpus_id"), $"embedding".as("cv")), "corpus_id")
+        .withColumn("fcos",
+          aggregate(zip_with($"qv", $"cv", (a, b) => a.cast("double") * b.cast("double")),
+            lit(0.0), (acc, x) => acc + x) /
+            (sqrt(aggregate($"qv", lit(0.0), (a, x) => a + x.cast("double") * x.cast("double"))) *
+             sqrt(aggregate($"cv", lit(0.0), (a, x) => a + x.cast("double") * x.cast("double")))))
+      assert(pairs.filter(abs($"cosine" - $"fcos") > 1e-4).isEmpty)
+    }
+  }
+
+  describe("annTopK") {
+    it("returns a subset of brute-force results restricted to shared buckets, ranked consistently") {
+      val emb = Tables.embeddings(spark, dir)
+      val queries = emb.filter($"vec_id" % 50 === 0)
+      val ann = Similarity.annTopK(emb, queries, "vec_id", "embedding", k = 3, numPlanes = 4)
+      // rank is contiguous from 1 per query
+      val badRank = ann.groupBy("query_id")
+        .agg(max("rank").as("mx"), count(lit(1)).as("n"))
+        .filter($"mx" =!= $"n")
+      assert(badRank.isEmpty)
+      // every reported neighbor really is in the query's bucket: cosine is exact
+      assert(ann.filter($"cosine" > 1.0001 || $"cosine" < -1.0001).isEmpty)
+    }
+  }
+
+  describe("cosineNearDupPairs") {
+    it("emits canonical id1<id2 pairs above threshold only") {
+      val emb = Tables.embeddings(spark, dir)
+      val pairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", "label", 0.3)
+      assert(pairs.filter($"id1" >= $"id2").isEmpty)
+      assert(pairs.filter($"cosine" < 0.3).isEmpty)
+    }
+  }
+}

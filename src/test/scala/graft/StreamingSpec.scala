@@ -1,0 +1,63 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funspec.AnyFunSpec
+import graft.operators.TickAnalytics
+import graft.sources.Schemas.Tick
+import graft.streaming.TickStream
+
+/** SURVEY §7.4 risk 6: the same aggregation core must produce the same
+  * windows in batch mode (reference semantics) and under Structured
+  * Streaming. */
+class StreamingSpec extends AnyFunSpec {
+  import SharedSpark.spark
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:${min}%02d:00")
+
+  private val ticks = Seq(
+    Tick("AAPL", ts(0), 10.0, 1), Tick("AAPL", ts(5), 12.0, 2),
+    Tick("AAPL", ts(14), 11.0, 1), Tick("AAPL", ts(16), 13.0, 3),
+    Tick("MSFT", ts(2), 50.0, 1), Tick("MSFT", ts(31), 52.0, 2),
+    Tick("AAPL", ts(47), 14.0, 1))
+
+  describe("streaming vs batch window aggregation") {
+    it("complete-mode streaming output equals the batch recompute") {
+      val source = MemoryStream[Tick](spark)
+      source.addData(ticks: _*)
+      val q = TickStream.windowed(source.toDF(), "15 minutes", "30 minutes")
+        .writeStream.format("memory").queryName("win15")
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+
+      val streamed = spark.table("win15")
+        .select("symbol", "window_start", "window_end", "ma", "volatility", "volume_sum")
+      val batch = TickAnalytics.windowAggregates(ticks.toDF(), "15 minutes")
+      assert(streamed.count() == 5)
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    }
+
+    it("append-mode parquet sink emits finalized windows exactly once") {
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+      val source = MemoryStream[Tick](spark)
+      source.addData(ticks: _*)
+      // late watermark-closing batch: an event far in the future closes
+      // all earlier windows
+      source.addData(Tick("AAPL", Timestamp.valueOf("2024-01-01 13:00:00"), 1.0, 1))
+      val q = TickStream.toParquet(
+        TickStream.windowed(source.toDF(), "15 minutes", "10 minutes"),
+        s"$dir/out", s"$dir/ckpt").start()
+      try q.processAllAvailable() finally q.stop()
+
+      val out = spark.read.parquet(s"$dir/out")
+      // the 5 original windows are closed by the 13:00 event; the 13:00
+      // window itself is still open and must NOT be emitted
+      assert(out.count() == 5)
+      assert(out.filter($"window_start" === "2024-01-01 13:00:00").isEmpty)
+      // no duplicate windows (the reference's append lane can duplicate)
+      assert(out.groupBy("symbol", "window_start").count().filter($"count" > 1).isEmpty)
+    }
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funspec.AnyFunSpec
+import graft.operators.TickAnalytics
+import graft.sources.Adapters
+
+/** A1/A2/J1 semantics + the equi-bucket join rewrite's equivalence to
+  * the literal interval join, on real testdata. */
+class TickAnalyticsSpec extends AnyFunSpec {
+  import SharedSpark.spark
+  import spark.implicits._
+
+  private lazy val ticks = Adapters.ticks(spark, "/root/testdata/sf0.001")
+
+  describe("windowAggregates") {
+    it("tumbling windows are 15 minutes wide and aligned") {
+      val w = TickAnalytics.windowAggregatesExact(ticks, "15 minutes")
+      assert(w.filter(unix_timestamp($"window_end") - unix_timestamp($"window_start") =!= 900).isEmpty)
+      assert(w.filter(unix_timestamp($"window_start") % 900 =!= 0).isEmpty)
+    }
+    it("volume_sum equals tick count (volume := 1 per event)") {
+      val total = TickAnalytics.windowAggregatesExact(ticks, "15 minutes")
+        .agg(sum("volume_sum")).as[Long].head()
+      assert(total == ticks.count())
+    }
+    it("exact fixed-point aggregation matches the float path after rounding") {
+      val ex = TickAnalytics.windowAggregatesExact(ticks, "15 minutes")
+        .select("symbol", "window_start", "ma", "volume_sum")
+      val fl = TickAnalytics.windowAggregates(ticks, "15 minutes")
+        .select("symbol", "window_start", "ma", "volume_sum")
+      // ma values agree to 1e-9 (same mean, different summation path)
+      val joinedDiff = ex.as("a").join(fl.as("b"), Seq("symbol", "window_start"))
+        .filter(abs($"a.ma" - $"b.ma") > 1e-9)
+      assert(joinedDiff.isEmpty)
+    }
+  }
+
+  describe("J1: equi-bucket rewrite vs literal interval join") {
+    it("attach identical ma_1h to every 15-minute window") {
+      val viaEqui = TickAnalytics.realtimeAnalytics(ticks)
+        .select("symbol", "window_start", "ma_1h")
+      val m15 = TickAnalytics.windowAggregatesExact(ticks, "15 minutes")
+      val h1 = TickAnalytics.windowAggregatesExact(ticks, "1 hour")
+        .select(col("symbol"), col("window_start").as("h_start"), col("ma").as("ma_1h"))
+      val viaRange = TickAnalytics.intervalJoinLiteral(
+        m15, h1, "window_start", "h_start", expr("INTERVAL 1 HOUR"))
+        .select(col("symbol"), col("window_start"), col("ma_1h"))
+      assert(viaEqui.exceptAll(viaRange).isEmpty && viaRange.exceptAll(viaEqui).isEmpty)
+    }
+  }
+
+  describe("mart_realtime_signals invariants (assert_stream_window_integrity)") {
+    lazy val mart = TickAnalytics.martRealtimeSignals(
+      TickAnalytics.realtimeEnriched(
+        TickAnalytics.stagingRealtime(
+          TickAnalytics.realtimeAnalytics(ticks),
+          lit("2024-02-01 00:00:00").cast("timestamp_ntz"))))
+
+    it("window_end > window_start and positive duration") {
+      assert(mart.filter($"window_end_at" <= $"window_start_at").isEmpty)
+      assert(mart.filter($"window_duration_minutes" =!= 15).isEmpty)
+    }
+    it("signal domains") {
+      assert(mart.filter(!$"momentum_signal".isin("BULLISH", "BEARISH", "NEUTRAL")).isEmpty)
+      assert(mart.filter(!$"volatility_regime".isin("LOW", "NORMAL", "ELEVATED", "HIGH")).isEmpty)
+    }
+    it("multi-signal alert implies its three components") {
+      assert(mart.filter($"is_multi_signal_alert" &&
+        ($"momentum_signal" === "NEUTRAL" || !$"is_volume_spike")).isEmpty)
+    }
+  }
+}
