@@ -320,6 +320,20 @@ object OracleSql {
          |    || ' @ ' || strftime(window_start_at, '%Y-%m-%d %H:%M') AS signal_summary
          |FROM signals ORDER BY symbol, window_start_at""".stripMargin,
 
+    "q_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         |  ${rd(s"SUM(${sc("l_extendedprice", 2)}) / 100.0", 2)} AS sum_base_price,
+         |  ${rd(s"SUM(${sc4("l_extendedprice * (1 - l_discount)")}) / 10000.0", 2)} AS sum_disc_price,
+         |  ${rd(s"SUM(${sc("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)}) / 1000000.0", 2)} AS sum_charge,
+         |  ${rd(s"SUM(${sc("l_quantity", 2)}) / COUNT(${sc("l_quantity", 2)}) / 100.0", 4)} AS avg_qty,
+         |  ${rd(s"SUM(${sc("l_extendedprice", 2)}) / COUNT(${sc("l_extendedprice", 2)}) / 100.0", 4)} AS avg_price,
+         |  ${rd(s"SUM(${sc("l_discount", 2)}) / COUNT(${sc("l_discount", 2)}) / 100.0", 4)} AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q_merge_upsert" ->
       s"""WITH existing AS (
          |  SELECT o_orderkey, o_totalprice, o_orderstatus, CAST(1 AS BIGINT) AS version FROM orders
@@ -506,6 +520,18 @@ object OracleSql {
          |FROM en a JOIN en b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${cosExpr(pairDot, "a.nq", "b.nq")} >= 0.3
          |ORDER BY id1, id2""".stripMargin,
+
+    "q_rolling_hash" ->
+      """WITH codes AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, len(text) + 1), i -> CAST(unicode(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT)) AS cs,
+        |    list_transform(range(1, len(substr(text, 1, 64)) + 1), i -> CAST(unicode(substr(substr(text, 1, 64), CAST(i AS INTEGER), 1)) AS BIGINT)) AS ps
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  list_reduce(list_concat([0::BIGINT], cs), (a, b) -> (a * 31 + b) % 1000000007) AS content_rh,
+        |  list_reduce(list_concat([0::BIGINT], ps), (a, b) -> (a * 31 + b) % 1000000007) AS prefix_rh
+        |FROM codes ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_frames" ->
       """WITH m AS (

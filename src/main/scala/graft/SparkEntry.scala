@@ -138,6 +138,27 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Headline pricing-summary rollup (TPC-H Q1 shape): filter pushdown
+    * to the parquet scan, partial-aggregable grouped sums/avgs over
+    * exact fixed-point views of the money columns. */
+  private def qPricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val disc = scaled(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+    val charge = scaled(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6)
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        r2(sum(scaled(col("l_extendedprice"), 2)) / 1e2).as("sum_base_price"),
+        r2(sum(disc) / 1e4).as("sum_disc_price"),
+        r2(sum(charge) / 1e6).as("sum_charge"),
+        scaledAvg(scaled(col("l_quantity"), 2), 2, 4).as("avg_qty"),
+        scaledAvg(scaled(col("l_extendedprice"), 2), 2, 4).as("avg_price"),
+        scaledAvg(scaled(col("l_discount"), 2), 2, 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   // ──────────────────────────────────────────────────────────────────
   // LLM-data-pipeline operators: dedup / text / similarity / multimodal
   // ──────────────────────────────────────────────────────────────────
@@ -195,6 +216,15 @@ object SparkEntry {
       "vec_id", "embedding", "label", threshold = 0.3)
       .orderBy("id1", "id2")
 
+  /** Custom codegen'd Catalyst expression ([[graft.plans.RollingHash]])
+    * registered through SparkSessionExtensions. */
+  private def qRollingHash(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        call_function("rolling_hash", col("text")).as("content_rh"),
+        call_function("rolling_hash", substring(col("text"), 1, 64)).as("prefix_rh"))
+      .orderBy("doc_id")
+
   private def qMultimodalFrames(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text")
     media.select(col("media_id"), col("meta.n_bytes").as("n_bytes"),
@@ -218,6 +248,7 @@ object SparkEntry {
     "q_tick_windows_1h" -> (qTickWindows1h _),
     "q_realtime_analytics" -> (qRealtimeAnalytics _),
     "q_mart_realtime_signals" -> (qMartRealtimeSignals _),
+    "q_pricing_summary" -> (qPricingSummary _),
     "q_merge_upsert" -> (qMergeUpsert _),
     "q_revenue_by_nation" -> (qRevenueByNation _),
     "q_scalar_funcs" -> (qScalarFuncs _),
@@ -229,6 +260,7 @@ object SparkEntry {
     "q_sim_topk" -> (qSimTopK _),
     "q_sim_ann_lsh" -> (qSimAnnLsh _),
     "q_sim_near_dup" -> (qSimNearDup _),
+    "q_rolling_hash" -> (qRollingHash _),
     "q_multimodal_frames" -> (qMultimodalFrames _)
   )
 

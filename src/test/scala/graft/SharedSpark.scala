@@ -11,6 +11,7 @@ object SharedSpark {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .config("spark.ui.enabled", "false")
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
     .getOrCreate()
 }
