@@ -457,7 +457,7 @@ object OracleSql {
          |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |),
          |j AS (SELECT id1, id2, $jaccardExpr AS jaccard FROM cand)
-         |SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.1 ORDER BY id1, id2""".stripMargin,
+         |SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY id1, id2""".stripMargin,
 
     "q_dedup_simhash" ->
       s"""WITH tok AS (

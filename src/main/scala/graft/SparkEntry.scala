@@ -189,7 +189,7 @@ object SparkEntry {
 
   private def qDedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-      n = 3, threshold = 0.1)
+      n = 3, threshold = 0.5)
       .orderBy("id1", "id2")
 
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =

@@ -111,19 +111,17 @@ object Dedup {
   }
 
   /** All-pairs n-gram Jaccard ≥ threshold, blocked on shared shingles
-    * (exact — a pair is emitted iff it shares ≥1 shingle, and any pair
-    * with Jaccard > 0 shares one). The candidate join is the scale
-    * bottleneck (hot shingles ⇒ skew); prefer [[minhashLshPairs]]
-    * beyond ~10⁶ docs or cap shingle document-frequency first.
+    * (exact: any pair with Jaccard > 0 shares a shingle). Count-based —
+    * |A∩B| comes from a grouped count over the scalar shingle join and
+    * |A∪B| = |A| + |B| − |A∩B|, so no array ever crosses an exchange.
+    * On Zipfian corpora, where a few stopword shingles appear in a
+    * large fraction of documents and make this join quadratic, use
+    * [[ngramJaccardPairsPrefix]].
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5): DataFrame = {
     val shingled = withShingles(docs.select(col(idCol), col(textCol)), textCol, n)
       .filter(size(col("shingles")) > 0)
-    // count-based Jaccard: |A∩B| from a grouped count over the shingle
-    // join, |A∪B| = |A| + |B| − |A∩B|. No arrays ever shuffle — the
-    // explode/join/count pipeline is all scalars, and the set sizes
-    // rejoin from a tiny per-doc frame.
     val sizes = shingled.select(col(idCol), size(col("shingles")).as("n"))
     val ex = shingled.select(col(idCol), explode(col("shingles")).as("shingle"))
     val inter = ex.select(col(idCol).as("id1"), col("shingle"))
@@ -135,6 +133,42 @@ object Dedup {
       .join(sizes.select(col(idCol).as("id2"), col("n").as("n2")), "id2")
       .select(col("id1"), col("id2"),
         r4(col("inter") / (col("n1") + col("n2") - col("inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** EXACT n-gram Jaccard via prefix filtering (PPJoin family): order
+    * each doc's shingles by ascending global document frequency and
+    * join only the first |A| − ⌈τ·|A|⌉ + 1 of them. Any pair with
+    * Jaccard ≥ τ shares a prefix shingle under a consistent global
+    * order (all shared shingles in the suffix ⇒ overlap < τ·|A| ≤
+    * τ·|A∪B|, contradiction), so the result equals
+    * [[ngramJaccardPairs]] (tested). Worth its extra bookkeeping
+    * exactly when the shingle DF distribution is heavy-tailed — hot
+    * stopword shingles land in suffixes and never join, bounding the
+    * candidate blowup that kills the plain shingle join at corpus
+    * scale.
+    */
+  def ngramJaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
+                              n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val shingled = withShingles(docs.select(col(idCol), col(textCol)), textCol, n)
+      .filter(size(col("shingles")) > 0)
+    val sizes = shingled.select(col(idCol), size(col("shingles")).as("n"))
+    val ex = shingled.select(col(idCol), explode(col("shingles")).as("shingle"))
+    val withDf = ex.join(ex.groupBy("shingle").agg(count(lit(1)).as("df")), "shingle")
+    val prefixLen = (col("n") - ceil(col("n") * threshold) + 1).cast("int")
+    val prefix = withDf.join(sizes, idCol)
+      .withColumn("__pos", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("df"), col("shingle"))))
+      .filter(col("__pos") <= prefixLen)
+      .select(col(idCol), col("shingle"))
+    val cand = prefix.select(col(idCol).as("id1"), col("shingle"))
+      .join(prefix.select(col(idCol).as("id2"), col("shingle")), "shingle")
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    cand
+      .join(shingled.select(col(idCol).as("id1"), col("shingles").as("s1")), "id1")
+      .join(shingled.select(col(idCol).as("id2"), col("shingles").as("s2")), "id2")
+      .select(col("id1"), col("id2"), r4(jaccard(col("s1"), col("s2"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

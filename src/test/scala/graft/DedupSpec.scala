@@ -64,6 +64,11 @@ class DedupSpec extends AnyFunSpec {
       val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.0)
       assert(pairs.filter($"id1" >= $"id2").isEmpty)
     }
+    it("prefix-filtered variant returns exactly the same pairs") {
+      val plain = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.3)
+      val pref = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", threshold = 0.3)
+      assert(plain.exceptAll(pref).isEmpty && pref.exceptAll(plain).isEmpty)
+    }
   }
 
   describe("simhashPairs") {
