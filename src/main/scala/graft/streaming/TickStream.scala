@@ -1,10 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, Trigger}
 import org.apache.spark.sql.Row
 import graft.operators.TickAnalytics
 import graft.sources.Schemas
+import graft.sources.Schemas.Tick
 
 /** Structured Streaming form of the realtime lane.
   *
@@ -49,6 +50,47 @@ object TickStream {
                watermark: String = "30 minutes"): DataFrame =
     TickAnalytics.windowAggregates(
       ticks.withWatermark("event_time", watermark), duration)
+
+  /** Streaming exact dedup: drops repeated (symbol, event_time) rows
+    * with state bounded by the watermark — the streaming twin of the
+    * batch keep-first dedup (P10 / Dedup.keepFirst). */
+  def dedupedTicks(ticks: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    ticks.withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark("symbol", "event_time")
+
+  /** Cumulative per-symbol stats emitted every micro-batch. */
+  case class SymbolStats(symbol: String, n_ticks: Long, volume: Long,
+                         vwap: Double, last_price: Double)
+  case class CumState(n: Long, vol: Long, pv100: Long,
+                              lastTs: Long, last: Double)
+
+  /** Custom keyed state via mapGroupsWithState (§2.8 "stateful ops" —
+    * absent from the reference, present here as the idiomatic Spark
+    * escape hatch when windows can't express the state machine).
+    * Keeps one tiny record per symbol; price·volume accumulates in
+    * exact fixed-point (see Funcs.scaled rationale). Update output
+    * mode: each trigger emits the refreshed cumulative row per key
+    * seen in that batch.
+    */
+  def runningStats(ticks: Dataset[Tick]): Dataset[SymbolStats] = {
+    import ticks.sparkSession.implicits._
+    ticks.groupByKey(_.symbol)
+      .mapGroupsWithState[CumState, SymbolStats](GroupStateTimeout.NoTimeout) {
+        (symbol: String, rows: Iterator[Tick], state: GroupState[CumState]) =>
+          val prev = state.getOption.getOrElse(CumState(0L, 0L, 0L, Long.MinValue, 0.0))
+          // group iterators have no order guarantee — "last" follows
+          // the max event_time, not iteration order
+          val next = rows.foldLeft(prev) { (s, t) =>
+            val ts = t.event_time.getTime
+            val (nt, np) = if (ts >= s.lastTs) (ts, t.price) else (s.lastTs, s.last)
+            CumState(s.n + 1, s.vol + t.volume,
+              s.pv100 + math.round(t.price * 100) * t.volume, nt, np)
+          }
+          state.update(next)
+          SymbolStats(symbol, next.n, next.vol,
+            if (next.vol == 0) 0.0 else next.pv100 / 100.0 / next.vol, next.last)
+      }
+  }
 
   /** Append-mode parquet writer with checkpointing (the reference's
     * processed/realtime sink, S3, made exactly-once). */

@@ -60,4 +60,41 @@ class StreamingSpec extends AnyFunSpec {
       assert(out.groupBy("symbol", "window_start").count().filter($"count" > 1).isEmpty)
     }
   }
+
+  describe("custom keyed state (mapGroupsWithState)") {
+    it("accumulates cumulative per-symbol stats across micro-batches") {
+      val source = MemoryStream[Tick](spark)
+      val q = TickStream.runningStats(source.toDS())
+        .writeStream.format("memory").queryName("cumstats")
+        .outputMode("update").start()
+      try {
+        source.addData(ticks.take(4): _*) // 4 AAPL rows? (3 AAPL + 1 at :16)
+        q.processAllAvailable()
+        source.addData(ticks.drop(4): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      // latest update per symbol reflects ALL its ticks
+      val aapl = ticks.filter(_.symbol == "AAPL")
+      assert(spark.table("cumstats").filter($"symbol" === "AAPL")
+        .agg(max("n_ticks")).as[Long].head() == aapl.length)
+      assert(spark.table("cumstats").filter($"symbol" === "AAPL")
+        .agg(max("volume")).as[Long].head() == aapl.map(_.volume).sum)
+      // last_price follows max event_time
+      val lastRow = spark.table("cumstats").filter($"symbol" === "AAPL")
+        .orderBy($"n_ticks".desc).limit(1).select("last_price").as[Double].head()
+      assert(lastRow == aapl.maxBy(_.event_time.getTime).price)
+    }
+
+    it("streaming dedup drops repeated (symbol, event_time) rows") {
+      val source = MemoryStream[Tick](spark)
+      val q = TickStream.dedupedTicks(source.toDF())
+        .writeStream.format("memory").queryName("dedup_ticks")
+        .outputMode("append").start()
+      try {
+        source.addData(ticks.head, ticks.head, ticks(1)) // exact dup in-batch
+        q.processAllAvailable()
+      } finally q.stop()
+      assert(spark.table("dedup_ticks").count() == 2)
+    }
+  }
 }
