@@ -334,6 +334,54 @@ object OracleSql {
          |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "q_asof_join" ->
+      """WITH lo AS (
+        |  SELECT l_orderkey, l_linenumber, o_custkey AS custkey, CAST(l_shipdate AS DATE) AS ship_date
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |),
+        |q0 AS (
+        |  SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS quote_date,
+        |         o_orderkey AS quote_orderkey, o_totalprice AS quote_totalprice
+        |  FROM orders
+        |),
+        |q1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY custkey, quote_date ORDER BY quote_orderkey DESC) AS rn FROM q0),
+        |quotes AS (SELECT custkey, quote_date, quote_orderkey, quote_totalprice FROM q1 WHERE rn = 1)
+        |SELECT lo.l_orderkey, lo.l_linenumber, lo.custkey, lo.ship_date,
+        |       q.quote_orderkey, q.quote_totalprice
+        |FROM lo ASOF LEFT JOIN quotes q
+        |  ON lo.custkey = q.custkey AND lo.ship_date >= q.quote_date
+        |ORDER BY lo.l_orderkey, lo.l_linenumber""".stripMargin,
+
+    "q_session_windows" ->
+      s"""WITH t AS (
+         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS et, value FROM events
+         |),
+         |s AS (
+         |  SELECT *, CASE WHEN LAG(et) OVER w IS NULL OR et - LAG(et) OVER w >= INTERVAL 4 HOUR
+         |                 THEN 1 ELSE 0 END AS brk
+         |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY et)
+         |),
+         |g AS (
+         |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY et ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM s
+         |)
+         |SELECT user_id, MIN(et) AS session_start, MAX(et) + INTERVAL 4 HOUR AS session_end,
+         |  COUNT(*) AS n_events,
+         |  ${rd(s"SUM(${sc("value", 2)}) / 100.0", 2)} AS value_sum
+         |FROM g GROUP BY user_id, sid
+         |ORDER BY user_id, session_start""".stripMargin,
+
+    "q_rollup_revenue" ->
+      s"""SELECT r_name AS region, n_name AS nation,
+         |  ${rd(s"SUM(${sc4("l_extendedprice * (1 - l_discount)")}) / 10000.0", 2)} AS revenue,
+         |  COUNT(*) AS line_count
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY ROLLUP(r_name, n_name)
+         |ORDER BY region ASC NULLS FIRST, nation ASC NULLS FIRST""".stripMargin,
+
     "q_merge_upsert" ->
       s"""WITH existing AS (
          |  SELECT o_orderkey, o_totalprice, o_orderstatus, CAST(1 AS BIGINT) AS version FROM orders

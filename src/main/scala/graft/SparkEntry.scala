@@ -138,6 +138,43 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Backward as-of join (union-window implementation; DuckDB oracle
+    * uses its native ASOF JOIN — independent formulations, same
+    * semantics). */
+  private def qAsOfJoin(s: SparkSession, dir: String): DataFrame = {
+    val lo = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("o_custkey").as("custkey"), to_date(col("l_shipdate")).as("ship_date"))
+    val quotes = Dedup.keepFirst(
+      Tables.orders(s, dir).select(
+        col("o_custkey").as("custkey"),
+        to_date(col("o_orderdate")).as("quote_date"),
+        col("o_orderkey").as("quote_orderkey"),
+        col("o_totalprice").as("quote_totalprice")),
+      Seq("custkey", "quote_date"), Seq(col("quote_orderkey").desc))
+    AsOfJoin.asOfBackward(lo, quotes, Seq("custkey"), "ship_date", "quote_date")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Gap-based session windows over the event stream. */
+  private def qSessionWindows(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    ev.select(col("user_id"), Adapters.eventTime(ev).as("event_time"), col("value"))
+      .groupBy(col("user_id"), session_window(col("event_time"), "4 hours").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        r2(sum(scaled(col("value"), 2)) / 1e2).as("value_sum"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("value_sum"))
+      .orderBy("user_id", "session_start")
+  }
+
+  /** ROLLUP grouping sets over the broadcast dim hierarchy. */
+  private def qRollupRevenue(s: SparkSession, dir: String): DataFrame =
+    Enrichment.revenueRollup(s, dir)
+      .orderBy(col("region").asc_nulls_first, col("nation").asc_nulls_first)
+
   /** Headline pricing-summary rollup (TPC-H Q1 shape): filter pushdown
     * to the parquet scan, partial-aggregable grouped sums/avgs over
     * exact fixed-point views of the money columns. */
@@ -249,6 +286,9 @@ object SparkEntry {
     "q_realtime_analytics" -> (qRealtimeAnalytics _),
     "q_mart_realtime_signals" -> (qMartRealtimeSignals _),
     "q_pricing_summary" -> (qPricingSummary _),
+    "q_asof_join" -> (qAsOfJoin _),
+    "q_session_windows" -> (qSessionWindows _),
+    "q_rollup_revenue" -> (qRollupRevenue _),
     "q_merge_upsert" -> (qMergeUpsert _),
     "q_revenue_by_nation" -> (qRevenueByNation _),
     "q_scalar_funcs" -> (qScalarFuncs _),

@@ -39,4 +39,17 @@ object Enrichment {
         count(lit(1)).as("line_count"),
         countDistinct(col("l_suppkey")).as("suppliers"))
   }
+
+  /** ROLLUP over the dim hierarchy: per-nation, per-region subtotal,
+    * grand total — one pass, partial-aggregable like any hash agg
+    * (Expand just multiplies rows by the grouping-set count before the
+    * exchange). */
+  def revenueRollup(spark: SparkSession, dir: String): DataFrame = {
+    val rev = scaled(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+    Tables.lineitem(spark, dir)
+      .join(broadcast(supplierDim(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .rollup(col("region"), col("nation"))
+      .agg(r2(sum(rev) / 1e4).as("revenue"), count(lit(1)).as("line_count"))
+  }
 }
