@@ -457,6 +457,7 @@ object OracleSql {
          |)
          |SELECT doc_id, lang,
          |  CAST(len(ts) AS INTEGER) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_subword_tokens,
          |  CAST(len(list_distinct(ts)) AS INTEGER) AS n_distinct_tokens,
          |  ${rd("len(list_distinct(ts)) / CAST(len(ts) AS DOUBLE)", 4)} AS type_token_ratio,
          |  ${rd("(len(text) - (len(ts) - 1)) / CAST(len(ts) AS DOUBLE)", 4)} AS avg_token_len,

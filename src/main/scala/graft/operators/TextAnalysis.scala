@@ -29,12 +29,19 @@ object TextAnalysis {
   private def hits(text: Column, words: Seq[String]): Column =
     size(filter(tokens(text), t => t.isInCollection(words)))
 
-  /** Token / lexical statistics. Assumes single-space tokenization
-    * (generalize with a regex split for messy corpora). */
+  /** BPE-ish subword pattern: alpha runs, digit runs, or single
+    * non-alphanumeric symbols — the usual pre-tokenization granularity
+    * feeding a byte-pair encoder. */
+  val subwordPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  /** Token / lexical statistics: whitespace tokens plus the BPE-ish
+    * regex subword count. */
   def tokenStats(df: DataFrame, textCol: String): DataFrame = {
     val t = tokens(col(textCol))
     df
       .withColumn("n_tokens", size(t))
+      .withColumn("n_subword_tokens",
+        size(regexp_extract_all(col(textCol), lit(subwordPattern), lit(0))))
       .withColumn("n_distinct_tokens", size(array_distinct(t)))
       .withColumn("type_token_ratio", r4(size(array_distinct(t)) / size(t).cast("double")))
       .withColumn("avg_token_len",
