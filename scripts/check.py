@@ -34,10 +34,10 @@ def canon(v):
 def rows_of(cols_named):
     names = sorted(cols_named.keys())
     cols = [cols_named[n] for n in names]
-    return names, sorted(
+    return names, (sorted(
         (tuple(canon(v) for v in row) for row in zip(*cols)),
         key=lambda r: tuple((x is None, str(type(x)), str(x)) for x in r),
-    ) if cols else (names, [])
+    ) if cols else [])
 
 
 def table_cols(t):

@@ -31,11 +31,6 @@ object Funcs {
   def hash60(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
-  /** Seeded variant: an independent-ish hash per seed for MinHash
-    * signatures: h_i(s) = hash60(i || '|' || s). */
-  def hash60Seeded(seed: Column, s: Column): Column =
-    hash60(concat(seed.cast("string"), lit("|"), s))
-
   /** Distinct word n-gram shingles of a whitespace-tokenized text.
     * Pure built-in array expressions (split/sequence/transform/slice),
     * evaluated once per row — no explode/shuffle.

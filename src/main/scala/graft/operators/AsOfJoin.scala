@@ -29,24 +29,32 @@ object AsOfJoin {
       "right-side attach columns must not collide with left columns")
     val leftCols = left.columns.toSeq
 
+    // The right row travels as ONE struct so the latest match is
+    // carried atomically — per-column last(_, ignoreNulls) would let a
+    // NULL field in the newest right row resurrect a stale value from
+    // an older one (and even mix fields of different rows).
     val lSide = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
-    val rSide0 = right
+      .withColumn("__r", lit(null).cast(
+        org.apache.spark.sql.types.StructType(
+          right.select(attachCols.map(col): _*).schema.fields)))
+    val rSide = right
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))
-      .drop(rightTime)
-    // align schemas for unionByName
-    val lAligned = attachCols.foldLeft(lSide)((df, c) => df.withColumn(c, lit(null)))
+      .withColumn("__r", struct(attachCols.map(col): _*))
+      .drop(rightTime +: attachCols: _*)
     val rAligned = leftCols.filterNot(keys.contains)
-      .foldLeft(rSide0)((df, c) => df.withColumn(c, lit(null)))
+      .foldLeft(rSide)((df, c) => df.withColumn(c, lit(null)))
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = attachCols.foldLeft(lAligned.unionByName(rAligned.select(lAligned.columns.map(col): _*))) {
-      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1).drop("__t", "__side")
+    val carried = lSide.unionByName(rAligned.select(lSide.columns.map(col): _*))
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
+    attachCols
+      .foldLeft(carried)((df, c) => df.withColumn(c, col("__r").getField(c)))
+      .filter(col("__side") === 1)
+      .drop("__t", "__side", "__r")
   }
 }

@@ -44,7 +44,12 @@ object Multimodal {
     media
       .select(col("media_id"), col("meta.n_frames").as("n_frames"), col("payload"))
       .select(col("media_id"), col("n_frames"),
-        posexplode(expr(s"transform(sequence(0, n_frames - 1), f -> substring(payload, f * $frameSize + 1, $frameSize))"))
+        // guard n_frames = 0: Spark's sequence(0, -1) auto-steps to
+        // [0, -1] instead of returning an empty array
+        posexplode(expr(
+          s"""case when n_frames <= 0 then array()
+             |else transform(sequence(0, n_frames - 1), f -> substring(payload, f * $frameSize + 1, $frameSize))
+             |end""".stripMargin))
           .as(Seq("frame_idx", "frame_bytes")))
       .select(col("media_id"), col("frame_idx"),
         length(col("frame_bytes")).as("frame_len"),

@@ -108,10 +108,14 @@ object Similarity {
     * candidate join is an equi join on bucket — shuffle-light and
     * skew-bounded, the 100 TB path. */
   def annTopK(corpus: DataFrame, queries: DataFrame,
-              idCol: String, vecCol: String, k: Int, numPlanes: Int = 12): DataFrame = {
+              idCol: String, vecCol: String, k: Int, numPlanes: Int = 12,
+              dim: Int = 64): DataFrame = {
+    // dim MUST match the embedding length: zip_with against a shorter
+    // plane literal null-pads, every dot goes null, and all vectors
+    // collapse into bucket 0 — silently degrading to a cross join.
     def side(df: DataFrame, idAs: String, qAs: String, nAs: String) =
       df.select(col(idCol).as(idAs), quantize(col(vecCol)).as("__vq"))
-        .withColumn("bucket", lshBucket(col("__vq"), numPlanes))
+        .withColumn("bucket", lshBucket(col("__vq"), numPlanes, dim))
         .withColumn(nAs, normSq(col("__vq")))
         .withColumnRenamed("__vq", qAs)
     val c = side(corpus, "corpus_id", "cq", "cn")

@@ -22,6 +22,16 @@ class AsOfJoinSpec extends AnyFunSpec {
       assert(out("t3").contains(100.0))
       assert(out("t4").isEmpty)         // no B quote at/before t=7
     }
+
+    it("a NULL field in the matched right row stays NULL (no stale resurrection)") {
+      val trades = Seq(("A", 3, "t1")).toDF("sym", "t", "trade")
+      val quotes = Seq(("A", 1, Some(100.0), Some(10.0)), ("A", 2, None, Some(20.0)))
+        .toDF("sym", "qt", "px", "sz")
+      val row = AsOfJoin.asOfBackward(trades, quotes, Seq("sym"), "t", "qt")
+        .select("px", "sz").as[(Option[Double], Option[Double])].head()
+      // latest right row is (t=2, px=NULL, sz=20): px must be NULL, not 100
+      assert(row == (None, Some(20.0)))
+    }
   }
 
   describe("Skew.saltedSum") {

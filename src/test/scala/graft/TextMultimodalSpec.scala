@@ -51,6 +51,10 @@ class TextMultimodalSpec extends AnyFunSpec {
       assert(frames.count() == 4)
       assert(frames.agg(sum("frame_len")).as[Long].head() == 800)
     }
+    it("empty payloads produce zero frames (sequence(0,-1) guard)") {
+      val empty = Seq((9L, "")).toDF("doc_id", "text")
+      assert(Multimodal.sampleFrames(Multimodal.asMedia(empty, "doc_id", "text")).isEmpty)
+    }
     it("stub decode emits deterministic bounded features") {
       val f = Multimodal.decodeStubFeatures(media)
         .select("features").as[Seq[Double]].collect()
