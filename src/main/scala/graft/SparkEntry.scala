@@ -248,6 +248,17 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF ANN — centroids from MLlib KMeans (fixed seed), so results
+    * are engine-specific: intentionally has NO SQL oracle (driver
+    * records a rows-only check); recall is tested vs brute force in
+    * SimilaritySpec. */
+  private def qSimIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 50 === 0),
+      "vec_id", "embedding", k = 5, numCells = 16, nprobe = 2)
+      .orderBy("query_id", "rank")
+  }
+
   private def qSimNearDup(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(Tables.embeddings(s, dir),
       "vec_id", "embedding", "label", threshold = 0.3)
@@ -300,6 +311,7 @@ object SparkEntry {
     "q_sim_topk" -> (qSimTopK _),
     "q_sim_ann_lsh" -> (qSimAnnLsh _),
     "q_sim_near_dup" -> (qSimNearDup _),
+    "q_sim_ivf" -> (qSimIvf _),
     "q_rolling_hash" -> (qRollingHash _),
     "q_multimodal_frames" -> (qMultimodalFrames _)
   )

@@ -103,6 +103,56 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** IVF (inverted-file) ANN: k-means coarse quantizer assigns each
+    * vector to a cell; queries probe their `nprobe` nearest cells and
+    * rank exactly within them. The other canonical scale path next to
+    * LSH: cells give a tunable recall/cost knob and the candidate join
+    * is an equi join on cell id. Centroids come from MLlib KMeans with
+    * a fixed seed — deterministic per Spark build but not reproducible
+    * in other engines, so this operator gets a rows-only driver check
+    * (no SQL oracle), with recall tested against brute force instead.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              k: Int, numCells: Int = 16, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val featured = corpus
+      .select(col(idCol), col(vecCol),
+        array_to_vector(transform(col(vecCol), _.cast("double"))).as("features"))
+    val model = new KMeans().setK(numCells).setSeed(42L).setMaxIter(10).fit(featured)
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
+    val centroidLit = typedLit(centroids.map(_._2).toSeq)
+
+    def cellOf(vq: Column, n: Int): Column = {
+      // n nearest centroids by exact double L2 (centroids are plan-time
+      // literals; one narrow pass, no shuffle)
+      val dists = transform(sequence(lit(0), lit(numCells - 1)), c =>
+        struct(
+          aggregate(
+            zip_with(vq, element_at(centroidLit, c + 1), (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+            lit(0.0), (acc, x) => acc + x).as("d"),
+          c.as("cell")))
+      slice(array_sort(dists), 1, n)
+    }
+
+    val c = corpus.select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cq"),
+        explode(cellOf(col(vecCol), 1)).as("cc"))
+      .select(col("corpus_id"), col("cq"), col("cc.cell").as("cell"))
+      .withColumn("cn", normSq(col("cq")))
+    val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qq"),
+        explode(cellOf(col(vecCol), nprobe)).as("qc"))
+      .select(col("query_id"), col("qq"), col("qc.cell").as("cell"))
+      .withColumn("qn", normSq(col("qq")))
+    val scored = c.join(broadcast(q), "cell")
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosineQ(dotQ(col("cq"), col("qq")), col("cn"), col("qn")).as("cosine"))
+      .distinct() // a pair can meet in several probed cells
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** ANN top-k via hyperplane LSH: queries probe only their own bucket
     * (single-probe; recall tunes with numPlanes / multi-probe). The
     * candidate join is an equi join on bucket — shuffle-light and

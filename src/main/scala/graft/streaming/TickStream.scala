@@ -92,6 +92,31 @@ object TickStream {
       }
   }
 
+  /** foreachBatch merge-upsert sink: each micro-batch upserts into a
+    * parquet "warehouse" table keyed like the reference's Snowflake
+    * MERGE (S6/S7) — but as one distributed merge per batch instead of
+    * a round-trip per row. Idempotent under micro-batch replay: the
+    * merge keeps the max-version row per key, so reprocessing a batch
+    * converges to the same table.
+    */
+  def upsertSink(updates: DataFrame, tablePath: String, checkpoint: String,
+                 keys: Seq[String], versionCol: String): DataStreamWriter[Row] =
+    updates.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val existing =
+          if (new java.io.File(tablePath).exists) spark.read.parquet(tablePath)
+          else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], batch.schema)
+        val merged = graft.operators.MergeUpsert
+          .mergeUpsert(existing, batch, keys, versionCol)
+        // stage-then-swap: parquet can't be read and overwritten in place
+        val tmp = tablePath + "__staged"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(tablePath)
+      }
+
   /** Append-mode parquet writer with checkpointing (the reference's
     * processed/realtime sink, S3, made exactly-once). */
   def toParquet(windows: DataFrame, outPath: String,

@@ -52,6 +52,25 @@ class SimilaritySpec extends AnyFunSpec {
     }
   }
 
+  describe("ivfTopK") {
+    it("achieves high recall vs brute force with a fraction of the comparisons") {
+      val emb = Tables.embeddings(spark, dir)
+      val queries = emb.filter($"vec_id" % 50 === 0)
+      val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+        .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+      val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+        numCells = 8, nprobe = 3)
+        .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+      val recall = exact.intersect(ivf).size.toDouble / exact.size
+      assert(recall >= 0.5, s"recall $recall") // 3/8 cells probed
+      // ranks are contiguous per query
+      val ranks = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+        numCells = 8, nprobe = 3)
+        .groupBy("query_id").agg(max("rank").as("mx"), count(lit(1)).as("n"))
+      assert(ranks.filter($"mx" =!= $"n").isEmpty)
+    }
+  }
+
   describe("cosineNearDupPairs") {
     it("emits canonical id1<id2 pairs above threshold only") {
       val emb = Tables.embeddings(spark, dir)

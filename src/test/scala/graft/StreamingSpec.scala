@@ -85,6 +85,25 @@ class StreamingSpec extends AnyFunSpec {
       assert(lastRow == aapl.maxBy(_.event_time.getTime).price)
     }
 
+    it("foreachBatch upsert sink converges to one row per key across batches") {
+      val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+      val source = MemoryStream[Tick](spark)
+      val stats = TickStream.runningStats(source.toDS())
+        .withColumn("version", col("n_ticks")) // monotone per key
+      val q = TickStream.upsertSink(stats, s"$dir/table", s"$dir/ckpt",
+        Seq("symbol"), "version").start()
+      try {
+        source.addData(ticks.take(4): _*)
+        q.processAllAvailable()
+        source.addData(ticks.drop(4): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val table = spark.read.parquet(s"$dir/table")
+      assert(table.groupBy("symbol").count().filter($"count" > 1).isEmpty)
+      val aapl = ticks.filter(_.symbol == "AAPL")
+      assert(table.filter($"symbol" === "AAPL").select("n_ticks").as[Long].head() == aapl.length)
+    }
+
     it("streaming dedup drops repeated (symbol, event_time) rows") {
       val source = MemoryStream[Tick](spark)
       val q = TickStream.dedupedTicks(source.toDF())
