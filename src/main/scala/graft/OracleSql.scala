@@ -498,14 +498,21 @@ object OracleSql {
 
     "q_dedup_ngram_jaccard" ->
       s"""WITH $shinglesSql,
-         |ex AS (SELECT doc_id, shingles, unnest(shingles) AS shingle FROM sh),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, a.s1, b.s2
-         |  FROM (SELECT doc_id, shingles AS s1, shingle FROM ex) a
-         |  JOIN (SELECT doc_id, shingles AS s2, shingle FROM ex) b
-         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+         |ex0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+         |ex AS (SELECT doc_id, ${h60("shingle")} AS shh FROM ex0),
+         |inter AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
+         |  FROM ex a JOIN ex b ON a.shh = b.shh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
          |),
-         |j AS (SELECT id1, id2, $jaccardExpr AS jaccard FROM cand)
+         |j AS (
+         |  SELECT id1, id2,
+         |    ${rd("inter / CAST(s1.n + s2.n - inter AS DOUBLE)", 4)} AS jaccard
+         |  FROM inter
+         |  JOIN sizes s1 ON id1 = s1.doc_id
+         |  JOIN sizes s2 ON id2 = s2.doc_id
+         |)
          |SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY id1, id2""".stripMargin,
 
     "q_dedup_simhash" ->

@@ -16,11 +16,20 @@ import graft.streaming.TickStream
   */
 object Pipelines {
 
-  private def session(name: String): SparkSession = SparkSession.builder()
-    .appName(name)
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-    .getOrCreate()
+  /** Reuse an active session (spark-submit, tests); otherwise build a
+    * local one and stop it when done. Never stops a session we didn't
+    * create. */
+  private def withSession[T](name: String)(f: SparkSession => T): T = {
+    val existing = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+    val spark = existing.getOrElse(
+      SparkSession.builder()
+        .appName(name)
+        .master(sys.props.getOrElse("spark.master", "local[*]"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+        .getOrCreate())
+    try f(spark) finally if (existing.isEmpty) spark.stop()
+  }
 
   /** stock_market_batch_dag: raw historical CSV → clean bars parquet
     * (spark_process_batch step; the producer/consumer legs are Kafka
@@ -28,11 +37,11 @@ object Pipelines {
   object BatchPipeline {
     def main(args: Array[String]): Unit = {
       val Array(rawPath, outPath) = args.take(2)
-      val spark = session("graft-batch")
-      val clean = BatchCleaner.cleanDailyBars(RawSources.rawDailyBars(spark, rawPath))
-      Sinks.writePartitioned(clean, outPath, "symbol", Seq("trade_date"))
-      println(s"bars written: ${spark.read.parquet(outPath).count()}")
-      spark.stop()
+      withSession("graft-batch") { spark =>
+        val clean = BatchCleaner.cleanDailyBars(RawSources.rawDailyBars(spark, rawPath))
+        Sinks.writePartitioned(clean, outPath, "symbol", Seq("trade_date"))
+        println(s"bars written: ${spark.read.parquet(outPath).count()}")
+      }
     }
   }
 
@@ -42,11 +51,11 @@ object Pipelines {
   object StreamingPipeline {
     def main(args: Array[String]): Unit = {
       val Array(rawPath, outPath, checkpoint) = args.take(3)
-      val spark = session("graft-stream")
-      val ticks = BatchCleaner.cleanTicks(TickStream.rawTickStream(spark, rawPath))
-      val q = TickStream.toParquet(TickStream.windowed(ticks), outPath, checkpoint).start()
-      q.awaitTermination()
-      spark.stop()
+      withSession("graft-stream") { spark =>
+        val ticks = BatchCleaner.cleanTicks(TickStream.rawTickStream(spark, rawPath))
+        val q = TickStream.toParquet(TickStream.windowed(ticks), outPath, checkpoint).start()
+        q.awaitTermination()
+      }
     }
   }
 
@@ -55,14 +64,14 @@ object Pipelines {
   object TransformPipeline {
     def main(args: Array[String]): Unit = {
       val Array(barsPath, outDir) = args.take(2)
-      val spark = session("graft-transform")
-      val bars = spark.read.parquet(barsPath)
-      val perf = DailyAnalytics.martStockPerformance(bars, withAudit = true)
-      Sinks.writePartitioned(perf, s"$outDir/mart_stock_performance", "symbol", Seq("trade_date"))
-      DailyAnalytics.martDailySummary(perf.drop("dbt_updated_at"))
-        .withColumn("dbt_updated_at", current_timestamp())
-        .write.mode("overwrite").parquet(s"$outDir/mart_daily_summary")
-      spark.stop()
+      withSession("graft-transform") { spark =>
+        val bars = spark.read.parquet(barsPath)
+        val perf = DailyAnalytics.martStockPerformance(bars, withAudit = true)
+        Sinks.writePartitioned(perf, s"$outDir/mart_stock_performance", "symbol", Seq("trade_date"))
+        DailyAnalytics.martDailySummary(perf.drop("dbt_updated_at"))
+          .withColumn("dbt_updated_at", current_timestamp())
+          .write.mode("overwrite").parquet(s"$outDir/mart_daily_summary")
+      }
     }
   }
 }

@@ -123,9 +123,13 @@ object Dedup {
     val shingled = withShingles(docs.select(col(idCol), col(textCol)), textCol, n)
       .filter(size(col("shingles")) > 0)
     val sizes = shingled.select(col(idCol), size(col("shingles")).as("n"))
+    // join/shuffle on the 60-bit shingle hash, not the string — less
+    // shuffle volume and faster comparisons; the oracle hashes
+    // identically so results agree even on (cosmically rare) collisions
     val ex = shingled.select(col(idCol), explode(col("shingles")).as("shingle"))
-    val inter = ex.select(col(idCol).as("id1"), col("shingle"))
-      .join(ex.select(col(idCol).as("id2"), col("shingle")), "shingle")
+      .select(col(idCol), hash60(col("shingle")).as("sh"))
+    val inter = ex.select(col(idCol).as("id1"), col("sh"))
+      .join(ex.select(col(idCol).as("id2"), col("sh")), "sh")
       .filter(col("id1") < col("id2"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
     inter

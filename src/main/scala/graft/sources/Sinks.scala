@@ -28,4 +28,16 @@ object Sinks {
   /** S3 — append, partitioned (realtime lane). */
   def appendPartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
     writePartitioned(df, path, partitionCol, Nil, "append")
+
+  /** S8 — warehouse bootstrap: CREATE TABLE IF NOT EXISTS with an
+    * explicit schema (the reference's fixed DDL at
+    * load_to_snowflake.py:27-38), as a catalog table backed by parquet.
+    * Idempotent; S7-style appends then go through `insertInto`/
+    * `saveAsTable(append)`. */
+  def ensureTable(spark: org.apache.spark.sql.SparkSession, name: String,
+                  schema: org.apache.spark.sql.types.StructType): Unit = {
+    val cols = schema.fields
+      .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $name ($cols) USING parquet")
+  }
 }
