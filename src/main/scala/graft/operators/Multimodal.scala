@@ -65,6 +65,24 @@ object Multimodal {
       transform(sequence(lit(0), lit(7)),
         i => (hash60(concat(md5(col("payload")), i.cast("string"))) % 1000).cast("double") / 1000.0))
 
+  /** ===== STUB resize =====
+    * Stand-in for an image/audio resample: keeps every `factor`-th byte
+    * of the payload (a real codec would decode → scale → re-encode).
+    * Exercises the real Spark shape: binary in, smaller binary out,
+    * metadata updated consistently, pure narrow map.
+    */
+  def resizeStub(media: DataFrame, factor: Int): DataFrame =
+    media
+      .withColumn("payload", expr(
+        s"""aggregate(
+           |  transform(sequence(0, greatest(ceil(length(payload) / $factor) - 1, 0)),
+           |            i -> substring(payload, i * $factor + 1, 1)),
+           |  cast('' as binary), (acc, b) -> concat(acc, b))""".stripMargin))
+      .withColumn("meta", struct(
+        length(col("payload")).as("n_bytes"),
+        col("meta.mime").as("mime"),
+        ceil(length(col("payload")) / lit(frameSize.toDouble)).cast("int").as("n_frames")))
+
   /** The mapPartitions form of the decode stage — the shape a native
     * (JNI / process-per-partition codec) decoder plugs into. Kept
     * simple: emits (media_id, n_bytes) via the low-level iterator API.
