@@ -159,7 +159,7 @@ object Similarity {
     * skew-bounded, the 100 TB path. */
   def annTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int, numPlanes: Int = 12,
-              dim: Int = 64): DataFrame = {
+              dim: Int = 64, multiProbe: Boolean = false): DataFrame = {
     // dim MUST match the embedding length: zip_with against a shorter
     // plane literal null-pads, every dot goes null, and all vectors
     // collapse into bucket 0 — silently degrading to a cross join.
@@ -169,11 +169,20 @@ object Similarity {
         .withColumn(nAs, normSq(col("__vq")))
         .withColumnRenamed("__vq", qAs)
     val c = side(corpus, "corpus_id", "cq", "cn")
-    val q = side(queries, "query_id", "qq", "qn")
+    val q0 = side(queries, "query_id", "qq", "qn")
+    // multi-probe: queries also visit every Hamming-1 neighbor bucket
+    // (a vector near a hyperplane falls on its other side there) —
+    // recall rises steeply for numPlanes× the candidate cost, still on
+    // the query (small, broadcast) side only.
+    val q = if (!multiProbe) q0 else q0
+      .withColumn("bucket", explode(array(
+        (col("bucket") +: (0 until numPlanes).map(p =>
+          col("bucket").bitwiseXOR(lit(1L << p)))): _*)))
     val scored = c.join(broadcast(q), "bucket")
       .filter(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
         cosineQ(dotQ(col("cq"), col("qq")), col("cn"), col("qn")).as("cosine"))
+      .distinct()
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

@@ -29,6 +29,22 @@ object Sinks {
   def appendPartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
     writePartitioned(df, path, partitionCol, Nil, "append")
 
+  /** Bucketed catalog table: pre-shuffles data into `numBuckets` by
+    * `bucketCol` at write time, so joins/aggregations between tables
+    * bucketed the same way need NO exchange at read time — the
+    * co-located-join layout for fact↔fact joins too big to broadcast
+    * (the 100 TB answer when both sides are huge and the join is
+    * recurring). Requires `spark.sql.sources.bucketing.enabled` (on by
+    * default) and equal bucket counts on both sides.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   /** S8 — warehouse bootstrap: CREATE TABLE IF NOT EXISTS with an
     * explicit schema (the reference's fixed DDL at
     * load_to_snowflake.py:27-38), as a catalog table backed by parquet.

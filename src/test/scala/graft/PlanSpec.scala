@@ -40,6 +40,34 @@ class PlanSpec extends AnyFunSpec {
       assert(!p.contains("l_partkey")) // exists in the table, must be pruned
     }
 
+    it("bucketed tables join without any exchange (co-located join)") {
+      import graft.sources.{Sinks, Tables}
+      Seq("orders_b", "lineitem_b").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new java.io.File(s"spark-warehouse/$t")
+        if (loc.exists) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+      }
+      Sinks.writeBucketed(Tables.orders(spark, dir), "orders_b", "o_orderkey", 4)
+      Sinks.writeBucketed(
+        Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity"),
+        "lineitem_b", "l_orderkey", 4)
+      // at test scale AQE would (rightly) broadcast; disable it to
+      // observe the bucketed fact↔fact shape that matters at 100 TB
+      val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = spark.table("lineitem_b")
+          .join(spark.table("orders_b"),
+            org.apache.spark.sql.functions.col("l_orderkey") ===
+              org.apache.spark.sql.functions.col("o_orderkey"))
+        joined.collect()
+        val p = plan(joined)
+        assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"))
+        assert(!p.contains("Exchange hashpartitioning"),
+          s"bucketed join must not re-shuffle:\n$p")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    }
+
     it("whole-stage codegen covers the scan-to-aggregate path") {
       val df = SparkEntry.queries("q_pricing_summary")(spark, dir)
       df.collect() // finalize the adaptive plan; codegen nodes appear in the executed plan

@@ -52,6 +52,27 @@ class SimilaritySpec extends AnyFunSpec {
     }
   }
 
+  describe("annTopK multi-probe") {
+    it("visiting Hamming-1 buckets can only improve recall vs single-probe") {
+      val emb = Tables.embeddings(spark, dir)
+      val queries = emb.filter($"vec_id" % 50 === 0)
+      val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+        .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+      def recall(multi: Boolean) = {
+        val got = Similarity.annTopK(emb, queries, "vec_id", "embedding",
+          k = 5, numPlanes = 6, multiProbe = multi)
+          .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+        exact.intersect(got).size.toDouble / exact.size
+      }
+      val single = recall(multi = false)
+      val multi = recall(multi = true)
+      assert(multi >= single, s"multi=$multi single=$single")
+      // absolute recall is inherently weak on 50 uniform-random vectors
+      // (no true near neighbors); monotonicity is the real property
+      assert(multi >= 0.2, s"multi-probe recall too low: $multi")
+    }
+  }
+
   describe("ivfTopK") {
     it("achieves high recall vs brute force with a fraction of the comparisons") {
       val emb = Tables.embeddings(spark, dir)
