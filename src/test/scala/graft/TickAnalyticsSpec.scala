@@ -50,6 +50,38 @@ class TickAnalyticsSpec extends AnyFunSpec {
     }
   }
 
+  describe("FIXTURES.md edge cases") {
+    it("constant-price windows get volatility 0, singleton windows get NULL, gaps produce no windows") {
+      import java.sql.Timestamp
+      def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 09:${m}%02d:00")
+      val fixture = Seq(
+        ("FLAT", ts(0), 10.0, 1L), ("FLAT", ts(5), 10.0, 1L), ("FLAT", ts(10), 10.0, 1L),
+        ("ONE", ts(0), 5.0, 1L),
+        // 15-29 empty gap, then a "late"-window burst
+        ("FLAT", ts(31), 11.0, 1L), ("FLAT", ts(32), 11.5, 1L))
+        .toDF("symbol", "event_time", "price", "volume")
+      val w = TickAnalytics.windowAggregatesExact(fixture, "15 minutes")
+        .orderBy("symbol", "window_start").collect()
+      assert(w.length == 3) // no window emitted for the empty 09:15 slot
+      val flat0 = w(0)
+      assert(flat0.getAs[Double]("volatility") == 0.0) // constant price, n=3
+      val one = w(2)
+      assert(one.isNullAt(one.fieldIndex("volatility"))) // n=1 → NULL like stddev_samp
+    }
+    it("duplicate ticks fold into the window aggregates (reference append-lane semantics)") {
+      import java.sql.Timestamp
+      val t = Timestamp.valueOf("2024-01-01 09:00:00")
+      val dup = Seq(("A", t, 10.0, 1L), ("A", t, 10.0, 1L))
+        .toDF("symbol", "event_time", "price", "volume")
+      val w = TickAnalytics.windowAggregatesExact(dup, "15 minutes").collect()
+      assert(w.length == 1 && w(0).getAs[Long]("volume_sum") == 2)
+      // and the dedup operator removes them when that's the intent
+      val deduped = graft.operators.Dedup.keepFirst(dup, Seq("symbol", "event_time"),
+        Seq(col("price")))
+      assert(deduped.count() == 1)
+    }
+  }
+
   describe("mart_realtime_signals invariants (assert_stream_window_integrity)") {
     lazy val mart = TickAnalytics.martRealtimeSignals(
       TickAnalytics.realtimeEnriched(
