@@ -569,6 +569,19 @@ object OracleSql {
          |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
     },
 
+    "q_dedup_embedding" ->
+      s"""WITH dv AS (
+         |  SELECT d.doc_id, d.lang,
+         |    list_transform(e.embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS vq
+         |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+         |),
+         |en AS (SELECT doc_id, lang, vq, list_sum(list_transform(vq, x -> x * x)) AS nq FROM dv)
+         |SELECT a.lang AS block, a.doc_id AS id1, b.doc_id AS id2,
+         |  ${cosExpr(pairDot, "a.nq", "b.nq")} AS cosine
+         |FROM en a JOIN en b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |WHERE ${cosExpr(pairDot, "a.nq", "b.nq")} >= 0.3
+         |ORDER BY id1, id2""".stripMargin,
+
     "q_sim_near_dup" ->
       s"""WITH $embSql
          |SELECT a.label AS block, a.vec_id AS id1, b.vec_id AS id2,

@@ -248,6 +248,18 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Embedding-cosine near-dup over the documents table (embedding
+    * column joined on; blocked by lang — the realistic "same-language
+    * corpus cell" IVF-style blocking). */
+  private def qDedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      .join(Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        col("doc_id") === col("vec_id"))
+      .select("doc_id", "lang", "embedding")
+    Similarity.cosineNearDupPairs(docs, "doc_id", "embedding", "lang", threshold = 0.3)
+      .orderBy("id1", "id2")
+  }
+
   /** IVF ANN — centroids from MLlib KMeans (fixed seed), so results
     * are engine-specific: intentionally has NO SQL oracle (driver
     * records a rows-only check); recall is tested vs brute force in
@@ -312,6 +324,7 @@ object SparkEntry {
     "q_sim_ann_lsh" -> (qSimAnnLsh _),
     "q_sim_near_dup" -> (qSimNearDup _),
     "q_sim_ivf" -> (qSimIvf _),
+    "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_rolling_hash" -> (qRollingHash _),
     "q_multimodal_frames" -> (qMultimodalFrames _)
   )
