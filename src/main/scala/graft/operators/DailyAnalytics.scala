@@ -87,6 +87,55 @@ object DailyAnalytics {
         r2(lit(100) - (lit(100) / (lit(1) + nullif(gain / nullifZero(loss), lit(0))))))
   }
 
+  /** The textbook Wilder RSI — exponential smoothing
+    * (avg_t = (avg_{t-1}·13 + x_t)/14) — which the reference's
+    * "RSI-14 approximation" deliberately simplifies to a plain rolling
+    * mean (int_rolling_metrics.sql:83-104; SURVEY §7.4 quirk 5: we
+    * replicate the quirk in [[rollingMetrics]] and offer the correct
+    * form here). The recursion can't be expressed as a SQL window
+    * frame, so this drops to sorted per-key iteration
+    * (groupByKey + flatMapGroups) — the documented escape hatch for
+    * genuinely sequential state. One pass, O(1) state per symbol;
+    * groups must fit an iterator, which symbol-day series always do.
+    * Adds `rsi_14_wilder` keyed by (symbol, trade_date).
+    */
+  def wilderRsi(returns: DataFrame, period: Int = 14): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = returns.sparkSession
+    val in = returns.select(col("symbol").cast("string"),
+      col("trade_date").cast("date"), col("daily_return_pct"))
+    val outSchema = StructType(Seq(
+      StructField("symbol", StringType), StructField("trade_date", DateType),
+      StructField("rsi_14_wilder", DoubleType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    import spark.implicits._
+    in.as[(String, java.sql.Date, Option[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (sym, rows) =>
+        val sorted = rows.toSeq.sortBy(_._2.getTime)
+        var avgGain, avgLoss = 0.0
+        var n = 0
+        sorted.iterator.map { case (_, d, retOpt) =>
+          val ret = retOpt.getOrElse(0.0)
+          val (g, l) = (math.max(ret, 0.0), math.max(-ret, 0.0))
+          n += 1
+          if (n <= period) { // seed phase: simple mean of the first `period`
+            avgGain += (g - avgGain) / n
+            avgLoss += (l - avgLoss) / n
+          } else {           // Wilder smoothing
+            avgGain = (avgGain * (period - 1) + g) / period
+            avgLoss = (avgLoss * (period - 1) + l) / period
+          }
+          val rsi =
+            if (n < period || avgLoss == 0.0) null
+            else java.lang.Double.valueOf(
+              math.floor((100.0 - 100.0 / (1 + avgGain / avgLoss)) * 100 + 0.5) / 100)
+          Row(sym, d, rsi)
+        }
+      }(enc)
+  }
+
   /** mart_stock_performance.sql:28-118 — the wide symbol×day mart, fused
     * into one window pass (see scale notes above). `withAudit` adds the
     * reference's `dbt_updated_at` current-timestamp column (off by

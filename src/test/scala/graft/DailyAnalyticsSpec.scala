@@ -82,6 +82,30 @@ class DailyAnalyticsSpec extends AnyFunSpec {
     }
   }
 
+  describe("wilderRsi (textbook EMA variant of the reference's quirk)") {
+    it("matches an independent scalar fold on a mixed series") {
+      val rets = Seq(2.0, -1.0, 3.0, -2.0, 1.0, 1.5, -0.5, 2.5, -1.5, 1.0,
+        0.5, -0.25, 1.25, -0.75, 2.0, -1.0)
+      val series = rets.zipWithIndex.map { case (r, i) =>
+        ("X", java.sql.Date.valueOf(f"2024-01-${i + 1}%02d"), r)
+      }.toDF("symbol", "trade_date", "daily_return_pct")
+      val got = DailyAnalytics.wilderRsi(series)
+        .orderBy("trade_date").select("rsi_14_wilder").as[Option[Double]].collect()
+
+      // independent fold
+      var ag = 0.0; var al = 0.0
+      val expect = rets.zipWithIndex.map { case (r, i) =>
+        val (g, l) = (math.max(r, 0), math.max(-r, 0))
+        if (i < 14) { ag += (g - ag) / (i + 1); al += (l - al) / (i + 1) }
+        else { ag = (ag * 13 + g) / 14; al = (al * 13 + l) / 14 }
+        if (i + 1 < 14 || al == 0) None
+        else Some(math.floor((100.0 - 100.0 / (1 + ag / al)) * 100 + 0.5) / 100)
+      }
+      assert(got.toSeq == expect)
+      assert(got.flatten.forall(v => v >= 0 && v <= 100))
+    }
+  }
+
   describe("J2 join form vs fused form") {
     it("produce identical rows on shared columns") {
       val joined = DailyAnalytics.joinedStockPerformance(bars)
