@@ -224,8 +224,12 @@ object SparkEntry {
       n = 3, numHashes = 32, bands = 8, threshold = 0.5)
       .orderBy("id1", "id2")
 
+  /** Registered as the PPJoin prefix-filter variant: result-identical
+    * to the plain shingle join (DedupSpec proves equality) but immune
+    * to the hot-shingle quadratic blowup on Zipfian corpora — the plan
+    * that survives 100 TB. */
   private def qDedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+    Dedup.ngramJaccardPairsPrefix(Tables.documents(s, dir), "doc_id", "text",
       n = 3, threshold = 0.5)
       .orderBy("id1", "id2")
 
