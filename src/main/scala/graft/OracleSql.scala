@@ -215,6 +215,41 @@ object OracleSql {
   private val pairDot: String =
     "list_sum(list_transform(range(1, 65), k -> a.vq[k] * b.vq[k]))"
 
+  /** Mirrors Similarity.lshBucket(vq, numPlanes): sum of sign bits of
+    * the exact integer dot against each md5-derived hyperplane (the
+    * same plan-time literals Spark embeds). */
+  private def lshSigSql(numPlanes: Int, vq: String = "vq"): String = {
+    val planes = graft.operators.Similarity.planeComponents(numPlanes)
+    (0 until numPlanes).map { p =>
+      val w = planes.slice(p * 64, (p + 1) * 64).mkString("[", ", ", "]")
+      s"CASE WHEN list_sum(list_transform(range(1, 65), k -> $vq[k] * ($w)[k])) >= 0 THEN ${1L << p} ELSE 0 END"
+    }.mkString("\n       + ")
+  }
+
+  /** Mirrors Similarity.cosineNearDupPairsBanded's candidate+verify
+    * shape given a CTE `bk(id, blk, vq, nq, sig)`. */
+  private def bandedNearDupSql(idCol: String, bands: Int, planesPerBand: Int,
+                               threshold: Double): String = {
+    val mask = (1L << planesPerBand) - 1
+    s"""banded AS (
+       |  SELECT $idCol, blk, band, (sig >> (CAST(band AS INTEGER) * $planesPerBand)) & $mask AS band_key
+       |  FROM bk, (SELECT unnest(range(0, $bands)) AS band) bands_t
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.blk AS block, a.$idCol AS id1, b.$idCol AS id2
+       |  FROM banded a JOIN banded b
+       |    ON a.blk = b.blk AND a.band = b.band AND a.band_key = b.band_key
+       |   AND a.$idCol < b.$idCol
+       |)
+       |SELECT c.block, c.id1, c.id2,
+       |  ${cosExpr(pairDot, "a.nq", "b.nq")} AS cosine
+       |FROM cand c
+       |JOIN bk a ON c.id1 = a.$idCol
+       |JOIN bk b ON c.id2 = b.$idCol
+       |WHERE ${cosExpr(pairDot, "a.nq", "b.nq")} >= $threshold
+       |ORDER BY id1, id2""".stripMargin
+  }
+
   // ── per-query statements ──────────────────────────────────────────
 
   val all: Map[String, String] = Map(
@@ -575,20 +610,20 @@ object OracleSql {
          |    list_transform(e.embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS vq
          |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
          |),
-         |en AS (SELECT doc_id, lang, vq, list_sum(list_transform(vq, x -> x * x)) AS nq FROM dv)
-         |SELECT a.lang AS block, a.doc_id AS id1, b.doc_id AS id2,
-         |  ${cosExpr(pairDot, "a.nq", "b.nq")} AS cosine
-         |FROM en a JOIN en b ON a.lang = b.lang AND a.doc_id < b.doc_id
-         |WHERE ${cosExpr(pairDot, "a.nq", "b.nq")} >= 0.3
-         |ORDER BY id1, id2""".stripMargin,
+         |en AS (SELECT doc_id, lang, vq, list_sum(list_transform(vq, x -> x * x)) AS nq FROM dv),
+         |bk AS (
+         |  SELECT doc_id, lang AS blk, vq, nq, CAST(${lshSigSql(32)} AS BIGINT) AS sig
+         |  FROM en
+         |),
+         |${bandedNearDupSql("doc_id", bands = 8, planesPerBand = 4, threshold = 0.3)}""".stripMargin,
 
     "q_sim_near_dup" ->
-      s"""WITH $embSql
-         |SELECT a.label AS block, a.vec_id AS id1, b.vec_id AS id2,
-         |  ${cosExpr(pairDot, "a.nq", "b.nq")} AS cosine
-         |FROM en a JOIN en b ON a.label = b.label AND a.vec_id < b.vec_id
-         |WHERE ${cosExpr(pairDot, "a.nq", "b.nq")} >= 0.3
-         |ORDER BY id1, id2""".stripMargin,
+      s"""WITH $embSql,
+         |bk AS (
+         |  SELECT vec_id, label AS blk, vq, nq, CAST(${lshSigSql(32)} AS BIGINT) AS sig
+         |  FROM en
+         |),
+         |${bandedNearDupSql("vec_id", bands = 8, planesPerBand = 4, threshold = 0.3)}""".stripMargin,
 
     "q_rolling_hash" ->
       """WITH codes AS (

@@ -254,13 +254,16 @@ object SparkEntry {
 
   /** Embedding-cosine near-dup over the documents table (embedding
     * column joined on; blocked by lang — the realistic "same-language
-    * corpus cell" IVF-style blocking). */
+    * corpus cell" IVF-style blocking). Registered as the BANDED
+    * variant: a lang block spans a constant fraction of the corpus, so
+    * within-block all-pairs would be quadratic; the banded plan's
+    * candidate step is an equi join on (block, band, band_key). */
   private def qDedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
       .join(Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
         col("doc_id") === col("vec_id"))
       .select("doc_id", "lang", "embedding")
-    Similarity.cosineNearDupPairs(docs, "doc_id", "embedding", "lang", threshold = 0.3)
+    Similarity.cosineNearDupPairsBanded(docs, "doc_id", "embedding", "lang", threshold = 0.3)
       .orderBy("id1", "id2")
   }
 
@@ -275,8 +278,11 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Banded-LSH near-dup within label blocks (same recall contract as
+    * [[Similarity.cosineNearDupPairsBanded]]; the oracle mirrors the
+    * banding, so the compare is exact on the banded semantics). */
   private def qSimNearDup(s: SparkSession, dir: String): DataFrame =
-    Similarity.cosineNearDupPairs(Tables.embeddings(s, dir),
+    Similarity.cosineNearDupPairsBanded(Tables.embeddings(s, dir),
       "vec_id", "embedding", "label", threshold = 0.3)
       .orderBy("id1", "id2")
 

@@ -77,6 +77,50 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Near-duplicate pairs with BANDED hyperplane LSH under the block
+    * key — the shape that survives an unbounded block at corpus scale.
+    * [[cosineNearDupPairs]] compares all pairs within a block, which
+    * is O(|block|²) and skew-maximal when a block (e.g. a language)
+    * spans most of the corpus. Here the within-block candidate step is
+    * an equi join on (block, band, band_key): the signature is
+    * `bands × planesPerBand` hyperplane sign bits ([[lshBucket]]), and
+    * a pair is a candidate iff all sign bits agree in at least one
+    * band. Only (block, id, band, key) scalars shuffle; vectors rejoin
+    * on the surviving candidate set for the exact cosine ≥ threshold
+    * verification.
+    *
+    * Recall contract (NOT exact at the threshold): a pair at angle θ
+    * survives with p = 1 − (1 − (1 − θ/π)^planesPerBand)^bands. With
+    * the defaults (8 bands × 4 planes), cosine 0.95 → p ≈ 0.997,
+    * cosine 0.7 → p ≈ 0.89, cosine 0.3 → p ≈ 0.66: true near-dups are
+    * found with near-certainty and recall decays toward the threshold.
+    * The result is always a subset of [[cosineNearDupPairs]] (tested).
+    */
+  def cosineNearDupPairsBanded(df: DataFrame, idCol: String, vecCol: String,
+                               blockCol: String, threshold: Double,
+                               bands: Int = 8, planesPerBand: Int = 4,
+                               dim: Int = 64): DataFrame = {
+    val mask = (1L << planesPerBand) - 1
+    val base = df.select(col(blockCol).as("block"), col(idCol).as("id"),
+        quantize(col(vecCol)).as("vq"))
+      .withColumn("n", normSq(col("vq")))
+      .withColumn("sig", lshBucket(col("vq"), bands * planesPerBand, dim))
+    val banded = base.select(col("block"), col("id"), posexplode(
+        expr(s"transform(sequence(0, ${bands - 1}), b -> shiftright(sig, b * $planesPerBand) & $mask)"))
+      .as(Seq("band", "band_key")))
+    val cand = banded.select(col("block"), col("id").as("id1"), col("band"), col("band_key"))
+      .join(banded.select(col("block"), col("id").as("id2"), col("band"), col("band_key")),
+        Seq("block", "band", "band_key"))
+      .filter(col("id1") < col("id2"))
+      .select("block", "id1", "id2").distinct()
+    cand
+      .join(base.select(col("id").as("id1"), col("vq").as("q1"), col("n").as("n1")), "id1")
+      .join(base.select(col("id").as("id2"), col("vq").as("q2"), col("n").as("n2")), "id2")
+      .select(col("block"), col("id1"), col("id2"),
+        cosineQ(dotQ(col("q1"), col("q2")), col("n1"), col("n2")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Deterministic hyperplane components: md5("p,j") first 15 hex
     * digits as a long, mapped to [-10^6, 10^6]. Computed ONCE at plan
     * time and embedded as literals (not re-hashed per row), and

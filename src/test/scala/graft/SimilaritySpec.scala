@@ -100,4 +100,24 @@ class SimilaritySpec extends AnyFunSpec {
       assert(pairs.filter($"cosine" < 0.3).isEmpty)
     }
   }
+
+  describe("cosineNearDupPairsBanded") {
+    it("is a subset of all-pairs with identical cosines, and keeps every near-identical pair") {
+      val emb = Tables.embeddings(spark, dir)
+      val all = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", "label", 0.3)
+        .select($"id1", $"id2", $"cosine").as[(Long, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      val banded = Similarity.cosineNearDupPairsBanded(emb, "vec_id", "embedding", "label", 0.3)
+        .select($"id1", $"id2", $"cosine").as[(Long, Long, Double)].collect()
+      assert(banded.nonEmpty)
+      banded.foreach { case (i1, i2, c) =>
+        assert(all.get((i1, i2)).contains(c), s"banded pair ($i1,$i2,$c) not in all-pairs")
+      }
+      // recall contract: pairs at cosine ≥ 0.95 survive banding w.p.
+      // ≈ 0.997 each — require every one of them present (none lost)
+      val high = all.filter(_._2 >= 0.95).keySet
+      val got = banded.map(p => (p._1, p._2)).toSet
+      assert(high.subsetOf(got), s"lost high-cosine pairs: ${high.diff(got)}")
+    }
+  }
 }
