@@ -90,10 +90,28 @@ object Dedup {
       .select(col(idCol), array((0 until numHashes).map(i => col(s"__m$i")): _*).as("sig"))
   }
 
+  /** Pre-cluster (id, text) across the cluster before the shingling
+    * lambda. Two reasons, both load-bearing at every scale: (1) the
+    * higher-order shingle/hash expressions are interpreted (no codegen
+    * for lambda functions), so their CPU cost must be spread over all
+    * cores even when the input's file-split layout gives few tasks
+    * (a single parquet row group = a single task otherwise); (2) the
+    * downstream per-doc aggregation (signature mins / bit sums) then
+    * needs NO further exchange — and the shuffled payload is the
+    * compact (id, text) row, smaller than the exploded shingle rows
+    * the aggregation would otherwise shuffle. The partition count is
+    * explicit: AQE's byte-based coalescing would merge the small-byte
+    * shuffle back into few partitions, which is miscalibrated for a
+    * CPU-bound stage (bytes ≪ advisory target, CPU ≫). */
+  private def spreadById(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    docs.select(col(idCol), col(textCol)).repartition(parts, col(idCol))
+  }
+
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, numHashes: Int = 32, bands: Int = 8,
                       threshold: Double = 0.5): DataFrame = {
-    val shingled = withShingles(docs.select(col(idCol), col(textCol)), textCol, n)
+    val shingled = withShingles(spreadById(docs, idCol, textCol), textCol, n)
       .filter(size(col("shingles")) > 0)
     val banded = lshBands(minhashSigAgg(shingled, idCol, numHashes), idCol, bands, numHashes / bands)
     // candidate ids first — only (id, band, key) scalars shuffle; the
@@ -120,7 +138,7 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val shingled = withShingles(docs.select(col(idCol), col(textCol)), textCol, n)
+    val shingled = withShingles(spreadById(docs, idCol, textCol), textCol, n)
       .filter(size(col("shingles")) > 0)
     val sizes = shingled.select(col(idCol), size(col("shingles")).as("n"))
     // join/shuffle on the 60-bit shingle hash, not the string — less
@@ -154,25 +172,41 @@ object Dedup {
     */
   def ngramJaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
                               n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val shingled = withShingles(docs.select(col(idCol), col(textCol)), textCol, n)
+    // every stage past the shingle lambda works on 60-bit hashes, never
+    // strings: the df join, the window sort, the candidate equi join and
+    // the verify intersection all shuffle/compare fixed-width longs
+    val hashed = withShingles(spreadById(docs, idCol, textCol), textCol, n)
       .filter(size(col("shingles")) > 0)
-    val sizes = shingled.select(col(idCol), size(col("shingles")).as("n"))
-    val ex = shingled.select(col(idCol), explode(col("shingles")).as("shingle"))
-    val withDf = ex.join(ex.groupBy("shingle").agg(count(lit(1)).as("df")), "shingle")
+      .select(col(idCol), transform(col("shingles"), s => hash60(s)).as("sh_arr"))
+    val ex = hashed.select(col(idCol), size(col("sh_arr")).as("n"),
+      explode(col("sh_arr")).as("sh"))
     val prefixLen = (col("n") - ceil(col("n") * threshold) + 1).cast("int")
-    val prefix = withDf.join(sizes, idCol)
+    val prefix = ex.join(ex.groupBy("sh").agg(count(lit(1)).as("df")), "sh")
       .withColumn("__pos", row_number().over(
-        Window.partitionBy(col(idCol)).orderBy(col("df"), col("shingle"))))
+        Window.partitionBy(col(idCol)).orderBy(col("df"), col("sh"))))
       .filter(col("__pos") <= prefixLen)
-      .select(col(idCol), col("shingle"))
-    val cand = prefix.select(col(idCol).as("id1"), col("shingle"))
-      .join(prefix.select(col(idCol).as("id2"), col("shingle")), "shingle")
-      .filter(col("id1") < col("id2"))
+      .select(col(idCol), col("n"), col("__pos"), col("sh"))
+    // Two PPJoin candidate prunes, both before the distinct:
+    //  - length filter: Jaccard ≥ τ forces τ·|B| ≤ |A| (and vice versa);
+    //  - positional filter: overlap ≤ 1 + min(n1−p1, n2−p2) for a
+    //    pair's FIRST shared prefix token (every other shared token
+    //    sorts after it in both docs), and Jaccard ≥ τ needs overlap
+    //    ≥ τ(n1+n2)/(1+τ). A qualifying pair always survives via its
+    //    first-match row, so the result is unchanged (DedupSpec proves
+    //    equality with the plain join).
+    val cand = prefix.select(col(idCol).as("id1"), col("n").as("n1"), col("__pos").as("p1"), col("sh"))
+      .join(prefix.select(col(idCol).as("id2"), col("n").as("n2"), col("__pos").as("p2"), col("sh")), "sh")
+      .filter(col("id1") < col("id2") &&
+        col("n1") >= col("n2") * threshold && col("n2") >= col("n1") * threshold &&
+        lit(1) + least(col("n1") - col("p1"), col("n2") - col("p2")) >=
+          ceil((col("n1") + col("n2")) * threshold / (1 + threshold)))
       .select("id1", "id2").distinct()
+    val inter = size(array_intersect(col("s1"), col("s2")))
     cand
-      .join(shingled.select(col(idCol).as("id1"), col("shingles").as("s1")), "id1")
-      .join(shingled.select(col(idCol).as("id2"), col("shingles").as("s2")), "id2")
-      .select(col("id1"), col("id2"), r4(jaccard(col("s1"), col("s2"))).as("jaccard"))
+      .join(hashed.select(col(idCol).as("id1"), col("sh_arr").as("s1")), "id1")
+      .join(hashed.select(col(idCol).as("id2"), col("sh_arr").as("s2")), "id2")
+      .select(col("id1"), col("id2"),
+        r4(inter / (size(col("s1")) + size(col("s2")) - inter).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -204,8 +238,8 @@ object Dedup {
     * the sums. Same values as [[withSimhash]], but one md5 per token
     * and map-side-combinable aggregation — the corpus-scale shape. */
   def simhashAgg(docs: DataFrame, idCol: String, textCol: String, bits: Int = 60): DataFrame = {
-    val ex = docs.select(col(idCol),
-        explode(array_distinct(split(col(textCol), " "))).as("t"))
+    val ex = spreadById(docs, idCol, textCol)
+      .select(col(idCol), explode(array_distinct(split(col(textCol), " "))).as("t"))
       .withColumn("h", hash60(col("t")))
     val sums = (0 until bits).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"__b$j")

@@ -101,8 +101,16 @@ object Similarity {
                                bands: Int = 8, planesPerBand: Int = 4,
                                dim: Int = 64): DataFrame = {
     val mask = (1L << planesPerBand) - 1
+    // repartition by id first: the quantize + plane-dot lambdas are
+    // interpreted (no codegen), so their CPU must spread over all cores
+    // even when the input's split layout gives few tasks. Explicit
+    // partition count so AQE's byte-based coalescing (miscalibrated
+    // for CPU-bound small-byte stages) leaves it alone.
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val base = df.select(col(blockCol).as("block"), col(idCol).as("id"),
-        quantize(col(vecCol)).as("vq"))
+        col(vecCol).as("__v"))
+      .repartition(parts, col("id"))
+      .select(col("block"), col("id"), quantize(col("__v")).as("vq"))
       .withColumn("n", normSq(col("vq")))
       .withColumn("sig", lshBucket(col("vq"), bands * planesPerBand, dim))
     val banded = base.select(col("block"), col("id"), posexplode(
