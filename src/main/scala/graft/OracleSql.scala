@@ -604,6 +604,38 @@ object OracleSql {
          |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
     },
 
+    "q_sim_ivf" ->
+      s"""WITH $embSql,
+         |seeds AS (
+         |  SELECT vec_id AS sid, vq AS sq FROM en
+         |  ORDER BY ${h60("CAST(vec_id AS VARCHAR)")}, vec_id
+         |  LIMIT 16
+         |),
+         |cent AS (
+         |  SELECT sq, CAST(ROW_NUMBER() OVER (ORDER BY sid) - 1 AS BIGINT) AS cell FROM seeds
+         |),
+         |dist AS (
+         |  SELECT e.vec_id, e.vq, e.nq, c.cell,
+         |    list_sum(list_transform(range(1, 65), k -> (e.vq[k] - c.sq[k]) * (e.vq[k] - c.sq[k]))) AS d
+         |  FROM en e CROSS JOIN cent c
+         |),
+         |ranked AS (
+         |  SELECT vec_id, vq, nq, cell,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+         |  FROM dist
+         |),
+         |ca AS (SELECT vec_id, vq, nq, cell FROM ranked WHERE rn = 1),
+         |qa AS (SELECT vec_id, vq, nq, cell FROM ranked WHERE rn <= 2 AND vec_id % 50 = 0),
+         |sc AS (
+         |  SELECT DISTINCT b.vec_id AS query_id, a.vec_id AS corpus_id,
+         |    ${cosExpr(pairDot, "a.nq", "b.nq")} AS cosine
+         |  FROM ca a JOIN qa b ON a.cell = b.cell
+         |  WHERE b.vec_id != a.vec_id
+         |),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rn FROM sc)
+         |SELECT query_id, corpus_id, cosine, CAST(rn AS INTEGER) AS rank
+         |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+
     "q_dedup_embedding" ->
       s"""WITH dv AS (
          |  SELECT d.doc_id, d.lang,

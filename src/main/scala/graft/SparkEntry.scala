@@ -267,9 +267,9 @@ object SparkEntry {
       .orderBy("id1", "id2")
   }
 
-  /** IVF ANN — centroids from MLlib KMeans (fixed seed), so results
-    * are engine-specific: intentionally has NO SQL oracle (driver
-    * records a rows-only check); recall is tested vs brute force in
+  /** IVF ANN with the md5-seeded sampled coarse quantizer — fully
+    * deterministic across engines, so it carries a complete DuckDB
+    * oracle; recall is additionally tested vs brute force in
     * SimilaritySpec. */
   private def qSimIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)

@@ -155,44 +155,54 @@ object Similarity {
     }.reduce(_ + _)
   }
 
-  /** IVF (inverted-file) ANN: k-means coarse quantizer assigns each
-    * vector to a cell; queries probe their `nprobe` nearest cells and
-    * rank exactly within them. The other canonical scale path next to
-    * LSH: cells give a tunable recall/cost knob and the candidate join
-    * is an equi join on cell id. Centroids come from MLlib KMeans with
-    * a fixed seed — deterministic per Spark build but not reproducible
-    * in other engines, so this operator gets a rows-only driver check
-    * (no SQL oracle), with recall tested against brute force instead.
+  /** IVF (inverted-file) ANN: a coarse quantizer assigns each vector
+    * to a cell; queries probe their `nprobe` nearest cells and rank
+    * exactly within them. The other canonical scale path next to LSH:
+    * cells give a tunable recall/cost knob and the candidate join is
+    * an equi join on cell id.
+    *
+    * The quantizer is an md5-seeded SAMPLE: cells are the `numCells`
+    * corpus vectors with the smallest (hash60(id), id) — no RNG, no
+    * iteration order, so the cells (and therefore the whole result)
+    * are bit-reproducible in any engine, and the DuckDB oracle checks
+    * this operator end-to-end. (Sampled centroids are a standard IVF
+    * training shortcut — slightly worse cell balance than k-means for
+    * the same numCells, identical plan shape.) Collecting the seeds is
+    * a k-row driver action — the same "train small, broadcast"
+    * structure as a fitted quantizer, bounded by numCells, not data.
+    * Cell assignment is exact integer L2 over the quantized vectors,
+    * ties broken by cell index.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               k: Int, numCells: Int = 16, nprobe: Int = 2): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val featured = corpus
-      .select(col(idCol), col(vecCol),
-        array_to_vector(transform(col(vecCol), _.cast("double"))).as("features"))
-    val model = new KMeans().setK(numCells).setSeed(42L).setMaxIter(10).fit(featured)
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
-    val centroidLit = typedLit(centroids.map(_._2).toSeq)
+    val seeds = corpus
+      .select(col(idCol).as("sid"), quantize(col(vecCol)).as("sq"))
+      .withColumn("hk", hash60(col("sid").cast("string")))
+      .orderBy(col("hk"), col("sid")).limit(numCells)
+      .select("sid", "sq")
+      .collect()
+      .sortBy(_.getAs[Long]("sid"))
+      .map(_.getAs[scala.collection.Seq[Long]]("sq").toSeq)
+    val centroidLit = typedLit(seeds.toSeq)
 
     def cellOf(vq: Column, n: Int): Column = {
-      // n nearest centroids by exact double L2 (centroids are plan-time
-      // literals; one narrow pass, no shuffle)
+      // n nearest cells by exact integer L2 (seeds are plan-time
+      // literals; one narrow pass, no shuffle); ties break by cell
       val dists = transform(sequence(lit(0), lit(numCells - 1)), c =>
         struct(
           aggregate(
-            zip_with(vq, element_at(centroidLit, c + 1), (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-            lit(0.0), (acc, x) => acc + x).as("d"),
+            zip_with(vq, element_at(centroidLit, c + 1), (x, y) => (x - y) * (x - y)),
+            lit(0L), (acc, x) => acc + x).as("d"),
           c.as("cell")))
       slice(array_sort(dists), 1, n)
     }
 
-    val c = corpus.select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cq"),
-        explode(cellOf(col(vecCol), 1)).as("cc"))
+    val c = corpus.select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cq"))
+      .select(col("corpus_id"), col("cq"), explode(cellOf(col("cq"), 1)).as("cc"))
       .select(col("corpus_id"), col("cq"), col("cc.cell").as("cell"))
       .withColumn("cn", normSq(col("cq")))
-    val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qq"),
-        explode(cellOf(col(vecCol), nprobe)).as("qc"))
+    val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qq"))
+      .select(col("query_id"), col("qq"), explode(cellOf(col("qq"), nprobe)).as("qc"))
       .select(col("query_id"), col("qq"), col("qc.cell").as("cell"))
       .withColumn("qn", normSq(col("qq")))
     val scored = c.join(broadcast(q), "cell")
