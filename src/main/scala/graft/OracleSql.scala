@@ -604,6 +604,29 @@ object OracleSql {
          |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
     },
 
+    "q_quality_audit" -> {
+      def nn(c: String) =
+        s"CAST(SUM(CASE WHEN $c IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS not_null_$c"
+      def btw(c: String, lo: String, hi: String) =
+        s"CAST(SUM(CASE WHEN ($c IS NULL OR ($c >= $lo AND $c <= $hi)) THEN 0 ELSE 1 END) AS BIGINT) AS between_$c"
+      def acc(c: String, vals: Seq[String]) =
+        s"CAST(SUM(CASE WHEN ($c IS NULL OR $c IN (${vals.map(v => s"'$v'").mkString(", ")})) THEN 0 ELSE 1 END) AS BIGINT) AS accepted_values_$c"
+      val crosses = Seq("GOLDEN_CROSS", "DEATH_CROSS", "NEUTRAL")
+      s"""${dailyChain("perf")}
+         |SELECT CAST(COUNT(*) AS BIGINT) AS row_count,
+         |  ${nn("symbol")},
+         |  ${nn("trade_date")},
+         |  ${nn("close_price")},
+         |  ${btw("close_price", "0.01", "1000000.0")},
+         |  ${btw("daily_return_pct", "-100.0", "10000.0")},
+         |  ${acc("ma_signal_5_20", crosses)},
+         |  ${acc("ma_signal_10_50", crosses)},
+         |  ${btw("rsi_14", "0.0", "100.0")},
+         |  ${acc("rsi_signal", Seq("OVERBOUGHT", "OVERSOLD", "NEUTRAL"))},
+         |  ${btw("pct_of_52w_range", "0.0", "100.0")}
+         |FROM perf""".stripMargin
+    },
+
     "q_sim_ivf" ->
       s"""WITH $embSql,
          |seeds AS (

@@ -69,6 +69,14 @@ object SparkEntry {
     DailyAnalytics.martDailySummary(
       DailyAnalytics.martStockPerformance(Adapters.dailyBars(s, dir)))
 
+  /** The reference's `dbt test` stage as a runtime module: every
+    * mart_stock_performance schema test folded into ONE aggregate scan
+    * ([[graft.quality.Invariants.audit]]) — counts per check, one row. */
+  private def qQualityAudit(s: SparkSession, dir: String): DataFrame =
+    graft.quality.Invariants.audit(
+      DailyAnalytics.martStockPerformance(Adapters.dailyBars(s, dir)),
+      graft.quality.Invariants.martStockPerformanceChecks)
+
   // ──────────────────────────────────────────────────────────────────
   // Realtime (tick) lane — SURVEY §2.4 A1/A2, §2.3 J1, §2.5 W7/W8
   // ──────────────────────────────────────────────────────────────────
@@ -314,6 +322,7 @@ object SparkEntry {
     "q_mart_stock_performance" -> (qMartStockPerformance _),
     "q_returns_join_rolling" -> (qReturnsJoinRolling _),
     "q_mart_daily_summary" -> (qMartDailySummary _),
+    "q_quality_audit" -> (qQualityAudit _),
     "q_tick_windows_15m" -> (qTickWindows15m _),
     "q_tick_windows_1h" -> (qTickWindows1h _),
     "q_realtime_analytics" -> (qRealtimeAnalytics _),

@@ -59,18 +59,36 @@ object Pipelines {
     }
   }
 
-  /** dbt_transformation_pipeline: clean bars → marts. The staging→
-    * intermediate→mart chain is one lazy plan per mart. */
+  /** dbt_transformation_pipeline: clean bars → marts → quality gate.
+    * The staging→intermediate→mart chain is one lazy plan per mart;
+    * the trailing [[graft.quality.Invariants]] stage is the reference's
+    * `dbt test` step (dbt_transformation_dag.py:96-108) run against the
+    * materialized output, failing the run on error-severity violations. */
   object TransformPipeline {
+    import graft.quality.Invariants
+
     def main(args: Array[String]): Unit = {
       val Array(barsPath, outDir) = args.take(2)
       withSession("graft-transform") { spark =>
         val bars = spark.read.parquet(barsPath)
+        // singular staging tests run before the marts build, like
+        // dbt_test_staging precedes dbt_test_marts in the DAG
+        Invariants.enforce(bars, Seq(
+          Invariants.highNotBelowLow,
+          Invariants.noFutureTrades(current_date())))
         val perf = DailyAnalytics.martStockPerformance(bars, withAudit = true)
         Sinks.writePartitioned(perf, s"$outDir/mart_stock_performance", "symbol", Seq("trade_date"))
         DailyAnalytics.martDailySummary(perf.drop("dbt_updated_at"))
           .withColumn("dbt_updated_at", current_timestamp())
           .write.mode("overwrite").parquet(s"$outDir/mart_daily_summary")
+        // mart tests against the materialized tables (what dbt tests)
+        Invariants.enforce(
+          spark.read.parquet(s"$outDir/mart_stock_performance"),
+          Invariants.martStockPerformanceChecks)
+        Invariants.enforce(
+          spark.read.parquet(s"$outDir/mart_daily_summary"),
+          Invariants.martDailySummaryChecks,
+          uniqueKeys = Seq(Seq("trade_date")))
       }
     }
   }
