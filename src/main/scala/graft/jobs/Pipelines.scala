@@ -65,12 +65,19 @@ object Pipelines {
     * `dbt test` step (dbt_transformation_dag.py:96-108) run against the
     * materialized output, failing the run on error-severity violations. */
   object TransformPipeline {
-    import graft.quality.Invariants
+    import graft.quality.{Freshness, Invariants}
 
     def main(args: Array[String]): Unit = {
       val Array(barsPath, outDir) = args.take(2)
       withSession("graft-transform") { spark =>
         val bars = spark.read.parquet(barsPath)
+        // dbt source-freshness gate (sources.yml:11-14): the batch
+        // source must have loaded within 49h, warns past 25h
+        if (bars.columns.contains("batch_loaded_at")) {
+          val (w, e) = Freshness.batchThresholds
+          Freshness.enforce(bars, "batch_loaded_at", current_timestamp(),
+            w, e, "processed_daily_bars")
+        }
         // singular staging tests run before the marts build, like
         // dbt_test_staging precedes dbt_test_marts in the DAG
         Invariants.enforce(bars, Seq(
