@@ -30,8 +30,7 @@ object RawSources {
     * `spark.read/readStream.format("kafka")`; this parses the same
     * `value` payload, so the bronze job is source-agnostic. */
   def fromKafkaJson(raw: DataFrame, valueCol: String): DataFrame =
-    raw.select(from_json(col(valueCol).cast("string"), Schemas.rawTick).as("r"))
-      .select(col("r.*"))
+    Kafka.fromJson(raw, Schemas.rawTick, valueCol)
 
   /** S4 — serialize to the Kafka wire shape (key = symbol, value =
     * JSON of all fields), mirroring batch_data_producer.py:54-63. */
