@@ -98,6 +98,12 @@ object TickStream {
     * a round-trip per row. Idempotent under micro-batch replay: the
     * merge keeps the max-version row per key, so reprocessing a batch
     * converges to the same table.
+    *
+    * CONTRACT: this unpartitioned form re-reads and rewrites the WHOLE
+    * table every trigger — O(table) per micro-batch. It is only for
+    * small control/dimension tables; for a fact table keyed by a
+    * date-like column use [[upsertSinkPartitioned]], whose per-trigger
+    * cost is O(affected partitions).
     */
   def upsertSink(updates: DataFrame, tablePath: String, checkpoint: String,
                  keys: Seq[String], versionCol: String): DataStreamWriter[Row] =
@@ -115,6 +121,53 @@ object TickStream {
         val tmp = tablePath + "__staged"
         merged.write.mode("overwrite").parquet(tmp)
         spark.read.parquet(tmp).write.mode("overwrite").parquet(tablePath)
+      }
+
+  /** Partition-pruned merge-upsert sink — the scale form of
+    * [[upsertSink]]. The table is laid out by `partitionCol` (a
+    * date-like bucket); each micro-batch:
+    *
+    *   1. collects the batch's distinct partition values (tiny:
+    *      bounded by partitions-per-trigger, not rows),
+    *   2. reads ONLY those partition directories of the existing table
+    *      (`isin` prunes at the file index — unaffected history is
+    *      never opened),
+    *   3. merges keep-max-version per key and materializes the result
+    *      (localCheckpoint) to break the read→overwrite cycle,
+    *   4. rewrites JUST those directories via dynamic partition
+    *      overwrite — untouched partitions keep their files.
+    *
+    * Per-trigger cost is O(data in affected partitions). Same replay
+    * idempotence as [[upsertSink]]: re-merging a batch converges. */
+  def upsertSinkPartitioned(updates: DataFrame, tablePath: String, checkpoint: String,
+                            keys: Seq[String], versionCol: String,
+                            partitionCol: String): DataStreamWriter[Row] =
+    updates.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val parts = batch.select(partitionCol).distinct().collect().map(_.get(0))
+        if (parts.nonEmpty) {
+          val existing =
+            if (new java.io.File(tablePath).exists)
+              spark.read.parquet(tablePath)
+                .filter(org.apache.spark.sql.functions.col(partitionCol).isin(parts.toSeq: _*))
+            else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], batch.schema)
+          // directory-derived partition values can type-infer differently
+          // (e.g. date-like strings) — align to the batch schema
+          val aligned = existing
+            .withColumn(partitionCol, org.apache.spark.sql.functions.col(partitionCol)
+              .cast(batch.schema(partitionCol).dataType))
+            .select(batch.columns.map(org.apache.spark.sql.functions.col): _*)
+          val merged = graft.operators.MergeUpsert
+            .mergeUpsert(aligned, batch, keys, versionCol)
+            .localCheckpoint(true)
+          merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partitionCol)
+            .parquet(tablePath)
+        }
       }
 
   /** Append-mode parquet writer with checkpointing (the reference's

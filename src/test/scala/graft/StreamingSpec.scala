@@ -104,6 +104,39 @@ class StreamingSpec extends AnyFunSpec {
       assert(table.filter($"symbol" === "AAPL").select("n_ticks").as[Long].head() == aapl.length)
     }
 
+    it("partitioned upsert sink rewrites only the partitions a batch touches") {
+      val dir = java.nio.file.Files.createTempDirectory("graft_upsert_part").toString
+      val source = MemoryStream[(String, String, Double, Long)](spark)
+      val updates = source.toDF().toDF("symbol", "trade_date", "price", "version")
+      val q = TickStream.upsertSinkPartitioned(updates, s"$dir/table", s"$dir/ckpt",
+        Seq("symbol", "trade_date"), "version", "trade_date").start()
+
+      def partFiles(p: String): Map[String, Long] = {
+        val d = new java.io.File(s"$dir/table/trade_date=$p")
+        if (!d.exists) Map.empty
+        else d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName -> f.lastModified()).toMap
+      }
+
+      try {
+        source.addData(("AAPL", "d1", 10.0, 1L), ("MSFT", "d2", 50.0, 1L))
+        q.processAllAvailable()
+        val d1Before = partFiles("d1")
+        assert(d1Before.nonEmpty)
+        Thread.sleep(1100) // mtime granularity
+        // second batch touches ONLY d2 (new version) — d1 must not be rewritten
+        source.addData(("MSFT", "d2", 55.0, 2L))
+        q.processAllAvailable()
+        assert(partFiles("d1") == d1Before, "untouched partition was rewritten")
+      } finally q.stop()
+
+      val table = spark.read.parquet(s"$dir/table")
+      assert(table.count() == 2)
+      assert(table.filter($"symbol" === "MSFT").select("price").as[Double].head() == 55.0)
+      assert(table.filter($"symbol" === "MSFT").select("version").as[Long].head() == 2L)
+      assert(table.filter($"symbol" === "AAPL").select("price").as[Double].head() == 10.0)
+    }
+
     it("streaming dedup drops repeated (symbol, event_time) rows") {
       val source = MemoryStream[Tick](spark)
       val q = TickStream.dedupedTicks(source.toDF())
