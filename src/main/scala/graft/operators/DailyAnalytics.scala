@@ -93,30 +93,35 @@ object DailyAnalytics {
     * mean (int_rolling_metrics.sql:83-104; SURVEY §7.4 quirk 5: we
     * replicate the quirk in [[rollingMetrics]] and offer the correct
     * form here). The recursion can't be expressed as a SQL window
-    * frame, so this drops to sorted per-key iteration
-    * (groupByKey + flatMapGroups) — the documented escape hatch for
-    * genuinely sequential state. One pass, O(1) state per symbol;
-    * groups must fit an iterator, which symbol-day series always do.
-    * Adds `rsi_14_wilder` keyed by (symbol, trade_date).
+    * frame, so this drops to secondary-sort iteration: repartition by
+    * symbol, sort (symbol, trade_date) WITHIN each partition, then
+    * stream the partition iterator with state that resets on key
+    * change (mapPartitions). One pass, O(1) heap regardless of series
+    * length — nothing is ever materialized per group, so a symbol with
+    * a billion rows costs the same memory as one with ten. Adds
+    * `rsi_14_wilder` keyed by (symbol, trade_date).
     */
   def wilderRsi(returns: DataFrame, period: Int = 14): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val spark = returns.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
     val in = returns.select(col("symbol").cast("string"),
-      col("trade_date").cast("date"), col("daily_return_pct"))
+        col("trade_date").cast("date"), col("daily_return_pct"))
+      .repartition(parts, col("symbol"))
+      .sortWithinPartitions(col("symbol"), col("trade_date"))
     val outSchema = StructType(Seq(
       StructField("symbol", StringType), StructField("trade_date", DateType),
       StructField("rsi_14_wilder", DoubleType)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     import spark.implicits._
     in.as[(String, java.sql.Date, Option[Double])]
-      .groupByKey(_._1)
-      .flatMapGroups { (sym, rows) =>
-        val sorted = rows.toSeq.sortBy(_._2.getTime)
+      .mapPartitions { rows =>
+        var cur: String = null
         var avgGain, avgLoss = 0.0
         var n = 0
-        sorted.iterator.map { case (_, d, retOpt) =>
+        rows.map { case (sym, d, retOpt) =>
+          if (sym != cur) { cur = sym; avgGain = 0.0; avgLoss = 0.0; n = 0 }
           val ret = retOpt.getOrElse(0.0)
           val (g, l) = (math.max(ret, 0.0), math.max(-ret, 0.0))
           n += 1
