@@ -74,6 +74,8 @@ object Funcs {
     * what keeps rounded aggregate outputs bit-identical across engines
     * — and, at 100 TB, integer partial aggregates are also cheaper to
     * shuffle and codegen than FP with compensation tricks.
+    * RANGE CONTRACT: exact only while |x|·10^s fits a long (~9.2e18);
+    * for larger magnitudes use [[money]] (DECIMAL(38,s)) at the edge.
     */
   def scaled(c: Column, scale: Int): Column =
     floor(c * math.pow(10, scale) + 0.5).cast("long")
@@ -83,4 +85,15 @@ object Funcs {
     * sequence is a fixed scalar expression tree → deterministic. */
   def scaledAvg(scaledCol: Column, scale: Int, outScale: Int): Column =
     rd(sum(scaledCol) / count(scaledCol) / math.pow(10, scale), outScale)
+
+  /** Typed DECIMAL(38, s) money view — the warehouse-DDL-compatible
+    * surface for published money columns (the reference's Snowflake
+    * tables type prices FLOAT, load_to_snowflake.py:27-38; DECIMAL(38)
+    * is the strict-typing hardening on top). Aggregating DECIMAL is
+    * exact like [[scaled]] longs but shuffles 16-byte values and
+    * aggregates ~2-5× slower — use it at published table EDGES, keep
+    * [[scaled]] longs in internal hot paths (MoneySpec proves the two
+    * paths agree exactly). */
+  def money(c: Column, scale: Int = 4): Column =
+    c.cast(org.apache.spark.sql.types.DecimalType(38, scale))
 }

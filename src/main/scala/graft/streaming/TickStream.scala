@@ -33,6 +33,24 @@ import graft.sources.Schemas.Tick
   */
 object TickStream {
 
+  /** Production state-store configuration: RocksDB instead of the
+    * default in-heap HDFS-backed provider. Stateful operators (window
+    * aggs, dropDuplicates, mapGroupsWithState) keep state per key —
+    * with millions of (symbol, window) keys the in-heap store competes
+    * with execution memory and stalls GC; RocksDB keeps state off-heap
+    * with changelog checkpointing for fast failover. Apply BEFORE
+    * starting queries: configureRocksDbState(spark). */
+  val rocksDbStateConfigs: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    // changelog checkpointing: upload only per-batch deltas, not full
+    // snapshots — the failover-time/throughput tradeoff that matters
+    // once state is tens of GB per executor
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")
+
+  def configureRocksDbState(spark: SparkSession): Unit =
+    rocksDbStateConfigs.foreach { case (k, v) => spark.conf.set(k, v) }
+
   /** readStream over the raw CSV landing zone (same layout/schema as
     * the batch reader — S1's streaming twin). `maxFilesPerTrigger`
     * bounds micro-batch size for backpressure. */

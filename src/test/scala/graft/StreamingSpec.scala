@@ -137,6 +137,28 @@ class StreamingSpec extends AnyFunSpec {
       assert(table.filter($"symbol" === "AAPL").select("price").as[Double].head() == 10.0)
     }
 
+    it("windowed aggregation runs on the RocksDB state store with identical results") {
+      val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      TickStream.configureRocksDbState(spark)
+      try {
+        val source = MemoryStream[Tick](spark)
+        source.addData(ticks: _*)
+        val q = TickStream.windowed(source.toDF(), "15 minutes", "30 minutes")
+          .writeStream.format("memory").queryName("win15_rocks")
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+        val streamed = spark.table("win15_rocks")
+          .select("symbol", "window_start", "window_end", "ma", "volatility", "volume_sum")
+        val batch = TickAnalytics.windowAggregates(ticks.toDF(), "15 minutes")
+        assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+      } finally {
+        prev match {
+          case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+          case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+    }
+
     it("streaming dedup drops repeated (symbol, event_time) rows") {
       val source = MemoryStream[Tick](spark)
       val q = TickStream.dedupedTicks(source.toDF())
