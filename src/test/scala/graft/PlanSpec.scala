@@ -68,6 +68,38 @@ class PlanSpec extends AnyFunSpec {
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
     }
 
+    it("banded near-dup candidates go through equi joins only — no nested-loop anywhere") {
+      val df = SparkEntry.queries("q_sim_near_dup")(spark, dir)
+      val p = plan(df)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"banded plan must not contain an all-pairs join:\n$p")
+    }
+
+    it("IVF's candidate join is an equi join on the cell id") {
+      val df = SparkEntry.queries("q_sim_ivf")(spark, dir)
+      val p = plan(df)
+      assert(p.contains("cell"), "cell key must appear as a join key")
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    }
+
+    it("the quality audit is one aggregate over one scan — no shuffle-heavy per-check plans") {
+      val df = SparkEntry.queries("q_quality_audit")(spark, dir)
+      // a single global aggregate: exactly one row, and the plan has no join at all
+      val p = plan(df)
+      assert(!p.contains("Join"), s"audit must not join:\n$p")
+      assert(df.count() == 1)
+    }
+
+    it("the dedup spread uses the explicit partition count (AQE must not coalesce it away)") {
+      import graft.operators.Dedup
+      import graft.sources.Tables
+      val pairs = Dedup.minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text")
+      pairs.collect() // finalize adaptive plan
+      val p = plan(pairs)
+      assert(p.contains("REPARTITION_BY_NUM"),
+        s"spreadById must pin the partition count:\n$p")
+    }
+
     it("whole-stage codegen covers the scan-to-aggregate path") {
       val df = SparkEntry.queries("q_pricing_summary")(spark, dir)
       df.collect() // finalize the adaptive plan; codegen nodes appear in the executed plan
