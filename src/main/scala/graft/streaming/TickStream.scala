@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, Trigger}
 import org.apache.spark.sql.Row
 import graft.operators.TickAnalytics
@@ -187,6 +188,29 @@ object TickStream {
             .parquet(tablePath)
         }
       }
+
+  /** Stream-stream inner join: each tick matched with the quotes for
+    * the same symbol whose `quote_time` falls within `tolerance`
+    * BEFORE the tick (the streaming twin of the backward as-of window
+    * — every candidate match, lag-bounded).
+    *
+    * Both sides are watermarked and the join condition carries the
+    * event-time range, which is what BOUNDS THE STATE: Spark keeps a
+    * side's rows only until watermark + tolerance passes, then evicts.
+    * A stream-stream join without the time-range predicate would have
+    * to buffer both streams forever — the classic unbounded-state
+    * trap. Append output; matches emit once both watermarks pass. */
+  def tickQuoteJoin(ticks: DataFrame, quotes: DataFrame,
+                    tolerance: String = "15 minutes",
+                    watermark: String = "30 minutes"): DataFrame = {
+    val l = ticks.withWatermark("event_time", watermark)
+    val r = quotes.withColumnRenamed("symbol", "q_symbol")
+      .withWatermark("quote_time", watermark)
+    l.join(r,
+      expr(s"""symbol = q_symbol AND
+              |quote_time BETWEEN event_time - INTERVAL $tolerance AND event_time""".stripMargin))
+      .drop("q_symbol")
+  }
 
   /** Append-mode parquet writer with checkpointing (the reference's
     * processed/realtime sink, S3, made exactly-once). */

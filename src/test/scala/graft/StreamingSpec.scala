@@ -11,6 +11,8 @@ import graft.streaming.TickStream
 /** SURVEY §7.4 risk 6: the same aggregation core must produce the same
   * windows in batch mode (reference semantics) and under Structured
   * Streaming. */
+case class Quote(symbol: String, quote_time: Timestamp, bid: Double)
+
 class StreamingSpec extends AnyFunSpec {
   import SharedSpark.spark
   import spark.implicits._
@@ -135,6 +137,34 @@ class StreamingSpec extends AnyFunSpec {
       assert(table.filter($"symbol" === "MSFT").select("price").as[Double].head() == 55.0)
       assert(table.filter($"symbol" === "MSFT").select("version").as[Long].head() == 2L)
       assert(table.filter($"symbol" === "AAPL").select("price").as[Double].head() == 10.0)
+    }
+
+    it("stream-stream tick⋈quote join matches the batch range join") {
+      val quotes = Seq(
+        Quote("AAPL", ts(1), 9.9), Quote("AAPL", ts(13), 10.8),
+        Quote("AAPL", ts(40), 13.5), Quote("MSFT", ts(1), 49.9),
+        Quote("TSLA", ts(2), 200.0)) // symbol with no ticks: must not match
+      val tickSrc = MemoryStream[Tick](spark)
+      val quoteSrc = MemoryStream[Quote](spark)
+      tickSrc.addData(ticks: _*)
+      quoteSrc.addData(quotes: _*)
+      // watermark-advancing stragglers so the append join emits
+      tickSrc.addData(Tick("AAPL", Timestamp.valueOf("2024-01-01 13:00:00"), 1.0, 1))
+      quoteSrc.addData(Quote("AAPL", Timestamp.valueOf("2024-01-01 13:00:00"), 1.0))
+
+      val q = TickStream.tickQuoteJoin(tickSrc.toDF(), quoteSrc.toDF(), "15 minutes", "10 minutes")
+        .writeStream.format("memory").queryName("ss_join").outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+
+      val batch = ticks.toDF().as("t").join(quotes.toDF().as("q"),
+        expr("""t.symbol = q.symbol AND
+                q.quote_time BETWEEN t.event_time - INTERVAL 15 minutes AND t.event_time"""))
+        .select($"t.symbol", $"event_time", $"price", $"volume", $"quote_time", $"bid")
+      val streamed = spark.table("ss_join")
+        .filter($"event_time" < "2024-01-01 12:00:00") // drop the straggler pair
+        .select(batch.columns.map(col): _*)
+      assert(batch.count() > 0)
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
     }
 
     it("windowed aggregation runs on the RocksDB state store with identical results") {
