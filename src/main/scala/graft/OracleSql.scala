@@ -197,6 +197,31 @@ object OracleSql {
   private val jaccardExpr: String =
     rd("len(list_intersect(s1, s2)) / CAST(len(list_distinct(list_concat(s1, s2))) AS DOUBLE)", 4)
 
+  /** The MinHash-LSH pair chain up to a `pairs(id1, id2, jaccard)` CTE
+    * (shared by q_dedup_minhash_lsh and q_dedup_groups). */
+  private lazy val minhashPairsCtes: String =
+    s"""$shinglesSql,
+       |sig AS (
+       |  SELECT doc_id, shingles,
+       |    list_transform(range(0, 32), i ->
+       |      list_min(list_transform(
+       |        list_transform(shingles, s -> ${h60("s")} % 1073741824),
+       |        h -> ((i * 2 + 1) * h + i * 7919) % 1073741821))) AS sig
+       |  FROM sh
+       |),
+       |banded AS (
+       |  SELECT doc_id, shingles,
+       |    b AS band, array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), ',') AS band_key
+       |  FROM sig, (SELECT unnest(range(0, 8)) AS b) bands
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, $jaccardExpr AS jaccard
+       |  FROM (SELECT doc_id, shingles AS s1, band, band_key FROM banded) a
+       |  JOIN (SELECT doc_id, shingles AS s2, band, band_key FROM banded) b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |),
+       |pairs AS (SELECT id1, id2, jaccard FROM cand WHERE jaccard >= 0.5)""".stripMargin
+
   /** quantized embeddings + exact integer norms (mirrors
     * Similarity.quantize/normSq at scale 6). */
   private val embSql: String =
@@ -509,27 +534,27 @@ object OracleSql {
     },
 
     "q_dedup_minhash_lsh" ->
-      s"""WITH $shinglesSql,
-         |sig AS (
-         |  SELECT doc_id, shingles,
-         |    list_transform(range(0, 32), i ->
-         |      list_min(list_transform(
-         |        list_transform(shingles, s -> ${h60("s")} % 1073741824),
-         |        h -> ((i * 2 + 1) * h + i * 7919) % 1073741821))) AS sig
-         |  FROM sh
+      s"""WITH $minhashPairsCtes
+         |SELECT id1, id2, jaccard FROM pairs ORDER BY id1, id2""".stripMargin,
+
+    "q_dedup_groups" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (
+         |  SELECT id1 AS a, id2 AS b FROM pairs
+         |  UNION ALL
+         |  SELECT id2 AS a, id1 AS b FROM pairs
          |),
-         |banded AS (
-         |  SELECT doc_id, shingles,
-         |    b AS band, array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), ',') AS band_key
-         |  FROM sig, (SELECT unnest(range(0, 8)) AS b) bands
+         |verts AS (SELECT DISTINCT a AS id FROM edges),
+         |cc AS (
+         |  SELECT id, id AS label FROM verts
+         |  UNION
+         |  SELECT e.b AS id, c.label FROM cc c JOIN edges e ON c.id = e.a
          |),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, $jaccardExpr AS jaccard
-         |  FROM (SELECT doc_id, shingles AS s1, band, band_key FROM banded) a
-         |  JOIN (SELECT doc_id, shingles AS s2, band, band_key FROM banded) b
-         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-         |)
-         |SELECT id1, id2, jaccard FROM cand WHERE jaccard >= 0.5 ORDER BY id1, id2""".stripMargin,
+         |labels AS (SELECT id, MIN(label) AS rep_id FROM cc GROUP BY id),
+         |sizes AS (SELECT rep_id, CAST(COUNT(*) AS BIGINT) AS group_size FROM labels GROUP BY rep_id)
+         |SELECT l.id AS doc_id, l.rep_id, s.group_size
+         |FROM labels l JOIN sizes s USING (rep_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_ngram_jaccard" ->
       s"""WITH $shinglesSql,

@@ -241,6 +241,17 @@ object SparkEntry {
       n = 3, threshold = 0.5)
       .orderBy("id1", "id2")
 
+  /** Near-dup GROUPS: the pair graph collapsed to canonical
+    * representatives via distributed min-label propagation
+    * ([[Dedup.connectedComponents]]) — what a dedup pipeline actually
+    * keys its keep/drop decision on. Oracle: DuckDB recursive CTE
+    * reaching the same fixpoint. */
+  private def qDedupGroups(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupGroups(
+      Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, numHashes = 32, bands = 8, threshold = 0.5))
+      .orderBy("doc_id")
+
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
       maxHamming = 3, bands = 4)
@@ -337,6 +348,7 @@ object SparkEntry {
     "q_dedup_exact" -> (qDedupExact _),
     "q_text_analysis" -> (qTextAnalysis _),
     "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
+    "q_dedup_groups" -> (qDedupGroups _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_sim_topk" -> (qSimTopK _),

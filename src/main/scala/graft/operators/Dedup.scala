@@ -250,6 +250,61 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
+  /** Connected components over a near-dup pair graph: every vertex
+    * gets the MINIMUM id reachable from it as its component label —
+    * the deterministic "canonical representative" a dedup pipeline
+    * keeps while dropping the rest of the group.
+    *
+    * Distributed min-label propagation: each round, every vertex takes
+    * the min of its own label and its neighbors' labels; converged
+    * when a round changes nothing (exact, order-independent — the
+    * fixpoint is the component minimum regardless of schedule).
+    * Rounds needed ≤ graph diameter; near-dup components are
+    * shallow (dup clusters are cliques or near-cliques from banding),
+    * so convergence is fast; `maxIters` is a safety bound and
+    * non-convergence throws rather than returning partial labels.
+    * Each round localCheckpoints to truncate lineage — the standard
+    * iterative-algorithm discipline (else the plan doubles per round).
+    * Only vertices present in `pairs` are labeled: singletons are
+    * their own group by definition and never shuffle. */
+  def connectedComponents(pairs: DataFrame, src: String, dst: String,
+                          maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(src).as("a"), col(dst).as("b"))
+      .union(pairs.select(col(dst).as("a"), col(src).as("b")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val prop = edges
+        .join(labels.select(col("id").as("a"), col("label").as("la")), "a")
+        .groupBy(col("b").as("id")).agg(min(col("la")).as("nmin"))
+      val next = labels.join(prop, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      converged = next.join(labels.select(col("id"), col("label").as("old")), "id")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = next
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(s"connectedComponents: no fixpoint after $maxIters rounds")
+    labels
+  }
+
+  /** Near-dup groups: pair graph → (doc_id, rep_id, group_size) with
+    * rep_id = min doc id of the component. The keep/drop decision of
+    * a dedup pipeline is then `doc_id != rep_id`. */
+  def dedupGroups(pairs: DataFrame, src: String = "id1", dst: String = "id2"): DataFrame = {
+    val cc = connectedComponents(pairs, src, dst)
+    cc.select(col("id").as("doc_id"), col("label").as("rep_id"))
+      .join(cc.groupBy(col("label").as("rep_id")).agg(count(lit(1)).as("group_size")), "rep_id")
+      .select("doc_id", "rep_id", "group_size")
+  }
+
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, bands: Int = 4): DataFrame = {
     val bandBits = 60 / bands

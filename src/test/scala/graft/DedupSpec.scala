@@ -71,6 +71,27 @@ class DedupSpec extends AnyFunSpec {
     }
   }
 
+  describe("connectedComponents / dedupGroups") {
+    it("labels every vertex with its component minimum across chains and cliques") {
+      // components: {1,2,3,4} (a chain), {10,11,12} (a triangle), {20,21}
+      val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+        (10L, 12L), (20L, 21L)).toDF("id1", "id2")
+      val groups = Dedup.dedupGroups(pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(groups == Set(
+        (1L, 1L, 4L), (2L, 1L, 4L), (3L, 1L, 4L), (4L, 1L, 4L),
+        (10L, 10L, 3L), (11L, 10L, 3L), (12L, 10L, 3L),
+        (20L, 20L, 2L), (21L, 20L, 2L)))
+    }
+    it("throws rather than returning partial labels when the iteration cap is too low") {
+      // a 6-chain needs more than 1 round to flood the min label
+      val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("id1", "id2")
+      intercept[IllegalStateException] {
+        Dedup.connectedComponents(chain, "id1", "id2", maxIters = 1).collect()
+      }
+    }
+  }
+
   describe("simhashPairs") {
     it("near-identical docs collide within the Hamming ball; distinct docs do not") {
       val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
