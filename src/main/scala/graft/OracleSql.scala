@@ -629,6 +629,17 @@ object OracleSql {
          |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
     },
 
+    "q_sample_split" -> {
+      val bucket = s"${h60("CAST(doc_id AS VARCHAR)")} % 10000"
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN $bucket < 8000 THEN 'train'
+         |       WHEN $bucket < 9000 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents
+         |WHERE $bucket < 5000
+         |ORDER BY doc_id""".stripMargin
+    },
+
     "q_quality_audit" -> {
       def nn(c: String) =
         s"CAST(SUM(CASE WHEN $c IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS not_null_$c"

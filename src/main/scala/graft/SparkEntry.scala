@@ -241,6 +241,16 @@ object SparkEntry {
       n = 3, threshold = 0.5)
       .orderBy("id1", "id2")
 
+  /** Deterministic hash split + nested sample over the corpus — the
+    * eval-contamination discipline: membership is a pure function of
+    * doc_id (no RNG), so splits survive corpus growth and re-runs. */
+  private def qSampleSplit(s: SparkSession, dir: String): DataFrame =
+    Sampling.withSplit(
+      Sampling.sampleByHash(
+        Tables.documents(s, dir).select("doc_id", "lang"), "doc_id", 0.5),
+      "doc_id", trainFraction = 0.8, valFraction = 0.1)
+      .orderBy("doc_id")
+
   /** Near-dup GROUPS: the pair graph collapsed to canonical
     * representatives via distributed min-label propagation
     * ([[Dedup.connectedComponents]]) — what a dedup pipeline actually
@@ -349,6 +359,7 @@ object SparkEntry {
     "q_text_analysis" -> (qTextAnalysis _),
     "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
     "q_dedup_groups" -> (qDedupGroups _),
+    "q_sample_split" -> (qSampleSplit _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_sim_topk" -> (qSimTopK _),

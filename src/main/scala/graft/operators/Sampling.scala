@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Funcs._
+
+/** Deterministic sampling and split assignment for training-data
+  * pipelines.
+  *
+  * Everything keys off `hash60(id)` — no RNG, no seed state, no
+  * dependence on partitioning or cluster size — so a document's
+  * split/sample membership is a pure function of its id: stable
+  * across runs, engines (the DuckDB oracle computes the same md5
+  * arithmetic), incremental loads (new docs never reshuffle old
+  * assignments), and join-free to audit. This is the discipline that
+  * keeps eval contamination out of a 100 TB corpus: `sample(0.01)`
+  * today and `sample(0.02)` next month NEST (the 1% is a subset of
+  * the 2%), and a train/val/test split never migrates a document
+  * between splits as the corpus grows.
+  *
+  * All operators are narrow (scan-local filters/projections): no
+  * shuffle, full codegen except the md5 call itself.
+  */
+object Sampling {
+
+  /** Stable bucket in [0, buckets) from the id — the atom both
+    * operators build on. */
+  def hashBucket(id: Column, buckets: Int = 10000): Column =
+    hash60(id.cast("string")) % buckets
+
+  /** Deterministic `fraction` sample: keeps ids whose bucket falls
+    * below the cut. Samples with larger fractions contain smaller
+    * ones (nesting), unlike `df.sample` whose membership changes with
+    * partitioning and seed. */
+  def sampleByHash(df: DataFrame, idCol: String, fraction: Double,
+                   buckets: Int = 10000): DataFrame =
+    df.filter(hashBucket(col(idCol), buckets) < math.round(fraction * buckets))
+
+  /** Train/val/test assignment: adds `split` from contiguous bucket
+    * ranges (train takes [0, train·B), val the next slice, test the
+    * rest). Contiguity is what makes splits stable under fraction
+    * changes: growing train only ever claims buckets from val's low
+    * end, never swaps train↔test. */
+  def withSplit(df: DataFrame, idCol: String,
+                trainFraction: Double = 0.9, valFraction: Double = 0.05,
+                buckets: Int = 10000): DataFrame = {
+    require(trainFraction + valFraction <= 1.0, "fractions exceed 1")
+    val trainCut = math.round(trainFraction * buckets)
+    val valCut = trainCut + math.round(valFraction * buckets)
+    df.withColumn("split",
+      when(hashBucket(col(idCol), buckets) < trainCut, "train")
+        .when(hashBucket(col(idCol), buckets) < valCut, "val")
+        .otherwise("test"))
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funspec.AnyFunSpec
+import graft.operators.Sampling
+import graft.sources.Tables
+
+class SamplingSpec extends AnyFunSpec {
+  import SharedSpark.spark
+  import spark.implicits._
+
+  private val docs = Tables.documents(spark, "/root/testdata/sf0.001").select("doc_id")
+
+  describe("sampleByHash") {
+    it("is deterministic and fraction-accurate within hash tolerance") {
+      val a = Sampling.sampleByHash(docs, "doc_id", 0.3).select("doc_id").as[Long].collect().toSet
+      val b = Sampling.sampleByHash(docs, "doc_id", 0.3).select("doc_id").as[Long].collect().toSet
+      assert(a == b)
+      val n = docs.count().toDouble
+      assert(math.abs(a.size / n - 0.3) < 0.1, s"got ${a.size / n}")
+    }
+    it("samples NEST: the 20% sample contains the 10% sample") {
+      val s10 = Sampling.sampleByHash(docs, "doc_id", 0.1).as[Long].collect().toSet
+      val s20 = Sampling.sampleByHash(docs, "doc_id", 0.2).as[Long].collect().toSet
+      assert(s10.subsetOf(s20))
+    }
+    it("is partitioning-independent (the property df.sample lacks)") {
+      val repart = Sampling.sampleByHash(docs.repartition(7), "doc_id", 0.3)
+        .as[Long].collect().toSet
+      val single = Sampling.sampleByHash(docs.coalesce(1), "doc_id", 0.3)
+        .as[Long].collect().toSet
+      assert(repart == single)
+    }
+  }
+
+  describe("withSplit") {
+    it("partitions every row into exactly one split with stable membership") {
+      val split = Sampling.withSplit(docs, "doc_id", 0.8, 0.1)
+      assert(split.filter(!$"split".isin("train", "val", "test")).isEmpty)
+      assert(split.count() == docs.count())
+      val again = Sampling.withSplit(docs, "doc_id", 0.8, 0.1)
+      assert(split.exceptAll(again).isEmpty)
+    }
+    it("growing train claims docs only from val, never migrates train<->test") {
+      val before = Sampling.withSplit(docs, "doc_id", 0.8, 0.1)
+        .select($"doc_id", $"split".as("s1"))
+      val after = Sampling.withSplit(docs, "doc_id", 0.85, 0.05)
+        .select($"doc_id", $"split".as("s2"))
+      val moved = before.join(after, "doc_id").filter($"s1" =!= $"s2")
+      // the only legal movement under a train-fraction increase is val->train
+      assert(moved.filter(!($"s1" === "val" && $"s2" === "train")).isEmpty)
+      // and test membership is untouched
+      assert(before.filter($"s1" === "test").count() ==
+        after.filter($"s2" === "test").count())
+    }
+  }
+}
