@@ -629,6 +629,43 @@ object OracleSql {
          |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
     },
 
+    "q_decontamination" ->
+      s"""WITH $shinglesSql,
+         |ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |ex AS (SELECT doc_id, ${h60("s")} AS shh FROM ex0),
+         |evalsh AS (SELECT DISTINCT shh FROM ex WHERE doc_id % 50 = 0),
+         |corpus AS (SELECT doc_id, shh FROM ex WHERE doc_id % 50 != 0),
+         |scored AS (
+         |  SELECT c.doc_id,
+         |    CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |    CAST(SUM(CASE WHEN e.shh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS matched
+         |  FROM corpus c LEFT JOIN evalsh e ON c.shh = e.shh
+         |  GROUP BY c.doc_id
+         |)
+         |SELECT doc_id, n_shingles, matched,
+         |  ${rd("matched / CAST(n_shingles AS DOUBLE)", 4)} AS overlap_ratio
+         |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "q_doc_packing" -> {
+      val shard = s"${h60("CAST(doc_id AS VARCHAR)")} % 8"
+      s"""WITH t AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+         |    CAST($shard AS BIGINT) AS shard
+         |  FROM documents
+         |  WHERE len(string_split(text, ' ')) > 0
+         |),
+         |o AS (
+         |  SELECT doc_id, shard, toks,
+         |    CAST(SUM(toks) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - toks AS start_offset
+         |  FROM t
+         |)
+         |SELECT doc_id, shard, start_offset,
+         |  CAST(FLOOR(start_offset / 512.0) AS BIGINT) AS start_chunk,
+         |  CAST(FLOOR((start_offset + toks - 1) / 512.0) AS BIGINT) AS end_chunk
+         |FROM o ORDER BY doc_id""".stripMargin
+    },
+
     "q_sample_split" -> {
       val bucket = s"${h60("CAST(doc_id AS VARCHAR)")} % 10000"
       s"""SELECT doc_id, lang,

@@ -251,6 +251,26 @@ object SparkEntry {
       "doc_id", trainFraction = 0.8, valFraction = 0.1)
       .orderBy("doc_id")
 
+  /** Decontamination: corpus docs scored by n-gram overlap against a
+    * (broadcast) eval set — here the deterministic doc_id%50 slice
+    * plays the benchmark. */
+  private def qDecontamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Decontamination.contaminationScores(
+      docs.filter(col("doc_id") % 50 =!= 0), "doc_id", "text",
+      docs.filter(col("doc_id") % 50 === 0), "text")
+      .orderBy("doc_id")
+  }
+
+  /** Concatenate-and-chunk packing spans: whitespace token counts,
+    * 512-token chunks, 8 hash shards. */
+  private def qDocPacking(s: SparkSession, dir: String): DataFrame =
+    Packing.chunkSpans(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), size(split(col("text"), " ")).as("toks")),
+      "doc_id", "toks", budget = 512, shards = 8)
+      .orderBy("doc_id")
+
   /** Near-dup GROUPS: the pair graph collapsed to canonical
     * representatives via distributed min-label propagation
     * ([[Dedup.connectedComponents]]) — what a dedup pipeline actually
@@ -360,6 +380,8 @@ object SparkEntry {
     "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
     "q_dedup_groups" -> (qDedupGroups _),
     "q_sample_split" -> (qSampleSplit _),
+    "q_decontamination" -> (qDecontamination _),
+    "q_doc_packing" -> (qDocPacking _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_sim_topk" -> (qSimTopK _),

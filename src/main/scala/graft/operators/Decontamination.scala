@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Funcs._
+
+/** Eval-set decontamination: flag corpus documents that share too much
+  * n-gram surface with a benchmark/eval set — the step that keeps
+  * test data out of a training corpus.
+  *
+  * Shape at 100 TB: the EVAL side is small (benchmarks are thousands
+  * of docs), so its distinct shingle-hash set broadcasts; the corpus
+  * side is one explode → broadcast-hash semi-match → per-doc count.
+  * No corpus-side shuffle except the per-doc count aggregation, which
+  * partial-aggregates map-side. Shingles travel as 60-bit hashes
+  * (never strings), computed once per (doc, shingle).
+  */
+object Decontamination {
+
+  /** Per-corpus-doc overlap against the eval set's shingle universe:
+    * (id, n_shingles, matched, overlap_ratio). `overlap_ratio` is the
+    * fraction of the doc's distinct n-grams that appear ANYWHERE in
+    * the eval set — the standard contamination score; callers
+    * threshold it (0.8 catches verbatim inclusions, 0.2 catches
+    * paraphrase-with-quotes). */
+  def contaminationScores(corpus: DataFrame, idCol: String, textCol: String,
+                          evalDocs: DataFrame, evalTextCol: String,
+                          n: Int = 3): DataFrame = {
+    val ex = Dedup.withShingles(corpus.select(col(idCol), col(textCol)), textCol, n)
+      .filter(size(col("shingles")) > 0)
+      .select(col(idCol), explode(col("shingles")).as("s"))
+      .select(col(idCol), hash60(col("s")).as("sh"))
+    val evalSh = Dedup.withShingles(evalDocs.select(col(evalTextCol)), evalTextCol, n)
+      .select(explode(col("shingles")).as("s"))
+      .select(hash60(col("s")).as("sh"))
+      .distinct()
+    ex.join(broadcast(evalSh).withColumn("__hit", lit(1)), Seq("sh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0))).as("matched"))
+      .select(col(idCol), col("n_shingles"), col("matched"),
+        r4(col("matched") / col("n_shingles").cast("double")).as("overlap_ratio"))
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funspec.AnyFunSpec
+import graft.operators.{Decontamination, Packing}
+
+/** Decontamination + packing — the corpus-preparation tail of the
+  * training-data pipeline. */
+class TrainingDataOpsSpec extends AnyFunSpec {
+  import SharedSpark.spark
+  import spark.implicits._
+
+  describe("Decontamination.contaminationScores") {
+    it("scores verbatim inclusion 1.0, disjoint text 0.0, partial overlap in between") {
+      val evalSet = Seq("the quick brown fox jumps over the lazy dog").toDF("text")
+      val corpus = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog"), // verbatim
+        (2L, "completely different words about stock markets here"), // disjoint
+        (3L, "the quick brown fox went somewhere else entirely today") // shares a prefix
+      ).toDF("doc_id", "text")
+      val scores = Decontamination.contaminationScores(corpus, "doc_id", "text", evalSet, "text")
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("overlap_ratio")).toMap
+      assert(scores(1L) == 1.0)
+      assert(scores(2L) == 0.0)
+      assert(scores(3L) > 0.0 && scores(3L) < 1.0)
+    }
+    it("the eval side broadcasts (no corpus-side shuffle for the match)") {
+      val evalSet = Seq("a b c d").toDF("text")
+      val corpus = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+      val p = Decontamination.contaminationScores(corpus, "doc_id", "text", evalSet, "text")
+        .queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"))
+    }
+  }
+
+  describe("Packing.chunkSpans") {
+    it("offsets tile each shard exactly: consecutive docs abut, chunks cut at the budget") {
+      val docs = (1L to 40L).map(i => (i, 100 + (i % 7).toInt * 30)).toDF("doc_id", "toks")
+      val spans = Packing.chunkSpans(docs, "doc_id", "toks", budget = 512, shards = 4)
+        .join(docs, "doc_id")
+      // per shard: start_offset of doc k = sum of tokens of earlier docs
+      val bad = spans
+        .withColumn("expected", sum($"toks").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("shard").orderBy("doc_id")
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+        .filter($"start_offset" =!= coalesce($"expected", lit(0L)))
+      assert(bad.isEmpty)
+      // chunk ids are floor(offset/budget) and spans are consistent
+      assert(spans.filter($"start_chunk" =!= floor($"start_offset" / 512)).isEmpty)
+      assert(spans.filter($"end_chunk" < $"start_chunk").isEmpty)
+      // some doc must cross a boundary with these sizes
+      assert(spans.filter($"end_chunk" > $"start_chunk").count() > 0)
+    }
+    it("is deterministic: same corpus, same packs") {
+      val docs = (1L to 25L).map(i => (i, 64)).toDF("doc_id", "toks")
+      val a = Packing.chunkSpans(docs, "doc_id", "toks", 256, 4)
+      val b = Packing.chunkSpans(docs.repartition(5), "doc_id", "toks", 256, 4)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    }
+  }
+}
