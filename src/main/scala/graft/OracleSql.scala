@@ -629,6 +629,26 @@ object OracleSql {
          |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
     },
 
+    "q_token_rarity" ->
+      s"""WITH ex0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         |ex AS (SELECT doc_id, ${h60("t")} AS th FROM ex0),
+         |docfreq AS (
+         |  SELECT th, CAST(COUNT(*) AS BIGINT) AS df
+         |  FROM (SELECT DISTINCT doc_id, th FROM ex) GROUP BY th
+         |)
+         |SELECT e.doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(d.df) AS BIGINT) AS sum_df,
+         |  ${rd("SUM(d.df) / CAST(COUNT(*) AS DOUBLE)", 4)} AS mean_df
+         |FROM ex e JOIN docfreq d ON e.th = d.th
+         |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin,
+
+    "q_skew_salted" ->
+      s"""SELECT l_returnflag,
+         |  ${rd(s"CAST(SUM(${sc("l_extendedprice", 2)}) AS DOUBLE) / 1e2", 2)} AS revenue,
+         |  CAST(COUNT(*) AS BIGINT) AS count_rows
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q_decontamination" ->
       s"""WITH $shinglesSql,
          |ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),

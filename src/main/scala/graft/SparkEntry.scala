@@ -241,6 +241,21 @@ object SparkEntry {
       n = 3, threshold = 0.5)
       .orderBy("id1", "id2")
 
+  /** Corpus-grounded rarity score (the log-likelihood stand-in that
+    * stays bit-portable — see [[TextAnalysis.tokenRarity]]). */
+  private def qTokenRarity(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenRarity(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Skew-safe two-stage salted aggregation, result-identical to the
+    * plain grouped sum (the oracle IS the plain form). */
+  private def qSkewSalted(s: SparkSession, dir: String): DataFrame =
+    Skew.saltedSum(Tables.lineitem(s, dir), Seq("l_returnflag"),
+      scaled(col("l_extendedprice"), 2))
+      .select(col("l_returnflag"), r2(col("sum_value") / 1e2).as("revenue"),
+        col("count_rows"))
+      .orderBy("l_returnflag")
+
   /** Deterministic hash split + nested sample over the corpus — the
     * eval-contamination discipline: membership is a pure function of
     * doc_id (no RNG), so splits survive corpus growth and re-runs. */
@@ -382,6 +397,8 @@ object SparkEntry {
     "q_sample_split" -> (qSampleSplit _),
     "q_decontamination" -> (qDecontamination _),
     "q_doc_packing" -> (qDocPacking _),
+    "q_token_rarity" -> (qTokenRarity _),
+    "q_skew_salted" -> (qSkewSalted _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_sim_topk" -> (qSimTopK _),

@@ -34,6 +34,27 @@ object TextAnalysis {
     * feeding a byte-pair encoder. */
   val subwordPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
+  /** Corpus-grounded token rarity: for each document, the average
+    * DOCUMENT FREQUENCY of its (frequency-weighted) tokens —
+    * the no-transcendentals stand-in for unigram log-likelihood
+    * scoring (low mean_df ⇒ rare/gibberish vocabulary, high ⇒ common
+    * language; threshold per corpus). Deliberately avoids log():
+    * libm transcendentals are not bit-portable across engines, while
+    * this is integer sums with ONE final division — deterministic and
+    * oracle-checkable. Two shuffles (df count, per-doc sum), both
+    * partial-aggregable; tokens travel as 60-bit hashes. */
+  def tokenRarity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ex = df.select(col(idCol), explode(tokens(col(textCol))).as("t"))
+      .select(col(idCol), hash60(col("t")).as("th"))
+    val docFreq = ex.select(col(idCol), col("th")).distinct()
+      .groupBy("th").agg(count(lit(1)).as("df"))
+    ex.join(docFreq, "th")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("df")).as("sum_df"))
+      .select(col(idCol), col("n_tokens"), col("sum_df"),
+        r4(col("sum_df") / col("n_tokens").cast("double")).as("mean_df"))
+  }
+
   /** Token / lexical statistics: whitespace tokens plus the BPE-ish
     * regex subword count. */
   def tokenStats(df: DataFrame, textCol: String): DataFrame = {

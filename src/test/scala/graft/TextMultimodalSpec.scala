@@ -34,6 +34,17 @@ class TextMultimodalSpec extends AnyFunSpec {
       assert(q.values.forall(v => v >= 0 && v <= 1))
       assert(q(1L) > q(3L))
     }
+    it("token rarity: shared vocabulary scores higher mean_df than a gibberish doc") {
+      val corpus = Seq(
+        (1L, "the market rose today"), (2L, "the market fell today"),
+        (3L, "the market was flat today"),
+        (4L, "zxqv wkjp qqzz mmvv")) // vocabulary nothing else shares
+        .toDF("doc_id", "text")
+      val r = TextAnalysis.tokenRarity(corpus, "doc_id", "text")
+        .select("doc_id", "mean_df").as[(Long, Double)].collect().toMap
+      assert(r(4L) == 1.0) // every token appears in exactly its own doc
+      assert(Seq(1L, 2L, 3L).forall(id => r(id) > 2.0), r.toString)
+    }
   }
 
   describe("Multimodal") {
