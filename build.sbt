@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs executor work inside this one JVM: an 8g heap GCs
+  // constantly under 32 threads of shuffle + cached blocks
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // whole-stage codegen emits hundreds of classes across a bench run;
+  // the default 240m code cache fills, the JIT shuts off, and the
+  // interpreted-expression queries (lambda-heavy dedup) go 2-3x slower
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -26,7 +26,10 @@ object Decontamination {
   def contaminationScores(corpus: DataFrame, idCol: String, textCol: String,
                           evalDocs: DataFrame, evalTextCol: String,
                           n: Int = 3): DataFrame = {
-    val ex = Dedup.withShingles(corpus.select(col(idCol), col(textCol)), textCol, n)
+    // spread the corpus before the interpreted shingle lambda (same
+    // rationale as Dedup.spreadById: explicit partition count so the
+    // CPU-bound stage parallelizes regardless of file-split layout)
+    val ex = Dedup.withShingles(Dedup.spreadById(corpus, idCol, textCol), textCol, n)
       .filter(size(col("shingles")) > 0)
       .select(col(idCol), explode(col("shingles")).as("s"))
       .select(col(idCol), hash60(col("s")).as("sh"))

@@ -103,7 +103,7 @@ object Dedup {
     * explicit: AQE's byte-based coalescing would merge the small-byte
     * shuffle back into few partitions, which is miscalibrated for a
     * CPU-bound stage (bytes ≪ advisory target, CPU ≫). */
-  private def spreadById(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  private[operators] def spreadById(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
     docs.select(col(idCol), col(textCol)).repartition(parts, col(idCol))
   }
@@ -263,18 +263,23 @@ object Dedup {
     * shallow (dup clusters are cliques or near-cliques from banding),
     * so convergence is fast; `maxIters` is a safety bound and
     * non-convergence throws rather than returning partial labels.
-    * Each round localCheckpoints to truncate lineage — the standard
-    * iterative-algorithm discipline (else the plan doubles per round).
+    * Caching discipline: edges and the current round persist
+    * (MEMORY_AND_DISK) and every superseded round unpersists — an
+    * iterative operator that leaks its intermediates would bleed
+    * block-manager memory across queries in a long-lived session.
+    * The returned labels stay cached for the caller's (usually
+    * multi-use) consumption; edges are freed here.
     * Only vertices present in `pairs` are labeled: singletons are
     * their own group by definition and never shuffle. */
   def connectedComponents(pairs: DataFrame, src: String, dst: String,
                           maxIters: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val edges = pairs.select(col(src).as("a"), col(dst).as("b"))
       .union(pairs.select(col(dst).as("a"), col(src).as("b")))
-      .localCheckpoint(true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint(true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -284,14 +289,18 @@ object Dedup {
       val next = labels.join(prop, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .localCheckpoint(true)
+        .persist(StorageLevel.MEMORY_AND_DISK)
       converged = next.join(labels.select(col("id"), col("label").as("old")), "id")
-        .filter(col("label") =!= col("old")).isEmpty
+        .filter(col("label") =!= col("old")).isEmpty // forces `next`'s cache
+      labels.unpersist(blocking = false)
       labels = next
       i += 1
     }
-    if (!converged)
+    edges.unpersist(blocking = false)
+    if (!converged) {
+      labels.unpersist(blocking = false)
       throw new IllegalStateException(s"connectedComponents: no fixpoint after $maxIters rounds")
+    }
     labels
   }
 
