@@ -227,8 +227,12 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Registered as the native-Expression variant: the MinHash
+    * signature emits inside the scan stage (no explode / signature
+    * shuffle). Agg-form equality is proven in DedupSpec; the oracle
+    * is result-based, so it covers both. */
   private def qDedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+    Dedup.minhashLshPairsNative(Tables.documents(s, dir), "doc_id", "text",
       n = 3, numHashes = 32, bands = 8, threshold = 0.5)
       .orderBy("id1", "id2")
 
@@ -293,7 +297,7 @@ object SparkEntry {
     * reaching the same fixpoint. */
   private def qDedupGroups(s: SparkSession, dir: String): DataFrame =
     Dedup.dedupGroups(
-      Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+      Dedup.minhashLshPairsNative(Tables.documents(s, dir), "doc_id", "text",
         n = 3, numHashes = 32, bands = 8, threshold = 0.5))
       .orderBy("doc_id")
 

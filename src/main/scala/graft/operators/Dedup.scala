@@ -108,14 +108,13 @@ object Dedup {
     docs.select(col(idCol), col(textCol)).repartition(parts, col(idCol))
   }
 
-  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-                      n: Int = 3, numHashes: Int = 32, bands: Int = 8,
-                      threshold: Double = 0.5): DataFrame = {
-    val shingled = withShingles(spreadById(docs, idCol, textCol), textCol, n)
-      .filter(size(col("shingles")) > 0)
-    val banded = lshBands(minhashSigAgg(shingled, idCol, numHashes), idCol, bands, numHashes / bands)
-    // candidate ids first — only (id, band, key) scalars shuffle; the
-    // shingle arrays rejoin on the (small) surviving candidate set.
+  /** Band the signature frame, equi-join candidates, verify with
+    * exact Jaccard — the tail shared by both signature computations.
+    * Candidate ids first: only (id, band, key) scalars shuffle; the
+    * shingle arrays rejoin on the (small) surviving candidate set. */
+  private def lshCandidatesVerify(shingled: DataFrame, sigDf: DataFrame, idCol: String,
+                                  bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val banded = lshBands(sigDf, idCol, bands, rowsPerBand)
     val cand = banded.select(col(idCol).as("id1"), col("band"), col("band_key"))
       .join(banded.select(col(idCol).as("id2"), col("band"), col("band_key")),
         Seq("band", "band_key"))
@@ -126,6 +125,32 @@ object Dedup {
       .join(shingled.select(col(idCol).as("id2"), col("shingles").as("s2")), "id2")
       .select(col("id1"), col("id2"), r4(jaccard(col("s1"), col("s2"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                      threshold: Double = 0.5): DataFrame = {
+    val shingled = withShingles(spreadById(docs, idCol, textCol), textCol, n)
+      .filter(size(col("shingles")) > 0)
+    lshCandidatesVerify(shingled, minhashSigAgg(shingled, idCol, numHashes),
+      idCol, bands, numHashes / bands, threshold)
+  }
+
+  /** [[minhashLshPairs]] with the signature computed by the native
+    * `minhash_sig` Catalyst expression
+    * ([[graft.plans.MinHashSig]], registered via GraftExtensions):
+    * the whole signature emits inside the scan stage — no explode of
+    * (doc, shingle) rows, no md5-per-exploded-row, no shuffle through
+    * numHashes partial aggregates. Value-identical to the agg form
+    * (tested); the preferred form whenever the extension is installed. */
+  def minhashLshPairsNative(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                            threshold: Double = 0.5): DataFrame = {
+    val shingled = withShingles(spreadById(docs, idCol, textCol), textCol, n)
+      .filter(size(col("shingles")) > 0)
+    val sig = shingled.select(col(idCol),
+      call_function("minhash_sig", col("shingles"), lit(numHashes)).as("sig"))
+    lshCandidatesVerify(shingled, sig, idCol, bands, numHashes / bands, threshold)
   }
 
   /** All-pairs n-gram Jaccard ≥ threshold, blocked on shared shingles

@@ -71,6 +71,27 @@ class DedupSpec extends AnyFunSpec {
     }
   }
 
+  describe("minhash_sig native expression") {
+    it("equals the aggregation-form signatures on real documents") {
+      val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001").limit(200)
+      val shingled = Dedup.withShingles(docs.select($"doc_id", $"text"), "text", 3)
+        .filter(size($"shingles") > 0)
+      val native = shingled.select($"doc_id",
+        call_function("minhash_sig", $"shingles", lit(32)).as("sig"))
+      val agg = Dedup.minhashSigAgg(shingled, "doc_id", 32)
+      val mismatch = native.join(agg.withColumnRenamed("sig", "sig_agg"), "doc_id")
+        .filter($"sig" =!= $"sig_agg")
+      assert(mismatch.isEmpty)
+      assert(native.count() == agg.count())
+    }
+    it("native pair pipeline returns exactly the agg pipeline's pairs") {
+      val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      val a = Dedup.minhashLshPairs(docs, "doc_id", "text")
+      val b = Dedup.minhashLshPairsNative(docs, "doc_id", "text")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    }
+  }
+
   describe("connectedComponents / dedupGroups") {
     it("labels every vertex with its component minimum across chains and cliques") {
       // components: {1,2,3,4} (a chain), {10,11,12} (a triangle), {20,21}
