@@ -301,8 +301,10 @@ object SparkEntry {
         n = 3, numHashes = 32, bands = 8, threshold = 0.5))
       .orderBy("doc_id")
 
+  /** Native-Expression variant (scan-stage signature; agg-form
+    * equality proven in DedupSpec, result-based oracle unchanged). */
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
+    Dedup.simhashPairsNative(Tables.documents(s, dir), "doc_id", "text",
       maxHamming = 3, bands = 4)
       .orderBy("id1", "id2")
 

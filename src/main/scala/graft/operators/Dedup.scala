@@ -339,12 +339,13 @@ object Dedup {
       .select("doc_id", "rep_id", "group_size")
   }
 
-  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+  /** Banded Hamming-candidate tail shared by both signature forms:
+    * `sigDf` must carry (idCol, simhash). */
+  private def simhashBandedPairs(sigDf: DataFrame, idCol: String,
+                                 maxHamming: Int, bands: Int): DataFrame = {
     val bandBits = 60 / bands
     val mask = (1L << bandBits) - 1
-    val sh = simhashAgg(docs.select(col(idCol), col(textCol)), idCol, textCol)
-    val banded = sh.select(col(idCol), col("simhash"), posexplode(
+    val banded = sigDf.select(col(idCol), col("simhash"), posexplode(
         expr(s"transform(sequence(0, ${bands - 1}), b -> shiftright(simhash, b * $bandBits) & $mask)"))
       .as(Seq("band", "band_key")))
     val l = banded.select(col(idCol).as("id1"), col("simhash").as("sh1"),
@@ -357,5 +358,23 @@ object Dedup {
         expr("bit_count(sh1 ^ sh2)").as("hamming"))
       .filter(col("hamming") <= maxHamming) // filter BEFORE distinct: candidates are ~10× the survivors
       .distinct()
+  }
+
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, bands: Int = 4): DataFrame =
+    simhashBandedPairs(
+      simhashAgg(docs.select(col(idCol), col(textCol)), idCol, textCol),
+      idCol, maxHamming, bands)
+
+  /** [[simhashPairs]] with the signature from the native `simhash_sig`
+    * Catalyst expression ([[graft.plans.SimHashSig]]): the 60-bit
+    * signature emits inside the scan stage — no token explode, no
+    * 60-column bit-sum aggregation shuffle. Value-identical (tested). */
+  def simhashPairsNative(docs: DataFrame, idCol: String, textCol: String,
+                         maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    val sig = spreadById(docs, idCol, textCol)
+      .select(col(idCol), call_function("simhash_sig",
+        array_distinct(split(col(textCol), " ")), lit(60)).as("simhash"))
+    simhashBandedPairs(sig, idCol, maxHamming, bands)
   }
 }

@@ -26,5 +26,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => MinHashSig(
         children.head,
         children.lift(1).map(_.eval().asInstanceOf[Number].intValue).getOrElse(32))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash_sig"),
+      new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
+      (children: Seq[Expression]) => SimHashSig(
+        children.head,
+        children.lift(1).map(_.eval().asInstanceOf[Number].intValue).getOrElse(60))))
   }
 }

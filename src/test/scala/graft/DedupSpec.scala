@@ -90,6 +90,12 @@ class DedupSpec extends AnyFunSpec {
       val b = Dedup.minhashLshPairsNative(docs, "doc_id", "text")
       assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
     }
+    it("native simhash pipeline returns exactly the agg pipeline's pairs") {
+      val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      val a = Dedup.simhashPairs(docs, "doc_id", "text")
+      val b = Dedup.simhashPairsNative(docs, "doc_id", "text")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    }
   }
 
   describe("connectedComponents / dedupGroups") {
