@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funspec.AnyFunSpec
+import graft.functions.Funcs
+import graft.plans.MinHashSigOps
+
+/** Generated-input properties for the determinism layer: the JVM
+  * helpers behind the native expressions must agree with the SQL
+  * expression forms on arbitrary input (not just corpus data), and
+  * the fixed-point money path must recover decimals exactly. */
+class PropertySpec extends AnyFunSpec {
+  import SharedSpark.spark
+  import spark.implicits._
+
+  private def sampled[A](g: Gen[A], n: Int): Seq[A] =
+    Iterator.continually(g.sample).flatten.take(n).toSeq
+
+  describe("hash60: JVM helper vs SQL expression tree") {
+    it("agrees on arbitrary strings including unicode and empties") {
+      val strings = (sampled(Gen.asciiPrintableStr, 300) ++
+        sampled(Gen.listOf(Gen.choose(32, 0x2FFF).map(_.toChar)).map(_.mkString), 300) ++
+        Seq("", " ", "é中文", "a b c")).distinct
+      val df = strings.toDF("s")
+        .withColumn("sql_h", Funcs.hash60($"s"))
+        .collect()
+      df.foreach { row =>
+        val s = row.getString(0)
+        val jvm = MinHashSigOps.hash60(s.getBytes("UTF-8"))
+        assert(row.getLong(1) == jvm, s"mismatch on ${s.take(40).toList}")
+      }
+    }
+  }
+
+  describe("Funcs.scaled: exact fixed-decimal recovery") {
+    it("recovers the integer cents of any 2-decimal value in the long-range contract") {
+      val cents = sampled(Gen.choose(-1000000000000L, 1000000000000L), 1000)
+      val rows = cents.toDF("n")
+        .withColumn("rec", Funcs.scaled($"n" / 100.0, 2))
+        .filter($"rec" =!= $"n")
+      assert(rows.isEmpty, rows.take(3).mkString(","))
+    }
+  }
+
+  describe("Funcs.rd: idempotence and bounded error") {
+    it("rd is idempotent and stays within a half-step of the input") {
+      // NOTE deliberately not asserting r·10^4 is an exact binary
+      // integer — a 4-decimal VALUE like -626975135.389 has no exact
+      // double, which is precisely why cross-engine compares need the
+      // same expression tree rather than decimal-ness of the result.
+      val xs = sampled(Gen.choose(-1e9, 1e9), 1000)
+      val rows = xs.toDF("x")
+        .withColumn("r", Funcs.rd($"x", 4))
+        .withColumn("rr", Funcs.rd($"r", 4))
+        .filter($"r" =!= $"rr" || abs($"r" - $"x") > 0.00005001)
+      assert(rows.isEmpty, rows.take(3).mkString(","))
+    }
+  }
+}
