@@ -31,4 +31,41 @@ class PipelinesSpec extends AnyFunSpec {
       assert(new java.io.File(out).listFiles().exists(_.getName == "symbol=AAPL"))
     }
   }
+
+  describe("Pipelines.TransformPipeline") {
+    it("builds both marts and passes the freshness + invariants gates end-to-end") {
+      import org.apache.spark.sql.functions._
+      val dir = java.nio.file.Files.createTempDirectory("graft_transform").toFile
+      val barsPath = new java.io.File(dir, "bars").getAbsolutePath
+      // fresh clean bars (loaded now, so the 49h freshness gate passes)
+      graft.sources.Adapters.dailyBars(spark, "/root/testdata/sf0.001")
+        .withColumn("batch_loaded_at", current_timestamp())
+        .write.parquet(barsPath)
+      val outDir = new java.io.File(dir, "marts").getAbsolutePath
+
+      graft.jobs.Pipelines.TransformPipeline.main(Array(barsPath, outDir))
+
+      val perf = spark.read.parquet(s"$outDir/mart_stock_performance")
+      val summary = spark.read.parquet(s"$outDir/mart_daily_summary")
+      assert(perf.count() > 0 && summary.count() > 0)
+      assert(perf.columns.contains("rsi_14") && perf.columns.contains("dbt_updated_at"))
+      assert(summary.groupBy("trade_date").count().filter(col("count") > 1).isEmpty)
+    }
+
+    it("a stale source fails the freshness gate before any mart is built") {
+      import org.apache.spark.sql.functions._
+      val dir = java.nio.file.Files.createTempDirectory("graft_transform_stale").toFile
+      val barsPath = new java.io.File(dir, "bars").getAbsolutePath
+      graft.sources.Adapters.dailyBars(spark, "/root/testdata/sf0.001")
+        .withColumn("batch_loaded_at", lit("2020-01-01 00:00:00").cast("timestamp"))
+        .write.parquet(barsPath)
+      val outDir = new java.io.File(dir, "marts").getAbsolutePath
+
+      val e = intercept[IllegalStateException] {
+        graft.jobs.Pipelines.TransformPipeline.main(Array(barsPath, outDir))
+      }
+      assert(e.getMessage.contains("freshness"))
+      assert(!new java.io.File(s"$outDir/mart_stock_performance").exists)
+    }
+  }
 }
