@@ -37,9 +37,18 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("dup_count"))
 
-  /** Distinct word-n-gram shingles per doc (adds `shingles`). */
-  def withShingles(df: DataFrame, textCol: String, n: Int): DataFrame =
-    df.withColumn("shingles", wordShingles(col(textCol), n))
+  /** Distinct word-n-gram shingles per doc (adds `shingles`).
+    * Uses the native `word_shingles` expression when GraftExtensions
+    * is installed (one codegen'd pass per row); falls back to the
+    * pure-built-in lambda form otherwise — both value-identical
+    * (tested). */
+  def withShingles(df: DataFrame, textCol: String, n: Int): DataFrame = {
+    val shingles =
+      if (df.sparkSession.catalog.functionExists("word_shingles"))
+        call_function("word_shingles", col(textCol), lit(n))
+      else wordShingles(col(textCol), n)
+    df.withColumn("shingles", shingles)
+  }
 
   /** MinHash signature (adds `sig`: array of numHashes longs) via the
     * standard one-base-hash + affine-permutation family:

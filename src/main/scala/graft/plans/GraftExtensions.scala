@@ -32,5 +32,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => SimHashSig(
         children.head,
         children.lift(1).map(_.eval().asInstanceOf[Number].intValue).getOrElse(60))))
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (children: Seq[Expression]) => WordShingles(
+        children.head,
+        children.lift(1).map(_.eval().asInstanceOf[Number].intValue).getOrElse(3))))
   }
 }

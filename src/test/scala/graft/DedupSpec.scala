@@ -71,6 +71,22 @@ class DedupSpec extends AnyFunSpec {
     }
   }
 
+  describe("word_shingles native expression") {
+    it("equals the built-in lambda form on real docs and on edge spacing") {
+      val edge = Seq((900001L, ""), (900002L, "a"), (900003L, "a b"),
+        (900004L, "a b c"), (900005L, "a  b c"), (900006L, " a b c "),
+        (900007L, "x y z x y z x y z")).toDF("doc_id", "text")
+      val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+        .select($"doc_id", $"text").limit(200).union(edge)
+      val native = docs.select($"doc_id",
+        call_function("word_shingles", $"text", lit(3)).as("s"))
+      val builtin = docs.select($"doc_id",
+        graft.functions.Funcs.wordShingles($"text", 3).as("s2"))
+      val mism = native.join(builtin, "doc_id").filter($"s" =!= $"s2")
+      assert(mism.isEmpty, mism.take(3).mkString(","))
+    }
+  }
+
   describe("minhash_sig native expression") {
     it("equals the aggregation-form signatures on real documents") {
       val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001").limit(200)
