@@ -107,12 +107,14 @@ object Similarity {
     // partition count so AQE's byte-based coalescing (miscalibrated
     // for CPU-bound small-byte stages) leaves it alone.
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val base = df.select(col(blockCol).as("block"), col(idCol).as("id"),
+    val base0 = df.select(col(blockCol).as("block"), col(idCol).as("id"),
         col(vecCol).as("__v"))
       .repartition(parts, col("id"))
-      .select(col("block"), col("id"), quantize(col("__v")).as("vq"))
+      .select(col("block"), col("id"), col("__v"), quantize(col("__v")).as("vq"))
       .withColumn("n", normSq(col("vq")))
-      .withColumn("sig", lshBucket(col("vq"), bands * planesPerBand, dim))
+    val base = base0
+      .withColumn("sig", sigExpr(base0, col("__v"), col("vq"), bands * planesPerBand, dim))
+      .drop("__v")
     val banded = base.select(col("block"), col("id"), posexplode(
         expr(s"transform(sequence(0, ${bands - 1}), b -> shiftright(sig, b * $planesPerBand) & $mask)"))
       .as(Seq("band", "band_key")))
@@ -128,6 +130,18 @@ object Similarity {
         cosineQ(dotQ(col("q1"), col("q2")), col("n1"), col("n2")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** The hyperplane signature, natively when available: the
+    * `hyperplane_sig` Catalyst expression ([[graft.plans.HyperplaneSig]],
+    * registered via GraftExtensions) runs the numPlanes×dim
+    * multiply-adds in compiled code inside the scan stage; the
+    * fallback is [[lshBucket]]'s interpreted lambda form. Both are
+    * value-identical on dim-64 vectors (tested). */
+  private def sigExpr(df: DataFrame, rawVec: Column, vecQ: Column,
+                      numPlanes: Int, dim: Int): Column =
+    if (dim == 64 && df.sparkSession.catalog.functionExists("hyperplane_sig"))
+      call_function("hyperplane_sig", rawVec, lit(numPlanes))
+    else lshBucket(vecQ, numPlanes, dim)
 
   /** Deterministic hyperplane components: md5("p,j") first 15 hex
     * digits as a long, mapped to [-10^6, 10^6]. Computed ONCE at plan
@@ -226,10 +240,12 @@ object Similarity {
     // plane literal null-pads, every dot goes null, and all vectors
     // collapse into bucket 0 — silently degrading to a cross join.
     def side(df: DataFrame, idAs: String, qAs: String, nAs: String) =
-      df.select(col(idCol).as(idAs), quantize(col(vecCol)).as("__vq"))
-        .withColumn("bucket", lshBucket(col("__vq"), numPlanes, dim))
+      df.select(col(idCol).as(idAs), col(vecCol).as("__v"),
+          quantize(col(vecCol)).as("__vq"))
+        .withColumn("bucket", sigExpr(df, col("__v"), col("__vq"), numPlanes, dim))
         .withColumn(nAs, normSq(col("__vq")))
         .withColumnRenamed("__vq", qAs)
+        .drop("__v")
     val c = side(corpus, "corpus_id", "cq", "cn")
     val q0 = side(queries, "query_id", "qq", "qn")
     // multi-probe: queries also visit every Hamming-1 neighbor bucket

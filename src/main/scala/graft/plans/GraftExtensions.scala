@@ -38,5 +38,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => WordShingles(
         children.head,
         children.lift(1).map(_.eval().asInstanceOf[Number].intValue).getOrElse(3))))
+    ext.injectFunction((
+      FunctionIdentifier("hyperplane_sig"),
+      new ExpressionInfo(classOf[HyperplaneSig].getName, "hyperplane_sig"),
+      (children: Seq[Expression]) => HyperplaneSig(
+        children.head,
+        children.lift(1).map(_.eval().asInstanceOf[Number].intValue).getOrElse(12))))
   }
 }

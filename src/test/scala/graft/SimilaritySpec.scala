@@ -101,6 +101,17 @@ class SimilaritySpec extends AnyFunSpec {
     }
   }
 
+  describe("hyperplane_sig native expression") {
+    it("equals lshBucket over quantize on real embeddings") {
+      val emb = Tables.embeddings(spark, dir)
+      val native = emb.select($"vec_id",
+        call_function("hyperplane_sig", $"embedding", lit(32)).as("sig"))
+      val builtin = emb.select($"vec_id",
+        Similarity.lshBucket(Similarity.quantize($"embedding"), 32).as("sig2"))
+      assert(native.join(builtin, "vec_id").filter($"sig" =!= $"sig2").isEmpty)
+    }
+  }
+
   describe("cosineNearDupPairsBanded") {
     it("is a subset of all-pairs with identical cosines, and keeps every near-identical pair") {
       val emb = Tables.embeddings(spark, dir)
