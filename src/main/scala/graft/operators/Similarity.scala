@@ -32,6 +32,23 @@ object Similarity {
   def dotQ(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
+  /** True iff the native function is registered on the active session
+    * (GraftExtensions installed). */
+  private def natFn(name: String): Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .exists(_.catalog.functionExists(name))
+
+  /** [[dotQ]], natively when available: the `dot_q` expression
+    * ([[graft.plans.DotQ]]) fuses the multiply-add loop in compiled
+    * code instead of two interpreted lambdas + a product array per
+    * pair. Value-identical on equal-length vectors (tested). */
+  private def dotQN(a: Column, b: Column): Column =
+    if (natFn("dot_q")) call_function("dot_q", a, b) else dotQ(a, b)
+
+  /** [[normSq]] via the same native path (`dot_q(v, v)`). */
+  private def normSqN(v: Column): Column =
+    if (natFn("dot_q")) call_function("dot_q", v, v) else normSq(v)
+
   /** Cosine from exact integer dot/norms (rounded to 6 dp). */
   def cosineQ(dot: Column, na: Column, nb: Column): Column =
     rd(dot / nullifZero(sqrt(na) * sqrt(nb)), 6)
@@ -39,7 +56,7 @@ object Similarity {
   private def prep(df: DataFrame, idCol: String, vecCol: String,
                    idAs: String, qAs: String, nAs: String): DataFrame =
     df.select(col(idCol).as(idAs), quantize(col(vecCol)).as(qAs))
-      .withColumn(nAs, normSq(col(qAs)))
+      .withColumn(nAs, normSqN(col(qAs)))
 
   /** Brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors (ties broken by corpus id). The query side should
@@ -54,7 +71,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
-        cosineQ(dotQ(col("cq"), col("qq")), col("cn"), col("qn")).as("cosine"))
+        cosineQ(dotQN(col("cq"), col("qq")), col("cn"), col("qn")).as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -67,13 +84,13 @@ object Similarity {
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          blockCol: String, threshold: Double): DataFrame = {
     val a = df.select(col(blockCol).as("block"), col(idCol).as("id1"),
-      quantize(col(vecCol)).as("q1")).withColumn("n1", normSq(col("q1")))
+      quantize(col(vecCol)).as("q1")).withColumn("n1", normSqN(col("q1")))
     val b = df.select(col(blockCol).as("block"), col(idCol).as("id2"),
-      quantize(col(vecCol)).as("q2")).withColumn("n2", normSq(col("q2")))
+      quantize(col(vecCol)).as("q2")).withColumn("n2", normSqN(col("q2")))
     a.join(b, "block")
       .filter(col("id1") < col("id2"))
       .select(col("block"), col("id1"), col("id2"),
-        cosineQ(dotQ(col("q1"), col("q2")), col("n1"), col("n2")).as("cosine"))
+        cosineQ(dotQN(col("q1"), col("q2")), col("n1"), col("n2")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 
@@ -111,7 +128,7 @@ object Similarity {
         col(vecCol).as("__v"))
       .repartition(parts, col("id"))
       .select(col("block"), col("id"), col("__v"), quantize(col("__v")).as("vq"))
-      .withColumn("n", normSq(col("vq")))
+      .withColumn("n", normSqN(col("vq")))
     val base = base0
       .withColumn("sig", sigExpr(base0, col("__v"), col("vq"), bands * planesPerBand, dim))
       .drop("__v")
@@ -127,7 +144,7 @@ object Similarity {
       .join(base.select(col("id").as("id1"), col("vq").as("q1"), col("n").as("n1")), "id1")
       .join(base.select(col("id").as("id2"), col("vq").as("q2"), col("n").as("n2")), "id2")
       .select(col("block"), col("id1"), col("id2"),
-        cosineQ(dotQ(col("q1"), col("q2")), col("n1"), col("n2")).as("cosine"))
+        cosineQ(dotQN(col("q1"), col("q2")), col("n1"), col("n2")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 
@@ -214,15 +231,15 @@ object Similarity {
     val c = corpus.select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cq"))
       .select(col("corpus_id"), col("cq"), explode(cellOf(col("cq"), 1)).as("cc"))
       .select(col("corpus_id"), col("cq"), col("cc.cell").as("cell"))
-      .withColumn("cn", normSq(col("cq")))
+      .withColumn("cn", normSqN(col("cq")))
     val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qq"))
       .select(col("query_id"), col("qq"), explode(cellOf(col("qq"), nprobe)).as("qc"))
       .select(col("query_id"), col("qq"), col("qc.cell").as("cell"))
-      .withColumn("qn", normSq(col("qq")))
+      .withColumn("qn", normSqN(col("qq")))
     val scored = c.join(broadcast(q), "cell")
       .filter(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
-        cosineQ(dotQ(col("cq"), col("qq")), col("cn"), col("qn")).as("cosine"))
+        cosineQ(dotQN(col("cq"), col("qq")), col("cn"), col("qn")).as("cosine"))
       .distinct() // a pair can meet in several probed cells
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("corpus_id").asc)
@@ -243,7 +260,7 @@ object Similarity {
       df.select(col(idCol).as(idAs), col(vecCol).as("__v"),
           quantize(col(vecCol)).as("__vq"))
         .withColumn("bucket", sigExpr(df, col("__v"), col("__vq"), numPlanes, dim))
-        .withColumn(nAs, normSq(col("__vq")))
+        .withColumn(nAs, normSqN(col("__vq")))
         .withColumnRenamed("__vq", qAs)
         .drop("__v")
     val c = side(corpus, "corpus_id", "cq", "cn")
@@ -259,7 +276,7 @@ object Similarity {
     val scored = c.join(broadcast(q), "bucket")
       .filter(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
-        cosineQ(dotQ(col("cq"), col("qq")), col("cn"), col("qn")).as("cosine"))
+        cosineQ(dotQN(col("cq"), col("qq")), col("cn"), col("qn")).as("cosine"))
       .distinct()
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("corpus_id").asc)

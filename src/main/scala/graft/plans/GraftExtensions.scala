@@ -44,5 +44,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => HyperplaneSig(
         children.head,
         children.lift(1).map(_.eval().asInstanceOf[Number].intValue).getOrElse(12))))
+    ext.injectFunction((
+      FunctionIdentifier("dot_q"),
+      new ExpressionInfo(classOf[DotQ].getName, "dot_q"),
+      (children: Seq[Expression]) => DotQ(children.head, children(1))))
   }
 }

@@ -101,6 +101,22 @@ class SimilaritySpec extends AnyFunSpec {
     }
   }
 
+  describe("dot_q native expression") {
+    it("equals the lambda dot and norm on real embeddings") {
+      val emb = Tables.embeddings(spark, dir).limit(100)
+        .select($"vec_id", Similarity.quantize($"embedding").as("vq"))
+      val both = emb.select($"vec_id",
+        call_function("dot_q", $"vq", $"vq").as("nat"),
+        Similarity.normSq($"vq").as("bi"))
+      assert(both.filter($"nat" =!= $"bi").isEmpty)
+      val pairs = emb.limit(10).crossJoin(
+          emb.select($"vq".as("vq2")).limit(10))
+        .select(call_function("dot_q", $"vq", $"vq2").as("nat"),
+          Similarity.dotQ($"vq", $"vq2").as("bi"))
+      assert(pairs.filter($"nat" =!= $"bi").isEmpty)
+    }
+  }
+
   describe("hyperplane_sig native expression") {
     it("equals lshBucket over quantize on real embeddings") {
       val emb = Tables.embeddings(spark, dir)
