@@ -537,6 +537,12 @@ object OracleSql {
       s"""WITH $minhashPairsCtes
          |SELECT id1, id2, jaccard FROM pairs ORDER BY id1, id2""".stripMargin,
 
+    "q_dedup_incremental" ->
+      s"""WITH $minhashPairsCtes
+         |SELECT id1, id2, jaccard FROM pairs
+         |WHERE id1 % 5 = 0 OR id2 % 5 = 0
+         |ORDER BY id1, id2""".stripMargin,
+
     "q_dedup_groups" ->
       s"""WITH RECURSIVE $minhashPairsCtes,
          |edges AS (

@@ -236,6 +236,17 @@ object SparkEntry {
       n = 3, numHashes = 32, bands = 8, threshold = 0.5)
       .orderBy("id1", "id2")
 
+  /** Incremental dedup: the doc_id%5 slice plays the fresh ingest
+    * batch against the rest as the signature store — pairs where at
+    * least one side is fresh, per-batch cost O(batch), not O(corpus). */
+  private def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val store = Dedup.minhashSignatures(docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+    val fresh = Dedup.minhashSignatures(docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+    Dedup.minhashLshPairsIncremental(store, fresh, "doc_id")
+      .orderBy("id1", "id2")
+  }
+
   /** Registered as the PPJoin prefix-filter variant: result-identical
     * to the plain shingle join (DedupSpec proves equality) but immune
     * to the hot-shingle quadratic blowup on Zipfian corpora — the plan
@@ -400,6 +411,7 @@ object SparkEntry {
     "q_text_analysis" -> (qTextAnalysis _),
     "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
     "q_dedup_groups" -> (qDedupGroups _),
+    "q_dedup_incremental" -> (qDedupIncremental _),
     "q_sample_split" -> (qSampleSplit _),
     "q_decontamination" -> (qDecontamination _),
     "q_doc_packing" -> (qDocPacking _),

@@ -284,6 +284,50 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
+  /** The signature-store view a corpus persists once per ingest:
+    * (id, shingles, sig). At 100 TB the store is the precomputed
+    * history — incremental dedup never re-shingles or re-signs it. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, numHashes: Int = 32): DataFrame = {
+    val shingled = withShingles(spreadById(docs, idCol, textCol), textCol, n)
+      .filter(size(col("shingles")) > 0)
+    if (docs.sparkSession.catalog.functionExists("minhash_sig"))
+      shingled.select(col(idCol), col("shingles"),
+        call_function("minhash_sig", col("shingles"), lit(numHashes)).as("sig"))
+    else withMinhash(shingled, numHashes).select(col(idCol), col("shingles"), col("sig"))
+  }
+
+  /** INCREMENTAL MinHash-LSH dedup: near-dup pairs where at least one
+    * side belongs to the fresh batch — fresh×fresh and fresh×store,
+    * never store×store (those pairs were found when the store rows
+    * were themselves fresh). Both inputs are (id, shingles, sig)
+    * frames from [[minhashSignatures]]; per ingest only the fresh
+    * batch is signed, and the banding join's left side is the SMALL
+    * fresh frame, so per-batch cost is O(batch + matched candidates),
+    * not O(corpus). Identical pair semantics to running
+    * [[minhashLshPairs]] over the whole corpus and keeping the
+    * fresh-involved pairs (tested). */
+  def minhashLshPairsIncremental(store: DataFrame, fresh: DataFrame,
+                                 idCol: String, numHashes: Int = 32, bands: Int = 8,
+                                 threshold: Double = 0.5): DataFrame = {
+    val all = store.select(col(idCol), col("shingles"), col("sig"))
+      .union(fresh.select(col(idCol), col("shingles"), col("sig")))
+    val freshBanded = lshBands(fresh, idCol, bands, numHashes / bands)
+    val allBanded = lshBands(all, idCol, bands, numHashes / bands)
+    val cand = freshBanded.select(col(idCol).as("fid"), col("band"), col("band_key"))
+      .join(allBanded.select(col(idCol).as("aid"), col("band"), col("band_key")),
+        Seq("band", "band_key"))
+      .filter(col("fid") =!= col("aid"))
+      .select(least(col("fid"), col("aid")).as("id1"),
+        greatest(col("fid"), col("aid")).as("id2"))
+      .distinct()
+    cand
+      .join(all.select(col(idCol).as("id1"), col("shingles").as("s1")), "id1")
+      .join(all.select(col(idCol).as("id2"), col("shingles").as("s2")), "id2")
+      .select(col("id1"), col("id2"), r4(jaccard(col("s1"), col("s2"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Connected components over a near-dup pair graph: every vertex
     * gets the MINIMUM id reachable from it as its component label —
     * the deterministic "canonical representative" a dedup pipeline

@@ -106,6 +106,17 @@ class DedupSpec extends AnyFunSpec {
       val b = Dedup.minhashLshPairsNative(docs, "doc_id", "text")
       assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
     }
+    it("incremental dedup equals the full run restricted to fresh-involved pairs") {
+      val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      val store = Dedup.minhashSignatures(docs.filter($"doc_id" % 5 =!= 0), "doc_id", "text")
+      val fresh = Dedup.minhashSignatures(docs.filter($"doc_id" % 5 === 0), "doc_id", "text")
+      val incr = Dedup.minhashLshPairsIncremental(store, fresh, "doc_id")
+      val full = Dedup.minhashLshPairs(docs, "doc_id", "text")
+        .filter($"id1" % 5 === 0 || $"id2" % 5 === 0)
+      assert(incr.exceptAll(full).isEmpty && full.exceptAll(incr).isEmpty)
+      assert(incr.count() > 0)
+    }
+
     it("native simhash pipeline returns exactly the agg pipeline's pairs") {
       val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
       val a = Dedup.simhashPairs(docs, "doc_id", "text")
