@@ -216,25 +216,27 @@ object Similarity {
       .map(_.getAs[scala.collection.Seq[Long]]("sq").toSeq)
     val centroidLit = typedLit(seeds.toSeq)
 
-    def cellOf(vq: Column, n: Int): Column = {
+    def cellsOf(vq: Column, n: Int): Column =
       // n nearest cells by exact integer L2 (seeds are plan-time
-      // literals; one narrow pass, no shuffle); ties break by cell
-      val dists = transform(sequence(lit(0), lit(numCells - 1)), c =>
-        struct(
-          aggregate(
-            zip_with(vq, element_at(centroidLit, c + 1), (x, y) => (x - y) * (x - y)),
-            lit(0L), (acc, x) => acc + x).as("d"),
-          c.as("cell")))
-      slice(array_sort(dists), 1, n)
-    }
+      // literals; one narrow pass, no shuffle); ties break by cell.
+      // Native nearest_cells when registered; lambda-sort fallback.
+      if (natFn("nearest_cells"))
+        call_function("nearest_cells", vq, centroidLit, lit(n))
+      else {
+        val dists = transform(sequence(lit(0), lit(numCells - 1)), c =>
+          struct(
+            aggregate(
+              zip_with(vq, element_at(centroidLit, c + 1), (x, y) => (x - y) * (x - y)),
+              lit(0L), (acc, x) => acc + x).as("d"),
+            c.cast("long").as("cell")))
+        transform(slice(array_sort(dists), 1, n), s => s.getField("cell"))
+      }
 
     val c = corpus.select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cq"))
-      .select(col("corpus_id"), col("cq"), explode(cellOf(col("cq"), 1)).as("cc"))
-      .select(col("corpus_id"), col("cq"), col("cc.cell").as("cell"))
+      .select(col("corpus_id"), col("cq"), explode(cellsOf(col("cq"), 1)).as("cell"))
       .withColumn("cn", normSqN(col("cq")))
     val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qq"))
-      .select(col("query_id"), col("qq"), explode(cellOf(col("qq"), nprobe)).as("qc"))
-      .select(col("query_id"), col("qq"), col("qc.cell").as("cell"))
+      .select(col("query_id"), col("qq"), explode(cellsOf(col("qq"), nprobe)).as("cell"))
       .withColumn("qn", normSqN(col("qq")))
     val scored = c.join(broadcast(q), "cell")
       .filter(col("query_id") =!= col("corpus_id"))

@@ -48,5 +48,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_q"),
       new ExpressionInfo(classOf[DotQ].getName, "dot_q"),
       (children: Seq[Expression]) => DotQ(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("nearest_cells"),
+      new ExpressionInfo(classOf[NearestCells].getName, "nearest_cells"),
+      (children: Seq[Expression]) => NearestCells(
+        children.head, children(1),
+        children.lift(2).map(_.eval().asInstanceOf[Number].intValue).getOrElse(1))))
   }
 }

@@ -117,6 +117,27 @@ class SimilaritySpec extends AnyFunSpec {
     }
   }
 
+  describe("nearest_cells native expression") {
+    it("equals the lambda sort-and-slice form on real embeddings") {
+      val emb = Tables.embeddings(spark, dir).limit(200)
+        .select($"vec_id", Similarity.quantize($"embedding").as("vq"))
+      val cents = emb.limit(8).select($"vq").as[Seq[Long]].collect().toSeq
+      val centLit = typedLit(cents)
+      val builtin = {
+        val dists = transform(sequence(lit(0), lit(cents.size - 1)), c =>
+          struct(
+            aggregate(zip_with($"vq", element_at(centLit, c + 1), (x, y) => (x - y) * (x - y)),
+              lit(0L), (acc, x) => acc + x).as("d"),
+            c.cast("long").as("cell")))
+        transform(slice(array_sort(dists), 1, 3), s => s.getField("cell"))
+      }
+      val both = emb.select($"vec_id",
+        call_function("nearest_cells", $"vq", centLit, lit(3)).as("nat"),
+        builtin.as("bi"))
+      assert(both.filter($"nat" =!= $"bi").isEmpty)
+    }
+  }
+
   describe("hyperplane_sig native expression") {
     it("equals lshBucket over quantize on real embeddings") {
       val emb = Tables.embeddings(spark, dir)
