@@ -52,6 +52,17 @@ object TickStream {
   def configureRocksDbState(spark: SparkSession): Unit =
     rocksDbStateConfigs.foreach { case (k, v) => spark.conf.set(k, v) }
 
+  /** Existence check through the Hadoop FileSystem API, so the upsert
+    * sinks see the table on ANY supported scheme (file://, hdfs://,
+    * s3a://, ...). A `java.io.File` check would be always-false off the
+    * local filesystem and the sink would silently OVERWRITE instead of
+    * merge — on object storage, exactly where a 100 TB table lives. */
+  private[graft] def tableExists(spark: SparkSession, tablePath: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(tablePath)
+    val conf = spark.sessionState.newHadoopConf()
+    path.getFileSystem(conf).exists(path)
+  }
+
   /** readStream over the raw CSV landing zone (same layout/schema as
     * the batch reader — S1's streaming twin). `maxFilesPerTrigger`
     * bounds micro-batch size for backpressure. */
@@ -132,7 +143,7 @@ object TickStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val existing =
-          if (new java.io.File(tablePath).exists) spark.read.parquet(tablePath)
+          if (tableExists(spark, tablePath)) spark.read.parquet(tablePath)
           else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], batch.schema)
         val merged = graft.operators.MergeUpsert
           .mergeUpsert(existing, batch, keys, versionCol)
@@ -169,7 +180,7 @@ object TickStream {
         val parts = batch.select(partitionCol).distinct().collect().map(_.get(0))
         if (parts.nonEmpty) {
           val existing =
-            if (new java.io.File(tablePath).exists)
+            if (tableExists(spark, tablePath))
               spark.read.parquet(tablePath)
                 .filter(org.apache.spark.sql.functions.col(partitionCol).isin(parts.toSeq: _*))
             else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], batch.schema)

@@ -87,6 +87,16 @@ class StreamingSpec extends AnyFunSpec {
       assert(lastRow == aapl.maxBy(_.event_time.getTime).price)
     }
 
+    it("upsert-sink existence check resolves through the Hadoop FileSystem API") {
+      val dir = java.nio.file.Files.createTempDirectory("graft_fs_check").toString
+      // An explicit file:-scheme URI: java.io.File("file:/...") never exists
+      // (the scheme becomes part of the pathname), so a true result proves
+      // the check went through Hadoop's FileSystem, not the local-FS API.
+      assert(!new java.io.File(s"file:$dir").exists)
+      assert(TickStream.tableExists(spark, s"file:$dir"))
+      assert(!TickStream.tableExists(spark, s"file:$dir/absent"))
+    }
+
     it("foreachBatch upsert sink converges to one row per key across batches") {
       val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
       val source = MemoryStream[Tick](spark)
