@@ -345,8 +345,16 @@ object Dedup {
     * (MEMORY_AND_DISK) and every superseded round unpersists — an
     * iterative operator that leaks its intermediates would bleed
     * block-manager memory across queries in a long-lived session.
-    * The returned labels stay cached for the caller's (usually
-    * multi-use) consumption; edges are freed here.
+    * CALLER CONTRACT: the returned labels frame is persisted so
+    * multi-use consumption doesn't recompute the whole iteration;
+    * the caller MUST `unpersist()` it when done (or go through
+    * [[dedupGroups]], which snapshots and frees it internally).
+    * Edges and intermediate rounds are freed here. Lineage is
+    * truncated with `localCheckpoint` every few rounds so the logical
+    * plan doesn't grow one join per round (analyzer cost compounds on
+    * high-diameter graphs; local checkpoints trade executor-loss
+    * resilience for plan truncation, the right trade in an iterative
+    * inner loop).
     * Only vertices present in `pairs` are labeled: singletons are
     * their own group by definition and never shuffle. */
   def connectedComponents(pairs: DataFrame, src: String, dst: String,
@@ -364,10 +372,14 @@ object Dedup {
       val prop = edges
         .join(labels.select(col("id").as("a"), col("label").as("la")), "a")
         .groupBy(col("b").as("id")).agg(min(col("la")).as("nmin"))
-      val next = labels.join(prop, Seq("id"), "left")
+      val grown = labels.join(prop, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      // every 4th round: cut lineage (the plan otherwise accretes one
+      // join per round); other rounds: plain persist, forced below.
+      val next =
+        if ((i + 1) % 4 == 0) grown.localCheckpoint(eager = true)
+        else grown.persist(StorageLevel.MEMORY_AND_DISK)
       converged = next.join(labels.select(col("id"), col("label").as("old")), "id")
         .filter(col("label") =!= col("old")).isEmpty // forces `next`'s cache
       labels.unpersist(blocking = false)
@@ -382,14 +394,116 @@ object Dedup {
     labels
   }
 
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14 — public algorithm; reference has no graph
+    * operator, this is the scale path behind near-dup grouping).
+    *
+    * Same fixpoint as [[connectedComponents]] — every vertex labeled
+    * with its component MINIMUM — but convergence is O(log n) rounds
+    * instead of O(diameter): min-label propagation on a million-doc
+    * near-dup chain needs a million rounds; star contraction halves
+    * tree heights every alternation, so even a pathological chain at
+    * 100 TB converges in a few dozen jobs.
+    *
+    * Edges are kept directed child→parent (`u > v`). One round =
+    *  - large-star: per vertex x, connect every LARGER neighbor to
+    *    m = min(Γ(x) ∪ {x});
+    *  - small-star: per vertex u over its smaller neighbors, rewire
+    *    them (and u) to their minimum.
+    * Both preserve connectivity (paper, Lemmas 1-2); the fixpoint is
+    * a star forest rooted at component minima. Convergence check =
+    * edge-set equality with the previous round (count + anti-join,
+    * both on cached frames). Exact and deterministic — no sampling,
+    * no hashing tricks.
+    *
+    * CALLER CONTRACT: as [[connectedComponents]] — the returned
+    * labels frame is persisted; callers must `unpersist()` it (or use
+    * [[dedupGroups]]). `onConverged` reports the round count (tests
+    * assert the O(log n) bound with it). */
+  def connectedComponentsStar(pairs: DataFrame, src: String, dst: String,
+                              maxIters: Int = 50,
+                              onConverged: Int => Unit = _ => ()): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.select(col("u").as("x"), col("v").as("y"))
+        .union(e.select(col("v").as("x"), col("u").as("y")))
+      val mins = nbrs.groupBy("x").agg(min(col("y")).as("mn"))
+        .select(col("x"), least(col("mn"), col("x")).as("m"))
+      nbrs.join(mins, "x")
+        .filter(col("y") > col("x"))
+        .select(col("y").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("u").agg(min(col("v")).as("m"))
+      e.join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v")) // smaller neighbors → min
+        .union(mins.select(col("u"), col("m").as("v"))) // u itself → min
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    var edges = pairs
+      .select(greatest(col(src), col(dst)).as("u"), least(col(src), col(dst)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var nEdges = edges.count()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val grown = smallStar(largeStar(edges))
+      val next =
+        if ((i + 1) % 3 == 0) grown.localCheckpoint(eager = true)
+        else grown.persist(StorageLevel.MEMORY_AND_DISK)
+      val nNext = next.count()
+      converged = nNext == nEdges && next.exceptAll(edges).isEmpty
+      edges.unpersist(blocking = false)
+      edges = next
+      nEdges = nNext
+      i += 1
+    }
+    if (!converged) {
+      edges.unpersist(blocking = false)
+      throw new IllegalStateException(s"connectedComponentsStar: no fixpoint after $maxIters rounds")
+    }
+    onConverged(i)
+    // Converged star forest: each non-root vertex has exactly one edge
+    // to its component minimum; roots label themselves.
+    val verts = pairs.select(col(src).as("id")).union(pairs.select(col(dst).as("id"))).distinct()
+    val labels = verts
+      .join(edges.select(col("u").as("id"), col("v").as("lbl")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    labels.count()
+    edges.unpersist(blocking = false)
+    labels
+  }
+
   /** Near-dup groups: pair graph → (doc_id, rep_id, group_size) with
     * rep_id = min doc id of the component. The keep/drop decision of
-    * a dedup pipeline is then `doc_id != rep_id`. */
-  def dedupGroups(pairs: DataFrame, src: String = "id1", dst: String = "id2"): DataFrame = {
-    val cc = connectedComponents(pairs, src, dst)
-    cc.select(col("id").as("doc_id"), col("label").as("rep_id"))
+    * a dedup pipeline is then `doc_id != rep_id`.
+    * Uses star-contraction CC (O(log n) rounds — the 100 TB default);
+    * `algo = "minlabel"` keeps the simple propagation form for small
+    * or known-shallow graphs. The result is snapshotted with
+    * `localCheckpoint` and the labels cache is freed here, so repeated
+    * calls don't accrete block-manager entries. */
+  def dedupGroups(pairs: DataFrame, src: String = "id1", dst: String = "id2",
+                  algo: String = "star"): DataFrame = {
+    val cc = algo match {
+      case "star"     => connectedComponentsStar(pairs, src, dst)
+      case "minlabel" => connectedComponents(pairs, src, dst)
+      case other      => throw new IllegalArgumentException(s"dedupGroups: unknown algo '$other'")
+    }
+    val out = cc.select(col("id").as("doc_id"), col("label").as("rep_id"))
       .join(cc.groupBy(col("label").as("rep_id")).agg(count(lit(1)).as("group_size")), "rep_id")
       .select("doc_id", "rep_id", "group_size")
+      .localCheckpoint(eager = true) // snapshot before freeing the labels cache
+    cc.unpersist(blocking = false)
+    out
   }
 
   /** Banded Hamming-candidate tail shared by both signature forms:

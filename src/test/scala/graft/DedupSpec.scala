@@ -144,6 +144,37 @@ class DedupSpec extends AnyFunSpec {
         Dedup.connectedComponents(chain, "id1", "id2", maxIters = 1).collect()
       }
     }
+    it("star contraction equals min-label propagation on chains, cliques and forests") {
+      val fixtures = Seq(
+        // chain + triangle + pair (the group fixture above)
+        Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)),
+        // edges arriving in both orientations and duplicated
+        Seq((2L, 1L), (1L, 2L), (3L, 2L), (5L, 4L), (4L, 6L)),
+        // a star already, plus an isolated long chain
+        Seq((7L, 1L), (8L, 1L), (9L, 1L), (30L, 31L), (31L, 32L), (32L, 33L), (33L, 34L)))
+      for (fx <- fixtures) {
+        val pairs = fx.toDF("id1", "id2")
+        val a = Dedup.connectedComponents(pairs, "id1", "id2")
+        val b = Dedup.connectedComponentsStar(pairs, "id1", "id2")
+        assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+        a.unpersist(); b.unpersist()
+      }
+    }
+    it("star contraction converges in O(log n) rounds on a 10k-vertex chain") {
+      // THE pathological case for min-label propagation: diameter 9 999
+      // means ~10k rounds there. Star contraction must do it in < 20.
+      val n = 10000L
+      val chain = spark.range(1, n) // ids 1..n, edges (i, i+1)
+        .select(col("id").as("id1"), (col("id") + 1).as("id2"))
+      var rounds = -1
+      val labels = Dedup.connectedComponentsStar(chain, "id1", "id2",
+        onConverged = r => rounds = r)
+      assert(rounds > 0 && rounds < 20, s"converged in $rounds rounds")
+      // one component, labeled by the minimum vertex
+      assert(labels.agg(count(lit(1)), countDistinct(col("label")), min(col("label")))
+        .as[(Long, Long, Long)].head() == ((n, 1L, 1L)))
+      labels.unpersist()
+    }
   }
 
   describe("simhashPairs") {
