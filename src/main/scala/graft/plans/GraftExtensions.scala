@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{AnalysisException, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
@@ -13,46 +13,105 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * custom Catalyst rules/strategies (SURVEY §4 conclusion) — this hook
   * exists for the scale-path primitives that built-ins can't express
   * without blowing up row counts.
+  *
+  * Builders validate like Spark's own registry entries: wrong arity
+  * and non-literal config arguments raise an `AnalysisException` with
+  * the standard error class (`WRONG_NUM_ARGS` / `NON_FOLDABLE_ARGUMENT`)
+  * instead of an opaque eval-time NPE, and surplus arguments are
+  * rejected rather than silently dropped.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
-      (children: Seq[Expression]) => RollingHash(children.head)))
+      (children: Seq[Expression]) => RollingHash(
+        arity("rolling_hash", children, 1, 1).head)))
     ext.injectFunction((
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (children: Seq[Expression]) => MinHashSig(
-        children.head,
-        children.lift(1).map(_.eval().asInstanceOf[Number].intValue).getOrElse(32))))
+        arity("minhash_sig", children, 1, 2).head,
+        foldableInt("minhash_sig", "numHashes", children, 1, default = 32))))
     ext.injectFunction((
       FunctionIdentifier("simhash_sig"),
       new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
       (children: Seq[Expression]) => SimHashSig(
-        children.head,
-        children.lift(1).map(_.eval().asInstanceOf[Number].intValue).getOrElse(60))))
+        arity("simhash_sig", children, 1, 2).head,
+        foldableInt("simhash_sig", "bits", children, 1, default = 60))))
     ext.injectFunction((
       FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       (children: Seq[Expression]) => WordShingles(
-        children.head,
-        children.lift(1).map(_.eval().asInstanceOf[Number].intValue).getOrElse(3))))
+        arity("word_shingles", children, 1, 2).head,
+        foldableInt("word_shingles", "n", children, 1, default = 3))))
     ext.injectFunction((
       FunctionIdentifier("hyperplane_sig"),
       new ExpressionInfo(classOf[HyperplaneSig].getName, "hyperplane_sig"),
       (children: Seq[Expression]) => HyperplaneSig(
-        children.head,
-        children.lift(1).map(_.eval().asInstanceOf[Number].intValue).getOrElse(12))))
+        arity("hyperplane_sig", children, 1, 2).head,
+        foldableInt("hyperplane_sig", "planes", children, 1, default = 12))))
     ext.injectFunction((
       FunctionIdentifier("dot_q"),
       new ExpressionInfo(classOf[DotQ].getName, "dot_q"),
-      (children: Seq[Expression]) => DotQ(children.head, children(1))))
+      (children: Seq[Expression]) => {
+        val c = arity("dot_q", children, 2, 2)
+        DotQ(c.head, c(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("nearest_cells"),
       new ExpressionInfo(classOf[NearestCells].getName, "nearest_cells"),
-      (children: Seq[Expression]) => NearestCells(
-        children.head, children(1),
-        children.lift(2).map(_.eval().asInstanceOf[Number].intValue).getOrElse(1))))
+      (children: Seq[Expression]) => {
+        val c = arity("nearest_cells", children, 2, 3)
+        NearestCells(c.head, c(1),
+          foldableInt("nearest_cells", "nProbe", children, 2, default = 1))
+      }))
   }
+}
+
+object GraftExtensions {
+  /** Reject wrong argument counts at resolution time with Spark's
+    * standard error class (extra args would otherwise be silently
+    * ignored by positional `lift`). */
+  private def arity(fn: String, children: Seq[Expression],
+                    min: Int, max: Int): Seq[Expression] = {
+    if (children.size < min || children.size > max)
+      throw new AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> s"`$fn`",
+          "expectedNum" -> (if (min == max) min.toString else s"[$min, $max]"),
+          "actualNum" -> children.size.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+    children
+  }
+
+  /** Optional literal-int config argument: absent → default; present
+    * but non-foldable (a column, a non-deterministic call) → a clear
+    * `NON_FOLDABLE_ARGUMENT` instead of an NPE from `eval()` on an
+    * unbound attribute. */
+  private def foldableInt(fn: String, param: String, children: Seq[Expression],
+                          idx: Int, default: Int): Int =
+    children.lift(idx) match {
+      case None => default
+      case Some(e) =>
+        if (!e.foldable)
+          throw new AnalysisException(
+            errorClass = "NON_FOLDABLE_ARGUMENT",
+            messageParameters = Map(
+              "funcName" -> s"`$fn`",
+              "paramName" -> s"`$param`",
+              "paramType" -> "\"INT\""))
+        e.eval() match {
+          case n: Number => n.intValue
+          case _ => throw new AnalysisException(
+            errorClass = "NON_FOLDABLE_ARGUMENT",
+            messageParameters = Map(
+              "funcName" -> s"`$fn`",
+              "paramName" -> s"`$param`",
+              "paramType" -> "\"INT\""))
+        }
+    }
 }

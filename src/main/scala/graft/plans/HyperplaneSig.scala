@@ -30,7 +30,10 @@ case class HyperplaneSig(child: Expression, numPlanes: Int) extends UnaryExpress
   override def dataType: DataType = LongType
   override def prettyName: String = "hyperplane_sig"
 
-  private val isFloat = child.dataType match {
+  // lazy: reading child.dataType eagerly would throw UnresolvedException
+  // if the expression is constructed/copied with an unresolved child on
+  // an analyzer transform path (the pattern Spark's own expressions use)
+  private lazy val isFloat = child.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
   }

@@ -140,9 +140,14 @@ object Invariants {
     expression("no_future_trades",
       col("trade_date").isNull || col("trade_date") <= now)
 
-  /** dbt/tests/assert_stream_window_integrity.sql. */
+  /** dbt/tests/assert_stream_window_integrity.sql. Null-tolerant like
+    * the other factories (and like dbt's singular test, whose WHERE
+    * clause never returns NULL-predicate rows): nullability itself is
+    * `notNull`'s job, not this check's. */
   def streamWindowIntegrity: RowCheck =
     expression("stream_window_integrity",
-      col("window_end_at") > col("window_start_at") &&
-        col("window_duration_minutes") > 0)
+      col("window_end_at").isNull || col("window_start_at").isNull ||
+        col("window_duration_minutes").isNull ||
+        (col("window_end_at") > col("window_start_at") &&
+          col("window_duration_minutes") > 0))
 }

@@ -95,5 +95,15 @@ class InvariantsSpec extends AnyFunSpec {
       assert(violations(w, streamWindowIntegrity)
         .select($"symbol").as[String].collect().sorted.toSeq == Seq("B", "C"))
     }
+    it("is null-tolerant: NULL bounds are notNull's concern, not a violation here") {
+      val w = Seq(
+        ("N1", None, Some("2024-01-01 10:15:00"), Some(15L)),
+        ("N2", Some("2024-01-01 10:00:00"), None, Some(15L)),
+        ("N3", Some("2024-01-01 10:00:00"), Some("2024-01-01 10:15:00"), None))
+        .toDF("symbol", "window_start_at", "window_end_at", "window_duration_minutes")
+        .withColumn("window_start_at", to_timestamp($"window_start_at"))
+        .withColumn("window_end_at", to_timestamp($"window_end_at"))
+      assert(violations(w, streamWindowIntegrity).isEmpty)
+    }
   }
 }

@@ -31,4 +31,21 @@ class RollingHashSpec extends AnyFunSpec {
       assert(got(0).isEmpty && got(1).contains(refHash("a")))
     }
   }
+
+  describe("extension function builders") {
+    it("reject surplus arguments with WRONG_NUM_ARGS instead of ignoring them") {
+      val ex = intercept[org.apache.spark.sql.AnalysisException] {
+        Seq("a b c").toDF("s")
+          .select(expr("minhash_sig(array('a'), 32, 99)")).collect()
+      }
+      assert(ex.getMessage.contains("minhash_sig") && ex.getMessage.contains("parameters"))
+    }
+    it("reject a non-literal config argument with NON_FOLDABLE_ARGUMENT, not an NPE") {
+      val ex = intercept[org.apache.spark.sql.AnalysisException] {
+        Seq(("a b c", 4)).toDF("s", "n")
+          .select(expr("word_shingles(s, n)")).collect()
+      }
+      assert(ex.getMessage.contains("word_shingles") && ex.getMessage.contains("foldable"))
+    }
+  }
 }
