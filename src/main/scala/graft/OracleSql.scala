@@ -365,6 +365,13 @@ object OracleSql {
          |SELECT symbol, window_start, window_end, ma, volatility, volume_sum
          |FROM h1 ORDER BY symbol, window_start""".stripMargin,
 
+    // Streaming-computed twin of q_tick_windows_15m: SAME oracle —
+    // streaming≡batch is exactly what the row makes the gate check.
+    "q_stream_windows_15m" ->
+      s"""${tickChain("w15")}
+         |SELECT symbol, window_start, window_end, ma, volatility, volume_sum
+         |FROM w15 ORDER BY symbol, window_start""".stripMargin,
+
     "q_realtime_analytics" ->
       s"""${tickChain("rt")}
          |SELECT * FROM rt ORDER BY symbol, window_start""".stripMargin,

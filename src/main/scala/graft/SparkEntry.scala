@@ -89,6 +89,44 @@ object SparkEntry {
     TickAnalytics.windowAggregatesExact(Adapters.ticks(s, dir), "1 hour")
       .orderBy("symbol", "window_start")
 
+  /** §2.8 through the CORRECTNESS gate: the same 15-minute window lane
+    * as `q_tick_windows_15m`, computed end-to-end through Structured
+    * Streaming — readStream parquet source → watermarked exact window
+    * agg → `Trigger.AvailableNow` drain → snapshot sink — then read
+    * back. Shares the batch query's oracle: streaming ≡ batch IS the
+    * assertion. (Append-mode file sink can't express the equality —
+    * windows overlapping the final watermark never close — hence the
+    * complete-mode snapshot; see TickStream.snapshotSink.) */
+  private def qStreamWindows15m(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.TickStream
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_w15").toString
+    // The file stream source wants a directory to watch; select the
+    // single events table out of the shared sf dir by filename glob.
+    val ev = s.readStream.schema(Tables.events(s, dir).schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    // Watermarks require TIMESTAMP (instant) — the batch lane's
+    // TIMESTAMP_NTZ is cast through the session's pinned-UTC timezone
+    // on the way in and back on the way out, both wall-clock-preserving.
+    val ticks = ev.select(
+      col("event_type").as("symbol"),
+      Adapters.eventTime(ev).cast("timestamp").as("event_time"),
+      col("value").as("price"),
+      lit(1L).as("volume"))
+    val q = TickStream.snapshotSink(
+        TickStream.windowedExact(ticks, "15 minutes", "30 minutes"),
+        s"$out/table", s"$out/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$out/table")
+      .select(col("symbol"),
+        col("window_start").cast("timestamp_ntz").as("window_start"),
+        col("window_end").cast("timestamp_ntz").as("window_end"),
+        col("ma"), col("volatility"), col("volume_sum"))
+      .orderBy("symbol", "window_start")
+  }
+
   private def qRealtimeAnalytics(s: SparkSession, dir: String): DataFrame =
     TickAnalytics.realtimeAnalytics(Adapters.ticks(s, dir))
       .orderBy("symbol", "window_start")
@@ -397,6 +435,7 @@ object SparkEntry {
     "q_mart_daily_summary" -> (qMartDailySummary _),
     "q_quality_audit" -> (qQualityAudit _),
     "q_tick_windows_15m" -> (qTickWindows15m _),
+    "q_stream_windows_15m" -> (qStreamWindows15m _),
     "q_tick_windows_1h" -> (qTickWindows1h _),
     "q_realtime_analytics" -> (qRealtimeAnalytics _),
     "q_mart_realtime_signals" -> (qMartRealtimeSignals _),

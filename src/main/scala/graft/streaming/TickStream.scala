@@ -81,6 +81,33 @@ object TickStream {
     TickAnalytics.windowAggregates(
       ticks.withWatermark("event_time", watermark), duration)
 
+  /** [[windowed]] with the exact fixed-point aggregation
+    * ([[TickAnalytics.windowAggregatesExact]]): partial state is three
+    * longs per window, bit-stable across micro-batch boundaries — the
+    * streaming twin of the batch query the oracle checks. */
+  def windowedExact(ticks: DataFrame, duration: String = "15 minutes",
+                    watermark: String = "30 minutes"): DataFrame =
+    TickAnalytics.windowAggregatesExact(
+      ticks.withWatermark("event_time", watermark), duration)
+
+  /** Complete-mode snapshot sink: every trigger overwrites `tablePath`
+    * with the full refreshed aggregate. The parquet FILE sink only
+    * supports append, and append-mode aggregation can never emit the
+    * windows still inside the watermark when the stream drains — so a
+    * snapshot query (a mart the reference recomputes per batch) goes
+    * through foreachBatch + overwrite instead. State is O(open
+    * windows); for unbounded-key aggregations at scale, prefer the
+    * update-mode [[upsertSink]] which bounds the rewrite to touched
+    * keys. */
+  def snapshotSink(agg: DataFrame, tablePath: String,
+                   checkpoint: String): DataStreamWriter[Row] =
+    agg.writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(tablePath)
+      }
+
   /** Streaming exact dedup: drops repeated (symbol, event_time) rows
     * with state bounded by the watermark — the streaming twin of the
     * batch keep-first dedup (P10 / Dedup.keepFirst). */
