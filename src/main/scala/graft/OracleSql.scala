@@ -308,6 +308,27 @@ object OracleSql {
          |FROM returns r JOIN rolling m ON r.symbol = m.symbol AND r.trade_date = m.trade_date
          |ORDER BY r.symbol, r.trade_date""".stripMargin,
 
+    "q_mart_sector_summary" ->
+      s"""${dailyChain("perf")},
+         |dim AS (
+         |  SELECT s_suppkey AS symbol, n_name AS sector,
+         |    CASE WHEN s_acctbal >= 5000 THEN 'LARGE'
+         |         WHEN s_acctbal >= 0 THEN 'MID'
+         |         ELSE 'SMALL' END AS market_cap_tier
+         |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         |)
+         |SELECT p.trade_date, d.sector, d.market_cap_tier,
+         |  COUNT(DISTINCT p.symbol) AS symbols,
+         |  COUNT(*) FILTER (WHERE daily_return_pct > 0) AS advancers,
+         |  COUNT(*) FILTER (WHERE daily_return_pct < 0) AS decliners,
+         |  ${rd(s"SUM(${sc("daily_return_pct", 4)}) / COUNT(daily_return_pct) / 10000.0", 4)} AS avg_return_pct,
+         |  COUNT(*) FILTER (WHERE ma_signal_5_20 = 'GOLDEN_CROSS') AS golden_cross_5_20_count,
+         |  COUNT(*) FILTER (WHERE rsi_signal = 'OVERBOUGHT') AS overbought_count,
+         |  CAST(SUM(volume) AS BIGINT) AS total_volume
+         |FROM perf p JOIN dim d ON p.symbol = d.symbol
+         |GROUP BY p.trade_date, d.sector, d.market_cap_tier
+         |ORDER BY p.trade_date, d.sector, d.market_cap_tier""".stripMargin,
+
     "q_mart_daily_summary" ->
       s"""${dailyChain("perf")},
          |sb AS (

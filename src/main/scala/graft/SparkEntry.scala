@@ -58,6 +58,14 @@ object SparkEntry {
     DailyAnalytics.martStockPerformance(Adapters.dailyBars(s, dir))
       .orderBy("symbol", "trade_date")
 
+  /** §2.3's implied seed-dim mart: stock performance ⋈ broadcast ticker
+    * dim → day×sector×tier rollup. */
+  private def qMartSectorSummary(s: SparkSession, dir: String): DataFrame =
+    Enrichment.sectorSummary(
+      DailyAnalytics.martStockPerformance(Adapters.dailyBars(s, dir)),
+      Enrichment.tickerDimFromSuppliers(s, dir))
+      .orderBy("trade_date", "sector", "market_cap_tier")
+
   /** J2 — the literal returns ⋈ rolling equi join of the reference mart. */
   private def qReturnsJoinRolling(s: SparkSession, dir: String): DataFrame =
     DailyAnalytics.joinedStockPerformance(Adapters.dailyBars(s, dir))
@@ -433,6 +441,7 @@ object SparkEntry {
     "q_mart_stock_performance" -> (qMartStockPerformance _),
     "q_returns_join_rolling" -> (qReturnsJoinRolling _),
     "q_mart_daily_summary" -> (qMartDailySummary _),
+    "q_mart_sector_summary" -> (qMartSectorSummary _),
     "q_quality_audit" -> (qQualityAudit _),
     "q_tick_windows_15m" -> (qTickWindows15m _),
     "q_stream_windows_15m" -> (qStreamWindows15m _),

@@ -40,6 +40,48 @@ object Enrichment {
         countDistinct(col("l_suppkey")).as("suppliers"))
   }
 
+  /** Ticker dimension in the seed's shape — (symbol, sector,
+    * market_cap_tier) — derived from the supplier snowflake: sector :=
+    * nation name, tier := account-balance bands. The reference's
+    * sp500_tickers.csv (dbt/seeds/sp500_tickers.csv:1-11) carries this
+    * exact shape keyed by ticker string; `RawSources.tickerDim` loads
+    * that CSV and feeds the same [[sectorSummary]] (suite-tested).
+    * This derivation keys the dim to the numeric symbols of the test
+    * corpus so the mart is oracle-checkable end-to-end. */
+  def tickerDimFromSuppliers(spark: SparkSession, dir: String): DataFrame =
+    Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(
+        col("s_suppkey").as("symbol"),
+        col("n_name").as("sector"),
+        when(col("s_acctbal") >= 5000, "LARGE")
+          .when(col("s_acctbal") >= 0, "MID")
+          .otherwise("SMALL").as("market_cap_tier"))
+
+  /** The sector mart the seed dimension implies (SURVEY §2.3 — the
+    * reference declares sp500_tickers but never joins it): day ×
+    * sector × market-cap-tier rollup of the stock-performance mart.
+    * `dim` must carry (symbol, sector, market_cap_tier) — the seed CSV
+    * via RawSources.tickerDim in production, [[tickerDimFromSuppliers]]
+    * under the oracle. The dim is broadcast (tiny by construction), so
+    * the fact side's only shuffle is the partial-aggregable rollup;
+    * averages aggregate exact fixed-point views per the repo-wide
+    * determinism policy. */
+  def sectorSummary(perf: DataFrame, dim: DataFrame): DataFrame = {
+    val ret = col("daily_return_pct")
+    perf.join(broadcast(dim), Seq("symbol"))
+      .groupBy(col("trade_date"), col("sector"), col("market_cap_tier"))
+      .agg(
+        countDistinct(col("symbol")).as("symbols"),
+        count_if(ret > 0).as("advancers"),
+        count_if(ret < 0).as("decliners"),
+        scaledAvg(scaled(ret, 4), 4, 4).as("avg_return_pct"),
+        count_if(col("ma_signal_5_20") === "GOLDEN_CROSS").as("golden_cross_5_20_count"),
+        count_if(col("rsi_signal") === "OVERBOUGHT").as("overbought_count"),
+        sum(col("volume")).as("total_volume"))
+  }
+
   /** ROLLUP over the dim hierarchy: per-nation, per-region subtotal,
     * grand total — one pass, partial-aggregable like any hash agg
     * (Expand just multiplies rows by the grouping-set count before the

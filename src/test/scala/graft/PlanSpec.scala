@@ -21,6 +21,12 @@ class PlanSpec extends AnyFunSpec {
       assert(!p.contains("SortMergeJoin"))
     }
 
+    it("sector mart joins the ticker dim by broadcast") {
+      val p = plan(SparkEntry.queries("q_mart_sector_summary")(spark, dir))
+      assert(p.contains("BroadcastHashJoin"))
+      assert(!p.contains("SortMergeJoin"))
+    }
+
     it("pricing filter reaches the parquet scan (PushedFilters)") {
       val p = plan(SparkEntry.queries("q_pricing_summary")(spark, dir))
       assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
