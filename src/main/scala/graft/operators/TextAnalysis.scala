@@ -43,12 +43,28 @@ object TextAnalysis {
     * this is integer sums with ONE final division — deterministic and
     * oracle-checkable. Two shuffles (df count, per-doc sum), both
     * partial-aggregable; tokens travel as 60-bit hashes. */
-  def tokenRarity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def tokenRarity(df: DataFrame, idCol: String, textCol: String,
+                  hotK: Int = 1024): DataFrame = {
     val ex = df.select(col(idCol), explode(tokens(col(textCol))).as("t"))
       .select(col(idCol), hash60(col("t")).as("th"))
     val docFreq = ex.select(col(idCol), col("th")).distinct()
       .groupBy("th").agg(count(lit(1)).as("df"))
-    ex.join(docFreq, "th")
+    // The token-hash key is Zipfian — a stopword's rows would all land
+    // on one reducer. Resolve the top-hotK high-DF head MAP-SIDE
+    // (broadcast equi + broadcast anti join, no shuffle of the hot
+    // rows); only tail keys — bounded per-key cardinality by
+    // construction — take the shuffle join. docFreq appears three
+    // times in the plan; AQE's stage cache reuses the materialized
+    // exchange across appearances (ReusedExchange, asserted in
+    // PlanSpec on the executed plan — at 100 TB, persist docFreq or
+    // stage it to a table if the residual duplicate matters).
+    // Identical (id, df) multiset either way; integer sums are
+    // order-independent, so the result is unchanged.
+    val head = docFreq.orderBy(col("df").desc, col("th")).limit(hotK)
+    val hot = ex.join(broadcast(head), "th")
+    val cold = ex.join(broadcast(head.select("th")), Seq("th"), "left_anti")
+      .join(docFreq, "th")
+    hot.unionByName(cold)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"), sum(col("df")).as("sum_df"))
       .select(col(idCol), col("n_tokens"), col("sum_df"),

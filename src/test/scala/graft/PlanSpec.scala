@@ -21,6 +21,22 @@ class PlanSpec extends AnyFunSpec {
       assert(!p.contains("SortMergeJoin"))
     }
 
+    it("token rarity resolves the Zipf head map-side and reuses the docFreq exchange") {
+      val df = SparkEntry.queries("q_token_rarity")(spark, dir)
+      df.collect() // AQE reuse is a runtime (stage-cache) property — materialize first
+      val fin = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.toString
+        case other => other.toString
+      }
+      // hot head resolved by broadcast equi + broadcast anti join — the
+      // Zipf head never takes a shuffle join
+      assert(fin.contains("BroadcastHashJoin") && fin.contains("LeftAnti"),
+        s"expected broadcast hot-head joins, plan:\n$fin")
+      // the docFreq aggregate's exchange is materialized once and reused
+      assert(fin.contains("ReusedExchange"), s"expected ReusedExchange, plan:\n$fin")
+    }
+
     it("sector mart joins the ticker dim by broadcast") {
       val p = plan(SparkEntry.queries("q_mart_sector_summary")(spark, dir))
       assert(p.contains("BroadcastHashJoin"))
