@@ -836,6 +836,17 @@ object OracleSql {
         |  CAST(frame_idx AS INTEGER) AS frame_idx,
         |  CAST(length(substr(text, CAST(frame_idx * 256 + 1 AS INTEGER), 256)) AS INTEGER) AS frame_len,
         |  md5(substr(text, CAST(frame_idx * 256 + 1 AS INTEGER), 256)) AS frame_hash
-        |FROM f ORDER BY media_id, frame_idx""".stripMargin
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+
+    // PNG is lossless ⇒ decoded raster == input bytes (= unhex(md5)).
+    // The expected features are thus codec-free to state; only a
+    // working encode∘decode in Spark can reproduce them.
+    "q_multimodal_decode" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  CAST(4 AS INTEGER) AS width,
+        |  CAST(4 AS INTEGER) AS height,
+        |  UPPER(MD5(text)) AS pixel_hex,
+        |  TRUE AS decode_ok
+        |FROM documents ORDER BY media_id""".stripMargin
   )
 }

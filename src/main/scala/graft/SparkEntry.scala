@@ -430,6 +430,22 @@ object SparkEntry {
       .orderBy("media_id", "frame_idx")
   }
 
+  /** Real-codec roundtrip: 16 deterministic bytes per doc → 4×4 gray
+    * PNG (javax.imageio encode) → real ImageIO decode → raster hex.
+    * PNG is lossless, so the decoded raster equals the input bytes and
+    * DuckDB can state the expected features without any codec:
+    * pixel_hex = UPPER(MD5(text)). A failed decode would break width/
+    * height/hex — the oracle checks the codec path, not a tautology. */
+  private def qMultimodalDecode(s: SparkSession, dir: String): DataFrame = {
+    val parts = s.sessionState.conf.numShufflePartitions
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id").cast("long").as("media_id"),
+        unhex(md5(col("text"))).as("payload"))
+      .repartition(parts, col("media_id")) // 1 row group ≠ 1 task (CPU-bound stage)
+    Multimodal.decodeImageFeatures(Multimodal.toGrayPng(media, width = 4))
+      .orderBy("media_id")
+  }
+
   // ──────────────────────────────────────────────────────────────────
   // Registry
   // ──────────────────────────────────────────────────────────────────
@@ -473,7 +489,8 @@ object SparkEntry {
     "q_sim_ivf" -> (qSimIvf _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_rolling_hash" -> (qRollingHash _),
-    "q_multimodal_frames" -> (qMultimodalFrames _)
+    "q_multimodal_frames" -> (qMultimodalFrames _),
+    "q_multimodal_decode" -> (qMultimodalDecode _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -8,19 +8,20 @@ import graft.functions.Funcs._
 /** Multimodal-column plumbing: opaque `binary` payloads + typed
   * metadata, frame sampling, and a feature-extraction stage.
   *
-  * The decode step is STUBBED (this container ships no image/audio
-  * codecs): [[decodeStubFeatures]] derives a deterministic fake
-  * feature vector from the payload's content hash. Everything
-  * Spark-side — schema, batch iteration, partitioning, frame
-  * explosion — is real: swapping the stub for a JNI/codec call (or,
-  * in PySpark, a pandas-batched decoder under `mapInPandas`) changes
-  * only the marked function.
+  * Image payloads get a REAL decoder: [[decodeImageFeatures]] runs
+  * `javax.imageio` (JDK-bundled PNG/JPEG/BMP codecs) per partition and
+  * emits dimensions + a deterministic raster hex; [[toGrayPng]] is the
+  * matching encoder. Formats with no JDK codec (audio/video) keep the
+  * documented STUB: [[decodeStubFeatures]] derives a deterministic
+  * fake feature vector from the payload's content hash, with the same
+  * signature a real decoder would have.
   *
   * Scale notes: payloads stay opaque binary end-to-end (no
   * row-to-string conversions); frame sampling explodes bounded
   * sequences (frames per doc = ceil(bytes/frameSize)), so the operator
-  * is a narrow map + generate with no shuffle; feature extraction is
-  * embarrassingly parallel per partition.
+  * is a narrow map + generate with no shuffle; decode and feature
+  * extraction are embarrassingly parallel per partition (codec state
+  * inits once per partition, never per row).
   */
 object Multimodal {
 
@@ -66,22 +67,36 @@ object Multimodal {
         i => (hash60(concat(md5(col("payload")), i.cast("string"))) % 1000).cast("double") / 1000.0))
 
   /** ===== STUB resize =====
-    * Stand-in for an image/audio resample: keeps every `factor`-th byte
-    * of the payload (a real codec would decode → scale → re-encode).
-    * Exercises the real Spark shape: binary in, smaller binary out,
-    * metadata updated consistently, pure narrow map.
+    * Stand-in for an audio/video resample where no JDK codec exists:
+    * keeps every `factor`-th byte of the payload (a real codec would
+    * decode → scale → re-encode; for images, use the real
+    * [[decodeImageFeatures]]/[[toGrayPng]] path). Linear-time stride
+    * copy per partition — the earlier `aggregate(..., concat)`
+    * expression form copied the accumulator per byte, O(n²) per
+    * payload. Pure narrow map; metadata updated consistently.
     */
-  def resizeStub(media: DataFrame, factor: Int): DataFrame =
-    media
-      .withColumn("payload", expr(
-        s"""aggregate(
-           |  transform(sequence(0, greatest(ceil(length(payload) / $factor) - 1, 0)),
-           |            i -> substring(payload, i * $factor + 1, 1)),
-           |  cast('' as binary), (acc, b) -> concat(acc, b))""".stripMargin))
+  def resizeStub(media: DataFrame, factor: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", media.schema("media_id").dataType),
+      StructField("payload", BinaryType),
+      StructField("mime", StringType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select(col("media_id"), col("payload"), col("meta.mime").as("mime"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val in = r.getAs[Array[Byte]](1)
+          val out = new Array[Byte]((in.length + factor - 1) / factor)
+          var i = 0
+          while (i < out.length) { out(i) = in(i * factor); i += 1 }
+          Row(r.get(0), out, r.getString(2))
+        }
+      }(enc)
       .withColumn("meta", struct(
         length(col("payload")).as("n_bytes"),
-        col("meta.mime").as("mime"),
+        col("mime"),
         ceil(length(col("payload")) / lit(frameSize.toDouble)).cast("int").as("n_frames")))
+      .select("media_id", "payload", "meta")
+  }
 
   /** The mapPartitions form of the decode stage — the shape a native
     * (JNI / process-per-partition codec) decoder plugs into. Kept
@@ -95,6 +110,94 @@ object Multimodal {
       .mapPartitions { rows =>
         // a real decoder would init its codec once per partition here
         rows.map { r => Row(r.getLong(0), r.getAs[Array[Byte]](1).length) }
+      }(enc)
+  }
+
+  /** JVM-side single-image helpers shared by the encode/decode
+    * operators and their tests. 8-bit grayscale PNG is the chosen
+    * wire format: lossless, JDK codec both directions, so
+    * encode∘decode is the identity on raster bytes — which is what
+    * makes the decode path ORACLE-CHECKABLE (the expected raster hex
+    * is a pure function of the input bytes). */
+  private[graft] def encodeGrayPngBytes(pixels: Array[Byte], width: Int): Array[Byte] = {
+    require(width > 0 && pixels.length % width == 0,
+      s"pixels (${pixels.length}) must tile a width-$width raster")
+    val img = new java.awt.image.BufferedImage(
+      width, pixels.length / width, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, width, pixels.length / width, pixels)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** ===== REAL encode =====
+    * Payload bytes → 8-bit grayscale PNG of the given width (payload
+    * length must tile the raster). Narrow mapPartitions; the codec
+    * writes to in-memory streams (disk cache off). */
+  def toGrayPng(media: DataFrame, width: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select(col("media_id").cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false) // once per partition
+        rows.map { r =>
+          Row(r.getLong(0), encodeGrayPngBytes(r.getAs[Array[Byte]](1), width))
+        }
+      }(enc)
+  }
+
+  /** ===== REAL decode =====
+    * `javax.imageio` per partition: decodes PNG/JPEG/BMP payloads and
+    * emits (media_id, width, height, pixel_hex, decode_ok), where
+    * pixel_hex is the uppercase hex of the raster samples read
+    * row-major, band-major — deterministic, no float color math.
+    * Undecodable payloads (no codec, truncated bytes) degrade to
+    * decode_ok = false with NULL features instead of failing the
+    * stage — at 100 TB some payloads WILL be corrupt, and a poison-pill
+    * row must not kill the job. */
+  def decodeImageFeatures(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("pixel_hex", StringType),
+      StructField("decode_ok", BooleanType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select(col("media_id").cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false) // once per partition
+        rows.map { r =>
+          val id = r.getLong(0)
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+            if (img == null) Row(id, null, null, null, false)
+            else {
+              val (w, h) = (img.getWidth, img.getHeight)
+              val raster = img.getRaster
+              val bands = raster.getNumBands
+              val sb = new java.lang.StringBuilder(w * h * bands * 2)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  var b = 0
+                  while (b < bands) {
+                    val v = raster.getSample(x, y, b) & 0xff
+                    sb.append("0123456789ABCDEF".charAt(v >>> 4))
+                    sb.append("0123456789ABCDEF".charAt(v & 0xf))
+                    b += 1
+                  }
+                  x += 1
+                }
+                y += 1
+              }
+              Row(id, w, h, sb.toString, true)
+            }
+          } catch { case _: java.io.IOException => Row(id, null, null, null, false) }
+        }
       }(enc)
   }
 }

@@ -86,5 +86,34 @@ class TextMultimodalSpec extends AnyFunSpec {
     it("mapPartitions decode plumbing preserves rows") {
       assert(Multimodal.decodePartitioned(media).count() == 3)
     }
+    it("real ImageIO roundtrip: decode(encode(bytes)) recovers the raster exactly") {
+      val px1 = Array.tabulate[Byte](16)(i => (i * 17).toByte)     // 4×4 gradient
+      val px2 = Array.tabulate[Byte](8)(i => (255 - i * 31).toByte) // 4×2
+      val m = Seq((1L, px1), (2L, px2)).toDF("media_id", "payload")
+      val got = Multimodal.decodeImageFeatures(Multimodal.toGrayPng(m, width = 4))
+        .orderBy("media_id")
+        .as[(Long, Option[Int], Option[Int], Option[String], Boolean)].collect().toSeq
+      def hex(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02X").mkString
+      assert(got == Seq(
+        (1L, Some(4), Some(4), Some(hex(px1)), true),
+        (2L, Some(4), Some(2), Some(hex(px2)), true)))
+    }
+    it("decodes an externally authored RGB PNG with per-band samples") {
+      // a 2×1 image: red pixel then blue pixel, written by ImageIO itself
+      val img = new java.awt.image.BufferedImage(2, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xff0000); img.setRGB(1, 0, 0x0000ff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      val m = Seq((7L, bos.toByteArray)).toDF("media_id", "payload")
+      val got = Multimodal.decodeImageFeatures(m)
+        .as[(Long, Option[Int], Option[Int], Option[String], Boolean)].head()
+      assert(got == ((7L, Some(2), Some(1), Some("FF00000000FF"), true)))
+    }
+    it("corrupt payloads degrade to decode_ok = false, not a failed job") {
+      val m = Seq((9L, "not a png at all".getBytes("UTF-8"))).toDF("media_id", "payload")
+      val got = Multimodal.decodeImageFeatures(m)
+        .as[(Long, Option[Int], Option[Int], Option[String], Boolean)].head()
+      assert(got == ((9L, None, None, None, false)))
+    }
   }
 }
