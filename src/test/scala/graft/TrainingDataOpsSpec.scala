@@ -57,5 +57,29 @@ class TrainingDataOpsSpec extends AnyFunSpec {
       val b = Packing.chunkSpans(docs.repartition(5), "doc_id", "toks", 256, 4)
       assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
     }
+    it("packs completely and contiguously under ANY shard count (property)") {
+      val docs = (1L to 60L).map(i => (i, 10 + (i % 11).toInt * 13)).toDF("doc_id", "toks")
+      val total = 60L
+      for (shards <- Seq(1, 3, 8, 64)) {
+        val spans = Packing.chunkSpans(docs, "doc_id", "toks", budget = 128, shards = shards)
+        // every doc placed exactly once, in its hash shard
+        assert(spans.count() == total)
+        assert(spans.select("doc_id").distinct().count() == total)
+        // shards tile: each shard's offsets start at 0 and abut (no
+        // gaps/overlaps) — Σ tokens == max(start_offset) + last tokens
+        val tiled = spans.join(docs, "doc_id")
+          .groupBy("shard")
+          .agg(min($"start_offset").as("first"),
+            max($"start_offset" + $"toks").as("endoff"),
+            sum($"toks".cast("long")).as("tok_sum"))
+        assert(tiled.filter($"first" =!= 0L || $"endoff" =!= $"tok_sum").isEmpty)
+      }
+    }
+    it("auto-scales the shard count when none is pinned") {
+      val docs = (1L to 30L).map(i => (i, 64)).toDF("doc_id", "toks")
+      val auto = Packing.chunkSpans(docs, "doc_id", "toks", 256) // shards = auto → 64 here
+      val pinned = Packing.chunkSpans(docs, "doc_id", "toks", 256, shards = 64)
+      assert(auto.exceptAll(pinned).isEmpty && pinned.exceptAll(auto).isEmpty)
+    }
   }
 }
