@@ -847,6 +847,13 @@ object OracleSql {
         |  CAST(4 AS INTEGER) AS height,
         |  UPPER(MD5(text)) AS pixel_hex,
         |  TRUE AS decode_ok
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // the same shift/mask interleave ladder, generated from the same
+    // Scala constants (graft.sources.Layout.zValueSql)
+    "q_layout_zorder" ->
+      s"""SELECT l_orderkey, l_suppkey,
+         |  CAST(${graft.sources.Layout.zValueSql("l_orderkey", "l_suppkey")} AS BIGINT) AS z
+         |FROM lineitem ORDER BY l_orderkey, l_suppkey""".stripMargin
   )
 }

@@ -446,6 +446,16 @@ object SparkEntry {
       .orderBy("media_id")
   }
 
+  /** The Z-order clustering key ([[graft.sources.Layout]]) as an
+    * oracle-checked computation: the bit-interleave ladder must agree
+    * with the DuckDB rendition exactly — it decides file layout, and
+    * two engines disagreeing on z means they'd cluster differently. */
+  private def qLayoutZorder(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        graft.sources.Layout.zValue(col("l_orderkey"), col("l_suppkey")).as("z"))
+      .orderBy("l_orderkey", "l_suppkey")
+
   // ──────────────────────────────────────────────────────────────────
   // Registry
   // ──────────────────────────────────────────────────────────────────
@@ -490,7 +500,8 @@ object SparkEntry {
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_rolling_hash" -> (qRollingHash _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
-    "q_multimodal_decode" -> (qMultimodalDecode _)
+    "q_multimodal_decode" -> (qMultimodalDecode _),
+    "q_layout_zorder" -> (qLayoutZorder _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
