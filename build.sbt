@@ -33,4 +33,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // the default 240m code cache fills, the JIT shuts off, and the
   // interpreted-expression queries (lambda-heavy dedup) go 2-3x slower
   "-XX:ReservedCodeCacheSize=512m",
+  // pin the collector: G1's region resizing + concurrent cycles add
+  // 2-5x run-to-run swing on short CPU-bound queries; the throughput
+  // collector is the steadier choice for a batch/bench workload
+  "-XX:+UseParallelGC",
 )

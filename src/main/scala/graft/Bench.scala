@@ -21,11 +21,13 @@ object Bench {
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
-    // Best-of-2 per query: single executions in a shared JVM swing by
-    // 2-3x (GC, lazy JIT of interpreted expression paths); the min is
-    // the steady-state plan cost.
+    // Best-of-3 per query (plus the sf0.001 warm-up above): single
+    // executions in a shared JVM swing 2-5x (GC, lazy JIT, hypervisor
+    // steal); the min over three runs is the steady-state plan cost.
+    // The GC is pinned in build.sbt (UseParallelGC) for the same
+    // reason.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
