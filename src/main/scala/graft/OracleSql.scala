@@ -849,6 +849,32 @@ object OracleSql {
         |  TRUE AS decode_ok
         |FROM documents ORDER BY media_id""".stripMargin,
 
+    // RANGE frame over integer epoch-days — the calendar twin of the
+    // ROWS-frame rolling mirrors above
+    "q_calendar_rolling" ->
+      s"""${dailyChain("bars")}
+         |SELECT symbol, trade_date,
+         |  ${rd(s"AVG(${sc("close_price", 2)}) OVER w / 100.0", 4)} AS avg_close_7d,
+         |  COUNT(*) OVER w AS n_obs_7d,
+         |  CAST(SUM(volume) OVER w AS BIGINT) AS vol_sum_7d
+         |FROM bars
+         |WINDOW w AS (PARTITION BY symbol
+         |  ORDER BY date_diff('day', DATE '1970-01-01', trade_date)
+         |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+         |ORDER BY symbol, trade_date""".stripMargin,
+
+    // both engines: exact sort-based percentile at pos = p*(n-1) with
+    // linear interpolation — exact on whole-valued quantities
+    "q_quantiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25_qty,
+        |  quantile_cont(l_quantity, 0.5) AS p50_qty,
+        |  quantile_cont(l_quantity, 0.75) AS p75_qty,
+        |  quantile_cont(l_quantity, 0.99) AS p99_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
     // the same shift/mask interleave ladder, generated from the same
     // Scala constants (graft.sources.Layout.zValueSql)
     "q_layout_zorder" ->

@@ -446,6 +446,29 @@ object SparkEntry {
       .orderBy("media_id")
   }
 
+  /** Calendar-interval rolling window (RANGE frame over days, not
+    * rows) — correct across date gaps where the ROWS-frame mart
+    * deliberately replicates the reference's row-count lookback. */
+  private def qCalendarRolling(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.calendarRolling(Adapters.dailyBars(s, dir), days = 7)
+      .select("symbol", "trade_date", "avg_close_7d", "n_obs_7d", "vol_sum_7d")
+      .orderBy("symbol", "trade_date")
+
+  /** Exact interpolated percentiles per group (the distributed
+    * sort-based percentile, not an approximation): both engines use
+    * the standard pos = p·(n−1) linear interpolation, exact on the
+    * whole-valued inputs. */
+  private def qQuantiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile(col("l_quantity"), lit(0.25)).as("p25_qty"),
+        percentile(col("l_quantity"), lit(0.5)).as("p50_qty"),
+        percentile(col("l_quantity"), lit(0.75)).as("p75_qty"),
+        percentile(col("l_quantity"), lit(0.99)).as("p99_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   /** The Z-order clustering key ([[graft.sources.Layout]]) as an
     * oracle-checked computation: the bit-interleave ladder must agree
     * with the DuckDB rendition exactly — it decides file layout, and
@@ -501,7 +524,9 @@ object SparkEntry {
     "q_rolling_hash" -> (qRollingHash _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
-    "q_layout_zorder" -> (qLayoutZorder _)
+    "q_layout_zorder" -> (qLayoutZorder _),
+    "q_calendar_rolling" -> (qCalendarRolling _),
+    "q_quantiles" -> (qQuantiles _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

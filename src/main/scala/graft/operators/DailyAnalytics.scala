@@ -87,6 +87,27 @@ object DailyAnalytics {
         r2(lit(100) - (lit(100) / (lit(1) + nullif(gain / nullifZero(loss), lit(0))))))
   }
 
+  /** Calendar-correct rolling stats: a RANGE frame over the last
+    * `days` CALENDAR days (inclusive), not the last N rows — a ROWS
+    * frame silently widens its lookback across holidays and halts.
+    * Spark's `rangeBetween` needs a numeric ordering key, so the
+    * frame orders by `unix_date(trade_date)` (integer days since
+    * epoch) — same one-exchange window shape as the row-frame mart.
+    * Averages run over exact fixed-point views per the repo-wide
+    * determinism policy. */
+  def calendarRolling(bars: DataFrame, days: Int = 7, priceScale: Int = 2): DataFrame = {
+    val p = math.pow(10, priceScale)
+    val w = Window.partitionBy("symbol").orderBy(col("day_num"))
+      .rangeBetween(-(days - 1), 0)
+    bars
+      .withColumn("day_num", unix_date(col("trade_date")))
+      .withColumn(s"avg_close_${days}d",
+        r4(avg(scaled(col("close_price"), priceScale)).over(w) / p))
+      .withColumn(s"n_obs_${days}d", count(lit(1)).over(w))
+      .withColumn(s"vol_sum_${days}d", sum(col("volume")).over(w))
+      .drop("day_num")
+  }
+
   /** The textbook Wilder RSI — exponential smoothing
     * (avg_t = (avg_{t-1}·13 + x_t)/14) — which the reference's
     * "RSI-14 approximation" deliberately simplifies to a plain rolling

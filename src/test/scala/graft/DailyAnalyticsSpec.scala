@@ -116,6 +116,24 @@ class DailyAnalyticsSpec extends AnyFunSpec {
     }
   }
 
+  describe("calendarRolling (RANGE-interval frame)") {
+    it("drops observations older than the day window across gaps — a ROWS frame would not") {
+      import graft.operators.DailyAnalytics
+      // 3 trading days, then a 10-day halt, then one more day
+      val rows = Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-13")
+        .zipWithIndex.map { case (d, i) => ("A", d, 100.0 + i, 10L) }
+        .toDF("symbol", "d", "close_price", "volume")
+        .withColumn("trade_date", to_date($"d")).drop("d")
+      val got = DailyAnalytics.calendarRolling(rows, days = 7)
+        .orderBy("trade_date")
+        .select("n_obs_7d", "avg_close_7d")
+        .as[(Long, Double)].collect().toSeq
+      // the post-gap day sees ONLY itself in its 7-day window
+      assert(got.map(_._1) == Seq(1L, 2L, 3L, 1L))
+      assert(got.last._2 == 103.0)
+    }
+  }
+
   describe("sectorSummary over the seed CSV (S9 joined, not just loaded)") {
     it("rolls up a ticker-keyed performance frame through RawSources.tickerDim") {
       import graft.operators.Enrichment
