@@ -35,5 +35,23 @@ class EmptyInputSpec extends AnyFunSpec {
         .toDF("symbol", "event_time", "price", "volume")
       assert(TickAnalytics.realtimeAnalytics(emptyTicks).isEmpty)
     }
+    it("connected components (both forms) label nothing on an empty pair graph") {
+      val noPairs = Seq.empty[(Long, Long)].toDF("id1", "id2")
+      assert(Dedup.connectedComponents(noPairs, "id1", "id2").isEmpty)
+      assert(Dedup.connectedComponentsStar(noPairs, "id1", "id2").isEmpty)
+      assert(Dedup.dedupGroups(noPairs).isEmpty)
+    }
+    it("calendar rolling, sector mart, image decode, z-order write on empty input") {
+      assert(DailyAnalytics.calendarRolling(emptyBars).isEmpty)
+      val dim = Seq.empty[(Long, String, String)].toDF("symbol", "sector", "market_cap_tier")
+      assert(Enrichment.sectorSummary(
+        DailyAnalytics.martStockPerformance(emptyBars), dim).isEmpty)
+      val noMedia = Seq.empty[(Long, Array[Byte])].toDF("media_id", "payload")
+      assert(Multimodal.decodeImageFeatures(noMedia).isEmpty)
+      val out = java.nio.file.Files.createTempDirectory("graft_empty_z").toString
+      graft.sources.Layout.zorderWrite(
+        emptyBars.select(col("symbol"), col("volume")), "symbol", "volume", s"$out/z", 4)
+      assert(spark.read.parquet(s"$out/z").isEmpty)
+    }
   }
 }
