@@ -849,6 +849,31 @@ object OracleSql {
         |  TRUE AS decode_ok
         |FROM documents ORDER BY media_id""".stripMargin,
 
+    // raw (non-distinct) word bigrams as 60-bit hashes, per-doc
+    // max-count / total — the same two-aggregation tree
+    "q_repetition" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |bg AS (
+         |  SELECT doc_id, ${h60("bgs")} AS bh FROM (
+         |    SELECT doc_id,
+         |      unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bgs
+         |    FROM w WHERE len(ws) >= 2) x
+         |),
+         |cnt AS (SELECT doc_id, bh, COUNT(*) AS c FROM bg GROUP BY doc_id, bh)
+         |SELECT doc_id,
+         |  CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         |  CAST(MAX(c) AS BIGINT) AS top_bigram_count,
+         |  ${rd("MAX(c) / CAST(SUM(c) AS DOUBLE)", 4)} AS top_bigram_frac
+         |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // identical RE2-subset patterns on both engines
+    "q_pii_signals" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${graft.operators.TextAnalysis.emailPattern}')) AS BIGINT) AS email_count,
+         |  CAST(len(regexp_extract_all(text, '${graft.operators.TextAnalysis.urlPattern}')) AS BIGINT) AS url_count,
+         |  ${rd("length(regexp_replace(text, '[^0-9]', '', 'g')) / CAST(NULLIF(length(text), 0) AS DOUBLE)", 4)} AS digit_frac
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
     // RANGE frame over integer epoch-days — the calendar twin of the
     // ROWS-frame rolling mirrors above
     "q_calendar_rolling" ->

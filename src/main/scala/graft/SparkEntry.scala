@@ -446,6 +446,17 @@ object SparkEntry {
       .orderBy("media_id")
   }
 
+  /** Gopher-style repetition signals over the corpus. */
+  private def qRepetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionSignals(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** PII-ish surface triage: email/URL pattern counts, digit fraction. */
+  private def qPiiSignals(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.piiSignals(Tables.documents(s, dir).select("doc_id", "text"), "text")
+      .select("doc_id", "email_count", "url_count", "digit_frac")
+      .orderBy("doc_id")
+
   /** Calendar-interval rolling window (RANGE frame over days, not
     * rows) — correct across date gaps where the ROWS-frame mart
     * deliberately replicates the reference's row-count lookback. */
@@ -526,7 +537,9 @@ object SparkEntry {
     "q_multimodal_decode" -> (qMultimodalDecode _),
     "q_layout_zorder" -> (qLayoutZorder _),
     "q_calendar_rolling" -> (qCalendarRolling _),
-    "q_quantiles" -> (qQuantiles _)
+    "q_quantiles" -> (qQuantiles _),
+    "q_repetition" -> (qRepetition _),
+    "q_pii_signals" -> (qPiiSignals _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

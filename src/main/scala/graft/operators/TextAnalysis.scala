@@ -119,4 +119,49 @@ object TextAnalysis {
   def fingerprint(df: DataFrame, textCol: String, n: Int = 3): DataFrame =
     df.withColumn("fingerprint",
       array_min(transform(wordShingles(col(textCol), n), s => hash60(s))))
+
+  /** Gopher-style repetition signals: the fraction of all word
+    * bigrams taken by the single most frequent one, plus totals — the
+    * standard cheap detector for degenerate boilerplate ("click here
+    * click here …") that survives token-level stats. Two
+    * partial-aggregable shuffles on (doc, bigram-hash) then (doc);
+    * bigrams travel as 60-bit hashes, never strings. Ties need no
+    * break: only the max COUNT matters. Docs under 2 words emit no
+    * bigrams and are dropped (nothing to measure). */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // raw (non-distinct) bigrams — Funcs.wordShingles dedups, which is
+    // exactly what a repetition detector must NOT do
+    val words = split(col(textCol), " ")
+    val bigrams = when(size(words) >= 2,
+      transform(sequence(lit(1), size(words) - 1),
+        i => concat_ws(" ", slice(words, i, lit(2))))).otherwise(array())
+    val big = df
+      .select(col(idCol), explode(bigrams).as("bg"))
+      .select(col(idCol), hash60(col("bg")).as("bh"))
+      .groupBy(col(idCol), col("bh")).agg(count(lit(1)).as("c"))
+    big.groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_bigrams"),
+        max(col("c")).as("top_bigram_count"))
+      .select(col(idCol), col("n_bigrams"), col("top_bigram_count"),
+        r4(col("top_bigram_count") / col("n_bigrams").cast("double"))
+          .as("top_bigram_frac"))
+  }
+
+  /** PII-ish surface signals: email/URL pattern counts and the digit
+    * character fraction — the cheap pre-redaction triage pass. The
+    * regexes stay in the RE2-compatible subset (no backrefs, no
+    * lookaround) so the DuckDB oracle runs the SAME patterns. Pure
+    * narrow map, codegen'd regexp/length expressions. */
+  val emailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val urlPattern = "https?://[^ ]+"
+
+  def piiSignals(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df
+      .withColumn("email_count", regexp_count(t, lit(emailPattern)).cast("long"))
+      .withColumn("url_count", regexp_count(t, lit(urlPattern)).cast("long"))
+      .withColumn("digit_frac",
+        r4(length(regexp_replace(t, "[^0-9]", "")) /
+          nullifZero(length(t)).cast("double")))
+  }
 }

@@ -47,6 +47,37 @@ class TextMultimodalSpec extends AnyFunSpec {
     }
   }
 
+  describe("repetitionSignals") {
+    it("flags degenerate repetition and passes diverse text") {
+      val d = Seq(
+        (1L, "click here click here click here click here"), // "click here" ×4 of 7 bigrams
+        (2L, "a quiet brown fox walks over seven lazy dogs"),
+        (3L, "single")) // <2 words: no bigrams, no row
+      .toDF("doc_id", "text")
+      val out = TextAnalysis.repetitionSignals(d, "doc_id", "text")
+        .select("doc_id", "n_bigrams", "top_bigram_count", "top_bigram_frac")
+        .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+      assert(out(1L) == ((1L, 7L, 4L, 0.5714)))
+      assert(out(2L)._3 == 1L) // every bigram unique
+      assert(!out.contains(3L))
+    }
+  }
+
+  describe("piiSignals") {
+    it("counts emails/urls and measures digit density") {
+      val d = Seq(
+        (1L, "contact me at jane.doe@example.com or bob@test.org today"),
+        (2L, "see https://example.com/a and http://b.io now"),
+        (3L, "pin 1234 code 56")).toDF("doc_id", "text")
+      val out = TextAnalysis.piiSignals(d, "text")
+        .select("doc_id", "email_count", "url_count", "digit_frac")
+        .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+      assert(out(1L)._2 == 2L && out(1L)._3 == 0L)
+      assert(out(2L)._2 == 0L && out(2L)._3 == 2L)
+      assert(out(3L)._4 == 0.375) // 6 digits / 16 chars
+    }
+  }
+
   describe("Multimodal") {
     lazy val media = Multimodal.asMedia(docs, "doc_id", "text")
 
