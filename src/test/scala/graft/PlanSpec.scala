@@ -37,6 +37,13 @@ class PlanSpec extends AnyFunSpec {
       assert(fin.contains("ReusedExchange"), s"expected ReusedExchange, plan:\n$fin")
     }
 
+    it("calendar RANGE window shares the bars exchange — no extra shuffle for the frame") {
+      val df = DailyAnalytics.calendarRolling(Adapters.dailyBars(spark, dir))
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan(df)).size
+      // 1 for the bars aggregation, 1 for the symbol window partitioning
+      assert(exchanges == 2, s"expected 2 exchanges, plan:\n${plan(df)}")
+    }
+
     it("sector mart joins the ticker dim by broadcast") {
       val p = plan(SparkEntry.queries("q_mart_sector_summary")(spark, dir))
       assert(p.contains("BroadcastHashJoin"))
