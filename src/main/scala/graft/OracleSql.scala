@@ -731,6 +731,15 @@ object OracleSql {
          |ORDER BY doc_id""".stripMargin
     },
 
+    "q_stratified_sample" -> {
+      val bucket = s"${h60("CAST(doc_id AS VARCHAR)")} % 10000"
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE $bucket < CASE WHEN lang = 'en' THEN 8000
+         |                     WHEN lang = 'de' THEN 5000
+         |                     ELSE 2500 END
+         |ORDER BY doc_id""".stripMargin
+    },
+
     "q_quality_audit" -> {
       def nn(c: String) =
         s"CAST(SUM(CASE WHEN $c IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS not_null_$c"

@@ -446,6 +446,12 @@ object SparkEntry {
       .orderBy("media_id")
   }
 
+  /** Per-class rebalancing: deterministic stratified sample by lang. */
+  private def qStratifiedSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedByHash(Tables.documents(s, dir).select("doc_id", "lang"),
+      "doc_id", "lang", Map("en" -> 0.8, "de" -> 0.5), defaultFraction = 0.25)
+      .orderBy("doc_id")
+
   /** Gopher-style repetition signals over the corpus. */
   private def qRepetition(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionSignals(Tables.documents(s, dir), "doc_id", "text")
@@ -539,7 +545,8 @@ object SparkEntry {
     "q_calendar_rolling" -> (qCalendarRolling _),
     "q_quantiles" -> (qQuantiles _),
     "q_repetition" -> (qRepetition _),
-    "q_pii_signals" -> (qPiiSignals _)
+    "q_pii_signals" -> (qPiiSignals _),
+    "q_stratified_sample" -> (qStratifiedSample _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

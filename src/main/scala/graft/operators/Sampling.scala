@@ -36,6 +36,24 @@ object Sampling {
                    buckets: Int = 10000): DataFrame =
     df.filter(hashBucket(col(idCol), buckets) < math.round(fraction * buckets))
 
+  /** Deterministic STRATIFIED sample: a per-stratum keep fraction
+    * (e.g. downsample boilerplate-heavy web text, keep all code) under
+    * the same hash-membership rule as [[sampleByHash]] — so per-class
+    * rebalancing inherits every nesting/stability guarantee, and the
+    * strata fractions compile to a plan-time CASE over literals: a
+    * narrow codegen'd filter, no join, no RNG. Strata absent from
+    * `fractions` fall back to `defaultFraction`. */
+  def stratifiedByHash(df: DataFrame, idCol: String, strataCol: String,
+                       fractions: Map[String, Double],
+                       defaultFraction: Double = 0.0,
+                       buckets: Int = 10000): DataFrame = {
+    val cut = fractions.toSeq.sortBy(_._1).foldLeft(
+      lit(math.round(defaultFraction * buckets))) { case (acc, (stratum, f)) =>
+      when(col(strataCol) === stratum, lit(math.round(f * buckets))).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol), buckets) < cut)
+  }
+
   /** Train/val/test assignment: adds `split` from contiguous bucket
     * ranges (train takes [0, train·B), val the next slice, test the
     * rest). Contiguity is what makes splits stable under fraction

@@ -54,4 +54,24 @@ class SamplingSpec extends AnyFunSpec {
         after.filter($"s2" === "test").count())
     }
   }
+
+  describe("stratifiedByHash") {
+    it("applies per-stratum fractions; strata samples nest like the global one") {
+      val docs = (1L to 2000L).map(i => (i, if (i % 3 == 0) "en" else "de"))
+        .toDF("doc_id", "lang")
+      val small = Sampling.stratifiedByHash(docs, "doc_id", "lang",
+        Map("en" -> 0.5, "de" -> 0.1))
+      val large = Sampling.stratifiedByHash(docs, "doc_id", "lang",
+        Map("en" -> 0.9, "de" -> 0.3))
+      // nesting: every doc in the small sample is in the large one
+      assert(small.join(large, Seq("doc_id"), "left_anti").isEmpty)
+      // rough per-stratum rates (hash-uniform within ~a few percent)
+      val rates = small.groupBy("lang").count().as[(String, Long)].collect().toMap
+      assert(math.abs(rates("en") / 666.0 - 0.5) < 0.1)
+      assert(math.abs(rates("de") / 1334.0 - 0.1) < 0.05)
+      // unknown strata fall back to defaultFraction = 0 → dropped
+      val none = Sampling.stratifiedByHash(docs, "doc_id", "lang", Map("fr" -> 1.0))
+      assert(none.isEmpty)
+    }
+  }
 }
