@@ -49,6 +49,26 @@ object Layout {
   def zValueSql(a: String, b: String): String =
     s"(${zSpreadSql(a)} | (${zSpreadSql(b)} << 1))"
 
+  /** N-dimensional Morton key: column c's bit i lands at bit
+    * `i·k + c`. The shift/mask ladder only exists for power-of-two
+    * strides, so this builds the explicit bit tree — `bitsPerCol·k`
+    * shift/and/or terms, all codegen'd scalars (60 terms at the
+    * defaults; fine for whole-stage codegen). `bitsPerCol` defaults
+    * to `60 / k` so the key always fits a signed long.
+    * `zValueN(Seq(a, b), 16) == zValue(a, b)` (tested). */
+  def zValueN(cols: Seq[Column], bitsPerCol: Int = 0): Column = {
+    val k = cols.size
+    require(k >= 1 && k <= 6, s"zValueN supports 1-6 columns, got $k")
+    val bits = if (bitsPerCol > 0) bitsPerCol else 60 / k
+    require(bits * k <= 62, s"$bits bits x $k cols overflows a signed long")
+    cols.zipWithIndex.map { case (c, ci) =>
+      val lc = c.cast("long")
+      (0 until bits).map { i =>
+        shiftleft(shiftright(lc, i).bitwiseAND(lit(1L)), i * k + ci)
+      }.reduce(_ bitwiseOR _)
+    }.reduce(_ bitwiseOR _)
+  }
+
   /** Write `df` z-ordered on `(c1, c2)`: range-partition by z-value
     * (so file boundaries are z-contiguous — NOT a hash shuffle), sort
     * within partitions, drop the helper column on disk. Both columns

@@ -37,6 +37,19 @@ class LayoutSpec extends AnyFunSpec {
       // and the SQL mirror is generated from the same constants
       assert(Layout.zValueSql("a", "b").contains("6148914691236517205"))
     }
+    it("zValueN generalizes: 2-column form matches zValue, 3-column matches a JVM fold") {
+      val rows = Seq((5L, 3L, 7L), (65535L, 0L, 1L), (12345L, 54321L, 999L), (0L, 0L, 0L))
+      val df = rows.toDF("a", "b", "c")
+      val two = df.select(Layout.zValue($"a", $"b"),
+        Layout.zValueN(Seq($"a", $"b"), bitsPerCol = 16)).as[(Long, Long)].collect()
+      assert(two.forall(p => p._1 == p._2))
+      def ref(vals: Seq[Long], bits: Int): Long =
+        vals.zipWithIndex.map { case (v, ci) =>
+          (0 until bits).map(i => ((v >> i) & 1L) << (i * vals.size + ci)).reduce(_ | _)
+        }.reduce(_ | _)
+      val three = df.select(Layout.zValueN(Seq($"a", $"b", $"c"))).as[Long].collect()
+      assert(three.toSeq == rows.map(r => ref(Seq(r._1, r._2, r._3), 20)))
+    }
   }
 
   describe("zorderWrite") {
