@@ -590,6 +590,26 @@ object OracleSql {
          |FROM labels l JOIN sizes s USING (rep_id)
          |ORDER BY doc_id""".stripMargin,
 
+    // identical fixpoint through the star-contraction path
+    "q_dedup_groups_star" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (
+         |  SELECT id1 AS a, id2 AS b FROM pairs
+         |  UNION ALL
+         |  SELECT id2 AS a, id1 AS b FROM pairs
+         |),
+         |verts AS (SELECT DISTINCT a AS id FROM edges),
+         |cc AS (
+         |  SELECT id, id AS label FROM verts
+         |  UNION
+         |  SELECT e.b AS id, c.label FROM cc c JOIN edges e ON c.id = e.a
+         |),
+         |labels AS (SELECT id, MIN(label) AS rep_id FROM cc GROUP BY id),
+         |sizes AS (SELECT rep_id, CAST(COUNT(*) AS BIGINT) AS group_size FROM labels GROUP BY rep_id)
+         |SELECT l.id AS doc_id, l.rep_id, s.group_size
+         |FROM labels l JOIN sizes s USING (rep_id)
+         |ORDER BY doc_id""".stripMargin,
+
     "q_dedup_ngram_jaccard" ->
       s"""WITH $shinglesSql,
          |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),

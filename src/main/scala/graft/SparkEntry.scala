@@ -358,6 +358,17 @@ object SparkEntry {
         n = 3, numHashes = 32, bands = 8, threshold = 0.5))
       .orderBy("doc_id")
 
+  /** Same groups, FORCED through the large-star/small-star path — the
+    * hybrid default takes min-label on this corpus's shallow graphs,
+    * so without this row the oracle would never exercise star
+    * contraction end-to-end (same gap the streaming lane had). */
+  private def qDedupGroupsStar(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupGroups(
+      Dedup.minhashLshPairsNative(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, numHashes = 32, bands = 8, threshold = 0.5),
+      algo = "star")
+      .orderBy("doc_id")
+
   /** Native-Expression variant (scan-stage signature; agg-form
     * equality proven in DedupSpec, result-based oracle unchanged). */
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
@@ -525,6 +536,7 @@ object SparkEntry {
     "q_text_analysis" -> (qTextAnalysis _),
     "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
     "q_dedup_groups" -> (qDedupGroups _),
+    "q_dedup_groups_star" -> (qDedupGroupsStar _),
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_sample_split" -> (qSampleSplit _),
     "q_decontamination" -> (qDecontamination _),
