@@ -363,35 +363,46 @@ object Dedup {
     val edges = pairs.select(col(src).as("a"), col(dst).as("b"))
       .union(pairs.select(col(dst).as("a"), col(src).as("b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("a").as("id")).distinct()
+    // `round` is the frame actually persisted each iteration (it
+    // carries the previous label for the convergence filter); `labels`
+    // is its (id, label) projection, which reads through the cache.
+    var round = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = round
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
       val prop = edges
         .join(labels.select(col("id").as("a"), col("label").as("la")), "a")
         .groupBy(col("b").as("id")).agg(min(col("la")).as("nmin"))
+      // carry the previous label through the round so convergence is a
+      // plain filter on the cached frame — no extra join per round
       val grown = labels.join(prop, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("prev"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
       // every 4th round: cut lineage (the plan otherwise accretes one
       // join per round); other rounds: plain persist, forced below.
       val next =
         if ((i + 1) % 4 == 0) grown.localCheckpoint(eager = true)
         else grown.persist(StorageLevel.MEMORY_AND_DISK)
-      converged = next.join(labels.select(col("id"), col("label").as("old")), "id")
-        .filter(col("label") =!= col("old")).isEmpty // forces `next`'s cache
-      labels.unpersist(blocking = false)
-      labels = next
+      converged = next.filter(col("label") =!= col("prev")).isEmpty // forces `next`'s cache
+      round.unpersist(blocking = false)
+      round = next
+      labels = next.select(col("id"), col("label"))
       i += 1
     }
     edges.unpersist(blocking = false)
     if (!converged) {
-      labels.unpersist(blocking = false)
+      round.unpersist(blocking = false)
       throw new IllegalStateException(s"connectedComponents: no fixpoint after $maxIters rounds")
     }
-    labels
+    // hand back a frame that is ITSELF the cache entry (a projection
+    // would make the caller's unpersist() a no-op) and free the round
+    val fin = labels.persist(StorageLevel.MEMORY_AND_DISK)
+    fin.count()
+    round.unpersist(blocking = false)
+    fin
   }
 
   /** Connected components by alternating LARGE-STAR / SMALL-STAR
