@@ -196,7 +196,10 @@ object Multimodal {
               }
               Row(id, w, h, sb.toString, true)
             }
-          } catch { case _: java.io.IOException => Row(id, null, null, null, false) }
+            // NonFatal, not just IOException: codec internals throw
+            // unchecked exceptions on some malformed inputs, and a
+            // poison-pill row must not kill the job
+          } catch { case scala.util.control.NonFatal(_) => Row(id, null, null, null, false) }
         }
       }(enc)
   }
