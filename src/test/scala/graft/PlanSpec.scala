@@ -37,6 +37,12 @@ class PlanSpec extends AnyFunSpec {
       assert(fin.contains("ReusedExchange"), s"expected ReusedExchange, plan:\n$fin")
     }
 
+    it("exact percentiles combine map-side (partial_percentile buffers, not raw rows)") {
+      val p = plan(SparkEntry.queries("q_quantiles")(spark, dir))
+      assert(p.contains("ObjectHashAggregate") && p.contains("partial_percentile"),
+        s"expected partial percentile aggregation, plan:\n$p")
+    }
+
     it("calendar RANGE window shares the bars exchange — no extra shuffle for the frame") {
       val df = DailyAnalytics.calendarRolling(Adapters.dailyBars(spark, dir))
       val exchanges = "Exchange hashpartitioning".r.findAllIn(plan(df)).size
