@@ -610,6 +610,27 @@ object OracleSql {
          |FROM labels l JOIN sizes s USING (rep_id)
          |ORDER BY doc_id""".stripMargin,
 
+    // the kept corpus: drop every grouped doc except its component min
+    "q_dedup_keep" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (
+         |  SELECT id1 AS a, id2 AS b FROM pairs
+         |  UNION ALL
+         |  SELECT id2 AS a, id1 AS b FROM pairs
+         |),
+         |verts AS (SELECT DISTINCT a AS id FROM edges),
+         |cc AS (
+         |  SELECT id, id AS label FROM verts
+         |  UNION
+         |  SELECT e.b AS id, c.label FROM cc c JOIN edges e ON c.id = e.a
+         |),
+         |labels AS (SELECT id, MIN(label) AS rep_id FROM cc GROUP BY id),
+         |drops AS (SELECT id AS doc_id FROM labels WHERE id != rep_id)
+         |SELECT d.doc_id, d.lang FROM documents d
+         |LEFT JOIN drops x ON d.doc_id = x.doc_id
+         |WHERE x.doc_id IS NULL
+         |ORDER BY d.doc_id""".stripMargin,
+
     "q_dedup_ngram_jaccard" ->
       s"""WITH $shinglesSql,
          |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),

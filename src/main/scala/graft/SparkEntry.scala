@@ -358,6 +358,14 @@ object SparkEntry {
         n = 3, numHashes = 32, bands = 8, threshold = 0.5))
       .orderBy("doc_id")
 
+  /** The kept corpus after end-to-end near-dup removal — what a
+    * training-data pipeline actually writes out. */
+  private def qDedupKeep(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupCorpus(Tables.documents(s, dir).select("doc_id", "lang", "text"),
+      "doc_id", "text")
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
   /** Same groups, FORCED through the large-star/small-star path — the
     * hybrid default takes min-label on this corpus's shallow graphs,
     * so without this row the oracle would never exercise star
@@ -537,6 +545,7 @@ object SparkEntry {
     "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
     "q_dedup_groups" -> (qDedupGroups _),
     "q_dedup_groups_star" -> (qDedupGroupsStar _),
+    "q_dedup_keep" -> (qDedupKeep _),
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_sample_split" -> (qSampleSplit _),
     "q_decontamination" -> (qDecontamination _),

@@ -530,6 +530,22 @@ object Dedup {
     out
   }
 
+  /** The end-to-end dedup decision a pipeline actually applies: MinHash
+    * near-dup pairs → connected-component groups → keep each group's
+    * canonical representative (its min doc id) plus every unpaired
+    * doc. One call from corpus to kept corpus. The drop set rides a
+    * shuffled anti join on the id — it can be a large fraction of the
+    * corpus at 100 TB, so it is deliberately NOT broadcast. */
+  def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                  threshold: Double = 0.5): DataFrame = {
+    val groups = dedupGroups(
+      minhashLshPairsNative(docs, idCol, textCol, n, numHashes, bands, threshold))
+    val drop = groups.filter(col("doc_id") =!= col("rep_id"))
+      .select(col("doc_id").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Banded Hamming-candidate tail shared by both signature forms:
     * `sigDf` must carry (idCol, simhash). */
   private def simhashBandedPairs(sigDf: DataFrame, idCol: String,

@@ -60,4 +60,23 @@ class PropertySpec extends AnyFunSpec {
       assert(rows.isEmpty, rows.take(3).mkString(","))
     }
   }
+
+  describe("Layout.zValueN: Catalyst bit tree vs a JVM fold") {
+    it("agrees on arbitrary 2- and 3-column keys, and nests dimensions correctly") {
+      import graft.sources.Layout
+      def ref(vals: Seq[Long], bits: Int): Long =
+        vals.zipWithIndex.map { case (v, ci) =>
+          (0 until bits).map(i => ((v >> i) & 1L) << (i * vals.size + ci)).reduce(_ | _)
+        }.reduce(_ | _)
+      val triples = sampled(for {
+        a <- Gen.choose(0L, 0xFFFFFL); b <- Gen.choose(0L, 0xFFFFFL)
+        c <- Gen.choose(0L, 0xFFFFFL)
+      } yield (a, b, c), 500)
+      val df = triples.toDF("a", "b", "c")
+      val got2 = df.select(Layout.zValueN(Seq($"a", $"b"))).as[Long].collect()
+      assert(got2.toSeq == triples.map(t => ref(Seq(t._1, t._2), 30)))
+      val got3 = df.select(Layout.zValueN(Seq($"a", $"b", $"c"))).as[Long].collect()
+      assert(got3.toSeq == triples.map(t => ref(Seq(t._1, t._2, t._3), 20)))
+    }
+  }
 }
