@@ -470,6 +470,17 @@ object OracleSql {
          |GROUP BY ROLLUP(r_name, n_name)
          |ORDER BY region ASC NULLS FIRST, nation ASC NULLS FIRST""".stripMargin,
 
+    "q_cube_revenue" ->
+      s"""SELECT r_name AS region, n_name AS nation,
+         |  ${rd(s"SUM(${sc4("l_extendedprice * (1 - l_discount)")}) / 10000.0", 2)} AS revenue,
+         |  COUNT(*) AS line_count
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY CUBE(r_name, n_name)
+         |ORDER BY region ASC NULLS FIRST, nation ASC NULLS FIRST""".stripMargin,
+
     "q_merge_upsert" ->
       s"""WITH existing AS (
          |  SELECT o_orderkey, o_totalprice, o_orderstatus, CAST(1 AS BIGINT) AS version FROM orders

@@ -229,6 +229,11 @@ object SparkEntry {
     Enrichment.revenueRollup(s, dir)
       .orderBy(col("region").asc_nulls_first, col("nation").asc_nulls_first)
 
+  /** CUBE: all four grouping sets in one pass. */
+  private def qCubeRevenue(s: SparkSession, dir: String): DataFrame =
+    Enrichment.revenueCube(s, dir)
+      .orderBy(col("region").asc_nulls_first, col("nation").asc_nulls_first)
+
   /** Headline pricing-summary rollup (TPC-H Q1 shape): filter pushdown
     * to the parquet scan, partial-aggregable grouped sums/avgs over
     * exact fixed-point views of the money columns. */
@@ -537,6 +542,7 @@ object SparkEntry {
     "q_asof_join" -> (qAsOfJoin _),
     "q_session_windows" -> (qSessionWindows _),
     "q_rollup_revenue" -> (qRollupRevenue _),
+    "q_cube_revenue" -> (qCubeRevenue _),
     "q_merge_upsert" -> (qMergeUpsert _),
     "q_revenue_by_nation" -> (qRevenueByNation _),
     "q_scalar_funcs" -> (qScalarFuncs _),

@@ -94,4 +94,17 @@ object Enrichment {
       .rollup(col("region"), col("nation"))
       .agg(r2(sum(rev) / 1e4).as("revenue"), count(lit(1)).as("line_count"))
   }
+
+  /** CUBE over the same hierarchy — all four grouping sets
+    * ((region, nation), (region), (nation), ()) in one pass; same
+    * partial-aggregable shape as ROLLUP, Expand just emits one more
+    * grouping-set row per input before the exchange. */
+  def revenueCube(spark: SparkSession, dir: String): DataFrame = {
+    val rev = scaled(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+    Tables.lineitem(spark, dir)
+      .join(broadcast(supplierDim(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .cube(col("region"), col("nation"))
+      .agg(r2(sum(rev) / 1e4).as("revenue"), count(lit(1)).as("line_count"))
+  }
 }
