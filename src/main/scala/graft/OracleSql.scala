@@ -966,6 +966,62 @@ object OracleSql {
     "q_layout_zorder" ->
       s"""SELECT l_orderkey, l_suppkey,
          |  CAST(${graft.sources.Layout.zValueSql("l_orderkey", "l_suppkey")} AS BIGINT) AS z
-         |FROM lineitem ORDER BY l_orderkey, l_suppkey""".stripMargin
+         |FROM lineitem ORDER BY l_orderkey, l_suppkey""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """WITH ex0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |ex AS (SELECT DISTINCT doc_id, token FROM ex0),
+        |dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_freq FROM ex GROUP BY token),
+        |r AS (SELECT token, doc_freq,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY doc_freq DESC, token ASC) AS INTEGER) AS rank
+        |  FROM dfreq)
+        |SELECT token, doc_freq, rank FROM r WHERE rank <= 25 ORDER BY rank""".stripMargin,
+
+    "q_json_extract" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        |  FROM events)
+        |SELECT event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(k_val) AS BIGINT) AS sum_k,
+        |  MIN(k_val) AS min_k,
+        |  MAX(k_val) AS max_k,
+        |  CAST(COUNT(k_val) AS BIGINT) AS n_with_k
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // same bucket expression tree: (x - lo) / step, floor, clamp;
+    // edges are pure literal×integer double products on both sides
+    "q_histogram" ->
+      """WITH b AS (
+        |  SELECT LEAST(GREATEST(CAST(FLOOR((o_totalprice - 0.0) / 25000.0) AS BIGINT), 0), 19) AS bucket
+        |  FROM orders)
+        |SELECT bucket,
+        |  0.0 + bucket * 25000.0 AS lo_edge,
+        |  0.0 + (bucket + 1) * 25000.0 AS hi_edge,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q_ntile_deciles" -> {
+      s"""WITH spend AS (
+         |  SELECT o_custkey, CAST(SUM(${sc("o_totalprice", 2)}) AS BIGINT) AS total
+         |  FROM orders GROUP BY o_custkey),
+         |t AS (SELECT total,
+         |  CAST(NTILE(10) OVER (ORDER BY total DESC, o_custkey ASC) AS INTEGER) AS tier
+         |  FROM spend)
+         |SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |  ${rd("CAST(SUM(total) AS DOUBLE) / 1e2", 2)} AS tier_revenue,
+         |  ${rd("CAST(MIN(total) AS DOUBLE) / 1e2", 2)} AS floor_revenue,
+         |  ${rd("CAST(MAX(total) AS DOUBLE) / 1e2", 2)} AS ceiling_revenue
+         |FROM t GROUP BY tier ORDER BY tier""".stripMargin
+    },
+
+    // the salted join is result-identical to the plain equi join —
+    // the oracle IS the plain form
+    "q_skew_join" ->
+      s"""SELECT o_orderpriority,
+         |  CAST(COUNT(*) AS BIGINT) AS n_items,
+         |  ${rd(s"CAST(SUM(${sc("l_extendedprice", 2)}) AS DOUBLE) / 1e2", 2)} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }

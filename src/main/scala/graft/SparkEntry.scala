@@ -520,6 +520,64 @@ object SparkEntry {
         graft.sources.Layout.zValue(col("l_orderkey"), col("l_suppkey")).as("z"))
       .orderBy("l_orderkey", "l_suppkey")
 
+  /** Exact heavy-hitter vocabulary over the corpus: top tokens by
+    * document frequency, deterministic (df desc, token) cut. */
+  private def qHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabTopK(Tables.documents(s, dir), "doc_id", "text", k = 25)
+      .orderBy("rank")
+
+  /** JSON payload extraction + rollup via Spark 4's VARIANT type:
+    * parse once ([[org.apache.spark.sql.functions.parse_json]]), typed
+    * access (`try_variant_get`) — the shredded-columnar replacement for
+    * repeated get_json_object string scans (value equality with
+    * get_json_object asserted in TextMultimodalSpec). */
+  private def qJsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        try_variant_get(parse_json(col("props")), "$.k", "long").as("k_val"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("k_val")).as("sum_k"),
+        min(col("k_val")).as("min_k"),
+        max(col("k_val")).as("max_k"),
+        count(col("k_val")).as("n_with_k"))
+      .orderBy("event_type")
+
+  /** Fixed-width histogram of order value — one map-side bucket
+    * expression + one partial-agg shuffle of ≤ nBuckets rows/task. */
+  private def qHistogram(s: SparkSession, dir: String): DataFrame =
+    Profiling.histogram(Tables.orders(s, dir), col("o_totalprice"),
+      lo = 0.0, step = 25000.0, nBuckets = 20)
+      .orderBy("bucket")
+
+  /** Customer spend deciles: exact long totals per key, ntile over the
+    * aggregated key table only (see [[Profiling.tierSummary]] scale
+    * note), per-tier rollup. */
+  private def qNtileDeciles(s: SparkSession, dir: String): DataFrame =
+    Profiling.tierSummary(Tables.orders(s, dir), "o_custkey",
+      scaled(col("o_totalprice"), 2), tiles = 10)
+      .select(col("tier"), col("n_keys"),
+        r2(col("tier_total") / 1e2).as("tier_revenue"),
+        r2(col("tier_floor") / 1e2).as("floor_revenue"),
+        r2(col("tier_ceiling") / 1e2).as("ceiling_revenue"))
+      .orderBy("tier")
+
+  /** Skew-safe salted equi join, result-identical to the plain join
+    * (the oracle IS the plain form): orders replicated ×8 salt values,
+    * lineitem scattered across them, then the priority rollup. */
+  private def qSkewJoin(s: SparkSession, dir: String): DataFrame =
+    Skew.saltedJoin(
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), scaled(col("l_extendedprice"), 2).as("price_c")),
+      Tables.orders(s, dir)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+      "l_orderkey", buckets = 8)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"), sum(col("price_c")).as("rev_c"))
+      .select(col("o_orderpriority"), col("n_items"),
+        r2(col("rev_c") / 1e2).as("revenue"))
+      .orderBy("o_orderpriority")
+
   // ──────────────────────────────────────────────────────────────────
   // Registry
   // ──────────────────────────────────────────────────────────────────
@@ -573,7 +631,12 @@ object SparkEntry {
     "q_quantiles" -> (qQuantiles _),
     "q_repetition" -> (qRepetition _),
     "q_pii_signals" -> (qPiiSignals _),
-    "q_stratified_sample" -> (qStratifiedSample _)
+    "q_stratified_sample" -> (qStratifiedSample _),
+    "q_heavy_hitters" -> (qHeavyHitters _),
+    "q_json_extract" -> (qJsonExtract _),
+    "q_histogram" -> (qHistogram _),
+    "q_ntile_deciles" -> (qNtileDeciles _),
+    "q_skew_join" -> (qSkewJoin _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

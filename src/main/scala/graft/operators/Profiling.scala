@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-profiling operators: fixed-width histograms and quantile-tier
+  * (ntile) summaries — the "what does this 100 TB column look like"
+  * pass that precedes threshold picking for quality filters.
+  *
+  * Both are one partial-aggregable shuffle over the fact data; the
+  * only total-order step (ntile) runs on the already-aggregated
+  * dimension keys, never on facts.
+  */
+object Profiling {
+
+  /** Fixed-width histogram of `value` over `[lo, lo + step·nBuckets)`,
+    * with underflow/overflow clamped into the edge buckets. The bucket
+    * id is a single codegen'd expression evaluated map-side, so the
+    * whole histogram is one partial-agg shuffle of ≤ nBuckets rows per
+    * map task — the same cost profile as a plain count(*), at any
+    * scale.
+    *
+    * Bucket edges are reported as `lo + bucket·step` — pure double
+    * products of the literals, bit-identical across engines (no
+    * accumulation, no rounding mode in play).
+    */
+  def histogram(df: DataFrame, value: Column, lo: Double, step: Double,
+                nBuckets: Int): DataFrame = {
+    val bucket = least(greatest(floor((value - lit(lo)) / lit(step)), lit(0L)),
+      lit((nBuckets - 1).toLong))
+    df.select(bucket.as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+      .select(col("bucket"),
+        (lit(lo) + col("bucket") * lit(step)).as("lo_edge"),
+        (lit(lo) + (col("bucket") + lit(1L)) * lit(step)).as("hi_edge"),
+        col("n"))
+  }
+
+  /** Per-key totals bucketed into `tiles` quantile tiers (deciles by
+    * default): aggregate `value` per key (exact long — pass a
+    * Funcs.scaled view), rank the KEYS into ntile tiers, then roll up
+    * per tier.
+    *
+    * Scale note: the global ntile window is a total order, which Spark
+    * executes in one task — acceptable here ONLY because it ranks the
+    * aggregated key table (customers, symbols, …), which is orders of
+    * magnitude smaller than the fact table and bounded by key
+    * cardinality. Never apply this to the fact rows themselves; for an
+    * unbounded key table, switch to percentile() cutoffs + a bucket
+    * join (two passes, no total order).
+    */
+  def tierSummary(df: DataFrame, key: String, value: Column,
+                  tiles: Int = 10): DataFrame = {
+    val totals = df.groupBy(col(key)).agg(sum(value).as("total"))
+    // total order: (total desc, key) — deterministic tile assignment
+    val w = Window.orderBy(col("total").desc, col(key))
+    totals.withColumn("tier", ntile(tiles).over(w))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("total")).as("tier_total"),
+        min(col("total")).as("tier_floor"),
+        max(col("total")).as("tier_ceiling"))
+      .orderBy("tier")
+  }
+}

@@ -27,4 +27,43 @@ object Skew {
       .groupBy(keys.map(col): _*)
       .agg(sum(col("__partial")).as("sum_value"), sum(col("__pn")).as("count_rows"))
   }
+
+  /** Skew-safe equi join: replicate every `dim` row across `buckets`
+    * salt values and scatter each fact row to one of them, so a hot
+    * join key's fact rows spread over `buckets` reducers instead of
+    * one. The fact salt can be anything — the replicated dim matches
+    * every value — so the join result is exactly the plain equi join,
+    * independent of the salt expression.
+    *
+    * Cost: dim travels ×buckets. Use when the dim is too big to
+    * broadcast AND AQE's OptimizeSkewedJoin can't help (it splits
+    * oversized sort-merge partitions, but a single hot KEY is one
+    * unsplittable map-output block once it exceeds the split
+    * granularity; salting fixes the key itself). For a mostly-uniform
+    * key with a known hot head, prefer [[saltedJoinHot]].
+    */
+  def saltedJoin(facts: DataFrame, dim: DataFrame, key: String,
+                 buckets: Int = 16): DataFrame = {
+    val salted = dim.withColumn("__salt",
+      explode(array((0 until buckets).map(i => lit(i)): _*)))
+    facts
+      .withColumn("__salt", pmod(hash(col(key), monotonically_increasing_id()), lit(buckets)))
+      .join(salted, Seq(key, "__salt"))
+      .drop("__salt")
+  }
+
+  /** [[saltedJoin]] restricted to a known hot-key head: hot fact rows
+    * take the salted join (dim head replicated ×buckets — bounded,
+    * |hotKeys|·buckets rows), the uniform tail takes the plain join.
+    * This is the production form — full-dim replication is a ×buckets
+    * shuffle tax on 100 TB, while the hot head is by definition a
+    * handful of keys.
+    */
+  def saltedJoinHot(facts: DataFrame, dim: DataFrame, key: String,
+                    hotKeys: Seq[Long], buckets: Int = 16): DataFrame = {
+    val isHot = col(key).isInCollection(hotKeys)
+    val hot = saltedJoin(facts.filter(isHot), dim.filter(isHot), key, buckets)
+    val cold = facts.filter(!isHot).join(dim.filter(!isHot), Seq(key))
+    hot.unionByName(cold)
+  }
 }

@@ -164,4 +164,23 @@ object TextAnalysis {
         r4(length(regexp_replace(t, "[^0-9]", "")) /
           nullifZero(length(t)).cast("double")))
   }
+
+  /** Exact heavy-hitter vocabulary: the top-k tokens by document
+    * frequency (vocab mining / stopword discovery over a new corpus).
+    * Two partial-aggregable shuffles — distinct (doc, token), then
+    * count per token — and a TakeOrderedAndProject top-k, so no full
+    * sort and no skew exposure: a stopword's rows combine map-side in
+    * both aggregates. The (doc_freq desc, token asc) tie-break makes
+    * the cut deterministic. The rank window runs over k rows only. */
+  def vocabTopK(df: DataFrame, idCol: String, textCol: String,
+                k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val order = Seq(col("doc_freq").desc, col("token").asc)
+    df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .distinct()
+      .groupBy("token").agg(count(lit(1)).as("doc_freq"))
+      .orderBy(order: _*)
+      .limit(k)
+      .withColumn("rank", row_number().over(Window.orderBy(order: _*)))
+  }
 }
