@@ -17,8 +17,14 @@ object Bench {
     // Warm up JIT + whole-stage-codegen class generation on the tiny
     // scale factor so timed runs measure steady-state throughput.
     val warmDir = "/root/testdata/sf0.001"
+    // Optional dev filter: `runMain graft.Bench q_a q_b` times only the
+    // named queries (the driver invokes with no args — full set).
+    val correctnessOnly = Set("q_dedup_groups_star")
+    val selected =
+      if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.toSet).toMap
+      else SparkEntry.queries -- correctnessOnly
     if (new java.io.File(warmDir).isDirectory)
-      SparkEntry.queries.foreach { case (_, fn) =>
+      selected.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     // Best-of-3 per query (plus the sf0.001 warm-up above): single
@@ -30,8 +36,7 @@ object Bench {
     // computation as q_dedup_groups down its deep-graph fallback path
     // (the hybrid picks min-label here) — benching it would just count
     // the operator twice at its worst-case configuration.
-    val correctnessOnly = Set("q_dedup_groups_star")
-    val results = (SparkEntry.queries -- correctnessOnly).map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -495,11 +495,60 @@ object Dedup {
     labels
   }
 
+  /** Driver-side union-find over a COLLECTED edge list — the small-
+    * graph fast path behind [[dedupGroups]]. Near-dup graphs are
+    * usually tiny relative to the corpus (pairs ≈ duplicate docs, not
+    * all docs), so when the edge count fits a bound, 12+ scheduler
+    * round-trips of iterative label propagation collapse into one
+    * collect + an O(E α(E)) in-memory pass + one parallelize.
+    * Callers MUST pre-check the bound (dedupGroups counts the cached
+    * edge frame first); this method materializes whatever it is given.
+    * Same fixpoint as the distributed forms: every vertex labeled with
+    * its component MINIMUM — exact and deterministic, so the three
+    * paths are interchangeable under one oracle (tested). */
+  private[operators] def connectedComponentsLocal(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val rows = edges.collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      // path compression
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    rows.foreach { row =>
+      val (a, b) = (row.getLong(0), row.getLong(1))
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        // union by MIN root so the final root IS the component minimum
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    // touch every endpoint so singleton-in-pairs vertices are emitted
+    val verts = rows.iterator.flatMap(r => Iterator(r.getLong(0), r.getLong(1)))
+      .toArray.distinct.sorted
+    import spark.implicits._
+    verts.map(v => (v, find(v))).toSeq.toDF("id", "label")
+  }
+
+  /** Max collected edges for the driver-side fast path: 1M (long, long)
+    * rows ≈ 16 MB — far under any sane driver heap, far over any graph
+    * where scheduler overhead dominates. */
+  val LocalEdgeCap: Long = 1L << 20
+
   /** Near-dup groups: pair graph → (doc_id, rep_id, group_size) with
     * rep_id = min doc id of the component. The keep/drop decision of
     * a dedup pipeline is then `doc_id != rep_id`.
     *
-    * `algo = "auto"` (default) is the adaptive hybrid: min-label
+    * `algo = "auto"` (default) first counts the (cached) edge list:
+    * at or under [[LocalEdgeCap]] edges with integral ids it runs
+    * [[connectedComponentsLocal]] — one job to collect, union-find on
+    * the driver, one parallelize — because a dozen iterative-join jobs
+    * over a graph that fits in one task's memory is pure scheduling
+    * overhead. Above the cap (or for non-integral id types) it stays
+    * fully distributed: min-label
     * propagation first — near-dup components are cliques or
     * near-cliques from banding, so diameter is tiny and min-label's
     * 2-shuffles-per-round loop wins by ~5× over star contraction
@@ -513,13 +562,59 @@ object Dedup {
     * cache is freed here, so repeated calls don't accrete
     * block-manager entries. */
   def dedupGroups(pairs: DataFrame, src: String = "id1", dst: String = "id2",
-                  algo: String = "auto", shallowRounds: Int = 8): DataFrame = {
+                  algo: String = "auto", shallowRounds: Int = 8,
+                  localEdgeCap: Long = LocalEdgeCap): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    import org.apache.spark.storage.StorageLevel
+    val integralIds = pairs.schema(src).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        pairs.schema(dst).dataType match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _                                             => false
+        }
+      case _ => false
+    }
     val cc = algo match {
+      case "auto" if integralIds =>
+        // count the cached edge list once (a partial-agg job over work
+        // the distributed path would persist anyway); small graph →
+        // driver union-find, else fall through to the iterative hybrid
+        // reading the same cache.
+        val edges = pairs
+          .select(col(src).cast("long").as("a"), col(dst).cast("long").as("b"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val m = edges.count()
+        val labels =
+          if (m <= localEdgeCap) {
+            val fin = connectedComponentsLocal(edges).persist(StorageLevel.MEMORY_AND_DISK)
+            fin.count()
+            fin
+          } else {
+            try connectedComponents(edges, "a", "b", maxIters = shallowRounds)
+            catch { case _: IllegalStateException => connectedComponentsStar(edges, "a", "b") }
+          }
+        edges.unpersist(blocking = false)
+        // restore the caller's id type (cast long → original is exact)
+        val idType = pairs.schema(src).dataType
+        if (idType == LongType) labels
+        else {
+          val typed = labels.select(col("id").cast(idType).as("id"),
+              col("label").cast(idType).as("label"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          typed.count()
+          labels.unpersist(blocking = false)
+          typed
+        }
       case "auto" =>
         try connectedComponents(pairs, src, dst, maxIters = shallowRounds)
         catch { case _: IllegalStateException => connectedComponentsStar(pairs, src, dst) }
       case "star"     => connectedComponentsStar(pairs, src, dst)
       case "minlabel" => connectedComponents(pairs, src, dst)
+      case "local"    =>
+        val e = pairs.select(col(src).cast("long").as("a"), col(dst).cast("long").as("b"))
+        val idType = pairs.schema(src).dataType
+        connectedComponentsLocal(e)
+          .select(col("id").cast(idType).as("id"), col("label").cast(idType).as("label"))
       case other      => throw new IllegalArgumentException(s"dedupGroups: unknown algo '$other'")
     }
     val out = cc.select(col("id").as("doc_id"), col("label").as("rep_id"))

@@ -160,11 +160,37 @@ class DedupSpec extends AnyFunSpec {
         a.unpersist(); b.unpersist()
       }
     }
+    it("driver union-find labels exactly like the distributed forms") {
+      val fixtures = Seq(
+        Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)),
+        Seq((2L, 1L), (1L, 2L), (3L, 2L), (5L, 4L), (4L, 6L)),
+        Seq((7L, 1L), (8L, 1L), (9L, 1L), (30L, 31L), (31L, 32L), (32L, 33L), (33L, 34L)))
+      for (fx <- fixtures) {
+        val pairs = fx.toDF("id1", "id2")
+        val dist = Dedup.dedupGroups(pairs, algo = "minlabel")
+        val loc = Dedup.dedupGroups(pairs, algo = "local")
+        assert(dist.exceptAll(loc).isEmpty && loc.exceptAll(dist).isEmpty)
+      }
+    }
+    it("auto takes the same fixpoint below and above the local edge cap") {
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L))
+        .toDF("id1", "id2")
+      val local = Dedup.dedupGroups(pairs) // 5 edges ≤ cap → driver path
+      val dist = Dedup.dedupGroups(pairs, localEdgeCap = 0L) // forced distributed
+      assert(local.exceptAll(dist).isEmpty && dist.exceptAll(local).isEmpty)
+    }
+    it("local path preserves a non-long integral id type") {
+      val pairs = Seq((1, 2), (2, 3), (10, 11)).toDF("id1", "id2") // IntegerType
+      val groups = Dedup.dedupGroups(pairs, algo = "local")
+      assert(groups.schema("doc_id").dataType == org.apache.spark.sql.types.IntegerType)
+      assert(groups.filter(col("doc_id") === 3).select("rep_id").as[Int].head() == 1)
+    }
     it("auto algo falls back from min-label to star on a deep chain") {
       val chain = spark.range(1, 200)
         .select(col("id").as("id1"), (col("id") + 1).as("id2"))
-      // min-label would need 199 rounds; auto must land on star and finish
-      val groups = Dedup.dedupGroups(chain, "id1", "id2")
+      // cap 0 forces the distributed hybrid: min-label would need 199
+      // rounds; auto must land on star and finish
+      val groups = Dedup.dedupGroups(chain, "id1", "id2", localEdgeCap = 0L)
       assert(groups.agg(count(lit(1)), countDistinct(col("rep_id")),
         min(col("rep_id")), max(col("group_size")))
         .as[(Long, Long, Long, Long)].head() == ((200L, 1L, 1L, 200L)))
