@@ -772,6 +772,32 @@ object OracleSql {
          |FROM o ORDER BY doc_id""".stripMargin
     },
 
+    "q_doc_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) > 0
+        |),
+        |n AS (
+        |  SELECT doc_id, toks,
+        |    1 + CAST(FLOOR((GREATEST(toks - 128, 0) + 95) / 96.0) AS BIGINT) AS n_chunks
+        |  FROM t
+        |),
+        |c AS (
+        |  SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_idx FROM n
+        |)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(chunk_idx * 96 AS BIGINT) AS tok_start,
+        |  CAST(LEAST(chunk_idx * 96 + 128, toks) AS BIGINT) AS tok_end,
+        |  CAST(LEAST(chunk_idx * 96 + 128, toks) - chunk_idx * 96 AS BIGINT) AS n_toks
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_pivot" ->
+      s"""SELECT l_returnflag AS return_flag,
+         |  ${rd(s"CAST(SUM(CASE WHEN l_linestatus = 'F' THEN ${sc("l_quantity", 2)} END) AS DOUBLE) / 1e2", 2)} AS qty_f,
+         |  ${rd(s"CAST(SUM(CASE WHEN l_linestatus = 'O' THEN ${sc("l_quantity", 2)} END) AS DOUBLE) / 1e2", 2)} AS qty_o
+         |FROM lineitem GROUP BY l_returnflag ORDER BY return_flag""".stripMargin,
+
     "q_sample_split" -> {
       val bucket = s"${h60("CAST(doc_id AS VARCHAR)")} % 10000"
       s"""SELECT doc_id, lang,

@@ -313,6 +313,21 @@ object SparkEntry {
     TextAnalysis.tokenRarity(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** PIVOT: line status spread to columns over an exact fixed-point
+    * sum — Spark's groupBy().pivot() (map-side partial agg per pivot
+    * value, ONE shuffle on the group key; the pivot values are plan
+    * literals so no extra pass discovers them). Oracle = the
+    * equivalent conditional sums. */
+  private def qPivot(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag").as("return_flag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(scaled(col("l_quantity"), 2)))
+      .select(col("return_flag"),
+        r2(col("F").cast("double") / 1e2).as("qty_f"),
+        r2(col("O").cast("double") / 1e2).as("qty_o"))
+      .orderBy("return_flag")
+
   /** Skew-safe two-stage salted aggregation, result-identical to the
     * plain grouped sum (the oracle IS the plain form). */
   private def qSkewSalted(s: SparkSession, dir: String): DataFrame =
@@ -351,6 +366,15 @@ object SparkEntry {
         .select(col("doc_id"), size(split(col("text"), " ")).as("toks")),
       "doc_id", "toks", budget = 512, shards = 8)
       .orderBy("doc_id")
+
+  /** RAG-style sliding-window chunking: 128-token windows, 32-token
+    * overlap — a narrow map + explode, shuffle-free at any scale. */
+  private def qDocChunks(s: SparkSession, dir: String): DataFrame =
+    Packing.chunkWithOverlap(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), size(split(col("text"), " ")).as("toks")),
+      "doc_id", "toks", size = 128, overlap = 32)
+      .orderBy("doc_id", "chunk_idx")
 
   /** Near-dup GROUPS: the pair graph collapsed to canonical
     * representatives via distributed min-label propagation
@@ -614,6 +638,8 @@ object SparkEntry {
     "q_sample_split" -> (qSampleSplit _),
     "q_decontamination" -> (qDecontamination _),
     "q_doc_packing" -> (qDocPacking _),
+    "q_doc_chunks" -> (qDocChunks _),
+    "q_pivot" -> (qPivot _),
     "q_token_rarity" -> (qTokenRarity _),
     "q_skew_salted" -> (qSkewSalted _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),

@@ -52,4 +52,34 @@ object Packing {
         floor((col("start_offset") + col("tokens") - 1) / budget).cast("long"))
       .drop("tokens")
   }
+
+  /** RAG-style sliding-window chunking: each document is cut into
+    * `size`-token windows advancing by `size - overlap` tokens, so
+    * consecutive chunks share `overlap` tokens of context. Emits one
+    * row per (doc, chunk): (id, chunk_idx, tok_start, tok_end, n_toks)
+    * with tok_end exclusive and the last chunk clipped to the doc.
+    *
+    * Unlike [[chunkSpans]] (corpus-level packing, needs a per-shard
+    * cumsum exchange), this is per-document integer arithmetic on a
+    * token count — a narrow map + explode with NO shuffle at any
+    * scale; chunk counts are data-independent given n_tokens, so the
+    * operator is trivially deterministic. */
+  def chunkWithOverlap(docs: DataFrame, idCol: String, tokensCol: String,
+                       size: Int, overlap: Int): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"chunkWithOverlap: need 0 <= overlap < size, got size=$size overlap=$overlap")
+    val stride = size - overlap
+    // n_chunks = 1 + ceil(max(toks - size, 0) / stride): windows start
+    // at i*stride while they still add ≥1 new token past the overlap.
+    docs.select(col(idCol), col(tokensCol).cast("long").as("toks"))
+      .filter(col("toks") > 0)
+      .withColumn("n_chunks",
+        lit(1L) + floor((greatest(col("toks") - size, lit(0L)) + stride - 1) / stride).cast("long"))
+      .select(col(idCol), col("toks"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("tok_start"),
+        least(col("chunk_idx") * stride + size, col("toks")).as("tok_end"))
+      .withColumn("n_toks", col("tok_end") - col("tok_start"))
+  }
 }

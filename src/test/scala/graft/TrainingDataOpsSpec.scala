@@ -82,4 +82,40 @@ class TrainingDataOpsSpec extends AnyFunSpec {
       assert(auto.exceptAll(pinned).isEmpty && pinned.exceptAll(auto).isEmpty)
     }
   }
+
+  describe("Packing.chunkWithOverlap") {
+    def chunksOf(toks: Long, size: Int, overlap: Int): Seq[(Long, Long, Long)] = {
+      val docs = Seq((1L, toks)).toDF("doc_id", "toks")
+      Packing.chunkWithOverlap(docs, "doc_id", "toks", size, overlap)
+        .orderBy("chunk_idx")
+        .select("chunk_idx", "tok_start", "tok_end")
+        .as[(Long, Long, Long)].collect().toSeq
+    }
+    it("covers every token: chunks tile the doc with exactly `overlap` shared tokens") {
+      // 300 tokens, size 128, overlap 32 → starts 0, 96, 192 (clipped)
+      assert(chunksOf(300, 128, 32) ==
+        Seq((0L, 0L, 128L), (1L, 96L, 224L), (2L, 192L, 300L)))
+    }
+    it("one chunk when the doc fits, boundary cases exact") {
+      assert(chunksOf(128, 128, 32) == Seq((0L, 0L, 128L)))
+      assert(chunksOf(1, 128, 32) == Seq((0L, 0L, 1L)))
+      // one token past the window opens exactly one more chunk
+      assert(chunksOf(129, 128, 32) == Seq((0L, 0L, 128L), (1L, 96L, 129L)))
+    }
+    it("every chunk past the first adds at least one new token (no empty tails)") {
+      for (t <- Seq(5L, 96L, 97L, 128L, 224L, 225L, 1000L)) {
+        val cs = chunksOf(t, 128, 32)
+        assert(cs.last._3 == t)
+        assert(cs.sliding(2).forall {
+          case Seq(a, b) => b._3 > a._3 && b._2 < a._3; case _ => true
+        }, s"toks=$t chunks=$cs")
+      }
+    }
+    it("rejects a degenerate overlap") {
+      val docs = Seq((1L, 10L)).toDF("doc_id", "toks")
+      intercept[IllegalArgumentException] {
+        Packing.chunkWithOverlap(docs, "doc_id", "toks", 64, 64)
+      }
+    }
+  }
 }
