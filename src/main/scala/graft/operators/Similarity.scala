@@ -204,9 +204,13 @@ object Similarity {
     * Cell assignment is exact integer L2 over the quantized vectors,
     * ties broken by cell index.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-              k: Int, numCells: Int = 16, nprobe: Int = 2): DataFrame = {
-    val seeds = corpus
+  /** The md5-seeded sampled coarse quantizer shared by [[ivfTopK]],
+    * [[ivfAssign]] and [[semDedup]]: the `numCells` corpus vectors
+    * with the smallest (hash60(id), id), quantized — a k-row driver
+    * collect ("train small, broadcast"), bounded by numCells. */
+  private def trainCellSeeds(corpus: DataFrame, idCol: String, vecCol: String,
+                             numCells: Int): Seq[Seq[Long]] =
+    corpus
       .select(col(idCol).as("sid"), quantize(col(vecCol)).as("sq"))
       .withColumn("hk", hash60(col("sid").cast("string")))
       .orderBy(col("hk"), col("sid")).limit(numCells)
@@ -214,7 +218,11 @@ object Similarity {
       .collect()
       .sortBy(_.getAs[Long]("sid"))
       .map(_.getAs[scala.collection.Seq[Long]]("sq").toSeq)
-    val centroidLit = typedLit(seeds.toSeq)
+      .toSeq
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              k: Int, numCells: Int = 16, nprobe: Int = 2): DataFrame = {
+    val centroidLit = typedLit(trainCellSeeds(corpus, idCol, vecCol, numCells))
 
     def cellsOf(vq: Column, n: Int): Column =
       // n nearest cells by exact integer L2 (seeds are plan-time
