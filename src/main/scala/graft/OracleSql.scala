@@ -873,6 +873,76 @@ object OracleSql {
          |SELECT query_id, corpus_id, cosine, CAST(rn AS INTEGER) AS rank
          |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    // mirrors Similarity.ivfAssign: md5-seeded sampled centroids,
+    // exact integer L2, ties by cell index
+    "q_ivf_assign" ->
+      s"""WITH $embSql,
+         |seeds AS (
+         |  SELECT vec_id AS sid, vq AS sq FROM en
+         |  ORDER BY ${h60("CAST(vec_id AS VARCHAR)")}, vec_id
+         |  LIMIT 16
+         |),
+         |cent AS (
+         |  SELECT sq, CAST(ROW_NUMBER() OVER (ORDER BY sid) - 1 AS BIGINT) AS cell FROM seeds
+         |),
+         |dist AS (
+         |  SELECT e.vec_id, c.cell,
+         |    list_sum(list_transform(range(1, 65), k -> (e.vq[k] - c.sq[k]) * (e.vq[k] - c.sq[k]))) AS d
+         |  FROM en e CROSS JOIN cent c
+         |),
+         |ranked AS (
+         |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+         |  FROM dist
+         |)
+         |SELECT vec_id AS id, cell FROM ranked WHERE rn = 1 ORDER BY id""".stripMargin,
+
+    // SemDedup end to end: cell assignment (as q_ivf_assign) →
+    // within-cell pairwise cosine ≥ threshold → recursive-CTE
+    // components → keep the component minimum
+    "q_semdedup" ->
+      s"""WITH RECURSIVE $embSql,
+         |seeds AS (
+         |  SELECT vec_id AS sid, vq AS sq FROM en
+         |  ORDER BY ${h60("CAST(vec_id AS VARCHAR)")}, vec_id
+         |  LIMIT 16
+         |),
+         |cent AS (
+         |  SELECT sq, CAST(ROW_NUMBER() OVER (ORDER BY sid) - 1 AS BIGINT) AS cell FROM seeds
+         |),
+         |dist AS (
+         |  SELECT e.vec_id, e.vq, e.nq, c.cell,
+         |    list_sum(list_transform(range(1, 65), k -> (e.vq[k] - c.sq[k]) * (e.vq[k] - c.sq[k]))) AS d
+         |  FROM en e CROSS JOIN cent c
+         |),
+         |ranked AS (
+         |  SELECT vec_id, vq, nq, cell,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+         |  FROM dist
+         |),
+         |asg AS (SELECT vec_id, vq, nq, cell FROM ranked WHERE rn = 1),
+         |pairs AS (
+         |  SELECT a.vec_id AS id1, b.vec_id AS id2
+         |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${cosExpr(pairDot, "a.nq", "b.nq")} >= 0.3
+         |),
+         |edges AS (
+         |  SELECT id1 AS a, id2 AS b FROM pairs
+         |  UNION ALL
+         |  SELECT id2 AS a, id1 AS b FROM pairs
+         |),
+         |verts AS (SELECT DISTINCT a AS id FROM edges),
+         |cc AS (
+         |  SELECT id, id AS label FROM verts
+         |  UNION
+         |  SELECT e.b AS id, c.label FROM cc c JOIN edges e ON c.id = e.a
+         |),
+         |labels AS (SELECT id, MIN(label) AS rep_id FROM cc GROUP BY id)
+         |SELECT g.vec_id AS id, g.cell,
+         |  COALESCE(l.rep_id, g.vec_id) AS rep_id,
+         |  (COALESCE(l.rep_id, g.vec_id) = g.vec_id) AS kept
+         |FROM asg g LEFT JOIN labels l ON g.vec_id = l.id
+         |ORDER BY id""".stripMargin,
+
     "q_dedup_embedding" ->
       s"""WITH dv AS (
          |  SELECT d.doc_id, d.lang,

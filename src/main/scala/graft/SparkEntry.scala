@@ -453,6 +453,24 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Standalone coarse-quantizer cell assignment — the cluster step a
+    * pipeline trains once and reuses across dedup/ANN/stats. Same
+    * md5-seeded quantizer as [[Similarity.ivfTopK]], so the oracle
+    * states every cell exactly. */
+  private def qIvfAssign(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfAssign(Tables.embeddings(s, dir), "vec_id", "embedding", numCells = 16)
+      .select("id", "cell")
+      .orderBy("id")
+
+  /** SemDedup (cluster → within-cell cosine pairs → component
+    * representatives): the paper's semantic-dedup decision, fully
+    * deterministic, oracle-checked end to end (cell assignment +
+    * pairwise cosine + recursive-CTE components in DuckDB). */
+  private def qSemDedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+      threshold = 0.3, numCells = 16)
+      .orderBy("id")
+
   /** Banded-LSH near-dup within label blocks (same recall contract as
     * [[Similarity.cosineNearDupPairsBanded]]; the oracle mirrors the
     * banding, so the compare is exact on the banded semantics). */
@@ -648,6 +666,8 @@ object SparkEntry {
     "q_sim_ann_lsh" -> (qSimAnnLsh _),
     "q_sim_near_dup" -> (qSimNearDup _),
     "q_sim_ivf" -> (qSimIvf _),
+    "q_ivf_assign" -> (qIvfAssign _),
+    "q_semdedup" -> (qSemDedup _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_rolling_hash" -> (qRollingHash _),
     "q_multimodal_frames" -> (qMultimodalFrames _),

@@ -508,7 +508,14 @@ object Dedup {
     * paths are interchangeable under one oracle (tested). */
   private[operators] def connectedComponentsLocal(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
-    val rows = edges.collect()
+    import spark.implicits._
+    // null endpoints drop out of join/group keys in the distributed
+    // forms; drop them here too (getLong would silently unbox null→0L
+    // and merge the edge into vertex 0's component). Collect as
+    // specialized (Long, Long) tuples, not boxed Rows.
+    val rows: Array[(Long, Long)] = edges
+      .filter(col(edges.columns(0)).isNotNull && col(edges.columns(1)).isNotNull)
+      .as[(Long, Long)].collect()
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x
@@ -518,8 +525,7 @@ object Dedup {
       while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    rows.foreach { row =>
-      val (a, b) = (row.getLong(0), row.getLong(1))
+    rows.foreach { case (a, b) =>
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) {
         // union by MIN root so the final root IS the component minimum
@@ -527,15 +533,17 @@ object Dedup {
       }
     }
     // touch every endpoint so singleton-in-pairs vertices are emitted
-    val verts = rows.iterator.flatMap(r => Iterator(r.getLong(0), r.getLong(1)))
+    val verts = rows.iterator.flatMap(e => Iterator(e._1, e._2))
       .toArray.distinct.sorted
-    import spark.implicits._
-    verts.map(v => (v, find(v))).toSeq.toDF("id", "label")
+    spark.createDataset(verts.map(v => (v, find(v))).toSeq).toDF("id", "label")
   }
 
-  /** Max collected edges for the driver-side fast path: 1M (long, long)
-    * rows ≈ 16 MB — far under any sane driver heap, far over any graph
-    * where scheduler overhead dominates. */
+  /** Max collected edges for the driver-side fast path. 1M edges is
+    * ~16 MB as primitive longs; the transient driver cost is a few ×
+    * that (tuple headers during collect, the HashMap, the vertex
+    * array) — call it low hundreds of MB worst case, still far under
+    * any sane driver heap and far over any graph where scheduler
+    * overhead dominates. */
   val LocalEdgeCap: Long = 1L << 20
 
   /** Near-dup groups: pair graph → (doc_id, rep_id, group_size) with
@@ -564,16 +572,20 @@ object Dedup {
   def dedupGroups(pairs: DataFrame, src: String = "id1", dst: String = "id2",
                   algo: String = "auto", shallowRounds: Int = 8,
                   localEdgeCap: Long = LocalEdgeCap): DataFrame = {
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
     import org.apache.spark.storage.StorageLevel
-    val integralIds = pairs.schema(src).dataType match {
-      case ByteType | ShortType | IntegerType | LongType =>
-        pairs.schema(dst).dataType match {
-          case ByteType | ShortType | IntegerType | LongType => true
-          case _                                             => false
-        }
-      case _ => false
+    def width(t: DataType): Int = t match {
+      case ByteType => 1; case ShortType => 2; case IntegerType => 4; case LongType => 8
+      case _        => 0
     }
+    val integralIds = width(pairs.schema(src).dataType) > 0 && width(pairs.schema(dst).dataType) > 0
+    // ids and labels mix values from BOTH columns; casting back to the
+    // narrower of two mixed widths could wrap silently (non-ANSI cast),
+    // so the restore type is the WIDER of the two.
+    val widerIdType: DataType =
+      if (width(pairs.schema(src).dataType) >= width(pairs.schema(dst).dataType))
+        pairs.schema(src).dataType
+      else pairs.schema(dst).dataType
     val cc = algo match {
       case "auto" if integralIds =>
         // count the cached edge list once (a partial-agg job over work
@@ -594,12 +606,12 @@ object Dedup {
             catch { case _: IllegalStateException => connectedComponentsStar(edges, "a", "b") }
           }
         edges.unpersist(blocking = false)
-        // restore the caller's id type (cast long → original is exact)
-        val idType = pairs.schema(src).dataType
-        if (idType == LongType) labels
+        // restore the wider of the two id types (cast long → wider is
+        // exact; every id/label value fits by construction)
+        if (widerIdType == LongType) labels
         else {
-          val typed = labels.select(col("id").cast(idType).as("id"),
-              col("label").cast(idType).as("label"))
+          val typed = labels.select(col("id").cast(widerIdType).as("id"),
+              col("label").cast(widerIdType).as("label"))
             .persist(StorageLevel.MEMORY_AND_DISK)
           typed.count()
           labels.unpersist(blocking = false)
@@ -611,10 +623,16 @@ object Dedup {
       case "star"     => connectedComponentsStar(pairs, src, dst)
       case "minlabel" => connectedComponents(pairs, src, dst)
       case "local"    =>
+        // integral ids only: an arbitrary type cast('long') turns
+        // non-numeric ids into nulls, which the distributed paths drop
+        // from join keys — forcing the same contract keeps the three
+        // algos interchangeable instead of silently lossy.
+        require(integralIds,
+          s"dedupGroups(algo=local) requires integral id columns, got " +
+            s"${pairs.schema(src).dataType}/${pairs.schema(dst).dataType}")
         val e = pairs.select(col(src).cast("long").as("a"), col(dst).cast("long").as("b"))
-        val idType = pairs.schema(src).dataType
         connectedComponentsLocal(e)
-          .select(col("id").cast(idType).as("id"), col("label").cast(idType).as("label"))
+          .select(col("id").cast(widerIdType).as("id"), col("label").cast(widerIdType).as("label"))
       case other      => throw new IllegalArgumentException(s"dedupGroups: unknown algo '$other'")
     }
     val out = cc.select(col("id").as("doc_id"), col("label").as("rep_id"))

@@ -186,6 +186,41 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** The md5-seeded sampled coarse quantizer shared by [[ivfTopK]],
+    * [[ivfAssign]] and [[semDedup]]: the `numCells` corpus vectors
+    * with the smallest (hash60(id), id), quantized — a k-row driver
+    * collect ("train small, broadcast"), bounded by numCells. */
+  private def trainCellSeeds(corpus: DataFrame, idCol: String, vecCol: String,
+                             numCells: Int): Seq[Seq[Long]] =
+    corpus
+      .select(col(idCol).as("sid"), quantize(col(vecCol)).as("sq"))
+      .withColumn("hk", hash60(col("sid").cast("string")))
+      .orderBy(col("hk"), col("sid")).limit(numCells)
+      .select("sid", "sq")
+      .collect()
+      .sortBy(_.getAs[Long]("sid"))
+      .map(_.getAs[scala.collection.Seq[Long]]("sq").toSeq)
+      .toSeq
+
+  /** The `n` nearest cells of a quantized vector by exact integer L2
+    * against the plan-time centroid literal (one narrow pass, no
+    * shuffle); ties break by cell index. Native `nearest_cells`
+    * ([[graft.plans.NearestCells]]) when registered; lambda-sort
+    * fallback — value-identical (tested). */
+  private def nearestCellsOf(vq: Column, centroidLit: Column,
+                             numCells: Int, n: Int): Column =
+    if (natFn("nearest_cells"))
+      call_function("nearest_cells", vq, centroidLit, lit(n))
+    else {
+      val dists = transform(sequence(lit(0), lit(numCells - 1)), c =>
+        struct(
+          aggregate(
+            zip_with(vq, element_at(centroidLit, c + 1), (x, y) => (x - y) * (x - y)),
+            lit(0L), (acc, x) => acc + x).as("d"),
+          c.cast("long").as("cell")))
+      transform(slice(array_sort(dists), 1, n), s => s.getField("cell"))
+    }
+
   /** IVF (inverted-file) ANN: a coarse quantizer assigns each vector
     * to a cell; queries probe their `nprobe` nearest cells and rank
     * exactly within them. The other canonical scale path next to LSH:
@@ -204,41 +239,12 @@ object Similarity {
     * Cell assignment is exact integer L2 over the quantized vectors,
     * ties broken by cell index.
     */
-  /** The md5-seeded sampled coarse quantizer shared by [[ivfTopK]],
-    * [[ivfAssign]] and [[semDedup]]: the `numCells` corpus vectors
-    * with the smallest (hash60(id), id), quantized — a k-row driver
-    * collect ("train small, broadcast"), bounded by numCells. */
-  private def trainCellSeeds(corpus: DataFrame, idCol: String, vecCol: String,
-                             numCells: Int): Seq[Seq[Long]] =
-    corpus
-      .select(col(idCol).as("sid"), quantize(col(vecCol)).as("sq"))
-      .withColumn("hk", hash60(col("sid").cast("string")))
-      .orderBy(col("hk"), col("sid")).limit(numCells)
-      .select("sid", "sq")
-      .collect()
-      .sortBy(_.getAs[Long]("sid"))
-      .map(_.getAs[scala.collection.Seq[Long]]("sq").toSeq)
-      .toSeq
-
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               k: Int, numCells: Int = 16, nprobe: Int = 2): DataFrame = {
     val centroidLit = typedLit(trainCellSeeds(corpus, idCol, vecCol, numCells))
 
     def cellsOf(vq: Column, n: Int): Column =
-      // n nearest cells by exact integer L2 (seeds are plan-time
-      // literals; one narrow pass, no shuffle); ties break by cell.
-      // Native nearest_cells when registered; lambda-sort fallback.
-      if (natFn("nearest_cells"))
-        call_function("nearest_cells", vq, centroidLit, lit(n))
-      else {
-        val dists = transform(sequence(lit(0), lit(numCells - 1)), c =>
-          struct(
-            aggregate(
-              zip_with(vq, element_at(centroidLit, c + 1), (x, y) => (x - y) * (x - y)),
-              lit(0L), (acc, x) => acc + x).as("d"),
-            c.cast("long").as("cell")))
-        transform(slice(array_sort(dists), 1, n), s => s.getField("cell"))
-      }
+      nearestCellsOf(vq, centroidLit, numCells, n)
 
     val c = corpus.select(col(idCol).as("corpus_id"), quantize(col(vecCol)).as("cq"))
       .select(col("corpus_id"), col("cq"), explode(cellsOf(col("cq"), 1)).as("cell"))
@@ -254,6 +260,64 @@ object Similarity {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Coarse-quantizer cell assignment as a standalone operator:
+    * (id, cell, vq, n) for every vector, cell = the nearest of the
+    * [[trainCellSeeds]] centroids (exact integer L2, ties by cell
+    * index). The building block [[ivfTopK]] and [[semDedup]] share;
+    * exposed because a pipeline that clusters once and reuses the
+    * assignment (dedup + ANN + per-cell stats) shouldn't re-train.
+    * One narrow pass after the k-row seed collect — no shuffle beyond
+    * the CPU-spreading repartition. */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+                numCells: Int = 16): DataFrame = {
+    val centroidLit = typedLit(trainCellSeeds(df, idCol, vecCol, numCells))
+    // explicit-count repartition: quantize/L2 lambdas are interpreted
+    // on the fallback path, and even the native expression is CPU-bound
+    // — spread over all cores regardless of input split layout.
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    df.select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .repartition(parts, col("id"))
+      .select(col("id"), quantize(col("__v")).as("vq"))
+      .select(col("id"), col("vq"),
+        element_at(nearestCellsOf(col("vq"), centroidLit, numCells, 1), 1).as("cell"))
+      .withColumn("n", normSqN(col("vq")))
+  }
+
+  /** SemDedup (Abbas et al. 2023, arXiv:2303.09540 — public method):
+    * semantic deduplication by clustering embeddings and dropping all
+    * but one representative from every within-cluster group of
+    * near-identical vectors. Cluster = [[ivfAssign]] coarse cell;
+    * within-cell pairs at cosine ≥ `threshold` are collapsed to
+    * connected components ([[Dedup.dedupGroups]]) and each component
+    * keeps its MINIMUM id — deterministic, so the whole operator
+    * carries a DuckDB oracle. Returns (id, cell, rep_id, kept).
+    *
+    * Scale shape: the pair step is an equi join on cell — the paper's
+    * own within-cluster semantics — so cost is Σ|cell|², bounded by
+    * the quantizer's cell balance, NOT corpus². If a cell can grow
+    * unbounded (skewed corpora, tiny numCells), compose
+    * [[cosineNearDupPairsBanded]] with `blockCol = cell` instead: same
+    * equi-join shape with LSH bands bounding the per-key fan-out. */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               threshold: Double, numCells: Int = 16): DataFrame = {
+    val assigned = ivfAssign(df, idCol, vecCol, numCells)
+    val a = assigned.select(col("cell"), col("id").as("id1"),
+      col("vq").as("q1"), col("n").as("n1"))
+    val b = assigned.select(col("cell"), col("id").as("id2"),
+      col("vq").as("q2"), col("n").as("n2"))
+    val pairs = a.join(b, "cell")
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        cosineQ(dotQN(col("q1"), col("q2")), col("n1"), col("n2")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+    val groups = Dedup.dedupGroups(pairs.select("id1", "id2"))
+    assigned.select("id", "cell")
+      .join(groups.select(col("doc_id").as("id"), col("rep_id")), Seq("id"), "left")
+      .select(col("id"), col("cell"),
+        coalesce(col("rep_id"), col("id")).as("rep_id"),
+        (coalesce(col("rep_id"), col("id")) === col("id")).as("kept"))
   }
 
   /** ANN top-k via hyperplane LSH: queries probe only their own bucket

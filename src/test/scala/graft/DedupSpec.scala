@@ -195,6 +195,30 @@ class DedupSpec extends AnyFunSpec {
         min(col("rep_id")), max(col("group_size")))
         .as[(Long, Long, Long, Long)].head() == ((200L, 1L, 1L, 200L)))
     }
+    it("mixed-width ids restore to the WIDER type so wide labels never wrap") {
+      // id2 carries a value outside Int range; casting the labels back
+      // to id1's IntegerType would wrap it silently (non-ANSI cast)
+      val pairs = Seq((1, 5000000000L), (1, 2L)).toDF("id1", "id2")
+      val groups = Dedup.dedupGroups(pairs)
+      assert(groups.schema("doc_id").dataType == org.apache.spark.sql.types.LongType)
+      assert(groups.filter(col("doc_id") === 5000000000L).select("rep_id")
+        .as[Long].head() == 1L)
+    }
+    it("local path drops null endpoints instead of merging them into vertex 0") {
+      val pairs = Seq((Some(0L), Some(1L)), (None, Some(5L)))
+        .toDF("id1", "id2")
+      val groups = Dedup.dedupGroups(pairs, algo = "local")
+      // the null edge contributes nothing: 5 must NOT join component 0
+      // (getLong on a null used to unbox it to 0L)
+      assert(groups.filter(col("doc_id") === 5L && col("rep_id") === 0L).isEmpty)
+      assert(groups.filter(col("doc_id") === 1L).select("rep_id").as[Long].head() == 0L)
+    }
+    it("local path rejects non-integral id types rather than hashing them to null") {
+      val pairs = Seq(("a", "b"), ("b", "c")).toDF("id1", "id2")
+      intercept[IllegalArgumentException] {
+        Dedup.dedupGroups(pairs, algo = "local")
+      }
+    }
     it("star contraction converges in O(log n) rounds on a 10k-vertex chain") {
       // THE pathological case for min-label propagation: diameter 9 999
       // means ~10k rounds there. Star contraction must do it in < 20.

@@ -92,6 +92,42 @@ class SimilaritySpec extends AnyFunSpec {
     }
   }
 
+  describe("ivfAssign") {
+    it("assigns every vector to exactly one in-range cell, deterministically") {
+      val emb = Tables.embeddings(spark, dir)
+      val asg = Similarity.ivfAssign(emb, "vec_id", "embedding", numCells = 8)
+      assert(asg.count() == emb.count())
+      assert(asg.filter($"cell" < 0 || $"cell" >= 8).isEmpty)
+      val again = Similarity.ivfAssign(emb, "vec_id", "embedding", numCells = 8)
+      assert(asg.select("id", "cell").exceptAll(again.select("id", "cell")).isEmpty)
+    }
+  }
+
+  describe("semDedup") {
+    it("collapses exact copies to the min-id representative and keeps the distinct vector") {
+      val v1 = Array.fill(64)(0.5f)
+      val v2 = Array.tabulate(64)(i => if (i % 2 == 0) 0.5f else -0.5f)
+      val df = Seq((10L, v1), (11L, v1), (12L, v1), (20L, v2)).toDF("vec_id", "embedding")
+      // identical vectors land in the same cell whatever the seeds are
+      // (equal L2 to every centroid, ties by cell index), so the copies
+      // always meet; v1·v2 = 0 < threshold keeps 20 apart
+      val out = Similarity.semDedup(df, "vec_id", "embedding", threshold = 0.95, numCells = 2)
+        .select("id", "rep_id", "kept").as[(Long, Long, Boolean)].collect().toSet
+      assert(out == Set((10L, 10L, true), (11L, 10L, false), (12L, 10L, false),
+        (20L, 20L, true)))
+    }
+    it("covers the whole corpus, reps are component minima, every rep is kept") {
+      val emb = Tables.embeddings(spark, dir)
+      val out = Similarity.semDedup(emb, "vec_id", "embedding", threshold = 0.3)
+      assert(out.count() == emb.count())
+      assert(out.filter($"rep_id" > $"id").isEmpty)
+      val reps = out.select($"rep_id".as("id")).distinct()
+      assert(reps.join(out.filter(!$"kept").select("id"), "id").isEmpty)
+      // kept is exactly id == rep_id
+      assert(out.filter($"kept" =!= ($"id" === $"rep_id")).isEmpty)
+    }
+  }
+
   describe("cosineNearDupPairs") {
     it("emits canonical id1<id2 pairs above threshold only") {
       val emb = Tables.embeddings(spark, dir)
