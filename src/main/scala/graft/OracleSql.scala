@@ -222,6 +222,25 @@ object OracleSql {
        |),
        |pairs AS (SELECT id1, id2, jaccard FROM cand WHERE jaccard >= 0.5)""".stripMargin
 
+  /** Contamination scores (shared by q_decontamination and its
+    * bloom-prefiltered twin — identical results by construction). */
+  private lazy val decontaminationSql: String =
+    s"""WITH $shinglesSql,
+       |ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |ex AS (SELECT doc_id, ${h60("s")} AS shh FROM ex0),
+       |evalsh AS (SELECT DISTINCT shh FROM ex WHERE doc_id % 50 = 0),
+       |corpus AS (SELECT doc_id, shh FROM ex WHERE doc_id % 50 != 0),
+       |scored AS (
+       |  SELECT c.doc_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       |    CAST(SUM(CASE WHEN e.shh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS matched
+       |  FROM corpus c LEFT JOIN evalsh e ON c.shh = e.shh
+       |  GROUP BY c.doc_id
+       |)
+       |SELECT doc_id, n_shingles, matched,
+       |  ${rd("matched / CAST(n_shingles AS DOUBLE)", 4)} AS overlap_ratio
+       |FROM scored ORDER BY doc_id""".stripMargin
+
   /** quantized embeddings + exact integer norms (mirrors
     * Similarity.quantize/normSq at scale 6). */
   private val embSql: String =
@@ -735,22 +754,66 @@ object OracleSql {
          |  CAST(COUNT(*) AS BIGINT) AS count_rows
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
-    "q_decontamination" ->
+    // distinct 3-grams per doc; df >= 2 means "appears in another doc"
+    "q_cross_doc_ngrams" ->
       s"""WITH $shinglesSql,
          |ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
          |ex AS (SELECT doc_id, ${h60("s")} AS shh FROM ex0),
-         |evalsh AS (SELECT DISTINCT shh FROM ex WHERE doc_id % 50 = 0),
-         |corpus AS (SELECT doc_id, shh FROM ex WHERE doc_id % 50 != 0),
+         |dfreq AS (SELECT shh, COUNT(*) AS df FROM ex GROUP BY shh),
          |scored AS (
-         |  SELECT c.doc_id,
-         |    CAST(COUNT(*) AS BIGINT) AS n_shingles,
-         |    CAST(SUM(CASE WHEN e.shh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS matched
-         |  FROM corpus c LEFT JOIN evalsh e ON c.shh = e.shh
-         |  GROUP BY c.doc_id
+         |  SELECT e.doc_id,
+         |    CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+         |    CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_ngrams
+         |  FROM ex e JOIN dfreq d ON e.shh = d.shh
+         |  GROUP BY e.doc_id
          |)
-         |SELECT doc_id, n_shingles, matched,
-         |  ${rd("matched / CAST(n_shingles AS DOUBLE)", 4)} AS overlap_ratio
+         |SELECT doc_id, n_ngrams, dup_ngrams,
+         |  ${rd("dup_ngrams / CAST(n_ngrams AS DOUBLE)", 4)} AS dup_frac
          |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "q_source_cap" -> {
+      val hk = h60("CAST(doc_id AS VARCHAR)")
+      s"""WITH r AS (
+         |  SELECT doc_id, source,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY $hk, doc_id) AS INTEGER) AS sample_rank
+         |  FROM documents
+         |)
+         |SELECT doc_id, source, sample_rank FROM r
+         |WHERE sample_rank <= 10 ORDER BY doc_id""".stripMargin
+    },
+
+    // mirrors Scd2.fromHistory: run starts by LAG inequality, validity
+    // ranges by LEAD over the starts, run sizes by row-number diffs
+    "q_scd2" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS et, event_type FROM events
+        |),
+        |m AS (
+        |  SELECT *, LAG(event_type) OVER w AS prev,
+        |    ROW_NUMBER() OVER w AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n
+        |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY et, event_id)
+        |),
+        |s AS (SELECT * FROM m WHERE prev IS NULL OR prev != event_type),
+        |v AS (
+        |  SELECT user_id, event_type, et AS valid_from, rn, n,
+        |    ROW_NUMBER() OVER w2 AS version,
+        |    LEAD(et) OVER w2 AS valid_to,
+        |    LEAD(rn) OVER w2 AS next_rn
+        |  FROM s WINDOW w2 AS (PARTITION BY user_id ORDER BY et, event_id)
+        |)
+        |SELECT user_id, CAST(version AS INTEGER) AS version, event_type,
+        |  valid_from, valid_to,
+        |  CAST(COALESCE(next_rn, n + 1) - rn AS BIGINT) AS n_events,
+        |  (valid_to IS NULL) AS is_current
+        |FROM v ORDER BY user_id, version""".stripMargin,
+
+    "q_decontamination" -> decontaminationSql,
+
+    // the bloom prefilter has no false negatives and survivors are
+    // exact-verified, so the RESULT is identical to the exact plan —
+    // one oracle states both
+    "q_decontamination_bloom" -> decontaminationSql,
 
     "q_doc_packing" -> {
       val shard = s"${h60("CAST(doc_id AS VARCHAR)")} % 8"

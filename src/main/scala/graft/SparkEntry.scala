@@ -313,6 +313,12 @@ object SparkEntry {
     TextAnalysis.tokenRarity(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Inter-document boilerplate signal: the fraction of each doc's
+    * distinct 3-grams shared with any other doc. */
+  private def qCrossDocNgrams(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.crossDocDupNgrams(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** PIVOT: line status spread to columns over an exact fixed-point
     * sum — Spark's groupBy().pivot() (map-side partial agg per pivot
     * value, ONE shuffle on the group key; the pivot values are plan
@@ -353,6 +359,18 @@ object SparkEntry {
   private def qDecontamination(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     Decontamination.contaminationScores(
+      docs.filter(col("doc_id") % 50 =!= 0), "doc_id", "text",
+      docs.filter(col("doc_id") % 50 === 0), "text")
+      .orderBy("doc_id")
+  }
+
+  /** Same contamination scores through the bloom-prefiltered plan —
+    * identical result by the no-false-negatives property (same oracle
+    * as q_decontamination), different physical shape: binary-literal
+    * bloom filter instead of a broadcast-hash relation. */
+  private def qDecontaminationBloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Decontamination.contaminationScoresBloom(
       docs.filter(col("doc_id") % 50 =!= 0), "doc_id", "text",
       docs.filter(col("doc_id") % 50 === 0), "text")
       .orderBy("doc_id")
@@ -518,6 +536,27 @@ object SparkEntry {
       "doc_id", "lang", Map("en" -> 0.8, "de" -> 0.5), defaultFraction = 0.25)
       .orderBy("doc_id")
 
+  /** Deterministic per-source cap — corpus balancing so no source
+    * exceeds an absolute budget; rank-limit plan (WindowGroupLimit,
+    * map-side per-key top-k, asserted in PlanSpec). */
+  private def qSourceCap(s: SparkSession, dir: String): DataFrame =
+    Sampling.capPerKey(Tables.documents(s, dir).select("doc_id", "source"),
+      "source", "doc_id", cap = 10)
+      .orderBy("doc_id")
+
+  /** SCD2 compaction of the events history: per-user event_type runs
+    * as versioned validity ranges — one exchange feeds every window
+    * frame (no groupBy re-shuffle; runs collapse by row-number
+    * differencing). */
+  private def qScd2(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    Scd2.fromHistory(
+      ev.select(col("user_id"), Adapters.eventTime(ev).as("et"),
+        col("event_type"), col("event_id")),
+      "user_id", "et", "event_type", "event_id")
+      .orderBy("user_id", "version")
+  }
+
   /** Gopher-style repetition signals over the corpus. */
   private def qRepetition(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionSignals(Tables.documents(s, dir), "doc_id", "text")
@@ -655,10 +694,14 @@ object SparkEntry {
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_sample_split" -> (qSampleSplit _),
     "q_decontamination" -> (qDecontamination _),
+    "q_decontamination_bloom" -> (qDecontaminationBloom _),
     "q_doc_packing" -> (qDocPacking _),
     "q_doc_chunks" -> (qDocChunks _),
     "q_pivot" -> (qPivot _),
     "q_token_rarity" -> (qTokenRarity _),
+    "q_cross_doc_ngrams" -> (qCrossDocNgrams _),
+    "q_source_cap" -> (qSourceCap _),
+    "q_scd2" -> (qScd2 _),
     "q_skew_salted" -> (qSkewSalted _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "q_dedup_simhash" -> (qDedupSimhash _),

@@ -44,4 +44,50 @@ object Decontamination {
       .select(col(idCol), col("n_shingles"), col("matched"),
         r4(col("matched") / col("n_shingles").cast("double")).as("overlap_ratio"))
   }
+
+  /** [[contaminationScores]] with a BLOOM-FILTER prefilter on the
+    * corpus side — the shape for when the eval shingle universe is too
+    * big to ship as a broadcast-hash relation (a full benchmark stack
+    * is easily 10⁸ shingles ≈ GBs hashed, but ~7 bits/item ≈ tens of
+    * MB as a bloom). The bloom is built in ONE partial-aggregable pass
+    * over the eval side (Spark's own BloomFilterAggregate, exposed as
+    * `bloom_filter_agg` by [[graft.plans.GraftExtensions]]), collected
+    * once (bounded by numBits, not data — "train small, broadcast"),
+    * and embedded as a binary literal, so the corpus scan stays one
+    * narrow filter pass. Only the surviving ~fpp fraction re-joins the
+    * eval set for exact verification — a bloom has NO false negatives,
+    * so the result is IDENTICAL to [[contaminationScores]] (tested;
+    * same oracle), only the plan changes.
+    */
+  def contaminationScoresBloom(corpus: DataFrame, idCol: String, textCol: String,
+                               evalDocs: DataFrame, evalTextCol: String,
+                               n: Int = 3): DataFrame = {
+    val ex = Dedup.withShingles(Dedup.spreadById(corpus, idCol, textCol), textCol, n)
+      .filter(size(col("shingles")) > 0)
+      .select(col(idCol), explode(col("shingles")).as("s"))
+      .select(col(idCol), hash60(col("s")).as("sh"))
+    val evalSh = Dedup.withShingles(evalDocs.select(col(evalTextCol)), evalTextCol, n)
+      .select(explode(col("shingles")).as("s"))
+      .select(hash60(col("s")).as("sh"))
+      .distinct()
+    // the two eval-side jobs (count + bloom build) are bounded by the
+    // EVAL corpus — small by construction; default sizing ≈ 7.2
+    // bits/item at 3% fpp (Spark's BloomFilter.optimalNumOfBits)
+    val nEval = math.max(evalSh.count(), 1L)
+    val bloom = evalSh
+      .agg(call_function("bloom_filter_agg", col("sh"), lit(nEval)).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val totals = ex.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+    // narrow prefilter (no false negatives) → exact verify on the
+    // survivors only; NOT broadcast by hint — the premise is an eval
+    // side above the broadcast threshold (AQE may still choose to)
+    val matched = ex
+      .filter(call_function("bloom_might_contain", lit(bloom), col("sh")))
+      .join(evalSh, "sh")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("matched"))
+    totals.join(matched, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("matched"), lit(0L)).as("matched"),
+        r4(coalesce(col("matched"), lit(0L)) / col("n_shingles").cast("double")).as("overlap_ratio"))
+  }
 }

@@ -54,6 +54,28 @@ object Sampling {
     df.filter(hashBucket(col(idCol), buckets) < cut)
   }
 
+  /** Per-key cap: keep at most `cap` rows per key, chosen by hash
+    * order — deterministic corpus BALANCING (cap a dominant domain /
+    * source / language so it can't swamp the mixture). The choice is
+    * a pure function of (key, id) like everything here, but unlike
+    * [[sampleByHash]] membership is NOT stable under growth: a new doc
+    * hashing below a kept one displaces it (inherent to any exact
+    * top-k). Use fractions when stability matters, caps when the
+    * budget is absolute.
+    *
+    * Scale shape: `row_number ≤ cap` is the rank-limit pattern Spark
+    * rewrites to WindowGroupLimit — each map task keeps only its
+    * per-key top `cap` BEFORE the shuffle, so a skewed key moves
+    * O(cap × tasks) rows, not its full population. */
+  def capPerKey(df: DataFrame, keyCol: String, idCol: String, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(cap > 0, s"capPerKey: cap must be positive, got $cap")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(hash60(col(idCol).cast("string")), col(idCol))
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= cap)
+  }
+
   /** Train/val/test assignment: adds `split` from contiguous bucket
     * ranges (train takes [0, train·B), val the next slice, test the
     * rest). Contiguity is what makes splits stable under fraction

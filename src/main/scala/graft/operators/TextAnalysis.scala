@@ -165,6 +165,37 @@ object TextAnalysis {
           nullifZero(length(t)).cast("double")))
   }
 
+  /** Cross-document duplicated-n-gram fraction: for each document, the
+    * share of its DISTINCT word n-grams that appear in at least one
+    * OTHER document — the inter-document companion to
+    * [[repetitionSignals]] (which is within-doc) and the standard
+    * boilerplate/template detector in web-corpus pipelines: navigation
+    * chrome, license headers and mirrored passages score high long
+    * before full-document dedup would fire.
+    *
+    * Plan shape: shingle hashes (computed once, 60-bit longs) →
+    * document-frequency count → join back → per-doc aggregate. Both
+    * aggregations partial-aggregate map-side; the join key is a
+    * 3-gram hash, whose frequency distribution is far flatter than
+    * unigrams', so no Zipf-head handling is needed (contrast
+    * [[tokenRarity]]). A doc counts as "sharing" an n-gram with itself
+    * never: df ≥ 2 means at least one other doc (per-doc shingles are
+    * distinct by construction). */
+  def crossDocDupNgrams(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3): DataFrame = {
+    val ex = Dedup.withShingles(Dedup.spreadById(df, idCol, textCol), textCol, n)
+      .filter(size(col("shingles")) > 0)
+      .select(col(idCol), explode(col("shingles")).as("s"))
+      .select(col(idCol), hash60(col("s")).as("sh"))
+    val docFreq = ex.groupBy("sh").agg(count(lit(1)).as("df"))
+    ex.join(docFreq, "sh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("df") >= 2, lit(1L)).otherwise(lit(0L))).as("dup_ngrams"))
+      .select(col(idCol), col("n_ngrams"), col("dup_ngrams"),
+        r4(col("dup_ngrams") / col("n_ngrams").cast("double")).as("dup_frac"))
+  }
+
   /** Exact heavy-hitter vocabulary: the top-k tokens by document
     * frequency (vocab mining / stopword discovery over a new corpus).
     * Two partial-aggregable shuffles — distinct (doc, token), then

@@ -68,6 +68,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         NearestCells(c.head, c(1),
           foldableInt("nearest_cells", "nProbe", children, 2, default = 1))
       }))
+    // Spark's own bloom-filter expressions, which core registers only
+    // for the optimizer's injected runtime filters — exposing them as
+    // functions gives pipelines an explicit "build once, prefilter a
+    // huge scan" primitive (see Decontamination.contaminationScoresBloom).
+    // bloom_filter_agg(longCol[, estimatedItems[, numBits]]) → binary
+    ext.injectFunction((
+      FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_filter_agg"),
+      (children: Seq[Expression]) => {
+        val c = arity("bloom_filter_agg", children, 1, 3)
+        c.size match {
+          case 1 => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c.head)
+          case 2 => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c.head, c(1))
+          case _ => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c.head, c(1), c(2))
+        }
+      }))
+    // bloom_might_contain(binary, longCol) → boolean (no false negatives)
+    ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_might_contain"),
+      (children: Seq[Expression]) => {
+        val c = arity("bloom_might_contain", children, 2, 2)
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(c.head, c(1))
+      }))
   }
 }
 

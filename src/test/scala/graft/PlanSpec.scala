@@ -37,6 +37,19 @@ class PlanSpec extends AnyFunSpec {
       assert(fin.contains("ReusedExchange"), s"expected ReusedExchange, plan:\n$fin")
     }
 
+    it("per-key cap limits map-side before the shuffle (WindowGroupLimit)") {
+      val p = plan(SparkEntry.queries("q_source_cap")(spark, dir))
+      assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit, plan:\n$p")
+    }
+
+    it("SCD2 compaction feeds every window frame from ONE exchange — no groupBy re-shuffle") {
+      val df = SparkEntry.queries("q_scd2")(spark, dir)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan(df)).size
+      assert(exchanges == 1, s"expected 1 exchange, plan:\n${plan(df)}")
+      assert(!plan(df).contains("HashAggregate"), // runs collapse by filter+lead, not agg
+        s"expected no aggregation, plan:\n${plan(df)}")
+    }
+
     it("exact percentiles combine map-side (partial_percentile buffers, not raw rows)") {
       val p = plan(SparkEntry.queries("q_quantiles")(spark, dir))
       assert(p.contains("ObjectHashAggregate") && p.contains("partial_percentile"),

@@ -33,6 +33,22 @@ class SamplingSpec extends AnyFunSpec {
     }
   }
 
+  describe("capPerKey") {
+    it("keeps at most cap per key, deterministically, and caps nest") {
+      val df = (1L to 100L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+      val c5 = Sampling.capPerKey(df, "source", "doc_id", 5)
+      assert(c5.count() == 20)
+      assert(c5.filter(col("sample_rank") > 5).isEmpty)
+      val again = Sampling.capPerKey(df, "source", "doc_id", 5)
+      assert(c5.exceptAll(again).isEmpty)
+      // a cap above the group size keeps everything
+      assert(Sampling.capPerKey(df, "source", "doc_id", 1000).count() == 100)
+      // rank order is a fixed prefix: cap 5 ⊂ cap 10
+      val c10 = Sampling.capPerKey(df, "source", "doc_id", 10).select("doc_id")
+      assert(c5.select("doc_id").exceptAll(c10).isEmpty)
+    }
+  }
+
   describe("withSplit") {
     it("partitions every row into exactly one split with stable membership") {
       val split = Sampling.withSplit(docs, "doc_id", 0.8, 0.1)

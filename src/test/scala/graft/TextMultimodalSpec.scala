@@ -63,6 +63,19 @@ class TextMultimodalSpec extends AnyFunSpec {
     }
   }
 
+  describe("crossDocDupNgrams") {
+    it("scores verbatim copies 1.0 and unique docs 0.0") {
+      val docs = Seq(
+        (1L, "alpha beta gamma delta epsilon"),
+        (2L, "alpha beta gamma delta epsilon"), // verbatim copy of 1
+        (3L, "zeta eta theta iota kappa lambda") // shares nothing
+      ).toDF("doc_id", "text")
+      val out = TextAnalysis.crossDocDupNgrams(docs, "doc_id", "text")
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dup_frac")).toMap
+      assert(out(1L) == 1.0 && out(2L) == 1.0 && out(3L) == 0.0)
+    }
+  }
+
   describe("piiSignals") {
     it("counts emails/urls and measures digit density") {
       val d = Seq(

@@ -33,6 +33,27 @@ class TrainingDataOpsSpec extends AnyFunSpec {
     }
   }
 
+  describe("Decontamination.contaminationScoresBloom") {
+    it("equals the exact scores on real documents (no false negatives, exact verify)") {
+      val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      val corpus = docs.filter($"doc_id" % 50 =!= 0)
+      val evalSet = docs.filter($"doc_id" % 50 === 0)
+      val exact = Decontamination.contaminationScores(corpus, "doc_id", "text", evalSet, "text")
+      val bloom = Decontamination.contaminationScoresBloom(corpus, "doc_id", "text", evalSet, "text")
+      assert(exact.exceptAll(bloom).isEmpty && bloom.exceptAll(exact).isEmpty)
+    }
+    it("the corpus-side prefilter is a bloom_might_contain against a literal (narrow, no relation broadcast)") {
+      val evalSet = Seq("a b c d").toDF("text")
+      val corpus = Seq((1L, "a b c d e f"), (2L, "x y z w v u")).toDF("doc_id", "text")
+      val df = Decontamination.contaminationScoresBloom(corpus, "doc_id", "text", evalSet, "text")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"))
+      // results still exact on the toy corpus
+      val scores = df.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("overlap_ratio")).toMap
+      assert(scores(1L) > 0.0 && scores(2L) == 0.0)
+    }
+  }
+
   describe("Packing.chunkSpans") {
     it("offsets tile each shard exactly: consecutive docs abut, chunks cut at the budget") {
       val docs = (1L to 40L).map(i => (i, 100 + (i % 7).toInt * 30)).toDF("doc_id", "toks")
