@@ -557,6 +557,21 @@ object SparkEntry {
       .orderBy("user_id", "version")
   }
 
+  /** Mergeable HLL distinct-user sketches per event type, plus the
+    * global rollup UNIONED FROM THE SKETCHES (never rescanning raw
+    * events) — approximate by design, so no DuckDB oracle: the driver
+    * records the rows-only check; accuracy and the merge law are
+    * asserted in SketchesSpec. */
+  private def qApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    val perType = Sketches.distinctSketchByGroup(
+      Tables.events(s, dir), Seq("event_type"), "user_id")
+    val global = Sketches.rollupSketches(perType, Seq.empty)
+      .withColumn("event_type", lit("__all__"))
+    perType.unionByName(global)
+      .select("event_type", "n_rows", "approx_distinct")
+      .orderBy("event_type")
+  }
+
   /** Gopher-style repetition signals over the corpus. */
   private def qRepetition(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionSignals(Tables.documents(s, dir), "doc_id", "text")
@@ -702,6 +717,7 @@ object SparkEntry {
     "q_cross_doc_ngrams" -> (qCrossDocNgrams _),
     "q_source_cap" -> (qSourceCap _),
     "q_scd2" -> (qScd2 _),
+    "q_approx_distinct" -> (qApproxDistinct _),
     "q_skew_salted" -> (qSkewSalted _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "q_dedup_simhash" -> (qDedupSimhash _),

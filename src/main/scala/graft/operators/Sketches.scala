@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Mergeable approximate-distinct sketches (Apache DataSketches HLL,
+  * exposed by Spark as `hll_sketch_agg` / `hll_union_agg` /
+  * `hll_sketch_estimate`).
+  *
+  * The 100 TB pattern these enable: compute one SKETCH per fine grain
+  * (day × source, say) in the single pass that touches the raw data,
+  * persist the sketch bytes next to the rollup, and answer every
+  * coarser distinct-count question (per source, per month, global) by
+  * UNIONING sketches — kilobytes per group — without ever rescanning
+  * the corpus. Exact distinct at those grains would need a re-shuffle
+  * of raw keys per question asked; `countDistinct` does not
+  * partial-aggregate across grains, sketches do.
+  *
+  * Estimates are approximate (±~1.6% per-sketch rsd at lgK=12 —
+  * DataSketches' published HLL error bounds), so these queries carry
+  * NO DuckDB oracle: the driver records the weaker rows-only check and
+  * the ScalaTest suite asserts the accuracy contract against exact
+  * counts plus the merge law (union-of-parts ≈ sketch-of-whole).
+  */
+object Sketches {
+
+  /** One HLL sketch + its estimate per group: the fine-grain pass.
+    * Output: groupCols*, n_rows, sketch (binary), approx_distinct. */
+  def distinctSketchByGroup(df: DataFrame, groupCols: Seq[String],
+                            valueCol: String, lgK: Int = 12): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        hll_sketch_agg(col(valueCol), lit(lgK)).as("sketch"))
+      .withColumn("approx_distinct", hll_sketch_estimate(col("sketch")))
+
+  /** Roll fine-grain sketches up to a coarser grain by HLL union —
+    * O(groups × sketch bytes), no raw data touched. `allowDifferentLgK`
+    * stays false: silently unioning mixed-precision sketches hides a
+    * pipeline bug (the estimate degrades to the worst lgK). */
+  def rollupSketches(sketched: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val grouped =
+      if (groupCols.isEmpty) sketched.groupBy()
+      else sketched.groupBy(groupCols.map(col): _*)
+    grouped
+      .agg(sum(col("n_rows")).as("n_rows"),
+        hll_union_agg(col("sketch"), lit(false)).as("sketch"))
+      .withColumn("approx_distinct", hll_sketch_estimate(col("sketch")))
+  }
+}

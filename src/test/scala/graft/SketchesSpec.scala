@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funspec.AnyFunSpec
+import graft.operators.Sketches
+import graft.sources.Tables
+
+class SketchesSpec extends AnyFunSpec {
+  import SharedSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  describe("Sketches") {
+    it("per-group estimates are within the HLL error contract of exact distincts") {
+      val ev = Tables.events(spark, dir)
+      val approx = Sketches.distinctSketchByGroup(ev, Seq("event_type"), "user_id")
+        .select($"event_type", $"approx_distinct").as[(String, Long)].collect().toMap
+      val exact = ev.groupBy("event_type").agg(countDistinct("user_id").as("d"))
+        .as[(String, Long)].collect().toMap
+      assert(approx.keySet == exact.keySet)
+      exact.foreach { case (k, d) =>
+        val a = approx(k)
+        // lgK=12 rsd ≈ 1.04/sqrt(2^12) ≈ 1.6%; allow 5 sigma + small-count slack
+        assert(math.abs(a - d) <= math.max(5, 0.08 * d), s"$k: approx $a vs exact $d")
+      }
+    }
+    it("union-of-parts matches the directly-built global sketch (merge law)") {
+      val ev = Tables.events(spark, dir)
+      val parts = Sketches.distinctSketchByGroup(ev, Seq("event_type"), "user_id")
+      val viaUnion = Sketches.rollupSketches(parts, Seq.empty)
+        .select($"approx_distinct").as[Long].head()
+      val direct = Sketches.distinctSketchByGroup(
+          ev.withColumn("g", lit(1)), Seq("g"), "user_id")
+        .select($"approx_distinct").as[Long].head()
+      assert(viaUnion == direct,
+        s"union-of-parts $viaUnion != direct $direct (same lgK, same universe)")
+      // and n_rows sums exactly
+      val n = Sketches.rollupSketches(parts, Seq.empty).select($"n_rows").as[Long].head()
+      assert(n == ev.count())
+    }
+    it("estimates are deterministic run to run") {
+      val ev = Tables.events(spark, dir)
+      def run() = Sketches.distinctSketchByGroup(ev, Seq("event_type"), "user_id")
+        .select("event_type", "approx_distinct")
+      assert(run().exceptAll(run()).isEmpty)
+    }
+    it("rejects mixed-precision unions instead of silently degrading") {
+      val a = Sketches.distinctSketchByGroup(
+        Seq((1L, "x")).toDF("id", "k"), Seq("k"), "id", lgK = 12)
+      val b = Sketches.distinctSketchByGroup(
+        Seq((2L, "x")).toDF("id", "k"), Seq("k"), "id", lgK = 10)
+      val ex = intercept[Exception] {
+        Sketches.rollupSketches(a.unionByName(b), Seq("k")).collect()
+      }
+      assert(ex.getMessage.toLowerCase.contains("lgconfigk")
+        || ex.getMessage.toLowerCase.contains("lgk")
+        || ex.getMessage.toLowerCase.contains("different"),
+        s"unexpected error: ${ex.getMessage}")
+    }
+  }
+}
