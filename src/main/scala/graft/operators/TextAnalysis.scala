@@ -45,7 +45,8 @@ object TextAnalysis {
     * partial-aggregable; tokens travel as 60-bit hashes. */
   def tokenRarity(df: DataFrame, idCol: String, textCol: String,
                   hotK: Int = 1024): DataFrame = {
-    val ex = df.select(col(idCol), explode(tokens(col(textCol))).as("t"))
+    val ex = Dedup.spreadById(df, idCol, textCol)
+      .select(col(idCol), explode(tokens(col(textCol))).as("t"))
       .select(col(idCol), hash60(col("t")).as("th"))
     val docFreq = ex.select(col(idCol), col("th")).distinct()
       .groupBy("th").agg(count(lit(1)).as("df"))
@@ -135,7 +136,9 @@ object TextAnalysis {
     val bigrams = when(size(words) >= 2,
       transform(sequence(lit(1), size(words) - 1),
         i => concat_ws(" ", slice(words, i, lit(2))))).otherwise(array())
-    val big = df
+    // spread before the interpreted bigram lambda (same rationale as
+    // Dedup.spreadById: one parquet row group = one task otherwise)
+    val big = Dedup.spreadById(df, idCol, textCol)
       .select(col(idCol), explode(bigrams).as("bg"))
       .select(col(idCol), hash60(col("bg")).as("bh"))
       .groupBy(col(idCol), col("bh")).agg(count(lit(1)).as("c"))
@@ -207,7 +210,8 @@ object TextAnalysis {
                 k: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val order = Seq(col("doc_freq").desc, col("token").asc)
-    df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    Dedup.spreadById(df, idCol, textCol)
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .distinct()
       .groupBy("token").agg(count(lit(1)).as("doc_freq"))
       .orderBy(order: _*)
