@@ -771,6 +771,33 @@ object OracleSql {
          |  ${rd("dup_ngrams / CAST(n_ngrams AS DOUBLE)", 4)} AS dup_frac
          |FROM scored ORDER BY doc_id""".stripMargin,
 
+    // mirrors Dedup.duplicatedSpans: positional 8-gram hashes, grams in
+    // >= 2 distinct docs, interval-union coverage via LEAD differencing
+    "q_dup_spans" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |base AS (SELECT doc_id, ws, len(ws) AS n FROM w),
+         |g0 AS (
+         |  SELECT doc_id, ws, unnest(range(0, n - 7)) AS pos FROM base WHERE n >= 8
+         |),
+         |g AS (
+         |  SELECT doc_id, pos,
+         |    ${h60("array_to_string(list_slice(ws, CAST(pos + 1 AS INTEGER), CAST(pos + 8 AS INTEGER)), ' ')")} AS gh
+         |  FROM g0
+         |),
+         |shared AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
+         |ds AS (SELECT doc_id, pos FROM g JOIN shared USING (gh)),
+         |cov0 AS (
+         |  SELECT doc_id,
+         |    LEAST(COALESCE(LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos, 8), 8) AS c
+         |  FROM ds
+         |),
+         |cov AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS dup_tokens FROM cov0 GROUP BY doc_id)
+         |SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(cov.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+         |  ${rd("COALESCE(cov.dup_tokens, 0) / CAST(b.n AS DOUBLE)", 4)} AS dup_token_frac
+         |FROM base b LEFT JOIN cov ON b.doc_id = cov.doc_id
+         |ORDER BY b.doc_id""".stripMargin,
+
     "q_source_cap" -> {
       val hk = h60("CAST(doc_id AS VARCHAR)")
       s"""WITH r AS (

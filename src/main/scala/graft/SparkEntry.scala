@@ -319,6 +319,12 @@ object SparkEntry {
     TextAnalysis.crossDocDupNgrams(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Exact-substring-style duplicated-span coverage (8-gram interval
+    * union) — what an exact substring remover would cut per doc. */
+  private def qDupSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedSpans(Tables.documents(s, dir), "doc_id", "text", k = 8)
+      .orderBy("doc_id")
+
   /** PIVOT: line status spread to columns over an exact fixed-point
     * sum — Spark's groupBy().pivot() (map-side partial agg per pivot
     * value, ONE shuffle on the group key; the pivot values are plan
@@ -715,6 +721,7 @@ object SparkEntry {
     "q_pivot" -> (qPivot _),
     "q_token_rarity" -> (qTokenRarity _),
     "q_cross_doc_ngrams" -> (qCrossDocNgrams _),
+    "q_dup_spans" -> (qDupSpans _),
     "q_source_cap" -> (qSourceCap _),
     "q_scd2" -> (qScd2 _),
     "q_approx_distinct" -> (qApproxDistinct _),

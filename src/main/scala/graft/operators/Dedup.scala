@@ -659,6 +659,56 @@ object Dedup {
     docs.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Exact-substring dedup signal at k-gram granularity (the
+    * distributed stand-in for Lee et al. 2022's suffix-array exact
+    * substring dedup, "Deduplicating Training Data Makes Language
+    * Models Better"): for each document, how many of its TOKENS are
+    * covered by at least one length-k word gram that also appears in
+    * ANOTHER document. Where [[graft.operators.TextAnalysis
+    * .crossDocDupNgrams]] counts distinct short shingles (a score),
+    * this measures contiguous COVERAGE with long grams — the quantity
+    * an exact-substring remover would actually cut.
+    *
+    * Coverage is an interval union computed by windowing: duplicated
+    * gram STARTS sorted per doc; each start contributes
+    * min(k, next_start − start) tokens (overlapping grams merge, gaps
+    * don't). Plan: positional gram hashes (narrow after the spread) →
+    * distinct-doc count per gram (two partial-agg shuffles) → window
+    * per doc. Only gram starts that survived the ≥2-docs filter reach
+    * the window — a tiny fraction of positions on a healthy corpus.
+    * Within-doc repeats (one doc, many positions) deliberately do NOT
+    * count; that is [[TextAnalysis.repetitionSignals]]' job.
+    * Docs shorter than k words have no grams and report zero coverage.
+    * Output: (id, n_tokens, dup_tokens, dup_token_frac). */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 8): DataFrame = {
+    val base = spreadById(df, idCol, textCol)
+      .select(col(idCol), split(col(textCol), " ").as("w"))
+    // pos is 0-based: posexplode indexes the sequence, whose element i
+    // (1-based slice start) is the gram starting at token i-1
+    val grams = base.filter(size(col("w")) >= k)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(1), size(col("w")) - (k - 1)),
+          i => hash60(concat_ws(" ", slice(col("w"), i, lit(k))))))
+        .as(Seq("pos", "gh")))
+    val shared = grams.groupBy("gh")
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= 2)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val cov = grams.join(shared.select("gh"), "gh")
+      .select(col(idCol), col("pos"))
+      .withColumn("nxt", lead(col("pos"), 1).over(w))
+      .select(col(idCol),
+        least(coalesce(col("nxt") - col("pos"), lit(k.toLong)), lit(k.toLong)).as("c"))
+      .groupBy(col(idCol)).agg(sum(col("c")).as("dup_tokens"))
+    base.select(col(idCol), size(col("w")).cast("long").as("n_tokens"))
+      .join(cov, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        r4(coalesce(col("dup_tokens"), lit(0L)) / col("n_tokens").cast("double"))
+          .as("dup_token_frac"))
+  }
+
   /** Banded Hamming-candidate tail shared by both signature forms:
     * `sigDf` must carry (idCol, simhash). */
   private def simhashBandedPairs(sigDf: DataFrame, idCol: String,

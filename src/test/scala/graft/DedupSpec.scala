@@ -236,6 +236,34 @@ class DedupSpec extends AnyFunSpec {
     }
   }
 
+  describe("duplicatedSpans") {
+    it("measures interval-union token coverage of cross-doc k-grams") {
+      // docs 1/2 share the 10-token prefix "a b c d e f g h i j";
+      // doc 3 is disjoint; doc 4 is too short for any 8-gram
+      val docs = Seq(
+        (1L, "a b c d e f g h i j x1 y1 z1 w1 v1 u1"),
+        (2L, "a b c d e f g h i j x2 y2 z2 w2 v2 u2"),
+        (3L, "p q r s t u v w aa bb cc dd ee ff gg hh"),
+        (4L, "tiny doc")
+      ).toDF("doc_id", "text")
+      val out = Dedup.duplicatedSpans(docs, "doc_id", "text", k = 8)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_tokens"), r.getAs[Long]("dup_tokens")))).toMap
+      // shared 8-grams start at tokens 0,1,2 → union covers tokens 0..9 = 10
+      assert(out(1L) == ((16L, 10L)))
+      assert(out(2L) == ((16L, 10L)))
+      assert(out(3L) == ((16L, 0L)))
+      assert(out(4L) == ((2L, 0L)))
+    }
+    it("within-doc repeats do not count as duplication (cross-doc only)") {
+      val rep = "a b c d e f g h " * 4 // the same 8-gram many times, one doc
+      val docs = Seq((1L, rep.trim), (2L, "q r s t u v w x y z")).toDF("doc_id", "text")
+      val out = Dedup.duplicatedSpans(docs, "doc_id", "text", k = 8)
+        .filter(col("doc_id") === 1L).select("dup_tokens").as[Long].head()
+      assert(out == 0L)
+    }
+  }
+
   describe("simhashPairs") {
     it("near-identical docs collide within the Hamming ball; distinct docs do not") {
       val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
