@@ -798,6 +798,23 @@ object OracleSql {
          |FROM base b LEFT JOIN cov ON b.doc_id = cov.doc_id
          |ORDER BY b.doc_id""".stripMargin,
 
+    "q_source_profile" ->
+      s"""WITH t AS (
+         |  SELECT source, lang,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+         |    CAST(len(text) AS BIGINT) AS chars
+         |  FROM documents
+         |)
+         |SELECT source,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(toks) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(chars) AS BIGINT) AS total_chars,
+         |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  MIN(toks) AS min_tokens,
+         |  MAX(toks) AS max_tokens,
+         |  ${rd("SUM(toks) / CAST(COUNT(*) AS DOUBLE)", 4)} AS avg_tokens
+         |FROM t GROUP BY source ORDER BY source""".stripMargin,
+
     "q_source_cap" -> {
       val hk = h60("CAST(doc_id AS VARCHAR)")
       s"""WITH r AS (

@@ -325,6 +325,12 @@ object SparkEntry {
     Dedup.duplicatedSpans(Tables.documents(s, dir), "doc_id", "text", k = 8)
       .orderBy("doc_id")
 
+  /** Per-source corpus health rollup (volume, token mass, language
+    * spread) — one partial-agg shuffle on the provenance key. */
+  private def qSourceProfile(s: SparkSession, dir: String): DataFrame =
+    Profiling.sourceProfile(Tables.documents(s, dir), "source", "text", "lang")
+      .orderBy("source")
+
   /** PIVOT: line status spread to columns over an exact fixed-point
     * sum — Spark's groupBy().pivot() (map-side partial agg per pivot
     * value, ONE shuffle on the group key; the pivot values are plan
@@ -723,6 +729,7 @@ object SparkEntry {
     "q_cross_doc_ngrams" -> (qCrossDocNgrams _),
     "q_dup_spans" -> (qDupSpans _),
     "q_source_cap" -> (qSourceCap _),
+    "q_source_profile" -> (qSourceProfile _),
     "q_scd2" -> (qScd2 _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_skew_salted" -> (qSkewSalted _),

@@ -38,6 +38,33 @@ object Profiling {
         col("n"))
   }
 
+  /** Per-source corpus profile: the health rollup a data curator
+    * watches per ingest — volume, token mass, average document size,
+    * language spread — keyed by whatever provenance column the corpus
+    * carries (domain, crawl, source). One partial-aggregable shuffle
+    * on the source key; token counts are computed map-side from the
+    * text (`size(split(...))` is codegen'd, no lambda), so the rollup
+    * costs a scan + a groups-sized shuffle at any corpus size. All
+    * averages are integer sums with one final division
+    * (bit-deterministic, see Funcs.rd). */
+  def sourceProfile(df: DataFrame, sourceCol: String, textCol: String,
+                    langCol: String): DataFrame = {
+    import graft.functions.Funcs.r4
+    val toks = size(split(col(textCol), " ")).cast("long")
+    df.select(col(sourceCol), col(langCol), toks.as("__t"),
+        length(col(textCol)).cast("long").as("__c"))
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__t")).as("total_tokens"),
+        sum(col("__c")).as("total_chars"),
+        countDistinct(col(langCol)).as("n_langs"),
+        min(col("__t")).as("min_tokens"),
+        max(col("__t")).as("max_tokens"))
+      .select(col(sourceCol), col("n_docs"), col("total_tokens"),
+        col("total_chars"), col("n_langs"), col("min_tokens"), col("max_tokens"),
+        r4(col("total_tokens") / col("n_docs").cast("double")).as("avg_tokens"))
+  }
+
   /** Per-key totals bucketed into `tiles` quantile tiers (deciles by
     * default): aggregate `value` per key (exact long — pass a
     * Funcs.scaled view), rank the KEYS into ntile tiers, then roll up

@@ -33,6 +33,25 @@ class PropertySpec extends AnyFunSpec {
     }
   }
 
+  describe("Dedup.duplicatedSpans: coverage bounds on generated corpora") {
+    it("0 <= dup_tokens <= n_tokens, and an all-distinct corpus has zero coverage") {
+      // random word docs over a tiny alphabet (forces shared grams) +
+      // a disjoint-vocabulary corpus (forces zero coverage)
+      val word = Gen.oneOf("aa", "bb", "cc", "dd")
+      val doc = Gen.listOfN(20, word).map(_.mkString(" "))
+      val shared = sampled(doc, 30).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val out = graft.operators.Dedup.duplicatedSpans(
+        shared.toDF("doc_id", "text"), "doc_id", "text", k = 4)
+      assert(out.filter($"dup_tokens" < 0 || $"dup_tokens" > $"n_tokens").isEmpty)
+      assert(out.count() == 30)
+      val distinctDocs = (0 until 10).map(i =>
+        (i.toLong, (0 until 12).map(j => s"w${i}_$j").mkString(" ")))
+      val zero = graft.operators.Dedup.duplicatedSpans(
+        distinctDocs.toDF("doc_id", "text"), "doc_id", "text", k = 4)
+      assert(zero.filter($"dup_tokens" =!= 0L).isEmpty)
+    }
+  }
+
   describe("Funcs.scaled: exact fixed-decimal recovery") {
     it("recovers the integer cents of any 2-decimal value in the long-range contract") {
       val cents = sampled(Gen.choose(-1000000000000L, 1000000000000L), 1000)
