@@ -197,9 +197,10 @@ object OracleSql {
   private val jaccardExpr: String =
     rd("len(list_intersect(s1, s2)) / CAST(len(list_distinct(list_concat(s1, s2))) AS DOUBLE)", 4)
 
-  /** The MinHash-LSH pair chain up to a `pairs(id1, id2, jaccard)` CTE
-    * (shared by q_dedup_minhash_lsh and q_dedup_groups). */
-  private lazy val minhashPairsCtes: String =
+  /** The MinHash signature + band chain up to `banded(doc_id,
+    * shingles, band, band_key)` — shared by the Jaccard-verified pair
+    * chain and the edit-distance-verified fuzzy chain. */
+  private lazy val minhashBandedCtes: String =
     s"""$shinglesSql,
        |sig AS (
        |  SELECT doc_id, shingles,
@@ -213,7 +214,12 @@ object OracleSql {
        |  SELECT doc_id, shingles,
        |    b AS band, array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), ',') AS band_key
        |  FROM sig, (SELECT unnest(range(0, 8)) AS b) bands
-       |),
+       |)""".stripMargin
+
+  /** The MinHash-LSH pair chain up to a `pairs(id1, id2, jaccard)` CTE
+    * (shared by q_dedup_minhash_lsh and q_dedup_groups). */
+  private lazy val minhashPairsCtes: String =
+    s"""$minhashBandedCtes,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, $jaccardExpr AS jaccard
        |  FROM (SELECT doc_id, shingles AS s1, band, band_key FROM banded) a
@@ -748,6 +754,85 @@ object OracleSql {
          |FROM ex e JOIN docfreq d ON e.th = d.th
          |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin,
 
+    // MinHash band candidates verified by exact Levenshtein over the
+    // 160-char prefix (mirrors Dedup.fuzzyEditPairs; Spark's
+    // thresholded levenshtein returns the true distance when <= 40)
+    "q_dedup_fuzzy" ->
+      s"""WITH $minhashBandedCtes,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |)
+         |SELECT c.id1, c.id2,
+         |  CAST(levenshtein(substr(d1.text, 1, 160), substr(d2.text, 1, 160)) AS INTEGER) AS edit_dist
+         |FROM cand c
+         |JOIN documents d1 ON c.id1 = d1.doc_id
+         |JOIN documents d2 ON c.id2 = d2.doc_id
+         |WHERE levenshtein(substr(d1.text, 1, 160), substr(d2.text, 1, 160)) <= 40
+         |ORDER BY id1, id2""".stripMargin,
+
+    // Asymmetric shingle containment |A ∩ B| / |A| >= 0.8, both
+    // directions from one id1<id2 intersection count
+    "q_containment" ->
+      s"""WITH $shinglesSql,
+         |ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |ex AS (SELECT doc_id, ${h60("s")} AS shh FROM ex0),
+         |sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+         |inter AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(COUNT(*) AS BIGINT) AS inter
+         |  FROM ex a JOIN ex b ON a.shh = b.shh AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id
+         |),
+         |dir AS (
+         |  SELECT id1 AS src_id, id2 AS dst_id, inter FROM inter
+         |  UNION ALL
+         |  SELECT id2 AS src_id, id1 AS dst_id, inter FROM inter
+         |)
+         |SELECT d.src_id, d.dst_id, ${rd("d.inter / CAST(s.sz AS DOUBLE)", 4)} AS containment
+         |FROM dir d JOIN sizes s ON d.src_id = s.doc_id
+         |WHERE ${rd("d.inter / CAST(s.sz AS DOUBLE)", 4)} >= 0.8
+         |ORDER BY src_id, dst_id""".stripMargin,
+
+    // Integer-portable TF-IDF top-k (mirrors TextAnalysis.tfidfTopK:
+    // idf weight = floor(N * 1e6 / df), one IEEE division then floor)
+    "q_tfidf_search" ->
+      """WITH ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |q AS (SELECT doc_id, t FROM ex WHERE t IN ('spark', 'vector', 'stream', 'hash')),
+        |tf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM q GROUP BY doc_id, t),
+        |dfreq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY t),
+        |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+        |SELECT tf.doc_id,
+        |  CAST(SUM(tf.tf * CAST(FLOOR(nd.n_docs * 1000000.0 / dfreq.df) AS BIGINT)) AS BIGINT) AS score,
+        |  CAST(COUNT(*) AS BIGINT) AS n_query_terms
+        |FROM tf JOIN dfreq ON tf.t = dfreq.t CROSS JOIN nd
+        |GROUP BY tf.doc_id
+        |ORDER BY score DESC, doc_id
+        |LIMIT 20""".stripMargin,
+
+    // Robust MAD outlier audit (mirrors DailyAnalytics.madOutliers:
+    // returns scaled to exact longs, medians interpolate dyadic
+    // midpoints, 4.4478 = 3 * 1.4826 as one parsed literal)
+    "q_outlier_mad" ->
+      s"""${dailyChain("returns")},
+         |r AS (
+         |  SELECT symbol, ${sc4("daily_return_pct")} AS xs
+         |  FROM returns WHERE daily_return_pct IS NOT NULL
+         |),
+         |med AS (SELECT symbol, median(xs) AS med_s FROM r GROUP BY symbol),
+         |dev AS (
+         |  SELECT r.symbol, ABS(r.xs - m.med_s) AS dev_s, m.med_s
+         |  FROM r JOIN med m ON r.symbol = m.symbol
+         |),
+         |mad AS (SELECT symbol, median(dev_s) AS mad_s FROM dev GROUP BY symbol)
+         |SELECT d.symbol,
+         |  CAST(COUNT(*) AS BIGINT) AS n_days,
+         |  CAST(SUM(CASE WHEN d.dev_s > 4.4478 * md.mad_s THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+         |  ${rd("MIN(d.med_s) / 10000.0", 4)} AS med_return_pct,
+         |  ${rd("MIN(md.mad_s) / 10000.0", 4)} AS mad_pct
+         |FROM dev d JOIN mad md ON d.symbol = md.symbol
+         |GROUP BY d.symbol ORDER BY d.symbol""".stripMargin,
+
     "q_skew_salted" ->
       s"""SELECT l_returnflag,
          |  ${rd(s"CAST(SUM(${sc("l_extendedprice", 2)}) AS DOUBLE) / 1e2", 2)} AS revenue,
@@ -1002,6 +1087,51 @@ object OracleSql {
          |  FROM dist
          |)
          |SELECT vec_id AS id, cell FROM ranked WHERE rn = 1 ORDER BY id""".stripMargin,
+
+    // One unrolled Lloyd round (mirrors Similarity.kmeansRefine,
+    // iters=1): seed assignment → per-(cell, dim) integer mean with
+    // FLOOR division (exact: quotients are >= 1/n from any integer
+    // unless exactly integral) → empty cells keep the seed → reassign
+    "q_kmeans_refine" ->
+      s"""WITH $embSql,
+         |seeds AS (
+         |  SELECT vec_id AS sid, vq AS sq FROM en
+         |  ORDER BY ${h60("CAST(vec_id AS VARCHAR)")}, vec_id
+         |  LIMIT 16
+         |),
+         |cent AS (
+         |  SELECT sq, CAST(ROW_NUMBER() OVER (ORDER BY sid) - 1 AS BIGINT) AS cell FROM seeds
+         |),
+         |d0 AS (
+         |  SELECT e.vec_id, e.vq, c.cell,
+         |    list_sum(list_transform(range(1, 65), k -> (e.vq[k] - c.sq[k]) * (e.vq[k] - c.sq[k]))) AS d
+         |  FROM en e CROSS JOIN cent c
+         |),
+         |a0 AS (
+         |  SELECT vec_id, vq, cell FROM (
+         |    SELECT vec_id, vq, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+         |    FROM d0
+         |  ) WHERE rn = 1
+         |),
+         |comp AS (
+         |  SELECT cell, k, CAST(FLOOR(SUM(vq[k]) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS m
+         |  FROM a0, (SELECT unnest(range(1, 65)) AS k) ks
+         |  GROUP BY cell, k
+         |),
+         |cent1 AS (SELECT cell, list(m ORDER BY k) AS sq FROM comp GROUP BY cell),
+         |centf AS (
+         |  SELECT c0.cell, COALESCE(c1.sq, c0.sq) AS sq
+         |  FROM cent c0 LEFT JOIN cent1 c1 ON c0.cell = c1.cell
+         |),
+         |d1 AS (
+         |  SELECT e.vec_id, cf.cell,
+         |    list_sum(list_transform(range(1, 65), k -> (e.vq[k] - cf.sq[k]) * (e.vq[k] - cf.sq[k]))) AS d
+         |  FROM en e CROSS JOIN centf cf
+         |)
+         |SELECT vec_id AS id, cell FROM (
+         |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+         |  FROM d1
+         |) WHERE rn = 1 ORDER BY id""".stripMargin,
 
     // SemDedup end to end: cell assignment (as q_ivf_assign) →
     // within-cell pairwise cosine ≥ threshold → recursive-CTE

@@ -287,6 +287,19 @@ object SparkEntry {
       n = 3, numHashes = 32, bands = 8, threshold = 0.5)
       .orderBy("id1", "id2")
 
+  /** Fuzzy record linkage: MinHash-banded candidates verified by
+    * bounded Levenshtein over the leading 160 chars. */
+  private def qDedupFuzzy(s: SparkSession, dir: String): DataFrame =
+    Dedup.fuzzyEditPairs(Tables.documents(s, dir), "doc_id", "text",
+      n = 3, numHashes = 32, bands = 8, maxDist = 40, prefixLen = 160)
+      .orderBy("id1", "id2")
+
+  /** Asymmetric shingle containment — excerpt/superset detection. */
+  private def qContainment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
+      n = 3, threshold = 0.8)
+      .orderBy("src_id", "dst_id")
+
   /** Incremental dedup: the doc_id%5 slice plays the fresh ingest
     * batch against the rest as the signature store — pairs where at
     * least one side is fresh, per-batch cost O(batch), not O(corpus). */
@@ -312,6 +325,20 @@ object SparkEntry {
   private def qTokenRarity(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenRarity(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("doc_id")
+
+  /** Query terms for the TF-IDF retrieval query — shared with the
+    * oracle SQL so both sides rank the same vocabulary. */
+  val tfidfTerms: Seq[String] = Seq("spark", "vector", "stream", "hash")
+
+  private def qTfidfSearch(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfTopK(Tables.documents(s, dir), "doc_id", "text",
+      tfidfTerms, k = 20)
+
+  /** Robust MAD outlier audit over the daily-returns lane. */
+  private def qOutlierMad(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.madOutliers(
+      DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+      .orderBy("symbol")
 
   /** Inter-document boilerplate signal: the fraction of each doc's
     * distinct 3-grams shared with any other doc. */
@@ -490,6 +517,13 @@ object SparkEntry {
   private def qIvfAssign(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfAssign(Tables.embeddings(s, dir), "vec_id", "embedding", numCells = 16)
       .select("id", "cell")
+      .orderBy("id")
+
+  /** One Lloyd round on top of the seeded quantizer — the IVF training
+    * step, oracle-checked end to end. */
+  private def qKmeansRefine(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansRefine(Tables.embeddings(s, dir), "vec_id", "embedding",
+      numCells = 16, iters = 1)
       .orderBy("id")
 
   /** SemDedup (cluster → within-cell cosine pairs → component
@@ -715,6 +749,10 @@ object SparkEntry {
     "q_dedup_exact" -> (qDedupExact _),
     "q_text_analysis" -> (qTextAnalysis _),
     "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
+    "q_dedup_fuzzy" -> (qDedupFuzzy _),
+    "q_containment" -> (qContainment _),
+    "q_tfidf_search" -> (qTfidfSearch _),
+    "q_outlier_mad" -> (qOutlierMad _),
     "q_dedup_groups" -> (qDedupGroups _),
     "q_dedup_groups_star" -> (qDedupGroupsStar _),
     "q_dedup_keep" -> (qDedupKeep _),
@@ -740,6 +778,7 @@ object SparkEntry {
     "q_sim_near_dup" -> (qSimNearDup _),
     "q_sim_ivf" -> (qSimIvf _),
     "q_ivf_assign" -> (qIvfAssign _),
+    "q_kmeans_refine" -> (qKmeansRefine _),
     "q_semdedup" -> (qSemDedup _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_rolling_hash" -> (qRollingHash _),

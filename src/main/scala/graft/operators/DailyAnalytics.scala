@@ -214,6 +214,46 @@ object DailyAnalytics {
     * symbol for the gainer / smaller for the loser — by ordering on
     * (return, symbol), skipping null returns like `max_by` does.
     */
+  /** Robust per-symbol outlier audit over daily returns: flag days
+    * where |return − median| > 4.4478 · MAD (the 3σ-equivalent
+    * median-absolute-deviation rule, 3 × 1.4826 written as one decimal
+    * literal so both engines parse the identical double). The
+    * data-quality screen a mart feed wants BEFORE rolling stats: unlike
+    * mean/stddev, median/MAD don't let one bad print drag the threshold.
+    *
+    * Determinism: returns are r4 fixed-decimal, so they scale to exact
+    * longs ([[graft.functions.Funcs.scaled]]); medians interpolate
+    * midpoints of integers (dyadic rationals — exact in IEEE doubles in
+    * any engine), and the flag comparison is a single multiply —
+    * bit-portable, no percentile-implementation drift.
+    *
+    * Scale shape: two partial-aggregable grouped medians over the
+    * symbol×day grain plus broadcast joins of the per-symbol frames
+    * (universe-sized — tiny); the day rows never shuffle twice.
+    * Output: one row per symbol (n_days, n_outliers, med/MAD in pct).
+    */
+  def madOutliers(returns: DataFrame): DataFrame = {
+    // the (symbol, scaled-return) frame feeds three branches (median,
+    // deviations, final agg); snapshot it once at the already-reduced
+    // symbol×day grain so the upstream bar chain isn't recomputed per
+    // branch (a full re-scan each at 100 TB)
+    val r = returns.filter(col("daily_return_pct").isNotNull)
+      .select(col("symbol"), scaled(col("daily_return_pct"), 4).as("xs"))
+      .localCheckpoint(true)
+    val med = r.groupBy("symbol").agg(median(col("xs")).as("med_s"))
+    val dev = r.join(broadcast(med), "symbol")
+      .withColumn("dev_s", abs(col("xs") - col("med_s")))
+    val mad = dev.groupBy("symbol").agg(median(col("dev_s")).as("mad_s"))
+    dev.join(broadcast(mad), "symbol")
+      .groupBy("symbol")
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(when(col("dev_s") > lit(4.4478) * col("mad_s"), 1L).otherwise(0L))
+          .as("n_outliers"),
+        r4(min(col("med_s")) / 10000.0).as("med_return_pct"),
+        r4(min(col("mad_s")) / 10000.0).as("mad_pct"))
+  }
+
   def martDailySummary(perf: DataFrame): DataFrame = {
     val ret = col("daily_return_pct")
     val orderKey = when(ret.isNotNull, struct(ret, col("symbol")))

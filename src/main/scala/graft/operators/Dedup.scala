@@ -117,19 +117,26 @@ object Dedup {
     docs.select(col(idCol), col(textCol)).repartition(parts, col(idCol))
   }
 
-  /** Band the signature frame, equi-join candidates, verify with
-    * exact Jaccard — the tail shared by both signature computations.
-    * Candidate ids first: only (id, band, key) scalars shuffle; the
-    * shingle arrays rejoin on the (small) surviving candidate set. */
-  private def lshCandidatesVerify(shingled: DataFrame, sigDf: DataFrame, idCol: String,
-                                  bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+  /** Distinct candidate id pairs from LSH band buckets: only
+    * (id, band, key) scalars shuffle, id1 < id2. Shared by the
+    * Jaccard-verified and edit-distance-verified pair generators. */
+  private[operators] def lshCandidateIds(sigDf: DataFrame, idCol: String,
+                                         bands: Int, rowsPerBand: Int): DataFrame = {
     val banded = lshBands(sigDf, idCol, bands, rowsPerBand)
-    val cand = banded.select(col(idCol).as("id1"), col("band"), col("band_key"))
+    banded.select(col(idCol).as("id1"), col("band"), col("band_key"))
       .join(banded.select(col(idCol).as("id2"), col("band"), col("band_key")),
         Seq("band", "band_key"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
-    cand
+  }
+
+  /** Band the signature frame, equi-join candidates, verify with
+    * exact Jaccard — the tail shared by both signature computations.
+    * Candidate ids first; the shingle arrays rejoin on the (small)
+    * surviving candidate set. */
+  private def lshCandidatesVerify(shingled: DataFrame, sigDf: DataFrame, idCol: String,
+                                  bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    lshCandidateIds(sigDf, idCol, bands, rowsPerBand)
       .join(shingled.select(col(idCol).as("id1"), col("shingles").as("s1")), "id1")
       .join(shingled.select(col(idCol).as("id2"), col("shingles").as("s2")), "id2")
       .select(col("id1"), col("id2"), r4(jaccard(col("s1"), col("s2"))).as("jaccard"))
@@ -160,6 +167,84 @@ object Dedup {
     val sig = shingled.select(col(idCol),
       call_function("minhash_sig", col("shingles"), lit(numHashes)).as("sig"))
     lshCandidatesVerify(shingled, sig, idCol, bands, numHashes / bands, threshold)
+  }
+
+  /** Fuzzy near-dup pairs by bounded EDIT DISTANCE: the same MinHash
+    * band buckets as [[minhashLshPairsNative]] generate candidates
+    * (O(docs × bands) shuffle, never all-pairs), then each surviving
+    * pair is verified with Levenshtein over a fixed-length text prefix.
+    * Catches the "same doc, scattered small edits" family that
+    * set-semantics Jaccard underweights (a few edited words barely move
+    * shingle overlap but bound the edit distance), and is the standard
+    * fuzzy-match primitive for title/URL/record linkage.
+    *
+    * Scale notes: the verify step uses Spark's thresholded
+    * `levenshtein(l, r, maxDist)` — the DP row early-exits once the
+    * band minimum exceeds maxDist, so cost per candidate is
+    * O(prefixLen × maxDist), not O(prefixLen²); the prefix cap bounds
+    * worst-case comparison cost per pair regardless of document length
+    * (full-text fuzzy equality at corpus scale is what the
+    * shingle-based verifiers are for). Distances are exact (the
+    * threshold form returns the true distance when ≤ maxDist), so the
+    * DuckDB oracle checks this end-to-end with its unthresholded
+    * `levenshtein`.
+    *
+    * Output: (id1, id2, edit_dist) with id1 < id2, edit_dist ≤ maxDist.
+    */
+  def fuzzyEditPairs(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                     maxDist: Int = 40, prefixLen: Int = 160): DataFrame = {
+    val spread = spreadById(docs, idCol, textCol)
+    val shingled = withShingles(spread, textCol, n).filter(size(col("shingles")) > 0)
+    val sig =
+      if (docs.sparkSession.catalog.functionExists("minhash_sig"))
+        shingled.select(col(idCol),
+          call_function("minhash_sig", col("shingles"), lit(numHashes)).as("sig"))
+      else minhashSigAgg(shingled, idCol, numHashes)
+    val pref = spread.select(col(idCol), substring(col(textCol), 1, prefixLen).as("p"))
+    lshCandidateIds(sig, idCol, bands, numHashes / bands)
+      .join(pref.select(col(idCol).as("id1"), col("p").as("p1")), "id1")
+      .join(pref.select(col(idCol).as("id2"), col("p").as("p2")), "id2")
+      .select(col("id1"), col("id2"),
+        levenshtein(col("p1"), col("p2"), maxDist).as("edit_dist"))
+      .filter(col("edit_dist") >= 0)
+  }
+
+  /** Asymmetric shingle CONTAINMENT pairs: C(src→dst) = |S_src ∩
+    * S_dst| / |S_src| ≥ threshold — "how much of src appears inside
+    * dst". The quote/subset detector Jaccard cannot express: a short
+    * doc fully embedded in a long one has tiny Jaccard (union is
+    * dominated by the long doc) but containment 1.0. Standard in
+    * training-data pipelines for finding excerpts, boilerplate
+    * inclusions, and near-supersets before choosing which side to keep.
+    *
+    * Same count-based blocked-join shape as [[ngramJaccardPairs]]:
+    * |A∩B| from a grouped count over the 60-bit shingle-hash equi join
+    * (each unordered pair computed once, both directions emitted from
+    * it), so no array crosses an exchange. Inherits the same Zipfian
+    * hot-shingle caveat — on heavy-tailed corpora apply the prefix
+    * filter of [[ngramJaccardPairsPrefix]] first.
+    *
+    * Output: (src_id, dst_id, containment) for ordered pairs, src ≠ dst.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val shingled = withShingles(spreadById(docs, idCol, textCol), textCol, n)
+      .filter(size(col("shingles")) > 0)
+    val sizes = shingled.select(col(idCol), size(col("shingles")).as("sz"))
+    val ex = shingled.select(col(idCol), explode(col("shingles")).as("s"))
+      .select(col(idCol), hash60(col("s")).as("sh"))
+    val inter = ex.select(col(idCol).as("id1"), col("sh"))
+      .join(ex.select(col(idCol).as("id2"), col("sh")), "sh")
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
+    val dir = inter.select(col("id1").as("src_id"), col("id2").as("dst_id"), col("inter"))
+      .unionByName(
+        inter.select(col("id2").as("src_id"), col("id1").as("dst_id"), col("inter")))
+    dir.join(sizes.select(col(idCol).as("src_id"), col("sz").as("n_src")), "src_id")
+      .select(col("src_id"), col("dst_id"),
+        r4(col("inter") / col("n_src").cast("double")).as("containment"))
+      .filter(col("containment") >= threshold)
   }
 
   /** All-pairs n-gram Jaccard ≥ threshold, blocked on shared shingles

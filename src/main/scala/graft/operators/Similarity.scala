@@ -285,6 +285,67 @@ object Similarity {
       .withColumn("n", normSqN(col("vq")))
   }
 
+  /** Lloyd (k-means) refinement of the md5-seeded coarse quantizer:
+    * `iters` rounds of assign-to-nearest-cell → recompute centroids as
+    * the per-cell element-wise mean, then the final assignment under
+    * the refined centroids. The standard IVF training step on top of
+    * [[trainCellSeeds]]' sampled initialization — better cell balance
+    * for the same numCells, which directly bounds the Σ|cell|² cost of
+    * [[semDedup]] and the probe cost of [[ivfTopK]].
+    *
+    * Determinism (what makes this oracle-checkable, unlike textbook
+    * k-means): seeds are the md5-ranked sample (no RNG); means are
+    * ⌊Σ/n⌋ over the EXACT integer quantized vectors — the quotient is
+    * either an integer or ≥ 1/n away from one, far beyond double
+    * rounding error, so floor(double-division) in any engine equals
+    * Java floorDiv; empty cells keep their previous centroid.
+    *
+    * Scale shape ("train small, broadcast"): each round is one narrow
+    * assignment pass (centroids are plan-time literals) plus ONE
+    * partial-aggregable grouped sum whose result — numCells × dim
+    * rows, the model, not the data — is collected to the driver. The
+    * input is persisted across rounds and the rounds parameter is a
+    * constant, so total cost is iters × (scan + tiny shuffle).
+    */
+  def kmeansRefine(df: DataFrame, idCol: String, vecCol: String,
+                   numCells: Int = 16, iters: Int = 1): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val vq = df.select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .repartition(parts, col("id"))
+      .select(col("id"), quantize(col("__v")).as("vq"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var centroids: Seq[Seq[Long]] = trainCellSeeds(df, idCol, vecCol, numCells)
+    for (_ <- 0 until iters) {
+      val asg = vq.select(col("vq"),
+        element_at(nearestCellsOf(col("vq"), typedLit(centroids), numCells, 1), 1)
+          .as("cell"))
+      val sums = asg
+        .select(col("cell"), posexplode(col("vq")).as(Seq("k", "x")))
+        .groupBy("cell", "k")
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("c"))
+        .collect()
+      val means: Map[Long, Map[Int, Long]] = sums
+        .groupBy(_.getAs[Long]("cell"))
+        .map { case (cell, rows) =>
+          cell -> rows.map(r => r.getAs[Int]("k") ->
+            Math.floorDiv(r.getAs[Long]("s"), r.getAs[Long]("c"))).toMap
+        }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        means.get(c.toLong) match {
+          case Some(m) => old.indices.map(k => m(k))
+          case None    => old // empty cell: keep the previous centroid
+        }
+      }
+    }
+    val out = vq.select(col("id"),
+      element_at(nearestCellsOf(col("vq"), typedLit(centroids), numCells, 1), 1)
+        .as("cell"))
+      .localCheckpoint(true)
+    vq.unpersist(blocking = false)
+    out
+  }
+
   /** SemDedup (Abbas et al. 2023, arXiv:2303.09540 — public method):
     * semantic deduplication by clustering embeddings and dropping all
     * but one representative from every within-cluster group of

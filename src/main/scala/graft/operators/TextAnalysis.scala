@@ -72,6 +72,39 @@ object TextAnalysis {
         r4(col("sum_df") / col("n_tokens").cast("double")).as("mean_df"))
   }
 
+  /** TF-IDF ranked retrieval: the top-k documents for a bag of query
+    * terms, scored sum_t tf(t,d) · ⌊N·10⁶ / df(t)⌋. The idf weight is
+    * the floor of a single IEEE division (portable bit-for-bit across
+    * engines — same reason [[tokenRarity]] avoids log(); the 10⁶ scale
+    * keeps integer precision on the rare-term end), so the whole score
+    * is integer arithmetic and the DuckDB oracle checks it exactly.
+    *
+    * Scale shape: tokens filter to the query vocabulary MAP-SIDE
+    * before anything shuffles (the explode never materializes
+    * non-query terms past the scan stage), tf is a partial-aggregable
+    * grouped count, df derives from tf (|terms| rows — broadcast), and
+    * the final top-k is a single-column TakeOrdered. On a 100 TB
+    * corpus the only full-data cost is the scan + one narrow shuffle
+    * of (doc, term) counts for the handful of query terms.
+    */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
+                terms: Seq[String], k: Int = 20): DataFrame = {
+    val ex = Dedup.spreadById(docs, idCol, textCol)
+      .select(col(idCol), explode(tokens(col(textCol))).as("t"))
+      .filter(col("t").isInCollection(terms))
+    val tf = ex.groupBy(col(idCol), col("t")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    tf.join(broadcast(dfreq), "t")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("w", floor(col("n_docs") * lit(1000000.0) / col("df")).cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf") * col("w")).as("score"),
+        count(lit(1)).as("n_query_terms"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Token / lexical statistics: whitespace tokens plus the BPE-ish
     * regex subword count. */
   def tokenStats(df: DataFrame, textCol: String): DataFrame = {

@@ -106,6 +106,33 @@ class DailyAnalyticsSpec extends AnyFunSpec {
     }
   }
 
+  describe("madOutliers") {
+    it("flags a planted spike and not the steady days") {
+      // steady ±1% returns, one +40% print on day 10
+      val rows = (1 to 21).map { i =>
+        val close = if (i == 10) 140.0 else 100.0 + (i % 2)
+        ("S", f"2024-02-$i%02d", close, close, close, close, 100L)
+      }
+      val b = rows.toDF("symbol", "ds", "open_price", "high_price", "low_price",
+          "close_price", "volume")
+        .withColumn("trade_date", to_date($"ds")).drop("ds")
+      val out = DailyAnalytics.madOutliers(DailyAnalytics.dailyReturns(b)).collect()
+      assert(out.length == 1)
+      val r = out.head
+      assert(r.getAs[Long]("n_days") == 20) // first day has null return
+      // the spike up AND the reversion down are both beyond 4.4478 * MAD
+      assert(r.getAs[Long]("n_outliers") == 2)
+    }
+    it("zero MAD (constant returns) flags nothing, not everything") {
+      val b = (1 to 9).map(i => ("C", f"2024-03-0$i", 100.0, 100.0, 100.0, 100.0, 10L))
+        .toDF("symbol", "ds", "open_price", "high_price", "low_price",
+          "close_price", "volume")
+        .withColumn("trade_date", to_date($"ds")).drop("ds")
+      val r = DailyAnalytics.madOutliers(DailyAnalytics.dailyReturns(b)).collect().head
+      assert(r.getAs[Long]("n_outliers") == 0)
+    }
+  }
+
   describe("J2 join form vs fused form") {
     it("produce identical rows on shared columns") {
       val joined = DailyAnalytics.joinedStockPerformance(bars)

@@ -54,6 +54,58 @@ class DedupSpec extends AnyFunSpec {
     }
   }
 
+  describe("fuzzyEditPairs") {
+    it("verifies banded candidates with the exact edit distance") {
+      val pairs = Dedup.fuzzyEditPairs(docs, "doc_id", "text", maxDist = 10, prefixLen = 160)
+        .as[(Long, Long, Int)].collect().toSet
+      // exact dup: distance 0; near-dup 1~2 differ only by today→tonight
+      assert(pairs.contains((1L, 4L, 0)))
+      assert(pairs.exists(p => Set((p._1, p._2)).contains((1L, 2L)) && p._3 > 0 && p._3 <= 5))
+      assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    }
+    it("matches the unbounded levenshtein on every emitted pair") {
+      val out = Dedup.fuzzyEditPairs(docs, "doc_id", "text", maxDist = 40, prefixLen = 160)
+      val byId = docs.as[(Long, String)].collect().toMap
+      out.as[(Long, Long, Int)].collect().foreach { case (a, b, d) =>
+        val (sa, sb) = (byId(a).take(160), byId(b).take(160))
+        val brute = {
+          val dp = Array.tabulate(sb.length + 1)(identity)
+          for (i <- 1 to sa.length) {
+            var prev = dp(0); dp(0) = i
+            for (j <- 1 to sb.length) {
+              val cur = dp(j)
+              dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+                prev + (if (sa(i - 1) == sb(j - 1)) 0 else 1))
+              prev = cur
+            }
+          }
+          dp(sb.length)
+        }
+        assert(d == brute, s"pair ($a,$b)")
+      }
+    }
+  }
+
+  describe("containmentPairs") {
+    it("scores an embedded excerpt at 1.0 toward its superset, asymmetric back") {
+      val d = Seq(
+        (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2L, "alpha beta gamma delta epsilon"), // strict prefix of 1
+        (3L, "unrelated words entirely disjoint from both other documents"))
+        .toDF("doc_id", "text")
+      val m = Dedup.containmentPairs(d, "doc_id", "text", threshold = 0.0)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      assert(m((2L, 1L)) == 1.0)     // all of 2's shingles are in 1
+      assert(m((1L, 2L)) < 1.0)      // 1 is not contained in 2
+      assert(!m.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    }
+    it("emits both directions of every intersecting pair above threshold 0") {
+      val out = Dedup.containmentPairs(docs, "doc_id", "text", threshold = 0.0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(out.map(p => (p._2, p._1)) == out)
+    }
+  }
+
   describe("ngramJaccardPairs") {
     it("scores the exact duplicate at 1.0") {
       val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.1)

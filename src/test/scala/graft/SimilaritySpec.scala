@@ -103,6 +103,31 @@ class SimilaritySpec extends AnyFunSpec {
     }
   }
 
+  describe("kmeansRefine") {
+    it("iters=0 equals the seeded assignment; one round keeps a total in-range assignment") {
+      val emb = Tables.embeddings(spark, dir)
+      val seeded = Similarity.ivfAssign(emb, "vec_id", "embedding", numCells = 8)
+        .select("id", "cell")
+      val zero = Similarity.kmeansRefine(emb, "vec_id", "embedding", numCells = 8, iters = 0)
+      assert(zero.exceptAll(seeded).isEmpty && seeded.exceptAll(zero).isEmpty)
+      val one = Similarity.kmeansRefine(emb, "vec_id", "embedding", numCells = 8, iters = 1)
+      assert(one.count() == emb.count())
+      assert(one.filter($"cell" < 0 || $"cell" >= 8).isEmpty)
+    }
+    it("refinement pulls the centroid to the cluster mass: a planted tight cluster stays whole") {
+      // 6 near-identical vectors + 2 far outliers; after one round the
+      // tight cluster must share one cell regardless of which seeds the
+      // md5 sample picked
+      val base = Array.tabulate(64)(i => 0.4f + 0.001f * i)
+      val tight = (1L to 6L).map(i => (i, base.map(x => x + i * 1e-4f)))
+      val far = Seq((100L, Array.fill(64)(-0.9f)), (101L, Array.fill(64)(0.9f)))
+      val df = (tight ++ far).toDF("vec_id", "embedding")
+      val out = Similarity.kmeansRefine(df, "vec_id", "embedding", numCells = 2, iters = 1)
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cell")).toMap
+      assert((1L to 6L).map(out).toSet.size == 1)
+    }
+  }
+
   describe("semDedup") {
     it("collapses exact copies to the min-id representative and keeps the distinct vector") {
       val v1 = Array.fill(64)(0.5f)

@@ -54,6 +54,34 @@ class TrainingDataOpsSpec extends AnyFunSpec {
     }
   }
 
+  describe("TextAnalysis.tfidfTopK") {
+    it("ranks by hand-computed integer tf-idf, rare terms weighing more") {
+      val docs = Seq(
+        (1L, "spark spark spark common common"),  // tf(spark)=3
+        (2L, "spark common common common common"), // tf(spark)=1
+        (3L, "vector common common common common"), // tf(vector)=1, df(vector)=1
+        (4L, "common words only nothing else here"))
+        .toDF("doc_id", "text")
+      val out = graft.operators.TextAnalysis
+        .tfidfTopK(docs, "doc_id", "text", Seq("spark", "vector"), k = 10)
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score"))).toMap
+      // N=4: w(spark)=floor(4e6/2)=2e6, w(vector)=floor(4e6/1)=4e6
+      assert(out(1L) == 3L * 2000000L)
+      assert(out(2L) == 1L * 2000000L)
+      assert(out(3L) == 1L * 4000000L)
+      assert(!out.contains(4L)) // no query terms -> never scored
+      assert(out(3L) > out(2L)) // one rare term beats one common one
+    }
+    it("keeps ties deterministic (score desc, id asc) under limit") {
+      val docs = Seq((1L, "spark a"), (2L, "spark b"), (3L, "spark c"))
+        .toDF("doc_id", "text")
+      val top2 = graft.operators.TextAnalysis
+        .tfidfTopK(docs, "doc_id", "text", Seq("spark"), k = 2)
+        .collect().map(_.getAs[Long]("doc_id")).toSeq
+      assert(top2 == Seq(1L, 2L))
+    }
+  }
+
   describe("Packing.chunkSpans") {
     it("offsets tile each shard exactly: consecutive docs abut, chunks cut at the budget") {
       val docs = (1L to 40L).map(i => (i, 100 + (i % 7).toInt * 30)).toDF("doc_id", "toks")
