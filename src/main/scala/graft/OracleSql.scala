@@ -833,6 +833,60 @@ object OracleSql {
          |FROM dev d JOIN mad md ON d.symbol = md.symbol
          |GROUP BY d.symbol ORDER BY d.symbol""".stripMargin,
 
+    // Pairwise Pearson correlation from exact integer sums (mirrors
+    // DailyAnalytics.pairCorrelation; the >2^53 integer→double
+    // conversions round identically in any IEEE engine)
+    "q_pair_correlation" ->
+      s"""${dailyChain("returns")},
+         |r AS (
+         |  SELECT symbol, trade_date, ${sc4("daily_return_pct")} AS xs
+         |  FROM returns WHERE daily_return_pct IS NOT NULL
+         |),
+         |j AS (
+         |  SELECT a.symbol AS s1, b.symbol AS s2, a.xs AS x, b.xs AS y
+         |  FROM r a JOIN r b ON a.trade_date = b.trade_date AND a.symbol < b.symbol
+         |),
+         |g AS (
+         |  SELECT s1, s2, CAST(COUNT(*) AS BIGINT) AS n_days,
+         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+         |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+         |    CAST(SUM(y * y) AS BIGINT) AS syy
+         |  FROM j GROUP BY s1, s2 HAVING COUNT(*) >= 30
+         |)
+         |SELECT s1, s2, n_days,
+         |  ${rd("(n_days * sxy - sx * sy) / NULLIF(SQRT(CAST(n_days * sxx - sx * sx AS DOUBLE)) * SQRT(CAST(n_days * syy - sy * sy AS DOUBLE)), 0)", 4)} AS return_corr
+         |FROM g ORDER BY s1, s2""".stripMargin,
+
+    // Grouped top-3 by price (mirrors Ranking.topKPerGroup)
+    "q_topk_per_group" ->
+      """SELECT o_orderpriority, CAST(rnk AS INTEGER) AS rnk, o_orderkey, o_totalprice
+        |FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders
+        |)
+        |WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin,
+
+    // 7-day cohort retention (mirrors Cohorts.cohortRetention: distinct
+    // user-day grain, semi join on the shifted day, integer counts)
+    "q_retention" ->
+      s"""WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+         |fut AS (SELECT user_id, d - 7 AS d FROM act),
+         |ret AS (
+         |  SELECT a.d, CAST(COUNT(*) AS BIGINT) AS n_retained
+         |  FROM act a JOIN fut f ON a.user_id = f.user_id AND a.d = f.d
+         |  GROUP BY a.d
+         |),
+         |base AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n_active FROM act GROUP BY d)
+         |SELECT b.d AS cohort_date, b.n_active,
+         |  COALESCE(r.n_retained, CAST(0 AS BIGINT)) AS n_retained,
+         |  ${rd("COALESCE(r.n_retained, 0) / CAST(b.n_active AS DOUBLE)", 4)} AS retention_rate
+         |FROM base b LEFT JOIN ret r ON b.d = r.d
+         |ORDER BY cohort_date""".stripMargin,
+
     "q_skew_salted" ->
       s"""SELECT l_returnflag,
          |  ${rd(s"CAST(SUM(${sc("l_extendedprice", 2)}) AS DOUBLE) / 1e2", 2)} AS revenue,

@@ -340,6 +340,29 @@ object SparkEntry {
       DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
       .orderBy("symbol")
 
+  /** Pairwise return-correlation matrix from exact integer sums. */
+  private def qPairCorrelation(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.pairCorrelation(
+      DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)), minDays = 30)
+      .orderBy("s1", "s2")
+
+  /** Grouped top-k with rank pushdown (WindowGroupLimit). */
+  private def qTopkPerGroup(s: SparkSession, dir: String): DataFrame =
+    Ranking.topKPerGroup(Tables.orders(s, dir), Seq("o_orderpriority"),
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc), k = 3)
+      .select(col("o_orderpriority"), col("rnk"), col("o_orderkey"),
+        col("o_totalprice"))
+      .orderBy("o_orderpriority", "rnk")
+
+  /** 7-day cohort retention over the event stream. */
+  private def qRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    Cohorts.cohortRetention(
+      ev.withColumn("event_time", Adapters.eventTime(ev)),
+      "user_id", "event_time", horizonDays = 7)
+      .orderBy("cohort_date")
+  }
+
   /** Inter-document boilerplate signal: the fraction of each doc's
     * distinct 3-grams shared with any other doc. */
   private def qCrossDocNgrams(s: SparkSession, dir: String): DataFrame =
@@ -753,6 +776,9 @@ object SparkEntry {
     "q_containment" -> (qContainment _),
     "q_tfidf_search" -> (qTfidfSearch _),
     "q_outlier_mad" -> (qOutlierMad _),
+    "q_pair_correlation" -> (qPairCorrelation _),
+    "q_topk_per_group" -> (qTopkPerGroup _),
+    "q_retention" -> (qRetention _),
     "q_dedup_groups" -> (qDedupGroups _),
     "q_dedup_groups_star" -> (qDedupGroupsStar _),
     "q_dedup_keep" -> (qDedupKeep _),

@@ -254,6 +254,46 @@ object DailyAnalytics {
         r4(min(col("mad_s")) / 10000.0).as("mad_pct"))
   }
 
+  /** Pairwise Pearson correlation of daily returns across the symbol
+    * universe — the classic risk/pairs-trading matrix. Computed from
+    * EXACT integer sums over the scale-4 fixed-point returns
+    * (Σx, Σy, Σxy, Σx², Σy² as longs, one shuffle, partial-aggregable),
+    * then one fixed scalar expression per pair:
+    *   corr = (n·Σxy − Σx·Σy) / (√(n·Σx²−Σx²̂) · √(n·Σy²−Σy²̂))
+    * so the result is bit-portable (no FP accumulation order anywhere).
+    * Overflow headroom: |xs| ≤ 10⁶ (100% in scale-4), so n·Σxy at ten
+    * years of days stays < 2⁶³ by ~4 orders of magnitude.
+    *
+    * Scale shape: the self-join is keyed on trade_date over the
+    * already-reduced symbol×day grain — per-key fan-out is the symbol
+    * universe S, so cost is O(D·S²) pairs, bounded by the universe
+    * (NOT corpus-quadratic; S is a catalog dimension). The grouped
+    * sums reduce map-side before the (s1, s2) exchange.
+    */
+  def pairCorrelation(returns: DataFrame, minDays: Int = 30): DataFrame = {
+    val r = returns.filter(col("daily_return_pct").isNotNull)
+      .select(col("symbol"), col("trade_date"),
+        scaled(col("daily_return_pct"), 4).as("xs"))
+      .localCheckpoint(true) // both join sides + nothing upstream re-scans
+    val j = r.select(col("symbol").as("s1"), col("trade_date"), col("xs").as("x"))
+      .join(r.select(col("symbol").as("s2"), col("trade_date"), col("xs").as("y")),
+        "trade_date")
+      .filter(col("s1") < col("s2"))
+    val g = j.groupBy("s1", "s2").agg(
+      count(lit(1)).as("n_days"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+      .filter(col("n_days") >= minDays)
+    g.select(col("s1"), col("s2"), col("n_days"),
+      r4((col("n_days") * col("sxy") - col("sx") * col("sy")) /
+        nullifZero(
+          sqrt((col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+          sqrt((col("n_days") * col("syy") - col("sy") * col("sy")).cast("double"))))
+        .as("return_corr"))
+  }
+
   def martDailySummary(perf: DataFrame): DataFrame = {
     val ret = col("daily_return_pct")
     val orderKey = when(ret.isNotNull, struct(ret, col("symbol")))

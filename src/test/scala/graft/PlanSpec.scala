@@ -42,6 +42,11 @@ class PlanSpec extends AnyFunSpec {
       assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit, plan:\n$p")
     }
 
+    it("grouped top-k ranks push down (WindowGroupLimit before the exchange)") {
+      val p = plan(SparkEntry.queries("q_topk_per_group")(spark, dir))
+      assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit, plan:\n$p")
+    }
+
     it("SCD2 compaction feeds every window frame from ONE exchange — no groupBy re-shuffle") {
       val df = SparkEntry.queries("q_scd2")(spark, dir)
       val exchanges = "Exchange hashpartitioning".r.findAllIn(plan(df)).size

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funspec.AnyFunSpec
+import graft.operators.{Cohorts, DailyAnalytics, Ranking}
+
+/** Grouped ranking, cohort retention, and the pairwise correlation
+  * matrix — hand-computed golden values. */
+class RankingCohortsSpec extends AnyFunSpec {
+  import SharedSpark.spark
+  import spark.implicits._
+
+  describe("Ranking.topKPerGroup") {
+    it("keeps exactly k rows per group in rank order, ties broken by the order columns") {
+      val df = Seq(
+        ("a", 1L, 30.0), ("a", 2L, 20.0), ("a", 3L, 30.0), ("a", 4L, 10.0),
+        ("b", 5L, 5.0))
+        .toDF("grp", "id", "price")
+      val top2 = Ranking.topKPerGroup(df, Seq("grp"),
+        Seq($"price".desc, $"id".asc), k = 2)
+        .select("grp", "rnk", "id").as[(String, Int, Long)].collect().toSet
+      // price 30 tie between id 1 and 3 -> id order decides
+      assert(top2 == Set(("a", 1, 1L), ("a", 2, 3L), ("b", 1, 5L)))
+    }
+  }
+
+  describe("Cohorts.cohortRetention") {
+    it("counts day-N returners against the distinct user-day grain") {
+      val ev = Seq(
+        (1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 11:00:00"), // dup events, one active-day
+        (1L, "2024-01-08 09:00:00"), // user 1 retained from 01-01
+        (2L, "2024-01-01 12:00:00")) // user 2 not retained
+        .toDF("user_id", "ts_s")
+        .withColumn("event_time", to_timestamp($"ts_s"))
+      val out = Cohorts.cohortRetention(ev, "user_id", "event_time", horizonDays = 7)
+        .collect()
+        .map(r => r.getAs[java.sql.Date]("cohort_date").toString ->
+          (r.getAs[Long]("n_active"), r.getAs[Long]("n_retained"),
+            r.getAs[Double]("retention_rate"))).toMap
+      assert(out("2024-01-01") == ((2L, 1L, 0.5)))
+      assert(out("2024-01-08") == ((1L, 0L, 0.0)))
+    }
+  }
+
+  describe("DailyAnalytics.pairCorrelation") {
+    it("scores linear dependence at ±1.0 from integer sums") {
+      val d = Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04")
+      def rows(sym: String, mult: Double) =
+        d.zip(Seq(1.0, 2.0, -1.0, 3.0)).map { case (ds, x) => (sym, ds, x * mult) }
+      val returns = (rows("A", 1.0) ++ rows("B", 2.0) ++ rows("C", -1.0))
+        .toDF("symbol", "ds", "daily_return_pct")
+        .withColumn("trade_date", to_date($"ds")).drop("ds")
+      val m = DailyAnalytics.pairCorrelation(returns, minDays = 2)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("return_corr"))
+        .toMap
+      assert(m(("A", "B")) == 1.0)
+      assert(m(("A", "C")) == -1.0)
+      assert(m(("B", "C")) == -1.0)
+    }
+  }
+}
