@@ -870,6 +870,38 @@ object OracleSql {
         |)
         |WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin,
 
+    // Inverted index (mirrors TextAnalysis.invertedIndex: distinct
+    // (token, doc) grain, df count, rank-capped sorted posting sample)
+    "q_inverted_index" ->
+      """WITH ex0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |ex AS (SELECT DISTINCT doc_id, token FROM ex0),
+        |dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM ex GROUP BY token),
+        |capped AS (
+        |  SELECT token, doc_id FROM (
+        |    SELECT token, doc_id,
+        |      ROW_NUMBER() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+        |    FROM ex
+        |  ) WHERE rn <= 16
+        |),
+        |postings AS (
+        |  SELECT token, list(doc_id ORDER BY doc_id) AS postings
+        |  FROM capped GROUP BY token
+        |)
+        |SELECT d.token, d.df, p.postings
+        |FROM dfreq d JOIN postings p ON d.token = p.token
+        |ORDER BY d.token""".stripMargin,
+
+    // Rank-based window distribution functions (ties share a value, so
+    // the result is order-independent)
+    "q_percent_rank" ->
+      s"""${dailyChain("returns")}
+         |SELECT symbol, trade_date, daily_return_pct,
+         |  ${rd("PERCENT_RANK() OVER w", 4)} AS pr,
+         |  ${rd("CUME_DIST() OVER w", 4)} AS cd
+         |FROM returns WHERE daily_return_pct IS NOT NULL
+         |WINDOW w AS (PARTITION BY symbol ORDER BY daily_return_pct)
+         |ORDER BY symbol, trade_date""".stripMargin,
+
     // 7-day cohort retention (mirrors Cohorts.cohortRetention: distinct
     // user-day grain, semi join on the shifted day, integer counts)
     "q_retention" ->

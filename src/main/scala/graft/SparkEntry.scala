@@ -354,6 +354,25 @@ object SparkEntry {
         col("o_totalprice"))
       .orderBy("o_orderpriority", "rnk")
 
+  /** Inverted-index build: df + rank-capped sorted posting samples. */
+  private def qInvertedIndex(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.invertedIndex(Tables.documents(s, dir), "doc_id", "text",
+      sampleK = 16)
+      .orderBy("token")
+
+  /** W-surface: rank-based distribution functions over the per-symbol
+    * return distribution (percent_rank, cume_dist). */
+  private def qPercentRank(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("symbol").orderBy("daily_return_pct")
+    DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir))
+      .filter(col("daily_return_pct").isNotNull)
+      .select(col("symbol"), col("trade_date"), col("daily_return_pct"),
+        r4(percent_rank().over(w)).as("pr"),
+        r4(cume_dist().over(w)).as("cd"))
+      .orderBy("symbol", "trade_date")
+  }
+
   /** 7-day cohort retention over the event stream. */
   private def qRetention(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
@@ -779,6 +798,8 @@ object SparkEntry {
     "q_pair_correlation" -> (qPairCorrelation _),
     "q_topk_per_group" -> (qTopkPerGroup _),
     "q_retention" -> (qRetention _),
+    "q_inverted_index" -> (qInvertedIndex _),
+    "q_percent_rank" -> (qPercentRank _),
     "q_dedup_groups" -> (qDedupGroups _),
     "q_dedup_groups_star" -> (qDedupGroupsStar _),
     "q_dedup_keep" -> (qDedupKeep _),

@@ -105,6 +105,34 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Inverted-index build: per token, the document frequency plus a
+    * bounded sorted posting sample (first `sampleK` doc ids) — the
+    * retrieval-index companion to [[tfidfTopK]] and the seed for any
+    * keyword-search or doc-lookup service over the corpus.
+    *
+    * Scale shape: the (token, doc) grain reduces by `distinct` with
+    * map-side combine; df is a partial-aggregable grouped count (the
+    * Zipfian token key is absorbed by partial aggregation — a
+    * stopword's count combines within each map task); and the posting
+    * arrays are CAPPED BEFORE collection via rank pushdown
+    * ([[Ranking.topKPerGroup]] → WindowGroupLimit), so no executor
+    * ever buffers an unbounded stopword posting list. Uncapped full
+    * postings at 100 TB would be a different storage layout (doc-id
+    * runs, delta-encoded) — the bounded sample is the DataFrame-shaped
+    * contract.
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    sampleK: Int = 16): DataFrame = {
+    val ex = Dedup.spreadById(docs, idCol, textCol)
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
+      .distinct()
+    val dfreq = ex.groupBy("token").agg(count(lit(1)).as("df"))
+    val capped = Ranking.topKPerGroup(ex, Seq("token"), Seq(col("doc_id").asc), sampleK)
+    val postings = capped.groupBy("token")
+      .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+    dfreq.join(postings, "token")
+  }
+
   /** Token / lexical statistics: whitespace tokens plus the BPE-ish
     * regex subword count. */
   def tokenStats(df: DataFrame, textCol: String): DataFrame = {

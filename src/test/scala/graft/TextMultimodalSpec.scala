@@ -47,6 +47,24 @@ class TextMultimodalSpec extends AnyFunSpec {
     }
   }
 
+  describe("invertedIndex") {
+    it("counts df on the distinct doc grain and caps postings at sampleK in sorted order") {
+      val d = Seq(
+        (5L, "alpha beta alpha"),  // repeated token -> one posting
+        (2L, "alpha gamma"),
+        (9L, "alpha"))
+        .toDF("doc_id", "text")
+      val idx = TextAnalysis.invertedIndex(d, "doc_id", "text", sampleK = 2)
+        .collect()
+        .map(r => r.getAs[String]("token") ->
+          (r.getAs[Long]("df"), r.getAs[scala.collection.Seq[Long]]("postings").toSeq))
+        .toMap
+      assert(idx("alpha") == ((3L, Seq(2L, 5L)))) // df counts all 3, postings capped at 2
+      assert(idx("beta") == ((1L, Seq(5L))))
+      assert(idx("gamma") == ((1L, Seq(2L))))
+    }
+  }
+
   describe("repetitionSignals") {
     it("flags degenerate repetition and passes diverse text") {
       val d = Seq(
