@@ -229,8 +229,11 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    // snapshot: the shingle frame feeds both the size lookup and the
+    // exploded join — one shingle pass instead of two
     val shingled = withShingles(spreadById(docs, idCol, textCol), textCol, n)
       .filter(size(col("shingles")) > 0)
+      .localCheckpoint(true)
     val sizes = shingled.select(col(idCol), size(col("shingles")).as("sz"))
     val ex = shingled.select(col(idCol), explode(col("shingles")).as("s"))
       .select(col(idCol), hash60(col("s")).as("sh"))
@@ -294,9 +297,14 @@ object Dedup {
     // every stage past the shingle lambda works on 60-bit hashes, never
     // strings: the df join, the window sort, the candidate equi join and
     // the verify intersection all shuffle/compare fixed-width longs
+    // stage the hashed-shingle arrays ONCE: the frame feeds the df
+    // aggregate, its join-back, and both verify joins — without the
+    // snapshot the shingle lambda + per-shingle md5 (the dominant scan
+    // cost) re-runs 4× (a full corpus re-scan each at 100 TB)
     val hashed = withShingles(spreadById(docs, idCol, textCol), textCol, n)
       .filter(size(col("shingles")) > 0)
       .select(col(idCol), transform(col("shingles"), s => hash60(s)).as("sh_arr"))
+      .localCheckpoint(true)
     val ex = hashed.select(col(idCol), size(col("sh_arr")).as("n"),
       explode(col("sh_arr")).as("sh"))
     val prefixLen = (col("n") - ceil(col("n") * threshold) + 1).cast("int")
