@@ -902,6 +902,42 @@ object OracleSql {
          |WINDOW w AS (PARTITION BY symbol ORDER BY daily_return_pct)
          |ORDER BY symbol, trade_date""".stripMargin,
 
+    // Deterministic random projection (mirrors Similarity.randomProject:
+    // the same md5-derived plane literals, exact integer dots)
+    "q_random_projection" -> {
+      val planes = graft.operators.Similarity.planeComponents(16)
+      val exprs = (0 until 16).map { p =>
+        val w = planes.slice(p * 64, (p + 1) * 64).mkString("[", ", ", "]")
+        s"CAST(list_sum(list_transform(range(1, 65), k -> vq[k] * ($w)[k])) AS BIGINT)"
+      }.mkString(",\n         |  ").stripMargin
+      s"""WITH $embSql
+         |SELECT vec_id AS id, [$exprs] AS proj
+         |FROM ev ORDER BY id""".stripMargin
+    },
+
+    // Hourly rate-spike detection (mirrors Profiling.rateAnomaly: the
+    // n − mean > 3σ test rewritten to exact integer arithmetic)
+    "q_rate_anomaly" ->
+      s"""WITH hourly AS (
+         |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM events
+         |  GROUP BY event_type, date_trunc('hour', CAST(ts AS TIMESTAMP))
+         |),
+         |win AS (
+         |  SELECT event_type, h, n,
+         |    CAST(COUNT(n) OVER w AS BIGINT) AS c,
+         |    CAST(SUM(n) OVER w AS BIGINT) AS sx,
+         |    CAST(SUM(n * n) OVER w AS BIGINT) AS sxx
+         |  FROM hourly
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY h
+         |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+         |)
+         |SELECT event_type, h, n,
+         |  ${rd("sx / CAST(c AS DOUBLE)", 4)} AS baseline_mean,
+         |  ((n * c - sx) > 0 AND (n * c - sx) * (n * c - sx) > 9 * (c * sxx - sx * sx)) AS is_spike
+         |FROM win WHERE c = 24 ORDER BY event_type, h""".stripMargin,
+
     // 7-day cohort retention (mirrors Cohorts.cohortRetention: distinct
     // user-day grain, semi join on the shifted day, integer counts)
     "q_retention" ->

@@ -373,6 +373,20 @@ object SparkEntry {
       .orderBy("symbol", "trade_date")
   }
 
+  /** JL-style deterministic random projection of the embedding table. */
+  private def qRandomProjection(s: SparkSession, dir: String): DataFrame =
+    Similarity.randomProject(Tables.embeddings(s, dir), "vec_id", "embedding",
+      outDim = 16)
+      .orderBy("id")
+
+  /** Hourly event-rate spike detection vs a trailing 24 h baseline. */
+  private def qRateAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    Profiling.rateAnomaly(ev.withColumn("event_time", Adapters.eventTime(ev)),
+      "event_type", "event_time", lookback = 24, sigmas = 3)
+      .orderBy("event_type", "h")
+  }
+
   /** 7-day cohort retention over the event stream. */
   private def qRetention(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
@@ -800,6 +814,8 @@ object SparkEntry {
     "q_retention" -> (qRetention _),
     "q_inverted_index" -> (qInvertedIndex _),
     "q_percent_rank" -> (qPercentRank _),
+    "q_random_projection" -> (qRandomProjection _),
+    "q_rate_anomaly" -> (qRateAnomaly _),
     "q_dedup_groups" -> (qDedupGroups _),
     "q_dedup_groups_star" -> (qDedupGroupsStar _),
     "q_dedup_keep" -> (qDedupKeep _),

@@ -14,6 +14,47 @@ import org.apache.spark.sql.functions._
   */
 object Profiling {
 
+  /** Hourly event-rate spike detection against a trailing baseline:
+    * count events per (type, hour), then flag hours whose count
+    * exceeds the trailing `lookback`-hour mean by `sigmas` standard
+    * deviations — the stream-health monitor that catches producer
+    * storms and replay floods before they poison downstream windows.
+    *
+    * The spike test is ALL-INTEGER: with c = lookback, Σx, Σx² from
+    * the trailing ROWS frame, "n − mean > k·σ" rewrites to
+    *   (n·c − Σx) > 0  ∧  (n·c − Σx)² > k²·(c·Σx² − (Σx)²)
+    * so no engine's sqrt/division enters the decision (k integral).
+    * Range contract: exact while (n·c)² < 2⁶³ — hourly per-type counts
+    * up to ~10⁸ at lookback 24; beyond that, pre-scale the counts.
+    *
+    * Shape: one partial-aggregable count shuffle (hour grain), then
+    * one bounded ROWS window per type over the already-reduced frame.
+    * Only full baselines emit (count-in-frame = lookback), so the
+    * first day of a stream never false-positives on a short window.
+    */
+  def rateAnomaly(events: DataFrame, typeCol: String, tsCol: String,
+                  lookback: Int = 24, sigmas: Int = 3): DataFrame = {
+    // date_trunc yields an instant TIMESTAMP even for NTZ input; cast
+    // back so the hour key stays wall-clock (session TZ is pinned UTC)
+    val hourly = events
+      .groupBy(col(typeCol).as("event_type"),
+        date_trunc("hour", col(tsCol)).cast("timestamp_ntz").as("h"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(-lookback, -1)
+    hourly
+      .withColumn("c", count(col("n")).over(w))
+      .withColumn("sx", sum(col("n")).over(w))
+      .withColumn("sxx", sum(col("n") * col("n")).over(w))
+      .filter(col("c") === lookback)
+      .select(col("event_type"), col("h"), col("n"),
+        graft.functions.Funcs.r4(col("sx") / col("c").cast("double")).as("baseline_mean"),
+        ((col("n") * col("c") - col("sx")) > 0 &&
+          (col("n") * col("c") - col("sx")) * (col("n") * col("c") - col("sx")) >
+            lit(sigmas * sigmas) * (col("c") * col("sxx") - col("sx") * col("sx")))
+          .as("is_spike"))
+  }
+
   /** Fixed-width histogram of `value` over `[lo, lo + step·nBuckets)`,
     * with underflow/overflow clamped into the edge buckets. The bucket
     * id is a single codegen'd expression evaluated map-side, so the

@@ -186,6 +186,33 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** Deterministic random projection (the Johnson–Lindenstrauss
+    * dimensionality-reduction step): project the quantized vector onto
+    * `outDim` md5-derived integer hyperplanes ([[planeComponents]] —
+    * the same plan-time literals the LSH family embeds). Each output
+    * component is an exact integer dot, so the reduced representation
+    * is bit-identical in any engine and safe to hash/join on — the
+    * cheap 4×-smaller surrogate a 100 TB pipeline stores next to (or
+    * instead of) raw embeddings for coarse filtering.
+    *
+    * Shape: one narrow map after the CPU-spreading repartition — no
+    * shuffle, no state; with the native `dot_q` registered each
+    * component is one compiled multiply-add loop.
+    * Magnitude contract: |component| ≤ dim · 10⁶ (plane) · max|v|·10⁶
+    * — for unit-normalized embeddings ~6×10¹³, five orders under 2⁶³.
+    */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+                    outDim: Int = 16, dim: Int = 64): DataFrame = {
+    val planes = planeComponents(outDim, dim)
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    df.select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .repartition(parts, col("id"))
+      .select(col("id"), quantize(col("__v")).as("vq"))
+      .select(col("id"), array((0 until outDim).map { p =>
+        dotQN(col("vq"), typedLit(planes.slice(p * dim, (p + 1) * dim)))
+      }: _*).as("proj"))
+  }
+
   /** The md5-seeded sampled coarse quantizer shared by [[ivfTopK]],
     * [[ivfAssign]] and [[semDedup]]: the `numCells` corpus vectors
     * with the smallest (hash60(id), id), quantized — a k-row driver

@@ -42,6 +42,24 @@ class RankingCohortsSpec extends AnyFunSpec {
     }
   }
 
+  describe("Profiling.rateAnomaly") {
+    it("flags a planted spike against a full 24h baseline and skips short baselines") {
+      // hours 0..23: 1 event each (baseline); hour 24: normal; hour 25: 5-event burst
+      val rows = (0 until 24).map(h => (f"2024-05-01 $h%02d:10:00", "t")) ++
+        Seq(("2024-05-02 00:10:00", "t")) ++
+        (1 to 5).map(m => (f"2024-05-02 01:0$m:00", "t"))
+      val ev = rows.toDF("ts_s", "event_type")
+        .withColumn("event_time", to_timestamp($"ts_s"))
+      val out = graft.operators.Profiling
+        .rateAnomaly(ev, "event_type", "event_time", lookback = 24, sigmas = 3)
+        .orderBy("h").collect()
+      // only the two post-baseline hours emit (c = 24 filter)
+      assert(out.length == 2)
+      assert(out(0).getAs[Long]("n") == 1 && !out(0).getAs[Boolean]("is_spike"))
+      assert(out(1).getAs[Long]("n") == 5 && out(1).getAs[Boolean]("is_spike"))
+    }
+  }
+
   describe("DailyAnalytics.pairCorrelation") {
     it("scores linear dependence at ±1.0 from integer sums") {
       val d = Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04")

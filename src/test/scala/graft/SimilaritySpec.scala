@@ -103,6 +103,21 @@ class SimilaritySpec extends AnyFunSpec {
     }
   }
 
+  describe("randomProject") {
+    it("is linear and exactly integer: proj(2v) = 2 * proj(v), proj(0) = 0") {
+      val v = Array.tabulate(64)(i => if (i % 2 == 0) 0.25f else -0.5f)
+      val df = Seq((1L, v), (2L, v.map(_ * 2)), (3L, Array.fill(64)(0.0f)))
+        .toDF("vec_id", "embedding")
+      val m = Similarity.randomProject(df, "vec_id", "embedding", outDim = 8)
+        .collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[scala.collection.Seq[Long]]("proj").toSeq)
+        .toMap
+      assert(m(1L).size == 8)
+      assert(m(2L) == m(1L).map(_ * 2))
+      assert(m(3L).forall(_ == 0L))
+    }
+  }
+
   describe("kmeansRefine") {
     it("iters=0 equals the seeded assignment; one round keeps a total in-range assignment") {
       val emb = Tables.embeddings(spark, dir)
