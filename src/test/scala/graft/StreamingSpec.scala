@@ -199,6 +199,30 @@ class StreamingSpec extends AnyFunSpec {
       }
     }
 
+    it("streaming corpus ingestion flags cross-batch near-dups exactly once") {
+      val dir = java.nio.file.Files.createTempDirectory("graft_corpus_stream").toString
+      val source = MemoryStream[(Long, String)](spark)
+      val docs = source.toDF().toDF("doc_id", "text")
+      val q = graft.streaming.CorpusStream.dedupIngest(docs, "doc_id", "text",
+        s"$dir/store", s"$dir/flags", s"$dir/ckpt").start()
+      try {
+        source.addData(
+          (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+          (2L, "completely different words about spark window functions and shuffles here"))
+        q.processAllAvailable()
+        source.addData(
+          (3L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+          (4L, "yet another unrelated document about batch pipelines and parquet files"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val pairs = spark.read.parquet(s"$dir/flags")
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      // batch 2 finds 3 ~ 1 across batches; nothing pairs within either batch
+      assert(pairs == Set((1L, 3L)))
+      // all four docs (signatures) accumulated in the store
+      assert(spark.read.parquet(s"$dir/store").select("doc_id").distinct().count() == 4)
+    }
+
     it("streaming dedup drops repeated (symbol, event_time) rows") {
       val source = MemoryStream[Tick](spark)
       val q = TickStream.dedupedTicks(source.toDF())
