@@ -902,6 +902,28 @@ object OracleSql {
          |WINDOW w AS (PARTITION BY symbol ORDER BY daily_return_pct)
          |ORDER BY symbol, trade_date""".stripMargin,
 
+    // Weighted hash sampling (mirrors Sampling.weightedByHash:
+    // keep iff hash60(id) mod maxWeight < weight, pure integers)
+    "q_weighted_sample" ->
+      s"""SELECT doc_id, n_chars FROM documents
+         |WHERE ${h60("CAST(doc_id AS VARCHAR)")} % 400 < LEAST(n_chars, 400)
+         |ORDER BY doc_id""".stripMargin,
+
+    // Per-source token-budget cap (mirrors Sampling.capPerKeyTokens:
+    // hash-ordered running sum, admit while cumsum − tokens < budget)
+    "q_token_budget" ->
+      s"""WITH ranked AS (
+         |  SELECT source, doc_id, n_chars,
+         |    CAST(SUM(n_chars) OVER (
+         |      PARTITION BY source
+         |      ORDER BY ${h60("CAST(doc_id AS VARCHAR)")}, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |  FROM documents
+         |)
+         |SELECT source, doc_id, n_chars, cum_tokens FROM ranked
+         |WHERE cum_tokens - n_chars < 5000
+         |ORDER BY source, doc_id""".stripMargin,
+
     // Deterministic random projection (mirrors Similarity.randomProject:
     // the same md5-derived plane literals, exact integer dots)
     "q_random_projection" -> {

@@ -373,6 +373,20 @@ object SparkEntry {
       .orderBy("symbol", "trade_date")
   }
 
+  /** Quality/length-weighted deterministic sampling: p = n_chars/400. */
+  private def qWeightedSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.weightedByHash(Tables.documents(s, dir), "doc_id",
+      col("n_chars"), maxWeight = 400L)
+      .select("doc_id", "n_chars")
+      .orderBy("doc_id")
+
+  /** Per-source token-budget cap — mixture control in token space. */
+  private def qTokenBudget(s: SparkSession, dir: String): DataFrame =
+    Sampling.capPerKeyTokens(Tables.documents(s, dir), "source", "doc_id",
+      "n_chars", budget = 5000L)
+      .select("source", "doc_id", "n_chars", "cum_tokens")
+      .orderBy("source", "doc_id")
+
   /** JL-style deterministic random projection of the embedding table. */
   private def qRandomProjection(s: SparkSession, dir: String): DataFrame =
     Similarity.randomProject(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -816,6 +830,8 @@ object SparkEntry {
     "q_percent_rank" -> (qPercentRank _),
     "q_random_projection" -> (qRandomProjection _),
     "q_rate_anomaly" -> (qRateAnomaly _),
+    "q_weighted_sample" -> (qWeightedSample _),
+    "q_token_budget" -> (qTokenBudget _),
     "q_dedup_groups" -> (qDedupGroups _),
     "q_dedup_groups_star" -> (qDedupGroupsStar _),
     "q_dedup_keep" -> (qDedupKeep _),

@@ -67,6 +67,49 @@ object Sampling {
     * rewrites to WindowGroupLimit — each map task keeps only its
     * per-key top `cap` BEFORE the shuffle, so a skewed key moves
     * O(cap × tasks) rows, not its full population. */
+  /** Deterministic WEIGHTED sampling: keep a row with probability
+    * weight/maxWeight, decided by the id hash — keep iff
+    * hash60(id) mod maxWeight < weight. Pure integer comparison (no
+    * RNG, no FP), so membership is reproducible in any engine, stable
+    * under corpus growth (a doc's fate depends only on its own id and
+    * weight), and composable with [[sampleByHash]]'s nested-fraction
+    * rule. The standard quality-/length-weighted downsampling step of
+    * a training-data mixture: weight = quality score, token count, or
+    * any integer utility.
+    *
+    * One narrow filter evaluated at the scan — no shuffle, no state.
+    */
+  def weightedByHash(df: DataFrame, idCol: String, weight: Column,
+                     maxWeight: Long): DataFrame = {
+    require(maxWeight > 0, s"weightedByHash: maxWeight must be positive, got $maxWeight")
+    df.filter(hash60(col(idCol).cast("string")) % maxWeight < least(weight, lit(maxWeight)))
+  }
+
+  /** Per-source TOKEN-BUDGET cap — the data-mixture primitive that
+    * bounds each source's contribution in token space, not row space
+    * (a source of long documents otherwise dominates a row cap). Rows
+    * are admitted in deterministic hash-of-id order until the running
+    * token total exceeds `budget`; the first over-budget doc is
+    * included (so a budget below one doc still admits something and
+    * every source's total lands in [budget, budget + maxDoc)).
+    *
+    * Scale shape: ONE exchange on the source key feeds a bounded-state
+    * running sum (same shape as every mart window); the admit decision
+    * is `cumsum − tokens < budget`, all integers. At 100 TB the
+    * per-source partition is the constraint — for a handful of huge
+    * sources, pre-aggregate per (source, hash-bucket) and cap buckets.
+    */
+  def capPerKeyTokens(df: DataFrame, keyCol: String, idCol: String,
+                      tokensCol: String, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0, s"capPerKeyTokens: budget must be positive, got $budget")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(hash60(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tokens", sum(col(tokensCol)).over(w))
+      .filter(col("cum_tokens") - col(tokensCol) < budget)
+  }
+
   def capPerKey(df: DataFrame, keyCol: String, idCol: String, cap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(cap > 0, s"capPerKey: cap must be positive, got $cap")

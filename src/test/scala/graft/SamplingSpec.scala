@@ -33,6 +33,37 @@ class SamplingSpec extends AnyFunSpec {
     }
   }
 
+  describe("weightedByHash") {
+    import graft.operators.Sampling
+    it("weight 0 keeps nothing, weight >= maxWeight keeps everything, and keeps nest monotonically") {
+      val none = Sampling.weightedByHash(docs, "doc_id", lit(0L), 100L)
+      assert(none.isEmpty)
+      val all = Sampling.weightedByHash(docs, "doc_id", lit(100L), 100L)
+      assert(all.count() == docs.count())
+      val w30 = Sampling.weightedByHash(docs, "doc_id", lit(30L), 100L)
+      val w60 = Sampling.weightedByHash(docs, "doc_id", lit(60L), 100L)
+      // higher weight strictly contains the lower-weight sample
+      assert(w30.exceptAll(w60).isEmpty)
+      val (n30, n60, n) = (w30.count(), w60.count(), docs.count())
+      assert(n30 < n60 && n60 < n)
+    }
+  }
+
+  describe("capPerKeyTokens") {
+    import graft.operators.Sampling
+    it("admits docs in hash order until the budget is crossed, first over-budget doc included") {
+      val d = Seq((1L, "s", 40L), (2L, "s", 40L), (3L, "s", 40L), (4L, "s", 40L))
+        .toDF("doc_id", "source", "n_tok")
+      val kept = Sampling.capPerKeyTokens(d, "source", "doc_id", "n_tok", budget = 100L)
+      // hash order admits docs while cumsum-before-doc < 100: exactly 3 of 4
+      assert(kept.count() == 3)
+      val total = kept.agg(sum($"n_tok")).as[Long].head()
+      assert(total >= 100L && total < 100L + 40L)
+      // tiny budget still admits the first doc per source
+      assert(Sampling.capPerKeyTokens(d, "source", "doc_id", "n_tok", 1L).count() == 1)
+    }
+  }
+
   describe("capPerKey") {
     it("keeps at most cap per key, deterministically, and caps nest") {
       val df = (1L to 100L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
