@@ -275,8 +275,16 @@ object DailyAnalytics {
       .select(col("symbol"), col("trade_date"),
         scaled(col("daily_return_pct"), 4).as("xs"))
       .localCheckpoint(true) // both join sides + nothing upstream re-scans
-    val j = r.select(col("symbol").as("s1"), col("trade_date"), col("xs").as("x"))
-      .join(r.select(col("symbol").as("s2"), col("trade_date"), col("xs").as("y")),
+    // explicit-count repartition on the join key: the symbol×day frame
+    // is tiny in BYTES, so AQE's byte-based coalescing would fold the
+    // join into a handful of partitions — but the join's OUTPUT is S²
+    // per date (CPU-bound fan-out), which needs every core. Same
+    // rationale as Dedup.spreadById; survives AQE (PlanSpec-pinned
+    // behavior for explicit counts).
+    val parts = returns.sparkSession.sessionState.conf.numShufflePartitions
+    val byDate = r.repartition(parts, col("trade_date"))
+    val j = byDate.select(col("symbol").as("s1"), col("trade_date"), col("xs").as("x"))
+      .join(byDate.select(col("symbol").as("s2"), col("trade_date"), col("xs").as("y")),
         "trade_date")
       .filter(col("s1") < col("s2"))
     val g = j.groupBy("s1", "s2").agg(

@@ -47,6 +47,18 @@ class PlanSpec extends AnyFunSpec {
       assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit, plan:\n$p")
     }
 
+    it("tf-idf joins the tiny df/N frames by broadcast — the token stream never sort-merges") {
+      val p = plan(SparkEntry.queries("q_tfidf_search")(spark, dir))
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+        s"expected broadcast joins, plan:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"unexpected SortMergeJoin, plan:\n$p")
+    }
+
+    it("cohort retention proves membership with a semi join (no payload forwarded)") {
+      val p = plan(SparkEntry.queries("q_retention")(spark, dir))
+      assert(p.contains("LeftSemi"), s"expected a LeftSemi join, plan:\n$p")
+    }
+
     it("SCD2 compaction feeds every window frame from ONE exchange — no groupBy re-shuffle") {
       val df = SparkEntry.queries("q_scd2")(spark, dir)
       val exchanges = "Exchange hashpartitioning".r.findAllIn(plan(df)).size
