@@ -41,6 +41,27 @@ class EmptyInputSpec extends AnyFunSpec {
       assert(Dedup.connectedComponentsStar(noPairs, "id1", "id2").isEmpty)
       assert(Dedup.dedupGroups(noPairs).isEmpty)
     }
+    it("round-6 operators degrade to empty output on empty input") {
+      assert(Dedup.fuzzyEditPairs(emptyDocs, "doc_id", "text").isEmpty)
+      assert(Dedup.containmentPairs(emptyDocs, "doc_id", "text").isEmpty)
+      assert(TextAnalysis.tfidfTopK(emptyDocs, "doc_id", "text", Seq("spark")).isEmpty)
+      assert(TextAnalysis.invertedIndex(emptyDocs, "doc_id", "text").isEmpty)
+      assert(DailyAnalytics.madOutliers(DailyAnalytics.dailyReturns(emptyBars)).isEmpty)
+      assert(DailyAnalytics.pairCorrelation(
+        DailyAnalytics.dailyReturns(emptyBars)).isEmpty)
+      val noEvents = Seq.empty[(Long, java.sql.Timestamp, String)]
+        .toDF("user_id", "event_time", "event_type")
+      assert(Cohorts.cohortRetention(noEvents, "user_id", "event_time").isEmpty)
+      assert(Profiling.rateAnomaly(noEvents, "event_type", "event_time").isEmpty)
+      assert(Ranking.topKPerGroup(emptyDocs, Seq("text"), Seq($"doc_id".asc), 3).isEmpty)
+      assert(Sampling.weightedByHash(emptyDocs, "doc_id", lit(1L), 10L).isEmpty)
+      assert(Sampling.capPerKeyTokens(
+        Seq.empty[(Long, String, Long)].toDF("doc_id", "source", "n_tok"),
+        "source", "doc_id", "n_tok", 100L).isEmpty)
+      val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+      assert(Similarity.randomProject(noVecs, "vec_id", "embedding").isEmpty)
+      assert(Similarity.kmeansRefine(noVecs, "vec_id", "embedding").isEmpty)
+    }
     it("calendar rolling, sector mart, image decode, z-order write on empty input") {
       assert(DailyAnalytics.calendarRolling(emptyBars).isEmpty)
       val dim = Seq.empty[(Long, String, String)].toDF("symbol", "sector", "market_cap_tier")

@@ -52,6 +52,34 @@ class PropertySpec extends AnyFunSpec {
     }
   }
 
+  describe("Packing.chunkWithOverlap: exact tiling of the token range") {
+    it("chunks start at 0, end at toks, stride uniformly, and cover every token") {
+      import org.apache.spark.sql.functions._
+      val cases = for {
+        toks <- Seq(1L, 5L, 63L, 64L, 65L, 200L)
+        (size, overlap) <- Seq((64, 0), (64, 16), (7, 3), (1, 0))
+      } yield (toks, size, overlap)
+      cases.foreach { case (toks, size, overlap) =>
+        val spans = graft.operators.Packing
+          .chunkWithOverlap(Seq((1L, toks)).toDF("doc_id", "n_tokens"),
+            "doc_id", "n_tokens", size, overlap)
+          .orderBy("chunk_idx")
+          .select("tok_start", "tok_end").as[(Long, Long)].collect()
+        assert(spans.head._1 == 0, s"case ($toks,$size,$overlap)")
+        assert(spans.last._2 == toks, s"case ($toks,$size,$overlap)")
+        // contiguous coverage: each next chunk starts inside (or at the
+        // end of) the previous one — no token falls in a gap
+        spans.sliding(2).foreach {
+          case Array((_, e1), (s2, _)) =>
+            assert(s2 <= e1 && s2 > e1 - size, s"case ($toks,$size,$overlap)")
+          case _ =>
+        }
+        // every chunk except possibly the last is full-size
+        spans.init.foreach { case (s, e) => assert(e - s == size) }
+      }
+    }
+  }
+
   describe("Funcs.scaled: exact fixed-decimal recovery") {
     it("recovers the integer cents of any 2-decimal value in the long-range contract") {
       val cents = sampled(Gen.choose(-1000000000000L, 1000000000000L), 1000)
