@@ -123,9 +123,13 @@ object TextAnalysis {
     */
   def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
                     sampleK: Int = 16): DataFrame = {
+    // stage the distinct (doc, token) grain once: it feeds both the df
+    // count and the rank-capped postings branch — without the snapshot
+    // each branch re-runs the scan + explode + distinct
     val ex = Dedup.spreadById(docs, idCol, textCol)
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
       .distinct()
+      .localCheckpoint(true)
     val dfreq = ex.groupBy("token").agg(count(lit(1)).as("df"))
     val capped = Ranking.topKPerGroup(ex, Seq("token"), Seq(col("doc_id").asc), sampleK)
     val postings = capped.groupBy("token")
