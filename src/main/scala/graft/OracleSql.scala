@@ -259,6 +259,52 @@ object OracleSql {
       |  SELECT vec_id, label, vq, list_sum(list_transform(vq, x -> x * x)) AS nq FROM ev
       |)""".stripMargin
 
+  /** One unrolled Lloyd round over the md5-seeded quantizer, up to the
+    * final assignment CTE `af(vec_id, cell)` — shared by
+    * q_kmeans_refine and q_cluster_terms. */
+  private lazy val kmeansRefineCtes: String =
+    s"""$embSql,
+       |seeds AS (
+       |  SELECT vec_id AS sid, vq AS sq FROM en
+       |  ORDER BY ${h60("CAST(vec_id AS VARCHAR)")}, vec_id
+       |  LIMIT 16
+       |),
+       |cent AS (
+       |  SELECT sq, CAST(ROW_NUMBER() OVER (ORDER BY sid) - 1 AS BIGINT) AS cell FROM seeds
+       |),
+       |d0 AS (
+       |  SELECT e.vec_id, e.vq, c.cell,
+       |    list_sum(list_transform(range(1, 65), k -> (e.vq[k] - c.sq[k]) * (e.vq[k] - c.sq[k]))) AS d
+       |  FROM en e CROSS JOIN cent c
+       |),
+       |a0 AS (
+       |  SELECT vec_id, vq, cell FROM (
+       |    SELECT vec_id, vq, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+       |    FROM d0
+       |  ) WHERE rn = 1
+       |),
+       |comp AS (
+       |  SELECT cell, k, CAST(FLOOR(SUM(vq[k]) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS m
+       |  FROM a0, (SELECT unnest(range(1, 65)) AS k) ks
+       |  GROUP BY cell, k
+       |),
+       |cent1 AS (SELECT cell, list(m ORDER BY k) AS sq FROM comp GROUP BY cell),
+       |centf AS (
+       |  SELECT c0.cell, COALESCE(c1.sq, c0.sq) AS sq
+       |  FROM cent c0 LEFT JOIN cent1 c1 ON c0.cell = c1.cell
+       |),
+       |d1 AS (
+       |  SELECT e.vec_id, cf.cell,
+       |    list_sum(list_transform(range(1, 65), k -> (e.vq[k] - cf.sq[k]) * (e.vq[k] - cf.sq[k]))) AS d
+       |  FROM en e CROSS JOIN centf cf
+       |),
+       |af AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+       |    FROM d1
+       |  ) WHERE rn = 1
+       |)""".stripMargin
+
   private def cosExpr(dot: String, n1: String, n2: String): String =
     rd(s"($dot) / NULLIF(sqrt($n1) * sqrt($n2), 0)", 6)
 
@@ -1232,50 +1278,31 @@ object OracleSql {
          |)
          |SELECT vec_id AS id, cell FROM ranked WHERE rn = 1 ORDER BY id""".stripMargin,
 
+    // Cluster labeling: top-5 tokens per refined k-means cell
+    // (mirrors TextAnalysis.clusterTopTerms over kmeansRefine)
+    "q_cluster_terms" ->
+      s"""WITH $kmeansRefineCtes,
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |ct AS (
+         |  SELECT a.cell, t.token, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM tok t JOIN af a ON t.doc_id = a.vec_id
+         |  GROUP BY a.cell, t.token
+         |),
+         |r AS (
+         |  SELECT cell, token, n,
+         |    ROW_NUMBER() OVER (PARTITION BY cell ORDER BY n DESC, token) AS rnk
+         |  FROM ct
+         |)
+         |SELECT cell, CAST(rnk AS INTEGER) AS rnk, token, n FROM r
+         |WHERE rnk <= 5 ORDER BY cell, rnk""".stripMargin,
+
     // One unrolled Lloyd round (mirrors Similarity.kmeansRefine,
     // iters=1): seed assignment → per-(cell, dim) integer mean with
     // FLOOR division (exact: quotients are >= 1/n from any integer
     // unless exactly integral) → empty cells keep the seed → reassign
     "q_kmeans_refine" ->
-      s"""WITH $embSql,
-         |seeds AS (
-         |  SELECT vec_id AS sid, vq AS sq FROM en
-         |  ORDER BY ${h60("CAST(vec_id AS VARCHAR)")}, vec_id
-         |  LIMIT 16
-         |),
-         |cent AS (
-         |  SELECT sq, CAST(ROW_NUMBER() OVER (ORDER BY sid) - 1 AS BIGINT) AS cell FROM seeds
-         |),
-         |d0 AS (
-         |  SELECT e.vec_id, e.vq, c.cell,
-         |    list_sum(list_transform(range(1, 65), k -> (e.vq[k] - c.sq[k]) * (e.vq[k] - c.sq[k]))) AS d
-         |  FROM en e CROSS JOIN cent c
-         |),
-         |a0 AS (
-         |  SELECT vec_id, vq, cell FROM (
-         |    SELECT vec_id, vq, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-         |    FROM d0
-         |  ) WHERE rn = 1
-         |),
-         |comp AS (
-         |  SELECT cell, k, CAST(FLOOR(SUM(vq[k]) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS m
-         |  FROM a0, (SELECT unnest(range(1, 65)) AS k) ks
-         |  GROUP BY cell, k
-         |),
-         |cent1 AS (SELECT cell, list(m ORDER BY k) AS sq FROM comp GROUP BY cell),
-         |centf AS (
-         |  SELECT c0.cell, COALESCE(c1.sq, c0.sq) AS sq
-         |  FROM cent c0 LEFT JOIN cent1 c1 ON c0.cell = c1.cell
-         |),
-         |d1 AS (
-         |  SELECT e.vec_id, cf.cell,
-         |    list_sum(list_transform(range(1, 65), k -> (e.vq[k] - cf.sq[k]) * (e.vq[k] - cf.sq[k]))) AS d
-         |  FROM en e CROSS JOIN centf cf
-         |)
-         |SELECT vec_id AS id, cell FROM (
-         |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-         |  FROM d1
-         |) WHERE rn = 1 ORDER BY id""".stripMargin,
+      s"""WITH $kmeansRefineCtes
+         |SELECT vec_id AS id, cell FROM af ORDER BY id""".stripMargin,
 
     // SemDedup end to end: cell assignment (as q_ivf_assign) →
     // within-cell pairwise cosine ≥ threshold → recursive-CTE

@@ -373,6 +373,16 @@ object SparkEntry {
       .orderBy("symbol", "trade_date")
   }
 
+  /** Composition: k-means cells over embeddings labeled by their top
+    * document terms (vec_id ≡ doc_id in the shared testdata). */
+  private def qClusterTerms(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.clusterTopTerms(
+      Tables.documents(s, dir), "doc_id", "text",
+      Similarity.kmeansRefine(Tables.embeddings(s, dir), "vec_id", "embedding",
+        numCells = 16, iters = 1),
+      assignIdCol = "id", k = 5)
+      .orderBy("cell", "rnk")
+
   /** Quality/length-weighted deterministic sampling: p = n_chars/400. */
   private def qWeightedSample(s: SparkSession, dir: String): DataFrame =
     Sampling.weightedByHash(Tables.documents(s, dir), "doc_id",
@@ -830,6 +840,7 @@ object SparkEntry {
     "q_percent_rank" -> (qPercentRank _),
     "q_random_projection" -> (qRandomProjection _),
     "q_rate_anomaly" -> (qRateAnomaly _),
+    "q_cluster_terms" -> (qClusterTerms _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_token_budget" -> (qTokenBudget _),
     "q_dedup_groups" -> (qDedupGroups _),

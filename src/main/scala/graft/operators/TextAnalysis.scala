@@ -137,6 +137,30 @@ object TextAnalysis {
     dfreq.join(postings, "token")
   }
 
+  /** Cluster labeling: the top-k most frequent tokens per embedding
+    * cluster — the human-readable summary that turns an opaque
+    * `(id, cell)` assignment ([[Similarity.kmeansRefine]] /
+    * [[Similarity.ivfAssign]]) into "what is this cluster about",
+    * and the standard first diagnostic after clustering a corpus.
+    *
+    * Scale shape: tokens join the (id, cell) assignment on id (the
+    * assignment is vectors-not-tokens sized; Spark picks broadcast vs
+    * shuffle by stats), counts reduce per (cell, token) with map-side
+    * combine, and the top-k runs as rank pushdown over the already
+    * tiny (cells × vocab) frame.
+    */
+  def clusterTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                      assign: DataFrame, assignIdCol: String = "id",
+                      k: Int = 5): DataFrame = {
+    val ex = Dedup.spreadById(docs, idCol, textCol)
+      .select(col(idCol).as("__did"), explode(tokens(col(textCol))).as("token"))
+    val cellTok = ex
+      .join(assign.select(col(assignIdCol).as("__did"), col("cell")), "__did")
+      .groupBy("cell", "token").agg(count(lit(1)).as("n"))
+    Ranking.topKPerGroup(cellTok, Seq("cell"), Seq(col("n").desc, col("token").asc), k)
+      .select("cell", "rnk", "token", "n")
+  }
+
   /** Token / lexical statistics: whitespace tokens plus the BPE-ish
     * regex subword count. */
   def tokenStats(df: DataFrame, textCol: String): DataFrame = {

@@ -65,6 +65,23 @@ class TextMultimodalSpec extends AnyFunSpec {
     }
   }
 
+  describe("clusterTopTerms") {
+    it("labels each cluster with its dominant vocabulary") {
+      val d = Seq(
+        (1L, "market stocks trading market stocks"),
+        (2L, "market trading stocks market"),
+        (3L, "recipes cooking baking recipes"),
+        (4L, "cooking recipes baking cooking"))
+        .toDF("doc_id", "text")
+      val assign = Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L)).toDF("id", "cell")
+      val top = TextAnalysis.clusterTopTerms(d, "doc_id", "text", assign, k = 1)
+        .collect().map(r => r.getAs[Long]("cell") -> r.getAs[String]("token")).toMap
+      assert(top(0L) == "market")
+      assert(top(1L) == "cooking" || top(1L) == "recipes") // 4-4 tie -> token order
+      assert(top(1L) == "cooking") // alphabetical tiebreak
+    }
+  }
+
   describe("repetitionSignals") {
     it("flags degenerate repetition and passes diverse text") {
       val d = Seq(
