@@ -698,6 +698,25 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Mergeable Count-Min frequency sketches: per-source sketches are
+    * collected as the MODEL (kilobytes × sources), merged, and read
+    * back for every language key — raw data touched once. Approximate
+    * ⇒ no DuckDB oracle (rows-only check, like q_approx_distinct);
+    * the accuracy and merge-linearity contracts live in SketchesSpec. */
+  private def qCmsFrequency(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val perSource = Sketches.cmsByGroup(docs, Seq("source"), "lang")
+    val sketches = perSource.select("cms").collect().map(_.getAs[Array[Byte]]("cms"))
+    val merged = Sketches.cmsMerge(sketches.toIndexedSeq)
+    val exact = docs.groupBy("lang").agg(count(lit(1)).as("exact_count"))
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("exact_count"))
+      .toMap
+    exact.keys.toSeq.sorted
+      .map(l => (l, Sketches.cmsEstimate(merged, l), exact(l)))
+      .toDF("lang", "cms_estimate", "exact_count")
+  }
+
   /** Gopher-style repetition signals over the corpus. */
   private def qRepetition(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionSignals(Tables.documents(s, dir), "doc_id", "text")
@@ -860,6 +879,7 @@ object SparkEntry {
     "q_source_profile" -> (qSourceProfile _),
     "q_scd2" -> (qScd2 _),
     "q_approx_distinct" -> (qApproxDistinct _),
+    "q_cms_frequency" -> (qCmsFrequency _),
     "q_skew_salted" -> (qSkewSalted _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "q_dedup_simhash" -> (qDedupSimhash _),

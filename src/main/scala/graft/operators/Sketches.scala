@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Mergeable approximate-distinct sketches (Apache DataSketches HLL,
@@ -32,6 +32,47 @@ object Sketches {
       .agg(count(lit(1)).as("n_rows"),
         hll_sketch_agg(col(valueCol), lit(lgK)).as("sketch"))
       .withColumn("approx_distinct", hll_sketch_estimate(col("sketch")))
+
+  /** One Count-Min frequency sketch per group — the mergeable
+    * POINT-FREQUENCY companion to the HLL distinct sketches: CMS
+    * answers "how often does key x appear" (over-estimate bounded by
+    * ε·N with probability 1−δ), HLL answers "how many distinct keys".
+    * Same 100 TB pattern: sketch at the fine grain in the one pass
+    * that touches raw data, merge upward in kilobytes. CMS is LINEAR
+    * (cells are counts), so merged-sketch estimates equal
+    * whole-data-sketch estimates exactly — asserted in SketchesSpec,
+    * not just cited.
+    *
+    * Output: groupCols*, n_rows, cms (binary, Spark's
+    * `count_min_sketch` format — fixed seed so sketches are mergeable
+    * and byte-deterministic). */
+  def cmsByGroup(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                 eps: Double = 0.001, confidence: Double = 0.99,
+                 seed: Int = 42): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        count_min_sketch(col(valueCol), lit(eps), lit(confidence), lit(seed))
+          .as("cms"))
+
+  /** Query a collected CMS binary for candidate string keys — the
+    * driver-side "model read" (sketches are the model: kilobytes,
+    * bounded by ε/δ, never by data). */
+  def cmsEstimate(cmsBytes: Array[Byte], key: String): Long =
+    org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(cmsBytes))
+      .estimateCount(key)
+
+  /** Merge CMS binaries (same eps/confidence/seed) into one. */
+  def cmsMerge(sketches: Seq[Array[Byte]]): Array[Byte] = {
+    require(sketches.nonEmpty, "cmsMerge: need at least one sketch")
+    val merged = sketches.map(b =>
+      org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(b)))
+      .reduce { (a, b) => a.mergeInPlace(b); a }
+    val out = new java.io.ByteArrayOutputStream()
+    merged.writeTo(out)
+    out.toByteArray
+  }
 
   /** Roll fine-grain sketches up to a coarser grain by HLL union —
     * O(groups × sketch bytes), no raw data touched. `allowDifferentLgK`

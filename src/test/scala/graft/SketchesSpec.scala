@@ -45,6 +45,35 @@ class SketchesSpec extends AnyFunSpec {
         .select("event_type", "approx_distinct")
       assert(run().exceptAll(run()).isEmpty)
     }
+    it("CMS: merged per-group sketches estimate exactly like one whole-data sketch (linearity)") {
+      val docs = Tables.documents(spark, dir)
+      val langs = docs.select("lang").distinct().as[String].collect().toSeq.sorted
+      val perSource = Sketches.cmsByGroup(docs, Seq("source"), "lang")
+        .select("cms").collect().map(_.getAs[Array[Byte]]("cms"))
+      val merged = Sketches.cmsMerge(perSource.toIndexedSeq)
+      val whole = Sketches.cmsByGroup(docs.withColumn("g", lit(1)), Seq("g"), "lang")
+        .select("cms").head().getAs[Array[Byte]]("cms")
+      langs.foreach { l =>
+        assert(Sketches.cmsEstimate(merged, l) == Sketches.cmsEstimate(whole, l),
+          s"linearity broken for '$l'")
+      }
+    }
+    it("CMS: estimates over-approximate exact counts within eps * N") {
+      val docs = Tables.documents(spark, dir)
+      val whole = Sketches.cmsByGroup(docs.withColumn("g", lit(1)), Seq("g"), "lang",
+          eps = 0.001, confidence = 0.99)
+        .select("cms").head().getAs[Array[Byte]]("cms")
+      val exact = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+        .as[(String, Long)].collect().toMap
+      val n = exact.values.sum
+      exact.foreach { case (l, c) =>
+        val e = Sketches.cmsEstimate(whole, l)
+        assert(e >= c, s"CMS must never under-count: $l est $e < exact $c")
+        assert(e <= c + math.max(1, (0.001 * n).ceil.toLong),
+          s"$l: est $e beyond eps*N of exact $c")
+      }
+    }
+
     it("rejects mixed-precision unions instead of silently degrading") {
       val a = Sketches.distinctSketchByGroup(
         Seq((1L, "x")).toDF("id", "k"), Seq("k"), "id", lgK = 12)
