@@ -411,6 +411,14 @@ object SparkEntry {
       .orderBy("event_type", "h")
   }
 
+  /** Strict sequential conversion funnel over the event stream. */
+  private def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    Cohorts.funnel(ev.withColumn("event_time", Adapters.eventTime(ev)),
+      "user_id", "event_type", "event_time", Seq("view", "click", "purchase"))
+      .orderBy("step")
+  }
+
   /** 7-day cohort retention over the event stream. */
   private def qRetention(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
@@ -855,6 +863,7 @@ object SparkEntry {
     "q_pair_correlation" -> (qPairCorrelation _),
     "q_topk_per_group" -> (qTopkPerGroup _),
     "q_retention" -> (qRetention _),
+    "q_funnel" -> (qFunnel _),
     "q_inverted_index" -> (qInvertedIndex _),
     "q_percent_rank" -> (qPercentRank _),
     "q_random_projection" -> (qRandomProjection _),

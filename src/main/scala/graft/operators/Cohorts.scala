@@ -21,6 +21,43 @@ object Cohorts {
     * (user_id, d) key so one co-partitioning serves join and counts.
     * All-integer counts + one final division — oracle-exact.
     */
+  /** Strict sequential funnel: step i counts a user only if their
+    * EARLIEST qualifying event strictly follows their step-(i−1) time
+    * — "viewed, then clicked after viewing, then purchased after
+    * clicking", the standard conversion-funnel semantics (min-after
+    * chaining, not mere per-step membership).
+    *
+    * Scale shape: the chain reduces to the per-user grain at every
+    * step (min-timestamp grouped agg, partial-aggregable), each stage
+    * is snapshotted once (it feeds both the next join and its own
+    * count), and each step's join filters the event stream to ONE
+    * event type map-side before shuffling. Steps are a driver-side
+    * loop over a handful of literals — jobs, not state.
+    *
+    * Output: (step, step_name, n_users) — one row per funnel step.
+    */
+  def funnel(events: DataFrame, userCol: String, typeCol: String, tsCol: String,
+             steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel: need at least one step")
+    val ev = events.select(col(userCol).as("user_id"), col(typeCol).as("et"),
+      col(tsCol).as("ts"))
+    var cur = ev.filter(col("et") === steps.head)
+      .groupBy("user_id").agg(min(col("ts")).as("t"))
+      .localCheckpoint(true)
+    val frames = scala.collection.mutable.ArrayBuffer(cur)
+    steps.tail.foreach { s =>
+      cur = cur.join(ev.filter(col("et") === s), "user_id")
+        .filter(col("ts") > col("t"))
+        .groupBy("user_id").agg(min(col("ts")).as("t"))
+        .localCheckpoint(true)
+      frames += cur
+    }
+    steps.zip(frames).zipWithIndex.map { case ((name, f), i) =>
+      f.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step"), lit(name).as("step_name"), col("n_users"))
+    }.reduce(_ unionByName _)
+  }
+
   def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
                       horizonDays: Int = 7): DataFrame = {
     val active = events

@@ -42,6 +42,31 @@ class RankingCohortsSpec extends AnyFunSpec {
     }
   }
 
+  describe("Cohorts.funnel") {
+    it("enforces strict min-after ordering, not mere membership") {
+      val ev = Seq(
+        // user 1: full ordered funnel
+        (1L, "view", "2024-01-01 10:00:00"),
+        (1L, "click", "2024-01-01 11:00:00"),
+        (1L, "purchase", "2024-01-01 12:00:00"),
+        // user 2: clicked BEFORE viewing -> stops at view
+        (2L, "click", "2024-01-01 09:00:00"),
+        (2L, "view", "2024-01-01 10:00:00"),
+        // user 3: view + click, no purchase
+        (3L, "view", "2024-01-01 08:00:00"),
+        (3L, "click", "2024-01-01 09:30:00"),
+        // user 4: purchase only -> never enters
+        (4L, "purchase", "2024-01-01 07:00:00"))
+        .toDF("user_id", "event_type", "ts_s")
+        .withColumn("event_time", to_timestamp($"ts_s"))
+      val out = Cohorts.funnel(ev, "user_id", "event_type", "event_time",
+        Seq("view", "click", "purchase"))
+        .orderBy("step")
+        .collect().map(r => (r.getAs[String]("step_name"), r.getAs[Long]("n_users")))
+      assert(out.toSeq == Seq(("view", 3L), ("click", 2L), ("purchase", 1L)))
+    }
+  }
+
   describe("Profiling.rateAnomaly") {
     it("flags a planted spike against a full 24h baseline and skips short baselines") {
       // hours 0..23: 1 event each (baseline); hour 24: normal; hour 25: 5-event burst
