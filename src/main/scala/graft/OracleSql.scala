@@ -566,6 +566,24 @@ object OracleSql {
          |SELECT o_orderkey, o_totalprice, o_orderstatus, version
          |FROM rn WHERE __rn = 1 ORDER BY o_orderkey""".stripMargin,
 
+    // MERGE with delete clause (mirrors MergeUpsert.mergeUpsertDelete:
+    // newest version per key wins, then winning tombstones drop out)
+    "q_merge_delete" ->
+      s"""WITH existing AS (
+         |  SELECT o_orderkey, o_totalprice, o_orderstatus,
+         |         CAST(1 AS BIGINT) AS version, false AS is_deleted
+         |  FROM orders
+         |),
+         |updates AS (
+         |  SELECT o_orderkey, ${rd("o_totalprice * 1.05", 2)} AS o_totalprice, o_orderstatus,
+         |         CAST(2 AS BIGINT) AS version, o_orderkey % 15 = 0 AS is_deleted
+         |  FROM orders WHERE o_orderkey % 3 = 0
+         |),
+         |unioned AS (SELECT * FROM existing UNION ALL SELECT * FROM updates),
+         |rn AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS __rn FROM unioned)
+         |SELECT o_orderkey, o_totalprice, o_orderstatus, version
+         |FROM rn WHERE __rn = 1 AND NOT is_deleted ORDER BY o_orderkey""".stripMargin,
+
     "q_revenue_by_nation" ->
       s"""SELECT r_name AS region, n_name AS nation,
          |  ${rd(s"SUM(${sc4("l_extendedprice * (1 - l_discount)")}) / 10000.0", 2)} AS revenue,

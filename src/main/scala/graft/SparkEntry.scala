@@ -166,6 +166,21 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  /** S6 + the delete clause: updates bump every third order, tombstone
+    * every fifteenth; a winning tombstone removes its key. */
+  private def qMergeDelete(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    val existing = base.withColumn("version", lit(1L))
+    val updates = base.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", r2(col("o_totalprice") * 1.05))
+      .withColumn("version", lit(2L))
+      .withColumn("is_deleted", col("o_orderkey") % 15 === 0)
+    MergeUpsert.mergeUpsertDelete(existing, updates, Seq("o_orderkey"),
+      "version", "is_deleted")
+      .orderBy("o_orderkey")
+  }
+
   /** Broadcast dim join (the reference's implied sp500_tickers join) +
     * exact fixed-point revenue rollup. */
   private def qRevenueByNation(s: SparkSession, dir: String): DataFrame =
@@ -851,6 +866,7 @@ object SparkEntry {
     "q_rollup_revenue" -> (qRollupRevenue _),
     "q_cube_revenue" -> (qCubeRevenue _),
     "q_merge_upsert" -> (qMergeUpsert _),
+    "q_merge_delete" -> (qMergeDelete _),
     "q_revenue_by_nation" -> (qRevenueByNation _),
     "q_scalar_funcs" -> (qScalarFuncs _),
     "q_dedup_exact" -> (qDedupExact _),

@@ -30,4 +30,26 @@ object MergeUpsert {
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
+
+  /** Full MERGE semantics including the delete clause:
+    *   WHEN MATCHED AND <deleteCol> THEN DELETE
+    *   WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED THEN INSERT
+    * Updates carry a boolean `deleteCol` marking tombstones (the CDC
+    * convention — deletes arrive as flagged rows, not absences).
+    * Implementation stays ONE shuffle on the merge key: union → keep
+    * newest version per key ([[mergeUpsert]]'s window) → drop rows
+    * whose WINNING version is a tombstone. A tombstone only deletes if
+    * it is the newest version — a late-arriving stale delete loses to
+    * a newer update, matching warehouse MERGE applied in version order.
+    */
+  def mergeUpsertDelete(existing: DataFrame, updates: DataFrame,
+                        keys: Seq[String], versionCol: String,
+                        deleteCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(versionCol).desc)
+    existing.withColumn(deleteCol, lit(false))
+      .unionByName(updates)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && !col(deleteCol))
+      .drop("__rn", deleteCol)
+  }
 }
