@@ -1226,6 +1226,32 @@ object OracleSql {
          |  ${rd(s"CAST(SUM(CASE WHEN l_linestatus = 'O' THEN ${sc("l_quantity", 2)} END) AS DOUBLE) / 1e2", 2)} AS qty_o
          |FROM lineitem GROUP BY l_returnflag ORDER BY return_flag""".stripMargin,
 
+    // UNPIVOT of the pivot output back to long form
+    "q_unpivot" ->
+      s"""SELECT return_flag, line_status, qty FROM (
+         |  SELECT l_returnflag AS return_flag,
+         |    ${rd(s"CAST(SUM(CASE WHEN l_linestatus = 'F' THEN ${sc("l_quantity", 2)} END) AS DOUBLE) / 1e2", 2)} AS qty_f,
+         |    ${rd(s"CAST(SUM(CASE WHEN l_linestatus = 'O' THEN ${sc("l_quantity", 2)} END) AS DOUBLE) / 1e2", 2)} AS qty_o
+         |  FROM lineitem GROUP BY l_returnflag
+         |) UNPIVOT (qty FOR line_status IN (qty_f, qty_o))
+         |ORDER BY return_flag, line_status""".stripMargin,
+
+    // FULL OUTER join across the two lanes' day grains
+    "q_full_outer" ->
+      s"""WITH ${graft.sources.Adapters.barsSql},
+         |bv AS (
+         |  SELECT trade_date, CAST(SUM(volume) AS BIGINT) AS bar_volume
+         |  FROM bars GROUP BY trade_date
+         |),
+         |tc AS (
+         |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS trade_date,
+         |    CAST(COUNT(*) AS BIGINT) AS n_ticks
+         |  FROM events GROUP BY 1
+         |)
+         |SELECT trade_date, bar_volume, n_ticks
+         |FROM bv FULL OUTER JOIN tc USING (trade_date)
+         |ORDER BY trade_date""".stripMargin,
+
     "q_sample_split" -> {
       val bucket = s"${h60("CAST(doc_id AS VARCHAR)")} % 10000"
       s"""SELECT doc_id, lang,

@@ -476,6 +476,26 @@ object SparkEntry {
         r2(col("O").cast("double") / 1e2).as("qty_o"))
       .orderBy("return_flag")
 
+  /** UNPIVOT (melt): the pivot's wide output back to long form — the
+    * wide→long reshaping half of the PIVOT surface. */
+  private def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    qPivot(s, dir)
+      .unpivot(Array(col("return_flag")), Array(col("qty_f"), col("qty_o")),
+        "line_status", "qty")
+      .orderBy("return_flag", "line_status")
+
+  /** FULL OUTER join: per-day bar volume vs per-day tick counts —
+    * days present in EITHER lane survive with nulls on the other. */
+  private def qFullOuter(s: SparkSession, dir: String): DataFrame = {
+    val barVol = Adapters.dailyBars(s, dir)
+      .groupBy("trade_date").agg(sum(col("volume")).as("bar_volume"))
+    val tickCnt = Adapters.ticks(s, dir)
+      .groupBy(to_date(col("event_time")).as("trade_date"))
+      .agg(count(lit(1)).as("n_ticks"))
+    barVol.join(tickCnt, Seq("trade_date"), "full_outer")
+      .orderBy("trade_date")
+  }
+
   /** Skew-safe two-stage salted aggregation, result-identical to the
     * plain grouped sum (the oracle IS the plain form). */
   private def qSkewSalted(s: SparkSession, dir: String): DataFrame =
@@ -897,6 +917,8 @@ object SparkEntry {
     "q_doc_packing" -> (qDocPacking _),
     "q_doc_chunks" -> (qDocChunks _),
     "q_pivot" -> (qPivot _),
+    "q_unpivot" -> (qUnpivot _),
+    "q_full_outer" -> (qFullOuter _),
     "q_token_rarity" -> (qTokenRarity _),
     "q_cross_doc_ngrams" -> (qCrossDocNgrams _),
     "q_dup_spans" -> (qDupSpans _),
