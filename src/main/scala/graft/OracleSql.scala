@@ -530,6 +530,36 @@ object OracleSql {
          |FROM g GROUP BY user_id, sid
          |ORDER BY user_id, session_start""".stripMargin,
 
+    // Dynamic-gap sessions (mirrors session_window with a Column gap:
+    // an event merges while it starts before the running max of
+    // previous event-ends; session end = max end of the chain)
+    "q_session_dynamic" ->
+      s"""WITH t AS (
+         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS et,
+         |    CAST(ts AS TIMESTAMP) +
+         |      CASE WHEN event_type = 'purchase' THEN INTERVAL 8 HOUR ELSE INTERVAL 2 HOUR END AS ei,
+         |    value
+         |  FROM events
+         |),
+         |s AS (
+         |  SELECT *, MAX(ei) OVER (PARTITION BY user_id ORDER BY et
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end
+         |  FROM t
+         |),
+         |b AS (
+         |  SELECT *, CASE WHEN prev_max_end IS NULL OR et >= prev_max_end THEN 1 ELSE 0 END AS brk
+         |  FROM s
+         |),
+         |g AS (
+         |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY et ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM b
+         |)
+         |SELECT user_id, MIN(et) AS session_start, MAX(ei) AS session_end,
+         |  COUNT(*) AS n_events,
+         |  ${rd(s"SUM(${sc("value", 2)}) / 100.0", 2)} AS value_sum
+         |FROM g GROUP BY user_id, sid
+         |ORDER BY user_id, session_start""".stripMargin,
+
     "q_rollup_revenue" ->
       s"""SELECT r_name AS region, n_name AS nation,
          |  ${rd(s"SUM(${sc4("l_extendedprice * (1 - l_discount)")}) / 10000.0", 2)} AS revenue,

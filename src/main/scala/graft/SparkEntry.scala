@@ -239,6 +239,25 @@ object SparkEntry {
       .orderBy("user_id", "session_start")
   }
 
+  /** Dynamic-gap sessions: each event extends its session by a gap
+    * that depends on the event itself (purchases hold sessions open
+    * 8 h, everything else 2 h) — `session_window` with a Column gap.
+    * The oracle mirrors the merge rule exactly: an event joins the
+    * session while it starts before the running max of previous
+    * event-ends; session end = max end of the merged chain. */
+  private def qSessionDynamic(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val gap = when(col("event_type") === "purchase", "8 hours").otherwise("2 hours")
+    ev.select(col("user_id"), col("event_type"),
+        Adapters.eventTime(ev).as("event_time"), col("value"))
+      .groupBy(col("user_id"), session_window(col("event_time"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        r2(sum(scaled(col("value"), 2)) / 1e2).as("value_sum"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("value_sum"))
+      .orderBy("user_id", "session_start")
+  }
+
   /** ROLLUP grouping sets over the broadcast dim hierarchy. */
   private def qRollupRevenue(s: SparkSession, dir: String): DataFrame =
     Enrichment.revenueRollup(s, dir)
@@ -883,6 +902,7 @@ object SparkEntry {
     "q_pricing_summary" -> (qPricingSummary _),
     "q_asof_join" -> (qAsOfJoin _),
     "q_session_windows" -> (qSessionWindows _),
+    "q_session_dynamic" -> (qSessionDynamic _),
     "q_rollup_revenue" -> (qRollupRevenue _),
     "q_cube_revenue" -> (qCubeRevenue _),
     "q_merge_upsert" -> (qMergeUpsert _),
