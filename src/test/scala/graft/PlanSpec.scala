@@ -59,6 +59,34 @@ class PlanSpec extends AnyFunSpec {
       assert(p.contains("LeftSemi"), s"expected a LeftSemi join, plan:\n$p")
     }
 
+    it("a selective shuffle join injects a runtime bloom filter on the fact side") {
+      // the 100 TB behavior this pins: when a dim side is filtered hard
+      // but too big to broadcast, Catalyst builds a bloom filter from it
+      // at runtime and pushes membership into the fact scan — rows that
+      // cannot join never leave the scan stage
+      import org.apache.spark.sql.functions._
+      val saved = Seq(
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+        .map(k => k -> util.Try(spark.conf.get(k)).toOption).toMap
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+        val li = graft.sources.Tables.lineitem(spark, dir)
+        val ord = graft.sources.Tables.orders(spark, dir)
+          .filter(col("o_totalprice") > 500000)
+        val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority").agg(sum("l_quantity"))
+        assert(j.queryExecution.optimizedPlan.toString.contains("bloom_filter"),
+          "expected a runtime bloom filter in the optimized plan")
+      } finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+
     it("SCD2 compaction feeds every window frame from ONE exchange — no groupBy re-shuffle") {
       val df = SparkEntry.queries("q_scd2")(spark, dir)
       val exchanges = "Exchange hashpartitioning".r.findAllIn(plan(df)).size
