@@ -927,6 +927,18 @@ object OracleSql {
          |FROM dev d JOIN mad md ON d.symbol = md.symbol
          |GROUP BY d.symbol ORDER BY d.symbol""".stripMargin,
 
+    // Incremental stats maintenance: the oracle is ONE pass over full
+    // history — equality proves the algebraic-merge law end to end
+    "q_incremental_stats" ->
+      s"""${dailyChain("bars")}
+         |SELECT symbol,
+         |  CAST(COUNT(*) AS BIGINT) AS n_days,
+         |  CAST(SUM(volume) AS BIGINT) AS total_volume,
+         |  MIN(low_price) AS min_low,
+         |  MAX(high_price) AS max_high,
+         |  ${rd(s"CAST(SUM(${sc("close_price", 2)}) AS DOUBLE) / COUNT(*) / 100.0", 4)} AS avg_close
+         |FROM bars GROUP BY symbol ORDER BY symbol""".stripMargin,
+
     // Pairwise Pearson correlation from exact integer sums (mirrors
     // DailyAnalytics.pairCorrelation; the >2^53 integer→double
     // conversions round identically in any IEEE engine)

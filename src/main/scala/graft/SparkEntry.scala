@@ -374,6 +374,18 @@ object SparkEntry {
       DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
       .orderBy("symbol")
 
+  /** Incremental mart maintenance: stats of two disjoint history
+    * slices MERGED, oracle = one pass over the full history — the
+    * algebraic-merge law as a correctness gate, not a comment. */
+  private def qIncrementalStats(s: SparkSession, dir: String): DataFrame = {
+    val bars = Adapters.dailyBars(s, dir)
+    val cutoff = lit("1995-01-01").cast("date")
+    val merged = DailyAnalytics.mergeSymbolStats(
+      DailyAnalytics.symbolStats(bars.filter(col("trade_date") < cutoff)),
+      DailyAnalytics.symbolStats(bars.filter(col("trade_date") >= cutoff)))
+    DailyAnalytics.symbolStatsView(merged).orderBy("symbol")
+  }
+
   /** Pairwise return-correlation matrix from exact integer sums. */
   private def qPairCorrelation(s: SparkSession, dir: String): DataFrame =
     DailyAnalytics.pairCorrelation(
@@ -917,6 +929,7 @@ object SparkEntry {
     "q_tfidf_search" -> (qTfidfSearch _),
     "q_outlier_mad" -> (qOutlierMad _),
     "q_pair_correlation" -> (qPairCorrelation _),
+    "q_incremental_stats" -> (qIncrementalStats _),
     "q_topk_per_group" -> (qTopkPerGroup _),
     "q_retention" -> (qRetention _),
     "q_funnel" -> (qFunnel _),

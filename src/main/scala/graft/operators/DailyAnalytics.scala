@@ -214,6 +214,42 @@ object DailyAnalytics {
     * symbol for the gainer / smaller for the loser — by ordering on
     * (return, symbol), skipping null returns like `max_by` does.
     */
+  /** Per-symbol lifetime stats as an ALGEBRAIC (mergeable) aggregate:
+    * every column is a sum/min/max/count over exact fixed-point longs,
+    * so stats of disjoint history slices MERGE into stats of the whole
+    * — the exact-arithmetic twin of the HLL sketch rollup
+    * ([[graft.operators.Sketches]]), and the contract that makes
+    * incremental mart maintenance possible: compute stats per new
+    * partition, merge with the stored frame, never rescan history.
+    * `avg_close` derives at READ time from the carried sums (derived
+    * ratios don't merge; their numerators and denominators do). */
+  def symbolStats(bars: DataFrame): DataFrame =
+    bars.groupBy("symbol").agg(
+      count(lit(1)).as("n_days"),
+      sum(col("volume")).as("total_volume"),
+      min(col("low_price")).as("min_low"),
+      max(col("high_price")).as("max_high"),
+      sum(scaled(col("close_price"), 2)).as("close_sum_s2"))
+
+  /** Merge [[symbolStats]] frames from disjoint slices — pure
+    * re-aggregation of the algebraic columns, O(symbols) per slice.
+    * `symbolStats(a ∪ b) == mergeSymbolStats(symbolStats(a),
+    * symbolStats(b))` exactly (integer arithmetic; tested and
+    * oracle-checked). */
+  def mergeSymbolStats(parts: DataFrame*): DataFrame =
+    parts.reduce(_ unionByName _).groupBy("symbol").agg(
+      sum(col("n_days")).as("n_days"),
+      sum(col("total_volume")).as("total_volume"),
+      min(col("min_low")).as("min_low"),
+      max(col("max_high")).as("max_high"),
+      sum(col("close_sum_s2")).as("close_sum_s2"))
+
+  /** Published view of [[symbolStats]]: derive the read-time ratio. */
+  def symbolStatsView(stats: DataFrame): DataFrame =
+    stats.select(col("symbol"), col("n_days"), col("total_volume"),
+      col("min_low"), col("max_high"),
+      r4(col("close_sum_s2") / col("n_days").cast("double") / 100.0).as("avg_close"))
+
   /** Robust per-symbol outlier audit over daily returns: flag days
     * where |return − median| > 4.4478 · MAD (the 3σ-equivalent
     * median-absolute-deviation rule, 3 × 1.4826 written as one decimal

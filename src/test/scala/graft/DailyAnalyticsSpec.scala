@@ -106,6 +106,20 @@ class DailyAnalyticsSpec extends AnyFunSpec {
     }
   }
 
+  describe("symbolStats merge law") {
+    it("stats of any split merge to the stats of the whole, exactly") {
+      val whole = DailyAnalytics.symbolStats(bars)
+      Seq("2024-01-02", "2024-01-04").foreach { cut =>
+        val c = to_date(lit(cut))
+        val merged = DailyAnalytics.mergeSymbolStats(
+          DailyAnalytics.symbolStats(bars.filter($"trade_date" < c)),
+          DailyAnalytics.symbolStats(bars.filter($"trade_date" >= c)))
+        assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty,
+          s"merge law broken at cut $cut")
+      }
+    }
+  }
+
   describe("madOutliers") {
     it("flags a planted spike and not the steady days") {
       // steady ±1% returns, one +40% print on day 10
