@@ -42,23 +42,29 @@ object CorpusStream {
         // store append without re-running the shingle/signature pass
         val fresh = Dedup.minhashSignatures(batch, idCol, textCol, n, numHashes)
           .localCheckpoint(true)
-        val store =
-          if (TickStream.tableExists(spark, storePath))
-            spark.read.parquet(storePath)
-              .filter(col("batch_id") =!= batchId)
-              .select(col(idCol), col("shingles"), col("sig"))
-          else fresh.limit(0)
-        val pairs = Dedup.minhashLshPairsIncremental(store, fresh, idCol,
-          numHashes, bands, threshold)
-          .localCheckpoint(true) // materialize BEFORE the store append below
-        pairs.withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id").parquet(flagsPath)
-        fresh.withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id").parquet(storePath)
+        // an empty signed batch (empty trigger, or every doc below the
+        // shingle size) must be a NO-OP: an empty partitioned write
+        // would create a schema-less store directory that poisons the
+        // next batch's read
+        if (!fresh.isEmpty) {
+          val store =
+            if (TickStream.tableExists(spark, storePath))
+              spark.read.parquet(storePath)
+                .filter(col("batch_id") =!= batchId)
+                .select(col(idCol), col("shingles"), col("sig"))
+            else fresh.limit(0)
+          val pairs = Dedup.minhashLshPairsIncremental(store, fresh, idCol,
+            numHashes, bands, threshold)
+            .localCheckpoint(true) // materialize BEFORE the store append below
+          pairs.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(flagsPath)
+          fresh.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(storePath)
+        }
         ()
       }
 }

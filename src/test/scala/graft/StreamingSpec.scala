@@ -223,6 +223,26 @@ class StreamingSpec extends AnyFunSpec {
       assert(spark.read.parquet(s"$dir/store").select("doc_id").distinct().count() == 4)
     }
 
+    it("a degenerate first batch (all docs below shingle size) doesn't poison the store") {
+      val dir = java.nio.file.Files.createTempDirectory("graft_corpus_degen").toString
+      val source = MemoryStream[(Long, String)](spark)
+      val docs = source.toDF().toDF("doc_id", "text")
+      val q = graft.streaming.CorpusStream.dedupIngest(docs, "doc_id", "text",
+        s"$dir/store", s"$dir/flags", s"$dir/ckpt").start()
+      try {
+        source.addData((1L, "too short")) // < 3 words -> zero shingles -> empty batch
+        q.processAllAvailable()
+        source.addData(
+          (2L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+          (3L, "the quick brown fox jumps over the lazy dog near the river bank today"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val pairs = spark.read.parquet(s"$dir/flags")
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      assert(pairs == Set((2L, 3L)))
+      assert(spark.read.parquet(s"$dir/store").select("doc_id").distinct().count() == 2)
+    }
+
     it("streaming dedup drops repeated (symbol, event_time) rows") {
       val source = MemoryStream[Tick](spark)
       val q = TickStream.dedupedTicks(source.toDF())
