@@ -997,6 +997,20 @@ object OracleSql {
         |FROM dfreq d JOIN postings p ON d.token = p.token
         |ORDER BY d.token""".stripMargin,
 
+    // One BPE training round (mirrors TextAnalysis.bpeMergeCandidates:
+    // positional adjacent-pair extraction, no self-join)
+    "q_bpe_merges" ->
+      """WITH t AS (
+        |  SELECT regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]') AS l
+        |  FROM documents
+        |),
+        |p AS (
+        |  SELECT unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS pair
+        |  FROM t
+        |)
+        |SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY pair
+        |ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
     // Rank-based window distribution functions (ties share a value, so
     // the result is order-independent)
     "q_percent_rank" ->

@@ -400,6 +400,10 @@ object SparkEntry {
         col("o_totalprice"))
       .orderBy("o_orderpriority", "rnk")
 
+  /** One BPE training round: top adjacent subword-pair merges. */
+  private def qBpeMerges(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeMergeCandidates(Tables.documents(s, dir), "text", k = 20)
+
   /** Inverted-index build: df + rank-capped sorted posting samples. */
   private def qInvertedIndex(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.invertedIndex(Tables.documents(s, dir), "doc_id", "text",
@@ -934,6 +938,7 @@ object SparkEntry {
     "q_retention" -> (qRetention _),
     "q_funnel" -> (qFunnel _),
     "q_inverted_index" -> (qInvertedIndex _),
+    "q_bpe_merges" -> (qBpeMerges _),
     "q_percent_rank" -> (qPercentRank _),
     "q_random_projection" -> (qRandomProjection _),
     "q_rate_anomaly" -> (qRateAnomaly _),

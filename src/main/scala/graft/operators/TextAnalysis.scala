@@ -137,6 +137,31 @@ object TextAnalysis {
     dfreq.join(postings, "token")
   }
 
+  /** One BPE training round: corpus-wide counts of ADJACENT subword
+    * pre-token pairs ([[subwordPattern]] granularity), ranked — the
+    * top pair is exactly the next merge a byte-pair encoder would
+    * learn. Iterating (merge, re-count) yields the full vocabulary;
+    * one round as a relational query is the distributed-counting
+    * heart of that loop, and the part that must scale to the corpus.
+    *
+    * Scale shape: pair extraction is a narrow array expression per
+    * row (no self-join — adjacency is positional within the doc),
+    * the count is one partial-aggregable shuffle (Zipfian pair key
+    * absorbed map-side like every token count here), and the top-k is
+    * a TakeOrdered. */
+  def bpeMergeCandidates(docs: DataFrame, textCol: String,
+                         k: Int = 20): DataFrame = {
+    val toks = regexp_extract_all(lower(col(textCol)), lit(subwordPattern), lit(0))
+    val pairs = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array())
+    docs.select(explode(pairs).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+  }
+
   /** Cluster labeling: the top-k most frequent tokens per embedding
     * cluster — the human-readable summary that turns an opaque
     * `(id, cell)` assignment ([[Similarity.kmeansRefine]] /

@@ -65,6 +65,18 @@ class TextMultimodalSpec extends AnyFunSpec {
     }
   }
 
+  describe("bpeMergeCandidates") {
+    it("ranks adjacent subword pairs; punctuation splits into its own token") {
+      val d = Seq((1L, "low low lowest"), (2L, "low low!")).toDF("doc_id", "text")
+      // pre-tokens: [low, low, lowest] and [low, low, !]
+      val out = TextAnalysis.bpeMergeCandidates(d, "text", k = 3)
+        .collect().map(r => (r.getAs[String]("pair"), r.getAs[Long]("n"))).toSeq
+      assert(out.head == (("low low", 2L))) // the merge BPE would learn next
+      assert(out.contains(("low !", 1L)))
+      assert(out.contains(("low lowest", 1L)))
+    }
+  }
+
   describe("clusterTopTerms") {
     it("labels each cluster with its dominant vocabulary") {
       val d = Seq(
