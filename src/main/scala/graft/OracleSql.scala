@@ -346,6 +346,37 @@ object OracleSql {
        |ORDER BY id1, id2""".stripMargin
   }
 
+  /** Shared SQL fragments mirroring TextAnalysis.languageId /
+    * qualityScore (stopword profiles embedded as literals, identical
+    * to the Scala constants) — used by q_text_analysis and
+    * q_corpus_filter. All fragments assume a CTE exposing
+    * `ts = string_split(text, ' ')` and the generated `h_<lang>`
+    * columns. */
+  private object TextSignalSql {
+    val sw: Map[String, Seq[String]] = Map(
+      "en" -> Seq("the", "a", "of", "and", "to", "is", "in"),
+      "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+      "es" -> Seq("el", "la", "los", "y", "es", "un"),
+      "fr" -> Seq("le", "la", "et", "les", "un", "est"),
+      "zh" -> Seq("de", "le", "shi", "he", "zai"))
+    val langs: Seq[String] = Seq("en", "de", "es", "fr", "zh")
+    def lst(ws: Seq[String]): String = ws.map("'" + _ + "'").mkString("[", ", ", "]")
+    val allSw: Seq[String] = langs.flatMap(sw).distinct
+    def hits(ws: Seq[String]): String =
+      s"len(list_filter(ts, t -> list_contains(${lst(ws)}, t)))"
+    val hitCols: String = langs.map(l => s"${hits(sw(l))} AS h_$l")
+      .mkString(",\n         |    ")
+    val pred: String = langs.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1)
+      val cond = (s"h_$l > 0" +: rest.map(r => s"h_$l >= h_$r")).mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }.mkString("\n         |         ")
+    val qualityExpr: String =
+      s"LEAST(CAST(len(ts) AS DOUBLE) / 100, 1.0) * 0.4" +
+        s" + len(list_distinct(ts)) / CAST(len(ts) AS DOUBLE) * 0.3" +
+        s" + LEAST(${hits(allSw)} / CAST(len(ts) AS DOUBLE) * 5, 1.0) * 0.3"
+  }
+
   // ── per-query statements ──────────────────────────────────────────
 
   val all: Map[String, String] = Map(
@@ -649,22 +680,7 @@ object OracleSql {
         |FROM rn WHERE __rn = 1 ORDER BY user_id, event_type""".stripMargin,
 
     "q_text_analysis" -> {
-      val sw = Map(
-        "en" -> Seq("the", "a", "of", "and", "to", "is", "in"),
-        "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
-        "es" -> Seq("el", "la", "los", "y", "es", "un"),
-        "fr" -> Seq("le", "la", "et", "les", "un", "est"),
-        "zh" -> Seq("de", "le", "shi", "he", "zai"))
-      val langs = Seq("en", "de", "es", "fr", "zh")
-      def lst(ws: Seq[String]) = ws.map("'" + _ + "'").mkString("[", ", ", "]")
-      val allSw = langs.flatMap(sw).distinct
-      def hits(ws: Seq[String]) = s"len(list_filter(ts, t -> list_contains(${lst(ws)}, t)))"
-      val hitCols = langs.map(l => s"${hits(sw(l))} AS h_$l").mkString(",\n         |    ")
-      val pred = langs.zipWithIndex.map { case (l, i) =>
-        val rest = langs.drop(i + 1)
-        val cond = (s"h_$l > 0" +: rest.map(r => s"h_$l >= h_$r")).mkString(" AND ")
-        s"WHEN $cond THEN '$l'"
-      }.mkString("\n         |         ")
+      import TextSignalSql._
       s"""WITH tok AS (
          |  SELECT doc_id, lang, text, string_split(text, ' ') AS ts FROM documents
          |),
@@ -682,13 +698,45 @@ object OracleSql {
          |  CASE $pred
          |       ELSE 'und' END AS lang_pred,
          |  h_en + h_de + h_es + h_fr + h_zh AS stopword_hits,
-         |  ${rd(s"LEAST(CAST(len(ts) AS DOUBLE) / 100, 1.0) * 0.4" +
-             s" + len(list_distinct(ts)) / CAST(len(ts) AS DOUBLE) * 0.3" +
-             s" + LEAST(${hits(allSw)} / CAST(len(ts) AS DOUBLE) * 5, 1.0) * 0.3", 4)} AS quality_score,
+         |  ${rd(qualityExpr, 4)} AS quality_score,
          |  list_min(list_transform(
          |    list_distinct(list_transform(range(1, len(ts) - 1), i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])),
          |    s -> ${h60("s")})) AS fingerprint
          |FROM st ORDER BY doc_id""".stripMargin
+    },
+
+    // The keep/drop decision (mirrors TextAnalysis.corpusFilter:
+    // first failing gate names the reason — too_short, lang_mismatch,
+    // low_quality, in that priority order)
+    "q_corpus_filter" -> {
+      import TextSignalSql._
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang, text, string_split(text, ' ') AS ts FROM documents
+         |),
+         |st AS (
+         |  SELECT doc_id, lang, ts,
+         |    $hitCols
+         |  FROM tok
+         |),
+         |sig AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(ts) AS INTEGER) AS n_tokens,
+         |    CASE $pred
+         |         ELSE 'und' END AS lang_pred,
+         |    ${rd(qualityExpr, 4)} AS quality_score
+         |  FROM st
+         |),
+         |dec AS (
+         |  SELECT doc_id, lang, lang_pred, n_tokens, quality_score,
+         |    CASE WHEN n_tokens < 10 THEN 'too_short'
+         |         WHEN lang_pred != lang THEN 'lang_mismatch'
+         |         WHEN quality_score < 0.5 THEN 'low_quality'
+         |         ELSE 'kept' END AS drop_reason
+         |  FROM sig
+         |)
+         |SELECT doc_id, lang, lang_pred, n_tokens, quality_score, drop_reason,
+         |  drop_reason = 'kept' AS keep
+         |FROM dec ORDER BY doc_id""".stripMargin
     },
 
     "q_dedup_minhash_lsh" ->

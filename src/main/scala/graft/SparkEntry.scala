@@ -312,6 +312,12 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** The corpus keep/drop decision composed from the cheap signals. */
+  private def qCorpusFilter(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.corpusFilter(Tables.documents(s, dir), "doc_id", "text", "lang",
+      minTokens = 10, minQuality = 0.5)
+      .orderBy("doc_id")
+
   /** Registered as the native-Expression variant: the MinHash
     * signature emits inside the scan stage (no explode / signature
     * shuffle). Agg-form equality is proven in DedupSpec; the oracle
@@ -927,6 +933,7 @@ object SparkEntry {
     "q_scalar_funcs" -> (qScalarFuncs _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_text_analysis" -> (qTextAnalysis _),
+    "q_corpus_filter" -> (qCorpusFilter _),
     "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
     "q_dedup_fuzzy" -> (qDedupFuzzy _),
     "q_containment" -> (qContainment _),

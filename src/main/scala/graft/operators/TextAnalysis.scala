@@ -228,6 +228,27 @@ object TextAnalysis {
       r4(least(n / 100, lit(1.0)) * 0.4 + diversity * 0.3 + least(stop * 5, lit(1.0)) * 0.3))
   }
 
+  /** The keep/drop decision a corpus pipeline publishes after the
+    * cheap signal pass: too-short, predicted-language mismatch, and
+    * low composite quality, in that priority order (the FIRST failing
+    * gate names the drop reason, the convention that makes funnel
+    * accounting of a cleaning pipeline additive). Pure composition of
+    * [[tokenStats]] + [[languageId]] + [[qualityScore]] — still one
+    * narrow codegen'd map over the corpus, no shuffle. */
+  def corpusFilter(docs: DataFrame, idCol: String, textCol: String,
+                   langCol: String, minTokens: Int = 10,
+                   minQuality: Double = 0.5): DataFrame = {
+    val scored = qualityScore(languageId(tokenStats(docs, textCol), textCol), textCol)
+    scored.select(col(idCol), col(langCol), col("lang_pred"),
+        col("n_tokens"), col("quality_score"))
+      .withColumn("drop_reason",
+        when(col("n_tokens") < minTokens, "too_short")
+          .when(col("lang_pred") =!= col(langCol), "lang_mismatch")
+          .when(col("quality_score") < minQuality, "low_quality")
+          .otherwise("kept"))
+      .withColumn("keep", col("drop_reason") === "kept")
+  }
+
   /** Shingle-hash fingerprint: min over word-3-gram hash60s — one long
     * per document (a 1-permutation MinHash; equal fingerprints ⇒ likely
     * near-duplicates). Null for texts shorter than `n` words. */
