@@ -1045,6 +1045,26 @@ object OracleSql {
         |FROM dfreq d JOIN postings p ON d.token = p.token
         |ORDER BY d.token""".stripMargin,
 
+    // Content-defined chunking (mirrors Packing.contentDefinedChunks:
+    // boundary after token i iff hash60(token) % divisor == 0; only
+    // the last span can be empty, so dropping it never re-indexes)
+    "q_content_chunks" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |b AS (
+         |  SELECT doc_id, w,
+         |    list_filter(range(1, len(w) + 1), i -> ${h60("w[i]")} % 8 = 0) AS bnd
+         |  FROM t
+         |),
+         |s AS (SELECT doc_id, w, [0] || bnd AS st, bnd || [len(w)] AS en FROM b),
+         |e AS (SELECT doc_id, w, st, en, unnest(range(1, len(st) + 1)) AS j FROM s)
+         |SELECT doc_id, CAST(j - 1 AS INTEGER) AS chunk_idx,
+         |  CAST(st[j] AS BIGINT) AS tok_start,
+         |  CAST(en[j] AS BIGINT) AS tok_end,
+         |  array_to_string(list_slice(w, st[j] + 1, en[j]), ' ') AS chunk_text
+         |FROM e
+         |WHERE st[j] < en[j]
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
     // One BPE training round (mirrors TextAnalysis.bpeMergeCandidates:
     // positional adjacent-pair extraction, no self-join)
     "q_bpe_merges" ->

@@ -410,6 +410,12 @@ object SparkEntry {
   private def qBpeMerges(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpeMergeCandidates(Tables.documents(s, dir), "text", k = 20)
 
+  /** Content-defined chunking: hash-derived boundaries (CDC). */
+  private def qContentChunks(s: SparkSession, dir: String): DataFrame =
+    Packing.contentDefinedChunks(Tables.documents(s, dir), "doc_id", "text",
+      divisor = 8)
+      .orderBy("doc_id", "chunk_idx")
+
   /** Inverted-index build: df + rank-capped sorted posting samples. */
   private def qInvertedIndex(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.invertedIndex(Tables.documents(s, dir), "doc_id", "text",
@@ -961,6 +967,7 @@ object SparkEntry {
     "q_decontamination_bloom" -> (qDecontaminationBloom _),
     "q_doc_packing" -> (qDocPacking _),
     "q_doc_chunks" -> (qDocChunks _),
+    "q_content_chunks" -> (qContentChunks _),
     "q_pivot" -> (qPivot _),
     "q_unpivot" -> (qUnpivot _),
     "q_full_outer" -> (qFullOuter _),

@@ -64,6 +64,42 @@ object Packing {
     * token count — a narrow map + explode with NO shuffle at any
     * scale; chunk counts are data-independent given n_tokens, so the
     * operator is trivially deterministic. */
+  /** CONTENT-DEFINED chunking: cut after every token whose hash ≡ 0
+    * (mod divisor) — boundaries derive from content, not position, so
+    * an insertion near the start perturbs only its neighboring chunks
+    * while every fixed-stride chunk after the edit would shift
+    * (the CDC property that makes chunk-level dedup survive edits;
+    * tested). Expected chunk length = divisor tokens.
+    *
+    * Pure array expressions evaluated once per row — boundary
+    * positions, span assembly, and chunk text all inside one narrow
+    * codegen'd projection + explode, no shuffle. Only the LAST span
+    * can be empty (boundary on the final token), so dropping empty
+    * spans never re-indexes earlier chunks.
+    *
+    * Output: (id, chunk_idx, tok_start, tok_end, chunk_text) with
+    * [tok_start, tok_end) 0-based token spans.
+    */
+  def contentDefinedChunks(docs: DataFrame, idCol: String, textCol: String,
+                           divisor: Int = 8): DataFrame = {
+    import graft.functions.Funcs.hash60
+    require(divisor > 0, s"contentDefinedChunks: divisor must be positive, got $divisor")
+    val w = split(col(textCol), " ")
+    val bnd = filter(sequence(lit(1), size(w)),
+      i => hash60(element_at(w, i)) % divisor === 0)
+    val starts = concat(array(lit(0)), bnd)
+    val ends = concat(bnd, array(size(w)))
+    val spans = filter(zip_with(starts, ends, (s, e) => struct(s.as("s"), e.as("e"))),
+      p => p.getField("s") < p.getField("e"))
+    docs.select(col(idCol), col(textCol).as("__t"), posexplode(spans).as(Seq("chunk_idx", "sp")))
+      .select(col(idCol), col("chunk_idx"),
+        col("sp.s").cast("long").as("tok_start"),
+        col("sp.e").cast("long").as("tok_end"),
+        concat_ws(" ",
+          slice(split(col("__t"), " "), col("sp.s") + 1, col("sp.e") - col("sp.s")))
+          .as("chunk_text"))
+  }
+
   def chunkWithOverlap(docs: DataFrame, idCol: String, tokensCol: String,
                        size: Int, overlap: Int): DataFrame = {
     require(size > 0 && overlap >= 0 && overlap < size,

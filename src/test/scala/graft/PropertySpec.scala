@@ -80,6 +80,27 @@ class PropertySpec extends AnyFunSpec {
     }
   }
 
+  describe("Packing.contentDefinedChunks: CDC edit-stability") {
+    it("a prefix insertion preserves every chunk after the first boundary") {
+      import org.apache.spark.sql.functions._
+      val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+      val edited = "INSERTED WORDS HERE " + base
+      val docs = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+      val chunks = graft.operators.Packing
+        .contentDefinedChunks(docs, "doc_id", "text", divisor = 4)
+        .select("doc_id", "chunk_text").as[(Long, String)].collect()
+      val c1 = chunks.filter(_._1 == 1L).map(_._2).toSeq
+      val c2 = chunks.filter(_._1 == 2L).map(_._2).toSeq
+      // all original chunks except the first (which absorbed the edit
+      // region up to the first content boundary) survive verbatim
+      assert(c1.size >= 3, s"fixture needs several chunks, got $c1")
+      assert(c1.tail.forall(c2.contains), s"lost chunks:\n$c1\nvs\n$c2")
+      // coverage: concatenating chunks reconstructs each doc
+      assert(c1.mkString(" ") == base && c2.mkString(" ") == edited)
+    }
+  }
+
   describe("Funcs.scaled: exact fixed-decimal recovery") {
     it("recovers the integer cents of any 2-decimal value in the long-range contract") {
       val cents = sampled(Gen.choose(-1000000000000L, 1000000000000L), 1000)
