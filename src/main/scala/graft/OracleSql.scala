@@ -1090,6 +1090,26 @@ object OracleSql {
          |WINDOW w AS (PARTITION BY symbol ORDER BY daily_return_pct)
          |ORDER BY symbol, trade_date""".stripMargin,
 
+    // Mixture resampling (mirrors Sampling.mixtureSample: threshold =
+    // floor(min(1, share * N / n_s) * 10000), identical IEEE op order)
+    "q_mixture_sample" ->
+      s"""WITH ns AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents
+         |  WHERE source IN ('src0', 'src1', 'src2') GROUP BY source
+         |),
+         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM ns),
+         |th AS (
+         |  SELECT source,
+         |    CAST(FLOOR(LEAST(1.0,
+         |      CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25 ELSE 0.25 END
+         |        * nt / n) * 10000) AS BIGINT) AS t
+         |  FROM ns CROSS JOIN tot
+         |)
+         |SELECT d.doc_id, d.source
+         |FROM documents d JOIN th ON d.source = th.source
+         |WHERE ${h60("CAST(doc_id AS VARCHAR)")} % 10000 < th.t
+         |ORDER BY d.doc_id""".stripMargin,
+
     // Weighted hash sampling (mirrors Sampling.weightedByHash:
     // keep iff hash60(id) mod maxWeight < weight, pure integers)
     "q_weighted_sample" ->

@@ -445,6 +445,14 @@ object SparkEntry {
       assignIdCol = "id", k = 5)
       .orderBy("cell", "rnk")
 
+  /** Mixture resample: src0 toward 50% (caps at keep-all), src1/src2
+    * toward 25% each; all other sources drop. */
+  private def qMixtureSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.mixtureSample(Tables.documents(s, dir), "doc_id", "source",
+      Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25))
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+
   /** Quality/length-weighted deterministic sampling: p = n_chars/400. */
   private def qWeightedSample(s: SparkSession, dir: String): DataFrame =
     Sampling.weightedByHash(Tables.documents(s, dir), "doc_id",
@@ -957,6 +965,7 @@ object SparkEntry {
     "q_rate_anomaly" -> (qRateAnomaly _),
     "q_cluster_terms" -> (qClusterTerms _),
     "q_weighted_sample" -> (qWeightedSample _),
+    "q_mixture_sample" -> (qMixtureSample _),
     "q_token_budget" -> (qTokenBudget _),
     "q_dedup_groups" -> (qDedupGroups _),
     "q_dedup_groups_star" -> (qDedupGroupsStar _),

@@ -67,6 +67,36 @@ object Sampling {
     * rewrites to WindowGroupLimit — each map task keeps only its
     * per-key top `cap` BEFORE the shuffle, so a skewed key moves
     * O(cap × tasks) rows, not its full population. */
+  /** Mixture RESAMPLING toward target source proportions: the keep
+    * fraction per source is min(1, share·N/n_s), so over-represented
+    * sources downsample toward their target share and already-scarce
+    * sources keep everything (a share can't manufacture data — the
+    * standard no-upsampling mixture semantics). Sources absent from
+    * `targetShares` drop entirely.
+    *
+    * Two-phase "train small, broadcast": per-source counts (a
+    * sources-sized collect) fix the thresholds in the DRIVER with one
+    * fixed double expression per source (mirrored verbatim by the
+    * oracle — both engines run the identical IEEE op sequence), then
+    * membership is [[hashBucket]] under a plan-time CASE — the same
+    * narrow, stable, nesting rule as every sampler here.
+    */
+  def mixtureSample(docs: DataFrame, idCol: String, sourceCol: String,
+                    targetShares: Map[String, Double],
+                    buckets: Int = 10000): DataFrame = {
+    require(targetShares.nonEmpty, "mixtureSample: need at least one target share")
+    val counts = docs
+      .filter(col(sourceCol).isInCollection(targetShares.keys.toSeq))
+      .groupBy(sourceCol).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    val cut = counts.foldLeft(lit(-1L)) { case (els, (s, n)) =>
+      val t = math.floor(math.min(1.0, targetShares(s) * total / n) * buckets).toLong
+      when(col(sourceCol) === s, lit(t)).otherwise(els)
+    }
+    docs.filter(hashBucket(col(idCol), buckets) < cut)
+  }
+
   /** Deterministic WEIGHTED sampling: keep a row with probability
     * weight/maxWeight, decided by the id hash — keep iff
     * hash60(id) mod maxWeight < weight. Pure integer comparison (no

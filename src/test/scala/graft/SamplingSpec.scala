@@ -49,6 +49,27 @@ class SamplingSpec extends AnyFunSpec {
     }
   }
 
+  describe("mixtureSample") {
+    import graft.operators.Sampling
+    it("downsamples over-represented sources, keeps scarce ones whole, drops untargeted") {
+      // a: 100 rows, b: 10 rows; target 50/50 over N=110
+      val d = ((1L to 100L).map(i => (i, "a")) ++ (201L to 210L).map(i => (i, "b")) ++
+        Seq((900L, "c")))
+        .toDF("doc_id", "source")
+      val out = Sampling.mixtureSample(d, "doc_id", "source",
+        Map("a" -> 0.5, "b" -> 0.5))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val bySrc = out.groupBy(_._2).view.mapValues(_.length).toMap
+      assert(!bySrc.contains("c")) // untargeted source drops
+      assert(bySrc("b") == 10)     // share wants 55 of 10 -> capped, keep all
+      // a: fraction 0.55 -> roughly half of 100 kept, deterministic
+      val again = Sampling.mixtureSample(d, "doc_id", "source",
+        Map("a" -> 0.5, "b" -> 0.5)).collect().map(r => r.getLong(0)).toSet
+      assert(out.map(_._1).toSet == again)
+      assert(bySrc("a") > 30 && bySrc("a") < 80)
+    }
+  }
+
   describe("capPerKeyTokens") {
     import graft.operators.Sampling
     it("admits docs in hash order until the budget is crossed, first over-budget doc included") {
