@@ -32,6 +32,27 @@ class PipelinesSpec extends AnyFunSpec {
     }
   }
 
+  describe("schema evolution across table partitions") {
+    it("mergeSchema reads old partitions (missing a column) as nulls, not errors") {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+      // v1 files predate the quality_score column
+      Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+        .write.parquet(s"$dir/batch=1")
+      Seq((3L, "c", 0.9)).toDF("doc_id", "text", "quality_score")
+        .write.parquet(s"$dir/batch=2")
+      val all = spark.read.option("mergeSchema", "true").parquet(dir)
+      assert(all.columns.toSet == Set("doc_id", "text", "quality_score", "batch"))
+      val rows = all.select("doc_id", "quality_score")
+        .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      assert(rows(1L).isEmpty && rows(2L).isEmpty) // old rows surface as null
+      assert(rows(3L).contains(0.9))
+      // and the evolved column still filters/aggregates fine
+      assert(all.filter(col("quality_score").isNotNull).count() == 1)
+    }
+  }
+
   describe("Pipelines.TransformPipeline") {
     it("builds both marts and passes the freshness + invariants gates end-to-end") {
       import org.apache.spark.sql.functions._

@@ -65,6 +65,25 @@ class TextMultimodalSpec extends AnyFunSpec {
     }
   }
 
+  describe("corpusFilter") {
+    it("names the FIRST failing gate: too_short beats lang_mismatch beats low_quality") {
+      val d = Seq(
+        (1L, "en", "the cat and the dog sat of the mat in a box today again"), // kept
+        (2L, "de", "kurz"),                                   // short AND lang-mismatched -> too_short
+        (3L, "de", "the cat and the dog sat of the mat in a box today again"), // lang_mismatch
+        (4L, "en", "x y z q w e r t y u i o p a s"))          // long enough, en-undetected
+        .toDF("doc_id", "lang", "text")
+      val out = graft.operators.TextAnalysis
+        .corpusFilter(d, "doc_id", "text", "lang", minTokens = 10, minQuality = 0.3)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[String]("drop_reason"), r.getAs[Boolean]("keep"))).toMap
+      assert(out(1L) == (("kept", true)))
+      assert(out(2L) == (("too_short", false)))
+      assert(out(3L) == (("lang_mismatch", false)))
+      assert(out(4L)._1 == "lang_mismatch") // 'und' != 'en'
+    }
+  }
+
   describe("bpeMergeCandidates") {
     it("ranks adjacent subword pairs; punctuation splits into its own token") {
       val d = Seq((1L, "low low lowest"), (2L, "low low!")).toDF("doc_id", "text")
