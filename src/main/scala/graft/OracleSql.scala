@@ -987,6 +987,38 @@ object OracleSql {
          |  ${rd(s"CAST(SUM(${sc("close_price", 2)}) AS DOUBLE) / COUNT(*) / 100.0", 4)} AS avg_close
          |FROM bars GROUP BY symbol ORDER BY symbol""".stripMargin,
 
+    // Winsorization (mirrors DailyAnalytics.winsorizeReturns: exact
+    // percentiles over scale-4 longs, greatest/least clamp)
+    "q_winsorize" ->
+      s"""${dailyChain("returns")},
+         |r AS (
+         |  SELECT symbol, trade_date, ${sc4("daily_return_pct")} AS xs
+         |  FROM returns WHERE daily_return_pct IS NOT NULL
+         |),
+         |b AS (
+         |  SELECT symbol, quantile_cont(xs, 0.01) AS lo_s, quantile_cont(xs, 0.99) AS hi_s
+         |  FROM r GROUP BY symbol
+         |)
+         |SELECT r.symbol, r.trade_date,
+         |  ${rd("xs / 10000.0", 4)} AS return_pct,
+         |  ${rd("GREATEST(LEAST(CAST(xs AS DOUBLE), hi_s), lo_s) / 10000.0", 4)} AS return_winsorized,
+         |  (xs < lo_s OR xs > hi_s) AS clamped
+         |FROM r JOIN b ON r.symbol = b.symbol
+         |ORDER BY r.symbol, r.trade_date""".stripMargin,
+
+    // Missing-day audit (mirrors DailyAnalytics.tradingGaps)
+    "q_trading_gaps" ->
+      s"""${dailyChain("bars")},
+         |g AS (
+         |  SELECT symbol, LAG(trade_date) OVER (PARTITION BY symbol ORDER BY trade_date) AS prev_date,
+         |    trade_date
+         |  FROM bars
+         |)
+         |SELECT symbol, prev_date, trade_date,
+         |  CAST(trade_date - prev_date AS INTEGER) AS gap_days
+         |FROM g WHERE trade_date - prev_date > 1
+         |ORDER BY symbol, trade_date""".stripMargin,
+
     // Pairwise Pearson correlation from exact integer sums (mirrors
     // DailyAnalytics.pairCorrelation; the >2^53 integer→double
     // conversions round identically in any IEEE engine)

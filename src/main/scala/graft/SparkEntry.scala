@@ -392,6 +392,17 @@ object SparkEntry {
     DailyAnalytics.symbolStatsView(merged).orderBy("symbol")
   }
 
+  /** Winsorized returns: percentile clamping per symbol. */
+  private def qWinsorize(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.winsorizeReturns(
+      DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+      .orderBy("symbol", "trade_date")
+
+  /** Missing-day audit over the daily lane. */
+  private def qTradingGaps(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.tradingGaps(Adapters.dailyBars(s, dir), maxGapDays = 1)
+      .orderBy("symbol", "trade_date")
+
   /** Pairwise return-correlation matrix from exact integer sums. */
   private def qPairCorrelation(s: SparkSession, dir: String): DataFrame =
     DailyAnalytics.pairCorrelation(
@@ -953,6 +964,8 @@ object SparkEntry {
     "q_containment" -> (qContainment _),
     "q_tfidf_search" -> (qTfidfSearch _),
     "q_outlier_mad" -> (qOutlierMad _),
+    "q_winsorize" -> (qWinsorize _),
+    "q_trading_gaps" -> (qTradingGaps _),
     "q_pair_correlation" -> (qPairCorrelation _),
     "q_incremental_stats" -> (qIncrementalStats _),
     "q_topk_per_group" -> (qTopkPerGroup _),

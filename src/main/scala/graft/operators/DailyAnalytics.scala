@@ -250,6 +250,42 @@ object DailyAnalytics {
       col("min_low"), col("max_high"),
       r4(col("close_sum_s2") / col("n_days").cast("double") / 100.0).as("avg_close"))
 
+  /** Winsorization: clamp daily returns into the per-symbol
+    * [pLo, pHi] exact-percentile band — the robust-stats companion to
+    * [[madOutliers]] that REPAIRS instead of flags (bad prints stop
+    * dragging rolling stats without deleting the day). Percentiles
+    * interpolate over the exact scale-4 longs (the portable form
+    * q_quantiles proves against DuckDB), and the clamp is a pure
+    * greatest/least tree. One grouped percentile pass + a broadcast
+    * join of the universe-sized bounds frame. */
+  def winsorizeReturns(returns: DataFrame, pLo: Double = 0.01,
+                       pHi: Double = 0.99): DataFrame = {
+    val r = returns.filter(col("daily_return_pct").isNotNull)
+      .select(col("symbol"), col("trade_date"),
+        scaled(col("daily_return_pct"), 4).as("xs"))
+    val bounds = r.groupBy("symbol").agg(
+      percentile(col("xs"), lit(pLo)).as("lo_s"),
+      percentile(col("xs"), lit(pHi)).as("hi_s"))
+    r.join(broadcast(bounds), "symbol")
+      .select(col("symbol"), col("trade_date"),
+        r4(col("xs") / 10000.0).as("return_pct"),
+        r4(greatest(least(col("xs").cast("double"), col("hi_s")), col("lo_s")) / 10000.0)
+          .as("return_winsorized"),
+        (col("xs") < col("lo_s") || col("xs") > col("hi_s")).as("clamped"))
+  }
+
+  /** Calendar-gap report: consecutive bars further apart than
+    * `maxGapDays` — the missing-data audit a daily feed needs before
+    * ROWS-frame windows silently treat a 2-week hole as adjacent days.
+    * One lag over the shared symbol exchange. */
+  def tradingGaps(bars: DataFrame, maxGapDays: Int = 1): DataFrame = {
+    val prev = lag(col("trade_date"), 1).over(bySymbol)
+    bars.select(col("symbol"), col("trade_date"), prev.as("prev_date"))
+      .withColumn("gap_days", datediff(col("trade_date"), col("prev_date")))
+      .filter(col("gap_days") > maxGapDays)
+      .select("symbol", "prev_date", "trade_date", "gap_days")
+  }
+
   /** Robust per-symbol outlier audit over daily returns: flag days
     * where |return − median| > 4.4478 · MAD (the 3σ-equivalent
     * median-absolute-deviation rule, 3 × 1.4826 written as one decimal
