@@ -84,19 +84,26 @@ object Packing {
                            divisor: Int = 8): DataFrame = {
     import graft.functions.Funcs.hash60
     require(divisor > 0, s"contentDefinedChunks: divisor must be positive, got $divisor")
-    val w = split(col(textCol), " ")
+    // spread first (single-row-group scans would run the md5-per-token
+    // lambda on one task), and tokenize ONCE into a carried array
+    // column — the Generate stage forwards it, so the chunk text
+    // slices the already-split array instead of re-splitting the
+    // document per emitted chunk
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val w = col("__w")
     val bnd = filter(sequence(lit(1), size(w)),
       i => hash60(element_at(w, i)) % divisor === 0)
     val starts = concat(array(lit(0)), bnd)
     val ends = concat(bnd, array(size(w)))
     val spans = filter(zip_with(starts, ends, (s, e) => struct(s.as("s"), e.as("e"))),
       p => p.getField("s") < p.getField("e"))
-    docs.select(col(idCol), col(textCol).as("__t"), posexplode(spans).as(Seq("chunk_idx", "sp")))
+    docs.select(col(idCol), col(textCol)).repartition(parts, col(idCol))
+      .select(col(idCol), split(col(textCol), " ").as("__w"))
+      .select(col(idCol), w, posexplode(spans).as(Seq("chunk_idx", "sp")))
       .select(col(idCol), col("chunk_idx"),
         col("sp.s").cast("long").as("tok_start"),
         col("sp.e").cast("long").as("tok_end"),
-        concat_ws(" ",
-          slice(split(col("__t"), " "), col("sp.s") + 1, col("sp.e") - col("sp.s")))
+        concat_ws(" ", slice(w, col("sp.s") + 1, col("sp.e") - col("sp.s")))
           .as("chunk_text"))
   }
 

@@ -151,12 +151,20 @@ object TextAnalysis {
     * a TakeOrdered. */
   def bpeMergeCandidates(docs: DataFrame, textCol: String,
                          k: Int = 20): DataFrame = {
+    // spread first: the regex + pair lambdas are CPU-bound and a
+    // single-row-group scan would otherwise run them on one task
+    // (same rationale as Dedup.spreadById); adjacency via zip_with of
+    // the token array against its own shift — no per-index element_at
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
     val toks = regexp_extract_all(lower(col(textCol)), lit(subwordPattern), lit(0))
-    val pairs = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-      .otherwise(array())
-    docs.select(explode(pairs).as("pair"))
+    val pairs = zip_with(
+      slice(col("__toks"), lit(1), size(col("__toks")) - 1),
+      slice(col("__toks"), lit(2), size(col("__toks")) - 1),
+      (a, b) => concat_ws(" ", a, b))
+    docs.select(col(textCol)).repartition(parts)
+      .select(toks.as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+      .select(explode(pairs).as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair"))
       .limit(k)
