@@ -20,9 +20,14 @@ import graft.functions.Funcs._
   */
 object Similarity {
 
-  /** Quantized vector (array<long>) at 10^scale. */
+  /** Quantized vector (array<long>) at 10^scale. Native
+    * `quantize_vec` ([[graft.plans.QuantizeVec]]) when registered —
+    * the entry ramp of every similarity path runs compiled instead of
+    * as an interpreted transform; lambda fallback value-identical
+    * (tested). */
   def quantize(vec: Column, scale: Int = 6): Column =
-    transform(vec, x => floor(x.cast("double") * math.pow(10, scale) + 0.5).cast("long"))
+    if (natFn("quantize_vec")) call_function("quantize_vec", vec, lit(scale))
+    else transform(vec, x => floor(x.cast("double") * math.pow(10, scale) + 0.5).cast("long"))
 
   /** Exact integer squared norm of a quantized vector. */
   def normSq(vecQ: Column): Column =

@@ -61,6 +61,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         DotQ(c.head, c(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("quantize_vec"),
+      new ExpressionInfo(classOf[QuantizeVec].getName, "quantize_vec"),
+      (children: Seq[Expression]) => {
+        val c = arity("quantize_vec", children, 2, 2)
+        QuantizeVec(c.head, c(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("nearest_cells"),
       new ExpressionInfo(classOf[NearestCells].getName, "nearest_cells"),
       (children: Seq[Expression]) => {

@@ -103,6 +103,17 @@ class SimilaritySpec extends AnyFunSpec {
     }
   }
 
+  describe("quantize_vec native expression") {
+    it("equals the lambda form element for element, negatives and odd halves included") {
+      val vals = Array(0.25f, -0.5f, 0.1234565f, -0.9999995f, 1.5e-7f, 0f, -0f, 3.2f)
+      val df = Seq((1L, vals ++ Array.fill(56)(0.7071f))).toDF("vec_id", "embedding")
+      val native = df.select(call_function("quantize_vec", $"embedding", lit(6)).as("q"))
+      val lambda = df.select(
+        transform($"embedding", x => floor(x.cast("double") * 1e6 + 0.5).cast("long")).as("q"))
+      assert(native.exceptAll(lambda).isEmpty && lambda.exceptAll(native).isEmpty)
+    }
+  }
+
   describe("randomProject") {
     it("is linear and exactly integer: proj(2v) = 2 * proj(v), proj(0) = 0") {
       val v = Array.tabulate(64)(i => if (i % 2 == 0) 0.25f else -0.5f)
