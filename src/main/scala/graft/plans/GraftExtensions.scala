@@ -8,11 +8,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`
   * or `.withExtensions(new GraftExtensions)`.
   *
-  * Registers the custom native expressions (currently
-  * [[RollingHash]]). The reference's own operator surface needs no
-  * custom Catalyst rules/strategies (SURVEY §4 conclusion) — this hook
-  * exists for the scale-path primitives that built-ins can't express
-  * without blowing up row counts.
+  * Registers the custom native expressions: [[RollingHash]],
+  * [[MinHashSig]], [[SimHashSig]], [[WordShingles]], [[HyperplaneSig]],
+  * [[DotQ]], [[QuantizeVec]], [[NearestCells]], plus Spark's own bloom
+  * aggregate/probe exposed as functions. The reference's own operator
+  * surface needs no custom Catalyst rules/strategies (SURVEY §4
+  * conclusion) — this hook exists for the scale-path primitives that
+  * built-ins can't express without interpreted lambdas or blown-up
+  * row counts.
   *
   * Builders validate like Spark's own registry entries: wrong arity
   * and non-literal config arguments raise an `AnalysisException` with
