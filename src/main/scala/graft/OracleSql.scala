@@ -1228,6 +1228,36 @@ object OracleSql {
         |  SELECT CAST(3 AS INTEGER), 'purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
         |) ORDER BY step""".stripMargin,
 
+    // Funnel with a 48h conversion window per step (mirrors
+    // Cohorts.funnelWithin: min-after AND within-gap chaining)
+    "q_funnel_windowed" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type AS et, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |),
+        |s1 AS (
+        |  SELECT user_id, MIN(ts) AS t FROM ev WHERE et = 'view' GROUP BY user_id
+        |),
+        |s2 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t
+        |  FROM ev e JOIN s1 ON e.user_id = s1.user_id
+        |    AND e.ts > s1.t AND e.ts <= s1.t + INTERVAL 48 HOUR
+        |  WHERE e.et = 'click' GROUP BY e.user_id
+        |),
+        |s3 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t
+        |  FROM ev e JOIN s2 ON e.user_id = s2.user_id
+        |    AND e.ts > s2.t AND e.ts <= s2.t + INTERVAL 48 HOUR
+        |  WHERE e.et = 'purchase' GROUP BY e.user_id
+        |)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS INTEGER) AS step, 'view' AS step_name,
+        |    CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+        |  UNION ALL
+        |  SELECT CAST(2 AS INTEGER), 'click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+        |  UNION ALL
+        |  SELECT CAST(3 AS INTEGER), 'purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+        |) ORDER BY step""".stripMargin,
+
     // 7-day cohort retention (mirrors Cohorts.cohortRetention: distinct
     // user-day grain, semi join on the shifted day, integer counts)
     "q_retention" ->

@@ -500,6 +500,15 @@ object SparkEntry {
       .orderBy("step")
   }
 
+  /** The funnel with a 48 h conversion window per step. */
+  private def qFunnelWindowed(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    Cohorts.funnelWithin(ev.withColumn("event_time", Adapters.eventTime(ev)),
+      "user_id", "event_type", "event_time", Seq("view", "click", "purchase"),
+      maxGapHours = 48)
+      .orderBy("step")
+  }
+
   /** 7-day cohort retention over the event stream. */
   private def qRetention(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
@@ -971,6 +980,7 @@ object SparkEntry {
     "q_topk_per_group" -> (qTopkPerGroup _),
     "q_retention" -> (qRetention _),
     "q_funnel" -> (qFunnel _),
+    "q_funnel_windowed" -> (qFunnelWindowed _),
     "q_inverted_index" -> (qInvertedIndex _),
     "q_bpe_merges" -> (qBpeMerges _),
     "q_percent_rank" -> (qPercentRank _),

@@ -37,8 +37,19 @@ object Cohorts {
     * Output: (step, step_name, n_users) — one row per funnel step.
     */
   def funnel(events: DataFrame, userCol: String, typeCol: String, tsCol: String,
-             steps: Seq[String]): DataFrame = {
+             steps: Seq[String]): DataFrame =
+    funnelWithin(events, userCol, typeCol, tsCol, steps, maxGapHours = 0)
+
+  /** [[funnel]] with a bounded conversion window: each step must
+    * additionally land WITHIN `maxGapHours` of the previous step's
+    * time (0 = unbounded) — the form real funnels publish, since an
+    * unbounded "purchased 2 years after clicking" conversion is noise.
+    * Same per-user min-after chaining and scale shape. */
+  def funnelWithin(events: DataFrame, userCol: String, typeCol: String,
+                   tsCol: String, steps: Seq[String],
+                   maxGapHours: Int): DataFrame = {
     require(steps.nonEmpty, "funnel: need at least one step")
+    require(maxGapHours >= 0, s"funnel: maxGapHours must be >= 0, got $maxGapHours")
     val ev = events.select(col(userCol).as("user_id"), col(typeCol).as("et"),
       col(tsCol).as("ts"))
     var cur = ev.filter(col("et") === steps.head)
@@ -46,8 +57,11 @@ object Cohorts {
       .localCheckpoint(true)
     val frames = scala.collection.mutable.ArrayBuffer(cur)
     steps.tail.foreach { s =>
+      val within =
+        if (maxGapHours == 0) lit(true)
+        else col("ts") <= col("t") + expr(s"INTERVAL $maxGapHours HOURS")
       cur = cur.join(ev.filter(col("et") === s), "user_id")
-        .filter(col("ts") > col("t"))
+        .filter(col("ts") > col("t") && within)
         .groupBy("user_id").agg(min(col("ts")).as("t"))
         .localCheckpoint(true)
       frames += cur
