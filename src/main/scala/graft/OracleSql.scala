@@ -1556,6 +1556,20 @@ object OracleSql {
          |)
          |SELECT vec_id AS id, cell FROM ranked WHERE rn = 1 ORDER BY id""".stripMargin,
 
+    // Per-label prototype centroids (mirrors Similarity.groupCentroids:
+    // element-wise floor-mean over exact quantized longs)
+    "q_group_centroids" ->
+      s"""WITH $embSql,
+         |comp AS (
+         |  SELECT label, k,
+         |    CAST(FLOOR(SUM(vq[k]) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS m,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM en, (SELECT unnest(range(1, 65)) AS k) ks
+         |  GROUP BY label, k
+         |)
+         |SELECT label, MIN(c) AS n_vecs, list(m ORDER BY k) AS centroid
+         |FROM comp GROUP BY label ORDER BY label""".stripMargin,
+
     // Cluster labeling: top-5 tokens per refined k-means cell
     // (mirrors TextAnalysis.clusterTopTerms over kmeansRefine)
     "q_cluster_terms" ->

@@ -717,6 +717,12 @@ object SparkEntry {
       .select("id", "cell")
       .orderBy("id")
 
+  /** Per-label prototype vectors (nearest-class-mean centroids). */
+  private def qGroupCentroids(s: SparkSession, dir: String): DataFrame =
+    Similarity.groupCentroids(Tables.embeddings(s, dir), "label", "embedding")
+      .withColumnRenamed("grp", "label")
+      .orderBy("label")
+
   /** One Lloyd round on top of the seeded quantizer — the IVF training
     * step, oracle-checked end to end. */
   private def qKmeansRefine(s: SparkSession, dir: String): DataFrame =
@@ -1020,6 +1026,7 @@ object SparkEntry {
     "q_sim_ivf" -> (qSimIvf _),
     "q_ivf_assign" -> (qIvfAssign _),
     "q_kmeans_refine" -> (qKmeansRefine _),
+    "q_group_centroids" -> (qGroupCentroids _),
     "q_semdedup" -> (qSemDedup _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_rolling_hash" -> (qRollingHash _),

@@ -317,6 +317,39 @@ object Similarity {
       .withColumn("n", normSqN(col("vq")))
   }
 
+  /** Per-group centroid (prototype) vectors: the element-wise
+    * ⌊Σ/n⌋ integer mean of the quantized vectors per group key — the
+    * class-prototype computation behind nearest-class-mean
+    * classifiers, per-label drift monitoring, and cluster summaries.
+    * The same exact-integer mean contract as [[kmeansRefine]]'s
+    * update step (floor of one IEEE division; quotients are ≥ 1/n
+    * from any integer unless exactly integral), so prototypes are
+    * bit-portable and oracle-checkable.
+    *
+    * Shape: ONE partial-aggregable shuffle of (group, dim) integer
+    * sums — the exploded rows combine map-side — and the centroid
+    * list reassembles per group from dim-indexed sums. Output:
+    * (group, n_vecs, centroid array<long>).
+    */
+  def groupCentroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame = {
+    // round-robin spread (NOT by grp — the group key is typically
+    // low-cardinality and would serialize the quantize/explode work)
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    df.select(col(groupCol).as("grp"), col(vecCol).as("__v"))
+      .repartition(parts)
+      .select(col("grp"), posexplode(quantize(col("__v"))).as(Seq("k", "x")))
+      .groupBy("grp", "k")
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("c"))
+      .select(col("grp"), col("k"),
+        floor(col("s") / col("c").cast("double")).cast("long").as("m"),
+        col("c"))
+      .groupBy("grp")
+      .agg(min(col("c")).as("n_vecs"),
+        array_sort(collect_list(struct(col("k"), col("m")))).as("__km"))
+      .select(col("grp"), col("n_vecs"),
+        transform(col("__km"), p => p.getField("m")).as("centroid"))
+  }
+
   /** Lloyd (k-means) refinement of the md5-seeded coarse quantizer:
     * `iters` rounds of assign-to-nearest-cell → recompute centroids as
     * the per-cell element-wise mean, then the final assignment under

@@ -129,6 +129,22 @@ class SimilaritySpec extends AnyFunSpec {
     }
   }
 
+  describe("groupCentroids") {
+    it("the prototype of identical vectors is the vector; mixed groups floor-average") {
+      val v = Array.tabulate(64)(i => 0.25f + 0.001f * i)
+      val df = Seq((0, v), (0, v), (1, v), (1, v.map(_ * 3))).toDF("label", "embedding")
+      val out = Similarity.groupCentroids(df, "label", "embedding")
+        .collect().map(r => r.getAs[Int]("grp") ->
+          (r.getAs[Long]("n_vecs"), r.getAs[scala.collection.Seq[Long]]("centroid").toSeq))
+        .toMap
+      val q = v.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong)
+      assert(out(0) == ((2L, q.toSeq)))
+      val q3 = v.map(_ * 3).map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong)
+      val expect1 = q.zip(q3).map { case (a, b) => Math.floorDiv(a + b, 2L) }.toSeq
+      assert(out(1) == ((2L, expect1)))
+    }
+  }
+
   describe("kmeansRefine") {
     it("iters=0 equals the seeded assignment; one round keeps a total in-range assignment") {
       val emb = Tables.embeddings(spark, dir)
