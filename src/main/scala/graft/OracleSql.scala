@@ -1533,6 +1533,32 @@ object OracleSql {
          |SELECT query_id, corpus_id, cosine, CAST(rn AS INTEGER) AS rank
          |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    // IVF over the Lloyd-refined quantizer (mirrors ivfTopK with
+    // refineIters=1: kmeansRefineCtes' centf is the trained model)
+    "q_sim_ivf_refined" ->
+      s"""WITH $kmeansRefineCtes,
+         |dist2 AS (
+         |  SELECT e.vec_id, e.vq, e.nq, cf.cell,
+         |    list_sum(list_transform(range(1, 65), k -> (e.vq[k] - cf.sq[k]) * (e.vq[k] - cf.sq[k]))) AS d
+         |  FROM en e CROSS JOIN centf cf
+         |),
+         |ranked2 AS (
+         |  SELECT vec_id, vq, nq, cell,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+         |  FROM dist2
+         |),
+         |ca AS (SELECT vec_id, vq, nq, cell FROM ranked2 WHERE rn = 1),
+         |qa AS (SELECT vec_id, vq, nq, cell FROM ranked2 WHERE rn <= 2 AND vec_id % 50 = 0),
+         |sc AS (
+         |  SELECT DISTINCT b.vec_id AS query_id, a.vec_id AS corpus_id,
+         |    ${cosExpr(pairDot, "a.nq", "b.nq")} AS cosine
+         |  FROM ca a JOIN qa b ON a.cell = b.cell
+         |  WHERE b.vec_id != a.vec_id
+         |),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rn FROM sc)
+         |SELECT query_id, corpus_id, cosine, CAST(rn AS INTEGER) AS rank
+         |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+
     // mirrors Similarity.ivfAssign: md5-seeded sampled centroids,
     // exact integer L2, ties by cell index
     "q_ivf_assign" ->

@@ -708,6 +708,15 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF search over the Lloyd-REFINED quantizer — the trained index
+    * variant of q_sim_ivf, end-to-end under one oracle. */
+  private def qSimIvfRefined(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 50 === 0),
+      "vec_id", "embedding", k = 5, numCells = 16, nprobe = 2, refineIters = 1)
+      .orderBy("query_id", "rank")
+  }
+
   /** Standalone coarse-quantizer cell assignment — the cluster step a
     * pipeline trains once and reuses across dedup/ANN/stats. Same
     * md5-seeded quantizer as [[Similarity.ivfTopK]], so the oracle
@@ -1024,6 +1033,7 @@ object SparkEntry {
     "q_sim_ann_lsh" -> (qSimAnnLsh _),
     "q_sim_near_dup" -> (qSimNearDup _),
     "q_sim_ivf" -> (qSimIvf _),
+    "q_sim_ivf_refined" -> (qSimIvfRefined _),
     "q_ivf_assign" -> (qIvfAssign _),
     "q_kmeans_refine" -> (qKmeansRefine _),
     "q_group_centroids" -> (qGroupCentroids _),

@@ -272,8 +272,26 @@ object Similarity {
     * ties broken by cell index.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-              k: Int, numCells: Int = 16, nprobe: Int = 2): DataFrame = {
-    val centroidLit = typedLit(trainCellSeeds(corpus, idCol, vecCol, numCells))
+              k: Int, numCells: Int = 16, nprobe: Int = 2,
+              refineIters: Int = 0): DataFrame = {
+    // refineIters > 0: Lloyd-refine the sampled seeds before indexing
+    // (better cell balance for the same numCells — the trained-
+    // quantizer IVF); 0 keeps the seeded quantizer.
+    val seed = trainCellSeeds(corpus, idCol, vecCol, numCells)
+    val centroids =
+      if (refineIters == 0) seed
+      else {
+        import org.apache.spark.storage.StorageLevel
+        val parts = corpus.sparkSession.sessionState.conf.numShufflePartitions
+        val vq = corpus.select(col(idCol).as("id"), col(vecCol).as("__v"))
+          .repartition(parts, col("id"))
+          .select(quantize(col("__v")).as("vq"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val r = refineCentroidsLoop(vq, seed, numCells, refineIters)
+        vq.unpersist(blocking = false)
+        r
+      }
+    val centroidLit = typedLit(centroids)
 
     def cellsOf(vq: Column, n: Int): Column =
       nearestCellsOf(vq, centroidLit, numCells, n)
@@ -315,6 +333,40 @@ object Similarity {
       .select(col("id"), col("vq"),
         element_at(nearestCellsOf(col("vq"), centroidLit, numCells, 1), 1).as("cell"))
       .withColumn("n", normSqN(col("vq")))
+  }
+
+  /** The Lloyd update loop shared by [[kmeansRefine]] and the
+    * refine-enabled [[ivfTopK]]: assign to nearest cell, recompute
+    * ⌊Σ/n⌋ integer-mean centroids (a numCells × dim model collect),
+    * empty cells keep their previous centroid. `vq` must expose a
+    * quantized `vq` column (extra columns ignored) and should be
+    * persisted by the caller across rounds. */
+  private def refineCentroidsLoop(vq: DataFrame, seed: Seq[Seq[Long]],
+                                  numCells: Int, iters: Int): Seq[Seq[Long]] = {
+    var centroids = seed
+    for (_ <- 0 until iters) {
+      val asg = vq.select(col("vq"),
+        element_at(nearestCellsOf(col("vq"), typedLit(centroids), numCells, 1), 1)
+          .as("cell"))
+      val sums = asg
+        .select(col("cell"), posexplode(col("vq")).as(Seq("k", "x")))
+        .groupBy("cell", "k")
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("c"))
+        .collect()
+      val means: Map[Long, Map[Int, Long]] = sums
+        .groupBy(_.getAs[Long]("cell"))
+        .map { case (cell, rows) =>
+          cell -> rows.map(r => r.getAs[Int]("k") ->
+            Math.floorDiv(r.getAs[Long]("s"), r.getAs[Long]("c"))).toMap
+        }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        means.get(c.toLong) match {
+          case Some(m) => old.indices.map(k => m(k))
+          case None    => old // empty cell: keep the previous centroid
+        }
+      }
+    }
+    centroids
   }
 
   /** Per-group centroid (prototype) vectors: the element-wise
@@ -380,29 +432,8 @@ object Similarity {
       .repartition(parts, col("id"))
       .select(col("id"), quantize(col("__v")).as("vq"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var centroids: Seq[Seq[Long]] = trainCellSeeds(df, idCol, vecCol, numCells)
-    for (_ <- 0 until iters) {
-      val asg = vq.select(col("vq"),
-        element_at(nearestCellsOf(col("vq"), typedLit(centroids), numCells, 1), 1)
-          .as("cell"))
-      val sums = asg
-        .select(col("cell"), posexplode(col("vq")).as(Seq("k", "x")))
-        .groupBy("cell", "k")
-        .agg(sum(col("x")).as("s"), count(lit(1)).as("c"))
-        .collect()
-      val means: Map[Long, Map[Int, Long]] = sums
-        .groupBy(_.getAs[Long]("cell"))
-        .map { case (cell, rows) =>
-          cell -> rows.map(r => r.getAs[Int]("k") ->
-            Math.floorDiv(r.getAs[Long]("s"), r.getAs[Long]("c"))).toMap
-        }
-      centroids = centroids.zipWithIndex.map { case (old, c) =>
-        means.get(c.toLong) match {
-          case Some(m) => old.indices.map(k => m(k))
-          case None    => old // empty cell: keep the previous centroid
-        }
-      }
-    }
+    val centroids = refineCentroidsLoop(vq,
+      trainCellSeeds(df, idCol, vecCol, numCells), numCells, iters)
     val out = vq.select(col("id"),
       element_at(nearestCellsOf(col("vq"), typedLit(centroids), numCells, 1), 1)
         .as("cell"))
