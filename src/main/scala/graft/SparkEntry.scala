@@ -952,6 +952,96 @@ object SparkEntry {
         r2(col("rev_c") / 1e2).as("revenue"))
       .orderBy("o_orderpriority")
 
+  /** BM25 keyword retrieval over the corpus (integer-scaled idf /
+    * tf-saturation — see [[TextAnalysis.bm25TopK]]). */
+  private def qBm25(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+      terms = Seq("spark", "vector", "stream", "hash"), k = 20)
+
+  /** Hash-trick linear-classifier inference: every doc scored by a
+    * vocabulary-free hashed linear model in one narrow scan. */
+  private def qHashedClassifier(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.hashedLinearScore(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Bigram-LM commonness score (perplexity-filter stand-in, exact
+    * integer sums + one scaled division). */
+  private def qLmScore(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramCommonness(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Collocation mining: co-occurrence lift over the top-12 vocab. */
+  private def qCooccurrence(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.cooccurrenceLift(Tables.documents(s, dir), "doc_id", "text",
+      vocabK = 12, minPairDocs = 2L)
+      .orderBy("t1", "t2")
+
+  /** Corpus boilerplate stripping: drop 3-gram spans shared by ≥ 25
+    * docs, reassemble each document's surviving tokens. */
+  private def qBoilerplate(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.stripHotShingles(Tables.documents(s, dir), "doc_id", "text",
+      n = 3, minDocs = 25L)
+      .orderBy("doc_id")
+
+  /** Canonical text normalization ([[Funcs.normalizeText]]) + the
+    * before/after length audit. */
+  private def qTextNormalize(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), normalizeText(col("text")).as("norm_text"))
+      .select(col("doc_id"), col("norm_text"),
+        length(col("norm_text")).cast("long").as("norm_chars"),
+        size(split(col("norm_text"), " ")).cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+
+  /** Integer PageRank over the customer↔supplier trade graph
+    * (both directions of every distinct (cust, supp) trading pair;
+    * node id = 2·custkey / 2·suppkey+1). Top 20 by rank. */
+  private def qPagerank(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, dir).select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
+        "o_orderkey")
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+    Graph.pageRankScaled(edges, "a", "b", iters = 2)
+      .select(col("id"), col("rank"),
+        when(col("id") % 2 === 0, lit("customer")).otherwise(lit("supplier")).as("kind"),
+        expr("id div 2").as("entity_id"))
+      .orderBy(col("rank").desc, col("id"))
+      .limit(20)
+  }
+
+  /** Compaction planning over the table's file inventory (per-ship-date
+    * row counts stand in for file sizes; metadata-scale input). */
+  private def qCompactionPlan(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Layout.compactionPlan(
+      Tables.lineitem(s, dir).groupBy(col("l_shipdate"))
+        .agg(count(lit(1)).as("n_rows")),
+      orderCols = Seq("l_shipdate"), sizeCol = "n_rows", target = 20000L)
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("total_rows"),
+        min(col("l_shipdate")).as("from_date"), max(col("l_shipdate")).as("to_date"))
+      .orderBy("bin")
+
+  /** Semi/anti join audit: per nation, customers with ≥1 open order vs
+    * customers with none (left_semi / left_anti — the EXISTS forms). */
+  private def qSemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+    val open = Tables.orders(s, dir).filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("c_custkey"))
+    val withOrders = cust.join(open, Seq("c_custkey"), "left_semi")
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n_with_open"))
+    val without = cust.join(open, Seq("c_custkey"), "left_anti")
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n_without_open"))
+    Tables.nation(s, dir).select(col("n_nationkey").as("c_nationkey"), col("n_name"))
+      .join(withOrders, Seq("c_nationkey"), "left")
+      .join(without, Seq("c_nationkey"), "left")
+      .select(col("n_name").as("nation"),
+        coalesce(col("n_with_open"), lit(0L)).as("n_with_open"),
+        coalesce(col("n_without_open"), lit(0L)).as("n_without_open"))
+      .orderBy("nation")
+  }
+
   // ──────────────────────────────────────────────────────────────────
   // Registry
   // ──────────────────────────────────────────────────────────────────
@@ -1052,7 +1142,16 @@ object SparkEntry {
     "q_json_extract" -> (qJsonExtract _),
     "q_histogram" -> (qHistogram _),
     "q_ntile_deciles" -> (qNtileDeciles _),
-    "q_skew_join" -> (qSkewJoin _)
+    "q_skew_join" -> (qSkewJoin _),
+    "q_bm25" -> (qBm25 _),
+    "q_hashed_classifier" -> (qHashedClassifier _),
+    "q_lm_score" -> (qLmScore _),
+    "q_cooccurrence" -> (qCooccurrence _),
+    "q_boilerplate" -> (qBoilerplate _),
+    "q_text_normalize" -> (qTextNormalize _),
+    "q_pagerank" -> (qPagerank _),
+    "q_compaction_plan" -> (qCompactionPlan _),
+    "q_semi_anti" -> (qSemiAnti _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -31,6 +31,16 @@ object Funcs {
   def hash60(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
+  /** Canonical text normalization for dedup/tokenization keys: lower,
+    * strip everything outside [a-z0-9 ] to a space, collapse runs of
+    * spaces, trim. Pure codegen'd string expressions — a narrow map at
+    * corpus-scan speed; run it BEFORE hashing/shingling so trivially
+    * different encodings of the same content collide. Mirrored in
+    * DuckDB with the 'g' regex flag (Spark's regexp_replace is global
+    * by default). */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
   /** Distinct word n-gram shingles of a whitespace-tokenized text.
     * Pure built-in array expressions (split/sequence/transform/slice),
     * evaluated once per row — no explode/shuffle.

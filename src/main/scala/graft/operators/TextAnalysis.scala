@@ -361,4 +361,200 @@ object TextAnalysis {
       .limit(k)
       .withColumn("rank", row_number().over(Window.orderBy(order: _*)))
   }
+
+  /** BM25 retrieval scoring (Robertson/Spärck Jones, the Okapi form) —
+    * the ranking function behind every practical keyword-search stack,
+    * and the upgrade of [[tfidfTopK]]'s raw tf·idf: term frequency
+    * saturates (k1) and is normalized by document length (b), so a
+    * 10k-token doc can't win on volume alone.
+    *
+    * Exact-arithmetic discipline (same contract as [[tokenRarity]]):
+    * no log() — the probabilistic idf RATIO (n_docs - df + 0.5) /
+    * (df + 0.5) keeps the same ordering and stays a single IEEE
+    * division; idf and the tf-saturation factor are floor-scaled to
+    * longs (1e6 / 1e4) so the per-doc score is an EXACT integer sum —
+    * bit-portable across engines, no order-dependent double
+    * accumulation.
+    *
+    * Scale shape: tf is a partial-aggregable grouped count over ONLY
+    * rows matching the query terms (the explode filters before any
+    * shuffle); corpus stats (n_docs, total token count → avgdl) are a
+    * single partial agg collapsing to one broadcast row; df derives
+    * from tf (|terms| rows, broadcast). Doc length rides along with
+    * tf via a first-agg max — no second scan, no join back to the
+    * corpus. Final top-k is a TakeOrdered. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k: Int = 20,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = tokens(col(textCol))
+    val ex = Dedup.spreadById(docs, idCol, textCol)
+      .select(col(idCol), size(toks).cast("long").as("dl"),
+        explode(toks).as("t"))
+      .filter(col("t").isInCollection(terms))
+    // dl is functionally dependent on the doc id; max() carries it
+    // through the count without widening the grouping key
+    val tf = ex.groupBy(col(idCol), col("t"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val stats = docs.select(count(lit(1)).as("n_docs"),
+      sum(size(tokens(col(textCol))).cast("long")).as("sum_dl"))
+    // avgdl: one long/long IEEE division — deterministic everywhere
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idfS = floor(lit(1000000.0)
+      * ((col("n_docs") - col("df")).cast("double") + lit(0.5))
+      / (col("df").cast("double") + lit(0.5))).cast("long")
+    val tfS = floor(lit(10000.0) * (col("tf").cast("double") * lit(k1 + 1.0))
+      / (col("tf").cast("double")
+        + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / col("avgdl")))))
+      .cast("long")
+    tf.join(broadcast(dfreq), "t")
+      .crossJoin(broadcast(stats.select(avgdl.as("avgdl"), col("n_docs"))))
+      .withColumn("w", idfS * tfS)
+      .groupBy(col(idCol))
+      .agg(sum(col("w")).as("score"), count(lit(1)).as("n_query_terms"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Hash-trick linear-classifier inference ("hashing vectorizer" —
+    * Weinberger et al., ICML'09): score every document against a
+    * linear model whose weight for a token is addressed by hashing
+    * the token into a fixed-size weight space, so the model needs no
+    * vocabulary table and inference is a pure narrow scan. This is
+    * the shape of every fastText-style quality/topic filter applied
+    * to a pretraining corpus: at 100 TB the entire pass is map-side —
+    * ZERO shuffles until the final per-doc row, no weight-table join,
+    * nothing driver-side.
+    *
+    * The weights here are the deterministic stand-in `(hash60(tok) %
+    * modulus) - modulus/2` — the container ships no trained model, but
+    * the score is exactly what a real exported model produces once
+    * `weightOf` maps hash-bucket → learned weight (a broadcast lookup
+    * array at worst). Integer weights ⇒ the per-doc sum is exact. */
+  def hashedLinearScore(docs: DataFrame, idCol: String, textCol: String,
+                        modulus: Int = 2001): DataFrame = {
+    val half = lit((modulus - 1) / 2)
+    val w = (hash60(col("t")) % lit(modulus.toLong)) - half
+    Dedup.spreadById(docs, idCol, textCol)
+      .select(col(idCol), explode(tokens(col(textCol))).as("t"))
+      .groupBy(col(idCol))
+      .agg(sum(w).as("score"), count(lit(1)).as("n_tokens"))
+      .withColumn("keep", (col("score") > lit(0L)).cast("boolean"))
+  }
+
+  /** Bigram language-model commonness: score each document by the mean
+    * CORPUS frequency of its adjacent token bigrams — the
+    * no-transcendentals stand-in for bigram log-likelihood / perplexity
+    * filtering (fluent text reuses common transitions; gibberish and
+    * boilerplate-free word salad sit in rare ones). Same ordering
+    * intent as perplexity without log(): exact long sums, one final
+    * scaled division.
+    *
+    * Scale shape: bigram extraction is a narrow zip_with against the
+    * token array's own shift (no self-join); the corpus count is one
+    * partial-aggregable shuffle (Zipfian bigram head combines
+    * map-side); scoring joins each doc's bigrams back to the count
+    * table — tail-bounded per key — and reduces per doc. */
+  def bigramCommonness(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    // when the shifted side runs out zip_with pads with null; the
+    // `when` keeps the pad null (concat_ws would swallow it and emit a
+    // bogus trailing unigram) and the filter below drops it
+    val bigrams = zip_with(toks, slice(toks, 2, greatest(size(toks) - 1, lit(0))),
+      (a, b) => when(b.isNotNull, concat_ws(" ", a, b)))
+    val ex = Dedup.spreadById(docs, idCol, textCol)
+      .select(col(idCol), explode(bigrams).as("bg"))
+      .filter(col("bg").isNotNull)
+      .select(col(idCol), hash60(col("bg")).as("bh"))
+    val counts = ex.groupBy("bh").agg(count(lit(1)).as("c"))
+    ex.join(counts, "bh")
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("sum_c"), count(lit(1)).as("n_bigrams"))
+      .withColumn("mean_scaled",
+        floor(lit(10000.0) * col("sum_c").cast("double")
+          / col("n_bigrams").cast("double")).cast("long"))
+  }
+
+  /** Token co-occurrence lift over the top-`vocabK` vocabulary:
+    * lift(x,y) = P(x,y) / (P(x)·P(y)) as the exact ratio
+    * (c_xy · n_docs) / (c_x · c_y) — PMI without the log, same
+    * ordering. The collocation-mining primitive (phrase detection,
+    * topic seeds) over a pretraining corpus.
+    *
+    * Scale shape: the quadratic blowup of "all token pairs" is fenced
+    * by restricting to a BOUNDED vocabulary first — top-k by document
+    * frequency ([[vocabTopK]] semantics), broadcast into a map-side
+    * semi join — so the per-doc self-join is ≤ vocabK² and the
+    * pair-count shuffle carries only vocab-pair keys. Lift is
+    * floor-scaled after one IEEE division: exact and portable. */
+  def cooccurrenceLift(docs: DataFrame, idCol: String, textCol: String,
+                       vocabK: Int = 12, minPairDocs: Long = 2L): DataFrame = {
+    val vocab = vocabTopK(docs, idCol, textCol, vocabK).select("token", "doc_freq")
+    val ex = Dedup.spreadById(docs, idCol, textCol)
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .distinct()
+      .join(broadcast(vocab), "token")
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    val pairs = ex.select(col(idCol), col("token").as("t1"), col("doc_freq").as("df1"))
+      .join(ex.select(col(idCol), col("token").as("t2"), col("doc_freq").as("df2")), Seq(idCol.toString))
+      .filter(col("t1") < col("t2"))
+      .groupBy("t1", "t2")
+      .agg(count(lit(1)).as("c_xy"), max("df1").as("c_x"), max("df2").as("c_y"))
+      .filter(col("c_xy") >= lit(minPairDocs))
+    pairs.crossJoin(broadcast(nDocs))
+      .withColumn("lift_scaled",
+        floor(lit(1000000.0) * (col("c_xy") * col("n_docs")).cast("double")
+          / (col("c_x") * col("c_y")).cast("double")).cast("long"))
+      .select(col("t1"), col("t2"), col("c_xy"), col("lift_scaled"))
+  }
+
+  /** Corpus-level boilerplate stripping: remove from every document
+    * the word n-grams that repeat across ≥ `minDocs` DISTINCT
+    * documents (navigation chrome, license headers, templated
+    * snippets — the CCNet/RefinedWeb shared-span removal step), and
+    * reassemble the surviving tokens in order.
+    *
+    * Relational shape (no per-doc imperative pass): positional
+    * shingles explode with their start index; hot shingles are a
+    * grouped distinct-doc count; each hot hit expands to its n covered
+    * token positions (explode of a bounded n-element sequence); and
+    * the kept tokens are a LEFT ANTI equi join on (doc, position) —
+    * every join is an equi join on bounded keys, so the plan is three
+    * partial-aggregable shuffles regardless of corpus size. Hot-hit
+    * expansion is O(hits·n), not O(corpus). Reassembly is an ordered
+    * string agg per doc (array_join over sort_array — deterministic). */
+  def stripHotShingles(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, minDocs: Long = 3L): DataFrame = {
+    val toks = tokens(col(textCol))
+    // (doc, pos, token) grain — pos is 0-based
+    val ex = Dedup.spreadById(docs, idCol, textCol)
+      .select(col(idCol), posexplode(toks).as(Seq("pos", "tok")))
+    // positional shingles: start index + hashed n-gram
+    val sh = Dedup.spreadById(docs, idCol, textCol)
+      .select(col(idCol), posexplode(
+        when(size(toks) >= n,
+          transform(sequence(lit(1), size(toks) - lit(n - 1)),
+            i => hash60(concat_ws(" ", slice(toks, i, lit(n))))))
+          .otherwise(array())).as(Seq("start", "sh")))
+    val hot = sh.select(col(idCol), col("sh")).distinct()
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= lit(minDocs))
+      .select("sh")
+    // `start` is the 0-based ARRAY index from posexplode; the shingle
+    // at array index j covers 0-based token positions j..j+n-1
+    val covered = sh.join(hot, "sh")
+      .select(col(idCol), explode(sequence(col("start"), col("start") + lit(n - 1))).as("pos"))
+      .distinct()
+    val kept = ex.join(covered, Seq(idCol.toString, "pos"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("kept_tokens"),
+        array_join(array_sort(collect_list(struct(col("pos"), col("tok")))).getField("tok"), " ")
+          .as("clean_text"))
+    // docs whose every token was covered must still appear (empty text)
+    docs.select(col(idCol), size(toks).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq(idCol.toString), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

@@ -101,4 +101,29 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Small-file compaction planning: pack an ordered file inventory
+    * into target-sized output bins (the planning half of OPTIMIZE /
+    * bin-packing compaction in Delta/Iceberg). Files stay in key
+    * order — compaction must not destroy the clustering that
+    * [[zorderWrite]] or a sorted ingest established — so the bin id is
+    * simply `floor(running-size-before / target)`: greedy sequential
+    * packing, every bin ≥ target except the last, all EXACT integer
+    * arithmetic (`div`).
+    *
+    * Scale note: this operates on table METADATA (one row per file),
+    * not data — a 100 TB table is a few hundred thousand file rows, so
+    * the single-partition ordered window is a deliberate non-issue;
+    * the expensive part of compaction is the rewrite that consumes
+    * this plan, and that is a plain partitioned write. */
+  def compactionPlan(files: DataFrame, orderCols: Seq[String],
+                     sizeCol: String, target: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(target > 0, "compactionPlan: target must be positive")
+    val w = Window.orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files
+      .withColumn("cum_before", coalesce(sum(col(sizeCol)).over(w), lit(0L)))
+      .withColumn("bin", expr(s"cum_before div ${target}L"))
+  }
 }
