@@ -1844,6 +1844,181 @@ object OracleSql {
          |  CAST(COUNT(*) AS BIGINT) AS n_items,
          |  ${rd(s"CAST(SUM(${sc("l_extendedprice", 2)}) AS DOUBLE) / 1e2", 2)} AS revenue
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // mirrors TextAnalysis.bm25TopK: idf/tf-saturation floor-scaled to
+    // longs; constants written as the SAME double expressions Scala
+    // evaluates ((1.2 + 1.0), (1.0 - 0.75)) so bits match
+    "q_bm25" ->
+      s"""WITH ex0 AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+         |    unnest(string_split(text, ' ')) AS t
+         |  FROM documents),
+         |ex AS (SELECT * FROM ex0 WHERE t IN ('spark', 'vector', 'stream', 'hash')),
+         |tf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf, MAX(dl) AS dl
+         |  FROM ex GROUP BY doc_id, t),
+         |dfreq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY t),
+         |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS sum_dl
+         |  FROM documents),
+         |s AS (SELECT n_docs, CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl FROM stats),
+         |w AS (
+         |  SELECT tf.doc_id,
+         |    CAST(FLOOR(1000000.0 * (CAST(s.n_docs - d.df AS DOUBLE) + 0.5)
+         |      / (CAST(d.df AS DOUBLE) + 0.5)) AS BIGINT)
+         |    * CAST(FLOOR(10000.0 * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+         |      / (CAST(tf.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(tf.dl AS DOUBLE) / s.avgdl)))) AS BIGINT) AS w
+         |  FROM tf JOIN dfreq d ON tf.t = d.t CROSS JOIN s)
+         |SELECT doc_id, CAST(SUM(w) AS BIGINT) AS score, CAST(COUNT(*) AS BIGINT) AS n_query_terms
+         |FROM w GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // mirrors TextAnalysis.hashedLinearScore: weight = (hash60 % 2001)
+    // - 1000, exact integer sum per doc (hash60 is non-negative, so %
+    // agrees across engines)
+    "q_hashed_classifier" ->
+      s"""WITH ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         |w AS (SELECT doc_id, (${h60("t")} % 2001) - 1000 AS w FROM ex)
+         |SELECT doc_id, CAST(SUM(w) AS BIGINT) AS score, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  (CAST(SUM(w) AS BIGINT) > 0) AS keep
+         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // mirrors TextAnalysis.bigramCommonness: adjacent-token bigrams
+    // (1-based i pairs i,i+1), hashed, corpus counts joined back; docs
+    // with < 2 tokens emit no bigrams and drop out (inner join)
+    "q_lm_score" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |bg0 AS (SELECT doc_id,
+         |  unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])) AS bg
+         |  FROM toks),
+         |ex AS (SELECT doc_id, ${h60("bg")} AS bh FROM bg0),
+         |counts AS (SELECT bh, CAST(COUNT(*) AS BIGINT) AS c FROM ex GROUP BY bh)
+         |SELECT e.doc_id, CAST(SUM(c.c) AS BIGINT) AS sum_c, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |  CAST(FLOOR(10000.0 * CAST(SUM(c.c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS mean_scaled
+         |FROM ex e JOIN counts c ON e.bh = c.bh
+         |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin,
+
+    // mirrors TextAnalysis.cooccurrenceLift: top-12 vocab by doc freq
+    // (doc_freq DESC, token ASC cut), distinct (doc, token) self-join
+    // restricted to the vocab, lift = (c_xy·n_docs)/(c_x·c_y) scaled
+    "q_cooccurrence" ->
+      """WITH ex0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |exd AS (SELECT DISTINCT doc_id, token FROM ex0),
+        |dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_freq FROM exd GROUP BY token),
+        |vocab AS (SELECT token, doc_freq FROM dfreq ORDER BY doc_freq DESC, token ASC LIMIT 12),
+        |ex AS (SELECT e.doc_id, e.token, v.doc_freq FROM exd e JOIN vocab v USING (token)),
+        |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        |pairs AS (
+        |  SELECT a.token AS t1, b.token AS t2, CAST(COUNT(*) AS BIGINT) AS c_xy,
+        |    MAX(a.doc_freq) AS c_x, MAX(b.doc_freq) AS c_y
+        |  FROM ex a JOIN ex b ON a.doc_id = b.doc_id AND a.token < b.token
+        |  GROUP BY a.token, b.token
+        |  HAVING COUNT(*) >= 2)
+        |SELECT t1, t2, c_xy,
+        |  CAST(FLOOR(1000000.0 * CAST(c_xy * n_docs AS DOUBLE)
+        |    / CAST(c_x * c_y AS DOUBLE)) AS BIGINT) AS lift_scaled
+        |FROM pairs CROSS JOIN nd
+        |ORDER BY t1, t2""".stripMargin,
+
+    // mirrors TextAnalysis.stripHotShingles (n=3, minDocs=25):
+    // positional 3-gram hashes, hot = shared by >= 25 distinct docs,
+    // covered 0-based positions start..start+2 removed, text rebuilt
+    // in position order
+    "q_boilerplate" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |ex0 AS (SELECT doc_id, unnest(list_transform(tk, (t, i) -> {'pos': i - 1, 'tok': t})) AS u FROM toks),
+         |ex AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM ex0),
+         |sh0 AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+         |    i -> {'start': i - 1, 'sh': ${h60("tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]")}})) AS u
+         |  FROM toks WHERE len(tk) >= 3),
+         |sh AS (SELECT doc_id, u.start AS start, u.sh AS sh FROM sh0),
+         |hot AS (SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM sh) GROUP BY sh HAVING COUNT(*) >= 25),
+         |cov0 AS (SELECT s.doc_id, unnest(range(s.start, s.start + 3)) AS pos
+         |  FROM sh s JOIN hot h USING (sh)),
+         |covered AS (SELECT DISTINCT doc_id, pos FROM cov0),
+         |kept AS (SELECT e.doc_id, e.pos, e.tok FROM ex e
+         |  WHERE NOT EXISTS (SELECT 1 FROM covered c WHERE c.doc_id = e.doc_id AND c.pos = e.pos)),
+         |rebuilt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+         |    string_agg(tok, ' ' ORDER BY pos) AS clean_text
+         |  FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+         |  COALESCE(r.kept_tokens, 0) AS kept_tokens,
+         |  COALESCE(r.clean_text, '') AS clean_text
+         |FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // mirrors Funcs.normalizeText (global regex replace) + the
+    // empty-string token-count guard
+    "q_text_normalize" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+        |  FROM documents)
+        |SELECT doc_id, norm_text, CAST(length(norm_text) AS BIGINT) AS norm_chars,
+        |  CASE WHEN length(norm_text) = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST(len(string_split(norm_text, ' ')) AS BIGINT) END AS n_tokens
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    // mirrors Graph.pageRankScaled (iters=2, scale=1e12): all integer
+    // arithmetic — init rank scale//n, base (3·scale)//(20n), per-edge
+    // contribution rank//outdeg, damping (17·in_sum)//20 — unrolled
+    // two iterations
+    "q_pagerank" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS a, CAST(l_suppkey * 2 + 1 AS BIGINT) AS b
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e0 AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs),
+        |e AS (SELECT DISTINCT src, dst FROM e0
+        |  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+        |outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+        |r0 AS (SELECT id, 1000000000000 // nn.n AS rank FROM nodes CROSS JOIN nn),
+        |c1 AS (SELECT e.dst, CAST(SUM(r.rank // o.outdeg) AS BIGINT) AS in_sum
+        |  FROM e JOIN r0 r ON e.src = r.id JOIN outdeg o ON e.src = o.src GROUP BY e.dst),
+        |r1 AS (SELECT n.id,
+        |    (3 * 1000000000000) // (20 * nn.n) + (17 * COALESCE(c1.in_sum, 0)) // 20 AS rank
+        |  FROM nodes n CROSS JOIN nn LEFT JOIN c1 ON n.id = c1.dst),
+        |c2 AS (SELECT e.dst, CAST(SUM(r.rank // o.outdeg) AS BIGINT) AS in_sum
+        |  FROM e JOIN r1 r ON e.src = r.id JOIN outdeg o ON e.src = o.src GROUP BY e.dst),
+        |r2 AS (SELECT n.id,
+        |    (3 * 1000000000000) // (20 * nn.n) + (17 * COALESCE(c2.in_sum, 0)) // 20 AS rank
+        |  FROM nodes n CROSS JOIN nn LEFT JOIN c2 ON n.id = c2.dst)
+        |SELECT id, CAST(rank AS BIGINT) AS rank,
+        |  CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+        |  id // 2 AS entity_id
+        |FROM r2 ORDER BY rank DESC, id LIMIT 20""".stripMargin,
+
+    // mirrors Layout.compactionPlan over the per-ship-date row counts:
+    // bin = running-size-before // 20000, then per-bin rollup
+    "q_compaction_plan" ->
+      """WITH files AS (SELECT l_shipdate, CAST(COUNT(*) AS BIGINT) AS n_rows
+        |  FROM lineitem GROUP BY l_shipdate),
+        |p AS (SELECT l_shipdate, n_rows,
+        |    CAST(COALESCE(SUM(n_rows) OVER (ORDER BY l_shipdate
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM files),
+        |b AS (SELECT *, CAST(cum_before // 20000 AS BIGINT) AS bin FROM p)
+        |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_files, CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+        |  MIN(l_shipdate) AS from_date, MAX(l_shipdate) AS to_date
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // mirrors qSemiAnti: left_semi = EXISTS, left_anti = NOT EXISTS
+    // over open orders, rolled up per nation
+    "q_semi_anti" ->
+      """WITH cust AS (SELECT c_custkey, c_nationkey FROM customer),
+        |open_o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+        |w AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_with_open FROM cust
+        |  WHERE EXISTS (SELECT 1 FROM open_o o WHERE o.o_custkey = cust.c_custkey)
+        |  GROUP BY c_nationkey),
+        |wo AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_without_open FROM cust
+        |  WHERE NOT EXISTS (SELECT 1 FROM open_o o WHERE o.o_custkey = cust.c_custkey)
+        |  GROUP BY c_nationkey)
+        |SELECT n.n_name AS nation,
+        |  COALESCE(w.n_with_open, 0) AS n_with_open,
+        |  COALESCE(wo.n_without_open, 0) AS n_without_open
+        |FROM nation n LEFT JOIN w ON n.n_nationkey = w.c_nationkey
+        |LEFT JOIN wo ON n.n_nationkey = wo.c_nationkey
+        |ORDER BY nation""".stripMargin
   )
 }

@@ -990,7 +990,9 @@ object SparkEntry {
       .select(col("doc_id"), normalizeText(col("text")).as("norm_text"))
       .select(col("doc_id"), col("norm_text"),
         length(col("norm_text")).cast("long").as("norm_chars"),
-        size(split(col("norm_text"), " ")).cast("long").as("n_tokens"))
+        // split("", " ") = [""] — guard so empty/symbol-only docs count 0
+        when(length(col("norm_text")) === 0, lit(0L))
+          .otherwise(size(split(col("norm_text"), " ")).cast("long")).as("n_tokens"))
       .orderBy("doc_id")
 
   /** Integer PageRank over the customer↔supplier trade graph

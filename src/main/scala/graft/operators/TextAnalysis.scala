@@ -370,11 +370,14 @@ object TextAnalysis {
     *
     * Exact-arithmetic discipline (same contract as [[tokenRarity]]):
     * no log() — the probabilistic idf RATIO (n_docs - df + 0.5) /
-    * (df + 0.5) keeps the same ordering and stays a single IEEE
-    * division; idf and the tf-saturation factor are floor-scaled to
-    * longs (1e6 / 1e4) so the per-doc score is an EXACT integer sum —
-    * bit-portable across engines, no order-dependent double
-    * accumulation.
+    * (df + 0.5) keeps the same PER-TERM ordering as log(ratio) and
+    * stays a single IEEE division; idf and the tf-saturation factor
+    * are floor-scaled to longs (1e6 / 1e4) so the per-doc score is an
+    * EXACT integer sum — bit-portable across engines, no
+    * order-dependent double accumulation. Caveat: summing ratio-scaled
+    * weights ACROSS terms reweights terms relative to Okapi BM25 (the
+    * ratio grows much faster than its log), so multi-term rankings are
+    * an approximation of BM25, not order-identical to it.
     *
     * Scale shape: tf is a partial-aggregable grouped count over ONLY
     * rows matching the query terms (the explode filters before any
@@ -460,7 +463,7 @@ object TextAnalysis {
     // when the shifted side runs out zip_with pads with null; the
     // `when` keeps the pad null (concat_ws would swallow it and emit a
     // bogus trailing unigram) and the filter below drops it
-    val bigrams = zip_with(toks, slice(toks, 2, greatest(size(toks) - 1, lit(0))),
+    val bigrams = zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
       (a, b) => when(b.isNotNull, concat_ws(" ", a, b)))
     val ex = Dedup.spreadById(docs, idCol, textCol)
       .select(col(idCol), explode(bigrams).as("bg"))

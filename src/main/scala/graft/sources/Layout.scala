@@ -108,8 +108,11 @@ object Layout {
     * order — compaction must not destroy the clustering that
     * [[zorderWrite]] or a sorted ingest established — so the bin id is
     * simply `floor(running-size-before / target)`: greedy sequential
-    * packing, every bin ≥ target except the last, all EXACT integer
-    * arithmetic (`div`).
+    * packing in EXACT integer arithmetic (`div`). A file that
+    * overshoots a bin boundary is charged to the bin it started in, so
+    * the bin right after an oversized file can land under target —
+    * acceptable for a compaction plan (bins stay contiguous in key
+    * order, and no bin exceeds target + one file).
     *
     * Scale note: this operates on table METADATA (one row per file),
     * not data — a 100 TB table is a few hundred thousand file rows, so
