@@ -2019,6 +2019,98 @@ object OracleSql {
         |  COALESCE(wo.n_without_open, 0) AS n_without_open
         |FROM nation n LEFT JOIN w ON n.n_nationkey = w.c_nationkey
         |LEFT JOIN wo ON n.n_nationkey = wo.c_nationkey
-        |ORDER BY nation""".stripMargin
+        |ORDER BY nation""".stripMargin,
+
+    // mirrors Graph.triangleCounts over the part co-purchase graph:
+    // degree-ordered orientation, wedge join at the lowest-ordered
+    // apex, closure via EXISTS, per-vertex participation counts
+    "q_triangles" ->
+      """WITH raw AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |und AS (SELECT DISTINCT LEAST(u, v) AS u, GREATEST(u, v) AS v FROM raw),
+        |deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS deg
+        |  FROM (SELECT u AS id FROM und UNION ALL SELECT v AS id FROM und) GROUP BY id),
+        |o AS (
+        |  SELECT CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND und.u < und.v)
+        |              THEN und.u ELSE und.v END AS a,
+        |         CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND und.u < und.v)
+        |              THEN und.v ELSE und.u END AS b
+        |  FROM und JOIN deg d1 ON und.u = d1.id JOIN deg d2 ON und.v = d2.id),
+        |tri AS (
+        |  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+        |  FROM o e1 JOIN o e2 ON e1.a = e2.a AND e1.b <> e2.b
+        |  WHERE EXISTS (SELECT 1 FROM o o3 WHERE o3.a = e1.b AND o3.b = e2.b)),
+        |tv AS (SELECT unnest([a, b, c]) AS id FROM tri)
+        |SELECT id, CAST(COUNT(*) AS BIGINT) AS triangles
+        |FROM tv GROUP BY id ORDER BY triangles DESC, id LIMIT 100""".stripMargin,
+
+    // mirrors TextAnalysis.ngramLmCounts: unigram counts + distinct
+    // successor/predecessor counts per token + scaled KN continuation
+    "q_ngram_lm" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |uni AS (SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS c_uni
+        |  FROM (SELECT unnest(tk) AS t FROM toks) GROUP BY t),
+        |bg0 AS (SELECT unnest(list_transform(range(1, len(tk)),
+        |    i -> {'w1': tk[i], 'w2': tk[i + 1]})) AS u FROM toks),
+        |bg AS (SELECT u.w1 AS w1, u.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM bg0 GROUP BY u.w1, u.w2),
+        |succ AS (SELECT w1 AS token, CAST(COUNT(*) AS BIGINT) AS n_succ FROM bg GROUP BY w1),
+        |pred AS (SELECT w2 AS token, CAST(COUNT(*) AS BIGINT) AS n_pred FROM bg GROUP BY w2),
+        |ty AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bigram_types FROM bg)
+        |SELECT u.token, u.c_uni,
+        |  COALESCE(s.n_succ, 0) AS n_succ,
+        |  COALESCE(p.n_pred, 0) AS n_pred,
+        |  CAST(FLOOR(1000000.0 * CAST(COALESCE(p.n_pred, 0) AS DOUBLE)
+        |    / CAST(ty.n_bigram_types AS DOUBLE)) AS BIGINT) AS kn_cont_scaled
+        |FROM uni u LEFT JOIN succ s USING (token) LEFT JOIN pred p USING (token)
+        |CROSS JOIN ty
+        |ORDER BY token""".stripMargin,
+
+    // mirrors TextAnalysis.vocabCoverage: top-8 vocab by doc freq
+    // (doc_freq DESC, token ASC cut), per-doc OOV fraction scaled
+    "q_vocab_coverage" ->
+      """WITH ex0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |exd AS (SELECT DISTINCT doc_id, token FROM ex0),
+        |dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_freq FROM exd GROUP BY token),
+        |vocab AS (SELECT token FROM dfreq ORDER BY doc_freq DESC, token ASC LIMIT 8),
+        |j AS (SELECT e.doc_id, CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END AS inv
+        |  FROM ex0 e LEFT JOIN vocab v ON e.token = v.token)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(inv) AS BIGINT) AS n_in_vocab,
+        |  CAST(FLOOR(10000.0 * CAST(COUNT(*) - SUM(inv) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS oov_scaled
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // mirrors Versioning.snapshotDiff on the two derived order
+    // versions: content hash = hash60(concat_ws(0x01, cols)), statuses
+    // from the full-outer null/equality pattern
+    "q_snapshot_diff" ->
+      s"""WITH base AS (SELECT o_orderkey, ${sc("o_totalprice", 2)} AS price_c, o_orderstatus
+         |  FROM orders),
+         |v1 AS (SELECT o_orderkey,
+         |    ${h60("concat_ws(chr(1), CAST(price_c AS VARCHAR), o_orderstatus)")} AS h
+         |  FROM base WHERE o_orderkey % 7 <> 0),
+         |v2 AS (SELECT o_orderkey,
+         |    ${h60("concat_ws(chr(1), CAST(CASE WHEN o_orderkey % 3 = 0 THEN price_c + 100 ELSE price_c END AS VARCHAR), o_orderstatus)")} AS h
+         |  FROM base WHERE o_orderkey % 5 <> 0)
+         |SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+         |  CASE WHEN v1.h IS NULL THEN 'added'
+         |       WHEN v2.h IS NULL THEN 'removed'
+         |       WHEN v1.h <> v2.h THEN 'changed'
+         |       ELSE 'unchanged' END AS status
+         |FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+         |ORDER BY o_orderkey""".stripMargin,
+
+    // ((1995 ∩ 1996) − 1997) with explicit nesting — INTERSECT/EXCEPT
+    // precedence never consulted
+    "q_set_ops" ->
+      """WITH y95 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+        |y96 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+        |y97 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997),
+        |b AS (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96)
+        |SELECT o_custkey FROM b EXCEPT SELECT o_custkey FROM y97
+        |ORDER BY o_custkey""".stripMargin
   )
 }

@@ -1044,6 +1044,62 @@ object SparkEntry {
       .orderBy("nation")
   }
 
+  /** Local triangle counts over the part co-purchase graph (parts
+    * linked when they ship in the same order) — degree-ordered
+    * orientation, top 100 vertices. */
+  private def qTriangles(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("p2")), "l_orderkey")
+      .filter(col("l_partkey") < col("p2"))
+      .select(col("l_partkey").as("u"), col("p2").as("v"))
+    Graph.triangleCounts(pairs, "u", "v")
+      .orderBy(col("triangles").desc, col("id"))
+      .limit(100)
+  }
+
+  /** Kneser-Ney count tables (unigram, distinct successors/
+    * predecessors, scaled continuation probability) over the corpus. */
+  private def qNgramLm(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.ngramLmCounts(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("token")
+
+  /** Per-document OOV rate against the corpus's top-8 vocabulary
+    * (the synthetic corpus has ~31 distinct tokens, so top-8 leaves a
+    * real OOV tail to measure). */
+  private def qVocabCoverage(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabCoverage(Tables.documents(s, dir), "doc_id", "text", vocabK = 8)
+      .orderBy("doc_id")
+
+  /** Snapshot diff between two deterministically-derived versions of
+    * the orders table: v1 drops orderkey%7=0, v2 drops orderkey%5=0
+    * and bumps the (cent-scaled) price by 100 on orderkey%3=0 — so
+    * every status (added/removed/changed/unchanged) is exercised.
+    * Prices compare as exact cent longs, never as formatted doubles. */
+  private def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderkey"), scaled(col("o_totalprice"), 2).as("price_c"),
+        col("o_orderstatus"))
+    val v1 = base.filter(col("o_orderkey") % 7 =!= 0)
+    val v2 = base.filter(col("o_orderkey") % 5 =!= 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 3 === 0, col("price_c") + 100L)
+          .otherwise(col("price_c")).as("price_c"),
+        col("o_orderstatus"))
+    Versioning.snapshotDiff(v1, v2, Seq("o_orderkey"), Seq("price_c", "o_orderstatus"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Set-operation coverage: customers ordering in both 1995 and 1996
+    * (INTERSECT) minus those also ordering in 1997 (EXCEPT). */
+  private def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    def custsIn(year: Int) = Tables.orders(s, dir)
+      .filter(org.apache.spark.sql.functions.year(col("o_orderdate")) === year)
+      .select(col("o_custkey"))
+    custsIn(1995).intersect(custsIn(1996)).except(custsIn(1997))
+      .orderBy("o_custkey")
+  }
+
   // ──────────────────────────────────────────────────────────────────
   // Registry
   // ──────────────────────────────────────────────────────────────────
@@ -1153,7 +1209,12 @@ object SparkEntry {
     "q_text_normalize" -> (qTextNormalize _),
     "q_pagerank" -> (qPagerank _),
     "q_compaction_plan" -> (qCompactionPlan _),
-    "q_semi_anti" -> (qSemiAnti _)
+    "q_semi_anti" -> (qSemiAnti _),
+    "q_triangles" -> (qTriangles _),
+    "q_ngram_lm" -> (qNgramLm _),
+    "q_vocab_coverage" -> (qVocabCoverage _),
+    "q_snapshot_diff" -> (qSnapshotDiff _),
+    "q_set_ops" -> (qSetOps _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

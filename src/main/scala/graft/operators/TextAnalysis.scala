@@ -560,4 +560,73 @@ object TextAnalysis {
         coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
+
+  /** N-gram language-model count tables — the distributed-counting
+    * core of training a Kneser-Ney smoothed LM over a corpus (the
+    * classic data-side prerequisite for perplexity filtering): per
+    * token, the unigram count, the number of DISTINCT successors
+    * (N₁₊(w,•), the KN backoff-weight numerator), the number of
+    * DISTINCT predecessors (N₁₊(•,w), the KN continuation-probability
+    * numerator), and the continuation probability itself scaled to an
+    * exact long (⌊10⁶ · N₁₊(•,w) / bigram-type-count⌋ — one IEEE
+    * division, bit-portable, no log()).
+    *
+    * Scale shape: bigram extraction is the same narrow self-shift
+    * zip_with as [[bigramCommonness]] (no self-join); every aggregate
+    * is a partial-aggregable grouped count (the Zipfian head combines
+    * map-side); the bigram-type total is one broadcast scalar. Tokens
+    * stay strings here — the output IS the vocabulary table, and
+    * vocabulary cardinality (≤ millions) is far below corpus
+    * cardinality, so the string key costs nothing at 100 TB. */
+  def ngramLmCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val bigrams = zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (a, b) => when(b.isNotNull, struct(a.as("w1"), b.as("w2"))))
+    val spread = Dedup.spreadById(docs, idCol, textCol)
+    val uni = spread.select(explode(toks).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c_uni"))
+    val bg = spread.select(explode(bigrams).as("bg"))
+      .filter(col("bg").isNotNull)
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // feeds succ, pred AND the type total
+    val succ = bg.groupBy("w1").agg(count(lit(1)).as("n_succ"))
+    val pred = bg.groupBy("w2").agg(count(lit(1)).as("n_pred"))
+    val types = bg.select(count(lit(1)).as("n_bigram_types"))
+    uni
+      .join(succ.withColumnRenamed("w1", "token"), Seq("token"), "left")
+      .join(pred.withColumnRenamed("w2", "token"), Seq("token"), "left")
+      .crossJoin(broadcast(types))
+      .select(col("token"), col("c_uni"),
+        coalesce(col("n_succ"), lit(0L)).as("n_succ"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        floor(lit(1000000.0) * coalesce(col("n_pred"), lit(0L)).cast("double")
+          / col("n_bigram_types").cast("double")).cast("long").as("kn_cont_scaled"))
+  }
+
+  /** Vocabulary coverage / OOV rate per document against the corpus's
+    * own top-`vocabK` vocabulary — the tokenizer-fit diagnostic run
+    * before committing a vocab (or a filter against vocab-mismatched
+    * sources): documents whose tokens fall outside the head vocabulary
+    * are either another language, another domain, or noise.
+    *
+    * Scale shape: the vocabulary is [[vocabTopK]] (two partial-agg
+    * shuffles, k rows) broadcast into a map-side LEFT join against the
+    * exploded corpus — the per-doc rollup is then one
+    * partial-aggregable shuffle on doc id. OOV fraction is
+    * floor-scaled after one division: exact, oracle-checkable. */
+  def vocabCoverage(docs: DataFrame, idCol: String, textCol: String,
+                    vocabK: Int = 64): DataFrame = {
+    val vocab = vocabTopK(docs, idCol, textCol, vocabK)
+      .select(col("token"), lit(1L).as("__v"))
+    Dedup.spreadById(docs, idCol, textCol)
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("__v"), lit(0L))).as("n_in_vocab"))
+      .select(col(idCol), col("n_tokens"), col("n_in_vocab"),
+        floor(lit(10000.0) * (col("n_tokens") - col("n_in_vocab")).cast("double")
+          / col("n_tokens").cast("double")).cast("long").as("oov_scaled"))
+  }
 }

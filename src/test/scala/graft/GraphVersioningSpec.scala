@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funspec.AnyFunSpec
+import graft.operators.{Graph, TextAnalysis, Versioning}
+
+/** Triangle counting, LM count tables, vocab coverage, snapshot diff —
+  * the round-8 additions. */
+class GraphVersioningSpec extends AnyFunSpec {
+  import SharedSpark.spark
+  import spark.implicits._
+
+  describe("Graph.triangleCounts") {
+    it("counts the known triangles of a hand-built graph") {
+      // 1-2-3 triangle; 3-4-5 triangle; 5-6 pendant edge; so
+      // vertex 3 is in both, 5 in one, 6 in none
+      val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 3L), (5L, 6L))
+        .toDF("u", "v")
+      val got = Graph.triangleCounts(edges, "u", "v")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 1L))
+    }
+    it("is insensitive to edge direction and parallel duplicates") {
+      val a = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("u", "v")
+      val b = Seq((2L, 1L), (2L, 3L), (1L, 3L), (3L, 1L), (1L, 2L)).toDF("u", "v")
+      val ca = Graph.triangleCounts(a, "u", "v").orderBy("id").collect().toSeq
+      val cb = Graph.triangleCounts(b, "u", "v").orderBy("id").collect().toSeq
+      assert(ca == cb)
+    }
+    it("counts each K4 vertex in 3 triangles (complete-graph closure)") {
+      val k4 = (for { i <- 1 to 4; j <- 1 to 4 if i < j } yield (i.toLong, j.toLong))
+        .toDF("u", "v")
+      val got = Graph.triangleCounts(k4, "u", "v")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    }
+  }
+
+  describe("TextAnalysis.ngramLmCounts") {
+    it("matches hand-computed unigram/successor/predecessor counts") {
+      val docs = Seq((1L, "a b a b"), (2L, "b c")).toDF("doc_id", "text")
+      // bigrams: (a b)×2, (b a)×1, (b c)×1
+      val got = TextAnalysis.ngramLmCounts(docs, "doc_id", "text")
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got("a") == ((2L, 1L, 1L))) // 2 occurrences; a->b; b->a
+      assert(got("b") == ((3L, 2L, 1L))) // b->{a,c}; a->b
+      assert(got("c") == ((1L, 0L, 1L))) // sentence-final; b->c
+    }
+    it("scales continuation probability by the bigram type count") {
+      val docs = Seq((1L, "x y"), (2L, "z y")).toDF("doc_id", "text")
+      // types: (x y), (z y) => 2; y's n_pred = 2 => 10^6 * 2/2
+      val y = TextAnalysis.ngramLmCounts(docs, "doc_id", "text")
+        .filter($"token" === "y").collect().head
+      assert(y.getAs[Long]("kn_cont_scaled") == 1000000L)
+    }
+  }
+
+  describe("TextAnalysis.vocabCoverage") {
+    it("computes the OOV fraction against the top-k head") {
+      val docs = Seq(
+        (1L, "a a a b"), (2L, "a b rare"), (3L, "a b b x")).toDF("doc_id", "text")
+      // doc freq: a=3, b=3, rare=1, x=1 -> top-2 vocab = {a, b}
+      val got = TextAnalysis.vocabCoverage(docs, "doc_id", "text", vocabK = 2)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got(1L) == ((4L, 4L, 0L)))
+      assert(got(2L) == ((3L, 2L, 3333L))) // floor(1e4 * 1/3)
+      assert(got(3L) == ((4L, 3L, 2500L)))
+    }
+  }
+
+  describe("Versioning.snapshotDiff") {
+    it("labels added/removed/changed/unchanged correctly") {
+      val old = Seq((1L, "x", 10L), (2L, "y", 20L), (3L, "z", 30L)).toDF("k", "s", "n")
+      val neu = Seq((2L, "y", 20L), (3L, "z", 31L), (4L, "w", 40L)).toDF("k", "s", "n")
+      val got = Versioning.snapshotDiff(old, neu, Seq("k"), Seq("s", "n"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed", 4L -> "added"))
+    }
+    it("keeps the compare narrow: only key + one hash column travel into the join") {
+      val old = Seq((1L, "x", 10L)).toDF("k", "s", "n")
+      val neu = Seq((1L, "x", 10L)).toDF("k", "s", "n")
+      val plan = Versioning.snapshotDiff(old, neu, Seq("k"), Seq("s", "n"))
+        .queryExecution.executedPlan.toString
+      // the wide columns s/n must not appear in the join output
+      assert(plan.contains("__h_old") && plan.contains("__h_new"))
+      assert(plan.contains("FullOuter") || plan.contains("full_outer"))
+    }
+  }
+}
