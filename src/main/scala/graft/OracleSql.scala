@@ -2103,6 +2103,71 @@ object OracleSql {
          |FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
          |ORDER BY o_orderkey""".stripMargin,
 
+    // mirrors Similarity.pqTopK (m=32, ksub=16, subDim=2, one Lloyd
+    // round): seed codebook = subspace slices of the 16 md5-seeded
+    // sample vectors; one ⌊Σ/n⌋ integer-mean update per subspace
+    // (empty codes keep their seed); corpus codes by per-subspace
+    // argmin L2 (ties by code index); ADC score = sum over subspaces
+    // of the query's distance to the CODED centroid (the
+    // codes ⋈ query-subdistance join on (s, j=code))
+    "q_sim_pq" ->
+      s"""WITH $embSql,
+         |seeds AS (
+         |  SELECT vec_id AS sid, vq AS sq FROM en
+         |  ORDER BY ${h60("CAST(vec_id AS VARCHAR)")}, vec_id
+         |  LIMIT 16
+         |),
+         |cent AS (
+         |  SELECT sq, CAST(ROW_NUMBER() OVER (ORDER BY sid) - 1 AS BIGINT) AS j FROM seeds
+         |),
+         |cent0 AS (
+         |  SELECT s.s, c.j, list_transform(range(1, 3), k -> c.sq[s.s * 2 + k]) AS cq
+         |  FROM cent c CROSS JOIN (SELECT unnest(range(0, 32)) AS s) s
+         |),
+         |sd0 AS (
+         |  SELECT e.vec_id, c.s, c.j,
+         |    list_sum(list_transform(range(1, 3), k ->
+         |      (e.vq[c.s * 2 + k] - c.cq[k]) * (e.vq[c.s * 2 + k] - c.cq[k]))) AS d
+         |  FROM en e CROSS JOIN cent0 c
+         |),
+         |codes0 AS (
+         |  SELECT vec_id, s, j AS code FROM (
+         |    SELECT vec_id, s, j, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn
+         |    FROM sd0) WHERE rn = 1
+         |),
+         |comp AS (
+         |  SELECT c.s, c.code, ks.k,
+         |    CAST(FLOOR(SUM(e.vq[c.s * 2 + ks.k]) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS mn
+         |  FROM codes0 c JOIN en e USING (vec_id)
+         |  CROSS JOIN (SELECT unnest(range(1, 3)) AS k) ks
+         |  GROUP BY c.s, c.code, ks.k
+         |),
+         |cent1 AS (SELECT s, code AS j, list(mn ORDER BY k) AS cq FROM comp GROUP BY s, code),
+         |centf AS (
+         |  SELECT c0.s, c0.j, COALESCE(c1.cq, c0.cq) AS cq
+         |  FROM cent0 c0 LEFT JOIN cent1 c1 ON c0.s = c1.s AND c0.j = c1.j
+         |),
+         |subdist AS (
+         |  SELECT e.vec_id, c.s, c.j,
+         |    list_sum(list_transform(range(1, 3), k ->
+         |      (e.vq[c.s * 2 + k] - c.cq[k]) * (e.vq[c.s * 2 + k] - c.cq[k]))) AS d
+         |  FROM en e CROSS JOIN centf c
+         |),
+         |codes AS (
+         |  SELECT vec_id, s, j AS code FROM (
+         |    SELECT vec_id, s, j, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn
+         |    FROM subdist) WHERE rn = 1
+         |),
+         |score AS (
+         |  SELECT qd.vec_id AS query_id, c.vec_id AS corpus_id, CAST(SUM(qd.d) AS BIGINT) AS adc_dist
+         |  FROM codes c JOIN subdist qd ON qd.s = c.s AND qd.j = c.code
+         |  WHERE qd.vec_id % 50 = 0 AND qd.vec_id <> c.vec_id
+         |  GROUP BY qd.vec_id, c.vec_id
+         |),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist, corpus_id) AS rn FROM score)
+         |SELECT query_id, corpus_id, adc_dist, CAST(rn AS INTEGER) AS rank
+         |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+
     // ((1995 ∩ 1996) − 1997) with explicit nesting — INTERSECT/EXCEPT
     // precedence never consulted
     "q_set_ops" ->

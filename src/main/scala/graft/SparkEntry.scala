@@ -1090,6 +1090,17 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  /** PQ/ADC approximate top-k over the embeddings — the memory-side
+    * half of IVF-PQ (32 subspaces × 16 codes over the 64-dim vectors,
+    * one Lloyd round per subspace), same md5-seeded codebook family
+    * as q_sim_ivf. */
+  private def qSimPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.pqTopK(emb, emb.filter(col("vec_id") % 50 === 0),
+      "vec_id", "embedding", k = 5, m = 32, ksub = 16, dim = 64, refineIters = 1)
+      .orderBy("query_id", "rank")
+  }
+
   /** Set-operation coverage: customers ordering in both 1995 and 1996
     * (INTERSECT) minus those also ordering in 1997 (EXCEPT). */
   private def qSetOps(s: SparkSession, dir: String): DataFrame = {
@@ -1214,7 +1225,8 @@ object SparkEntry {
     "q_ngram_lm" -> (qNgramLm _),
     "q_vocab_coverage" -> (qVocabCoverage _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
-    "q_set_ops" -> (qSetOps _)
+    "q_set_ops" -> (qSetOps _),
+    "q_sim_pq" -> (qSimPq _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

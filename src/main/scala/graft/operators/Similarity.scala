@@ -335,6 +335,125 @@ object Similarity {
       .withColumn("n", normSqN(col("vq")))
   }
 
+  /** Product quantization with asymmetric-distance scoring (PQ/ADC —
+    * Jégou, Douze & Schmid, TPAMI'11): the memory-side half of the
+    * canonical IVF-PQ index behind every billion-vector ANN system.
+    * Vectors are split into `m` subspaces; each subspace slice is
+    * replaced by the index of its nearest codebook centroid, so a
+    * 64-dim vector stores as `m` small codes instead of 64 floats —
+    * at 100 TB that factor (here 64·4B → 8 codes) is what lets the
+    * index live in executor memory. Queries score candidates WITHOUT
+    * reconstructing vectors: each query precomputes its m×ksub
+    * distance table once (one narrow map over the tiny query side),
+    * and a corpus vector's approximate distance is m table lookups.
+    *
+    * Determinism contract (same as [[ivfTopK]]): the codebook is the
+    * md5-seeded sample — centroid j of subspace s is the s-slice of
+    * the j-th [[trainCellSeeds]] vector — and all distances are exact
+    * integer L2 over quantized vectors, so codes, tables and rankings
+    * are bit-reproducible and the DuckDB oracle checks the operator
+    * end-to-end. Argmin ties break by code index.
+    *
+    * Scale shape: encoding is one narrow pass over the corpus (codes
+    * never shuffle more than (id, m longs)); the codebook is a
+    * plan-time literal (m·ksub·subDim longs — broadcast-free); the
+    * query side broadcasts with its precomputed table; top-k runs as
+    * the usual WindowGroupLimit rank pushdown. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+             k: Int, m: Int = 8, ksub: Int = 16, dim: Int = 64,
+             refineIters: Int = 0): DataFrame = {
+    require(dim % m == 0, s"pqTopK: dim $dim not divisible by m $m")
+    val subDim = dim / m
+    val seeds = trainCellSeeds(corpus, idCol, vecCol, ksub)
+    // codebook(s)(j) = subspace-s slice of seed j; refineIters > 0
+    // Lloyd-refines each subspace codebook independently (the real
+    // PQ training step — same ⌊Σ/n⌋ exact-integer mean contract as
+    // [[kmeansRefine]], empty codes keep their seed)
+    var codebook: Seq[Seq[Seq[Long]]] =
+      (0 until m).map(s => seeds.map(_.slice(s * subDim, (s + 1) * subDim)))
+    if (refineIters > 0) {
+      import org.apache.spark.storage.StorageLevel
+      val sparts = corpus.sparkSession.sessionState.conf.numShufflePartitions
+      val vq = corpus.select(col(idCol).as("id"), col(vecCol).as("__v"))
+        .repartition(sparts, col("id"))
+        .select(quantize(col("__v")).as("vq"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      for (_ <- 0 until refineIters)
+        codebook = refinePqCodebook(vq, codebook, m, ksub, subDim)
+      vq.unpersist(blocking = false)
+    }
+    val cbLit = typedLit(codebook)
+
+    def subVec(vq: Column, s: Column): Column = slice(vq, s * subDim + 1, lit(subDim))
+    def l2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+    def centroid(s: Column, j: Column): Column =
+      element_at(element_at(cbLit, (s + 1).cast("int")), (j + 1).cast("int"))
+
+    val codes = transform(sequence(lit(0), lit(m - 1)), s =>
+      array_min(transform(sequence(lit(0), lit(ksub - 1)), j =>
+        struct(l2(subVec(col("cq"), s), centroid(s, j)).as("d"),
+          j.cast("long").as("j")))).getField("j"))
+    val qtab = transform(sequence(lit(0), lit(m - 1)), s =>
+      transform(sequence(lit(0), lit(ksub - 1)), j =>
+        l2(subVec(col("qq"), s), centroid(s, j))))
+
+    val parts = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__v"))
+      .repartition(parts, col("corpus_id")) // spread the CPU-bound encode
+      .select(col("corpus_id"), quantize(col("__v")).as("cq"))
+      .select(col("corpus_id"), codes.as("codes"))
+    val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qq"))
+      .select(col("query_id"), qtab.as("qtab"))
+    val adc = aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (acc, s) =>
+      acc + element_at(element_at(col("qtab"), (s + 1).cast("int")),
+        (element_at(col("codes"), (s + 1).cast("int")) + 1).cast("int")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist").asc, col("corpus_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"), adc.as("adc_dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** One Lloyd round per PQ subspace: assign each sub-vector to its
+    * nearest code (exact integer L2, ties by code index), recompute
+    * ⌊Σ/n⌋ integer-mean sub-centroids; empty codes keep their
+    * previous centroid. The collect is m·ksub·subDim longs — model
+    * sized, not data sized. */
+  private def refinePqCodebook(vq: DataFrame, cb: Seq[Seq[Seq[Long]]],
+                               m: Int, ksub: Int, subDim: Int): Seq[Seq[Seq[Long]]] = {
+    val cbLit = typedLit(cb)
+    def l2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+    val entry = explode(transform(sequence(lit(0), lit(m - 1)), s => {
+      val sub = slice(col("vq"), s * subDim + 1, lit(subDim))
+      val code = array_min(transform(sequence(lit(0), lit(ksub - 1)), j =>
+        struct(l2(sub, element_at(element_at(cbLit, (s + 1).cast("int")), (j + 1).cast("int"))).as("d"),
+          j.cast("long").as("j")))).getField("j")
+      struct(s.cast("long").as("s"), code.as("code"), sub.as("sub"))
+    }))
+    val sums = vq.select(entry.as("e"))
+      .select(col("e.s").as("s"), col("e.code").as("code"),
+        posexplode(col("e.sub")).as(Seq("k", "x")))
+      .groupBy("s", "code", "k")
+      .agg(sum(col("x")).as("sm"), count(lit(1)).as("c"))
+      .collect()
+    val means: Map[(Long, Long), Map[Int, Long]] = sums
+      .groupBy(r => (r.getAs[Long]("s"), r.getAs[Long]("code")))
+      .map { case (key, rows) =>
+        key -> rows.map(r => r.getAs[Int]("k") ->
+          Math.floorDiv(r.getAs[Long]("sm"), r.getAs[Long]("c"))).toMap
+      }
+    (0 until m).map(s => (0 until ksub).map { j =>
+      means.get((s.toLong, j.toLong)) match {
+        case Some(mm) => (0 until subDim).map(k => mm(k)): Seq[Long]
+        case None     => cb(s)(j)
+      }
+    }: Seq[Seq[Long]])
+  }
+
   /** The Lloyd update loop shared by [[kmeansRefine]] and the
     * refine-enabled [[ivfTopK]]: assign to nearest cell, recompute
     * ⌊Σ/n⌋ integer-mean centroids (a numCells × dim model collect),

@@ -92,6 +92,56 @@ class SimilaritySpec extends AnyFunSpec {
     }
   }
 
+  describe("pqTopK") {
+    it("separates far clusters: queries from cluster A rank only A vectors first") {
+      // two tight clusters far apart; 4 points each + 1 query per side
+      def mk(id: Long, base: Float, wiggle: Float) =
+        (id, Array.tabulate(64)(i => base + (if (i == (id % 64).toInt) wiggle else 0f)))
+      val a = (1L to 4L).map(mk(_, 1.0f, 0.01f))
+      val b = (101L to 104L).map(mk(_, -1.0f, 0.01f))
+      val corpus = (a ++ b).toDF("vec_id", "embedding")
+      val queries = Seq(mk(1L, 1.0f, 0.01f)).toDF("vec_id", "embedding")
+      val top = Similarity.pqTopK(corpus, queries, "vec_id", "embedding",
+        k = 3, m = 8, ksub = 4)
+        .select("corpus_id").as[Long].collect().toSet
+      assert(top.subsetOf(Set(2L, 3L, 4L)), s"got $top")
+    }
+    it("achieves reasonable recall vs brute force on real embeddings") {
+      val emb = Tables.embeddings(spark, dir)
+      val queries = emb.filter($"vec_id" % 50 === 0)
+      val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+        .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+      val pq = Similarity.pqTopK(emb, queries, "vec_id", "embedding", k = 5,
+        m = 32, ksub = 16, refineIters = 1)
+        .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+      // near-random synthetic vectors are PQ's worst case; with 32
+      // Lloyd-trained subspaces ~half the true neighbors still rank
+      val recall = exact.intersect(pq).size.toDouble / exact.size
+      assert(recall >= 0.4, s"recall $recall")
+      // Lloyd refinement must beat the raw sampled codebook
+      val sampled = Similarity.pqTopK(emb, queries, "vec_id", "embedding", k = 5,
+        m = 32, ksub = 16, refineIters = 0)
+        .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+      assert(recall >= exact.intersect(sampled).size.toDouble / exact.size)
+      // deterministic end-to-end
+      val again = Similarity.pqTopK(emb, queries, "vec_id", "embedding", k = 5,
+        m = 32, ksub = 16, refineIters = 1)
+        .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+      assert(pq == again)
+    }
+    it("exact duplicates of a query get identical ADC distance") {
+      val v = Array.tabulate(64)(i => (i % 7).toFloat / 7f)
+      val far = Array.fill(64)(-3f)
+      val corpus = Seq((10L, v), (11L, v), (12L, far)).toDF("vec_id", "embedding")
+      val queries = Seq((1L, v)).toDF("vec_id", "embedding")
+      val rows = Similarity.pqTopK(corpus, queries, "vec_id", "embedding",
+        k = 3, m = 8, ksub = 2)
+        .select("corpus_id", "adc_dist").as[(Long, Long)].collect().toMap
+      assert(rows(10L) == rows(11L))
+      assert(rows(12L) > rows(10L))
+    }
+  }
+
   describe("ivfAssign") {
     it("assigns every vector to exactly one in-range cell, deterministically") {
       val emb = Tables.embeddings(spark, dir)
