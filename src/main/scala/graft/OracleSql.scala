@@ -2026,9 +2026,12 @@ object OracleSql {
     // apex, closure via EXISTS, per-vertex participation counts
     "q_triangles" ->
       """WITH raw AS (
-        |  SELECT a.l_partkey AS u, b.l_partkey AS v
-        |  FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |  SELECT u, v FROM (
+        |    SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS n
+        |    FROM lineitem a JOIN lineitem b
+        |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |    GROUP BY a.l_partkey, b.l_partkey)
+        |  WHERE n >= 2),
         |und AS (SELECT DISTINCT LEAST(u, v) AS u, GREATEST(u, v) AS v FROM raw),
         |deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS deg
         |  FROM (SELECT u AS id FROM und UNION ALL SELECT v AS id FROM und) GROUP BY id),

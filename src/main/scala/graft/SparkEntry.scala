@@ -1045,14 +1045,18 @@ object SparkEntry {
   }
 
   /** Local triangle counts over the part co-purchase graph (parts
-    * linked when they ship in the same order) — degree-ordered
-    * orientation, top 100 vertices. */
+    * linked when they ship together in >= 2 orders — the standard
+    * market-basket minimum-support cut, which prunes the one-off
+    * random pairings that would otherwise dominate the edge set) —
+    * degree-ordered orientation, top 100 vertices. */
   private def qTriangles(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
     val pairs = li
       .join(li.select(col("l_orderkey"), col("l_partkey").as("p2")), "l_orderkey")
       .filter(col("l_partkey") < col("p2"))
-      .select(col("l_partkey").as("u"), col("p2").as("v"))
+      .groupBy(col("l_partkey").as("u"), col("p2").as("v"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
     Graph.triangleCounts(pairs, "u", "v")
       .orderBy(col("triangles").desc, col("id"))
       .limit(100)
