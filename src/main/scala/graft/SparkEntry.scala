@@ -1044,6 +1044,21 @@ object SparkEntry {
       .orderBy("nation")
   }
 
+  /** Mergeable KLL quantile sketches: per-returnflag sketches of
+    * lineitem quantity rolled up to a global sketch by merge —
+    * quantiles at every grain from one raw-data pass. Approximate
+    * ⇒ no DuckDB oracle (rows-only check, like q_approx_distinct);
+    * accuracy vs exact percentiles and the merge law live in
+    * SketchesSpec. */
+  private def qQuantileSketch(s: SparkSession, dir: String): DataFrame = {
+    val per = Sketches.quantileSketchByGroup(
+      Tables.lineitem(s, dir), Seq("l_returnflag"), "l_quantity")
+    val global = Sketches.quantileRollup(per, Seq.empty)
+      .withColumn("l_returnflag", lit("__all__"))
+    Sketches.quantilesFromSketch(per.unionByName(global), Seq(0.5, 0.9, 0.99))
+      .orderBy("l_returnflag")
+  }
+
   /** Local triangle counts over the part co-purchase graph (parts
     * linked when they ship together in >= 2 orders — the standard
     * market-basket minimum-support cut, which prunes the one-off
@@ -1230,7 +1245,8 @@ object SparkEntry {
     "q_vocab_coverage" -> (qVocabCoverage _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_set_ops" -> (qSetOps _),
-    "q_sim_pq" -> (qSimPq _)
+    "q_sim_pq" -> (qSimPq _),
+    "q_quantile_sketch" -> (qQuantileSketch _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -74,6 +74,45 @@ object Sketches {
     out.toByteArray
   }
 
+  /** One KLL quantile sketch per group (DataSketches KLL via Spark's
+    * `kll_sketch_agg_double`) — the mergeable QUANTILE companion to
+    * the HLL/CMS sketches: KLL answers "what is the p99 of x" with a
+    * published rank-error bound (~1.65% at k=200), in kilobytes,
+    * mergeable upward without rescanning raw data. Exact grouped
+    * percentiles ([[graft.SparkEntry]] q_quantiles) buffer per-group
+    * value multisets; at 100 TB the sketch IS the only way to keep
+    * every (day × source) percentile query out of the raw data.
+    *
+    * Output: groupCols*, n_rows, kll (binary). */
+  def quantileSketchByGroup(df: DataFrame, groupCols: Seq[String],
+                            valueCol: String, k: Int = 200): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        call_function("kll_sketch_agg_double", col(valueCol).cast("double"), lit(k))
+          .as("kll"))
+
+  /** Read quantiles out of a sketched frame: one `p<pct>` column per
+    * requested fraction, plus the sketch's own exact item count
+    * (`kll_n` — KLL tracks n exactly; only ranks are approximate). */
+  def quantilesFromSketch(sketched: DataFrame, ps: Seq[Double]): DataFrame = {
+    val qs = ps.map(p =>
+      call_function("kll_sketch_get_quantile_double", col("kll"), lit(p))
+        .as(s"p${(p * 100).round}"))
+    sketched.select(
+      sketched.columns.filterNot(_ == "kll").map(col).toSeq ++
+        (call_function("kll_sketch_get_n_double", col("kll")).as("kll_n") +: qs): _*)
+  }
+
+  /** Roll fine-grain KLL sketches to a coarser grain by merge —
+    * kilobytes per group, raw data untouched. */
+  def quantileRollup(sketched: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val grouped =
+      if (groupCols.isEmpty) sketched.groupBy()
+      else sketched.groupBy(groupCols.map(col): _*)
+    grouped.agg(sum(col("n_rows")).as("n_rows"),
+      call_function("kll_merge_agg_double", col("kll")).as("kll"))
+  }
+
   /** Roll fine-grain sketches up to a coarser grain by HLL union —
     * O(groups × sketch bytes), no raw data touched. `allowDifferentLgK`
     * stays false: silently unioning mixed-precision sketches hides a

@@ -62,6 +62,26 @@ class EmptyInputSpec extends AnyFunSpec {
       assert(Similarity.randomProject(noVecs, "vec_id", "embedding").isEmpty)
       assert(Similarity.kmeansRefine(noVecs, "vec_id", "embedding").isEmpty)
     }
+    it("round-8 operators degrade to empty output on empty input") {
+      val noEdges = Seq.empty[(Long, Long)].toDF("u", "v")
+      assert(Graph.triangleCounts(noEdges, "u", "v").isEmpty)
+      assert(TextAnalysis.ngramLmCounts(emptyDocs, "doc_id", "text").isEmpty)
+      assert(TextAnalysis.vocabCoverage(emptyDocs, "doc_id", "text").isEmpty)
+      assert(TextAnalysis.bm25TopK(emptyDocs, "doc_id", "text", Seq("x")).isEmpty)
+      assert(TextAnalysis.bigramCommonness(emptyDocs, "doc_id", "text").isEmpty)
+      assert(TextAnalysis.hashedLinearScore(emptyDocs, "doc_id", "text").isEmpty)
+      assert(TextAnalysis.cooccurrenceLift(emptyDocs, "doc_id", "text").isEmpty)
+      assert(TextAnalysis.stripHotShingles(emptyDocs, "doc_id", "text").isEmpty)
+      val noRows = Seq.empty[(Long, String, Long)].toDF("k", "s", "n")
+      assert(Versioning.snapshotDiff(noRows, noRows, Seq("k"), Seq("s", "n")).isEmpty)
+      // one-sided diff: everything in the surviving side is labeled
+      val one = Seq((1L, "x", 1L)).toDF("k", "s", "n")
+      val added = Versioning.snapshotDiff(noRows, one, Seq("k"), Seq("s", "n"))
+        .collect().map(_.getString(1)).toSeq
+      assert(added == Seq("added"))
+      val noVecs8 = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+      assert(Similarity.pqTopK(noVecs8, noVecs8, "vec_id", "embedding", k = 3).isEmpty)
+    }
     it("calendar rolling, sector mart, image decode, z-order write on empty input") {
       assert(DailyAnalytics.calendarRolling(emptyBars).isEmpty)
       val dim = Seq.empty[(Long, String, String)].toDF("symbol", "sector", "market_cap_tier")

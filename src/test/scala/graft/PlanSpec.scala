@@ -54,6 +54,36 @@ class PlanSpec extends AnyFunSpec {
       assert(!p.contains("SortMergeJoin"), s"unexpected SortMergeJoin, plan:\n$p")
     }
 
+    it("vocab coverage joins the top-k vocabulary by broadcast — the token stream never sort-merges") {
+      val p = plan(SparkEntry.queries("q_vocab_coverage")(spark, dir))
+      assert(p.contains("BroadcastHashJoin"), s"expected broadcast vocab join, plan:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"unexpected SortMergeJoin, plan:\n$p")
+    }
+
+    it("triangle closure is a left-semi equi join — no nested-loop join in the wedge plan") {
+      val p = plan(SparkEntry.queries("q_triangles")(spark, dir))
+      assert(p.contains("LeftSemi"), s"expected LeftSemi closure, plan:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"unexpected nested-loop join, plan:\n$p")
+    }
+
+    it("snapshot diff compares hashes, not rows: the full-outer join carries key + one long per side") {
+      val base = graft.sources.Tables.orders(spark, dir)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      val p = plan(graft.operators.Versioning.snapshotDiff(
+        base, base, Seq("o_orderkey"), Seq("o_totalprice", "o_orderstatus")))
+      assert(p.contains("FullOuter"), s"expected a full-outer join, plan:\n$p")
+      // the compared columns collapse to __h_* in the scan-stage
+      // projection (below the exchange)...
+      assert(p.contains("AS __h_old") && p.contains("AS __h_new"),
+        s"expected scan-stage hash projections, plan:\n$p")
+      // ...and the join OUTPUT (the status projection) carries only the
+      // key + hashes — the wide columns never cross the exchange
+      val outLine = p.linesIterator.find(_.contains("CASE WHEN isnull")).getOrElse("")
+      assert(outLine.nonEmpty && !outLine.contains("o_totalprice"),
+        s"wide column crossed the join, plan:\n$p")
+    }
+
     it("cohort retention proves membership with a semi join (no payload forwarded)") {
       val p = plan(SparkEntry.queries("q_retention")(spark, dir))
       assert(p.contains("LeftSemi"), s"expected a LeftSemi join, plan:\n$p")

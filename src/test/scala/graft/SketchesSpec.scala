@@ -74,6 +74,31 @@ class SketchesSpec extends AnyFunSpec {
       }
     }
 
+    it("KLL: sketch quantiles land within the rank-error contract of exact percentiles") {
+      val li = Tables.lineitem(spark, dir)
+      val n = li.count()
+      val sk = Sketches.quantileSketchByGroup(li.withColumn("g", lit(1)), Seq("g"), "l_quantity")
+      val got = Sketches.quantilesFromSketch(sk, Seq(0.5, 0.9))
+        .select($"kll_n", $"p50", $"p90").as[(Long, Double, Double)].head()
+      assert(got._1 == n) // n is tracked exactly
+      // k=200 ⇒ ~1.65% rank error: the returned value's true rank must
+      // be within eps of the requested rank
+      def rankOf(v: Double): Double =
+        li.filter($"l_quantity" <= v).count().toDouble / n
+      assert(math.abs(rankOf(got._2) - 0.5) <= 0.05, s"p50=${got._2} rank=${rankOf(got._2)}")
+      assert(math.abs(rankOf(got._3) - 0.9) <= 0.05, s"p90=${got._3} rank=${rankOf(got._3)}")
+    }
+    it("KLL: rolled-up per-group sketches answer like the whole-data sketch (n exact, ranks in-bound)") {
+      val li = Tables.lineitem(spark, dir)
+      val per = Sketches.quantileSketchByGroup(li, Seq("l_returnflag"), "l_quantity")
+      val rolled = Sketches.quantileRollup(per, Seq.empty)
+      val got = Sketches.quantilesFromSketch(rolled, Seq(0.5))
+        .select($"kll_n", $"p50").as[(Long, Double)].head()
+      assert(got._1 == li.count())
+      val n = li.count()
+      val rank = li.filter($"l_quantity" <= got._2).count().toDouble / n
+      assert(math.abs(rank - 0.5) <= 0.05, s"merged p50=${got._2} rank=$rank")
+    }
     it("rejects mixed-precision unions instead of silently degrading") {
       val a = Sketches.distinctSketchByGroup(
         Seq((1L, "x")).toDF("id", "k"), Seq("k"), "id", lgK = 12)
