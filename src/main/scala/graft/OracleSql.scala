@@ -561,6 +561,42 @@ object OracleSql {
          |FROM g GROUP BY user_id, sid
          |ORDER BY user_id, session_start""".stripMargin,
 
+    // mirrors qApproxTopK: under-capacity approx_top_k is exact, so
+    // the oracle is plain grouped counts with the same deterministic
+    // (count DESC, item ASC) top-3 cut per source + the global row
+    "q_approx_topk" ->
+      """WITH base AS (SELECT source, lang FROM documents),
+        |u AS (SELECT source, lang FROM base
+        |      UNION ALL SELECT '__all__' AS source, lang FROM base),
+        |c AS (SELECT source, lang AS item, CAST(COUNT(*) AS BIGINT) AS est_count
+        |  FROM u GROUP BY source, lang),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY est_count DESC, item ASC) AS INTEGER) AS rank FROM c)
+        |SELECT source, item, est_count, rank FROM r WHERE rank <= 3
+        |ORDER BY source, rank""".stripMargin,
+
+    // Streaming-computed twin of q_session_windows: SAME oracle —
+    // session-state merging through the streaming engine must equal
+    // the batch sessionization row for row.
+    "q_stream_sessions" ->
+      s"""WITH t AS (
+         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS et, value FROM events
+         |),
+         |s AS (
+         |  SELECT *, CASE WHEN LAG(et) OVER w IS NULL OR et - LAG(et) OVER w >= INTERVAL 4 HOUR
+         |                 THEN 1 ELSE 0 END AS brk
+         |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY et)
+         |),
+         |g AS (
+         |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY et ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM s
+         |)
+         |SELECT user_id, MIN(et) AS session_start, MAX(et) + INTERVAL 4 HOUR AS session_end,
+         |  COUNT(*) AS n_events,
+         |  ${rd(s"SUM(${sc("value", 2)}) / 100.0", 2)} AS value_sum
+         |FROM g GROUP BY user_id, sid
+         |ORDER BY user_id, session_start""".stripMargin,
+
     // Dynamic-gap sessions (mirrors session_window with a Column gap:
     // an event merges while it starts before the running max of
     // previous event-ends; session end = max end of the chain)

@@ -135,6 +135,34 @@ object SparkEntry {
       .orderBy("symbol", "window_start")
   }
 
+  /** The 4-hour-gap sessionization computed THROUGH the streaming
+    * engine (readStream → watermark → session_window → AvailableNow
+    * snapshot sink) against q_session_windows' oracle — streaming ≡
+    * batch for MERGING session state, not just tumbling windows. */
+  private def qStreamSessions(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.TickStream
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_sess").toString
+    val evb = Tables.events(s, dir)
+    val ev = s.readStream.schema(evb.schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val sessions = ev.select(col("user_id"),
+        Adapters.eventTime(ev).cast("timestamp").as("event_time"), col("value"))
+      .withWatermark("event_time", "1 hour")
+      .groupBy(col("user_id"), session_window(col("event_time"), "4 hours").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        r2(sum(scaled(col("value"), 2)) / 1e2).as("value_sum"))
+      .select(col("user_id"),
+        col("sw.start").cast("timestamp_ntz").as("session_start"),
+        col("sw.end").cast("timestamp_ntz").as("session_end"),
+        col("n_events"), col("value_sum"))
+    val q = TickStream.snapshotSink(sessions, s"$out/table", s"$out/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$out/table").orderBy("user_id", "session_start")
+  }
+
   private def qRealtimeAnalytics(s: SparkSession, dir: String): DataFrame =
     TickAnalytics.realtimeAnalytics(Adapters.ticks(s, dir))
       .orderBy("symbol", "window_start")
@@ -1059,6 +1087,20 @@ object SparkEntry {
       .orderBy("l_returnflag")
   }
 
+  /** Mergeable approx-top-k heavy hitters: per-source frequent langs
+    * accumulated once, combined to a global state, drained with a
+    * deterministic (count DESC, item ASC) cut. Cardinality (langs per
+    * source) is far under the 64-slot capacity, so counts are exact
+    * and the DuckDB oracle checks the whole sketch path. */
+  private def qApproxTopK(s: SparkSession, dir: String): DataFrame = {
+    val per = Sketches.topKSketchByGroup(
+      Tables.documents(s, dir), Seq("source"), "lang")
+    val global = Sketches.topKRollup(per, Seq.empty)
+      .withColumn("source", lit("__all__"))
+    Sketches.topKFromSketch(per.unionByName(global), Seq("source"), k = 3)
+      .orderBy("source", "rank")
+  }
+
   /** Local triangle counts over the part co-purchase graph (parts
     * linked when they ship together in >= 2 orders — the standard
     * market-basket minimum-support cut, which prunes the one-off
@@ -1246,7 +1288,9 @@ object SparkEntry {
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_set_ops" -> (qSetOps _),
     "q_sim_pq" -> (qSimPq _),
-    "q_quantile_sketch" -> (qQuantileSketch _)
+    "q_quantile_sketch" -> (qQuantileSketch _),
+    "q_stream_sessions" -> (qStreamSessions _),
+    "q_approx_topk" -> (qApproxTopK _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

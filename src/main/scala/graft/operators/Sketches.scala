@@ -113,6 +113,55 @@ object Sketches {
       call_function("kll_merge_agg_double", col("kll")).as("kll"))
   }
 
+  /** One approx-top-k (frequent-items / space-saving) state per group
+    * — the mergeable HEAVY-HITTER companion sketch: "what are the most
+    * frequent values of x per group, and globally" from one raw-data
+    * pass, merged upward in state-sized (not data-sized) steps via
+    * `approx_top_k_combine`. While the number of distinct values stays
+    * under `maxTracked`, counts are EXACT (no evictions happen), which
+    * is what makes [[graft.SparkEntry]] q_approx_topk oracle-checkable
+    * on bounded-cardinality columns; past capacity the space-saving
+    * over-estimate bounds apply.
+    *
+    * Output: groupCols*, n_rows, topk (the accumulate state). */
+  def topKSketchByGroup(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                        maxTracked: Int = 64): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        call_function("approx_top_k_accumulate", col(valueCol), lit(maxTracked))
+          .as("topk"))
+
+  /** Merge per-group top-k states to a coarser grain. */
+  def topKRollup(sketched: DataFrame, groupCols: Seq[String],
+                 maxTracked: Int = 64): DataFrame = {
+    val grouped =
+      if (groupCols.isEmpty) sketched.groupBy()
+      else sketched.groupBy(groupCols.map(col): _*)
+    grouped.agg(sum(col("n_rows")).as("n_rows"),
+      call_function("approx_top_k_combine", col("topk"), lit(maxTracked)).as("topk"))
+  }
+
+  /** Read the top `k` items per group out of a sketched frame with a
+    * DETERMINISTIC cut: the estimate is drained fully (capacity items),
+    * then re-ranked (count DESC, item ASC) so boundary ties never
+    * depend on sketch-internal ordering. Output: groupCols*, item,
+    * est_count, rank. */
+  def topKFromSketch(sketched: DataFrame, groupCols: Seq[String], k: Int,
+                     maxTracked: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val drained = sketched.select(
+      groupCols.map(col) :+
+        explode(call_function("approx_top_k_estimate", col("topk"), lit(maxTracked)))
+          .as("e"): _*)
+      .select(groupCols.map(col) :+ col("e.item").as("item") :+
+        col("e.count").cast("long").as("est_count"): _*)
+    val w =
+      if (groupCols.isEmpty) Window.orderBy(col("est_count").desc, col("item").asc)
+      else Window.partitionBy(groupCols.map(col): _*)
+        .orderBy(col("est_count").desc, col("item").asc)
+    drained.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Roll fine-grain sketches up to a coarser grain by HLL union —
     * O(groups × sketch bytes), no raw data touched. `allowDifferentLgK`
     * stays false: silently unioning mixed-precision sketches hides a

@@ -99,6 +99,16 @@ class SketchesSpec extends AnyFunSpec {
       val rank = li.filter($"l_quantity" <= got._2).count().toDouble / n
       assert(math.abs(rank - 0.5) <= 0.05, s"merged p50=${got._2} rank=$rank")
     }
+    it("approx-top-k: under capacity the sketch counts are exact and the merge law holds") {
+      val docs = Tables.documents(spark, dir)
+      val per = Sketches.topKSketchByGroup(docs, Seq("source"), "lang")
+      val merged = Sketches.topKRollup(per, Seq.empty)
+      val got = Sketches.topKFromSketch(merged, Seq.empty, k = 100)
+        .select($"item", $"est_count").as[(String, Long)].collect().toMap
+      val exact = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+        .as[(String, Long)].collect().toMap
+      assert(got == exact) // capacity 64 >> distinct langs: no evictions
+    }
     it("rejects mixed-precision unions instead of silently degrading") {
       val a = Sketches.distinctSketchByGroup(
         Seq((1L, "x")).toDF("id", "k"), Seq("k"), "id", lgK = 12)
