@@ -575,6 +575,33 @@ object OracleSql {
         |SELECT source, item, est_count, rank FROM r WHERE rank <= 3
         |ORDER BY source, rank""".stripMargin,
 
+    // mirrors qAudioFrames: the payload is unhex(md5 chain), so DuckDB
+    // parses samples straight out of the same hex string — sample i =
+    // signed LE int16 at hex chars 4i+1(lo)/4i+3(hi); frames of 16
+    "q_audio_frames" ->
+      """WITH pay AS (
+        |  SELECT doc_id AS media_id,
+        |    md5(text) || md5(text || '1') || md5(text || '2') || md5(text || '3') ||
+        |    md5(text || '4') || md5(text || '5') || md5(text || '6') || md5(text || '7') AS hx
+        |  FROM documents),
+        |f AS (SELECT media_id, unnest(range(0, 4)) AS frame_idx, hx FROM pay),
+        |sv AS (
+        |  SELECT media_id, frame_idx,
+        |    list_transform(range(0, 16), i -> (
+        |      CASE WHEN ('0x' || substr(hx, CAST((frame_idx * 16 + i) * 4 + 1 AS INTEGER), 2))::BIGINT
+        |                 + 256 * ('0x' || substr(hx, CAST((frame_idx * 16 + i) * 4 + 3 AS INTEGER), 2))::BIGINT >= 32768
+        |           THEN ('0x' || substr(hx, CAST((frame_idx * 16 + i) * 4 + 1 AS INTEGER), 2))::BIGINT
+        |                 + 256 * ('0x' || substr(hx, CAST((frame_idx * 16 + i) * 4 + 3 AS INTEGER), 2))::BIGINT - 65536
+        |           ELSE ('0x' || substr(hx, CAST((frame_idx * 16 + i) * 4 + 1 AS INTEGER), 2))::BIGINT
+        |                 + 256 * ('0x' || substr(hx, CAST((frame_idx * 16 + i) * 4 + 3 AS INTEGER), 2))::BIGINT
+        |      END)) AS xs
+        |  FROM f)
+        |SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  CAST(16 AS INTEGER) AS n_samples,
+        |  CAST(list_sum(list_transform(xs, x -> x * x)) AS BIGINT) AS energy,
+        |  CAST(list_max(list_transform(xs, x -> abs(x))) AS INTEGER) AS peak
+        |FROM sv ORDER BY media_id, frame_idx""".stripMargin,
+
     // Streaming-computed twin of q_session_windows: SAME oracle —
     // session-state merging through the streaming engine must equal
     // the batch sessionization row for row.

@@ -1101,6 +1101,23 @@ object SparkEntry {
       .orderBy("source", "rank")
   }
 
+  /** Real PCM16 audio framing: 128 deterministic bytes per doc (8
+    * chained md5s) parsed as 64 little-endian signed samples, framed
+    * by 16 → exact integer energy/peak per frame. No codec involved
+    * (raw PCM is already the decoded form), so the full audio path is
+    * real computation under a DuckDB oracle that parses the same hex. */
+  private def qAudioFrames(s: SparkSession, dir: String): DataFrame = {
+    val parts = s.sessionState.conf.numShufflePartitions
+    val hexCols = (0 until 8).map(i =>
+      if (i == 0) md5(col("text")) else md5(concat(col("text"), lit(i.toString))))
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id").cast("long").as("media_id"),
+        unhex(concat(hexCols: _*)).as("payload"))
+      .repartition(parts, col("media_id")) // CPU-bound parse stage
+    Multimodal.pcmFrameFeatures(media, frameSamples = 16)
+      .orderBy("media_id", "frame_idx")
+  }
+
   /** Local triangle counts over the part co-purchase graph (parts
     * linked when they ship together in >= 2 orders — the standard
     * market-basket minimum-support cut, which prunes the one-off
@@ -1290,7 +1307,8 @@ object SparkEntry {
     "q_sim_pq" -> (qSimPq _),
     "q_quantile_sketch" -> (qQuantileSketch _),
     "q_stream_sessions" -> (qStreamSessions _),
-    "q_approx_topk" -> (qApproxTopK _)
+    "q_approx_topk" -> (qApproxTopK _),
+    "q_audio_frames" -> (qAudioFrames _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -113,6 +113,53 @@ object Multimodal {
       }(enc)
   }
 
+  /** ===== REAL audio framing =====
+    * Interprets the payload as 16-bit little-endian signed mono PCM —
+    * raw PCM IS the decoded form, so unlike compressed audio this
+    * needs no codec and every step is real computation: per
+    * non-overlapping frame of `frameSamples` samples, the exact
+    * integer energy Σx², the peak |x|, and the sample count (trailing
+    * partial frame kept; a trailing odd byte is ignored). This is the
+    * standard first stage of audio curation — silence trimming,
+    * clipping detection, energy-based VAD thresholds — and it is
+    * oracle-checkable because DuckDB can parse the same bytes from
+    * their hex form. Narrow mapPartitions (one pass per payload, no
+    * shuffle); frames-per-row is bounded by payload size. */
+  def pcmFrameFeatures(media: DataFrame, frameSamples: Int = 256): DataFrame = {
+    require(frameSamples > 0, "pcmFrameFeatures: frameSamples must be positive")
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("n_samples", IntegerType),
+      StructField("energy", LongType),
+      StructField("peak", IntegerType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select(col("media_id").cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val b = r.getAs[Array[Byte]](1)
+          val nSamp = b.length / 2
+          val nFrames = (nSamp + frameSamples - 1) / frameSamples
+          (0 until nFrames).iterator.map { f =>
+            val start = f * frameSamples
+            val end = math.min(start + frameSamples, nSamp)
+            var i = start
+            var energy = 0L
+            var peak = 0
+            while (i < end) {
+              val v = ((b(2 * i + 1): Int) << 8) | (b(2 * i) & 0xff)
+              energy += v.toLong * v
+              val a = if (v < 0) -v else v
+              if (a > peak) peak = a
+              i += 1
+            }
+            Row(id, f, end - start, energy, peak)
+          }
+        }
+      }(enc)
+  }
+
   /** JVM-side single-image helpers shared by the encode/decode
     * operators and their tests. 8-bit grayscale PNG is the chosen
     * wire format: lossless, JDK codec both directions, so

@@ -157,6 +157,29 @@ class TextMultimodalSpec extends AnyFunSpec {
     }
   }
 
+  describe("Multimodal.pcmFrameFeatures") {
+    it("computes exact energy and peak for known samples") {
+      // samples (LE int16): 1, -1, 256, -32768
+      val bytes = Array[Byte](1, 0, -1, -1, 0, 1, 0, -128)
+      val media = Seq((1L, bytes)).toDF("media_id", "payload")
+      val rows = Multimodal.pcmFrameFeatures(media, frameSamples = 4)
+        .collect().map(r => (r.getInt(1), r.getInt(2), r.getLong(3), r.getInt(4)))
+      assert(rows.toSeq == Seq((0, 4, 1L + 1L + 65536L + 1073741824L, 32768)))
+    }
+    it("keeps the trailing partial frame and ignores a trailing odd byte") {
+      val bytes = Array[Byte](2, 0, 3, 0, 4, 0, 99) // 3 samples + odd byte
+      val media = Seq((1L, bytes)).toDF("media_id", "payload")
+      val rows = Multimodal.pcmFrameFeatures(media, frameSamples = 2)
+        .orderBy("frame_idx")
+        .collect().map(r => (r.getInt(1), r.getInt(2), r.getLong(3), r.getInt(4)))
+      assert(rows.toSeq == Seq((0, 2, 13L, 3), (1, 1, 16L, 4)))
+    }
+    it("emits no frames for an empty payload") {
+      val media = Seq((1L, Array.empty[Byte])).toDF("media_id", "payload")
+      assert(Multimodal.pcmFrameFeatures(media).isEmpty)
+    }
+  }
+
   describe("Multimodal") {
     lazy val media = Multimodal.asMedia(docs, "doc_id", "text")
 
