@@ -575,6 +575,37 @@ object OracleSql {
         |SELECT source, item, est_count, rank FROM r WHERE rank <= 3
         |ORDER BY source, rank""".stripMargin,
 
+    // mirrors DailyAnalytics.marketBeta: day index = floor(mean of
+    // scale-4 returns), exact integer sums, one final slope division
+    "q_market_beta" ->
+      s"""${dailyChain("returns")},
+         |r AS (SELECT symbol, trade_date, ${sc4("daily_return_pct")} AS y
+         |  FROM returns WHERE daily_return_pct IS NOT NULL),
+         |mkt AS (SELECT trade_date,
+         |    CAST(FLOOR(SUM(y) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS x
+         |  FROM r GROUP BY trade_date),
+         |g AS (SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_days,
+         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |    CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+         |  FROM r JOIN mkt USING (trade_date)
+         |  GROUP BY symbol HAVING COUNT(*) >= 30)
+         |SELECT symbol, n_days,
+         |  ${rd("(n_days * sxy - sx * sy) / NULLIF(n_days * sxx - sx * sx, 0)", 4)} AS beta
+         |FROM g ORDER BY symbol""".stripMargin,
+
+    // mirrors DailyAnalytics.maxDrawdown: running close peak, per-row
+    // drawdown rounded BEFORE the min (same tree as the Spark side)
+    "q_max_drawdown" ->
+      s"""${dailyChain("returns")},
+         |p AS (SELECT symbol, close_price,
+         |    MAX(close_price) OVER (PARTITION BY symbol ORDER BY trade_date
+         |      ROWS UNBOUNDED PRECEDING) AS peak
+         |  FROM returns)
+         |SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_days,
+         |  MIN(${rd("(close_price - peak) / NULLIF(peak, 0) * 100", 4)}) AS max_drawdown_pct,
+         |  MAX(close_price) AS peak_close
+         |FROM p GROUP BY symbol ORDER BY symbol""".stripMargin,
+
     // mirrors qAudioFrames: the payload is unhex(md5 chain), so DuckDB
     // parses samples straight out of the same hex string — sample i =
     // signed LE int16 at hex chars 4i+1(lo)/4i+3(hi); frames of 16

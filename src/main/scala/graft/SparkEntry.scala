@@ -1101,6 +1101,16 @@ object SparkEntry {
       .orderBy("source", "rank")
   }
 
+  /** Per-symbol OLS beta vs the equal-weight market index. */
+  private def qMarketBeta(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.marketBeta(DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+      .orderBy("symbol")
+
+  /** Per-symbol maximum drawdown off the running close peak. */
+  private def qMaxDrawdown(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.maxDrawdown(DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+      .orderBy("symbol")
+
   /** Real PCM16 audio framing: 128 deterministic bytes per doc (8
     * chained md5s) parsed as 64 little-endian signed samples, framed
     * by 16 → exact integer energy/peak per frame. No codec involved
@@ -1308,7 +1318,9 @@ object SparkEntry {
     "q_quantile_sketch" -> (qQuantileSketch _),
     "q_stream_sessions" -> (qStreamSessions _),
     "q_approx_topk" -> (qApproxTopK _),
-    "q_audio_frames" -> (qAudioFrames _)
+    "q_audio_frames" -> (qAudioFrames _),
+    "q_market_beta" -> (qMarketBeta _),
+    "q_max_drawdown" -> (qMaxDrawdown _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -374,6 +374,56 @@ object DailyAnalytics {
         .as("return_corr"))
   }
 
+  /** Per-symbol market beta: the OLS slope of each symbol's daily
+    * returns against an equal-weighted market index built from the
+    * same panel — the classic systematic-risk measure next to
+    * [[pairCorrelation]]'s correlation matrix.
+    *
+    * Exactness: the market return for a day is ⌊Σy/n⌋ (one floor
+    * division over exact scale-4 longs — deterministic and portable);
+    * everything after is integer sums (Σx, Σy, Σxy, Σx²) and the
+    * textbook slope (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) as ONE final
+    * division. Scale shape: the index is a partial-aggregable grouped
+    * sum to days-dimension size (broadcast back), the per-symbol sums
+    * are one more partial-agg shuffle — two shuffles total, no windows.
+    */
+  def marketBeta(returns: DataFrame, minDays: Int = 30): DataFrame = {
+    val r = returns.filter(col("daily_return_pct").isNotNull)
+      .select(col("symbol"), col("trade_date"),
+        scaled(col("daily_return_pct"), 4).as("y"))
+      .localCheckpoint(true) // feeds the index build AND the join probe
+    val mkt = r.groupBy("trade_date")
+      .agg(sum(col("y")).as("m"), count(lit(1)).as("nsym"))
+      .select(col("trade_date"),
+        floor(col("m").cast("double") / col("nsym").cast("double")).cast("long").as("x"))
+    r.join(broadcast(mkt), "trade_date")
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .filter(col("n_days") >= minDays)
+      .select(col("symbol"), col("n_days"),
+        r4((col("n_days") * col("sxy") - col("sx") * col("sy")) /
+          nullifZero(col("n_days") * col("sxx") - col("sx") * col("sx"))).as("beta"))
+  }
+
+  /** Per-symbol maximum drawdown: the worst peak-to-trough decline of
+    * the close price (running-peak window, then a min) — the standard
+    * downside-risk summary the reference's performance mart implies
+    * but never ships. One exchange: the running peak shares the
+    * symbol-ordered window the returns lane already established. */
+  def maxDrawdown(returns: DataFrame): DataFrame = {
+    val peak = max(col("close_price"))
+      .over(bySymbol.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    returns
+      .withColumn("dd", r4((col("close_price") - peak) / nullifZero(peak) * 100))
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_days"),
+        min(col("dd")).as("max_drawdown_pct"),
+        max(col("close_price")).as("peak_close"))
+  }
+
   def martDailySummary(perf: DataFrame): DataFrame = {
     val ret = col("daily_return_pct")
     val orderKey = when(ret.isNotNull, struct(ret, col("symbol")))
