@@ -606,6 +606,38 @@ object OracleSql {
          |  MAX(close_price) AS peak_close
          |FROM p GROUP BY symbol ORDER BY symbol""".stripMargin,
 
+    // mirrors DailyAnalytics.resampleOhlc at unit=week, priceScale=2:
+    // first-open/last-close via arg_min/arg_max (trade_date unique per
+    // symbol), vwap = Σ close_fp·volume / Σ volume / 100 exactly
+    "q_resample_weekly" ->
+      s"""${dailyChain("bars")}
+         |SELECT symbol,
+         |  CAST(DATE_TRUNC('week', trade_date) AS DATE) AS period_start,
+         |  ARG_MIN(open_price, trade_date) AS open_price,
+         |  MAX(high_price) AS high_price,
+         |  MIN(low_price) AS low_price,
+         |  ARG_MAX(close_price, trade_date) AS close_price,
+         |  CAST(SUM(volume) AS BIGINT) AS volume,
+         |  CAST(COUNT(*) AS BIGINT) AS n_days,
+         |  ${rd("CAST(SUM(" + sc("close_price", 2) + " * volume) AS DOUBLE) / NULLIF(CAST(SUM(volume) AS BIGINT), 0) / 100.0", 4)} AS vwap
+         |FROM bars GROUP BY 1, 2 ORDER BY symbol, period_start""".stripMargin,
+
+    // mirrors DailyAnalytics.sharpeRatio: exact n/Σy longs, Σy² and
+    // the variance numerator in HUGEINT (mirrors Spark DECIMAL(38,0) —
+    // both cast the same exact integer to double), SQRT(252.0) shared
+    "q_sharpe" ->
+      s"""${dailyChain("returns")},
+         |g AS (SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_days,
+         |    CAST(SUM(y) AS BIGINT) AS sy,
+         |    SUM(CAST(y AS HUGEINT) * y) AS syy
+         |  FROM (SELECT symbol, ${sc4("daily_return_pct")} AS y
+         |        FROM returns WHERE daily_return_pct IS NOT NULL)
+         |  GROUP BY symbol HAVING COUNT(*) >= 30)
+         |SELECT symbol, n_days,
+         |  ${rd("CAST(sy AS DOUBLE) / n_days / 10000.0", 4)} AS mean_return_pct,
+         |  ${rd("(CAST(sy AS DOUBLE) / n_days) / NULLIF(SQRT(CAST(CAST(n_days AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE) / (n_days * (n_days - 1))), 0) * SQRT(252.0)", 4)} AS sharpe_annual
+         |FROM g ORDER BY symbol""".stripMargin,
+
     // mirrors qAudioFrames: the payload is unhex(md5 chain), so DuckDB
     // parses samples straight out of the same hex string — sample i =
     // signed LE int16 at hex chars 4i+1(lo)/4i+3(hi); frames of 16

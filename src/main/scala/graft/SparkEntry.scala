@@ -1111,6 +1111,16 @@ object SparkEntry {
     DailyAnalytics.maxDrawdown(DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
       .orderBy("symbol")
 
+  /** Weekly OHLCV resample with first-open/last-close and exact VWAP. */
+  private def qResampleWeekly(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.resampleOhlc(Adapters.dailyBars(s, dir), "week")
+      .orderBy("symbol", "period_start")
+
+  /** Per-symbol annualized Sharpe ratio in exact integer sums. */
+  private def qSharpe(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.sharpeRatio(DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+      .orderBy("symbol")
+
   /** Real PCM16 audio framing: 128 deterministic bytes per doc (8
     * chained md5s) parsed as 64 little-endian signed samples, framed
     * by 16 → exact integer energy/peak per frame. No codec involved
@@ -1320,7 +1330,9 @@ object SparkEntry {
     "q_approx_topk" -> (qApproxTopK _),
     "q_audio_frames" -> (qAudioFrames _),
     "q_market_beta" -> (qMarketBeta _),
-    "q_max_drawdown" -> (qMaxDrawdown _)
+    "q_max_drawdown" -> (qMaxDrawdown _),
+    "q_resample_weekly" -> (qResampleWeekly _),
+    "q_sharpe" -> (qSharpe _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -424,6 +424,73 @@ object DailyAnalytics {
         max(col("close_price")).as("peak_close"))
   }
 
+  /** Calendar resampling of daily bars to a coarser OHLCV grain (the
+    * classic weekly/monthly candlestick roll-up the reference's
+    * daily-only marts stop short of): per (symbol, period) the open is
+    * the FIRST open by date (`min_by`), the close the LAST close
+    * (`max_by`), high/low/volume the plain max/min/sum, plus a
+    * close-weighted VWAP in exact fixed-point (Σ close_fp·volume as a
+    * long, ONE final division).
+    *
+    * Scale shape: one partial-aggregable hash agg — min_by/max_by
+    * combine map-side like any other agg, so the shuffle carries one
+    * row per (symbol, period), not per day. `unit` is any
+    * `date_trunc` unit ("week", "month", "quarter", "year"); weeks
+    * start Monday (ISO) on both Spark and DuckDB.
+    * RANGE CONTRACT: Σ close_fp·volume fits a long while
+    * period volume · price·10² < 9.2e18 — beyond that switch the
+    * product to [[graft.functions.Funcs.money]] DECIMAL(38,2). */
+  def resampleOhlc(bars: DataFrame, unit: String = "week",
+                   priceScale: Int = 2): DataFrame = {
+    val p = math.pow(10, priceScale)
+    bars
+      .groupBy(col("symbol"),
+        date_trunc(unit, col("trade_date")).cast("date").as("period_start"))
+      .agg(
+        min_by(col("open_price"), col("trade_date")).as("open_price"),
+        max(col("high_price")).as("high_price"),
+        min(col("low_price")).as("low_price"),
+        max_by(col("close_price"), col("trade_date")).as("close_price"),
+        sum(col("volume")).as("volume"),
+        count(lit(1)).as("n_days"),
+        sum(scaled(col("close_price"), priceScale) * col("volume")).as("spv"))
+      .withColumn("vwap",
+        r4(col("spv").cast("double") / nullifZero(col("volume")) / p))
+      .drop("spv")
+  }
+
+  /** Per-symbol annualized Sharpe ratio (risk-free rate 0): mean daily
+    * return over its sample standard deviation, scaled by √252 — the
+    * headline risk-adjusted-return figure next to [[marketBeta]].
+    *
+    * Exactness: returns enter as scale-4 longs; n, Σy, Σy² are exact
+    * sums (one partial-agg shuffle), and the whole ratio —
+    * (Σy/n) / √((nΣy² − (Σy)²)/(n(n−1))) · √252 — is a fixed scalar
+    * expression tree over those exact values, so Spark and DuckDB agree
+    * bit-for-bit. nΣy² − (Σy)² ≥ 0 holds exactly (Cauchy–Schwarz over
+    * integers), so the √ argument is never a rounding-negative.
+    * Σy² and the variance numerator run in DECIMAL(38,0) (long would
+    * overflow: a 10⁴% synthetic return is y≈10⁸, y²≈10¹⁶, and n·Σy²
+    * clears 2^63); the DuckDB mirror uses HUGEINT — both sides then
+    * cast the SAME exact integer to double, so bits still match. */
+  def sharpeRatio(returns: DataFrame, minDays: Int = 30): DataFrame = {
+    def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    returns.filter(col("daily_return_pct").isNotNull)
+      .select(col("symbol"), scaled(col("daily_return_pct"), 4).as("y"))
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("y")).as("sy"),
+        sum(d(col("y")) * d(col("y"))).as("syy"))
+      .filter(col("n_days") >= minDays)
+      .select(col("symbol"), col("n_days"),
+        r4(col("sy").cast("double") / col("n_days") / 10000.0)
+          .as("mean_return_pct"),
+        r4((col("sy").cast("double") / col("n_days")) /
+          nullifZero(sqrt((d(col("n_days")) * col("syy") - d(col("sy")) * d(col("sy"))).cast("double") /
+            (col("n_days") * (col("n_days") - lit(1L))))) * sqrt(lit(252.0)))
+          .as("sharpe_annual"))
+  }
+
   def martDailySummary(perf: DataFrame): DataFrame = {
     val ret = col("daily_return_pct")
     val orderKey = when(ret.isNotNull, struct(ret, col("symbol")))

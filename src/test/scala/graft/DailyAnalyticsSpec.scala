@@ -206,4 +206,45 @@ class DailyAnalyticsSpec extends AnyFunSpec {
         ("Tech", "MID", 1L, 0L, 1L, Some(-0.5), 0L, 1L, 200L)))
     }
   }
+
+  describe("resampleOhlc") {
+    it("rolls a week to first-open/last-close OHLCV with exact VWAP") {
+      val wk = DailyAnalytics.resampleOhlc(bars, "week")
+        .orderBy("symbol").collect()
+      assert(wk.length == 2) // A's 5 days are one ISO week; B one day
+      val a = wk(0)
+      assert(a.getAs[Double]("open_price") == 9.0)   // first open (Jan 1)
+      assert(a.getAs[Double]("close_price") == 13.0) // last close (Jan 5)
+      assert(a.getAs[Double]("high_price") == 13.5)
+      assert(a.getAs[Double]("low_price") == 8.5)
+      assert(a.getAs[Long]("volume") == 900L)
+      assert(a.getAs[Long]("n_days") == 5L)
+      // Σ close_fp·vol = 1_010_000, /900/100 = 11.2222...
+      assert(a.getAs[Double]("vwap") == 11.2222)
+      val b = wk(1)
+      assert(b.getAs[Long]("n_days") == 1L)
+      assert(b.getAs[Double]("vwap") == 50.0)
+    }
+  }
+
+  describe("sharpeRatio") {
+    it("matches the hand formula on symbol A and drops short series") {
+      val rows = DailyAnalytics.sharpeRatio(
+        DailyAnalytics.dailyReturns(bars), minDays = 2).collect()
+      assert(rows.map(_.getString(0)).toSeq == Seq("A")) // B has 1 day
+      val r = rows.head
+      val ys = Seq(100000L, 90909L, -83333L, 181818L) // A's scale-4 returns
+      val n = ys.size
+      val sy = ys.sum
+      val syy = ys.map(y => y * y).sum
+      val expMean = math.floor(sy.toDouble / n / 10000.0 * 10000 + 0.5) / 10000
+      val sharpe = (sy.toDouble / n) /
+        math.sqrt((n * syy - sy * sy).toDouble / (n.toLong * (n - 1))) *
+        math.sqrt(252.0)
+      val expSharpe = math.floor(sharpe * 10000 + 0.5) / 10000
+      assert(r.getAs[Long]("n_days") == 4L)
+      assert(r.getAs[Double]("mean_return_pct") == expMean)
+      assert(r.getAs[Double]("sharpe_annual") == expSharpe)
+    }
+  }
 }
