@@ -638,6 +638,46 @@ object OracleSql {
          |  ${rd("(CAST(sy AS DOUBLE) / n_days) / NULLIF(SQRT(CAST(CAST(n_days AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE) / (n_days * (n_days - 1))), 0) * SQRT(252.0)", 4)} AS sharpe_annual
          |FROM g ORDER BY symbol""".stripMargin,
 
+    // mirrors DailyAnalytics.obv: signed cumulative volume; NULL
+    // return (first day) falls to the ELSE 0 branch on both engines
+    "q_obv" ->
+      s"""${dailyChain("returns")}
+         |SELECT symbol, trade_date, volume,
+         |  CAST(SUM(CASE WHEN daily_return_pct > 0 THEN volume
+         |                WHEN daily_return_pct < 0 THEN -volume
+         |                ELSE 0 END)
+         |    OVER (PARTITION BY symbol ORDER BY trade_date
+         |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS obv
+         |FROM returns ORDER BY symbol, trade_date""".stripMargin,
+
+    // mirrors DailyAnalytics.stochastic at k=14, d=3: %K rd'd to 2dp,
+    // re-scaled to longs, THEN averaged for %D (exact SMA discipline)
+    "q_stochastic" ->
+      s"""${dailyChain("bars")},
+         |k AS (SELECT symbol, trade_date, close_price,
+         |    ${rd("(close_price - MIN(low_price) OVER w14) / NULLIF(MAX(high_price) OVER w14 - MIN(low_price) OVER w14, 0) * 100", 2)} AS pct_k
+         |  FROM bars
+         |  WINDOW w14 AS (PARTITION BY symbol ORDER BY trade_date
+         |                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         |SELECT symbol, trade_date, close_price, pct_k,
+         |  ${rd("AVG(" + sc("pct_k", 2) + ") OVER w3 / 100.0", 2)} AS pct_d
+         |FROM k
+         |WINDOW w3 AS (PARTITION BY symbol ORDER BY trade_date
+         |              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+         |ORDER BY symbol, trade_date""".stripMargin,
+
+    // mirrors DailyAnalytics.emaClose at n=12, priceScale=2: the SAME
+    // integer recursion — Spark `aggregate ... div` ≡ DuckDB
+    // list_reduce with `//` (fold seeded by the first element)
+    "q_ema" ->
+      s"""${dailyChain("bars")},
+         |g AS (SELECT symbol,
+         |    list(${sc("close_price", 2)} ORDER BY trade_date) AS prices
+         |  FROM bars GROUP BY symbol)
+         |SELECT symbol, CAST(len(prices) AS BIGINT) AS n_days,
+         |  ${rd("CAST(list_reduce(prices, (acc, x) -> (2 * x + 11 * acc) // 13) AS DOUBLE) / 100.0", 4)} AS ema_12
+         |FROM g ORDER BY symbol""".stripMargin,
+
     // mirrors qAudioFrames: the payload is unhex(md5 chain), so DuckDB
     // parses samples straight out of the same hex string — sample i =
     // signed LE int16 at hex chars 4i+1(lo)/4i+3(hi); frames of 16

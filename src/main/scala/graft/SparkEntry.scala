@@ -1121,6 +1121,22 @@ object SparkEntry {
     DailyAnalytics.sharpeRatio(DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
       .orderBy("symbol")
 
+  /** On-balance volume: running signed-volume sum per symbol. */
+  private def qObv(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.obv(DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+      .orderBy("symbol", "trade_date")
+
+  /** Stochastic oscillator %K/%D over the 14-day channel. */
+  private def qStochastic(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.stochastic(Adapters.dailyBars(s, dir))
+      .orderBy("symbol", "trade_date")
+
+  /** Integer-recursive EMA-12 of the close (aggregate fold ≡ DuckDB
+    * list_reduce — the recursion no window frame can express). */
+  private def qEma(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.emaClose(Adapters.dailyBars(s, dir))
+      .orderBy("symbol")
+
   /** Real PCM16 audio framing: 128 deterministic bytes per doc (8
     * chained md5s) parsed as 64 little-endian signed samples, framed
     * by 16 → exact integer energy/peak per frame. No codec involved
@@ -1332,7 +1348,10 @@ object SparkEntry {
     "q_market_beta" -> (qMarketBeta _),
     "q_max_drawdown" -> (qMaxDrawdown _),
     "q_resample_weekly" -> (qResampleWeekly _),
-    "q_sharpe" -> (qSharpe _)
+    "q_sharpe" -> (qSharpe _),
+    "q_obv" -> (qObv _),
+    "q_stochastic" -> (qStochastic _),
+    "q_ema" -> (qEma _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -491,6 +491,67 @@ object DailyAnalytics {
           .as("sharpe_annual"))
   }
 
+  /** On-balance volume: the running sum of volume signed by the day's
+    * return direction (flat / first days contribute 0) — the classic
+    * volume-flow confirmation indicator. Pure long arithmetic over the
+    * standard symbol-ordered window: one exchange, exact everywhere. */
+  def obv(returns: DataFrame): DataFrame = {
+    val signed = when(col("daily_return_pct") > 0, col("volume"))
+      .when(col("daily_return_pct") < 0, -col("volume"))
+      .otherwise(lit(0L))
+    returns.select(col("symbol"), col("trade_date"), col("volume"),
+      sum(signed)
+        .over(bySymbol.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("obv"))
+  }
+
+  /** Stochastic oscillator: %K = position of the close inside the
+    * rolling k-period high/low channel, %D = its d-period SMA (the
+    * signal line). %K is rd'd to 2 decimals, re-scaled to an exact
+    * long, and THEN averaged (the [[rollingMetrics]] SMA discipline),
+    * so %D is bit-portable too. Same single symbol-ordered exchange as
+    * every other daily window metric. */
+  def stochastic(bars: DataFrame, kPeriod: Int = 14, dPeriod: Int = 3): DataFrame = {
+    val lo = min(col("low_price")).over(last(kPeriod))
+    val hi = max(col("high_price")).over(last(kPeriod))
+    val k = r2((col("close_price") - lo) / nullifZero(hi - lo) * 100)
+    bars.select(col("symbol"), col("trade_date"), col("close_price"),
+        k.as("pct_k"))
+      .withColumn("pct_d", r2(avg(scaled(col("pct_k"), 2)).over(last(dPeriod)) / 100.0))
+  }
+
+  /** Per-symbol EMA of the close — the genuinely RECURSIVE smoothing
+    * (e_t = (2·p_t + (n−1)·e_{t−1})/(n+1), seeded with the first
+    * close) that a SQL window frame cannot express. Kept exact AND
+    * oracle-able by running the recursion in INTEGER arithmetic over
+    * scale-2 prices: `aggregate` folds the date-sorted price array
+    * with `div` (DuckDB mirrors with `list_reduce` and `//`), so every
+    * step is an exact integer and engines agree bit-for-bit. Floor
+    * division biases each step < 1 price cent — documented, not drift.
+    *
+    * Scale shape: one partial-aggregable collect per symbol; the state
+    * is the symbol's own price series (the days DIMENSION, ~10³ longs
+    * — bounded by calendar, not by corpus growth), folded driver-free
+    * inside the executor. For unbounded-length series use the
+    * [[wilderRsi]]-style streaming secondary sort instead. */
+  def emaClose(bars: DataFrame, n: Int = 12, priceScale: Int = 2): DataFrame = {
+    require(n >= 1, "emaClose: n must be >= 1")
+    val p = math.pow(10, priceScale)
+    val fold = s"(acc, x) -> (2 * x + ${n - 1} * acc) div ${n + 1}"
+    bars
+      .select(col("symbol"), struct(col("trade_date"),
+        scaled(col("close_price"), priceScale).as("p")).as("tp"))
+      .groupBy("symbol")
+      .agg(sort_array(collect_list(col("tp"))).as("tps"))
+      .select(col("symbol"),
+        size(col("tps")).cast("long").as("n_days"),
+        expr(s"""aggregate(slice(transform(tps, t -> t.p), 2,
+                   greatest(size(tps) - 1, 0)),
+                 element_at(transform(tps, t -> t.p), 1), $fold)""").as("e"))
+      .select(col("symbol"), col("n_days"),
+        r4(col("e").cast("double") / p).as(s"ema_$n"))
+  }
+
   def martDailySummary(perf: DataFrame): DataFrame = {
     val ret = col("daily_return_pct")
     val orderKey = when(ret.isNotNull, struct(ret, col("symbol")))

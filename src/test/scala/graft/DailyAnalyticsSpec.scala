@@ -227,6 +227,43 @@ class DailyAnalyticsSpec extends AnyFunSpec {
     }
   }
 
+  describe("obv") {
+    it("accumulates signed volume, first/flat days contributing 0") {
+      val got = DailyAnalytics.obv(DailyAnalytics.dailyReturns(bars))
+        .filter($"symbol" === "A").orderBy("trade_date")
+        .collect().map(_.getAs[Long]("obv")).toSeq
+      // vols 100,200,100,400,100; signs 0,+,+,-,+
+      assert(got == Seq(0L, 200L, 300L, -100L, 0L))
+    }
+  }
+
+  describe("stochastic") {
+    it("places the close inside the rolling channel and SMAs the signal") {
+      val a = DailyAnalytics.stochastic(bars)
+        .filter($"symbol" === "A").orderBy("trade_date").collect()
+      assert(a(0).getAs[Double]("pct_k") == 75.0)   // (10-8.5)/(10.5-8.5)
+      assert(a(1).getAs[Double]("pct_k") == 83.33)  // (11-8.5)/(11.5-8.5)
+      assert(a(2).getAs[Double]("pct_k") == 87.5)   // (12-8.5)/(12.5-8.5)
+      assert(a(2).getAs[Double]("pct_d") == 81.94)  // (7500+8333+8750)/3/100
+    }
+  }
+
+  describe("emaClose (integer-recursive fold)") {
+    it("matches the hand-run recursion on symbol A") {
+      val a = DailyAnalytics.emaClose(bars)
+        .filter($"symbol" === "A").collect().head
+      // scale-2 closes 1000,1100,1200,1100,1300; (2x+11acc) div 13:
+      // 1000 -> 1015 -> 1043 -> 1051 -> 1089
+      assert(a.getAs[Long]("n_days") == 5L)
+      assert(a.getAs[Double]("ema_12") == 10.89)
+    }
+    it("a single bar seeds and returns its own close") {
+      val b = DailyAnalytics.emaClose(bars)
+        .filter($"symbol" === "B").collect().head
+      assert(b.getAs[Double]("ema_12") == 50.0)
+    }
+  }
+
   describe("sharpeRatio") {
     it("matches the hand formula on symbol A and drops short series") {
       val rows = DailyAnalytics.sharpeRatio(
