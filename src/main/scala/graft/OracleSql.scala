@@ -678,6 +678,28 @@ object OracleSql {
          |  ${rd("CAST(list_reduce(prices, (acc, x) -> (2 * x + 11 * acc) // 13) AS DOUBLE) / 100.0", 4)} AS ema_12
          |FROM g ORDER BY symbol""".stripMargin,
 
+    // mirrors DailyAnalytics.macd(12,26,9): list-state fold (array,
+    // NOT struct — DuckDB 1.0 list_reduce mis-evaluates repeated
+    // subexpressions across struct_pack fields), same div recursion
+    "q_macd" ->
+      s"""${dailyChain("bars")},
+         |g AS (SELECT symbol,
+         |    list(${sc("close_price", 2)} ORDER BY trade_date) AS prices
+         |  FROM bars GROUP BY symbol),
+         |f AS (SELECT symbol, CAST(len(prices) AS BIGINT) AS n_days,
+         |    list_reduce(list_transform(prices, p -> [p, p, 0::BIGINT]),
+         |      (acc, x) -> [ (2 * x[1] + 11 * acc[1]) // 13,
+         |                    (2 * x[1] + 25 * acc[2]) // 27,
+         |                    (2 * ((2 * x[1] + 11 * acc[1]) // 13
+         |                          - (2 * x[1] + 25 * acc[2]) // 27)
+         |                     + 8 * acc[3]) // 10 ]) AS st
+         |  FROM g)
+         |SELECT symbol, n_days,
+         |  ${rd("CAST(st[1] - st[2] AS DOUBLE) / 100.0", 4)} AS macd_12_26,
+         |  ${rd("CAST(st[3] AS DOUBLE) / 100.0", 4)} AS signal_9,
+         |  ${rd("CAST(st[1] - st[2] - st[3] AS DOUBLE) / 100.0", 4)} AS histogram
+         |FROM f ORDER BY symbol""".stripMargin,
+
     // mirrors qAudioFrames: the payload is unhex(md5 chain), so DuckDB
     // parses samples straight out of the same hex string — sample i =
     // signed LE int16 at hex chars 4i+1(lo)/4i+3(hi); frames of 16

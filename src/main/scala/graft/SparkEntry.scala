@@ -1137,6 +1137,11 @@ object SparkEntry {
     DailyAnalytics.emaClose(Adapters.dailyBars(s, dir))
       .orderBy("symbol")
 
+  /** MACD(12,26,9): one composite array-state integer fold per symbol. */
+  private def qMacd(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.macd(Adapters.dailyBars(s, dir))
+      .orderBy("symbol")
+
   /** Real PCM16 audio framing: 128 deterministic bytes per doc (8
     * chained md5s) parsed as 64 little-endian signed samples, framed
     * by 16 → exact integer energy/peak per frame. No codec involved
@@ -1351,7 +1356,8 @@ object SparkEntry {
     "q_sharpe" -> (qSharpe _),
     "q_obv" -> (qObv _),
     "q_stochastic" -> (qStochastic _),
-    "q_ema" -> (qEma _)
+    "q_ema" -> (qEma _),
+    "q_macd" -> (qMacd _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

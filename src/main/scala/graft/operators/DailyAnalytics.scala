@@ -552,6 +552,50 @@ object DailyAnalytics {
         r4(col("e").cast("double") / p).as(s"ema_$n"))
   }
 
+  /** MACD(12,26,9) — fast EMA minus slow EMA with its EMA-9 signal
+    * line and histogram — as ONE composite integer recursion: the fold
+    * state is the array [e12, e26, sig] (all scale-`priceScale` longs)
+    * advanced per day by the same `div`-exact EMA step as [[emaClose]];
+    * the signal folds over each day's fresh macd, so all three lines
+    * come out of a single pass over the sorted price array.
+    *
+    * The state is an ARRAY, not a struct, deliberately: DuckDB 1.0's
+    * `list_reduce` mis-evaluates repeated subexpressions across
+    * `struct_pack` fields (verified: a field reusing another field's
+    * expression drifts from the hand-run recursion), while list-typed
+    * accumulators fold correctly — and the oracle must mirror this
+    * fold step for step. Same days-dimension scale contract as
+    * [[emaClose]]. */
+  def macd(bars: DataFrame, fast: Int = 12, slow: Int = 26, signal: Int = 9,
+           priceScale: Int = 2): DataFrame = {
+    val p = math.pow(10, priceScale)
+    val step =
+      s"""(acc, x) -> array(
+         |  (2 * element_at(x, 1) + ${fast - 1} * element_at(acc, 1)) div ${fast + 1},
+         |  (2 * element_at(x, 1) + ${slow - 1} * element_at(acc, 2)) div ${slow + 1},
+         |  (2 * ((2 * element_at(x, 1) + ${fast - 1} * element_at(acc, 1)) div ${fast + 1}
+         |        - (2 * element_at(x, 1) + ${slow - 1} * element_at(acc, 2)) div ${slow + 1})
+         |   + ${signal - 1} * element_at(acc, 3)) div ${signal + 1})""".stripMargin
+    bars
+      .select(col("symbol"), struct(col("trade_date"),
+        scaled(col("close_price"), priceScale).as("p")).as("tp"))
+      .groupBy("symbol")
+      .agg(sort_array(collect_list(col("tp"))).as("tps"))
+      .select(col("symbol"),
+        size(col("tps")).cast("long").as("n_days"),
+        expr(s"""aggregate(
+                   slice(transform(tps, t -> array(t.p, t.p, 0L)), 2,
+                         greatest(size(tps) - 1, 0)),
+                   element_at(transform(tps, t -> array(t.p, t.p, 0L)), 1),
+                   $step)""").as("st"))
+      .select(col("symbol"), col("n_days"),
+        r4((element_at(col("st"), 1) - element_at(col("st"), 2)).cast("double") / p)
+          .as("macd_12_26"),
+        r4(element_at(col("st"), 3).cast("double") / p).as("signal_9"),
+        r4((element_at(col("st"), 1) - element_at(col("st"), 2) -
+            element_at(col("st"), 3)).cast("double") / p).as("histogram"))
+  }
+
   def martDailySummary(perf: DataFrame): DataFrame = {
     val ret = col("daily_return_pct")
     val orderKey = when(ret.isNotNull, struct(ret, col("symbol")))

@@ -264,6 +264,23 @@ class DailyAnalyticsSpec extends AnyFunSpec {
     }
   }
 
+  describe("macd (composite array-state fold)") {
+    it("matches the hand-run three-line recursion on symbol A") {
+      val a = DailyAnalytics.macd(bars).filter($"symbol" === "A").collect().head
+      // e12: 1000->1015->1043->1051->1089; e26: 1000->1007->1021->1026->1046
+      // sig over fresh macd (8,22,25,43): 0->1->5->9->15
+      assert(a.getAs[Long]("n_days") == 5L)
+      assert(a.getAs[Double]("macd_12_26") == 0.43)
+      assert(a.getAs[Double]("signal_9") == 0.15)
+      assert(a.getAs[Double]("histogram") == 0.28)
+    }
+    it("a single bar yields flat lines") {
+      val b = DailyAnalytics.macd(bars).filter($"symbol" === "B").collect().head
+      assert(b.getAs[Double]("macd_12_26") == 0.0)
+      assert(b.getAs[Double]("signal_9") == 0.0)
+    }
+  }
+
   describe("sharpeRatio") {
     it("matches the hand formula on symbol A and drops short series") {
       val rows = DailyAnalytics.sharpeRatio(
