@@ -82,6 +82,17 @@ class EmptyInputSpec extends AnyFunSpec {
       val noVecs8 = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
       assert(Similarity.pqTopK(noVecs8, noVecs8, "vec_id", "embedding", k = 3).isEmpty)
     }
+    it("round-8 financial analytics degrade to empty output on empty input") {
+      val emptyReturns = DailyAnalytics.dailyReturns(emptyBars)
+      assert(DailyAnalytics.marketBeta(emptyReturns).isEmpty)
+      assert(DailyAnalytics.maxDrawdown(emptyReturns).isEmpty)
+      assert(DailyAnalytics.sharpeRatio(emptyReturns).isEmpty)
+      assert(DailyAnalytics.resampleOhlc(emptyBars).isEmpty)
+      assert(DailyAnalytics.obv(emptyReturns).isEmpty)
+      assert(DailyAnalytics.stochastic(emptyBars).isEmpty)
+      assert(DailyAnalytics.emaClose(emptyBars).isEmpty)
+      assert(DailyAnalytics.macd(emptyBars).isEmpty)
+    }
     it("calendar rolling, sector mart, image decode, z-order write on empty input") {
       assert(DailyAnalytics.calendarRolling(emptyBars).isEmpty)
       val dim = Seq.empty[(Long, String, String)].toDF("symbol", "sector", "market_cap_tier")

@@ -156,6 +156,44 @@ class PlanSpec extends AnyFunSpec {
       assert(exchanges == 2, s"expected 2 exchanges, plan:\n${plan(df)}")
     }
 
+    it("market beta joins the day-index dim by broadcast — the panel never sort-merges") {
+      val p = plan(DailyAnalytics.marketBeta(
+        DailyAnalytics.dailyReturns(Adapters.dailyBars(spark, dir))))
+      assert(p.contains("BroadcastHashJoin"), s"expected broadcast index join, plan:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"unexpected SortMergeJoin, plan:\n$p")
+    }
+
+    it("weekly resample is one partial-aggregable hash agg over the bars agg") {
+      val df = DailyAnalytics.resampleOhlc(Adapters.dailyBars(spark, dir))
+      val p = plan(df)
+      // 1 exchange for the bars grain, 1 for the (symbol, period) regroup
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(exchanges == 2, s"expected 2 exchanges, plan:\n$p")
+      assert(p.contains("partial_min_by") || p.contains("ObjectHashAggregate"),
+        s"expected map-side min_by/max_by partials, plan:\n$p")
+    }
+
+    it("OBV and stochastic feed their window frames from ONE symbol exchange") {
+      for (df <- Seq(
+          DailyAnalytics.obv(DailyAnalytics.dailyReturns(Adapters.dailyBars(spark, dir))),
+          DailyAnalytics.stochastic(Adapters.dailyBars(spark, dir)))) {
+        val exchanges = "Exchange hashpartitioning".r.findAllIn(plan(df)).size
+        // 1 for the bars aggregation, 1 for the symbol window partitioning
+        assert(exchanges == 2, s"expected 2 exchanges, plan:\n${plan(df)}")
+      }
+    }
+
+    it("EMA/MACD folds collect map-side (partial collect_list, one exchange)") {
+      for (df <- Seq(DailyAnalytics.emaClose(Adapters.dailyBars(spark, dir)),
+                     DailyAnalytics.macd(Adapters.dailyBars(spark, dir)))) {
+        val p = plan(df)
+        val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+        assert(exchanges == 2, s"expected 2 exchanges, plan:\n$p")
+        assert(p.contains("partial_collect_list") || p.contains("ObjectHashAggregate"),
+          s"expected partial collect_list, plan:\n$p")
+      }
+    }
+
     it("projection pruning: the mart reads only the columns it needs") {
       val p = plan(DailyAnalytics.martStockPerformance(Adapters.dailyBars(spark, dir)))
       assert(p.contains("l_suppkey") && p.contains("l_extendedprice"))

@@ -147,4 +147,65 @@ class PropertySpec extends AnyFunSpec {
       assert(got3.toSeq == triples.map(t => ref(Seq(t._1, t._2, t._3), 20)))
     }
   }
+
+  describe("indicator invariants on generated bar panels") {
+    import graft.operators.DailyAnalytics
+    // random positive walks: 8 symbols x up-to-40 days, prices in cents
+    lazy val genBars = {
+      val panel = for {
+        sym  <- Gen.choose(0, 7)
+        days <- Gen.choose(2, 40)
+      } yield (sym, days)
+      sampled(panel, 8).distinctBy(_._1).flatMap { case (sym, days) =>
+        val prices = Iterator.iterate(5000L)(p =>
+          math.max(100L, p + Gen.choose(-500L, 500L).sample.getOrElse(0L)))
+          .take(days).toSeq
+        prices.zipWithIndex.map { case (p, i) =>
+          val hi = p + 100; val lo = math.max(1L, p - 100)
+          (s"S$sym", java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)),
+            p / 100.0, hi / 100.0, lo / 100.0, p / 100.0, 100L + i)
+        }
+      }.toDF("symbol", "trade_date", "open_price", "high_price",
+             "low_price", "close_price", "volume")
+    }
+
+    it("stochastic %K stays in [0,100] and %D in the %K hull") {
+      val st = DailyAnalytics.stochastic(genBars)
+      assert(st.filter($"pct_k" < 0 || $"pct_k" > 100).isEmpty)
+      assert(st.filter($"pct_d" < 0 || $"pct_d" > 100).isEmpty)
+    }
+
+    it("EMA lands inside the symbol's [min close, max close] envelope") {
+      val env = genBars.groupBy("symbol")
+        .agg(min($"close_price").as("lo"), max($"close_price").as("hi"))
+      val bad = DailyAnalytics.emaClose(genBars).join(env, "symbol")
+        // floor steps bias down by < 1 cent each; allow the scale grain
+        .filter($"ema_12" < $"lo" - 0.01 || $"ema_12" > $"hi" + 0.01)
+      assert(bad.isEmpty, bad.take(3).mkString(","))
+    }
+
+    it("|OBV| never exceeds the symbol's total volume") {
+      val tot = genBars.groupBy("symbol").agg(sum($"volume").as("tv"))
+      val bad = DailyAnalytics.obv(DailyAnalytics.dailyReturns(genBars))
+        .join(tot, "symbol").filter(abs($"obv") > $"tv")
+      assert(bad.isEmpty, bad.take(3).mkString(","))
+    }
+
+    it("max drawdown is never positive and never below -100%") {
+      val dd = DailyAnalytics.maxDrawdown(DailyAnalytics.dailyReturns(genBars))
+      assert(dd.filter($"max_drawdown_pct" > 0 || $"max_drawdown_pct" < -100).isEmpty)
+    }
+
+    it("weekly resample conserves volume and day counts exactly") {
+      val wk = DailyAnalytics.resampleOhlc(genBars, "week")
+      val (v1, d1) = wk.agg(sum($"volume"), sum($"n_days"))
+        .as[(Long, Long)].head()
+      val (v0, d0) = genBars.agg(sum($"volume"), count(lit(1)))
+        .as[(Long, Long)].head()
+      assert(v1 == v0 && d1 == d0)
+      // channel sanity: open/close inside [low, high]
+      assert(wk.filter($"open_price" > $"high_price" || $"open_price" < $"low_price" ||
+        $"close_price" > $"high_price" || $"close_price" < $"low_price").isEmpty)
+    }
+  }
 }
