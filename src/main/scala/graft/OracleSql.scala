@@ -700,6 +700,34 @@ object OracleSql {
          |  ${rd("CAST(st[1] - st[2] - st[3] AS DOUBLE) / 100.0", 4)} AS histogram
          |FROM f ORDER BY symbol""".stripMargin,
 
+    // mirrors DailyAnalytics.crossSectionalZ: day stats exact (HUGEINT
+    // for Σy² mirroring Spark's DECIMAL(38,0)), same z tree
+    "q_cross_sectional_z" ->
+      s"""${dailyChain("returns")},
+         |r AS (SELECT symbol, trade_date, ${sc4("daily_return_pct")} AS y
+         |  FROM returns WHERE daily_return_pct IS NOT NULL),
+         |st AS (SELECT trade_date, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(y) AS BIGINT) AS sy, SUM(CAST(y AS HUGEINT) * y) AS syy
+         |  FROM r GROUP BY trade_date HAVING COUNT(*) >= 2)
+         |SELECT symbol, trade_date,
+         |  ${rd("CAST(y AS DOUBLE) / 10000.0", 4)} AS return_pct,
+         |  ${rd("(y - CAST(sy AS DOUBLE) / n) / NULLIF(SQRT(CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE) / (n * (n - 1))), 0)", 4)} AS z
+         |FROM r JOIN st USING (trade_date)
+         |ORDER BY symbol, trade_date""".stripMargin,
+
+    // mirrors DailyAnalytics.momentumDeciles at lag=21: same rd'd
+    // momentum, ntile ordered by (momentum, symbol) for determinism
+    "q_momentum_deciles" ->
+      s"""${dailyChain("bars")},
+         |m AS (SELECT symbol, trade_date,
+         |    ${rd("(close_price - LAG(close_price, 21) OVER w) / NULLIF(LAG(close_price, 21) OVER w, 0) * 100", 4)} AS momentum_pct
+         |  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY trade_date))
+         |SELECT symbol, trade_date, momentum_pct,
+         |  CAST(NTILE(10) OVER (PARTITION BY trade_date
+         |    ORDER BY momentum_pct, symbol) AS INTEGER) AS decile
+         |FROM m WHERE momentum_pct IS NOT NULL
+         |ORDER BY symbol, trade_date""".stripMargin,
+
     // mirrors qAudioFrames: the payload is unhex(md5 chain), so DuckDB
     // parses samples straight out of the same hex string — sample i =
     // signed LE int16 at hex chars 4i+1(lo)/4i+3(hi); frames of 16

@@ -1142,6 +1142,16 @@ object SparkEntry {
     DailyAnalytics.macd(Adapters.dailyBars(s, dir))
       .orderBy("symbol")
 
+  /** Cross-sectional z-scored returns (per-day standardization). */
+  private def qCrossSectionalZ(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.crossSectionalZ(DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+      .orderBy("symbol", "trade_date")
+
+  /** 1-month momentum ranked into cross-sectional deciles per day. */
+  private def qMomentumDeciles(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.momentumDeciles(Adapters.dailyBars(s, dir))
+      .orderBy("symbol", "trade_date")
+
   /** Real PCM16 audio framing: 128 deterministic bytes per doc (8
     * chained md5s) parsed as 64 little-endian signed samples, framed
     * by 16 → exact integer energy/peak per frame. No codec involved
@@ -1357,7 +1367,9 @@ object SparkEntry {
     "q_obv" -> (qObv _),
     "q_stochastic" -> (qStochastic _),
     "q_ema" -> (qEma _),
-    "q_macd" -> (qMacd _)
+    "q_macd" -> (qMacd _),
+    "q_cross_sectional_z" -> (qCrossSectionalZ _),
+    "q_momentum_deciles" -> (qMomentumDeciles _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

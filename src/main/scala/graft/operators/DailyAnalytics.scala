@@ -596,6 +596,47 @@ object DailyAnalytics {
             element_at(col("st"), 3)).cast("double") / p).as("histogram"))
   }
 
+  /** Cross-sectional z-score of daily returns: each (symbol, day)
+    * return standardized against THAT DAY's cross-section — the
+    * market-neutralization step every factor pipeline runs before
+    * ranking. Day stats are exact (n, Σy longs; Σy² and the variance
+    * numerator in DECIMAL(38,0), the [[sharpeRatio]] overflow
+    * discipline) and come back by broadcast: the stats frame is the
+    * days DIMENSION, so the panel never re-shuffles. */
+  def crossSectionalZ(returns: DataFrame, minSymbols: Int = 2): DataFrame = {
+    def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val r = returns.filter(col("daily_return_pct").isNotNull)
+      .select(col("symbol"), col("trade_date"),
+        scaled(col("daily_return_pct"), 4).as("y"))
+      .localCheckpoint(true) // feeds the day stats AND the join probe
+    val stats = r.groupBy("trade_date")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+        sum(d(col("y")) * d(col("y"))).as("syy"))
+      .filter(col("n") >= minSymbols)
+    r.join(broadcast(stats), "trade_date")
+      .select(col("symbol"), col("trade_date"),
+        r4(col("y").cast("double") / 10000.0).as("return_pct"),
+        r4((col("y") - col("sy").cast("double") / col("n")) /
+          nullifZero(sqrt((d(col("n")) * col("syy") - d(col("sy")) * d(col("sy"))).cast("double") /
+            (col("n") * (col("n") - lit(1L)))))).as("z"))
+  }
+
+  /** 21-day momentum ranked into cross-sectional deciles per day —
+    * the classic 1-month momentum factor. The lag runs on the shared
+    * symbol-ordered window; the decile `ntile` re-partitions by day
+    * ordered by (momentum, symbol) so ties break deterministically.
+    * Two exchanges total, both over the reduced symbol×day grain. */
+  def momentumDeciles(bars: DataFrame, lagDays: Int = 21): DataFrame = {
+    val mom = (col("close_price") - lag(col("close_price"), lagDays).over(bySymbol)) /
+      nullifZero(lag(col("close_price"), lagDays).over(bySymbol)) * 100
+    val withMom = bars.select(col("symbol"), col("trade_date"),
+        r4(mom).as("momentum_pct"))
+      .filter(col("momentum_pct").isNotNull)
+    withMom.withColumn("decile",
+      ntile(10).over(Window.partitionBy("trade_date")
+        .orderBy(col("momentum_pct"), col("symbol"))))
+  }
+
   def martDailySummary(perf: DataFrame): DataFrame = {
     val ret = col("daily_return_pct")
     val orderKey = when(ret.isNotNull, struct(ret, col("symbol")))

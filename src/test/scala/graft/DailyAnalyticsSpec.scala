@@ -281,6 +281,53 @@ class DailyAnalyticsSpec extends AnyFunSpec {
     }
   }
 
+  describe("crossSectionalZ") {
+    it("standardizes each day's cross-section exactly") {
+      // one day, three symbols, returns 10/20/30% -> z = -1, 0, +1
+      val panel = Seq(
+        ("A", "2024-01-01", 10.0), ("A", "2024-01-02", 11.0),
+        ("B", "2024-01-01", 20.0), ("B", "2024-01-02", 24.0),
+        ("C", "2024-01-01", 30.0), ("C", "2024-01-02", 39.0))
+        .toDF("symbol", "ds", "close_price")
+        .withColumn("trade_date", to_date($"ds")).drop("ds")
+        .withColumn("open_price", $"close_price")
+        .withColumn("high_price", $"close_price")
+        .withColumn("low_price", $"close_price")
+        .withColumn("volume", lit(100L))
+      val z = DailyAnalytics.crossSectionalZ(DailyAnalytics.dailyReturns(panel))
+        .orderBy("symbol").collect()
+      assert(z.map(_.getAs[Double]("z")).toSeq == Seq(-1.0, 0.0, 1.0))
+      assert(z.map(_.getAs[Double]("return_pct")).toSeq == Seq(10.0, 20.0, 30.0))
+    }
+  }
+
+  describe("momentumDeciles") {
+    it("ranks the cross-section per day with deterministic ties") {
+      val panel = (for {
+        (sym, base) <- Seq(("A", 10.0), ("B", 20.0), ("C", 30.0))
+        d <- 1 to 3
+      } yield (sym, s"2024-01-0$d",
+        // A flat, B +10%/day-ish, C -10%/day-ish off the base
+        base * (d match { case 1 => 1.0
+                          case 2 => if (sym == "B") 1.1 else if (sym == "C") 0.9 else 1.0
+                          case _ => if (sym == "B") 1.2 else if (sym == "C") 0.8 else 1.0 })))
+        .toDF("symbol", "ds", "close_price")
+        .withColumn("trade_date", to_date($"ds")).drop("ds")
+        .withColumn("open_price", $"close_price")
+        .withColumn("high_price", $"close_price")
+        .withColumn("low_price", $"close_price")
+        .withColumn("volume", lit(100L))
+      val m = DailyAnalytics.momentumDeciles(panel, lagDays = 2)
+        .orderBy("symbol").collect()
+      // only day 3 has a 2-day lag: momenta A 0%, B +20%, C -20%
+      assert(m.map(r => (r.getString(0), r.getAs[Double]("momentum_pct"))).toSeq ==
+        Seq(("A", 0.0), ("B", 20.0), ("C", -20.0)))
+      // ntile(10) over 3 rows ordered by momentum: C(1) < A(2) < B(3)
+      assert(m.map(r => (r.getString(0), r.getAs[Int]("decile"))).toSeq ==
+        Seq(("A", 2), ("B", 3), ("C", 1)))
+    }
+  }
+
   describe("sharpeRatio") {
     it("matches the hand formula on symbol A and drops short series") {
       val rows = DailyAnalytics.sharpeRatio(
