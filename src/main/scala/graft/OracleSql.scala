@@ -728,6 +728,34 @@ object OracleSql {
          |FROM m WHERE momentum_pct IS NOT NULL
          |ORDER BY symbol, trade_date""".stripMargin,
 
+    // mirrors DailyAnalytics.wilderRsiExactFold at period=14: the SAME
+    // [i, Σg, Σl, avgG, avgL] integer fold (seed mean at i=14, Wilder
+    // step after), then one mirrored RSI tree
+    "q_wilder_rsi" ->
+      s"""${dailyChain("returns")},
+         |g AS (SELECT symbol,
+         |    list(${sc4("daily_return_pct")} ORDER BY trade_date) AS ys
+         |  FROM returns WHERE daily_return_pct IS NOT NULL
+         |  GROUP BY symbol),
+         |f AS (SELECT symbol, CAST(len(ys) AS BIGINT) AS n_rets,
+         |    list_reduce(
+         |      list_transform(ys, y -> [1::BIGINT, greatest(y, 0),
+         |                               greatest(-y, 0), 0::BIGINT, 0::BIGINT]),
+         |      (acc, x) -> [
+         |        acc[1] + 1,
+         |        acc[2] + x[2],
+         |        acc[3] + x[3],
+         |        CASE WHEN acc[1] + 1 < 14 THEN 0
+         |             WHEN acc[1] + 1 = 14 THEN (acc[2] + x[2]) // 14
+         |             ELSE (13 * acc[4] + x[2]) // 14 END,
+         |        CASE WHEN acc[1] + 1 < 14 THEN 0
+         |             WHEN acc[1] + 1 = 14 THEN (acc[3] + x[3]) // 14
+         |             ELSE (13 * acc[5] + x[3]) // 14 END]) AS st
+         |  FROM g)
+         |SELECT symbol, n_rets,
+         |  ${rd("100 - 100 / (1 + CAST(st[4] AS DOUBLE) / NULLIF(CAST(st[5] AS DOUBLE), 0))", 2)} AS rsi_wilder
+         |FROM f WHERE n_rets >= 14 ORDER BY symbol""".stripMargin,
+
     // mirrors qAudioFrames: the payload is unhex(md5 chain), so DuckDB
     // parses samples straight out of the same hex string — sample i =
     // signed LE int16 at hex chars 4i+1(lo)/4i+3(hi); frames of 16

@@ -1142,6 +1142,12 @@ object SparkEntry {
     DailyAnalytics.macd(Adapters.dailyBars(s, dir))
       .orderBy("symbol")
 
+  /** Textbook Wilder RSI-14 as an exact integer fold (vs the
+    * reference's rolling-mean simplification in q_rolling_metrics). */
+  private def qWilderRsi(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.wilderRsiExactFold(DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+      .orderBy("symbol")
+
   /** Cross-sectional z-scored returns (per-day standardization). */
   private def qCrossSectionalZ(s: SparkSession, dir: String): DataFrame =
     DailyAnalytics.crossSectionalZ(DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
@@ -1369,7 +1375,8 @@ object SparkEntry {
     "q_ema" -> (qEma _),
     "q_macd" -> (qMacd _),
     "q_cross_sectional_z" -> (qCrossSectionalZ _),
-    "q_momentum_deciles" -> (qMomentumDeciles _)
+    "q_momentum_deciles" -> (qMomentumDeciles _),
+    "q_wilder_rsi" -> (qWilderRsi _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

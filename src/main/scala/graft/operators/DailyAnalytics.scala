@@ -596,6 +596,54 @@ object DailyAnalytics {
             element_at(col("st"), 3)).cast("double") / p).as("histogram"))
   }
 
+  /** The textbook Wilder RSI as an ORACLE-CHECKABLE exact fold — the
+    * integer-recursion twin of [[wilderRsi]] (which streams doubles
+    * through a secondary sort and can't be mirrored bit-for-bit by
+    * another engine). State = [i, Σgain, Σloss, avgGain, avgLoss] in
+    * scale-4 longs, advanced per return: the first `period` returns
+    * seed the averages with an exact ⌊Σ/period⌋ mean, every later step
+    * is Wilder's (⌊((p−1)·avg + x)/p⌋). One partial-aggregable collect
+    * per symbol (days-dimension state, like [[emaClose]]); final RSI is
+    * one mirrored scalar tree. Null when the loss side never fires. */
+  def wilderRsiExactFold(returns: DataFrame, period: Int = 14): DataFrame = {
+    require(period >= 2, "wilderRsiExactFold: period must be >= 2")
+    val P = period
+    val step =
+      s"""(acc, x) -> array(
+         |  element_at(acc, 1) + 1L,
+         |  element_at(acc, 2) + element_at(x, 2),
+         |  element_at(acc, 3) + element_at(x, 3),
+         |  CASE WHEN element_at(acc, 1) + 1L < $P THEN 0L
+         |       WHEN element_at(acc, 1) + 1L = $P
+         |         THEN (element_at(acc, 2) + element_at(x, 2)) div $P
+         |       ELSE (${P - 1} * element_at(acc, 4) + element_at(x, 2)) div $P END,
+         |  CASE WHEN element_at(acc, 1) + 1L < $P THEN 0L
+         |       WHEN element_at(acc, 1) + 1L = $P
+         |         THEN (element_at(acc, 3) + element_at(x, 3)) div $P
+         |       ELSE (${P - 1} * element_at(acc, 5) + element_at(x, 3)) div $P END)"""
+        .stripMargin
+    returns.filter(col("daily_return_pct").isNotNull)
+      .select(col("symbol"), struct(col("trade_date"),
+        scaled(col("daily_return_pct"), 4).as("y")).as("ty"))
+      .groupBy("symbol")
+      .agg(sort_array(collect_list(col("ty"))).as("tys"))
+      .select(col("symbol"),
+        size(col("tys")).cast("long").as("n_rets"),
+        expr(s"""aggregate(
+                   slice(transform(tys, t -> array(1L, greatest(t.y, 0L),
+                           greatest(-t.y, 0L), 0L, 0L)), 2,
+                         greatest(size(tys) - 1, 0)),
+                   element_at(transform(tys, t -> array(1L, greatest(t.y, 0L),
+                           greatest(-t.y, 0L), 0L, 0L)), 1),
+                   $step)""").as("st"))
+      .filter(col("n_rets") >= P)
+      .select(col("symbol"), col("n_rets"),
+        r2(lit(100) - lit(100) / (lit(1) +
+          element_at(col("st"), 4).cast("double") /
+          nullifZero(element_at(col("st"), 5).cast("double"))))
+          .as("rsi_wilder"))
+  }
+
   /** Cross-sectional z-score of daily returns: each (symbol, day)
     * return standardized against THAT DAY's cross-section — the
     * market-neutralization step every factor pipeline runs before

@@ -281,6 +281,24 @@ class DailyAnalyticsSpec extends AnyFunSpec {
     }
   }
 
+  describe("wilderRsiExactFold") {
+    it("seeds with the exact mean then applies Wilder's step (period=3)") {
+      val r = DailyAnalytics.wilderRsiExactFold(
+        DailyAnalytics.dailyReturns(bars), period = 3)
+        .filter($"symbol" === "A").collect().head
+      // A's scale-4 returns: +100000, +90909, -83333, +181818
+      // seed at i=3: g=190909/3=63636, l=83333/3=27777
+      // i=4: g=(2*63636+181818)/3=103030, l=(2*27777)/3=18518
+      val exp = math.floor((100.0 - 100.0 / (1 + 103030.0 / 18518.0)) * 100 + 0.5) / 100
+      assert(r.getAs[Long]("n_rets") == 4L)
+      assert(r.getAs[Double]("rsi_wilder") == exp)
+    }
+    it("drops symbols with fewer returns than the period") {
+      assert(DailyAnalytics.wilderRsiExactFold(
+        DailyAnalytics.dailyReturns(bars), period = 5).isEmpty) // A has 4 returns
+    }
+  }
+
   describe("crossSectionalZ") {
     it("standardizes each day's cross-section exactly") {
       // one day, three symbols, returns 10/20/30% -> z = -1, 0, +1
