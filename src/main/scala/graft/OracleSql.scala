@@ -756,6 +756,27 @@ object OracleSql {
          |  ${rd("100 - 100 / (1 + CAST(st[4] AS DOUBLE) / NULLIF(CAST(st[5] AS DOUBLE), 0))", 2)} AS rsi_wilder
          |FROM f WHERE n_rets >= 14 ORDER BY symbol""".stripMargin,
 
+    // mirrors TickAnalytics.microstructureDaily at priceScale=2: exact
+    // Σ(Δp_fp)² longs, direction counts, one mirrored tree per output
+    "q_microstructure" ->
+      s"""WITH ${Adapters.ticksSql},
+         |d AS (SELECT symbol, CAST(event_time AS DATE) AS trade_date,
+         |    ${sc("price", 2)} - LAG(${sc("price", 2)}) OVER w AS dp
+         |  FROM ticks
+         |  WINDOW w AS (PARTITION BY symbol, CAST(event_time AS DATE)
+         |               ORDER BY event_time)),
+         |g AS (SELECT symbol, trade_date,
+         |    CAST(COUNT(*) AS BIGINT) AS n_moves,
+         |    CAST(SUM(dp * dp) AS BIGINT) AS rv_fp2,
+         |    CAST(SUM(CASE WHEN dp > 0 THEN 1 ELSE 0 END) AS BIGINT) AS upticks,
+         |    CAST(SUM(CASE WHEN dp < 0 THEN 1 ELSE 0 END) AS BIGINT) AS downticks,
+         |    CAST(SUM(CASE WHEN dp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeroticks
+         |  FROM d WHERE dp IS NOT NULL GROUP BY symbol, trade_date)
+         |SELECT symbol, trade_date, n_moves, upticks, downticks, zeroticks,
+         |  ${rd("SQRT(CAST(rv_fp2 AS DOUBLE)) / 100.0", 4)} AS realized_vol,
+         |  ${rd("CAST(upticks - downticks AS DOUBLE) / NULLIF(upticks + downticks, 0)", 4)} AS tick_imbalance
+         |FROM g ORDER BY symbol, trade_date""".stripMargin,
+
     // mirrors qAudioFrames: the payload is unhex(md5 chain), so DuckDB
     // parses samples straight out of the same hex string — sample i =
     // signed LE int16 at hex chars 4i+1(lo)/4i+3(hi); frames of 16

@@ -1148,6 +1148,11 @@ object SparkEntry {
     DailyAnalytics.wilderRsiExactFold(DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
       .orderBy("symbol")
 
+  /** Intraday microstructure: realized vol + tick imbalance per day. */
+  private def qMicrostructure(s: SparkSession, dir: String): DataFrame =
+    TickAnalytics.microstructureDaily(Adapters.ticks(s, dir))
+      .orderBy("symbol", "trade_date")
+
   /** Cross-sectional z-scored returns (per-day standardization). */
   private def qCrossSectionalZ(s: SparkSession, dir: String): DataFrame =
     DailyAnalytics.crossSectionalZ(DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
@@ -1376,7 +1381,8 @@ object SparkEntry {
     "q_macd" -> (qMacd _),
     "q_cross_sectional_z" -> (qCrossSectionalZ _),
     "q_momentum_deciles" -> (qMomentumDeciles _),
-    "q_wilder_rsi" -> (qWilderRsi _)
+    "q_wilder_rsi" -> (qWilderRsi _),
+    "q_microstructure" -> (qMicrostructure _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -122,6 +122,39 @@ object TickAnalytics {
     * filters. `now` is injected for determinism (SURVEY §7.4 risk 3);
     * the reference uses current_timestamp()/current_date().
     */
+  /** Intraday microstructure summary per (symbol, day): realized
+    * volatility as the exact sum of squared tick-to-tick price moves
+    * (Σ(Δp_fp)², the realized-variance estimator, in pure longs) plus
+    * the uptick/downtick/zero-tick direction counts and the resulting
+    * tick-imbalance ratio — the standard order-flow pressure summary.
+    *
+    * Scale shape: the tick lag runs on ONE (symbol-day)-partitioned
+    * ordered window, then everything reduces by partial-aggregable
+    * hash agg to the symbol×day grain. Δp_fp at scale 2 keeps Σ(Δp)²
+    * within int64 for ~10⁹ ticks/day at 100-point moves; beyond that
+    * raise to DECIMAL(38,0) like sharpeRatio. */
+  def microstructureDaily(ticks: DataFrame, priceScale: Int = 2): DataFrame = {
+    val p = scaled(col("price"), priceScale)
+    val day = to_date(col("event_time"))
+    val w = Window.partitionBy(col("symbol"), day).orderBy(col("event_time"))
+    val d = p - lag(p, 1).over(w)
+    ticks
+      .select(col("symbol"), day.as("trade_date"), d.as("dp"))
+      .filter(col("dp").isNotNull)
+      .groupBy("symbol", "trade_date")
+      .agg(count(lit(1)).as("n_moves"),
+        sum(col("dp") * col("dp")).as("rv_fp2"),
+        sum(when(col("dp") > 0, 1L).otherwise(0L)).as("upticks"),
+        sum(when(col("dp") < 0, 1L).otherwise(0L)).as("downticks"),
+        sum(when(col("dp") === 0, 1L).otherwise(0L)).as("zeroticks"))
+      .select(col("symbol"), col("trade_date"), col("n_moves"),
+        col("upticks"), col("downticks"), col("zeroticks"),
+        r4(sqrt(col("rv_fp2").cast("double")) / math.pow(10, priceScale))
+          .as("realized_vol"),
+        r4((col("upticks") - col("downticks")).cast("double") /
+          nullifZero(col("upticks") + col("downticks"))).as("tick_imbalance"))
+  }
+
   def stagingRealtime(analytics: DataFrame, now: Column): DataFrame =
     analytics
       .select(

@@ -102,4 +102,33 @@ class TickAnalyticsSpec extends AnyFunSpec {
         ($"momentum_signal" === "NEUTRAL" || !$"is_volume_spike")).isEmpty)
     }
   }
+
+  describe("microstructureDaily") {
+    it("computes exact realized vol and direction counts on a hand fixture") {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 09:30:00")
+      def at(s: Int) = new java.sql.Timestamp(t0.getTime + s * 1000L)
+      // moves (cents): +10, -5, 0, +20 -> rv² = 100+25+0+400 = 525
+      val fix = Seq(
+        ("X", at(0), 10.00, 1L), ("X", at(1), 10.10, 1L),
+        ("X", at(2), 10.05, 1L), ("X", at(3), 10.05, 1L),
+        ("X", at(4), 10.25, 1L))
+        .toDF("symbol", "event_time", "price", "volume")
+      val m = TickAnalytics.microstructureDaily(fix).collect().head
+      assert(m.getAs[Long]("n_moves") == 4L)
+      assert(m.getAs[Long]("upticks") == 2L)
+      assert(m.getAs[Long]("downticks") == 1L)
+      assert(m.getAs[Long]("zeroticks") == 1L)
+      val expRv = math.floor(math.sqrt(525.0) / 100.0 * 10000 + 0.5) / 10000
+      assert(m.getAs[Double]("realized_vol") == expRv)
+      // imbalance (2-1)/3 = 0.3333
+      assert(m.getAs[Double]("tick_imbalance") == 0.3333)
+    }
+    it("day boundaries reset the lag (no cross-day move)") {
+      val fix = Seq(
+        ("X", java.sql.Timestamp.valueOf("2024-01-01 23:59:59"), 10.0, 1L),
+        ("X", java.sql.Timestamp.valueOf("2024-01-02 00:00:01"), 99.0, 1L))
+        .toDF("symbol", "event_time", "price", "volume")
+      assert(TickAnalytics.microstructureDaily(fix).isEmpty) // 1 tick/day -> no moves
+    }
+  }
 }
