@@ -777,6 +777,25 @@ object OracleSql {
          |  ${rd("CAST(upticks - downticks AS DOUBLE) / NULLIF(upticks + downticks, 0)", 4)} AS tick_imbalance
          |FROM g ORDER BY symbol, trade_date""".stripMargin,
 
+    // mirrors Profiling.distributionDrift over doc_id-parity halves:
+    // exact integer bucketing ((v·nB) div range), numerator in HUGEINT
+    // (mirrors Spark DECIMAL(38,0)), ONE final division
+    "q_distribution_drift" ->
+      s"""WITH ha AS (SELECT LEAST(19, GREATEST(0, ((length(text) - 0) * 20) // 600)) AS bucket,
+         |    CAST(COUNT(*) AS BIGINT) AS ca
+         |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+         |hb AS (SELECT LEAST(19, GREATEST(0, ((length(text) - 0) * 20) // 600)) AS bucket,
+         |    CAST(COUNT(*) AS BIGINT) AS cb
+         |  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+         |j AS (SELECT COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb,
+         |    (SELECT SUM(ca) FROM ha) AS na, (SELECT SUM(cb) FROM hb) AS nb
+         |  FROM ha FULL OUTER JOIN hb USING (bucket))
+         |SELECT CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+         |  CAST(SUM(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS BIGINT) AS buckets_a,
+         |  CAST(SUM(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS buckets_b,
+         |  ${rd("CAST(SUM(ABS(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na)) AS DOUBLE) / (2.0 * MAX(na) * MAX(nb))", 6)} AS drift_tvd
+         |FROM j""".stripMargin,
+
     // mirrors qAudioFrames: the payload is unhex(md5 chain), so DuckDB
     // parses samples straight out of the same hex string — sample i =
     // signed LE int16 at hex chars 4i+1(lo)/4i+3(hi); frames of 16

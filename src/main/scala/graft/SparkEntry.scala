@@ -1153,6 +1153,17 @@ object SparkEntry {
     TickAnalytics.microstructureDaily(Adapters.ticks(s, dir))
       .orderBy("symbol", "trade_date")
 
+  /** Snapshot drift monitor: exact TVD between the length
+    * distributions of two corpus halves (doc_id parity = the two
+    * "ingest snapshots"). */
+  private def qDistributionDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Profiling.distributionDrift(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1),
+      length(col("text")), lo = 0L, hi = 600L, nBuckets = 20)
+  }
+
   /** Cross-sectional z-scored returns (per-day standardization). */
   private def qCrossSectionalZ(s: SparkSession, dir: String): DataFrame =
     DailyAnalytics.crossSectionalZ(DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
@@ -1382,7 +1393,8 @@ object SparkEntry {
     "q_cross_sectional_z" -> (qCrossSectionalZ _),
     "q_momentum_deciles" -> (qMomentumDeciles _),
     "q_wilder_rsi" -> (qWilderRsi _),
-    "q_microstructure" -> (qMicrostructure _)
+    "q_microstructure" -> (qMicrostructure _),
+    "q_distribution_drift" -> (qDistributionDrift _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -119,6 +119,50 @@ object Profiling {
     * unbounded key table, switch to percentile() cutoffs + a bucket
     * join (two passes, no total order).
     */
+  /** Distribution drift between two corpus snapshots: total-variation
+    * distance over shared fixed-width buckets of an integer feature —
+    * the deterministic, no-log twin of PSI/KL drift monitors (those
+    * need ln(p/q); TVD = ½·Σ|p_i − q_i| ranks the same "how far apart"
+    * question and stays EXACT: the numerator Σ|cₐ·N_b − c_b·Nₐ| is pure
+    * integer arithmetic in DECIMAL(38,0) — count×count clears int64 at
+    * corpus scale — and ONE final division produces the score, so both
+    * engines agree bit-for-bit).
+    *
+    * Scale shape: each side is one partial-aggregable bucket count
+    * (≤ nBuckets rows out of each shuffle); totals ride along in the
+    * same pass via a grand-total window over the tiny bucket table;
+    * the bucket join is nBuckets×nBuckets-bounded. Nothing touches the
+    * fact tables twice. */
+  def distributionDrift(a: DataFrame, b: DataFrame, value: Column,
+                        lo: Long, hi: Long, nBuckets: Int): DataFrame = {
+    require(hi > lo && nBuckets > 0, "distributionDrift: bad bucket spec")
+    def d(c: Column) = c.cast("decimal(38,0)")
+    // exact integer bucketing: ((v-lo)·nB) div (hi-lo), clamped
+    def buckets(df: DataFrame) = df
+      .select(value.cast("long").as("v"))
+      .select(least(lit((nBuckets - 1).toLong), greatest(lit(0L),
+        expr(s"((v - $lo) * $nBuckets) div ${hi - lo}"))).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("c"))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy()))
+    val ca = buckets(a).withColumnRenamed("c", "ca").withColumnRenamed("n", "na")
+    val cb = buckets(b).withColumnRenamed("c", "cb").withColumnRenamed("n", "nb")
+    ca.join(cb, Seq("bucket"), "full_outer")
+      .select(
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"),
+        max(col("na")).over(Window.partitionBy()).as("na"),
+        max(col("nb")).over(Window.partitionBy()).as("nb"))
+      .groupBy("na", "nb")
+      .agg(sum(when(col("ca") > 0, lit(1L)).otherwise(0L)).as("buckets_a"),
+        sum(when(col("cb") > 0, lit(1L)).otherwise(0L)).as("buckets_b"),
+        sum(abs(d(col("ca")) * d(col("nb")) - d(col("cb")) * d(col("na"))))
+          .as("num"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        col("buckets_a"), col("buckets_b"),
+        graft.functions.Funcs.rd(col("num").cast("double") /
+          (lit(2.0) * col("na") * col("nb")), 6).as("drift_tvd"))
+  }
+
   def tierSummary(df: DataFrame, key: String, value: Column,
                   tiles: Int = 10): DataFrame = {
     val totals = df.groupBy(col(key)).agg(sum(value).as("total"))

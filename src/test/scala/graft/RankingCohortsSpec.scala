@@ -102,4 +102,30 @@ class RankingCohortsSpec extends AnyFunSpec {
       assert(m(("B", "C")) == -1.0)
     }
   }
+
+  describe("Profiling.distributionDrift") {
+    import graft.operators.Profiling
+    it("identical distributions have zero drift; disjoint ones have drift 1") {
+      val a = (1 to 40).map(i => (i % 4) * 10L).toDF("v")
+      val same = Profiling.distributionDrift(a, a, col("v"), 0L, 40L, 4)
+        .collect().head
+      assert(same.getAs[Double]("drift_tvd") == 0.0)
+      assert(same.getAs[Long]("n_a") == 40L && same.getAs[Long]("n_b") == 40L)
+      val lo = (1 to 10).map(_ => 5L).toDF("v")   // all bucket 0
+      val hi = (1 to 30).map(_ => 35L).toDF("v")  // all bucket 3
+      val far = Profiling.distributionDrift(lo, hi, col("v"), 0L, 40L, 4)
+        .collect().head
+      assert(far.getAs[Double]("drift_tvd") == 1.0)
+      assert(far.getAs[Long]("buckets_a") == 1L && far.getAs[Long]("buckets_b") == 1L)
+    }
+    it("matches the hand TVD on a skewed pair") {
+      // a: 3 in b0, 1 in b1 (n=4); b: 1 in b0, 3 in b1 (n=4)
+      val a = Seq(1L, 2L, 3L, 15L).toDF("v")
+      val b = Seq(1L, 15L, 16L, 17L).toDF("v")
+      val r = Profiling.distributionDrift(a, b, col("v"), 0L, 20L, 2)
+        .collect().head
+      // TVD = (|3*4-1*4| + |1*4-3*4|)/(2*4*4) = 16/32 = 0.5
+      assert(r.getAs[Double]("drift_tvd") == 0.5)
+    }
+  }
 }
