@@ -100,4 +100,65 @@ object Pipelines {
       }
     }
   }
+
+  /** The LLM training-data DAG (the pipeline the LLM-data layer's
+    * operators exist to compose): raw document corpus → quality/
+    * language gate → near-dup removal (exact dups are Jaccard-1
+    * near-dups, so one MinHash pass handles both) → eval-set
+    * decontamination → deterministic train/val/test split →
+    * concat-and-chunk packing plan for the train split.
+    *
+    * Every stage is the already-oracle-checked operator, composed
+    * lazily — Catalyst sees one plan per output, and each stage's
+    * scale shape (banded candidates, broadcast eval shingles, hash
+    * splits, sharded packing) is unchanged by composition. Stage
+    * counts print as the run's audit trail; the job fails if a stage
+    * GROWS the corpus (a dedup/filter stage that adds rows is a bug,
+    * not a statistic). */
+  object CorpusPipeline {
+    def main(args: Array[String]): Unit = {
+      val Array(docsPath, evalPath, outDir) = args.take(3)
+      withSession("graft-corpus") { spark =>
+        val docs = spark.read.parquet(docsPath)
+        val total = docs.count()
+        // 1. quality / language gate (first-failing-gate verdicts)
+        val verdicts = TextAnalysis.corpusFilter(docs, "doc_id", "text", "lang")
+        val kept = docs.join(
+          verdicts.filter(col("keep")).select("doc_id"), "doc_id")
+        val nKept = kept.count()
+        // 2. near-dup removal: keep each group's representative
+        val deduped = Dedup.dedupCorpus(kept, "doc_id", "text")
+        val nDeduped = deduped.count()
+        // 3. eval decontamination: drop heavy-overlap docs (docs too
+        // short to shingle never appear in the score frame = clean)
+        val evalDocs = spark.read.parquet(evalPath)
+        val contaminated = Decontamination
+          .contaminationScores(deduped, "doc_id", "text", evalDocs, "text")
+          .filter(col("overlap_ratio") >= 0.5)
+          .select("doc_id")
+        val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+        val nClean = clean.count()
+        require(nKept <= total && nDeduped <= nKept && nClean <= nDeduped,
+          s"corpus stage grew: $total -> $nKept -> $nDeduped -> $nClean")
+        // 4. deterministic split, stable under corpus growth
+        val split = Sampling.withSplit(clean, "doc_id", trainFraction = 0.8,
+          valFraction = 0.1)
+        split.write.mode("overwrite").partitionBy("split")
+          .parquet(s"$outDir/corpus")
+        // 5. packing plan for the train split (fixed shards: layout
+        // reproducibility across runs beats auto-scaling here)
+        val train = spark.read.parquet(s"$outDir/corpus")
+          .filter(col("split") === "train")
+        val packed = Packing.chunkSpans(
+          TextAnalysis.tokenStats(train, "text")
+            .select("doc_id", "n_tokens"),
+          "doc_id", "n_tokens", budget = 2048, shards = 64)
+        packed.write.mode("overwrite").parquet(s"$outDir/packing_plan")
+        val splits = split.groupBy("split").count().collect()
+          .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+        println(s"[corpus] total=$total kept=$nKept deduped=$nDeduped " +
+          s"clean=$nClean splits($splits)")
+      }
+    }
+  }
 }

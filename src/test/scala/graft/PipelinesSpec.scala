@@ -89,4 +89,41 @@ class PipelinesSpec extends AnyFunSpec {
       assert(!new java.io.File(s"$outDir/mart_stock_performance").exists)
     }
   }
+
+  describe("Pipelines.CorpusPipeline") {
+    it("filters, dedups, decontaminates, splits, and packs end-to-end") {
+      import org.apache.spark.sql.functions._
+      val dir = java.nio.file.Files.createTempDirectory("graft_corpus").toFile
+      val docsPath = new java.io.File(dir, "docs").getAbsolutePath
+      val evalPath = new java.io.File(dir, "eval").getAbsolutePath
+      val outDir = new java.io.File(dir, "out").getAbsolutePath
+
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      docs.write.parquet(docsPath)
+      // the "eval set": 5 verbatim corpus docs -> guaranteed overlap 1.0
+      val evalIds = docs.orderBy("doc_id").limit(5)
+      evalIds.select("text").write.parquet(evalPath)
+
+      graft.jobs.Pipelines.CorpusPipeline.main(Array(docsPath, evalPath, outDir))
+
+      val corpus = spark.read.parquet(s"$outDir/corpus")
+      val n = corpus.count()
+      assert(n > 0 && n <= docs.count())
+      // doc_ids unique after dedup
+      assert(corpus.select("doc_id").distinct().count() == n)
+      // the verbatim eval twins were decontaminated away (unless the
+      // quality gate or dedup dropped them first — either way: gone)
+      val leaked = corpus.join(evalIds.select("doc_id"), "doc_id").count()
+      assert(leaked == 0, s"$leaked eval docs leaked into the corpus")
+      // splits partition the corpus
+      val bySplit = corpus.groupBy("split").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+      assert(bySplit.values.sum == n)
+      // the packing plan covers exactly the train split
+      val plan = spark.read.parquet(s"$outDir/packing_plan")
+      assert(plan.select("doc_id").distinct().count() ==
+        corpus.filter(col("split") === "train").count())
+    }
+  }
 }
