@@ -796,6 +796,45 @@ object OracleSql {
          |  ${rd("CAST(SUM(ABS(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na)) AS DOUBLE) / (2.0 * MAX(na) * MAX(nb))", 6)} AS drift_tvd
          |FROM j""".stripMargin,
 
+    // mirrors TextAnalysis.bpeEncode at numMerges=8: same learn CTE as
+    // q_bpe_merges, merges carried as a correlated list column, the 8
+    // greedy folds unrolled as CTEs (list_reduce, single-elem-list
+    // elements; empty docs guarded — Spark's empty-init fold yields [])
+    "q_bpe_encode" -> {
+      val foldCtes = (1 to 8).map { i =>
+        s"""e$i AS (SELECT doc_id, n_subwords, m,
+           |  CASE WHEN len(toks) = 0 THEN []::VARCHAR[] ELSE
+           |    list_reduce(list_transform(toks, tk -> [tk]),
+           |      (acc, x) -> CASE
+           |        WHEN acc[-1] = split_part(m[$i], ' ', 1)
+           |             AND x[1] = split_part(m[$i], ' ', 2)
+           |          THEN acc[1:len(acc)-1] || [replace(m[$i], ' ', '')]
+           |        ELSE acc || x END) END AS toks
+           |  FROM e${i - 1})""".stripMargin
+      }.mkString(",\n")
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]') AS toks
+         |  FROM documents
+         |),
+         |p AS (
+         |  SELECT unnest(list_transform(range(1, len(toks)),
+         |    i -> toks[i] || ' ' || toks[i+1])) AS pair
+         |  FROM t
+         |),
+         |mg AS (
+         |  SELECT list(pair ORDER BY n DESC, pair) AS m FROM (
+         |    SELECT pair, COUNT(*) AS n FROM p GROUP BY pair
+         |    ORDER BY n DESC, pair LIMIT 8)
+         |),
+         |e0 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_subwords,
+         |       m, toks FROM t, mg),
+         |$foldCtes
+         |SELECT doc_id, n_subwords, CAST(len(toks) AS BIGINT) AS n_bpe,
+         |  toks AS bpe_tokens
+         |FROM e8 ORDER BY doc_id""".stripMargin
+    },
+
     // mirrors qAudioFrames: the payload is unhex(md5 chain), so DuckDB
     // parses samples straight out of the same hex string — sample i =
     // signed LE int16 at hex chars 4i+1(lo)/4i+3(hi); frames of 16

@@ -1153,6 +1153,12 @@ object SparkEntry {
     TickAnalytics.microstructureDaily(Adapters.ticks(s, dir))
       .orderBy("symbol", "trade_date")
 
+  /** BPE learn + encode in one plan: top-8 merges become a broadcast
+    * column, applied as rank-ordered greedy folds per doc. */
+  private def qBpeEncode(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeEncode(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** Snapshot drift monitor: exact TVD between the length
     * distributions of two corpus halves (doc_id parity = the two
     * "ingest snapshots"). */
@@ -1394,7 +1400,8 @@ object SparkEntry {
     "q_momentum_deciles" -> (qMomentumDeciles _),
     "q_wilder_rsi" -> (qWilderRsi _),
     "q_microstructure" -> (qMicrostructure _),
-    "q_distribution_drift" -> (qDistributionDrift _)
+    "q_distribution_drift" -> (qDistributionDrift _),
+    "q_bpe_encode" -> (qBpeEncode _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

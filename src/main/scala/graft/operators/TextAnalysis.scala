@@ -170,6 +170,98 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** BPE ENCODING with merges learned in the same plan — the apply
+    * half of [[bpeMergeCandidates]]: the top-`numMerges` adjacent
+    * pairs (one counting pass, ranked (count desc, pair) — a
+    * single-pass approximation of the iterative learn loop,
+    * deliberate and documented) become the merge table, and each doc's
+    * subword stream is folded once per merge in rank order —
+    * left-to-right greedy replacement, the standard BPE apply rule.
+    *
+    * Fully relational on purpose: the merge table stays a COLUMN
+    * (aggregated into one ordered array, broadcast by cross join), the
+    * apply step is `aggregate` folds whose lambdas read that column —
+    * no driver round-trip bakes learned values into the plan, and
+    * DuckDB mirrors the whole thing (same learn CTE, same folds via
+    * `list_reduce`, correlated `m[i]` refs) so the encode is
+    * hash-checked end to end. `try_element_at` keeps a short merge
+    * table (tiny corpus) a no-op rather than an ANSI index error.
+    *
+    * Scale notes: the fold is interpreted per element and copies the
+    * accumulator (O(len²) per doc per merge) — fine for the
+    * oracle-parity surface; the production encode at 100 TB is
+    * [[bpeEncodeFast]], the same greedy rule as one JVM pass per doc
+    * (proven equal in TextMultimodalSpec). Merge learning itself is
+    * the scalable half (partial-agg shuffle + TakeOrdered). */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+                numMerges: Int = 8): DataFrame = {
+    val merges = bpeMergeCandidates(docs, textCol, numMerges)
+      .agg(sort_array(collect_list(struct((-col("n")).as("nn"), col("pair").as("p"))))
+        .as("sp"))
+      .select(transform(col("sp"), s => s.getField("p")).as("m"))
+    val toksExpr = regexp_extract_all(lower(col(textCol)), lit(subwordPattern), lit(0))
+    def fold(inner: String, i: Int): String =
+      s"""aggregate($inner, cast(array() as array<string>),
+         |  (acc, x) -> CASE
+         |    WHEN size(acc) = 0 THEN array(x)
+         |    WHEN element_at(acc, -1) = split_part(try_element_at(m, $i), ' ', 1)
+         |         AND x = split_part(try_element_at(m, $i), ' ', 2)
+         |      THEN concat(slice(acc, 1, size(acc) - 1),
+         |                  array(replace(try_element_at(m, $i), ' ', '')))
+         |    ELSE concat(acc, array(x)) END)""".stripMargin
+    val encoded = (1 to numMerges).foldLeft("__toks")(fold)
+    Dedup.spreadById(docs, idCol, textCol)
+      .select(col(idCol), toksExpr.as("__toks"))
+      .crossJoin(broadcast(merges))
+      .select(col(idCol), size(col("__toks")).cast("long").as("n_subwords"),
+        expr(encoded).as("bpe_tokens"))
+      .withColumn("n_bpe", size(col("bpe_tokens")).cast("long"))
+      .select(col(idCol), col("n_subwords"), col("n_bpe"), col("bpe_tokens"))
+  }
+
+  /** The 100 TB twin of [[bpeEncode]]: identical greedy semantics, one
+    * typed JVM pass per doc (no per-step array copying), merges
+    * broadcast as plain data. Use this to actually encode a corpus;
+    * use [[bpeEncode]] when cross-engine checkability matters. */
+  def bpeEncodeFast(docs: DataFrame, idCol: String, textCol: String,
+                    numMerges: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val mergeList = bpeMergeCandidates(docs, textCol, numMerges)
+      .collect().sortBy(r => (-r.getLong(1), r.getString(0)))
+      .map(_.getString(0)).toSeq
+    val bc = spark.sparkContext.broadcast(
+      mergeList.map { p => val Array(a, b) = p.split(" ", 2); (a, b) })
+    val pat = java.util.regex.Pattern.compile(subwordPattern)
+    val patBc = spark.sparkContext.broadcast(subwordPattern)
+    Dedup.spreadById(docs, idCol, textCol)
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val p = java.util.regex.Pattern.compile(patBc.value)
+        val merges = bc.value
+        rows.map { case (id, text) =>
+          val m = p.matcher(if (text == null) "" else text.toLowerCase)
+          val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+          while (m.find()) toks += m.group()
+          val nSub = toks.length.toLong
+          var cur: scala.collection.mutable.ArrayBuffer[String] = toks
+          merges.foreach { case (a, b) =>
+            val out = new scala.collection.mutable.ArrayBuffer[String](cur.length)
+            var i = 0
+            while (i < cur.length) {
+              if (out.nonEmpty && out.last == a && cur(i) == b) {
+                out(out.length - 1) = a + b
+              } else out += cur(i)
+              i += 1
+            }
+            cur = out
+          }
+          (id, nSub, cur.length.toLong, cur.toSeq)
+        }
+      }.toDF(idCol, "n_subwords", "n_bpe", "bpe_tokens")
+  }
+
   /** Cluster labeling: the top-k most frequent tokens per embedding
     * cluster — the human-readable summary that turns an opaque
     * `(id, cell)` assignment ([[Similarity.kmeansRefine]] /

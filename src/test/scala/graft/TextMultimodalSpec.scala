@@ -249,4 +249,46 @@ class TextMultimodalSpec extends AnyFunSpec {
       assert(got == ((9L, None, None, None, false)))
     }
   }
+
+  describe("bpeEncode") {
+    it("applies learned merges greedily left-to-right") {
+      // corpus dominated by 'a b' then 'ab c' at the pre-token grain
+      val docs = Seq(
+        (1L, "a b c a b c a b"),
+        (2L, "a b c"),
+        (3L, "x y"))
+        .toDF("doc_id", "text")
+      val enc = TextAnalysis.bpeEncode(docs, "doc_id", "text", numMerges = 2)
+        .orderBy("doc_id").collect()
+      // merges learned: ('a b' n=4? ...) rank 1, ('b c' or 'ab c')...
+      // whatever the ranks, doc 3 is untouched:
+      assert(enc(2).getSeq[String](3) == Seq("x", "y"))
+      // doc 2: 'a b' merges to 'ab'; then if 'ab c' ranked, -> 'abc'
+      val d2 = enc(1).getSeq[String](3)
+      assert(d2 == Seq("ab", "c") || d2 == Seq("abc"))
+      assert(enc(1).getAs[Long]("n_subwords") == 3L)
+      // consecutive merge greediness: 'a a a' with merge (a,a) -> [aa, a]
+      val tri = Seq((1L, "a a a"), (2L, "a a")).toDF("doc_id", "text")
+      val t = TextAnalysis.bpeEncode(tri, "doc_id", "text", numMerges = 1)
+        .orderBy("doc_id").collect()
+      assert(t(0).getSeq[String](3) == Seq("aa", "a"))
+      assert(t(1).getSeq[String](3) == Seq("aa"))
+    }
+    it("the relational fold and the JVM fast path encode identically") {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val a = TextAnalysis.bpeEncode(docs, "doc_id", "text")
+        .select("doc_id", "n_subwords", "n_bpe", "bpe_tokens")
+      val b = TextAnalysis.bpeEncodeFast(docs, "doc_id", "text")
+        .select("doc_id", "n_subwords", "n_bpe", "bpe_tokens")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    }
+    it("empty and sub-shingle docs encode to empty, not errors") {
+      val docs = Seq((1L, ""), (2L, "solo")).toDF("doc_id", "text")
+      val enc = TextAnalysis.bpeEncode(docs, "doc_id", "text")
+        .orderBy("doc_id").collect()
+      assert(enc(0).getAs[Long]("n_bpe") == 0L)
+      assert(enc(0).getSeq[String](3) == Seq.empty)
+      assert(enc(1).getSeq[String](3) == Seq("solo"))
+    }
+  }
 }
