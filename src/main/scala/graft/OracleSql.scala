@@ -835,6 +835,23 @@ object OracleSql {
          |FROM e8 ORDER BY doc_id""".stripMargin
     },
 
+    // mirrors Similarity.quantizeInt8: identical float→double casts
+    // and ONE IEEE division per element, so even `scale` hash-matches
+    "q_embed_quantize" ->
+      s"""WITH a AS (
+         |  SELECT vec_id, embedding AS v,
+         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+         |  FROM embeddings
+         |)
+         |SELECT vec_id,
+         |  CAST(len(v) AS INTEGER) AS n_dims,
+         |  amax / 127.0 AS scale,
+         |  CASE WHEN amax = 0.0 THEN list_transform(v, x -> 0)
+         |       ELSE list_transform(v,
+         |         x -> CAST(FLOOR(CAST(x AS DOUBLE) / (amax / 127.0) + 0.5) AS INTEGER))
+         |  END AS q
+         |FROM a ORDER BY vec_id""".stripMargin,
+
     // mirrors qAudioFrames: the payload is unhex(md5 chain), so DuckDB
     // parses samples straight out of the same hex string — sample i =
     // signed LE int16 at hex chars 4i+1(lo)/4i+3(hi); frames of 16

@@ -1159,6 +1159,11 @@ object SparkEntry {
     TextAnalysis.bpeEncode(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Int8 embedding quantization (per-vector symmetric scale). */
+  private def qEmbedQuantize(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(Tables.embeddings(s, dir), "vec_id", "embedding")
+      .orderBy("vec_id")
+
   /** Snapshot drift monitor: exact TVD between the length
     * distributions of two corpus halves (doc_id parity = the two
     * "ingest snapshots"). */
@@ -1401,7 +1406,8 @@ object SparkEntry {
     "q_wilder_rsi" -> (qWilderRsi _),
     "q_microstructure" -> (qMicrostructure _),
     "q_distribution_drift" -> (qDistributionDrift _),
-    "q_bpe_encode" -> (qBpeEncode _)
+    "q_bpe_encode" -> (qBpeEncode _),
+    "q_embed_quantize" -> (qEmbedQuantize _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -632,4 +632,30 @@ object Similarity {
       .orderBy(col("cosine").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Symmetric int8 quantization of an embedding column — the 4×
+    * storage/bandwidth compression every vector store applies before
+    * ANN serving: per-vector scale = max|x|/127, q_i = ⌊x_i/scale+½⌋,
+    * so every code lands in [−127, 127] (+127.5 rounds would need
+    * max|x| itself; the floor form caps at 127 for the max element)
+    * and reconstruction error is bounded by scale/2 per element.
+    *
+    * Pure narrow map (one lambda chain per row, no shuffle at all);
+    * all arithmetic is float→double casts and one IEEE division —
+    * both engines execute the identical op sequence, so even the
+    * double `scale` column hash-matches. All-zero vectors quantize to
+    * all-zero codes with scale 0 (guarded, not NaN). */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val absMax = array_max(transform(col(vecCol),
+      x => abs(x.cast("double"))))
+    df.select(col(idCol), col(vecCol).as("__v"), absMax.as("__amax"))
+      .select(col(idCol),
+        size(col("__v")).as("n_dims"),
+        (col("__amax") / 127.0).as("scale"),
+        when(col("__amax") === 0.0,
+          transform(col("__v"), _ => lit(0)))
+          .otherwise(transform(col("__v"),
+            x => floor(x.cast("double") / (col("__amax") / 127.0) + 0.5).cast("int")))
+          .as("q"))
+  }
 }

@@ -321,4 +321,33 @@ class SimilaritySpec extends AnyFunSpec {
       assert(high.subsetOf(got), s"lost high-cosine pairs: ${high.diff(got)}")
     }
   }
+
+  describe("quantizeInt8") {
+    it("codes stay in [-127,127] and reconstruction error <= scale/2") {
+      val vecs = Similarity.quantizeInt8(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
+        "vec_id", "embedding")
+      val joined = vecs.join(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
+        "vec_id")
+      import org.apache.spark.sql.functions._
+      val bad = joined.filter(
+        exists(col("q"), c => abs(c) > 127) ||
+        exists(zip_with(col("embedding"), col("q"),
+            (x, c) => abs(x.cast("double") - c * col("scale"))),
+          e => e > col("scale") / 2 + 1e-12))
+      assert(bad.isEmpty, bad.take(2).mkString(","))
+    }
+    it("hand case incl. the all-zero vector") {
+      val df = Seq(
+        (1L, Array(1.0f, -0.5f, 0.25f)),
+        (2L, Array(0.0f, 0.0f, 0.0f)))
+        .toDF("vec_id", "embedding")
+      val got = Similarity.quantizeInt8(df, "vec_id", "embedding")
+        .orderBy("vec_id").collect()
+      assert(got(0).getSeq[Int](3) == Seq(127, -63, 32)) // floor(-63.5+0.5) = -63
+      assert(got(1).getSeq[Int](3) == Seq(0, 0, 0))
+      assert(got(1).getAs[Double]("scale") == 0.0)
+    }
+  }
 }
