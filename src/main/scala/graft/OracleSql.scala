@@ -852,6 +852,25 @@ object OracleSql {
          |  END AS q
          |FROM a ORDER BY vec_id""".stripMargin,
 
+    // mirrors DailyAnalytics.calendarFill: generate_series scaffold,
+    // LAST_VALUE IGNORE NULLS forward fill over the symbol window
+    "q_calendar_fill" ->
+      s"""${dailyChain("bars")},
+         |sp AS (SELECT symbol, MIN(trade_date) AS d0, MAX(trade_date) AS d1
+         |  FROM bars GROUP BY symbol),
+         |sc AS (SELECT symbol,
+         |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS trade_date
+         |  FROM sp),
+         |j AS (SELECT sc.symbol, sc.trade_date, b.close_price, b.volume
+         |  FROM sc LEFT JOIN bars b USING (symbol, trade_date))
+         |SELECT symbol, trade_date,
+         |  close_price IS NULL AS is_gap,
+         |  LAST_VALUE(close_price IGNORE NULLS) OVER (
+         |    PARTITION BY symbol ORDER BY trade_date
+         |    ROWS UNBOUNDED PRECEDING) AS close_filled,
+         |  CAST(COALESCE(volume, 0) AS BIGINT) AS volume
+         |FROM j ORDER BY symbol, trade_date""".stripMargin,
+
     // mirrors qAudioFrames: the payload is unhex(md5 chain), so DuckDB
     // parses samples straight out of the same hex string — sample i =
     // signed LE int16 at hex chars 4i+1(lo)/4i+3(hi); frames of 16

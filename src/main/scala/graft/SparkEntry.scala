@@ -1159,6 +1159,11 @@ object SparkEntry {
     TextAnalysis.bpeEncode(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Calendar gap-fill with forward-filled closes. */
+  private def qCalendarFill(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.calendarFill(Adapters.dailyBars(s, dir))
+      .orderBy("symbol", "trade_date")
+
   /** Int8 embedding quantization (per-vector symmetric scale). */
   private def qEmbedQuantize(s: SparkSession, dir: String): DataFrame =
     Similarity.quantizeInt8(Tables.embeddings(s, dir), "vec_id", "embedding")
@@ -1407,7 +1412,8 @@ object SparkEntry {
     "q_microstructure" -> (qMicrostructure _),
     "q_distribution_drift" -> (qDistributionDrift _),
     "q_bpe_encode" -> (qBpeEncode _),
-    "q_embed_quantize" -> (qEmbedQuantize _)
+    "q_embed_quantize" -> (qEmbedQuantize _),
+    "q_calendar_fill" -> (qCalendarFill _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

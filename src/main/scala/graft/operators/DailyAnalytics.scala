@@ -644,6 +644,34 @@ object DailyAnalytics {
           .as("rsi_wilder"))
   }
 
+  /** Calendar gap-fill: scaffold every symbol's full [min, max] date
+    * span (missing trading days become explicit rows), then
+    * forward-fill the close with the last non-null observation — the
+    * completion step that turns an event-sparse series into the dense
+    * panel window/factor math assumes. `is_gap` marks synthesized
+    * rows; gap volume is 0, not carried.
+    *
+    * Scale shape: the scaffold is symbol×calendar — a DIMENSION
+    * (bounded by span length, not corpus) built from a per-symbol
+    * min/max agg; the fill is one `last(_, ignoreNulls)` over the
+    * shared symbol-ordered window. One agg shuffle + one equi join +
+    * one window exchange. */
+  def calendarFill(bars: DataFrame): DataFrame = {
+    val span = bars.groupBy("symbol")
+      .agg(min(col("trade_date")).as("d0"), max(col("trade_date")).as("d1"))
+    val scaffold = span.select(col("symbol"),
+      explode(sequence(col("d0"), col("d1"))).as("trade_date"))
+    scaffold
+      .join(bars.select(col("symbol"), col("trade_date"),
+        col("close_price"), col("volume")), Seq("symbol", "trade_date"), "left")
+      .select(col("symbol"), col("trade_date"),
+        col("close_price").isNull.as("is_gap"),
+        org.apache.spark.sql.functions.last(col("close_price"), ignoreNulls = true)
+          .over(bySymbol.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("close_filled"),
+        coalesce(col("volume"), lit(0L)).as("volume"))
+  }
+
   /** Cross-sectional z-score of daily returns: each (symbol, day)
     * return standardized against THAT DAY's cross-section — the
     * market-neutralization step every factor pipeline runs before

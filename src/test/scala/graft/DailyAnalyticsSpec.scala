@@ -299,6 +299,25 @@ class DailyAnalyticsSpec extends AnyFunSpec {
     }
   }
 
+  describe("calendarFill") {
+    it("scaffolds missing days and forward-fills the close") {
+      val sparse = Seq(
+        ("A", "2024-01-01", 10.0, 100L),
+        ("A", "2024-01-04", 13.0, 400L)) // 3-day gap
+        .toDF("symbol", "ds", "close_price", "volume")
+        .withColumn("trade_date", to_date($"ds")).drop("ds")
+      val got = DailyAnalytics.calendarFill(sparse)
+        .orderBy("trade_date").collect()
+      assert(got.length == 4)
+      assert(got.map(_.getAs[Boolean]("is_gap")).toSeq ==
+        Seq(false, true, true, false))
+      assert(got.map(_.getAs[Double]("close_filled")).toSeq ==
+        Seq(10.0, 10.0, 10.0, 13.0))
+      assert(got.map(_.getAs[Long]("volume")).toSeq ==
+        Seq(100L, 0L, 0L, 400L))
+    }
+  }
+
   describe("crossSectionalZ") {
     it("standardizes each day's cross-section exactly") {
       // one day, three symbols, returns 10/20/30% -> z = -1, 0, +1
