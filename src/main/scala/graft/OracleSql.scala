@@ -871,6 +871,25 @@ object OracleSql {
          |  CAST(COALESCE(volume, 0) AS BIGINT) AS volume
          |FROM j ORDER BY symbol, trade_date""".stripMargin,
 
+    // mirrors DailyAnalytics.walkForwardSplits(5, 5): exact ⌊idx·k/n⌋
+    // blocks, embargo = test_start − 6 days, excluded rows dropped
+    "q_walk_forward" ->
+      s"""${dailyChain("bars")},
+         |d AS (SELECT DISTINCT trade_date FROM bars),
+         |i AS (SELECT trade_date,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY trade_date) - 1 AS BIGINT) AS idx,
+         |    CAST(COUNT(*) OVER () AS BIGINT) AS n FROM d),
+         |f AS (SELECT trade_date, (idx * 5) // n AS date_fold FROM i),
+         |b AS (SELECT date_fold AS fold, MIN(trade_date) AS test_start
+         |  FROM f GROUP BY 1),
+         |r AS (SELECT fold, trade_date,
+         |    CASE WHEN date_fold = fold THEN 'test'
+         |         WHEN trade_date <= test_start - 6 THEN 'train'
+         |         ELSE 'excluded' END AS role
+         |  FROM f, b)
+         |SELECT fold, trade_date, role FROM r WHERE role <> 'excluded'
+         |ORDER BY fold, trade_date""".stripMargin,
+
     // mirrors qAudioFrames: the payload is unhex(md5 chain), so DuckDB
     // parses samples straight out of the same hex string — sample i =
     // signed LE int16 at hex chars 4i+1(lo)/4i+3(hi); frames of 16

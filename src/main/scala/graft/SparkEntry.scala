@@ -1164,6 +1164,11 @@ object SparkEntry {
     DailyAnalytics.calendarFill(Adapters.dailyBars(s, dir))
       .orderBy("symbol", "trade_date")
 
+  /** Purged walk-forward CV splits over the trading calendar. */
+  private def qWalkForward(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.walkForwardSplits(Adapters.dailyBars(s, dir))
+      .orderBy("fold", "trade_date")
+
   /** Int8 embedding quantization (per-vector symmetric scale). */
   private def qEmbedQuantize(s: SparkSession, dir: String): DataFrame =
     Similarity.quantizeInt8(Tables.embeddings(s, dir), "vec_id", "embedding")
@@ -1413,7 +1418,8 @@ object SparkEntry {
     "q_distribution_drift" -> (qDistributionDrift _),
     "q_bpe_encode" -> (qBpeEncode _),
     "q_embed_quantize" -> (qEmbedQuantize _),
-    "q_calendar_fill" -> (qCalendarFill _)
+    "q_calendar_fill" -> (qCalendarFill _),
+    "q_walk_forward" -> (qWalkForward _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

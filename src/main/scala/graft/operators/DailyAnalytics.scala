@@ -672,6 +672,38 @@ object DailyAnalytics {
         coalesce(col("volume"), lit(0L)).as("volume"))
   }
 
+  /** Walk-forward (purged) cross-validation splits: the trading
+    * calendar is cut into `nFolds` chronological test blocks; fold i
+    * trains on every date ending `embargoDays` BEFORE its test block
+    * starts (the embargo purges leakage from overlapping label
+    * horizons — López de Prado's purged k-fold, the time-series
+    * replacement for random CV). Dates inside the embargo or after
+    * the test block are excluded from that fold. Output: one
+    * (fold, trade_date, role ∈ train/test) row per usable date.
+    *
+    * Everything runs on the DATES dimension (distinct calendar, a few
+    * thousand rows at any corpus size): one distinct, one global
+    * row_number over dates (dimension-sized, deliberate), a
+    * folds×dates cross join bounded by both factors. Fold id is exact
+    * integer math (⌊idx·k/n⌋), so block edges are engine-portable. */
+  def walkForwardSplits(bars: DataFrame, nFolds: Int = 5,
+                        embargoDays: Int = 5): DataFrame = {
+    require(nFolds >= 2, "walkForwardSplits: need at least 2 folds")
+    val dates = bars.select(col("trade_date")).distinct()
+      .withColumn("idx", row_number().over(Window.orderBy("trade_date")) - 1)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("date_fold", expr(s"(idx * $nFolds) div n"))
+    val blocks = dates.groupBy(col("date_fold").as("fold"))
+      .agg(min(col("trade_date")).as("test_start"))
+    dates.crossJoin(blocks)
+      .select(col("fold"), col("trade_date"),
+        when(col("date_fold") === col("fold"), "test")
+          .when(col("trade_date") <= date_sub(col("test_start"), embargoDays + 1),
+            "train")
+          .otherwise("excluded").as("role"))
+      .filter(col("role") =!= "excluded")
+  }
+
   /** Cross-sectional z-score of daily returns: each (symbol, day)
     * return standardized against THAT DAY's cross-section — the
     * market-neutralization step every factor pipeline runs before

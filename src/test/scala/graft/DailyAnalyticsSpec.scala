@@ -318,6 +318,28 @@ class DailyAnalyticsSpec extends AnyFunSpec {
     }
   }
 
+  describe("walkForwardSplits") {
+    it("no train date enters the embargo, test blocks tile the calendar") {
+      // 10 consecutive days, 2 folds, embargo 2
+      val panel = (1 to 10).map(d => ("A", f"2024-01-$d%02d", 10.0))
+        .toDF("symbol", "ds", "close_price")
+        .withColumn("trade_date", to_date($"ds")).drop("ds")
+      val s = DailyAnalytics.walkForwardSplits(panel, nFolds = 2, embargoDays = 2)
+        .collect().map(r => (r.getAs[Long]("fold"),
+          r.getAs[java.sql.Date]("trade_date").toString, r.getString(2)))
+      // fold 1 tests days 6-10; embargo purges days 4,5; trains 1-3
+      val f1 = s.filter(_._1 == 1L)
+      assert(f1.filter(_._3 == "test").map(_._2).sorted.toSeq ==
+        (6 to 10).map(d => f"2024-01-$d%02d"))
+      assert(f1.filter(_._3 == "train").map(_._2).sorted.toSeq ==
+        (1 to 3).map(d => f"2024-01-$d%02d"))
+      // fold 0 tests days 1-5 and has no train dates at all
+      val f0 = s.filter(_._1 == 0L)
+      assert(f0.forall(_._3 == "test"))
+      assert(f0.map(_._2).sorted.toSeq == (1 to 5).map(d => f"2024-01-$d%02d"))
+    }
+  }
+
   describe("crossSectionalZ") {
     it("standardizes each day's cross-section exactly") {
       // one day, three symbols, returns 10/20/30% -> z = -1, 0, +1
