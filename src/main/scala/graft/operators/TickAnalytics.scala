@@ -134,12 +134,17 @@ object TickAnalytics {
     * within int64 for ~10⁹ ticks/day at 100-point moves; beyond that
     * raise to DECIMAL(38,0) like sharpeRatio. */
   def microstructureDaily(ticks: DataFrame, priceScale: Int = 2): DataFrame = {
-    val p = scaled(col("price"), priceScale)
-    val day = to_date(col("event_time"))
-    val w = Window.partitionBy(col("symbol"), day).orderBy(col("event_time"))
-    val d = p - lag(p, 1).over(w)
-    ticks
-      .select(col("symbol"), day.as("trade_date"), d.as("dp"))
+    // materialize the day BEFORE the window so the groupBy below
+    // shares the window's (symbol, trade_date) hashpartitioning —
+    // partitioning on the to_date EXPRESSION instead costs a second
+    // exchange (asserted in PlanSpec)
+    val base = ticks.select(col("symbol"),
+      to_date(col("event_time")).as("trade_date"), col("event_time"),
+      scaled(col("price"), priceScale).as("pfp"))
+    val w = Window.partitionBy("symbol", "trade_date").orderBy("event_time")
+    base
+      .select(col("symbol"), col("trade_date"),
+        (col("pfp") - lag(col("pfp"), 1).over(w)).as("dp"))
       .filter(col("dp").isNotNull)
       .groupBy("symbol", "trade_date")
       .agg(count(lit(1)).as("n_moves"),

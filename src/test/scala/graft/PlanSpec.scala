@@ -194,6 +194,28 @@ class PlanSpec extends AnyFunSpec {
       }
     }
 
+    it("int8 quantization is a pure narrow map — zero exchanges") {
+      val df = graft.operators.Similarity.quantizeInt8(
+        graft.sources.Tables.embeddings(spark, dir), "vec_id", "embedding")
+      assert(!plan(df).contains("Exchange"), s"unexpected exchange, plan:\n${plan(df)}")
+    }
+
+    it("BPE encode carries the merge table by broadcast — docs never shuffle for it") {
+      val p = plan(graft.operators.TextAnalysis.bpeEncode(
+        graft.sources.Tables.documents(spark, dir), "doc_id", "text"))
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+        s"expected broadcast merges, plan:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"unexpected SortMergeJoin, plan:\n$p")
+    }
+
+    it("microstructure reuses the (symbol, day) window partitioning for its agg") {
+      val df = graft.operators.TickAnalytics.microstructureDaily(
+        Adapters.ticks(spark, dir))
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan(df)).size
+      // 1 for the tick window; the same-key groupBy rides that partitioning
+      assert(exchanges == 1, s"expected 1 exchange, plan:\n${plan(df)}")
+    }
+
     it("projection pruning: the mart reads only the columns it needs") {
       val p = plan(DailyAnalytics.martStockPerformance(Adapters.dailyBars(spark, dir)))
       assert(p.contains("l_suppkey") && p.contains("l_extendedprice"))
