@@ -890,6 +890,23 @@ object OracleSql {
          |SELECT fold, trade_date, role FROM r WHERE role <> 'excluded'
          |ORDER BY fold, trade_date""".stripMargin,
 
+    // mirrors DailyAnalytics.varCvar(0.05, 20): k-th order statistic
+    // (no quantile interpolation — engines disagree there), tail sum
+    // exact via list_sum over the sorted prefix
+    "q_var_cvar" ->
+      s"""${dailyChain("returns")},
+         |g AS (SELECT symbol, list(y ORDER BY y) AS ys FROM (
+         |    SELECT symbol, ${sc4("daily_return_pct")} AS y
+         |    FROM returns WHERE daily_return_pct IS NOT NULL)
+         |  GROUP BY symbol),
+         |f AS (SELECT symbol, CAST(len(ys) AS BIGINT) AS n_days,
+         |    CAST(FLOOR(0.05 * (len(ys) - 1)) AS INTEGER) + 1 AS k, ys
+         |  FROM g WHERE len(ys) >= 20)
+         |SELECT symbol, n_days,
+         |  ${rd("CAST(ys[k] AS DOUBLE) / 10000.0", 4)} AS var_pct,
+         |  ${rd("CAST(list_sum(ys[1:k]) AS DOUBLE) / k / 10000.0", 4)} AS cvar_pct
+         |FROM f ORDER BY symbol""".stripMargin,
+
     // mirrors qAudioFrames: the payload is unhex(md5 chain), so DuckDB
     // parses samples straight out of the same hex string — sample i =
     // signed LE int16 at hex chars 4i+1(lo)/4i+3(hi); frames of 16

@@ -1164,6 +1164,11 @@ object SparkEntry {
     DailyAnalytics.calendarFill(Adapters.dailyBars(s, dir))
       .orderBy("symbol", "trade_date")
 
+  /** Historical VaR(5%) + CVaR per symbol via exact order statistics. */
+  private def qVarCvar(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.varCvar(DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+      .orderBy("symbol")
+
   /** Purged walk-forward CV splits over the trading calendar. */
   private def qWalkForward(s: SparkSession, dir: String): DataFrame =
     DailyAnalytics.walkForwardSplits(Adapters.dailyBars(s, dir))
@@ -1419,7 +1424,8 @@ object SparkEntry {
     "q_bpe_encode" -> (qBpeEncode _),
     "q_embed_quantize" -> (qEmbedQuantize _),
     "q_calendar_fill" -> (qCalendarFill _),
-    "q_walk_forward" -> (qWalkForward _)
+    "q_walk_forward" -> (qWalkForward _),
+    "q_var_cvar" -> (qVarCvar _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -704,6 +704,36 @@ object DailyAnalytics {
       .filter(col("role") =!= "excluded")
   }
 
+  /** Historical Value-at-Risk and Conditional VaR (expected
+    * shortfall) per symbol: VaR(α) is the ⌊α·(n−1)⌋+1-th SMALLEST
+    * daily return — the interpolation-free lower quantile, chosen
+    * because engines disagree on quantile interpolation but agree on
+    * order statistics — and CVaR is the exact mean of the tail at or
+    * below it (integer sum over the sorted prefix, ONE final
+    * division). Completes the downside-risk set next to
+    * [[sharpeRatio]]/[[marketBeta]]/[[maxDrawdown]].
+    *
+    * Same days-dimension collect discipline as [[emaClose]]: the
+    * sorted return array is bounded by the calendar, the tail sum is
+    * an `aggregate` fold in exact longs. */
+  def varCvar(returns: DataFrame, alpha: Double = 0.05,
+              minDays: Int = 20): DataFrame = {
+    require(alpha > 0 && alpha < 1, "varCvar: alpha in (0,1)")
+    returns.filter(col("daily_return_pct").isNotNull)
+      .select(col("symbol"), scaled(col("daily_return_pct"), 4).as("y"))
+      .groupBy("symbol")
+      .agg(sort_array(collect_list(col("y"))).as("ys"))
+      .filter(size(col("ys")) >= minDays)
+      .select(col("symbol"), size(col("ys")).cast("long").as("n_days"),
+        (floor(lit(alpha) * (size(col("ys")) - 1)).cast("int") + 1).as("k"),
+        col("ys"))
+      .select(col("symbol"), col("n_days"),
+        r4(element_at(col("ys"), col("k")).cast("double") / 10000.0)
+          .as("var_pct"),
+        r4(expr("aggregate(slice(ys, 1, k), 0L, (acc, x) -> acc + x)")
+          .cast("double") / col("k") / 10000.0).as("cvar_pct"))
+  }
+
   /** Cross-sectional z-score of daily returns: each (symbol, day)
     * return standardized against THAT DAY's cross-section — the
     * market-neutralization step every factor pipeline runs before

@@ -340,6 +340,29 @@ class DailyAnalyticsSpec extends AnyFunSpec {
     }
   }
 
+  describe("varCvar") {
+    it("picks the exact order statistic and averages the tail") {
+      // 20 returns: -20, -19, ..., -1 (as percents) via a price walk?
+      // simpler: feed a synthetic returns frame directly
+      val rets = (1 to 20).map(i => ("A", f"2024-01-$i%02d", -21.0 + i))
+        .toDF("symbol", "ds", "daily_return_pct")
+        .withColumn("trade_date", to_date($"ds")).drop("ds")
+      val r = DailyAnalytics.varCvar(rets, alpha = 0.1, minDays = 20)
+        .collect().head
+      // sorted: -20..-1; k = floor(0.1*19)+1 = 2 -> var = -19
+      assert(r.getAs[Double]("var_pct") == -19.0)
+      // cvar = (-20 + -19)/2 = -19.5
+      assert(r.getAs[Double]("cvar_pct") == -19.5)
+      assert(r.getAs[Long]("n_days") == 20L)
+    }
+    it("drops short series") {
+      val rets = Seq(("A", "2024-01-01", -1.0))
+        .toDF("symbol", "ds", "daily_return_pct")
+        .withColumn("trade_date", to_date($"ds")).drop("ds")
+      assert(DailyAnalytics.varCvar(rets, minDays = 20).isEmpty)
+    }
+  }
+
   describe("crossSectionalZ") {
     it("standardizes each day's cross-section exactly") {
       // one day, three symbols, returns 10/20/30% -> z = -1, 0, +1
