@@ -907,6 +907,26 @@ object OracleSql {
          |  ${rd("CAST(list_sum(ys[1:k]) AS DOUBLE) / k / 10000.0", 4)} AS cvar_pct
          |FROM f ORDER BY symbol""".stripMargin,
 
+    // mirrors DailyAnalytics.autocorrelation(1, 30): HUGEINT products
+    // (mirrors Spark DECIMAL(38,0)), same correlation tree as
+    // q_pair_correlation but against the series' own lag
+    "q_autocorrelation" ->
+      s"""${dailyChain("returns")},
+         |p AS (SELECT symbol, y, LAG(y) OVER w AS yl FROM (
+         |    SELECT symbol, trade_date, ${sc4("daily_return_pct")} AS y
+         |    FROM returns WHERE daily_return_pct IS NOT NULL)
+         |  WINDOW w AS (PARTITION BY symbol ORDER BY trade_date)),
+         |g AS (SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |    CAST(SUM(y) AS BIGINT) AS sx, CAST(SUM(yl) AS BIGINT) AS sy,
+         |    SUM(CAST(y AS HUGEINT) * yl) AS sxy,
+         |    SUM(CAST(y AS HUGEINT) * y) AS sxx,
+         |    SUM(CAST(yl AS HUGEINT) * yl) AS syy
+         |  FROM p WHERE yl IS NOT NULL
+         |  GROUP BY symbol HAVING COUNT(*) >= 30)
+         |SELECT symbol, n_pairs,
+         |  ${rd("CAST(CAST(n_pairs AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) / NULLIF(SQRT(CAST(CAST(n_pairs AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)) * SQRT(CAST(CAST(n_pairs AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)), 0)", 4)} AS acf_1
+         |FROM g ORDER BY symbol""".stripMargin,
+
     // mirrors qAudioFrames: the payload is unhex(md5 chain), so DuckDB
     // parses samples straight out of the same hex string — sample i =
     // signed LE int16 at hex chars 4i+1(lo)/4i+3(hi); frames of 16

@@ -1169,6 +1169,11 @@ object SparkEntry {
     DailyAnalytics.varCvar(DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
       .orderBy("symbol")
 
+  /** Lag-1 return autocorrelation per symbol (mean-reversion probe). */
+  private def qAutocorrelation(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.autocorrelation(DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+      .orderBy("symbol")
+
   /** Purged walk-forward CV splits over the trading calendar. */
   private def qWalkForward(s: SparkSession, dir: String): DataFrame =
     DailyAnalytics.walkForwardSplits(Adapters.dailyBars(s, dir))
@@ -1425,7 +1430,8 @@ object SparkEntry {
     "q_embed_quantize" -> (qEmbedQuantize _),
     "q_calendar_fill" -> (qCalendarFill _),
     "q_walk_forward" -> (qWalkForward _),
-    "q_var_cvar" -> (qVarCvar _)
+    "q_var_cvar" -> (qVarCvar _),
+    "q_autocorrelation" -> (qAutocorrelation _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

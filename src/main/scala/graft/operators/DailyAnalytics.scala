@@ -734,6 +734,36 @@ object DailyAnalytics {
           .cast("double") / col("k") / 10000.0).as("cvar_pct"))
   }
 
+  /** Return autocorrelation at a fixed lag — the mean-reversion /
+    * momentum diagnostic (negative ACF(1) ⇒ reversion). Same exact
+    * arithmetic as [[pairCorrelation]] but against the series' own
+    * lag: scale-4 longs, Σ products in DECIMAL(38,0) (the
+    * [[sharpeRatio]] overflow rule), the textbook correlation as ONE
+    * final scalar tree. One symbol exchange feeds both the lag window
+    * and the per-symbol sums. */
+  def autocorrelation(returns: DataFrame, lagDays: Int = 1,
+                      minDays: Int = 30): DataFrame = {
+    def dd(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val y = scaled(col("daily_return_pct"), 4)
+    val paired = returns.filter(col("daily_return_pct").isNotNull)
+      .select(col("symbol"), col("trade_date"), y.as("y"))
+      .withColumn("yl", lag(col("y"), lagDays).over(bySymbol))
+      .filter(col("yl").isNotNull)
+    paired.groupBy("symbol")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("y")).as("sx"), sum(col("yl")).as("sy"),
+        sum(dd(col("y")) * dd(col("yl"))).as("sxy"),
+        sum(dd(col("y")) * dd(col("y"))).as("sxx"),
+        sum(dd(col("yl")) * dd(col("yl"))).as("syy"))
+      .filter(col("n_pairs") >= minDays)
+      .select(col("symbol"), col("n_pairs"),
+        r4((dd(col("n_pairs")) * col("sxy") - dd(col("sx")) * dd(col("sy"))).cast("double") /
+          nullifZero(
+            sqrt((dd(col("n_pairs")) * col("sxx") - dd(col("sx")) * dd(col("sx"))).cast("double")) *
+            sqrt((dd(col("n_pairs")) * col("syy") - dd(col("sy")) * dd(col("sy"))).cast("double"))))
+          .as(s"acf_$lagDays"))
+  }
+
   /** Cross-sectional z-score of daily returns: each (symbol, day)
     * return standardized against THAT DAY's cross-section — the
     * market-neutralization step every factor pipeline runs before

@@ -363,6 +363,18 @@ class DailyAnalyticsSpec extends AnyFunSpec {
     }
   }
 
+  describe("autocorrelation") {
+    it("a perfectly alternating series has ACF(1) = -1") {
+      val rets = (1 to 31).map(i =>
+        ("A", f"2024-01-$i%02d", if (i % 2 == 0) 1.0 else -1.0))
+        .toDF("symbol", "ds", "daily_return_pct")
+        .withColumn("trade_date", to_date($"ds")).drop("ds")
+      val r = DailyAnalytics.autocorrelation(rets).collect().head
+      assert(r.getAs[Long]("n_pairs") == 30L)
+      assert(r.getAs[Double]("acf_1") == -1.0)
+    }
+  }
+
   describe("crossSectionalZ") {
     it("standardizes each day's cross-section exactly") {
       // one day, three symbols, returns 10/20/30% -> z = -1, 0, +1
