@@ -927,6 +927,29 @@ object OracleSql {
          |  ${rd("CAST(CAST(n_pairs AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) / NULLIF(SQRT(CAST(CAST(n_pairs AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)) * SQRT(CAST(CAST(n_pairs AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)), 0)", 4)} AS acf_1
          |FROM g ORDER BY symbol""".stripMargin,
 
+    // mirrors qPruneEstimate: same synthetic inventories, same skip
+    // rule (fmax < lo OR fmin > hi), one savings row per layout
+    "q_prune_estimate" -> {
+      def inv(key: String) =
+        s"""SELECT $key AS file_id,
+           |    MIN(l_orderkey) AS okey_min, MAX(l_orderkey) AS okey_max,
+           |    CAST(COUNT(*) AS BIGINT) AS n_rows
+           |  FROM lineitem GROUP BY 1""".stripMargin
+      def est(src: String, label: String) =
+        s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_files,
+           |  CAST(SUM(CASE WHEN okey_max < 1000.0 OR okey_min > 5000.0 THEN 1 ELSE 0 END) AS BIGINT) AS files_skipped,
+           |  CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+           |  CAST(SUM(CASE WHEN okey_max < 1000.0 OR okey_min > 5000.0 THEN n_rows ELSE 0 END) AS BIGINT) AS rows_skipped,
+           |  ${rd("CAST(SUM(CASE WHEN okey_max < 1000.0 OR okey_min > 5000.0 THEN n_rows ELSE 0 END) AS DOUBLE) / CAST(NULLIF(CAST(SUM(n_rows) AS BIGINT), 0) AS DOUBLE)", 4)} AS skip_ratio,
+           |  '$label' AS layout
+           |FROM ($src)""".stripMargin
+      s"""SELECT * FROM (
+         |${est(inv("l_orderkey // 1000"), "clustered")}
+         |UNION ALL
+         |${est(inv("l_orderkey % 1000"), "hash_scattered")}
+         |) ORDER BY layout""".stripMargin
+    },
+
     // mirrors qAudioFrames: the payload is unhex(md5 chain), so DuckDB
     // parses samples straight out of the same hex string — sample i =
     // signed LE int16 at hex chars 4i+1(lo)/4i+3(hi); frames of 16

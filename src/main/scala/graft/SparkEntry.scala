@@ -1174,6 +1174,32 @@ object SparkEntry {
     DailyAnalytics.autocorrelation(DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
       .orderBy("symbol")
 
+  /** Data-skipping estimate: the same synthetic file inventory probed
+    * with a predicate on its CLUSTER key (near-total skipping) vs an
+    * uncorrelated column (almost none) — the zorder payoff, measured. */
+  private def qPruneEstimate(s: SparkSession, dir: String): DataFrame = {
+    val files = Tables.lineitem(s, dir)
+      .groupBy((col("l_orderkey") % 1000L).as("file_id"))
+      .agg(min(col("l_orderkey")).as("okey_min"), max(col("l_orderkey")).as("okey_max"),
+        min(col("l_extendedprice")).as("price_min"),
+        max(col("l_extendedprice")).as("price_max"),
+        count(lit(1)).as("n_rows"))
+    // recluster: files keyed by orderkey ranges (sorted-ingest layout)
+    val clustered = Tables.lineitem(s, dir)
+      .groupBy(expr("l_orderkey div 1000").as("file_id"))
+      .agg(min(col("l_orderkey")).as("okey_min"), max(col("l_orderkey")).as("okey_max"),
+        min(col("l_extendedprice")).as("price_min"),
+        max(col("l_extendedprice")).as("price_max"),
+        count(lit(1)).as("n_rows"))
+    graft.sources.Layout
+      .pruneEstimate(clustered, "okey_min", "okey_max", "n_rows", 1000.0, 5000.0)
+      .withColumn("layout", lit("clustered"))
+      .unionByName(graft.sources.Layout
+        .pruneEstimate(files, "okey_min", "okey_max", "n_rows", 1000.0, 5000.0)
+        .withColumn("layout", lit("hash_scattered")))
+      .orderBy("layout")
+  }
+
   /** Purged walk-forward CV splits over the trading calendar. */
   private def qWalkForward(s: SparkSession, dir: String): DataFrame =
     DailyAnalytics.walkForwardSplits(Adapters.dailyBars(s, dir))
@@ -1431,7 +1457,8 @@ object SparkEntry {
     "q_calendar_fill" -> (qCalendarFill _),
     "q_walk_forward" -> (qWalkForward _),
     "q_var_cvar" -> (qVarCvar _),
-    "q_autocorrelation" -> (qAutocorrelation _)
+    "q_autocorrelation" -> (qAutocorrelation _),
+    "q_prune_estimate" -> (qPruneEstimate _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

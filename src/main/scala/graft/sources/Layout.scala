@@ -129,4 +129,32 @@ object Layout {
       .withColumn("cum_before", coalesce(sum(col(sizeCol)).over(w), lit(0L)))
       .withColumn("bin", expr(s"cum_before div ${target}L"))
   }
+
+  /** Data-skipping estimator over file min/max statistics: for a
+    * range predicate `[lo, hi]` on a column, a file whose stats
+    * interval misses the range entirely (`fmax < lo` or `fmin > hi`)
+    * never needs to be opened — exactly the pruning decision
+    * Delta/Iceberg/parquet row-group skipping makes from the same
+    * stats. Returns the one-row savings summary (files and rows
+    * skipped, skip ratio) that tells you whether the layout
+    * ([[zorderWrite]] clustering or a sorted ingest) is paying for
+    * itself on this predicate.
+    *
+    * Metadata-scale by design, like [[compactionPlan]]: input is one
+    * row per FILE; a 100 TB table is ~10⁵ such rows, one
+    * partial-aggregable pass. */
+  def pruneEstimate(files: DataFrame, minCol: String, maxCol: String,
+                    sizeCol: String, lo: Double, hi: Double): DataFrame = {
+    val skip = col(maxCol) < lo || col(minCol) > hi
+    files.agg(
+      count(lit(1)).as("n_files"),
+      sum(when(skip, 1L).otherwise(0L)).as("files_skipped"),
+      sum(col(sizeCol)).as("rows_total"),
+      sum(when(skip, col(sizeCol)).otherwise(0L)).as("rows_skipped"))
+      .select(col("n_files"), col("files_skipped"),
+        col("rows_total"), col("rows_skipped"),
+        graft.functions.Funcs.r4(
+          col("rows_skipped").cast("double") /
+            nullif(col("rows_total"), lit(0)).cast("double")).as("skip_ratio"))
+  }
 }

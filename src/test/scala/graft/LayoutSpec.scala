@@ -77,4 +77,22 @@ class LayoutSpec extends AnyFunSpec {
       assert(zRows * 2 <= kRows, s"zorder read $zRows rows, single-key layout read $kRows")
     }
   }
+
+  describe("pruneEstimate") {
+    it("skips exactly the files whose stats interval misses the range") {
+      import spark.implicits._
+      val files = Seq(
+        (1L, 0L, 10L, 100L),    // below [20, 30] -> skip
+        (2L, 15L, 25L, 200L),   // overlaps -> scan
+        (3L, 28L, 40L, 300L),   // overlaps -> scan
+        (4L, 50L, 90L, 400L))   // above -> skip
+        .toDF("file_id", "fmin", "fmax", "n_rows")
+      val r = Layout.pruneEstimate(files, "fmin", "fmax", "n_rows", 20.0, 30.0)
+        .collect().head
+      assert(r.getAs[Long]("n_files") == 4L)
+      assert(r.getAs[Long]("files_skipped") == 2L)
+      assert(r.getAs[Long]("rows_skipped") == 500L)
+      assert(r.getAs[Double]("skip_ratio") == 0.5)
+    }
+  }
 }
