@@ -93,6 +93,31 @@ class EmptyInputSpec extends AnyFunSpec {
       assert(DailyAnalytics.emaClose(emptyBars).isEmpty)
       assert(DailyAnalytics.macd(emptyBars).isEmpty)
     }
+    it("late round-8 operators degrade to empty output on empty input") {
+      val emptyReturns = DailyAnalytics.dailyReturns(emptyBars)
+      assert(DailyAnalytics.varCvar(emptyReturns).isEmpty)
+      assert(DailyAnalytics.autocorrelation(emptyReturns).isEmpty)
+      assert(DailyAnalytics.walkForwardSplits(emptyBars).isEmpty)
+      assert(DailyAnalytics.calendarFill(emptyBars).isEmpty)
+      assert(DailyAnalytics.crossSectionalZ(emptyReturns).isEmpty)
+      assert(DailyAnalytics.momentumDeciles(emptyBars).isEmpty)
+      assert(TextAnalysis.bpeEncode(emptyDocs, "doc_id", "text").isEmpty)
+      val noTicks = Seq.empty[(String, java.sql.Timestamp, Double, Long)]
+        .toDF("symbol", "event_time", "price", "volume")
+      assert(TickAnalytics.microstructureDaily(noTicks).isEmpty)
+      val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+      assert(Similarity.quantizeInt8(noVecs, "vec_id", "embedding").isEmpty)
+      val noFiles = Seq.empty[(Long, Long, Long, Long)]
+        .toDF("file_id", "fmin", "fmax", "n_rows")
+      val pr = graft.sources.Layout
+        .pruneEstimate(noFiles, "fmin", "fmax", "n_rows", 0.0, 1.0).collect().head
+      assert(pr.getAs[Long]("n_files") == 0L && pr.isNullAt(pr.fieldIndex("skip_ratio")))
+      // drift with one empty side: defined counts, null score
+      val dr = graft.operators.Profiling.distributionDrift(
+        noFiles.select(col("n_rows").as("v")),
+        Seq(1L, 2L).toDF("v"), col("v"), 0L, 10L, 2).collect().head
+      assert(dr.isNullAt(dr.fieldIndex("drift_tvd")))
+    }
     it("calendar rolling, sector mart, image decode, z-order write on empty input") {
       assert(DailyAnalytics.calendarRolling(emptyBars).isEmpty)
       val dim = Seq.empty[(Long, String, String)].toDF("symbol", "sector", "market_cap_tier")
