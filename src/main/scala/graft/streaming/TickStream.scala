@@ -238,6 +238,17 @@ object TickStream {
     * A stream-stream join without the time-range predicate would have
     * to buffer both streams forever — the classic unbounded-state
     * trap. Append output; matches emit once both watermarks pass. */
+  /** Stream-static dimension enrichment: the streaming tick lane
+    * left-joined to a STATIC dim (sector/tier — the sp500_tickers
+    * seed), broadcast per micro-batch by Spark's stream-static join
+    * path. No watermark, no state: the static side is re-resolved
+    * every trigger, so a dim refresh on disk is picked up by the next
+    * batch — the streaming twin of the batch sector-mart join, and
+    * exactly how a 1000-executor cluster enriches a firehose without
+    * shuffling it. */
+  def enrichTicks(ticks: DataFrame, dim: DataFrame): DataFrame =
+    ticks.join(org.apache.spark.sql.functions.broadcast(dim), Seq("symbol"), "left")
+
   def tickQuoteJoin(ticks: DataFrame, quotes: DataFrame,
                     tolerance: String = "15 minutes",
                     watermark: String = "30 minutes"): DataFrame = {

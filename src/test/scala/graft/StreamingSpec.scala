@@ -87,6 +87,25 @@ class StreamingSpec extends AnyFunSpec {
       assert(lastRow == aapl.maxBy(_.event_time.getTime).price)
     }
 
+    it("stream-static join enriches every tick with the broadcast dim") {
+      val source = MemoryStream[Tick](spark)
+      val dim = Seq(("AAPL", "Tech"), ("MSFT", "Tech"))
+        .toDF("symbol", "sector")
+      val q = TickStream.enrichTicks(source.toDF(), dim)
+        .writeStream.format("memory").queryName("enriched")
+        .outputMode("append").start()
+      try {
+        source.addData(ticks: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val out = spark.table("enriched")
+      assert(out.count() == ticks.length)
+      // known symbols get their sector, unknown ones survive with null
+      assert(out.filter($"symbol" === "AAPL" && $"sector" =!= "Tech").isEmpty)
+      assert(out.filter($"sector".isNull).count() ==
+        ticks.count(t => t.symbol != "AAPL" && t.symbol != "MSFT"))
+    }
+
     it("upsert-sink existence check resolves through the Hadoop FileSystem API") {
       val dir = java.nio.file.Files.createTempDirectory("graft_fs_check").toString
       // An explicit file:-scheme URI: java.io.File("file:/...") never exists
