@@ -950,6 +950,18 @@ object OracleSql {
          |) ORDER BY layout""".stripMargin
     },
 
+    // mirrors DailyAnalytics.seasonalityDow: DuckDB dayofweek is
+    // 0-based Sunday, Spark's is 1-based -> +1 aligns them
+    "q_seasonality_dow" ->
+      s"""${dailyChain("returns")}
+         |SELECT CAST(dayofweek(trade_date) + 1 AS INTEGER) AS dow,
+         |  CAST(COUNT(*) AS BIGINT) AS n_days,
+         |  ${rd("CAST(CAST(SUM(" + sc4("daily_return_pct") + ") AS BIGINT) AS DOUBLE) / COUNT(*) / 10000.0", 4)} AS mean_return_pct,
+         |  ${rd("CAST(SUM(CASE WHEN " + sc4("daily_return_pct") + " > 0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)", 4)} AS up_ratio,
+         |  CAST(SUM(volume) AS BIGINT) AS volume
+         |FROM returns WHERE daily_return_pct IS NOT NULL
+         |GROUP BY 1 ORDER BY dow""".stripMargin,
+
     // mirrors qAudioFrames: the payload is unhex(md5 chain), so DuckDB
     // parses samples straight out of the same hex string — sample i =
     // signed LE int16 at hex chars 4i+1(lo)/4i+3(hi); frames of 16

@@ -1200,6 +1200,11 @@ object SparkEntry {
       .orderBy("layout")
   }
 
+  /** Day-of-week seasonality (mean return / up-ratio per weekday). */
+  private def qSeasonalityDow(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.seasonalityDow(DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+      .orderBy("dow")
+
   /** Purged walk-forward CV splits over the trading calendar. */
   private def qWalkForward(s: SparkSession, dir: String): DataFrame =
     DailyAnalytics.walkForwardSplits(Adapters.dailyBars(s, dir))
@@ -1458,7 +1463,8 @@ object SparkEntry {
     "q_walk_forward" -> (qWalkForward _),
     "q_var_cvar" -> (qVarCvar _),
     "q_autocorrelation" -> (qAutocorrelation _),
-    "q_prune_estimate" -> (qPruneEstimate _)
+    "q_prune_estimate" -> (qPruneEstimate _),
+    "q_seasonality_dow" -> (qSeasonalityDow _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

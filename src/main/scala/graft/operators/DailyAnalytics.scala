@@ -764,6 +764,28 @@ object DailyAnalytics {
           .as(s"acf_$lagDays"))
   }
 
+  /** Day-of-week seasonality profile: mean return, up-day ratio and
+    * volume share per weekday across the whole panel — the calendar-
+    * anomaly diagnostic (Monday effect et al.). Exact scaled sums, one
+    * 7-row partial-agg shuffle. Weekday numbering is Sunday=1..Sat=7
+    * (Spark `dayofweek`; the oracle mirrors DuckDB's 0-based form
+    * with +1). */
+  def seasonalityDow(returns: DataFrame): DataFrame = {
+    val y = scaled(col("daily_return_pct"), 4)
+    returns.filter(col("daily_return_pct").isNotNull)
+      .select(dayofweek(col("trade_date")).as("dow"), y.as("y"), col("volume"))
+      .groupBy("dow")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("y")).as("sy"),
+        sum(when(col("y") > 0, 1L).otherwise(0L)).as("up_days"),
+        sum(col("volume")).as("volume"))
+      .select(col("dow"), col("n_days"),
+        r4(col("sy").cast("double") / col("n_days") / 10000.0)
+          .as("mean_return_pct"),
+        r4(col("up_days").cast("double") / col("n_days")).as("up_ratio"),
+        col("volume"))
+  }
+
   /** Cross-sectional z-score of daily returns: each (symbol, day)
     * return standardized against THAT DAY's cross-section — the
     * market-neutralization step every factor pipeline runs before

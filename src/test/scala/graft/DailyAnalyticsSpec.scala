@@ -363,6 +363,20 @@ class DailyAnalyticsSpec extends AnyFunSpec {
     }
   }
 
+  describe("seasonalityDow") {
+    it("profiles weekdays with exact means and up-ratios") {
+      // 2024-01-01 is a Monday (dow=2): returns +10 (Tue), +9.09 (Wed),
+      // -8.33 (Thu), +18.18 (Fri) from the A fixture
+      val s = DailyAnalytics.seasonalityDow(DailyAnalytics.dailyReturns(bars))
+        .orderBy("dow").collect()
+      assert(s.map(_.getInt(0)).toSeq == Seq(3, 4, 5, 6))
+      val fri = s(3)
+      assert(fri.getAs[Long]("n_days") == 1L)
+      assert(fri.getAs[Double]("mean_return_pct") == 18.1818)
+      assert(fri.getAs[Double]("up_ratio") == 1.0)
+    }
+  }
+
   describe("autocorrelation") {
     it("a perfectly alternating series has ACF(1) = -1") {
       val rets = (1 to 31).map(i =>
