@@ -962,6 +962,21 @@ object OracleSql {
          |FROM returns WHERE daily_return_pct IS NOT NULL
          |GROUP BY 1 ORDER BY dow""".stripMargin,
 
+    // mirrors DailyAnalytics.amihudIlliquidity(20): per-row scale-8
+    // longs, HUGEINT sum (mirrors DECIMAL(38,0)), one final division
+    "q_amihud" ->
+      s"""${dailyChain("returns")},
+         |g AS (SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_days,
+         |    SUM(CAST(vi AS HUGEINT)) AS s
+         |  FROM (SELECT symbol,
+         |      ${sc("ABS(daily_return_pct) / NULLIF(close_price * volume, 0) * 1000000.0", 8)} AS vi
+         |    FROM returns WHERE daily_return_pct IS NOT NULL)
+         |  WHERE vi IS NOT NULL
+         |  GROUP BY symbol HAVING COUNT(*) >= 20)
+         |SELECT symbol, n_days,
+         |  ${rd("CAST(s AS DOUBLE) / n_days / 100000000.0", 6)} AS amihud_illiq
+         |FROM g ORDER BY symbol""".stripMargin,
+
     // mirrors qAudioFrames: the payload is unhex(md5 chain), so DuckDB
     // parses samples straight out of the same hex string — sample i =
     // signed LE int16 at hex chars 4i+1(lo)/4i+3(hi); frames of 16

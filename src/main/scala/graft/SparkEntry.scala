@@ -1200,6 +1200,11 @@ object SparkEntry {
       .orderBy("layout")
   }
 
+  /** Amihud illiquidity (price impact per dollar volume). */
+  private def qAmihud(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.amihudIlliquidity(DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+      .orderBy("symbol")
+
   /** Day-of-week seasonality (mean return / up-ratio per weekday). */
   private def qSeasonalityDow(s: SparkSession, dir: String): DataFrame =
     DailyAnalytics.seasonalityDow(DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
@@ -1464,7 +1469,8 @@ object SparkEntry {
     "q_var_cvar" -> (qVarCvar _),
     "q_autocorrelation" -> (qAutocorrelation _),
     "q_prune_estimate" -> (qPruneEstimate _),
-    "q_seasonality_dow" -> (qSeasonalityDow _)
+    "q_seasonality_dow" -> (qSeasonalityDow _),
+    "q_amihud" -> (qAmihud _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -786,6 +786,28 @@ object DailyAnalytics {
         col("volume"))
   }
 
+  /** Amihud illiquidity: mean of |return| per unit of dollar volume
+    * (×10⁶ for readability) — the standard price-impact proxy
+    * completing the risk set. Per-row ratios are fixed scale-8 longs
+    * (the one place a ratio must precede the mean), the mean is an
+    * exact sum in DECIMAL(38,0) (a thin day can push the row value to
+    * 10¹⁸) with ONE final division. Zero-dollar-volume days drop out
+    * via NULLIF, not as zeros. */
+  def amihudIlliquidity(returns: DataFrame, minDays: Int = 20): DataFrame = {
+    def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val v = abs(col("daily_return_pct")) /
+      nullifZero(col("close_price") * col("volume")) * lit(1000000.0)
+    returns.filter(col("daily_return_pct").isNotNull)
+      .select(col("symbol"), scaled(v, 8).as("vi"))
+      .filter(col("vi").isNotNull)
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_days"), sum(d(col("vi"))).as("s"))
+      .filter(col("n_days") >= minDays)
+      .select(col("symbol"), col("n_days"),
+        rd(col("s").cast("double") / col("n_days") / 1.0e8, 6)
+          .as("amihud_illiq"))
+  }
+
   /** Cross-sectional z-score of daily returns: each (symbol, day)
     * return standardized against THAT DAY's cross-section — the
     * market-neutralization step every factor pipeline runs before
