@@ -977,6 +977,49 @@ object OracleSql {
          |  ${rd("CAST(s AS DOUBLE) / n_days / 100000000.0", 6)} AS amihud_illiq
          |FROM g ORDER BY symbol""".stripMargin,
 
+    // mirrors DailyAnalytics.pairsSpread(30): the q_pair_correlation
+    // chain picks the top pair (corr is bit-portable, so the ORDER BY
+    // tie-break matches), then the spread z in HUGEINT-exact sums
+    "q_pairs_spread" ->
+      s"""${dailyChain("returns")},
+         |r AS (
+         |  SELECT symbol, trade_date, ${sc4("daily_return_pct")} AS xs
+         |  FROM returns WHERE daily_return_pct IS NOT NULL
+         |),
+         |j AS (
+         |  SELECT a.symbol AS s1, b.symbol AS s2, a.xs AS x, b.xs AS y
+         |  FROM r a JOIN r b ON a.trade_date = b.trade_date AND a.symbol < b.symbol
+         |),
+         |g AS (
+         |  SELECT s1, s2, CAST(COUNT(*) AS BIGINT) AS n_days,
+         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+         |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+         |    CAST(SUM(y * y) AS BIGINT) AS syy
+         |  FROM j GROUP BY s1, s2 HAVING COUNT(*) >= 30
+         |),
+         |t AS (
+         |  SELECT s1, s2 FROM g
+         |  ORDER BY ${rd("(n_days * sxy - sx * sy) / NULLIF(SQRT(CAST(n_days * sxx - sx * sx AS DOUBLE)) * SQRT(CAST(n_days * syy - sy * sy AS DOUBLE)), 0)", 4)} DESC NULLS LAST, s1, s2
+         |  LIMIT 1
+         |),
+         |sp AS (
+         |  SELECT t.s1, t.s2, a.trade_date, a.xs - b.xs AS spread
+         |  FROM t JOIN r a ON a.symbol = t.s1
+         |         JOIN r b ON b.symbol = t.s2 AND b.trade_date = a.trade_date
+         |),
+         |st AS (
+         |  SELECT s1, s2, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(spread) AS BIGINT) AS ss,
+         |    SUM(CAST(spread AS HUGEINT) * spread) AS sss
+         |  FROM sp GROUP BY s1, s2
+         |)
+         |SELECT s1, s2, trade_date,
+         |  ${rd("CAST(spread AS DOUBLE) / 10000.0", 4)} AS spread_pct,
+         |  ${rd("(spread - CAST(ss AS DOUBLE) / n) / NULLIF(SQRT(CAST(CAST(n AS HUGEINT) * sss - CAST(ss AS HUGEINT) * ss AS DOUBLE) / (n * (n - 1))), 0)", 4)} AS spread_z
+         |FROM sp JOIN st USING (s1, s2)
+         |ORDER BY trade_date""".stripMargin,
+
     // mirrors qAudioFrames: the payload is unhex(md5 chain), so DuckDB
     // parses samples straight out of the same hex string — sample i =
     // signed LE int16 at hex chars 4i+1(lo)/4i+3(hi); frames of 16

@@ -1200,6 +1200,11 @@ object SparkEntry {
       .orderBy("layout")
   }
 
+  /** Pairs-trading spread z-score for the most-correlated pair. */
+  private def qPairsSpread(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.pairsSpread(DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+      .orderBy("trade_date")
+
   /** Amihud illiquidity (price impact per dollar volume). */
   private def qAmihud(s: SparkSession, dir: String): DataFrame =
     DailyAnalytics.amihudIlliquidity(DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
@@ -1470,7 +1475,8 @@ object SparkEntry {
     "q_autocorrelation" -> (qAutocorrelation _),
     "q_prune_estimate" -> (qPruneEstimate _),
     "q_seasonality_dow" -> (qSeasonalityDow _),
-    "q_amihud" -> (qAmihud _)
+    "q_amihud" -> (qAmihud _),
+    "q_pairs_spread" -> (qPairsSpread _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

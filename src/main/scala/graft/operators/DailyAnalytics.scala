@@ -808,6 +808,44 @@ object DailyAnalytics {
           .as("amihud_illiq"))
   }
 
+  /** Pairs-trading spread: pick the single most-correlated pair from
+    * [[pairCorrelation]] (ties broken (corr desc, s1, s2) — corr
+    * values are bit-portable, so the pick is too), then z-score the
+    * pair's daily return spread over its full history — the entry/exit
+    * signal of the classic statistical-arbitrage trade, composed
+    * end-to-end from already-verified stages.
+    *
+    * Shapes: the winning pair is a 1-row broadcast; the spread stats
+    * are one partial-agg pass joined back by broadcast (days-dimension
+    * state, the [[crossSectionalZ]] discipline); z stays exact via
+    * DECIMAL(38,0) spread squares. */
+  def pairsSpread(returns: DataFrame, minDays: Int = 30): DataFrame = {
+    def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val top = pairCorrelation(returns, minDays)
+      .orderBy(col("return_corr").desc, col("s1"), col("s2")).limit(1)
+      .select(col("s1"), col("s2"))
+    val r = returns.filter(col("daily_return_pct").isNotNull)
+      .select(col("symbol"), col("trade_date"),
+        scaled(col("daily_return_pct"), 4).as("y"))
+      .localCheckpoint(true) // three consumers: corr (above), both legs
+    val sp = r.join(broadcast(top), col("symbol") === col("s1"))
+      .select(col("s1"), col("s2"), col("trade_date"), col("y").as("y1"))
+      .join(r.select(col("symbol").as("sym2"), col("trade_date"),
+        col("y").as("y2")), Seq("trade_date"))
+      .filter(col("sym2") === col("s2"))
+      .select(col("s1"), col("s2"), col("trade_date"),
+        (col("y1") - col("y2")).as("spread"))
+    val st = sp.groupBy("s1", "s2")
+      .agg(count(lit(1)).as("n"), sum(col("spread")).as("ss"),
+        sum(d(col("spread")) * d(col("spread"))).as("sss"))
+    sp.join(broadcast(st), Seq("s1", "s2"))
+      .select(col("s1"), col("s2"), col("trade_date"),
+        r4(col("spread").cast("double") / 10000.0).as("spread_pct"),
+        r4((col("spread") - col("ss").cast("double") / col("n")) /
+          nullifZero(sqrt((d(col("n")) * col("sss") - d(col("ss")) * d(col("ss"))).cast("double") /
+            (col("n") * (col("n") - lit(1L)))))).as("spread_z"))
+  }
+
   /** Cross-sectional z-score of daily returns: each (symbol, day)
     * return standardized against THAT DAY's cross-section — the
     * market-neutralization step every factor pipeline runs before

@@ -363,6 +363,28 @@ class DailyAnalyticsSpec extends AnyFunSpec {
     }
   }
 
+  describe("pairsSpread") {
+    it("picks the perfectly-correlated pair and guards a zero-variance spread") {
+      // A and B move in lockstep (corr 1), C anticorrelates
+      val panel = (1 to 31).flatMap { i =>
+        val up = if (i % 2 == 0) 1.05 else 1.0
+        Seq(("A", f"2024-01-$i%02d", 10.0 * up * i),
+            ("B", f"2024-01-$i%02d", 20.0 * up * i),
+            ("C", f"2024-01-$i%02d", 30.0 / up / i))
+      }
+        .toDF("symbol", "ds", "close_price")
+        .withColumn("trade_date", to_date($"ds")).drop("ds")
+        .withColumn("open_price", $"close_price")
+        .withColumn("high_price", $"close_price")
+        .withColumn("low_price", $"close_price")
+        .withColumn("volume", lit(100L))
+      val sp = DailyAnalytics.pairsSpread(DailyAnalytics.dailyReturns(panel))
+        .collect()
+      assert(sp.nonEmpty)
+      assert(sp.forall(r => r.getString(0) == "A" && r.getString(1) == "B"))
+    }
+  }
+
   describe("seasonalityDow") {
     it("profiles weekdays with exact means and up-ratios") {
       // 2024-01-01 is a Monday (dow=2): returns +10 (Tue), +9.09 (Wed),
