@@ -342,18 +342,25 @@ object DailyAnalytics {
     * (NOT corpus-quadratic; S is a catalog dimension). The grouped
     * sums reduce map-side before the (s1, s2) exchange.
     */
-  def pairCorrelation(returns: DataFrame, minDays: Int = 30): DataFrame = {
-    val r = returns.filter(col("daily_return_pct").isNotNull)
+  /** The reduced (symbol, trade_date, xs) panel both correlation
+    * consumers share — checkpointed so neither re-scans upstream. */
+  private def reducedReturns(returns: DataFrame): DataFrame =
+    returns.filter(col("daily_return_pct").isNotNull)
       .select(col("symbol"), col("trade_date"),
         scaled(col("daily_return_pct"), 4).as("xs"))
-      .localCheckpoint(true) // both join sides + nothing upstream re-scans
+      .localCheckpoint(true)
+
+  def pairCorrelation(returns: DataFrame, minDays: Int = 30): DataFrame =
+    pairCorrelationFromReduced(reducedReturns(returns), minDays)
+
+  private def pairCorrelationFromReduced(r: DataFrame, minDays: Int): DataFrame = {
     // explicit-count repartition on the join key: the symbol×day frame
     // is tiny in BYTES, so AQE's byte-based coalescing would fold the
     // join into a handful of partitions — but the join's OUTPUT is S²
     // per date (CPU-bound fan-out), which needs every core. Same
     // rationale as Dedup.spreadById; survives AQE (PlanSpec-pinned
     // behavior for explicit counts).
-    val parts = returns.sparkSession.sessionState.conf.numShufflePartitions
+    val parts = r.sparkSession.sessionState.conf.numShufflePartitions
     val byDate = r.repartition(parts, col("trade_date"))
     val j = byDate.select(col("symbol").as("s1"), col("trade_date"), col("xs").as("x"))
       .join(byDate.select(col("symbol").as("s2"), col("trade_date"), col("xs").as("y")),
@@ -821,13 +828,14 @@ object DailyAnalytics {
     * DECIMAL(38,0) spread squares. */
   def pairsSpread(returns: DataFrame, minDays: Int = 30): DataFrame = {
     def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
-    val top = pairCorrelation(returns, minDays)
+    // ONE reduced+checkpointed panel feeds the correlation AND both
+    // spread legs — re-deriving it per consumer would triple the
+    // upstream scan (measured: almost halves the query)
+    val r0 = reducedReturns(returns)
+    val top = pairCorrelationFromReduced(r0, minDays)
       .orderBy(col("return_corr").desc, col("s1"), col("s2")).limit(1)
       .select(col("s1"), col("s2"))
-    val r = returns.filter(col("daily_return_pct").isNotNull)
-      .select(col("symbol"), col("trade_date"),
-        scaled(col("daily_return_pct"), 4).as("y"))
-      .localCheckpoint(true) // three consumers: corr (above), both legs
+    val r = r0.withColumnRenamed("xs", "y")
     val sp = r.join(broadcast(top), col("symbol") === col("s1"))
       .select(col("s1"), col("s2"), col("trade_date"), col("y").as("y1"))
       .join(r.select(col("symbol").as("sym2"), col("trade_date"),
@@ -835,6 +843,9 @@ object DailyAnalytics {
       .filter(col("sym2") === col("s2"))
       .select(col("s1"), col("s2"), col("trade_date"),
         (col("y1") - col("y2")).as("spread"))
+      // days-sized; snapshot so the stats agg and the final join don't
+      // each re-run the correlation pick upstream
+      .localCheckpoint(true)
     val st = sp.groupBy("s1", "s2")
       .agg(count(lit(1)).as("n"), sum(col("spread")).as("ss"),
         sum(d(col("spread")) * d(col("spread"))).as("sss"))
