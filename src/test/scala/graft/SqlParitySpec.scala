@@ -32,6 +32,23 @@ class SqlParitySpec extends AnyFunSpec {
       assert(r == (104L * 31 + 105) % 1000000007L)
     }
 
+    it("SQL list-fold text equals the DataFrame EMA operator") {
+      Adapters.dailyBars(spark, "/root/testdata/sf0.001")
+        .createOrReplaceTempView("bars_ema_v")
+      val sql = spark.sql(
+        """SELECT symbol, CAST(size(tps) AS BIGINT) AS n_days,
+          |  FLOOR((CAST(aggregate(
+          |      slice(transform(tps, t -> t.p), 2, greatest(size(tps) - 1, 0)),
+          |      element_at(transform(tps, t -> t.p), 1),
+          |      (acc, x) -> (2 * x + 11 * acc) div 13) AS DOUBLE) / 100.0)
+          |    * 10000.0 + 0.5) / 10000.0 AS ema_12
+          |FROM (SELECT symbol, sort_array(collect_list(
+          |        struct(trade_date, CAST(FLOOR(close_price * 100.0 + 0.5) AS BIGINT) AS p))) AS tps
+          |      FROM bars_ema_v GROUP BY symbol)""".stripMargin)
+      val df = DailyAnalytics.emaClose(Adapters.dailyBars(spark, "/root/testdata/sf0.001"))
+      assert(sql.exceptAll(df).isEmpty && df.exceptAll(sql).isEmpty)
+    }
+
     it("ensureTable bootstraps an idempotent warehouse table (S8)") {
       Sinks.ensureTable(spark, "daily_stock_metrics_t", Schemas.rawDailyBar)
       Sinks.ensureTable(spark, "daily_stock_metrics_t", Schemas.rawDailyBar) // idempotent
