@@ -9,6 +9,7 @@ import math
 import sys
 
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -59,6 +60,17 @@ def main():
             spark_t = pq.read_table(f"{out_dir}/{name}")
         except Exception as e:
             print(f"FAIL {name}: no spark output ({e})")
+            failed.append(name)
+            continue
+        # The driver's gate sorts result rows with pandas, which cannot
+        # hash numpy arrays: any nested (list/struct/map) output column
+        # crashes the compare and the query counts as unverified. Fail
+        # here first so that shape regression can never ship silently.
+        nested = [f.name for f in spark_t.schema
+                  if pa.types.is_nested(f.type)]
+        if nested:
+            print(f"FAIL {name}: nested output columns {nested} "
+                  "(driver gate cannot sort these — explode or digest)")
             failed.append(name)
             continue
         try:

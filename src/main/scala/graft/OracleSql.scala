@@ -586,11 +586,11 @@ object OracleSql {
          |  FROM r GROUP BY trade_date),
          |g AS (SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_days,
          |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-         |    CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+         |    SUM(CAST(x AS HUGEINT) * y) AS sxy, SUM(CAST(x AS HUGEINT) * x) AS sxx
          |  FROM r JOIN mkt USING (trade_date)
          |  GROUP BY symbol HAVING COUNT(*) >= 30)
          |SELECT symbol, n_days,
-         |  ${rd("(n_days * sxy - sx * sy) / NULLIF(n_days * sxx - sx * sx, 0)", 4)} AS beta
+         |  ${rd("CAST(CAST(n_days AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) / NULLIF(CAST(CAST(n_days AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE), 0)", 4)} AS beta
          |FROM g ORDER BY symbol""".stripMargin,
 
     // mirrors DailyAnalytics.maxDrawdown: running close peak, per-row
@@ -829,10 +829,12 @@ object OracleSql {
          |),
          |e0 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_subwords,
          |       m, toks FROM t, mg),
-         |$foldCtes
+         |$foldCtes,
+         |u AS (SELECT doc_id, n_subwords, toks,
+         |  unnest(range(1, len(toks) + 1)) AS j FROM e8)
          |SELECT doc_id, n_subwords, CAST(len(toks) AS BIGINT) AS n_bpe,
-         |  toks AS bpe_tokens
-         |FROM e8 ORDER BY doc_id""".stripMargin
+         |  CAST(j - 1 AS INTEGER) AS idx, toks[j] AS token
+         |FROM u ORDER BY doc_id, idx""".stripMargin
     },
 
     // mirrors Similarity.quantizeInt8: identical float→double casts
@@ -843,14 +845,18 @@ object OracleSql {
          |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
          |  FROM embeddings
          |)
-         |SELECT vec_id,
+         |, r AS (SELECT vec_id,
          |  CAST(len(v) AS INTEGER) AS n_dims,
          |  amax / 127.0 AS scale,
          |  CASE WHEN amax = 0.0 THEN list_transform(v, x -> 0)
          |       ELSE list_transform(v,
          |         x -> CAST(FLOOR(CAST(x AS DOUBLE) / (amax / 127.0) + 0.5) AS INTEGER))
          |  END AS q
-         |FROM a ORDER BY vec_id""".stripMargin,
+         |FROM a),
+         |u AS (SELECT vec_id, n_dims, scale, q,
+         |  unnest(range(1, len(q) + 1)) AS j FROM r)
+         |SELECT vec_id, n_dims, scale, CAST(j - 1 AS INTEGER) AS k, q[j] AS qv
+         |FROM u ORDER BY vec_id, k""".stripMargin,
 
     // mirrors DailyAnalytics.calendarFill: generate_series scaffold,
     // LAST_VALUE IGNORE NULLS forward fill over the symbol window
@@ -1577,13 +1583,15 @@ object OracleSql {
         |    FROM ex
         |  ) WHERE rn <= 16
         |),
-        |postings AS (
-        |  SELECT token, list(doc_id ORDER BY doc_id) AS postings
-        |  FROM capped GROUP BY token
+        |posted AS (
+        |  SELECT token, doc_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY token ORDER BY doc_id) - 1
+        |      AS INTEGER) AS pos
+        |  FROM capped
         |)
-        |SELECT d.token, d.df, p.postings
-        |FROM dfreq d JOIN postings p ON d.token = p.token
-        |ORDER BY d.token""".stripMargin,
+        |SELECT d.token, d.df, p.pos, p.doc_id
+        |FROM dfreq d JOIN posted p ON d.token = p.token
+        |ORDER BY d.token, p.pos""".stripMargin,
 
     // Content-defined chunking (mirrors Packing.contentDefinedChunks:
     // boundary after token i iff hash60(token) % divisor == 0; only
@@ -1680,9 +1688,11 @@ object OracleSql {
         val w = planes.slice(p * 64, (p + 1) * 64).mkString("[", ", ", "]")
         s"CAST(list_sum(list_transform(range(1, 65), k -> vq[k] * ($w)[k])) AS BIGINT)"
       }.mkString(",\n         |  ").stripMargin
-      s"""WITH $embSql
-         |SELECT vec_id AS id, [$exprs] AS proj
-         |FROM ev ORDER BY id""".stripMargin
+      s"""WITH $embSql,
+         |pr AS (SELECT vec_id AS id, [$exprs] AS proj FROM ev),
+         |u AS (SELECT id, proj, unnest(range(1, len(proj) + 1)) AS j FROM pr)
+         |SELECT id, CAST(j - 1 AS INTEGER) AS k, proj[j] AS v
+         |FROM u ORDER BY id, k""".stripMargin
     },
 
     // Hourly rate-spike detection (mirrors Profiling.rateAnomaly: the
@@ -2101,8 +2111,10 @@ object OracleSql {
          |  FROM en, (SELECT unnest(range(1, 65)) AS k) ks
          |  GROUP BY label, k
          |)
-         |SELECT label, MIN(c) AS n_vecs, list(m ORDER BY k) AS centroid
-         |FROM comp GROUP BY label ORDER BY label""".stripMargin,
+         |, nv AS (SELECT label, MIN(c) AS n_vecs FROM comp GROUP BY label)
+         |SELECT cp.label, nv.n_vecs, CAST(cp.k - 1 AS INTEGER) AS k, cp.m
+         |FROM comp cp JOIN nv USING (label)
+         |ORDER BY cp.label, k""".stripMargin,
 
     // Cluster labeling: top-5 tokens per refined k-means cell
     // (mirrors TextAnalysis.clusterTopTerms over kmeansRefine)

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.Funcs._
 import graft.operators._
 import graft.sources.{Adapters, Tables}
+import graft.sources.Staging.Snapshottable
 
 /** Driver contract — maps every operator in SURVEY.md §2 (plus the
   * LLM-data-pipeline extensions) to a query over the shared testdata
@@ -127,12 +128,15 @@ object SparkEntry {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.read.parquet(s"$out/table")
+    val result = s.read.parquet(s"$out/table")
       .select(col("symbol"),
         col("window_start").cast("timestamp_ntz").as("window_start"),
         col("window_end").cast("timestamp_ntz").as("window_end"),
         col("ma"), col("volatility"), col("volume_sum"))
       .orderBy("symbol", "window_start")
+      .snapshot() // materialize, then drop the temp snapshot+checkpoint
+    deleteDir(out)
+    result
   }
 
   /** The 4-hour-gap sessionization computed THROUGH the streaming
@@ -160,7 +164,21 @@ object SparkEntry {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.read.parquet(s"$out/table").orderBy("user_id", "session_start")
+    val result = s.read.parquet(s"$out/table")
+      .orderBy("user_id", "session_start")
+      .snapshot() // materialize, then drop the temp snapshot+checkpoint
+    deleteDir(out)
+    result
+  }
+
+  /** Recursive temp-dir cleanup for the streaming snapshot queries —
+    * repeated bench/correctness runs must not accumulate orphans. */
+  private def deleteDir(path: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(root))
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
   }
 
   private def qRealtimeAnalytics(s: SparkSession, dir: String): DataFrame =
@@ -455,11 +473,16 @@ object SparkEntry {
       divisor = 8)
       .orderBy("doc_id", "chunk_idx")
 
-  /** Inverted-index build: df + rank-capped sorted posting samples. */
+  /** Inverted-index build: df + rank-capped sorted posting samples.
+    * Registered at posting grain (token, df, pos, doc_id) — the
+    * cross-engine gate sorts scalar rows; the array-postings form is
+    * the library API ([[TextAnalysis.invertedIndex]]). */
   private def qInvertedIndex(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.invertedIndex(Tables.documents(s, dir), "doc_id", "text",
       sampleK = 16)
-      .orderBy("token")
+      .select(col("token"), col("df"),
+        posexplode(col("postings")).as(Seq("pos", "doc_id")))
+      .orderBy("token", "pos")
 
   /** W-surface: rank-based distribution functions over the per-symbol
     * return distribution (percent_rank, cume_dist). */
@@ -506,11 +529,14 @@ object SparkEntry {
       .select("source", "doc_id", "n_chars", "cum_tokens")
       .orderBy("source", "doc_id")
 
-  /** JL-style deterministic random projection of the embedding table. */
+  /** JL-style deterministic random projection of the embedding table.
+    * Registered at component grain (id, k, v) — scalar rows for the
+    * gate; [[Similarity.randomProject]] keeps the array form. */
   private def qRandomProjection(s: SparkSession, dir: String): DataFrame =
     Similarity.randomProject(Tables.embeddings(s, dir), "vec_id", "embedding",
       outDim = 16)
-      .orderBy("id")
+      .select(col("id"), posexplode(col("proj")).as(Seq("k", "v")))
+      .orderBy("id", "k")
 
   /** Hourly event-rate spike detection vs a trailing 24 h baseline. */
   private def qRateAnomaly(s: SparkSession, dir: String): DataFrame = {
@@ -754,11 +780,15 @@ object SparkEntry {
       .select("id", "cell")
       .orderBy("id")
 
-  /** Per-label prototype vectors (nearest-class-mean centroids). */
+  /** Per-label prototype vectors (nearest-class-mean centroids).
+    * Registered at component grain (label, n_vecs, k, m) — scalar
+    * rows for the gate; [[Similarity.groupCentroids]] keeps arrays. */
   private def qGroupCentroids(s: SparkSession, dir: String): DataFrame =
     Similarity.groupCentroids(Tables.embeddings(s, dir), "label", "embedding")
       .withColumnRenamed("grp", "label")
-      .orderBy("label")
+      .select(col("label"), col("n_vecs"),
+        posexplode(col("centroid")).as(Seq("k", "m")))
+      .orderBy("label", "k")
 
   /** One Lloyd round on top of the seeded quantizer — the IVF training
     * step, oracle-checked end to end. */
@@ -859,23 +889,25 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
-  /** Mergeable Count-Min frequency sketches: per-source sketches are
-    * collected as the MODEL (kilobytes × sources), merged, and read
-    * back for every language key — raw data touched once. Approximate
-    * ⇒ no DuckDB oracle (rows-only check, like q_approx_distinct);
-    * the accuracy and merge-linearity contracts live in SketchesSpec. */
+  /** Mergeable Count-Min frequency sketches, ONE plan end to end:
+    * per-source sketches roll up through the native `cms_merge_agg`
+    * aggregate (kilobytes × sources — the model, never the data), the
+    * merged sketch broadcasts over the language dimension, and
+    * `cms_estimate` reads each key in-plan next to its exact grouped
+    * count. Zero driver collects; the staged (source, lang) panel is
+    * scanned once and feeds both branches. Approximate ⇒ no DuckDB
+    * oracle (rows-only check, like q_approx_distinct); the accuracy
+    * and merge-linearity contracts live in SketchesSpec. */
   private def qCmsFrequency(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val docs = Tables.documents(s, dir)
-    val perSource = Sketches.cmsByGroup(docs, Seq("source"), "lang")
-    val sketches = perSource.select("cms").collect().map(_.getAs[Array[Byte]]("cms"))
-    val merged = Sketches.cmsMerge(sketches.toIndexedSeq)
-    val exact = docs.groupBy("lang").agg(count(lit(1)).as("exact_count"))
-      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("exact_count"))
-      .toMap
-    exact.keys.toSeq.sorted
-      .map(l => (l, Sketches.cmsEstimate(merged, l), exact(l)))
-      .toDF("lang", "cms_estimate", "exact_count")
+    val base = Tables.documents(s, dir).select("source", "lang").snapshot()
+    val merged = Sketches.cmsByGroup(base, Seq("source"), "lang")
+      .agg(call_function("cms_merge_agg", col("cms")).as("cms"))
+    base.groupBy("lang").agg(count(lit(1)).as("exact_count"))
+      .crossJoin(broadcast(merged))
+      .select(col("lang"),
+        call_function("cms_estimate", col("cms"), col("lang")).as("cms_estimate"),
+        col("exact_count"))
+      .orderBy("lang")
   }
 
   /** Gopher-style repetition signals over the corpus. */
@@ -1154,10 +1186,16 @@ object SparkEntry {
       .orderBy("symbol", "trade_date")
 
   /** BPE learn + encode in one plan: top-8 merges become a broadcast
-    * column, applied as rank-ordered greedy folds per doc. */
+    * column, applied as rank-ordered greedy folds per doc.
+    * Registered at token grain (doc_id, n_subwords, n_bpe, idx,
+    * token) — scalar rows for the gate; [[TextAnalysis.bpeEncode]]
+    * keeps the token-array form (zero-token docs drop on both
+    * engines: posexplode and unnest agree on empty arrays). */
   private def qBpeEncode(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpeEncode(Tables.documents(s, dir), "doc_id", "text")
-      .orderBy("doc_id")
+      .select(col("doc_id"), col("n_subwords"), col("n_bpe"),
+        posexplode(col("bpe_tokens")).as(Seq("idx", "token")))
+      .orderBy("doc_id", "idx")
 
   /** Calendar gap-fill with forward-filled closes. */
   private def qCalendarFill(s: SparkSession, dir: String): DataFrame =
@@ -1220,10 +1258,15 @@ object SparkEntry {
     DailyAnalytics.walkForwardSplits(Adapters.dailyBars(s, dir))
       .orderBy("fold", "trade_date")
 
-  /** Int8 embedding quantization (per-vector symmetric scale). */
+  /** Int8 embedding quantization (per-vector symmetric scale).
+    * Registered at component grain (vec_id, n_dims, scale, k, qv) —
+    * scalar rows for the gate; [[Similarity.quantizeInt8]] keeps the
+    * array form. */
   private def qEmbedQuantize(s: SparkSession, dir: String): DataFrame =
     Similarity.quantizeInt8(Tables.embeddings(s, dir), "vec_id", "embedding")
-      .orderBy("vec_id")
+      .select(col("vec_id"), col("n_dims"), col("scale"),
+        posexplode(col("q")).as(Seq("k", "qv")))
+      .orderBy("vec_id", "k")
 
   /** Snapshot drift monitor: exact TVD between the length
     * distributions of two corpus halves (doc_id parity = the two

@@ -114,8 +114,16 @@ object Pipelines {
     * splits, sharded packing) is unchanged by composition. Stage
     * counts print as the run's audit trail; the job fails if a stage
     * GROWS the corpus (a dedup/filter stage that adds rows is a bug,
-    * not a statistic). */
+    * not a statistic).
+    *
+    * Each stage output is snapshotted ([[graft.sources.Staging]]) so
+    * its audit count AND the next stage read a materialized frame —
+    * without that, every downstream action re-executes the expensive
+    * MinHash/decontamination DAG from the scan; the final split report
+    * reads the WRITTEN corpus for the same reason. */
   object CorpusPipeline {
+    import graft.sources.Staging.Snapshottable
+
     def main(args: Array[String]): Unit = {
       val Array(docsPath, evalPath, outDir) = args.take(3)
       withSession("graft-corpus") { spark =>
@@ -125,9 +133,10 @@ object Pipelines {
         val verdicts = TextAnalysis.corpusFilter(docs, "doc_id", "text", "lang")
         val kept = docs.join(
           verdicts.filter(col("keep")).select("doc_id"), "doc_id")
+          .snapshot()
         val nKept = kept.count()
         // 2. near-dup removal: keep each group's representative
-        val deduped = Dedup.dedupCorpus(kept, "doc_id", "text")
+        val deduped = Dedup.dedupCorpus(kept, "doc_id", "text").snapshot()
         val nDeduped = deduped.count()
         // 3. eval decontamination: drop heavy-overlap docs (docs too
         // short to shingle never appear in the score frame = clean)
@@ -137,24 +146,24 @@ object Pipelines {
           .filter(col("overlap_ratio") >= 0.5)
           .select("doc_id")
         val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+          .snapshot()
         val nClean = clean.count()
         require(nKept <= total && nDeduped <= nKept && nClean <= nDeduped,
           s"corpus stage grew: $total -> $nKept -> $nDeduped -> $nClean")
         // 4. deterministic split, stable under corpus growth
-        val split = Sampling.withSplit(clean, "doc_id", trainFraction = 0.8,
+        Sampling.withSplit(clean, "doc_id", trainFraction = 0.8,
           valFraction = 0.1)
-        split.write.mode("overwrite").partitionBy("split")
+          .write.mode("overwrite").partitionBy("split")
           .parquet(s"$outDir/corpus")
         // 5. packing plan for the train split (fixed shards: layout
         // reproducibility across runs beats auto-scaling here)
-        val train = spark.read.parquet(s"$outDir/corpus")
-          .filter(col("split") === "train")
+        val written = spark.read.parquet(s"$outDir/corpus")
         val packed = Packing.chunkSpans(
-          TextAnalysis.tokenStats(train, "text")
+          TextAnalysis.tokenStats(written.filter(col("split") === "train"), "text")
             .select("doc_id", "n_tokens"),
           "doc_id", "n_tokens", budget = 2048, shards = 64)
         packed.write.mode("overwrite").parquet(s"$outDir/packing_plan")
-        val splits = split.groupBy("split").count().collect()
+        val splits = written.groupBy("split").count().collect()
           .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
         println(s"[corpus] total=$total kept=$nKept deduped=$nDeduped " +
           s"clean=$nClean splits($splits)")

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.functions.Funcs._
+import graft.sources.Staging.Snapshottable
 
 /** Cohort / retention analytics over an event stream. */
 object Cohorts {
@@ -54,7 +55,7 @@ object Cohorts {
       col(tsCol).as("ts"))
     var cur = ev.filter(col("et") === steps.head)
       .groupBy("user_id").agg(min(col("ts")).as("t"))
-      .localCheckpoint(true)
+      .snapshot()
     val frames = scala.collection.mutable.ArrayBuffer(cur)
     steps.tail.foreach { s =>
       val within =
@@ -63,7 +64,7 @@ object Cohorts {
       cur = cur.join(ev.filter(col("et") === s), "user_id")
         .filter(col("ts") > col("t") && within)
         .groupBy("user_id").agg(min(col("ts")).as("t"))
-        .localCheckpoint(true)
+        .snapshot()
       frames += cur
     }
     steps.zip(frames).zipWithIndex.map { case ((name, f), i) =>

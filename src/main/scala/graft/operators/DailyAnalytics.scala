@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Funcs._
+import graft.sources.Staging.Snapshottable
 
 /** Daily (batch-lane) stock analytics: the reference's
   * `int_daily_returns` → `int_rolling_metrics` → `mart_stock_performance`
@@ -311,7 +312,7 @@ object DailyAnalytics {
     // branch (a full re-scan each at 100 TB)
     val r = returns.filter(col("daily_return_pct").isNotNull)
       .select(col("symbol"), scaled(col("daily_return_pct"), 4).as("xs"))
-      .localCheckpoint(true)
+      .snapshot()
     val med = r.groupBy("symbol").agg(median(col("xs")).as("med_s"))
     val dev = r.join(broadcast(med), "symbol")
       .withColumn("dev_s", abs(col("xs") - col("med_s")))
@@ -348,7 +349,7 @@ object DailyAnalytics {
     returns.filter(col("daily_return_pct").isNotNull)
       .select(col("symbol"), col("trade_date"),
         scaled(col("daily_return_pct"), 4).as("xs"))
-      .localCheckpoint(true)
+      .snapshot()
 
   def pairCorrelation(returns: DataFrame, minDays: Int = 30): DataFrame =
     pairCorrelationFromReduced(reducedReturns(returns), minDays)
@@ -366,6 +367,15 @@ object DailyAnalytics {
       .join(byDate.select(col("symbol").as("s2"), col("trade_date"), col("xs").as("y")),
         "trade_date")
       .filter(col("s1") < col("s2"))
+    // RANGE CONTRACT (deliberately LONG, not the [[sharpeRatio]]
+    // DECIMAL(38,0) rule): this is the S²·D hot path — the fan-out
+    // aggregation runs once per (pair, day) — and decimal sums here
+    // measure 2-2.5× slower end to end (BigDecimal leaves codegen's
+    // long fast path). Long Σy² is exact while n·y² < 2^63, i.e.
+    // |daily_return_pct|·√n_days < 3·10⁵ percent — a 40-year panel
+    // (n=10⁴) allows ±3000% daily moves, far past any real market
+    // data. Inputs beyond the contract belong to [[sharpeRatio]]-class
+    // per-symbol stats, which do pay the decimal cost (D·S grain).
     val g = j.groupBy("s1", "s2").agg(
       count(lit(1)).as("n_days"),
       sum(col("x")).as("sx"), sum(col("y")).as("sy"),
@@ -388,17 +398,20 @@ object DailyAnalytics {
     *
     * Exactness: the market return for a day is ⌊Σy/n⌋ (one floor
     * division over exact scale-4 longs — deterministic and portable);
-    * everything after is integer sums (Σx, Σy, Σxy, Σx²) and the
-    * textbook slope (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) as ONE final
-    * division. Scale shape: the index is a partial-aggregable grouped
+    * everything after is integer sums (Σx, Σy longs; Σxy, Σx² in
+    * DECIMAL(38,0) per the [[sharpeRatio]] overflow rule, HUGEINT in
+    * the DuckDB mirror) and the textbook slope
+    * (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) as ONE final division. Scale shape: the index is a partial-aggregable grouped
     * sum to days-dimension size (broadcast back), the per-symbol sums
     * are one more partial-agg shuffle — two shuffles total, no windows.
     */
   def marketBeta(returns: DataFrame, minDays: Int = 30): DataFrame = {
+    // Σ products in DECIMAL(38,0) — same overflow rule as [[sharpeRatio]]
+    def dd(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     val r = returns.filter(col("daily_return_pct").isNotNull)
       .select(col("symbol"), col("trade_date"),
         scaled(col("daily_return_pct"), 4).as("y"))
-      .localCheckpoint(true) // feeds the index build AND the join probe
+      .snapshot() // feeds the index build AND the join probe
     val mkt = r.groupBy("trade_date")
       .agg(sum(col("y")).as("m"), count(lit(1)).as("nsym"))
       .select(col("trade_date"),
@@ -407,12 +420,13 @@ object DailyAnalytics {
       .groupBy("symbol")
       .agg(count(lit(1)).as("n_days"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"))
+        sum(dd(col("x")) * dd(col("y"))).as("sxy"),
+        sum(dd(col("x")) * dd(col("x"))).as("sxx"))
       .filter(col("n_days") >= minDays)
       .select(col("symbol"), col("n_days"),
-        r4((col("n_days") * col("sxy") - col("sx") * col("sy")) /
-          nullifZero(col("n_days") * col("sxx") - col("sx") * col("sx"))).as("beta"))
+        r4((dd(col("n_days")) * col("sxy") - dd(col("sx")) * dd(col("sy"))).cast("double") /
+          nullifZero((dd(col("n_days")) * col("sxx") - dd(col("sx")) * dd(col("sx"))).cast("double")))
+          .as("beta"))
   }
 
   /** Per-symbol maximum drawdown: the worst peak-to-trough decline of
@@ -845,7 +859,7 @@ object DailyAnalytics {
         (col("y1") - col("y2")).as("spread"))
       // days-sized; snapshot so the stats agg and the final join don't
       // each re-run the correlation pick upstream
-      .localCheckpoint(true)
+      .snapshot()
     val st = sp.groupBy("s1", "s2")
       .agg(count(lit(1)).as("n"), sum(col("spread")).as("ss"),
         sum(d(col("spread")) * d(col("spread"))).as("sss"))
@@ -869,7 +883,7 @@ object DailyAnalytics {
     val r = returns.filter(col("daily_return_pct").isNotNull)
       .select(col("symbol"), col("trade_date"),
         scaled(col("daily_return_pct"), 4).as("y"))
-      .localCheckpoint(true) // feeds the day stats AND the join probe
+      .snapshot() // feeds the day stats AND the join probe
     val stats = r.groupBy("trade_date")
       .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
         sum(d(col("y")) * d(col("y"))).as("syy"))

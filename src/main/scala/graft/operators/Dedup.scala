@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Funcs._
+import graft.sources.Staging.Snapshottable
 
 /** Deduplication operators for training-data pipelines, each designed
   * around its 100 TB shuffle profile:
@@ -233,7 +234,7 @@ object Dedup {
     // exploded join — one shingle pass instead of two
     val shingled = withShingles(spreadById(docs, idCol, textCol), textCol, n)
       .filter(size(col("shingles")) > 0)
-      .localCheckpoint(true)
+      .snapshot()
     val sizes = shingled.select(col(idCol), size(col("shingles")).as("sz"))
     val ex = shingled.select(col(idCol), explode(col("shingles")).as("s"))
       .select(col(idCol), hash60(col("s")).as("sh"))
@@ -304,7 +305,7 @@ object Dedup {
     val hashed = withShingles(spreadById(docs, idCol, textCol), textCol, n)
       .filter(size(col("shingles")) > 0)
       .select(col(idCol), transform(col("shingles"), s => hash60(s)).as("sh_arr"))
-      .localCheckpoint(true)
+      .snapshot()
     val ex = hashed.select(col(idCol), size(col("sh_arr")).as("n"),
       explode(col("sh_arr")).as("sh"))
     val prefixLen = (col("n") - ceil(col("n") * threshold) + 1).cast("int")
@@ -477,7 +478,7 @@ object Dedup {
       // every 4th round: cut lineage (the plan otherwise accretes one
       // join per round); other rounds: plain persist, forced below.
       val next =
-        if ((i + 1) % 4 == 0) grown.localCheckpoint(eager = true)
+        if ((i + 1) % 4 == 0) grown.snapshot()
         else grown.persist(StorageLevel.MEMORY_AND_DISK)
       converged = next.filter(col("label") =!= col("prev")).isEmpty // forces `next`'s cache
       round.unpersist(blocking = false)
@@ -562,7 +563,7 @@ object Dedup {
     while (!converged && i < maxIters) {
       val grown = smallStar(largeStar(edges))
       val next =
-        if ((i + 1) % 3 == 0) grown.localCheckpoint(eager = true)
+        if ((i + 1) % 3 == 0) grown.snapshot()
         else grown.persist(StorageLevel.MEMORY_AND_DISK)
       val nNext = next.count()
       converged = nNext == nEdges && next.exceptAll(edges).isEmpty
@@ -731,7 +732,7 @@ object Dedup {
     val out = cc.select(col("id").as("doc_id"), col("label").as("rep_id"))
       .join(cc.groupBy(col("label").as("rep_id")).agg(count(lit(1)).as("group_size")), "rep_id")
       .select("doc_id", "rep_id", "group_size")
-      .localCheckpoint(eager = true) // snapshot before freeing the labels cache
+      .snapshot() // snapshot before freeing the labels cache
     cc.unpersist(blocking = false)
     out
   }

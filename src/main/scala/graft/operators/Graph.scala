@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.sources.Staging.Snapshottable
 
 /** Link-analysis operators over relational edge lists.
   *
@@ -39,10 +40,10 @@ object Graph {
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint(true) // reused every iteration
+      .snapshot() // reused every iteration
     val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
       .distinct()
-      .localCheckpoint(true)
+      .snapshot()
     val n = nodes.count()
     require(n > 0, "pageRankScaled: empty graph")
     val base = (3L * scale) / (20L * n) // 0.15 · scale / N, exact
@@ -56,7 +57,7 @@ object Graph {
       val next = nodes.join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
         .select(col("id"),
           (lit(base) + expr("17 * coalesce(in_sum, 0L) div 20")).as("rank"))
-      ranks = if (i % 2 == 0 && i < iters) next.localCheckpoint(true) else next
+      ranks = if (i % 2 == 0 && i < iters) next.snapshot() else next
     }
     ranks
   }
@@ -86,7 +87,7 @@ object Graph {
     val und = raw
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
       .distinct()
-      .localCheckpoint(true) // feeds degree count AND orientation
+      .snapshot() // feeds degree count AND orientation
     val deg = und.select(explode(array(col("u"), col("v"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("deg"))
     val withDeg = und
@@ -96,7 +97,7 @@ object Graph {
     val oriented = withDeg
       .select(when(uFirst, col("u")).otherwise(col("v")).as("a"),
         when(uFirst, col("v")).otherwise(col("u")).as("b"))
-      .localCheckpoint(true) // three plan appearances (2× wedge, closure)
+      .snapshot() // three plan appearances (2× wedge, closure)
     val wedges = oriented
       .join(oriented.select(col("a"), col("b").as("c")), "a")
       .filter(col("b") =!= col("c"))

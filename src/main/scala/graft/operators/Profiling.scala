@@ -106,19 +106,6 @@ object Profiling {
         r4(col("total_tokens") / col("n_docs").cast("double")).as("avg_tokens"))
   }
 
-  /** Per-key totals bucketed into `tiles` quantile tiers (deciles by
-    * default): aggregate `value` per key (exact long — pass a
-    * Funcs.scaled view), rank the KEYS into ntile tiers, then roll up
-    * per tier.
-    *
-    * Scale note: the global ntile window is a total order, which Spark
-    * executes in one task — acceptable here ONLY because it ranks the
-    * aggregated key table (customers, symbols, …), which is orders of
-    * magnitude smaller than the fact table and bounded by key
-    * cardinality. Never apply this to the fact rows themselves; for an
-    * unbounded key table, switch to percentile() cutoffs + a bucket
-    * join (two passes, no total order).
-    */
   /** Distribution drift between two corpus snapshots: total-variation
     * distance over shared fixed-width buckets of an integer feature —
     * the deterministic, no-log twin of PSI/KL drift monitors (those
@@ -163,12 +150,58 @@ object Profiling {
           (lit(2.0) * col("na") * col("nb")), 6).as("drift_tvd"))
   }
 
+  /** Per-key totals bucketed into `tiles` quantile tiers (deciles by
+    * default): aggregate `value` per key (exact long — pass a
+    * Funcs.scaled view), rank the KEYS on (total desc, key), then roll
+    * up per tier.
+    *
+    * Scale shape — the ranking is DISTRIBUTED, never a single-task
+    * total order: the aggregated key table is range-partitioned on the
+    * sort order, ranked locally per partition (a partitioned window,
+    * fully parallel), and per-partition row counts — a partitions-sized
+    * table — turn local ranks into global ranks via a broadcast join.
+    * Tile assignment is then ntile's closed form over (rank, n): the
+    * first n % tiles tiles take ⌈n/tiles⌉ keys, the rest ⌊n/tiles⌋ —
+    * identical to `ntile(t) OVER (ORDER BY total DESC, key)` (the
+    * q_ntile_deciles oracle pins the equivalence), but a 10⁹-key tier
+    * summary no longer funnels through one WindowExec task.
+    *
+    * The range-partitioned frame is snapshotted before fan-out: range
+    * partitioning SAMPLES to pick boundaries, and the offsets branch
+    * and the ranking branch must see identical partition assignment.
+    * The offsets cumulative window is a total order over the
+    * partitions-sized count table — bounded by the shuffle-partition
+    * setting, not by data. */
   def tierSummary(df: DataFrame, key: String, value: Column,
                   tiles: Int = 10): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val totals = df.groupBy(col(key)).agg(sum(value).as("total"))
-    // total order: (total desc, key) — deterministic tile assignment
-    val w = Window.orderBy(col("total").desc, col(key))
-    totals.withColumn("tier", ntile(tiles).over(w))
+    val rp = graft.sources.Staging.snapshot(
+      totals.repartitionByRange(parts, col("total").desc, col(key).asc)
+        .withColumn("__pid", spark_partition_id()))
+    val wOff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    val off = rp.groupBy("__pid").agg(count(lit(1)).as("__pn"))
+      .withColumn("__off", coalesce(sum(col("__pn")).over(wOff), lit(0L)))
+      .withColumn("__n", sum(col("__pn")).over(Window.partitionBy()))
+      .select("__pid", "__off", "__n")
+    val wLocal = Window.partitionBy("__pid")
+      .orderBy(col("total").desc, col(key).asc)
+    // ntile closed form (1-based rank r, n rows, t tiles):
+    //   big = n div t + 1 sized tiles for the first n % t tiles
+    //   r <= (n % t)·big        → tier = ⌈r / big⌉
+    //   else (small = n div t)  → tier = n % t + ⌈(r − (n % t)·big) / small⌉
+    // (small = 0 ⇒ n < t ⇒ the ELSE branch is unreachable: cut = n)
+    val tiered = rp.withColumn("__lr", row_number().over(wLocal).cast("long"))
+      .join(broadcast(off), "__pid")
+      .withColumn("__rank", col("__off") + col("__lr"))
+      .withColumn("tier", expr(
+        s"""CASE WHEN __rank <= (__n % $tiles) * (__n div $tiles + 1)
+           |  THEN (__rank + __n div $tiles) div (__n div $tiles + 1)
+           |  ELSE __n % $tiles +
+           |    (__rank - (__n % $tiles) * (__n div $tiles + 1) + __n div $tiles - 1)
+           |      div (__n div $tiles)
+           |END""".stripMargin).cast("int"))
+    tiered
       .groupBy("tier")
       .agg(count(lit(1)).as("n_keys"),
         sum(col("total")).as("tier_total"),

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Funcs._
+import graft.sources.Staging.Snapshottable
 
 /** Embedding similarity search.
   *
@@ -556,7 +557,7 @@ object Similarity {
     val out = vq.select(col("id"),
       element_at(nearestCellsOf(col("vq"), typedLit(centroids), numCells, 1), 1)
         .as("cell"))
-      .localCheckpoint(true)
+      .snapshot()
     vq.unpersist(blocking = false)
     out
   }

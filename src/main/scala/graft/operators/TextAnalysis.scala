@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.Funcs._
+import graft.sources.Staging.Snapshottable
 
 /** Text-analysis operators for large-scale training-data pipelines:
   * token statistics, stopword-profile language ID, quality scoring,
@@ -129,7 +130,7 @@ object TextAnalysis {
     val ex = Dedup.spreadById(docs, idCol, textCol)
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
       .distinct()
-      .localCheckpoint(true)
+      .snapshot()
     val dfreq = ex.groupBy("token").agg(count(lit(1)).as("df"))
     val capped = Ranking.topKPerGroup(ex, Seq("token"), Seq(col("doc_id").asc), sampleK)
     val postings = capped.groupBy("token")
@@ -681,7 +682,7 @@ object TextAnalysis {
       .filter(col("bg").isNotNull)
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true) // feeds succ, pred AND the type total
+      .snapshot() // feeds succ, pred AND the type total
     val succ = bg.groupBy("w1").agg(count(lit(1)).as("n_succ"))
     val pred = bg.groupBy("w2").agg(count(lit(1)).as("n_pred"))
     val types = bg.select(count(lit(1)).as("n_bigram_types"))

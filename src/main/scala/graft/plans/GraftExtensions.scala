@@ -10,8 +10,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *
   * Registers the custom native expressions: [[RollingHash]],
   * [[MinHashSig]], [[SimHashSig]], [[WordShingles]], [[HyperplaneSig]],
-  * [[DotQ]], [[QuantizeVec]], [[NearestCells]], plus Spark's own bloom
-  * aggregate/probe exposed as functions. The reference's own operator
+  * [[DotQ]], [[QuantizeVec]], [[NearestCells]], [[CmsMergeAgg]],
+  * [[CmsEstimate]], plus Spark's own bloom aggregate/probe exposed as
+  * functions. The reference's own operator
   * surface needs no custom Catalyst rules/strategies (SURVEY §4
   * conclusion) — this hook exists for the scale-path primitives that
   * built-ins can't express without interpreted lambdas or blown-up
@@ -105,6 +106,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         val c = arity("bloom_might_contain", children, 2, 2)
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(c.head, c(1))
+      }))
+    // cms_merge_agg(binary) → binary: in-plan Count-Min sketch rollup
+    // (Spark ships the build aggregate but no merge — same gap as bloom)
+    ext.injectFunction((
+      FunctionIdentifier("cms_merge_agg"),
+      new ExpressionInfo(classOf[CmsMergeAgg].getName, "cms_merge_agg"),
+      (children: Seq[Expression]) => CmsMergeAgg(
+        arity("cms_merge_agg", children, 1, 1).head)))
+    // cms_estimate(binary, string) → bigint: in-plan point-frequency read
+    ext.injectFunction((
+      FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
+      (children: Seq[Expression]) => {
+        val c = arity("cms_estimate", children, 2, 2)
+        CmsEstimate(c.head, c(1))
       }))
   }
 }

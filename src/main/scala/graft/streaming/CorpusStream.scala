@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 import graft.operators.Dedup
+import graft.sources.Staging.Snapshottable
 
 /** Streaming corpus ingestion — the LLM-data dedup lane as a
   * Structured Streaming pipeline. Each micro-batch of documents is
@@ -41,7 +42,7 @@ object CorpusStream {
         // sign once; the snapshot feeds both the pair join and the
         // store append without re-running the shingle/signature pass
         val fresh = Dedup.minhashSignatures(batch, idCol, textCol, n, numHashes)
-          .localCheckpoint(true)
+          .snapshot()
         // an empty signed batch (empty trigger, or every doc below the
         // shingle size) must be a NO-OP: an empty partitioned write
         // would create a schema-less store directory that poisons the
@@ -55,7 +56,7 @@ object CorpusStream {
             else fresh.limit(0)
           val pairs = Dedup.minhashLshPairsIncremental(store, fresh, idCol,
             numHashes, bands, threshold)
-            .localCheckpoint(true) // materialize BEFORE the store append below
+            .snapshot() // materialize BEFORE the store append below
           pairs.withColumn("batch_id", lit(batchId))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

@@ -7,6 +7,7 @@ import org.apache.spark.sql.Row
 import graft.operators.TickAnalytics
 import graft.sources.Schemas
 import graft.sources.Schemas.Tick
+import graft.sources.Staging.Snapshottable
 
 /** Structured Streaming form of the realtime lane.
   *
@@ -219,7 +220,7 @@ object TickStream {
             .select(batch.columns.map(org.apache.spark.sql.functions.col): _*)
           val merged = graft.operators.MergeUpsert
             .mergeUpsert(aligned, batch, keys, versionCol)
-            .localCheckpoint(true)
+            .snapshot()
           merged.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(partitionCol)

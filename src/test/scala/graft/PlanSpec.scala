@@ -125,6 +125,25 @@ class PlanSpec extends AnyFunSpec {
         s"expected no aggregation, plan:\n${plan(df)}")
     }
 
+    it("tier summary never plans an unpartitioned window over the key table") {
+      // tierSummary's ranking must stay distributed: every WindowExec is
+      // either partitioned (the per-range-partition row_number) or runs
+      // over the partitions-sized __pid offset table — a 10⁹-key input
+      // must never funnel through one ntile task (r8 verdict watch item).
+      val df = SparkEntry.queries("q_ntile_deciles")(spark, dir)
+      // pre-adaptive physical plan: AQE wraps finished stages in leaf
+      // QueryStageExec nodes that hide their subtree from collect()
+      val windows = df.queryExecution.sparkPlan.collectWithSubqueries {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty)
+      windows.foreach { w =>
+        val inputCols = w.child.output.map(_.name).toSet
+        assert(w.partitionSpec.nonEmpty || inputCols.subsetOf(Set("__pid", "__pn", "__off")),
+          s"unpartitioned window over ${inputCols.mkString(",")} — key-table total order")
+      }
+    }
+
     it("exact percentiles combine map-side (partial_percentile buffers, not raw rows)") {
       val p = plan(SparkEntry.queries("q_quantiles")(spark, dir))
       assert(p.contains("ObjectHashAggregate") && p.contains("partial_percentile"),

@@ -128,4 +128,39 @@ class RankingCohortsSpec extends AnyFunSpec {
       assert(r.getAs[Double]("drift_tvd") == 0.5)
     }
   }
+
+  describe("Profiling.tierSummary") {
+    import graft.operators.Profiling
+    import org.apache.spark.sql.expressions.Window
+
+    /** The single-task formulation the distributed ranking must equal. */
+    def viaNtile(df: org.apache.spark.sql.DataFrame, tiles: Int) = {
+      val w = Window.orderBy(col("total").desc, col("k"))
+      df.groupBy(col("k")).agg(sum(col("v")).as("total"))
+        .withColumn("tier", ntile(tiles).over(w))
+        .groupBy("tier")
+        .agg(count(lit(1)).as("n_keys"), sum(col("total")).as("tier_total"),
+          min(col("total")).as("tier_floor"), max(col("total")).as("tier_ceiling"))
+        .orderBy("tier")
+    }
+
+    it("distributed rank + closed-form tile == global ntile (uneven n % tiles)") {
+      // 23 keys over 10 tiles: first 3 tiles get 3 keys, the rest 2
+      val df = (1 to 23).flatMap(k => Seq((s"k$k", k.toLong), (s"k$k", 100L - k)))
+        .toDF("k", "v")
+      val got = Profiling.tierSummary(df, "k", col("v"), tiles = 10).collect()
+      val want = viaNtile(df, 10).collect()
+      assert(got.toSeq == want.toSeq)
+      assert(got.map(_.getAs[Long]("n_keys")).toSeq == Seq(3L, 3L, 3L, 2L, 2L, 2L, 2L, 2L, 2L, 2L))
+    }
+
+    it("fewer keys than tiles: one key per tile, tiles beyond n empty") {
+      val df = Seq(("a", 5L), ("b", 9L), ("c", 1L)).toDF("k", "v")
+      val got = Profiling.tierSummary(df, "k", col("v"), tiles = 10).collect()
+      val want = viaNtile(df, 10).collect()
+      assert(got.toSeq == want.toSeq)
+      assert(got.length == 3)
+      assert(got.map(_.getAs[Int]("tier")).toSeq == Seq(1, 2, 3))
+    }
+  }
 }

@@ -58,6 +58,22 @@ class SketchesSpec extends AnyFunSpec {
           s"linearity broken for '$l'")
       }
     }
+    it("CMS: in-plan cms_merge_agg + cms_estimate match the driver-side merge read") {
+      val docs = Tables.documents(spark, dir)
+      val perSource = Sketches.cmsByGroup(docs, Seq("source"), "lang")
+      val merged = Sketches.cmsMerge(
+        perSource.select("cms").collect().map(_.getAs[Array[Byte]]("cms")).toIndexedSeq)
+      val inPlan = docs.select("lang").distinct()
+        .crossJoin(broadcast(
+          perSource.agg(call_function("cms_merge_agg", col("cms")).as("cms"))))
+        .select($"lang", call_function("cms_estimate", $"cms", $"lang").as("est"))
+        .as[(String, Long)].collect().toMap
+      assert(inPlan.nonEmpty)
+      inPlan.foreach { case (l, est) =>
+        assert(est == Sketches.cmsEstimate(merged, l),
+          s"in-plan estimate differs from driver-side merge for '$l'")
+      }
+    }
     it("CMS: estimates over-approximate exact counts within eps * N") {
       val docs = Tables.documents(spark, dir)
       val whole = Sketches.cmsByGroup(docs.withColumn("g", lit(1)), Seq("g"), "lang",
