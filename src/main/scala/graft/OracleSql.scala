@@ -2343,6 +2343,27 @@ object OracleSql {
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
 
+    // KLL under-capacity exactness (mirrors qKllQuantiles): n per
+    // nation << k=200 ⇒ the sketch retains every item, and the
+    // INCLUSIVE-rank quantile is the order statistic sorted[⌈p·n⌉]
+    "q_kll_quantiles" ->
+      """WITH s AS (
+        |  SELECT s_nationkey, CAST(s_acctbal AS DOUBLE) AS bal FROM supplier
+        |),
+        |r AS (
+        |  SELECT s_nationkey, bal,
+        |    ROW_NUMBER() OVER (PARTITION BY s_nationkey ORDER BY bal) AS rn,
+        |    COUNT(*) OVER (PARTITION BY s_nationkey) AS n
+        |  FROM s
+        |)
+        |SELECT s_nationkey,
+        |  CAST(MAX(n) AS BIGINT) AS n_rows,
+        |  CAST(MAX(n) AS BIGINT) AS kll_n,
+        |  MAX(CASE WHEN rn = CAST(CEIL(0.25 * n) AS BIGINT) THEN bal END) AS p25,
+        |  MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT) THEN bal END) AS p50,
+        |  MAX(CASE WHEN rn = CAST(CEIL(0.75 * n) AS BIGINT) THEN bal END) AS p75
+        |FROM r GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
     "q_ntile_deciles" -> {
       s"""WITH spend AS (
          |  SELECT o_custkey, CAST(SUM(${sc("o_totalprice", 2)}) AS BIGINT) AS total

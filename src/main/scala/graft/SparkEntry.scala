@@ -1119,6 +1119,27 @@ object SparkEntry {
       .orderBy("l_returnflag")
   }
 
+  /** The KLL sketch path under a FULL oracle via under-capacity
+    * exactness (the q_approx_topk trick): per-nation supplier
+    * balances stay far below the sketch's k=200 retention capacity,
+    * so no compaction ever fires, every item is retained exactly, and
+    * the INCLUSIVE-rank quantile read equals the order statistic
+    * sorted[⌈p·n⌉] — which DuckDB states directly. q_quantile_sketch
+    * remains the approximate-scale demo; this pins the same code path
+    * (kll_sketch_agg_double → kll_sketch_get_quantile_double)
+    * bit-for-bit. */
+  private def qKllQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(s, dir)
+      .select(col("s_nationkey"), col("s_acctbal").cast("double").as("bal"))
+    Sketches.quantilesFromSketch(
+      Sketches.quantileSketchByGroup(sup, Seq("s_nationkey"), "bal"),
+      Seq(0.25, 0.5, 0.75))
+      .select(col("s_nationkey"), col("n_rows"),
+        col("kll_n").cast("long").as("kll_n"),
+        col("p25"), col("p50"), col("p75"))
+      .orderBy("s_nationkey")
+  }
+
   /** Mergeable approx-top-k heavy hitters: per-source frequent langs
     * accumulated once, combined to a global state, drained with a
     * deterministic (count DESC, item ASC) cut. Cardinality (langs per
@@ -1494,6 +1515,7 @@ object SparkEntry {
     "q_set_ops" -> (qSetOps _),
     "q_sim_pq" -> (qSimPq _),
     "q_quantile_sketch" -> (qQuantileSketch _),
+    "q_kll_quantiles" -> (qKllQuantiles _),
     "q_stream_sessions" -> (qStreamSessions _),
     "q_approx_topk" -> (qApproxTopK _),
     "q_audio_frames" -> (qAudioFrames _),

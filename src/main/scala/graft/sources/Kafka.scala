@@ -72,6 +72,18 @@ object Kafka {
       .option("topic", cfg.topic)
       .option("checkpointLocation", checkpoint)
 
+  /** Batch sink: the bounded producer-loop shape of
+    * batch_data_producer.py:54-63 as ONE write — serialize to the wire
+    * shape and publish. Used by the env-gated broker smoke test
+    * (KafkaSpec) and any backfill job replaying a capture table. */
+  def batchSink(df: DataFrame, cfg: KafkaConfig, keyCol: String): Unit = {
+    val w = RawSources.toKafkaJson(df, keyCol).write
+      .format("kafka")
+      .option("kafka.bootstrap.servers", cfg.bootstrapServers)
+      .option("topic", cfg.topic)
+    cfg.extra.foldLeft(w) { case (acc, (k, v)) => acc.option(k, v) }.save()
+  }
+
   /** Generic wire decode: JSON `value` → typed columns. Works on any
     * frame with a castable value column (connector, MemoryStream,
     * capture table). Malformed payloads become null structs — filter
