@@ -1396,6 +1396,56 @@ object OracleSql {
          |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
     },
 
+    // Recall@5 of LSH vs brute force (mirrors Similarity.recallAtK
+    // over qSimRecall's two pipelines: both rank sets re-derived here,
+    // recall = |approx ∩ exact| / |exact|)
+    "q_sim_recall" -> {
+      val planes = graft.operators.Similarity.planeComponents(6)
+      val bucket = (0 until 6).map { p =>
+        val w = planes.slice(p * 64, (p + 1) * 64).mkString("[", ", ", "]")
+        s"CASE WHEN list_sum(list_transform(range(1, 65), k -> vq[k] * ($w)[k])) >= 0 THEN ${1L << p} ELSE 0 END"
+      }.mkString("\n         |      + ")
+      s"""WITH $embSql,
+         |esc AS (
+         |  SELECT b.vec_id AS query_id, a.vec_id AS corpus_id,
+         |    ${cosExpr(pairDot, "a.nq", "b.nq")} AS cosine
+         |  FROM en a, en b
+         |  WHERE b.vec_id % 50 = 0 AND b.vec_id != a.vec_id
+         |),
+         |ex AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rn
+         |    FROM esc) WHERE rn <= 5
+         |),
+         |bk AS (
+         |  SELECT vec_id, vq, nq,
+         |    CAST($bucket AS BIGINT) AS bucket
+         |  FROM en
+         |),
+         |asc2 AS (
+         |  SELECT b.vec_id AS query_id, a.vec_id AS corpus_id,
+         |    ${cosExpr(pairDot, "a.nq", "b.nq")} AS cosine
+         |  FROM bk a JOIN bk b ON a.bucket = b.bucket
+         |  WHERE b.vec_id % 50 = 0 AND b.vec_id != a.vec_id
+         |),
+         |ap AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rn
+         |    FROM asc2) WHERE rn <= 5
+         |),
+         |base AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact FROM ex GROUP BY query_id),
+         |hits AS (
+         |  SELECT a.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+         |  FROM ap a JOIN ex e ON a.query_id = e.query_id AND a.corpus_id = e.corpus_id
+         |  GROUP BY a.query_id
+         |)
+         |SELECT b.query_id, b.n_exact,
+         |  COALESCE(h.n_hit, 0) AS n_hit,
+         |  ${rd("COALESCE(h.n_hit, 0) / CAST(b.n_exact AS DOUBLE)", 4)} AS recall
+         |FROM base b LEFT JOIN hits h ON b.query_id = h.query_id
+         |ORDER BY b.query_id""".stripMargin
+    },
+
     "q_token_rarity" ->
       s"""WITH ex0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
          |ex AS (SELECT doc_id, ${h60("t")} AS th FROM ex0),
@@ -1652,6 +1702,55 @@ object OracleSql {
          |      CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25 ELSE 0.25 END
          |        * nt / n) * 10000) AS BIGINT) AS t
          |  FROM ns CROSS JOIN tot
+         |)
+         |SELECT d.doc_id, d.source
+         |FROM documents d JOIN th ON d.source = th.source
+         |WHERE ${h60("CAST(doc_id AS VARCHAR)")} % 10000 < th.t
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // Threshold sweep (mirrors Profiling.thresholdSweep over char
+    // length: per-threshold survivors via a bounded literal join,
+    // all-integer keeps, one final division per fraction)
+    "q_threshold_sweep" ->
+      s"""WITH d AS (
+         |  SELECT CAST(length(text) AS BIGINT) AS sc,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tk
+         |  FROM documents
+         |),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS td, CAST(SUM(tk) AS BIGINT) AS tt FROM d),
+         |th AS (SELECT CAST(unnest([0, 50, 100, 200, 400]) AS BIGINT) AS threshold),
+         |k AS (
+         |  SELECT th.threshold,
+         |    CAST(COUNT(d.sc) AS BIGINT) AS docs_kept,
+         |    CAST(COALESCE(SUM(d.tk), 0) AS BIGINT) AS tokens_kept
+         |  FROM th LEFT JOIN d ON d.sc >= th.threshold
+         |  GROUP BY th.threshold
+         |)
+         |SELECT threshold, docs_kept, tokens_kept,
+         |  ${rd("docs_kept / CAST(td AS DOUBLE)", 4)} AS doc_frac,
+         |  ${rd("tokens_kept / CAST(tt AS DOUBLE)", 4)} AS token_frac
+         |FROM k, tot ORDER BY threshold""".stripMargin,
+
+    // Temperature mixing (mirrors Sampling.temperatureMixture at
+    // α=0.5, target=300: per-source cut = ⌊min(1, T·√n/Σ√n/n)·10⁴⌋,
+    // weight sum folded in sorted-source order — same IEEE sequence
+    // as the driver's foldLeft: list_reduce seeds with element 1 and
+    // 0.0 + w ≡ w exactly)
+    "q_temperature_mixture" ->
+      s"""WITH ns AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents
+         |  GROUP BY source
+         |),
+         |w AS (SELECT source, n, SQRT(CAST(n AS DOUBLE)) AS w FROM ns),
+         |ws AS (
+         |  SELECT list_reduce(list(w ORDER BY source), (a, b) -> a + b) AS wsum
+         |  FROM w
+         |),
+         |th AS (
+         |  SELECT source,
+         |    CAST(FLOOR(LEAST(1.0, CAST(300 AS DOUBLE) * w / wsum / n) * 10000)
+         |      AS BIGINT) AS t
+         |  FROM w CROSS JOIN ws
          |)
          |SELECT d.doc_id, d.source
          |FROM documents d JOIN th ON d.source = th.source

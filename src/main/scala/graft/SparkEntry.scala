@@ -515,6 +515,16 @@ object SparkEntry {
       .select("doc_id", "source")
       .orderBy("doc_id")
 
+  /** Temperature (α=0.5 square-root) source mixing toward 300 target
+    * rows — sqrt is IEEE-correctly-rounded, so the oracle reproduces
+    * the driver's cut thresholds bit-for-bit (weight sum folded in
+    * sorted-source order on both engines). */
+  private def qTemperatureMixture(s: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureMixture(Tables.documents(s, dir), "doc_id", "source",
+      targetRows = 300, alpha = 0.5)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+
   /** Quality/length-weighted deterministic sampling: p = n_chars/400. */
   private def qWeightedSample(s: SparkSession, dir: String): DataFrame =
     Sampling.weightedByHash(Tables.documents(s, dir), "doc_id",
@@ -736,6 +746,19 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** ANN quality measured in-engine: recall@5 of the hyperplane-LSH
+    * top-k against the brute-force exact top-k, per query — both
+    * pipelines and the intersection in ONE plan, fully oracle-checked
+    * (DuckDB re-runs brute and LSH and states the same recall). */
+  private def qSimRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    Similarity.recallAtK(
+      Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5),
+      Similarity.annTopK(emb, queries, "vec_id", "embedding", k = 5, numPlanes = 6))
+      .orderBy("query_id")
+  }
+
   /** Embedding-cosine near-dup over the documents table (embedding
     * column joined on; blocked by lang — the realistic "same-language
     * corpus cell" IVF-style blocking). Registered as the BANDED
@@ -909,6 +932,15 @@ object SparkEntry {
         col("exact_count"))
       .orderBy("lang")
   }
+
+  /** Min-length cutoff sweep over the corpus: surviving docs + token
+    * mass at each candidate threshold, one scan for all cutoffs. */
+  private def qThresholdSweep(s: SparkSession, dir: String): DataFrame =
+    Profiling.thresholdSweep(Tables.documents(s, dir),
+      length(col("text")).cast("long"),
+      size(split(col("text"), " ")).cast("long"),
+      Seq(0L, 50L, 100L, 200L, 400L))
+      .orderBy("threshold")
 
   /** Gopher-style repetition signals over the corpus. */
   private def qRepetition(s: SparkSession, dir: String): DataFrame =
@@ -1477,6 +1509,7 @@ object SparkEntry {
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_sim_topk" -> (qSimTopK _),
     "q_sim_ann_lsh" -> (qSimAnnLsh _),
+    "q_sim_recall" -> (qSimRecall _),
     "q_sim_near_dup" -> (qSimNearDup _),
     "q_sim_ivf" -> (qSimIvf _),
     "q_sim_ivf_refined" -> (qSimIvfRefined _),
@@ -1516,6 +1549,8 @@ object SparkEntry {
     "q_sim_pq" -> (qSimPq _),
     "q_quantile_sketch" -> (qQuantileSketch _),
     "q_kll_quantiles" -> (qKllQuantiles _),
+    "q_temperature_mixture" -> (qTemperatureMixture _),
+    "q_threshold_sweep" -> (qThresholdSweep _),
     "q_stream_sessions" -> (qStreamSessions _),
     "q_approx_topk" -> (qApproxTopK _),
     "q_audio_frames" -> (qAudioFrames _),

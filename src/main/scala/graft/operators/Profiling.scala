@@ -150,6 +150,42 @@ object Profiling {
           (lit(2.0) * col("na") * col("nb")), 6).as("drift_tvd"))
   }
 
+  /** Curation threshold sweep: for each candidate cutoff, how many
+    * documents and how much token mass survive `score >= threshold` —
+    * the one-pass answer to "where do I set the min-length (or
+    * quality) filter", instead of one full scan per candidate.
+    *
+    * Scale shape: each row maps to the COUNT of thresholds it clears
+    * (a codegen'd CASE chain over the sorted literals) — one
+    * partial-aggregable shuffle of ≤ |thresholds|+1 bucket rows per
+    * map task; the suffix-sum that turns buckets into per-threshold
+    * keep totals runs over the thresholds dimension (a bounded
+    * literal join), never the corpus. Integer scores keep every
+    * comparison exact across engines. */
+  def thresholdSweep(df: DataFrame, score: Column, tokens: Column,
+                     thresholds: Seq[Long]): DataFrame = {
+    require(thresholds.nonEmpty, "thresholdSweep: need at least one threshold")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ts = thresholds.distinct.sorted
+    val bucket = ts.foldLeft(lit(0)) { (acc, t) =>
+      when(score >= t, acc + lit(1)).otherwise(acc) }
+    val agg = df.select(bucket.as("b"), tokens.as("tk"))
+      .groupBy("b").agg(count(lit(1)).as("nd"), sum(col("tk")).as("nt"))
+    val totals = agg.agg(sum(col("nd")).as("td"), sum(col("nt")).as("tt"))
+    val th = ts.zipWithIndex.map { case (t, i) => (t, i + 1) }.toDF("threshold", "i")
+    th.join(agg, col("b") >= col("i"), "left")
+      .groupBy("threshold")
+      .agg(coalesce(sum(col("nd")), lit(0L)).as("docs_kept"),
+        coalesce(sum(col("nt")), lit(0L)).as("tokens_kept"))
+      .crossJoin(broadcast(totals))
+      .select(col("threshold"), col("docs_kept"), col("tokens_kept"),
+        graft.functions.Funcs.rd(col("docs_kept").cast("double") / col("td"), 4)
+          .as("doc_frac"),
+        graft.functions.Funcs.rd(col("tokens_kept").cast("double") / col("tt"), 4)
+          .as("token_frac"))
+  }
+
   /** Per-key totals bucketed into `tiles` quantile tiers (deciles by
     * default): aggregate `value` per key (exact long — pass a
     * Funcs.scaled view), rank the KEYS on (total desc, key), then roll

@@ -97,6 +97,40 @@ object Sampling {
     docs.filter(hashBucket(col(idCol), buckets) < cut)
   }
 
+  /** Temperature-scaled source mixing — the multilingual/multi-domain
+    * sampling rule (p_s ∝ n_s^α, α ∈ (0,1]) that upweights scarce
+    * sources relative to their natural share: α=1 is proportional
+    * sampling, α→0 approaches uniform-over-sources. Per-source keep
+    * fraction is min(1, targetRows·w_s/Σw/n_s) with w_s = n_s^α — the
+    * no-upsampling semantics of [[mixtureSample]] with temperature
+    * weights instead of fixed shares.
+    *
+    * Same "train small, broadcast" shape as [[mixtureSample]]: the
+    * sources-sized count collect fixes integer bucket cuts in the
+    * driver (weight sum folded in sorted-source order so the IEEE
+    * accumulation order is pinned), then membership is the narrow
+    * stable [[hashBucket]] rule. Cross-engine exactness note: `sqrt`
+    * is correctly rounded by IEEE 754, `pow` is not — use α = 0.5 (the
+    * common "square-root sampling") where bit-reproducibility against
+    * another engine matters; other α remain deterministic within the
+    * JVM. */
+  def temperatureMixture(docs: DataFrame, idCol: String, sourceCol: String,
+                         targetRows: Long, alpha: Double = 0.5,
+                         buckets: Int = 10000): DataFrame = {
+    require(targetRows > 0, s"temperatureMixture: targetRows must be positive")
+    require(alpha > 0 && alpha <= 1, s"temperatureMixture: alpha in (0,1], got $alpha")
+    val counts = docs.groupBy(sourceCol).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    val ws = counts.map { case (_, n) =>
+      if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha) }
+    val wsum = ws.foldLeft(0.0)(_ + _)
+    val cut = counts.zip(ws).foldLeft(lit(-1L)) { case (els, ((s, n), w)) =>
+      val t = math.floor(math.min(1.0, targetRows.toDouble * w / wsum / n) * buckets).toLong
+      when(col(sourceCol) === s, lit(t)).otherwise(els)
+    }
+    docs.filter(hashBucket(col(idCol), buckets) < cut)
+  }
+
   /** Deterministic WEIGHTED sampling: keep a row with probability
     * weight/maxWeight, decided by the id hash — keep iff
     * hash60(id) mod maxWeight < weight. Pure integer comparison (no

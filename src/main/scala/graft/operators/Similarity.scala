@@ -646,6 +646,32 @@ object Similarity {
     * both engines execute the identical op sequence, so even the
     * double `scale` column hash-matches. All-zero vectors quantize to
     * all-zero codes with scale 0 (guarded, not NaN). */
+  /** Recall@k of an approximate top-k result against the exact one —
+    * the "measure, don't guess" gauge every ANN deployment needs
+    * before trading brute-force cost for bucketed candidates. Inputs
+    * are any two frames in the [[bruteForceTopK]] result shape
+    * (query_id, corpus_id, ...); output is per-query
+    * (n_exact, n_hit, recall) with recall = |approx ∩ exact|/|exact|
+    * (|exact| ≤ k at corpus boundaries, so the denominator is the
+    * achievable set, not the nominal k).
+    *
+    * Scale shape: one left-semi equi join on (query_id, corpus_id) —
+    * both sides are already rank-capped to k rows per query, so the
+    * join and both aggregates run over queries×k rows, never the
+    * corpus. */
+  def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val e = exact.select(col("query_id"), col("corpus_id"))
+    val hits = approx.select(col("query_id"), col("corpus_id"))
+      .join(e, Seq("query_id", "corpus_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    e.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        r4(coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_exact")).as("recall"))
+  }
+
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val absMax = array_max(transform(col(vecCol),
       x => abs(x.cast("double"))))

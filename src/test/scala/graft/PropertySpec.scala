@@ -33,6 +33,35 @@ class PropertySpec extends AnyFunSpec {
     }
   }
 
+  describe("tierSummary's closed-form tile assignment: the ntile law itself") {
+    /** Reference ntile: first n % t tiles get ⌈n/t⌉ rows, rest ⌊n/t⌋. */
+    def refNtile(n: Long, t: Int): Seq[Int] = {
+      val base = n / t; val r = (n % t).toInt
+      (0 until t).flatMap(i =>
+        Seq.fill((base + (if (i < r) 1 else 0)).toInt)(i + 1))
+    }
+    /** The Profiling.tierSummary SQL CASE, evaluated in plain Scala. */
+    def closedForm(rank: Long, n: Long, t: Int): Long = {
+      val base = n / t; val r = n % t; val cut = r * (base + 1)
+      if (rank <= cut) (rank + base) / (base + 1)
+      else r + (rank - cut + base - 1) / base
+    }
+    it("matches reference ntile for every rank over many (n, tiles) shapes") {
+      val shapes = for {
+        t <- Seq(1, 2, 3, 7, 10, 16, 64)
+        n <- Seq(0L, 1L, 2L, 5L, 9L, 10L, 11L, 63L, 64L, 65L, 99L, 100L,
+          101L, 997L) ++ sampled(Gen.choose(1L, 5000L), 30)
+      } yield (n, t)
+      shapes.foreach { case (n, t) =>
+        val want = refNtile(n, t)
+        (1L to n).foreach { rank =>
+          assert(closedForm(rank, n, t) == want((rank - 1).toInt),
+            s"n=$n t=$t rank=$rank")
+        }
+      }
+    }
+  }
+
   describe("Dedup.duplicatedSpans: coverage bounds on generated corpora") {
     it("0 <= dup_tokens <= n_tokens, and an all-distinct corpus has zero coverage") {
       // random word docs over a tiny alphabet (forces shared grams) +

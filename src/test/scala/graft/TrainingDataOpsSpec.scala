@@ -167,4 +167,84 @@ class TrainingDataOpsSpec extends AnyFunSpec {
       }
     }
   }
+
+  describe("Sampling.temperatureMixture") {
+    import graft.operators.Sampling
+    val docs = (1 to 900).map(i =>
+      (i.toLong, if (i <= 800) "big" else if (i <= 890) "mid" else "tiny"))
+      .toDF("doc_id", "source")
+
+    it("flattens the mixture: scarce sources keep a HIGHER fraction than abundant ones") {
+      val kept = Sampling.temperatureMixture(docs, "doc_id", "source",
+          targetRows = 300, alpha = 0.5)
+        .groupBy("source").count().as[(String, Long)].collect().toMap
+      val n = Map("big" -> 800.0, "mid" -> 90.0, "tiny" -> 10.0)
+      val frac = kept.map { case (s, k) => s -> k / n(s) }
+      assert(frac("tiny") >= frac("mid") && frac("mid") >= frac("big"),
+        s"temperature must favor scarce sources: $frac")
+      // no upsampling: never more than the population
+      kept.foreach { case (s, k) => assert(k <= n(s)) }
+    }
+
+    it("a target at or above the corpus keeps everything (keep-all clamps)") {
+      val all = Sampling.temperatureMixture(docs, "doc_id", "source",
+        targetRows = 10000, alpha = 0.5)
+      assert(all.count() == 900)
+    }
+
+    it("membership is stable run to run (pure hash, no RNG)") {
+      def run() = Sampling.temperatureMixture(docs, "doc_id", "source",
+        targetRows = 300, alpha = 0.5).select("doc_id")
+      assert(run().exceptAll(run()).isEmpty)
+    }
+  }
+
+  describe("Similarity.recallAtK") {
+    import graft.operators.Similarity
+    import graft.sources.Tables
+    val dir = "/root/testdata/sf0.001"
+
+    it("exact-vs-itself recall is 1.0 for every query") {
+      val emb = Tables.embeddings(spark, dir)
+      val q = emb.filter($"vec_id" % 50 === 0)
+      val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 3)
+      val r = Similarity.recallAtK(exact, exact).collect()
+      assert(r.nonEmpty)
+      r.foreach { row =>
+        assert(row.getAs[Double]("recall") == 1.0)
+        assert(row.getAs[Long]("n_hit") == row.getAs[Long]("n_exact"))
+      }
+    }
+
+    it("disjoint approx result scores recall 0 with a zero hit count") {
+      val emb = Tables.embeddings(spark, dir)
+      val q = emb.filter($"vec_id" % 50 === 0)
+      val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 3)
+      val none = exact.withColumn("corpus_id", -col("corpus_id") - 1)
+      val r = Similarity.recallAtK(exact, none).collect()
+      r.foreach(row => assert(row.getAs[Double]("recall") == 0.0))
+    }
+  }
+
+  describe("Profiling.thresholdSweep") {
+    import graft.operators.Profiling
+    it("threshold 0 keeps everything; keeps decrease monotonically; fractions bounded") {
+      val docs = Seq.tabulate(50)(i => (i.toLong, "w " * (i + 1))).toDF("doc_id", "text")
+      val sweep = Profiling.thresholdSweep(docs,
+          length($"text").cast("long"),
+          size(split($"text", " ")).cast("long"),
+          Seq(0L, 10L, 40L, 1000L))
+        .orderBy("threshold").collect()
+      assert(sweep.length == 4)
+      assert(sweep.head.getAs[Long]("docs_kept") == 50L)
+      assert(sweep.head.getAs[Double]("doc_frac") == 1.0)
+      val docsKept = sweep.map(_.getAs[Long]("docs_kept")).toSeq
+      assert(docsKept == docsKept.sorted.reverse, s"not monotone: $docsKept")
+      assert(sweep.last.getAs[Long]("docs_kept") == 0L)
+      sweep.foreach { r =>
+        val f = r.getAs[Double]("token_frac")
+        assert(f >= 0.0 && f <= 1.0)
+      }
+    }
+  }
 }
