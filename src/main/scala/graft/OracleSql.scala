@@ -728,6 +728,37 @@ object OracleSql {
          |FROM m WHERE momentum_pct IS NOT NULL
          |ORDER BY symbol, trade_date""".stripMargin,
 
+    // mirrors DailyAnalytics.decileBacktest: deciles re-derived as in
+    // q_momentum_deciles, per-(decile, day) ⌊Σy/n⌋ exact mean, then
+    // the SAME left-assoc compounding fold (list_reduce over a list
+    // prepended with 1.0 ≡ Spark aggregate seeded 1.0)
+    "q_decile_backtest" ->
+      s"""${dailyChain("returns")},
+         |mo AS (SELECT symbol, trade_date,
+         |    ${rd("(close_price - LAG(close_price, 21) OVER w) / NULLIF(LAG(close_price, 21) OVER w, 0) * 100", 4)} AS momentum_pct
+         |  FROM returns WINDOW w AS (PARTITION BY symbol ORDER BY trade_date)),
+         |dc AS (SELECT symbol, trade_date,
+         |    CAST(NTILE(10) OVER (PARTITION BY trade_date
+         |      ORDER BY momentum_pct, symbol) AS INTEGER) AS decile
+         |  FROM mo WHERE momentum_pct IS NOT NULL),
+         |j AS (SELECT dc.decile, dc.trade_date, ${sc4("r.daily_return_pct")} AS y
+         |  FROM dc JOIN returns r
+         |    ON dc.symbol = r.symbol AND dc.trade_date = r.trade_date
+         |  WHERE r.daily_return_pct IS NOT NULL),
+         |p AS (SELECT decile, trade_date,
+         |    CAST(FLOOR(SUM(y) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS m
+         |  FROM j GROUP BY decile, trade_date),
+         |g AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_days,
+         |    CAST(SUM(m) AS BIGINT) AS sm,
+         |    list(m ORDER BY trade_date) AS ms
+         |  FROM p GROUP BY decile)
+         |SELECT decile, n_days,
+         |  ${rd("CAST(sm AS DOUBLE) / n_days / 10000.0", 4)} AS mean_daily_pct,
+         |  (list_reduce(list_prepend(1.0, list_transform(
+         |     list_slice(ms, greatest(1, len(ms) - 59), len(ms)),
+         |     v -> 1.0 + v / 1e6)), (a, b) -> a * b) - 1.0) * 100 AS cum_return_pct
+         |FROM g ORDER BY decile""".stripMargin,
+
     // mirrors DailyAnalytics.wilderRsiExactFold at period=14: the SAME
     // [i, Σg, Σl, avgG, avgL] integer fold (seed mean at i=14, Wilder
     // step after), then one mirrored RSI tree

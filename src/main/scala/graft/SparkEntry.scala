@@ -751,7 +751,10 @@ object SparkEntry {
     * pipelines and the intersection in ONE plan, fully oracle-checked
     * (DuckDB re-runs brute and LSH and states the same recall). */
   private def qSimRecall(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
+    // snapshot the table once: brute + LSH + their query sides would
+    // otherwise re-scan the parquet six times (recall is typically
+    // measured on a sample, so the staged panel is bounded)
+    val emb = Tables.embeddings(s, dir).snapshot()
     val queries = emb.filter(col("vec_id") % 50 === 0)
     Similarity.recallAtK(
       Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5),
@@ -1233,6 +1236,11 @@ object SparkEntry {
     DailyAnalytics.wilderRsiExactFold(DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
       .orderBy("symbol")
 
+  /** Momentum-decile backtest: per-decile compounded portfolio return
+    * (the factor-premium readout over q_momentum_deciles). */
+  private def qDecileBacktest(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.decileBacktest(Adapters.dailyBars(s, dir))
+
   /** Intraday microstructure: realized vol + tick imbalance per day. */
   private def qMicrostructure(s: SparkSession, dir: String): DataFrame =
     TickAnalytics.microstructureDaily(Adapters.ticks(s, dir))
@@ -1564,6 +1572,7 @@ object SparkEntry {
     "q_macd" -> (qMacd _),
     "q_cross_sectional_z" -> (qCrossSectionalZ _),
     "q_momentum_deciles" -> (qMomentumDeciles _),
+    "q_decile_backtest" -> (qDecileBacktest _),
     "q_wilder_rsi" -> (qWilderRsi _),
     "q_microstructure" -> (qMicrostructure _),
     "q_distribution_drift" -> (qDistributionDrift _),

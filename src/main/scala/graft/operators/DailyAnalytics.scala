@@ -912,6 +912,49 @@ object DailyAnalytics {
         .orderBy(col("momentum_pct"), col("symbol"))))
   }
 
+  /** Momentum-decile backtest: the factor-evaluation step on top of
+    * [[momentumDeciles]] — per (decile, day) the equal-weight
+    * portfolio return as an exact ⌊Σy/n⌋ scale-4 integer mean (the
+    * [[marketBeta]] index discipline), then per decile the return
+    * compounded over the TRAILING `windowDays` portfolio days via an
+    * order-pinned double fold (1·(1+m₁/10⁶)·(1+m₂/10⁶)·… in
+    * trade-date order — IEEE multiply is deterministic and both
+    * engines fold the same list, so the compounded double
+    * hash-matches RAW, no rounding; DuckDB mirrors with
+    * `list_reduce(list_prepend(1.0, …))`). The bounded window is also
+    * the numeric guard: compounding an unbounded history can exceed
+    * double range, where engines diverge on overflow handling.
+    *
+    * Scale shape: deciles + returns join at the symbol×day grain, the
+    * portfolio mean is one partial-agg shuffle to (decile, day), and
+    * the per-decile fold buffers only the CALENDAR dimension (the
+    * [[varCvar]]/[[emaClose]] collect discipline — bounded by days,
+    * never by symbols or rows). */
+  def decileBacktest(bars: DataFrame, lagDays: Int = 21,
+                     windowDays: Int = 60): DataFrame = {
+    val rets = dailyReturns(bars)
+      .filter(col("daily_return_pct").isNotNull)
+      .select(col("symbol"), col("trade_date"),
+        scaled(col("daily_return_pct"), 4).as("y"))
+    val port = momentumDeciles(bars, lagDays)
+      .select(col("symbol"), col("trade_date"), col("decile"))
+      .join(rets, Seq("symbol", "trade_date"))
+      .groupBy("decile", "trade_date")
+      .agg(sum(col("y")).as("sy"), count(lit(1)).as("n"))
+      .select(col("decile"), col("trade_date"),
+        floor(col("sy").cast("double") / col("n").cast("double")).cast("long").as("m"))
+    val tail = s"slice(ms, greatest(1, size(ms) - ${windowDays - 1}), $windowDays)"
+    port.groupBy("decile")
+      .agg(count(lit(1)).as("n_days"), sum(col("m")).as("sm"),
+        sort_array(collect_list(struct(col("trade_date"), col("m")))).as("ms"))
+      .select(col("decile"), col("n_days"),
+        r4(col("sm").cast("double") / col("n_days") / 10000.0).as("mean_daily_pct"),
+        ((expr(s"aggregate(transform($tail, s -> 1.0 + s.m / 1e6), " +
+          "cast(1.0 as double), (acc, x) -> acc * x)") - lit(1.0)) * 100)
+          .as("cum_return_pct"))
+      .orderBy("decile")
+  }
+
   def martDailySummary(perf: DataFrame): DataFrame = {
     val ret = col("daily_return_pct")
     val orderKey = when(ret.isNotNull, struct(ret, col("symbol")))

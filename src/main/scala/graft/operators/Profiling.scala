@@ -170,8 +170,12 @@ object Profiling {
     val ts = thresholds.distinct.sorted
     val bucket = ts.foldLeft(lit(0)) { (acc, t) =>
       when(score >= t, acc + lit(1)).otherwise(acc) }
-    val agg = df.select(bucket.as("b"), tokens.as("tk"))
-      .groupBy("b").agg(count(lit(1)).as("nd"), sum(col("tk")).as("nt"))
+    // snapshot the bucket rollup (≤ |thresholds|+1 rows): totals and
+    // the threshold join both read it — without this each branch
+    // re-runs the corpus scan
+    val agg = graft.sources.Staging.snapshot(
+      df.select(bucket.as("b"), tokens.as("tk"))
+        .groupBy("b").agg(count(lit(1)).as("nd"), sum(col("tk")).as("nt")))
     val totals = agg.agg(sum(col("nd")).as("td"), sum(col("nt")).as("tt"))
     val th = ts.zipWithIndex.map { case (t, i) => (t, i + 1) }.toDF("threshold", "i")
     th.join(agg, col("b") >= col("i"), "left")
