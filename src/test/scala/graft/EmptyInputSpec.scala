@@ -130,5 +130,20 @@ class EmptyInputSpec extends AnyFunSpec {
         emptyBars.select(col("symbol"), col("volume")), "symbol", "volume", s"$out/z", 4)
       assert(spark.read.parquet(s"$out/z").isEmpty)
     }
+    it("round-9 operators degrade to empty output on empty input") {
+      val emptySrc = Seq.empty[(Long, String)].toDF("doc_id", "source")
+      assert(Sampling.temperatureMixture(emptySrc, "doc_id", "source",
+        targetRows = 100).isEmpty)
+      assert(Profiling.tierSummary(emptyDocs, "text", lit(1L)).isEmpty)
+      assert(Profiling.thresholdSweep(emptyDocs, length($"text").cast("long"),
+        lit(1L), Seq(0L, 10L)).collect()
+        .forall(r => r.getAs[Long]("docs_kept") == 0L)) // thresholds survive, keeps are 0
+      assert(DailyAnalytics.decileBacktest(emptyBars).isEmpty)
+      val topk = Seq.empty[(Long, Long)].toDF("query_id", "corpus_id")
+      assert(graft.operators.Similarity.recallAtK(topk, topk).isEmpty)
+      assert(Sketches.quantilesFromSketch(
+        Sketches.quantileSketchByGroup(emptySrc, Seq("source"), "doc_id"),
+        Seq(0.5)).isEmpty)
+    }
   }
 }
