@@ -1288,6 +1288,13 @@ object OracleSql {
       s"""WITH $minhashPairsCtes
          |SELECT id1, id2, jaccard FROM pairs ORDER BY id1, id2""".stripMargin,
 
+    // streaming ≡ batch: one AvailableNow pass over the corpus file is
+    // one fresh batch against an empty store, so the flags table must
+    // equal the full batch pair set
+    "q_stream_dedup" ->
+      s"""WITH $minhashPairsCtes
+         |SELECT id1, id2, jaccard FROM pairs ORDER BY id1, id2""".stripMargin,
+
     "q_dedup_incremental" ->
       s"""WITH $minhashPairsCtes
          |SELECT id1, id2, jaccard FROM pairs
@@ -1738,6 +1745,17 @@ object OracleSql {
          |FROM documents d JOIN th ON d.source = th.source
          |WHERE ${h60("CAST(doc_id AS VARCHAR)")} % 10000 < th.t
          |ORDER BY d.doc_id""".stripMargin,
+
+    // Table profile (mirrors Profiling.columnProfile over orders)
+    "q_column_profile" -> {
+      val cols = Seq("o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate")
+      cols.map { c =>
+        s"""SELECT '$c' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct
+           |FROM orders""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
 
     // Threshold sweep (mirrors Profiling.thresholdSweep over char
     // length: per-threshold survivors via a bounded literal join,

@@ -181,6 +181,32 @@ object SparkEntry {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
   }
 
+  /** The streaming DEDUP lane computed THROUGH the engine: documents
+    * replayed as a file stream into [[graft.streaming.CorpusStream]]'s
+    * foreachBatch ingest (sign → probe store → append, exactly-once
+    * dynamic-partition sinks) under AvailableNow, then the flags table
+    * is checked against the BATCH MinHash-LSH pair oracle — streaming
+    * ≡ batch for the LLM-data lane, the q_stream_windows_15m
+    * assertion applied to dedup. */
+  private def qStreamDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.CorpusStream
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_dedup").toString
+    val docs = s.readStream.schema(Tables.documents(s, dir).schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val q = CorpusStream.dedupIngest(docs, "doc_id", "text",
+        s"$out/store", s"$out/flags", s"$out/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val result = s.read.parquet(s"$out/flags")
+      .select("id1", "id2", "jaccard")
+      .orderBy("id1", "id2")
+      .snapshot() // materialize, then drop the temp store+flags+ckpt
+    deleteDir(out)
+    result
+  }
+
   private def qRealtimeAnalytics(s: SparkSession, dir: String): DataFrame =
     TickAnalytics.realtimeAnalytics(Adapters.ticks(s, dir))
       .orderBy("symbol", "window_start")
@@ -936,6 +962,13 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** Schema-health profile of the orders table: per-column nulls +
+    * exact distincts in one audit pass. */
+  private def qColumnProfile(s: SparkSession, dir: String): DataFrame =
+    Profiling.columnProfile(Tables.orders(s, dir),
+      Seq("o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"))
+      .orderBy("column")
+
   /** Min-length cutoff sweep over the corpus: surviving docs + token
     * mass at each candidate threshold, one scan for all cutoffs. */
   private def qThresholdSweep(s: SparkSession, dir: String): DataFrame =
@@ -1559,7 +1592,9 @@ object SparkEntry {
     "q_kll_quantiles" -> (qKllQuantiles _),
     "q_temperature_mixture" -> (qTemperatureMixture _),
     "q_threshold_sweep" -> (qThresholdSweep _),
+    "q_column_profile" -> (qColumnProfile _),
     "q_stream_sessions" -> (qStreamSessions _),
+    "q_stream_dedup" -> (qStreamDedup _),
     "q_approx_topk" -> (qApproxTopK _),
     "q_audio_frames" -> (qAudioFrames _),
     "q_market_beta" -> (qMarketBeta _),

@@ -150,6 +150,32 @@ object Profiling {
           (lit(2.0) * col("na") * col("nb")), 6).as("drift_tvd"))
   }
 
+  /** Generic table profile: per column, row count, null count and
+    * EXACT distinct count — the schema-health pass run before trusting
+    * a new ingest (nulls where the contract says none, a key column
+    * whose distinct count ≠ row count, a category column exploding in
+    * cardinality).
+    *
+    * Scale note: exact multi-column distincts plan through Spark's
+    * Expand (input replicated ×|cols|), the documented cost of exact
+    * profiling — acceptable as an audit pass. For routine monitoring
+    * of wide tables use the mergeable sketch path
+    * ([[graft.operators.Sketches.distinctSketchByGroup]]) which trades
+    * exactness for one pass and kilobyte state. */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "columnProfile: need at least one column")
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"__nn_$c"),
+      countDistinct(col(c)).as(s"__nd_$c")))
+    val row = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    row.select(explode(array(cols.map(c => struct(
+        lit(c).as("column"),
+        col("__n").as("n_rows"),
+        (col("__n") - col(s"__nn_$c")).as("n_nulls"),
+        col(s"__nd_$c").as("n_distinct"))): _*)).as("p"))
+      .select("p.*")
+  }
+
   /** Curation threshold sweep: for each candidate cutoff, how many
     * documents and how much token mass survive `score >= threshold` —
     * the one-pass answer to "where do I set the min-length (or
