@@ -144,6 +144,29 @@ class PlanSpec extends AnyFunSpec {
       }
     }
 
+    it("temperature mixture is a narrow filter — no hash exchange anywhere") {
+      // thresholds are plan-time literals from the driver-side count
+      // collect; membership must stay a scan-local filter (the only
+      // exchange is the final presentation sort)
+      val p = plan(SparkEntry.queries("q_temperature_mixture")(spark, dir))
+      assert(!p.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$p")
+    }
+
+    it("column profile pays exactly one Expand for its exact multi-distinct") {
+      val p = plan(SparkEntry.queries("q_column_profile")(spark, dir))
+      assert("Expand".r.findAllIn(p).size == 1, s"expected 1 Expand:\n$p")
+    }
+
+    it("decile backtest windows are all partitioned (no global sort over the panel)") {
+      val df = SparkEntry.queries("q_decile_backtest")(spark, dir)
+      val windows = df.queryExecution.sparkPlan.collectWithSubqueries {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty)
+      windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"unpartitioned window over ${w.child.output.map(_.name).mkString(",")}"))
+    }
+
     it("exact percentiles combine map-side (partial_percentile buffers, not raw rows)") {
       val p = plan(SparkEntry.queries("q_quantiles")(spark, dir))
       assert(p.contains("ObjectHashAggregate") && p.contains("partial_percentile"),
