@@ -1361,6 +1361,33 @@ object OracleSql {
          |WHERE x.doc_id IS NULL
          |ORDER BY d.doc_id""".stripMargin,
 
+    // mirrors Dedup.dedupReport: the q_dedup_keep decision rolled up
+    // to provenance grain
+    "q_dedup_report" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (
+         |  SELECT id1 AS a, id2 AS b FROM pairs
+         |  UNION ALL
+         |  SELECT id2 AS a, id1 AS b FROM pairs
+         |),
+         |verts AS (SELECT DISTINCT a AS id FROM edges),
+         |cc AS (
+         |  SELECT id, id AS label FROM verts
+         |  UNION
+         |  SELECT e.b AS id, c.label FROM cc c JOIN edges e ON c.id = e.a
+         |),
+         |labels AS (SELECT id, MIN(label) AS rep_id FROM cc GROUP BY id),
+         |drops AS (SELECT id AS doc_id FROM labels WHERE id != rep_id)
+         |SELECT d.source,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(*) - COUNT(x.doc_id) AS BIGINT) AS n_kept,
+         |  CAST(COUNT(x.doc_id) AS BIGINT) AS n_dropped,
+         |  ${rd("COUNT(x.doc_id) / CAST(COUNT(*) AS DOUBLE)", 4)} AS drop_rate
+         |FROM documents d
+         |LEFT JOIN drops x ON d.doc_id = x.doc_id
+         |GROUP BY d.source
+         |ORDER BY d.source""".stripMargin,
+
     "q_dedup_ngram_jaccard" ->
       s"""WITH $shinglesSql,
          |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),

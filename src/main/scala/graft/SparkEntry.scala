@@ -740,6 +740,12 @@ object SparkEntry {
       .select("doc_id", "lang")
       .orderBy("doc_id")
 
+  /** Per-source dedup shrinkage report over the full near-dup run. */
+  private def qDedupReport(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupReport(Tables.documents(s, dir).select("doc_id", "source", "text"),
+      "doc_id", "text", "source")
+      .orderBy("source")
+
   /** Same groups, FORCED through the large-star/small-star path — the
     * hybrid default takes min-label on this corpus's shallow graphs,
     * so without this row the oracle would never exercise star
@@ -1527,6 +1533,7 @@ object SparkEntry {
     "q_dedup_groups" -> (qDedupGroups _),
     "q_dedup_groups_star" -> (qDedupGroupsStar _),
     "q_dedup_keep" -> (qDedupKeep _),
+    "q_dedup_report" -> (qDedupReport _),
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_sample_split" -> (qSampleSplit _),
     "q_decontamination" -> (qDecontamination _),

@@ -753,6 +753,27 @@ object Dedup {
     docs.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Per-source dedup report: the curation summary every corpus run
+    * publishes — how much each ingest source shrinks under near-dup
+    * removal (an outlier drop rate usually means a mirror or a
+    * scraper bug, not organic text). One [[dedupCorpus]] decision
+    * joined back to provenance, then a sources-sized aggregate. */
+  def dedupReport(docs: DataFrame, idCol: String, textCol: String,
+                  sourceCol: String, n: Int = 3, numHashes: Int = 32,
+                  bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+    val kept = dedupCorpus(docs, idCol, textCol, n, numHashes, bands, threshold)
+      .select(col(idCol), lit(1L).as("__k"))
+    docs.select(col(idCol), col(sourceCol))
+      .join(kept, Seq(idCol), "left")
+      .groupBy(sourceCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("__k"), lit(0L))).as("n_kept"))
+      .select(col(sourceCol), col("n_docs"), col("n_kept"),
+        (col("n_docs") - col("n_kept")).as("n_dropped"),
+        rd((col("n_docs") - col("n_kept")).cast("double") / col("n_docs"), 4)
+          .as("drop_rate"))
+  }
+
   /** Exact-substring dedup signal at k-gram granularity (the
     * distributed stand-in for Lee et al. 2022's suffix-array exact
     * substring dedup, "Deduplicating Training Data Makes Language
