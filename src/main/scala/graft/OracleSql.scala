@@ -2518,6 +2518,14 @@ object OracleSql {
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
 
+    // HLL sparse-mode exactness (mirrors qHllExact): distinct langs
+    // per source sits far below the sparse-to-dense threshold, where
+    // the sketch stores raw coupons and the estimate is exact
+    "q_hll_exact" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS approx_distinct
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
     // KLL under-capacity exactness (mirrors qKllQuantiles): n per
     // nation << k=200 ⇒ the sketch retains every item, and the
     // INCLUSIVE-rank quantile is the order statistic sorted[⌈p·n⌉]

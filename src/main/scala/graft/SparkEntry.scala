@@ -1193,6 +1193,18 @@ object SparkEntry {
       .orderBy("l_returnflag")
   }
 
+  /** The HLL sketch path under a FULL oracle via sparse-mode
+    * exactness (the q_kll_quantiles companion): distinct LANGUAGES
+    * per source is a handful of values — far below the lgK=12
+    * sketch's sparse-to-dense threshold, where DataSketches HLL
+    * stores raw coupons and the estimate IS the exact distinct
+    * count. DuckDB states COUNT(DISTINCT) directly; q_approx_distinct
+    * stays as the at-scale approximate demo. */
+  private def qHllExact(s: SparkSession, dir: String): DataFrame =
+    Sketches.distinctSketchByGroup(Tables.documents(s, dir), Seq("source"), "lang")
+      .select(col("source"), col("n_rows"), col("approx_distinct"))
+      .orderBy("source")
+
   /** The KLL sketch path under a FULL oracle via under-capacity
     * exactness (the q_approx_topk trick): per-nation supplier
     * balances stay far below the sketch's k=200 retention capacity,
@@ -1597,6 +1609,7 @@ object SparkEntry {
     "q_sim_pq" -> (qSimPq _),
     "q_quantile_sketch" -> (qQuantileSketch _),
     "q_kll_quantiles" -> (qKllQuantiles _),
+    "q_hll_exact" -> (qHllExact _),
     "q_temperature_mixture" -> (qTemperatureMixture _),
     "q_threshold_sweep" -> (qThresholdSweep _),
     "q_column_profile" -> (qColumnProfile _),
