@@ -74,6 +74,19 @@ class SketchesSpec extends AnyFunSpec {
           s"in-plan estimate differs from driver-side merge for '$l'")
       }
     }
+    it("CMS: cms_estimate's per-instance memoization never leaks across sketches") {
+      // one frame carrying MANY different sketches: each row's in-plan
+      // estimate must equal the driver-side read of THAT row's sketch
+      // (a stale cache would return a neighbor's count)
+      val per = Sketches.cmsByGroup(Tables.documents(spark, dir), Seq("source"), "lang")
+      val inPlan = per
+        .select($"source", call_function("cms_estimate", $"cms", lit("en")).as("e"))
+        .as[(String, Long)].collect().toMap
+      val direct = per.select($"source", $"cms").collect().map { r =>
+        r.getString(0) -> Sketches.cmsEstimate(r.getAs[Array[Byte]]("cms"), "en")
+      }.toMap
+      assert(inPlan.size >= 2 && inPlan == direct)
+    }
     it("CMS: estimates over-approximate exact counts within eps * N") {
       val docs = Tables.documents(spark, dir)
       val whole = Sketches.cmsByGroup(docs.withColumn("g", lit(1)), Seq("g"), "lang",
