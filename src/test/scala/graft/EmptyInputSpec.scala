@@ -141,6 +141,9 @@ class EmptyInputSpec extends AnyFunSpec {
       assert(DailyAnalytics.decileBacktest(emptyBars).isEmpty)
       val topk = Seq.empty[(Long, Long)].toDF("query_id", "corpus_id")
       assert(graft.operators.Similarity.recallAtK(topk, topk).isEmpty)
+      val noSrcDocs = Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text")
+      assert(Dedup.dedupReport(noSrcDocs, "doc_id", "text", "source").isEmpty)
+      assert(Sketches.distinctSketchByGroup(noSrcDocs, Seq("source"), "doc_id").isEmpty)
       assert(Sketches.quantilesFromSketch(
         Sketches.quantileSketchByGroup(emptySrc, Seq("source"), "doc_id"),
         Seq(0.5)).isEmpty)

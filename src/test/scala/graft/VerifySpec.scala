@@ -23,14 +23,20 @@ class VerifySpec extends AnyFunSpec {
     }.toSeq
 
   describe("registered query surface") {
-    it("emits only scalar (gate-sortable) output columns") {
+    it("emits only scalar (gate-sortable) output columns, and no plan goes Cartesian") {
       val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
         case (name, fn) =>
-          val bad = nestedCols(fn(spark, dir).schema)
-          if (bad.isEmpty) None else Some(s"$name: ${bad.mkString(", ")}")
+          val df = fn(spark, dir)
+          val bad = nestedCols(df.schema).map(c => s"$name: nested column $c")
+          // an unconstrained Cartesian product in any registered plan is
+          // a scale bug, full stop (broadcast one-row model attaches
+          // plan as BroadcastNestedLoopJoin, not CartesianProduct)
+          val cart = df.queryExecution.sparkPlan.collectWithSubqueries {
+            case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+          }.map(_ => s"$name: CartesianProduct in plan")
+          bad ++ cart
       }
-      assert(offenders.isEmpty,
-        s"nested output columns break the driver gate:\n${offenders.mkString("\n")}")
+      assert(offenders.isEmpty, s"gate-surface violations:\n${offenders.mkString("\n")}")
     }
 
     it("pairs every query with an oracle (rows-only sketches excepted)") {
