@@ -638,6 +638,44 @@ object OracleSql {
          |  ${rd("(CAST(sy AS DOUBLE) / n_days) / NULLIF(SQRT(CAST(CAST(n_days AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE) / (n_days * (n_days - 1))), 0) * SQRT(252.0)", 4)} AS sharpe_annual
          |FROM g ORDER BY symbol""".stripMargin,
 
+    // mirrors DailyAnalytics.sortinoRatio: downside-only squared sum
+    // in HUGEINT (Spark DECIMAL(38,0)), population semideviation /n,
+    // the SAME scalar tree as q_sharpe otherwise
+    "q_sortino" ->
+      s"""${dailyChain("returns")},
+         |g AS (SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_days,
+         |    CAST(SUM(y) AS BIGINT) AS sy,
+         |    SUM(CAST(CASE WHEN y < 0 THEN y ELSE 0 END AS HUGEINT)
+         |        * (CASE WHEN y < 0 THEN y ELSE 0 END)) AS sdd
+         |  FROM (SELECT symbol, ${sc4("daily_return_pct")} AS y
+         |        FROM returns WHERE daily_return_pct IS NOT NULL)
+         |  GROUP BY symbol HAVING COUNT(*) >= 30)
+         |SELECT symbol, n_days,
+         |  ${rd("CAST(sy AS DOUBLE) / n_days / 10000.0", 4)} AS mean_return_pct,
+         |  ${rd("(CAST(sy AS DOUBLE) / n_days) / NULLIF(SQRT(CAST(sdd AS DOUBLE) / n_days), 0) * SQRT(252.0)", 4)} AS sortino_annual
+         |FROM g ORDER BY symbol""".stripMargin,
+
+    // mirrors DailyAnalytics.factorIC at lag=21: (momentum, forward
+    // return) from one symbol window, day-grain sums in HUGEINT,
+    // textbook correlation as one scalar tree
+    "q_factor_ic" ->
+      s"""${dailyChain("returns")},
+         |b0 AS (SELECT symbol, trade_date, daily_return_pct,
+         |    ${rd("(close_price - LAG(close_price, 21) OVER w) / NULLIF(LAG(close_price, 21) OVER w, 0) * 100", 4)} AS mom,
+         |    LEAD(daily_return_pct, 1) OVER w AS fwd
+         |  FROM returns WINDOW w AS (PARTITION BY symbol ORDER BY trade_date)),
+         |f AS (SELECT trade_date, ${sc4("mom")} AS x, ${sc4("fwd")} AS y
+         |  FROM b0 WHERE mom IS NOT NULL AND fwd IS NOT NULL),
+         |g AS (SELECT trade_date, CAST(COUNT(*) AS BIGINT) AS n_symbols,
+         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         |    SUM(CAST(y AS HUGEINT) * y) AS syy
+         |  FROM f GROUP BY trade_date HAVING COUNT(*) >= 5)
+         |SELECT trade_date, n_symbols,
+         |  ${rd("CAST(CAST(n_symbols AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) / NULLIF(SQRT(CAST(CAST(n_symbols AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)) * SQRT(CAST(CAST(n_symbols AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)), 0)", 4)} AS ic
+         |FROM g ORDER BY trade_date""".stripMargin,
+
     // mirrors DailyAnalytics.obv: signed cumulative volume; NULL
     // return (first day) falls to the ELSE 0 branch on both engines
     "q_obv" ->

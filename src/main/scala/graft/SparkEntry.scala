@@ -1292,6 +1292,15 @@ object SparkEntry {
   private def qDecileBacktest(s: SparkSession, dir: String): DataFrame =
     DailyAnalytics.decileBacktest(Adapters.dailyBars(s, dir))
 
+  /** Annualized Sortino (downside semideviation) per symbol. */
+  private def qSortino(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.sortinoRatio(DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+      .orderBy("symbol")
+
+  /** Daily momentum information coefficient (signal vs forward return). */
+  private def qFactorIc(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.factorIC(Adapters.dailyBars(s, dir))
+
   /** Intraday microstructure: realized vol + tick imbalance per day. */
   private def qMicrostructure(s: SparkSession, dir: String): DataFrame =
     TickAnalytics.microstructureDaily(Adapters.ticks(s, dir))
@@ -1628,6 +1637,8 @@ object SparkEntry {
     "q_cross_sectional_z" -> (qCrossSectionalZ _),
     "q_momentum_deciles" -> (qMomentumDeciles _),
     "q_decile_backtest" -> (qDecileBacktest _),
+    "q_sortino" -> (qSortino _),
+    "q_factor_ic" -> (qFactorIc _),
     "q_wilder_rsi" -> (qWilderRsi _),
     "q_microstructure" -> (qMicrostructure _),
     "q_distribution_drift" -> (qDistributionDrift _),

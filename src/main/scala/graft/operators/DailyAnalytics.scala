@@ -512,6 +512,71 @@ object DailyAnalytics {
           .as("sharpe_annual"))
   }
 
+  /** Per-symbol annualized Sortino ratio (target 0): mean daily return
+    * over the downside semideviation √(Σ min(y,0)²/n) · √252 — the
+    * [[sharpeRatio]] companion that penalizes only downside variance
+    * (the convention: population semideviation below a zero target).
+    * Same exactness discipline as Sharpe: scale-4 longs, the squared
+    * downside sum in DECIMAL(38,0) (HUGEINT in the DuckDB mirror),
+    * and ONE fixed scalar tree over the exact integers. */
+  def sortinoRatio(returns: DataFrame, minDays: Int = 30): DataFrame = {
+    def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val dn = when(col("y") < 0, col("y")).otherwise(lit(0L))
+    returns.filter(col("daily_return_pct").isNotNull)
+      .select(col("symbol"), scaled(col("daily_return_pct"), 4).as("y"))
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("y")).as("sy"),
+        sum(d(dn) * d(dn)).as("sdd"))
+      .filter(col("n_days") >= minDays)
+      .select(col("symbol"), col("n_days"),
+        r4(col("sy").cast("double") / col("n_days") / 10000.0)
+          .as("mean_return_pct"),
+        r4((col("sy").cast("double") / col("n_days")) /
+          nullifZero(sqrt(col("sdd").cast("double") / col("n_days"))) *
+          sqrt(lit(252.0)))
+          .as("sortino_annual"))
+  }
+
+  /** Daily information coefficient: the cross-sectional Pearson
+    * correlation between today's momentum signal and the NEXT day's
+    * return — the factor-predictivity readout next to
+    * [[decileBacktest]] (IC > 0 day after day is what makes a decile
+    * spread tradable). The signal is [[momentumDeciles]]' r4'd
+    * momentum; signal and forward return enter as scale-4 longs,
+    * per-day sums follow the [[crossSectionalZ]] DECIMAL(38,0)
+    * dimension-grain discipline, and the correlation is ONE fixed
+    * scalar tree. Shape: one symbol-window pass computes (momentum,
+    * lead) over a shared exchange, then one day-grain partial-agg
+    * shuffle. */
+  def factorIC(bars: DataFrame, lagDays: Int = 21,
+               minSymbols: Int = 5): DataFrame = {
+    def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val lagC = lag(col("close_price"), lagDays).over(bySymbol)
+    val base = dailyReturns(bars)
+      .select(col("symbol"), col("trade_date"), col("close_price"),
+        col("daily_return_pct"))
+      .withColumn("mom", r4((col("close_price") - lagC) / nullifZero(lagC) * 100))
+      .withColumn("fwd", lead(col("daily_return_pct"), 1).over(bySymbol))
+      .filter(col("mom").isNotNull && col("fwd").isNotNull)
+      .select(col("trade_date"), scaled(col("mom"), 4).as("x"),
+        scaled(col("fwd"), 4).as("y"))
+    base.groupBy("trade_date")
+      .agg(count(lit(1)).as("n_symbols"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(d(col("x")) * d(col("y"))).as("sxy"),
+        sum(d(col("x")) * d(col("x"))).as("sxx"),
+        sum(d(col("y")) * d(col("y"))).as("syy"))
+      .filter(col("n_symbols") >= minSymbols)
+      .select(col("trade_date"), col("n_symbols"),
+        r4((d(col("n_symbols")) * col("sxy") - d(col("sx")) * d(col("sy"))).cast("double") /
+          nullifZero(
+            sqrt((d(col("n_symbols")) * col("sxx") - d(col("sx")) * d(col("sx"))).cast("double")) *
+            sqrt((d(col("n_symbols")) * col("syy") - d(col("sy")) * d(col("sy"))).cast("double"))))
+          .as("ic"))
+      .orderBy("trade_date")
+  }
+
   /** On-balance volume: the running sum of volume signed by the day's
     * return direction (flat / first days contribute 0) — the classic
     * volume-flow confirmation indicator. Pure long arithmetic over the
