@@ -478,4 +478,58 @@ class DailyAnalyticsSpec extends AnyFunSpec {
       assert(r.getAs[Double]("sharpe_annual") == expSharpe)
     }
   }
+
+  describe("sortinoRatio") {
+    it("matches the hand downside-only formula; all-gain series has null sortino") {
+      val rows = DailyAnalytics.sortinoRatio(
+        DailyAnalytics.dailyReturns(bars), minDays = 2).collect()
+      assert(rows.map(_.getString(0)).toSeq == Seq("A"))
+      val r = rows.head
+      val ys = Seq(100000L, 90909L, -83333L, 181818L)
+      val n = ys.size
+      val sy = ys.sum
+      val sdd = ys.map(y => math.min(y, 0L)).map(y => y * y).sum
+      val sortino = (sy.toDouble / n) / math.sqrt(sdd.toDouble / n) * math.sqrt(252.0)
+      assert(r.getAs[Double]("sortino_annual") ==
+        math.floor(sortino * 10000 + 0.5) / 10000)
+      // a series that never goes down has zero downside deviation → null
+      val up = Seq("2024-01-01" -> 10.0, "2024-01-02" -> 11.0, "2024-01-03" -> 12.0,
+        "2024-01-04" -> 13.0)
+        .toDF("ds", "close_price")
+        .withColumn("symbol", lit("U"))
+        .withColumn("trade_date", to_date($"ds")).drop("ds")
+        .withColumn("open_price", $"close_price")
+        .withColumn("high_price", $"close_price")
+        .withColumn("low_price", $"close_price")
+        .withColumn("volume", lit(1L))
+      val u = DailyAnalytics.sortinoRatio(
+        DailyAnalytics.dailyReturns(up), minDays = 2).collect().head
+      assert(u.isNullAt(u.fieldIndex("sortino_annual")))
+    }
+  }
+
+  describe("factorIC") {
+    it("scores IC = 1 when momentum ranks perfectly predict forward returns") {
+      // three symbols over 4 days: day-3 momentum (lag 2) and the
+      // day-4 forward return sit on one line (fwd = 10 + mom/4), so
+      // the cross-sectional Pearson correlation is exactly 1
+      def sym(s: String, closes: Seq[Double]) =
+        closes.zipWithIndex.map { case (c, i) => (s, s"2024-01-0${i + 1}", c) }
+      val panel = (sym("A", Seq(10.0, 10.0, 10.0, 11.0)) ++   // mom 0%,  fwd +10%
+        sym("B", Seq(10.0, 10.0, 12.0, 13.8)) ++              // mom 20%, fwd +15%
+        sym("C", Seq(10.0, 10.0, 13.0, 15.275)))              // mom 30%, fwd +17.5%
+        .toDF("symbol", "ds", "close_price")
+        .withColumn("trade_date", to_date($"ds")).drop("ds")
+        .withColumn("open_price", $"close_price")
+        .withColumn("high_price", $"close_price")
+        .withColumn("low_price", $"close_price")
+        .withColumn("volume", lit(1L))
+      val ic = DailyAnalytics.factorIC(panel, lagDays = 2, minSymbols = 3)
+        .collect()
+      // only day 3 carries both a 2-day momentum and a forward return
+      assert(ic.length == 1)
+      assert(ic.head.getAs[Long]("n_symbols") == 3L)
+      assert(ic.head.getAs[Double]("ic") == 1.0)
+    }
+  }
 }
