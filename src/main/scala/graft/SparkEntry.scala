@@ -207,6 +207,46 @@ object SparkEntry {
     result
   }
 
+  /** Stream-stream INTERVAL JOIN computed THROUGH the engine: views
+    * and clicks read as two file streams, watermarked on both sides,
+    * joined within a 6-hour tolerance ([[graft.streaming.TickStream
+    * .tickQuoteJoin]] — bounded state via both watermarks), and
+    * checked against the plain batch interval join in DuckDB. Inner
+    * stream-stream matches emit as found, so one AvailableNow pass ≡
+    * the batch join; with windows, sessions and dedup this puts every
+    * §2.8 stateful aspect under the cross-engine gate. */
+  private def qStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.TickStream
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_join").toString
+    val schema = Tables.events(s, dir).schema
+    def stream() = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val v0 = stream()
+    val views = v0.filter(col("event_type") === "view")
+      .select(col("user_id").as("symbol"),
+        Adapters.eventTime(v0).cast("timestamp").as("event_time"),
+        col("event_id").as("view_id"))
+    val c0 = stream()
+    val clicks = c0.filter(col("event_type") === "click")
+      .select(col("user_id").as("symbol"),
+        Adapters.eventTime(c0).cast("timestamp").as("quote_time"),
+        col("event_id").as("click_id"))
+    val joined = TickStream.tickQuoteJoin(views, clicks, "6 hours", "6 hours")
+      .select(col("symbol").as("user_id"), col("view_id"), col("click_id"),
+        col("event_time").cast("timestamp_ntz").as("view_time"),
+        col("quote_time").cast("timestamp_ntz").as("click_time"))
+    // append-mode parquet sink: inner join matches emit as found
+    // (only OUTER joins wait on the watermark), so one AvailableNow
+    // pass lands the complete batch-equivalent result
+    val q = TickStream.toParquet(joined, s"$out/table", s"$out/ckpt").start()
+    q.awaitTermination()
+    val result = s.read.parquet(s"$out/table")
+      .orderBy("user_id", "view_id", "click_id")
+      .snapshot() // materialize, then drop the temp snapshot+checkpoint
+    deleteDir(out)
+    result
+  }
+
   private def qRealtimeAnalytics(s: SparkSession, dir: String): DataFrame =
     TickAnalytics.realtimeAnalytics(Adapters.ticks(s, dir))
       .orderBy("symbol", "window_start")
@@ -1624,6 +1664,7 @@ object SparkEntry {
     "q_column_profile" -> (qColumnProfile _),
     "q_stream_sessions" -> (qStreamSessions _),
     "q_stream_dedup" -> (qStreamDedup _),
+    "q_stream_join" -> (qStreamJoin _),
     "q_approx_topk" -> (qApproxTopK _),
     "q_audio_frames" -> (qAudioFrames _),
     "q_market_beta" -> (qMarketBeta _),
