@@ -898,12 +898,10 @@ object OracleSql {
          |),
          |e0 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_subwords,
          |       m, toks FROM t, mg),
-         |$foldCtes,
-         |u AS (SELECT doc_id, n_subwords, toks,
-         |  unnest(range(1, len(toks) + 1)) AS j FROM e8)
+         |$foldCtes
          |SELECT doc_id, n_subwords, CAST(len(toks) AS BIGINT) AS n_bpe,
-         |  CAST(j - 1 AS INTEGER) AS idx, toks[j] AS token
-         |FROM u ORDER BY doc_id, idx""".stripMargin
+         |  md5(array_to_string(toks, ',')) AS bpe_md5
+         |FROM e8 ORDER BY doc_id""".stripMargin
     },
 
     // mirrors Similarity.quantizeInt8: identical float→double casts
@@ -1117,6 +1115,36 @@ object OracleSql {
         |      END)) AS xs
         |  FROM f)
         |SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  CAST(16 AS INTEGER) AS n_samples,
+        |  CAST(list_sum(list_transform(xs, x -> x * x)) AS BIGINT) AS energy,
+        |  CAST(list_max(list_transform(xs, x -> abs(x))) AS INTEGER) AS peak
+        |FROM sv ORDER BY media_id, frame_idx""".stripMargin,
+
+    // mirrors qAudioWav: same md5-chain PCM16 closed form as
+    // q_audio_frames, plus the container fields the WAV parse must
+    // recover — sample_rate is arithmetic in doc_id, channels is 1.
+    // The oracle matches only if encode(header)∘parse is byte-exact.
+    "q_audio_wav" ->
+      """WITH pay AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate,
+        |    md5(text) || md5(text || '1') || md5(text || '2') || md5(text || '3') ||
+        |    md5(text || '4') || md5(text || '5') || md5(text || '6') || md5(text || '7') AS hx
+        |  FROM documents),
+        |f AS (SELECT media_id, sample_rate, unnest(range(0, 4)) AS frame_idx, hx FROM pay),
+        |sv AS (
+        |  SELECT media_id, sample_rate, frame_idx,
+        |    list_transform(range(0, 16), i -> (
+        |      CASE WHEN ('0x' || substr(hx, CAST((frame_idx * 16 + i) * 4 + 1 AS INTEGER), 2))::BIGINT
+        |                 + 256 * ('0x' || substr(hx, CAST((frame_idx * 16 + i) * 4 + 3 AS INTEGER), 2))::BIGINT >= 32768
+        |           THEN ('0x' || substr(hx, CAST((frame_idx * 16 + i) * 4 + 1 AS INTEGER), 2))::BIGINT
+        |                 + 256 * ('0x' || substr(hx, CAST((frame_idx * 16 + i) * 4 + 3 AS INTEGER), 2))::BIGINT - 65536
+        |           ELSE ('0x' || substr(hx, CAST((frame_idx * 16 + i) * 4 + 1 AS INTEGER), 2))::BIGINT
+        |                 + 256 * ('0x' || substr(hx, CAST((frame_idx * 16 + i) * 4 + 3 AS INTEGER), 2))::BIGINT
+        |      END)) AS xs
+        |  FROM f)
+        |SELECT media_id, sample_rate, CAST(1 AS INTEGER) AS n_channels,
+        |  CAST(frame_idx AS INTEGER) AS frame_idx,
         |  CAST(16 AS INTEGER) AS n_samples,
         |  CAST(list_sum(list_transform(xs, x -> x * x)) AS BIGINT) AS energy,
         |  CAST(list_max(list_transform(xs, x -> abs(x))) AS INTEGER) AS peak
@@ -1741,7 +1769,8 @@ object OracleSql {
         |WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin,
 
     // Inverted index (mirrors TextAnalysis.invertedIndex: distinct
-    // (token, doc) grain, df count, rank-capped sorted posting sample)
+    // (token, doc) grain, df count, rank-capped sorted posting sample;
+    // TOKEN grain with an order-sensitive digest of the posting list)
     "q_inverted_index" ->
       """WITH ex0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
         |ex AS (SELECT DISTINCT doc_id, token FROM ex0),
@@ -1753,15 +1782,14 @@ object OracleSql {
         |    FROM ex
         |  ) WHERE rn <= 16
         |),
-        |posted AS (
-        |  SELECT token, doc_id,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY token ORDER BY doc_id) - 1
-        |      AS INTEGER) AS pos
-        |  FROM capped
+        |agg AS (
+        |  SELECT token, CAST(COUNT(*) AS INTEGER) AS n_postings,
+        |    md5(array_to_string(list(doc_id ORDER BY doc_id), ',')) AS postings_md5
+        |  FROM capped GROUP BY token
         |)
-        |SELECT d.token, d.df, p.pos, p.doc_id
-        |FROM dfreq d JOIN posted p ON d.token = p.token
-        |ORDER BY d.token, p.pos""".stripMargin,
+        |SELECT d.token, d.df, a.n_postings, a.postings_md5
+        |FROM dfreq d JOIN agg a ON d.token = a.token
+        |ORDER BY d.token""".stripMargin,
 
     // Content-defined chunking (mirrors Packing.contentDefinedChunks:
     // boundary after token i iff hash60(token) % divisor == 0; only
@@ -2579,6 +2607,15 @@ object OracleSql {
     "q_hll_exact" ->
       """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
         |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS approx_distinct
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // CMS collision-free exactness (mirrors qCmsExact): ~20 source
+    // keys over a 2000-counter-wide fixed-seed sketch row read back
+    // their exact counts, so the estimate IS grouped count(*)
+    "q_cms_exact" ->
+      """SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS cms_estimate,
+        |  CAST(COUNT(*) AS BIGINT) AS exact_count
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     // KLL under-capacity exactness (mirrors qKllQuantiles): n per

@@ -160,6 +160,133 @@ object Multimodal {
       }(enc)
   }
 
+  /** Canonical 44-byte PCM WAV header (RIFF little-endian): the
+    * container format for [[toWav]]/[[wavFrameFeatures]]. */
+  private[graft] def wavHeader(dataLen: Int, sampleRate: Int,
+                               channels: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort)  // block align
+      .putShort(16)                      // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    bb.array()
+  }
+
+  /** Parsed RIFF/WAV container: PCM16 format fields + the data chunk's
+    * position inside the payload (no copy at parse time). */
+  private[graft] final case class WavInfo(
+    channels: Int, sampleRate: Int, bitsPerSample: Int,
+    dataOffset: Int, dataLen: Int)
+
+  /** RIFF/WAV container parse, pure JDK: walks the chunk list
+    * ("fmt " → format fields, "data" → sample position), tolerating
+    * extra chunks (LIST/fact/cue) and odd-size chunk padding per the
+    * RIFF spec. Returns None for anything that is not a well-formed
+    * PCM WAV — truncated headers, non-RIFF payloads, float/ADPCM
+    * encodings — so corrupt payloads degrade instead of throwing. */
+  private[graft] def parseWav(b: Array[Byte]): Option[WavInfo] = {
+    def ascii(off: Int) = new String(b, off, 4, "US-ASCII")
+    def u32(off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+    def u16(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    if (b.length < 44 || ascii(0) != "RIFF" || ascii(8) != "WAVE") return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // audioFormat, channels, rate, bits
+    var data: Option[(Int, Int)] = None          // offset, len
+    while (off + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = ascii(off)
+      val size = u32(off + 4)
+      if (size < 0 || off + 8 + size > b.length) return None
+      val sz = size.toInt
+      if (id == "fmt " && sz >= 16)
+        fmt = Some((u16(off + 8), u16(off + 10), u32(off + 12).toInt, u16(off + 22)))
+      else if (id == "data")
+        data = Some((off + 8, sz))
+      off += 8 + sz + (sz & 1) // odd-size chunks are padded to even
+    }
+    for {
+      (audioFormat, channels, rate, bits) <- fmt
+      (dOff, dLen) <- data
+      if audioFormat == 1 && bits == 16 && channels >= 1 && rate > 0
+    } yield WavInfo(channels, rate, bits, dOff, dLen)
+  }
+
+  /** ===== REAL audio container encode =====
+    * Raw PCM16 payload → PCM WAV bytes (44-byte RIFF header + data),
+    * per-row sample rate from `rateCol`. Narrow mapPartitions; the
+    * inverse of [[wavFrameFeatures]]'s parse. */
+  def toWav(media: DataFrame, rateCol: String, channels: Int = 1): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select(col("media_id").cast("long"), col("payload"),
+        col(rateCol).cast("int"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val pcm = r.getAs[Array[Byte]](1)
+          Row(r.getLong(0), wavHeader(pcm.length, r.getInt(2), channels) ++ pcm)
+        }
+      }(enc)
+  }
+
+  /** ===== REAL audio container decode =====
+    * Parses each payload as a RIFF/WAV container ([[parseWav]]) and
+    * runs the PCM16 framing ([[pcmFrameFeatures]]'s math) over the
+    * data chunk: per frame, exact integer energy Σx², peak |x|, and
+    * sample count, plus the container's sample_rate/n_channels — the
+    * end-to-end audio ingestion lane with zero non-JDK codecs.
+    * Unparseable payloads emit ZERO frames instead of failing the
+    * stage (the poison-pill policy of [[decodeImageFeatures]]);
+    * count them via an anti-join against the input when auditing.
+    * Narrow mapPartitions, frames bounded by payload size. */
+  def wavFrameFeatures(media: DataFrame, frameSamples: Int = 256): DataFrame = {
+    require(frameSamples > 0, "wavFrameFeatures: frameSamples must be positive")
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_channels", IntegerType),
+      StructField("frame_idx", IntegerType),
+      StructField("n_samples", IntegerType),
+      StructField("energy", LongType),
+      StructField("peak", IntegerType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select(col("media_id").cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val b = r.getAs[Array[Byte]](1)
+          parseWav(b).iterator.flatMap { w =>
+            val nSamp = w.dataLen / 2
+            val nFrames = (nSamp + frameSamples - 1) / frameSamples
+            (0 until nFrames).iterator.map { f =>
+              val start = f * frameSamples
+              val end = math.min(start + frameSamples, nSamp)
+              var i = start
+              var energy = 0L
+              var peak = 0
+              while (i < end) {
+                val o = w.dataOffset + 2 * i
+                val v = ((b(o + 1): Int) << 8) | (b(o) & 0xff)
+                energy += v.toLong * v
+                val a = if (v < 0) -v else v
+                if (a > peak) peak = a
+                i += 1
+              }
+              Row(id, w.sampleRate, w.channels, f, end - start, energy, peak)
+            }
+          }
+        }
+      }(enc)
+  }
+
   /** JVM-side single-image helpers shared by the encode/decode
     * operators and their tests. 8-bit grayscale PNG is the chosen
     * wire format: lossless, JDK codec both directions, so

@@ -250,6 +250,43 @@ object TickStream {
   def enrichTicks(ticks: DataFrame, dim: DataFrame): DataFrame =
     ticks.join(org.apache.spark.sql.functions.broadcast(dim), Seq("symbol"), "left")
 
+  /** Stage a batch frame as `k` TIME-ORDERED parquet files so a file
+    * stream replays it as `k` micro-batches (with maxFilesPerTrigger=1)
+    * instead of one.
+    *
+    * Why this matters for stateful queries: the watermark only advances
+    * BETWEEN micro-batches. A single-file AvailableNow replay lands the
+    * whole input in one batch, so eviction never runs mid-query and a
+    * stream-stream join buffers BOTH full inputs in the state store —
+    * correct, but O(input) state, the exact thing the watermark exists
+    * to prevent. Replayed as k time-ascending chunks, the watermark
+    * advances after each one and state stays O(input/k + tolerance
+    * span): the shape a real cluster sees, where data arrives over
+    * time rather than all at once.
+    *
+    * Ordering guarantees: `repartitionByRange` gives k disjoint,
+    * ascending time ranges, one per part file in filename order;
+    * strictly increasing mtimes are stamped in that order because
+    * FileStreamSource processes pending files oldest-mtime-first.
+    * Since chunk i+1's earliest timestamp is ≥ chunk i's latest, no
+    * row ever arrives behind the watermark — zero late drops, so the
+    * chunked replay is row-identical to the single-batch one. */
+  def stageTimeChunks(df: DataFrame, timeCol: String, k: Int, dir: String): Unit = {
+    df.repartitionByRange(k, org.apache.spark.sql.functions.col(timeCol))
+      .write.mode("overwrite").parquet(dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    val base = files.map(_.lastModified()).max
+    files.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(base + (i + 1) * 1000L)
+    }
+    // marker AFTER the mtime stamping: callers that cache a staged dir
+    // must not reuse one whose replay order was never established
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_STAGED"), Array.empty[Byte])
+  }
+
   def tickQuoteJoin(ticks: DataFrame, quotes: DataFrame,
                     tolerance: String = "15 minutes",
                     watermark: String = "30 minutes"): DataFrame = {

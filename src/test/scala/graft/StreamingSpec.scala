@@ -262,6 +262,43 @@ class StreamingSpec extends AnyFunSpec {
       assert(spark.read.parquet(s"$dir/store").select("doc_id").distinct().count() == 2)
     }
 
+    it("chunked stream-stream join replays >1 micro-batch with state bounded below the input") {
+      // The registered q_stream_join shape: events staged as 6
+      // time-ordered files, maxFilesPerTrigger=1, so the watermark
+      // advances between micro-batches and join-state eviction runs
+      // mid-query. Without chunking, one AvailableNow batch buffers
+      // BOTH full inputs in the state store — the scale cliff this
+      // test pins shut.
+      val dir = "/root/testdata/sf0.001"
+      assume(new java.io.File(s"$dir/events.parquet").exists())
+      val (result, progress) = SparkEntry.streamJoinRun(spark, dir)
+
+      val withData = progress.filter(_.numInputRows > 0)
+      assert(withData.length > 1,
+        s"expected multiple data-bearing micro-batches, got ${withData.length}")
+      val totalInput = withData.map(_.numInputRows).sum
+      val peakState = progress.flatMap(_.stateOperators.map(_.numRowsTotal)).max
+      assert(peakState < totalInput,
+        s"state store held $peakState rows >= total input $totalInput — eviction never ran")
+
+      // row-identical to the batch interval join (the oracle's form)
+      val ev = graft.sources.Tables.events(spark, dir)
+      val t = graft.sources.Adapters.eventTime(ev)
+      val views = ev.filter($"event_type" === "view")
+        .select($"user_id", t.cast("timestamp").as("view_time"), $"event_id".as("view_id"))
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id".as("c_user"), t.cast("timestamp").as("click_time"),
+          $"event_id".as("click_id"))
+      val batch = views.join(clicks,
+          expr("""user_id = c_user AND
+                  click_time BETWEEN view_time - INTERVAL 6 hours AND view_time"""))
+        .select($"user_id", $"view_id", $"click_id",
+          $"view_time".cast("timestamp_ntz").as("view_time"),
+          $"click_time".cast("timestamp_ntz").as("click_time"))
+      assert(result.count() == batch.count())
+      assert(result.exceptAll(batch).isEmpty && batch.exceptAll(result).isEmpty)
+    }
+
     it("streaming dedup drops repeated (symbol, event_time) rows") {
       val source = MemoryStream[Tick](spark)
       val q = TickStream.dedupedTicks(source.toDF())

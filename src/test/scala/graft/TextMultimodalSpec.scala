@@ -180,6 +180,49 @@ class TextMultimodalSpec extends AnyFunSpec {
     }
   }
 
+  describe("Multimodal WAV container") {
+    // samples (LE int16): 1, -1, 256, -32768
+    val pcm = Array[Byte](1, 0, -1, -1, 0, 1, 0, -128)
+
+    it("toWav ∘ wavFrameFeatures round-trips header fields and frame math") {
+      val media = Seq((7L, pcm, 12000)).toDF("media_id", "payload", "rate")
+      val rows = Multimodal.wavFrameFeatures(
+          Multimodal.toWav(media, "rate"), frameSamples = 4)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+          r.getInt(3), r.getInt(4), r.getLong(5), r.getInt(6)))
+      assert(rows.toSeq ==
+        Seq((7L, 12000, 1, 0, 4, 1L + 1L + 65536L + 1073741824L, 32768)))
+    }
+    it("parse tolerates extra chunks before data and odd-size padding") {
+      // RIFF with a 3-byte LIST chunk (padded to 4) between fmt and data
+      val fmtAndData = Multimodal.wavHeader(pcm.length, 8000, 1)
+      val head = fmtAndData.slice(0, 36)         // RIFF..fmt chunk
+      val dataChunk = fmtAndData.slice(36, 44) ++ pcm
+      val list = "LIST".getBytes("US-ASCII") ++
+        Array[Byte](3, 0, 0, 0, 1, 2, 3, 0)      // size=3, 1 pad byte
+      val wav = head ++ list ++ dataChunk
+      val info = Multimodal.parseWav(wav)
+      assert(info.exists(w => w.sampleRate == 8000 && w.dataLen == pcm.length))
+      val media = Seq((1L, wav)).toDF("media_id", "payload")
+      assert(Multimodal.wavFrameFeatures(media, 4).count() == 1)
+    }
+    it("corrupt or non-WAV payloads emit zero frames, not a failed job") {
+      val media = Seq(
+        (1L, Array.fill[Byte](50)(42)),                       // not RIFF
+        (2L, Multimodal.wavHeader(100, 8000, 1)),             // truncated data
+        (3L, "RIFF1234WAVE".getBytes("US-ASCII")),            // header only
+        (4L, Multimodal.wavHeader(pcm.length, 8000, 1) ++ pcm) // valid
+      ).toDF("media_id", "payload")
+      val out = Multimodal.wavFrameFeatures(media, 4)
+      assert(out.select("media_id").as[Long].collect().toSeq == Seq(4L))
+    }
+    it("rejects non-PCM formats (float WAV must not frame as int16)") {
+      val h = Multimodal.wavHeader(pcm.length, 8000, 1)
+      h(20) = 3 // audioFormat = IEEE float
+      assert(Multimodal.parseWav(h ++ pcm).isEmpty)
+    }
+  }
+
   describe("Multimodal") {
     lazy val media = Multimodal.asMedia(docs, "doc_id", "text")
 
