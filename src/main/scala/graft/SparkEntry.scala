@@ -106,6 +106,25 @@ object SparkEntry {
     * assertion. (Append-mode file sink can't express the equality —
     * windows overlapping the final watermark never close — hence the
     * complete-mode snapshot; see TickStream.snapshotSink.) */
+  /** Pin `spark.sql.shuffle.partitions` — which fixes a NEW streaming
+    * query's state-store partition count — around a start→drain block,
+    * restoring the session value after. The registered streaming
+    * queries move ~35 K rows per micro-batch, but every state store
+    * pays a fixed commit cost per batch: at the session's 32
+    * partitions that is up to 128 store commits per batch (4 stores
+    * per partition for a stream-stream join) of ~nothing each — pure
+    * overhead, ~1.5 s per query at this volume. Four partitions carry
+    * the same data with 1/8th the commit fan-out. On a cluster the
+    * partition count scales with executors × per-partition volume;
+    * this pin is the harness-scale setting of the same dial, applied
+    * only to the query inside the block (checkpoints are fresh per
+    * run, so no stored partition count is ever contradicted). */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   private def qStreamWindows15m(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.TickStream
     val out = java.nio.file.Files.createTempDirectory("graft_stream_w15").toString
@@ -122,12 +141,14 @@ object SparkEntry {
       Adapters.eventTime(ev).cast("timestamp").as("event_time"),
       col("value").as("price"),
       lit(1L).as("volume"))
-    val q = TickStream.snapshotSink(
-        TickStream.windowedExact(ticks, "15 minutes", "30 minutes"),
-        s"$out/table", s"$out/ckpt")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(s, 4) {
+      val q = TickStream.snapshotSink(
+          TickStream.windowedExact(ticks, "15 minutes", "30 minutes"),
+          s"$out/table", s"$out/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     val result = s.read.parquet(s"$out/table")
       .select(col("symbol"),
         col("window_start").cast("timestamp_ntz").as("window_start"),
@@ -160,10 +181,12 @@ object SparkEntry {
         col("sw.start").cast("timestamp_ntz").as("session_start"),
         col("sw.end").cast("timestamp_ntz").as("session_end"),
         col("n_events"), col("value_sum"))
-    val q = TickStream.snapshotSink(sessions, s"$out/table", s"$out/ckpt")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(s, 4) {
+      val q = TickStream.snapshotSink(sessions, s"$out/table", s"$out/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     val result = s.read.parquet(s"$out/table")
       .orderBy("user_id", "session_start")
       .snapshot() // materialize, then drop the temp snapshot+checkpoint
@@ -194,11 +217,13 @@ object SparkEntry {
     val docs = s.readStream.schema(Tables.documents(s, dir).schema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
-    val q = CorpusStream.dedupIngest(docs, "doc_id", "text",
-        s"$out/store", s"$out/flags", s"$out/ckpt")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(s, 4) {
+      val q = CorpusStream.dedupIngest(docs, "doc_id", "text",
+          s"$out/store", s"$out/flags", s"$out/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     val result = s.read.parquet(s"$out/flags")
       .select("id1", "id2", "jaccard")
       .orderBy("id1", "id2")
@@ -277,14 +302,11 @@ object SparkEntry {
     // append-mode parquet sink: inner join matches emit as found
     // (only OUTER joins wait on the watermark), so the AvailableNow
     // replay lands the complete batch-equivalent result
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    val progress =
-      try {
-        val q = TickStream.toParquet(joined, s"$out/table", s"$out/ckpt").start()
-        q.awaitTermination()
-        q.recentProgress
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val progress = withStatePartitions(s, 4) {
+      val q = TickStream.toParquet(joined, s"$out/table", s"$out/ckpt").start()
+      q.awaitTermination()
+      q.recentProgress
+    }
     val result = s.read.parquet(s"$out/table")
       .orderBy("user_id", "view_id", "click_id")
       .snapshot() // materialize, then drop the temp snapshot+checkpoint
