@@ -43,12 +43,13 @@ object Bench {
     }
     val results = selected.map { case (name, fn) =>
       val best3 = (1 to 3).map(_ => timed(fn)).min
-      // Heavy tail gets two extra trials: queries over ~1.5 s are the
+      // Heavy tail gets four extra trials: queries over ~1.5 s are the
       // ones whose min-of-3 still swings with GC/JIT/hypervisor noise
       // (q_pagerank moved 1.9→3.6 s across rounds with zero code
-      // change), and two more samples tighten run-to-run totals to
-      // within ~15% where the 2x-vs-baseline gate actually binds.
-      val best = if (best3 > 1.5) math.min(best3, (1 to 2).map(_ => timed(fn)).min)
+      // change), and more samples tighten run-to-run totals to within
+      // ~15% where the 2x-vs-baseline gate actually binds. The extra
+      // wall cost is bounded: ~10 queries clear the threshold.
+      val best = if (best3 > 1.5) math.min(best3, (1 to 4).map(_ => timed(fn)).min)
                  else best3
       name -> best
     }

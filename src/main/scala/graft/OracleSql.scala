@@ -1150,6 +1150,47 @@ object OracleSql {
         |  CAST(list_max(list_transform(xs, x -> abs(x))) AS INTEGER) AS peak
         |FROM sv ORDER BY media_id, frame_idx""".stripMargin,
 
+    // mirrors qAudioVad: same frame-energy closed form, then islands
+    // (frame_idx − row_number within voiced frames) grouped to
+    // segments — silence-trim semantics stated relationally
+    "q_audio_vad" ->
+      """WITH pay AS (
+        |  SELECT doc_id AS media_id,
+        |    md5(text) || md5(text || '1') || md5(text || '2') || md5(text || '3') ||
+        |    md5(text || '4') || md5(text || '5') || md5(text || '6') || md5(text || '7') AS hx
+        |  FROM documents),
+        |f AS (SELECT media_id, unnest(range(0, 4)) AS frame_idx, hx FROM pay),
+        |sv AS (
+        |  SELECT media_id, frame_idx,
+        |    list_transform(range(0, 16), i -> (
+        |      CASE WHEN ('0x' || substr(hx, CAST((frame_idx * 16 + i) * 4 + 1 AS INTEGER), 2))::BIGINT
+        |                 + 256 * ('0x' || substr(hx, CAST((frame_idx * 16 + i) * 4 + 3 AS INTEGER), 2))::BIGINT >= 32768
+        |           THEN ('0x' || substr(hx, CAST((frame_idx * 16 + i) * 4 + 1 AS INTEGER), 2))::BIGINT
+        |                 + 256 * ('0x' || substr(hx, CAST((frame_idx * 16 + i) * 4 + 3 AS INTEGER), 2))::BIGINT - 65536
+        |           ELSE ('0x' || substr(hx, CAST((frame_idx * 16 + i) * 4 + 1 AS INTEGER), 2))::BIGINT
+        |                 + 256 * ('0x' || substr(hx, CAST((frame_idx * 16 + i) * 4 + 3 AS INTEGER), 2))::BIGINT
+        |      END)) AS xs
+        |  FROM f),
+        |fr AS (
+        |  SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |    16 AS ns,
+        |    CAST(list_sum(list_transform(xs, x -> x * x)) AS BIGINT) AS energy,
+        |    CAST(list_max(list_transform(xs, x -> abs(x))) AS INTEGER) AS peak
+        |  FROM sv),
+        |v AS (
+        |  SELECT *, frame_idx - ROW_NUMBER() OVER (PARTITION BY media_id ORDER BY frame_idx) AS run
+        |  FROM fr WHERE energy >= 5700000000)
+        |SELECT media_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY media_id ORDER BY MIN(frame_idx)) - 1 AS INTEGER) AS seg_idx,
+        |  MIN(frame_idx) AS start_frame,
+        |  MAX(frame_idx) AS end_frame,
+        |  CAST(COUNT(*) AS INTEGER) AS n_frames,
+        |  CAST(SUM(ns) AS BIGINT) AS n_samples,
+        |  CAST(SUM(energy) AS BIGINT) AS energy,
+        |  MAX(peak) AS peak
+        |FROM v GROUP BY media_id, run
+        |ORDER BY media_id, seg_idx""".stripMargin,
+
     // Streaming-computed twin of q_session_windows: SAME oracle —
     // session-state merging through the streaming engine must equal
     // the batch sessionization row for row.

@@ -1584,7 +1584,7 @@ object SparkEntry {
     * states the closed form (frame energies from the md5-chain hex +
     * the arithmetic sample rate), which only matches if the container
     * round-trip is byte-exact. */
-  private def qAudioWav(s: SparkSession, dir: String): DataFrame = {
+  private def audioWavFrames(s: SparkSession, dir: String): DataFrame = {
     val parts = s.sessionState.conf.numShufflePartitions
     val hexCols = (0 until 8).map(i =>
       if (i == 0) md5(col("text")) else md5(concat(col("text"), lit(i.toString))))
@@ -1594,8 +1594,24 @@ object SparkEntry {
         (lit(8000) + (col("doc_id") % 3) * 4000).cast("int").as("sample_rate"))
       .repartition(parts, col("media_id")) // CPU-bound parse stage
     Multimodal.wavFrameFeatures(Multimodal.toWav(pcm, "sample_rate"), frameSamples = 16)
-      .orderBy("media_id", "frame_idx")
   }
+
+  private def qAudioWav(s: SparkSession, dir: String): DataFrame =
+    audioWavFrames(s, dir).orderBy("media_id", "frame_idx")
+
+  /** Silence-trim / voice-activity segmentation composed on the WAV
+    * lane: container parse → frame energies → contiguous
+    * above-threshold runs as segments (relational islands — two
+    * windows + one grouped agg, no state). The 5.7e9 threshold is the
+    * expected 16-sample frame energy of ~uniform int16 content, so
+    * the deterministic payloads split into a nontrivial voiced/
+    * silent mix and segment boundaries actually exercise the run
+    * grouping. */
+  private def qAudioVad(s: SparkSession, dir: String): DataFrame =
+    Multimodal.energySegments(
+        audioWavFrames(s, dir).drop("sample_rate", "n_channels"),
+        minFrameEnergy = 5700000000L)
+      .orderBy("media_id", "seg_idx")
 
   /** Local triangle counts over the part co-purchase graph (parts
     * linked when they ship together in >= 2 orders — the standard
@@ -1799,6 +1815,7 @@ object SparkEntry {
     "q_approx_topk" -> (qApproxTopK _),
     "q_audio_frames" -> (qAudioFrames _),
     "q_audio_wav" -> (qAudioWav _),
+    "q_audio_vad" -> (qAudioVad _),
     "q_market_beta" -> (qMarketBeta _),
     "q_max_drawdown" -> (qMaxDrawdown _),
     "q_resample_weekly" -> (qResampleWeekly _),

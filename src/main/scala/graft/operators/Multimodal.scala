@@ -287,6 +287,42 @@ object Multimodal {
       }(enc)
   }
 
+  /** ===== Energy-based VAD / silence segmentation =====
+    * Groups contiguous frames whose energy clears `minFrameEnergy`
+    * into voiced segments — the standard curation stage after frame
+    * energies (silence trimming, voice-activity spans, clip
+    * extraction for ASR corpora). Input is any frame-feature frame
+    * with (media_id, frame_idx, n_samples, energy) — i.e.
+    * [[pcmFrameFeatures]] or [[wavFrameFeatures]] output — so the
+    * container lane composes straight into it.
+    *
+    * Pure relational islands: voiced frames get
+    * `frame_idx − row_number()` as a run key (constant within a
+    * contiguous run), then one grouped agg per (media, run). Two
+    * window passes + one partial-aggregable shuffle, all on the
+    * bounded per-media frame dimension — no UDFs, no state, mirrors
+    * 1:1 in SQL. */
+  def energySegments(frames: DataFrame, minFrameEnergy: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame_idx")
+    frames
+      .filter(col("energy") >= minFrameEnergy)
+      .withColumn("run", col("frame_idx") - row_number().over(w))
+      .groupBy(col("media_id"), col("run"))
+      .agg(
+        min(col("frame_idx")).as("start_frame"),
+        max(col("frame_idx")).as("end_frame"),
+        count(lit(1)).cast("int").as("n_frames"),
+        sum(col("n_samples")).cast("long").as("n_samples"),
+        sum(col("energy")).as("energy"),
+        max(col("peak")).as("peak"))
+      .withColumn("seg_idx",
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("media_id").orderBy("start_frame")) - 1).cast("int"))
+      .select("media_id", "seg_idx", "start_frame", "end_frame",
+        "n_frames", "n_samples", "energy", "peak")
+  }
+
   /** JVM-side single-image helpers shared by the encode/decode
     * operators and their tests. 8-bit grayscale PNG is the chosen
     * wire format: lossless, JDK codec both directions, so

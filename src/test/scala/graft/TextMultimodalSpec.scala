@@ -221,6 +221,20 @@ class TextMultimodalSpec extends AnyFunSpec {
       h(20) = 3 // audioFormat = IEEE float
       assert(Multimodal.parseWav(h ++ pcm).isEmpty)
     }
+    it("energySegments groups contiguous voiced frames into islands") {
+      val frames = Seq(
+        (1L, 0, 4, 10L, 3), (1L, 1, 4, 2L, 1), (1L, 2, 4, 5L, 2),
+        (1L, 3, 4, 9L, 3), (1L, 4, 2, 8L, 2),
+        (2L, 0, 4, 1L, 1)) // media 2: all silent
+        .toDF("media_id", "frame_idx", "n_samples", "energy", "peak")
+      val segs = Multimodal.energySegments(frames, minFrameEnergy = 5L)
+        .orderBy("media_id", "seg_idx")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+          r.getInt(3), r.getInt(4), r.getLong(5), r.getLong(6), r.getInt(7)))
+      assert(segs.toSeq == Seq(
+        (1L, 0, 0, 0, 1, 4L, 10L, 3),   // lone voiced frame
+        (1L, 1, 2, 4, 3, 10L, 22L, 3))) // contiguous run 2..4
+    }
   }
 
   describe("Multimodal") {
