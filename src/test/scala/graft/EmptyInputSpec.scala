@@ -148,5 +148,14 @@ class EmptyInputSpec extends AnyFunSpec {
         Sketches.quantileSketchByGroup(emptySrc, Seq("source"), "doc_id"),
         Seq(0.5)).isEmpty)
     }
+    it("round-10 operators degrade to empty output on empty input") {
+      val emptyMedia = Seq.empty[(Long, Array[Byte], Int)]
+        .toDF("media_id", "payload", "rate")
+      assert(Multimodal.toWav(emptyMedia, "rate").isEmpty)
+      assert(Multimodal.wavFrameFeatures(emptyMedia).isEmpty)
+      val emptyFrames = Seq.empty[(Long, Int, Int, Long, Int)]
+        .toDF("media_id", "frame_idx", "n_samples", "energy", "peak")
+      assert(Multimodal.energySegments(emptyFrames, 1L).isEmpty)
+    }
   }
 }
