@@ -262,6 +262,27 @@ class StreamingSpec extends AnyFunSpec {
       assert(spark.read.parquet(s"$dir/store").select("doc_id").distinct().count() == 2)
     }
 
+    it("stageTimeChunks writes disjoint ascending time ranges with matching mtime order") {
+      val dir = java.nio.file.Files.createTempDirectory("graft_chunks").toString
+      val rows = (1 to 1000).map(i => ((i * 7919) % 1000L, s"r$i")) // shuffled times
+      TickStream.stageTimeChunks(rows.toDF("t", "v"), "t", 4, dir)
+      val files = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+      assert(files.length == 4)
+      // mtimes strictly increase in filename (= range) order
+      assert(files.sliding(2).forall { case Array(a, b) => a.lastModified < b.lastModified })
+      // ranges are disjoint and ascending: each file's max < next file's min
+      val ranges = files.map { f =>
+        val d = spark.read.parquet(f.getAbsolutePath)
+        (d.agg(min($"t")).head.getLong(0), d.agg(max($"t")).head.getLong(0))
+      }
+      assert(ranges.sliding(2).forall { case Array((_, hi), (lo, _)) => hi <= lo })
+      // nothing lost in the re-land
+      assert(spark.read.parquet(dir).count() == 1000)
+      assert(new java.io.File(dir, "_STAGED").exists)
+    }
+
     it("chunked stream-stream join replays >1 micro-batch with state bounded below the input") {
       // The registered q_stream_join shape: events staged as 6
       // time-ordered files, maxFilesPerTrigger=1, so the watermark

@@ -221,6 +221,17 @@ class TextMultimodalSpec extends AnyFunSpec {
       h(20) = 3 // audioFormat = IEEE float
       assert(Multimodal.parseWav(h ++ pcm).isEmpty)
     }
+    it("stereo WAV parses with n_channels=2 and frames the interleaved sample stream") {
+      val wav = Multimodal.wavHeader(pcm.length, 44100, 2) ++ pcm
+      val info = Multimodal.parseWav(wav)
+      assert(info.exists(w => w.channels == 2 && w.sampleRate == 44100))
+      val media = Seq((1L, wav)).toDF("media_id", "payload")
+      val r = Multimodal.wavFrameFeatures(media, 4).collect()
+      // framing is over the flat interleaved stream (documented):
+      // 4 samples -> 1 frame, same energy as the mono case
+      assert(r.length == 1 && r(0).getInt(2) == 2 &&
+        r(0).getLong(5) == 1L + 1L + 65536L + 1073741824L)
+    }
     it("energySegments groups contiguous voiced frames into islands") {
       val frames = Seq(
         (1L, 0, 4, 10L, 3), (1L, 1, 4, 2L, 1), (1L, 2, 4, 5L, 2),
