@@ -296,18 +296,33 @@ object Multimodal {
     * [[pcmFrameFeatures]] or [[wavFrameFeatures]] output — so the
     * container lane composes straight into it.
     *
-    * Pure relational islands: voiced frames get
-    * `frame_idx − row_number()` as a run key (constant within a
-    * contiguous run), then one grouped agg per (media, run). Two
-    * window passes + one partial-aggregable shuffle, all on the
-    * bounded per-media frame dimension — no UDFs, no state, mirrors
-    * 1:1 in SQL. */
-  def energySegments(frames: DataFrame, minFrameEnergy: Long): DataFrame = {
+    * Pure relational islands: voiced frames get a run key that is
+    * constant within a contiguous (gap-tolerant) run, then one
+    * grouped agg per (media, run). Two window passes + one
+    * partial-aggregable shuffle, all on the bounded per-media frame
+    * dimension — no UDFs, no state, mirrors 1:1 in SQL.
+    *
+    * `mergeGap` is the VAD "hangover": voiced runs separated by at
+    * most that many silent frames fuse into one segment (real VAD
+    * smooths over sub-perceptual dropouts instead of splitting an
+    * utterance at every quiet frame). The gap frames themselves are
+    * NOT part of the segment's n_frames/energy — only their span is
+    * bridged. 0 (default) = strict contiguity, the closed form the
+    * q_audio_vad oracle states. */
+  def energySegments(frames: DataFrame, minFrameEnergy: Long,
+                     mergeGap: Int = 0): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("media_id").orderBy("frame_idx")
+    val runKey =
+      if (mergeGap == 0) col("frame_idx") - row_number().over(w)
+      else
+        // cumulative count of gap-exceeding breaks = run id
+        sum(when(col("frame_idx") - lag(col("frame_idx"), 1, -1000000).over(w)
+              > mergeGap + 1, 1).otherwise(0))
+          .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
     frames
       .filter(col("energy") >= minFrameEnergy)
-      .withColumn("run", col("frame_idx") - row_number().over(w))
+      .withColumn("run", runKey)
       .groupBy(col("media_id"), col("run"))
       .agg(
         min(col("frame_idx")).as("start_frame"),

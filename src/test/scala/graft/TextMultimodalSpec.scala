@@ -246,6 +246,17 @@ class TextMultimodalSpec extends AnyFunSpec {
         (1L, 0, 0, 0, 1, 4L, 10L, 3),   // lone voiced frame
         (1L, 1, 2, 4, 3, 10L, 22L, 3))) // contiguous run 2..4
     }
+    it("energySegments mergeGap fuses runs split by short silences (VAD hangover)") {
+      val frames = Seq(
+        (1L, 0, 4, 10L, 3), (1L, 1, 4, 2L, 1), (1L, 2, 4, 5L, 2),
+        (1L, 3, 4, 9L, 3), (1L, 4, 2, 8L, 2))
+        .toDF("media_id", "frame_idx", "n_samples", "energy", "peak")
+      val segs = Multimodal.energySegments(frames, minFrameEnergy = 5L, mergeGap = 1)
+        .collect().map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getLong(6)))
+      // the single silent frame 1 is bridged: one segment spanning 0..4,
+      // but its stats cover only the 4 voiced frames
+      assert(segs.toSeq == Seq((0, 0, 4, 4, 32L)))
+    }
   }
 
   describe("Multimodal") {
