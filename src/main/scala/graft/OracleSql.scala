@@ -90,6 +90,38 @@ object OracleSql {
       case "perf"    => Seq(Adapters.barsSql, returnsSql, rollingSql, perfSql).mkString(",\n")
     })
 
+  // ── audio lane CTE chain ──────────────────────────────────────────
+
+  /** Shared closed form of the audio lane's deterministic payload: the
+    * md5-chain hex re-read as per-frame signed-LE-int16 sample lists —
+    * `WITH pay, f, sv(media_id[, sample_rate], frame_idx, xs)`; sample
+    * i = signed LE int16 at hex chars 4i+1(lo)/4i+3(hi), frames of 16.
+    * `withRate` adds q_audio_wav's arithmetic sample_rate column.
+    * Shared by q_audio_frames / q_audio_wav / q_audio_vad. */
+  private def audioSvCte(withRate: Boolean): String = {
+    val rateDef =
+      if (withRate) "\n    CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate,"
+      else ""
+    val rateCol = if (withRate) ", sample_rate" else ""
+    s"""WITH pay AS (
+       |  SELECT doc_id AS media_id,$rateDef
+       |    md5(text) || md5(text || '1') || md5(text || '2') || md5(text || '3') ||
+       |    md5(text || '4') || md5(text || '5') || md5(text || '6') || md5(text || '7') AS hx
+       |  FROM documents),
+       |f AS (SELECT media_id$rateCol, unnest(range(0, 4)) AS frame_idx, hx FROM pay),
+       |sv AS (
+       |  SELECT media_id$rateCol, frame_idx,
+       |    list_transform(range(0, 16), i -> (
+       |      CASE WHEN ('0x' || substr(hx, CAST((frame_idx * 16 + i) * 4 + 1 AS INTEGER), 2))::BIGINT
+       |                 + 256 * ('0x' || substr(hx, CAST((frame_idx * 16 + i) * 4 + 3 AS INTEGER), 2))::BIGINT >= 32768
+       |           THEN ('0x' || substr(hx, CAST((frame_idx * 16 + i) * 4 + 1 AS INTEGER), 2))::BIGINT
+       |                 + 256 * ('0x' || substr(hx, CAST((frame_idx * 16 + i) * 4 + 3 AS INTEGER), 2))::BIGINT - 65536
+       |           ELSE ('0x' || substr(hx, CAST((frame_idx * 16 + i) * 4 + 1 AS INTEGER), 2))::BIGINT
+       |                 + 256 * ('0x' || substr(hx, CAST((frame_idx * 16 + i) * 4 + 3 AS INTEGER), 2))::BIGINT
+       |      END)) AS xs
+       |  FROM f)""".stripMargin
+  }
+
   // ── tick lane CTE chain ───────────────────────────────────────────
 
   /** mirrors TickAnalytics.windowAggregatesExact at priceScale=2. */
@@ -1094,55 +1126,20 @@ object OracleSql {
          |ORDER BY trade_date""".stripMargin,
 
     // mirrors qAudioFrames: the payload is unhex(md5 chain), so DuckDB
-    // parses samples straight out of the same hex string — sample i =
-    // signed LE int16 at hex chars 4i+1(lo)/4i+3(hi); frames of 16
+    // parses samples straight out of the same hex string (audioSvCte)
     "q_audio_frames" ->
-      """WITH pay AS (
-        |  SELECT doc_id AS media_id,
-        |    md5(text) || md5(text || '1') || md5(text || '2') || md5(text || '3') ||
-        |    md5(text || '4') || md5(text || '5') || md5(text || '6') || md5(text || '7') AS hx
-        |  FROM documents),
-        |f AS (SELECT media_id, unnest(range(0, 4)) AS frame_idx, hx FROM pay),
-        |sv AS (
-        |  SELECT media_id, frame_idx,
-        |    list_transform(range(0, 16), i -> (
-        |      CASE WHEN ('0x' || substr(hx, CAST((frame_idx * 16 + i) * 4 + 1 AS INTEGER), 2))::BIGINT
-        |                 + 256 * ('0x' || substr(hx, CAST((frame_idx * 16 + i) * 4 + 3 AS INTEGER), 2))::BIGINT >= 32768
-        |           THEN ('0x' || substr(hx, CAST((frame_idx * 16 + i) * 4 + 1 AS INTEGER), 2))::BIGINT
-        |                 + 256 * ('0x' || substr(hx, CAST((frame_idx * 16 + i) * 4 + 3 AS INTEGER), 2))::BIGINT - 65536
-        |           ELSE ('0x' || substr(hx, CAST((frame_idx * 16 + i) * 4 + 1 AS INTEGER), 2))::BIGINT
-        |                 + 256 * ('0x' || substr(hx, CAST((frame_idx * 16 + i) * 4 + 3 AS INTEGER), 2))::BIGINT
-        |      END)) AS xs
-        |  FROM f)
+      s"""${audioSvCte(withRate = false)}
         |SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
         |  CAST(16 AS INTEGER) AS n_samples,
         |  CAST(list_sum(list_transform(xs, x -> x * x)) AS BIGINT) AS energy,
         |  CAST(list_max(list_transform(xs, x -> abs(x))) AS INTEGER) AS peak
         |FROM sv ORDER BY media_id, frame_idx""".stripMargin,
 
-    // mirrors qAudioWav: same md5-chain PCM16 closed form as
-    // q_audio_frames, plus the container fields the WAV parse must
-    // recover — sample_rate is arithmetic in doc_id, channels is 1.
-    // The oracle matches only if encode(header)∘parse is byte-exact.
+    // mirrors qAudioWav: same closed form plus the container fields the
+    // WAV parse must recover — sample_rate is arithmetic in doc_id,
+    // channels is 1. Matches only if encode(header)∘parse is byte-exact.
     "q_audio_wav" ->
-      """WITH pay AS (
-        |  SELECT doc_id AS media_id,
-        |    CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate,
-        |    md5(text) || md5(text || '1') || md5(text || '2') || md5(text || '3') ||
-        |    md5(text || '4') || md5(text || '5') || md5(text || '6') || md5(text || '7') AS hx
-        |  FROM documents),
-        |f AS (SELECT media_id, sample_rate, unnest(range(0, 4)) AS frame_idx, hx FROM pay),
-        |sv AS (
-        |  SELECT media_id, sample_rate, frame_idx,
-        |    list_transform(range(0, 16), i -> (
-        |      CASE WHEN ('0x' || substr(hx, CAST((frame_idx * 16 + i) * 4 + 1 AS INTEGER), 2))::BIGINT
-        |                 + 256 * ('0x' || substr(hx, CAST((frame_idx * 16 + i) * 4 + 3 AS INTEGER), 2))::BIGINT >= 32768
-        |           THEN ('0x' || substr(hx, CAST((frame_idx * 16 + i) * 4 + 1 AS INTEGER), 2))::BIGINT
-        |                 + 256 * ('0x' || substr(hx, CAST((frame_idx * 16 + i) * 4 + 3 AS INTEGER), 2))::BIGINT - 65536
-        |           ELSE ('0x' || substr(hx, CAST((frame_idx * 16 + i) * 4 + 1 AS INTEGER), 2))::BIGINT
-        |                 + 256 * ('0x' || substr(hx, CAST((frame_idx * 16 + i) * 4 + 3 AS INTEGER), 2))::BIGINT
-        |      END)) AS xs
-        |  FROM f)
+      s"""${audioSvCte(withRate = true)}
         |SELECT media_id, sample_rate, CAST(1 AS INTEGER) AS n_channels,
         |  CAST(frame_idx AS INTEGER) AS frame_idx,
         |  CAST(16 AS INTEGER) AS n_samples,
@@ -1154,23 +1151,7 @@ object OracleSql {
     // (frame_idx − row_number within voiced frames) grouped to
     // segments — silence-trim semantics stated relationally
     "q_audio_vad" ->
-      """WITH pay AS (
-        |  SELECT doc_id AS media_id,
-        |    md5(text) || md5(text || '1') || md5(text || '2') || md5(text || '3') ||
-        |    md5(text || '4') || md5(text || '5') || md5(text || '6') || md5(text || '7') AS hx
-        |  FROM documents),
-        |f AS (SELECT media_id, unnest(range(0, 4)) AS frame_idx, hx FROM pay),
-        |sv AS (
-        |  SELECT media_id, frame_idx,
-        |    list_transform(range(0, 16), i -> (
-        |      CASE WHEN ('0x' || substr(hx, CAST((frame_idx * 16 + i) * 4 + 1 AS INTEGER), 2))::BIGINT
-        |                 + 256 * ('0x' || substr(hx, CAST((frame_idx * 16 + i) * 4 + 3 AS INTEGER), 2))::BIGINT >= 32768
-        |           THEN ('0x' || substr(hx, CAST((frame_idx * 16 + i) * 4 + 1 AS INTEGER), 2))::BIGINT
-        |                 + 256 * ('0x' || substr(hx, CAST((frame_idx * 16 + i) * 4 + 3 AS INTEGER), 2))::BIGINT - 65536
-        |           ELSE ('0x' || substr(hx, CAST((frame_idx * 16 + i) * 4 + 1 AS INTEGER), 2))::BIGINT
-        |                 + 256 * ('0x' || substr(hx, CAST((frame_idx * 16 + i) * 4 + 3 AS INTEGER), 2))::BIGINT
-        |      END)) AS xs
-        |  FROM f),
+      s"""${audioSvCte(withRate = false)},
         |fr AS (
         |  SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
         |    16 AS ns,

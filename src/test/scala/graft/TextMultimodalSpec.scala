@@ -65,6 +65,24 @@ class TextMultimodalSpec extends AnyFunSpec {
     }
   }
 
+  describe("digest gate forms") {
+    it("postings digest = md5 of the comma-joined sorted doc ids (format pinned vs MessageDigest)") {
+      // q_inverted_index/q_bpe_encode register md5-of-joined-list
+      // digests; this pins the exact serialization (comma join, plain
+      // Long.toString) against an independent JDK hash, so a quiet
+      // format change can't silently keep hash-matching a same-format
+      // oracle while meaning something else.
+      val docs = Seq((2L, "x y"), (5L, "x")).toDF("doc_id", "text")
+      val got = TextAnalysis.invertedIndex(docs, "doc_id", "text", sampleK = 16)
+        .select($"token",
+          md5(concat_ws(",", transform($"postings", _.cast("string")))).as("d"))
+        .filter($"token" === "x").head().getString(1)
+      val exp = java.security.MessageDigest.getInstance("MD5")
+        .digest("2,5".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(got == exp)
+    }
+  }
+
   describe("corpusFilter") {
     it("names the FIRST failing gate: too_short beats lang_mismatch beats low_quality") {
       val d = Seq(
