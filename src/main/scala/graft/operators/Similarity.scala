@@ -55,6 +55,13 @@ object Similarity {
   private def normSqN(v: Column): Column =
     if (natFn("dot_q")) call_function("dot_q", v, v) else normSq(v)
 
+  /** ADC lookup-sum, built-in fold form — the value-identical
+    * fallback of the native `adc_dist` ([[graft.plans.AdcDist]]). */
+  private[graft] def adcBuiltin(qtab: Column, codes: Column, m: Int): Column =
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (acc, s) =>
+      acc + element_at(element_at(qtab, (s + 1).cast("int")),
+        (element_at(codes, (s + 1).cast("int")) + 1).cast("int")))
+
   /** Cosine from exact integer dot/norms (rounded to 6 dp). */
   def cosineQ(dot: Column, na: Column, nb: Column): Column =
     rd(dot / nullifZero(sqrt(na) * sqrt(nb)), 6)
@@ -391,10 +398,16 @@ object Similarity {
     def centroid(s: Column, j: Column): Column =
       element_at(element_at(cbLit, (s + 1).cast("int")), (j + 1).cast("int"))
 
-    val codes = transform(sequence(lit(0), lit(m - 1)), s =>
-      array_min(transform(sequence(lit(0), lit(ksub - 1)), j =>
-        struct(l2(subVec(col("cq"), s), centroid(s, j)).as("d"),
-          j.cast("long").as("j")))).getField("j"))
+    // corpus encode: m·ksub interpreted L2s per vector as a fold, or
+    // one compiled pass via native `pq_encode` (flat codebook literal;
+    // value-identical including the ties-to-lowest-index rule, tested)
+    val codes =
+      if (natFn("pq_encode"))
+        call_function("pq_encode", col("cq"), typedLit(codebook.flatten), lit(m))
+      else transform(sequence(lit(0), lit(m - 1)), s =>
+        array_min(transform(sequence(lit(0), lit(ksub - 1)), j =>
+          struct(l2(subVec(col("cq"), s), centroid(s, j)).as("d"),
+            j.cast("long").as("j")))).getField("j"))
     val qtab = transform(sequence(lit(0), lit(m - 1)), s =>
       transform(sequence(lit(0), lit(ksub - 1)), j =>
         l2(subVec(col("qq"), s), centroid(s, j))))
@@ -406,9 +419,12 @@ object Similarity {
       .select(col("corpus_id"), codes.as("codes"))
     val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qq"))
       .select(col("query_id"), qtab.as("qtab"))
-    val adc = aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (acc, s) =>
-      acc + element_at(element_at(col("qtab"), (s + 1).cast("int")),
-        (element_at(col("codes"), (s + 1).cast("int")) + 1).cast("int")))
+    // the hottest loop of PQ search: |Q|·|C| pairs × m table lookups.
+    // Native `adc_dist` runs it as a compiled flat walk; the fold
+    // fallback is value-identical for in-range codes (tested).
+    val adc =
+      if (natFn("adc_dist")) call_function("adc_dist", col("qtab"), col("codes"))
+      else adcBuiltin(col("qtab"), col("codes"), m)
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc_dist").asc, col("corpus_id").asc)
     c.crossJoin(broadcast(q))
@@ -428,14 +444,23 @@ object Similarity {
     val cbLit = typedLit(cb)
     def l2(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
-    val entry = explode(transform(sequence(lit(0), lit(m - 1)), s => {
-      val sub = slice(col("vq"), s * subDim + 1, lit(subDim))
-      val code = array_min(transform(sequence(lit(0), lit(ksub - 1)), j =>
-        struct(l2(sub, element_at(element_at(cbLit, (s + 1).cast("int")), (j + 1).cast("int"))).as("d"),
-          j.cast("long").as("j")))).getField("j")
-      struct(s.cast("long").as("s"), code.as("code"), sub.as("sub"))
-    }))
-    val sums = vq.select(entry.as("e"))
+    // per-subspace assignment: native pq_encode computes all m codes
+    // in one compiled pass (same ties-to-lowest-index contract); the
+    // fold fallback recomputes the argmin per exploded subspace
+    val codesCol =
+      if (natFn("pq_encode"))
+        call_function("pq_encode", col("vq"), typedLit(cb.flatten), lit(m))
+      else transform(sequence(lit(0), lit(m - 1)), s => {
+        val sub = slice(col("vq"), s * subDim + 1, lit(subDim))
+        array_min(transform(sequence(lit(0), lit(ksub - 1)), j =>
+          struct(l2(sub, element_at(element_at(cbLit, (s + 1).cast("int")), (j + 1).cast("int"))).as("d"),
+            j.cast("long").as("j")))).getField("j")
+      })
+    val entry = explode(transform(sequence(lit(0), lit(m - 1)), s =>
+      struct(s.cast("long").as("s"),
+        element_at(col("__codes"), (s + 1).cast("int")).as("code"),
+        slice(col("vq"), s * subDim + 1, lit(subDim)).as("sub"))))
+    val sums = vq.withColumn("__codes", codesCol).select(entry.as("e"))
       .select(col("e.s").as("s"), col("e.code").as("code"),
         posexplode(col("e.sub")).as(Seq("k", "x")))
       .groupBy("s", "code", "k")

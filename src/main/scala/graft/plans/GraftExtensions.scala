@@ -79,6 +79,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         NearestCells(c.head, c(1),
           foldableInt("nearest_cells", "nProbe", children, 2, default = 1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
+      (children: Seq[Expression]) => {
+        val c = arity("pq_encode", children, 3, 3)
+        PqEncode(c.head, c(1), c(2))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("adc_dist"),
+      new ExpressionInfo(classOf[AdcDist].getName, "adc_dist"),
+      (children: Seq[Expression]) => {
+        val c = arity("adc_dist", children, 2, 2)
+        AdcDist(c.head, c(1))
+      }))
     // Spark's own bloom-filter expressions, which core registers only
     // for the optimizer's injected runtime filters — exposing them as
     // functions gives pipelines an explicit "build once, prefilter a

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.scalatest.funspec.AnyFunSpec
 import graft.operators.Similarity
@@ -267,6 +268,57 @@ class SimilaritySpec extends AnyFunSpec {
         .select(call_function("dot_q", $"vq", $"vq2").as("nat"),
           Similarity.dotQ($"vq", $"vq2").as("bi"))
       assert(pairs.filter($"nat" =!= $"bi").isEmpty)
+    }
+  }
+
+  describe("adc_dist native expression") {
+    it("equals the element_at fold on real qtab/codes shapes") {
+      // qtab rows of ksub=4 distances, codes selecting one per row —
+      // deterministic values derived from vec_id so rows differ
+      val df = Tables.embeddings(spark, dir).limit(200)
+        .select($"vec_id",
+          transform(sequence(lit(0), lit(7)), s =>
+            transform(sequence(lit(0), lit(3)), j =>
+              ($"vec_id" + s * 10 + j * 3).cast("long"))).as("qtab"),
+          transform(sequence(lit(0), lit(7)), s =>
+            (($"vec_id" + s) % 4).cast("long")).as("codes"))
+      val both = df.select($"vec_id",
+        call_function("adc_dist", $"qtab", $"codes").as("nat"),
+        Similarity.adcBuiltin($"qtab", $"codes", 8).as("bi"))
+      assert(both.count() == 200)
+      assert(both.filter($"nat" =!= $"bi").isEmpty)
+    }
+  }
+
+  describe("pq_encode native expression") {
+    it("equals the array_min fold per subspace on real embeddings, ties included") {
+      val m = 8; val ksub = 4; val subDim = 8
+      val emb = Tables.embeddings(spark, dir).limit(200)
+        .select($"vec_id", Similarity.quantize($"embedding").as("vq"))
+      // codebook from the first ksub vectors' slices (deterministic)
+      val seeds = emb.orderBy("vec_id").limit(ksub).select($"vq").as[Seq[Long]].collect().toSeq
+      val cb: Seq[Seq[Seq[Long]]] =
+        (0 until m).map(s => seeds.map(_.slice(s * subDim, (s + 1) * subDim)))
+      val cbLit = typedLit(cb)
+      def l2(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+      val builtin = transform(sequence(lit(0), lit(m - 1)), s => {
+        val sub = slice($"vq", s * subDim + 1, lit(subDim))
+        array_min(transform(sequence(lit(0), lit(ksub - 1)), j =>
+          struct(l2(sub, element_at(element_at(cbLit, (s + 1).cast("int")), (j + 1).cast("int"))).as("d"),
+            j.cast("long").as("j")))).getField("j")
+      })
+      val both = emb.select($"vec_id",
+        call_function("pq_encode", $"vq", typedLit(cb.flatten), lit(m)).as("nat"),
+        builtin.as("bi"))
+      assert(both.count() == 200)
+      assert(both.filter($"nat" =!= $"bi").isEmpty)
+      // a seed vector encodes to its own index in every subspace —
+      // exercises the zero-distance tie path deterministically
+      val self = emb.orderBy("vec_id").limit(1)
+        .select(call_function("pq_encode", $"vq", typedLit(cb.flatten), lit(m)).as("c"))
+        .as[Seq[Long]].head()
+      assert(self == Seq.fill(m)(0L))
     }
   }
 
