@@ -17,6 +17,32 @@ class PropertySpec extends AnyFunSpec {
   private def sampled[A](g: Gen[A], n: Int): Seq[A] =
     Iterator.continually(g.sample).flatten.take(n).toSeq
 
+  describe("WAV container: encode∘parse identity on arbitrary PCM") {
+    it("recovers rate/channels/data position for any payload and sample rate") {
+      import graft.operators.Multimodal
+      val cases = sampled(for {
+        n    <- Gen.choose(0, 512)
+        body <- Gen.listOfN(n, Gen.choose(-128, 127).map(_.toByte))
+        rate <- Gen.choose(1, 192000)
+        ch   <- Gen.choose(1, 8)
+      } yield (body.toArray, rate, ch), 200)
+      cases.foreach { case (pcm, rate, ch) =>
+        val wav = Multimodal.wavHeader(pcm.length, rate, ch) ++ pcm
+        val w = Multimodal.parseWav(wav)
+        assert(w.isDefined, s"parse failed for n=${pcm.length} rate=$rate ch=$ch")
+        assert(w.get.sampleRate == rate && w.get.channels == ch)
+        assert(w.get.dataOffset == 44 && w.get.dataLen == pcm.length)
+        assert(java.util.Arrays.equals(
+          wav.slice(w.get.dataOffset, w.get.dataOffset + w.get.dataLen), pcm))
+      }
+      // every strict prefix of a valid header must fail cleanly, not throw
+      val full = Multimodal.wavHeader(4, 8000, 1) ++ Array[Byte](1, 2, 3, 4)
+      (0 until full.length).foreach { cut =>
+        assert(Multimodal.parseWav(full.take(cut)).isEmpty)
+      }
+    }
+  }
+
   describe("hash60: JVM helper vs SQL expression tree") {
     it("agrees on arbitrary strings including unicode and empties") {
       val strings = (sampled(Gen.asciiPrintableStr, 300) ++
