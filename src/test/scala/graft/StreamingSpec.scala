@@ -299,8 +299,10 @@ class StreamingSpec extends AnyFunSpec {
         s"expected multiple data-bearing micro-batches, got ${withData.length}")
       val totalInput = withData.map(_.numInputRows).sum
       val peakState = progress.flatMap(_.stateOperators.map(_.numRowsTotal)).max
-      assert(peakState < totalInput,
-        s"state store held $peakState rows >= total input $totalInput — eviction never ran")
+      // measured ~6% at sf0.001 AND sf0.01 (time-window bounded, not
+      // input bounded); 25% = 4x margin still proves eviction ran
+      assert(peakState < totalInput / 4,
+        s"state store held $peakState rows >= 25% of input $totalInput — eviction degraded")
 
       // row-identical to the batch interval join (the oracle's form)
       val ev = graft.sources.Tables.events(spark, dir)
