@@ -1147,6 +1147,33 @@ object OracleSql {
         |  CAST(list_max(list_transform(xs, x -> abs(x))) AS INTEGER) AS peak
         |FROM sv ORDER BY media_id, frame_idx""".stripMargin,
 
+    // mirrors qAudioUlaw: each payload byte is a G.711 μ-law code —
+    // the oracle states the ITU expansion (complement, sign/exp/
+    // mantissa, bias 0x84) in integer SQL, so the codec must be
+    // bit-exact for the hash to match. 128 codes, frames of 32.
+    "q_audio_ulaw" ->
+      """WITH pay AS (
+        |  SELECT doc_id AS media_id,
+        |    md5(text) || md5(text || '1') || md5(text || '2') || md5(text || '3') ||
+        |    md5(text || '4') || md5(text || '5') || md5(text || '6') || md5(text || '7') AS hx
+        |  FROM documents),
+        |f AS (SELECT media_id, unnest(range(0, 4)) AS frame_idx, hx FROM pay),
+        |sv AS (
+        |  SELECT media_id, frame_idx,
+        |    list_transform(
+        |      list_transform(range(0, 32), i ->
+        |        255 - ('0x' || substr(hx, CAST((frame_idx * 32 + i) * 2 + 1 AS INTEGER), 2))::BIGINT),
+        |      u -> (CASE WHEN u >= 128 THEN -1 ELSE 1 END)
+        |           * ((((u % 16) * 8 + 132) << CAST((u // 16) % 8 AS INTEGER)) - 132)) AS xs
+        |  FROM f)
+        |SELECT media_id, CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(1 AS INTEGER) AS n_channels,
+        |  CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  CAST(32 AS INTEGER) AS n_samples,
+        |  CAST(list_sum(list_transform(xs, x -> x * x)) AS BIGINT) AS energy,
+        |  CAST(list_max(list_transform(xs, x -> abs(x))) AS INTEGER) AS peak
+        |FROM sv ORDER BY media_id, frame_idx""".stripMargin,
+
     // mirrors qAudioVad: same frame-energy closed form, then islands
     // (frame_idx − row_number within voiced frames) grouped to
     // segments — silence-trim semantics stated relationally

@@ -1599,6 +1599,28 @@ object SparkEntry {
   private def qAudioWav(s: SparkSession, dir: String): DataFrame =
     audioWavFrames(s, dir).orderBy("media_id", "frame_idx")
 
+  /** G.711 μ-law WAV lane — a REAL compressed-audio codec under the
+    * hash gate: the md5-chain bytes are treated as a μ-law byte
+    * stream, wrapped in a format-7 WAV container, then PARSED AND
+    * EXPANDED by Multimodal.wavFrameFeatures (sign/exponent/mantissa
+    * integer decode, ±32124 range). The oracle states the same ITU
+    * expansion arithmetic over the hex, so a single wrong bit in the
+    * codec breaks the hash. 128 μ-law samples per doc, frames of 32. */
+  private def qAudioUlaw(s: SparkSession, dir: String): DataFrame = {
+    val parts = s.sessionState.conf.numShufflePartitions
+    val hexCols = (0 until 8).map(i =>
+      if (i == 0) md5(col("text")) else md5(concat(col("text"), lit(i.toString))))
+    val codes = Tables.documents(s, dir)
+      .select(col("doc_id").cast("long").as("media_id"),
+        unhex(concat(hexCols: _*)).as("payload"),
+        lit(8000).as("sample_rate"))
+      .repartition(parts, col("media_id")) // CPU-bound decode stage
+    Multimodal.wavFrameFeatures(
+        Multimodal.toWav(codes, "sample_rate", audioFormat = Multimodal.WavUlaw),
+        frameSamples = 32)
+      .orderBy("media_id", "frame_idx")
+  }
+
   /** Silence-trim / voice-activity segmentation composed on the WAV
     * lane: container parse → frame energies → contiguous
     * above-threshold runs as segments (relational islands — two
@@ -1816,6 +1838,7 @@ object SparkEntry {
     "q_audio_frames" -> (qAudioFrames _),
     "q_audio_wav" -> (qAudioWav _),
     "q_audio_vad" -> (qAudioVad _),
+    "q_audio_ulaw" -> (qAudioUlaw _),
     "q_market_beta" -> (qMarketBeta _),
     "q_max_drawdown" -> (qMaxDrawdown _),
     "q_resample_weekly" -> (qResampleWeekly _),

@@ -160,36 +160,53 @@ object Multimodal {
       }(enc)
   }
 
-  /** Canonical 44-byte PCM WAV header (RIFF little-endian): the
-    * container format for [[toWav]]/[[wavFrameFeatures]]. */
+  /** WAVE_FORMAT codes supported by the audio lane. */
+  private[graft] val WavPcm16 = 1  // linear PCM, 16-bit LE
+  private[graft] val WavUlaw = 7   // ITU G.711 μ-law, 8-bit companded
+
+  /** Canonical 44-byte WAV header (RIFF little-endian): the container
+    * format for [[toWav]]/[[wavFrameFeatures]]. `audioFormat` 1 =
+    * PCM16, 7 = G.711 μ-law (8-bit). */
   private[graft] def wavHeader(dataLen: Int, sampleRate: Int,
-                               channels: Int): Array[Byte] = {
+                               channels: Int, audioFormat: Int = WavPcm16): Array[Byte] = {
+    val bytesPerSample = if (audioFormat == WavUlaw) 1 else 2
     val bb = java.nio.ByteBuffer.allocate(44)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
       .put("WAVE".getBytes("US-ASCII"))
       .put("fmt ".getBytes("US-ASCII")).putInt(16)
-      .putShort(1) // PCM
+      .putShort(audioFormat.toShort)
       .putShort(channels.toShort).putInt(sampleRate)
-      .putInt(sampleRate * channels * 2) // byte rate
-      .putShort((channels * 2).toShort)  // block align
-      .putShort(16)                      // bits per sample
+      .putInt(sampleRate * channels * bytesPerSample) // byte rate
+      .putShort((channels * bytesPerSample).toShort)  // block align
+      .putShort((8 * bytesPerSample).toShort)         // bits per sample
       .put("data".getBytes("US-ASCII")).putInt(dataLen)
     bb.array()
   }
 
-  /** Parsed RIFF/WAV container: PCM16 format fields + the data chunk's
+  /** ITU G.711 μ-law expansion: one companded byte → linear 16-bit
+    * sample, exact integer arithmetic (sign/exponent/mantissa decode,
+    * bias 0x84) — a REAL lossy-audio codec with no library
+    * dependency, range ±32124. */
+  private[graft] def ulawToLinear(code: Byte): Int = {
+    val u = ~code & 0xff
+    val mag = ((((u & 0x0f) << 3) + 0x84) << ((u >> 4) & 7)) - 0x84
+    if ((u & 0x80) != 0) -mag else mag
+  }
+
+  /** Parsed RIFF/WAV container: format fields + the data chunk's
     * position inside the payload (no copy at parse time). */
   private[graft] final case class WavInfo(
     channels: Int, sampleRate: Int, bitsPerSample: Int,
-    dataOffset: Int, dataLen: Int)
+    dataOffset: Int, dataLen: Int, audioFormat: Int = 1)
 
   /** RIFF/WAV container parse, pure JDK: walks the chunk list
     * ("fmt " → format fields, "data" → sample position), tolerating
     * extra chunks (LIST/fact/cue) and odd-size chunk padding per the
     * RIFF spec. Returns None for anything that is not a well-formed
-    * PCM WAV — truncated headers, non-RIFF payloads, float/ADPCM
-    * encodings — so corrupt payloads degrade instead of throwing. */
+    * PCM16 or G.711-μ-law WAV — truncated headers, non-RIFF payloads,
+    * float/ADPCM encodings — so corrupt payloads degrade instead of
+    * throwing. */
   private[graft] def parseWav(b: Array[Byte]): Option[WavInfo] = {
     def ascii(off: Int) = new String(b, off, 4, "US-ASCII")
     def u32(off: Int): Long =
@@ -214,15 +231,19 @@ object Multimodal {
     for {
       (audioFormat, channels, rate, bits) <- fmt
       (dOff, dLen) <- data
-      if audioFormat == 1 && bits == 16 && channels >= 1 && rate > 0
-    } yield WavInfo(channels, rate, bits, dOff, dLen)
+      if channels >= 1 && rate > 0 &&
+        ((audioFormat == WavPcm16 && bits == 16) ||
+          (audioFormat == WavUlaw && bits == 8))
+    } yield WavInfo(channels, rate, bits, dOff, dLen, audioFormat)
   }
 
   /** ===== REAL audio container encode =====
-    * Raw PCM16 payload → PCM WAV bytes (44-byte RIFF header + data),
-    * per-row sample rate from `rateCol`. Narrow mapPartitions; the
-    * inverse of [[wavFrameFeatures]]'s parse. */
-  def toWav(media: DataFrame, rateCol: String, channels: Int = 1): DataFrame = {
+    * Raw sample payload → WAV bytes (44-byte RIFF header + data),
+    * per-row sample rate from `rateCol`. `audioFormat` 1 wraps PCM16
+    * bytes; 7 wraps a G.711 μ-law byte stream. Narrow mapPartitions;
+    * the inverse of [[wavFrameFeatures]]'s parse. */
+  def toWav(media: DataFrame, rateCol: String, channels: Int = 1,
+            audioFormat: Int = WavPcm16): DataFrame = {
     val schema = StructType(Seq(
       StructField("media_id", LongType),
       StructField("payload", BinaryType)))
@@ -232,21 +253,25 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           val pcm = r.getAs[Array[Byte]](1)
-          Row(r.getLong(0), wavHeader(pcm.length, r.getInt(2), channels) ++ pcm)
+          Row(r.getLong(0),
+            wavHeader(pcm.length, r.getInt(2), channels, audioFormat) ++ pcm)
         }
       }(enc)
   }
 
   /** ===== REAL audio container decode =====
     * Parses each payload as a RIFF/WAV container ([[parseWav]]) and
-    * runs the PCM16 framing ([[pcmFrameFeatures]]'s math) over the
-    * data chunk: per frame, exact integer energy Σx², peak |x|, and
-    * sample count, plus the container's sample_rate/n_channels — the
-    * end-to-end audio ingestion lane with zero non-JDK codecs.
-    * Unparseable payloads emit ZERO frames instead of failing the
-    * stage (the poison-pill policy of [[decodeImageFeatures]]);
-    * count them via an anti-join against the input when auditing.
-    * Narrow mapPartitions, frames bounded by payload size. */
+    * frames the data chunk with exact integer energy Σx², peak |x|,
+    * and sample count per frame, plus the container's
+    * sample_rate/n_channels. PCM16 reads little-endian int16 samples
+    * directly; G.711 μ-law payloads go through the REAL codec
+    * ([[ulawToLinear]] expansion) before the same framing math — a
+    * genuine compressed-audio decode path with zero non-JDK
+    * dependencies. Unparseable payloads emit ZERO frames instead of
+    * failing the stage (the poison-pill policy of
+    * [[decodeImageFeatures]]); count them via an anti-join against
+    * the input when auditing. Narrow mapPartitions, frames bounded by
+    * payload size. */
   def wavFrameFeatures(media: DataFrame, frameSamples: Int = 256): DataFrame = {
     require(frameSamples > 0, "wavFrameFeatures: frameSamples must be positive")
     val schema = StructType(Seq(
@@ -264,7 +289,8 @@ object Multimodal {
           val id = r.getLong(0)
           val b = r.getAs[Array[Byte]](1)
           parseWav(b).iterator.flatMap { w =>
-            val nSamp = w.dataLen / 2
+            val ulaw = w.audioFormat == WavUlaw
+            val nSamp = if (ulaw) w.dataLen else w.dataLen / 2
             val nFrames = (nSamp + frameSamples - 1) / frameSamples
             (0 until nFrames).iterator.map { f =>
               val start = f * frameSamples
@@ -273,8 +299,12 @@ object Multimodal {
               var energy = 0L
               var peak = 0
               while (i < end) {
-                val o = w.dataOffset + 2 * i
-                val v = ((b(o + 1): Int) << 8) | (b(o) & 0xff)
+                val v =
+                  if (ulaw) ulawToLinear(b(w.dataOffset + i))
+                  else {
+                    val o = w.dataOffset + 2 * i
+                    ((b(o + 1): Int) << 8) | (b(o) & 0xff)
+                  }
                 energy += v.toLong * v
                 val a = if (v < 0) -v else v
                 if (a > peak) peak = a

@@ -250,6 +250,31 @@ class TextMultimodalSpec extends AnyFunSpec {
       assert(r.length == 1 && r(0).getInt(2) == 2 &&
         r(0).getLong(5) == 1L + 1L + 65536L + 1073741824L)
     }
+    it("G.711 μ-law expansion matches known ITU values and frames through the WAV lane") {
+      // canonical points of the μ-law table
+      assert(Multimodal.ulawToLinear(0xFF.toByte) == 0)      // +0
+      assert(Multimodal.ulawToLinear(0x7F.toByte) == 0)      // -0
+      assert(Multimodal.ulawToLinear(0x00.toByte) == -32124) // max negative
+      assert(Multimodal.ulawToLinear(0x80.toByte) == 32124)  // max positive
+      assert(Multimodal.ulawToLinear(0xFE.toByte) == 8)      // smallest nonzero step
+      assert(Multimodal.ulawToLinear(0x7E.toByte) == -8)
+      // monotone over the positive half-table (codes 0x80..0xFF
+      // decode to descending magnitudes as the code increases)
+      val pos = (0x80 to 0xFF).map(c => Multimodal.ulawToLinear(c.toByte))
+      assert(pos.sliding(2).forall { case Seq(a, b) => a >= b })
+      // format-7 container round trip: 2 codes -> 1 frame of 2 samples
+      val wav = Multimodal.wavHeader(2, 8000, 1, Multimodal.WavUlaw) ++
+        Array[Byte](0x00.toByte, 0xFF.toByte)
+      val media = Seq((1L, wav)).toDF("media_id", "payload")
+      val r = Multimodal.wavFrameFeatures(media, 4).head()
+      assert(r.getInt(4) == 2 &&
+        r.getLong(5) == 32124L * 32124L && r.getInt(6) == 32124)
+      // μ-law claiming 16 bits, or PCM claiming 8, must not parse
+      val bad = Multimodal.wavHeader(2, 8000, 1, Multimodal.WavUlaw)
+      bad(34) = 16
+      assert(Multimodal.parseWav(bad ++ Array[Byte](0, 0)).isEmpty)
+    }
+
     it("energySegments groups contiguous voiced frames into islands") {
       val frames = Seq(
         (1L, 0, 4, 10L, 3), (1L, 1, 4, 2L, 1), (1L, 2, 4, 5L, 2),
