@@ -122,6 +122,27 @@ object OracleSql {
        |  FROM f)""".stripMargin
   }
 
+  /** IMA ADPCM constants for the q_audio_adpcm oracle, rendered from
+    * THE SAME arrays the Scala decoder uses
+    * ([[graft.operators.Multimodal.imaStepTable]]) — one source of
+    * truth, so the tables cannot drift between engines. */
+  private val imaStepList: String =
+    graft.operators.Multimodal.imaStepTable.mkString("[", ",", "]")
+  private val imaIndexList: String =
+    graft.operators.Multimodal.imaIndexTable.mkString("[", ",", "]")
+
+  /** The clamped next-predictor expression of the IMA fold (x[1] = the
+    * current nibble, acc = [predictor, step_index, samples...]): the
+    * bit-weighted delta step/8 + b0·step/4 + b1·step/2 + b2·step,
+    * sign bit b3, int16 clamp. Used twice per fold step — as the new
+    * acc[1] and as the appended decoded sample. */
+  private val imaNextPred: String =
+    """LEAST(32767, GREATEST(-32768, acc[1] +
+      |          (CASE WHEN x[1] >= 8 THEN -1 ELSE 1 END) *
+      |          (st[acc[2]+1] // 8 + (x[1] % 2) * (st[acc[2]+1] // 4)
+      |           + ((x[1] // 2) % 2) * (st[acc[2]+1] // 2)
+      |           + ((x[1] // 4) % 2) * st[acc[2]+1])))""".stripMargin
+
   // ── tick lane CTE chain ───────────────────────────────────────────
 
   /** mirrors TickAnalytics.windowAggregatesExact at priceScale=2. */
@@ -932,7 +953,8 @@ object OracleSql {
          |       m, toks FROM t, mg),
          |$foldCtes
          |SELECT doc_id, n_subwords, CAST(len(toks) AS BIGINT) AS n_bpe,
-         |  md5(array_to_string(toks, ',')) AS bpe_md5
+         |  md5(array_to_string(
+         |    list_transform(toks, x -> len(x)::VARCHAR || ':' || x), ',')) AS bpe_md5
          |FROM e8 ORDER BY doc_id""".stripMargin
     },
 
@@ -1173,6 +1195,50 @@ object OracleSql {
         |  CAST(list_sum(list_transform(xs, x -> x * x)) AS BIGINT) AS energy,
         |  CAST(list_max(list_transform(xs, x -> abs(x))) AS INTEGER) AS peak
         |FROM sv ORDER BY media_id, frame_idx""".stripMargin,
+
+    // mirrors qAudioAdpcm: the IMA ADPCM state machine (89-step table,
+    // index advances, bit-weighted delta, int16/[0,88] clamps) replayed
+    // as a list_reduce fold over the payload hex — acc = [predictor,
+    // step_index, decoded samples...]; the header's predictor is sample
+    // 0, then 248 nibbles (low first) extend the list. Stateful codec
+    // == order-sensitive oracle: one wrong table entry desyncs all
+    // later samples.
+    "q_audio_adpcm" ->
+      s"""WITH pay AS (
+         |  SELECT doc_id AS media_id,
+         |    md5(text) || md5(text || '1') || md5(text || '2') || md5(text || '3') ||
+         |    md5(text || '4') || md5(text || '5') || md5(text || '6') || md5(text || '7') AS hx
+         |  FROM documents),
+         |byt AS (SELECT media_id,
+         |    list_transform(range(0, 128), i ->
+         |      ('0x' || substr(hx, CAST(i * 2 + 1 AS INTEGER), 2))::BIGINT) AS bs
+         |  FROM pay),
+         |tabs AS (SELECT ${imaStepList} AS st, ${imaIndexList} AS it),
+         |ini AS (SELECT media_id,
+         |    CASE WHEN bs[1] + 256 * bs[2] >= 32768
+         |         THEN bs[1] + 256 * bs[2] - 65536 ELSE bs[1] + 256 * bs[2] END AS pred0,
+         |    LEAST(bs[3], 88) AS idx0,
+         |    flatten(list_transform(bs[5:], b -> [b % 16, b // 16])) AS ns
+         |  FROM byt),
+         |dec AS (SELECT media_id, pred0,
+         |    list_reduce([[pred0, idx0]] || list_transform(ns, n -> [n]),
+         |      (acc, x) -> [
+         |        ${imaNextPred},
+         |        LEAST(88, GREATEST(0, acc[2] + it[x[1] + 1]))
+         |      ] || acc[3:] || [${imaNextPred}]) AS dc
+         |  FROM ini, tabs),
+         |smp AS (SELECT media_id, [pred0] || dc[3:] AS xs FROM dec),
+         |fr AS (SELECT media_id, unnest(range(0, (len(xs) + 31) // 32)) AS frame_idx, xs FROM smp),
+         |fx AS (SELECT media_id, frame_idx,
+         |    xs[CAST(frame_idx * 32 + 1 AS INTEGER):CAST(LEAST((frame_idx + 1) * 32, len(xs)) AS INTEGER)] AS f
+         |  FROM fr)
+         |SELECT media_id, CAST(8000 AS INTEGER) AS sample_rate,
+         |  CAST(1 AS INTEGER) AS n_channels,
+         |  CAST(frame_idx AS INTEGER) AS frame_idx,
+         |  CAST(len(f) AS INTEGER) AS n_samples,
+         |  CAST(list_sum(list_transform(f, x -> x * x)) AS BIGINT) AS energy,
+         |  CAST(list_max(list_transform(f, x -> abs(x))) AS INTEGER) AS peak
+         |FROM fx ORDER BY media_id, frame_idx""".stripMargin,
 
     // mirrors qAudioVad: same frame-energy closed form, then islands
     // (frame_idx − row_number within voiced frames) grouped to

@@ -204,6 +204,29 @@ object SparkEntry {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
   }
 
+  /** Content digest of a dataset path for staging-cache keys: full MD5
+    * over every regular file's RELATIVE path, length and mtime
+    * (recursing into directories — a Spark-written dataset is a
+    * directory whose own mtime/length do NOT change when its part
+    * files are regenerated in place, so a directory-level key could
+    * silently replay stale data). Metadata, not bytes: the inputs are
+    * driver-generated immutable parquet, and any rewrite touches part
+    * mtimes; hashing 100 K part STATS is cheap where hashing bytes
+    * would re-read the table. */
+  private def contentKey(root: java.io.File): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val base = root.toPath
+    def walk(f: java.io.File): Unit =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName).foreach(walk)
+      else
+        md.update(s"${base.relativize(f.toPath)}:${f.length}:${f.lastModified}\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.update(s"${root.getAbsolutePath}\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    walk(root)
+    md.digest().map("%02x".format(_)).mkString
+  }
+
   /** The streaming DEDUP lane computed THROUGH the engine: documents
     * replayed as a file stream into [[graft.streaming.CorpusStream]]'s
     * foreachBatch ingest (sign → probe store → append, exactly-once
@@ -241,7 +264,7 @@ object SparkEntry {
     * the batch join; with windows, sessions and dedup this puts every
     * §2.8 stateful aspect under the cross-engine gate.
     *
-    * The input is replayed as FOUR time-ordered chunks
+    * The input is replayed as THREE time-ordered chunks
     * ([[graft.streaming.TickStream.stageTimeChunks]] +
     * maxFilesPerTrigger=1), not one monolithic batch: the watermark
     * advances between micro-batches, so join-state eviction actually
@@ -265,35 +288,50 @@ object SparkEntry {
     *     store commits of ~nothing each, pure overhead at this volume.
     *     On a real cluster the partition count scales with executors
     *     and per-partition volume, not down to 4.
-    *   - the staged time-chunks are cached per (input path, file
-    *     mtime+size), so bench best-of-3 re-runs skip the re-stage;
-    *     checkpoint and sink stay fresh per run (exactly-once state is
-    *     per-query, only the immutable input replay is shared). */
+    *   - both join sides derive from ONE file-stream source (a
+    *     stream-stream SELF-join): views and clicks are filters of the
+    *     same readStream, so each micro-batch lists/track-offsets the
+    *     staged directory once instead of twice — on a cluster this
+    *     halves the driver's file-index work per trigger, and here it
+    *     removes one of the two fixed per-batch source round trips.
+    *   - the staged time-chunks are cached per CONTENT digest (every
+    *     part file's relative path + length + mtime, full MD5 width —
+    *     a directory's own mtime does not change when a dataset is
+    *     regenerated in place, so keying on it could replay stale
+    *     data); stale graft_sj_stage_* dirs from older inputs are
+    *     removed at stage time. Checkpoint and sink stay fresh per run
+    *     (exactly-once state is per-query, only the immutable input
+    *     replay is shared). */
   private[graft] def streamJoinRun(s: SparkSession, dir: String)
       : (DataFrame, Array[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
     import graft.streaming.TickStream
     val out = java.nio.file.Files.createTempDirectory("graft_stream_join").toString
     val events = Tables.events(s, dir)
     val src = new java.io.File(s"$dir/events.parquet")
-    val stageKey = java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(
-        s"${src.getAbsolutePath}:${src.lastModified}:${src.length}").toLong & 0xffffffffL)
     val staged = new java.io.File(
-      System.getProperty("java.io.tmpdir"), s"graft_sj_stage_$stageKey")
-    if (!new java.io.File(staged, "_STAGED").exists) // partial stage from a killed run → re-stage
-      TickStream.stageTimeChunks(events, "ts", 4, staged.toString)
-    val schema = events.schema
-    def stream() = s.readStream.schema(schema)
+      System.getProperty("java.io.tmpdir"), s"graft_sj_stage_${contentKey(src)}")
+    if (!new java.io.File(staged, "_STAGED").exists) { // partial stage from a killed run → re-stage
+      // drop stage dirs keyed by inputs that no longer exist in this
+      // form (regenerated data ⇒ new digest ⇒ the old dir is garbage)
+      Option(staged.getParentFile.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("graft_sj_stage_")
+          && f.getName != staged.getName)
+        .foreach(f => deleteDir(f.toString))
+      // 3 chunks: the smallest replay that still advances the watermark
+      // twice mid-query (so eviction provably runs, StreamingSpec's
+      // >1-data-batch + <25%-state guards), while paying the fixed
+      // ~0.7 s/micro-batch commit floor one less time than 4 chunks.
+      TickStream.stageTimeChunks(events, "ts", 3, staged.toString)
+    }
+    val src0 = s.readStream.schema(events.schema)
       .option("maxFilesPerTrigger", "1").parquet(staged.toString)
-    val v0 = stream()
-    val views = v0.filter(col("event_type") === "view")
+    val views = src0.filter(col("event_type") === "view")
       .select(col("user_id").as("symbol"),
-        Adapters.eventTime(v0).cast("timestamp").as("event_time"),
+        Adapters.eventTime(src0).cast("timestamp").as("event_time"),
         col("event_id").as("view_id"))
-    val c0 = stream()
-    val clicks = c0.filter(col("event_type") === "click")
+    val clicks = src0.filter(col("event_type") === "click")
       .select(col("user_id").as("symbol"),
-        Adapters.eventTime(c0).cast("timestamp").as("quote_time"),
+        Adapters.eventTime(src0).cast("timestamp").as("quote_time"),
         col("event_id").as("click_id"))
     val joined = TickStream.tickQuoteJoin(views, clicks, "6 hours", "6 hours")
       .select(col("symbol").as("user_id"), col("view_id"), col("click_id"),
@@ -1459,11 +1497,16 @@ object SparkEntry {
     * token-array form, and the greedy-fold values are asserted
     * token-by-token in TextMultimodalSpec. Zero-token docs now KEEP
     * a row (md5 of the empty join on both engines) instead of
-    * dropping with posexplode. */
+    * dropping with posexplode. Each token is LENGTH-PREFIXED before
+    * the join so the serialization is injective — a plain ","-join
+    * maps ["a,b"] and ["a","b"] to the same digest, which would let
+    * a merge-boundary bug of exactly that shape slip the gate. */
   private def qBpeEncode(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpeEncode(Tables.documents(s, dir), "doc_id", "text")
       .select(col("doc_id"), col("n_subwords"), col("n_bpe"),
-        md5(concat_ws(",", col("bpe_tokens"))).as("bpe_md5"))
+        md5(concat_ws(",",
+          transform(col("bpe_tokens"),
+            t => concat(length(t).cast("string"), lit(":"), t)))).as("bpe_md5"))
       .orderBy("doc_id")
 
   /** Calendar gap-fill with forward-filled closes. */
@@ -1617,6 +1660,32 @@ object SparkEntry {
       .repartition(parts, col("media_id")) // CPU-bound decode stage
     Multimodal.wavFrameFeatures(
         Multimodal.toWav(codes, "sample_rate", audioFormat = Multimodal.WavUlaw),
+        frameSamples = 32)
+      .orderBy("media_id", "frame_idx")
+  }
+
+  /** IMA ADPCM WAV lane — the second real compressed-audio codec
+    * under the hash gate, and unlike μ-law a STATEFUL one: the
+    * md5-chain bytes are treated as one format-0x11 ADPCM block
+    * (4-byte header = initial predictor + step index, then 248 4-bit
+    * nibbles, low nibble first), wrapped in a WAV container and then
+    * PARSED AND DECODED by Multimodal.wavFrameFeatures through the
+    * standard IMA step/index state machine. The oracle replays the
+    * identical state machine as a list_reduce fold over the hex in
+    * DuckDB, so ONE wrong step-table entry, clamp, or nibble order
+    * desyncs every subsequent sample and breaks the hash. 249 linear
+    * samples per doc, frames of 32. */
+  private def qAudioAdpcm(s: SparkSession, dir: String): DataFrame = {
+    val parts = s.sessionState.conf.numShufflePartitions
+    val hexCols = (0 until 8).map(i =>
+      if (i == 0) md5(col("text")) else md5(concat(col("text"), lit(i.toString))))
+    val blocks = Tables.documents(s, dir)
+      .select(col("doc_id").cast("long").as("media_id"),
+        unhex(concat(hexCols: _*)).as("payload"),
+        lit(8000).as("sample_rate"))
+      .repartition(parts, col("media_id")) // CPU-bound decode stage
+    Multimodal.wavFrameFeatures(
+        Multimodal.toWav(blocks, "sample_rate", audioFormat = Multimodal.WavImaAdpcm),
         frameSamples = 32)
       .orderBy("media_id", "frame_idx")
   }
@@ -1839,6 +1908,7 @@ object SparkEntry {
     "q_audio_wav" -> (qAudioWav _),
     "q_audio_vad" -> (qAudioVad _),
     "q_audio_ulaw" -> (qAudioUlaw _),
+    "q_audio_adpcm" -> (qAudioAdpcm _),
     "q_market_beta" -> (qMarketBeta _),
     "q_max_drawdown" -> (qMaxDrawdown _),
     "q_resample_weekly" -> (qResampleWeekly _),

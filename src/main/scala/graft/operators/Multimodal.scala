@@ -161,15 +161,23 @@ object Multimodal {
   }
 
   /** WAVE_FORMAT codes supported by the audio lane. */
-  private[graft] val WavPcm16 = 1  // linear PCM, 16-bit LE
-  private[graft] val WavUlaw = 7   // ITU G.711 μ-law, 8-bit companded
+  private[graft] val WavPcm16 = 1       // linear PCM, 16-bit LE
+  private[graft] val WavUlaw = 7        // ITU G.711 μ-law, 8-bit companded
+  private[graft] val WavImaAdpcm = 0x11 // IMA/DVI ADPCM, 4-bit predictive
 
   /** Canonical 44-byte WAV header (RIFF little-endian): the container
     * format for [[toWav]]/[[wavFrameFeatures]]. `audioFormat` 1 =
-    * PCM16, 7 = G.711 μ-law (8-bit). */
+    * PCM16, 7 = G.711 μ-law (8-bit), 0x11 = IMA ADPCM (4-bit; the
+    * whole data chunk is ONE block, so block_align = dataLen and the
+    * byte rate is the 4-bit mono approximation). */
   private[graft] def wavHeader(dataLen: Int, sampleRate: Int,
                                channels: Int, audioFormat: Int = WavPcm16): Array[Byte] = {
-    val bytesPerSample = if (audioFormat == WavUlaw) 1 else 2
+    val ima = audioFormat == WavImaAdpcm
+    val bytesPerSample = if (audioFormat == WavPcm16) 2 else 1
+    val byteRate =
+      if (ima) (sampleRate + 1) / 2 else sampleRate * channels * bytesPerSample
+    val blockAlign = if (ima) dataLen else channels * bytesPerSample
+    val bits = if (ima) 4 else 8 * bytesPerSample
     val bb = java.nio.ByteBuffer.allocate(44)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
@@ -177,9 +185,9 @@ object Multimodal {
       .put("fmt ".getBytes("US-ASCII")).putInt(16)
       .putShort(audioFormat.toShort)
       .putShort(channels.toShort).putInt(sampleRate)
-      .putInt(sampleRate * channels * bytesPerSample) // byte rate
-      .putShort((channels * bytesPerSample).toShort)  // block align
-      .putShort((8 * bytesPerSample).toShort)         // bits per sample
+      .putInt(byteRate)
+      .putShort(blockAlign.toShort)
+      .putShort(bits.toShort)
       .put("data".getBytes("US-ASCII")).putInt(dataLen)
     bb.array()
   }
@@ -192,6 +200,58 @@ object Multimodal {
     val u = ~code & 0xff
     val mag = ((((u & 0x0f) << 3) + 0x84) << ((u >> 4) & 7)) - 0x84
     if ((u & 0x80) != 0) -mag else mag
+  }
+
+  /** IMA/DVI ADPCM quantizer step table (89 steps) and index-advance
+    * table — the standard constants from the IMA Digital Audio
+    * Compatibility Project algorithm (as used by WAV format 0x11). */
+  private[graft] val imaStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+  private[graft] val imaIndexTable: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** IMA ADPCM block decode — a REAL 4:1 predictive codec in pure
+    * integer arithmetic, STATEFUL across samples (unlike μ-law's
+    * per-byte expansion): each 4-bit nibble advances a (predictor,
+    * step-index) state machine through [[imaStepTable]] /
+    * [[imaIndexTable]] with the standard bit-weighted delta
+    * `step/8 + b0·step/4 + b1·step/2 + b2·step`, sign bit b3, and
+    * clamping to int16 / [0, 88]. Block layout per the WAV format-0x11
+    * spec: 4-byte header (initial predictor int16 LE — which IS output
+    * sample 0 — then step index, clamped defensively, then a reserved
+    * byte), followed by data bytes holding two nibbles each, LOW
+    * nibble first. Returns 1 + 2·(len−4) linear samples; blocks
+    * shorter than a header decode to nothing. */
+  private[graft] def imaAdpcmDecode(b: Array[Byte], off: Int, len: Int): Array[Int] = {
+    if (len < 4) return Array.empty
+    var pred = ((b(off + 1): Int) << 8) | (b(off) & 0xff)
+    var idx = math.min(b(off + 2) & 0xff, 88)
+    val nNib = (len - 4) * 2
+    val out = new Array[Int](1 + nNib)
+    out(0) = pred
+    var i = 0
+    while (i < nNib) {
+      val byt = b(off + 4 + (i >> 1)) & 0xff
+      val nib = if ((i & 1) == 0) byt & 0x0f else (byt >> 4) & 0x0f
+      val step = imaStepTable(idx)
+      var diff = step >> 3
+      if ((nib & 1) != 0) diff += step >> 2
+      if ((nib & 2) != 0) diff += step >> 1
+      if ((nib & 4) != 0) diff += step
+      pred = if ((nib & 8) != 0) pred - diff else pred + diff
+      if (pred > 32767) pred = 32767 else if (pred < -32768) pred = -32768
+      idx += imaIndexTable(nib)
+      if (idx < 0) idx = 0 else if (idx > 88) idx = 88
+      out(i + 1) = pred
+      i += 1
+    }
+    out
   }
 
   /** Parsed RIFF/WAV container: format fields + the data chunk's
@@ -233,7 +293,8 @@ object Multimodal {
       (dOff, dLen) <- data
       if channels >= 1 && rate > 0 &&
         ((audioFormat == WavPcm16 && bits == 16) ||
-          (audioFormat == WavUlaw && bits == 8))
+          (audioFormat == WavUlaw && bits == 8) ||
+          (audioFormat == WavImaAdpcm && bits == 4))
     } yield WavInfo(channels, rate, bits, dOff, dLen, audioFormat)
   }
 
@@ -265,9 +326,10 @@ object Multimodal {
     * and sample count per frame, plus the container's
     * sample_rate/n_channels. PCM16 reads little-endian int16 samples
     * directly; G.711 μ-law payloads go through the REAL codec
-    * ([[ulawToLinear]] expansion) before the same framing math — a
-    * genuine compressed-audio decode path with zero non-JDK
-    * dependencies. Unparseable payloads emit ZERO frames instead of
+    * ([[ulawToLinear]] expansion) and IMA ADPCM payloads through the
+    * REAL stateful block decode ([[imaAdpcmDecode]]) before the same
+    * framing math — genuine compressed-audio decode paths with zero
+    * non-JDK dependencies. Unparseable payloads emit ZERO frames instead of
     * failing the stage (the poison-pill policy of
     * [[decodeImageFeatures]]); count them via an anti-join against
     * the input when auditing. Narrow mapPartitions, frames bounded by
@@ -289,28 +351,51 @@ object Multimodal {
           val id = r.getLong(0)
           val b = r.getAs[Array[Byte]](1)
           parseWav(b).iterator.flatMap { w =>
-            val ulaw = w.audioFormat == WavUlaw
-            val nSamp = if (ulaw) w.dataLen else w.dataLen / 2
-            val nFrames = (nSamp + frameSamples - 1) / frameSamples
-            (0 until nFrames).iterator.map { f =>
-              val start = f * frameSamples
-              val end = math.min(start + frameSamples, nSamp)
-              var i = start
-              var energy = 0L
-              var peak = 0
-              while (i < end) {
-                val v =
-                  if (ulaw) ulawToLinear(b(w.dataOffset + i))
-                  else {
-                    val o = w.dataOffset + 2 * i
-                    ((b(o + 1): Int) << 8) | (b(o) & 0xff)
-                  }
-                energy += v.toLong * v
-                val a = if (v < 0) -v else v
-                if (a > peak) peak = a
-                i += 1
+            if (w.audioFormat == WavImaAdpcm) {
+              // stateful codec: the block decodes SEQUENTIALLY (each
+              // nibble's output depends on all prior state), so decode
+              // once per payload, then frame the linear samples
+              val xs = imaAdpcmDecode(b, w.dataOffset, w.dataLen)
+              val nFrames = (xs.length + frameSamples - 1) / frameSamples
+              (0 until nFrames).iterator.map { f =>
+                val start = f * frameSamples
+                val end = math.min(start + frameSamples, xs.length)
+                var i = start
+                var energy = 0L
+                var peak = 0
+                while (i < end) {
+                  val v = xs(i)
+                  energy += v.toLong * v
+                  val a = if (v < 0) -v else v
+                  if (a > peak) peak = a
+                  i += 1
+                }
+                Row(id, w.sampleRate, w.channels, f, end - start, energy, peak)
               }
-              Row(id, w.sampleRate, w.channels, f, end - start, energy, peak)
+            } else {
+              val ulaw = w.audioFormat == WavUlaw
+              val nSamp = if (ulaw) w.dataLen else w.dataLen / 2
+              val nFrames = (nSamp + frameSamples - 1) / frameSamples
+              (0 until nFrames).iterator.map { f =>
+                val start = f * frameSamples
+                val end = math.min(start + frameSamples, nSamp)
+                var i = start
+                var energy = 0L
+                var peak = 0
+                while (i < end) {
+                  val v =
+                    if (ulaw) ulawToLinear(b(w.dataOffset + i))
+                    else {
+                      val o = w.dataOffset + 2 * i
+                      ((b(o + 1): Int) << 8) | (b(o) & 0xff)
+                    }
+                  energy += v.toLong * v
+                  val a = if (v < 0) -v else v
+                  if (a > peak) peak = a
+                  i += 1
+                }
+                Row(id, w.sampleRate, w.channels, f, end - start, energy, peak)
+              }
             }
           }
         }

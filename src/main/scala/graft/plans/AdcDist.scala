@@ -19,10 +19,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * hottest loop of PQ search, |Q|·|C|·m lookups — where this is a
   * flat array walk. Codes must index within their qtab row (PQ
   * encode guarantees [0, ksub)); out-of-range codes throw rather
-  * than silently null like the non-ANSI built-in.
+  * than silently null like the non-ANSI built-in. A NULL element
+  * (null code, null qtab row, null table cell) propagates to a NULL
+  * result — the same answer the `element_at` fold gives — so the two
+  * forms stay value-identical on nullable-element inputs too.
   * Registered by [[GraftExtensions]] as `adc_dist`.
   */
 case class AdcDist(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(ArrayType(LongType, _), _), ArrayType(LongType, _)) =>
@@ -40,21 +45,30 @@ case class AdcDist(left: Expression, right: Expression) extends BinaryExpression
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (qtab, codes) =>
-      s"${ev.value} = graft.plans.AdcDistOps.compute($qtab, $codes);")
+      s"""java.lang.Long ${ev.value}_r = graft.plans.AdcDistOps.compute($qtab, $codes);
+         |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}_r.longValue(); }""".stripMargin)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): AdcDist =
     copy(left = newLeft, right = newRight)
 }
 
 object AdcDistOps {
-  def compute(qtab: ArrayData, codes: ArrayData): Long = {
+  /** Boxed return so a null ELEMENT can propagate as SQL NULL (the
+    * `element_at` fold's answer) instead of reading 0/garbage; the
+    * non-null fast path allocates one box per row, outside the loop. */
+  def compute(qtab: ArrayData, codes: ArrayData): java.lang.Long = {
     val m = math.min(qtab.numElements(), codes.numElements())
     var acc = 0L
     var s = 0
     while (s < m) {
-      acc += qtab.getArray(s).getLong(codes.getLong(s).toInt)
+      if (codes.isNullAt(s) || qtab.isNullAt(s)) return null
+      val row = qtab.getArray(s)
+      val j = codes.getLong(s).toInt
+      if (row.isNullAt(j)) return null
+      acc += row.getLong(j)
       s += 1
     }
-    acc
+    java.lang.Long.valueOf(acc)
   }
 }

@@ -26,6 +26,15 @@ case class PqEncode(first: Expression, second: Expression, third: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     (first.dataType, second.dataType, third.dataType) match {
       case (ArrayType(LongType, _), ArrayType(ArrayType(LongType, _), _), IntegerType) =>
+        // m is almost always a literal — reject a non-positive subspace
+        // count at ANALYSIS time with a named error instead of a
+        // divide-by-zero surfacing from generated code at runtime.
+        if (third.foldable) {
+          val m = third.eval()
+          if (m == null || m.asInstanceOf[Int] < 1)
+            return TypeCheckResult.TypeCheckFailure(
+              s"pq_encode: m (number of subspaces) must be >= 1, got $m")
+        }
         TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
         "pq_encode requires (array<bigint>, array<array<bigint>>, int), got " +
@@ -49,7 +58,19 @@ case class PqEncode(first: Expression, second: Expression, third: Expression)
 }
 
 object PqEncodeOps {
+  /** Runtime guards cover the non-foldable-m path (checkInputDataTypes
+    * already rejects foldable m < 1): a bad subspace count or a vector/
+    * codebook whose length does not tile into m subspaces fails with a
+    * NAMED error instead of ArithmeticException / silently truncated
+    * trailing dimensions. */
   def compute(vq: ArrayData, cb: ArrayData, m: Int): ArrayData = {
+    if (m < 1) throw new IllegalArgumentException(
+      s"pq_encode: m (number of subspaces) must be >= 1, got $m")
+    if (vq.numElements() % m != 0) throw new IllegalArgumentException(
+      s"pq_encode: vector length ${vq.numElements()} is not divisible by m=$m " +
+        "(trailing dimensions would be silently dropped)")
+    if (cb.numElements() % m != 0) throw new IllegalArgumentException(
+      s"pq_encode: flat codebook length ${cb.numElements()} is not divisible by m=$m")
     val subDim = vq.numElements() / m
     val ksub = cb.numElements() / m
     val codes = new Array[Long](m)

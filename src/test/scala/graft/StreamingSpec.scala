@@ -284,7 +284,7 @@ class StreamingSpec extends AnyFunSpec {
     }
 
     it("chunked stream-stream join replays >1 micro-batch with state bounded below the input") {
-      // The registered q_stream_join shape: events staged as 6
+      // The registered q_stream_join shape: events staged as 3
       // time-ordered files, maxFilesPerTrigger=1, so the watermark
       // advances between micro-batches and join-state eviction runs
       // mid-query. Without chunking, one AvailableNow batch buffers

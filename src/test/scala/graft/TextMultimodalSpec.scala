@@ -274,6 +274,35 @@ class TextMultimodalSpec extends AnyFunSpec {
       bad(34) = 16
       assert(Multimodal.parseWav(bad ++ Array[Byte](0, 0)).isEmpty)
     }
+    it("IMA ADPCM block decode matches the reference state machine and frames through the WAV lane") {
+      // hand-traced through the IMA tables: header pred=0x1234=4660,
+      // idx=5, data 0xA7 0x3F -> nibbles (low first) 7, A, F, 3
+      val block = Array[Byte](0x34, 0x12, 5, 0, 0xA7.toByte, 0x3F)
+      assert(Multimodal.imaAdpcmDecode(block, 0, block.length).toSeq ==
+        Seq(4660, 4682, 4667, 4626, 4669))
+      // clamps: out-of-range header index (200 -> 88), predictor
+      // pinned at the int16 floor under repeated max-subtract nibbles
+      val floor = Array[Byte](0x00, 0x80.toByte, 200.toByte, 0, 0xFF.toByte)
+      assert(Multimodal.imaAdpcmDecode(floor, 0, floor.length).toSeq ==
+        Seq(-32768, -32768, -32768))
+      // header-only and truncated blocks decode to nothing
+      assert(Multimodal.imaAdpcmDecode(block, 0, 4).toSeq == Seq(4660))
+      assert(Multimodal.imaAdpcmDecode(block, 0, 3).isEmpty)
+      // format-0x11 container round trip: 5 samples -> 1 frame
+      val wav = Multimodal.wavHeader(block.length, 8000, 1, Multimodal.WavImaAdpcm) ++ block
+      val info = Multimodal.parseWav(wav)
+      assert(info.exists(w => w.audioFormat == Multimodal.WavImaAdpcm &&
+        w.bitsPerSample == 4 && w.dataLen == block.length))
+      val media = Seq((1L, wav)).toDF("media_id", "payload")
+      val r = Multimodal.wavFrameFeatures(media, 8).head()
+      val exp = Seq(4660, 4682, 4667, 4626, 4669)
+      assert(r.getInt(4) == 5 &&
+        r.getLong(5) == exp.map(v => v.toLong * v).sum && r.getInt(6) == 4682)
+      // ADPCM claiming 16 bits must not parse
+      val badA = Multimodal.wavHeader(block.length, 8000, 1, Multimodal.WavImaAdpcm)
+      badA(34) = 16
+      assert(Multimodal.parseWav(badA ++ block).isEmpty)
+    }
 
     it("energySegments groups contiguous voiced frames into islands") {
       val frames = Seq(
