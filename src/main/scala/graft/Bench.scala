@@ -51,7 +51,16 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val results = selected.map { case (name, fn) =>
-      name -> (1 to trials).map(_ => timed(fn)).min
+      val best = (1 to trials).map(_ => timed(fn)).min
+      // Release this query's dead localCheckpoint blocks before the
+      // NEXT query is timed: snapshot() panels are unpersisted by the
+      // ContextCleaner only after a GC notices their references died,
+      // so 150 queries of accumulated snapshot blocks otherwise
+      // squeeze later queries' execution memory — q_pairs_spread
+      // measured 3.1 s isolated vs 6.75 s mid-bench before this.
+      // Outside the timed region; one GC per query, not per trial.
+      System.gc()
+      name -> best
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -1240,6 +1240,70 @@ object OracleSql {
          |  CAST(list_max(list_transform(f, x -> abs(x))) AS INTEGER) AS peak
          |FROM fx ORDER BY media_id, frame_idx""".stripMargin,
 
+    // mirrors qVideoFrames: the AVI payload's movi frames ARE the
+    // md5-chain bytes in 32-byte slices (8x4 gray DIB, no pixel
+    // codec), so the oracle states per-frame unsigned-byte stats
+    // straight from the hex plus the arithmetic fps the stream header
+    // must round-trip — matches only if encode(container)∘parse is
+    // byte-exact through the NESTED chunk walk.
+    "q_video_frames" ->
+      """WITH pay AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(24 + (doc_id % 2) * 6 AS INTEGER) AS fps,
+        |    md5(text) || md5(text || '1') || md5(text || '2') || md5(text || '3') ||
+        |    md5(text || '4') || md5(text || '5') || md5(text || '6') || md5(text || '7') AS hx
+        |  FROM documents),
+        |f AS (SELECT media_id, fps, unnest(range(0, 4)) AS frame_idx, hx FROM pay),
+        |pv AS (
+        |  SELECT media_id, fps, frame_idx,
+        |    list_transform(range(0, 32), i ->
+        |      ('0x' || substr(hx, CAST((frame_idx * 32 + i) * 2 + 1 AS INTEGER), 2))::BIGINT) AS ps
+        |  FROM f)
+        |SELECT media_id, CAST(8 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+        |  fps, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  CAST(32 AS INTEGER) AS n_bytes,
+        |  CAST(list_sum(ps) AS BIGINT) AS pix_sum,
+        |  CAST(list_sum(list_transform(ps, x -> x * x)) AS BIGINT) AS pix_sumsq,
+        |  CAST(list_min(ps) AS INTEGER) AS pix_min,
+        |  CAST(list_max(ps) AS INTEGER) AS pix_max
+        |FROM pv ORDER BY media_id, frame_idx""".stripMargin,
+
+    // mirrors qVideoMotion: per-frame pixel deltas vs the previous
+    // frame (frame 0 vs black) from the same hex closed form, then the
+    // SAME islands grouping the audio VAD oracle states — the engine
+    // reuses one segmentation op across audio and video, and so does
+    // the oracle's SQL shape
+    "q_video_motion" ->
+      """WITH pay AS (
+        |  SELECT doc_id AS media_id,
+        |    md5(text) || md5(text || '1') || md5(text || '2') || md5(text || '3') ||
+        |    md5(text || '4') || md5(text || '5') || md5(text || '6') || md5(text || '7') AS hx
+        |  FROM documents),
+        |f AS (SELECT media_id, unnest(range(0, 4)) AS frame_idx, hx FROM pay),
+        |pv AS (
+        |  SELECT media_id, frame_idx,
+        |    list_transform(range(0, 32), i ->
+        |      ('0x' || substr(hx, CAST((frame_idx * 32 + i) * 2 + 1 AS INTEGER), 2))::BIGINT) AS ps
+        |  FROM f),
+        |dl AS (SELECT media_id, frame_idx, ps,
+        |    LAG(ps) OVER (PARTITION BY media_id ORDER BY frame_idx) AS prev FROM pv),
+        |dx AS (SELECT media_id, frame_idx,
+        |    list_transform(range(0, 32), i -> abs(ps[CAST(i + 1 AS INTEGER)] -
+        |      CASE WHEN prev IS NULL THEN 0 ELSE prev[CAST(i + 1 AS INTEGER)] END)) AS ds
+        |  FROM dl),
+        |fr AS (SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx, 32 AS ns,
+        |    CAST(list_sum(ds) AS BIGINT) AS energy, CAST(list_max(ds) AS INTEGER) AS peak
+        |  FROM dx),
+        |v AS (SELECT *, frame_idx - ROW_NUMBER() OVER (PARTITION BY media_id ORDER BY frame_idx) AS run
+        |  FROM fr WHERE energy >= 2720)
+        |SELECT media_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY media_id ORDER BY MIN(frame_idx)) - 1 AS INTEGER) AS seg_idx,
+        |  MIN(frame_idx) AS start_frame, MAX(frame_idx) AS end_frame,
+        |  CAST(COUNT(*) AS INTEGER) AS n_frames, CAST(SUM(ns) AS BIGINT) AS n_samples,
+        |  CAST(SUM(energy) AS BIGINT) AS energy, MAX(peak) AS peak
+        |FROM v GROUP BY media_id, run
+        |ORDER BY media_id, seg_idx""".stripMargin,
+
     // mirrors qAudioVad: same frame-energy closed form, then islands
     // (frame_idx − row_number within voiced frames) grouped to
     // segments — silence-trim semantics stated relationally

@@ -1690,6 +1690,47 @@ object SparkEntry {
       .orderBy("media_id", "frame_idx")
   }
 
+  /** AVI video-container lane — the NESTED-RIFF container format
+    * under the hash gate: the md5-chain bytes become four 8×4
+    * grayscale DIB frames wrapped in a real AVI (LIST hdrl with
+    * avih + strl/strh/strf, LIST movi with one 00db chunk per frame,
+    * per-doc integer fps in the stream header), then PARSED BACK by
+    * Multimodal.aviFrameFeatures — nested chunk walk, header
+    * round trip, frame slicing, exact per-frame raster stats. Frames
+    * are uncompressed BY CHOICE (the gray-PNG discipline): codec-free
+    * payloads keep the decode oracle-stateable while the container
+    * plumbing is fully real. */
+  private def aviVideo(s: SparkSession, dir: String): DataFrame = {
+    val parts = s.sessionState.conf.numShufflePartitions
+    val hexCols = (0 until 8).map(i =>
+      if (i == 0) md5(col("text")) else md5(concat(col("text"), lit(i.toString))))
+    val vids = Tables.documents(s, dir)
+      .select(col("doc_id").cast("long").as("media_id"),
+        unhex(concat(hexCols: _*)).as("payload"),
+        (lit(24) + (col("doc_id") % 2) * 6).cast("int").as("fps"))
+      .repartition(parts, col("media_id")) // CPU-bound parse stage
+    Multimodal.toAvi(vids, "fps", width = 8, height = 4)
+  }
+
+  private def qVideoFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.aviFrameFeatures(aviVideo(s, dir))
+      .orderBy("media_id", "frame_idx")
+
+  /** Motion segmentation composed on the AVI lane: container parse →
+    * consecutive-frame pixel deltas (frame 0 vs black) → contiguous
+    * high-motion runs as segments, REUSING the audio lane's
+    * [[graft.operators.Multimodal.energySegments]] islands op
+    * unchanged — frame deltas drop into the same (media_id,
+    * frame_idx, n_samples, energy, peak) shape voiced frames use. The
+    * 2720 threshold is the expected Σ|Δ| of a 32-pixel frame under
+    * ~uniform content, so the deterministic payloads split into a
+    * nontrivial motion/static mix and run boundaries are exercised. */
+  private def qVideoMotion(s: SparkSession, dir: String): DataFrame =
+    Multimodal.energySegments(
+        Multimodal.aviFrameDeltas(aviVideo(s, dir)),
+        minFrameEnergy = 2720L)
+      .orderBy("media_id", "seg_idx")
+
   /** Silence-trim / voice-activity segmentation composed on the WAV
     * lane: container parse → frame energies → contiguous
     * above-threshold runs as segments (relational islands — two
@@ -1909,6 +1950,8 @@ object SparkEntry {
     "q_audio_vad" -> (qAudioVad _),
     "q_audio_ulaw" -> (qAudioUlaw _),
     "q_audio_adpcm" -> (qAudioAdpcm _),
+    "q_video_frames" -> (qVideoFrames _),
+    "q_video_motion" -> (qVideoMotion _),
     "q_market_beta" -> (qMarketBeta _),
     "q_max_drawdown" -> (qMaxDrawdown _),
     "q_resample_weekly" -> (qResampleWeekly _),

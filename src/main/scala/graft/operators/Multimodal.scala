@@ -453,6 +453,278 @@ object Multimodal {
         "n_frames", "n_samples", "energy", "peak")
   }
 
+  // ───────────────────────── AVI video container ─────────────────────
+
+  /** Parsed AVI container: header fields + each video frame's position
+    * inside the payload (no copy at parse time — the movi subchunks
+    * are sliced lazily by the feature op). */
+  private[graft] final case class AviInfo(
+    width: Int, height: Int, fps: Int, nFrames: Int,
+    frames: Array[(Int, Int)]) // (offset, len) per '00db'/'00dc' chunk
+
+  private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  /** ===== REAL video container encode =====
+    * Raw 8-bit grayscale rasters → a well-formed AVI (RIFF with NESTED
+    * lists): `LIST hdrl` holding the `avih` main header and a
+    * `LIST strl` with the `strh` video-stream header (fccType 'vids',
+    * handler 'DIB ', dwRate/dwScale = integer fps) and the `strf`
+    * BITMAPINFOHEADER, then `LIST movi` with one '00db' (uncompressed
+    * device-independent bitmap) chunk per frame. Uncompressed frames
+    * are the DELIBERATE choice — like the gray-PNG image lane, a
+    * codec-free payload makes decode oracle-stateable while the
+    * CONTAINER work (nested chunk walk, header round trip, frame
+    * slicing) is fully real. The strf is header-only (no palette
+    * block): grayscale-implied 8-bit, accepted by [[parseAvi]], which
+    * is the documented wire contract of this lane. */
+  private[graft] def encodeAvi(frames: Array[Array[Byte]], width: Int,
+                               height: Int, fps: Int): Array[Byte] = {
+    require(fps > 0, "encodeAvi: fps must be positive")
+    require(frames.forall(_.length == width * height),
+      s"encodeAvi: every frame must be exactly ${width * height} bytes")
+    val frameBytes = width * height
+    val n = frames.length
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length + (body.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(fourcc(id)).putInt(body.length).put(body)
+      bb.array() // trailing pad byte (if odd) stays 0 per the RIFF spec
+    }
+    def list(listType: String, bodies: Array[Byte]*): Array[Byte] = {
+      val content = fourcc(listType) ++ bodies.flatten
+      chunk("LIST", content)
+    }
+    val avih = {
+      val bb = java.nio.ByteBuffer.allocate(56)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(1000000 / fps)       // dwMicroSecPerFrame
+        .putInt(fps * frameBytes)    // dwMaxBytesPerSec
+        .putInt(0)                   // dwPaddingGranularity
+        .putInt(0)                   // dwFlags
+        .putInt(n)                   // dwTotalFrames
+        .putInt(0)                   // dwInitialFrames
+        .putInt(1)                   // dwStreams
+        .putInt(frameBytes)          // dwSuggestedBufferSize
+        .putInt(width).putInt(height)
+      bb.array()                     // 4 reserved dwords stay 0
+    }
+    val strh = {
+      val bb = java.nio.ByteBuffer.allocate(56)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(fourcc("vids")).put(fourcc("DIB "))
+        .putInt(0)                   // dwFlags
+        .putShort(0).putShort(0)     // wPriority, wLanguage
+        .putInt(0)                   // dwInitialFrames
+        .putInt(1)                   // dwScale
+        .putInt(fps)                 // dwRate (fps = rate/scale)
+        .putInt(0)                   // dwStart
+        .putInt(n)                   // dwLength (frames)
+        .putInt(frameBytes)          // dwSuggestedBufferSize
+        .putInt(-1)                  // dwQuality (default)
+        .putInt(0)                   // dwSampleSize
+        .putShort(0).putShort(0)     // rcFrame left, top
+        .putShort(width.toShort).putShort(height.toShort)
+      bb.array()
+    }
+    val strf = {
+      val bb = java.nio.ByteBuffer.allocate(40)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(40)                  // biSize
+        .putInt(width).putInt(height)
+        .putShort(1)                 // biPlanes
+        .putShort(8)                 // biBitCount: 8-bit gray
+        .putInt(0)                   // biCompression = BI_RGB (none)
+        .putInt(frameBytes)          // biSizeImage
+      bb.array()                     // pels/clr fields stay 0
+    }
+    val hdrl = list("hdrl", chunk("avih", avih),
+      list("strl", chunk("strh", strh), chunk("strf", strf)))
+    val movi = list("movi", frames.map(f => chunk("00db", f)): _*)
+    val riffContent = fourcc("AVI ") ++ hdrl ++ movi
+    val bb = java.nio.ByteBuffer.allocate(8 + riffContent.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(fourcc("RIFF")).putInt(riffContent.length).put(riffContent)
+    bb.array()
+  }
+
+  /** AVI container parse, pure JDK: a NESTED RIFF walk (unlike WAV's
+    * flat chunk list) — descends `LIST hdrl` → `avih` and
+    * `LIST strl` → `strh`/`strf`, then collects the frame subchunks of
+    * `LIST movi` ('00db' uncompressed / '00dc' compressed ids both
+    * accepted; extra chunks like 'idx1'/'JUNK' tolerated, odd sizes
+    * padded per RIFF). Returns None — degrade, don't throw — for
+    * truncated headers, non-AVI payloads, non-'vids' streams, or a
+    * biBitCount other than 8 (this lane's wire contract is 8-bit
+    * gray DIB frames; anything else would need a real pixel codec). */
+  private[graft] def parseAvi(b: Array[Byte]): Option[AviInfo] = {
+    def ascii(off: Int) = new String(b, off, 4, "US-ASCII")
+    def u32(off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+    def u16(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    if (b.length < 12 || ascii(0) != "RIFF" || ascii(8) != "AVI ") return None
+    var avih: Option[(Int, Int, Int)] = None    // width, height, nFrames
+    var strh: Option[(Int, Int)] = None         // scale, rate
+    var bitCountOk = true
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    // walk one chunk sequence [from, to); descend into known LISTs
+    def walk(from: Int, to: Int, inMovi: Boolean): Boolean = {
+      var off = from
+      while (off + 8 <= to) {
+        val id = ascii(off)
+        val size = u32(off + 4)
+        if (size < 0 || off + 8 + size > to) return false
+        val sz = size.toInt
+        if (id == "LIST" && sz >= 4) {
+          val listType = ascii(off + 8)
+          if (listType == "hdrl" || listType == "strl")
+            { if (!walk(off + 12, off + 8 + sz, inMovi = false)) return false }
+          else if (listType == "movi")
+            { if (!walk(off + 12, off + 8 + sz, inMovi = true)) return false }
+          // other list types (odml, INFO) skipped whole
+        } else if (id == "avih" && sz >= 56) {
+          avih = Some((u32(off + 8 + 32).toInt, u32(off + 8 + 36).toInt,
+            u32(off + 8 + 16).toInt))
+        } else if (id == "strh" && sz >= 56) {
+          if (ascii(off + 8) == "vids")
+            strh = Some((u32(off + 8 + 20).toInt, u32(off + 8 + 24).toInt))
+        } else if (id == "strf" && sz >= 40) {
+          if (u16(off + 8 + 14) != 8) bitCountOk = false
+        } else if (inMovi && (id == "00db" || id == "00dc")) {
+          frames += ((off + 8, sz))
+        }
+        off += 8 + sz + (sz & 1) // odd-size chunks are padded to even
+      }
+      true
+    }
+    if (!walk(12, b.length, inMovi = false)) return None
+    for {
+      (w, h, nf) <- avih
+      (scale, rate) <- strh
+      if bitCountOk && w > 0 && h > 0 && scale > 0 && rate > 0 &&
+        frames.length == nf && rate % scale == 0
+    } yield AviInfo(w, h, rate / scale, nf, frames.toArray)
+  }
+
+  /** ===== REAL video container decode =====
+    * Parses each payload as an AVI ([[parseAvi]]) and emits per-frame
+    * raster statistics: exact unsigned-byte Σp, Σp², min/max per
+    * frame, plus the container's width/height/fps — the standard first
+    * stage of video curation (black-frame and flat-frame detection,
+    * shot-boundary deltas, sampling decisions) over the decoded
+    * frames. Unparseable payloads emit ZERO frames (poison-pill
+    * policy). Narrow mapPartitions; frames bounded by payload size. */
+  def aviFrameFeatures(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("fps", IntegerType),
+      StructField("frame_idx", IntegerType),
+      StructField("n_bytes", IntegerType),
+      StructField("pix_sum", LongType),
+      StructField("pix_sumsq", LongType),
+      StructField("pix_min", IntegerType),
+      StructField("pix_max", IntegerType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select(col("media_id").cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val b = r.getAs[Array[Byte]](1)
+          parseAvi(b).iterator.flatMap { a =>
+            a.frames.iterator.zipWithIndex.map { case ((off, len), f) =>
+              var i = 0
+              var s = 0L
+              var ss = 0L
+              var mn = 255
+              var mx = 0
+              while (i < len) {
+                val v = b(off + i) & 0xff
+                s += v
+                ss += v.toLong * v
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+                i += 1
+              }
+              if (len == 0) { mn = 0 }
+              Row(id, a.width, a.height, a.fps, f, len, s, ss, mn, mx)
+            }
+          }
+        }
+      }(enc)
+  }
+
+  /** ===== Frame-delta (motion) features =====
+    * Per consecutive-frame pixel delta over a parsed AVI: exact
+    * Σ|p_f − p_{f−1}| and max per-pixel delta for every frame (frame 0
+    * measured against black — the standard cold-open convention), in
+    * the SAME column shape as the audio frame features (media_id,
+    * frame_idx, n_samples, energy, peak) — so
+    * [[energySegments]] composes directly on it: contiguous
+    * high-motion runs become motion segments exactly the way voiced
+    * runs become VAD segments. One sequential pass per payload
+    * (deltas need the previous frame), narrow mapPartitions. */
+  def aviFrameDeltas(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("n_samples", IntegerType),
+      StructField("energy", LongType),
+      StructField("peak", IntegerType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select(col("media_id").cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val b = r.getAs[Array[Byte]](1)
+          parseAvi(b).iterator.flatMap { a =>
+            a.frames.iterator.zipWithIndex.map { case ((off, len), f) =>
+              val prev = if (f == 0) None else Some(a.frames(f - 1))
+              var i = 0
+              var s = 0L
+              var mx = 0
+              while (i < len) {
+                val cur = b(off + i) & 0xff
+                val ref = prev match {
+                  case Some((po, pl)) if i < pl => b(po + i) & 0xff
+                  case _ => 0
+                }
+                val d = if (cur >= ref) cur - ref else ref - cur
+                s += d
+                if (d > mx) mx = d
+                i += 1
+              }
+              Row(id, f, len, s, mx)
+            }
+          }
+        }
+      }(enc)
+  }
+
+  /** [[encodeAvi]] as a DataFrame op: each payload's bytes become
+    * ceil(len / (w·h)) frames (payload must tile exactly — a real
+    * ingest would resize; require keeps the contract loud), wrapped in
+    * one AVI per row with the per-row fps. */
+  def toAvi(media: DataFrame, fpsCol: String, width: Int, height: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val fb = width * height
+    media.select(col("media_id").cast("long"), col("payload"),
+        col(fpsCol).cast("int"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val raw = r.getAs[Array[Byte]](1)
+          require(raw.length % fb == 0,
+            s"toAvi: payload (${raw.length} B) must tile ${width}x$height frames")
+          val frames = raw.grouped(fb).toArray
+          Row(r.getLong(0), encodeAvi(frames, width, height, r.getInt(2)))
+        }
+      }(enc)
+  }
+
   /** JVM-side single-image helpers shared by the encode/decode
     * operators and their tests. 8-bit grayscale PNG is the chosen
     * wire format: lossless, JDK codec both directions, so

@@ -303,6 +303,75 @@ class TextMultimodalSpec extends AnyFunSpec {
       badA(34) = 16
       assert(Multimodal.parseWav(badA ++ block).isEmpty)
     }
+    it("AVI container: encode ∘ parse round-trips headers and per-frame raster stats") {
+      val f0 = Array[Byte](1, 2, 3, 4)
+      val f1 = Array[Byte](250.toByte, 0, 255.toByte, 5)
+      val avi = Multimodal.encodeAvi(Array(f0, f1), width = 2, height = 2, fps = 30)
+      val info = Multimodal.parseAvi(avi)
+      assert(info.exists(a => a.width == 2 && a.height == 2 && a.fps == 30 &&
+        a.nFrames == 2 && a.frames.length == 2))
+      // frame positions slice back the exact original bytes
+      info.get.frames.zip(Seq(f0, f1)).foreach { case ((off, len), exp) =>
+        assert(avi.slice(off, off + len).toSeq == exp.toSeq)
+      }
+      val media = Seq((9L, avi)).toDF("media_id", "payload")
+      val rows = Multimodal.aviFrameFeatures(media).orderBy("frame_idx")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+          r.getInt(4), r.getInt(5), r.getLong(6), r.getLong(7), r.getInt(8), r.getInt(9)))
+      assert(rows.toSeq == Seq(
+        (9L, 2, 2, 30, 0, 4, 10L, 30L, 1, 4),
+        (9L, 2, 2, 30, 1, 4, 510L, 127550L, 0, 255)))
+    }
+    it("AVI frame deltas measure motion vs the previous frame (frame 0 vs black)") {
+      val f0 = Array[Byte](1, 2, 3, 4)
+      val f1 = Array[Byte](250.toByte, 0, 255.toByte, 5)
+      val avi = Multimodal.encodeAvi(Array(f0, f1), 2, 2, 24)
+      val media = Seq((3L, avi)).toDF("media_id", "payload")
+      val rows = Multimodal.aviFrameDeltas(media).orderBy("frame_idx")
+        .collect().map(r => (r.getInt(1), r.getInt(2), r.getLong(3), r.getInt(4)))
+      // frame 0: Σ|p−0| = 10, max 4; frame 1: |249|+|2|+|252|+|1| = 504, max 252
+      assert(rows.toSeq == Seq((0, 4, 10L, 4), (1, 4, 504L, 252)))
+      // composes with energySegments: both frames clear a low threshold -> one segment
+      val segs = Multimodal.energySegments(Multimodal.aviFrameDeltas(media), 5L).collect()
+      assert(segs.length == 1 && segs(0).getInt(2) == 0 && segs(0).getInt(3) == 1)
+    }
+    it("AVI parse tolerates extra chunks and rejects non-gray or inconsistent containers") {
+      val f0 = Array[Byte](1, 2, 3, 4)
+      val avi = Multimodal.encodeAvi(Array(f0), 2, 2, 24)
+      // splice a JUNK chunk (odd size 3, padded) right after hdrl and
+      // before movi: nested walk must skip it and still find the frame
+      def u32le(v: Int) = Array[Byte](
+        (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      val junk = "JUNK".getBytes("US-ASCII") ++ u32le(3) ++ Array[Byte](7, 7, 7, 0)
+      val moviAt = {
+        // locate the movi LIST: scan for the 'movi' fourcc
+        val s = new String(avi, "ISO-8859-1")
+        s.indexOf("movi") - 8
+      }
+      val spliced = avi.slice(0, moviAt) ++ junk ++ avi.drop(moviAt)
+      // fix the RIFF size field for the inserted bytes
+      System.arraycopy(u32le(spliced.length - 8), 0, spliced, 4, 4)
+      val info = Multimodal.parseAvi(spliced)
+      assert(info.exists(a => a.nFrames == 1 && a.fps == 24))
+      // 24-bit strf must not parse (this lane's contract is 8-bit gray)
+      val bad24 = Multimodal.encodeAvi(Array(f0), 2, 2, 24)
+      val strfAt = new String(bad24, "ISO-8859-1").indexOf("strf")
+      bad24(strfAt + 8 + 14) = 24
+      assert(Multimodal.parseAvi(bad24).isEmpty)
+      // frame-count mismatch between avih and movi must not parse
+      val lying = Multimodal.encodeAvi(Array(f0), 2, 2, 24)
+      val avihAt = new String(lying, "ISO-8859-1").indexOf("avih")
+      lying(avihAt + 8 + 16) = 5 // dwTotalFrames = 5, movi has 1
+      assert(Multimodal.parseAvi(lying).isEmpty)
+      // non-AVI payloads emit zero frames through the feature op
+      val media = Seq(
+        (1L, Array.fill[Byte](64)(42)),
+        (2L, "RIFF1234AVI ".getBytes("US-ASCII")),
+        (3L, avi)).toDF("media_id", "payload")
+      assert(Multimodal.aviFrameFeatures(media)
+        .select("media_id").as[Long].collect().toSeq == Seq(3L))
+    }
 
     it("energySegments groups contiguous voiced frames into islands") {
       val frames = Seq(
