@@ -1240,6 +1240,17 @@ object OracleSql {
          |  CAST(list_max(list_transform(f, x -> abs(x))) AS INTEGER) AS peak
          |FROM fx ORDER BY media_id, frame_idx""".stripMargin,
 
+    // mirrors qBlobCodecs: the closed form of a LOSSLESS round trip —
+    // byte length + md5 of the original text. The Spark side computes
+    // the digest from the bytes that came OUT of each codec's
+    // decompressor, so a hash match proves decode∘encode is the
+    // identity through four real codec libraries.
+    "q_blob_codecs" ->
+      """SELECT doc_id, CAST(strlen(text) AS INTEGER) AS orig_len,
+        |  true AS gzip_ok, true AS zstd_ok, true AS lz4_ok, true AS snappy_ok,
+        |  md5(text) AS restored_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // mirrors qVideoFrames: the AVI payload's movi frames ARE the
     // md5-chain bytes in 32-byte slices (8x4 gray DIB, no pixel
     // codec), so the oracle states per-frame unsigned-byte stats
@@ -1697,6 +1708,23 @@ object OracleSql {
          |  WHERE b.vec_id % 50 = 0 AND b.vec_id != a.vec_id
          |),
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rn FROM sc)
+         |SELECT query_id, corpus_id, cosine, CAST(rn AS INTEGER) AS rank
+         |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // mirrors qHardNegatives: the q_sim_topk scored pass with the
+    // near-dup band cut BEFORE the rank — the filter is on the SAME
+    // 6-dp-rounded cosine both engines compute, so the cut is
+    // bit-portable
+    "q_hard_negatives" ->
+      s"""WITH $embSql,
+         |sc AS (
+         |  SELECT b.vec_id AS query_id, a.vec_id AS corpus_id,
+         |    ${cosExpr(pairDot, "a.nq", "b.nq")} AS cosine
+         |  FROM en a, en b
+         |  WHERE b.vec_id % 50 = 0 AND b.vec_id != a.vec_id
+         |),
+         |f AS (SELECT * FROM sc WHERE cosine < 0.40),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rn FROM f)
          |SELECT query_id, corpus_id, cosine, CAST(rn AS INTEGER) AS rank
          |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
 

@@ -927,6 +927,20 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Hard-negative mining for contrastive training: top-k similar
+    * corpus items per query with the near-dup band (cosine ≥ 0.40)
+    * cut BEFORE ranking, so would-be false negatives free their ranks
+    * for the next-closest true negatives. The synthetic embeddings
+    * are near-orthogonal (max pair cosine ≈ 0.45), so the demo
+    * threshold sits at the top of their cosine range to provably
+    * exercise the cut — production near-dup bands sit at ~0.9. */
+  private def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.hardNegatives(emb, emb.filter(col("vec_id") % 50 === 0),
+      "vec_id", "embedding", k = 5, dupThreshold = 0.40)
+      .orderBy("query_id", "rank")
+  }
+
   private def qSimAnnLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     Similarity.annTopK(emb, emb.filter(col("vec_id") % 50 === 0),
@@ -1731,6 +1745,21 @@ object SparkEntry {
         minFrameEnergy = 2720L)
       .orderBy("media_id", "seg_idx")
 
+  /** The compressed-blob ingestion lane: every document compressed AND
+    * decompressed with all four Spark-shipped codecs (JDK gzip,
+    * zstd-jni, lz4-java block + carried length, snappy-java) in one
+    * narrow pass, each verified byte-identical, with the digest taken
+    * from the RESTORED bytes so the oracle's closed form only matches
+    * if decode∘encode really is the identity through real codec
+    * libraries ([[graft.operators.Compression]]). */
+  private def qBlobCodecs(s: SparkSession, dir: String): DataFrame = {
+    val parts = s.sessionState.conf.numShufflePartitions
+    Compression.codecMatrix(
+        Tables.documents(s, dir).repartition(parts, col("doc_id")),
+        "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   /** Silence-trim / voice-activity segmentation composed on the WAV
     * lane: container parse → frame energies → contiguous
     * above-threshold runs as segments (relational islands — two
@@ -1895,6 +1924,7 @@ object SparkEntry {
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_sim_topk" -> (qSimTopK _),
+    "q_hard_negatives" -> (qHardNegatives _),
     "q_sim_ann_lsh" -> (qSimAnnLsh _),
     "q_sim_recall" -> (qSimRecall _),
     "q_sim_near_dup" -> (qSimNearDup _),
@@ -1952,6 +1982,7 @@ object SparkEntry {
     "q_audio_adpcm" -> (qAudioAdpcm _),
     "q_video_frames" -> (qVideoFrames _),
     "q_video_motion" -> (qVideoMotion _),
+    "q_blob_codecs" -> (qBlobCodecs _),
     "q_market_beta" -> (qMarketBeta _),
     "q_max_drawdown" -> (qMaxDrawdown _),
     "q_resample_weekly" -> (qResampleWeekly _),

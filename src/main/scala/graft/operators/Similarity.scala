@@ -79,12 +79,43 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val scored = cosineScores(corpus, queries, idCol, vecCol)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Every (query, corpus) cosine — the scored pass [[bruteForceTopK]]
+    * and [[hardNegatives]] rank over: query side broadcast, corpus
+    * scanned once, exact integer dot/norms. */
+  private def cosineScores(corpus: DataFrame, queries: DataFrame,
+                           idCol: String, vecCol: String): DataFrame = {
     val c = prep(corpus, idCol, vecCol, "corpus_id", "cq", "cn")
     val q = prep(queries, idCol, vecCol, "query_id", "qq", "qn")
-    val scored = c.crossJoin(broadcast(q))
+    c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
         cosineQ(dotQN(col("cq"), col("qq")), col("cn"), col("qn")).as("cosine"))
+  }
+
+  /** Hard-negative mining for contrastive/embedding training: per
+    * query, the k MOST similar corpus items whose cosine is still
+    * BELOW `dupThreshold` — close enough to be informative negatives,
+    * but with the near-duplicates (which would be FALSE negatives:
+    * semantically the same item labeled "not a match") cut off first.
+    * The dup cut happens BEFORE the top-k rank, so excluded near-dups
+    * free their ranks for the next-closest true negatives — composing
+    * `bruteForceTopK(...).filter(cosine < t)` instead would just
+    * shorten lists. Same shapes as [[bruteForceTopK]]: broadcast query
+    * side, one corpus scan, rank-pushdown top-k; at corpus scale the
+    * same mining runs over [[annTopK]]-style banded candidates (any
+    * candidate generator that over-fetches ≥ k + expected-dup-count
+    * works, since the cut is a post-filter on exact cosines). */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, dupThreshold: Double): DataFrame = {
+    val scored = cosineScores(corpus, queries, idCol, vecCol)
+      .filter(col("cosine") < dupThreshold)
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -242,6 +242,23 @@ class PlanSpec extends AnyFunSpec {
       assert(!plan(df).contains("Exchange"), s"unexpected exchange, plan:\n${plan(df)}")
     }
 
+    it("the codec lanes (WAV/ADPCM decode, AVI parse) are narrow maps — zero exchanges") {
+      // container encode -> parse -> frame features must never shuffle:
+      // at 100 TB the decode stage is pure per-partition CPU, and an
+      // accidental exchange there would move the raw payload bytes
+      val media = graft.sources.Tables.documents(spark, dir)
+        .selectExpr("CAST(doc_id AS LONG) AS media_id",
+          "unhex(md5(text)) AS payload", "CAST(8000 AS INT) AS sample_rate")
+      val wav = graft.operators.Multimodal.wavFrameFeatures(
+        graft.operators.Multimodal.toWav(media, "sample_rate"))
+      assert(!plan(wav).contains("Exchange"), s"unexpected exchange, plan:\n${plan(wav)}")
+      val avi = graft.operators.Multimodal.aviFrameFeatures(
+        graft.operators.Multimodal.toAvi(
+          media.withColumn("fps", org.apache.spark.sql.functions.lit(24)),
+          "fps", width = 4, height = 4))
+      assert(!plan(avi).contains("Exchange"), s"unexpected exchange, plan:\n${plan(avi)}")
+    }
+
     it("BPE encode carries the merge table by broadcast — docs never shuffle for it") {
       val p = plan(graft.operators.TextAnalysis.bpeEncode(
         graft.sources.Tables.documents(spark, dir), "doc_id", "text"))

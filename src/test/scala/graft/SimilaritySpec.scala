@@ -38,6 +38,31 @@ class SimilaritySpec extends AnyFunSpec {
     }
   }
 
+  describe("hardNegatives") {
+    it("cuts the near-dup band BEFORE ranking so later negatives back-fill the ranks") {
+      // corpus: an exact dup of the query (cos 1), a close item, and
+      // two progressively farther ones
+      val mk = (s: Float) => Array.tabulate(4)(i => if (i == 0) 1f else s)
+      val corpus = Seq(
+        (2L, mk(0.0f)),                     // exact dup of the query direction
+        (3L, Array(1f, 0.5f, 0f, 0f)),      // close
+        (4L, Array(1f, 1f, 1f, 0f)),        // farther
+        (5L, Array(0f, 1f, 0f, 0f)))        // orthogonal-ish
+        .toDF("vec_id", "embedding")
+      val query = Seq((1L, mk(0.0f))).toDF("vec_id", "embedding")
+      val topk = Similarity.bruteForceTopK(corpus, query, "vec_id", "embedding", 3)
+        .select("corpus_id").as[Long].collect().toSeq
+      assert(topk == Seq(2L, 3L, 4L)) // the dup leads the plain top-k
+      val hard = Similarity.hardNegatives(corpus, query, "vec_id", "embedding",
+          k = 3, dupThreshold = 0.95)
+        .select("corpus_id", "rank").as[(Long, Int)].collect().toSeq
+      // the cos-1 dup is cut; ranks re-pack from the closest TRUE negative
+      assert(hard == Seq((3L, 1), (4L, 2), (5L, 3)))
+      // filtering AFTER top-k would instead have truncated the list:
+      assert(topk.filterNot(_ == 2L).length == 2)
+    }
+  }
+
   describe("annTopK") {
     it("returns a subset of brute-force results restricted to shared buckets, ranked consistently") {
       val emb = Tables.embeddings(spark, dir)
