@@ -101,6 +101,59 @@ object Pipelines {
     }
   }
 
+  /** The MULTIMODAL training-data DAG — [[CorpusPipeline]]'s shape
+    * applied to media: compressed blob archive → per-row decompression
+    * with the poison-pill policy (corrupt blobs drop, never fail the
+    * job) → WAV container encode (the archive-to-wire step a real
+    * pipeline runs once) → container parse + frame decode → energy-VAD
+    * curation (keep media with ≥ 1 voiced segment) → frame-level exact
+    * dedup by content hash. Every stage is the oracle-checked
+    * operator; counts must shrink monotonically (a curation stage that
+    * grows its input is a bug, not a statistic); stages snapshot so
+    * audits and successors read materialized frames. */
+  object MediaPipeline {
+    import graft.sources.Staging.Snapshottable
+
+    def main(args: Array[String]): Unit = {
+      val Array(blobsPath, outDir) = args.take(2)
+      withSession("graft-media") { spark =>
+        // 1. ingest: gzip blob archive -> raw payloads; poison pills drop
+        val blobs = spark.read.parquet(blobsPath)
+        val total = blobs.count()
+        val raw = Compression
+          .decompressCorpus(blobs, "doc_id", "blob", "orig_len", "gzip")
+          .filter(col("ok"))
+          .select(col("doc_id").as("media_id"),
+            unhex(md5(col("text"))).as("payload"),
+            lit(8000).as("sample_rate"))
+          .snapshot()
+        val nDecoded = raw.count()
+        // 2. container encode + 3. parse/decode to frame features
+        val frames = Multimodal.wavFrameFeatures(
+          Multimodal.toWav(raw, "sample_rate"), frameSamples = 4).snapshot()
+        // 4. VAD curation: media with at least one voiced segment
+        val segs = Multimodal.energySegments(
+          frames.drop("sample_rate", "n_channels"), minFrameEnergy = 1000000000L)
+        val voiced = raw.join(
+          segs.select("media_id").distinct(), "media_id").snapshot()
+        val nVoiced = voiced.count()
+        require(nDecoded <= total && nVoiced <= nDecoded,
+          s"media stage grew: $total -> $nDecoded -> $nVoiced")
+        // 5. frame-level exact dedup on content hash, keep-first
+        val uniqueFrames = Dedup.keepFirst(
+          Multimodal.sampleFrames(
+            Multimodal.asMedia(voiced.select(col("media_id"), col("payload")),
+              "media_id", "payload")),
+          Seq("frame_hash"), Seq(col("media_id"), col("frame_idx")))
+        uniqueFrames.write.mode("overwrite").parquet(s"$outDir/frames")
+        voiced.select("media_id").write.mode("overwrite").parquet(s"$outDir/kept")
+        val nFrames = spark.read.parquet(s"$outDir/frames").count()
+        println(s"[media] total=$total decoded=$nDecoded voiced=$nVoiced " +
+          s"unique_frames=$nFrames")
+      }
+    }
+  }
+
   /** The LLM training-data DAG (the pipeline the LLM-data layer's
     * operators exist to compose): raw document corpus → quality/
     * language gate → near-dup removal (exact dups are Jaccard-1

@@ -90,6 +90,39 @@ class PipelinesSpec extends AnyFunSpec {
     }
   }
 
+  describe("Pipelines.MediaPipeline") {
+    it("decompresses, decodes, curates and frame-dedups media end-to-end, dropping poison pills") {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_media").toFile
+      val blobsPath = new java.io.File(dir, "blobs").getAbsolutePath
+      val outDir = new java.io.File(dir, "out").getAbsolutePath
+
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+      val blobs = graft.operators.Compression
+        .compressCorpus(docs, "doc_id", "text", "gzip")
+      // two poison pills: junk bytes and a truncated gzip stream
+      val gz = graft.operators.Compression.compress("gzip", "x".getBytes("UTF-8"))
+      val poison = Seq(
+        (99991L, Array.fill[Byte](16)(3), 10),
+        (99992L, gz.take(gz.length / 2), 1)).toDF("doc_id", "blob", "orig_len")
+      blobs.union(poison).write.parquet(blobsPath)
+
+      graft.jobs.Pipelines.MediaPipeline.main(Array(blobsPath, outDir))
+
+      val kept = spark.read.parquet(s"$outDir/kept")
+      assert(kept.count() > 0 && kept.count() <= 100)
+      assert(kept.filter($"media_id" >= 99991L).isEmpty,
+        "poison blobs must not survive ingest")
+      val frames = spark.read.parquet(s"$outDir/frames")
+      assert(frames.count() > 0)
+      // exact dedup held: one row per content hash
+      assert(frames.select("frame_hash").distinct().count() == frames.count())
+      // every surviving frame belongs to a kept media row
+      assert(frames.join(kept, "media_id").count() == frames.count())
+    }
+  }
+
   describe("Pipelines.CorpusPipeline") {
     it("filters, dedups, decontaminates, splits, and packs end-to-end") {
       import org.apache.spark.sql.functions._

@@ -242,6 +242,17 @@ class PlanSpec extends AnyFunSpec {
       assert(!plan(df).contains("Exchange"), s"unexpected exchange, plan:\n${plan(df)}")
     }
 
+    it("hard-negative mining broadcasts the query side and pushes the rank down") {
+      val emb = graft.sources.Tables.embeddings(spark, dir)
+      val p = plan(graft.operators.Similarity.hardNegatives(
+        emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") % 50 === 0),
+        "vec_id", "embedding", k = 5, dupThreshold = 0.4))
+      assert(p.contains("BroadcastExchange"), s"query side must broadcast, plan:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"corpus must not sort-merge, plan:\n$p")
+      // the dup cut must not defeat the per-query top-k rank pushdown
+      assert(p.contains("WindowGroupLimit"), s"expected rank pushdown, plan:\n$p")
+    }
+
     it("the codec lanes (WAV/ADPCM decode, AVI parse) are narrow maps — zero exchanges") {
       // container encode -> parse -> frame features must never shuffle:
       // at 100 TB the decode stage is pure per-partition CPU, and an
