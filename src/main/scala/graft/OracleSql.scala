@@ -1561,6 +1561,25 @@ object OracleSql {
         |  AND c.ct BETWEEN v.vt - INTERVAL 6 HOUR AND v.vt
         |ORDER BY v.user_id, v.view_id, c.click_id""".stripMargin,
 
+    // mirrors qStreamJoinOuter: the plain batch LEFT JOIN — the
+    // streaming side only equals this if the sentinel flush really
+    // advanced both watermarks past every unmatched view's window
+    // (otherwise the last chunk's null-extended rows are missing)
+    "q_stream_join_outer" ->
+      """WITH v AS (
+        |  SELECT user_id, event_id AS view_id, CAST(ts AS TIMESTAMP) AS vt
+        |  FROM events WHERE event_type = 'view'
+        |),
+        |c AS (
+        |  SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS ct
+        |  FROM events WHERE event_type = 'click'
+        |)
+        |SELECT v.user_id, v.view_id, c.click_id,
+        |  v.vt AS view_time, c.ct AS click_time
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |  AND c.ct BETWEEN v.vt - INTERVAL 6 HOUR AND v.vt
+        |ORDER BY v.user_id, v.view_id, c.click_id""".stripMargin,
+
     // streaming ≡ batch: one AvailableNow pass over the corpus file is
     // one fresh batch against an empty store, so the flags table must
     // equal the full batch pair set

@@ -352,6 +352,89 @@ object SparkEntry {
     (result, progress)
   }
 
+  /** Stream-stream LEFT OUTER interval join THROUGH the engine — the
+    * stateful-join aspect [[qStreamJoin]]'s inner form cannot show:
+    * unmatched views must emit null-extended, and Spark only emits
+    * them once BOTH watermarks pass the row's match window. A
+    * draining AvailableNow replay would therefore swallow the last
+    * chunk's unmatched rows (they are still inside the watermark when
+    * the stream ends), so the staging appends a far-future SENTINEL
+    * chunk — one view + one click on a reserved user id — that
+    * advances both watermarks past all real data and is filtered out
+    * of the result: the standard watermark-flush technique, and the
+    * reason this query is row-identical to the batch LEFT JOIN the
+    * oracle states. */
+  private def qStreamJoinOuter(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.TickStream
+    val sentinelUser = -999999L
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_join_o").toString
+    val events = Tables.events(s, dir)
+    val src = new java.io.File(s"$dir/events.parquet")
+    val staged = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_sjo_stage_${contentKey(src)}")
+    if (!new java.io.File(staged, "_STAGED").exists) {
+      Option(staged.getParentFile.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("graft_sjo_stage_")
+          && f.getName != staged.getName)
+        .foreach(f => deleteDir(f.toString))
+      val tsType = events.schema("ts").dataType
+      def sentinelTs(iso: String, nanos: Long) = tsType match {
+        // the nanos-as-long encoding; else a plain cast
+        case org.apache.spark.sql.types.LongType => lit(nanos)
+        case _ => lit(iso).cast(tsType)
+      }
+      def sentinel(eventType: String, id: Long,
+                   ts: org.apache.spark.sql.Column) = events.limit(1)
+        .select(events.columns.map {
+          case "event_id" => lit(id).cast(events.schema("event_id").dataType).as("event_id")
+          case "user_id" => lit(sentinelUser).cast(events.schema("user_id").dataType).as("user_id")
+          case "event_type" => lit(eventType).as("event_type")
+          case "ts" => ts.as("ts")
+          case c => col(c)
+        }: _*)
+      // TWO flush files (see stageTimeChunks): file 1 advances both
+      // watermarks past all real data, file 2 is the batch that emits
+      // the null-extended rows under that watermark
+      val t1 = sentinelTs("2099-01-01 00:00:00", 4070908800000000000L)
+      val t2 = sentinelTs("2100-01-01 00:00:00", 4102444800000000000L)
+      TickStream.stageTimeChunks(events, "ts", 3, staged.toString,
+        flush = Seq(
+          sentinel("view", -1L, t1).union(sentinel("click", -2L, t1)),
+          sentinel("view", -3L, t2).union(sentinel("click", -4L, t2))))
+    }
+    val src0 = s.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+    val views = src0.filter(col("event_type") === "view")
+      .select(col("user_id").as("symbol"),
+        Adapters.eventTime(src0).cast("timestamp").as("event_time"),
+        col("event_id").as("view_id"))
+    val clicks = src0.filter(col("event_type") === "click")
+      .select(col("user_id").as("symbol"),
+        Adapters.eventTime(src0).cast("timestamp").as("quote_time"),
+        col("event_id").as("click_id"))
+    // NOTE: the sentinel rows must flow all the way THROUGH the
+    // streaming query — a `filter(symbol =!= sentinelUser)` here gets
+    // pushed down to the parquet scan, whose row-group stats then skip
+    // the entire flush file and the watermark never advances (observed:
+    // flush batches read 0 rows). They are dropped from the SINK read
+    // below instead, where the filter is batch-side and harmless.
+    val joined = TickStream
+      .tickQuoteJoin(views, clicks, "6 hours", "6 hours", joinType = "left_outer")
+      .select(col("symbol").as("user_id"), col("view_id"), col("click_id"),
+        col("event_time").cast("timestamp_ntz").as("view_time"),
+        col("quote_time").cast("timestamp_ntz").as("click_time"))
+    withStatePartitions(s, 4) {
+      val q = TickStream.toParquet(joined, s"$out/table", s"$out/ckpt").start()
+      q.awaitTermination()
+    }
+    val result = s.read.parquet(s"$out/table")
+      .filter(col("user_id") =!= sentinelUser) // drop the flush sentinels
+      .orderBy("user_id", "view_id", "click_id")
+      .snapshot() // materialize, then drop the temp snapshot+checkpoint
+    deleteDir(out)
+    result
+  }
+
   private def qRealtimeAnalytics(s: SparkSession, dir: String): DataFrame =
     TickAnalytics.realtimeAnalytics(Adapters.ticks(s, dir))
       .orderBy("symbol", "window_start")
@@ -1974,6 +2057,7 @@ object SparkEntry {
     "q_stream_sessions" -> (qStreamSessions _),
     "q_stream_dedup" -> (qStreamDedup _),
     "q_stream_join" -> (qStreamJoin _),
+    "q_stream_join_outer" -> (qStreamJoinOuter _),
     "q_approx_topk" -> (qApproxTopK _),
     "q_audio_frames" -> (qAudioFrames _),
     "q_audio_wav" -> (qAudioWav _),

@@ -271,12 +271,29 @@ object TickStream {
     * Since chunk i+1's earliest timestamp is ≥ chunk i's latest, no
     * row ever arrives behind the watermark — zero late drops, so the
     * chunked replay is row-identical to the single-batch one. */
-  def stageTimeChunks(df: DataFrame, timeCol: String, k: Int, dir: String): Unit = {
+  /** `flush`: optional frames staged as the FINAL files of the replay
+    * (one file per element, in order) — the watermark-flush sentinels
+    * an OUTER stream-stream join needs. Outer joins emit their
+    * unmatched-side nulls only in a batch that RUNS with the watermark
+    * already past the row's match window; an AvailableNow replay
+    * drains after its last file, so it takes TWO trailing far-future
+    * chunks: the first advances the watermark past all real data, the
+    * second gives the join a batch to evict state and emit the
+    * null-extended rows under it (a single sentinel advances the
+    * watermark and then the query stops — emission never runs). The
+    * caller filters sentinel rows out of the result. */
+  def stageTimeChunks(df: DataFrame, timeCol: String, k: Int, dir: String,
+                      flush: Seq[DataFrame] = Nil): Unit = {
+    def parts() = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
     df.repartitionByRange(k, org.apache.spark.sql.functions.col(timeCol))
       .write.mode("overwrite").parquet(dir)
-    val files = new java.io.File(dir).listFiles()
-      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      .sortBy(_.getName)
+    var files = parts().sortBy(_.getName).toSeq
+    flush.foreach { fl =>
+      val known = files.map(_.getName).toSet
+      fl.coalesce(1).write.mode("append").parquet(dir)
+      files = files ++ parts().filterNot(f => known(f.getName)).sortBy(_.getName)
+    }
     val base = files.map(_.lastModified()).max
     files.zipWithIndex.foreach { case (f, i) =>
       f.setLastModified(base + (i + 1) * 1000L)
@@ -287,15 +304,21 @@ object TickStream {
       java.nio.file.Paths.get(dir, "_STAGED"), Array.empty[Byte])
   }
 
+  /** `joinType` "left_outer": unmatched ticks emit null-extended ONCE
+    * both watermarks pass their match window — pair with a
+    * [[stageTimeChunks]] `flush` sentinel so a draining replay
+    * actually reaches that point for the final chunk's rows. */
   def tickQuoteJoin(ticks: DataFrame, quotes: DataFrame,
                     tolerance: String = "15 minutes",
-                    watermark: String = "30 minutes"): DataFrame = {
+                    watermark: String = "30 minutes",
+                    joinType: String = "inner"): DataFrame = {
     val l = ticks.withWatermark("event_time", watermark)
     val r = quotes.withColumnRenamed("symbol", "q_symbol")
       .withWatermark("quote_time", watermark)
     l.join(r,
       expr(s"""symbol = q_symbol AND
-              |quote_time BETWEEN event_time - INTERVAL $tolerance AND event_time""".stripMargin))
+              |quote_time BETWEEN event_time - INTERVAL $tolerance AND event_time""".stripMargin),
+      joinType)
       .drop("q_symbol")
   }
 

@@ -322,6 +322,36 @@ class StreamingSpec extends AnyFunSpec {
       assert(result.exceptAll(batch).isEmpty && batch.exceptAll(result).isEmpty)
     }
 
+    it("LEFT OUTER stream-stream join emits the last chunk's unmatched rows (sentinel flush)") {
+      val dir = "/root/testdata/sf0.001"
+      assume(new java.io.File(s"$dir/events.parquet").exists())
+      val result = SparkEntry.queries("q_stream_join_outer")(spark, dir)
+      // batch LEFT JOIN oracle form
+      val ev = graft.sources.Tables.events(spark, dir)
+      val t = graft.sources.Adapters.eventTime(ev)
+      val views = ev.filter($"event_type" === "view")
+        .select($"user_id", t.cast("timestamp").as("view_time"), $"event_id".as("view_id"))
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id".as("c_user"), t.cast("timestamp").as("click_time"),
+          $"event_id".as("click_id"))
+      val batch = views.join(clicks,
+          expr("""user_id = c_user AND
+                  click_time BETWEEN view_time - INTERVAL 6 hours AND view_time"""),
+          "left_outer")
+        .select($"user_id", $"view_id", $"click_id",
+          $"view_time".cast("timestamp_ntz").as("view_time"),
+          $"click_time".cast("timestamp_ntz").as("click_time"))
+      assert(result.count() == batch.count())
+      assert(result.exceptAll(batch).isEmpty && batch.exceptAll(result).isEmpty)
+      // the null-extended rows are the point: without the watermark
+      // flush, the tail's unmatched views would be missing entirely
+      assert(result.filter($"click_id".isNull).count() ==
+        batch.filter($"click_id".isNull).count())
+      assert(result.filter($"click_id".isNull).count() > 0)
+      // no sentinel leaked
+      assert(result.filter($"user_id" === -999999L).isEmpty)
+    }
+
     it("streaming dedup drops repeated (symbol, event_time) rows") {
       val source = MemoryStream[Tick](spark)
       val q = TickStream.dedupedTicks(source.toDF())
