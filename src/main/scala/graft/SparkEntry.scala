@@ -397,7 +397,11 @@ object SparkEntry {
       // the null-extended rows under that watermark
       val t1 = sentinelTs("2099-01-01 00:00:00", 4070908800000000000L)
       val t2 = sentinelTs("2100-01-01 00:00:00", 4102444800000000000L)
-      TickStream.stageTimeChunks(events, "ts", 3, staged.toString,
+      // 2 data chunks (+2 sentinels): one mid-data watermark advance
+      // exercises early null emission mid-query; the deeper chunked
+      // replay/eviction proof is the INNER query's job (k=3 there),
+      // and each extra chunk costs a fixed ~0.7 s micro-batch commit.
+      TickStream.stageTimeChunks(events, "ts", 2, staged.toString,
         flush = Seq(
           sentinel("view", -1L, t1).union(sentinel("click", -2L, t1)),
           sentinel("view", -3L, t2).union(sentinel("click", -4L, t2))))
