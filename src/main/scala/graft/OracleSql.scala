@@ -791,6 +791,42 @@ object OracleSql {
          |  ${rd("CAST(st[1] - st[2] - st[3] AS DOUBLE) / 100.0", 4)} AS histogram
          |FROM f ORDER BY symbol""".stripMargin,
 
+    // mirrors DailyAnalytics.indicatorBands: scale-2 fixed-point
+    // frames, lag-staged true range (CASE on day one, not
+    // null-ignoring GREATEST), identical rd4 trees
+    "q_indicator_bands" ->
+      s"""${dailyChain("bars")},
+         |b AS (SELECT symbol, trade_date, close_price, high_price, low_price,
+         |    ${sc("close_price", 2)} AS cfp, ${sc("high_price", 2)} AS hfp,
+         |    ${sc("low_price", 2)} AS lfp,
+         |    LAG(${sc("close_price", 2)}) OVER (PARTITION BY symbol ORDER BY trade_date) AS pcfp
+         |  FROM bars),
+         |t AS (SELECT *, CASE WHEN pcfp IS NULL THEN hfp - lfp
+         |    ELSE GREATEST(hfp - lfp, ABS(hfp - pcfp), ABS(lfp - pcfp)) END AS trfp
+         |  FROM b),
+         |wnd AS (SELECT symbol, trade_date, close_price,
+         |    AVG(cfp) OVER w20 / 100.0 AS mid,
+         |    STDDEV_SAMP(cfp) OVER w20 / 100.0 AS sd,
+         |    AVG(trfp) OVER w14 / 100.0 AS atr,
+         |    MAX(high_price) OVER w20 AS donchian_high,
+         |    MIN(low_price) OVER w20 AS donchian_low
+         |  FROM t
+         |  WINDOW
+         |    w20 AS (PARTITION BY symbol ORDER BY trade_date ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+         |    w14 AS (PARTITION BY symbol ORDER BY trade_date ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         |SELECT symbol, trade_date, close_price,
+         |  ${rd("mid", 4)} AS bb_mid,
+         |  ${rd("mid + 2 * sd", 4)} AS bb_upper,
+         |  ${rd("mid - 2 * sd", 4)} AS bb_lower,
+         |  ${rd("(close_price - (mid - 2 * sd)) / NULLIF(4 * sd, 0)", 4)} AS pct_b,
+         |  ${rd("4 * sd / NULLIF(mid, 0)", 4)} AS bb_bandwidth,
+         |  ${rd("atr", 4)} AS atr_14,
+         |  ${rd("mid + 2 * atr", 4)} AS kc_upper,
+         |  ${rd("mid - 2 * atr", 4)} AS kc_lower,
+         |  donchian_high, donchian_low,
+         |  ${rd("(donchian_high + donchian_low) / 2", 4)} AS donchian_mid
+         |FROM wnd ORDER BY symbol, trade_date""".stripMargin,
+
     // mirrors DailyAnalytics.crossSectionalZ: day stats exact (HUGEINT
     // for Σy² mirroring Spark's DECIMAL(38,0)), same z tree
     "q_cross_sectional_z" ->
@@ -1343,6 +1379,24 @@ object OracleSql {
     // Streaming-computed twin of q_session_windows: SAME oracle —
     // session-state merging through the streaming engine must equal
     // the batch sessionization row for row.
+    // mirrors qStreamTopk: the sharded space-saving summaries are
+    // EXACT under capacity, so the merged top-10 per event_type is the
+    // plain grouped count with the identical (cnt DESC, user_id) cut
+    "q_stream_topk" ->
+      s"""WITH c AS (
+         |  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM events GROUP BY event_type, user_id
+         |),
+         |r AS (
+         |  SELECT event_type, user_id, cnt,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+         |      ORDER BY cnt DESC, user_id) AS INTEGER) AS rank
+         |  FROM c
+         |)
+         |SELECT event_type, rank, user_id, cnt
+         |FROM r WHERE rank <= 10
+         |ORDER BY event_type, rank""".stripMargin,
+
     "q_stream_sessions" ->
       s"""WITH t AS (
          |  SELECT user_id, CAST(ts AS TIMESTAMP) AS et, value FROM events
@@ -1818,6 +1872,56 @@ object OracleSql {
          |  ${rd("COALESCE(h.n_hit, 0) / CAST(b.n_exact AS DOUBLE)", 4)} AS recall
          |FROM base b LEFT JOIN hits h ON b.query_id = h.query_id
          |ORDER BY b.query_id""".stripMargin
+    },
+
+    // mirrors Similarity.mrlTruncationSweep: slice-then-quantize ==
+    // quantize-then-slice (elementwise), so truncated dot/norms run
+    // over vq prefixes; same cosine tree + (DESC, id) rank per dim,
+    // micro-averaged hits vs the full-dim exact list
+    "q_mrl_recall" -> {
+      def dotD(d: Int) =
+        s"list_sum(list_transform(range(1, ${d + 1}), k -> a.vq[k] * b.vq[k]))"
+      def nD(side: String, d: Int) =
+        s"list_sum(list_transform(range(1, ${d + 1}), k -> $side.vq[k] * $side.vq[k]))"
+      val dims = Seq(8, 16, 32, 64)
+      val perDim = dims.map { d =>
+        s"""apx$d AS (
+           |  SELECT query_id, corpus_id FROM (
+           |    SELECT b.vec_id AS query_id, a.vec_id AS corpus_id,
+           |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+           |        ORDER BY ${cosExpr(dotD(d), nD("a", d), nD("b", d))} DESC, a.vec_id ASC) AS rn
+           |    FROM en a, q b WHERE b.vec_id != a.vec_id) WHERE rn <= 5
+           |),
+           |agg$d AS (
+           |  SELECT CAST($d AS INTEGER) AS trunc_dim,
+           |    CAST(COUNT(*) AS BIGINT) AS n_queries,
+           |    CAST(SUM(n_hit) AS BIGINT) AS n_hit,
+           |    CAST(SUM(n_exact) AS BIGINT) AS n_exact
+           |  FROM (
+           |    SELECT bq.query_id, bq.n_exact, COALESCE(h.n_hit, 0) AS n_hit
+           |    FROM base bq LEFT JOIN (
+           |      SELECT a.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+           |      FROM apx$d a JOIN ex e
+           |        ON a.query_id = e.query_id AND a.corpus_id = e.corpus_id
+           |      GROUP BY a.query_id) h ON bq.query_id = h.query_id)
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $embSql,
+         |q AS (SELECT vec_id, vq, nq FROM en WHERE vec_id % 25 = 0),
+         |ex AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT b.vec_id AS query_id, a.vec_id AS corpus_id,
+         |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+         |        ORDER BY ${cosExpr(pairDot, "a.nq", "b.nq")} DESC, a.vec_id ASC) AS rn
+         |    FROM en a, q b WHERE b.vec_id != a.vec_id) WHERE rn <= 5
+         |),
+         |base AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+         |  FROM ex GROUP BY query_id),
+         |$perDim
+         |SELECT trunc_dim, n_queries, n_hit, n_exact,
+         |  ${rd("CAST(n_hit AS DOUBLE) / n_exact", 4)} AS recall
+         |FROM (${dims.map(d => s"SELECT * FROM agg$d").mkString(" UNION ALL ")})
+         |ORDER BY trunc_dim""".stripMargin
     },
 
     "q_token_rarity" ->
@@ -2792,6 +2896,14 @@ object OracleSql {
     "q_layout_zorder" ->
       s"""SELECT l_orderkey, l_suppkey,
          |  CAST(${graft.sources.Layout.zValueSql("l_orderkey", "l_suppkey")} AS BIGINT) AS z
+         |FROM lineitem ORDER BY l_orderkey, l_suppkey""".stripMargin,
+
+    // mirrors Layout.hilbertValue: the identical [x, y, d] bit-level
+    // fold via list_reduce (DuckDB ^ is power — xor() used instead)
+    "q_layout_hilbert" ->
+      s"""SELECT l_orderkey, l_suppkey,
+         |  CAST(${graft.sources.Layout.zValueSql("l_orderkey", "l_suppkey")} AS BIGINT) AS z,
+         |  CAST(${graft.sources.Layout.hilbertSql("l_orderkey", "l_suppkey")} AS BIGINT) AS h
          |FROM lineitem ORDER BY l_orderkey, l_suppkey""".stripMargin,
 
     "q_heavy_hitters" ->

@@ -194,6 +194,52 @@ object SparkEntry {
     result
   }
 
+  /** Streaming HEAVY HITTERS through the engine: events replayed as a
+    * file stream into [[graft.streaming.TickStream.spaceSavingTopK]] —
+    * flatMapGroupsWithState keeping one space-saving summary per
+    * (event_type, user-shard) key, Update-mode emissions merge-upserted
+    * into a keyed table (version = the key's monotone event total),
+    * then the final per-type top-10 is a relational UNION-of-shards
+    * rank over that table. Capacity (1024/shard) exceeds the distinct
+    * users per shard at every test SF, so the summary is EXACT and the
+    * full oracle is the plain grouped count — the q_cms_exact gating
+    * pattern; the under-capacity eviction path and its N/capacity
+    * error bound are property-tested in StreamingSpec. State is
+    * O(shards x capacity) regardless of stream length. */
+  private def qStreamTopk(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.TickStream
+    import s.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_topk").toString
+    val evb = Tables.events(s, dir)
+    val ev = s.readStream.schema(evb.schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val typed = ev.select(col("event_type"),
+        pmod(col("user_id"), lit(4)).cast("int").as("shard"), col("user_id"))
+      .as[(String, Int, Long)]
+    val updates = TickStream.spaceSavingTopK(typed, capacity = 1024, emitK = 16)
+    withStatePartitions(s, 4) {
+      val q = TickStream.upsertSink(updates.toDF(), s"$out/table", s"$out/ckpt",
+          Seq("event_type", "shard"), "total_events")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("cnt").desc, col("user_id"))
+    val result = s.read.parquet(s"$out/table")
+      .select(col("event_type"), explode(col("summary")).as("e"))
+      .select(col("event_type"), col("e.user_id").as("user_id"),
+        col("e.cnt").as("cnt"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 10)
+      .select("event_type", "rank", "user_id", "cnt")
+      .orderBy("event_type", "rank")
+      .snapshot()
+    deleteDir(out)
+    result
+  }
+
   /** Recursive temp-dir cleanup for the streaming snapshot queries —
     * repeated bench/correctness runs must not accumulate orphans. */
   private def deleteDir(path: String): Unit = {
@@ -1051,6 +1097,16 @@ object SparkEntry {
       .orderBy("query_id")
   }
 
+  /** Matryoshka truncation sweep: recall@5 of prefix-dim retrieval
+    * (d = 8/16/32/64) vs the full 64-dim exact top-5, micro-averaged
+    * per dim — the truncate-how-far gauge for MRL embeddings. */
+  private def qMrlRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).snapshot()
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+    Similarity.mrlTruncationSweep(emb, queries, "vec_id", "embedding",
+      k = 5, dims = Seq(8, 16, 32, 64))
+  }
+
   /** Embedding-cosine near-dup over the documents table (embedding
     * column joined on; blocked by lang — the realistic "same-language
     * corpus cell" IVF-style blocking). Registered as the BANDED
@@ -1283,6 +1339,15 @@ object SparkEntry {
     Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_suppkey"),
         graft.sources.Layout.zValue(col("l_orderkey"), col("l_suppkey")).as("z"))
+      .orderBy("l_orderkey", "l_suppkey")
+
+  /** Hilbert clustering key beside the Morton key for every row — the
+    * locality-tighter layout alternative (Layout.hilbertValue). */
+  private def qLayoutHilbert(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        graft.sources.Layout.zValue(col("l_orderkey"), col("l_suppkey")).as("z"),
+        graft.sources.Layout.hilbertValue(col("l_orderkey"), col("l_suppkey")).as("h"))
       .orderBy("l_orderkey", "l_suppkey")
 
   /** Exact heavy-hitter vocabulary over the corpus: top tokens by
@@ -1562,6 +1627,11 @@ object SparkEntry {
   private def qMacd(s: SparkSession, dir: String): DataFrame =
     DailyAnalytics.macd(Adapters.dailyBars(s, dir))
       .orderBy("symbol")
+
+  /** Bollinger/ATR/Keltner/Donchian band stack in one window pass. */
+  private def qIndicatorBands(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.indicatorBands(Adapters.dailyBars(s, dir))
+      .orderBy("symbol", "trade_date")
 
   /** Textbook Wilder RSI-14 as an exact integer fold (vs the
     * reference's rolling-mean simplification in q_rolling_metrics). */
@@ -2014,6 +2084,7 @@ object SparkEntry {
     "q_hard_negatives" -> (qHardNegatives _),
     "q_sim_ann_lsh" -> (qSimAnnLsh _),
     "q_sim_recall" -> (qSimRecall _),
+    "q_mrl_recall" -> (qMrlRecall _),
     "q_sim_near_dup" -> (qSimNearDup _),
     "q_sim_ivf" -> (qSimIvf _),
     "q_sim_ivf_refined" -> (qSimIvfRefined _),
@@ -2026,6 +2097,7 @@ object SparkEntry {
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
     "q_layout_zorder" -> (qLayoutZorder _),
+    "q_layout_hilbert" -> (qLayoutHilbert _),
     "q_calendar_rolling" -> (qCalendarRolling _),
     "q_quantiles" -> (qQuantiles _),
     "q_repetition" -> (qRepetition _),
@@ -2060,6 +2132,7 @@ object SparkEntry {
     "q_column_profile" -> (qColumnProfile _),
     "q_stream_sessions" -> (qStreamSessions _),
     "q_stream_dedup" -> (qStreamDedup _),
+    "q_stream_topk" -> (qStreamTopk _),
     "q_stream_join" -> (qStreamJoin _),
     "q_stream_join_outer" -> (qStreamJoinOuter _),
     "q_approx_topk" -> (qApproxTopK _),
@@ -2079,6 +2152,7 @@ object SparkEntry {
     "q_stochastic" -> (qStochastic _),
     "q_ema" -> (qEma _),
     "q_macd" -> (qMacd _),
+    "q_indicator_bands" -> (qIndicatorBands _),
     "q_cross_sectional_z" -> (qCrossSectionalZ _),
     "q_momentum_deciles" -> (qMomentumDeciles _),
     "q_decile_backtest" -> (qDecileBacktest _),

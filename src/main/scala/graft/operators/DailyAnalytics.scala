@@ -682,6 +682,60 @@ object DailyAnalytics {
             element_at(col("st"), 3)).cast("double") / p).as("histogram"))
   }
 
+  /** Volatility-band indicator stack in ONE window pass per symbol:
+    * Bollinger(20, 2σ) with %B and bandwidth, ATR-14 over Wilder's
+    * true range, Keltner(20, 2·ATR) on the SMA basis, and
+    * Donchian(20). Rounds out the signal surface next to
+    * [[rollingMetrics]]'s SMA/RSI ladder and [[macd]] (reference
+    * formula family: dbt/models/intermediate/int_rolling_metrics.sql).
+    *
+    * Exactness: every average/stddev runs over the scale-2 fixed-point
+    * view of the prices (see [[rollingMetrics]] rationale) and every
+    * derived double is rd4'd with the identical expression tree in the
+    * DuckDB oracle. True range uses the prev-close via lag, with the
+    * first bar's range falling back to high−low (CASE-mirrored, not
+    * null-ignoring GREATEST, so both engines agree on day one).
+    *
+    * Scale: all five indicator families share ONE
+    * `PARTITION BY symbol ORDER BY trade_date` spec — a single
+    * exchange + sort feeds every frame; state is O(frame) per key. */
+  def indicatorBands(bars: DataFrame, priceScale: Int = 2): DataFrame = {
+    val p = math.pow(10, priceScale)
+    // stage the lag-derived true range first: a window aggregate may
+    // not nest another window expression in its operand. Both stages
+    // share the bySymbol partitioning+ordering → one exchange+sort.
+    val staged = bars.select(
+      col("symbol"), col("trade_date"),
+      col("close_price"), col("high_price"), col("low_price"),
+      scaled(col("close_price"), priceScale).as("cfp"),
+      scaled(col("high_price"), priceScale).as("hfp"),
+      scaled(col("low_price"), priceScale).as("lfp"),
+      lag(scaled(col("close_price"), priceScale), 1).over(bySymbol).as("pcfp"))
+      .withColumn("trfp",
+        when(col("pcfp").isNull, col("hfp") - col("lfp"))
+          .otherwise(greatest(col("hfp") - col("lfp"),
+            abs(col("hfp") - col("pcfp")), abs(col("lfp") - col("pcfp")))))
+    // doubles AFTER the window agg: the frame runs on exact longs
+    val mid = avg(col("cfp")).over(last(20)) / p
+    val sd = stddev_samp(col("cfp")).over(last(20)) / p
+    val atr = avg(col("trfp")).over(last(14)) / p
+    staged.select(
+      col("symbol"), col("trade_date"), col("close_price"),
+      r4(mid).as("bb_mid"),
+      r4(mid + lit(2) * sd).as("bb_upper"),
+      r4(mid - lit(2) * sd).as("bb_lower"),
+      r4((col("close_price") - (mid - lit(2) * sd)) / nullifZero(lit(4) * sd))
+        .as("pct_b"),
+      r4(lit(4) * sd / nullifZero(mid)).as("bb_bandwidth"),
+      r4(atr).as("atr_14"),
+      r4(mid + lit(2) * atr).as("kc_upper"),
+      r4(mid - lit(2) * atr).as("kc_lower"),
+      max(col("high_price")).over(last(20)).as("donchian_high"),
+      min(col("low_price")).over(last(20)).as("donchian_low"),
+      r4((max(col("high_price")).over(last(20)) +
+          min(col("low_price")).over(last(20))) / 2).as("donchian_mid"))
+  }
+
   /** The textbook Wilder RSI as an ORACLE-CHECKABLE exact fold — the
     * integer-recursion twin of [[wilderRsi]] (which streams doubles
     * through a secondary sort and can't be mirrored bit-for-bit by

@@ -728,6 +728,44 @@ object Similarity {
           col("n_exact")).as("recall"))
   }
 
+  /** Matryoshka-style truncation sweep (Kusupati et al., "Matryoshka
+    * Representation Learning", NeurIPS 2022): retrieval quality of
+    * PREFIX-dimension embeddings versus the full-dimension exact
+    * top-k, the measurement that decides how far an MRL-trained
+    * embedding column can be truncated (4-8x cheaper ANN serving)
+    * before recall drops. For each d in `dims`, corpus and queries
+    * are sliced to their first d components, brute-force cosine
+    * top-k runs in the truncated space, and [[recallAtK]] against
+    * the full-dim exact list is micro-averaged into one row per d:
+    * (trunc_dim, n_queries, n_hit, n_exact, recall).
+    *
+    * Scale shape: each dim's pass is the [[bruteForceTopK]] plan —
+    * broadcast query side, one narrow corpus scan, rank-pushdown
+    * top-k — and dims are independent branches unioned at the
+    * 1-row-per-dim grain, so the sweep costs |dims| corpus scans of
+    * DECREASING width (slice happens before the dot product), never
+    * a corpus-sized shuffle. On 100 TB the same sweep runs over a
+    * query SAMPLE (the queries frame), not the full corpus as
+    * queries. */
+  def mrlTruncationSweep(corpus: DataFrame, queries: DataFrame,
+                         idCol: String, vecCol: String, k: Int,
+                         dims: Seq[Int]): DataFrame = {
+    require(dims.nonEmpty, "mrlTruncationSweep: dims must be non-empty")
+    val exact = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+    dims.map { d =>
+      val cTr = corpus.select(col(idCol), slice(col(vecCol), 1, d).as(vecCol))
+      val qTr = queries.select(col(idCol), slice(col(vecCol), 1, d).as(vecCol))
+      recallAtK(exact, bruteForceTopK(cTr, qTr, idCol, vecCol, k))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(col("n_hit")).as("n_hit"),
+          sum(col("n_exact")).as("n_exact"))
+        .select(lit(d).as("trunc_dim"), col("n_queries"),
+          col("n_hit"), col("n_exact"),
+          r4(col("n_hit").cast("double") / col("n_exact")).as("recall"))
+    }.reduce(_ unionByName _)
+      .orderBy("trunc_dim")
+  }
+
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val absMax = array_max(transform(col(vecCol),
       x => abs(x.cast("double"))))

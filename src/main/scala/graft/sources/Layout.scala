@@ -69,6 +69,68 @@ object Layout {
     }.reduce(_ bitwiseOR _)
   }
 
+  /** Hilbert-curve index of two columns' low `order` bits — the
+    * locality-preserving alternative to [[zValue]]: consecutive
+    * Hilbert indices are always Manhattan-adjacent cells (no Morton
+    * "jumps" across the plane), so range-partitioning a 100 TB table
+    * by `h` yields files whose 2-D bounding boxes are tighter than
+    * Z-order's at the same file count — better min/max skipping for
+    * box predicates. Verified exhaustively as a space-filling curve at
+    * order 4 in LayoutSpec (bijection onto 0..4^order−1 + unit-step
+    * adjacency).
+    *
+    * Implementation: the classic xy2d reduction, one fold step per
+    * bit level carrying `[x, y, d]` (quadrant bit extraction, distance
+    * accumulation, then the reflect+swap rotation). Expressed as ONE
+    * `aggregate` over the static level array — linear expression
+    * size, no per-level staged columns, the same fold idiom as
+    * [[graft.operators.DailyAnalytics.macd]]. Pure column arithmetic:
+    * distributable, no UDF. */
+  def hilbertValue(a: Column, b: Column, order: Int = 16): Column = {
+    require(order >= 1 && order <= 16, s"hilbertValue supports order 1-16, got $order")
+    val m = lit((1L << order) - 1)
+    val levels = array((order - 1 to 0 by -1).map(k => lit(1L << k)): _*)
+    val init = array(a.cast("long").bitwiseAND(m), b.cast("long").bitwiseAND(m), lit(0L))
+    val folded = aggregate(levels, init, (acc, s) => {
+      val x = element_at(acc, 1)
+      val y = element_at(acc, 2)
+      val d = element_at(acc, 3)
+      val rx = when(x.bitwiseAND(s) > 0, lit(1L)).otherwise(lit(0L))
+      val ry = when(y.bitwiseAND(s) > 0, lit(1L)).otherwise(lit(0L))
+      val nx = when(ry === 0, when(rx === 1, s - lit(1) - y).otherwise(y)).otherwise(x)
+      val ny = when(ry === 0, when(rx === 1, s - lit(1) - x).otherwise(x)).otherwise(y)
+      val nd = d + s * s * (lit(3L) * rx).bitwiseXOR(ry)
+      array(nx, ny, nd)
+    })
+    element_at(folded, 3)
+  }
+
+  /** [[hilbertValue]]'s DuckDB mirror: the same `[x, y, d]` fold via
+    * `list_reduce` (array state, not struct — see the macd oracle
+    * note), levels prepended with the seed. DuckDB `^` is power, so
+    * the quadrant digit uses `xor()`; casts are function-style
+    * `CAST(..)` because DuckDB 1.0 mis-parses a postfix `::` cast
+    * inside a lambda's function argument. */
+  def hilbertSql(a: String, b: String, order: Int = 16): String = {
+    require(order >= 1 && order <= 16, s"hilbertSql supports order 1-16, got $order")
+    val m = (1L << order) - 1
+    val levels = (order - 1 to 0 by -1).map(k => 1L << k).mkString(", ")
+    s"""list_reduce(list_prepend(
+       |    [($a)::BIGINT & $m, ($b)::BIGINT & $m, 0::BIGINT],
+       |    list_transform([$levels]::BIGINT[], s -> [s, s, s])),
+       |  (acc, e) -> [
+       |    CASE WHEN (acc[2] & e[1]) = 0
+       |      THEN CASE WHEN (acc[1] & e[1]) > 0 THEN e[1] - 1 - acc[2] ELSE acc[2] END
+       |      ELSE acc[1] END,
+       |    CASE WHEN (acc[2] & e[1]) = 0
+       |      THEN CASE WHEN (acc[1] & e[1]) > 0 THEN e[1] - 1 - acc[1] ELSE acc[1] END
+       |      ELSE acc[2] END,
+       |    acc[3] + e[1] * e[1] * xor(
+       |      3 * CAST((acc[1] & e[1]) > 0 AS BIGINT),
+       |      CAST((acc[2] & e[1]) > 0 AS BIGINT))
+       |  ])[3]""".stripMargin
+  }
+
   /** Write `df` z-ordered on `(c1, c2)`: range-partition by z-value
     * (so file boundaries are z-contiguous — NOT a hash shuffle), sort
     * within partitions, drop the helper column on disk. Both columns

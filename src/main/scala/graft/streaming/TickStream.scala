@@ -332,4 +332,72 @@ object TickStream {
       .option("path", outPath)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
+
+  // ── streaming heavy hitters (sharded space-saving summaries) ──────
+
+  /** One space-saving counter entry: `err` is the possible
+    * overcount inherited from the evicted minimum (0 while the
+    * summary is under capacity — exact). */
+  case class TopKEntry(user_id: Long, cnt: Long, err: Long)
+  case class TopKShardState(counts: Map[Long, (Long, Long)], total: Long)
+  case class TopKShardUpdate(event_type: String, shard: Int,
+                             total_events: Long, summary: Seq[TopKEntry])
+
+  /** Streaming heavy hitters via `flatMapGroupsWithState`: per
+    * (group, shard) key a bounded SPACE-SAVING summary of item
+    * frequencies, updated each micro-batch, emitting that key's
+    * current top slice in Update mode.
+    *
+    * Space-saving (Metwally et al., "Efficient computation of
+    * frequent and top-k elements in data streams", ICDT 2005): at
+    * most `capacity` counters; an unseen item evicts the minimum
+    * counter and inherits its count as `err`, guaranteeing
+    * `true_cnt <= cnt <= true_cnt + N/capacity` and that any item
+    * with frequency > N/capacity is present. While distinct items
+    * per key stay <= capacity the summary is EXACT (`err` = 0) — the
+    * full-oracle twin q_stream_topk runs in that regime, the same
+    * under-capacity gating pattern as q_cms_exact; the eviction path
+    * is property-tested in StreamingSpec.
+    *
+    * Scale design: the state key is (group, SHARD of item), not
+    * group alone — parallelism scales with `shards`, each state
+    * store holds O(capacity) entries regardless of stream length,
+    * and because an item maps to exactly one shard the final merge
+    * is a UNION of shard summaries (no cross-shard summation), a
+    * plain relational top-k at read time. `emitK` bounds each
+    * batch's emission (any global top-k with k <= emitK is contained
+    * in the union of per-shard top-emitK slices under the exact
+    * regime). */
+  def spaceSavingTopK(events: Dataset[(String, Int, Long)],
+                      capacity: Int, emitK: Int): Dataset[TopKShardUpdate] = {
+    import events.sparkSession.implicits._
+    require(capacity >= 1 && emitK >= 1, "spaceSavingTopK: capacity and emitK must be >= 1")
+    events.groupByKey(t => (t._1, t._2))
+      .flatMapGroupsWithState[TopKShardState, TopKShardUpdate](
+        org.apache.spark.sql.streaming.OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        case ((group, shard), rows, state) =>
+          val st = state.getOption.getOrElse(TopKShardState(Map.empty, 0L))
+          var counts = st.counts
+          var total = st.total
+          rows.foreach { case (_, _, item) =>
+            total += 1
+            counts.get(item) match {
+              case Some((c, e)) => counts += item -> (c + 1, e)
+              case None if counts.size < capacity => counts += item -> (1L, 0L)
+              case None =>
+                // evict the minimum (deterministic tiebreak on item id)
+                val (mItem, (mCnt, _)) = counts.minBy { case (it, (c, _)) => (c, it) }
+                counts -= mItem
+                counts += item -> (mCnt + 1, mCnt)
+            }
+          }
+          state.update(TopKShardState(counts, total))
+          val top = counts.toSeq
+            .map { case (it, (c, e)) => TopKEntry(it, c, e) }
+            .sortBy(t => (-t.cnt, t.user_id))
+            .take(emitK)
+          Iterator.single(TopKShardUpdate(group, shard, total, top))
+      }
+  }
 }

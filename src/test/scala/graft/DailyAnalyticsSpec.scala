@@ -281,6 +281,31 @@ class DailyAnalyticsSpec extends AnyFunSpec {
     }
   }
 
+  describe("indicatorBands") {
+    it("seeds true range with high-low on day one and Wilder TR after") {
+      val rows = DailyAnalytics.indicatorBands(bars)
+        .orderBy("symbol", "trade_date").collect()
+      val a1 = rows(0) // A day 1: no prev close -> TR = 10.5 - 8.5 = 2.0 = ATR
+      assert(a1.getAs[Double]("atr_14") == 2.0)
+      // A day 2: TR = max(11.5-9.5, |11.5-10|, |9.5-10|) = 2.0; ATR = 2.0
+      assert(rows(1).getAs[Double]("atr_14") == 2.0)
+      // Donchian over the partial 20-frame = running high/low
+      assert(rows(4).getAs[Double]("donchian_high") == 13.5)
+      assert(rows(4).getAs[Double]("donchian_low") == 8.5)
+      assert(rows(4).getAs[Double]("donchian_mid") == 11.0)
+    }
+    it("degenerate bands: single-bar symbol has null sd, ATR-only Keltner") {
+      val b = DailyAnalytics.indicatorBands(bars)
+        .filter($"symbol" === "B").collect().head
+      assert(b.getAs[Double]("bb_mid") == 50.0)
+      assert(b.isNullAt(b.fieldIndex("bb_upper"))) // stddev_samp of 1 row
+      assert(b.isNullAt(b.fieldIndex("pct_b")))
+      assert(b.getAs[Double]("atr_14") == 2.0) // 51 - 49
+      assert(b.getAs[Double]("kc_upper") == 54.0) // mid + 2*ATR
+      assert(b.getAs[Double]("kc_lower") == 46.0)
+    }
+  }
+
   describe("wilderRsiExactFold") {
     it("seeds with the exact mean then applies Wilder's step (period=3)") {
       val r = DailyAnalytics.wilderRsiExactFold(

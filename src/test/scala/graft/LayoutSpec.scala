@@ -52,6 +52,50 @@ class LayoutSpec extends AnyFunSpec {
     }
   }
 
+  describe("hilbertValue") {
+    it("is a space-filling curve: bijection onto 0..4^order-1 with unit-step adjacency") {
+      // exhaustive at order 4 (16x16 grid): every cell gets a distinct
+      // index in range, and consecutive indices are Manhattan-adjacent
+      // cells — the property that makes Hilbert file bounding boxes
+      // tighter than Morton's (which jumps across the plane).
+      val n = 16
+      val cells = for (x <- 0 until n; y <- 0 until n) yield (x.toLong, y.toLong)
+      val got = cells.toDF("x", "y")
+        .select($"x", $"y", Layout.hilbertValue($"x", $"y", order = 4).as("h"))
+        .collect()
+        .map(r => (r.getLong(2), (r.getLong(0), r.getLong(1))))
+        .sortBy(_._1)
+      assert(got.map(_._1).toSeq == (0L until (n.toLong * n)).toSeq,
+        "indices must be exactly 0..255")
+      got.sliding(2).foreach { case Array((_, (x1, y1)), (_, (x2, y2))) =>
+        assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+          s"consecutive hilbert cells must be adjacent: ($x1,$y1) -> ($x2,$y2)")
+      }
+    }
+    it("matches the canonical xy2d reference values at order 16") {
+      // JVM re-implementation of the textbook xy2d loop as the fixture
+      def xy2d(order: Int, x0: Long, y0: Long): Long = {
+        var (x, y, d) = (x0, y0, 0L)
+        var s = 1L << (order - 1)
+        while (s > 0) {
+          val rx = if ((x & s) > 0) 1L else 0L
+          val ry = if ((y & s) > 0) 1L else 0L
+          d += s * s * ((3 * rx) ^ ry)
+          if (ry == 0) { // rotate
+            if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+            val t = x; x = y; y = t
+          }
+          s >>= 1
+        }
+        d
+      }
+      val pts = Seq((0L, 0L), (1L, 0L), (65535L, 65535L), (12345L, 54321L), (40000L, 7L))
+      val got = pts.toDF("x", "y")
+        .select(Layout.hilbertValue($"x", $"y").as("h")).as[Long].collect()
+      assert(got.toSeq == pts.map { case (x, y) => xy2d(16, x, y) })
+    }
+  }
+
   describe("zorderWrite") {
     it("prunes row groups on the SECOND dimension — the win a single sort can't give") {
       val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey", "l_quantity")

@@ -87,6 +87,56 @@ class StreamingSpec extends AnyFunSpec {
       assert(lastRow == aapl.maxBy(_.event_time.getTime).price)
     }
 
+    it("space-saving top-k: exact under capacity, bounded error + bounded state over it") {
+      // EXACT regime (capacity >= distinct items): counts equal truth
+      val source = MemoryStream[(String, Int, Long)](spark)
+      val q = TickStream.spaceSavingTopK(source.toDS(), capacity = 16, emitK = 16)
+        .writeStream.format("memory").queryName("sstopk")
+        .outputMode("update").start()
+      // items 1..8 with frequency = item id, split across two batches
+      val all = (1L to 8L).flatMap(i => Seq.fill(i.toInt)(("g", 0, i)))
+      try {
+        source.addData(all.take(10): _*)
+        q.processAllAvailable()
+        source.addData(all.drop(10): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val last = spark.table("sstopk").orderBy($"total_events".desc).limit(1)
+        .select(explode($"summary").as("e"))
+        .select($"e.user_id", $"e.cnt", $"e.err")
+        .as[(Long, Long, Long)].collect()
+        .map { case (u, c, e) => u -> (c, e) }.toMap
+      assert(last.size == 8 && (1L to 8L).forall(i => last(i)._1 == i),
+        s"under capacity the summary must be exact: $last")
+      assert(last.values.forall(_._2 == 0L), "no error under capacity")
+
+      // EVICTION regime: capacity 4 << 8 distinct; space-saving bounds
+      val st = graft.streaming.TickStream.TopKShardState(Map.empty, 0L)
+      val folded = all.foldLeft((st.counts, 0L)) { case ((counts, total), (_, _, item)) =>
+        // replicate the operator's fold directly (unit-level: the
+        // streaming plumbing is proven above; this pins the bound)
+        val next = counts.get(item) match {
+          case Some((c, e)) => counts + (item -> (c + 1, e))
+          case None if counts.size < 4 => counts + (item -> (1L, 0L))
+          case None =>
+            val (mItem, (mCnt, _)) = counts.minBy { case (it, (c, _)) => (c, it) }
+            (counts - mItem) + (item -> (mCnt + 1, mCnt))
+        }
+        (next, total + 1)
+      }
+      val (counts, n) = folded
+      assert(counts.size == 4, "state never exceeds capacity")
+      counts.foreach { case (item, (cnt, err)) =>
+        val truth = item // item i appears i times
+        assert(cnt >= truth && cnt <= truth + n / 4,
+          s"space-saving bound violated for $item: cnt=$cnt truth=$truth n=$n")
+        assert(err <= n / 4, s"err must stay under N/capacity: $err")
+      }
+      // every item with true frequency > N/capacity must be present
+      (1L to 8L).filter(_ > n / 4).foreach(hot =>
+        assert(counts.contains(hot), s"heavy hitter $hot evicted"))
+    }
+
     it("stream-static join enriches every tick with the broadcast dim") {
       val source = MemoryStream[Tick](spark)
       val dim = Seq(("AAPL", "Tech"), ("MSFT", "Tech"))
