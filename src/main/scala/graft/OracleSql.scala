@@ -17,6 +17,14 @@ object OracleSql {
     s"FLOOR(($expr) * $p + 0.5) / $p"
   }
 
+  /** A double-array literal whose elements BIT-MATCH the Scala
+    * doubles: DuckDB's bare decimal literals go through DECIMAL and
+    * its DECIMAL→DOUBLE cast is not correctly rounded (1-ulp off on
+    * e.g. 0.9999985983672093), but CAST('…' AS DOUBLE) is, and
+    * Double.toString round-trips — so string-cast every element. */
+  private def dlist(vals: Seq[Double]): String =
+    vals.map(v => s"CAST('$v' AS DOUBLE)").mkString("([", ", ", "])")
+
   /** mirrors Funcs.scaled(expr, s) — exact fixed-point long view. */
   private def sc(expr: String, scale: Int): String = {
     val p = "1" + "0" * scale + ".0"
@@ -1598,6 +1606,48 @@ object OracleSql {
       s"""WITH $minhashPairsCtes
          |SELECT id1, id2, jaccard FROM pairs ORDER BY id1, id2""".stripMargin,
 
+    // mirrors Dedup.lshRecallByBand: exact ngram-Jaccard ground truth
+    // LEFT JOINed against the UNFILTERED LSH candidate set, banded on
+    // the integer 4-dp jaccard (floor/1000 — decimal-exact edges);
+    // expected_recall interpolates the SAME double literals
+    // Dedup.lshExpectedRecall(8, 4) embeds on the Spark side
+    "q_dedup_recall" -> {
+      val expected = dlist(graft.operators.Dedup.lshExpectedRecall(8, 4))
+      s"""WITH $minhashBandedCtes,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |),
+         |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+         |ex0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+         |ex AS (SELECT doc_id, ${h60("shingle")} AS shh FROM ex0),
+         |inter AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
+         |  FROM ex a JOIN ex b ON a.shh = b.shh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |),
+         |jp AS (
+         |  SELECT id1, id2,
+         |    ${rd("inter / CAST(s1.n + s2.n - inter AS DOUBLE)", 4)} AS jaccard
+         |  FROM inter
+         |  JOIN sizes s1 ON id1 = s1.doc_id
+         |  JOIN sizes s2 ON id2 = s2.doc_id
+         |),
+         |lab AS (
+         |  SELECT CAST(LEAST(FLOOR(${sc("p.jaccard", 4)} / 1000.0), 9.0) AS INTEGER) AS band10,
+         |    CASE WHEN c.id1 IS NOT NULL THEN 1 ELSE 0 END AS caught
+         |  FROM (SELECT * FROM jp WHERE jaccard >= 0.5) p
+         |  LEFT JOIN cand c ON p.id1 = c.id1 AND p.id2 = c.id2
+         |)
+         |SELECT band10 / 10.0 AS j_lo,
+         |  CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |  CAST(SUM(caught) AS BIGINT) AS n_caught,
+         |  ${rd("SUM(caught) / CAST(COUNT(*) AS DOUBLE)", 4)} AS recall,
+         |  $expected[band10 + 1] AS expected_recall
+         |FROM lab GROUP BY band10 ORDER BY j_lo""".stripMargin
+    },
+
     // streaming ≡ batch for the stream-stream interval join (mirrors
     // qStreamJoin: plain batch interval join over the same halves)
     "q_stream_join" ->
@@ -1872,6 +1922,68 @@ object OracleSql {
          |  ${rd("COALESCE(h.n_hit, 0) / CAST(b.n_exact AS DOUBLE)", 4)} AS recall
          |FROM base b LEFT JOIN hits h ON b.query_id = h.query_id
          |ORDER BY b.query_id""".stripMargin
+    },
+
+    // mirrors Similarity.rankedEval over qRetrievalNdcg's two
+    // pipelines: graded rel = 11 - exact_rank, DCG discounts are the
+    // SAME double literals Similarity.ndcgDiscounts(10) embeds on the
+    // Spark side (Double.toString round-trips, so both engines
+    // multiply identical bits); 4-dp rounding absorbs summation-order
+    // noise on the two double sums
+    "q_retrieval_ndcg" -> {
+      val planes = graft.operators.Similarity.planeComponents(6)
+      val bucket = (0 until 6).map { p =>
+        val w = planes.slice(p * 64, (p + 1) * 64).mkString("[", ", ", "]")
+        s"CASE WHEN list_sum(list_transform(range(1, 65), k -> vq[k] * ($w)[k])) >= 0 THEN ${1L << p} ELSE 0 END"
+      }.mkString("\n         |      + ")
+      val disc = dlist(graft.operators.Similarity.ndcgDiscounts(10))
+      s"""WITH $embSql,
+         |esc AS (
+         |  SELECT b.vec_id AS query_id, a.vec_id AS corpus_id,
+         |    ${cosExpr(pairDot, "a.nq", "b.nq")} AS cosine
+         |  FROM en a, en b
+         |  WHERE b.vec_id % 50 = 0 AND b.vec_id != a.vec_id
+         |),
+         |ex AS (
+         |  SELECT query_id, corpus_id, rn AS erank, 11 - rn AS rel FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rn
+         |    FROM esc) WHERE rn <= 10
+         |),
+         |ideal AS (SELECT query_id, SUM(rel * $disc[erank]) AS idcg FROM ex GROUP BY query_id),
+         |bk AS (
+         |  SELECT vec_id, vq, nq,
+         |    CAST($bucket AS BIGINT) AS bucket
+         |  FROM en
+         |),
+         |asc2 AS (
+         |  SELECT b.vec_id AS query_id, a.vec_id AS corpus_id,
+         |    ${cosExpr(pairDot, "a.nq", "b.nq")} AS cosine
+         |  FROM bk a JOIN bk b ON a.bucket = b.bucket
+         |  WHERE b.vec_id % 50 = 0 AND b.vec_id != a.vec_id
+         |),
+         |ap AS (
+         |  SELECT query_id, corpus_id, rn AS arank FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rn
+         |    FROM asc2) WHERE rn <= 10
+         |),
+         |j AS (
+         |  SELECT a.query_id, a.arank, COALESCE(e.rel, 0) AS rel
+         |  FROM ap a LEFT JOIN ex e ON a.query_id = e.query_id AND a.corpus_id = e.corpus_id
+         |),
+         |per AS (
+         |  SELECT query_id,
+         |    CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |    MIN(CASE WHEN rel > 0 THEN arank END) AS fh,
+         |    SUM(rel * $disc[arank]) AS dcg
+         |  FROM j GROUP BY query_id
+         |)
+         |SELECT i.query_id,
+         |  COALESCE(p.n_hit, 0) AS n_hit,
+         |  CAST(COALESCE(p.fh, 0) AS INTEGER) AS first_hit_rank,
+         |  ${rd("CASE WHEN p.fh IS NULL THEN 0.0 ELSE 1.0 / p.fh END", 4)} AS mrr,
+         |  ${rd("COALESCE(p.dcg, 0) / i.idcg", 4)} AS ndcg
+         |FROM ideal i LEFT JOIN per p ON i.query_id = p.query_id
+         |ORDER BY i.query_id""".stripMargin
     },
 
     // mirrors Similarity.mrlTruncationSweep: slice-then-quantize ==

@@ -677,6 +677,16 @@ object SparkEntry {
       n = 3, numHashes = 32, bands = 8, threshold = 0.5)
       .orderBy("id1", "id2")
 
+  /** Dedup-lane eval: measured recall of the MinHash-LSH candidate
+    * stage vs the exact n-gram-Jaccard ground truth per 0.1-wide
+    * Jaccard band, beside the closed-form 1−(1−s^r)^b expectation —
+    * the S-curve check that validates the bands/rows choice for the
+    * 0.5 dedup threshold. Fully oracle-checked (DuckDB re-derives
+    * both pair sets and the same literal expectation table). */
+  private def qDedupRecall(s: SparkSession, dir: String): DataFrame =
+    Dedup.lshRecallByBand(Tables.documents(s, dir), "doc_id", "text",
+      n = 3, numHashes = 32, bands = 8, threshold = 0.5)
+
   /** Fuzzy record linkage: MinHash-banded candidates verified by
     * bounded Levenshtein over the leading 160 chars. */
   private def qDedupFuzzy(s: SparkSession, dir: String): DataFrame =
@@ -1094,6 +1104,22 @@ object SparkEntry {
     Similarity.recallAtK(
       Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5),
       Similarity.annTopK(emb, queries, "vec_id", "embedding", k = 5, numPlanes = 6))
+      .orderBy("query_id")
+  }
+
+  /** Ranked-retrieval eval: MRR + nDCG@10 of the hyperplane-LSH
+    * retriever against the exact cosine ranking, graded by exact rank
+    * — the ORDER-sensitive companion of q_sim_recall's set overlap.
+    * Fully oracle-checked: DuckDB re-derives both rankings and the
+    * same log2-discount table (embedded as identical double
+    * literals). */
+  private def qRetrievalNdcg(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).snapshot()
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    Similarity.rankedEval(
+      Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10),
+      Similarity.annTopK(emb, queries, "vec_id", "embedding", k = 10, numPlanes = 6),
+      k = 10)
       .orderBy("query_id")
   }
 
@@ -2034,6 +2060,7 @@ object SparkEntry {
     "q_text_analysis" -> (qTextAnalysis _),
     "q_corpus_filter" -> (qCorpusFilter _),
     "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
+    "q_dedup_recall" -> (qDedupRecall _),
     "q_dedup_fuzzy" -> (qDedupFuzzy _),
     "q_containment" -> (qContainment _),
     "q_tfidf_search" -> (qTfidfSearch _),
@@ -2085,6 +2112,7 @@ object SparkEntry {
     "q_sim_ann_lsh" -> (qSimAnnLsh _),
     "q_sim_recall" -> (qSimRecall _),
     "q_mrl_recall" -> (qMrlRecall _),
+    "q_retrieval_ndcg" -> (qRetrievalNdcg _),
     "q_sim_near_dup" -> (qSimNearDup _),
     "q_sim_ivf" -> (qSimIvf _),
     "q_sim_ivf_refined" -> (qSimIvfRefined _),

@@ -338,6 +338,65 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Theoretical MinHash-LSH capture probability 1−(1−s^r)^b at the
+    * midpoint of each 0.1-wide Jaccard band, computed ONCE here and
+    * embedded as the same double literals in both engines (mirrors
+    * the [[graft.operators.Similarity.ndcgDiscounts]] pattern — no
+    * runtime pow, so no cross-engine libm risk). */
+  def lshExpectedRecall(bands: Int, rowsPerBand: Int): Seq[Double] =
+    (0 until 10).map { i =>
+      val s = (i + 0.5) / 10.0
+      1.0 - math.pow(1.0 - math.pow(s, rowsPerBand), bands)
+    }
+
+  /** Measured recall of the MinHash-LSH candidate stage against the
+    * EXACT n-gram-Jaccard ground truth, bucketed by 0.1-wide Jaccard
+    * band — the dedup lane's "measure, don't guess" gauge (the
+    * S-curve every LSH parameter choice implicitly bets on), the
+    * companion of [[graft.operators.Similarity.recallAtK]] for the
+    * ANN lane. Each exact pair at jaccard ≥ threshold is marked
+    * caught iff the banded signature join would have produced it as
+    * a candidate; per band the measured capture rate sits next to
+    * the closed-form expectation 1−(1−s^r)^b ([[lshExpectedRecall]])
+    * so parameter drift (bands/rows mistuned for the target
+    * threshold) is visible as measured-vs-expected divergence.
+    *
+    * Output: (j_lo, n_exact, n_caught, recall, expected_recall), one
+    * row per occupied band, j_lo = inclusive lower Jaccard edge.
+    * Band assignment runs on the exact INTEGER 4-dp-scaled jaccard
+    * (floor division by 1000), so band edges are decimal-exact in
+    * both engines.
+    *
+    * Scale shape: ground truth comes from the hash-join shingle
+    * intersection (never all-pairs — only pairs sharing a shingle
+    * hash meet), the candidate set is the usual (id, band, key)
+    * scalar shuffle, and the band report joins two pair-grain frames
+    * on (id1, id2) before collapsing to ≤ 10 rows. */
+  def lshRecallByBand(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                      threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val shingled = withShingles(spreadById(docs, idCol, textCol), textCol, n)
+      .filter(size(col("shingles")) > 0)
+    val sig = shingled.select(col(idCol),
+      call_function("minhash_sig", col("shingles"), lit(numHashes)).as("sig"))
+    val cand = lshCandidateIds(sig, idCol, bands, rowsPerBand)
+      .withColumn("caught", lit(1L))
+    val expectedLit = array(lshExpectedRecall(bands, rowsPerBand).map(lit): _*)
+    val band10 = least(floor(scaled(col("jaccard"), 4) / lit(1000.0)), lit(9.0))
+      .cast("int")
+    ngramJaccardPairs(docs, idCol, textCol, n, threshold)
+      .join(cand, Seq("id1", "id2"), "left")
+      .select(band10.as("band10"), coalesce(col("caught"), lit(0L)).as("caught"))
+      .groupBy("band10")
+      .agg(count(lit(1)).as("n_exact"), sum(col("caught")).as("n_caught"))
+      .select((col("band10") / 10.0).as("j_lo"),
+        col("n_exact"), col("n_caught"),
+        r4(col("n_caught").cast("double") / col("n_exact")).as("recall"),
+        element_at(expectedLit, col("band10") + 1).as("expected_recall"))
+      .orderBy("j_lo")
+  }
+
   /** 60-bit SimHash over distinct tokens (adds `simhash`).
     * bit j set ⇔ Σ_tokens (bit_j(hash60(token))·2 − 1) > 0.
     * Built as a SQL lambda expression because bit index j is a runtime

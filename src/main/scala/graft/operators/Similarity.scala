@@ -766,6 +766,58 @@ object Similarity {
       .orderBy("trunc_dim")
   }
 
+  /** The nDCG log2 discount table 1/log2(i+1) for ranks 1..k,
+    * computed ONCE here and embedded as the same double literals in
+    * both engines (the DuckDB oracle interpolates these exact values),
+    * so the only cross-engine float risk is summation order — absorbed
+    * by the 4-dp rounding on the final ratios. */
+  def ndcgDiscounts(k: Int): Seq[Double] =
+    (1 to k).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+
+  /** Ranked-retrieval evaluation — MRR and nDCG@k of an approximate
+    * retriever against the exact ranking, the graded companion of the
+    * set-overlap [[recallAtK]]: recall says WHETHER the true neighbors
+    * were found, nDCG says whether they surfaced in the right ORDER
+    * (a retriever that returns the true top-k reversed scores 1.0
+    * recall but well under 1.0 nDCG). Relevance is graded by exact
+    * rank (rel = k+1-rank for the exact top-k, 0 otherwise); DCG
+    * discounts by 1/log2(rank+1) ([[ndcgDiscounts]]); IDCG is the
+    * exact list's own DCG, so ndcg = 1.0 iff the retriever reproduces
+    * the exact order. MRR = 1/rank of the first relevant hit (0 if
+    * none). Inputs are any two frames in the [[bruteForceTopK]]
+    * result shape — (query_id, corpus_id, rank).
+    *
+    * Scale shape: both sides arrive rank-capped to k rows per query,
+    * so the relevance join and all three aggregates run over
+    * queries×k rows — never the corpus. One equi join + two partial
+    * aggs; the discount lookup is an array-literal element_at
+    * (plan-time constant, no shuffle). */
+  def rankedEval(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    val discLit = array(ndcgDiscounts(k).map(lit): _*)
+    val e = exact.select(col("query_id"), col("corpus_id"),
+      (lit(k + 1) - col("rank")).as("rel"), col("rank").as("erank"))
+    val ideal = e.groupBy("query_id").agg(
+      sum(col("rel").cast("double") * element_at(discLit, col("erank")))
+        .as("idcg"))
+    val scored = approx
+      .select(col("query_id"), col("corpus_id"), col("rank").as("arank"))
+      .join(e.select(col("query_id"), col("corpus_id"), col("rel")),
+        Seq("query_id", "corpus_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0)))
+    val per = scored.groupBy("query_id").agg(
+      sum(when(col("rel") > 0, 1L).otherwise(0L)).as("n_hit"),
+      min(when(col("rel") > 0, col("arank"))).as("fh"),
+      sum(col("rel").cast("double") * element_at(discLit, col("arank")))
+        .as("dcg"))
+    ideal.join(per, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(col("fh"), lit(0)).cast("int").as("first_hit_rank"),
+        r4(when(col("fh").isNull, lit(0.0))
+          .otherwise(lit(1.0) / col("fh"))).as("mrr"),
+        r4(coalesce(col("dcg"), lit(0.0)) / col("idcg")).as("ndcg"))
+  }
+
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val absMax = array_max(transform(col(vecCol),
       x => abs(x.cast("double"))))

@@ -334,4 +334,34 @@ class DedupSpec extends AnyFunSpec {
       assert(full.exceptAll(banded).isEmpty && banded.exceptAll(full).isEmpty)
     }
   }
+
+  describe("lshRecallByBand") {
+    it("exact duplicates land in the top band and are always caught") {
+      val text = "the quick brown fox jumps over the lazy dog again and again"
+      val docs = Seq(
+        (1L, text), (2L, text), // identical → jaccard 1.0, same signature
+        (3L, "completely different words populate this other document body"),
+        (4L, "yet another unrelated set of tokens without overlap at all"))
+        .toDF("doc_id", "text")
+      val got = Dedup.lshRecallByBand(docs, "doc_id", "text").collect()
+      assert(got.length == 1)
+      val r = got.head
+      assert(r.getAs[Double]("j_lo") == 0.9)
+      assert(r.getAs[Long]("n_exact") == 1L && r.getAs[Long]("n_caught") == 1L)
+      assert(r.getAs[Double]("recall") == 1.0)
+      assert(r.getAs[Double]("expected_recall") ==
+        Dedup.lshExpectedRecall(8, 4)(9))
+    }
+    it("recall is bounded by 1 and bands are decimal-exact on real docs") {
+      val got = Dedup.lshRecallByBand(
+        graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"),
+        "doc_id", "text").collect()
+      assert(got.nonEmpty)
+      got.foreach { r =>
+        assert(r.getAs[Long]("n_caught") <= r.getAs[Long]("n_exact"))
+        val j = r.getAs[Double]("j_lo")
+        assert(j >= 0.5 && j <= 0.9 && (j * 10) == math.floor(j * 10))
+      }
+    }
+  }
 }

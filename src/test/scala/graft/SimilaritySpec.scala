@@ -427,4 +427,42 @@ class SimilaritySpec extends AnyFunSpec {
       assert(got(1).getAs[Double]("scale") == 0.0)
     }
   }
+
+  describe("rankedEval (MRR + nDCG@k)") {
+    def ranked(rows: (Long, Long, Int)*) =
+      rows.toSeq.toDF("query_id", "corpus_id", "rank")
+    val exact = ranked((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+
+    it("perfect order scores mrr=1, ndcg=1") {
+      val r = Similarity.rankedEval(exact, exact, k = 3).collect().head
+      assert(r.getAs[Long]("n_hit") == 3L)
+      assert(r.getAs[Int]("first_hit_rank") == 1)
+      assert(r.getAs[Double]("mrr") == 1.0)
+      assert(r.getAs[Double]("ndcg") == 1.0)
+    }
+    it("reversed order keeps recall but drops ndcg below 1") {
+      val rev = ranked((1L, 12L, 1), (1L, 11L, 2), (1L, 10L, 3))
+      val r = Similarity.rankedEval(exact, rev, k = 3).collect().head
+      val d = Similarity.ndcgDiscounts(3)
+      val expected = math.floor((1 * d(0) + 2 * d(1) + 3 * d(2)) /
+        (3 * d(0) + 2 * d(1) + 1 * d(2)) * 1e4 + 0.5) / 1e4
+      assert(r.getAs[Long]("n_hit") == 3L)
+      assert(r.getAs[Double]("mrr") == 1.0)
+      assert(r.getAs[Double]("ndcg") == expected && expected < 1.0)
+    }
+    it("no relevant hits scores zero with rank sentinel 0") {
+      val miss = ranked((1L, 97L, 1), (1L, 98L, 2), (1L, 99L, 3))
+      val r = Similarity.rankedEval(exact, miss, k = 3).collect().head
+      assert(r.getAs[Long]("n_hit") == 0L)
+      assert(r.getAs[Int]("first_hit_rank") == 0)
+      assert(r.getAs[Double]("mrr") == 0.0)
+      assert(r.getAs[Double]("ndcg") == 0.0)
+    }
+    it("first hit at rank 2 gives mrr=0.5") {
+      val a = ranked((1L, 99L, 1), (1L, 10L, 2), (1L, 98L, 3))
+      val r = Similarity.rankedEval(exact, a, k = 3).collect().head
+      assert(r.getAs[Int]("first_hit_rank") == 2)
+      assert(r.getAs[Double]("mrr") == 0.5)
+    }
+  }
 }
