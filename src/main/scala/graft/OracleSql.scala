@@ -1061,6 +1061,47 @@ object OracleSql {
          |SELECT fold, trade_date, role FROM r WHERE role <> 'excluded'
          |ORDER BY fold, trade_date""".stripMargin,
 
+    // mirrors DailyAnalytics.conformalIntervals(0.9): persistence
+    // nonconformity |r_t - r_{t-1}|, even/odd symbol_row_num split,
+    // qhat = interpolation-free order statistic at
+    // k = least(ceil((n_cal+1)*0.9), n_cal); the 0.9 is string-cast
+    // to DOUBLE so both engines run the same IEEE multiply (a bare
+    // 0.9 literal would be DECIMAL here and diverge at exact-integer
+    // products); coverage compares the RAW qhat double
+    "q_conformal" ->
+      s"""${dailyChain("returns")},
+         |sc0 AS (
+         |  SELECT symbol, trade_date, symbol_row_num, daily_return_pct,
+         |    LAG(daily_return_pct) OVER (PARTITION BY symbol ORDER BY trade_date) AS pred
+         |  FROM returns
+         |),
+         |scored AS (
+         |  SELECT symbol, trade_date, symbol_row_num,
+         |    ABS(daily_return_pct - pred) AS score
+         |  FROM sc0 WHERE daily_return_pct IS NOT NULL AND pred IS NOT NULL
+         |),
+         |cal AS (SELECT * FROM scored WHERE symbol_row_num % 2 = 0),
+         |caln AS (SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal GROUP BY symbol),
+         |calr AS (
+         |  SELECT symbol, score,
+         |    ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY score, trade_date) AS rn
+         |  FROM cal
+         |),
+         |qh AS (
+         |  SELECT r.symbol, n.n_cal, r.score AS qhat
+         |  FROM calr r JOIN caln n ON r.symbol = n.symbol
+         |  WHERE r.rn = LEAST(
+         |    CAST(CEIL((n.n_cal + 1) * CAST('0.9' AS DOUBLE)) AS BIGINT), n.n_cal)
+         |)
+         |SELECT q.symbol, q.n_cal, ${rd("q.qhat", 4)} AS qhat,
+         |  CAST(COUNT(*) AS BIGINT) AS n_eval,
+         |  CAST(SUM(CASE WHEN e.score <= q.qhat THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+         |  ${rd("SUM(CASE WHEN e.score <= q.qhat THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE)", 4)} AS coverage
+         |FROM (SELECT * FROM scored WHERE symbol_row_num % 2 = 1) e
+         |JOIN qh q ON e.symbol = q.symbol
+         |GROUP BY q.symbol, q.n_cal, q.qhat
+         |ORDER BY q.symbol""".stripMargin,
+
     // mirrors DailyAnalytics.varCvar(0.05, 20): k-th order statistic
     // (no quantile interpolation — engines disagree there), tail sum
     // exact via list_sum over the sorted prefix

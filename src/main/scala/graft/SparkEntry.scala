@@ -1767,6 +1767,15 @@ object SparkEntry {
     DailyAnalytics.walkForwardSplits(Adapters.dailyBars(s, dir))
       .orderBy("fold", "trade_date")
 
+  /** Split-conformal calibration of the persistence forecast: per
+    * symbol, the 90% conformal radius from the even-day calibration
+    * split and its measured coverage on the odd-day eval split —
+    * distribution-free interval calibration under the full oracle. */
+  private def qConformal(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.conformalIntervals(
+      DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+      .orderBy("symbol")
+
   /** Int8 embedding quantization (per-vector symmetric scale).
     * Registered at component grain (vec_id, n_dims, scale, k, qv) —
     * scalar rows for the gate; [[Similarity.quantizeInt8]] keeps the
@@ -2193,6 +2202,7 @@ object SparkEntry {
     "q_embed_quantize" -> (qEmbedQuantize _),
     "q_calendar_fill" -> (qCalendarFill _),
     "q_walk_forward" -> (qWalkForward _),
+    "q_conformal" -> (qConformal _),
     "q_var_cvar" -> (qVarCvar _),
     "q_autocorrelation" -> (qAutocorrelation _),
     "q_prune_estimate" -> (qPruneEstimate _),

@@ -844,6 +844,55 @@ object DailyAnalytics {
       .filter(col("role") =!= "excluded")
   }
 
+  /** Split-conformal prediction intervals (Vovk et al.; Angelopoulos
+    * & Bates 2021 "A Gentle Introduction to Conformal Prediction")
+    * for the persistence forecast of daily returns — the
+    * distribution-free calibration gauge: with nonconformity score
+    * s = |r_t − r_{t−1}|, the (1−α) conformal radius qhat is the
+    * k = min(⌈(n_cal+1)(1−α)⌉, n_cal)-th SMALLEST calibration score,
+    * and the eval-split coverage of [pred ± qhat] should concentrate
+    * near 1−α if the score distribution is exchangeable. The
+    * calibration/eval split is the deterministic even/odd
+    * symbol_row_num parity (no RNG — same discipline as the hash
+    * samplers), and qhat is an interpolation-free order statistic
+    * (row_number over (score, trade_date)) because engines disagree
+    * on quantile interpolation but agree on order statistics (same
+    * choice as [[varCvar]]). The coverage compare runs on the RAW
+    * qhat double (identical bits in both engines — same ops on the
+    * same rd4 inputs); rounding applies only to the reported columns.
+    *
+    * Output per symbol: (symbol, n_cal, qhat, n_eval, n_covered,
+    * coverage).
+    *
+    * Scale shape: two narrow window passes per symbol partition
+    * (the lag + the calibration rank), then symbol-grain aggregates —
+    * no date-dimension collect, no cross join; the rank selection
+    * joins symbol-grain frames only. */
+  def conformalIntervals(returns: DataFrame, target: Double = 0.9): DataFrame = {
+    val w = bySymbol
+    val scored = returns
+      .withColumn("pred", lag(col("daily_return_pct"), 1).over(w))
+      .filter(col("daily_return_pct").isNotNull && col("pred").isNotNull)
+      .withColumn("score", abs(col("daily_return_pct") - col("pred")))
+    val cal = scored.filter(col("symbol_row_num") % 2 === 0)
+    val calN = cal.groupBy("symbol").agg(count(lit(1)).as("n_cal"))
+    val qhat = cal
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("symbol").orderBy(col("score"), col("trade_date"))))
+      .join(calN, "symbol")
+      .filter(col("rn") ===
+        least(ceil((col("n_cal") + 1) * lit(target)), col("n_cal")))
+      .select(col("symbol"), col("n_cal"), col("score").as("qhat"))
+    scored.filter(col("symbol_row_num") % 2 === 1)
+      .join(qhat, "symbol")
+      .groupBy("symbol", "n_cal", "qhat")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("score") <= col("qhat"), 1L).otherwise(0L)).as("n_covered"))
+      .select(col("symbol"), col("n_cal"), r4(col("qhat")).as("qhat"),
+        col("n_eval"), col("n_covered"),
+        r4(col("n_covered").cast("double") / col("n_eval")).as("coverage"))
+  }
+
   /** Historical Value-at-Risk and Conditional VaR (expected
     * shortfall) per symbol: VaR(α) is the ⌊α·(n−1)⌋+1-th SMALLEST
     * daily return — the interpolation-free lower quantile, chosen

@@ -557,4 +557,40 @@ class DailyAnalyticsSpec extends AnyFunSpec {
       assert(ic.head.getAs[Double]("ic") == 1.0)
     }
   }
+
+  describe("conformalIntervals") {
+    it("90% conformal radius covers near-nominally on real bars") {
+      val got = DailyAnalytics.conformalIntervals(
+        DailyAnalytics.dailyReturns(
+          Adapters.dailyBars(spark, "/root/testdata/sf0.001")))
+        .collect()
+      assert(got.nonEmpty)
+      got.foreach { r =>
+        assert(r.getAs[Double]("qhat") >= 0.0)
+        assert(r.getAs[Long]("n_covered") <= r.getAs[Long]("n_eval"))
+      }
+      // exchangeable scores => per-symbol coverage concentrates near
+      // the 0.9 target; the MEAN across symbols is a tight statistic
+      val mean = got.map(_.getAs[Double]("coverage")).sum / got.length
+      assert(mean > 0.8 && mean <= 1.0, s"mean coverage $mean")
+    }
+    it("qhat is the clamped (n_cal+1)*0.9 order statistic on a hand series") {
+      // one symbol, 9 days: scores need return AND lagged return, so
+      // scored rows are row_nums 3..9; calibration = even (4,6,8) = 3
+      // rows, eval = odd (3,5,7,9) = 4 rows, k = least(ceil(4*0.9), 3)
+      // = 3 => qhat = max calibration score
+      val days = (1 to 9).map(d => ("A", f"2024-01-$d%02d", 10.0 + d * (d % 3), 100L))
+      val df = days.toDF("symbol", "ds", "close_price", "volume")
+        .withColumn("trade_date", to_date($"ds"))
+        .withColumn("open_price", $"close_price")
+        .withColumn("high_price", $"close_price")
+        .withColumn("low_price", $"close_price")
+        .drop("ds")
+      val returns = DailyAnalytics.dailyReturns(df)
+      val got = DailyAnalytics.conformalIntervals(returns).collect()
+      assert(got.length == 1)
+      assert(got.head.getAs[Long]("n_cal") == 3L)
+      assert(got.head.getAs[Long]("n_eval") == 4L)
+    }
+  }
 }
