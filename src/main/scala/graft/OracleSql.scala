@@ -3393,6 +3393,53 @@ object OracleSql {
         |    / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS oov_scaled
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // mirrors TextAnalysis.rakeKeywords: phrases = maximal runs
+    // between the SAME literal stopword list, word score =
+    // degree/freq floor-scaled to 6-dp longs BEFORE the phrase sum
+    // (order-free integer arithmetic), rank on (score6 DESC, phrase)
+    "q_rake_keywords" -> {
+      val stops = graft.operators.TextAnalysis.rakeStopwords
+        .map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |w AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos, unnest(ws) AS word FROM w0),
+         |w2 AS (SELECT doc_id, pos, word,
+         |    (list_contains($stops, word) OR word = '') AS is_stop FROM w),
+         |ph AS (
+         |  SELECT doc_id, pos, word, phrase_id FROM (
+         |    SELECT doc_id, pos, word, is_stop,
+         |      SUM(CASE WHEN is_stop THEN 1 ELSE 0 END)
+         |        OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id
+         |    FROM w2) WHERE NOT is_stop
+         |),
+         |phr AS (
+         |  SELECT doc_id, phrase_id, CAST(COUNT(*) AS BIGINT) AS phrase_len,
+         |    string_agg(word, ' ' ORDER BY pos) AS phrase
+         |  FROM ph GROUP BY doc_id, phrase_id
+         |),
+         |wsc AS (
+         |  SELECT p.doc_id, p.word,
+         |    ${sc("SUM(r.phrase_len) / CAST(COUNT(*) AS DOUBLE)", 6)} AS w6
+         |  FROM ph p JOIN phr r ON p.doc_id = r.doc_id AND p.phrase_id = r.phrase_id
+         |  GROUP BY p.doc_id, p.word
+         |),
+         |psc AS (
+         |  SELECT p.doc_id, p.phrase_id, CAST(SUM(w.w6) AS BIGINT) AS score6
+         |  FROM ph p JOIN wsc w ON p.doc_id = w.doc_id AND p.word = w.word
+         |  GROUP BY p.doc_id, p.phrase_id
+         |),
+         |ded AS (
+         |  SELECT s.doc_id, r.phrase, MAX(s.score6) AS score6,
+         |    MAX(r.phrase_len) AS n_words
+         |  FROM psc s JOIN phr r ON s.doc_id = r.doc_id AND s.phrase_id = r.phrase_id
+         |  GROUP BY s.doc_id, r.phrase
+         |),
+         |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |    ORDER BY score6 DESC, phrase ASC) AS rank FROM ded)
+         |SELECT doc_id, CAST(rank AS INTEGER) AS rank, phrase, n_words,
+         |  ${rd("score6 / 1000000.0", 4)} AS score
+         |FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+    },
+
     // mirrors Versioning.snapshotDiff on the two derived order
     // versions: content hash = hash60(concat_ws(0x01, cols)), statuses
     // from the full-outer null/equality pattern

@@ -1997,6 +1997,14 @@ object SparkEntry {
     TextAnalysis.vocabCoverage(Tables.documents(s, dir), "doc_id", "text", vocabK = 8)
       .orderBy("doc_id")
 
+  /** RAKE keyword extraction: top-3 stopword-delimited phrases per
+    * doc scored by summed degree/freq word scores — the classic
+    * unsupervised keyword primitive, integer-scaled so the phrase
+    * sum is order-free and fully oracle-checked. */
+  private def qRakeKeywords(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.rakeKeywords(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id", "rank")
+
   /** Snapshot diff between two deterministically-derived versions of
     * the orders table: v1 drops orderkey%7=0, v2 drops orderkey%5=0
     * and bumps the (cent-scaled) price by 100 on orderkey%3=0 — so
@@ -2157,6 +2165,7 @@ object SparkEntry {
     "q_triangles" -> (qTriangles _),
     "q_ngram_lm" -> (qNgramLm _),
     "q_vocab_coverage" -> (qVocabCoverage _),
+    "q_rake_keywords" -> (qRakeKeywords _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_set_ops" -> (qSetOps _),
     "q_sim_pq" -> (qSimPq _),

@@ -722,4 +722,75 @@ object TextAnalysis {
         floor(lit(10000.0) * (col("n_tokens") - col("n_in_vocab")).cast("double")
           / col("n_tokens").cast("double")).cast("long").as("oov_scaled"))
   }
+
+  /** The default RAKE stopword/delimiter set — the boundary tokens
+    * phrases break on. Embedded as the same literal list in the
+    * DuckDB oracle. */
+  val rakeStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "on", "for", "with")
+
+  /** RAKE keyword extraction (Rose et al. 2010, "Automatic Keyword
+    * Extraction from Individual Documents"): candidate phrases are
+    * maximal token runs between stopwords, each word is scored
+    * degree/freq WITHIN its document (degree = Σ lengths of the
+    * phrases containing it, freq = occurrence count), and a phrase
+    * scores the sum of its member words' scores. Top-k distinct
+    * phrases per doc.
+    *
+    * Determinism: word scores are floor-scaled to exact 6-dp LONGS
+    * before the phrase sum, so the phrase score is an ORDER-FREE
+    * integer sum (cross-engine double summation order never enters);
+    * ranking runs on (score6 DESC, phrase ASC).
+    *
+    * Scale shape: everything is per-document — the phrase window, the
+    * (doc, word) aggregate, and the phrase-score aggregate all
+    * partition by doc id, so the whole operator is three
+    * partial-aggregable shuffles on doc-grain keys with no corpus-wide
+    * state; the stopword membership test is a plan-time array literal
+    * inside the scan stage. */
+  def rakeKeywords(docs: DataFrame, idCol: String, textCol: String,
+                   stopwords: Seq[String] = rakeStopwords,
+                   k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stopLit = array(stopwords.map(lit): _*)
+    val words = Dedup.spreadById(docs, idCol, textCol)
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "word")))
+      .withColumn("is_stop",
+        array_contains(stopLit, col("word")) || col("word") === "")
+    val phrased = words
+      .withColumn("phrase_id",
+        sum(when(col("is_stop"), 1L).otherwise(0L))
+          .over(Window.partitionBy("doc_id").orderBy("pos")))
+      .filter(!col("is_stop"))
+      .select("doc_id", "phrase_id", "pos", "word")
+      .snapshot() // feeds phrase texts, word stats AND the score join
+    val phrases = phrased.groupBy("doc_id", "phrase_id")
+      .agg(count(lit(1)).as("phrase_len"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("word")))),
+          s => s.getField("word")), " ").as("phrase"))
+    val wordScores = phrased
+      .join(phrases.select(col("doc_id"), col("phrase_id"), col("phrase_len")),
+        Seq("doc_id", "phrase_id"))
+      .groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("freq"), sum(col("phrase_len")).as("degree"))
+      .select(col("doc_id"), col("word"),
+        scaled(col("degree") / col("freq"), 6).as("w6"))
+    val scored = phrased
+      .join(wordScores, Seq("doc_id", "word"))
+      .groupBy("doc_id", "phrase_id").agg(sum(col("w6")).as("score6"))
+      .join(phrases, Seq("doc_id", "phrase_id"))
+      // identical phrase texts in one doc tie exactly (same member
+      // words => same per-doc word scores): keep one row per text
+      .groupBy("doc_id", "phrase")
+      .agg(max(col("score6")).as("score6"), max(col("phrase_len")).as("n_words"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("score6").desc, col("phrase").asc)))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("phrase"), col("n_words"),
+        rd(col("score6") / 1000000.0, 4).as("score"))
+  }
 }

@@ -511,4 +511,26 @@ class TextMultimodalSpec extends AnyFunSpec {
       assert(enc(1).getSeq[String](3) == Seq("solo"))
     }
   }
+
+  describe("rakeKeywords") {
+    it("hand case: degree/freq word scores sum per phrase, ties rank by text") {
+      // phrases: "deep learning" x2, "neural networks"; every word
+      // scores degree/freq = 2.0, so both distinct phrases score 4.0
+      val d = Seq((1L, "deep learning of neural networks and the deep learning"))
+        .toDF("doc_id", "text")
+      val got = TextAnalysis.rakeKeywords(d, "doc_id", "text")
+        .orderBy("rank").collect()
+      assert(got.map(_.getAs[String]("phrase")).toSeq ==
+        Seq("deep learning", "neural networks"))
+      assert(got.forall(_.getAs[Double]("score") == 4.0))
+      assert(got.forall(_.getAs[Long]("n_words") == 2L))
+    }
+    it("stopword-only documents produce no phrases") {
+      val d = Seq((1L, "the and of a"), (2L, "alpha beta"))
+        .toDF("doc_id", "text")
+      val got = TextAnalysis.rakeKeywords(d, "doc_id", "text").collect()
+      assert(got.map(_.getAs[Long]("doc_id")).distinct.toSeq == Seq(2L))
+      assert(got.head.getAs[String]("phrase") == "alpha beta")
+    }
+  }
 }
