@@ -2534,6 +2534,56 @@ object OracleSql {
          |FROM base b LEFT JOIN ret r ON b.d = r.d
          |ORDER BY cohort_date""".stripMargin,
 
+    // mirrors Cohorts.cupedLift: data-derived period cutoff
+    // (min + floor(span/2) days — FLOOR explicit, Spark's double→int
+    // cast truncates while DuckDB's rounds), cent-scaled per-user
+    // X/Y, pooled theta from exact HUGEINT moments (Spark side runs
+    // the same sums in DECIMAL(38,0)), identical division trees
+    "q_cuped_lift" ->
+      s"""WITH b AS (
+         |  SELECT MIN(CAST(ts AS DATE)) AS dmin, MAX(CAST(ts AS DATE)) AS dmax
+         |  FROM events
+         |),
+         |pu AS (
+         |  SELECT user_id,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase'
+         |      AND CAST(ts AS DATE) < dmin + CAST(FLOOR((dmax - dmin) / 2) AS INTEGER)
+         |      THEN ${sc("value", 2)} ELSE 0 END) AS BIGINT) AS x_c,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase'
+         |      AND CAST(ts AS DATE) >= dmin + CAST(FLOOR((dmax - dmin) / 2) AS INTEGER)
+         |      THEN ${sc("value", 2)} ELSE 0 END) AS BIGINT) AS y_c
+         |  FROM events, b GROUP BY user_id
+         |),
+         |pool AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_p,
+         |    CAST(SUM(x_c) AS BIGINT) AS sx_p,
+         |    CAST(SUM(y_c) AS BIGINT) AS sy_p,
+         |    SUM(CAST(x_c AS HUGEINT) * CAST(y_c AS HUGEINT)) AS sxy_p,
+         |    SUM(CAST(x_c AS HUGEINT) * CAST(x_c AS HUGEINT)) AS sxx_p
+         |  FROM pu
+         |),
+         |th AS (
+         |  SELECT CASE
+         |      WHEN CAST(n_p * sxx_p - CAST(sx_p AS HUGEINT) * sx_p AS DOUBLE) = 0.0
+         |      THEN 0.0
+         |      ELSE CAST(n_p * sxy_p - CAST(sx_p AS HUGEINT) * sy_p AS DOUBLE)
+         |         / CAST(n_p * sxx_p - CAST(sx_p AS HUGEINT) * sx_p AS DOUBLE) END AS theta,
+         |    CAST(sx_p AS DOUBLE) / n_p AS xbar_p
+         |  FROM pool
+         |),
+         |v AS (
+         |  SELECT CAST(user_id % 2 AS INTEGER) AS variant,
+         |    CAST(COUNT(*) AS BIGINT) AS n_users,
+         |    CAST(SUM(x_c) AS BIGINT) AS sx_v,
+         |    CAST(SUM(y_c) AS BIGINT) AS sy_v
+         |  FROM pu GROUP BY 1
+         |)
+         |SELECT variant, n_users,
+         |  ${rd("sy_v / CAST(n_users AS DOUBLE) / 100.0", 4)} AS mean_y,
+         |  ${rd("theta", 6)} AS theta,
+         |  ${rd("(sy_v / CAST(n_users AS DOUBLE) - theta * (sx_v / CAST(n_users AS DOUBLE) - xbar_p)) / 100.0", 4)} AS mean_y_cuped
+         |FROM v, th ORDER BY variant""".stripMargin,
+
     "q_skew_salted" ->
       s"""SELECT l_returnflag,
          |  ${rd(s"CAST(SUM(${sc("l_extendedprice", 2)}) AS DOUBLE) / 1e2", 2)} AS revenue,

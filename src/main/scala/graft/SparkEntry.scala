@@ -907,6 +907,18 @@ object SparkEntry {
       .orderBy("cohort_date")
   }
 
+  /** CUPED variance-reduced A/B readout over the event stream:
+    * per user_id-parity variant, raw vs covariate-adjusted mean
+    * post-period purchase revenue with the pooled θ = cov(X,Y)/var(X)
+    * — exact integer moments (DECIMAL(38,0) ↔ HUGEINT) under the
+    * full oracle. */
+  private def qCupedLift(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    Cohorts.cupedLift(ev.withColumn("event_time", Adapters.eventTime(ev)),
+      "user_id", "event_time", "event_type", "value")
+      .orderBy("variant")
+  }
+
   /** Inter-document boilerplate signal: the fraction of each doc's
     * distinct 3-grams shared with any other doc. */
   private def qCrossDocNgrams(s: SparkSession, dir: String): DataFrame =
@@ -2088,6 +2100,7 @@ object SparkEntry {
     "q_incremental_stats" -> (qIncrementalStats _),
     "q_topk_per_group" -> (qTopkPerGroup _),
     "q_retention" -> (qRetention _),
+    "q_cuped_lift" -> (qCupedLift _),
     "q_funnel" -> (qFunnel _),
     "q_funnel_windowed" -> (qFunnelWindowed _),
     "q_inverted_index" -> (qInvertedIndex _),

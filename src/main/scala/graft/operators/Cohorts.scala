@@ -90,4 +90,70 @@ object Cohorts {
         r4(coalesce(col("n_retained"), lit(0L)) / col("n_active").cast("double"))
           .as("retention_rate"))
   }
+
+  /** CUPED variance-reduced experiment readout (Deng et al. 2013,
+    * "Improving the Sensitivity of Online Controlled Experiments by
+    * Utilizing Pre-Experiment Data"): per deterministic variant
+    * (user_id parity — the hash-assignment stand-in), the raw and
+    * CUPED-adjusted mean post-period purchase revenue, where the
+    * adjustment Y − θ(X − x̄) uses each user's PRE-period revenue as
+    * the covariate and the pooled θ = cov(X,Y)/var(X). The period
+    * cutoff is derived from the data (min date + ⌊span/2⌋ days), so
+    * the query is parameter-free and engine-portable.
+    *
+    * Determinism: X and Y are exact cent-scaled longs; θ's
+    * numerator/denominator are the textbook n·Σxy − Σx·Σy forms
+    * computed in DECIMAL(38,0) (mirroring DuckDB's HUGEINT sums —
+    * both exact, so the final double casts bit-match), and every
+    * reported mean applies one division tree identical in both
+    * engines before the 4-dp floor-round.
+    *
+    * Scale shape: one partial-aggregable shuffle to the per-user
+    * grain (conditional sums — the event stream never shuffles raw),
+    * then a 1-row pooled aggregate broadcast back over the 2-row
+    * variant aggregate. The date bounds are a 1-row broadcast cross
+    * join, same as every calendar-derived literal in the daily lane. */
+  def cupedLift(events: DataFrame, userCol: String, tsCol: String,
+                typeCol: String, valueCol: String,
+                eventType: String = "purchase"): DataFrame = {
+    val d = to_date(col(tsCol))
+    val bounds = events.agg(min(d).as("dmin"), max(d).as("dmax"))
+    val dec = "decimal(38,0)"
+    val perUser = events.crossJoin(broadcast(bounds))
+      // floor EXPLICITLY: Spark's double→int cast truncates while
+      // DuckDB's rounds, so a bare (days/2) cast would diverge on odd
+      // spans
+      .withColumn("cut", date_add(col("dmin"),
+        floor(datediff(col("dmax"), col("dmin")) / 2).cast("int")))
+      .groupBy(col(userCol).as("user_id"))
+      .agg(
+        sum(when(col(typeCol) === eventType && d < col("cut"),
+          scaled(col(valueCol), 2)).otherwise(0L)).as("x_c"),
+        sum(when(col(typeCol) === eventType && d >= col("cut"),
+          scaled(col(valueCol), 2)).otherwise(0L)).as("y_c"))
+      .withColumn("variant", (col("user_id") % 2).cast("int"))
+      .snapshot() // feeds the pooled 1-row agg AND the variant agg
+    val pooled = perUser.agg(
+      count(lit(1)).as("n_p"),
+      sum(col("x_c")).as("sx_p"),
+      sum(col("y_c")).as("sy_p"),
+      sum(col("x_c").cast(dec) * col("y_c").cast(dec)).as("sxy_p"),
+      sum(col("x_c").cast(dec) * col("x_c").cast(dec)).as("sxx_p"))
+    val num = (col("n_p").cast(dec) * col("sxy_p") -
+      col("sx_p").cast(dec) * col("sy_p").cast(dec)).cast("double")
+    val den = (col("n_p").cast(dec) * col("sxx_p") -
+      col("sx_p").cast(dec) * col("sx_p").cast(dec)).cast("double")
+    val theta = when(den === 0.0, lit(0.0)).otherwise(num / den)
+    perUser.groupBy("variant")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("x_c")).as("sx_v"), sum(col("y_c")).as("sy_v"))
+      .crossJoin(broadcast(pooled.select(theta.as("theta"),
+        (col("sx_p").cast("double") / col("n_p")).as("xbar_p"))))
+      .select(col("variant"), col("n_users"),
+        rd(col("sy_v") / col("n_users").cast("double") / 100.0, 4).as("mean_y"),
+        rd(col("theta"), 6).as("theta"),
+        rd((col("sy_v") / col("n_users").cast("double") -
+          col("theta") * (col("sx_v") / col("n_users").cast("double") -
+            col("xbar_p"))) / 100.0, 4).as("mean_y_cuped"))
+  }
 }

@@ -163,4 +163,45 @@ class RankingCohortsSpec extends AnyFunSpec {
       assert(got.map(_.getAs[Int]("tier")).toSeq == Seq(1, 2, 3))
     }
   }
+
+  describe("Cohorts.cupedLift") {
+    // 4-day span 01..05 => cutoff = 01-01 + 2 = 01-03; pre = {01,02},
+    // post = {03,04,05}
+    def ev(user: Long, day: Int, typ: String, v: Double) =
+      (user, s"2024-01-0$day 12:00:00", typ, v)
+
+    it("theta=1 when Y == X, and CUPED centers the variant means") {
+      // y_c == x_c per user => cov(X,Y) = var(X) => theta = 1; the
+      // adjusted mean becomes mean_y - (mean_x_v - xbar_pool)
+      val rows = Seq(
+        ev(0L, 1, "purchase", 10.0), ev(0L, 4, "purchase", 10.0),
+        ev(1L, 1, "purchase", 30.0), ev(1L, 4, "purchase", 30.0),
+        ev(2L, 2, "purchase", 20.0), ev(2L, 5, "purchase", 20.0),
+        ev(3L, 2, "purchase", 40.0), ev(3L, 5, "purchase", 40.0),
+        ev(3L, 3, "view", 99.0)) // non-purchase never counts
+        .toDF("user_id", "ts_s", "event_type", "value")
+        .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+      val got = Cohorts.cupedLift(rows, "user_id", "ts", "event_type", "value")
+        .orderBy("variant").collect()
+      assert(got.length == 2)
+      assert(got.forall(_.getAs[Double]("theta") == 1.0))
+      // variant 0: users {0,2} mean_y 15; variant 1: users {1,3} mean 35
+      assert(got(0).getAs[Double]("mean_y") == 15.0)
+      assert(got(1).getAs[Double]("mean_y") == 35.0)
+      // xbar_pool = 25 => both adjusted means collapse to 25
+      assert(got.forall(_.getAs[Double]("mean_y_cuped") == 25.0))
+    }
+    it("zero-variance covariate degrades to theta=0 (raw means)") {
+      val rows = Seq(
+        ev(0L, 1, "purchase", 10.0), ev(0L, 4, "purchase", 12.0),
+        ev(1L, 1, "purchase", 10.0), ev(1L, 4, "purchase", 18.0))
+        .toDF("user_id", "ts_s", "event_type", "value")
+        .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+      val got = Cohorts.cupedLift(rows, "user_id", "ts", "event_type", "value")
+        .orderBy("variant").collect()
+      assert(got.forall(_.getAs[Double]("theta") == 0.0))
+      assert(got.map(r => r.getAs[Double]("mean_y_cuped")).toSeq ==
+        got.map(r => r.getAs[Double]("mean_y")).toSeq)
+    }
+  }
 }
