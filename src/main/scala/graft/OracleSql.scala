@@ -1061,6 +1061,54 @@ object OracleSql {
          |SELECT fold, trade_date, role FROM r WHERE role <> 'excluded'
          |ORDER BY fold, trade_date""".stripMargin,
 
+    // mirrors DailyAnalytics.hurstExponent: per window w the blocks
+    // are rn // w, dev = w*cumsum - i*blocksum (exact integers, no
+    // division), S^2 from w*Sxx - Sx^2, block R/S floor-rounded to
+    // 6 dp before the order-free average; the ln() pair in H is the
+    // documented exception to the no-log rule (<=2 ulp, absorbed by
+    // the 4-dp round), denominator 2*ln2 embedded as the same literal
+    "q_hurst" -> {
+      val ln2x2 = s"CAST('${2.0 * math.log(2.0)}' AS DOUBLE)"
+      def wCtes(w: Int) =
+        s"""b$w AS (
+           |  SELECT symbol, rn // $w AS blk, x,
+           |    $w * SUM(x) OVER (PARTITION BY symbol, rn // $w ORDER BY rn)
+           |      - ROW_NUMBER() OVER (PARTITION BY symbol, rn // $w ORDER BY rn)
+           |        * SUM(x) OVER (PARTITION BY symbol, rn // $w) AS dev,
+           |    COUNT(*) OVER (PARTITION BY symbol, rn // $w) AS cnt
+           |  FROM base
+           |),
+           |s$w AS (
+           |  SELECT symbol, blk, MAX(dev) - MIN(dev) AS r_scaled,
+           |    SUM(x) AS sx, SUM(x * x) AS sxx
+           |  FROM b$w WHERE cnt = $w GROUP BY symbol, blk
+           |),
+           |r$w AS (
+           |  SELECT symbol,
+           |    ${rd(s"(CAST(r_scaled AS DOUBLE) / $w) / sqrt(CAST($w * sxx - sx * sx AS DOUBLE) / ${w * (w - 1)})", 6)} AS rs6
+           |  FROM s$w WHERE $w * sxx - sx * sx > 0
+           |),
+           |a$w AS (SELECT symbol, SUM(rs6) / COUNT(*) AS rs FROM r$w GROUP BY symbol)""".stripMargin
+      s"""${dailyChain("returns")},
+         |base AS (
+         |  SELECT symbol, ${sc4("daily_return_pct")} AS x,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY trade_date) - 1 AS BIGINT) AS rn
+         |  FROM returns WHERE daily_return_pct IS NOT NULL
+         |),
+         |${Seq(8, 16, 32).map(wCtes).mkString(",\n")},
+         |days AS (SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_days FROM base GROUP BY symbol)
+         |SELECT d.symbol, d.n_days,
+         |  ${rd("a8.rs", 4)} AS rs_8,
+         |  ${rd("a16.rs", 4)} AS rs_16,
+         |  ${rd("a32.rs", 4)} AS rs_32,
+         |  ${rd(s"(LN(a32.rs) - LN(a8.rs)) / $ln2x2", 4)} AS hurst
+         |FROM days d
+         |JOIN a8 ON d.symbol = a8.symbol
+         |JOIN a16 ON d.symbol = a16.symbol
+         |JOIN a32 ON d.symbol = a32.symbol
+         |ORDER BY d.symbol""".stripMargin
+    },
+
     // mirrors DailyAnalytics.conformalIntervals(0.9): persistence
     // nonconformity |r_t - r_{t-1}|, even/odd symbol_row_num split,
     // qhat = interpolation-free order statistic at
@@ -2340,6 +2388,40 @@ object OracleSql {
          |ORDER BY d.doc_id""".stripMargin,
 
     // Table profile (mirrors Profiling.columnProfile over orders)
+    // mirrors Profiling.kAnonymity over (lang, source): one class-size
+    // CTE re-aggregated per k
+    "q_k_anonymity" -> {
+      val perK = Seq(2, 5, 10, 20).map { k =>
+        s"""SELECT CAST($k AS INTEGER) AS k,
+           |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+           |  CAST(SUM(CASE WHEN cnt < $k THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_classes,
+           |  CAST(SUM(CASE WHEN cnt < $k THEN cnt ELSE 0 END) AS BIGINT) AS n_violating_rows,
+           |  ${rd(s"SUM(CASE WHEN cnt < $k THEN cnt ELSE 0 END) / CAST(SUM(cnt) AS DOUBLE)", 4)} AS violating_frac
+           |FROM cls""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH cls AS (
+         |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM documents GROUP BY lang, source
+         |)
+         |$perK
+         |ORDER BY k""".stripMargin
+    },
+
+    // mirrors Profiling.lDiversity with the n_chars // 100 length band
+    // as the sensitive attribute
+    "q_l_diversity" ->
+      s"""WITH cls AS (
+         |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |    CAST(COUNT(DISTINCT n_chars // 100) AS BIGINT) AS l
+         |  FROM documents GROUP BY lang, source
+         |)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+         |  CAST(MIN(l) AS BIGINT) AS min_diversity,
+         |  CAST(SUM(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_homogeneous,
+         |  CAST(SUM(CASE WHEN l = 1 THEN cnt ELSE 0 END) AS BIGINT) AS n_exposed_rows,
+         |  ${rd("SUM(CASE WHEN l = 1 THEN cnt ELSE 0 END) / CAST(SUM(cnt) AS DOUBLE)", 4)} AS exposed_frac
+         |FROM cls""".stripMargin,
+
     "q_column_profile" -> {
       val cols = Seq("o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate")
       cols.map { c =>

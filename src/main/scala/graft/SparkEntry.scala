@@ -1779,6 +1779,14 @@ object SparkEntry {
     DailyAnalytics.walkForwardSplits(Adapters.dailyBars(s, dir))
       .orderBy("fold", "trade_date")
 
+  /** Hurst exponent by R/S analysis over {8,16,32}-day blocks: the
+    * long-memory regime gauge per symbol, exact integer block moments
+    * under the full oracle. */
+  private def qHurst(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.hurstExponent(
+      DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+      .orderBy("symbol")
+
   /** Split-conformal calibration of the persistence forecast: per
     * symbol, the 90% conformal radius from the even-day calibration
     * split and its measured coverage on the odd-day eval split —
@@ -1797,6 +1805,20 @@ object SparkEntry {
       .select(col("vec_id"), col("n_dims"), col("scale"),
         posexplode(col("q")).as(Seq("k", "qv")))
       .orderBy("vec_id", "k")
+
+  /** k-anonymity sweep over the (lang, source) quasi-identifier:
+    * per k, the equivalence classes under size k and the rows they
+    * expose — the privacy release-gate readout. */
+  private def qKAnonymity(s: SparkSession, dir: String): DataFrame =
+    Profiling.kAnonymity(Tables.documents(s, dir), Seq("lang", "source"))
+
+  /** Distinct l-diversity for the same quasi tuple with the length
+    * band as the sensitive attribute — catches homogeneous classes
+    * k-anonymity alone misses. */
+  private def qLDiversity(s: SparkSession, dir: String): DataFrame =
+    Profiling.lDiversity(
+      Tables.documents(s, dir).withColumn("len_band", expr("n_chars DIV 100")),
+      Seq("lang", "source"), "len_band")
 
   /** Snapshot drift monitor: exact TVD between the length
     * distributions of two corpus halves (doc_id parity = the two
@@ -2189,6 +2211,8 @@ object SparkEntry {
     "q_temperature_mixture" -> (qTemperatureMixture _),
     "q_threshold_sweep" -> (qThresholdSweep _),
     "q_column_profile" -> (qColumnProfile _),
+    "q_k_anonymity" -> (qKAnonymity _),
+    "q_l_diversity" -> (qLDiversity _),
     "q_stream_sessions" -> (qStreamSessions _),
     "q_stream_dedup" -> (qStreamDedup _),
     "q_stream_topk" -> (qStreamTopk _),
@@ -2225,6 +2249,7 @@ object SparkEntry {
     "q_calendar_fill" -> (qCalendarFill _),
     "q_walk_forward" -> (qWalkForward _),
     "q_conformal" -> (qConformal _),
+    "q_hurst" -> (qHurst _),
     "q_var_cvar" -> (qVarCvar _),
     "q_autocorrelation" -> (qAutocorrelation _),
     "q_prune_estimate" -> (qPruneEstimate _),

@@ -844,6 +844,68 @@ object DailyAnalytics {
       .filter(col("role") =!= "excluded")
   }
 
+  /** Hurst exponent by rescaled-range (R/S) analysis (Hurst 1951;
+    * Mandelbrot & Wallis 1969) — the long-memory gauge: H ≈ 0.5 for
+    * a random walk, > 0.5 trending, < 0.5 mean-reverting. For each
+    * power-of-two window w ∈ {8, 16, 32} the per-symbol return
+    * series splits into consecutive complete blocks of w; each
+    * block's rescaled range is R/S with R = range of the cumulative
+    * mean-deviation and S the sample stddev, and the per-window
+    * statistic is the block average. H is the least-squares slope of
+    * log2(R/S) on log2(w), which for the 3-point {3,4,5} design
+    * collapses to (ln(rs₃₂) − ln(rs₈)) / (2·ln 2).
+    *
+    * Determinism: ALL block moments are exact 4-dp-scaled integer
+    * arithmetic — the deviation is the w-scaled w·C_i − i·Σx (no
+    * division until the final R/S), S² comes from the textbook
+    * w·Σx² − (Σx)² form, and each block's R/S is floor-rounded to
+    * 6 dp before the order-free block average. The single ln() pair
+    * in H is the one deliberate exception to the no-log() house rule:
+    * it runs on identical doubles in both engines and Java/libm ln
+    * agree to ≤ 2 ulp, which the 4-dp floor-round absorbs (unlike
+    * the rank-sensitive uses the rule exists for).
+    *
+    * Scale shape: two window passes per (symbol, block) partition and
+    * two partial-aggregable shuffles per window size — block grain,
+    * then symbol grain; the three window branches join at the
+    * symbol dimension. No date collect, no cross join. */
+  def hurstExponent(returns: DataFrame): DataFrame = {
+    val windows = Seq(8, 16, 32)
+    val base = returns.filter(col("daily_return_pct").isNotNull)
+      .select(col("symbol"), col("trade_date"),
+        scaled(col("daily_return_pct"), 4).as("x"))
+      .withColumn("rn", (row_number().over(bySymbol) - 1).cast("long"))
+      .snapshot() // feeds all three window branches + the day count
+    val perW = windows.map { w =>
+      val blk = expr(s"rn DIV $w")
+      val wb = Window.partitionBy(col("symbol"), blk).orderBy("rn")
+      val wbAll = Window.partitionBy(col("symbol"), blk)
+      val dev = lit(w.toLong) * sum(col("x")).over(wb) -
+        row_number().over(wb).cast("long") * sum(col("x")).over(wbAll)
+      val stats = base
+        .withColumn("cnt", count(lit(1)).over(wbAll))
+        .filter(col("cnt") === w)
+        .withColumn("dev", dev)
+        .groupBy(col("symbol"), blk.as("blk"))
+        .agg((max(col("dev")) - min(col("dev"))).as("r_scaled"),
+          sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"))
+        .withColumn("s2num", lit(w.toLong) * col("sxx") - col("sx") * col("sx"))
+        .filter(col("s2num") > 0)
+        .withColumn("rs6", rd(
+          (col("r_scaled").cast("double") / w) /
+            sqrt(col("s2num").cast("double") / (w * (w - 1))), 6))
+      stats.groupBy("symbol")
+        .agg((sum(col("rs6")) / count(lit(1))).as(s"rs_$w"))
+    }
+    val days = base.groupBy("symbol").agg(count(lit(1)).as("n_days"))
+    val joined = perW.foldLeft(days)((acc, f) => acc.join(f, "symbol"))
+    joined.select(col("symbol"), col("n_days"),
+      r4(col("rs_8")).as("rs_8"), r4(col("rs_16")).as("rs_16"),
+      r4(col("rs_32")).as("rs_32"),
+      r4((log(col("rs_32")) - log(col("rs_8"))) /
+        lit(2.0 * math.log(2.0))).as("hurst"))
+  }
+
   /** Split-conformal prediction intervals (Vovk et al.; Angelopoulos
     * & Bates 2021 "A Gentle Introduction to Conformal Prediction")
     * for the persistence forecast of daily returns — the

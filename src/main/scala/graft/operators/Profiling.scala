@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.Funcs.r4
+import graft.sources.Staging.Snapshottable
 
 /** Data-profiling operators: fixed-width histograms and quantile-tier
   * (ntile) summaries — the "what does this 100 TB column look like"
@@ -274,5 +276,60 @@ object Profiling {
         min(col("total")).as("tier_floor"),
         max(col("total")).as("tier_ceiling"))
       .orderBy("tier")
+  }
+
+  /** k-anonymity sweep (Sweeney 2002) over a quasi-identifier tuple:
+    * for each k in `ks`, how many equivalence classes (distinct
+    * quasi-identifier combinations) fall below size k and how many
+    * ROWS those classes expose. The release-gate readout a privacy
+    * review of a training corpus starts from — a row is k-anonymous
+    * iff at least k−1 other rows share its quasi tuple.
+    *
+    * Scale shape: ONE partial-aggregable shuffle to the class grain;
+    * the sweep then re-aggregates the class-size frame (bounded by
+    * distinct quasi tuples, not rows) once per k — a broadcast-sized
+    * frame crossed with a literal k dimension, never the corpus. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String],
+                 ks: Seq[Int] = Seq(2, 5, 10, 20)): DataFrame = {
+    val classes = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("cnt")).snapshot() // class-size dimension, reused per k
+    ks.map { k =>
+      classes.agg(
+        count(lit(1)).as("n_classes"),
+        sum(when(col("cnt") < k, 1L).otherwise(0L)).as("n_violating_classes"),
+        sum(when(col("cnt") < k, col("cnt")).otherwise(0L)).as("n_violating_rows"),
+        sum(col("cnt")).as("n_rows"))
+        .select(lit(k).as("k"), col("n_classes"), col("n_violating_classes"),
+          col("n_violating_rows"),
+          r4(col("n_violating_rows").cast("double") / col("n_rows")).as("violating_frac"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Distinct l-diversity (Machanavajjhala et al. 2007) companion of
+    * [[kAnonymity]]: per quasi-identifier class, the number of
+    * DISTINCT sensitive values — k-anonymity alone is defeated by a
+    * homogeneous class (everyone in it shares the sensitive value).
+    * One summary row: class count, the minimum diversity, how many
+    * classes are fully homogeneous (l = 1), and the fraction of rows
+    * in them.
+    *
+    * Scale shape: one distinct-pair reduction, one class-grain
+    * aggregate, one 1-row rollup — all partial-aggregable. */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String): DataFrame = {
+    val q = quasiCols.map(col)
+    val perClass = df.groupBy(q: _*)
+      .agg(count(lit(1)).as("cnt"),
+        countDistinct(col(sensitiveCol)).as("l"))
+    perClass.agg(
+      count(lit(1)).as("n_classes"),
+      min(col("l")).as("min_diversity"),
+      sum(when(col("l") === 1, 1L).otherwise(0L)).as("n_homogeneous"),
+      sum(when(col("l") === 1, col("cnt")).otherwise(0L)).as("n_exposed_rows"),
+      sum(col("cnt")).as("n_rows"))
+      .select(col("n_classes"), col("min_diversity"), col("n_homogeneous"),
+        col("n_exposed_rows"),
+        r4(col("n_exposed_rows").cast("double") / col("n_rows")).as("exposed_frac"))
   }
 }

@@ -593,4 +593,42 @@ class DailyAnalyticsSpec extends AnyFunSpec {
       assert(got.head.getAs[Long]("n_eval") == 4L)
     }
   }
+
+  describe("hurstExponent") {
+    def r4d(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    def r6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+
+    it("alternating +1/-1 returns give the closed-form R/S and H near 0") {
+      // x = ±10000 (4-dp scaled ±1%): every w-block has Sx = 0,
+      // dev = w*C_i in {w*10000, 0} => R = 10000; S = sqrt(w*Sxx/(w(w-1)))
+      // => R/S = sqrt((w-1)/w), identical for every block, and the
+      // block average is exact (power-of-2 block counts)
+      val rows = (0 until 64).map { i =>
+        ("A", java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)),
+          if (i % 2 == 0) 1.0 else -1.0)
+      }
+      val returns = rows.toDF("symbol", "trade_date", "daily_return_pct")
+      val got = DailyAnalytics.hurstExponent(returns).collect()
+      assert(got.length == 1)
+      def expectedRs(w: Int) = r4d(r6d(
+        (w * 10000.0 / w) / math.sqrt(w * w * 1e8 / (w * (w - 1)))))
+      assert(got.head.getAs[Double]("rs_8") == expectedRs(8))
+      assert(got.head.getAs[Double]("rs_16") == expectedRs(16))
+      assert(got.head.getAs[Double]("rs_32") == expectedRs(32))
+      // strongly mean-reverting: H far below the 0.5 random-walk line
+      assert(got.head.getAs[Double]("hurst") < 0.1)
+    }
+    it("real bars give H in a sane band with rs growing in w") {
+      val got = DailyAnalytics.hurstExponent(
+        DailyAnalytics.dailyReturns(
+          Adapters.dailyBars(spark, "/root/testdata/sf0.001")))
+        .collect()
+      assert(got.nonEmpty)
+      got.foreach { r =>
+        assert(r.getAs[Double]("rs_32") > r.getAs[Double]("rs_8"))
+        val h = r.getAs[Double]("hurst")
+        assert(h > 0.0 && h < 1.0, s"hurst $h out of band")
+      }
+    }
+  }
 }

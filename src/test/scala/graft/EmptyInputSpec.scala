@@ -157,5 +157,27 @@ class EmptyInputSpec extends AnyFunSpec {
         .toDF("media_id", "frame_idx", "n_samples", "energy", "peak")
       assert(Multimodal.energySegments(emptyFrames, 1L).isEmpty)
     }
+    it("round-11 operators degrade to empty output on empty input") {
+      val emptyRanked = Seq.empty[(Long, Long, Int)]
+        .toDF("query_id", "corpus_id", "rank")
+      assert(Similarity.rankedEval(emptyRanked, emptyRanked, k = 3).isEmpty)
+      assert(Dedup.lshRecallByBand(emptyDocs, "doc_id", "text").isEmpty)
+      assert(TextAnalysis.rakeKeywords(emptyDocs, "doc_id", "text").isEmpty)
+      val emptyReturns = DailyAnalytics.dailyReturns(emptyBars)
+      assert(DailyAnalytics.conformalIntervals(emptyReturns).isEmpty)
+      assert(DailyAnalytics.hurstExponent(emptyReturns).isEmpty)
+      val emptyEvents = Seq.empty[(Long, java.sql.Timestamp, String, Double)]
+        .toDF("user_id", "ts", "event_type", "value")
+      assert(Cohorts.cupedLift(emptyEvents, "user_id", "ts", "event_type", "value").isEmpty)
+      val emptyQuasi = Seq.empty[(Long, String, String)].toDF("id", "lang", "source")
+      // global aggregates yield one row per k over zero classes — the
+      // counts must read 0, not throw
+      val ka = Profiling.kAnonymity(emptyQuasi, Seq("lang", "source")).collect()
+      assert(ka.length == 4 && ka.forall(_.getAs[Long]("n_classes") == 0L))
+      // lDiversity's single summary row over zero classes is all-null
+      // counts — assert it doesn't throw and carries no classes
+      val ld = Profiling.lDiversity(emptyQuasi, Seq("lang", "source"), "id").collect()
+      assert(ld.head.getAs[Long]("n_classes") == 0L)
+    }
   }
 }

@@ -247,4 +247,36 @@ class TrainingDataOpsSpec extends AnyFunSpec {
       }
     }
   }
+
+  describe("Profiling.kAnonymity / lDiversity") {
+    // classes: (en,a)=3 rows, (en,b)=1, (de,a)=2; sensitive v
+    lazy val rows = Seq(
+      (1L, "en", "a", 10L), (2L, "en", "a", 10L), (3L, "en", "a", 20L),
+      (4L, "en", "b", 30L),
+      (5L, "de", "a", 40L), (6L, "de", "a", 50L))
+      .toDF("id", "lang", "source", "v")
+
+    it("k sweep counts violating classes and their rows") {
+      val got = graft.operators.Profiling
+        .kAnonymity(rows, Seq("lang", "source"), ks = Seq(2, 3))
+        .orderBy("k").collect()
+      // k=2: only (en,b) violates -> 1 class, 1 row
+      assert(got(0).getAs[Long]("n_classes") == 3L)
+      assert(got(0).getAs[Long]("n_violating_classes") == 1L)
+      assert(got(0).getAs[Long]("n_violating_rows") == 1L)
+      // k=3: (en,b) and (de,a) violate -> 2 classes, 3 rows
+      assert(got(1).getAs[Long]("n_violating_classes") == 2L)
+      assert(got(1).getAs[Long]("n_violating_rows") == 3L)
+      assert(got(1).getAs[Double]("violating_frac") == 0.5)
+    }
+    it("l-diversity flags the homogeneous class") {
+      // (en,a) has sensitive {10,20} l=2; (en,b) {30} l=1; (de,a) {40,50} l=2
+      val got = graft.operators.Profiling
+        .lDiversity(rows, Seq("lang", "source"), "v").collect().head
+      assert(got.getAs[Long]("n_classes") == 3L)
+      assert(got.getAs[Long]("min_diversity") == 1L)
+      assert(got.getAs[Long]("n_homogeneous") == 1L)
+      assert(got.getAs[Long]("n_exposed_rows") == 1L)
+    }
+  }
 }
