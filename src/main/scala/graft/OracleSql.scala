@@ -2388,6 +2388,24 @@ object OracleSql {
          |ORDER BY d.doc_id""".stripMargin,
 
     // Table profile (mirrors Profiling.columnProfile over orders)
+    // mirrors Profiling.benfordDigits over o_totalprice: digits from
+    // the exact cent LONG's decimal string (double formatting differs
+    // across engines), expectation literals string-cast via dlist
+    "q_benford" -> {
+      val expected = dlist(graft.operators.Profiling.benfordExpected)
+      s"""WITH d AS (
+         |  SELECT CAST(SUBSTR(CAST(${sc("o_totalprice", 2)} AS VARCHAR), 1, 1) AS INTEGER) AS digit
+         |  FROM orders WHERE o_totalprice > 0
+         |),
+         |g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit),
+         |t AS (SELECT digit, n, CAST(SUM(n) OVER () AS BIGINT) AS total FROM g)
+         |SELECT digit, n,
+         |  ${rd("CAST(n AS DOUBLE) / total", 4)} AS frac,
+         |  ${rd(s"$expected[digit]", 4)} AS expected,
+         |  ${rd(s"CAST(n AS DOUBLE) / total - $expected[digit]", 4)} AS gap
+         |FROM t ORDER BY digit""".stripMargin
+    },
+
     // mirrors Profiling.kAnonymity over (lang, source): one class-size
     // CTE re-aggregated per k
     "q_k_anonymity" -> {
@@ -2776,6 +2794,34 @@ object OracleSql {
     // exact-verified, so the RESULT is identical to the exact plan —
     // one oracle states both
     "q_decontamination_bloom" -> decontaminationSql,
+
+    // mirrors Packing.paddingEfficiency(batchSize = 32, per source):
+    // per-shard row_number batches, padded = count * batch max
+    "q_padding_efficiency" -> {
+      def strat(name: String, order: String) =
+        s"""SELECT '$name' AS strategy,
+           |  CAST(COUNT(*) AS BIGINT) AS n_batches,
+           |  CAST(SUM(tot) AS BIGINT) AS total_tokens,
+           |  CAST(SUM(cnt * mx) AS BIGINT) AS padded_tokens,
+           |  ${rd("(SUM(cnt * mx) - SUM(tot)) / CAST(SUM(cnt * mx) AS DOUBLE)", 4)} AS waste_frac
+           |FROM (
+           |  SELECT grp, batch, COUNT(*) AS cnt, MAX(len) AS mx, SUM(len) AS tot
+           |  FROM (
+           |    SELECT grp, len,
+           |      (ROW_NUMBER() OVER (PARTITION BY grp ORDER BY $order) - 1) // 32 AS batch
+           |    FROM base)
+           |  GROUP BY grp, batch
+           |)""".stripMargin
+      s"""WITH base AS (
+         |  SELECT source AS grp, doc_id AS id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+         |  FROM documents
+         |)
+         |${strat("arrival", "id")}
+         |UNION ALL
+         |${strat("length_sorted", "len, id")}
+         |ORDER BY strategy""".stripMargin
+    },
 
     "q_doc_packing" -> {
       val shard = s"${h60("CAST(doc_id AS VARCHAR)")} % 8"
@@ -3321,6 +3367,42 @@ object OracleSql {
          |SELECT doc_id, CAST(SUM(w) AS BIGINT) AS score, CAST(COUNT(*) AS BIGINT) AS n_tokens,
          |  (CAST(SUM(w) AS BIGINT) > 0) AS keep
          |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // mirrors Profiling.calibrationBins over the hashed-classifier
+    // score with the en/de label: integer rank binning
+    // (r*10 // (n-1)), exact rank sums, identical division trees
+    "q_calibration" ->
+      s"""WITH ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         |w AS (SELECT doc_id, (${h60("t")} % 2001) - 1000 AS w FROM ex),
+         |sc AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS score FROM w GROUP BY doc_id),
+         |lab AS (
+         |  SELECT s.doc_id, s.score,
+         |    CASE WHEN d.lang IN ('en', 'de') THEN 1 ELSE 0 END AS pos
+         |  FROM sc s JOIN documents d ON s.doc_id = d.doc_id
+         |),
+         |rk AS (
+         |  SELECT doc_id, pos,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY score, doc_id) - 1 AS BIGINT) AS r0,
+         |    CAST(COUNT(*) OVER () AS BIGINT) AS nn
+         |  FROM lab
+         |),
+         |b AS (
+         |  SELECT CAST(LEAST((r0 * 10) // GREATEST(nn - 1, 1), 9) AS INTEGER) AS bin,
+         |    r0, pos, nn
+         |  FROM rk
+         |),
+         |g AS (
+         |  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(r0) AS BIGINT) AS sum_r,
+         |    CAST(SUM(pos) AS BIGINT) AS n_pos,
+         |    CAST(MAX(nn) AS BIGINT) AS nn
+         |  FROM b GROUP BY bin
+         |)
+         |SELECT bin, n_docs,
+         |  ${rd("CAST(sum_r AS DOUBLE) / (GREATEST(nn - 1, 1) * n_docs)", 4)} AS mean_p,
+         |  ${rd("CAST(n_pos AS DOUBLE) / n_docs", 4)} AS pos_rate,
+         |  ${rd("CAST(sum_r AS DOUBLE) / (GREATEST(nn - 1, 1) * n_docs) - CAST(n_pos AS DOUBLE) / n_docs", 4)} AS gap
+         |FROM g ORDER BY bin""".stripMargin,
 
     // mirrors TextAnalysis.bigramCommonness: adjacent-token bigrams
     // (1-based i pairs i,i+1), hashed, corpus counts joined back; docs

@@ -1458,6 +1458,19 @@ object SparkEntry {
     TextAnalysis.hashedLinearScore(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Reliability diagram of the hashed linear classifier against the
+    * en/de language label: 10 equal-mass rank bins, mean rank-
+    * probability vs empirical positive rate per bin — the ECE
+    * decomposition, oracle-gated end to end. */
+  private def qCalibration(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val scored = TextAnalysis.hashedLinearScore(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("lang").isin("en", "de").as("label")),
+        "doc_id")
+    Profiling.calibrationBins(scored, "doc_id", "score", "label")
+      .orderBy("bin")
+  }
+
   /** Bigram-LM commonness score (perplexity-filter stand-in, exact
     * integer sums + one scaled division). */
   private def qLmScore(s: SparkSession, dir: String): DataFrame =
@@ -1806,6 +1819,23 @@ object SparkEntry {
         posexplode(col("q")).as(Seq("k", "qv")))
       .orderBy("vec_id", "k")
 
+  /** Padded-batch waste: arrival-order vs length-sorted batching of
+    * the corpus (batches of 32 per source shard) — the padding
+    * economics behind length-grouped data loaders, as one 2-row
+    * readout under the full oracle. */
+  private def qPaddingEfficiency(s: SparkSession, dir: String): DataFrame =
+    Packing.paddingEfficiency(Tables.documents(s, dir), "doc_id", "text",
+      groupCol = "source")
+      .orderBy("strategy")
+
+  /** Benford first-digit screen over order totals: leading-digit
+    * distribution vs the log10(1+1/d) law — the broken-feed /
+    * fabricated-amounts data-quality gauge, oracle-gated. */
+  private def qBenford(s: SparkSession, dir: String): DataFrame =
+    Profiling.benfordDigits(
+      Tables.orders(s, dir), col("o_totalprice"))
+      .orderBy("digit")
+
   /** k-anonymity sweep over the (lang, source) quasi-identifier:
     * per k, the equivalence classes under size k and the rows they
     * expose — the privacy release-gate readout. */
@@ -2143,6 +2173,7 @@ object SparkEntry {
     "q_decontamination" -> (qDecontamination _),
     "q_decontamination_bloom" -> (qDecontaminationBloom _),
     "q_doc_packing" -> (qDocPacking _),
+    "q_padding_efficiency" -> (qPaddingEfficiency _),
     "q_doc_chunks" -> (qDocChunks _),
     "q_content_chunks" -> (qContentChunks _),
     "q_pivot" -> (qPivot _),
@@ -2190,6 +2221,7 @@ object SparkEntry {
     "q_skew_join" -> (qSkewJoin _),
     "q_bm25" -> (qBm25 _),
     "q_hashed_classifier" -> (qHashedClassifier _),
+    "q_calibration" -> (qCalibration _),
     "q_lm_score" -> (qLmScore _),
     "q_cooccurrence" -> (qCooccurrence _),
     "q_boilerplate" -> (qBoilerplate _),
@@ -2212,6 +2244,7 @@ object SparkEntry {
     "q_threshold_sweep" -> (qThresholdSweep _),
     "q_column_profile" -> (qColumnProfile _),
     "q_k_anonymity" -> (qKAnonymity _),
+    "q_benford" -> (qBenford _),
     "q_l_diversity" -> (qLDiversity _),
     "q_stream_sessions" -> (qStreamSessions _),
     "q_stream_dedup" -> (qStreamDedup _),

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.sources.Staging.Snapshottable
 
 /** Concatenate-and-chunk sequence packing: lay documents end to end in
   * a deterministic order and cut the stream every `budget` tokens —
@@ -124,5 +125,47 @@ object Packing {
         (col("chunk_idx") * stride).as("tok_start"),
         least(col("chunk_idx") * stride + size, col("toks")).as("tok_end"))
       .withColumn("n_toks", col("tok_end") - col("tok_start"))
+  }
+
+  /** Padding-efficiency analysis for PADDED (non-packed) batching —
+    * the measurement that motivates length-grouped batching (the
+    * "sortish" / bucketed batching every finetuning loader implements):
+    * batches of `batchSize` docs pad every member to the batch max,
+    * so arrival-order batches waste max−len per doc while
+    * length-sorted batches co-locate similar lengths. Both strategies
+    * are laid out per `groupCol` shard (the realistic unit — loaders
+    * batch within a shard, and it keeps the sort per-partition, never
+    * global), then the per-batch (count, max, sum) roll up to ONE row
+    * per strategy: (strategy, n_batches, total_tokens, padded_tokens,
+    * waste_frac). The saved fraction is the headline a data-loader
+    * change ships on.
+    *
+    * Scale shape: one narrow length projection, then per strategy a
+    * window rank inside the shard partition and two partial-aggregable
+    * rollups (batch grain → 1 row). No global sort, no explode. */
+  def paddingEfficiency(docs: DataFrame, idCol: String, textCol: String,
+                        groupCol: String, batchSize: Int = 32): DataFrame = {
+    val base = docs.select(col(groupCol).as("grp"), col(idCol).as("id"),
+      size(split(col(textCol), " ")).as("len"))
+      .snapshot() // both strategy branches re-rank the same projection
+    def strategy(name: String, order: Seq[Column]) = {
+      val w = Window.partitionBy("grp").orderBy(order: _*)
+      base
+        .withColumn("rn", row_number().over(w) - 1)
+        .withColumn("batch", expr(s"rn DIV $batchSize"))
+        .groupBy("grp", "batch")
+        .agg(count(lit(1)).as("cnt"), max(col("len")).as("mx"),
+          sum(col("len")).as("tot"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("tot")).as("total_tokens"),
+          sum(col("cnt") * col("mx")).as("padded_tokens"))
+        .select(lit(name).as("strategy"), col("n_batches"),
+          col("total_tokens"), col("padded_tokens"),
+          graft.functions.Funcs.r4(
+            (col("padded_tokens") - col("total_tokens")).cast("double") /
+              col("padded_tokens")).as("waste_frac"))
+    }
+    strategy("arrival", Seq(col("id")))
+      .unionByName(strategy("length_sorted", Seq(col("len"), col("id"))))
   }
 }

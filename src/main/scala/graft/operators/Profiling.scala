@@ -306,6 +306,75 @@ object Profiling {
     }.reduce(_ unionByName _)
   }
 
+  /** The Benford first-digit expectation log10(1 + 1/d) for d = 1..9,
+    * computed once and embedded as identical double literals in both
+    * engines (the [[graft.operators.Similarity.ndcgDiscounts]]
+    * pattern). */
+  val benfordExpected: Seq[Double] =
+    (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+
+  /** Benford's-law first-digit screen (Benford 1938; the standard
+    * fabricated-data / broken-feed detector for multi-scale positive
+    * amounts): the distribution of leading significant digits against
+    * the log10(1 + 1/d) expectation, one row per digit with the
+    * signed deviation. Digits come from the exact cent-scaled LONG's
+    * decimal string — never from double formatting, which engines
+    * disagree on.
+    *
+    * Scale shape: one partial-aggregable shuffle to the 9-row digit
+    * dimension; the total re-enters via a window over those 9 rows. */
+  def benfordDigits(df: DataFrame, value: Column): DataFrame = {
+    val expectedLit = array(benfordExpected.map(lit): _*)
+    val digit = substring(graft.functions.Funcs.scaled(value, 2)
+      .cast("string"), 1, 1).cast("int")
+    df.filter(value > 0)
+      .select(digit.as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+      .select(col("digit"), col("n"),
+        r4(col("n").cast("double") / col("total")).as("frac"),
+        r4(element_at(expectedLit, col("digit"))).as("expected"),
+        r4(col("n").cast("double") / col("total") -
+          element_at(expectedLit, col("digit"))).as("gap"))
+  }
+
+  /** Equal-mass reliability bins + per-bin calibration gap (the
+    * reliability-diagram / ECE decomposition, Naeini et al. 2015
+    * "Obtaining Well Calibrated Probabilities Using Bayesian
+    * Binning"): the classifier's score is converted to a rank
+    * pseudo-probability p = r/(n−1) (deterministic, no sigmoid), docs
+    * are cut into `bins` equal-mass bins by INTEGER rank arithmetic
+    * (r·bins DIV (n−1) — no float binning edge cases), and each bin
+    * reports mean p vs the empirical positive rate; ECE is the
+    * n-weighted |gap| sum, left to the consumer. mean p is exact-
+    * integer: Σr / ((n−1)·count) — rank sums never touch doubles
+    * until the one final division.
+    *
+    * Scale note: the global rank is ONE total-order window over the
+    * scored docs — same deliberate dimension-sized sort as
+    * q_percent_rank/ntile (scores are one row per doc, already
+    * reduced); at 100 TB run it per shard or swap in the closed-form
+    * distributed ntile ([[tierSummary]]'s machinery). */
+  def calibrationBins(df: DataFrame, idCol: String, scoreCol: String,
+                      labelCol: String, bins: Int = 10): DataFrame = {
+    val w = Window.orderBy(col(scoreCol), col(idCol))
+    val wAll = Window.partitionBy()
+    val denom = greatest(col("nn") - 1, lit(1L)) * col("n_docs")
+    df.select(col(idCol), col(scoreCol), col(labelCol).cast("long").as("pos"))
+      .withColumn("r0", (row_number().over(w) - 1).cast("long"))
+      .withColumn("nn", count(lit(1)).over(wAll))
+      .withColumn("bin", least(expr(s"(r0 * $bins) DIV greatest(nn - 1, 1)"),
+        lit(bins - 1).cast("long")).cast("int"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("r0")).as("sum_r"),
+        sum(col("pos")).as("n_pos"), max(col("nn")).as("nn"))
+      .select(col("bin"), col("n_docs"),
+        r4(col("sum_r").cast("double") / denom).as("mean_p"),
+        r4(col("n_pos").cast("double") / col("n_docs")).as("pos_rate"),
+        r4(col("sum_r").cast("double") / denom -
+          col("n_pos").cast("double") / col("n_docs")).as("gap"))
+  }
+
   /** Distinct l-diversity (Machanavajjhala et al. 2007) companion of
     * [[kAnonymity]]: per quasi-identifier class, the number of
     * DISTINCT sensitive values — k-anonymity alone is defeated by a

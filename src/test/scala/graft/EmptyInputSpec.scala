@@ -178,6 +178,17 @@ class EmptyInputSpec extends AnyFunSpec {
       // counts — assert it doesn't throw and carries no classes
       val ld = Profiling.lDiversity(emptyQuasi, Seq("lang", "source"), "id").collect()
       assert(ld.head.getAs[Long]("n_classes") == 0L)
+      val emptySrcDocs = Seq.empty[(Long, String, String)]
+        .toDF("doc_id", "text", "source")
+      // global aggregates produce one row per strategy with 0 batches
+      val pe = Packing.paddingEfficiency(emptySrcDocs, "doc_id", "text", "source")
+        .collect()
+      assert(pe.length == 2 && pe.forall(_.getAs[Long]("n_batches") == 0L))
+      val emptyScored = Seq.empty[(Long, Long, Boolean)]
+        .toDF("doc_id", "score", "label")
+      assert(Profiling.calibrationBins(emptyScored, "doc_id", "score", "label").isEmpty)
+      assert(Profiling.benfordDigits(
+        Seq.empty[Double].toDF("v"), col("v")).isEmpty)
     }
   }
 }

@@ -248,6 +248,62 @@ class TrainingDataOpsSpec extends AnyFunSpec {
     }
   }
 
+  describe("Packing.paddingEfficiency") {
+    it("length-sorted batching eliminates the hand case's padding waste") {
+      // lengths 1,10,1,10 in id order, batches of 2:
+      // arrival: {1,10},{1,10} -> padded 40, total 22, waste 0.45
+      // sorted:  {1,1},{10,10} -> padded 22, waste 0
+      val docs = Seq(
+        (1L, "w"), (2L, ("w " * 9) + "w"), (3L, "w"), (4L, ("w " * 9) + "w"))
+        .toDF("doc_id", "text").withColumn("source", lit("s"))
+      val got = graft.operators.Packing
+        .paddingEfficiency(docs, "doc_id", "text", "source", batchSize = 2)
+        .orderBy("strategy").collect()
+      assert(got(0).getAs[String]("strategy") == "arrival")
+      assert(got(0).getAs[Long]("padded_tokens") == 40L)
+      assert(got(0).getAs[Long]("total_tokens") == 22L)
+      assert(got(0).getAs[Double]("waste_frac") == 0.45)
+      assert(got(1).getAs[String]("strategy") == "length_sorted")
+      assert(got(1).getAs[Long]("padded_tokens") == 22L)
+      assert(got(1).getAs[Double]("waste_frac") == 0.0)
+    }
+  }
+
+  describe("Profiling.benfordDigits") {
+    it("leading digits come from exact cents, zero/negative amounts drop") {
+      // cents: 100, 1999, 10000, 2500, 350 -> digits 1,1,1,2,3
+      val df = Seq(1.00, 19.99, 100.0, 25.0, 3.50, 0.0, -7.0).toDF("v")
+      val got = graft.operators.Profiling
+        .benfordDigits(df, col("v")).orderBy("digit").collect()
+      assert(got.map(r => (r.getAs[Int]("digit"), r.getAs[Long]("n"))).toSeq ==
+        Seq((1, 3L), (2, 1L), (3, 1L)))
+      assert(got(0).getAs[Double]("frac") == 0.6)
+      val exp1 = math.floor(math.log10(2.0) * 1e4 + 0.5) / 1e4
+      assert(got(0).getAs[Double]("expected") == exp1)
+    }
+  }
+
+  describe("Profiling.calibrationBins") {
+    it("integer rank binning yields equal-mass bins with exact mean_p") {
+      // scores 0..9, label = score >= 5, 5 bins of 2 docs each
+      val df = (0 until 10).map(i => (i.toLong, i.toLong, i >= 5))
+        .toDF("doc_id", "score", "label")
+      val got = graft.operators.Profiling
+        .calibrationBins(df, "doc_id", "score", "label", bins = 5)
+        .orderBy("bin").collect()
+      assert(got.length == 5)
+      assert(got.forall(_.getAs[Long]("n_docs") == 2L))
+      // bin 0 holds ranks 0,1 -> mean_p = 1/18; no positives
+      assert(got(0).getAs[Double]("mean_p") ==
+        math.floor(1.0 / 18 * 1e4 + 0.5) / 1e4)
+      assert(got(0).getAs[Double]("pos_rate") == 0.0)
+      // bin 2 holds ranks 4,5 -> one positive
+      assert(got(2).getAs[Double]("pos_rate") == 0.5)
+      // top bin fully positive: perfectly ranked classifier up top
+      assert(got(4).getAs[Double]("pos_rate") == 1.0)
+    }
+  }
+
   describe("Profiling.kAnonymity / lDiversity") {
     // classes: (en,a)=3 rows, (en,b)=1, (de,a)=2; sensitive v
     lazy val rows = Seq(
