@@ -2388,6 +2388,24 @@ object OracleSql {
          |ORDER BY d.doc_id""".stripMargin,
 
     // Table profile (mirrors Profiling.columnProfile over orders)
+    // mirrors Profiling.dpGroupCounts(lang, eps=0.5): geometric draws
+    // are integer threshold counts against the SAME literal longs
+    // (transcendentals ran once in Scala); uniforms are salted h60 of
+    // the group key — the mechanism is pure integer arithmetic here
+    "q_dp_counts" -> {
+      val thr = graft.operators.Profiling.geometricThresholds(0.5)
+        .mkString("[", ", ", "]")
+      def geom(salt: String) =
+        s"CAST(len(list_filter($thr, t -> ${h60(s"'$salt' || lang")} < t)) AS BIGINT)"
+      s"""WITH g AS (
+         |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_exact FROM documents GROUP BY lang
+         |)
+         |SELECT lang, n_exact,
+         |  ${geom("dp1:")} - ${geom("dp2:")} AS noise,
+         |  n_exact + ${geom("dp1:")} - ${geom("dp2:")} AS n_dp
+         |FROM g ORDER BY lang""".stripMargin
+    },
+
     // mirrors Profiling.benfordDigits over o_totalprice: digits from
     // the exact cent LONG's decimal string (double formatting differs
     // across engines), expectation literals string-cast via dlist

@@ -1828,6 +1828,13 @@ object SparkEntry {
       groupCol = "source")
       .orderBy("strategy")
 
+  /** ε-DP language counts by the derandomized two-sided geometric
+    * mechanism — keyed-PRF noise from integer threshold comparisons,
+    * replayable and fully oracle-checked. */
+  private def qDpCounts(s: SparkSession, dir: String): DataFrame =
+    Profiling.dpGroupCounts(Tables.documents(s, dir), "lang")
+      .orderBy("lang")
+
   /** Benford first-digit screen over order totals: leading-digit
     * distribution vs the log10(1+1/d) law — the broken-feed /
     * fabricated-amounts data-quality gauge, oracle-gated. */
@@ -2245,6 +2252,7 @@ object SparkEntry {
     "q_column_profile" -> (qColumnProfile _),
     "q_k_anonymity" -> (qKAnonymity _),
     "q_benford" -> (qBenford _),
+    "q_dp_counts" -> (qDpCounts _),
     "q_l_diversity" -> (qLDiversity _),
     "q_stream_sessions" -> (qStreamSessions _),
     "q_stream_dedup" -> (qStreamDedup _),

@@ -306,6 +306,52 @@ object Profiling {
     }.reduce(_ unionByName _)
   }
 
+  /** Cumulative tail thresholds of the geometric distribution with
+    * success p = 1 − e^(−ε), scaled to the 60-bit hash space:
+    * threshold k = ⌊e^(−εk)·2^60⌋. Computed ONCE here (the only
+    * transcendentals run in Scala at plan/oracle-GENERATION time) and
+    * embedded as identical integer literals in both engines, so the
+    * runtime mechanism is pure integer comparison. K extends until
+    * the tail clears the hash space (threshold 0). */
+  def geometricThresholds(epsilon: Double): Seq[Long] = {
+    val scale = math.pow(2, 60)
+    Iterator.from(1)
+      .map(k => math.floor(math.exp(-epsilon * k) * scale).toLong)
+      .takeWhile(_ > 0).toSeq
+  }
+
+  /** Differentially-private group counts by the two-sided geometric
+    * (discrete Laplace) mechanism (Ghosh, Roughgarden & Sundararajan
+    * 2012, "Universally Utility-Maximizing Privacy Mechanisms"):
+    * noise = G₁ − G₂ with independent geometric draws, which for
+    * counting queries (sensitivity 1) is ε-DP and the discrete
+    * optimal. The draws are DERANDOMIZED deterministically — each
+    * group's two uniforms are 60-bit salted hashes of its key, and a
+    * geometric draw is the COUNT OF INTEGER THRESHOLDS
+    * ([[geometricThresholds]]) above the uniform — so the whole
+    * mechanism is integer-exact, replayable, and oracle-checkable
+    * (a keyed-PRF derandomization: same release every run, which is
+    * itself the privacy-correct practice — re-running with fresh
+    * noise would leak through averaging). The exact count sits beside
+    * the release for the harness; a real release would drop it.
+    *
+    * Scale shape: one partial-aggregable count shuffle; the noise is
+    * a plan-time literal-array expression over the group keys —
+    * dimension-sized, no extra pass. */
+  def dpGroupCounts(df: DataFrame, keyCol: String,
+                    epsilon: Double = 0.5): DataFrame = {
+    import graft.functions.Funcs.hash60
+    val thr = geometricThresholds(epsilon)
+    val thrLit = array(thr.map(lit): _*)
+    def geom(salt: String) = size(filter(thrLit,
+      t => hash60(concat(lit(salt), col(keyCol))) < t)).cast("long")
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_exact"))
+      .withColumn("noise", geom("dp1:") - geom("dp2:"))
+      .select(col(keyCol), col("n_exact"), col("noise"),
+        (col("n_exact") + col("noise")).as("n_dp"))
+  }
+
   /** The Benford first-digit expectation log10(1 + 1/d) for d = 1..9,
     * computed once and embedded as identical double literals in both
     * engines (the [[graft.operators.Similarity.ndcgDiscounts]]

@@ -269,6 +269,32 @@ class TrainingDataOpsSpec extends AnyFunSpec {
     }
   }
 
+  describe("Profiling.dpGroupCounts") {
+    it("thresholds are non-increasing (floor ties only at the tail) and end above zero") {
+      val thr = graft.operators.Profiling.geometricThresholds(0.5)
+      assert(thr.head == math.floor(math.exp(-0.5) * math.pow(2, 60)).toLong)
+      assert(thr.zip(thr.tail).forall { case (a, b) => a >= b })
+      // the head must decay geometrically (ties are a tail artifact)
+      assert(thr.take(40).zip(thr.tail).forall { case (a, b) => a > b })
+      assert(thr.last > 0L && thr.length > 50)
+    }
+    it("noise is keyed-PRF deterministic and bounded by the threshold count") {
+      val df = Seq((1L, "en"), (2L, "en"), (3L, "de"), (4L, "fr"))
+        .toDF("doc_id", "lang")
+      val run1 = graft.operators.Profiling.dpGroupCounts(df, "lang")
+        .orderBy("lang").collect()
+      val run2 = graft.operators.Profiling.dpGroupCounts(df, "lang")
+        .orderBy("lang").collect()
+      assert(run1.map(_.toString).toSeq == run2.map(_.toString).toSeq)
+      val k = graft.operators.Profiling.geometricThresholds(0.5).length.toLong
+      run1.foreach { r =>
+        assert(math.abs(r.getAs[Long]("noise")) <= k)
+        assert(r.getAs[Long]("n_dp") ==
+          r.getAs[Long]("n_exact") + r.getAs[Long]("noise"))
+      }
+    }
+  }
+
   describe("Profiling.benfordDigits") {
     it("leading digits come from exact cents, zero/negative amounts drop") {
       // cents: 100, 1999, 10000, 2500, 350 -> digits 1,1,1,2,3
