@@ -2652,6 +2652,35 @@ object OracleSql {
          |FROM base b LEFT JOIN ret r ON b.d = r.d
          |ORDER BY cohort_date""".stripMargin,
 
+    // mirrors qAttribution: latest prior view per purchase (ties ->
+    // min view_id, matching the keepFirst dedup), 7-day lookback
+    // null-out, all arithmetic in exact epoch microseconds
+    "q_attribution" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pus
+        |  FROM events WHERE event_type = 'purchase'
+        |),
+        |v AS (
+        |  SELECT user_id, view_id, vus FROM (
+        |    SELECT user_id, event_id AS view_id, epoch_us(ts) AS vus,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts)
+        |        ORDER BY event_id) AS dd
+        |    FROM events WHERE event_type = 'view') WHERE dd = 1
+        |),
+        |j AS (
+        |  SELECT purchase_id, view_id, vus FROM (
+        |    SELECT p.purchase_id, v.view_id, v.vus,
+        |      ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+        |        ORDER BY v.vus DESC, v.view_id ASC) AS rn
+        |    FROM p JOIN v ON p.user_id = v.user_id AND v.vus <= p.pus)
+        |  WHERE rn = 1
+        |)
+        |SELECT p.purchase_id, p.user_id, p.pus AS purchase_us,
+        |  CASE WHEN j.vus >= p.pus - 604800000000 THEN j.view_id END AS attributed_view_id,
+        |  CASE WHEN j.vus >= p.pus - 604800000000 THEN (p.pus - j.vus) // 60000000 END AS gap_minutes
+        |FROM p LEFT JOIN j ON p.purchase_id = j.purchase_id
+        |ORDER BY p.purchase_id""".stripMargin,
+
     // mirrors Cohorts.cupedLift: data-derived period cutoff
     // (min + floor(span/2) days — FLOOR explicit, Spark's double→int
     // cast truncates while DuckDB's rounds), cent-scaled per-user

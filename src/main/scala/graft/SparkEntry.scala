@@ -560,6 +560,39 @@ object SparkEntry {
   /** Backward as-of join (union-window implementation; DuckDB oracle
     * uses its native ASOF JOIN — independent formulations, same
     * semantics). */
+  /** Last-touch attribution: each purchase attributes to the user's
+    * most recent prior view within a 7-day lookback — the canonical
+    * marketing-attribution shape, composed from [[AsOfJoin]] (attach
+    * the latest view, then the lookback null-out: the most recent
+    * view either qualifies or nothing does). All time arithmetic in
+    * exact epoch MICROSECONDS (unix_micros ↔ epoch_us) — second-grain
+    * casts round differently across engines. Views deduped per
+    * (user, instant) by min view_id so the as-of tie is
+    * deterministic. */
+  private def qAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val t = Adapters.eventTime(ev)
+    val lookbackUs = 7L * 86400L * 1000000L
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        t.as("purchase_time"),
+        unix_micros(t.cast("timestamp")).as("purchase_us"))
+    val views = Dedup.keepFirst(
+      ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          t.as("view_time"),
+          unix_micros(t.cast("timestamp")).as("view_us")),
+      Seq("user_id", "view_time"), Seq(col("view_id").asc))
+    val within = col("view_us") >= col("purchase_us") - lookbackUs
+    AsOfJoin.asOfBackward(purchases, views, Seq("user_id"),
+      "purchase_time", "view_time")
+      .select(col("purchase_id"), col("user_id"), col("purchase_us"),
+        when(within, col("view_id")).as("attributed_view_id"),
+        when(within, expr("(purchase_us - view_us) DIV 60000000"))
+          .as("gap_minutes"))
+      .orderBy("purchase_id")
+  }
+
   private def qAsOfJoin(s: SparkSession, dir: String): DataFrame = {
     val lo = Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
@@ -2136,6 +2169,7 @@ object SparkEntry {
     "q_mart_realtime_signals" -> (qMartRealtimeSignals _),
     "q_pricing_summary" -> (qPricingSummary _),
     "q_asof_join" -> (qAsOfJoin _),
+    "q_attribution" -> (qAttribution _),
     "q_session_windows" -> (qSessionWindows _),
     "q_session_dynamic" -> (qSessionDynamic _),
     "q_rollup_revenue" -> (qRollupRevenue _),

@@ -12,7 +12,7 @@ import graft.tools.Scaling
   * ratio jumps toward growth².
   *
   * A representative subset keeps the suite bounded (one query per
-  * family, the full 16-query table lives in SCALING.md via
+  * family, the full 18-query table lives in SCALING.md via
   * `runMain graft.tools.ScalingBench`); min-of-2 after the sf0.001
   * warm-up is enough because the gate has ≥ 2× headroom over the
   * measured ratios.
@@ -22,7 +22,8 @@ class ScalingSpec extends AnyFunSpec {
 
   private val subset = Scaling.scaleSensitive.filter { case (n, _, _) =>
     Set("q_dedup_minhash_lsh", "q_dedup_simhash", "q_sim_topk",
-        "q_triangles", "q_pagerank", "q_winsorize")(n)
+        "q_triangles", "q_pagerank", "q_winsorize",
+        "q_dedup_recall", "q_retrieval_ndcg")(n)
   }
 
   describe("scale growth sf0.01 -> sf0.1") {
