@@ -2388,6 +2388,34 @@ object OracleSql {
          |ORDER BY d.doc_id""".stripMargin,
 
     // Table profile (mirrors Profiling.columnProfile over orders)
+    // mirrors qGini/Profiling.giniConcentration: ascending rank form
+    // of the Lorenz area, exact HUGEINT moments, one final division
+    "q_gini" ->
+      s"""WITH rev AS (
+         |  SELECT o_custkey, CAST(SUM(${sc("o_totalprice", 2)}) AS BIGINT) AS x
+         |  FROM orders GROUP BY o_custkey
+         |),
+         |j AS (
+         |  SELECT n.n_name AS nation, r.o_custkey AS k, r.x
+         |  FROM rev r
+         |  JOIN customer c ON r.o_custkey = c.c_custkey
+         |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |),
+         |rk AS (
+         |  SELECT nation, x,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY nation ORDER BY x, k) AS BIGINT) AS i
+         |  FROM j
+         |),
+         |g AS (
+         |  SELECT nation, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(x) AS BIGINT) AS sx,
+         |    SUM(CAST(i AS HUGEINT) * CAST(x AS HUGEINT)) AS six
+         |  FROM rk GROUP BY nation
+         |)
+         |SELECT nation, n AS n_keys, sx AS total_cents,
+         |  ${rd("CAST(2 * six - CAST(n + 1 AS HUGEINT) * sx AS DOUBLE) / CAST(CAST(n AS HUGEINT) * sx AS DOUBLE)", 4)} AS gini
+         |FROM g ORDER BY nation""".stripMargin,
+
     // mirrors Profiling.dpGroupCounts(lang, eps=0.5): geometric draws
     // are integer threshold counts against the SAME literal longs
     // (transcendentals ran once in Scala); uniforms are salted h60 of
@@ -2680,6 +2708,48 @@ object OracleSql {
         |  CASE WHEN j.vus >= p.pus - 604800000000 THEN (p.pus - j.vus) // 60000000 END AS gap_minutes
         |FROM p LEFT JOIN j ON p.purchase_id = j.purchase_id
         |ORDER BY p.purchase_id""".stripMargin,
+
+    // mirrors Cohorts.churnHazard(censorDays=7): user-grain first/last
+    // activity, 7-day right-censoring against the global max date,
+    // reverse-cumulative risk set over the duration dimension
+    "q_churn_hazard" ->
+      s"""WITH per AS (
+         |  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_d,
+         |    MAX(CAST(ts AS DATE)) AS last_d
+         |  FROM events GROUP BY user_id
+         |),
+         |m AS (SELECT MAX(last_d) AS dmax FROM per),
+         |dur AS (
+         |  SELECT CAST(last_d - first_d AS INTEGER) AS duration,
+         |    CASE WHEN dmax - last_d >= 7 THEN 1 ELSE 0 END AS churned
+         |  FROM per, m
+         |),
+         |byd AS (
+         |  SELECT duration, CAST(COUNT(*) AS BIGINT) AS n_ending,
+         |    CAST(SUM(churned) AS BIGINT) AS n_churned
+         |  FROM dur GROUP BY duration
+         |)
+         |SELECT duration,
+         |  CAST(SUM(n_ending) OVER (ORDER BY duration DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_at_risk,
+         |  n_ending, n_churned,
+         |  ${rd("CAST(n_churned AS DOUBLE) / (SUM(n_ending) OVER (ORDER BY duration DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))", 4)} AS hazard
+         |FROM byd ORDER BY duration""".stripMargin,
+
+    // mirrors Cohorts.sampleRatioCheck: exact two-cell chi-square
+    // (n0-n1)^2/n over distinct user parity
+    "q_srm_check" ->
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+         |g AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_v0,
+         |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_v1
+         |  FROM u
+         |)
+         |SELECT n_users, n_v0, n_v1,
+         |  ${rd("CAST(n_v0 - n_v1 AS DOUBLE) * CAST(n_v0 - n_v1 AS DOUBLE) / n_users", 4)} AS chi2,
+         |  (CAST(n_v0 - n_v1 AS DOUBLE) * CAST(n_v0 - n_v1 AS DOUBLE) / n_users > 3.841) AS srm_flag
+         |FROM g""".stripMargin,
 
     // mirrors Cohorts.cupedLift: data-derived period cutoff
     // (min + floor(span/2) days — FLOOR explicit, Spark's double→int

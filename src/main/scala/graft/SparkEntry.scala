@@ -940,6 +940,24 @@ object SparkEntry {
       .orderBy("cohort_date")
   }
 
+  /** Discrete churn-hazard life table over the event stream: per
+    * lifetime duration, the risk set, endings, churns (7-day
+    * right-censoring) and hazard — exact integer counts under the
+    * full oracle. */
+  private def qChurnHazard(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    Cohorts.churnHazard(ev.withColumn("event_time", Adapters.eventTime(ev)),
+      "user_id", "event_time")
+      .orderBy("duration")
+  }
+
+  /** Sample-ratio-mismatch guardrail for the user-parity split:
+    * exact two-cell chi-square as one integer-arithmetic row. */
+  private def qSrmCheck(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    Cohorts.sampleRatioCheck(ev, "user_id")
+  }
+
   /** CUPED variance-reduced A/B readout over the event stream:
     * per user_id-parity variant, raw vs covariate-adjusted mean
     * post-period purchase revenue with the pooled θ = cov(X,Y)/var(X)
@@ -1861,6 +1879,23 @@ object SparkEntry {
       groupCol = "source")
       .orderBy("strategy")
 
+  /** Per-nation Gini coefficient of customer revenue — exact integer
+    * Lorenz rank form down to one final division, oracle-gated. */
+  private def qGini(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(s, dir).groupBy(col("o_custkey"))
+      .agg(sum(scaled(col("o_totalprice"), 2)).as("rev_c"))
+    val df = rev
+      .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("o_custkey").as("custkey"),
+        col("rev_c"))
+    Profiling.giniConcentration(df, "nation", "custkey", col("rev_c"))
+      .orderBy("nation")
+  }
+
   /** ε-DP language counts by the derandomized two-sided geometric
     * mechanism — keyed-PRF noise from integer threshold comparisons,
     * replayable and fully oracle-checked. */
@@ -2194,6 +2229,8 @@ object SparkEntry {
     "q_topk_per_group" -> (qTopkPerGroup _),
     "q_retention" -> (qRetention _),
     "q_cuped_lift" -> (qCupedLift _),
+    "q_churn_hazard" -> (qChurnHazard _),
+    "q_srm_check" -> (qSrmCheck _),
     "q_funnel" -> (qFunnel _),
     "q_funnel_windowed" -> (qFunnelWindowed _),
     "q_inverted_index" -> (qInvertedIndex _),
@@ -2287,6 +2324,7 @@ object SparkEntry {
     "q_k_anonymity" -> (qKAnonymity _),
     "q_benford" -> (qBenford _),
     "q_dp_counts" -> (qDpCounts _),
+    "q_gini" -> (qGini _),
     "q_l_diversity" -> (qLDiversity _),
     "q_stream_sessions" -> (qStreamSessions _),
     "q_stream_dedup" -> (qStreamDedup _),

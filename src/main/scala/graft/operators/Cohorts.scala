@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Funcs._
 import graft.sources.Staging.Snapshottable
@@ -89,6 +90,65 @@ object Cohorts {
         coalesce(col("n_retained"), lit(0L)).as("n_retained"),
         r4(coalesce(col("n_retained"), lit(0L)) / col("n_active").cast("double"))
           .as("retention_rate"))
+  }
+
+  /** Discrete-time churn hazard table (the Kaplan-Meier life-table
+    * counts, day grain): per observed lifetime duration t, how many
+    * users' observation ended at t (n_ending), how many of those
+    * actually CHURNED (n_churned — users still active in the final
+    * 7 days of the window are right-censored, not churned), the risk
+    * set n_at_risk = users with duration ≥ t, and the discrete hazard
+    * n_churned/n_at_risk. The survival curve is the running product
+    * of (1 − hazard) — left to the consumer (a float product; the
+    * exact integer counts are the oracle-stable statement).
+    *
+    * Scale shape: one partial-aggregable reduction to the user grain,
+    * a 1-row global max broadcast back, one reduction to the duration
+    * DIMENSION (bounded by the calendar span), and the reverse
+    * cumulative risk set as a window over that dimension — never over
+    * users. */
+  def churnHazard(events: DataFrame, userCol: String, tsCol: String,
+                  censorDays: Int = 7): DataFrame = {
+    val d = to_date(col(tsCol))
+    val perUser = events.groupBy(col(userCol).as("user_id"))
+      .agg(min(d).as("first_d"), max(d).as("last_d"))
+    val dmax = perUser.agg(max(col("last_d")).as("dmax"))
+    val byDur = perUser.crossJoin(broadcast(dmax))
+      .select(datediff(col("last_d"), col("first_d")).as("duration"),
+        (datediff(col("dmax"), col("last_d")) >= censorDays).cast("long")
+          .as("churned"))
+      .groupBy("duration")
+      .agg(count(lit(1)).as("n_ending"), sum(col("churned")).as("n_churned"))
+    val wRev = Window.orderBy(col("duration").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    byDur
+      .withColumn("n_at_risk", sum(col("n_ending")).over(wRev))
+      .select(col("duration"), col("n_at_risk"), col("n_ending"),
+        col("n_churned"),
+        r4(col("n_churned").cast("double") / col("n_at_risk")).as("hazard"))
+  }
+
+  /** Sample-ratio-mismatch guardrail (the first sanity check of any
+    * A/B readout — Fabijan et al. 2019 "Diagnosing Sample Ratio
+    * Mismatch"): for a 50/50 split by user parity, the two-cell χ²
+    * statistic collapses EXACTLY to (n₀−n₁)²/n — pure integer
+    * arithmetic down to one division — and the flag compares it to
+    * the χ²₁ 95% critical value 3.841 (embedded literal; a real SRM
+    * at scale produces χ² in the hundreds, so the literal's precision
+    * is immaterial). One partial-aggregable pass over distinct
+    * users. */
+  def sampleRatioCheck(events: DataFrame, userCol: String): DataFrame = {
+    events.select(col(userCol).as("user_id")).distinct()
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("n_v0"),
+        sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L)).as("n_v1"))
+      .select(col("n_users"), col("n_v0"), col("n_v1"),
+        r4((col("n_v0") - col("n_v1")).cast("double") *
+          (col("n_v0") - col("n_v1")).cast("double") /
+          col("n_users")).as("chi2"),
+        ((col("n_v0") - col("n_v1")).cast("double") *
+          (col("n_v0") - col("n_v1")).cast("double") /
+          col("n_users") > 3.841).as("srm_flag"))
   }
 
   /** CUPED variance-reduced experiment readout (Deng et al. 2013,

@@ -306,6 +306,36 @@ object Profiling {
     }.reduce(_ unionByName _)
   }
 
+  /** Gini concentration coefficient per group over an exact integer
+    * value column (cents): G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) with
+    * xᵢ ascending — the closed rank form of the Lorenz-curve area,
+    * the standard revenue-concentration gauge ("what share of
+    * revenue sits in the top customers"). Every moment is exact
+    * integer arithmetic (rank·value products in DECIMAL(38,0) ↔
+    * HUGEINT) down to ONE final double division, so the coefficient
+    * is bit-portable.
+    *
+    * Scale shape: the rank runs inside the group partition (window,
+    * no global sort) over the ALREADY-REDUCED key grain (one row per
+    * key, not per fact), then one partial-aggregable rollup per
+    * group. */
+  def giniConcentration(df: DataFrame, groupCol: String, keyCol: String,
+                        valueCents: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val ranked = df
+      .select(col(groupCol).as("grp"), col(keyCol).as("k"), valueCents.as("x"))
+      .withColumn("i", row_number().over(
+        Window.partitionBy("grp").orderBy(col("x"), col("k"))).cast("long"))
+    ranked.groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("i").cast(dec) * col("x").cast(dec)).as("six"))
+      .select(col("grp").as(groupCol), col("n").as("n_keys"),
+        col("sx").as("total_cents"),
+        r4((lit(2).cast(dec) * col("six") -
+            (col("n") + 1).cast(dec) * col("sx").cast(dec)).cast("double") /
+          (col("n").cast(dec) * col("sx").cast(dec)).cast("double")).as("gini"))
+  }
+
   /** Cumulative tail thresholds of the geometric distribution with
     * success p = 1 − e^(−ε), scaled to the 60-bit hash space:
     * threshold k = ⌊e^(−εk)·2^60⌋. Computed ONCE here (the only

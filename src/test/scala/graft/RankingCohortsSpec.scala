@@ -164,6 +164,47 @@ class RankingCohortsSpec extends AnyFunSpec {
     }
   }
 
+  describe("Cohorts.churnHazard / sampleRatioCheck") {
+    it("life-table counts: censoring, risk sets and hazards on a hand case") {
+      // window ends 01-20; u1 spans 01..05 (dur 4, churned), u2 spans
+      // 01..20 (dur 19, censored), u3 one-day 01-10 (dur 0, churned)
+      val ev = Seq(
+        (1L, "2024-01-01"), (1L, "2024-01-05"),
+        (2L, "2024-01-01"), (2L, "2024-01-20"),
+        (3L, "2024-01-10"))
+        .toDF("user_id", "d").withColumn("ts", to_timestamp($"d"))
+      val got = Cohorts.churnHazard(ev, "user_id", "ts")
+        .orderBy("duration").collect()
+      assert(got.map(r => (r.getAs[Int]("duration"), r.getAs[Long]("n_at_risk"),
+        r.getAs[Long]("n_churned"))).toSeq ==
+        Seq((0, 3L, 1L), (4, 2L, 1L), (19, 1L, 0L)))
+      assert(got(1).getAs[Double]("hazard") == 0.5)
+    }
+    it("SRM chi-square is the exact (n0-n1)^2/n") {
+      val ev = Seq((0L, "a"), (1L, "a"), (2L, "a"), (4L, "a"), (6L, "a"))
+        .toDF("user_id", "x")
+      val got = Cohorts.sampleRatioCheck(ev, "user_id").collect().head
+      // users {0,1,2,4,6}: v0 = 4, v1 = 1 -> chi2 = 9/5 = 1.8
+      assert(got.getAs[Long]("n_v0") == 4L && got.getAs[Long]("n_v1") == 1L)
+      assert(got.getAs[Double]("chi2") == 1.8)
+      assert(!got.getAs[Boolean]("srm_flag"))
+    }
+  }
+
+  describe("Profiling.giniConcentration") {
+    it("uniform values give 0; a 0/x pair gives 0.5; all-in-one approaches 1") {
+      val df = Seq(
+        ("u", 1L, 100L), ("u", 2L, 100L), ("u", 3L, 100L),
+        ("h", 1L, 0L), ("h", 2L, 100L))
+        .toDF("grp", "k", "cents")
+      val got = graft.operators.Profiling
+        .giniConcentration(df, "grp", "k", col("cents"))
+        .orderBy("grp").collect()
+      assert(got(0).getAs[String]("grp") == "h" && got(0).getAs[Double]("gini") == 0.5)
+      assert(got(1).getAs[String]("grp") == "u" && got(1).getAs[Double]("gini") == 0.0)
+    }
+  }
+
   describe("Cohorts.cupedLift") {
     // 4-day span 01..05 => cutoff = 01-01 + 2 = 01-03; pre = {01,02},
     // post = {03,04,05}
