@@ -1061,6 +1061,38 @@ object OracleSql {
          |SELECT fold, trade_date, role FROM r WHERE role <> 'excluded'
          |ORDER BY fold, trade_date""".stripMargin,
 
+    // mirrors DailyAnalytics.cusumChangepoint: n-scaled integer CUSUM
+    // n*C_i - i*Sx, argmax by (|dev| DESC, date ASC), segment means
+    // from the peak row's own C_i/i
+    "q_cusum" ->
+      s"""${dailyChain("returns")},
+         |base AS (
+         |  SELECT symbol, trade_date, ${sc4("daily_return_pct")} AS x,
+         |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS i,
+         |    SUM(${sc4("daily_return_pct")}) OVER w AS c,
+         |    CAST(COUNT(*) OVER wa AS BIGINT) AS n,
+         |    SUM(${sc4("daily_return_pct")}) OVER wa AS sx
+         |  FROM returns WHERE daily_return_pct IS NOT NULL
+         |  WINDOW
+         |    w AS (PARTITION BY symbol ORDER BY trade_date
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |    wa AS (PARTITION BY symbol)
+         |),
+         |dev AS (
+         |  SELECT *, n * c - i * sx AS dev FROM base
+         |),
+         |rk AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY symbol
+         |    ORDER BY ABS(dev) DESC, trade_date ASC) AS rk FROM dev
+         |)
+         |SELECT symbol, trade_date AS cp_date, n AS n_days,
+         |  CAST(i AS INTEGER) AS cp_index,
+         |  ${rd("CAST(dev AS DOUBLE) / n / 10000.0", 4)} AS cusum_peak,
+         |  ${rd("CAST(c AS DOUBLE) / i / 10000.0", 4)} AS mean_before,
+         |  CASE WHEN n > i
+         |    THEN ${rd("CAST(sx - c AS DOUBLE) / (n - i) / 10000.0", 4)} END AS mean_after
+         |FROM rk WHERE rk = 1 ORDER BY symbol""".stripMargin,
+
     // mirrors DailyAnalytics.hurstExponent: per window w the blocks
     // are rn // w, dev = w*cumsum - i*blocksum (exact integers, no
     // division), S^2 from w*Sxx - Sx^2, block R/S floor-rounded to

@@ -1843,6 +1843,14 @@ object SparkEntry {
     DailyAnalytics.walkForwardSplits(Adapters.dailyBars(s, dir))
       .orderBy("fold", "trade_date")
 
+  /** CUSUM changepoint per symbol: the most likely mean-shift day of
+    * the return series with segment means either side — integer-exact
+    * peak location under the full oracle. */
+  private def qCusum(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.cusumChangepoint(
+      DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+      .orderBy("symbol")
+
   /** Hurst exponent by R/S analysis over {8,16,32}-day blocks: the
     * long-memory regime gauge per symbol, exact integer block moments
     * under the full oracle. */
@@ -2363,6 +2371,7 @@ object SparkEntry {
     "q_walk_forward" -> (qWalkForward _),
     "q_conformal" -> (qConformal _),
     "q_hurst" -> (qHurst _),
+    "q_cusum" -> (qCusum _),
     "q_var_cvar" -> (qVarCvar _),
     "q_autocorrelation" -> (qAutocorrelation _),
     "q_prune_estimate" -> (qPruneEstimate _),

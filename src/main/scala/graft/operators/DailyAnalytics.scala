@@ -844,6 +844,51 @@ object DailyAnalytics {
       .filter(col("role") =!= "excluded")
   }
 
+  /** CUSUM changepoint detection (Page 1954; the offline single-
+    * changepoint form): per symbol, the day where the cumulative
+    * mean-deviation Σ(xⱼ − x̄) attains its maximum magnitude — the
+    * argmax of the CUSUM statistic, i.e. the most likely mean-shift
+    * point — with the segment means either side. The deviation is
+    * kept in the exact n-scaled integer form n·Cᵢ − i·Σx (same trick
+    * as [[hurstExponent]]'s blocks: no division before the argmax, so
+    * the peak location is integer-exact and tie-broken by earliest
+    * date), and the cp row already CARRIES Cᵢ and i, so both segment
+    * means come from the same row — one window pass, one rank, no
+    * second join.
+    *
+    * Output per symbol: (symbol, cp_date, n_days, cp_index,
+    * cusum_peak, mean_before, mean_after) — mean_after null iff the
+    * peak sits on the last row (only possible for a constant
+    * series of length 1).
+    *
+    * Scale shape: two window passes inside the symbol partition
+    * (cumsum + rank), then a filter — never a global sort, never a
+    * second scan. */
+  def cusumChangepoint(returns: DataFrame): DataFrame = {
+    val w = bySymbol
+    val wAll = Window.partitionBy("symbol")
+    val base = returns.filter(col("daily_return_pct").isNotNull)
+      .select(col("symbol"), col("trade_date"),
+        scaled(col("daily_return_pct"), 4).as("x"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("c", sum(col("x")).over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("sx", sum(col("x")).over(wAll))
+      .withColumn("dev", col("n") * col("c") - col("i") * col("sx"))
+    base
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("symbol")
+          .orderBy(abs(col("dev")).desc, col("trade_date").asc)))
+      .filter(col("rk") === 1)
+      .select(col("symbol"), col("trade_date").as("cp_date"),
+        col("n").as("n_days"), col("i").cast("int").as("cp_index"),
+        rd(col("dev").cast("double") / col("n") / 10000.0, 4).as("cusum_peak"),
+        rd(col("c").cast("double") / col("i") / 10000.0, 4).as("mean_before"),
+        when(col("n") > col("i"),
+          rd((col("sx") - col("c")).cast("double") / (col("n") - col("i")) / 10000.0, 4))
+          .as("mean_after"))
+  }
+
   /** Hurst exponent by rescaled-range (R/S) analysis (Hurst 1951;
     * Mandelbrot & Wallis 1969) — the long-memory gauge: H ≈ 0.5 for
     * a random walk, > 0.5 trending, < 0.5 mean-reverting. For each

@@ -594,6 +594,28 @@ class DailyAnalyticsSpec extends AnyFunSpec {
     }
   }
 
+  describe("cusumChangepoint") {
+    it("finds the exact shift day of a step series with both segment means") {
+      // returns: four days at +1%, then four at +3% -> CUSUM peaks at
+      // the last low day (day 4); means 1.0 / 3.0 either side
+      val rows = (0 until 8).map { i =>
+        ("A", java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)),
+          if (i < 4) 1.0 else 3.0)
+      }
+      val got = DailyAnalytics.cusumChangepoint(
+        rows.toDF("symbol", "trade_date", "daily_return_pct")).collect()
+      assert(got.length == 1)
+      val r = got.head
+      assert(r.getAs[Int]("cp_index") == 4)
+      assert(r.getAs[java.sql.Date]("cp_date").toString == "2024-01-04")
+      assert(r.getAs[Double]("mean_before") == 1.0)
+      assert(r.getAs[Double]("mean_after") == 3.0)
+      // peak magnitude: at i=4, C=4e4, n=8, Sx=16e4 -> dev = 8*4e4-4*16e4
+      // = -32e4, /n /1e4 = -4.0 (negative: mean shifts UP after the cp)
+      assert(r.getAs[Double]("cusum_peak") == -4.0)
+    }
+  }
+
   describe("hurstExponent") {
     def r4d(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
     def r6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
