@@ -3756,6 +3756,72 @@ object OracleSql {
         |    / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS oov_scaled
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // mirrors TextAnalysis.heapsLaw: nested integer prefix cuts
+    // (n*p)//100 over doc-id order, exact distinct token strings
+    "q_heaps_law" -> {
+      def per(p: Int) = {
+        val k = s"GREATEST((nd * $p) // 100, 1)"
+        s"""SELECT CAST($p AS INTEGER) AS pct,
+           |  CAST(MAX($k) AS BIGINT) AS n_docs,
+           |  CAST(SUM(CASE WHEN rn <= $k THEN 1 ELSE 0 END) AS BIGINT) AS n_tokens,
+           |  CAST(COUNT(DISTINCT CASE WHEN rn <= $k THEN tok END) AS BIGINT) AS vocab
+           |FROM ex""".stripMargin
+      }
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS rn,
+         |    CAST(COUNT(*) OVER () AS BIGINT) AS nd
+         |  FROM documents
+         |),
+         |ex AS (
+         |  SELECT d.rn, d.nd, unnest(string_split(t.text, ' ')) AS tok
+         |  FROM documents t JOIN d ON t.doc_id = d.doc_id
+         |)
+         |${Seq(25, 50, 75, 100).map(per).mkString("\nUNION ALL\n")}
+         |ORDER BY pct""".stripMargin
+    },
+
+    // mirrors DailyAnalytics.drawdownDuration: gaps-and-islands on
+    // cent-scaled closes; run id = cumulative at-peak count; longest
+    // run by (len DESC, start ASC); never-underwater symbols keep 0s
+    "q_drawdown_duration" ->
+      s"""${dailyChain("returns")},
+         |base AS (
+         |  SELECT symbol, trade_date, ${sc("close_price", 2)} AS cp
+         |  FROM returns
+         |),
+         |u AS (
+         |  SELECT symbol, trade_date,
+         |    CASE WHEN cp < MAX(cp) OVER w THEN 1 ELSE 0 END AS under
+         |  FROM base
+         |  WINDOW w AS (PARTITION BY symbol ORDER BY trade_date
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |),
+         |r AS (
+         |  SELECT symbol, trade_date, under,
+         |    SUM(1 - under) OVER (PARTITION BY symbol ORDER BY trade_date
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+         |  FROM u
+         |),
+         |runs AS (
+         |  SELECT symbol, run, CAST(COUNT(*) AS BIGINT) AS len,
+         |    MIN(trade_date) AS dd_start, MAX(trade_date) AS dd_end
+         |  FROM r WHERE under = 1 GROUP BY symbol, run
+         |),
+         |longest AS (
+         |  SELECT symbol, len, dd_start, dd_end FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY symbol
+         |      ORDER BY len DESC, dd_start ASC) AS rk FROM runs) WHERE rk = 1
+         |),
+         |tot AS (
+         |  SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_days,
+         |    CAST(SUM(under) AS BIGINT) AS n_underwater
+         |  FROM u GROUP BY symbol
+         |)
+         |SELECT t.symbol, t.n_days, t.n_underwater,
+         |  COALESCE(l.len, 0) AS longest_dd_days, l.dd_start, l.dd_end
+         |FROM tot t LEFT JOIN longest l ON t.symbol = l.symbol
+         |ORDER BY t.symbol""".stripMargin,
+
     // mirrors TextAnalysis.rakeKeywords: phrases = maximal runs
     // between the SAME literal stopword list, word score =
     // degree/freq floor-scaled to 6-dp longs BEFORE the phrase sum

@@ -2144,6 +2144,21 @@ object SparkEntry {
     TextAnalysis.vocabCoverage(Tables.documents(s, dir), "doc_id", "text", vocabK = 8)
       .orderBy("doc_id")
 
+  /** Heaps'-law vocabulary growth at nested corpus prefixes —
+    * the new-vocabulary-per-data curve, exact counts under the full
+    * oracle. */
+  private def qHeapsLaw(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.heapsLaw(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("pct")
+
+  /** Drawdown duration per symbol: longest underwater spell with its
+    * dates plus total underwater days — gaps-and-islands on exact
+    * cent closes. */
+  private def qDrawdownDuration(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.drawdownDuration(
+      DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+      .orderBy("symbol")
+
   /** RAKE keyword extraction: top-3 stopword-delimited phrases per
     * doc scored by summed degree/freq word scores — the classic
     * unsupervised keyword primitive, integer-scaled so the phrase
@@ -2319,6 +2334,8 @@ object SparkEntry {
     "q_ngram_lm" -> (qNgramLm _),
     "q_vocab_coverage" -> (qVocabCoverage _),
     "q_rake_keywords" -> (qRakeKeywords _),
+    "q_heaps_law" -> (qHeapsLaw _),
+    "q_drawdown_duration" -> (qDrawdownDuration _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_set_ops" -> (qSetOps _),
     "q_sim_pq" -> (qSimPq _),

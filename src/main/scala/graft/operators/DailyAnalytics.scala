@@ -445,6 +445,46 @@ object DailyAnalytics {
         max(col("close_price")).as("peak_close"))
   }
 
+  /** Drawdown DURATION per symbol — the time dimension
+    * [[maxDrawdown]]'s depth number misses ("how LONG was the
+    * portfolio underwater", the drawdown statistic allocators
+    * actually ask for): the longest consecutive run of days strictly
+    * below the running peak close, with its start/end dates, plus the
+    * total underwater-day count. Classic gaps-and-islands — the run
+    * id is the cumulative count of at-peak days, all exact integer
+    * arithmetic on cent-scaled closes (no float compares).
+    *
+    * Scale shape: two window passes inside the symbol partition
+    * (running peak + run id), one partial-aggregable rollup to
+    * (symbol, run), a rank for the longest, and a LEFT join back to
+    * the symbol dimension so never-underwater symbols report zeros. */
+  def drawdownDuration(returns: DataFrame, priceScale: Int = 2): DataFrame = {
+    val base = returns
+      .select(col("symbol"), col("trade_date"),
+        scaled(col("close_price"), priceScale).as("cp"))
+      .withColumn("under",
+        (col("cp") < max(col("cp")).over(
+          bySymbol.rowsBetween(Window.unboundedPreceding, 0))).cast("long"))
+      .withColumn("run", sum(lit(1L) - col("under")).over(bySymbol))
+      .snapshot() // feeds the runs rollup AND the symbol totals
+    val longest = base.filter(col("under") === 1L)
+      .groupBy("symbol", "run")
+      .agg(count(lit(1)).as("len"),
+        min(col("trade_date")).as("dd_start"),
+        max(col("trade_date")).as("dd_end"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("symbol")
+          .orderBy(col("len").desc, col("dd_start").asc)))
+      .filter(col("rk") === 1)
+      .select(col("symbol"), col("len"), col("dd_start"), col("dd_end"))
+    base.groupBy("symbol")
+      .agg(count(lit(1)).as("n_days"), sum(col("under")).as("n_underwater"))
+      .join(longest, Seq("symbol"), "left")
+      .select(col("symbol"), col("n_days"), col("n_underwater"),
+        coalesce(col("len"), lit(0L)).as("longest_dd_days"),
+        col("dd_start"), col("dd_end"))
+  }
+
   /** Calendar resampling of daily bars to a coarser OHLCV grain (the
     * classic weekly/monthly candlestick roll-up the reference's
     * daily-only marts stop short of): per (symbol, period) the open is

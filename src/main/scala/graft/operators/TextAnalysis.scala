@@ -723,6 +723,40 @@ object TextAnalysis {
           / col("n_tokens").cast("double")).cast("long").as("oov_scaled"))
   }
 
+  /** Heaps'-law vocabulary-growth curve (Heaps 1978): distinct
+    * vocabulary size at nested corpus prefixes (25/50/75/100% of docs
+    * in doc-id order) beside the token totals — the measurement
+    * behind "how much NEW vocabulary does more data buy", which
+    * decides tokenizer retraining and vocab-size budgets. Counts are
+    * exact (distinct token strings, integer prefix cut (n·p) DIV
+    * 100); the β exponent fit is left to the consumer (log-free
+    * house rule).
+    *
+    * Scale shape: the doc rank is a window over the doc DIMENSION
+    * (one row per doc, same deliberate shape as the ntile/percentile
+    * queries), joined onto one exploded token pass that feeds every
+    * prefix's aggregate from a single snapshot — |pcts| aggregates,
+    * one scan. */
+  def heapsLaw(docs: DataFrame, idCol: String, textCol: String,
+               pcts: Seq[Int] = Seq(25, 50, 75, 100)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = docs.select(col(idCol).as("id"))
+      .withColumn("rn", row_number().over(Window.orderBy("id")).cast("long"))
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy()))
+    val exr = Dedup.spreadById(docs, idCol, textCol)
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
+      .join(ranked, "id")
+      .snapshot() // one exploded pass feeds every prefix aggregate
+    pcts.map { p =>
+      val k = greatest(expr(s"(nd * $p) DIV 100"), lit(1L))
+      exr.agg(
+        max(k).as("n_docs"),
+        sum(when(col("rn") <= k, 1L).otherwise(0L)).as("n_tokens"),
+        countDistinct(when(col("rn") <= k, col("t"))).as("vocab"))
+        .select(lit(p).as("pct"), col("n_docs"), col("n_tokens"), col("vocab"))
+    }.reduce(_ unionByName _)
+  }
+
   /** The default RAKE stopword/delimiter set — the boundary tokens
     * phrases break on. Embedded as the same literal list in the
     * DuckDB oracle. */

@@ -594,6 +594,32 @@ class DailyAnalyticsSpec extends AnyFunSpec {
     }
   }
 
+  describe("drawdownDuration") {
+    it("islands the underwater runs and picks the longest with dates") {
+      val closes = Seq(10.0, 9.0, 8.0, 10.0, 11.0, 10.0)
+      val rows = closes.zipWithIndex.map { case (c, i) =>
+        ("A", java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)), c)
+      }
+      val got = DailyAnalytics.drawdownDuration(
+        rows.toDF("symbol", "trade_date", "close_price")).collect().head
+      assert(got.getAs[Long]("n_days") == 6L)
+      assert(got.getAs[Long]("n_underwater") == 3L)
+      assert(got.getAs[Long]("longest_dd_days") == 2L)
+      assert(got.getAs[java.sql.Date]("dd_start").toString == "2024-01-02")
+      assert(got.getAs[java.sql.Date]("dd_end").toString == "2024-01-03")
+    }
+    it("a monotone series reports zero underwater days and null dates") {
+      val rows = (0 until 4).map(i =>
+        ("A", java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)),
+          10.0 + i))
+      val got = DailyAnalytics.drawdownDuration(
+        rows.toDF("symbol", "trade_date", "close_price")).collect().head
+      assert(got.getAs[Long]("n_underwater") == 0L)
+      assert(got.getAs[Long]("longest_dd_days") == 0L)
+      assert(got.isNullAt(got.fieldIndex("dd_start")))
+    }
+  }
+
   describe("cusumChangepoint") {
     it("finds the exact shift day of a step series with both segment means") {
       // returns: four days at +1%, then four at +3% -> CUSUM peaks at

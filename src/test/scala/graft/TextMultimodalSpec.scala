@@ -512,6 +512,19 @@ class TextMultimodalSpec extends AnyFunSpec {
     }
   }
 
+  describe("heapsLaw") {
+    it("nested prefixes grow vocabulary and token counts exactly") {
+      val d = Seq((1L, "a b"), (2L, "a c"), (3L, "d"), (4L, "a"))
+        .toDF("doc_id", "text")
+      val got = TextAnalysis.heapsLaw(d, "doc_id", "text")
+        .orderBy("pct").collect()
+      assert(got.map(r => (r.getAs[Int]("pct"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("vocab"))).toSeq ==
+        Seq((25, 1L, 2L, 2L), (50, 2L, 4L, 3L),
+            (75, 3L, 5L, 4L), (100, 4L, 6L, 4L)))
+    }
+  }
+
   describe("rakeKeywords") {
     it("hand case: degree/freq word scores sum per phrase, ties rank by text") {
       // phrases: "deep learning" x2, "neural networks"; every word
