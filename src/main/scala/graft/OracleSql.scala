@@ -2741,6 +2741,38 @@ object OracleSql {
         |FROM p LEFT JOIN j ON p.purchase_id = j.purchase_id
         |ORDER BY p.purchase_id""".stripMargin,
 
+    // mirrors Cohorts.eventPaths(gap=30min, k=10): inactivity-cut
+    // sessions, lead() successor inside the session, exact epoch-us
+    // gaps, (n DESC, pair ASC) rank
+    "q_event_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events
+        |),
+        |s AS (
+        |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM (
+        |    SELECT *, CASE WHEN us - LAG(us) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |    FROM e)
+        |),
+        |tr AS (
+        |  SELECT event_type AS from_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id, sess
+        |      ORDER BY us, event_id) AS to_type
+        |  FROM s
+        |),
+        |g AS (
+        |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM tr WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+        |)
+        |SELECT from_type, to_type, n, CAST(rank AS INTEGER) AS rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (ORDER BY n DESC, from_type ASC, to_type ASC) AS rank
+        |  FROM g) WHERE rank <= 10
+        |ORDER BY rank""".stripMargin,
+
     // mirrors Cohorts.churnHazard(censorDays=7): user-grain first/last
     // activity, 7-day right-censoring against the global max date,
     // reverse-cumulative risk set over the duration dimension

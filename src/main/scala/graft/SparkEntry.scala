@@ -940,6 +940,16 @@ object SparkEntry {
       .orderBy("cohort_date")
   }
 
+  /** Event-path mining: top-10 observed (from → to) event-type
+    * transitions inside 30-min gap sessions — the observed-journey
+    * companion of the hypothesized funnel, oracle-gated. */
+  private def qEventPaths(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    Cohorts.eventPaths(ev.withColumn("event_time", Adapters.eventTime(ev)),
+      "user_id", "event_type", "event_time")
+      .orderBy("rank")
+  }
+
   /** Discrete churn-hazard life table over the event stream: per
     * lifetime duration, the risk set, endings, churns (7-day
     * right-censoring) and hazard — exact integer counts under the
@@ -2253,6 +2263,7 @@ object SparkEntry {
     "q_retention" -> (qRetention _),
     "q_cuped_lift" -> (qCupedLift _),
     "q_churn_hazard" -> (qChurnHazard _),
+    "q_event_paths" -> (qEventPaths _),
     "q_srm_check" -> (qSrmCheck _),
     "q_funnel" -> (qFunnel _),
     "q_funnel_windowed" -> (qFunnelWindowed _),

@@ -92,6 +92,42 @@ object Cohorts {
           .as("retention_rate"))
   }
 
+  /** Event-path mining: the most frequent (from → to) event-type
+    * transitions inside gap-sessionized user journeys — the
+    * "where do users actually go next" readout behind funnel design
+    * (funnels test a HYPOTHESIZED path; this surfaces the observed
+    * ones). Sessions cut on inactivity > `gapMinutes` (the same
+    * cumulative-boundary islands form as the session-window
+    * operators); transitions pair each event with its successor
+    * INSIDE the session via lead(); top-k by (count DESC, pair ASC).
+    *
+    * Scale shape: two window passes inside the (user) partition, one
+    * partial-aggregable count shuffle to the transition-type
+    * DIMENSION (|event types|² rows at most), and the rank runs on
+    * that dimension — never on events. */
+  def eventPaths(events: DataFrame, userCol: String, typeCol: String,
+                 tsCol: String, idCol: String = "event_id",
+                 gapMinutes: Int = 30, k: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val gapUs = gapMinutes * 60L * 1000000L
+    val sessioned = events
+      .withColumn("us", unix_micros(col(tsCol).cast("timestamp")))
+      .withColumn("new_s",
+        when(col("us") - lag(col("us"), 1).over(w) > gapUs, 1L)
+          .otherwise(lit(0L)))
+      .withColumn("sess", sum(col("new_s")).over(w))
+    val wp = Window.partitionBy(col(userCol), col("sess"))
+      .orderBy(col("us"), col(idCol))
+    sessioned
+      .withColumn("to_type", lead(col(typeCol), 1).over(wp))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("from_type").asc, col("to_type").asc)))
+      .filter(col("rank") <= k)
+  }
+
   /** Discrete-time churn hazard table (the Kaplan-Meier life-table
     * counts, day grain): per observed lifetime duration t, how many
     * users' observation ended at t (n_ending), how many of those

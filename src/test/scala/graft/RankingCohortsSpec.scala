@@ -164,6 +164,29 @@ class RankingCohortsSpec extends AnyFunSpec {
     }
   }
 
+  describe("Cohorts.eventPaths") {
+    it("sessionizes on the gap and counts within-session transitions only") {
+      // u1: view->click->buy inside one session, then a >30min gap
+      // followed by view (no predecessor counts across the cut)
+      val rows = Seq(
+        (1L, 1L, "view", "2024-01-01 10:00:00"),
+        (1L, 2L, "click", "2024-01-01 10:05:00"),
+        (1L, 3L, "buy", "2024-01-01 10:10:00"),
+        (1L, 4L, "view", "2024-01-01 11:00:00"),
+        (2L, 5L, "view", "2024-01-01 09:00:00"),
+        (2L, 6L, "click", "2024-01-01 09:10:00"))
+        .toDF("user_id", "event_id", "event_type", "d")
+        .withColumn("ts", to_timestamp($"d")).drop("d")
+      val got = Cohorts.eventPaths(rows, "user_id", "event_type", "ts")
+        .orderBy("rank").collect()
+      assert(got.map(r => (r.getAs[String]("from_type"),
+        r.getAs[String]("to_type"), r.getAs[Long]("n"))).toSeq ==
+        Seq(("view", "click", 2L), ("click", "buy", 1L)))
+      // the 10:10 buy -> 11:00 view pair spans the session cut: absent
+      assert(!got.exists(_.getAs[String]("from_type") == "buy"))
+    }
+  }
+
   describe("Cohorts.churnHazard / sampleRatioCheck") {
     it("life-table counts: censoring, risk sets and hazards on a hand case") {
       // window ends 01-20; u1 spans 01..05 (dur 4, churned), u2 spans
