@@ -1061,6 +1061,77 @@ object OracleSql {
          |SELECT fold, trade_date, role FROM r WHERE role <> 'excluded'
          |ORDER BY fold, trade_date""".stripMargin,
 
+    // mirrors DailyAnalytics.forecastMase(w=5): integer absolute-error
+    // sums |w*x - S5| and |x - prev| on the same eligible rows
+    "q_mase" ->
+      s"""${dailyChain("returns")},
+         |base AS (
+         |  SELECT symbol, ${sc4("daily_return_pct")} AS x,
+         |    ROW_NUMBER() OVER w AS rn,
+         |    LAG(${sc4("daily_return_pct")}) OVER w AS prev,
+         |    SUM(${sc4("daily_return_pct")}) OVER (PARTITION BY symbol
+         |      ORDER BY trade_date ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS s5
+         |  FROM returns WHERE daily_return_pct IS NOT NULL
+         |  WINDOW w AS (PARTITION BY symbol ORDER BY trade_date)
+         |),
+         |g AS (
+         |  SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_eval,
+         |    CAST(SUM(ABS(x - prev)) AS BIGINT) AS sae_naive,
+         |    CAST(SUM(ABS(5 * x - s5)) AS BIGINT) AS sae_sma_w
+         |  FROM base WHERE rn > 5 GROUP BY symbol
+         |)
+         |SELECT symbol, n_eval,
+         |  ${rd("CAST(sae_naive AS DOUBLE) / n_eval / 10000.0", 4)} AS mae_naive,
+         |  ${rd("CAST(sae_sma_w AS DOUBLE) / (5 * n_eval) / 10000.0", 4)} AS mae_sma,
+         |  ${rd("CAST(sae_sma_w AS DOUBLE) / (5 * sae_naive)", 4)} AS mase
+         |FROM g ORDER BY symbol""".stripMargin,
+
+    // mirrors DailyAnalytics.minVariancePair: two lexicographically-
+    // first symbols, common-date panel, n-scaled DECIMAL/HUGEINT
+    // moments, clamped closed-form weight, identical double trees
+    "q_min_variance" ->
+      s"""${dailyChain("returns")},
+         |syms AS (
+         |  SELECT symbol, ROW_NUMBER() OVER (ORDER BY symbol) AS rnk FROM (
+         |    SELECT DISTINCT symbol FROM returns) ORDER BY symbol LIMIT 2
+         |),
+         |panel AS (
+         |  SELECT r.symbol, s.rnk, r.trade_date, ${sc4("r.daily_return_pct")} AS x
+         |  FROM returns r JOIN syms s ON r.symbol = s.symbol
+         |  WHERE r.daily_return_pct IS NOT NULL
+         |),
+         |j AS (
+         |  SELECT a.symbol AS sym_a, b.symbol AS sym_b, a.x AS xa, b.x AS xb
+         |  FROM (SELECT * FROM panel WHERE rnk = 1) a
+         |  JOIN (SELECT * FROM panel WHERE rnk = 2) b ON a.trade_date = b.trade_date
+         |),
+         |m AS (
+         |  SELECT sym_a, sym_b, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(xa) AS BIGINT) AS sa, CAST(SUM(xb) AS BIGINT) AS sb,
+         |    SUM(CAST(xa AS HUGEINT) * CAST(xa AS HUGEINT)) AS saa,
+         |    SUM(CAST(xb AS HUGEINT) * CAST(xb AS HUGEINT)) AS sbb,
+         |    SUM(CAST(xa AS HUGEINT) * CAST(xb AS HUGEINT)) AS sab
+         |  FROM j GROUP BY sym_a, sym_b
+         |),
+         |v AS (
+         |  SELECT sym_a, sym_b, n,
+         |    CAST(n * saa - CAST(sa AS HUGEINT) * sa AS DOUBLE) AS va,
+         |    CAST(n * sbb - CAST(sb AS HUGEINT) * sb AS DOUBLE) AS vb,
+         |    CAST(n * sab - CAST(sa AS HUGEINT) * sb AS DOUBLE) AS cab,
+         |    CAST(n * (n - 1) AS DOUBLE) * 1e8 AS norm
+         |  FROM m
+         |),
+         |wts AS (
+         |  SELECT *, LEAST(GREATEST((vb - cab) / (va + vb - 2.0 * cab), 0.0), 1.0) AS wa
+         |  FROM v
+         |)
+         |SELECT sym_a, sym_b, n AS n_days,
+         |  ${rd("wa", 4)} AS w_a, ${rd("1.0 - wa", 4)} AS w_b,
+         |  ${rd("va / norm", 6)} AS var_a, ${rd("vb / norm", 6)} AS var_b,
+         |  ${rd("cab / norm", 6)} AS cov_ab,
+         |  ${rd("(wa * wa * va + (1.0 - wa) * (1.0 - wa) * vb + 2.0 * wa * (1.0 - wa) * cab) / norm", 6)} AS port_var
+         |FROM wts""".stripMargin,
+
     // mirrors DailyAnalytics.cusumChangepoint: n-scaled integer CUSUM
     // n*C_i - i*Sx, argmax by (|dev| DESC, date ASC), segment means
     // from the peak row's own C_i/i
@@ -1726,6 +1797,37 @@ object OracleSql {
     "q_dedup_minhash_lsh" ->
       s"""WITH $minhashPairsCtes
          |SELECT id1, id2, jaccard FROM pairs ORDER BY id1, id2""".stripMargin,
+
+    // mirrors Dedup.winnowingFingerprints(k=4, w=4): ORDERED k-grams
+    // (duplicates kept), window minimum fingerprints, distinct per
+    // doc, doc-frequency sharing join
+    "q_winnowing" ->
+      s"""WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |g AS (
+         |  SELECT doc_id, CAST(len(ws) - 3 AS BIGINT) AS n_grams,
+         |    unnest(range(1, len(ws) - 2)) AS pos,
+         |    unnest(list_transform(range(1, len(ws) - 2),
+         |      i -> ${h60("array_to_string(ws[CAST(i AS INTEGER):CAST(i + 3 AS INTEGER)], ' ')")})) AS gh
+         |  FROM w0 WHERE len(ws) >= 4
+         |),
+         |m AS (
+         |  SELECT doc_id, n_grams, pos,
+         |    MIN(gh) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+         |  FROM g
+         |),
+         |fps AS (
+         |  SELECT DISTINCT doc_id, n_grams, fp FROM m WHERE pos >= 4
+         |),
+         |dfq AS (SELECT fp, CAST(COUNT(*) AS BIGINT) AS dw FROM fps GROUP BY fp)
+         |SELECT f.doc_id,
+         |  CAST(MAX(f.n_grams) AS BIGINT) AS n_grams,
+         |  CAST(MAX(f.n_grams) - 3 AS BIGINT) AS n_windows,
+         |  CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+         |  CAST(SUM(CASE WHEN d.dw >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         |  ${rd("SUM(CASE WHEN d.dw >= 2 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE)", 4)} AS shared_frac
+         |FROM fps f JOIN dfq d ON f.fp = d.fp
+         |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin,
 
     // mirrors Dedup.lshRecallByBand: exact ngram-Jaccard ground truth
     // LEFT JOINed against the UNFILTERED LSH candidate set, banded on

@@ -710,6 +710,13 @@ object SparkEntry {
       n = 3, numHashes = 32, bands = 8, threshold = 0.5)
       .orderBy("id1", "id2")
 
+  /** MOSS winnowing fingerprints per doc with cross-corpus sharing —
+    * the positional local-fingerprinting primitive (guaranteed
+    * detection of shared runs >= w+k-1 words), oracle-gated. */
+  private def qWinnowing(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowingFingerprints(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** Dedup-lane eval: measured recall of the MinHash-LSH candidate
     * stage vs the exact n-gram-Jaccard ground truth per 0.1-wide
     * Jaccard band, beside the closed-form 1−(1−s^r)^b expectation —
@@ -1853,6 +1860,20 @@ object SparkEntry {
     DailyAnalytics.walkForwardSplits(Adapters.dailyBars(s, dir))
       .orderBy("fold", "trade_date")
 
+  /** SMA-5 vs naive forecast backtest scored by MASE per symbol —
+    * integer-exact absolute-error sums, one division each. */
+  private def qMase(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.forecastMase(
+      DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+      .orderBy("symbol")
+
+  /** Markowitz minimum-variance weight for the first symbol pair with
+    * the full moment panel — exact DECIMAL(38,0) moments, clamped
+    * no-shorting weight. */
+  private def qMinVariance(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.minVariancePair(
+      DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+
   /** CUSUM changepoint per symbol: the most likely mean-shift day of
     * the return series with segment means either side — integer-exact
     * peak location under the full oracle. */
@@ -2251,6 +2272,7 @@ object SparkEntry {
     "q_corpus_filter" -> (qCorpusFilter _),
     "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
     "q_dedup_recall" -> (qDedupRecall _),
+    "q_winnowing" -> (qWinnowing _),
     "q_dedup_fuzzy" -> (qDedupFuzzy _),
     "q_containment" -> (qContainment _),
     "q_tfidf_search" -> (qTfidfSearch _),
@@ -2400,6 +2422,8 @@ object SparkEntry {
     "q_conformal" -> (qConformal _),
     "q_hurst" -> (qHurst _),
     "q_cusum" -> (qCusum _),
+    "q_mase" -> (qMase _),
+    "q_min_variance" -> (qMinVariance _),
     "q_var_cvar" -> (qVarCvar _),
     "q_autocorrelation" -> (qAutocorrelation _),
     "q_prune_estimate" -> (qPruneEstimate _),

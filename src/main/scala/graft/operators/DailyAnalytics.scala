@@ -884,6 +884,90 @@ object DailyAnalytics {
       .filter(col("role") =!= "excluded")
   }
 
+  /** Minimum-variance two-asset portfolio (Markowitz closed form):
+    * for the two lexicographically-first symbols, the no-shorting
+    * weight w* = clamp((σ²_b − σ_ab) / (σ²_a + σ²_b − 2σ_ab), 0, 1)
+    * and the resulting portfolio variance beside both legs' own — the
+    * smallest real instance of mean-variance optimization, exact to
+    * the final divisions: all moments are n-scaled integer forms
+    * (n·Σx² − (Σx)² etc.) in DECIMAL(38,0), computed over the COMMON
+    * date panel (inner join on trade_date).
+    *
+    * Scale shape: a 2-row symbol dimension broadcast-joined onto the
+    * panel, one date-keyed self-join of two single-symbol series, one
+    * 1-row aggregate. */
+  def minVariancePair(returns: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val syms = returns.select(col("symbol")).distinct()
+      .orderBy("symbol").limit(2)
+      .withColumn("rnk", row_number().over(Window.orderBy("symbol")))
+    val panel = returns.filter(col("daily_return_pct").isNotNull)
+      .select(col("symbol"), col("trade_date"),
+        scaled(col("daily_return_pct"), 4).as("x"))
+      .join(broadcast(syms), "symbol")
+    val a = panel.filter(col("rnk") === 1)
+      .select(col("symbol").as("sym_a"), col("trade_date"), col("x").as("xa"))
+    val b = panel.filter(col("rnk") === 2)
+      .select(col("symbol").as("sym_b"), col("trade_date"), col("x").as("xb"))
+    val m = a.join(b, "trade_date")
+      .groupBy("sym_a", "sym_b")
+      .agg(count(lit(1)).as("n"),
+        sum(col("xa")).as("sa"), sum(col("xb")).as("sb"),
+        sum(col("xa").cast(dec) * col("xa").cast(dec)).as("saa"),
+        sum(col("xb").cast(dec) * col("xb").cast(dec)).as("sbb"),
+        sum(col("xa").cast(dec) * col("xb").cast(dec)).as("sab"))
+    val nD = col("n").cast(dec)
+    val va = (nD * col("saa") - col("sa").cast(dec) * col("sa").cast(dec)).cast("double")
+    val vb = (nD * col("sbb") - col("sb").cast(dec) * col("sb").cast(dec)).cast("double")
+    val cab = (nD * col("sab") - col("sa").cast(dec) * col("sb").cast(dec)).cast("double")
+    // the n-scaled moments share the n²(n−1)·10⁸ normalizer, which
+    // cancels in w*; the reported variances divide it back out
+    val norm = (col("n") * (col("n") - 1)).cast("double") * 1e8
+    val wRaw = (vb - cab) / (va + vb - lit(2.0) * cab)
+    val wa = least(greatest(wRaw, lit(0.0)), lit(1.0))
+    m.select(col("sym_a"), col("sym_b"), col("n").as("n_days"),
+      r4(wa).as("w_a"), r4(lit(1.0) - wa).as("w_b"),
+      rd(va / norm, 6).as("var_a"), rd(vb / norm, 6).as("var_b"),
+      rd(cab / norm, 6).as("cov_ab"),
+      rd((wa * wa * va + (lit(1.0) - wa) * (lit(1.0) - wa) * vb +
+        lit(2.0) * wa * (lit(1.0) - wa) * cab) / norm, 6).as("port_var"))
+  }
+
+  /** Forecast backtest with MASE (Hyndman & Koehler 2006, "Another
+    * look at measures of forecast accuracy"): the SMA-5 one-step
+    * forecast of daily returns scored against the naive (persistence)
+    * forecast on the SAME evaluation rows — MASE < 1 means the model
+    * beats naive, the scale-free forecast gate. Integer-exact: with
+    * x in 4-dp longs, MAE ratios collapse to
+    * Σ|w·xₜ − Σ_{t−w..t−1}x| / (w · Σ|xₜ − xₜ₋₁|) — no division
+    * until the final reported numbers.
+    *
+    * Scale shape: two window passes inside the symbol partition (lag
+    * + the trailing sum), one partial-aggregable rollup to the symbol
+    * grain. */
+  def forecastMase(returns: DataFrame, smaWindow: Int = 5): DataFrame = {
+    val w = smaWindow
+    val base = returns.filter(col("daily_return_pct").isNotNull)
+      .select(col("symbol"), col("trade_date"),
+        scaled(col("daily_return_pct"), 4).as("x"))
+      .withColumn("rn", row_number().over(bySymbol))
+      .withColumn("prev", lag(col("x"), 1).over(bySymbol))
+      .withColumn("s5", sum(col("x")).over(bySymbol.rowsBetween(-w, -1)))
+      // eligible rows: both predictors fully defined
+      .filter(col("rn") > w)
+    base.groupBy("symbol")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(col("x") - col("prev"))).as("sae_naive"),
+        sum(abs(lit(w.toLong) * col("x") - col("s5"))).as("sae_sma_w"))
+      .select(col("symbol"), col("n_eval"),
+        rd(col("sae_naive").cast("double") / col("n_eval") / 10000.0, 4)
+          .as("mae_naive"),
+        rd(col("sae_sma_w").cast("double") / (lit(w) * col("n_eval")) / 10000.0, 4)
+          .as("mae_sma"),
+        rd(col("sae_sma_w").cast("double") / (lit(w) * col("sae_naive")), 4)
+          .as("mase"))
+  }
+
   /** CUSUM changepoint detection (Page 1954; the offline single-
     * changepoint form): per symbol, the day where the cumulative
     * mean-deviation Σ(xⱼ − x̄) attains its maximum magnitude — the

@@ -594,6 +594,38 @@ class DailyAnalyticsSpec extends AnyFunSpec {
     }
   }
 
+  describe("forecastMase") {
+    it("alternating returns give the closed-form 0.6 MASE for SMA-5") {
+      // x = ±1%: naive error is 2 per step; the 5-day trailing sum is
+      // always -x, so |5x - S5| = 6 -> MASE = 6/(5*2) = 0.6
+      val rows = (0 until 20).map(i =>
+        ("A", java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)),
+          if (i % 2 == 0) 1.0 else -1.0))
+      val got = DailyAnalytics.forecastMase(
+        rows.toDF("symbol", "trade_date", "daily_return_pct")).collect().head
+      assert(got.getAs[Long]("n_eval") == 15L)
+      assert(got.getAs[Double]("mae_naive") == 2.0)
+      assert(got.getAs[Double]("mae_sma") == 1.2)
+      assert(got.getAs[Double]("mase") == 0.6)
+    }
+  }
+
+  describe("minVariancePair") {
+    it("a perfect hedge pair gets w=0.5 and zero portfolio variance") {
+      val rows = (0 until 12).flatMap { i =>
+        val d = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i))
+        val x = if (i % 3 == 0) 2.0 else -1.0
+        Seq(("A", d, x), ("B", d, -x))
+      }
+      val got = DailyAnalytics.minVariancePair(
+        rows.toDF("symbol", "trade_date", "daily_return_pct")).collect().head
+      assert(got.getAs[String]("sym_a") == "A" && got.getAs[String]("sym_b") == "B")
+      assert(got.getAs[Double]("w_a") == 0.5)
+      assert(got.getAs[Double]("port_var") == 0.0)
+      assert(got.getAs[Double]("cov_ab") == -got.getAs[Double]("var_a"))
+    }
+  }
+
   describe("drawdownDuration") {
     it("islands the underwater runs and picks the longest with dates") {
       val closes = Seq(10.0, 9.0, 8.0, 10.0, 11.0, 10.0)

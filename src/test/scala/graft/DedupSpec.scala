@@ -335,6 +335,32 @@ class DedupSpec extends AnyFunSpec {
     }
   }
 
+  describe("winnowingFingerprints") {
+    it("guarantees a shared fingerprint for a shared run >= w+k-1 words") {
+      val run = "alpha beta gamma delta epsilon zeta eta theta" // 8 words >= 7
+      val docs = Seq(
+        (1L, s"unique lead-in words here $run"),
+        (2L, s"$run and then a different tail entirely"),
+        (3L, "nothing in common with those two documents at all okay"))
+        .toDF("doc_id", "text")
+      val got = Dedup.winnowingFingerprints(docs, "doc_id", "text")
+        .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+      assert(got(1L).getAs[Long]("n_shared") >= 1L)
+      assert(got(2L).getAs[Long]("n_shared") >= 1L)
+      assert(got(3L).getAs[Long]("n_shared") == 0L)
+      // winnowing stores a subset of windows
+      got.values.foreach { r =>
+        assert(r.getAs[Long]("n_fingerprints") <= r.getAs[Long]("n_windows"))
+      }
+    }
+    it("short docs (under k words) emit no rows") {
+      val docs = Seq((1L, "too few words"), (2L, "a b c d e f g h"))
+        .toDF("doc_id", "text")
+      val got = Dedup.winnowingFingerprints(docs, "doc_id", "text").collect()
+      assert(got.map(_.getAs[Long]("doc_id")).toSeq == Seq(2L))
+    }
+  }
+
   describe("lshRecallByBand") {
     it("exact duplicates land in the top band and are always caught") {
       val text = "the quick brown fox jumps over the lazy dog again and again"
