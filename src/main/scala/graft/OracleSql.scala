@@ -1734,6 +1734,63 @@ object OracleSql {
         |SELECT event_id, user_id, event_type, event_time, value
         |FROM rn WHERE __rn = 1 ORDER BY user_id, event_type""".stripMargin,
 
+    // mirrors TextAnalysis.langConfusion: the same stopword-vote
+    // prediction CTE, counted against the label with row fractions
+    "q_lang_confusion" -> {
+      import TextSignalSql._
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents
+         |),
+         |st AS (
+         |  SELECT doc_id, lang,
+         |    $hitCols
+         |  FROM tok
+         |),
+         |p AS (
+         |  SELECT lang,
+         |    CASE $pred
+         |         ELSE 'und' END AS lang_pred
+         |  FROM st
+         |),
+         |g AS (
+         |  SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM p GROUP BY lang, lang_pred
+         |)
+         |SELECT lang, lang_pred, n,
+         |  ${rd("CAST(n AS DOUBLE) / (SUM(n) OVER (PARTITION BY lang))", 4)} AS frac_of_lang
+         |FROM g ORDER BY lang, lang_pred""".stripMargin
+    },
+
+    // mirrors Similarity.embeddingDrift: per-dimension sum vectors of
+    // the id-parity halves, HUGEINT moments, one sqrt/divide
+    "q_embedding_drift" ->
+      s"""WITH $embSql,
+         |ex AS (
+         |  SELECT vec_id % 2 = 0 AS in_a,
+         |    unnest(range(1, 65)) AS k, unnest(vq) AS v
+         |  FROM en
+         |),
+         |s AS (
+         |  SELECT k,
+         |    CAST(SUM(CASE WHEN in_a THEN v ELSE 0 END) AS BIGINT) AS sa,
+         |    CAST(SUM(CASE WHEN NOT in_a THEN v ELSE 0 END) AS BIGINT) AS sb
+         |  FROM ex GROUP BY k
+         |),
+         |m AS (
+         |  SELECT SUM(CAST(sa AS HUGEINT) * CAST(sb AS HUGEINT)) AS dot,
+         |    SUM(CAST(sa AS HUGEINT) * CAST(sa AS HUGEINT)) AS naa,
+         |    SUM(CAST(sb AS HUGEINT) * CAST(sb AS HUGEINT)) AS nbb
+         |  FROM s
+         |),
+         |c AS (
+         |  SELECT CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(SUM(CASE WHEN vec_id % 2 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+         |  FROM en
+         |)
+         |SELECT c.n_a, c.n_b,
+         |  ${rd("CAST(m.dot AS DOUBLE) / NULLIF(sqrt(CAST(m.naa AS DOUBLE)) * sqrt(CAST(m.nbb AS DOUBLE)), 0)", 6)} AS centroid_cosine
+         |FROM m, c""".stripMargin,
+
     "q_text_analysis" -> {
       import TextSignalSql._
       s"""WITH tok AS (

@@ -1213,6 +1213,17 @@ object SparkEntry {
       k = 5, dims = Seq(8, 16, 32, 64))
   }
 
+  /** Language-ID confusion matrix against the corpus labels — the
+    * measured-accuracy readout of the stopword classifier. */
+  private def qLangConfusion(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langConfusion(Tables.documents(s, dir), "lang", "text")
+      .orderBy("lang", "lang_pred")
+
+  /** Embedding centroid drift between the id-parity corpus halves —
+    * exact integer sums up to one sqrt/divide. */
+  private def qEmbeddingDrift(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingDrift(Tables.embeddings(s, dir), "vec_id", "embedding")
+
   /** Embedding-cosine near-dup over the documents table (embedding
     * column joined on; blocked by lang — the realistic "same-language
     * corpus cell" IVF-style blocking). Registered as the BANDED
@@ -2330,6 +2341,8 @@ object SparkEntry {
     "q_sim_recall" -> (qSimRecall _),
     "q_mrl_recall" -> (qMrlRecall _),
     "q_retrieval_ndcg" -> (qRetrievalNdcg _),
+    "q_lang_confusion" -> (qLangConfusion _),
+    "q_embedding_drift" -> (qEmbeddingDrift _),
     "q_sim_near_dup" -> (qSimNearDup _),
     "q_sim_ivf" -> (qSimIvf _),
     "q_sim_ivf_refined" -> (qSimIvfRefined _),

@@ -818,6 +818,40 @@ object Similarity {
         r4(coalesce(col("dcg"), lit(0.0)) / col("idcg")).as("ndcg"))
   }
 
+  /** Embedding centroid drift between two corpus halves (id parity —
+    * the "two ingest snapshots" convention of the drift monitors):
+    * the cosine between the PER-DIMENSION SUM vectors of each half,
+    * which equals the centroid cosine (the 1/n scalars cancel) while
+    * staying exact-integer until the final sqrt/divide. A cosine near
+    * 1 says the embedding distribution's direction is stable; a drop
+    * is the cheap first alarm before re-probing ANN recall.
+    *
+    * Scale shape: one posexplode + partial-aggregable shuffle to the
+    * DIMENSION grain (64 rows), then a 1-row DECIMAL(38,0) rollup —
+    * the corpus never shuffles whole vectors. */
+  def embeddingDrift(emb: DataFrame, idCol: String,
+                     vecCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val perDim = emb
+      .select((col(idCol) % 2 === 0).as("in_a"), quantize(col(vecCol)).as("vq"))
+      .select(col("in_a"), posexplode(col("vq")).as(Seq("k", "v")))
+      .groupBy("k")
+      .agg(sum(when(col("in_a"), col("v")).otherwise(0L)).as("sa"),
+        sum(when(!col("in_a"), col("v")).otherwise(0L)).as("sb"))
+    val counts = emb.agg(
+      sum(when(col(idCol) % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col(idCol) % 2 =!= 0, 1L).otherwise(0L)).as("n_b"))
+    perDim.agg(
+      sum(col("sa").cast(dec) * col("sb").cast(dec)).as("dot"),
+      sum(col("sa").cast(dec) * col("sa").cast(dec)).as("naa"),
+      sum(col("sb").cast(dec) * col("sb").cast(dec)).as("nbb"))
+      .crossJoin(broadcast(counts))
+      .select(col("n_a"), col("n_b"),
+        rd(col("dot").cast("double") /
+          nullifZero(sqrt(col("naa").cast("double")) *
+            sqrt(col("nbb").cast("double"))), 6).as("centroid_cosine"))
+  }
+
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val absMax = array_max(transform(col(vecCol),
       x => abs(x.cast("double"))))

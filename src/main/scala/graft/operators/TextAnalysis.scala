@@ -317,6 +317,24 @@ object TextAnalysis {
       .withColumn("stopword_hits", total)
   }
 
+  /** Language-ID confusion matrix: predicted vs labeled language with
+    * per-label row fractions — the accuracy readout that turns
+    * [[languageId]] from a heuristic into a MEASURED classifier (the
+    * same measure-don't-guess discipline as the recall/nDCG
+    * harnesses). One partial-aggregable count shuffle to the
+    * |langs|² dimension; the row total re-enters as a window over
+    * that dimension. */
+  def langConfusion(docs: DataFrame, labelCol: String,
+                    textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    languageId(docs, textCol)
+      .groupBy(col(labelCol).as("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_lang", sum(col("n")).over(Window.partitionBy("lang")))
+      .select(col("lang"), col("lang_pred"), col("n"),
+        r4(col("n").cast("double") / col("n_lang")).as("frac_of_lang"))
+  }
+
   /** Composite quality score in [0,1]: length saturation, lexical
     * diversity, stopword presence — the standard cheap pre-filter
     * before expensive dedup/embedding stages. */

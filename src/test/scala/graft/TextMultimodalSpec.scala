@@ -512,6 +512,36 @@ class TextMultimodalSpec extends AnyFunSpec {
     }
   }
 
+  describe("langConfusion") {
+    it("row fractions sum to 1 per label and counts match the corpus") {
+      val d = graft.sources.Tables.documents(SharedSpark.spark, "/root/testdata/sf0.001")
+      val got = TextAnalysis.langConfusion(d, "lang", "text").collect()
+      val byLang = got.groupBy(_.getAs[String]("lang"))
+      byLang.values.foreach { rows =>
+        val s = rows.map(_.getAs[Double]("frac_of_lang")).sum
+        assert(math.abs(s - 1.0) < 1e-3, s"row fracs sum $s")
+      }
+      assert(got.map(_.getAs[Long]("n")).sum == d.count())
+    }
+  }
+
+  describe("embeddingDrift") {
+    it("identical halves give cosine 1; opposed halves give -1") {
+      val v = Array.fill(8)(0.25f)
+      val same = Seq((0L, v), (1L, v), (2L, v), (3L, v))
+        .toDF("vec_id", "embedding")
+      val s = graft.operators.Similarity
+        .embeddingDrift(same, "vec_id", "embedding").collect().head
+      assert(s.getAs[Long]("n_a") == 2L && s.getAs[Long]("n_b") == 2L)
+      assert(s.getAs[Double]("centroid_cosine") == 1.0)
+      val opp = Seq((0L, v), (1L, v.map(-_)))
+        .toDF("vec_id", "embedding")
+      val o = graft.operators.Similarity
+        .embeddingDrift(opp, "vec_id", "embedding").collect().head
+      assert(o.getAs[Double]("centroid_cosine") == -1.0)
+    }
+  }
+
   describe("heapsLaw") {
     it("nested prefixes grow vocabulary and token counts exactly") {
       val d = Seq((1L, "a b"), (2L, "a c"), (3L, "d"), (4L, "a"))
