@@ -1061,6 +1061,38 @@ object OracleSql {
          |SELECT fold, trade_date, role FROM r WHERE role <> 'excluded'
          |ORDER BY fold, trade_date""".stripMargin,
 
+    // mirrors DailyAnalytics.aroon(25): packed-key windowed argmax
+    // (cents*1e6 + rn, ties -> most recent), modulo unpack
+    "q_aroon" ->
+      s"""${dailyChain("bars")},
+         |base AS (
+         |  SELECT symbol, trade_date,
+         |    ${sc("high_price", 2)} AS hc, ${sc("low_price", 2)} AS lc,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY trade_date) AS BIGINT) AS rn
+         |  FROM bars
+         |),
+         |k AS (
+         |  SELECT symbol, trade_date, rn,
+         |    MAX(hc * 1000000 + rn) OVER w AS up_key,
+         |    MIN(lc * 1000000 + (1000000 - rn)) OVER w AS dn_key
+         |  FROM base
+         |  WINDOW w AS (PARTITION BY symbol ORDER BY trade_date
+         |    ROWS BETWEEN 25 PRECEDING AND CURRENT ROW)
+         |),
+         |s AS (
+         |  SELECT symbol, trade_date,
+         |    rn - up_key % 1000000 AS since_high,
+         |    rn - (1000000 - dn_key % 1000000) AS since_low
+         |  FROM k WHERE rn > 25
+         |)
+         |SELECT symbol, trade_date,
+         |  CAST(since_high AS BIGINT) AS since_high,
+         |  CAST(since_low AS BIGINT) AS since_low,
+         |  ${rd("100.0 * (25 - since_high) / 25", 2)} AS aroon_up,
+         |  ${rd("100.0 * (25 - since_low) / 25", 2)} AS aroon_down,
+         |  ${rd("100.0 * (since_low - since_high) / 25", 2)} AS aroon_osc
+         |FROM s ORDER BY symbol, trade_date""".stripMargin,
+
     // mirrors DailyAnalytics.forecastMase(w=5): integer absolute-error
     // sums |w*x - S5| and |x - prev| on the same eligible rows
     "q_mase" ->

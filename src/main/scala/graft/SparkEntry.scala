@@ -1871,6 +1871,12 @@ object SparkEntry {
     DailyAnalytics.walkForwardSplits(Adapters.dailyBars(s, dir))
       .orderBy("fold", "trade_date")
 
+  /** Aroon(25) trend-age oscillator — windowed argmax via packed
+    * integer keys, exact and codegen-friendly. */
+  private def qAroon(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.aroon(Adapters.dailyBars(s, dir))
+      .orderBy("symbol", "trade_date")
+
   /** SMA-5 vs naive forecast backtest scored by MASE per symbol —
     * integer-exact absolute-error sums, one division each. */
   private def qMase(s: SparkSession, dir: String): DataFrame =
@@ -2436,6 +2442,7 @@ object SparkEntry {
     "q_hurst" -> (qHurst _),
     "q_cusum" -> (qCusum _),
     "q_mase" -> (qMase _),
+    "q_aroon" -> (qAroon _),
     "q_min_variance" -> (qMinVariance _),
     "q_var_cvar" -> (qVarCvar _),
     "q_autocorrelation" -> (qAutocorrelation _),

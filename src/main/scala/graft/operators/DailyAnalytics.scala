@@ -933,6 +933,43 @@ object DailyAnalytics {
         lit(2.0) * wa * (lit(1.0) - wa) * cab) / norm, 6).as("port_var"))
   }
 
+  /** Aroon(25) trend-age oscillator: days since the window high/low
+    * mapped to [0,100] — the indicator that separates "new highs
+    * keep arriving" (aroon_up ≈ 100) from "the high is stale". The
+    * windowed ARGMAX needs no argmax window function: price and
+    * recency pack into one scalar key (cents·10⁶ + rn, ties → most
+    * recent, the convention), so a plain MAX/MIN window carries the
+    * position of the extreme and the modulo unpacks it — exact
+    * integer arithmetic, engine-portable, and the key stays inside
+    * whole-stage codegen (no struct comparators).
+    *
+    * Output per (symbol, day) with a FULL window only:
+    * (aroon_up, aroon_down, aroon_osc) at 2 dp. */
+  def aroon(bars: DataFrame, period: Int = 25,
+            priceScale: Int = 2): DataFrame = {
+    val w = bySymbol.rowsBetween(-period, 0)
+    val m = 1000000L
+    val base = bars.select(col("symbol"), col("trade_date"),
+      scaled(col("high_price"), priceScale).as("hc"),
+      scaled(col("low_price"), priceScale).as("lc"))
+      .withColumn("rn", row_number().over(bySymbol).cast("long"))
+    base
+      .withColumn("up_key", max(col("hc") * m + col("rn")).over(w))
+      .withColumn("dn_key", min(col("lc") * m + (lit(m) - col("rn"))).over(w))
+      .filter(col("rn") > period)
+      .select(col("symbol"), col("trade_date"),
+        (col("rn") - col("up_key") % m).as("since_high"),
+        (col("rn") - (lit(m) - col("dn_key") % m)).as("since_low"))
+      .select(col("symbol"), col("trade_date"),
+        col("since_high"), col("since_low"),
+        rd(lit(100.0) * (lit(period) - col("since_high")) / period, 2)
+          .as("aroon_up"),
+        rd(lit(100.0) * (lit(period) - col("since_low")) / period, 2)
+          .as("aroon_down"),
+        rd(lit(100.0) * (col("since_low") - col("since_high")) / period, 2)
+          .as("aroon_osc"))
+  }
+
   /** Forecast backtest with MASE (Hyndman & Koehler 2006, "Another
     * look at measures of forecast accuracy"): the SMA-5 one-step
     * forecast of daily returns scored against the naive (persistence)

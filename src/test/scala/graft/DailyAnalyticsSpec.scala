@@ -594,6 +594,29 @@ class DailyAnalyticsSpec extends AnyFunSpec {
     }
   }
 
+  describe("aroon") {
+    it("packed-key argmax finds the extreme age, ties resolve most-recent") {
+      // 30 days: high peaks on day index 27 (1-based rn 28); lows
+      // constant (tie) -> since_low = 0 every day (most recent)
+      val rows = (0 until 30).map { i =>
+        val d = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i))
+        val h = if (i == 27) 50.0 else 20.0
+        ("A", d, h, 10.0, h, h, 100L)
+      }.toDF("symbol", "trade_date", "open_price", "low_price",
+        "high_price", "close_price", "volume")
+      val got = DailyAnalytics.aroon(rows).orderBy("trade_date").collect()
+      // rows emitted from rn 26 (full windows): days 26..30
+      assert(got.length == 5)
+      got.foreach(r => assert(r.getAs[Long]("since_low") == 0L &&
+        r.getAs[Double]("aroon_down") == 100.0))
+      val last = got.last // rn 30: high was at rn 28 -> since_high 2
+      assert(last.getAs[Long]("since_high") == 2L)
+      assert(last.getAs[Double]("aroon_up") == 92.0) // 4*(25-2)
+      val first = got.head // rn 26: peak not yet in window; tie -> most recent
+      assert(first.getAs[Long]("since_high") == 0L)
+    }
+  }
+
   describe("forecastMase") {
     it("alternating returns give the closed-form 0.6 MASE for SMA-5") {
       // x = ±1%: naive error is 2 per step; the 5-day trailing sum is
