@@ -2611,6 +2611,70 @@ object OracleSql {
          |ORDER BY d.doc_id""".stripMargin,
 
     // Table profile (mirrors Profiling.columnProfile over orders)
+    // mirrors DailyAnalytics.ksTwoSample: tie-robust per-value jumps
+    // n_b*cntA - n_a*cntB, integer cumsum over the value dimension,
+    // one division; 1.358 = the alpha=0.05 KS coefficient literal
+    "q_ks_test" ->
+      s"""${dailyChain("returns")},
+         |syms AS (
+         |  SELECT symbol, ROW_NUMBER() OVER (ORDER BY symbol) AS rnk FROM (
+         |    SELECT DISTINCT symbol FROM returns) ORDER BY symbol LIMIT 2
+         |),
+         |panel AS (
+         |  SELECT s.rnk, r.symbol, ${sc4("r.daily_return_pct")} AS x
+         |  FROM returns r JOIN syms s ON r.symbol = s.symbol
+         |  WHERE r.daily_return_pct IS NOT NULL
+         |),
+         |c AS (
+         |  SELECT CAST(SUM(CASE WHEN rnk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(SUM(CASE WHEN rnk = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |    MAX(CASE WHEN rnk = 1 THEN symbol END) AS sym_a,
+         |    MAX(CASE WHEN rnk = 2 THEN symbol END) AS sym_b
+         |  FROM panel
+         |),
+         |pv AS (
+         |  SELECT x,
+         |    CAST(SUM(CASE WHEN rnk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |    CAST(SUM(CASE WHEN rnk = 2 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+         |  FROM panel GROUP BY x
+         |),
+         |cum AS (
+         |  SELECT c.sym_a, c.sym_b, c.n_a, c.n_b,
+         |    SUM(c.n_b * pv.ca - c.n_a * pv.cb) OVER (ORDER BY pv.x
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM pv, c
+         |),
+         |d AS (
+         |  SELECT sym_a, sym_b, n_a, n_b,
+         |    CAST(MAX(ABS(cum)) AS BIGINT) AS d_scaled
+         |  FROM cum GROUP BY sym_a, sym_b, n_a, n_b
+         |)
+         |SELECT sym_a, sym_b, n_a, n_b, d_scaled,
+         |  ${rd("CAST(d_scaled AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b)", 6)} AS d_stat,
+         |  (CAST(d_scaled AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b) >
+         |    CAST('1.358' AS DOUBLE) * sqrt(CAST(n_a + n_b AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b))) AS reject_95
+         |FROM d""".stripMargin,
+
+    // mirrors Profiling.lorenzCurve(10): the NTILE form (tested equal
+    // to the closed-form distributed tiles), top-down cumulative share
+    "q_lorenz" ->
+      s"""WITH spend AS (
+         |  SELECT o_custkey, CAST(SUM(${sc("o_totalprice", 2)}) AS BIGINT) AS total
+         |  FROM orders GROUP BY o_custkey),
+         |t AS (SELECT total,
+         |  CAST(NTILE(10) OVER (ORDER BY total DESC, o_custkey ASC) AS INTEGER) AS tier
+         |  FROM spend),
+         |g AS (
+         |  SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |    CAST(SUM(total) AS BIGINT) AS tier_cents
+         |  FROM t GROUP BY tier
+         |)
+         |SELECT tier, n_keys, tier_cents,
+         |  CAST(SUM(tier_cents) OVER (ORDER BY tier
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents,
+         |  ${rd("CAST(SUM(tier_cents) OVER (ORDER BY tier ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / (SUM(tier_cents) OVER ())", 4)} AS cum_share
+         |FROM g ORDER BY tier""".stripMargin,
+
     // mirrors qGini/Profiling.giniConcentration: ascending rank form
     // of the Lorenz area, exact HUGEINT moments, one final division
     "q_gini" ->

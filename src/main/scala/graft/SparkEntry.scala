@@ -1935,6 +1935,20 @@ object SparkEntry {
       groupCol = "source")
       .orderBy("strategy")
 
+  /** Two-sample KS distance between the first symbol pair's return
+    * distributions — integer-exact sup-norm statistic with the 95%
+    * critical-value flag. */
+  private def qKsTest(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.ksTwoSample(
+      DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+
+  /** Lorenz curve of customer revenue at decile grain — "top decile
+    * holds X%" via the distributed closed-form ntile. */
+  private def qLorenz(s: SparkSession, dir: String): DataFrame =
+    Profiling.lorenzCurve(Tables.orders(s, dir), "o_custkey",
+      scaled(col("o_totalprice"), 2))
+      .orderBy("tier")
+
   /** Per-nation Gini coefficient of customer revenue — exact integer
     * Lorenz rank form down to one final division, oracle-gated. */
   private def qGini(s: SparkSession, dir: String): DataFrame = {
@@ -2402,6 +2416,8 @@ object SparkEntry {
     "q_benford" -> (qBenford _),
     "q_dp_counts" -> (qDpCounts _),
     "q_gini" -> (qGini _),
+    "q_ks_test" -> (qKsTest _),
+    "q_lorenz" -> (qLorenz _),
     "q_l_diversity" -> (qLDiversity _),
     "q_stream_sessions" -> (qStreamSessions _),
     "q_stream_dedup" -> (qStreamDedup _),

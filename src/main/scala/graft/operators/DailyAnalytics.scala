@@ -884,6 +884,51 @@ object DailyAnalytics {
       .filter(col("role") =!= "excluded")
   }
 
+  /** Two-sample Kolmogorov–Smirnov distance between the return
+    * distributions of the two lexicographically-first symbols — the
+    * standard distribution-shift test (complements the TVD
+    * distribution-drift monitor with the sup-norm statistic). Exact
+    * integer form: with jumps aggregated PER VALUE first (the
+    * tie-robust formulation), the scaled deviation
+    * n₂·cntA(x) − n₁·cntB(x) cumsums to n₁n₂·(F̂_A − F̂_B), so
+    * D = max|cum| / (n₁·n₂) is one division after an integer argmax.
+    * The critical-value compare c(α)·√((n₁+n₂)/(n₁n₂)) keeps its
+    * α=0.05 coefficient 1.358 as an embedded literal.
+    *
+    * Scale shape: two partial-aggregable reductions (per-value
+    * counts), a window cumsum over the VALUE dimension (bounded by
+    * distinct return values of two symbols), one 1-row rollup. */
+  def ksTwoSample(returns: DataFrame): DataFrame = {
+    val syms = returns.select(col("symbol")).distinct()
+      .orderBy("symbol").limit(2)
+      .withColumn("rnk", row_number().over(Window.orderBy("symbol")))
+    val panel = returns.filter(col("daily_return_pct").isNotNull)
+      .select(col("symbol"), scaled(col("daily_return_pct"), 4).as("x"))
+      .join(broadcast(syms), "symbol")
+    val counts = panel.agg(
+      sum(when(col("rnk") === 1, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("rnk") === 2, 1L).otherwise(0L)).as("n_b"),
+      max(when(col("rnk") === 1, col("symbol"))).as("sym_a"),
+      max(when(col("rnk") === 2, col("symbol"))).as("sym_b"))
+    val perValue = panel.groupBy("x")
+      .agg(sum(when(col("rnk") === 1, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("rnk") === 2, 1L).otherwise(0L)).as("cb"))
+    perValue.crossJoin(broadcast(counts))
+      .withColumn("delta", col("n_b") * col("ca") - col("n_a") * col("cb"))
+      .withColumn("cum", sum(col("delta")).over(
+        Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("sym_a", "sym_b", "n_a", "n_b")
+      .agg(max(abs(col("cum"))).as("d_scaled"))
+      .select(col("sym_a"), col("sym_b"), col("n_a"), col("n_b"),
+        col("d_scaled"),
+        rd(col("d_scaled").cast("double") /
+          (col("n_a").cast("double") * col("n_b")), 6).as("d_stat"),
+        (col("d_scaled").cast("double") /
+          (col("n_a").cast("double") * col("n_b")) >
+          lit(1.358) * sqrt((col("n_a") + col("n_b")).cast("double") /
+            (col("n_a").cast("double") * col("n_b")))).as("reject_95"))
+  }
+
   /** Minimum-variance two-asset portfolio (Markowitz closed form):
     * for the two lexicographically-first symbols, the no-shorting
     * weight w* = clamp((σ²_b − σ_ab) / (σ²_a + σ²_b − 2σ_ab), 0, 1)

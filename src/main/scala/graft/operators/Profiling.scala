@@ -306,6 +306,28 @@ object Profiling {
     }.reduce(_ unionByName _)
   }
 
+  /** Lorenz concentration curve at tile grain — "the top decile of
+    * customers holds X% of revenue": [[tierSummary]]'s distributed
+    * closed-form ntile provides the per-tile totals, and this adds
+    * the running top-down cumulative share (tier 1 = largest keys).
+    * The pointwise companion of [[giniConcentration]]'s single
+    * coefficient; exact integer cents until the one share division.
+    *
+    * Scale shape: tierSummary's shape (no global sort) plus two
+    * windows over the TILES dimension (≤ `tiles` rows). */
+  def lorenzCurve(df: DataFrame, key: String, valueCents: Column,
+                  tiles: Int = 10): DataFrame = {
+    val perTile = tierSummary(df, key, valueCents, tiles)
+      .select(col("tier"), col("n_keys"), col("tier_total"))
+    perTile
+      .withColumn("cum_cents", sum(col("tier_total")).over(
+        Window.orderBy("tier").rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("grand", sum(col("tier_total")).over(Window.partitionBy()))
+      .select(col("tier"), col("n_keys"),
+        col("tier_total").as("tier_cents"), col("cum_cents"),
+        r4(col("cum_cents").cast("double") / col("grand")).as("cum_share"))
+  }
+
   /** Gini concentration coefficient per group over an exact integer
     * value column (cents): G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) with
     * xᵢ ascending — the closed rank form of the Lorenz-curve area,

@@ -594,6 +594,23 @@ class DailyAnalyticsSpec extends AnyFunSpec {
     }
   }
 
+  describe("ksTwoSample") {
+    it("disjoint distributions hit d=1 and reject; shared ones do not") {
+      def series(sym: String, v: Double) = (0 until 5).map(i =>
+        (sym, java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)), v))
+      val disjoint = (series("A", 1.0) ++ series("B", 3.0))
+        .toDF("symbol", "trade_date", "daily_return_pct")
+      val d1 = DailyAnalytics.ksTwoSample(disjoint).collect().head
+      assert(d1.getAs[Double]("d_stat") == 1.0)
+      assert(d1.getAs[Boolean]("reject_95"))
+      val same = (series("A", 1.0) ++ series("B", 1.0))
+        .toDF("symbol", "trade_date", "daily_return_pct")
+      val d2 = DailyAnalytics.ksTwoSample(same).collect().head
+      assert(d2.getAs[Double]("d_stat") == 0.0)
+      assert(!d2.getAs[Boolean]("reject_95"))
+    }
+  }
+
   describe("aroon") {
     it("packed-key argmax finds the extreme age, ties resolve most-recent") {
       // 30 days: high peaks on day index 27 (1-based rn 28); lows

@@ -269,6 +269,19 @@ class TrainingDataOpsSpec extends AnyFunSpec {
     }
   }
 
+  describe("Profiling.lorenzCurve") {
+    it("top-down cumulative shares on a hand case") {
+      val df = Seq((1L, 400L), (2L, 300L), (3L, 200L), (4L, 100L))
+        .toDF("k", "cents")
+      val got = graft.operators.Profiling
+        .lorenzCurve(df, "k", col("cents"), tiles = 2)
+        .orderBy("tier").collect()
+      assert(got.map(r => (r.getAs[Int]("tier"), r.getAs[Long]("tier_cents"),
+        r.getAs[Double]("cum_share"))).toSeq ==
+        Seq((1, 700L, 0.7), (2, 300L, 1.0)))
+    }
+  }
+
   describe("Profiling.dpGroupCounts") {
     it("thresholds are non-increasing (floor ties only at the tail) and end above zero") {
       val thr = graft.operators.Profiling.geometricThresholds(0.5)
