@@ -714,7 +714,7 @@ object SparkEntry {
     * the positional local-fingerprinting primitive (guaranteed
     * detection of shared runs >= w+k-1 words), oracle-gated. */
   private def qWinnowing(s: SparkSession, dir: String): DataFrame =
-    Dedup.winnowingFingerprints(Tables.documents(s, dir), "doc_id", "text")
+    Dedup.winnowingFingerprintsNative(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
   /** Dedup-lane eval: measured recall of the MinHash-LSH candidate

@@ -374,6 +374,33 @@ object Dedup {
       .select(col("doc_id"), col("n_grams"), col("fp"))
       .distinct()
       .snapshot() // feeds the doc-frequency dimension AND the rollup
+    winnowRollup(fps, w)
+  }
+
+  /** [[winnowingFingerprints]] with the fingerprint set computed by
+    * the native `winnow_fps` expression ([[graft.plans.WinnowFps]]):
+    * the whole hash + sliding-min + distinct runs inside the scan
+    * stage, so only the winnowed set (~2/(w+1) of the grams) ever
+    * explodes — the relational form shuffles and sorts EVERY gram row
+    * through a doc-partitioned window. Value-identical (tested); the
+    * preferred form whenever the extension is installed. */
+  def winnowingFingerprintsNative(docs: DataFrame, idCol: String,
+                                  textCol: String, k: Int = 4,
+                                  w: Int = 4): DataFrame = {
+    val words = split(col(textCol), " ")
+    val fps = spreadById(docs, idCol, textCol)
+      .select(col(idCol).as("doc_id"),
+        greatest(size(words) - (k - 1), lit(0)).as("n_grams"),
+        call_function("winnow_fps", words, lit(k), lit(w)).as("fps"))
+      .filter(size(col("fps")) > 0)
+      .select(col("doc_id"), col("n_grams"), explode(col("fps")).as("fp"))
+      .snapshot() // feeds the doc-frequency dimension AND the rollup
+    winnowRollup(fps, w)
+  }
+
+  /** Shared doc-frequency + per-doc rollup tail of both winnowing
+    * forms: input is the distinct (doc_id, n_grams, fp) set. */
+  private def winnowRollup(fps: DataFrame, w: Int): DataFrame = {
     val docFreq = fps.groupBy("fp").agg(count(lit(1)).as("dw"))
     fps.join(docFreq, "fp")
       .groupBy("doc_id")

@@ -93,6 +93,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val c = arity("adc_dist", children, 2, 2)
         AdcDist(c.head, c(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
+      (children: Seq[Expression]) => WinnowFps(
+        arity("winnow_fps", children, 1, 3).head,
+        foldableInt("winnow_fps", "k", children, 1, default = 4),
+        foldableInt("winnow_fps", "w", children, 2, default = 4))))
     // Spark's own bloom-filter expressions, which core registers only
     // for the optimizer's injected runtime filters — exposing them as
     // functions gives pipelines an explicit "build once, prefilter a

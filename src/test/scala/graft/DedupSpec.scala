@@ -359,6 +359,13 @@ class DedupSpec extends AnyFunSpec {
       val got = Dedup.winnowingFingerprints(docs, "doc_id", "text").collect()
       assert(got.map(_.getAs[Long]("doc_id")).toSeq == Seq(2L))
     }
+    it("native winnow_fps form is row-identical to the window form") {
+      val docs = graft.sources.Tables
+        .documents(SharedSpark.spark, "/root/testdata/sf0.001")
+      val rel = Dedup.winnowingFingerprints(docs, "doc_id", "text")
+      val nat = Dedup.winnowingFingerprintsNative(docs, "doc_id", "text")
+      assert(rel.exceptAll(nat).isEmpty && nat.exceptAll(rel).isEmpty)
+    }
   }
 
   describe("lshRecallByBand") {
