@@ -3981,6 +3981,36 @@ object OracleSql {
     // mirrors Graph.triangleCounts over the part co-purchase graph:
     // degree-ordered orientation, wedge join at the lowest-ordered
     // apex, closure via EXISTS, per-vertex participation counts
+    // mirrors Graph.labelPropagation(2 rounds) + the size rollup: the
+    // packed-key argmax equals ROW_NUMBER over (count DESC, label ASC)
+    "q_communities" -> {
+      def round(prev: String, out: String) =
+        s"""$out AS (
+           |  SELECT u AS id, label FROM (
+           |    SELECT s.u, l.label, COUNT(*) AS c,
+           |      ROW_NUMBER() OVER (PARTITION BY s.u
+           |        ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+           |    FROM sym s JOIN $prev l ON s.v = l.id
+           |    GROUP BY s.u, l.label) WHERE rn = 1
+           |)""".stripMargin
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |),
+         |sym AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+         |l0 AS (SELECT DISTINCT u AS id, u AS label FROM sym),
+         |${round("l0", "r1")},
+         |${round("r1", "r2")},
+         |g AS (
+         |  SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+         |  FROM r2 GROUP BY label
+         |)
+         |SELECT community, n_members, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (ORDER BY n_members DESC, community ASC) AS rank
+         |  FROM g) WHERE rank <= 20
+         |ORDER BY rank""".stripMargin
+    },
+
     "q_triangles" ->
       """WITH raw AS (
         |  SELECT u, v FROM (

@@ -2180,6 +2180,25 @@ object SparkEntry {
     * market-basket minimum-support cut, which prunes the one-off
     * random pairings that would otherwise dominate the edge set) —
     * degree-ordered orientation, top 100 vertices. */
+  /** Label-propagation communities over the same customer–supplier
+    * bipartite graph as q_pagerank: top-20 communities by size after
+    * 2 deterministic synchronous rounds. */
+  private def qCommunities(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, dir).select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
+        "o_orderkey")
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    Graph.labelPropagation(pairs, "a", "b", iters = 2)
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_members"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_members").desc, col("community").asc)))
+      .filter(col("rank") <= 20)
+      .orderBy("rank")
+  }
+
   private def qTriangles(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
     val pairs = li
@@ -2397,6 +2416,7 @@ object SparkEntry {
     "q_compaction_plan" -> (qCompactionPlan _),
     "q_semi_anti" -> (qSemiAnti _),
     "q_triangles" -> (qTriangles _),
+    "q_communities" -> (qCommunities _),
     "q_ngram_lm" -> (qNgramLm _),
     "q_vocab_coverage" -> (qVocabCoverage _),
     "q_rake_keywords" -> (qRakeKeywords _),

@@ -106,4 +106,42 @@ object Graph {
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("triangles"))
   }
+
+  /** Synchronous label-propagation communities (Raghavan, Albert &
+    * Kumara 2007), `iters` UNROLLED rounds, fully deterministic:
+    * every node starts as its own label and each round adopts the
+    * MOST FREQUENT neighbor label with ties to the SMALLEST label —
+    * the argmax packs (count, label) into one integer key
+    * (c·10⁷ + (10⁷−1−label), requires 0 ≤ id < 10⁷) so the round is
+    * a plain partial-aggregable MAX, no struct comparators, no
+    * row_number shuffle (maximizing the complement term minimizes
+    * the label WITHOUT the modulo wraparound a subtractive key has
+    * at label 0). Completes the graph family next to
+    * [[pageRankScaled]] / [[triangleCounts]] /
+    * [[Dedup.connectedComponents]]: CC answers "connected at all",
+    * LPA answers "densely connected together".
+    *
+    * Scale shape: each round is one equi-join shuffle (edges ⋈
+    * labels) plus two grouped aggregates — the same message-passing
+    * cost as a PageRank round, linear in |E|; rounds are bounded and
+    * snapshotted so lineage stays flat. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iters: Int = 2): DataFrame = {
+    val M = 10000000L
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      .distinct().snapshot()
+    var labels = sym.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id"))
+    for (_ <- 1 to iters) {
+      labels = sym
+        .join(labels.select(col("id").as("v"), col("label")), "v")
+        .groupBy(col("u"), col("label")).agg(count(lit(1)).as("c"))
+        .groupBy(col("u").as("id"))
+        .agg(max(col("c") * M + (lit(M - 1) - col("label"))).as("key"))
+        .select(col("id"), (lit(M - 1) - col("key") % M).as("label"))
+        .snapshot()
+    }
+    labels
+  }
 }

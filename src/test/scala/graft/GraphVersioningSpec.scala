@@ -88,4 +88,27 @@ class GraphVersioningSpec extends AnyFunSpec {
       assert(plan.contains("FullOuter") || plan.contains("full_outer"))
     }
   }
+
+  describe("Graph.labelPropagation") {
+    it("a clique converges to its min label; a lone pair oscillates to singletons") {
+      import spark.implicits._
+      val clique = for (a <- Seq(0L, 2L, 4L, 6L); b <- Seq(0L, 2L, 4L, 6L) if a < b)
+        yield (a, b)
+      val edges = (clique :+ (10L, 12L)).toDF("u", "v")
+      val got = graft.operators.Graph.labelPropagation(edges, "u", "v", iters = 2)
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("label")).toMap
+      // after 2 synchronous rounds the 4-clique is all label 0
+      Seq(0L, 2L, 4L, 6L).foreach(id => assert(got(id) == 0L, s"id $id -> ${got(id)}"))
+      // the isolated pair swaps labels each round (known LPA
+      // oscillation): after an even round each keeps its own
+      assert(got(10L) == 10L && got(12L) == 12L)
+    }
+    it("label 0 survives the packed-key argmax (no modulo wraparound)") {
+      import spark.implicits._
+      val edges = Seq((0L, 2L), (0L, 4L), (2L, 4L)).toDF("u", "v")
+      val got = graft.operators.Graph.labelPropagation(edges, "u", "v", iters = 2)
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("label")).toMap
+      assert(got.values.toSet == Set(0L), s"got $got")
+    }
+  }
 }
