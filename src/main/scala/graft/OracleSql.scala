@@ -1061,6 +1061,34 @@ object OracleSql {
          |SELECT fold, trade_date, role FROM r WHERE role <> 'excluded'
          |ORDER BY fold, trade_date""".stripMargin,
 
+    // mirrors DailyAnalytics.seasonalDecompose: centered MA-5 trend
+    // (full windows), x5-scaled integer detrending, (symbol, dow)
+    // seasonal means, identical division trees
+    "q_seasonal_decompose" ->
+      s"""${dailyChain("returns")},
+         |base AS (
+         |  SELECT symbol, trade_date, ${sc4("daily_return_pct")} AS x,
+         |    CAST(dayofweek(trade_date) + 1 AS INTEGER) AS dow,
+         |    SUM(${sc4("daily_return_pct")}) OVER w5 AS t5,
+         |    COUNT(*) OVER w5 AS c5
+         |  FROM returns WHERE daily_return_pct IS NOT NULL
+         |  WINDOW w5 AS (PARTITION BY symbol ORDER BY trade_date
+         |    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+         |),
+         |f AS (SELECT *, 5 * x - t5 AS d5 FROM base WHERE c5 = 5),
+         |s AS (
+         |  SELECT symbol, dow, CAST(SUM(d5) AS BIGINT) AS sd5,
+         |    CAST(COUNT(*) AS BIGINT) AS cn
+         |  FROM f GROUP BY symbol, dow
+         |)
+         |SELECT f.symbol, f.trade_date, f.dow,
+         |  ${rd("CAST(f.x AS DOUBLE) / 10000.0", 4)} AS value,
+         |  ${rd("CAST(f.t5 AS DOUBLE) / 5 / 10000.0", 4)} AS trend,
+         |  ${rd("CAST(s.sd5 AS DOUBLE) / (5 * s.cn) / 10000.0", 4)} AS seasonal,
+         |  ${rd("(CAST(f.d5 AS DOUBLE) / 5 - CAST(s.sd5 AS DOUBLE) / (5 * s.cn)) / 10000.0", 4)} AS residual
+         |FROM f JOIN s ON f.symbol = s.symbol AND f.dow = s.dow
+         |ORDER BY f.symbol, f.trade_date""".stripMargin,
+
     // mirrors DailyAnalytics.aroon(25): packed-key windowed argmax
     // (cents*1e6 + rn, ties -> most recent), modulo unpack
     "q_aroon" ->
@@ -2995,6 +3023,24 @@ object OracleSql {
         |  CASE WHEN j.vus >= p.pus - 604800000000 THEN (p.pus - j.vus) // 60000000 END AS gap_minutes
         |FROM p LEFT JOIN j ON p.purchase_id = j.purchase_id
         |ORDER BY p.purchase_id""".stripMargin,
+
+    // mirrors Profiling.fanoFactor: daily counts per type, exact
+    // integer dispersion (n*Scc - S^2)/((n-1)*S)
+    "q_fano_factor" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM events GROUP BY event_type, CAST(ts AS DATE)
+         |),
+         |g AS (
+         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+         |    CAST(SUM(c) AS BIGINT) AS n_events,
+         |    CAST(SUM(c * c) AS BIGINT) AS scc
+         |  FROM daily GROUP BY event_type
+         |)
+         |SELECT event_type, n_days, n_events,
+         |  ${rd("CAST(n_events AS DOUBLE) / n_days", 4)} AS mean_per_day,
+         |  ${rd("CAST(n_days * scc - n_events * n_events AS DOUBLE) / CAST((n_days - 1) * n_events AS DOUBLE)", 4)} AS fano
+         |FROM g WHERE n_days > 1 ORDER BY event_type""".stripMargin,
 
     // mirrors Cohorts.eventPaths(gap=30min, k=10): inactivity-cut
     // sessions, lead() successor inside the session, exact epoch-us

@@ -947,6 +947,15 @@ object SparkEntry {
       .orderBy("cohort_date")
   }
 
+  /** Fano-factor burstiness of daily event counts per type — the
+    * Poisson-dispersion gauge, exact integer moments. */
+  private def qFanoFactor(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    Profiling.fanoFactor(ev.withColumn("event_time", Adapters.eventTime(ev)),
+      "event_type", "event_time")
+      .orderBy("event_type")
+  }
+
   /** Event-path mining: top-10 observed (from → to) event-type
     * transitions inside 30-min gap sessions — the observed-journey
     * companion of the hypothesized funnel, oracle-gated. */
@@ -1891,6 +1900,14 @@ object SparkEntry {
     DailyAnalytics.minVariancePair(
       DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
 
+  /** STL-lite additive decomposition of daily returns — trend
+    * (centered MA-5), day-of-week seasonal, residual; the additive
+    * identity holds to the rounding, under the full oracle. */
+  private def qSeasonalDecompose(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.seasonalDecompose(
+      DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+      .orderBy("symbol", "trade_date")
+
   /** CUSUM changepoint per symbol: the most likely mean-shift day of
     * the return series with segment means either side — integer-exact
     * peak location under the full oracle. */
@@ -2336,6 +2353,7 @@ object SparkEntry {
     "q_cuped_lift" -> (qCupedLift _),
     "q_churn_hazard" -> (qChurnHazard _),
     "q_event_paths" -> (qEventPaths _),
+    "q_fano_factor" -> (qFanoFactor _),
     "q_srm_check" -> (qSrmCheck _),
     "q_funnel" -> (qFunnel _),
     "q_funnel_windowed" -> (qFunnelWindowed _),
@@ -2479,6 +2497,7 @@ object SparkEntry {
     "q_cusum" -> (qCusum _),
     "q_mase" -> (qMase _),
     "q_aroon" -> (qAroon _),
+    "q_seasonal_decompose" -> (qSeasonalDecompose _),
     "q_min_variance" -> (qMinVariance _),
     "q_var_cvar" -> (qVarCvar _),
     "q_autocorrelation" -> (qAutocorrelation _),

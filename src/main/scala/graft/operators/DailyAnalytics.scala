@@ -1050,6 +1050,44 @@ object DailyAnalytics {
           .as("mase"))
   }
 
+  /** Additive seasonal decomposition (STL-lite): per (symbol, day),
+    * value = trend + seasonal + residual with trend = the centered
+    * 5-day moving average (full windows only), seasonal = the
+    * day-of-week mean of the DETRENDED series per symbol, residual =
+    * the remainder — the classical decomposition (Cleveland et al.'s
+    * STL replaces both estimators with loess; the component algebra
+    * is identical). Exact arithmetic throughout: the detrended series
+    * is carried ×5 (5·x − Σ₅x, an integer), so the seasonal mean's
+    * only divisions happen in the final reported columns and the
+    * additive identity holds to the 4-dp rounding.
+    *
+    * Scale shape: one centered window pass per symbol partition, one
+    * partial-aggregable (symbol, dow) aggregate joined back by its
+    * own grain — no date collect, no global sort. */
+  def seasonalDecompose(returns: DataFrame): DataFrame = {
+    val w5 = bySymbol.rowsBetween(-2, 2)
+    val base = returns.filter(col("daily_return_pct").isNotNull)
+      .select(col("symbol"), col("trade_date"),
+        scaled(col("daily_return_pct"), 4).as("x"),
+        dayofweek(col("trade_date")).as("dow"))
+      .withColumn("t5", sum(col("x")).over(w5))
+      .withColumn("c5", count(lit(1)).over(w5))
+      .filter(col("c5") === 5)
+      .withColumn("d5", lit(5L) * col("x") - col("t5"))
+      .snapshot() // feeds the seasonal means AND the final join
+    val seasonal = base.groupBy("symbol", "dow")
+      .agg(sum(col("d5")).as("sd5"), count(lit(1)).as("cn"))
+    base.join(seasonal, Seq("symbol", "dow"))
+      .select(col("symbol"), col("trade_date"), col("dow"),
+        rd(col("x").cast("double") / 10000.0, 4).as("value"),
+        rd(col("t5").cast("double") / 5 / 10000.0, 4).as("trend"),
+        rd(col("sd5").cast("double") / (lit(5) * col("cn")) / 10000.0, 4)
+          .as("seasonal"),
+        rd((col("d5").cast("double") / 5 -
+          col("sd5").cast("double") / (lit(5) * col("cn"))) / 10000.0, 4)
+          .as("residual"))
+  }
+
   /** CUSUM changepoint detection (Page 1954; the offline single-
     * changepoint form): per symbol, the day where the cumulative
     * mean-deviation Σ(xⱼ − x̄) attains its maximum magnitude — the

@@ -278,6 +278,32 @@ object Profiling {
       .orderBy("tier")
   }
 
+  /** Fano-factor burstiness per event type: variance-to-mean ratio of
+    * the daily event counts — F ≈ 1 for a Poisson arrival process,
+    * F ≫ 1 for bursty/clumped traffic (the dispersion gauge behind
+    * rate-anomaly thresholds). Exact integer moments over the
+    * (type, day) count dimension: F = n·(n·Σc² − (Σc)²) /
+    * ((n−1)·(Σc)·n) … collapsed to the one-division form
+    * (n·Σc² − (Σc)²) / ((n−1)·Σc) with identical trees both engines.
+    *
+    * Scale shape: one partial-aggregable reduction to (type, day),
+    * one to the type dimension. */
+  def fanoFactor(events: DataFrame, typeCol: String,
+                 tsCol: String): DataFrame = {
+    val daily = events
+      .groupBy(col(typeCol).as("event_type"), to_date(col(tsCol)).as("d"))
+      .agg(count(lit(1)).as("c"))
+    daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum(col("c")).as("n_events"),
+        sum(col("c") * col("c")).as("scc"))
+      .filter(col("n_days") > 1)
+      .select(col("event_type"), col("n_days"), col("n_events"),
+        r4(col("n_events").cast("double") / col("n_days")).as("mean_per_day"),
+        r4((col("n_days") * col("scc") - col("n_events") * col("n_events"))
+          .cast("double") /
+          ((col("n_days") - 1) * col("n_events")).cast("double")).as("fano"))
+  }
+
   /** k-anonymity sweep (Sweeney 2002) over a quasi-identifier tuple:
     * for each k in `ks`, how many equivalence classes (distinct
     * quasi-identifier combinations) fall below size k and how many

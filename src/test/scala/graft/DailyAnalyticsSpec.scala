@@ -594,6 +594,18 @@ class DailyAnalyticsSpec extends AnyFunSpec {
     }
   }
 
+  describe("seasonalDecompose") {
+    it("the additive identity holds to the rounding on real bars") {
+      val got = DailyAnalytics.seasonalDecompose(
+        DailyAnalytics.dailyReturns(
+          Adapters.dailyBars(spark, "/root/testdata/sf0.001")))
+      assert(got.count() > 0)
+      val bad = got.filter(
+        abs($"value" - ($"trend" + $"seasonal" + $"residual")) > 3e-4)
+      assert(bad.isEmpty, bad.take(3).mkString("; "))
+    }
+  }
+
   describe("ksTwoSample") {
     it("disjoint distributions hit d=1 and reject; shared ones do not") {
       def series(sym: String, v: Double) = (0 until 5).map(i =>

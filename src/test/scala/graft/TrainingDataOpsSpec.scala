@@ -269,6 +269,22 @@ class TrainingDataOpsSpec extends AnyFunSpec {
     }
   }
 
+  describe("Profiling.fanoFactor") {
+    it("constant daily counts give F=0; dispersed ones the exact ratio") {
+      def ev(t: String, day: Int, n: Int) = (1 to n).map(i =>
+        (t, java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:0$i%01d:00")))
+      // A: 2,2,2 per day -> var 0; B: 1,3 -> mean 2, var 2 -> F = 1
+      val rows = (ev("a", 1, 2) ++ ev("a", 2, 2) ++ ev("a", 3, 2) ++
+        ev("b", 1, 1) ++ ev("b", 2, 3)).toDF("event_type", "ts")
+      val got = graft.operators.Profiling
+        .fanoFactor(rows, "event_type", "ts")
+        .orderBy("event_type").collect()
+      assert(got(0).getAs[Double]("fano") == 0.0)
+      assert(got(1).getAs[Double]("fano") == 1.0)
+      assert(got(1).getAs[Double]("mean_per_day") == 2.0)
+    }
+  }
+
   describe("Profiling.lorenzCurve") {
     it("top-down cumulative shares on a hand case") {
       val df = Seq((1L, 400L), (2L, 300L), (3L, 200L), (4L, 100L))
