@@ -3024,6 +3024,59 @@ object OracleSql {
         |FROM p LEFT JOIN j ON p.purchase_id = j.purchase_id
         |ORDER BY p.purchase_id""".stripMargin,
 
+    // mirrors Cohorts.covariateBalance: pre-period cents per user,
+    // exact HUGEINT moments, pooled-SD SMD, |SMD| < 0.1 bar
+    "q_covariate_balance" ->
+      s"""WITH b AS (
+         |  SELECT MIN(CAST(ts AS DATE)) AS dmin, MAX(CAST(ts AS DATE)) AS dmax
+         |  FROM events
+         |),
+         |pu AS (
+         |  SELECT user_id, CAST(user_id % 2 AS INTEGER) AS variant,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase'
+         |      AND CAST(ts AS DATE) < dmin + CAST(FLOOR((dmax - dmin) / 2) AS INTEGER)
+         |      THEN ${sc("value", 2)} ELSE 0 END) AS BIGINT) AS x
+         |  FROM events, b GROUP BY user_id
+         |),
+         |m AS (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(SUM(CASE WHEN variant = 0 THEN x ELSE 0 END) AS BIGINT) AS s0,
+         |    CAST(SUM(CASE WHEN variant = 1 THEN x ELSE 0 END) AS BIGINT) AS s1,
+         |    SUM(CASE WHEN variant = 0 THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS ss0,
+         |    SUM(CASE WHEN variant = 1 THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS ss1
+         |  FROM pu
+         |),
+         |v AS (
+         |  SELECT *,
+         |    CAST(n0 * ss0 - CAST(s0 AS HUGEINT) * s0 AS DOUBLE)
+         |      / (CAST(n0 AS DOUBLE) * CAST(n0 - 1 AS DOUBLE)) AS v0,
+         |    CAST(n1 * ss1 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+         |      / (CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE)) AS v1,
+         |    CAST(s0 AS DOUBLE) / n0 - CAST(s1 AS DOUBLE) / n1 AS md
+         |  FROM m
+         |)
+         |SELECT n0, n1,
+         |  ${rd("CAST(s0 AS DOUBLE) / n0 / 100.0", 4)} AS mean_0,
+         |  ${rd("CAST(s1 AS DOUBLE) / n1 / 100.0", 4)} AS mean_1,
+         |  ${rd("md / sqrt((v0 + v1) / 2.0)", 4)} AS smd,
+         |  (ABS(md / sqrt((v0 + v1) / 2.0)) < 0.1) AS balanced
+         |FROM v""".stripMargin,
+
+    // mirrors Profiling.activityHeatmap: dow (Spark convention =
+    // DuckDB dayofweek + 1) x hour cells with traffic shares
+    "q_activity_heatmap" ->
+      s"""WITH g AS (
+         |  SELECT CAST(dayofweek(CAST(ts AS DATE)) + 1 AS INTEGER) AS dow,
+         |    CAST(hour(ts) AS INTEGER) AS hour,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1, 2
+         |)
+         |SELECT dow, hour, n,
+         |  ${rd("CAST(n AS DOUBLE) / (SUM(n) OVER ())", 4)} AS frac
+         |FROM g ORDER BY dow, hour""".stripMargin,
+
     // mirrors Profiling.fanoFactor: daily counts per type, exact
     // integer dispersion (n*Scc - S^2)/((n-1)*S)
     "q_fano_factor" ->

@@ -947,6 +947,23 @@ object SparkEntry {
       .orderBy("cohort_date")
   }
 
+  /** Covariate balance (standardized mean difference) of the
+    * pre-period revenue across the parity variants — the value-level
+    * split check beside q_srm_check's count-level one. */
+  private def qCovariateBalance(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    Cohorts.covariateBalance(ev.withColumn("event_time", Adapters.eventTime(ev)),
+      "user_id", "event_time", "event_type", "value")
+  }
+
+  /** Day-of-week × hour activity heatmap with traffic shares. */
+  private def qActivityHeatmap(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    Profiling.activityHeatmap(
+      ev.withColumn("event_time", Adapters.eventTime(ev)), "event_time")
+      .orderBy("dow", "hour")
+  }
+
   /** Fano-factor burstiness of daily event counts per type — the
     * Poisson-dispersion gauge, exact integer moments. */
   private def qFanoFactor(s: SparkSession, dir: String): DataFrame = {
@@ -2354,6 +2371,8 @@ object SparkEntry {
     "q_churn_hazard" -> (qChurnHazard _),
     "q_event_paths" -> (qEventPaths _),
     "q_fano_factor" -> (qFanoFactor _),
+    "q_covariate_balance" -> (qCovariateBalance _),
+    "q_activity_heatmap" -> (qActivityHeatmap _),
     "q_srm_check" -> (qSrmCheck _),
     "q_funnel" -> (qFunnel _),
     "q_funnel_windowed" -> (qFunnelWindowed _),

@@ -187,6 +187,60 @@ object Cohorts {
           col("n_users") > 3.841).as("srm_flag"))
   }
 
+  /** Covariate-balance check by standardized mean difference
+    * (Austin 2009; |SMD| < 0.1 is the conventional balanced bar):
+    * for the user-parity variants, SMD of the PRE-period purchase
+    * revenue — the check that belongs BEFORE any causal readout
+    * (CUPED assumes the covariate is unaffected by assignment;
+    * imbalance here says the split itself is suspect, complementing
+    * [[sampleRatioCheck]]'s count-level test with a value-level one).
+    * Pooled-SD denominator √((s²₀+s²₁)/2); all moments exact
+    * integer (cents, DECIMAL(38,0) ↔ HUGEINT) to the final
+    * sqrt/divide.
+    *
+    * Output: one row (n_0, n_1, mean_0, mean_1, smd, balanced). */
+  def covariateBalance(events: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, valueCol: String,
+                       eventType: String = "purchase"): DataFrame = {
+    val dec = "decimal(38,0)"
+    val d = to_date(col(tsCol))
+    val bounds = events.agg(min(d).as("dmin"), max(d).as("dmax"))
+    val perUser = events.crossJoin(broadcast(bounds))
+      .withColumn("cut", date_add(col("dmin"),
+        floor(datediff(col("dmax"), col("dmin")) / 2).cast("int")))
+      .groupBy(col(userCol).as("user_id"))
+      .agg(sum(when(col(typeCol) === eventType && d < col("cut"),
+        scaled(col(valueCol), 2)).otherwise(0L)).as("x"))
+      .withColumn("variant", (col("user_id") % 2).cast("int"))
+    val m = perUser.agg(
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("variant") === 0, col("x")).otherwise(0L)).as("s0"),
+      sum(when(col("variant") === 1, col("x")).otherwise(0L)).as("s1"),
+      sum(when(col("variant") === 0,
+        col("x").cast(dec) * col("x").cast(dec)).otherwise(lit(0).cast(dec)))
+        .as("ss0"),
+      sum(when(col("variant") === 1,
+        col("x").cast(dec) * col("x").cast(dec)).otherwise(lit(0).cast(dec)))
+        .as("ss1"))
+    // n-scaled sample variances share the cents² unit with the means'
+    // difference once both divide out — the trees mirror the oracle
+    val v0 = (col("n0").cast(dec) * col("ss0") -
+      col("s0").cast(dec) * col("s0").cast(dec)).cast("double") /
+      (col("n0").cast("double") * (col("n0") - 1).cast("double"))
+    val v1 = (col("n1").cast(dec) * col("ss1") -
+      col("s1").cast(dec) * col("s1").cast(dec)).cast("double") /
+      (col("n1").cast("double") * (col("n1") - 1).cast("double"))
+    val md = col("s0").cast("double") / col("n0") -
+      col("s1").cast("double") / col("n1")
+    val smd = md / sqrt((v0 + v1) / 2.0)
+    m.select(col("n0"), col("n1"),
+      rd(col("s0").cast("double") / col("n0") / 100.0, 4).as("mean_0"),
+      rd(col("s1").cast("double") / col("n1") / 100.0, 4).as("mean_1"),
+      rd(smd, 4).as("smd"),
+      (abs(smd) < 0.1).as("balanced"))
+  }
+
   /** CUPED variance-reduced experiment readout (Deng et al. 2013,
     * "Improving the Sensitivity of Online Controlled Experiments by
     * Utilizing Pre-Experiment Data"): per deterministic variant

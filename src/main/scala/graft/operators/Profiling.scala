@@ -278,6 +278,20 @@ object Profiling {
       .orderBy("tier")
   }
 
+  /** Day-of-week × hour activity heatmap: event counts per weekly
+    * cell with each cell's share of total traffic — the load-shape
+    * readout capacity planning and anomaly baselining start from.
+    * One partial-aggregable shuffle to the ≤ 7×24 cell dimension;
+    * the total re-enters as a window over those cells. */
+  def activityHeatmap(events: DataFrame, tsCol: String): DataFrame = {
+    events
+      .groupBy(dayofweek(col(tsCol)).as("dow"), hour(col(tsCol)).as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+      .select(col("dow"), col("hour"), col("n"),
+        r4(col("n").cast("double") / col("total")).as("frac"))
+  }
+
   /** Fano-factor burstiness per event type: variance-to-mean ratio of
     * the daily event counts — F ≈ 1 for a Poisson arrival process,
     * F ≫ 1 for bursty/clumped traffic (the dispersion gauge behind

@@ -164,6 +164,26 @@ class RankingCohortsSpec extends AnyFunSpec {
     }
   }
 
+  describe("Cohorts.covariateBalance") {
+    it("identical variant distributions balance; a shifted one does not") {
+      def ev(user: Long, day: Int, v: Double) =
+        (user, s"2024-01-0$day 12:00:00", "purchase", v)
+      // variants {0,2} and {1,3} with identical pre-period (days 1-2)
+      // value multisets {10, 30} -> SMD 0, balanced
+      val rows = Seq(
+        ev(0L, 1, 10.0), ev(2L, 1, 30.0), ev(1L, 1, 10.0), ev(3L, 1, 30.0),
+        ev(0L, 4, 99.0)) // post-period spend never enters the covariate
+        .toDF("user_id", "ts_s", "event_type", "value")
+        .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+      val got = Cohorts.covariateBalance(rows, "user_id", "ts",
+        "event_type", "value").collect().head
+      assert(got.getAs[Long]("n0") == 2L && got.getAs[Long]("n1") == 2L)
+      assert(got.getAs[Double]("smd") == 0.0)
+      assert(got.getAs[Boolean]("balanced"))
+      assert(got.getAs[Double]("mean_0") == got.getAs[Double]("mean_1"))
+    }
+  }
+
   describe("Cohorts.eventPaths") {
     it("sessionizes on the gap and counts within-session transitions only") {
       // u1: view->click->buy inside one session, then a >30min gap
