@@ -3024,6 +3024,45 @@ object OracleSql {
         |FROM p LEFT JOIN j ON p.purchase_id = j.purchase_id
         |ORDER BY p.purchase_id""".stripMargin,
 
+    // mirrors Cohorts.minimumDetectableEffect: post-period cents per
+    // user, pooled exact moments, the z constant as the same literal
+    "q_mde" -> {
+      val z = (1.959963984540054 + 0.8416212335729143).toString
+      s"""WITH b AS (
+         |  SELECT MIN(CAST(ts AS DATE)) AS dmin, MAX(CAST(ts AS DATE)) AS dmax
+         |  FROM events
+         |),
+         |pu AS (
+         |  SELECT user_id, CAST(user_id % 2 AS INTEGER) AS variant,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase'
+         |      AND CAST(ts AS DATE) >= dmin + CAST(FLOOR((dmax - dmin) / 2) AS INTEGER)
+         |      THEN ${sc("value", 2)} ELSE 0 END) AS BIGINT) AS y
+         |  FROM events, b GROUP BY user_id
+         |),
+         |m AS (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(y) AS BIGINT) AS s,
+         |    SUM(CAST(y AS HUGEINT) * y) AS ss
+         |  FROM pu
+         |),
+         |v AS (
+         |  SELECT *,
+         |    CAST(n * ss - CAST(s AS HUGEINT) * s AS DOUBLE)
+         |      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS varp,
+         |    CAST(s AS DOUBLE) / n AS meanp
+         |  FROM m
+         |)
+         |SELECT n0, n1,
+         |  ${rd("sqrt(varp) / 100.0", 4)} AS pooled_sd,
+         |  ${rd("meanp / 100.0", 4)} AS mean_rev,
+         |  ${rd(s"CAST('$z' AS DOUBLE) * sqrt(varp / n0 + varp / n1) / 100.0", 4)} AS mde_abs,
+         |  ${rd(s"CAST('$z' AS DOUBLE) * sqrt(varp / n0 + varp / n1) / meanp", 4)} AS mde_rel
+         |FROM v""".stripMargin
+    },
+
     // mirrors Cohorts.covariateBalance: pre-period cents per user,
     // exact HUGEINT moments, pooled-SD SMD, |SMD| < 0.1 bar
     "q_covariate_balance" ->

@@ -947,6 +947,15 @@ object SparkEntry {
       .orderBy("cohort_date")
   }
 
+  /** Minimum detectable effect at 80% power / 5% alpha for the
+    * post-period revenue metric at the current split sizes. */
+  private def qMde(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    Cohorts.minimumDetectableEffect(
+      ev.withColumn("event_time", Adapters.eventTime(ev)),
+      "user_id", "event_time", "event_type", "value")
+  }
+
   /** Covariate balance (standardized mean difference) of the
     * pre-period revenue across the parity variants — the value-level
     * split check beside q_srm_check's count-level one. */
@@ -2372,6 +2381,7 @@ object SparkEntry {
     "q_event_paths" -> (qEventPaths _),
     "q_fano_factor" -> (qFanoFactor _),
     "q_covariate_balance" -> (qCovariateBalance _),
+    "q_mde" -> (qMde _),
     "q_activity_heatmap" -> (qActivityHeatmap _),
     "q_srm_check" -> (qSrmCheck _),
     "q_funnel" -> (qFunnel _),

@@ -187,6 +187,53 @@ object Cohorts {
           col("n_users") > 3.841).as("srm_flag"))
   }
 
+  /** Power analysis / minimum detectable effect for the two-sample
+    * mean test at the CURRENT sample sizes (the "is this experiment
+    * even worth running" readout): MDE = (z_{α/2}+z_β)·√(s²/n₀+s²/n₁)
+    * with the conventional α=0.05 two-sided, 80% power constant
+    * z₁.₉₆ + z₀.₈₄ ≈ 2.8016 embedded as ONE literal (the z-quantiles
+    * are the only transcendentals and they run at compile time —
+    * same discipline as the DP thresholds). s² is the pooled sample
+    * variance of the post-period revenue from exact integer moments.
+    * Output: one row (n0, n1, pooled_sd, mde_abs, mde_rel) — mde_rel
+    * relative to the pooled mean.
+    *
+    * Scale shape: one per-user reduction + one 1-row moment
+    * aggregate. */
+  def minimumDetectableEffect(events: DataFrame, userCol: String,
+                              tsCol: String, typeCol: String,
+                              valueCol: String,
+                              eventType: String = "purchase"): DataFrame = {
+    val dec = "decimal(38,0)"
+    // z_{0.975} + z_{0.80} for 5% two-sided alpha at 80% power —
+    // the textbook constant, embedded identically in the oracle
+    val z = 1.959963984540054 + 0.8416212335729143
+    val d = to_date(col(tsCol))
+    val bounds = events.agg(min(d).as("dmin"), max(d).as("dmax"))
+    val perUser = events.crossJoin(broadcast(bounds))
+      .withColumn("cut", date_add(col("dmin"),
+        floor(datediff(col("dmax"), col("dmin")) / 2).cast("int")))
+      .groupBy(col(userCol).as("user_id"))
+      .agg(sum(when(col(typeCol) === eventType && d >= col("cut"),
+        scaled(col(valueCol), 2)).otherwise(0L)).as("y"))
+      .withColumn("variant", (col("user_id") % 2).cast("int"))
+    val m = perUser.agg(
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"),
+      count(lit(1)).as("n"), sum(col("y")).as("s"),
+      sum(col("y").cast(dec) * col("y").cast(dec)).as("ss"))
+    val varP = (col("n").cast(dec) * col("ss") -
+      col("s").cast(dec) * col("s").cast(dec)).cast("double") /
+      (col("n").cast("double") * (col("n") - 1).cast("double"))
+    val mde = lit(z) * sqrt(varP / col("n0") + varP / col("n1"))
+    val meanP = col("s").cast("double") / col("n")
+    m.select(col("n0"), col("n1"),
+      rd(sqrt(varP) / 100.0, 4).as("pooled_sd"),
+      rd(meanP / 100.0, 4).as("mean_rev"),
+      rd(mde / 100.0, 4).as("mde_abs"),
+      rd(mde / meanP, 4).as("mde_rel"))
+  }
+
   /** Covariate-balance check by standardized mean difference
     * (Austin 2009; |SMD| < 0.1 is the conventional balanced bar):
     * for the user-parity variants, SMD of the PRE-period purchase
