@@ -1248,10 +1248,10 @@ object OracleSql {
            |),
            |r$w AS (
            |  SELECT symbol,
-           |    ${rd(s"(CAST(r_scaled AS DOUBLE) / $w) / sqrt(CAST($w * sxx - sx * sx AS DOUBLE) / ${w * (w - 1)})", 6)} AS rs6
+           |    ${sc(s"(CAST(r_scaled AS DOUBLE) / $w) / sqrt(CAST($w * sxx - sx * sx AS DOUBLE) / ${w * (w - 1)})", 6)} AS rs6i
            |  FROM s$w WHERE $w * sxx - sx * sx > 0
            |),
-           |a$w AS (SELECT symbol, SUM(rs6) / COUNT(*) AS rs FROM r$w GROUP BY symbol)""".stripMargin
+           |a$w AS (SELECT symbol, CAST(SUM(rs6i) AS DOUBLE) / COUNT(*) / 1000000.0 AS rs FROM r$w GROUP BY symbol)""".stripMargin
       s"""${dailyChain("returns")},
          |base AS (
          |  SELECT symbol, ${sc4("daily_return_pct")} AS x,
@@ -2756,7 +2756,7 @@ object OracleSql {
       val expected = dlist(graft.operators.Profiling.benfordExpected)
       s"""WITH d AS (
          |  SELECT CAST(SUBSTR(CAST(${sc("o_totalprice", 2)} AS VARCHAR), 1, 1) AS INTEGER) AS digit
-         |  FROM orders WHERE o_totalprice > 0
+         |  FROM orders WHERE ${sc("o_totalprice", 2)} > 0
          |),
          |g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit),
          |t AS (SELECT digit, n, CAST(SUM(n) OVER () AS BIGINT) AS total FROM g)

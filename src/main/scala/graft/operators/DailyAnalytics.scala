@@ -1180,11 +1180,16 @@ object DailyAnalytics {
           sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"))
         .withColumn("s2num", lit(w.toLong) * col("sxx") - col("sx") * col("sx"))
         .filter(col("s2num") > 0)
-        .withColumn("rs6", rd(
+        .withColumn("rs6i", scaled(
           (col("r_scaled").cast("double") / w) /
             sqrt(col("s2num").cast("double") / (w * (w - 1))), 6))
+      // block average over EXACT scaled longs: a plain double SUM has
+      // no guaranteed accumulation order across partitions, so a value
+      // near a 4-dp boundary could flip nondeterministically; the long
+      // sum is order-free by construction (same discipline as scaledAvg)
       stats.groupBy("symbol")
-        .agg((sum(col("rs6")) / count(lit(1))).as(s"rs_$w"))
+        .agg((sum(col("rs6i")).cast("double") / count(lit(1)) / 1e6)
+          .as(s"rs_$w"))
     }
     val days = base.groupBy("symbol").agg(count(lit(1)).as("n_days"))
     val joined = perW.foldLeft(days)((acc, f) => acc.join(f, "symbol"))

@@ -113,7 +113,10 @@ object Graph {
     * MOST FREQUENT neighbor label with ties to the SMALLEST label —
     * the argmax packs (count, label) into one integer key
     * (c·10⁷ + (10⁷−1−label), requires 0 ≤ id < 10⁷) so the round is
-    * a plain partial-aggregable MAX, no struct comparators, no
+    * a plain partial-aggregable MAX — the domain is enforced by a
+    * per-row raise_error guard at label init, so out-of-range ids
+    * fail loudly instead of corrupting communities — no
+    * struct comparators, no
     * row_number shuffle (maximizing the complement term minimizes
     * the label WITHOUT the modulo wraparound a subtractive key has
     * at label 0). Completes the graph family next to
@@ -131,8 +134,16 @@ object Graph {
     val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       .distinct().snapshot()
+    // the packed (count, label) argmax key is only injective for
+    // 0 <= id < M; an out-of-domain id would silently corrupt labels,
+    // so fail LOUDLY at the first pass over the node dimension (a
+    // codegen'd per-row branch, no extra action or shuffle)
+    val guarded = when(col("id") >= 0 && col("id") < M, col("id"))
+      .otherwise(raise_error(concat(
+        lit(s"labelPropagation: node id outside [0, $M): "),
+        col("id").cast("string"))).cast("long"))
     var labels = sym.select(col("u").as("id")).distinct()
-      .withColumn("label", col("id"))
+      .withColumn("label", guarded)
     for (_ <- 1 to iters) {
       labels = sym
         .join(labels.select(col("id").as("v"), col("label")), "v")

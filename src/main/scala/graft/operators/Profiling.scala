@@ -421,11 +421,22 @@ object Profiling {
     * group's two uniforms are 60-bit salted hashes of its key, and a
     * geometric draw is the COUNT OF INTEGER THRESHOLDS
     * ([[geometricThresholds]]) above the uniform — so the whole
-    * mechanism is integer-exact, replayable, and oracle-checkable
-    * (a keyed-PRF derandomization: same release every run, which is
-    * itself the privacy-correct practice — re-running with fresh
-    * noise would leak through averaging). The exact count sits beside
-    * the release for the harness; a real release would drop it.
+    * mechanism is integer-exact, replayable, and oracle-checkable.
+    *
+    * PRIVACY STATUS — harness demo, NOT an ε-DP release as shipped:
+    * the derandomization is only a keyed PRF if the salt is a SECRET
+    * key; here the salts ("dp1:"/"dp2:") are public literals (they
+    * are embedded verbatim in the DuckDB oracle so the hash gate can
+    * replay the noise), so anyone holding the released group key can
+    * recompute the noise and recover n_exact exactly. This operator
+    * therefore demonstrates the exact-integer MECHANISM (which is the
+    * hard engineering part at scale); a real deployment must (a) draw
+    * the salt from a secret key held by the curator, under which the
+    * release is ε-DP assuming the hash behaves as a PRF on that key,
+    * (b) fix the release ONCE per dataset version (re-running with
+    * fresh noise leaks through averaging — determinism per key is the
+    * privacy-correct practice), and (c) drop the n_exact column,
+    * which sits beside the release here purely for the harness.
     *
     * Scale shape: one partial-aggregable count shuffle; the noise is
     * a plan-time literal-array expression over the group keys —
@@ -465,7 +476,12 @@ object Profiling {
     val expectedLit = array(benfordExpected.map(lit): _*)
     val digit = substring(graft.functions.Funcs.scaled(value, 2)
       .cast("string"), 1, 1).cast("int")
-    df.filter(value > 0)
+    // filter on the SCALED long, not the raw value: a positive value
+    // below half a cent scales to 0, whose leading "digit" would be 0
+    // and index element_at(expected, 0) — a 1-based-array error. Such
+    // sub-cent positives are excluded (no leading significant digit at
+    // the cent grain), never crashed on.
+    df.filter(graft.functions.Funcs.scaled(value, 2) > 0)
       .select(digit.as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n"))
       .withColumn("total", sum(col("n")).over(Window.partitionBy()))
