@@ -125,9 +125,38 @@ object SparkEntry {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Harness scratch space for the streaming queries' throwaway
+    * artifacts (staged replay chunks, checkpoints, sink tables — all
+    * deleted or content-cached after the run): prefers the RAM-backed
+    * /dev/shm when mounted so the bench measures the engine's
+    * micro-batch work, not the sandbox's virtual-disk fsync latency
+    * (measured ~0.1 s per micro-batch commit on /tmp's block device).
+    * PRODUCTION note: a real deployment's checkpointLocation must live
+    * on durable shared storage (HDFS/S3) — that is exactly-once's
+    * recovery log; only this local replay harness, whose inputs are
+    * immutable staged files, may keep it in RAM. */
+  private[graft] def scratchBase: java.nio.file.Path = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) shm.toPath
+    else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+  }
+  private[graft] def scratchDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(scratchBase, prefix).toString
+
+  /** Scoped SQL-conf override (set → body → restore), for per-query
+    * streaming knobs the session default should not inherit. */
+  private def withSqlConf[T](s: SparkSession, key: String, value: String)(body: => T): T = {
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, value)
+    try body finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   private def qStreamWindows15m(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.TickStream
-    val out = java.nio.file.Files.createTempDirectory("graft_stream_w15").toString
+    val out = scratchDir("graft_stream_w15")
     // The file stream source wants a directory to watch; select the
     // single events table out of the shared sf dir by filename glob.
     val ev = s.readStream.schema(Tables.events(s, dir).schema)
@@ -166,7 +195,7 @@ object SparkEntry {
     * batch for MERGING session state, not just tumbling windows. */
   private def qStreamSessions(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.TickStream
-    val out = java.nio.file.Files.createTempDirectory("graft_stream_sess").toString
+    val out = scratchDir("graft_stream_sess")
     val evb = Tables.events(s, dir)
     val ev = s.readStream.schema(evb.schema)
       .option("pathGlobFilter", "events.parquet")
@@ -209,7 +238,7 @@ object SparkEntry {
   private def qStreamTopk(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.TickStream
     import s.implicits._
-    val out = java.nio.file.Files.createTempDirectory("graft_stream_topk").toString
+    val out = scratchDir("graft_stream_topk")
     val evb = Tables.events(s, dir)
     val ev = s.readStream.schema(evb.schema)
       .option("pathGlobFilter", "events.parquet")
@@ -282,7 +311,7 @@ object SparkEntry {
     * assertion applied to dedup. */
   private def qStreamDedup(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.CorpusStream
-    val out = java.nio.file.Files.createTempDirectory("graft_stream_dedup").toString
+    val out = scratchDir("graft_stream_dedup")
     val docs = s.readStream.schema(Tables.documents(s, dir).schema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
@@ -351,11 +380,11 @@ object SparkEntry {
   private[graft] def streamJoinRun(s: SparkSession, dir: String)
       : (DataFrame, Array[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
     import graft.streaming.TickStream
-    val out = java.nio.file.Files.createTempDirectory("graft_stream_join").toString
+    val out = scratchDir("graft_stream_join")
     val events = Tables.events(s, dir)
     val src = new java.io.File(s"$dir/events.parquet")
     val staged = new java.io.File(
-      System.getProperty("java.io.tmpdir"), s"graft_sj_stage_${contentKey(src)}")
+      scratchBase.toFile, s"graft_sj_stage_${contentKey(src)}")
     if (!new java.io.File(staged, "_STAGED").exists) { // partial stage from a killed run → re-stage
       // drop stage dirs keyed by inputs that no longer exist in this
       // form (regenerated data ⇒ new digest ⇒ the old dir is garbage)
@@ -404,20 +433,36 @@ object SparkEntry {
     * them once BOTH watermarks pass the row's match window. A
     * draining AvailableNow replay would therefore swallow the last
     * chunk's unmatched rows (they are still inside the watermark when
-    * the stream ends), so the staging appends a far-future SENTINEL
-    * chunk — one view + one click on a reserved user id — that
-    * advances both watermarks past all real data and is filtered out
-    * of the result: the standard watermark-flush technique, and the
-    * reason this query is row-identical to the batch LEFT JOIN the
-    * oracle states. */
+    * the stream ends), so the staging carries far-future SENTINEL
+    * rows — a view + a click on a reserved user id — that advance
+    * both watermarks past all real data and are filtered out of the
+    * result: the standard watermark-flush technique, and the reason
+    * this query is row-identical to the batch LEFT JOIN the oracle
+    * states.
+    *
+    * Replay shape (3 micro-batches, the same count as the inner
+    * variant): the first sentinel pair is UNIONED INTO the staged
+    * data before range-chunking — year-2099 timestamps sort it into
+    * the top chunk, so batch 2 both carries real data and advances
+    * the watermark past all of it — and only the second pair rides a
+    * separate flush file, whose batch emits every remaining
+    * null-extended row under that watermark. Folding the first pair
+    * in (rather than staging it as its own file, the round-11 shape)
+    * removes one fixed ~0.5 s micro-batch commit without changing
+    * the result: null emission still runs mid-data in batch 2 (under
+    * batch 1's watermark) and the state store still holds chunks,
+    * never both full inputs. */
   private def qStreamJoinOuter(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.TickStream
     val sentinelUser = -999999L
-    val out = java.nio.file.Files.createTempDirectory("graft_stream_join_o").toString
+    val out = scratchDir("graft_stream_join_o")
     val events = Tables.events(s, dir)
     val src = new java.io.File(s"$dir/events.parquet")
+    // v2 in the name: the staged LAYOUT changed (sentinel pair 1 folded
+    // into the data chunks) — digest-equal dirs from the older 4-file
+    // layout must not be reused, and the prefix cleanup below drops them
     val staged = new java.io.File(
-      System.getProperty("java.io.tmpdir"), s"graft_sjo_stage_${contentKey(src)}")
+      scratchBase.toFile, s"graft_sjo_stage_v2_${contentKey(src)}")
     if (!new java.io.File(staged, "_STAGED").exists) {
       Option(staged.getParentFile.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isDirectory && f.getName.startsWith("graft_sjo_stage_")
@@ -438,19 +483,21 @@ object SparkEntry {
           case "ts" => ts.as("ts")
           case c => col(c)
         }: _*)
-      // TWO flush files (see stageTimeChunks): file 1 advances both
-      // watermarks past all real data, file 2 is the batch that emits
-      // the null-extended rows under that watermark
+      // sentinel pair 1 (t1) is folded into the staged data — its
+      // year-2099 rows range-sort into the TOP chunk, so the last data
+      // batch also advances both watermarks past all real data; pair 2
+      // (t2) is the one flush file whose batch emits the null-extended
+      // rows under that watermark. 2 data chunks: one mid-data
+      // watermark advance exercises early null emission mid-query; the
+      // deeper chunked replay/eviction proof is the INNER query's job
+      // (k=3 there), and each extra file costs a fixed ~0.5 s
+      // micro-batch commit.
       val t1 = sentinelTs("2099-01-01 00:00:00", 4070908800000000000L)
       val t2 = sentinelTs("2100-01-01 00:00:00", 4102444800000000000L)
-      // 2 data chunks (+2 sentinels): one mid-data watermark advance
-      // exercises early null emission mid-query; the deeper chunked
-      // replay/eviction proof is the INNER query's job (k=3 there),
-      // and each extra chunk costs a fixed ~0.7 s micro-batch commit.
-      TickStream.stageTimeChunks(events, "ts", 2, staged.toString,
-        flush = Seq(
-          sentinel("view", -1L, t1).union(sentinel("click", -2L, t1)),
-          sentinel("view", -3L, t2).union(sentinel("click", -4L, t2))))
+      TickStream.stageTimeChunks(
+        events.union(sentinel("view", -1L, t1)).union(sentinel("click", -2L, t1)),
+        "ts", 2, staged.toString,
+        flush = Seq(sentinel("view", -3L, t2).union(sentinel("click", -4L, t2))))
     }
     val src0 = s.readStream.schema(events.schema)
       .option("maxFilesPerTrigger", "1").parquet(staged.toString)
@@ -473,9 +520,20 @@ object SparkEntry {
       .select(col("symbol").as("user_id"), col("view_id"), col("click_id"),
         col("event_time").cast("timestamp_ntz").as("view_time"),
         col("quote_time").cast("timestamp_ntz").as("click_time"))
-    withStatePartitions(s, 4) {
-      val q = TickStream.toParquet(joined, s"$out/table", s"$out/ckpt").start()
-      q.awaitTermination()
+    // noDataMicroBatches off FOR THIS QUERY: with the t1 sentinels
+    // folded into the last data chunk, every real null-extended row is
+    // already emitted by the t2 flush batch (it runs under the
+    // t1-advanced watermark); the trailing no-data batch AvailableNow
+    // would otherwise append emits only the t2 sentinels' own unmatched
+    // rows — which the sink read filters out — at a measured ~0.5 s
+    // fixed commit cost. Streaming queries that DO need the no-data
+    // batch for final-state emission (sessions, windows) keep the
+    // session default.
+    withSqlConf(s, "spark.sql.streaming.noDataMicroBatches.enabled", "false") {
+      withStatePartitions(s, 2) {
+        val q = TickStream.toParquet(joined, s"$out/table", s"$out/ckpt").start()
+        q.awaitTermination()
+      }
     }
     val result = s.read.parquet(s"$out/table")
       .filter(col("user_id") =!= sentinelUser) // drop the flush sentinels
