@@ -50,8 +50,8 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = selected.map { case (name, fn) =>
-      val best = (1 to trials).map(_ => timed(fn)).min
+    val trialsByQuery = selected.map { case (name, fn) =>
+      val times = (1 to trials).map(_ => timed(fn))
       // Release this query's dead localCheckpoint blocks before the
       // NEXT query is timed: snapshot() panels are unpersisted by the
       // ContextCleaner only after a GC notices their references died,
@@ -60,13 +60,25 @@ object Bench {
       // measured 3.1 s isolated vs 6.75 s mid-bench before this.
       // Outside the timed region; one GC per query, not per trial.
       System.gc()
-      name -> best
+      name -> times
+    }
+    val results = trialsByQuery.map { case (k, ts) => k -> ts.min }
+    // Dispersion alongside the min: max/min over the same trials. The
+    // min stays the reported metric (steady-state plan cost), but a
+    // spread >> 1 marks a bimodal timing whose min may not reproduce —
+    // the r10 q_bm25 episode (0.40 vs 1.27 s across rounds, zero code
+    // change) would have carried spread ~3 instead of costing a round
+    // of plan archaeology.
+    val spread = trialsByQuery.map { case (k, ts) =>
+      k -> (if (ts.min > 0) math.rint(ts.max / ts.min * 100) / 100 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val spreadJson = spread.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","trials":$trials,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","trials":$trials,"queries":$qs,"spread":$spreadJson,"sf":"$sfDir"}"""
     // The harness that collects this output keeps only a bounded TAIL
     // of stdout (~2 KB), and the full per-query map is ~3x that — so
     // the summary is emitted three ways:
@@ -87,7 +99,11 @@ object Bench {
       if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
     }
     val qsCompact = kept.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","trials":$trials,"queries":$qsCompact,"sf":"$sfDir","n_queries":${results.size},"queries_shown":${kept.size},"full":"bench_out.json"}""")
+    // flag bimodal timings (max/min over the trials > 3x) in the tail
+    // line so a suspicious min is visible without opening the full map
+    val flagged = spread.filter(_._2 > 3.0).toSeq.sortBy(-_._2).take(8)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","trials":$trials,"queries":$qsCompact,"spread_gt3":$flagged,"sf":"$sfDir","n_queries":${results.size},"queries_shown":${kept.size},"full":"bench_out.json"}""")
     spark.stop()
   }
 }
