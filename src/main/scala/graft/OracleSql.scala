@@ -139,6 +139,16 @@ object OracleSql {
   private val imaIndexList: String =
     graft.operators.Multimodal.imaIndexTable.mkString("[", ",", "]")
 
+  /** Integer-DCT constants for the q_image_dct oracle, rendered from
+    * THE SAME arrays the Scala codec uses
+    * ([[graft.operators.Multimodal.dctBasis]] /
+    * [[graft.operators.Multimodal.jpegLumaQuant]]) — one source of
+    * truth, so basis and quant table cannot drift between engines. */
+  private val dctBasisList: String =
+    graft.operators.Multimodal.dctBasis.mkString("[", ",", "]")
+  private val jpegQuantList: String =
+    graft.operators.Multimodal.jpegLumaQuant.mkString("[", ",", "]")
+
   /** The clamped next-predictor expression of the IMA fold (x[1] = the
     * current nibble, acc = [predictor, step_index, samples...]): the
     * bit-weighted delta step/8 + b0·step/4 + b1·step/2 + b2·step,
@@ -1535,6 +1545,64 @@ object OracleSql {
          |  CAST(list_sum(list_transform(f, x -> x * x)) AS BIGINT) AS energy,
          |  CAST(list_max(list_transform(f, x -> abs(x))) AS INTEGER) AS peak
          |FROM fx ORDER BY media_id, frame_idx""".stripMargin,
+
+    // mirrors qImageDct: the ENTIRE transform-coded round trip —
+    // level shift, 2^11-scaled integer DCT as a 64×64 product sum,
+    // libjpeg quality scaling of the T.81 Annex K table,
+    // round-half-away quantize at divisor q·2^22, dequantize, inverse
+    // product sum, descale 2^22, +128 clamp — restated in integer SQL
+    // over the same md5-chain hex; basis/table literals render from
+    // the Scala arrays. Dead-reckons every pixel: one wrong constant,
+    // clamp or rounding rule breaks the hash on every doc.
+    "q_image_dct" ->
+      s"""WITH pay AS (
+         |  SELECT doc_id AS media_id,
+         |    CAST(50 + (doc_id % 3) * 25 AS INTEGER) AS quality,
+         |    md5(text) || md5(text || '1') || md5(text || '2') || md5(text || '3') AS hx
+         |  FROM documents),
+         |tabs AS (SELECT ${dctBasisList} AS tb, ${jpegQuantList} AS qb),
+         |px AS (SELECT media_id, quality,
+         |    list_transform(range(0, 64), i ->
+         |      ('0x' || substr(hx, CAST(i * 2 + 1 AS INTEGER), 2))::BIGINT) AS ps
+         |  FROM pay),
+         |qt AS (SELECT media_id, quality, ps,
+         |    list_transform(range(0, 64), k -> LEAST(255, GREATEST(1,
+         |      (qb[k + 1] * (CASE WHEN quality < 50 THEN 5000 // quality
+         |                         ELSE 200 - 2 * quality END) + 50) // 100))) AS q
+         |  FROM px, tabs),
+         |fwd AS (SELECT media_id, quality, ps, q,
+         |    list_transform(range(0, 64), k ->
+         |      list_sum(list_transform(range(0, 64), m ->
+         |        tb[(k // 8) * 8 + (m // 8) + 1] * (ps[m + 1] - 128)
+         |          * tb[(k % 8) * 8 + (m % 8) + 1]))) AS g
+         |  FROM qt, tabs),
+         |quant AS (SELECT media_id, quality, ps, q,
+         |    list_transform(range(0, 64), k -> (CASE
+         |      WHEN g[k + 1] < 0
+         |      THEN -((-g[k + 1] + q[k + 1] * 2097152) // (q[k + 1] * 4194304))
+         |      ELSE (g[k + 1] + q[k + 1] * 2097152) // (q[k + 1] * 4194304) END)) AS qz
+         |  FROM fwd),
+         |inv AS (SELECT media_id, quality, ps, qz,
+         |    list_transform(range(0, 64), m ->
+         |      list_sum(list_transform(range(0, 64), k ->
+         |        tb[(k // 8) * 8 + (m // 8) + 1] * (qz[k + 1] * q[k + 1])
+         |          * tb[(k % 8) * 8 + (m % 8) + 1]))) AS r
+         |  FROM quant, tabs),
+         |rec AS (SELECT media_id, quality, ps, qz,
+         |    list_transform(range(0, 64), m -> LEAST(255, GREATEST(0,
+         |      (CASE WHEN r[m + 1] < 0
+         |            THEN -((-r[m + 1] + 2097152) // 4194304)
+         |            ELSE (r[m + 1] + 2097152) // 4194304 END) + 128))) AS pr
+         |  FROM inv)
+         |SELECT media_id, quality,
+         |  CAST(qz[1] AS BIGINT) AS dc_q,
+         |  CAST(len(list_filter(qz, z -> z != 0)) AS INTEGER) AS n_nonzero,
+         |  CAST(list_max(list_transform(range(0, 64), k ->
+         |    abs(ps[k + 1] - pr[k + 1]))) AS INTEGER) AS max_abs_err,
+         |  CAST(list_sum(list_transform(range(0, 64), k ->
+         |    (ps[k + 1] - pr[k + 1]) * (ps[k + 1] - pr[k + 1]))) AS BIGINT) AS sse,
+         |  CAST(list_sum(pr) AS BIGINT) AS recon_sum
+         |FROM rec ORDER BY media_id""".stripMargin,
 
     // mirrors qBlobCodecs: the closed form of a LOSSLESS round trip —
     // byte length + md5 of the original text. The Spark side computes

@@ -2206,6 +2206,30 @@ object SparkEntry {
       .orderBy("media_id", "frame_idx")
   }
 
+  /** Transform-coded lossy image lane — the codec class the audio
+    * matrix (PCM16/µ-law/ADPCM) was missing: each doc's md5-chain
+    * bytes form an 8×8 grayscale raster pushed through a REAL integer
+    * JPEG-style round trip (level shift → 2^11-scaled integer DCT →
+    * quality-scaled quantization (T.81 Annex K table, libjpeg quality
+    * scaling) → dequantize → integer IDCT → clamp), with per-doc
+    * quality ∈ {50, 75, 100}. The oracle restates the whole transform
+    * as integer matrix products over the same hex in DuckDB — one
+    * wrong basis entry, quant-table entry, clamp or rounding rule
+    * breaks the hash on every doc. Output: rate proxies (quantized
+    * DC, nonzero count) + exact distortion (max |Δ|, SSE, Σ recon). */
+  private def qImageDct(s: SparkSession, dir: String): DataFrame = {
+    val parts = s.sessionState.conf.numShufflePartitions
+    val hexCols = (0 until 4).map(i =>
+      if (i == 0) md5(col("text")) else md5(concat(col("text"), lit(i.toString))))
+    val rasters = Tables.documents(s, dir)
+      .select(col("doc_id").cast("long").as("media_id"),
+        unhex(concat(hexCols: _*)).as("payload"),
+        (lit(50) + (col("doc_id") % 3) * 25).cast("int").as("quality"))
+      .repartition(parts, col("media_id")) // CPU-bound transform stage
+    Multimodal.imageDctFeatures(rasters, "quality")
+      .orderBy("media_id")
+  }
+
   /** AVI video-container lane — the NESTED-RIFF container format
     * under the hash gate: the md5-chain bytes become four 8×4
     * grayscale DIB frames wrapped in a real AVI (LIST hdrl with
@@ -2555,6 +2579,7 @@ object SparkEntry {
     "q_audio_vad" -> (qAudioVad _),
     "q_audio_ulaw" -> (qAudioUlaw _),
     "q_audio_adpcm" -> (qAudioAdpcm _),
+    "q_image_dct" -> (qImageDct _),
     "q_video_frames" -> (qVideoFrames _),
     "q_video_motion" -> (qVideoMotion _),
     "q_blob_codecs" -> (qBlobCodecs _),

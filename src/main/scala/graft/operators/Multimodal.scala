@@ -815,4 +815,178 @@ object Multimodal {
         }
       }(enc)
   }
+
+  // ───────────────────────────────────────────────────────────────────
+  // Transform-coded lossy image lane: integer 8×8 DCT (JPEG-style)
+  // ───────────────────────────────────────────────────────────────────
+
+  /** Fixed-point scale of the DCT basis (2^11): large enough that the
+    * basis rounding contributes ≲1 gray level of reconstruction error,
+    * small enough that the full forward+inverse product chain stays
+    * inside Long (worst-case |Σ T·Gq·T| < 2^37). */
+  private[graft] val DctScaleBits = 11
+
+  /** The 8×8 DCT-II basis as scaled integers: T(u,x) =
+    * round(s_u · cos((2x+1)uπ/16) · 2^11), s_0 = √(1/8), s_u = 1/2 —
+    * the orthonormal JPEG basis (ITU T.81 §A.3.3) frozen to integers
+    * so forward, quantize, dequantize and inverse are EXACT integer
+    * arithmetic, replayable bit-for-bit by the DuckDB oracle (which
+    * renders its literals from THIS array — one source of truth).
+    * Row-major: entry u*8+x. */
+  private[graft] lazy val dctBasis: Array[Long] =
+    (for (u <- 0 until 8; x <- 0 until 8) yield {
+      val s = if (u == 0) math.sqrt(1.0 / 8) else 0.5
+      math.round(s * math.cos((2 * x + 1) * u * math.Pi / 16) * (1L << DctScaleBits))
+    }).toArray
+
+  /** JPEG luminance base quantization table (ITU T.81 Annex K.1,
+    * Table K.1 — the published example table every baseline encoder
+    * ships), row-major zig-zag-free order. */
+  private[graft] val jpegLumaQuant: Array[Int] = Array(
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99)
+
+  /** libjpeg's integer quality→table scaling: scale = 5000/Q below 50
+    * else 200−2Q, entry = clamp((base·scale + 50)/100, 1, 255) — all
+    * integer, so a quality level maps to exactly one table in both
+    * engines. Q=100 degenerates to all-ones (near-lossless: only the
+    * basis rounding remains). */
+  private[graft] def jpegQuantTable(quality: Int): Array[Int] = {
+    require(quality >= 1 && quality <= 100, s"quality out of [1,100]: $quality")
+    val scale = if (quality < 50) 5000 / quality else 200 - 2 * quality
+    jpegLumaQuant.map(b => math.min(255, math.max(1, (b * scale + 50) / 100)))
+  }
+
+  /** Round-half-away-from-zero integer division, d > 0 — the one
+    * rounding rule used at every lossy step (quantize, inverse
+    * descale), chosen because both Spark/JVM and DuckDB express it
+    * identically from non-negative floor division. */
+  private[graft] def rdivHalfAway(a: Long, d: Long): Long = {
+    val h = d / 2
+    if (a < 0) -((-a + h) / d) else (a + h) / d
+  }
+
+  /** One 8×8 block through the REAL transform-code round trip:
+    * level-shift (−128) → integer DCT (T·X·Tᵗ, basis scale 2^22 after
+    * both multiplies) → quantize by the quality-scaled table
+    * (round-half-away division by q·2^22) → dequantize (×q, true
+    * coefficient scale) → integer IDCT (Tᵗ·G·T, descale 2^22,
+    * round-half-away) → +128, clamp to [0,255]. Returns (quantized
+    * coefficients, reconstructed pixels). Pure integer throughout:
+    * ONE wrong basis entry, clamp or rounding rule changes the
+    * reconstruction and breaks the oracle hash. */
+  private[graft] def dct8x8RoundTrip(pixels: Array[Int], quality: Int)
+      : (Array[Long], Array[Int]) = {
+    require(pixels.length == 64, s"dct8x8RoundTrip wants 64 pixels, got ${pixels.length}")
+    val t = dctBasis
+    val q = jpegQuantTable(quality)
+    val descale = 1L << (2 * DctScaleBits) // both T multiplies carry 2^11
+    val x = pixels.map(p => (p - 128).toLong)
+    // forward: G[u][v] = Σ_{i,j} T(u,i)·X(i,j)·T(v,j)
+    val g = new Array[Long](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var acc = 0L
+        var i = 0
+        while (i < 8) {
+          var j = 0
+          while (j < 8) {
+            acc += t(u * 8 + i) * x(i * 8 + j) * t(v * 8 + j)
+            j += 1
+          }
+          i += 1
+        }
+        g(u * 8 + v) = acc
+        v += 1
+      }
+      u += 1
+    }
+    // quantize at true-coefficient scale, dequantize back
+    val qz = Array.tabulate(64)(k => rdivHalfAway(g(k), q(k).toLong * descale))
+    val gq = Array.tabulate(64)(k => qz(k) * q(k))
+    // inverse: X'[i][j] = rdiv(Σ_{u,v} T(u,i)·Gq[u][v]·T(v,j), 2^22)
+    val recon = new Array[Int](64)
+    var i = 0
+    while (i < 8) {
+      var j = 0
+      while (j < 8) {
+        var acc = 0L
+        var uu = 0
+        while (uu < 8) {
+          var vv = 0
+          while (vv < 8) {
+            acc += t(uu * 8 + i) * gq(uu * 8 + vv) * t(vv * 8 + j)
+            vv += 1
+          }
+          uu += 1
+        }
+        val p = rdivHalfAway(acc, descale) + 128
+        recon(i * 8 + j) = math.max(0, math.min(255, p)).toInt
+        j += 1
+      }
+      i += 1
+    }
+    (qz, recon)
+  }
+
+  /** ===== REAL transform-coded (lossy) image codec =====
+    * Each payload is an 8×8 grayscale raster (64 bytes, row-major);
+    * `qualityCol` picks the JPEG quality level per row. Runs the full
+    * integer DCT → quantize → dequantize → IDCT round trip
+    * ([[dct8x8RoundTrip]]) and emits per-image codec features: the
+    * quantized DC term, the nonzero-coefficient count (the entropy
+    * coder's cost proxy), and exact reconstruction-error stats
+    * (max |Δ|, Σ Δ², Σ reconstructed) — the distortion/rate columns a
+    * curation pipeline filters on. Payloads that are not exactly 64
+    * bytes emit ZERO rows (the poison-pill policy of
+    * [[decodeImageFeatures]]). Narrow mapPartitions, O(1) work per
+    * row — the 100 TB shape is one CPU-bound scan stage, no shuffle
+    * before the caller's own aggregation. */
+  def imageDctFeatures(media: DataFrame, qualityCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("quality", IntegerType),
+      StructField("dc_q", LongType),
+      StructField("n_nonzero", IntegerType),
+      StructField("max_abs_err", IntegerType),
+      StructField("sse", LongType),
+      StructField("recon_sum", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select(col("media_id").cast("long"), col("payload"),
+        col(qualityCol).cast("int"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val b = r.getAs[Array[Byte]](1)
+          if (b == null || b.length != 64) Iterator.empty
+          else {
+            val pixels = Array.tabulate(64)(i => b(i) & 0xff)
+            val quality = r.getInt(2)
+            val (qz, recon) = dct8x8RoundTrip(pixels, quality)
+            var k = 0
+            var nnz = 0
+            var maxErr = 0
+            var sse = 0L
+            var reconSum = 0L
+            while (k < 64) {
+              if (qz(k) != 0L) nnz += 1
+              val d = pixels(k) - recon(k)
+              val a = if (d < 0) -d else d
+              if (a > maxErr) maxErr = a
+              sse += d.toLong * d
+              reconSum += recon(k)
+              k += 1
+            }
+            Iterator.single(Row(r.getLong(0), quality, qz(0), nnz, maxErr, sse, reconSum))
+          }
+        }
+      }(enc)
+  }
 }

@@ -576,4 +576,65 @@ class TextMultimodalSpec extends AnyFunSpec {
       assert(got.head.getAs[String]("phrase") == "alpha beta")
     }
   }
+
+  describe("integer DCT image codec") {
+    it("scaled basis is near-orthonormal: T·Tᵗ ≈ 2^22·I within rounding slack") {
+      val t = Multimodal.dctBasis
+      val scale2 = 1L << (2 * 11)
+      for (u <- 0 until 8; v <- 0 until 8) {
+        val dot = (0 until 8).map(x => t(u * 8 + x) * t(v * 8 + x)).sum
+        val expect = if (u == v) scale2 else 0L
+        // 8 products of ±0.5-rounded entries: slack well under 0.5% of 2^22
+        assert(math.abs(dot - expect) < scale2 / 200,
+          s"basis row dot($u,$v) = $dot, expected ~$expect")
+      }
+    }
+    it("a constant block survives quantization exactly at any quality") {
+      // flat gray 160: all AC coefficients are (near) zero, DC is
+      // preserved through quantize/dequantize up to the DC step
+      val flat = Array.fill(64)(160)
+      for (q <- Seq(50, 75, 100)) {
+        val (qz, recon) = Multimodal.dct8x8RoundTrip(flat, q)
+        assert(qz.drop(1).forall(_ == 0L), s"AC leakage at quality $q")
+        val err = recon.zip(flat).map { case (a, b) => math.abs(a - b) }.max
+        assert(err <= 3, s"flat-block error $err at quality $q")
+      }
+    }
+    it("higher quality is never more lossy (SSE monotone) and Q=100 is near-exact") {
+      val pixels = Array.tabulate(64)(i => (i * 37 + (i * i) % 91) % 256)
+      def sse(q: Int): Long = {
+        val (_, recon) = Multimodal.dct8x8RoundTrip(pixels, q)
+        pixels.zip(recon).map { case (a, b) => val d = (a - b).toLong; d * d }.sum
+      }
+      val (s50, s75, s100) = (sse(50), sse(75), sse(100))
+      assert(s50 >= s75 && s75 >= s100, s"SSE not monotone: $s50, $s75, $s100")
+      val (_, r100) = Multimodal.dct8x8RoundTrip(pixels, 100)
+      val max100 = pixels.zip(r100).map { case (a, b) => math.abs(a - b) }.max
+      assert(max100 <= 2, s"Q=100 max error $max100 — only basis rounding should remain")
+      assert(s50 > 0, "quality 50 on a busy block should actually be lossy")
+    }
+    it("quality table scaling matches the libjpeg integer formula endpoints") {
+      assert(Multimodal.jpegQuantTable(50).toSeq == Multimodal.jpegLumaQuant.toSeq)
+      assert(Multimodal.jpegQuantTable(100).forall(_ == 1))
+      // Q=25 doubles the table (scale 200), clamped at 255
+      assert(Multimodal.jpegQuantTable(25).toSeq ==
+        Multimodal.jpegLumaQuant.map(b => math.min(255, b * 2)).toSeq)
+    }
+    it("round-half-away division is symmetric in sign") {
+      assert(Multimodal.rdivHalfAway(7, 2) == 4 && Multimodal.rdivHalfAway(-7, 2) == -4)
+      assert(Multimodal.rdivHalfAway(5, 10) == 1 && Multimodal.rdivHalfAway(-5, 10) == -1)
+      assert(Multimodal.rdivHalfAway(4, 10) == 0 && Multimodal.rdivHalfAway(-4, 10) == 0)
+    }
+    it("imageDctFeatures drops non-64-byte payloads and keeps good ones") {
+      val good = Array.tabulate[Byte](64)(i => (i * 3).toByte)
+      val m = Seq((1L, good, 75), (2L, Array[Byte](1, 2, 3), 75))
+        .toDF("media_id", "payload", "quality")
+      val got = Multimodal.imageDctFeatures(m, "quality").collect()
+      assert(got.length == 1 && got.head.getLong(0) == 1L)
+      val (qz, recon) = Multimodal.dct8x8RoundTrip(
+        good.map(_ & 0xff), 75)
+      assert(got.head.getAs[Long]("dc_q") == qz(0))
+      assert(got.head.getAs[Long]("recon_sum") == recon.map(_.toLong).sum)
+    }
+  }
 }
