@@ -155,7 +155,10 @@ object TickStream {
     * MERGE (S6/S7) — but as one distributed merge per batch instead of
     * a round-trip per row. Idempotent under micro-batch replay: the
     * merge keeps the max-version row per key, so reprocessing a batch
-    * converges to the same table.
+    * converges to the same table. Proven by StreamingSpec's
+    * exactly-once restart cases: a completed-checkpoint restart is a
+    * no-op, and a crash between sink write and commit-log write (the
+    * replay window) re-executes the batch with an identical result.
     *
     * CONTRACT: this unpartitioned form re-reads and rewrites the WHOLE
     * table every trigger — O(table) per micro-batch. It is only for
