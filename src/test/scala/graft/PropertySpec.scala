@@ -43,6 +43,68 @@ class PropertySpec extends AnyFunSpec {
     }
   }
 
+  describe("AVI container: encode∘parse identity on arbitrary rasters") {
+    import graft.operators.Multimodal
+
+    /** Splice a JUNK chunk immediately after the `movi` list type,
+      * patching the enclosing LIST and RIFF sizes — the shape a real
+      * muxer's padding/index chunks give the walk. */
+    def withJunkInMovi(avi: Array[Byte], junkLen: Int): Array[Byte] = {
+      val moviAt = avi.indexOfSlice("movi".getBytes("US-ASCII"))
+      assert(moviAt > 0, "movi list not found")
+      // RIFF pads odd chunk bodies to even length (size field stays odd)
+      val junk = java.nio.ByteBuffer.allocate(8 + junkLen + (junkLen & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .put("JUNK".getBytes("US-ASCII")).putInt(junkLen)
+        .put(Array.fill[Byte](junkLen)(0x5a)).array()
+      val out = avi.take(moviAt + 4) ++ junk ++ avi.drop(moviAt + 4)
+      def patchLE(b: Array[Byte], off: Int, delta: Int): Unit = {
+        val bb = java.nio.ByteBuffer.wrap(b, off, 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val v = bb.getInt(off)
+        bb.putInt(off, v + delta)
+      }
+      patchLE(out, 4, junk.length)          // RIFF size
+      patchLE(out, moviAt - 4, junk.length) // LIST movi size
+      out
+    }
+
+    it("recovers dims/fps/frames for random sizes, frame counts and junk chunks") {
+      val cases = sampled(for {
+        w      <- Gen.choose(1, 16)
+        h      <- Gen.choose(1, 16)
+        n      <- Gen.choose(0, 8)
+        fps    <- Gen.choose(1, 60)
+        frames <- Gen.listOfN(n,
+          Gen.listOfN(w * h, Gen.choose(0, 255).map(_.toByte)).map(_.toArray))
+        junk   <- Gen.option(Gen.choose(0, 64))
+      } yield (w, h, fps, frames.toArray, junk), 120)
+      cases.foreach { case (w, h, fps, frames, junk) =>
+        val base = Multimodal.encodeAvi(frames, w, h, fps)
+        val avi = junk.map(withJunkInMovi(base, _)).getOrElse(base)
+        val parsed = Multimodal.parseAvi(avi)
+        assert(parsed.isDefined, s"parse failed w=$w h=$h n=${frames.length} fps=$fps junk=$junk")
+        val info = parsed.get
+        assert(info.width == w && info.height == h && info.fps == fps,
+          s"header mismatch: got (${info.width},${info.height},${info.fps})")
+        assert(info.nFrames == frames.length && info.frames.length == frames.length)
+        info.frames.zip(frames).foreach { case ((off, len), expect) =>
+          assert(len == expect.length)
+          assert(java.util.Arrays.equals(avi.slice(off, off + len), expect),
+            "frame payload corrupted through the container")
+        }
+      }
+    }
+
+    it("every strict prefix of a valid container fails cleanly, not with a throw") {
+      val frames = Array(Array.tabulate[Byte](15)(i => (i * 7).toByte)) // odd size: pad path
+      val avi = Multimodal.encodeAvi(frames, 5, 3, 30)
+      (0 until avi.length).foreach { cut =>
+        assert(Multimodal.parseAvi(avi.take(cut)).isEmpty, s"prefix $cut parsed")
+      }
+    }
+  }
+
   describe("hash60: JVM helper vs SQL expression tree") {
     it("agrees on arbitrary strings including unicode and empties") {
       val strings = (sampled(Gen.asciiPrintableStr, 300) ++
