@@ -2165,6 +2165,41 @@ object OracleSql {
          |WHERE x.doc_id IS NULL
          |ORDER BY d.doc_id""".stripMargin,
 
+    // mirrors qDedupCanonical: LSH pairs → connected components →
+    // quality score → per-cluster argmax (quality DESC, doc_id ASC);
+    // singletons are their own canonical
+    "q_dedup_canonical" -> {
+      import TextSignalSql._
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (
+         |  SELECT id1 AS a, id2 AS b FROM pairs
+         |  UNION ALL
+         |  SELECT id2 AS a, id1 AS b FROM pairs
+         |),
+         |verts AS (SELECT DISTINCT a AS id FROM edges),
+         |cc AS (
+         |  SELECT id, id AS label FROM verts
+         |  UNION
+         |  SELECT e.b AS id, c.label FROM cc c JOIN edges e ON c.id = e.a
+         |),
+         |labels AS (SELECT id, MIN(label) AS rep_id FROM cc GROUP BY id),
+         |tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |q AS (SELECT doc_id, ${rd(qualityExpr, 4)} AS quality_score FROM tok),
+         |memb AS (
+         |  SELECT q.doc_id, COALESCE(l.rep_id, q.doc_id) AS cluster_id, q.quality_score
+         |  FROM q LEFT JOIN labels l ON q.doc_id = l.id),
+         |sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         |          FROM memb GROUP BY cluster_id),
+         |rk AS (SELECT m.*, ROW_NUMBER() OVER (
+         |         PARTITION BY cluster_id
+         |         ORDER BY quality_score DESC, doc_id ASC) AS rn
+         |       FROM memb m)
+         |SELECT r.cluster_id, r.doc_id AS canonical_doc_id, s.cluster_size, r.quality_score
+         |FROM rk r JOIN sizes s USING (cluster_id)
+         |WHERE r.rn = 1
+         |ORDER BY r.cluster_id""".stripMargin
+    },
+
     // mirrors Dedup.dedupReport: the q_dedup_keep decision rolled up
     // to provenance grain
     "q_dedup_report" ->

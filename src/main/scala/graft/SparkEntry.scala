@@ -271,7 +271,7 @@ object SparkEntry {
 
   /** Recursive temp-dir cleanup for the streaming snapshot queries —
     * repeated bench/correctness runs must not accumulate orphans. */
-  private def deleteDir(path: String): Unit = {
+  private[graft] def deleteDir(path: String): Unit = {
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get(path)
     if (java.nio.file.Files.exists(root))
@@ -1203,6 +1203,39 @@ object SparkEntry {
       Dedup.minhashLshPairsNative(Tables.documents(s, dir), "doc_id", "text",
         n = 3, numHashes = 32, bands = 8, threshold = 0.5))
       .orderBy("doc_id")
+
+  /** Canonical-representative selection per near-dup cluster — the
+    * curation step BETWEEN clustering and the kept corpus: instead of
+    * keep-min-id ([[qDedupKeep]]'s policy), each cluster keeps its
+    * HIGHEST-QUALITY member (quality ties → smallest doc_id), the
+    * policy real pipelines use so dedup doesn't discard the best copy
+    * of a boilerplate family. Composed from the existing operators
+    * (MinHash-LSH pairs → connected components → quality score) plus
+    * one partial-aggregable argmax: max(struct(quality, −doc_id)) per
+    * cluster — no window sort, so the reduction is map-side
+    * combinable at any cluster-count scale. Singleton docs are their
+    * own canonical. */
+  private def qDedupCanonical(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "lang", "text")
+    val groups = Dedup.dedupGroups(
+      Dedup.minhashLshPairsNative(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, numHashes = 32, bands = 8, threshold = 0.5))
+    val scored = TextAnalysis.qualityScore(docs, "text")
+      .select(col("doc_id"), col("quality_score"))
+    scored.join(groups.select(col("doc_id"), col("rep_id"), col("group_size")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("rep_id"), col("doc_id")).as("cluster_id"),
+        coalesce(col("group_size"), lit(1L)).as("cluster_size"),
+        col("quality_score"))
+      .groupBy("cluster_id", "cluster_size")
+      .agg(max(struct(col("quality_score"), (-col("doc_id")).as("neg_id"))).as("best"))
+      .select(col("cluster_id"),
+        (-col("best.neg_id")).as("canonical_doc_id"),
+        col("cluster_size"),
+        col("best.quality_score").as("quality_score"))
+      .orderBy("cluster_id")
+  }
 
   /** The kept corpus after end-to-end near-dup removal — what a
     * training-data pipeline actually writes out. */
@@ -2480,6 +2513,7 @@ object SparkEntry {
     "q_dedup_groups" -> (qDedupGroups _),
     "q_dedup_groups_star" -> (qDedupGroupsStar _),
     "q_dedup_keep" -> (qDedupKeep _),
+    "q_dedup_canonical" -> (qDedupCanonical _),
     "q_dedup_report" -> (qDedupReport _),
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_sample_split" -> (qSampleSplit _),

@@ -1,0 +1,179 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Composite-input scale amplification: a K-fold union of a table
+  * whose KEY COLUMNS are shifted per copy, so entity cardinalities
+  * grow with volume (K disjoint "worlds", no accidental key
+  * collisions) — the in-engine answer to "the read-only testdata caps
+  * at sf0.1": a ~10× sf0.1 input materialized from sf0.1 itself.
+  *
+  * Two directions matter for the S²-family operators (work model
+  * D·S² over the day×symbol panel):
+  *   - entity-shift (symbols/nodes): S → K·S. For an ALL-PAIRS
+  *     operator the candidate/output space necessarily grows K² — the
+  *     scalable property to verify is time LINEAR IN THE PAIR SPACE
+  *     (t ≲ K²·t₀), not in rows; sub-linear would be impossible
+  *     without changing the operator's semantics.
+  *   - time-shift (dates): D → K·D with S fixed. Work D·S² is linear
+  *     in rows here, so the ordinary 1.5× per-input-growth bar
+  *     applies.
+  * Graph families get K disjoint copies of the graph: |V| and |E|
+  * both ×K, and every implemented algorithm (oriented wedge counting,
+  * bounded-iteration PageRank, synchronous LPA) is linear in |E| —
+  * the entity direction IS the linear direction for them. */
+object Composite {
+
+  /** K-fold union of `df` with each copy's `shiftKeys` columns offset
+    * by copy·(max−min+1) of that column (computed in ONE aggregate
+    * pass), and each `shiftDays` timestamp column offset by
+    * copy·`dayStep` days. Copy 0 is the identity, so the composite is
+    * a strict superset of the original. */
+  def amplify(df: DataFrame, copies: Int, shiftKeys: Seq[String],
+              shiftDays: Seq[String] = Nil, dayStep: Int = 3000): DataFrame = {
+    require(copies >= 1, "amplify: copies must be >= 1")
+    val bounds: Map[String, Long] = if (shiftKeys.isEmpty) Map.empty else {
+      val aggs = shiftKeys.flatMap(c =>
+        Seq(max(col(c)).cast("long").as(s"max_$c"), min(col(c)).cast("long").as(s"min_$c")))
+      val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+      shiftKeys.map(c => c ->
+        (row.getAs[Long](s"max_$c") - row.getAs[Long](s"min_$c") + 1L)).toMap
+    }
+    (0 until copies).map { k =>
+      df.select(df.columns.map {
+        case c if shiftKeys.contains(c) =>
+          (col(c) + lit(k * bounds(c))).cast(df.schema(c).dataType).as(c)
+        case c if shiftDays.contains(c) =>
+          (col(c) + expr(s"INTERVAL ${k * dayStep} DAYS"))
+            .cast(df.schema(c).dataType).as(c)
+        case c => col(c)
+      }: _*)
+    }.reduce(_ union _)
+  }
+}
+
+/** Measures the S²/graph families past the fixed-cost floor: builds a
+  * K=10 composite of sf0.1 in BOTH directions (entity-shifted for
+  * pair/graph cardinality growth, date-shifted for panel-length
+  * growth), times each family at sf0.1 vs the composite, and rewrites
+  * the composite section of `SCALING.md`.
+  *
+  * `SPARK_GRAFT_CPUS=32 sbt "runMain graft.tools.CompositeScalingBench"` */
+object CompositeScalingBench {
+  val K = 10
+
+  /** (query, direction, bound multiple of t(sf0.1)): entity-direction
+    * pair families are gated linear-in-pair-space (1.5·K²); everything
+    * else linear-in-rows (1.5·K). */
+  val entityFamilies: Seq[(String, Double)] = Seq(
+    ("q_pairs_spread", 1.5 * K * K),
+    ("q_pair_correlation", 1.5 * K * K),
+    ("q_winsorize", 1.5 * K),
+    ("q_triangles", 1.5 * K),
+    ("q_pagerank", 1.5 * K),
+    ("q_communities", 1.5 * K))
+  val dateFamilies: Seq[(String, Double)] = Seq(
+    ("q_pairs_spread", 1.5 * K),
+    ("q_pair_correlation", 1.5 * K),
+    ("q_winsorize", 1.5 * K))
+
+  val BeginMarker = "<!-- GENERATED:composite-scaling -->"
+  val EndMarker = "<!-- /GENERATED:composite-scaling -->"
+
+  def buildComposites(spark: SparkSession, sfDir: String, base: String): (String, String) = {
+    import graft.sources.Tables
+    val entityDir = s"$base/composite_entity"
+    val dateDir = s"$base/composite_date"
+    // entity direction: K disjoint worlds — every key that becomes a
+    // symbol or graph node shifts, so S, |V|, |E| all grow ×K
+    Composite.amplify(Tables.lineitem(spark, sfDir), K,
+        shiftKeys = Seq("l_orderkey", "l_partkey", "l_suppkey"))
+      .write.mode("overwrite").parquet(s"$entityDir/lineitem.parquet")
+    Composite.amplify(Tables.orders(spark, sfDir), K,
+        shiftKeys = Seq("o_orderkey", "o_custkey"))
+      .write.mode("overwrite").parquet(s"$entityDir/orders.parquet")
+    // date direction: same symbols, K disjoint 8-year panels
+    Composite.amplify(Tables.lineitem(spark, sfDir), K,
+        shiftKeys = Nil, shiftDays = Seq("l_shipdate"))
+      .write.mode("overwrite").parquet(s"$dateDir/lineitem.parquet")
+    (entityDir, dateDir)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "2").toInt
+    val sfDir = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = graft.SparkEntry.scratchDir("graft_composite")
+    val (entityDir, dateDir) = buildComposites(spark, sfDir, base)
+
+    def timed(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warm codegen/JIT at the bench scale itself
+    (entityFamilies.map(_._1) ++ dateFamilies.map(_._1)).distinct
+      .foreach(n => timed(n, "/root/testdata/sf0.01"))
+    def series(fams: Seq[(String, Double)], dir: String) = fams.map { case (n, bound) =>
+      val t0 = (1 to trials).map(_ => { System.gc(); timed(n, sfDir) }).min
+      val t1 = (1 to trials).map(_ => { System.gc(); timed(n, dir) }).min
+      (n, t0, t1, t1 / math.max(t0, 0.15), bound)
+    }
+    val ent = series(entityFamilies, entityDir)
+    val dat = series(dateFamilies, dateDir)
+
+    val sb = new StringBuilder
+    sb ++= BeginMarker + "\n\n"
+    sb ++= "## Composite ~10× sf0.1 — growth past the fixed-cost floor\n\n"
+    sb ++= s"Generated by `runMain graft.tools.CompositeScalingBench` (local[$cpus],\n"
+    sb ++= s"min-of-$trials per scale, K=$K key-shifted copies of sf0.1 built\n"
+    sb ++= "in-engine by `Composite.amplify` — testdata itself caps at sf0.1).\n"
+    sb ++= "The 10× span in the table above probes where fixed costs dominate;\n"
+    sb ++= "this section drives the S²/graph families ~100× past sf0.01.\n\n"
+    sb ++= "**Entity direction** (symbols/nodes ×10 — lineitem 6 M rows,\n"
+    sb ++= "orders 1.5 M, 1 000 symbols, ~10× nodes/edges): for the ALL-PAIRS\n"
+    sb ++= "operators the candidate space grows K²=100× BY THE OPERATOR'S\n"
+    sb ++= "SEMANTICS (10× symbols ⇒ 100× correlation pairs in the answer), so\n"
+    sb ++= "the scalable property is time linear in PAIR SPACE (bound 1.5·K²);\n"
+    sb ++= "row-linear operators keep the ordinary 1.5·K bar.\n\n"
+    sb ++= "| query | t(sf0.1) s | t(composite) s | ratio | bound | ok |\n"
+    sb ++= "|---|---|---|---|---|---|\n"
+    ent.foreach { case (n, t0, t1, r, b) =>
+      sb ++= f"| $n | $t0%.2f | $t1%.2f | $r%.1f | $b%.0f | ${if (r <= b) "yes" else "NO"} |\n"
+    }
+    sb ++= "\n**Date direction** (panel length ×10, symbols fixed — the\n"
+    sb ++= "direction where D·S² is row-linear; same 1.5·K bar as the main\n"
+    sb ++= "table):\n\n"
+    sb ++= "| query | t(sf0.1) s | t(composite) s | ratio | bound | ok |\n"
+    sb ++= "|---|---|---|---|---|---|\n"
+    dat.foreach { case (n, t0, t1, r, b) =>
+      sb ++= f"| $n | $t0%.2f | $t1%.2f | $r%.1f | $b%.0f | ${if (r <= b) "yes" else "NO"} |\n"
+    }
+    val allOk = (ent ++ dat).forall { case (_, _, _, r, b) => r <= b }
+    sb ++= s"\nAll within bounds: $allOk.\n\n"
+    sb ++= EndMarker
+    val path = java.nio.file.Paths.get("SCALING.md")
+    val cur = new String(java.nio.file.Files.readAllBytes(path),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val next = (cur.indexOf(BeginMarker), cur.indexOf(EndMarker)) match {
+      case (b, e) if b >= 0 && e > b =>
+        cur.substring(0, b) + sb.toString + cur.substring(e + EndMarker.length)
+      case _ => cur + "\n" + sb.toString + "\n"
+    }
+    java.nio.file.Files.write(path, next.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"SCALING.md composite section written (allOk=$allOk)")
+    graft.SparkEntry.deleteDir(base)
+    spark.stop()
+  }
+}
