@@ -2786,6 +2786,52 @@ object OracleSql {
          |    CAST('1.358' AS DOUBLE) * sqrt(CAST(n_a + n_b AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b))) AS reject_95
          |FROM d""".stripMargin,
 
+    // mirrors DailyAnalytics.mannWhitneySplit: pooled integer ranks
+    // via 2·avgrank = 2·rank + ties − 1, doubled statistic
+    // u2 = 2R1 − n1(n1+1) exact, tie-corrected normal z (NULL when
+    // every value ties), AUC = U1/(n1·n2)
+    "q_mann_whitney" ->
+      s"""${dailyChain("returns")},
+         |r AS (
+         |  SELECT symbol, trade_date, ${sc4("daily_return_pct")} AS y
+         |  FROM returns WHERE daily_return_pct IS NOT NULL
+         |),
+         |ranked AS (
+         |  SELECT symbol, y,
+         |    ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY trade_date) AS day_idx,
+         |    COUNT(*) OVER (PARTITION BY symbol) AS n_all,
+         |    RANK() OVER (PARTITION BY symbol ORDER BY y) AS rnk,
+         |    COUNT(*) OVER (PARTITION BY symbol, y) AS ties
+         |  FROM r
+         |),
+         |g AS (
+         |  SELECT symbol,
+         |    CAST(SUM(CASE WHEN day_idx * 2 <= n_all THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(SUM(CASE WHEN day_idx * 2 <= n_all THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+         |    CAST(SUM(CASE WHEN day_idx * 2 <= n_all
+         |                  THEN 2 * rnk + ties - 1 ELSE 0 END) AS BIGINT) AS r1x2
+         |  FROM ranked GROUP BY symbol
+         |),
+         |tt AS (
+         |  SELECT symbol, CAST(SUM(t * t * t - t) AS BIGINT) AS tie3 FROM (
+         |    SELECT symbol, y, CAST(COUNT(*) AS BIGINT) AS t
+         |    FROM r GROUP BY symbol, y)
+         |  GROUP BY symbol
+         |),
+         |m AS (
+         |  SELECT g.symbol, n1, n2, n1 + n2 AS n,
+         |    r1x2 - n1 * (n1 + 1) AS u2, tie3
+         |  FROM g JOIN tt ON g.symbol = tt.symbol
+         |  WHERE n1 + n2 >= 30 AND n1 > 0 AND n2 > 0
+         |)
+         |SELECT symbol, n1, n2, u2,
+         |  ${rd("CAST(u2 AS DOUBLE) / (2.0 * CAST(n1 * n2 AS DOUBLE))", 4)} AS auc,
+         |  ${rd("""CAST(u2 - n1 * n2 AS DOUBLE) /
+         |    NULLIF(2.0 * sqrt(CAST(n1 * n2 AS DOUBLE) / 3.0 *
+         |      (CAST(n + 1 AS DOUBLE) - CAST(tie3 AS DOUBLE) /
+         |        (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))), 0)""", 4)} AS z
+         |FROM m ORDER BY symbol""".stripMargin,
+
     // mirrors Profiling.lorenzCurve(10): the NTILE form (tested equal
     // to the closed-form distributed tiles), top-down cumulative share
     "q_lorenz" ->

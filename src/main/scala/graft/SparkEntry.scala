@@ -2076,6 +2076,14 @@ object SparkEntry {
     DailyAnalytics.ksTwoSample(
       DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
 
+  /** Rank-based regime-shift test per symbol: first vs second half of
+    * each history through the tie-corrected Mann-Whitney U, with the
+    * doubled statistic exact and AUC effect size. */
+  private def qMannWhitney(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.mannWhitneySplit(
+      DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+      .orderBy("symbol")
+
   /** Lorenz curve of customer revenue at decile grain — "top decile
     * holds X%" via the distributed closed-form ntile. */
   private def qLorenz(s: SparkSession, dir: String): DataFrame =
@@ -2600,6 +2608,7 @@ object SparkEntry {
     "q_dp_counts" -> (qDpCounts _),
     "q_gini" -> (qGini _),
     "q_ks_test" -> (qKsTest _),
+    "q_mann_whitney" -> (qMannWhitney _),
     "q_lorenz" -> (qLorenz _),
     "q_l_diversity" -> (qLDiversity _),
     "q_stream_sessions" -> (qStreamSessions _),

@@ -929,6 +929,58 @@ object DailyAnalytics {
             (col("n_a").cast("double") * col("n_b")))).as("reject_95"))
   }
 
+  /** Mann-Whitney U (Wilcoxon rank-sum) per symbol: does the SECOND
+    * half of a symbol's history draw returns from a shifted
+    * distribution vs the first half — the rank-based, outlier-robust
+    * regime-shift test next to [[ksTwoSample]]'s shape test and
+    * [[cusumChangepoint]]'s mean-shift locator.
+    *
+    * Exactness discipline: pooled ranks use the integer identity
+    * 2·avgrank = 2·rank + (ties − 1), so no fractional rank ever
+    * materializes — the doubled rank sum 2R₁, the doubled statistic
+    * u2 = 2U₁ = 2R₁ − n₁(n₁+1), and the tie correction Σ(t³−t) are
+    * all exact longs; only the normal-approximation z (tie-corrected
+    * variance, NULL when every value ties) and the AUC effect size
+    * U₁/(n₁n₂) round through rd(·). Shape at scale: two per-symbol
+    * windows (by date for the split, by value for ranks) and
+    * partial-aggregable sums — S·D grain, no pair fan-out. */
+  def mannWhitneySplit(returns: DataFrame, minDays: Int = 30): DataFrame = {
+    val r = returns.filter(col("daily_return_pct").isNotNull)
+      .select(col("symbol"), col("trade_date"),
+        scaled(col("daily_return_pct"), 4).as("y"))
+    val ranked = r
+      .withColumn("day_idx", row_number().over(
+        Window.partitionBy("symbol").orderBy("trade_date")))
+      .withColumn("n_all", count(lit(1)).over(Window.partitionBy("symbol")))
+      .withColumn("grp",
+        when(col("day_idx") * 2 <= col("n_all"), lit(1)).otherwise(lit(2)))
+      .withColumn("rnk", rank().over(Window.partitionBy("symbol").orderBy("y")))
+      .withColumn("ties", count(lit(1)).over(Window.partitionBy("symbol", "y")))
+      .withColumn("avg2", lit(2L) * col("rnk") + col("ties") - 1L)
+    val g = ranked.groupBy("symbol").agg(
+      sum(when(col("grp") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("grp") === 2, 1L).otherwise(0L)).as("n2"),
+      sum(when(col("grp") === 1, col("avg2")).otherwise(0L)).as("r1x2"))
+    val tieTerm = ranked.groupBy("symbol", "y")
+      .agg(count(lit(1)).as("t"))
+      .groupBy("symbol")
+      .agg(sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+    g.join(tieTerm, "symbol")
+      .withColumn("n", col("n1") + col("n2"))
+      .filter(col("n") >= minDays && col("n1") > 0 && col("n2") > 0)
+      .withColumn("u2", col("r1x2") - col("n1") * (col("n1") + 1L))
+      .select(col("symbol"), col("n1"), col("n2"), col("u2"),
+        rd(col("u2").cast("double") /
+          (lit(2.0) * (col("n1") * col("n2")).cast("double")), 4).as("auc"),
+        rd((col("u2") - col("n1") * col("n2")).cast("double") /
+          nullifZero(lit(2.0) * sqrt(
+            (col("n1") * col("n2")).cast("double") / 3.0 *
+              ((col("n") + 1L).cast("double") -
+                col("tie3").cast("double") /
+                  (col("n").cast("double") * (col("n") - 1L).cast("double"))))),
+          4).as("z"))
+  }
+
   /** Minimum-variance two-asset portfolio (Markowitz closed form):
     * for the two lexicographically-first symbols, the no-shorting
     * weight w* = clamp((σ²_b − σ_ab) / (σ²_a + σ²_b − 2σ_ab), 0, 1)
