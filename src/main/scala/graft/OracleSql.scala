@@ -4298,6 +4298,35 @@ object OracleSql {
          |ORDER BY rank""".stripMargin
     },
 
+    // mirrors Graph.kCore(k=30, rounds=4): the peel rounds UNROLLED —
+    // each round recomputes degrees on the surviving subgraph and
+    // keeps only edges whose BOTH endpoints clear k
+    "q_kcore" -> {
+      val k = 30
+      val rounds = 4
+      val peel = (1 to rounds).map { r =>
+        s"""k$r AS (SELECT u FROM e${r - 1} GROUP BY u HAVING COUNT(*) >= $k),
+           |e$r AS (
+           |  SELECT e.u, e.v FROM e${r - 1} e
+           |  JOIN k$r x ON e.u = x.u
+           |  JOIN k$r y ON e.v = y.u
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |),
+         |e0 AS (
+         |  SELECT a AS u, b AS v FROM pairs
+         |  UNION
+         |  SELECT b AS u, a AS v FROM pairs
+         |),
+         |$peel
+         |SELECT u AS id, CAST(COUNT(*) AS BIGINT) AS degree,
+         |  CASE WHEN u % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind
+         |FROM e$rounds GROUP BY u ORDER BY id""".stripMargin
+    },
+
     "q_triangles" ->
       """WITH raw AS (
         |  SELECT u, v FROM (

@@ -2365,6 +2365,24 @@ object SparkEntry {
       .orderBy("rank")
   }
 
+  /** Bounded-round k-core peel over the customer↔supplier bipartite
+    * graph (k = 30 ≈ the degree median, so the peel actually cascades
+    * at both SFs): the density filter that strips weakly-connected
+    * nodes before ranking. The oracle unrolls the IDENTICAL rounds in
+    * SQL, so round count, degree definition and the final surviving
+    * degrees must all agree. */
+  private def qKcore(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, dir).select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
+        "o_orderkey")
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    Graph.kCore(pairs, "a", "b", k = 30, rounds = 4)
+      .withColumn("kind",
+        when(col("id") % 2 === 0, lit("customer")).otherwise(lit("supplier")))
+      .orderBy("id")
+  }
+
   private def qTriangles(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
     val pairs = li
@@ -2587,6 +2605,7 @@ object SparkEntry {
     "q_compaction_plan" -> (qCompactionPlan _),
     "q_semi_anti" -> (qSemiAnti _),
     "q_triangles" -> (qTriangles _),
+    "q_kcore" -> (qKcore _),
     "q_communities" -> (qCommunities _),
     "q_ngram_lm" -> (qNgramLm _),
     "q_vocab_coverage" -> (qVocabCoverage _),

@@ -155,4 +155,36 @@ object Graph {
     }
     labels
   }
+
+  /** Bounded-round k-core peeling: repeatedly drop nodes whose degree
+    * in the SURVIVING subgraph is below `k` — the classic density
+    * filter (Seidman, "Network structure and minimum degree", Social
+    * Networks 1983) that crawl/link pipelines run to strip leaf spam
+    * before ranking. `rounds` is FIXED like [[pageRankScaled]]'s
+    * iters: each round is one partial-aggregable degree count plus
+    * two semi-join edge filters, all linear in |E|, and the unrolled
+    * chain is checkpointed every other round to keep lineage flat.
+    * Peeling removes nodes monotonically, so R rounds give the exact
+    * k-core whenever the peel DEPTH (longest cascade) is ≤ R, and a
+    * deterministic over-approximation otherwise — same
+    * bounded-round semantics the oracle restates by unrolling the
+    * identical rounds in SQL. Returns surviving (id, degree). */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+            k: Int, rounds: Int = 4): DataFrame = {
+    require(k >= 1 && rounds >= 1, "kCore: k and rounds must be positive")
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    var sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      .distinct().snapshot()
+    for (r <- 1 to rounds) {
+      val keep = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("u").as("kept"))
+      val pruned = sym
+        .join(keep.select(col("kept").as("u")), "u", "left_semi")
+        .join(keep.select(col("kept").as("v")), "v", "left_semi")
+        .select(col("u"), col("v"))
+      sym = if (r % 2 == 0 && r < rounds) pruned.snapshot() else pruned
+    }
+    sym.groupBy(col("u").as("id")).agg(count(lit(1)).as("degree"))
+  }
 }

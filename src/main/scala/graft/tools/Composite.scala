@@ -125,9 +125,21 @@ object CompositeScalingBench {
     // warm codegen/JIT at the bench scale itself
     (entityFamilies.map(_._1) ++ dateFamilies.map(_._1)).distinct
       .foreach(n => timed(n, "/root/testdata/sf0.01"))
+    // the partition dial scales WITH the volume (the same knob a
+    // cluster turns): 10× the input at the session's 32 partitions
+    // means 10× the per-task agg map, which spills; 128 partitions
+    // keep per-task state at roughly the sf0.1 working-set size
+    def withParts[T](n: Int)(body: => T): T = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+      try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     def series(fams: Seq[(String, Double)], dir: String) = fams.map { case (n, bound) =>
       val t0 = (1 to trials).map(_ => { System.gc(); timed(n, sfDir) }).min
-      val t1 = (1 to trials).map(_ => { System.gc(); timed(n, dir) }).min
+      println(f"[composite] $n sf0.1 $t0%.2f s")
+      val t1 = withParts(128) {
+        (1 to trials).map(_ => { System.gc(); timed(n, dir) }).min }
+      println(f"[composite] $n composite $t1%.2f s (ratio ${t1 / math.max(t0, 0.15)}%.1f)")
       (n, t0, t1, t1 / math.max(t0, 0.15), bound)
     }
     val ent = series(entityFamilies, entityDir)

@@ -111,4 +111,32 @@ class GraphVersioningSpec extends AnyFunSpec {
       assert(got.values.toSet == Set(0L), s"got $got")
     }
   }
+
+  describe("Graph.kCore") {
+    // K4 on {1,2,3,4} plus a pendant path 4—5—6: the 2-core must peel
+    // 6 first and then 5 (a CASCADE — 5 only drops below degree 2
+    // after 6 goes), keeping exactly the K4
+    it("peels a pendant path by cascade, keeping the K4 as the 2-core") {
+      import spark.implicits._
+      val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+        (3L, 4L), (4L, 5L), (5L, 6L)).toDF("u", "v")
+      val got = graft.operators.Graph.kCore(edges, "u", "v", k = 2, rounds = 4)
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("degree")).toMap
+      assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $got")
+    }
+    it("k above the max degree empties the graph") {
+      import spark.implicits._
+      val edges = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+      assert(graft.operators.Graph.kCore(edges, "u", "v", k = 3, rounds = 2).isEmpty)
+    }
+    it("a clique is its own k-core for every k below its degree") {
+      import spark.implicits._
+      val n = 5
+      val edges = (for (i <- 1 to n; j <- i + 1 to n) yield (i.toLong, j.toLong))
+        .toDF("u", "v")
+      val got = graft.operators.Graph.kCore(edges, "u", "v", k = n - 1, rounds = 3)
+        .collect().map(_.getAs[Long]("degree")).toSeq
+      assert(got.length == n && got.forall(_ == n - 1))
+    }
+  }
 }
