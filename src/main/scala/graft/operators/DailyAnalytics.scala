@@ -354,18 +354,46 @@ object DailyAnalytics {
   def pairCorrelation(returns: DataFrame, minDays: Int = 30): DataFrame =
     pairCorrelationFromReduced(reducedReturns(returns), minDays)
 
+  /** Symbol-block count for the 2-D blocked pair join: per-task
+    * aggregation state is bounded by (S/B)² per block-pair instead of
+    * S² per date, which is what keeps the hash aggregate map-side at
+    * ANY symbol cardinality. Measured failure mode without blocking
+    * (K=10 entity composite, S=1 000): the date-partitioned agg's map
+    * starves, Spark falls back to sort-based aggregation, and the RAW
+    * S²·D fan-out (~5.7 B rows, ~10² GB) spills to disk. */
+  private val PairBlocks = 4
+
   private def pairCorrelationFromReduced(r: DataFrame, minDays: Int): DataFrame = {
-    // explicit-count repartition on the join key: the symbol×day frame
-    // is tiny in BYTES, so AQE's byte-based coalescing would fold the
-    // join into a handful of partitions — but the join's OUTPUT is S²
-    // per date (CPU-bound fan-out), which needs every core. Same
-    // rationale as Dedup.spreadById; survives AQE (PlanSpec-pinned
-    // behavior for explicit counts).
+    // 2-D BLOCKED self-join (block-partitioned matmul shape): each
+    // side is replicated B ways so every symbol-block PAIR (bi, bj) is
+    // one co-located join group — the pair (s1, s2) matches exactly
+    // once, at key (date, block(s1), block(s2)). Replication costs
+    // B·|panel| shuffled rows (trivial next to the S²·D join output);
+    // in exchange the partial agg behind the join holds only the
+    // block-pair's (S/B)² keys, so it can NEVER fall back to
+    // sort-based aggregation and spill the fan-out — the property
+    // that survives growing S. The explicit-count repartition defeats
+    // AQE's byte-based coalescing (the frame is tiny in BYTES but the
+    // join output is CPU-bound fan-out needing every core; PlanSpec-
+    // pinned behavior for explicit counts).
+    val B = PairBlocks
     val parts = r.sparkSession.sessionState.conf.numShufflePartitions
-    val byDate = r.repartition(parts, col("trade_date"))
-    val j = byDate.select(col("symbol").as("s1"), col("trade_date"), col("xs").as("x"))
-      .join(byDate.select(col("symbol").as("s2"), col("trade_date"), col("xs").as("y")),
-        "trade_date")
+    val bvals = array((0 until B).map(lit): _*)
+    val left = r.select(col("symbol").as("s1"), col("trade_date"), col("xs").as("x"))
+      .withColumn("bi", pmod(hash(col("s1")), lit(B)))
+      .withColumn("bj", explode(bvals))
+      .repartition(parts, col("trade_date"), col("bi"), col("bj"))
+    val right = r.select(col("symbol").as("s2"), col("trade_date"), col("xs").as("y"))
+      .withColumn("bj", pmod(hash(col("s2")), lit(B)))
+      .withColumn("bi", explode(bvals))
+    // SHUFFLE_HASH, not broadcast and not sort-merge: the replicated
+    // panel is small in estimated BYTES, so Spark would broadcast it —
+    // a B·|panel|-entry hash map rebuilt in every task (and an OOM
+    // once the panel grows). Co-partitioned by (date, bi, bj), each
+    // task's build side is |panel|·B/parts rows — bounded by the
+    // partition dial, while sort-merge would pay an O(n log n) sort
+    // for a join whose groups need no order.
+    val j = left.join(right.hint("shuffle_hash"), Seq("trade_date", "bi", "bj"))
       .filter(col("s1") < col("s2"))
     // RANGE CONTRACT (deliberately LONG, not the [[sharpeRatio]]
     // DECIMAL(38,0) rule): this is the S²·D hot path — the fan-out
@@ -927,6 +955,51 @@ object DailyAnalytics {
           (col("n_a").cast("double") * col("n_b")) >
           lit(1.358) * sqrt((col("n_a") + col("n_b")).cast("double") /
             (col("n_a").cast("double") * col("n_b")))).as("reject_95"))
+  }
+
+  /** Theil-Sen robust trend per symbol over the last `window` bars:
+    * slope = MEDIAN of all pairwise slopes (pⱼ−pᵢ)/(xⱼ−xᵢ), intercept
+    * = median(pᵢ − slope·xᵢ) — the estimator that shrugs off ~29%
+    * outliers where OLS (cf. [[marketBeta]]) folds at one bad print
+    * (Sen, JASA 1968). x is the 1..n day index inside the window, so
+    * slopes are exact-long rationals evaluated in one IEEE division.
+    *
+    * BOUNDED pair fan-out BY CONSTRUCTION: the self-join runs inside
+    * the `window`-row tail of each symbol, so pairs ≤ W(W−1)/2 per
+    * symbol (1,770 at W=60) and total work is O(S·W²) — linear in
+    * symbols, the dimension that grows; the exact per-symbol
+    * percentile holds ≤ 1,770 values in memory. Medians interpolate
+    * identically in Spark (`percentile`) and DuckDB (`quantile_cont`),
+    * so the oracle states the same arithmetic. */
+  def theilSenTrend(bars: DataFrame, window: Int = 60, minDays: Int = 10): DataFrame = {
+    val recent0 = bars
+      .select(col("symbol"), col("trade_date"), scaled(col("close_price"), 2).as("p"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("symbol").orderBy(col("trade_date").desc)))
+      .filter(col("rn") <= window)
+    val recent = recent0
+      .withColumn("x", count(lit(1)).over(Window.partitionBy("symbol")) - col("rn") + 1L)
+      .select(col("symbol"), col("x"), col("p"))
+      .snapshot() // feeds the pair join (twice) and the intercept pass
+    val pairs = recent.select(col("symbol"), col("x").as("x1"), col("p").as("p1"))
+      .join(recent.select(col("symbol"), col("x").as("x2"), col("p").as("p2")), "symbol")
+      .filter(col("x1") < col("x2"))
+      .select(col("symbol"),
+        ((col("p2") - col("p1")).cast("double") /
+          (col("x2") - col("x1")).cast("double")).as("sl"))
+    val sm = pairs.groupBy("symbol").agg(
+      count(lit(1)).as("n_pairs"),
+      expr("percentile(sl, 0.5)").as("slope_med"))
+    val nd = recent.groupBy("symbol").agg(count(lit(1)).as("n_days"))
+    val ic = recent.join(sm.select(col("symbol"), col("slope_med")), "symbol")
+      .groupBy("symbol")
+      .agg(expr("percentile(CAST(p AS DOUBLE) - slope_med * CAST(x AS DOUBLE), 0.5)")
+        .as("icept"))
+    nd.join(sm, "symbol").join(ic, "symbol")
+      .filter(col("n_days") >= minDays)
+      .select(col("symbol"), col("n_days"), col("n_pairs"),
+        rd(col("slope_med") / 100.0, 4).as("slope"),
+        rd(col("icept") / 100.0, 4).as("intercept"))
   }
 
   /** Mann-Whitney U (Wilcoxon rank-sum) per symbol: does the SECOND
