@@ -149,6 +149,61 @@ object OracleSql {
   private val jpegQuantList: String =
     graft.operators.Multimodal.jpegLumaQuant.mkString("[", ",", "]")
 
+  /** The full integer-DCT round trip as a CTE chain ending in `feat`
+    * (media_id, quality, dc_q, n_nonzero, max_abs_err, sse,
+    * recon_sum) — shared by q_image_dct (per-doc rows) and
+    * q_image_rd (the per-quality rate–distortion rollup). */
+  private lazy val dctFeatCtes: String =
+    s"""pay AS (
+       |  SELECT doc_id AS media_id,
+       |    CAST(50 + (doc_id % 3) * 25 AS INTEGER) AS quality,
+       |    md5(text) || md5(text || '1') || md5(text || '2') || md5(text || '3') AS hx
+       |  FROM documents),
+       |tabs AS (SELECT ${dctBasisList} AS tb, ${jpegQuantList} AS qb),
+       |px AS (SELECT media_id, quality,
+       |    list_transform(range(0, 64), i ->
+       |      ('0x' || substr(hx, CAST(i * 2 + 1 AS INTEGER), 2))::BIGINT) AS ps
+       |  FROM pay),
+       |qt AS (SELECT media_id, quality, ps,
+       |    list_transform(range(0, 64), k -> LEAST(255, GREATEST(1,
+       |      (qb[k + 1] * (CASE WHEN quality < 50 THEN 5000 // quality
+       |                         ELSE 200 - 2 * quality END) + 50) // 100))) AS q
+       |  FROM px, tabs),
+       |fwd AS (SELECT media_id, quality, ps, q,
+       |    list_transform(range(0, 64), k ->
+       |      list_sum(list_transform(range(0, 64), m ->
+       |        tb[(k // 8) * 8 + (m // 8) + 1] * (ps[m + 1] - 128)
+       |          * tb[(k % 8) * 8 + (m % 8) + 1]))) AS g
+       |  FROM qt, tabs),
+       |quant AS (SELECT media_id, quality, ps, q,
+       |    list_transform(range(0, 64), k -> (CASE
+       |      WHEN g[k + 1] < 0
+       |      THEN -((-g[k + 1] + q[k + 1] * 2097152) // (q[k + 1] * 4194304))
+       |      ELSE (g[k + 1] + q[k + 1] * 2097152) // (q[k + 1] * 4194304) END)) AS qz
+       |  FROM fwd),
+       |inv AS (SELECT media_id, quality, ps, qz,
+       |    list_transform(range(0, 64), m ->
+       |      list_sum(list_transform(range(0, 64), k ->
+       |        tb[(k // 8) * 8 + (m // 8) + 1] * (qz[k + 1] * q[k + 1])
+       |          * tb[(k % 8) * 8 + (m % 8) + 1]))) AS r
+       |  FROM quant, tabs),
+       |rec AS (SELECT media_id, quality, ps, qz,
+       |    list_transform(range(0, 64), m -> LEAST(255, GREATEST(0,
+       |      (CASE WHEN r[m + 1] < 0
+       |            THEN -((-r[m + 1] + 2097152) // 4194304)
+       |            ELSE (r[m + 1] + 2097152) // 4194304 END) + 128))) AS pr
+       |  FROM inv),
+       |feat AS (
+       |  SELECT media_id, quality,
+       |    CAST(qz[1] AS BIGINT) AS dc_q,
+       |    CAST(len(list_filter(qz, z -> z != 0)) AS INTEGER) AS n_nonzero,
+       |    CAST(list_max(list_transform(range(0, 64), k ->
+       |      abs(ps[k + 1] - pr[k + 1]))) AS INTEGER) AS max_abs_err,
+       |    CAST(list_sum(list_transform(range(0, 64), k ->
+       |      (ps[k + 1] - pr[k + 1]) * (ps[k + 1] - pr[k + 1]))) AS BIGINT) AS sse,
+       |    CAST(list_sum(pr) AS BIGINT) AS recon_sum
+       |  FROM rec)""".stripMargin
+
   /** The clamped next-predictor expression of the IMA fold (x[1] = the
     * current nibble, acc = [predictor, step_index, samples...]): the
     * bit-weighted delta step/8 + b0·step/4 + b1·step/2 + b2·step,
@@ -1555,54 +1610,23 @@ object OracleSql {
     // the Scala arrays. Dead-reckons every pixel: one wrong constant,
     // clamp or rounding rule breaks the hash on every doc.
     "q_image_dct" ->
-      s"""WITH pay AS (
-         |  SELECT doc_id AS media_id,
-         |    CAST(50 + (doc_id % 3) * 25 AS INTEGER) AS quality,
-         |    md5(text) || md5(text || '1') || md5(text || '2') || md5(text || '3') AS hx
-         |  FROM documents),
-         |tabs AS (SELECT ${dctBasisList} AS tb, ${jpegQuantList} AS qb),
-         |px AS (SELECT media_id, quality,
-         |    list_transform(range(0, 64), i ->
-         |      ('0x' || substr(hx, CAST(i * 2 + 1 AS INTEGER), 2))::BIGINT) AS ps
-         |  FROM pay),
-         |qt AS (SELECT media_id, quality, ps,
-         |    list_transform(range(0, 64), k -> LEAST(255, GREATEST(1,
-         |      (qb[k + 1] * (CASE WHEN quality < 50 THEN 5000 // quality
-         |                         ELSE 200 - 2 * quality END) + 50) // 100))) AS q
-         |  FROM px, tabs),
-         |fwd AS (SELECT media_id, quality, ps, q,
-         |    list_transform(range(0, 64), k ->
-         |      list_sum(list_transform(range(0, 64), m ->
-         |        tb[(k // 8) * 8 + (m // 8) + 1] * (ps[m + 1] - 128)
-         |          * tb[(k % 8) * 8 + (m % 8) + 1]))) AS g
-         |  FROM qt, tabs),
-         |quant AS (SELECT media_id, quality, ps, q,
-         |    list_transform(range(0, 64), k -> (CASE
-         |      WHEN g[k + 1] < 0
-         |      THEN -((-g[k + 1] + q[k + 1] * 2097152) // (q[k + 1] * 4194304))
-         |      ELSE (g[k + 1] + q[k + 1] * 2097152) // (q[k + 1] * 4194304) END)) AS qz
-         |  FROM fwd),
-         |inv AS (SELECT media_id, quality, ps, qz,
-         |    list_transform(range(0, 64), m ->
-         |      list_sum(list_transform(range(0, 64), k ->
-         |        tb[(k // 8) * 8 + (m // 8) + 1] * (qz[k + 1] * q[k + 1])
-         |          * tb[(k % 8) * 8 + (m % 8) + 1]))) AS r
-         |  FROM quant, tabs),
-         |rec AS (SELECT media_id, quality, ps, qz,
-         |    list_transform(range(0, 64), m -> LEAST(255, GREATEST(0,
-         |      (CASE WHEN r[m + 1] < 0
-         |            THEN -((-r[m + 1] + 2097152) // 4194304)
-         |            ELSE (r[m + 1] + 2097152) // 4194304 END) + 128))) AS pr
-         |  FROM inv)
-         |SELECT media_id, quality,
-         |  CAST(qz[1] AS BIGINT) AS dc_q,
-         |  CAST(len(list_filter(qz, z -> z != 0)) AS INTEGER) AS n_nonzero,
-         |  CAST(list_max(list_transform(range(0, 64), k ->
-         |    abs(ps[k + 1] - pr[k + 1]))) AS INTEGER) AS max_abs_err,
-         |  CAST(list_sum(list_transform(range(0, 64), k ->
-         |    (ps[k + 1] - pr[k + 1]) * (ps[k + 1] - pr[k + 1]))) AS BIGINT) AS sse,
-         |  CAST(list_sum(pr) AS BIGINT) AS recon_sum
-         |FROM rec ORDER BY media_id""".stripMargin,
+      s"""WITH $dctFeatCtes
+         |SELECT media_id, quality, dc_q, n_nonzero, max_abs_err, sse, recon_sum
+         |FROM feat ORDER BY media_id""".stripMargin,
+
+    // mirrors qImageRd: the per-quality rate-distortion rollup of the
+    // SAME transform chain — exact integer sums (rate proxy = total
+    // nonzero coefficients, distortion = total SSE) plus rd'd means
+    "q_image_rd" ->
+      s"""WITH $dctFeatCtes
+         |SELECT quality,
+         |  CAST(COUNT(*) AS BIGINT) AS n_images,
+         |  CAST(SUM(n_nonzero) AS BIGINT) AS total_nonzero,
+         |  CAST(SUM(sse) AS BIGINT) AS total_sse,
+         |  CAST(MAX(max_abs_err) AS INTEGER) AS worst_err,
+         |  ${rd("CAST(SUM(n_nonzero) AS DOUBLE) / COUNT(*)", 4)} AS avg_nonzero,
+         |  ${rd("CAST(SUM(sse) AS DOUBLE) / COUNT(*)", 4)} AS avg_sse
+         |FROM feat GROUP BY quality ORDER BY quality""".stripMargin,
 
     // mirrors qBlobCodecs: the closed form of a LOSSLESS round trip —
     // byte length + md5 of the original text. The Spark side computes
@@ -2785,6 +2809,80 @@ object OracleSql {
          |  (CAST(d_scaled AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b) >
          |    CAST('1.358' AS DOUBLE) * sqrt(CAST(n_a + n_b AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b))) AS reject_95
          |FROM d""".stripMargin,
+
+    // mirrors DailyAnalytics.spearmanVsMarket: exact floor market
+    // index, doubled average ranks (2·rank + ties − 1) within each
+    // symbol panel, Pearson over the doubled ranks
+    "q_spearman_market" ->
+      s"""${dailyChain("returns")},
+         |r AS (SELECT symbol, trade_date, ${sc4("daily_return_pct")} AS y
+         |  FROM returns WHERE daily_return_pct IS NOT NULL),
+         |mkt AS (SELECT trade_date,
+         |    CAST(FLOOR(SUM(y) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS x
+         |  FROM r GROUP BY trade_date),
+         |rk AS (
+         |  SELECT symbol,
+         |    2 * RANK() OVER (PARTITION BY symbol ORDER BY y)
+         |      + COUNT(*) OVER (PARTITION BY symbol, y) - 1 AS ry,
+         |    2 * RANK() OVER (PARTITION BY symbol ORDER BY x)
+         |      + COUNT(*) OVER (PARTITION BY symbol, x) - 1 AS rx
+         |  FROM r JOIN mkt USING (trade_date)
+         |),
+         |g AS (
+         |  SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_days,
+         |    CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
+         |    CAST(SUM(rx * ry) AS BIGINT) AS sxy,
+         |    CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+         |    CAST(SUM(ry * ry) AS BIGINT) AS syy
+         |  FROM rk GROUP BY symbol HAVING COUNT(*) >= 30
+         |)
+         |SELECT symbol, n_days,
+         |  ${rd("""(n_days * sxy - sx * sy) /
+         |    NULLIF(sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE)) *
+         |           sqrt(CAST(n_days * syy - sy * sy AS DOUBLE)), 0)""", 4)} AS rho
+         |FROM g ORDER BY symbol""".stripMargin,
+
+    // mirrors DailyAnalytics.theilSenTrend(60, 10): last-60-bar tail
+    // re-indexed 1..n ascending by date, median of pairwise slopes
+    // (IEEE division of exact cent/index longs), intercept =
+    // median(p − slope·x); quantile_cont interpolates like Spark's
+    // exact percentile
+    "q_theil_sen" ->
+      s"""${dailyChain("bars")},
+         |r0 AS (
+         |  SELECT symbol, ${sc("close_price", 2)} AS p,
+         |    ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY trade_date DESC) AS rn
+         |  FROM bars
+         |),
+         |r1 AS (SELECT symbol, p, rn FROM r0 WHERE rn <= 60),
+         |recent AS (
+         |  SELECT symbol, p,
+         |    COUNT(*) OVER (PARTITION BY symbol) - rn + 1 AS x
+         |  FROM r1
+         |),
+         |pr AS (
+         |  SELECT a.symbol,
+         |    CAST(b.p - a.p AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS sl
+         |  FROM recent a JOIN recent b ON a.symbol = b.symbol AND a.x < b.x
+         |),
+         |sm AS (
+         |  SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |    quantile_cont(sl, 0.5) AS slope_med
+         |  FROM pr GROUP BY symbol
+         |),
+         |nd AS (SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_days FROM recent GROUP BY symbol),
+         |ic AS (
+         |  SELECT r.symbol,
+         |    quantile_cont(CAST(r.p AS DOUBLE) - s.slope_med * CAST(r.x AS DOUBLE), 0.5) AS icept
+         |  FROM recent r JOIN sm s USING (symbol)
+         |  GROUP BY r.symbol
+         |)
+         |SELECT nd.symbol, n_days, n_pairs,
+         |  ${rd("slope_med / 100.0", 4)} AS slope,
+         |  ${rd("icept / 100.0", 4)} AS intercept
+         |FROM nd JOIN sm ON nd.symbol = sm.symbol JOIN ic ON nd.symbol = ic.symbol
+         |WHERE n_days >= 10
+         |ORDER BY nd.symbol""".stripMargin,
 
     // mirrors DailyAnalytics.mannWhitneySplit: pooled integer ranks
     // via 2·avgrank = 2·rank + ties − 1, doubled statistic

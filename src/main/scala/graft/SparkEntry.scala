@@ -2076,6 +2076,19 @@ object SparkEntry {
     DailyAnalytics.ksTwoSample(
       DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
 
+  /** Monotone market-dependence per symbol: Spearman ρ vs the
+    * equal-weight index over exact doubled ranks. */
+  private def qSpearmanMarket(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.spearmanVsMarket(
+      DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+      .orderBy("symbol")
+
+  /** Theil-Sen robust price trend per symbol over the last 60 bars —
+    * median-of-pairwise-slopes, pair fan-out bounded by the window. */
+  private def qTheilSen(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.theilSenTrend(Adapters.dailyBars(s, dir))
+      .orderBy("symbol")
+
   /** Rank-based regime-shift test per symbol: first vs second half of
     * each history through the tie-corrected Mann-Whitney U, with the
     * doubled statistic exact and AUC effect size. */
@@ -2258,7 +2271,7 @@ object SparkEntry {
     * wrong basis entry, quant-table entry, clamp or rounding rule
     * breaks the hash on every doc. Output: rate proxies (quantized
     * DC, nonzero count) + exact distortion (max |Δ|, SSE, Σ recon). */
-  private def qImageDct(s: SparkSession, dir: String): DataFrame = {
+  private def imageDctFeats(s: SparkSession, dir: String): DataFrame = {
     val parts = s.sessionState.conf.numShufflePartitions
     val hexCols = (0 until 4).map(i =>
       if (i == 0) md5(col("text")) else md5(concat(col("text"), lit(i.toString))))
@@ -2268,8 +2281,33 @@ object SparkEntry {
         (lit(50) + (col("doc_id") % 3) * 25).cast("int").as("quality"))
       .repartition(parts, col("media_id")) // CPU-bound transform stage
     Multimodal.imageDctFeatures(rasters, "quality")
-      .orderBy("media_id")
   }
+
+  private def qImageDct(s: SparkSession, dir: String): DataFrame =
+    imageDctFeats(s, dir).orderBy("media_id")
+
+  /** Rate–distortion summary of the DCT lane: per quality level, the
+    * exact entropy-cost proxy (total/mean nonzero coefficients) vs the
+    * exact distortion (total/mean SSE, worst pixel error) — the curve
+    * a codec-selection pass publishes. One partial-aggregable rollup
+    * over the same scan-stage transform. */
+  private def qImageRd(s: SparkSession, dir: String): DataFrame =
+    imageDctFeats(s, dir)
+      .groupBy("quality")
+      .agg(
+        count(lit(1)).as("n_images"),
+        sum(col("n_nonzero")).as("total_nonzero"),
+        sum(col("sse")).as("total_sse"),
+        max(col("max_abs_err")).as("worst_err"))
+      .select(col("quality"), col("n_images"),
+        col("total_nonzero").cast("long").as("total_nonzero"),
+        col("total_sse").cast("long").as("total_sse"),
+        col("worst_err"),
+        graft.functions.Funcs.rd(
+          col("total_nonzero").cast("double") / col("n_images"), 4).as("avg_nonzero"),
+        graft.functions.Funcs.rd(
+          col("total_sse").cast("double") / col("n_images"), 4).as("avg_sse"))
+      .orderBy("quality")
 
   /** AVI video-container lane — the NESTED-RIFF container format
     * under the hash gate: the md5-chain bytes become four 8×4
@@ -2628,6 +2666,8 @@ object SparkEntry {
     "q_gini" -> (qGini _),
     "q_ks_test" -> (qKsTest _),
     "q_mann_whitney" -> (qMannWhitney _),
+    "q_theil_sen" -> (qTheilSen _),
+    "q_spearman_market" -> (qSpearmanMarket _),
     "q_lorenz" -> (qLorenz _),
     "q_l_diversity" -> (qLDiversity _),
     "q_stream_sessions" -> (qStreamSessions _),
@@ -2642,6 +2682,7 @@ object SparkEntry {
     "q_audio_ulaw" -> (qAudioUlaw _),
     "q_audio_adpcm" -> (qAudioAdpcm _),
     "q_image_dct" -> (qImageDct _),
+    "q_image_rd" -> (qImageRd _),
     "q_video_frames" -> (qVideoFrames _),
     "q_video_motion" -> (qVideoMotion _),
     "q_blob_codecs" -> (qBlobCodecs _),

@@ -11,6 +11,10 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // subset co-partitioning (both join children hashed on the SAME
+      // subset of join keys) is what the blocked pair join relies on —
+      // the bucketed-join dial
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")

@@ -363,37 +363,56 @@ object DailyAnalytics {
     * S²·D fan-out (~5.7 B rows, ~10² GB) spills to disk. */
   private val PairBlocks = 4
 
+  /** Date-group count: adds partition-dial parallelism WITHOUT extra
+    * replication (B²·G hash groups feed the cores) while keeping the
+    * per-task key bound at (S/B)²·⌈B²G/parts⌉ — dg is a FUNCTION of
+    * the date, so making it a join key changes nothing semantically
+    * but lets the partitioning legally drop the raw date. */
+  private val PairDateGroups = 8
+
   private def pairCorrelationFromReduced(r: DataFrame, minDays: Int): DataFrame = {
     // 2-D BLOCKED self-join (block-partitioned matmul shape): each
     // side is replicated B ways so every symbol-block PAIR (bi, bj) is
     // one co-located join group — the pair (s1, s2) matches exactly
     // once, at key (date, block(s1), block(s2)). Replication costs
     // B·|panel| shuffled rows (trivial next to the S²·D join output);
-    // in exchange the partial agg behind the join holds only the
-    // block-pair's (S/B)² keys, so it can NEVER fall back to
-    // sort-based aggregation and spill the fan-out — the property
-    // that survives growing S. The explicit-count repartition defeats
-    // AQE's byte-based coalescing (the frame is tiny in BYTES but the
-    // join output is CPU-bound fan-out needing every core; PlanSpec-
-    // pinned behavior for explicit counts).
+    // in exchange the partial agg behind the join holds only its
+    // partition's block-pairs' (S/B)² keys, so it can NEVER fall back
+    // to sort-based aggregation and spill the fan-out — the property
+    // that survives growing S.
+    //
+    // THE PARTITIONING KEY IS THE POINT: both sides repartition by
+    // (bi, bj, dg) — NOT by date — so one partition holds a
+    // block-pair's whole day range and the partial agg sees each pair
+    // ~once. Hashing the raw date in (an earlier form of this
+    // operator, and what the join would do left to itself) scatters
+    // every block-pair across ALL partitions, the per-task key count
+    // collapses back to ~all pairs, and the fallback returns. dg
+    // joins as a derived key so the subset partitioning is legal; the
+    // explicit count defeats AQE's byte-based coalescing (tiny-BYTES
+    // frame, CPU-bound fan-out; PlanSpec-pinned behavior).
     val B = PairBlocks
+    val G = PairDateGroups
     val parts = r.sparkSession.sessionState.conf.numShufflePartitions
     val bvals = array((0 until B).map(lit): _*)
     val left = r.select(col("symbol").as("s1"), col("trade_date"), col("xs").as("x"))
       .withColumn("bi", pmod(hash(col("s1")), lit(B)))
       .withColumn("bj", explode(bvals))
-      .repartition(parts, col("trade_date"), col("bi"), col("bj"))
+      .withColumn("dg", pmod(hash(col("trade_date")), lit(G)))
+      .repartition(parts, col("bi"), col("bj"), col("dg"))
     val right = r.select(col("symbol").as("s2"), col("trade_date"), col("xs").as("y"))
       .withColumn("bj", pmod(hash(col("s2")), lit(B)))
       .withColumn("bi", explode(bvals))
+      .withColumn("dg", pmod(hash(col("trade_date")), lit(G)))
+      .repartition(parts, col("bi"), col("bj"), col("dg"))
     // SHUFFLE_HASH, not broadcast and not sort-merge: the replicated
     // panel is small in estimated BYTES, so Spark would broadcast it —
     // a B·|panel|-entry hash map rebuilt in every task (and an OOM
-    // once the panel grows). Co-partitioned by (date, bi, bj), each
+    // once the panel grows). Co-partitioned on (bi, bj, dg), each
     // task's build side is |panel|·B/parts rows — bounded by the
     // partition dial, while sort-merge would pay an O(n log n) sort
     // for a join whose groups need no order.
-    val j = left.join(right.hint("shuffle_hash"), Seq("trade_date", "bi", "bj"))
+    val j = left.join(right.hint("shuffle_hash"), Seq("trade_date", "dg", "bi", "bj"))
       .filter(col("s1") < col("s2"))
     // RANGE CONTRACT (deliberately LONG, not the [[sharpeRatio]]
     // DECIMAL(38,0) rule): this is the S²·D hot path — the fan-out
@@ -955,6 +974,51 @@ object DailyAnalytics {
           (col("n_a").cast("double") * col("n_b")) >
           lit(1.358) * sqrt((col("n_a") + col("n_b")).cast("double") /
             (col("n_a").cast("double") * col("n_b")))).as("reject_95"))
+  }
+
+  /** Spearman rank correlation of each symbol against the
+    * equal-weight market index — the monotone-dependence companion to
+    * [[marketBeta]]'s linear OLS slope (a symbol tracking the market
+    * through any monotone distortion still scores |ρ| ≈ 1, where beta
+    * bends with the curvature). The market day-return is
+    * [[marketBeta]]'s exact ⌊Σy/n⌋; both series are ranked WITHIN the
+    * symbol's day panel using the integer identity
+    * 2·avgrank = 2·rank + ties − 1 (the [[mannWhitneySplit]]
+    * discipline — no fractional rank materializes), and ρ is Pearson
+    * over the doubled ranks, whose scale factor cancels. All six
+    * sums are exact longs (ranks ≤ 2n, so n·Σrxry < 2⁶³ for any
+    * n < 10⁶ days); the one division rounds through rd(4). Shape:
+    * one broadcast join of the day-dimension index + two per-symbol
+    * rank windows + a partial-aggregable rollup — S·D grain. */
+  def spearmanVsMarket(returns: DataFrame, minDays: Int = 30): DataFrame = {
+    val r = returns.filter(col("daily_return_pct").isNotNull)
+      .select(col("symbol"), col("trade_date"),
+        scaled(col("daily_return_pct"), 4).as("y"))
+      .snapshot() // feeds the index build AND the join probe
+    val mkt = r.groupBy("trade_date")
+      .agg(sum(col("y")).as("m"), count(lit(1)).as("nsym"))
+      .select(col("trade_date"),
+        floor(col("m").cast("double") / col("nsym").cast("double")).cast("long").as("x"))
+    val ranked = r.join(broadcast(mkt), "trade_date")
+      .withColumn("ry",
+        lit(2L) * rank().over(Window.partitionBy("symbol").orderBy("y")) +
+          count(lit(1)).over(Window.partitionBy("symbol", "y")) - 1L)
+      .withColumn("rx",
+        lit(2L) * rank().over(Window.partitionBy("symbol").orderBy("x")) +
+          count(lit(1)).over(Window.partitionBy("symbol", "x")) - 1L)
+    ranked.groupBy("symbol").agg(
+        count(lit(1)).as("n_days"),
+        sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+        sum(col("rx") * col("ry")).as("sxy"),
+        sum(col("rx") * col("rx")).as("sxx"),
+        sum(col("ry") * col("ry")).as("syy"))
+      .filter(col("n_days") >= minDays)
+      .select(col("symbol"), col("n_days"),
+        r4((col("n_days") * col("sxy") - col("sx") * col("sy")) /
+          nullifZero(
+            sqrt((col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("n_days") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .as("rho"))
   }
 
   /** Theil-Sen robust trend per symbol over the last `window` bars:

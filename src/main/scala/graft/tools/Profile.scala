@@ -13,6 +13,10 @@ object Profile {
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-profile")
       .config("spark.sql.shuffle.partitions", 32)
+      // subset co-partitioning (both join children hashed on the SAME
+      // subset of join keys) is what the blocked pair join relies on —
+      // the bucketed-join dial
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.ui.enabled", false)
       .config("spark.sql.legacy.parquet.nanosAsLong", true)
       .getOrCreate()

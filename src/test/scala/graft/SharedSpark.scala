@@ -8,6 +8,7 @@ object SharedSpark {
     .master("local[4]")
     .appName("graft-tests")
     .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
