@@ -2662,7 +2662,7 @@ object OracleSql {
          |  FROM j GROUP BY s1, s2 HAVING COUNT(*) >= 30
          |)
          |SELECT s1, s2, n_days,
-         |  ${rd("(n_days * sxy - sx * sy) / NULLIF(SQRT(CAST(n_days * sxx - sx * sx AS DOUBLE)) * SQRT(CAST(n_days * syy - sy * sy AS DOUBLE)), 0)", 4)} AS return_corr
+         |  ${rd("CAST(CAST(n_days AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) / NULLIF(SQRT(CAST(CAST(n_days AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)) * SQRT(CAST(CAST(n_days AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)), 0)", 4)} AS return_corr
          |FROM g ORDER BY s1, s2""".stripMargin,
 
     // Grouped top-3 by price (mirrors Ranking.topKPerGroup)

@@ -430,11 +430,18 @@ object DailyAnalytics {
       sum(col("x") * col("x")).as("sxx"),
       sum(col("y") * col("y")).as("syy"))
       .filter(col("n_days") >= minDays)
+    // FINAL per-pair scalars in DECIMAL(38,0) (the [[marketBeta]]
+    // rule): sx² reaches ~n²·y_max² ≈ 3.6·10²¹ on this data's extreme
+    // synthetic "returns" — past Long — and the composite scale probe
+    // hit it (ARITHMETIC_OVERFLOW at 10× the pair count). Only the
+    // PAIR-grain rows pay the decimal cost; the S²·D hot-path sums
+    // above stay long.
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     g.select(col("s1"), col("s2"), col("n_days"),
-      r4((col("n_days") * col("sxy") - col("sx") * col("sy")) /
+      r4((dec(col("n_days")) * col("sxy") - dec(col("sx")) * col("sy")).cast("double") /
         nullifZero(
-          sqrt((col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double")) *
-          sqrt((col("n_days") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          sqrt((dec(col("n_days")) * col("sxx") - dec(col("sx")) * col("sx")).cast("double")) *
+          sqrt((dec(col("n_days")) * col("syy") - dec(col("sy")) * col("sy")).cast("double"))))
         .as("return_corr"))
   }
 

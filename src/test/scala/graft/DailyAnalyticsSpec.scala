@@ -763,4 +763,90 @@ class DailyAnalyticsSpec extends AnyFunSpec {
       }
     }
   }
+
+  describe("mannWhitneySplit") {
+    it("matches the hand-computed U and z for a clean half-shift") {
+      // first half {1,2,3,4}%, second half {10,20,30,40}%: every
+      // first-half return ranks below every second-half one, so
+      // R1 = 1+2+3+4, U1 = 0, AUC = 0, z = -16/(2*sqrt(16/3*9))
+      val rows = (1 to 8).map { i =>
+        val r = if (i <= 4) i.toDouble else i * 10.0 - 40.0
+        ("A", f"2024-01-$i%02d", r)
+      }
+      val got = DailyAnalytics.mannWhitneySplit(
+        rows.toDF("symbol", "trade_date", "daily_return_pct"), minDays = 4)
+        .collect()
+      assert(got.length == 1)
+      val r = got.head
+      assert(r.getAs[Long]("n1") == 4 && r.getAs[Long]("n2") == 4)
+      assert(r.getAs[Long]("u2") == 0)
+      assert(r.getAs[Double]("auc") == 0.0)
+      assert(r.getAs[Double]("z") == -1.1547)
+    }
+    it("all-tied values give AUC 1/2 and a NULL z, not a crash") {
+      val rows = (1 to 8).map(i => ("A", f"2024-01-$i%02d", 5.0))
+      val got = DailyAnalytics.mannWhitneySplit(
+        rows.toDF("symbol", "trade_date", "daily_return_pct"), minDays = 4)
+        .collect().head
+      assert(got.getAs[Double]("auc") == 0.5)
+      assert(got.isNullAt(got.fieldIndex("z")))
+    }
+  }
+
+  describe("spearmanVsMarket") {
+    it("a symbol identical to the market scores rho = 1") {
+      // two identical symbols: the equal-weight index IS each series
+      val rows = for (s <- Seq("A", "B"); i <- 1 to 5)
+        yield (s, f"2024-01-$i%02d", i.toDouble)
+      val got = DailyAnalytics.spearmanVsMarket(
+        rows.toDF("symbol", "trade_date", "daily_return_pct"), minDays = 5)
+        .collect()
+      assert(got.length == 2)
+      got.foreach(r => assert(r.getAs[Double]("rho") == 1.0))
+    }
+    it("a monotone but non-linear tracker still scores rho = 1 (where beta would not)") {
+      // symbol B = cube of symbol A's return: same ranks, rho = 1
+      val rows = (1 to 6).flatMap { i =>
+        Seq(("A", f"2024-01-$i%02d", i.toDouble),
+            ("B", f"2024-01-$i%02d", i * i * i / 10.0))
+      }
+      val got = DailyAnalytics.spearmanVsMarket(
+        rows.toDF("symbol", "trade_date", "daily_return_pct"), minDays = 6)
+        .collect()
+      got.foreach(r => assert(r.getAs[Double]("rho") == 1.0,
+        s"${r.getAs[String]("symbol")} rho ${r.getAs[Double]("rho")}"))
+    }
+  }
+
+  describe("theilSenTrend") {
+    it("recovers an exact linear trend and shrugs off one outlier") {
+      // p = 100 + 2*day dollars, with day 6 corrupted: 45 of 55 pair
+      // slopes are untouched, so the median slope stays 2.00 and the
+      // median residual stays 100.00
+      val rows = (1 to 11).map { i =>
+        val p = if (i == 6) 500.0 else 100.0 + 2.0 * i
+        ("A", f"2024-01-$i%02d", p)
+      }
+      val got = DailyAnalytics.theilSenTrend(
+        rows.toDF("symbol", "trade_date", "close_price"), window = 60, minDays = 10)
+        .collect()
+      assert(got.length == 1)
+      val r = got.head
+      assert(r.getAs[Long]("n_days") == 11 && r.getAs[Long]("n_pairs") == 55)
+      assert(r.getAs[Double]("slope") == 2.0, s"slope ${r.getAs[Double]("slope")}")
+      assert(r.getAs[Double]("intercept") == 100.0)
+    }
+    it("windows to the LAST n bars (early history ignored)") {
+      // 70 bars: first 10 flat at 500, last 60 exactly linear — the
+      // 60-bar window must see only the linear tail
+      val rows = (1 to 70).map { i =>
+        val p = if (i <= 10) 500.0 else 10.0 + 1.5 * (i - 10)
+        ("A", java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)).toString, p)
+      }
+      val got = DailyAnalytics.theilSenTrend(
+        rows.toDF("symbol", "trade_date", "close_price")).collect().head
+      assert(got.getAs[Long]("n_days") == 60)
+      assert(got.getAs[Double]("slope") == 1.5)
+    }
+  }
 }
