@@ -2888,6 +2888,83 @@ object OracleSql {
     // via 2·avgrank = 2·rank + ties − 1, doubled statistic
     // u2 = 2R1 − n1(n1+1) exact, tie-corrected normal z (NULL when
     // every value ties), AUC = U1/(n1·n2)
+    // mirrors DailyAnalytics.varianceRatio (q=5): n-scaled integer
+    // second moments over close-difference series at lags 1 and 5,
+    // one fixed division tree for VR and the homoskedastic z
+    "q_variance_ratio" ->
+      s"""${dailyChain("bars")},
+         |p AS (SELECT symbol, trade_date, ${sc("close_price", 2)} AS p FROM bars),
+         |d AS (
+         |  SELECT symbol,
+         |    p - LAG(p, 1) OVER w AS x,
+         |    p - LAG(p, 5) OVER w AS y
+         |  FROM p WINDOW w AS (PARTITION BY symbol ORDER BY trade_date)
+         |),
+         |g AS (
+         |  SELECT symbol,
+         |    CAST(SUM(CASE WHEN x IS NOT NULL THEN 1 END) AS BIGINT) AS n1,
+         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sxx,
+         |    CAST(SUM(CASE WHEN y IS NOT NULL THEN 1 END) AS BIGINT) AS n2,
+         |    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(y * y) AS BIGINT) AS syy
+         |  FROM d GROUP BY symbol
+         |),
+         |v AS (
+         |  SELECT symbol, n1,
+         |    CAST(n1 * sxx - sx * sx AS DOUBLE) / CAST(n1 * n1 AS DOUBLE) AS varx,
+         |    CAST(n2 * syy - sy * sy AS DOUBLE) / CAST(n2 * n2 AS DOUBLE) AS vary
+         |  FROM g WHERE n1 >= 30 AND n2 >= 30
+         |),
+         |r AS (
+         |  SELECT symbol, n1 AS n_days,
+         |    ${rd("vary / 5.0 / NULLIF(varx, 0)", 4)} AS vr
+         |  FROM v
+         |)
+         |SELECT symbol, n_days, vr,
+         |  ${rd("(vr - 1.0) * sqrt(CAST(n_days AS DOUBLE) / 8.0)", 4)} AS z,
+         |  CASE WHEN vr < 1.0 THEN 'mean_reverting'
+         |       WHEN vr > 1.0 THEN 'trending'
+         |       ELSE 'random_walk' END AS regime
+         |FROM r ORDER BY symbol""".stripMargin,
+
+    // mirrors DailyAnalytics.pageHinkley (lambda=50000): fully
+    // integer — running mean FLOOR(S/i), cumulative deviation g,
+    // running max of g, alarm statistic PH = max(g) − g
+    "q_page_hinkley" ->
+      s"""${dailyChain("returns")},
+         |x AS (
+         |  SELECT symbol, trade_date, ${sc4("daily_return_pct")} AS x
+         |  FROM returns WHERE daily_return_pct IS NOT NULL
+         |),
+         |s1 AS (
+         |  SELECT symbol, trade_date, x,
+         |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS i,
+         |    CAST(SUM(x) OVER w AS BIGINT) AS s
+         |  FROM x WINDOW w AS (PARTITION BY symbol ORDER BY trade_date
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |),
+         |s2 AS (
+         |  SELECT symbol, trade_date,
+         |    x - CAST(FLOOR(CAST(s AS DOUBLE) / CAST(i AS DOUBLE)) AS BIGINT) AS dev
+         |  FROM s1
+         |),
+         |s3 AS (
+         |  SELECT symbol, trade_date,
+         |    CAST(SUM(dev) OVER w AS BIGINT) AS g
+         |  FROM s2 WINDOW w AS (PARTITION BY symbol ORDER BY trade_date
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |),
+         |s4 AS (
+         |  SELECT symbol, trade_date,
+         |    CAST(MAX(g) OVER w AS BIGINT) - g AS ph
+         |  FROM s3 WINDOW w AS (PARTITION BY symbol ORDER BY trade_date
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |)
+         |SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_days,
+         |  MAX(ph) AS max_ph,
+         |  CAST(SUM(CASE WHEN ph > 50000 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarm_days,
+         |  MIN(CASE WHEN ph > 50000 THEN trade_date END) AS first_alarm_date
+         |FROM s4 GROUP BY symbol ORDER BY symbol""".stripMargin,
+
     "q_mann_whitney" ->
       s"""${dailyChain("returns")},
          |r AS (
@@ -4424,6 +4501,72 @@ object OracleSql {
          |  CASE WHEN u % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind
          |FROM e$rounds GROUP BY u ORDER BY id""".stripMargin
     },
+
+    // mirrors Graph.hits (iters=2, no per-round normalization): pure
+    // integer message passing a=Σh, h=Σa from h0=1 unrolled two
+    // rounds (DuckDB SUM(BIGINT) promotes to HUGEINT — the oracle's
+    // stand-in for the engine's DECIMAL(38,0) sums), then one final
+    // share division rounded to 6 dp
+    "q_hits" ->
+      s"""WITH e AS (
+        |  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
+        |    CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |a1 AS (SELECT e.dst AS id, SUM(1) AS a FROM e GROUP BY e.dst),
+        |auth1 AS (SELECT n.id, COALESCE(a1.a, 0) AS a
+        |  FROM nodes n LEFT JOIN a1 ON n.id = a1.id),
+        |h1 AS (SELECT e.src AS id, SUM(x.a) AS h FROM e JOIN auth1 x ON e.dst = x.id
+        |  GROUP BY e.src),
+        |hub1 AS (SELECT n.id, COALESCE(h1.h, 0) AS h
+        |  FROM nodes n LEFT JOIN h1 ON n.id = h1.id),
+        |a2 AS (SELECT e.dst AS id, SUM(x.h) AS a FROM e JOIN hub1 x ON e.src = x.id
+        |  GROUP BY e.dst),
+        |auth2 AS (SELECT n.id, COALESCE(a2.a, 0) AS a
+        |  FROM nodes n LEFT JOIN a2 ON n.id = a2.id),
+        |h2 AS (SELECT e.src AS id, SUM(x.a) AS h FROM e JOIN auth2 x ON e.dst = x.id
+        |  GROUP BY e.src),
+        |hub2 AS (SELECT n.id, COALESCE(h2.h, 0) AS h
+        |  FROM nodes n LEFT JOIN h2 ON n.id = h2.id),
+        |tot AS (SELECT (SELECT SUM(h) FROM hub2) AS th, (SELECT SUM(a) FROM auth2) AS ta)
+        |SELECT h.id,
+        |  ${rd("CAST(h.h AS DOUBLE) / CAST(t.th AS DOUBLE)", 6)} AS hub_share,
+        |  ${rd("CAST(a.a AS DOUBLE) / CAST(t.ta AS DOUBLE)", 6)} AS auth_share,
+        |  CASE WHEN h.id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind
+        |FROM hub2 h JOIN auth2 a ON h.id = a.id CROSS JOIN tot t
+        |ORDER BY auth_share DESC, h.id LIMIT 20""".stripMargin,
+
+    // mirrors Graph.adamicAdar (cap=64) over the part co-purchase
+    // graph: apex-centered wedges from nodes with 2 <= deg <= cap,
+    // per-apex weight FLOOR(1e6/ln(deg)) as an exact long BEFORE the
+    // sum, anti join removes already-present edges
+    "q_link_predict" ->
+      """WITH raw AS (
+        |  SELECT u, v FROM (
+        |    SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS n
+        |    FROM lineitem a JOIN lineitem b
+        |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |    GROUP BY a.l_partkey, b.l_partkey)
+        |  WHERE n >= 2),
+        |und AS (SELECT DISTINCT LEAST(CAST(u AS BIGINT), CAST(v AS BIGINT)) AS u,
+        |    GREATEST(CAST(u AS BIGINT), CAST(v AS BIGINT)) AS v FROM raw),
+        |sym AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+        |deg AS (SELECT u AS w, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY u),
+        |apex AS (
+        |  SELECT s.u AS w, s.v AS n,
+        |    CAST(FLOOR(1000000.0 / ln(CAST(d.deg AS DOUBLE))) AS BIGINT) AS wgt
+        |  FROM sym s JOIN deg d ON s.u = d.w
+        |  WHERE d.deg <= 64 AND d.deg >= 2),
+        |wedges AS (
+        |  SELECT x.n AS a, y.n AS b, x.wgt
+        |  FROM apex x JOIN apex y ON x.w = y.w AND x.n < y.n),
+        |scored AS (
+        |  SELECT a AS u, b AS v, CAST(SUM(wgt) AS BIGINT) AS score,
+        |    CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM wedges GROUP BY a, b)
+        |SELECT s.u, s.v, s.score, s.n_common FROM scored s
+        |WHERE NOT EXISTS (SELECT 1 FROM und e WHERE e.u = s.u AND e.v = s.v)
+        |ORDER BY s.score DESC, s.u, s.v LIMIT 50""".stripMargin,
 
     "q_triangles" ->
       """WITH raw AS (

@@ -2097,6 +2097,19 @@ object SparkEntry {
       DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
       .orderBy("symbol")
 
+  /** Lo–MacKinlay variance-ratio random-walk screen per symbol:
+    * VR(5) over scaled close differences, exact second moments. */
+  private def qVarianceRatio(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.varianceRatio(Adapters.dailyBars(s, dir))
+      .orderBy("symbol")
+
+  /** Page–Hinkley sequential changepoint per symbol: integer-exact
+    * drawdown-direction alarm statistic over scaled daily returns. */
+  private def qPageHinkley(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.pageHinkley(
+      DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+      .orderBy("symbol")
+
   /** Lorenz curve of customer revenue at decile grain — "top decile
     * holds X%" via the distributed closed-form ntile. */
   private def qLorenz(s: SparkSession, dir: String): DataFrame =
@@ -2421,6 +2434,40 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** HITS hubs/authorities over the DIRECTED customer→supplier
+    * purchase graph: customers that buy from many well-bought-from
+    * suppliers are hubs; suppliers bought by many broad customers are
+    * authorities — the query-dependent companion to [[qPagerank]]'s
+    * global rank, exact-integer through the final share division. */
+  private def qHits(s: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, dir).select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
+        "o_orderkey")
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    Graph.hits(edges, "a", "b", iters = 2)
+      .withColumn("kind",
+        when(col("id") % 2 === 0, lit("customer")).otherwise(lit("supplier")))
+      .orderBy(col("auth_share").desc, col("id"))
+      .limit(20)
+  }
+
+  /** Degree-capped Adamic-Adar link prediction over the part
+    * co-purchase graph: which part pairs that have NOT co-occurred in
+    * any order are most likely to, by weighted common neighbors. */
+  private def qLinkPredict(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("p2")), "l_orderkey")
+      .filter(col("l_partkey") < col("p2"))
+      .groupBy(col("l_partkey").as("u"), col("p2").as("v"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+    Graph.adamicAdar(pairs, "u", "v", cap = 64)
+      .orderBy(col("score").desc, col("u"), col("v"))
+      .limit(50)
+  }
+
   private def qTriangles(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
     val pairs = li
@@ -2644,6 +2691,8 @@ object SparkEntry {
     "q_semi_anti" -> (qSemiAnti _),
     "q_triangles" -> (qTriangles _),
     "q_kcore" -> (qKcore _),
+    "q_hits" -> (qHits _),
+    "q_link_predict" -> (qLinkPredict _),
     "q_communities" -> (qCommunities _),
     "q_ngram_lm" -> (qNgramLm _),
     "q_vocab_coverage" -> (qVocabCoverage _),
@@ -2666,6 +2715,8 @@ object SparkEntry {
     "q_gini" -> (qGini _),
     "q_ks_test" -> (qKsTest _),
     "q_mann_whitney" -> (qMannWhitney _),
+    "q_variance_ratio" -> (qVarianceRatio _),
+    "q_page_hinkley" -> (qPageHinkley _),
     "q_theil_sen" -> (qTheilSen _),
     "q_spearman_market" -> (qSpearmanMarket _),
     "q_lorenz" -> (qLorenz _),

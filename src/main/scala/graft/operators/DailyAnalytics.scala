@@ -1125,6 +1125,81 @@ object DailyAnalytics {
           4).as("z"))
   }
 
+  /** Lo–MacKinlay variance-ratio random-walk test per symbol, in the
+    * price-difference form: with p the scaled close and q the
+    * aggregation horizon, x_t = p_t − p_{t−1} and y_t = p_t − p_{t−q}
+    * (overlapping), VR = (Var y / q) / Var x. Under a random walk
+    * VR ≈ 1; VR < 1 flags mean reversion, VR > 1 momentum (Lo &
+    * MacKinlay, Rev. Financial Studies 1988). Exactness discipline:
+    * both second moments stay in the n-scaled integer form
+    * n·Σd² − (Σd)² — exact longs, order-free — and only the final
+    * ratio (a fixed division tree over exact-long-valued doubles)
+    * rounds through rd(4). The homoskedastic z = (VR−1)·√(n/(2(q−1)))
+    * rides the same rounded VR. Shape: two lag windows per symbol +
+    * one partial-aggregable rollup — S·D grain, no self-join. */
+  def varianceRatio(bars: DataFrame, q: Int = 5, minDays: Int = 30): DataFrame = {
+    require(q >= 2, "varianceRatio: q must be >= 2")
+    val w = Window.partitionBy("symbol").orderBy("trade_date")
+    val p = bars.select(col("symbol"), col("trade_date"),
+      scaled(col("close_price"), 2).as("p"))
+    val d = p
+      .withColumn("x", col("p") - lag(col("p"), 1).over(w))
+      .withColumn("y", col("p") - lag(col("p"), q).over(w))
+    val g = d.groupBy("symbol").agg(
+      sum(when(col("x").isNotNull, 1L)).as("n1"),
+      sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+      sum(when(col("y").isNotNull, 1L)).as("n2"),
+      sum(col("y")).as("sy"), sum(col("y") * col("y")).as("syy"))
+    g.filter(col("n1") >= minDays && col("n2") >= minDays)
+      .withColumn("varx",
+        (col("n1") * col("sxx") - col("sx") * col("sx")).cast("double") /
+          (col("n1") * col("n1")).cast("double"))
+      .withColumn("vary",
+        (col("n2") * col("syy") - col("sy") * col("sy")).cast("double") /
+          (col("n2") * col("n2")).cast("double"))
+      .withColumn("vr", rd(col("vary") / lit(q.toDouble) / nullifZero(col("varx")), 4))
+      .select(col("symbol"), col("n1").as("n_days"), col("vr"),
+        rd((col("vr") - 1.0) *
+          sqrt(col("n1").cast("double") / (2.0 * (q - 1))), 4).as("z"),
+        when(col("vr") < 1.0, lit("mean_reverting"))
+          .when(col("vr") > 1.0, lit("trending"))
+          .otherwise(lit("random_walk")).as("regime"))
+  }
+
+  /** Page–Hinkley changepoint detector per symbol (Page, Biometrika
+    * 1954; Hinkley 1971), drawdown direction: over scaled returns
+    * x_i, the cumulative deviation from the RUNNING mean
+    * g_t = Σ_{i≤t} (x_i − ⌊S_i/i⌋) and the alarm statistic
+    * PH_t = (max_{j≤t} g_j) − g_t, which exceeds `lambda` when the
+    * return process shifts persistently DOWN from its own history —
+    * the sequential cousin of [[cusumChangepoint]]'s fixed-reference
+    * scan. FULLY integer: the running mean floors through
+    * FLOOR(S/i) (floor, not truncate — engines disagree on negative
+    * integer division, never on FLOOR), so g, the running max, and
+    * PH are exact longs end-to-end; no doubles anywhere. Shape:
+    * three stacked per-symbol prefix windows (sum, running max) and
+    * one rollup — S·D grain. Emits n_days, the peak statistic, alarm
+    * count and first alarm date at threshold `lambda` (scaled 1e4,
+    * i.e. 50000 = 5 return-pct points of persistent shortfall). */
+  def pageHinkley(returns: DataFrame, lambda: Long = 50000L): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy("trade_date")
+    val pre = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val x = returns.filter(col("daily_return_pct").isNotNull)
+      .select(col("symbol"), col("trade_date"),
+        scaled(col("daily_return_pct"), 4).as("x"))
+    x.withColumn("i", row_number().over(w))
+      .withColumn("s", sum(col("x")).over(pre))
+      .withColumn("dev",
+        col("x") - floor(col("s").cast("double") / col("i").cast("double")).cast("long"))
+      .withColumn("g", sum(col("dev")).over(pre))
+      .withColumn("ph", max(col("g")).over(pre) - col("g"))
+      .groupBy("symbol").agg(
+        count(lit(1)).as("n_days"),
+        max(col("ph")).as("max_ph"),
+        sum(when(col("ph") > lambda, 1L).otherwise(0L)).as("n_alarm_days"),
+        min(when(col("ph") > lambda, col("trade_date"))).as("first_alarm_date"))
+  }
+
   /** Minimum-variance two-asset portfolio (Markowitz closed form):
     * for the two lexicographically-first symbols, the no-shorting
     * weight w* = clamp((σ²_b − σ_ab) / (σ²_a + σ²_b − 2σ_ab), 0, 1)

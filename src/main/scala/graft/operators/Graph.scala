@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.functions.Funcs.rd
 import graft.sources.Staging.Snapshottable
 
 /** Link-analysis operators over relational edge lists.
@@ -154,6 +155,96 @@ object Graph {
         .snapshot()
     }
     labels
+  }
+
+  /** Fixed-iteration HITS hubs/authorities (Kleinberg, JACM 1999) in
+    * EXACT arithmetic: with per-round L1 normalization dropped (a
+    * positive scalar per round, so the RANKING after a fixed number
+    * of rounds is identical), the recurrences
+    * a⁽ⁱ⁾(v) = Σ_{u→v} h⁽ⁱ⁻¹⁾(u), h⁽ⁱ⁾(u) = Σ_{u→v} a⁽ⁱ⁾(v) from
+    * h⁽⁰⁾ = 1 are pure integer message passing — no doubles until the
+    * final share division, so results are aggregation-order-free.
+    * Magnitudes grow like deg^(2·iters); sums run in DECIMAL(38,0)
+    * (overflow-safe past 10¹⁸-edge graphs where BIGINT message sums
+    * would wrap). Scale shape mirrors [[pageRankScaled]]: each round
+    * is two equi-join shuffles + partial-aggregable grouped sums,
+    * linear in |E|; the final `hub_share`/`auth_share` divide each
+    * score by the global total (one 1-row broadcast) — a single
+    * division of two exact decimals, rounded to 6 dp.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int = 2): DataFrame = {
+    require(iters >= 1, "hits: iters must be >= 1")
+    val dec = "CAST(1 AS DECIMAL(38,0))"
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+      .distinct()
+      .snapshot() // reused in every half-round
+    val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+      .distinct().snapshot()
+    var hubs = nodes.select(col("id"), expr(dec).as("h"))
+    var auths: DataFrame = null
+    for (i <- 1 to iters) {
+      val a = e.join(hubs.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(sum(col("h")).as("a"))
+      auths = nodes.join(a, Seq("id"), "left")
+        .select(col("id"), coalesce(col("a"), expr("CAST(0 AS DECIMAL(38,0))")).as("a"))
+        .snapshot() // feeds the hub half-round AND the final output
+      val h = e.join(auths.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id")).agg(sum(col("a")).as("h"))
+      hubs = nodes.join(h, Seq("id"), "left")
+        .select(col("id"), coalesce(col("h"), expr("CAST(0 AS DECIMAL(38,0))")).as("h"))
+      if (i < iters) hubs = hubs.snapshot()
+    }
+    val totals = hubs.join(auths, "id")
+      .agg(sum(col("h")).as("th"), sum(col("a")).as("ta"))
+    hubs.join(auths, "id").crossJoin(broadcast(totals))
+      .select(col("id"),
+        rd(col("h").cast("double") / col("th").cast("double"), 6).as("hub_share"),
+        rd(col("a").cast("double") / col("ta").cast("double"), 6).as("auth_share"))
+  }
+
+  /** Degree-capped Adamic-Adar link prediction: for each NON-adjacent
+    * pair (u,v), score = Σ_{w ∈ N(u)∩N(v), deg(w) ≤ cap}
+    * ⌊10⁶ / ln(deg w)⌋ — the classic common-neighbor predictor
+    * (Adamic & Adar, Social Networks 2003) with the one modification
+    * that makes it shuffle-safe at web scale: common neighbors ABOVE
+    * the degree cap are excluded BY THE OPERATOR'S SEMANTICS (their
+    * 1/ln(deg) weight is the smallest anyway — a 10⁸-degree hub says
+    * almost nothing about any one pair), so wedge fan-out per apex is
+    * ≤ cap², never the celebrity-node quadratic that uncapped AA
+    * requires. Weights round through FLOOR to scaled longs BEFORE the
+    * sum, so per-pair scores are exact integer sums — order-free.
+    * Candidate pairs that are already edges are removed by one anti
+    * join against the undirected edge set. Returns (u, v, score,
+    * n_common) for predicted links.
+    */
+  def adamicAdar(edges: DataFrame, srcCol: String, dstCol: String,
+                 cap: Int = 64): DataFrame = {
+    require(cap >= 2, "adamicAdar: cap must be >= 2")
+    val raw = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+    val und = raw
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .distinct()
+      .snapshot() // degree count, wedge join (twice), anti join
+    val sym = und.union(und.select(col("v").as("u"), col("u").as("v")))
+    val deg = sym.groupBy(col("u").as("w")).agg(count(lit(1)).as("deg"))
+    // apex-centered adjacency, capped: only apexes with deg <= cap
+    // generate wedges, and their weight is fixed per apex
+    val apex = sym.select(col("u").as("w"), col("v").as("n"))
+      .join(deg.filter(col("deg") <= cap && col("deg") >= 2), "w")
+      .withColumn("wgt", floor(lit(1000000.0) / log(col("deg").cast("double")))
+        .cast("long"))
+      .snapshot() // both sides of the wedge self-join
+    val wedges = apex.select(col("w"), col("n").as("a"), col("wgt"))
+      .join(apex.select(col("w"), col("n").as("b")), "w")
+      .filter(col("a") < col("b"))
+    val scored = wedges.groupBy(col("a").as("u"), col("b").as("v"))
+      .agg(sum(col("wgt")).as("score"), count(lit(1)).as("n_common"))
+    scored.join(und, Seq("u", "v"), "left_anti")
   }
 
   /** Bounded-round k-core peeling: repeatedly drop nodes whose degree
