@@ -1564,6 +1564,60 @@ object OracleSql {
     // 0, then 248 nibbles (low first) extend the list. Stateful codec
     // == order-sensitive oracle: one wrong table entry desyncs all
     // later samples.
+    // mirrors Multimodal.wavelet53Features (step=16) over the 64-sample
+    // PCM16 series: LeGall 5/3 lifting as windows, FLOOR-form halves
+    // and quarters (engines agree on FLOOR, not on negative integer
+    // division), mid-tread quantizer dq = FLOOR((d+8)/16)*16,
+    // decoder-order reconstruction (evens from s,dq; odds from dq,xe)
+    "q_audio_wavelet" ->
+      s"""WITH pay AS (
+         |  SELECT doc_id AS media_id,
+         |    md5(text) || md5(text || '1') || md5(text || '2') || md5(text || '3') ||
+         |    md5(text || '4') || md5(text || '5') || md5(text || '6') || md5(text || '7') AS hx
+         |  FROM documents),
+         |sm AS (SELECT media_id, unnest(range(0, 64)) AS i, hx FROM pay),
+         |sx AS (
+         |  SELECT media_id, i,
+         |    CASE WHEN lo + 256 * hi >= 32768 THEN lo + 256 * hi - 65536
+         |         ELSE lo + 256 * hi END AS x
+         |  FROM (SELECT media_id, i,
+         |      ('0x' || substr(hx, CAST(i * 4 + 1 AS INTEGER), 2))::BIGINT AS lo,
+         |      ('0x' || substr(hx, CAST(i * 4 + 3 AS INTEGER), 2))::BIGINT AS hi
+         |    FROM sm)),
+         |p0 AS (
+         |  SELECT media_id, i // 2 AS k,
+         |    MAX(CASE WHEN i % 2 = 0 THEN x END) AS x0,
+         |    MAX(CASE WHEN i % 2 = 1 THEN x END) AS x1
+         |  FROM sx GROUP BY media_id, i // 2),
+         |l1 AS (SELECT media_id, k, x0, x1, COALESCE(LEAD(x0) OVER w, x0) AS x2
+         |  FROM p0 WINDOW w AS (PARTITION BY media_id ORDER BY k)),
+         |l2 AS (SELECT *, x1 - CAST(FLOOR(CAST(x0 + x2 AS DOUBLE) / 2.0) AS BIGINT) AS d
+         |  FROM l1),
+         |l3 AS (SELECT *, COALESCE(LAG(d) OVER w, d) AS dm
+         |  FROM l2 WINDOW w AS (PARTITION BY media_id ORDER BY k)),
+         |l4 AS (SELECT *,
+         |    x0 + CAST(FLOOR(CAST(dm + d + 2 AS DOUBLE) / 4.0) AS BIGINT) AS s,
+         |    CAST(FLOOR(CAST(d + 8 AS DOUBLE) / 16.0) AS BIGINT) * 16 AS dq
+         |  FROM l3),
+         |l5 AS (SELECT *, COALESCE(LAG(dq) OVER w, dq) AS dqm
+         |  FROM l4 WINDOW w AS (PARTITION BY media_id ORDER BY k)),
+         |l6 AS (SELECT *,
+         |    s - CAST(FLOOR(CAST(dqm + dq + 2 AS DOUBLE) / 4.0) AS BIGINT) AS xe
+         |  FROM l5),
+         |l7 AS (SELECT *, COALESCE(LEAD(xe) OVER w, xe) AS xe2
+         |  FROM l6 WINDOW w AS (PARTITION BY media_id ORDER BY k)),
+         |l8 AS (SELECT *,
+         |    dq + CAST(FLOOR(CAST(xe + xe2 AS DOUBLE) / 2.0) AS BIGINT) AS xo
+         |  FROM l7)
+         |SELECT media_id, CAST(COUNT(*) * 2 AS BIGINT) AS n_samples,
+         |  CAST(SUM(s * s) AS BIGINT) AS energy_s,
+         |  CAST(SUM(d * d) AS BIGINT) AS energy_d,
+         |  ${rd("CAST(SUM(s * s) AS DOUBLE) / NULLIF(CAST(SUM(s * s) + SUM(d * d) AS DOUBLE), 0)", 6)} AS compaction,
+         |  CAST(MAX(ABS(xe - x0)) AS BIGINT) AS max_err_even,
+         |  CAST(MAX(ABS(xo - x1)) AS BIGINT) AS max_err_odd,
+         |  CAST(SUM((xe - x0) * (xe - x0) + (xo - x1) * (xo - x1)) AS BIGINT) AS sse
+         |FROM l8 GROUP BY media_id ORDER BY media_id""".stripMargin,
+
     "q_audio_adpcm" ->
       s"""WITH pay AS (
          |  SELECT doc_id AS media_id,
@@ -2813,6 +2867,198 @@ object OracleSql {
     // mirrors DailyAnalytics.spearmanVsMarket: exact floor market
     // index, doubled average ranks (2·rank + ties − 1) within each
     // symbol panel, Pearson over the doubled ranks
+    // mirrors Sampling.hashBootstrapCi (B=20): Poisson(1) inverse-CDF
+    // weights from hash60(symbol|date|rep) % 1e6 against integer
+    // thresholds, exact scaled-long replicate means, quantile_cont CI
+    "q_hash_bootstrap" ->
+      s"""${dailyChain("returns")},
+         |r AS (SELECT symbol, CAST(trade_date AS VARCHAR) AS unit,
+         |    ${sc4("daily_return_pct")} AS v4
+         |  FROM returns WHERE daily_return_pct IS NOT NULL),
+         |wr AS (SELECT symbol, unit, v4, unnest(range(0, 20)) AS rep FROM r),
+         |hh AS (SELECT symbol, rep, v4,
+         |    ${h60("symbol || '|' || unit || '|' || CAST(rep AS VARCHAR)")} % 1000000 AS h
+         |  FROM wr),
+         |w AS (SELECT symbol, rep, v4,
+         |    CASE WHEN h < 367879 THEN 0 WHEN h < 735758 THEN 1
+         |         WHEN h < 919698 THEN 2 WHEN h < 981011 THEN 3
+         |         WHEN h < 996340 THEN 4 ELSE 5 END AS w
+         |  FROM hh),
+         |rm AS (SELECT symbol, rep,
+         |    CAST(SUM(w * v4) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) / 10000.0 AS m
+         |  FROM w GROUP BY symbol, rep HAVING SUM(w) > 0),
+         |pt AS (SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_units,
+         |    CAST(SUM(v4) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 10000.0 AS mean0
+         |  FROM r GROUP BY symbol),
+         |ci AS (SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_reps,
+         |    quantile_cont(m, 0.025) AS lo, quantile_cont(m, 0.975) AS hi
+         |  FROM rm GROUP BY symbol)
+         |SELECT pt.symbol, n_units, n_reps,
+         |  ${rd("mean0", 4)} AS mean, ${rd("lo", 4)} AS ci_lo, ${rd("hi", 4)} AS ci_hi
+         |FROM pt JOIN ci USING (symbol) ORDER BY pt.symbol""".stripMargin,
+
+    // mirrors DailyAnalytics.dimsonBeta: exact-long moment sums over
+    // (x_t, x_{t-1}, y), 3x3 Cramer solve in fixed double trees
+    "q_dimson_beta" ->
+      s"""${dailyChain("returns")},
+         |r AS (SELECT symbol, trade_date, ${sc4("daily_return_pct")} AS y
+         |  FROM returns WHERE daily_return_pct IS NOT NULL),
+         |mkt AS (SELECT trade_date,
+         |    CAST(FLOOR(SUM(y) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS x
+         |  FROM r GROUP BY trade_date),
+         |lagged AS (
+         |  SELECT * FROM (
+         |    SELECT r.symbol, y, x,
+         |      LAG(x) OVER (PARTITION BY r.symbol ORDER BY r.trade_date) AS x1
+         |    FROM r JOIN mkt USING (trade_date))
+         |  WHERE x1 IS NOT NULL),
+         |g AS (
+         |  SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(x) AS BIGINT) AS s0, CAST(SUM(x1) AS BIGINT) AS s1,
+         |    CAST(SUM(y) AS BIGINT) AS sy,
+         |    CAST(SUM(x * x) AS BIGINT) AS s00, CAST(SUM(x * x1) AS BIGINT) AS s01,
+         |    CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+         |    CAST(SUM(x * y) AS BIGINT) AS s0y, CAST(SUM(x1 * y) AS BIGINT) AS s1y
+         |  FROM lagged GROUP BY symbol HAVING COUNT(*) >= 30),
+         |d AS (
+         |  SELECT symbol, n AS n_days,
+         |    CAST(n AS DOUBLE) AS nd, CAST(s0 AS DOUBLE) AS d0, CAST(s1 AS DOUBLE) AS d1,
+         |    CAST(sy AS DOUBLE) AS dy, CAST(s00 AS DOUBLE) AS d00,
+         |    CAST(s01 AS DOUBLE) AS d01, CAST(s11 AS DOUBLE) AS d11,
+         |    CAST(s0y AS DOUBLE) AS d0y, CAST(s1y AS DOUBLE) AS d1y
+         |  FROM g),
+         |k AS (
+         |  SELECT symbol, n_days,
+         |    nd * (d00 * d11 - d01 * d01) - d0 * (d0 * d11 - d01 * d1)
+         |      + d1 * (d0 * d01 - d00 * d1) AS det,
+         |    dy * (d00 * d11 - d01 * d01) - d0 * (d0y * d11 - d01 * d1y)
+         |      + d1 * (d0y * d01 - d00 * d1y) AS det_a,
+         |    nd * (d0y * d11 - d01 * d1y) - dy * (d0 * d11 - d01 * d1)
+         |      + d1 * (d0 * d1y - d0y * d1) AS det_b0,
+         |    nd * (d00 * d1y - d0y * d01) - d0 * (d0 * d1y - d0y * d1)
+         |      + dy * (d0 * d01 - d00 * d1) AS det_b1
+         |  FROM d)
+         |SELECT symbol, n_days,
+         |  ${rd("det_a / NULLIF(det, 0)", 4)} AS alpha,
+         |  ${rd("det_b0 / NULLIF(det, 0)", 4)} AS beta_now,
+         |  ${rd("det_b1 / NULLIF(det, 0)", 4)} AS beta_lag,
+         |  ${rd("(det_b0 + det_b1) / NULLIF(det, 0)", 4)} AS beta_sum
+         |FROM k ORDER BY symbol""".stripMargin,
+
+    // mirrors Cohorts.msprtMonitor (tau=0.1): day-grain cumulative
+    // arm sums as exact longs, pooled population variance from
+    // n-scaled integer moments, fixed sqrt/exp likelihood tree,
+    // running-max Lambda for the anytime p
+    "q_msprt" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS event_time, value FROM events),
+         |daily AS (
+         |  SELECT CAST(event_time AS DATE) AS d,
+         |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb_d,
+         |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na_d,
+         |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN ${sc4("value")} ELSE 0 END) AS BIGINT) AS sb_d,
+         |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN ${sc4("value")} ELSE 0 END) AS BIGINT) AS sa_d
+         |  FROM ev GROUP BY 1),
+         |sig AS (
+         |  SELECT CAST(n * ss - s * s AS DOUBLE) / CAST(n * n AS DOUBLE) / 100000000.0 AS sigma2
+         |  FROM (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         |      CAST(SUM(${sc4("value")}) AS HUGEINT) AS s,
+         |      SUM(CAST(${sc4("value")} AS HUGEINT) * ${sc4("value")}) AS ss
+         |    FROM ev)),
+         |cum AS (
+         |  SELECT d, sigma2,
+         |    CAST(SUM(na_d) OVER w AS BIGINT) AS na,
+         |    CAST(SUM(nb_d) OVER w AS BIGINT) AS nb,
+         |    CAST(SUM(sa_d) OVER w AS BIGINT) AS sa,
+         |    CAST(SUM(sb_d) OVER w AS BIGINT) AS sb
+         |  FROM daily CROSS JOIN sig
+         |  WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |lamt AS (
+         |  SELECT d, na, nb,
+         |    (CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)
+         |      - CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)) / 10000.0 AS delta,
+         |    sqrt(sigma2 / (sigma2 + (CAST(na * nb AS DOUBLE) / CAST(na + nb AS DOUBLE)) * CAST('0.010000000000000002' AS DOUBLE)))
+         |      * exp((CAST(na * nb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+         |          * (CAST(na * nb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+         |          * CAST('0.010000000000000002' AS DOUBLE)
+         |          * ((CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)
+         |              - CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)) / 10000.0)
+         |          * ((CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)
+         |              - CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)) / 10000.0)
+         |          / (2.0 * sigma2 * (sigma2 + (CAST(na * nb AS DOUBLE) / CAST(na + nb AS DOUBLE)) * CAST('0.010000000000000002' AS DOUBLE)))) AS lambda
+         |  FROM cum WHERE na > 0 AND nb > 0),
+         |lm AS (
+         |  SELECT d, na, nb, delta, lambda,
+         |    MAX(lambda) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lam_max
+         |  FROM lamt)
+         |SELECT d AS day, na AS n_ctrl, nb AS n_treat,
+         |  ${rd("delta", 4)} AS delta,
+         |  ${rd("lambda", 4)} AS lambda,
+         |  ${rd("LEAST(1.0, 1.0 / lam_max)", 4)} AS p_always_valid
+         |FROM lm ORDER BY day""".stripMargin,
+
+    // mirrors DailyAnalytics.kendallVsMarket (window=60, minDays=10):
+    // pair signs inside each symbol's 60-row tail, exact
+    // concordant/discordant/tie counts, tau-b with both tie
+    // corrections in one rd(4) division
+    "q_kendall_market" ->
+      s"""${dailyChain("returns")},
+         |r AS (SELECT symbol, trade_date, ${sc4("daily_return_pct")} AS y
+         |  FROM returns WHERE daily_return_pct IS NOT NULL),
+         |mkt AS (SELECT trade_date,
+         |    CAST(FLOOR(SUM(y) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS x
+         |  FROM r GROUP BY trade_date),
+         |tail AS (
+         |  SELECT symbol, rn, x, y FROM (
+         |    SELECT r.symbol, x, y,
+         |      ROW_NUMBER() OVER (PARTITION BY r.symbol ORDER BY r.trade_date DESC) AS rn
+         |    FROM r JOIN mkt USING (trade_date))
+         |  WHERE rn <= 60),
+         |pairs AS (
+         |  SELECT a.symbol,
+         |    CASE WHEN a.x > b.x THEN 1 WHEN a.x < b.x THEN -1 ELSE 0 END AS sx,
+         |    CASE WHEN a.y > b.y THEN 1 WHEN a.y < b.y THEN -1 ELSE 0 END AS sy
+         |  FROM tail a JOIN tail b ON a.symbol = b.symbol AND a.rn < b.rn),
+         |g AS (
+         |  SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n0,
+         |    CAST(SUM(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+         |    CAST(SUM(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+         |    CAST(SUM(CASE WHEN sx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+         |    CAST(SUM(CASE WHEN sy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ty
+         |  FROM pairs GROUP BY symbol HAVING COUNT(*) >= 45)
+         |SELECT symbol, n0 AS n_pairs, nc, nd,
+         |  ${rd("""CAST(nc - nd AS DOUBLE) /
+         |    NULLIF(sqrt(CAST(n0 - tx AS DOUBLE)) * sqrt(CAST(n0 - ty AS DOUBLE)), 0)""", 4)} AS tau_b
+         |FROM g ORDER BY symbol""".stripMargin,
+
+    // mirrors Cohorts.diffInDiff: odd/even user split, midpoint-µs
+    // period split ((min+max)//2 over epoch micros), scaled(4) value
+    // sums, four exact cell means, one rd(4) estimator tree
+    "q_did" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS event_time, value FROM events),
+         |mid AS (SELECT (MIN(epoch_us(event_time)) + MAX(epoch_us(event_time))) // 2 AS mid
+         |  FROM ev),
+         |cells AS (
+         |  SELECT (user_id % 2 = 1) AS treated,
+         |    (epoch_us(event_time) >= mid) AS post,
+         |    CAST(SUM(${sc4("value")}) AS BIGINT) AS s,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM ev CROSS JOIN mid GROUP BY 1, 2),
+         |wide AS (
+         |  SELECT
+         |    MAX(CASE WHEN treated AND post THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0 END) AS treat_post,
+         |    MAX(CASE WHEN treated AND NOT post THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0 END) AS treat_pre,
+         |    MAX(CASE WHEN NOT treated AND post THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0 END) AS ctrl_post,
+         |    MAX(CASE WHEN NOT treated AND NOT post THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0 END) AS ctrl_pre,
+         |    CAST(SUM(n) AS BIGINT) AS n_events
+         |  FROM cells)
+         |SELECT n_events,
+         |  ${rd("treat_pre", 4)} AS treat_pre, ${rd("treat_post", 4)} AS treat_post,
+         |  ${rd("ctrl_pre", 4)} AS ctrl_pre, ${rd("ctrl_post", 4)} AS ctrl_post,
+         |  ${rd("(treat_post - treat_pre) - (ctrl_post - ctrl_pre)", 4)} AS did
+         |FROM wide""".stripMargin,
+
     "q_spearman_market" ->
       s"""${dailyChain("returns")},
          |r AS (SELECT symbol, trade_date, ${sc4("daily_return_pct")} AS y
@@ -4255,6 +4501,106 @@ object OracleSql {
          |SELECT doc_id, CAST(SUM(w) AS BIGINT) AS score, CAST(COUNT(*) AS BIGINT) AS n_query_terms
          |FROM w GROUP BY doc_id
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // mirrors TextAnalysis.rrfFuse over the bm25TopK and tfidfTopK
+    // top-20 lists (same 4-term query): per-system ranks by
+    // (score DESC, doc_id), contribution FLOOR(1e9/(60+rank)) as an
+    // exact long, fused by integer sum
+    // mirrors TextAnalysis.zipfFit (topR=100): per-lang token ranks,
+    // ln(rank)/ln(freq) floor-scaled to exact longs before the five
+    // regression sums, two final rd(4) divisions
+    "q_zipf" ->
+      s"""WITH ex AS (SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents),
+         |freq AS (SELECT lang, t, CAST(COUNT(*) AS BIGINT) AS freq FROM ex GROUP BY lang, t),
+         |ranked AS (
+         |  SELECT lang,
+         |    ${sc("ln(CAST(rnk AS DOUBLE))", 6)} AS x,
+         |    ${sc("ln(CAST(freq AS DOUBLE))", 6)} AS y
+         |  FROM (SELECT lang, freq,
+         |      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY freq DESC, t ASC) AS rnk
+         |    FROM freq)
+         |  WHERE rnk <= 100),
+         |g AS (
+         |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_terms,
+         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |    CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+         |  FROM ranked GROUP BY lang)
+         |SELECT lang, n_terms,
+         |  ${rd("CAST(n_terms * sxy - sx * sy AS DOUBLE) / NULLIF(CAST(n_terms * sxx - sx * sx AS DOUBLE), 0)", 4)} AS slope,
+         |  ${rd("""(CAST(sy AS DOUBLE) / 1000000.0 -
+         |    (CAST(n_terms * sxy - sx * sy AS DOUBLE) / NULLIF(CAST(n_terms * sxx - sx * sx AS DOUBLE), 0))
+         |    * CAST(sx AS DOUBLE) / 1000000.0) / CAST(n_terms AS DOUBLE)""", 4)} AS intercept
+         |FROM g ORDER BY lang""".stripMargin,
+
+    // mirrors TextAnalysis.jsDivergence over source token
+    // distributions: corpus-vocab × source grain via LEFT JOIN,
+    // pooled per-token JS contribution floor-scaled(12) to an exact
+    // long before the per-source sum, absent tokens contribute q
+    "q_js_divergence" ->
+      s"""WITH tok AS (SELECT source AS grp, unnest(string_split(text, ' ')) AS t FROM documents),
+         |gt AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_g FROM tok GROUP BY grp),
+         |cq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c_q FROM tok GROUP BY t),
+         |nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_q FROM tok),
+         |gc AS (SELECT grp, t, CAST(COUNT(*) AS BIGINT) AS c_p FROM tok GROUP BY grp, t),
+         |full0 AS (
+         |  SELECT gt.grp, gt.n_g, nq.n_q, cq.c_q, COALESCE(gc.c_p, 0) AS c_p
+         |  FROM cq CROSS JOIN nq CROSS JOIN gt
+         |  LEFT JOIN gc ON gc.grp = gt.grp AND gc.t = cq.t),
+         |c AS (
+         |  SELECT grp, c_p,
+         |    ${sc(
+               """CASE WHEN c_p = 0 THEN CAST(c_q AS DOUBLE) / CAST(n_q AS DOUBLE)
+                 |      ELSE (CAST(c_p AS DOUBLE) / CAST(n_g AS DOUBLE))
+                 |             * log2(2.0 * (CAST(c_p AS DOUBLE) / CAST(n_g AS DOUBLE))
+                 |               / ((CAST(c_p AS DOUBLE) / CAST(n_g AS DOUBLE)) + (CAST(c_q AS DOUBLE) / CAST(n_q AS DOUBLE))))
+                 |           + (CAST(c_q AS DOUBLE) / CAST(n_q AS DOUBLE))
+                 |             * log2(2.0 * (CAST(c_q AS DOUBLE) / CAST(n_q AS DOUBLE))
+                 |               / ((CAST(c_p AS DOUBLE) / CAST(n_g AS DOUBLE)) + (CAST(c_q AS DOUBLE) / CAST(n_q AS DOUBLE))))
+                 |      END""".stripMargin, 12)} AS c12
+         |  FROM full0)
+         |SELECT grp AS source, CAST(COUNT(*) AS BIGINT) AS n_vocab,
+         |  CAST(SUM(CASE WHEN c_p > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         |  ${rd("CAST(SUM(c12) AS DOUBLE) / 2000000000000.0", 6)} AS js_bits
+         |FROM c GROUP BY grp ORDER BY source""".stripMargin,
+
+    "q_rrf_fusion" ->
+      s"""WITH ex0 AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+         |    unnest(string_split(text, ' ')) AS t
+         |  FROM documents),
+         |ex AS (SELECT * FROM ex0 WHERE t IN ('spark', 'vector', 'stream', 'hash')),
+         |tf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf, MAX(dl) AS dl
+         |  FROM ex GROUP BY doc_id, t),
+         |dfreq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY t),
+         |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS sum_dl
+         |  FROM documents),
+         |s AS (SELECT n_docs, CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
+         |  FROM stats),
+         |bw AS (
+         |  SELECT tf.doc_id,
+         |    CAST(FLOOR(1000000.0 * (CAST(s.n_docs - d.df AS DOUBLE) + 0.5)
+         |      / (CAST(d.df AS DOUBLE) + 0.5)) AS BIGINT)
+         |    * CAST(FLOOR(10000.0 * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+         |      / (CAST(tf.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(tf.dl AS DOUBLE) / s.avgdl)))) AS BIGINT) AS w
+         |  FROM tf JOIN dfreq d ON tf.t = d.t CROSS JOIN s),
+         |bm AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS score FROM bw
+         |  GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20),
+         |ti AS (
+         |  SELECT tf.doc_id,
+         |    CAST(SUM(tf.tf * CAST(FLOOR(s.n_docs * 1000000.0 / d.df) AS BIGINT)) AS BIGINT) AS score
+         |  FROM tf JOIN dfreq d ON tf.t = d.t CROSS JOIN s
+         |  GROUP BY tf.doc_id ORDER BY score DESC, doc_id LIMIT 20),
+         |ranked AS (
+         |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk FROM bm
+         |  UNION ALL
+         |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk FROM ti)
+         |SELECT doc_id,
+         |  CAST(SUM(CAST(FLOOR(1000000000.0 / (60 + rnk)) AS BIGINT)) AS BIGINT) AS rrf_score,
+         |  CAST(COUNT(*) AS BIGINT) AS n_systems,
+         |  CAST(MIN(rnk) AS BIGINT) AS best_rank
+         |FROM ranked GROUP BY doc_id
+         |ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin,
 
     // mirrors TextAnalysis.hashedLinearScore: weight = (hash60 % 2001)
     // - 1000, exact integer sum per doc (hash60 is non-negative, so %

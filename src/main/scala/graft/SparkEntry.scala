@@ -1657,6 +1657,32 @@ object SparkEntry {
     TextAnalysis.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
       terms = Seq("spark", "vector", "stream", "hash"), k = 20)
 
+  /** Hybrid-retrieval fusion: the BM25 and TF-IDF top-20 lists for
+    * the same query, combined by reciprocal-rank fusion — scoreless,
+    * scale-free, exact-integer contributions. */
+  private def qRrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextAnalysis.rrfFuse(Seq(
+        "bm25" -> TextAnalysis.bm25TopK(docs, "doc_id", "text", tfidfTerms, k = 20),
+        "tfidf" -> TextAnalysis.tfidfTopK(docs, "doc_id", "text", tfidfTerms, k = 20)),
+      "doc_id", "score", kRrf = 60, k = 20)
+      .withColumnRenamed("id", "doc_id")
+  }
+
+  /** Zipf rank–frequency slope per language over the top-100 tokens:
+    * the corpus-quality screen that flags template spam (flat) and
+    * over-deduped residue (steep); natural text ≈ −1. */
+  private def qZipf(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.zipfFit(Tables.documents(s, dir), "lang", "text", topR = 100)
+      .orderBy("lang")
+
+  /** Per-source Jensen–Shannon divergence from the corpus token
+    * distribution: rank feeds by distributional drift, in bits. */
+  private def qJsDivergence(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.jsDivergence(Tables.documents(s, dir), "source", "text")
+      .withColumnRenamed("grp", "source")
+      .orderBy("source")
+
   /** Hash-trick linear-classifier inference: every doc scored by a
     * vocabulary-free hashed linear model in one narrow scan. */
   private def qHashedClassifier(s: SparkSession, dir: String): DataFrame =
@@ -2097,6 +2123,48 @@ object SparkEntry {
       DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
       .orderBy("symbol")
 
+  /** Derandomized Poisson hash-bootstrap CI of each symbol's mean
+    * daily return: B=20 replicates whose weights are pure hash
+    * functions — replayable resampling, no RNG. */
+  private def qHashBootstrap(s: SparkSession, dir: String): DataFrame =
+    Sampling.hashBootstrapCi(
+      DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir))
+        .filter(col("daily_return_pct").isNotNull),
+      "symbol", col("trade_date"), scaled(col("daily_return_pct"), 4))
+      .withColumnRenamed("grp", "symbol")
+      .orderBy("symbol")
+
+  /** Dimson thin-trading beta per symbol: OLS on concurrent + lagged
+    * market return via exact-moment Cramer solve; sum beta recovers
+    * co-movement the plain beta understates. */
+  private def qDimsonBeta(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.dimsonBeta(
+      DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+      .orderBy("symbol")
+
+  /** Always-valid sequential A/B monitor over the event stream:
+    * per-day mSPRT likelihood ratio and anytime p-value. */
+  private def qMsprt(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    Cohorts.msprtMonitor(ev.withColumn("event_time", Adapters.eventTime(ev)))
+      .orderBy("day")
+  }
+
+  /** Kendall τ-b vs the equal-weight market index over each symbol's
+    * last 60 trading days: concordance-based co-movement, bounded
+    * O(S·W²) pair fan-out. */
+  private def qKendallMarket(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.kendallVsMarket(
+      DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+      .orderBy("symbol")
+
+  /** Difference-in-differences over the event stream: odd/even user
+    * split × midpoint period split, mean event value as outcome. */
+  private def qDid(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    Cohorts.diffInDiff(ev.withColumn("event_time", Adapters.eventTime(ev)))
+  }
+
   /** Lo–MacKinlay variance-ratio random-walk screen per symbol:
     * VR(5) over scaled close differences, exact second moments. */
   private def qVarianceRatio(s: SparkSession, dir: String): DataFrame =
@@ -2271,6 +2339,26 @@ object SparkEntry {
         Multimodal.toWav(blocks, "sample_rate", audioFormat = Multimodal.WavImaAdpcm),
         frameSamples = 32)
       .orderBy("media_id", "frame_idx")
+  }
+
+  /** Subband/wavelet codec lane — LeGall 5/3 integer lifting (the
+    * JPEG2000 reversible filter) over the deterministic PCM16 series,
+    * ENTIRELY relational on both engines: predict/update lifting as
+    * lag/lead windows, mid-tread quantization of the detail band, and
+    * decoder-faithful reconstruction error stats. */
+  private def qAudioWavelet(s: SparkSession, dir: String): DataFrame = {
+    val hexCols = (0 until 8).map(i =>
+      if (i == 0) md5(col("text")) else md5(concat(col("text"), lit(i.toString))))
+    val samples = Tables.documents(s, dir)
+      .select(col("doc_id").cast("long").as("media_id"), concat(hexCols: _*).as("hx"))
+      .select(col("media_id"), explode(sequence(lit(0), lit(63))).as("i"), col("hx"))
+      .select(col("media_id"), col("i"),
+        (conv(expr("substring(hx, i * 4 + 1, 2)"), 16, 10).cast("long") +
+          conv(expr("substring(hx, i * 4 + 3, 2)"), 16, 10).cast("long") * 256L).as("u"))
+      .select(col("media_id"), col("i"),
+        when(col("u") >= 32768L, col("u") - 65536L).otherwise(col("u")).as("x"))
+    Multimodal.wavelet53Features(samples, step = 16)
+      .orderBy("media_id")
   }
 
   /** Transform-coded lossy image lane — the codec class the audio
@@ -2693,6 +2781,9 @@ object SparkEntry {
     "q_kcore" -> (qKcore _),
     "q_hits" -> (qHits _),
     "q_link_predict" -> (qLinkPredict _),
+    "q_rrf_fusion" -> (qRrfFusion _),
+    "q_zipf" -> (qZipf _),
+    "q_js_divergence" -> (qJsDivergence _),
     "q_communities" -> (qCommunities _),
     "q_ngram_lm" -> (qNgramLm _),
     "q_vocab_coverage" -> (qVocabCoverage _),
@@ -2717,6 +2808,11 @@ object SparkEntry {
     "q_mann_whitney" -> (qMannWhitney _),
     "q_variance_ratio" -> (qVarianceRatio _),
     "q_page_hinkley" -> (qPageHinkley _),
+    "q_kendall_market" -> (qKendallMarket _),
+    "q_did" -> (qDid _),
+    "q_dimson_beta" -> (qDimsonBeta _),
+    "q_msprt" -> (qMsprt _),
+    "q_hash_bootstrap" -> (qHashBootstrap _),
     "q_theil_sen" -> (qTheilSen _),
     "q_spearman_market" -> (qSpearmanMarket _),
     "q_lorenz" -> (qLorenz _),
@@ -2732,6 +2828,7 @@ object SparkEntry {
     "q_audio_vad" -> (qAudioVad _),
     "q_audio_ulaw" -> (qAudioUlaw _),
     "q_audio_adpcm" -> (qAudioAdpcm _),
+    "q_audio_wavelet" -> (qAudioWavelet _),
     "q_image_dct" -> (qImageDct _),
     "q_image_rd" -> (qImageRd _),
     "q_video_frames" -> (qVideoFrames _),

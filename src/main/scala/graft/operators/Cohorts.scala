@@ -353,4 +353,103 @@ object Cohorts {
           col("theta") * (col("sx_v") / col("n_users").cast("double") -
             col("xbar_p"))) / 100.0, 4).as("mean_y_cuped"))
   }
+
+  /** Always-valid sequential A/B monitor — the mixture sequential
+    * probability ratio test (mSPRT; Johari, Koomen, Pekelis & Walsh,
+    * KDD 2017): per day t, with CUMULATIVE per-arm counts and scaled
+    * value sums (exact-long prefix windows over the day grain), the
+    * two-sample mixture likelihood ratio under prior scale τ
+    *   h_t = n_A·n_B/(n_A+n_B)   (effective sample size)
+    *   Λ_t = √(σ²/(σ²+h_t·τ²)) · exp(h_t²·τ²·δ̂_t² / (2σ²·(σ²+h_t·τ²)))
+    * where σ² is the pooled population variance of the outcome,
+    * estimated ONCE from the full panel in n-scaled integer form (a
+    * 1-row broadcast — fixed, deterministic), and the always-valid
+    * p-value is p_t = min(1, 1/max_{s≤t} Λ_s) — monotone by the
+    * running max, so "peeking" at any day keeps the type-I
+    * guarantee. The exp/√ trees evaluate on exact-integer-derived
+    * doubles in a fixed order. Shape: one day-grain pre-aggregate,
+    * two prefix windows over ≤ D rows, one broadcast scalar. */
+  def msprtMonitor(events: DataFrame, tsCol: String = "event_time",
+                   userCol: String = "user_id", valCol: String = "value",
+                   tau: Double = 0.1): DataFrame = {
+    val day = to_date(col(tsCol))
+    val v4 = scaled(col(valCol), 4)
+    val daily = events
+      .select(day.as("d"), (col(userCol) % 2 === 1).as("treated"), v4.as("v4"))
+      .groupBy("d").agg(
+        sum(when(col("treated"), 1L).otherwise(0L)).as("nb_d"),
+        sum(when(!col("treated"), 1L).otherwise(0L)).as("na_d"),
+        sum(when(col("treated"), col("v4")).otherwise(0L)).as("sb_d"),
+        sum(when(!col("treated"), col("v4")).otherwise(0L)).as("sa_d"))
+    // moments in DECIMAL(38,0): n·Σv² − (Σv)² reaches ~1e23 at even
+    // the bench volume (v4 ≤ 5e6, 6e4 events) — decimal keeps every
+    // step exact to the one final double division
+    val sig = events.select(v4.cast("decimal(38,0)").as("v4"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"), sum(col("v4")).as("s"),
+        sum(col("v4") * col("v4")).as("ss"))
+      .select(((col("n") * col("ss") - col("s") * col("s")).cast("double") /
+        (col("n") * col("n")).cast("double") / 1e8).as("sigma2"))
+    val w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = daily.crossJoin(broadcast(sig))
+      .withColumn("na", sum(col("na_d")).over(w))
+      .withColumn("nb", sum(col("nb_d")).over(w))
+      .withColumn("sa", sum(col("sa_d")).over(w))
+      .withColumn("sb", sum(col("sb_d")).over(w))
+      .filter(col("na") > 0 && col("nb") > 0)
+    val h = (col("na") * col("nb")).cast("double") / (col("na") + col("nb")).cast("double")
+    val delta = (col("sb").cast("double") / col("nb").cast("double") -
+      col("sa").cast("double") / col("na").cast("double")) / 1e4
+    val t2 = tau * tau
+    val lam = sqrt(col("sigma2") / (col("sigma2") + h * t2)) *
+      exp(h * h * t2 * delta * delta /
+        (lit(2.0) * col("sigma2") * (col("sigma2") + h * t2)))
+    val wMax = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum
+      .withColumn("lambda", lam)
+      .withColumn("lam_max", max(col("lambda")).over(wMax))
+      .select(col("d").as("day"), col("na").as("n_ctrl"), col("nb").as("n_treat"),
+        rd(delta, 4).as("delta"),
+        rd(col("lambda"), 4).as("lambda"),
+        rd(least(lit(1.0), lit(1.0) / col("lam_max")), 4).as("p_always_valid"))
+  }
+
+  /** Difference-in-differences estimator over the event stream: users
+    * split into treatment (odd user_id) and control (even), periods
+    * split at the panel's midpoint timestamp, outcome = mean event
+    * value. DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre) — the
+    * workhorse quasi-experimental readout next to this kit's
+    * randomized-experiment lanes (CUPED/SRM/MDE). The four cell
+    * means are exact-integer ratios (scaled sums over counts); the
+    * estimator is one fixed double tree rounded rd(4). Shape: one
+    * partial-aggregable pass over events, a 4-row cell rollup, one
+    * 1-row pivot — no user-dimension state. */
+  def diffInDiff(events: DataFrame, tsCol: String = "event_time",
+                 userCol: String = "user_id", valCol: String = "value"): DataFrame = {
+    val us = unix_micros(col(tsCol).cast("timestamp"))
+    val mid = events.agg(expr("(min(unix_micros(cast(" + tsCol +
+      " as timestamp))) + max(unix_micros(cast(" + tsCol +
+      " as timestamp)))) div 2").as("mid"))
+    val cells = events.crossJoin(broadcast(mid))
+      .select(
+        (col(userCol) % 2 === 1).as("treated"),
+        (us >= col("mid")).as("post"),
+        scaled(col(valCol), 4).as("v4"))
+      .groupBy("treated", "post")
+      .agg(sum(col("v4")).as("s"), count(lit(1)).as("n"))
+    val m = col("s").cast("double") / col("n").cast("double") / 1e4
+    val wide = cells.select(
+        when(col("treated") && col("post"), m).as("tp"),
+        when(col("treated") && !col("post"), m).as("tr"),
+        when(!col("treated") && col("post"), m).as("cp"),
+        when(!col("treated") && !col("post"), m).as("cr"),
+        col("n"))
+      .agg(max(col("tp")).as("treat_post"), max(col("tr")).as("treat_pre"),
+        max(col("cp")).as("ctrl_post"), max(col("cr")).as("ctrl_pre"),
+        sum(col("n")).as("n_events"))
+    wide.select(col("n_events"),
+      rd(col("treat_pre"), 4).as("treat_pre"), rd(col("treat_post"), 4).as("treat_post"),
+      rd(col("ctrl_pre"), 4).as("ctrl_pre"), rd(col("ctrl_post"), 4).as("ctrl_post"),
+      rd((col("treat_post") - col("treat_pre")) - (col("ctrl_post") - col("ctrl_pre")),
+        4).as("did"))
+  }
 }

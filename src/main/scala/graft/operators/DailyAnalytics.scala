@@ -1125,6 +1125,111 @@ object DailyAnalytics {
           4).as("z"))
   }
 
+  /** Dimson thin-trading beta per symbol (Dimson, J. Financial
+    * Economics 1979): OLS of the symbol's return on the CONCURRENT
+    * and LAGGED market return, y = α + β₀·x_t + β₁·x_{t−1} — an
+    * infrequently-traded symbol's co-movement leaks into the lagged
+    * coefficient, and β₀+β₁ (the "sum beta") recovers what the plain
+    * [[marketBeta]] understates. Closed form: the 3×3 normal
+    * equations solve by Cramer's rule over the seven exact-long
+    * moment sums (each a partial-aggregable integer; the determinant
+    * trees evaluate in IEEE doubles identically on any engine because
+    * the INPUTS are exact and the expression order is fixed).
+    * Shape: one broadcast day-index join, one lag window, one
+    * grouped rollup — S·D grain, no pair fan-out. */
+  def dimsonBeta(returns: DataFrame, minDays: Int = 30): DataFrame = {
+    val r = returns.filter(col("daily_return_pct").isNotNull)
+      .select(col("symbol"), col("trade_date"),
+        scaled(col("daily_return_pct"), 4).as("y"))
+      .snapshot() // feeds the index build AND the join probe
+    val w = Window.partitionBy("symbol").orderBy("trade_date")
+    val mkt = r.groupBy("trade_date")
+      .agg(sum(col("y")).as("m"), count(lit(1)).as("nsym"))
+      .select(col("trade_date"),
+        floor(col("m").cast("double") / col("nsym").cast("double")).cast("long").as("x"))
+    val lagged = r.join(broadcast(mkt), "trade_date")
+      .withColumn("x1", lag(col("x"), 1).over(w))
+      .filter(col("x1").isNotNull)
+    val g = lagged.groupBy("symbol").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("s0"), sum(col("x1")).as("s1"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("s00"), sum(col("x") * col("x1")).as("s01"),
+      sum(col("x1") * col("x1")).as("s11"),
+      sum(col("x") * col("y")).as("s0y"), sum(col("x1") * col("y")).as("s1y"))
+    // Cramer over [[n,s0,s1],[s0,s00,s01],[s1,s01,s11]] — fixed trees
+    val (n, s0, s1, sy) =
+      (col("n").cast("double"), col("s0").cast("double"),
+        col("s1").cast("double"), col("sy").cast("double"))
+    val (s00, s01, s11, s0y, s1y) =
+      (col("s00").cast("double"), col("s01").cast("double"),
+        col("s11").cast("double"), col("s0y").cast("double"), col("s1y").cast("double"))
+    val det = n * (s00 * s11 - s01 * s01) - s0 * (s0 * s11 - s01 * s1) +
+      s1 * (s0 * s01 - s00 * s1)
+    val detA = sy * (s00 * s11 - s01 * s01) - s0 * (s0y * s11 - s01 * s1y) +
+      s1 * (s0y * s01 - s00 * s1y)
+    val detB0 = n * (s0y * s11 - s01 * s1y) - sy * (s0 * s11 - s01 * s1) +
+      s1 * (s0 * s1y - s0y * s1)
+    val detB1 = n * (s00 * s1y - s0y * s01) - s0 * (s0 * s1y - s0y * s1) +
+      sy * (s0 * s01 - s00 * s1)
+    g.filter(col("n") >= minDays)
+      .select(col("symbol"), col("n").as("n_days"),
+        rd(detA / nullifZero(det), 4).as("alpha"),
+        rd(detB0 / nullifZero(det), 4).as("beta_now"),
+        rd(detB1 / nullifZero(det), 4).as("beta_lag"),
+        rd((detB0 + detB1) / nullifZero(det), 4).as("beta_sum"))
+  }
+
+  /** Kendall τ-b of each symbol against the equal-weight market index
+    * over the last `window` trading days — the concordance companion
+    * to [[spearmanVsMarket]]: τ counts ORDER agreements pair by pair,
+    * so one wild outlier moves it by at most O(1/n) where Spearman's
+    * rank distance can jump. τ-b corrects both tie dimensions
+    * (Kendall, Biometrika 1945).
+    *
+    * BOUNDED pair fan-out BY CONSTRUCTION (the [[theilSenTrend]]
+    * discipline): the self-join runs inside each symbol's
+    * `window`-row tail, pairs ≤ W(W−1)/2 per symbol (1,770 at W=60),
+    * total O(S·W²) — linear in the growing dimension. Concordant /
+    * discordant / tie counts are exact longs; only the final τ-b
+    * (nc−nd)/√((n0−n1)(n0−n2)) rounds through rd(4), with a NULL
+    * guard when either tie product zeroes out. */
+  def kendallVsMarket(returns: DataFrame, window: Int = 60,
+                      minDays: Int = 10): DataFrame = {
+    val r = returns.filter(col("daily_return_pct").isNotNull)
+      .select(col("symbol"), col("trade_date"),
+        scaled(col("daily_return_pct"), 4).as("y"))
+      .snapshot() // index build AND the tail probe
+    val mkt = r.groupBy("trade_date")
+      .agg(sum(col("y")).as("m"), count(lit(1)).as("nsym"))
+      .select(col("trade_date"),
+        floor(col("m").cast("double") / col("nsym").cast("double")).cast("long").as("x"))
+    val tail = r.join(broadcast(mkt), "trade_date")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("symbol").orderBy(col("trade_date").desc)))
+      .filter(col("rn") <= window)
+      .select(col("symbol"), col("rn"), col("x"), col("y"))
+      .snapshot() // both sides of the pair join
+    val pairs = tail.select(col("symbol"), col("rn").as("i"),
+        col("x").as("x1"), col("y").as("y1"))
+      .join(tail.select(col("symbol"), col("rn").as("j"),
+        col("x").as("x2"), col("y").as("y2")), "symbol")
+      .filter(col("i") < col("j"))
+      .select(col("symbol"),
+        signum((col("x1") - col("x2")).cast("double")).cast("long").as("sx"),
+        signum((col("y1") - col("y2")).cast("double")).cast("long").as("sy"))
+    pairs.groupBy("symbol").agg(
+        count(lit(1)).as("n0"),
+        sum(when(col("sx") * col("sy") > 0, 1L).otherwise(0L)).as("nc"),
+        sum(when(col("sx") * col("sy") < 0, 1L).otherwise(0L)).as("nd"),
+        sum(when(col("sx") === 0L, 1L).otherwise(0L)).as("tx"),
+        sum(when(col("sy") === 0L, 1L).otherwise(0L)).as("ty"))
+      .filter(col("n0") >= lit(minDays.toLong * (minDays - 1) / 2))
+      .select(col("symbol"), col("n0").as("n_pairs"), col("nc"), col("nd"),
+        rd((col("nc") - col("nd")).cast("double") /
+          nullifZero(sqrt((col("n0") - col("tx")).cast("double")) *
+            sqrt((col("n0") - col("ty")).cast("double"))), 4).as("tau_b"))
+  }
+
   /** Lo–MacKinlay variance-ratio random-walk test per symbol, in the
     * price-difference form: with p the scaled close and q the
     * aggregation horizon, x_t = p_t − p_{t−1} and y_t = p_t − p_{t−q}

@@ -199,4 +199,55 @@ object Sampling {
         .when(hashBucket(col(idCol), buckets) < valCut, "val")
         .otherwise("test"))
   }
+
+  /** Derandomized Poisson bootstrap: replicate-r weight of a unit is
+    * the INVERSE Poisson(1) CDF evaluated at hash60(group|unit|r) %
+    * 10⁶ — the online-bootstrap trick (each unit's multiplicity drawn
+    * Poisson(1) instead of multinomial, Oza & Russell 2001; Kleiner
+    * et al.'s "bag of little bootstraps" scales the same way) with
+    * the repo's no-RNG discipline: weights are a pure function of
+    * (group, unit, rep), so CIs are replayable bit-for-bit anywhere.
+    * The CDF thresholds are INTEGER literals (⌊10⁶·P(K≤k)⌋, w ≤ 5
+    * capped); replicate means are exact scaled-long ratios; the CI
+    * is the 2.5%/97.5% `percentile` over the B replicate means
+    * (dyadic interpolation, identical in DuckDB's quantile_cont).
+    *
+    * Shape at 100 TB: the rep dimension is a bounded explode (×B)
+    * over the already-reduced unit grain, every aggregate is
+    * partial-aggregable, and the final percentile holds B values per
+    * group — model-sized. */
+  def hashBootstrapCi(df: DataFrame, groupCol: String, unitCol: Column,
+                      value4: Column, reps: Int = 20): DataFrame = {
+    require(reps >= 4, "hashBootstrapCi: need at least 4 replicates")
+    // floor(1e6 * CDF of Poisson(1)) at k = 0..4
+    val t = Seq(367879L, 735758L, 919698L, 981011L, 996340L)
+    val base = df.select(col(groupCol).as("grp"), unitCol.cast("string").as("unit"),
+      value4.as("v4"))
+    val withRep = base
+      .select(col("grp"), col("unit"), col("v4"),
+        explode(sequence(lit(0), lit(reps - 1))).as("rep"))
+      .withColumn("h", hash60(concat_ws("|", col("grp"), col("unit"),
+        col("rep").cast("string"))) % 1000000L)
+      .withColumn("w",
+        when(col("h") < t(0), 0L).when(col("h") < t(1), 1L)
+          .when(col("h") < t(2), 2L).when(col("h") < t(3), 3L)
+          .when(col("h") < t(4), 4L).otherwise(5L))
+    val repMeans = withRep.groupBy("grp", "rep")
+      .agg(sum(col("w") * col("v4")).as("ws"), sum(col("w")).as("wn"))
+      .filter(col("wn") > 0L)
+      .select(col("grp"), col("rep"),
+        (col("ws").cast("double") / col("wn").cast("double") / 1e4).as("m"))
+    val point = base.groupBy("grp").agg(
+      count(lit(1)).as("n_units"),
+      (sum(col("v4")).cast("double") / count(lit(1)).cast("double") / 1e4).as("mean0"))
+    point.join(
+        repMeans.groupBy("grp").agg(
+          count(lit(1)).as("n_reps"),
+          expr("percentile(m, 0.025)").as("lo"),
+          expr("percentile(m, 0.975)").as("hi")),
+        "grp")
+      .select(col("grp"), col("n_units"), col("n_reps"),
+        rd(col("mean0"), 4).as("mean"),
+        rd(col("lo"), 4).as("ci_lo"), rd(col("hi"), 4).as("ci_hi"))
+  }
 }

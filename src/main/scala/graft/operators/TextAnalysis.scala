@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Funcs._
 import graft.sources.Staging.Snapshottable
@@ -844,5 +845,117 @@ object TextAnalysis {
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("rank"), col("phrase"), col("n_words"),
         rd(col("score6") / 1000000.0, 4).as("score"))
+  }
+
+  /** Zipf rank–frequency fit per language: least-squares slope of
+    * ln(freq) on ln(rank) over each language's top-`topR` tokens —
+    * natural text runs slope ≈ −1 (Zipf's law); a corpus slice that
+    * deviates hard (template spam: too flat; boilerplate dedup
+    * residue: too steep) is a curation smell, which makes the slope a
+    * cheap corpus-quality screen next to [[heapsLaw]]'s vocabulary
+    * growth. Exactness: ln(rank) and ln(freq) round through
+    * scaled(·, 6) to exact longs BEFORE the five regression sums, so
+    * the normal-equation numerators/denominators are order-free
+    * integers; the two final divisions are fixed double trees
+    * rounded rd(4). Shape: one token-grain grouped count (Zipfian
+    * keys absorbed by partial aggregation), one per-lang rank window
+    * over ≤ topR survivors, one tiny rollup. */
+  def zipfFit(docs: DataFrame, langCol: String, textCol: String,
+              topR: Int = 100): DataFrame = {
+    val freq = docs
+      .select(col(langCol).as("lang"), explode(tokens(col(textCol))).as("t"))
+      .groupBy("lang", "t").agg(count(lit(1)).as("freq"))
+    val ranked = freq
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("freq").desc, col("t").asc)))
+      .filter(col("rnk") <= topR)
+      .select(col("lang"),
+        scaled(log(col("rnk").cast("double")), 6).as("x"),
+        scaled(log(col("freq").cast("double")), 6).as("y"))
+    ranked.groupBy("lang").agg(
+        count(lit(1)).as("n_terms"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("lang"), col("n_terms"),
+        rd((col("n_terms") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          nullifZero((col("n_terms") * col("sxx") - col("sx") * col("sx")).cast("double")),
+          4).as("slope"),
+        rd((col("sy").cast("double") / 1e6 -
+            ((col("n_terms") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              nullifZero((col("n_terms") * col("sxx") - col("sx") * col("sx")).cast("double"))) *
+              col("sx").cast("double") / 1e6) / col("n_terms").cast("double"),
+          4).as("intercept"))
+  }
+
+  /** Per-source Jensen–Shannon divergence from the corpus-wide token
+    * distribution: JS(Pₛ ‖ Q) = ½ KL(Pₛ‖M) + ½ KL(Q‖M), M = (Pₛ+Q)/2
+    * — the bounded, symmetric drift score (0 = identical, 1 bit =
+    * disjoint) that crawl pipelines use to rank sources by "how
+    * unlike the corpus is this feed" (cf. distributionDrift's PSI on
+    * numeric columns; this is its text-distribution sibling).
+    * Exactness: pₛ and q are exact-integer-ratio doubles; each
+    * token's pooled contribution pₛ·log₂(2pₛ/(pₛ+q)) + q·log₂(2q/
+    * (pₛ+q)) rounds through scaled(·, 12) to an exact long BEFORE
+    * the per-source sum (order-free); absent tokens contribute
+    * exactly q (log₂ 2 = 1) via the same branch. Shape: token-grain
+    * counts, one broadcast of the vocab-sized corpus distribution
+    * joined source×vocab — S·V grain, partial-aggregable. */
+  def jsDivergence(docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val tok = docs
+      .select(col(groupCol).as("grp"), explode(tokens(col(textCol))).as("t"))
+      .snapshot() // feeds group counts AND corpus counts
+    val grpTotals = tok.groupBy("grp").agg(count(lit(1)).as("n_g"))
+    val corpus = tok.groupBy("t").agg(count(lit(1)).as("c_q"))
+      .crossJoin(broadcast(tok.agg(count(lit(1)).as("n_q"))))
+    val grpCounts = tok.groupBy("grp", "t").agg(count(lit(1)).as("c_p"))
+    // corpus-vocab × group grain, absent tokens kept via left join
+    val full = corpus.crossJoin(broadcast(grpTotals))
+      .join(grpCounts, Seq("grp", "t"), "left")
+      .select(col("grp"), col("n_g"), col("n_q"), col("c_q"),
+        coalesce(col("c_p"), lit(0L)).as("c_p"))
+    val p = col("c_p").cast("double") / col("n_g").cast("double")
+    val q = col("c_q").cast("double") / col("n_q").cast("double")
+    val contrib =
+      when(col("c_p") === 0L, q) // q·log2(2q/q) = q
+        .otherwise(
+          p * log2(lit(2.0) * p / (p + q)) + q * log2(lit(2.0) * q / (p + q)))
+    full
+      .withColumn("c12", scaled(contrib, 12))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_vocab"),
+        sum(when(col("c_p") > 0L, 1L).otherwise(0L)).as("n_shared"),
+        rd(sum(col("c12")).cast("double") / 2e12, 6).as("js_bits"))
+  }
+
+  /** Reciprocal-rank fusion of N retrieval systems (Cormack, Clarke &
+    * Büttcher, SIGIR 2009): each system's top-k list is re-ranked by
+    * rank alone — contribution ⌊10⁹/(kRrf + rank)⌋ — and summed per
+    * id, which is why RRF is THE standard hybrid-search combiner
+    * (lexical + dense lists have incomparable score scales; ranks
+    * always compare). Contributions round through FLOOR to exact
+    * longs BEFORE the sum, so fused scores are order-free integers.
+    *
+    * Scale note: the ranking window is GLOBAL by design — each input
+    * is already a top-k list (k·N rows total, model-sized), so the
+    * single-partition sort is over dozens of rows, not the corpus;
+    * the corpus-scale work happened inside each retrieval system. */
+  def rrfFuse(systems: Seq[(String, DataFrame)], idCol: String,
+              scoreCol: String, kRrf: Int = 60, k: Int = 20): DataFrame = {
+    require(systems.nonEmpty, "rrfFuse: need at least one system")
+    val ranked = systems.map { case (name, df) =>
+      df.select(col(idCol).as("id"), col(scoreCol).as("sc"))
+        .withColumn("rnk",
+          row_number().over(Window.orderBy(col("sc").desc, col("id"))).cast("long"))
+        .select(col("id"), lit(name).as("system"), col("rnk"))
+    }.reduce(_ union _)
+    ranked
+      .withColumn("contrib",
+        floor(lit(1000000000.0) / (lit(kRrf) + col("rnk")).cast("double")).cast("long"))
+      .groupBy("id")
+      .agg(sum(col("contrib")).as("rrf_score"),
+        count(lit(1)).as("n_systems"),
+        min(col("rnk")).as("best_rank"))
+      .orderBy(col("rrf_score").desc, col("id"))
+      .limit(k)
   }
 }

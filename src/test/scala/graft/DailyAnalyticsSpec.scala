@@ -793,6 +793,95 @@ class DailyAnalyticsSpec extends AnyFunSpec {
     }
   }
 
+  describe("varianceRatio") {
+    it("flags persistent runs as trending and alternation as mean-reverting") {
+      // runs of 10 equal increments → q-period sums concentrate at the
+      // extremes → VR(5) > 1; strict ±1 alternation → adjacent
+      // increments cancel inside every 5-window → VR(5) < 1
+      def prices(incs: Seq[Int]): Seq[(String, String, Double)] =
+        incs.scanLeft(1000)(_ + _).zipWithIndex.map { case (p, i) =>
+          ("A", f"2024-${i / 28 + 1}%02d-${i % 28 + 1}%02d", p.toDouble)
+        }
+      val trendIncs = Seq.tabulate(80)(i => if ((i / 10) % 2 == 0) 1 else 3)
+      val revIncs = Seq.tabulate(80)(i => if (i % 2 == 0) 1 else -1)
+      def run(rows: Seq[(String, String, Double)]) =
+        DailyAnalytics.varianceRatio(
+          rows.toDF("symbol", "trade_date", "close_price"), q = 5, minDays = 30)
+          .collect().head
+      assert(run(prices(trendIncs)).getAs[String]("regime") == "trending")
+      assert(run(prices(revIncs)).getAs[String]("regime") == "mean_reverting")
+    }
+    it("a constant price yields a NULL vr, not a crash") {
+      val rows = (1 to 40).map(i => ("A", f"2024-01-$i%02d", 100.0))
+      val r = DailyAnalytics.varianceRatio(
+        rows.toDF("symbol", "trade_date", "close_price"), q = 5, minDays = 10)
+        .collect().head
+      assert(r.isNullAt(r.fieldIndex("vr")))
+    }
+  }
+
+  describe("pageHinkley") {
+    it("stays silent on steady returns and alarms on a persistent drop") {
+      val steady = (1 to 40).map(i => ("A", f"2024-01-$i%02d", 1.0))
+      val s = DailyAnalytics.pageHinkley(
+        steady.toDF("symbol", "trade_date", "daily_return_pct")).collect().head
+      assert(s.getAs[Long]("max_ph") == 0L && s.getAs[Long]("n_alarm_days") == 0L)
+
+      val shifted = (1 to 40).map { i =>
+        ("A", f"2024-01-$i%02d", if (i <= 20) 1.0 else -5.0)
+      }
+      val r = DailyAnalytics.pageHinkley(
+        shifted.toDF("symbol", "trade_date", "daily_return_pct")).collect().head
+      assert(r.getAs[Long]("n_alarm_days") > 0L)
+      assert(r.getAs[String]("first_alarm_date") > "2024-01-20")
+    }
+  }
+
+  describe("kendallVsMarket") {
+    it("a symbol identical to the market scores tau_b = 1") {
+      val rows = for (s <- Seq("A", "B"); i <- 1 to 12)
+        yield (s, f"2024-01-$i%02d", Seq(3, 1, 4, 1, 5, 9, 2, 6, 8, 7, 11, 13)(i - 1).toDouble)
+      val got = DailyAnalytics.kendallVsMarket(
+        rows.toDF("symbol", "trade_date", "daily_return_pct"),
+        window = 60, minDays = 4).collect()
+      assert(got.nonEmpty)
+      got.foreach(r => assert(r.getAs[Double]("tau_b") == 1.0))
+    }
+    it("an anti-monotone symbol scores tau_b = -1") {
+      // B's return is the NEGATION of A's around a shared mean of 0,
+      // so the equal-weight market is constant-0 — use B vs a market
+      // dominated by 3 copies of A instead
+      val rows =
+        (for (s <- Seq("A1", "A2", "A3"); i <- 1 to 10)
+          yield (s, f"2024-01-$i%02d", i.toDouble)) ++
+        (for (i <- 1 to 10) yield ("B", f"2024-01-$i%02d", -i.toDouble))
+      val got = DailyAnalytics.kendallVsMarket(
+        rows.toDF("symbol", "trade_date", "daily_return_pct"),
+        window = 60, minDays = 4)
+        .collect().map(r => r.getAs[String]("symbol") -> r.getAs[Double]("tau_b")).toMap
+      assert(got("B") == -1.0 && got("A1") == 1.0)
+    }
+  }
+
+  describe("dimsonBeta") {
+    it("a symbol equal to the market loads beta_now = 1, beta_lag = 0") {
+      val seq = Seq(3, 1, 4, 1, 5, 9, 2, 6, 8, 7, 11, 13, 2, 4, 6, 1, 8, 3, 5, 7,
+        9, 2, 12, 4, 6, 8, 1, 3, 5, 7, 10, 2)
+      val rows = for (s <- Seq("A", "B"); i <- seq.indices)
+        yield (s, f"2024-${i / 28 + 1}%02d-${i % 28 + 1}%02d", seq(i).toDouble)
+      val got = DailyAnalytics.dimsonBeta(
+        rows.toDF("symbol", "trade_date", "daily_return_pct"), minDays = 10)
+        .collect()
+      assert(got.length == 2)
+      got.foreach { r =>
+        assert(r.getAs[Double]("beta_now") == 1.0)
+        assert(r.getAs[Double]("beta_lag") == 0.0)
+        assert(r.getAs[Double]("beta_sum") == 1.0)
+        assert(r.getAs[Double]("alpha") == 0.0)
+      }
+    }
+  }
+
   describe("spearmanVsMarket") {
     it("a symbol identical to the market scores rho = 1") {
       // two identical symbols: the equal-weight index IS each series

@@ -139,4 +139,50 @@ class GraphVersioningSpec extends AnyFunSpec {
       assert(got.length == n && got.forall(_ == n - 1))
     }
   }
+
+  describe("Graph.hits") {
+    it("a directed star concentrates all authority on the center") {
+      // 1→10, 2→10, 3→10: node 10 is the ONLY authority (share 1),
+      // the three spokes are equal hubs (share 1/3 each)
+      val edges = Seq((1L, 10L), (2L, 10L), (3L, 10L)).toDF("a", "b")
+      val got = Graph.hits(edges, "a", "b", iters = 2)
+        .collect().map(r => r.getLong(0) ->
+          (r.getAs[Double]("hub_share"), r.getAs[Double]("auth_share"))).toMap
+      assert(got(10L)._2 == 1.0 && got(10L)._1 == 0.0)
+      Seq(1L, 2L, 3L).foreach { id =>
+        assert(got(id)._2 == 0.0 && got(id)._1 == 0.333333)
+      }
+    }
+    it("shares sum to ~1 on an asymmetric graph and dedup parallel edges") {
+      val edges = Seq((1L, 2L), (1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L))
+        .toDF("a", "b")
+      val rows = Graph.hits(edges, "a", "b", iters = 2).collect()
+      val hubSum = rows.map(_.getAs[Double]("hub_share")).sum
+      val authSum = rows.map(_.getAs[Double]("auth_share")).sum
+      assert(math.abs(hubSum - 1.0) < 1e-4 && math.abs(authSum - 1.0) < 1e-4)
+    }
+  }
+
+  describe("Graph.adamicAdar") {
+    it("predicts the two ends of a path, weighted by the bridge degree") {
+      // path 1—2—3: the only non-adjacent pair with a common
+      // neighbor is (1,3) via node 2 (deg 2) → floor(1e6/ln 2)
+      val edges = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+      val got = Graph.adamicAdar(edges, "u", "v", cap = 64).collect()
+      assert(got.length == 1)
+      val r = got.head
+      assert(r.getAs[Long]("u") == 1L && r.getAs[Long]("v") == 3L)
+      assert(r.getAs[Long]("score") == (1e6 / math.log(2.0)).toLong)
+      assert(r.getAs[Long]("n_common") == 1L)
+    }
+    it("excludes already-adjacent pairs and over-cap apexes") {
+      // triangle 1-2-3 (all adjacent → no predictions) plus a hub 9
+      // over the cap connecting 4 and 5: with cap=3 the hub (deg 2)
+      // still counts; with cap=1 nothing does
+      val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (9L, 4L), (9L, 5L)).toDF("u", "v")
+      val got = Graph.adamicAdar(tri, "u", "v", cap = 3)
+        .collect().map(r => (r.getAs[Long]("u"), r.getAs[Long]("v"))).toSet
+      assert(got == Set((4L, 5L)))
+    }
+  }
 }

@@ -288,4 +288,53 @@ class RankingCohortsSpec extends AnyFunSpec {
         got.map(r => r.getAs[Double]("mean_y")).toSeq)
     }
   }
+
+  describe("Cohorts.diffInDiff") {
+    it("recovers the planted treatment effect exactly") {
+      // control: 1.0 pre, 2.0 post; treated: 1.0 pre, 4.0 post
+      // => DiD = (4-1) - (2-1) = 2.0. Midpoint of [0h, 10h] = 5h.
+      def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+      val rows = Seq(
+        (2L, ts(0), 1.0), (2L, ts(10), 2.0),  // control (even)
+        (4L, ts(0), 1.0), (4L, ts(10), 2.0),
+        (1L, ts(0), 1.0), (1L, ts(10), 4.0),  // treated (odd)
+        (3L, ts(0), 1.0), (3L, ts(10), 4.0))
+        .toDF("user_id", "event_time", "value")
+      val r = Cohorts.diffInDiff(rows).collect().head
+      assert(r.getAs[Long]("n_events") == 8L)
+      assert(r.getAs[Double]("treat_pre") == 1.0)
+      assert(r.getAs[Double]("treat_post") == 4.0)
+      assert(r.getAs[Double]("ctrl_pre") == 1.0)
+      assert(r.getAs[Double]("ctrl_post") == 2.0)
+      assert(r.getAs[Double]("did") == 2.0)
+    }
+  }
+
+  describe("Cohorts.msprtMonitor") {
+    it("identical arms keep the anytime p at 1 and p is nonincreasing") {
+      def ts(d: Int, h: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+      // same values in both arms every day; a little spread so sigma2 > 0
+      val rows = for (d <- 1 to 10; u <- 1L to 4L; h <- Seq(1, 13))
+        yield (u, ts(d, h), if (h == 1) 10.0 else 20.0)
+      val got = Cohorts.msprtMonitor(rows.toDF("user_id", "event_time", "value"))
+        .orderBy("day").collect()
+      assert(got.length == 10)
+      got.foreach { r =>
+        assert(r.getAs[Double]("delta") == 0.0)
+        assert(r.getAs[Double]("p_always_valid") == 1.0)
+      }
+      val ps = got.map(_.getAs[Double]("p_always_valid")).toSeq
+      assert(ps == ps.sorted.reverse) // monotone nonincreasing
+    }
+    it("a persistent lift drives the anytime p down") {
+      def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 01:00:00")
+      val rows = for (d <- 1 to 20; u <- 1L to 40L)
+        yield (u, ts(d), if (u % 2 == 1) 30.0 else 10.0)
+      val got = Cohorts.msprtMonitor(rows.toDF("user_id", "event_time", "value"))
+        .orderBy("day").collect()
+      val pLast = got.last.getAs[Double]("p_always_valid")
+      val pFirst = got.head.getAs[Double]("p_always_valid")
+      assert(pLast < pFirst && pLast < 0.05)
+    }
+  }
 }

@@ -142,4 +142,27 @@ class SamplingSpec extends AnyFunSpec {
       assert(none.isEmpty)
     }
   }
+
+  describe("hashBootstrapCi") {
+    it("a constant outcome collapses the CI onto the mean") {
+      val rows = (1 to 30).map(i => ("A", f"2024-01-$i%02d", 5.0))
+        .toDF("symbol", "trade_date", "y")
+      val r = Sampling.hashBootstrapCi(rows, "symbol", col("trade_date"),
+        graft.functions.Funcs.scaled(col("y"), 4)).collect().head
+      assert(r.getAs[Double]("mean") == 5.0)
+      assert(r.getAs[Double]("ci_lo") == 5.0)
+      assert(r.getAs[Double]("ci_hi") == 5.0)
+      assert(r.getAs[Long]("n_units") == 30L)
+    }
+    it("is replayable: two runs produce identical CIs and the CI brackets the mean") {
+      val rows = (1 to 40).map(i => ("A", f"2024-01-$i%02d", (i % 7).toDouble))
+        .toDF("symbol", "trade_date", "y")
+      def run() = Sampling.hashBootstrapCi(rows, "symbol", col("trade_date"),
+        graft.functions.Funcs.scaled(col("y"), 4)).collect().head
+      val (a, b) = (run(), run())
+      assert(a == b)
+      assert(a.getAs[Double]("ci_lo") <= a.getAs[Double]("mean") &&
+        a.getAs[Double]("mean") <= a.getAs[Double]("ci_hi"))
+    }
+  }
 }

@@ -637,4 +637,75 @@ class TextMultimodalSpec extends AnyFunSpec {
       assert(got.head.getAs[Long]("recon_sum") == recon.map(_.toLong).sum)
     }
   }
+
+  describe("TextAnalysis.zipfFit") {
+    it("a geometric rank-frequency profile fits a negative slope") {
+      val text = (Seq.fill(8)("a") ++ Seq.fill(4)("b") ++ Seq.fill(2)("c") ++ Seq("d"))
+        .mkString(" ")
+      val df = Seq((1L, "en", text)).toDF("doc_id", "lang", "text")
+      val r = TextAnalysis.zipfFit(df, "lang", "text", topR = 100).collect().head
+      assert(r.getAs[Long]("n_terms") == 4L)
+      assert(r.getAs[Double]("slope") < 0.0)
+    }
+    it("topR caps the fitted vocabulary") {
+      val text = ('a' to 'z').map(_.toString).mkString(" ")
+      val df = Seq((1L, "en", text)).toDF("doc_id", "lang", "text")
+      val r = TextAnalysis.zipfFit(df, "lang", "text", topR = 10).collect().head
+      assert(r.getAs[Long]("n_terms") == 10L)
+    }
+  }
+
+  describe("TextAnalysis.jsDivergence") {
+    it("identical distributions score zero; disjoint ones score high and tie") {
+      val df = Seq(
+        (1L, "sameA", "x y"), (2L, "sameB", "x y"),
+        (3L, "onlyX", "x x"), (4L, "onlyY", "y y"))
+        .toDF("doc_id", "source", "text")
+      val same = TextAnalysis.jsDivergence(
+        df.filter(col("source").startsWith("same")), "source", "text")
+        .collect()
+      same.foreach(r => assert(r.getAs[Double]("js_bits") == 0.0))
+      val disj = TextAnalysis.jsDivergence(
+        df.filter(!col("source").startsWith("same")), "source", "text")
+        .collect().map(r => r.getAs[String]("grp") -> r.getAs[Double]("js_bits")).toMap
+      assert(disj("onlyX") == disj("onlyY") && disj("onlyX") > 0.2)
+    }
+  }
+
+  describe("TextAnalysis.rrfFuse") {
+    it("fuses two reversed rankings into an exact tie broken by id") {
+      val sysA = Seq((1L, 100L), (2L, 50L)).toDF("doc_id", "score")
+      val sysB = Seq((1L, 7L), (2L, 9L)).toDF("doc_id", "score")
+      val got = TextAnalysis.rrfFuse(Seq("a" -> sysA, "b" -> sysB),
+        "doc_id", "score", kRrf = 60, k = 10).collect()
+      assert(got.length == 2)
+      val expected = 1000000000L / 61 + 1000000000L / 62
+      got.foreach { r =>
+        assert(r.getAs[Long]("rrf_score") == expected)
+        assert(r.getAs[Long]("n_systems") == 2L)
+        assert(r.getAs[Long]("best_rank") == 1L)
+      }
+      assert(got.map(_.getAs[Long]("id")).toSeq == Seq(1L, 2L))
+    }
+  }
+
+  describe("Multimodal.wavelet53Features") {
+    it("step=1 (no quantization) reconstructs exactly -- the reversibility law") {
+      val xs = Seq(7, -3, 12, 0, -8, 5, 130, -127, 4, 4, 9, -1)
+      val samples = xs.zipWithIndex.map { case (x, i) => (1L, i, x.toLong) }
+        .toDF("media_id", "i", "x")
+      val r = Multimodal.wavelet53Features(samples, step = 1).collect().head
+      assert(r.getAs[Long]("max_err_even") == 0L)
+      assert(r.getAs[Long]("max_err_odd") == 0L)
+      assert(r.getAs[Long]("sse") == 0L)
+      assert(r.getAs[Long]("n_samples") == xs.length.toLong)
+    }
+    it("a constant signal has a zero detail band and bounded lossy error") {
+      val samples = (0 until 16).map(i => (1L, i, 1000L)).toDF("media_id", "i", "x")
+      val r = Multimodal.wavelet53Features(samples, step = 16).collect().head
+      assert(r.getAs[Long]("energy_d") == 0L)
+      assert(r.getAs[Double]("compaction") == 1.0)
+      assert(r.getAs[Long]("sse") == 0L)
+    }
+  }
 }
