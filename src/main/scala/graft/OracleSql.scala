@@ -2867,6 +2867,123 @@ object OracleSql {
     // mirrors DailyAnalytics.spearmanVsMarket: exact floor market
     // index, doubled average ranks (2·rank + ties − 1) within each
     // symbol panel, Pearson over the doubled ranks
+    // mirrors DailyAnalytics.rollSpread: serial covariance of close
+    // changes in n-scaled integer form, spread = 2*sqrt(-cov) only
+    // when cov < 0
+    "q_roll_spread" ->
+      s"""${dailyChain("bars")},
+         |d0 AS (SELECT symbol, trade_date, ${sc("close_price", 2)} AS p FROM bars),
+         |d1 AS (
+         |  SELECT symbol, trade_date, p - LAG(p, 1) OVER w AS dp
+         |  FROM d0 WINDOW w AS (PARTITION BY symbol ORDER BY trade_date)),
+         |d2 AS (
+         |  SELECT symbol, dp, LAG(dp, 1) OVER w AS dp1
+         |  FROM d1 WINDOW w AS (PARTITION BY symbol ORDER BY trade_date)),
+         |d AS (SELECT symbol, dp, dp1 FROM d2 WHERE dp IS NOT NULL AND dp1 IS NOT NULL),
+         |g AS (
+         |  SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(dp) AS BIGINT) AS sx, CAST(SUM(dp1) AS BIGINT) AS sy,
+         |    CAST(SUM(dp * dp1) AS BIGINT) AS sxy
+         |  FROM d GROUP BY symbol HAVING COUNT(*) >= 30),
+         |c AS (
+         |  SELECT symbol, n AS n_days,
+         |    CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * n AS DOUBLE) AS cov
+         |  FROM g)
+         |SELECT symbol, n_days,
+         |  ${rd("cov / 10000.0", 4)} AS autocov,
+         |  CASE WHEN cov < 0.0 THEN ${rd("2.0 * sqrt(-cov) / 100.0", 4)} END AS spread
+         |FROM c ORDER BY symbol""".stripMargin,
+
+    // mirrors DailyAnalytics.rangeVolatility: per-day OHLC log terms
+    // floor-scaled(8) to exact longs, three annualized estimators
+    "q_range_vol" ->
+      s"""${dailyChain("bars")},
+         |v AS (SELECT symbol,
+         |    ln(high_price / open_price) AS u,
+         |    ln(low_price / open_price) AS d,
+         |    ln(close_price / open_price) AS c
+         |  FROM bars
+         |  WHERE open_price > 0 AND high_price > 0 AND low_price > 0
+         |    AND close_price > 0 AND high_price >= low_price),
+         |t AS (SELECT symbol,
+         |    ${sc("(u - d) * (u - d)", 8)} AS park,
+         |    ${sc("0.5 * (u - d) * (u - d) - (2.0 * ln(2.0) - 1.0) * c * c", 8)} AS gk,
+         |    ${sc("u * (u - c) + d * (d - c)", 8)} AS rs
+         |  FROM v),
+         |g AS (
+         |  SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(park) AS BIGINT) AS sp, CAST(SUM(gk) AS BIGINT) AS sg,
+         |    CAST(SUM(rs) AS BIGINT) AS sr
+         |  FROM t GROUP BY symbol HAVING COUNT(*) >= 30)
+         |SELECT symbol, n AS n_days,
+         |  ${rd("sqrt(GREATEST(CAST(sp AS DOUBLE) / 4.0 / ln(2.0), 0.0) / CAST(n AS DOUBLE) / 100000000.0 * 252.0)", 4)} AS vol_parkinson,
+         |  ${rd("sqrt(GREATEST(CAST(sg AS DOUBLE), 0.0) / CAST(n AS DOUBLE) / 100000000.0 * 252.0)", 4)} AS vol_garman_klass,
+         |  ${rd("sqrt(GREATEST(CAST(sr AS DOUBLE), 0.0) / CAST(n AS DOUBLE) / 100000000.0 * 252.0)", 4)} AS vol_rogers_satchell
+         |FROM g ORDER BY symbol""".stripMargin,
+
+    // mirrors DailyAnalytics.trackingError: exact-long active returns
+    // vs the floor-mean market index, population TE, annualized IR
+    "q_tracking_error" ->
+      s"""${dailyChain("returns")},
+         |r AS (SELECT symbol, trade_date, ${sc4("daily_return_pct")} AS y
+         |  FROM returns WHERE daily_return_pct IS NOT NULL),
+         |mkt AS (SELECT trade_date,
+         |    CAST(FLOOR(SUM(y) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS x
+         |  FROM r GROUP BY trade_date),
+         |a AS (SELECT symbol, y - x AS a FROM r JOIN mkt USING (trade_date)),
+         |g AS (
+         |  SELECT symbol, CAST(COUNT(*) AS HUGEINT) AS n,
+         |    CAST(SUM(a) AS HUGEINT) AS sa, SUM(CAST(a AS HUGEINT) * a) AS saa
+         |  FROM a GROUP BY symbol HAVING COUNT(*) >= 30),
+         |c AS (
+         |  SELECT symbol, CAST(n AS BIGINT) AS n_days,
+         |    sqrt(CAST(n * saa - sa * sa AS DOUBLE) / CAST(n * n AS DOUBLE)) / 10000.0 AS te,
+         |    sa, n
+         |  FROM g)
+         |SELECT symbol, n_days,
+         |  ${rd("te", 4)} AS tracking_error,
+         |  ${rd("CAST(sa AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0 / NULLIF(te, 0) * sqrt(252.0)", 4)} AS info_ratio
+         |FROM c ORDER BY symbol""".stripMargin,
+
+    // mirrors DailyAnalytics.dickeyFuller: five exact-long moments
+    // (Sxx in HUGEINT — price-squared sums outgrow BIGINT), gamma and
+    // the DF t-statistic in fixed double trees
+    "q_dickey_fuller" ->
+      s"""${dailyChain("bars")},
+         |d0 AS (
+         |  SELECT symbol, ${sc("close_price", 2)} AS p,
+         |    LAG(${sc("close_price", 2)}, 1) OVER w AS x
+         |  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY trade_date)),
+         |d AS (SELECT symbol, x, p - x AS y FROM d0 WHERE x IS NOT NULL),
+         |g AS (
+         |  SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+         |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         |    CAST(SUM(y * y) AS BIGINT) AS syy
+         |  FROM d GROUP BY symbol HAVING COUNT(*) >= 30),
+         |k AS (
+         |  SELECT symbol, n AS n_days,
+         |    CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS dx, CAST(sy AS DOUBLE) AS dy,
+         |    CAST(sxy AS DOUBLE) AS dxy, CAST(sxx AS DOUBLE) AS dxx, CAST(syy AS DOUBLE) AS dyy
+         |  FROM g),
+         |m AS (
+         |  SELECT symbol, n_days,
+         |    (nd * dxy - dx * dy) / (nd * dxx - dx * dx) AS gamma,
+         |    dxx - dx * dx / nd AS sxx_c,
+         |    dyy - dy * dy / nd AS syy_c,
+         |    nd
+         |  FROM k),
+         |f AS (
+         |  SELECT symbol, n_days, gamma,
+         |    gamma * sqrt(sxx_c / ((syy_c - gamma * gamma * sxx_c) / (nd - 2.0))) AS t
+         |  FROM m)
+         |SELECT symbol, n_days,
+         |  ${rd("gamma", 4)} AS gamma,
+         |  ${rd("t", 4)} AS t_stat,
+         |  (t < -2.86) AS reject_unit_root
+         |FROM f ORDER BY symbol""".stripMargin,
+
     // mirrors Sampling.hashBootstrapCi (B=20): Poisson(1) inverse-CDF
     // weights from hash60(symbol|date|rep) % 1e6 against integer
     // thresholds, exact scaled-long replicate means, quantile_cont CI

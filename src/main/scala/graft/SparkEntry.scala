@@ -2123,6 +2123,31 @@ object SparkEntry {
       DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
       .orderBy("symbol")
 
+  /** Roll implied effective spread per symbol from the serial
+    * covariance of close changes — the bid-ask bounce estimator. */
+  private def qRollSpread(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.rollSpread(Adapters.dailyBars(s, dir))
+      .orderBy("symbol")
+
+  /** Parkinson / Garman–Klass / Rogers–Satchell annualized range
+    * volatility per symbol from the OHLC bars alone. */
+  private def qRangeVol(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.rangeVolatility(Adapters.dailyBars(s, dir))
+      .orderBy("symbol")
+
+  /** Tracking error and information ratio of each symbol vs the
+    * equal-weight market — exact-long active returns. */
+  private def qTrackingError(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.trackingError(
+      DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+      .orderBy("symbol")
+
+  /** Dickey–Fuller unit-root screen per symbol: Δp on lagged p,
+    * exact-moment OLS with the DF t-statistic. */
+  private def qDickeyFuller(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.dickeyFuller(Adapters.dailyBars(s, dir))
+      .orderBy("symbol")
+
   /** Derandomized Poisson hash-bootstrap CI of each symbol's mean
     * daily return: B=20 replicates whose weights are pure hash
     * functions — replayable resampling, no RNG. */
@@ -2813,6 +2838,10 @@ object SparkEntry {
     "q_dimson_beta" -> (qDimsonBeta _),
     "q_msprt" -> (qMsprt _),
     "q_hash_bootstrap" -> (qHashBootstrap _),
+    "q_roll_spread" -> (qRollSpread _),
+    "q_range_vol" -> (qRangeVol _),
+    "q_tracking_error" -> (qTrackingError _),
+    "q_dickey_fuller" -> (qDickeyFuller _),
     "q_theil_sen" -> (qTheilSen _),
     "q_spearman_market" -> (qSpearmanMarket _),
     "q_lorenz" -> (qLorenz _),

@@ -1125,6 +1125,147 @@ object DailyAnalytics {
           4).as("z"))
   }
 
+  /** Roll implied effective spread per symbol (Roll, J. Finance
+    * 1984): adjacent price changes of a security that bounces between
+    * bid and ask are NEGATIVELY serially covariant, and the implied
+    * half-spread is recoverable from that covariance alone —
+    * spread = 2·√(−cov(Δp_t, Δp_{t−1})), NULL when the covariance is
+    * non-negative (no bounce signal; trending sample). The covariance
+    * stays in the n-scaled integer form n·Σxy − Σx·Σy over exact
+    * scaled-long price changes; one √ of one exact-ratio double, then
+    * rd(4). Shape: one lag window + one rollup per symbol. */
+  def rollSpread(bars: DataFrame, minDays: Int = 30): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy("trade_date")
+    val d = bars
+      .select(col("symbol"), col("trade_date"), scaled(col("close_price"), 2).as("p"))
+      .withColumn("dp", col("p") - lag(col("p"), 1).over(w))
+      .withColumn("dp1", lag(col("dp"), 1).over(w))
+      .filter(col("dp").isNotNull && col("dp1").isNotNull)
+    d.groupBy("symbol").agg(
+        count(lit(1)).as("n"),
+        sum(col("dp")).as("sx"), sum(col("dp1")).as("sy"),
+        sum(col("dp") * col("dp1")).as("sxy"))
+      .filter(col("n") >= minDays)
+      .withColumn("cov",
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("n")).cast("double"))
+      .select(col("symbol"), col("n").as("n_days"),
+        rd(col("cov") / 10000.0, 4).as("autocov"),
+        when(col("cov") < 0.0,
+          rd(lit(2.0) * sqrt(-col("cov")) / 100.0, 4)).as("spread"))
+  }
+
+  /** Range-based daily volatility estimators per symbol — the OHLC
+    * family that extracts intraday variance from the bar alone:
+    * Parkinson (1980, high–low), Garman–Klass (1980, OHLC), and
+    * Rogers–Satchell (1991, drift-free), all annualized √(252·mean).
+    * Per-day log terms u=ln(H/O), d=ln(L/O), c=ln(C/O) round through
+    * scaled(·, 8) to exact longs BEFORE the per-symbol sums
+    * (order-free; scale 8 keeps a last-ulp ln() disagreement ~10⁻⁹
+    * BELOW the rounding boundary where scale 12 would surface it,
+    * while quantizing each day's term by ≤ 5·10⁻⁹ — invisible after
+    * the mean); each estimator is one √ over one exact ratio.
+    * Rows with a non-positive OHLC or H < L are excluded by the
+    * validity filter. Shape: narrow scan + one rollup. */
+  def rangeVolatility(bars: DataFrame, minDays: Int = 30): DataFrame = {
+    val valid = bars.filter(col("open_price") > 0 && col("high_price") > 0 &&
+      col("low_price") > 0 && col("close_price") > 0 &&
+      col("high_price") >= col("low_price"))
+    val u = log(col("high_price") / col("open_price"))
+    val d = log(col("low_price") / col("open_price"))
+    val c = log(col("close_price") / col("open_price"))
+    val terms = valid.select(col("symbol"),
+      scaled((u - d) * (u - d), 8).as("park"),
+      scaled(lit(0.5) * (u - d) * (u - d) -
+        (lit(2.0) * log(lit(2.0)) - 1.0) * c * c, 8).as("gk"),
+      scaled(u * (u - c) + d * (d - c), 8).as("rs"))
+    def ann(s: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+      rd(sqrt(greatest(s.cast("double"), lit(0.0)) / n.cast("double") / 1e8 * 252.0),
+        4)
+    terms.groupBy("symbol").agg(
+        count(lit(1)).as("n"),
+        sum(col("park")).as("sp"), sum(col("gk")).as("sg"), sum(col("rs")).as("sr"))
+      .filter(col("n") >= minDays)
+      .select(col("symbol"), col("n").as("n_days"),
+        ann(col("sp") / lit(4.0) / log(lit(2.0)), col("n")).as("vol_parkinson"),
+        ann(col("sg"), col("n")).as("vol_garman_klass"),
+        ann(col("sr"), col("n")).as("vol_rogers_satchell"))
+  }
+
+  /** Tracking error and information ratio of each symbol against the
+    * equal-weight market index: active return a_t = r_t − m_t stays
+    * an EXACT long (both legs are scaled longs — no float subtraction
+    * drift), TE = √population-variance of a (n-scaled integer form),
+    * IR = mean(a)/TE·√252. The pair every benchmarked portfolio
+    * report leads with, next to [[sharpeRatio]]'s absolute form.
+    * Shape: one broadcast day-index join + one rollup. */
+  def trackingError(returns: DataFrame, minDays: Int = 30): DataFrame = {
+    val r = returns.filter(col("daily_return_pct").isNotNull)
+      .select(col("symbol"), col("trade_date"),
+        scaled(col("daily_return_pct"), 4).as("y"))
+      .snapshot() // index build AND probe
+    val mkt = r.groupBy("trade_date")
+      .agg(sum(col("y")).as("m"), count(lit(1)).as("nsym"))
+      .select(col("trade_date"),
+        floor(col("m").cast("double") / col("nsym").cast("double")).cast("long").as("x"))
+    // moments in DECIMAL(38,0): the synthetic panel carries extreme
+    // returns (scaled y up to ~1e9), so a² sums and n·Σa² outgrow
+    // BIGINT — same discipline as the pair-correlation lane
+    r.join(broadcast(mkt), "trade_date")
+      .select(col("symbol"), (col("y") - col("x")).cast("decimal(38,0)").as("a"))
+      .groupBy("symbol").agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("a")).as("sa"), sum(col("a") * col("a")).as("saa"))
+      .filter(col("n") >= minDays)
+      .withColumn("te",
+        sqrt((col("n") * col("saa") - col("sa") * col("sa")).cast("double") /
+          (col("n") * col("n")).cast("double")) / 1e4)
+      .select(col("symbol"), col("n").cast("long").as("n_days"),
+        rd(col("te"), 4).as("tracking_error"),
+        rd(col("sa").cast("double") / col("n").cast("double") / 1e4 /
+          nullifZero(col("te")) * sqrt(lit(252.0)), 4).as("info_ratio"))
+  }
+
+  /** Dickey–Fuller unit-root screen per symbol (Dickey & Fuller,
+    * JASA 1979): OLS of Δp_t on p_{t−1} with intercept,
+    * Δp_t = α + γ·p_{t−1} + ε. γ ≈ 0 means a unit root (random
+    * walk); γ significantly < 0 means mean reversion toward α/−γ —
+    * the stationarity companion to [[varianceRatio]]'s
+    * moment-ratio view. γ̂ and its t-statistic come from the exact
+    * five-moment normal equations: γ̂ = (nSxy−SxSy)/(nSxx−Sx²),
+    * s² = (Syy̌ − γ̂²·Sxx̌)/(n−2) with the centered forms
+    * Syy̌ = Syy−Sy²/n, Sxx̌ = Sxx−Sx²/n, and
+    * t = γ̂·√(Sxx̌/s²) — fixed double trees over exact-long moments,
+    * rd(4). (The DF t-stat's nonstandard critical value ≈ −2.86 at
+    * 5%; the emitted `reject_unit_root` uses that literal.) */
+  def dickeyFuller(bars: DataFrame, minDays: Int = 30): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy("trade_date")
+    val d = bars
+      .select(col("symbol"), col("trade_date"), scaled(col("close_price"), 2).as("p"))
+      .withColumn("x", lag(col("p"), 1).over(w))
+      .filter(col("x").isNotNull)
+      .select(col("symbol"), col("x"), (col("p") - col("x")).as("y"))
+    val g = d.groupBy("symbol").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val (n, sx, sy, sxy, sxx, syy) = (col("n").cast("double"),
+      col("sx").cast("double"), col("sy").cast("double"),
+      col("sxy").cast("double"), col("sxx").cast("double"), col("syy").cast("double"))
+    val gamma = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val sxxC = sxx - sx * sx / n
+    val syyC = syy - sy * sy / n
+    val s2 = (syyC - gamma * gamma * sxxC) / (n - 2.0)
+    val t = gamma * sqrt(sxxC / s2)
+    g.filter(col("n") >= minDays)
+      .select(col("symbol"), col("n").as("n_days"),
+        rd(gamma, 4).as("gamma"),
+        rd(t, 4).as("t_stat"),
+        (t < -2.86).as("reject_unit_root"))
+  }
+
   /** Dimson thin-trading beta per symbol (Dimson, J. Financial
     * Economics 1979): OLS of the symbol's return on the CONCURRENT
     * and LAGGED market return, y = α + β₀·x_t + β₁·x_{t−1} — an

@@ -882,6 +882,73 @@ class DailyAnalyticsSpec extends AnyFunSpec {
     }
   }
 
+  describe("rollSpread") {
+    it("bid-ask bounce yields a negative autocovariance and a spread; a drift does not") {
+      val bounce = (1 to 40).map(i =>
+        ("A", f"2024-01-$i%02d", if (i % 2 == 0) 101.0 else 100.0))
+      val r = DailyAnalytics.rollSpread(
+        bounce.toDF("symbol", "trade_date", "close_price"), minDays = 10)
+        .collect().head
+      assert(r.getAs[Double]("autocov") < 0.0)
+      assert(r.getAs[Double]("spread") > 1.9 && r.getAs[Double]("spread") < 2.1)
+
+      val drift = (1 to 40).map(i => ("A", f"2024-01-$i%02d", 100.0 + i))
+      val d = DailyAnalytics.rollSpread(
+        drift.toDF("symbol", "trade_date", "close_price"), minDays = 10)
+        .collect().head
+      assert(d.isNullAt(d.fieldIndex("spread")))
+    }
+  }
+
+  describe("rangeVolatility") {
+    it("a flat bar has zero range volatility; a ranging bar does not") {
+      val flat = (1 to 35).map(i => ("A", f"2024-01-$i%02d", 100.0, 100.0, 100.0, 100.0))
+      val df = flat.toDF("symbol", "trade_date", "open_price", "high_price",
+        "low_price", "close_price")
+      val r = DailyAnalytics.rangeVolatility(df, minDays = 10).collect().head
+      assert(r.getAs[Double]("vol_parkinson") == 0.0)
+      assert(r.getAs[Double]("vol_garman_klass") == 0.0)
+      assert(r.getAs[Double]("vol_rogers_satchell") == 0.0)
+
+      val ranging = (1 to 35).map(i =>
+        ("A", f"2024-01-$i%02d", 100.0, 110.0, 95.0, 102.0))
+      val v = DailyAnalytics.rangeVolatility(
+        ranging.toDF("symbol", "trade_date", "open_price", "high_price",
+          "low_price", "close_price"), minDays = 10).collect().head
+      assert(v.getAs[Double]("vol_parkinson") > 0.0)
+      assert(v.getAs[Double]("vol_rogers_satchell") > 0.0)
+    }
+  }
+
+  describe("trackingError") {
+    it("a symbol identical to the market has TE 0 and a NULL IR") {
+      val rows = for (s <- Seq("A", "B"); i <- 1 to 35)
+        yield (s, f"2024-01-$i%02d", (i % 5).toDouble)
+      val got = DailyAnalytics.trackingError(
+        rows.toDF("symbol", "trade_date", "daily_return_pct"), minDays = 10)
+        .collect()
+      assert(got.length == 2)
+      got.foreach { r =>
+        assert(r.getAs[Double]("tracking_error") == 0.0)
+        assert(r.isNullAt(r.fieldIndex("info_ratio")))
+      }
+    }
+  }
+
+  describe("dickeyFuller") {
+    it("hard mean reversion rejects the unit root; the gamma loads near -2") {
+      val rows = (1 to 40).map { i =>
+        val base = if (i % 2 == 0) 200.0 else 100.0
+        ("A", f"2024-01-$i%02d", base + (i % 4))
+      }
+      val r = DailyAnalytics.dickeyFuller(
+        rows.toDF("symbol", "trade_date", "close_price"), minDays = 10)
+        .collect().head
+      assert(r.getAs[Double]("gamma") < -1.5)
+      assert(r.getAs[Boolean]("reject_unit_root"))
+    }
+  }
+
   describe("spearmanVsMarket") {
     it("a symbol identical to the market scores rho = 1") {
       // two identical symbols: the equal-weight index IS each series
