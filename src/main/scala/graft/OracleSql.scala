@@ -4623,6 +4623,77 @@ object OracleSql {
     // top-20 lists (same 4-term query): per-system ranks by
     // (score DESC, doc_id), contribution FLOOR(1e9/(60+rank)) as an
     // exact long, fused by integer sum
+    // mirrors Cohorts.kaplanMeier (churnGapHours=24): hour-grain
+    // duration histogram with right censoring at panel end,
+    // suffix-sum risk sets, product-limit survival via exp of
+    // floor-scaled(8) ln terms
+    "q_kaplan_meier" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h FROM events),
+         |u AS (SELECT user_id, MIN(h) AS f, MAX(h) AS l FROM ev GROUP BY user_id),
+         |p AS (SELECT MAX(h) AS pe FROM ev),
+         |lives AS (
+         |  SELECT CASE WHEN pe - l > 24 THEN l - f ELSE pe - f END AS t,
+         |    pe - l > 24 AS event
+         |  FROM u CROSS JOIN p),
+         |hist AS (
+         |  SELECT t, CAST(SUM(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT) AS d_t,
+         |    CAST(COUNT(*) AS BIGINT) AS all_t
+         |  FROM lives GROUP BY t),
+         |ar AS (
+         |  SELECT t, d_t, CAST(SUM(all_t) OVER (ORDER BY t
+         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+         |  FROM hist),
+         |f2 AS (
+         |  SELECT t, n_risk, d_t,
+         |    ${sc("ln(1.0 - CAST(d_t AS DOUBLE) / CAST(n_risk AS DOUBLE))", 8)} AS ln8
+         |  FROM ar WHERE d_t > 0),
+         |c AS (
+         |  SELECT t, n_risk, d_t, CAST(SUM(ln8) OVER (ORDER BY t
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM f2)
+         |SELECT CAST(t AS BIGINT) AS t_hours, n_risk, d_t AS n_churned,
+         |  ${rd("exp(CAST(cum AS DOUBLE) / 100000000.0)", 4)} AS survival
+         |FROM c ORDER BY t_hours""".stripMargin,
+
+    // mirrors Cohorts.markovTransitions: per-user bigrams by one LEAD
+    // window (total order ts, event_id), exact count ratios
+    "q_markov" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         |b AS (
+         |  SELECT event_type AS cur,
+         |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+         |  FROM ev),
+         |g AS (SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n FROM b
+         |  WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+         |tot AS (SELECT cur, CAST(SUM(n) AS BIGINT) AS n_cur FROM g GROUP BY cur)
+         |SELECT g.cur, g.nxt, g.n, t.n_cur,
+         |  ${rd("CAST(g.n AS DOUBLE) / CAST(t.n_cur AS DOUBLE)", 4)} AS p
+         |FROM g JOIN tot t USING (cur) ORDER BY g.cur, g.nxt""".stripMargin,
+
+    // mirrors TextAnalysis.sparseCosinePairs (df in [2,50], k=50):
+    // rare-token postings self-join, exact integer dot products and
+    // norms in the capped subspace
+    "q_sparse_cosine" ->
+      s"""WITH ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         |tf AS (SELECT doc_id AS id, t, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM ex GROUP BY doc_id, t),
+         |rare AS (SELECT t FROM (SELECT t, COUNT(*) AS df FROM tf GROUP BY t)
+         |  WHERE df >= 2 AND df <= 50),
+         |post AS (SELECT tf.id, tf.t, tf.tf FROM tf JOIN rare USING (t)),
+         |norms AS (SELECT id, CAST(SUM(tf * tf) AS BIGINT) AS nn FROM post GROUP BY id),
+         |dots AS (
+         |  SELECT x.id AS a, y.id AS b, CAST(SUM(x.tf * y.tf) AS BIGINT) AS dot,
+         |    CAST(COUNT(*) AS BIGINT) AS n_shared
+         |  FROM post x JOIN post y ON x.t = y.t AND x.id < y.id
+         |  GROUP BY x.id, y.id)
+         |SELECT d.a AS doc_a, d.b AS doc_b, d.n_shared, d.dot,
+         |  ${rd("""CAST(d.dot AS DOUBLE) /
+         |    NULLIF(sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE)), 0)""", 4)} AS cosine
+         |FROM dots d JOIN norms na ON d.a = na.id JOIN norms nb ON d.b = nb.id
+         |ORDER BY cosine DESC, doc_a, doc_b LIMIT 50""".stripMargin,
+
     // mirrors TextAnalysis.zipfFit (topR=100): per-lang token ranks,
     // ln(rank)/ln(freq) floor-scaled to exact longs before the five
     // regression sums, two final rd(4) divisions

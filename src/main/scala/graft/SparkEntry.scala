@@ -1669,6 +1669,27 @@ object SparkEntry {
       .withColumnRenamed("id", "doc_id")
   }
 
+  /** Kaplan–Meier survival of user lifetimes with right censoring:
+    * churn events vs still-active censoring, exact risk sets. */
+  private def qKaplanMeier(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    Cohorts.kaplanMeier(ev.withColumn("event_time", Adapters.eventTime(ev)))
+      .orderBy("t_hours")
+  }
+
+  /** First-order Markov transition matrix over user event sequences:
+    * P(next | current) from exact bigram counts. */
+  private def qMarkov(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    Cohorts.markovTransitions(ev.withColumn("event_time", Adapters.eventTime(ev)))
+      .orderBy("cur", "nxt")
+  }
+
+  /** Sparse TF-IDF cosine similarity join through the rare-token
+    * subspace — lexical near-dup pairs with bounded fan-out. */
+  private def qSparseCosine(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sparseCosinePairs(Tables.documents(s, dir), "doc_id", "text")
+
   /** Zipf rank–frequency slope per language over the top-100 tokens:
     * the corpus-quality screen that flags template spam (flat) and
     * over-deduped residue (steep); natural text ≈ −1. */
@@ -2809,6 +2830,9 @@ object SparkEntry {
     "q_rrf_fusion" -> (qRrfFusion _),
     "q_zipf" -> (qZipf _),
     "q_js_divergence" -> (qJsDivergence _),
+    "q_kaplan_meier" -> (qKaplanMeier _),
+    "q_markov" -> (qMarkov _),
+    "q_sparse_cosine" -> (qSparseCosine _),
     "q_communities" -> (qCommunities _),
     "q_ngram_lm" -> (qNgramLm _),
     "q_vocab_coverage" -> (qVocabCoverage _),

@@ -413,6 +413,76 @@ object Cohorts {
         rd(least(lit(1.0), lit(1.0) / col("lam_max")), 4).as("p_always_valid"))
   }
 
+  /** Kaplan–Meier survival curve over user lifetimes (Kaplan & Meier,
+    * JASA 1958) with right censoring: a user's lifetime runs from
+    * their first to their last event day; users whose last activity
+    * ends more than `churnGapDays` before the panel's end are CHURN
+    * EVENTS at that duration, everyone else is CENSORED at panel end
+    * (still alive — they exit the risk set without an event, which is
+    * the entire point of KM over a naive churn histogram). Lifetimes
+    * run at the HOUR grain (⌊epoch-µs/3.6·10⁹⌋ — the synthetic panel
+    * spans one month, so day-grain durations would collapse the
+    * curve). At each duration t: n_t (risk set) is a suffix sum over
+    * the duration histogram, d_t the churn count, and
+    * S(t) = Π_{s≤t} (1 − d_s/n_s), computed as
+    * exp(Σ scaled-ln terms) — each term ln(1−d/n) rounds through
+    * scaled(·, 8) to an exact long before the prefix sum, so the
+    * cumulative product is order-free. Shape: one per-user reduction,
+    * one duration-grain rollup (≤ D·24 rows), two windows over it. */
+  def kaplanMeier(events: DataFrame, tsCol: String = "event_time",
+                  userCol: String = "user_id", churnGapHours: Int = 24): DataFrame = {
+    val hour = expr(s"unix_micros(cast($tsCol as timestamp)) div 3600000000").cast("long")
+    val users = events
+      .select(col(userCol).as("u"), hour.as("h"))
+      .groupBy("u").agg(min(col("h")).as("first_h"), max(col("h")).as("last_h"))
+    val panel = events.agg(max(hour).as("panel_end"))
+    val lives = users.crossJoin(broadcast(panel))
+      .select(
+        when(col("panel_end") - col("last_h") > churnGapHours,
+          col("last_h") - col("first_h"))
+          .otherwise(col("panel_end") - col("first_h")).as("t"),
+        (col("panel_end") - col("last_h") > churnGapHours).as("event"))
+    val hist = lives.groupBy("t").agg(
+      sum(when(col("event"), 1L).otherwise(0L)).as("d_t"),
+      count(lit(1)).as("all_t"))
+    val w = Window.orderBy("t")
+    val atRisk = hist
+      .withColumn("n_risk",
+        sum(col("all_t")).over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .filter(col("d_t") > 0)
+    atRisk
+      .withColumn("ln8", scaled(
+        log(lit(1.0) - col("d_t").cast("double") / col("n_risk").cast("double")), 8))
+      .withColumn("cum", sum(col("ln8")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("t").as("t_hours"), col("n_risk"), col("d_t").as("n_churned"),
+        rd(exp(col("cum").cast("double") / 1e8), 4).as("survival"))
+  }
+
+  /** First-order Markov transition matrix over each user's event
+    * sequence: P(next = b | current = a) from exact bigram counts —
+    * the user-journey model behind next-action prediction and
+    * funnel-leak diagnosis (the probabilistic sibling of the
+    * event-paths mining lane). Bigrams come from one per-user lead
+    * window; probabilities are exact count ratios rounded rd(4).
+    * Ties in simultaneous events break on (ts, event_id) — total
+    * order, deterministic. Shape: one window + two rollups at the
+    * (a,b) grain — at most |event types|² rows out. */
+  def markovTransitions(events: DataFrame, tsCol: String = "event_time",
+                        userCol: String = "user_id",
+                        typeCol: String = "event_type"): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col("event_id"))
+    val bigrams = events
+      .withColumn("nxt", lead(col(typeCol), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col(typeCol).as("cur"), col("nxt"))
+      .agg(count(lit(1)).as("n"))
+    val totals = bigrams.groupBy("cur").agg(sum(col("n")).as("n_cur"))
+    bigrams.join(totals, "cur")
+      .select(col("cur"), col("nxt"), col("n"), col("n_cur"),
+        rd(col("n").cast("double") / col("n_cur").cast("double"), 4).as("p"))
+  }
+
   /** Difference-in-differences estimator over the event stream: users
     * split into treatment (odd user_id) and control (even), periods
     * split at the panel's midpoint timestamp, outcome = mean event

@@ -927,6 +927,50 @@ object TextAnalysis {
         rd(sum(col("c12")).cast("double") / 2e12, 6).as("js_bits"))
   }
 
+  /** Sparse TF-IDF cosine similarity join over the RARE-token
+    * subspace: candidate pairs are generated only through tokens with
+    * `minDf ≤ df ≤ maxDf` — the prefix-filtering insight (a stopword
+    * shared by every doc says nothing and would drive the posting
+    * self-join quadratic; a df-capped token's posting list yields at
+    * most maxDf² pairs), the same bounded-fan-out discipline as the
+    * PPJoin n-gram lane and [[graft.operators.Graph.adamicAdar]]'s
+    * degree cap. Cosine is computed IN the capped subspace (stated
+    * semantics, mirrored by the oracle): dot products are exact
+    * integer tf sums; each doc's norm is one √ over an exact long;
+    * the ratio rounds rd(4). Returns the global top-`k` non-identical
+    * pairs. Complements the DENSE embedding lanes (semdedup/ANN) with
+    * the lexical sparse-vector form. */
+  def sparseCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+                        minDf: Int = 2, maxDf: Int = 50, k: Int = 50): DataFrame = {
+    val tf = Dedup.spreadById(docs, idCol, textCol)
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
+      .groupBy("id", "t").agg(count(lit(1)).as("tf"))
+      .snapshot() // df counts, norms, AND both join sides
+    val rare = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf && col("df") <= maxDf)
+      .select(col("t"))
+    val post = tf.join(rare, "t")
+      .snapshot() // both sides of the posting self-join + norms
+    val norms = post.groupBy("id")
+      .agg(sum(col("tf") * col("tf")).as("nn"))
+    val dots = post.select(col("t"), col("id").as("a"), col("tf").as("tfa"))
+      .join(post.select(col("t"), col("id").as("b"), col("tf").as("tfb")), "t")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(sum(col("tfa") * col("tfb")).as("dot"),
+        count(lit(1)).as("n_shared"))
+    dots
+      .join(norms.select(col("id").as("a"), col("nn").as("na")), "a")
+      .join(norms.select(col("id").as("b"), col("nn").as("nb")), "b")
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        col("n_shared"), col("dot"),
+        rd(col("dot").cast("double") /
+          nullifZero(sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))),
+          4).as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_a"), col("doc_b"))
+      .limit(k)
+  }
+
   /** Reciprocal-rank fusion of N retrieval systems (Cormack, Clarke &
     * Büttcher, SIGIR 2009): each system's top-k list is re-ranked by
     * rank alone — contribution ⌊10⁹/(kRrf + rank)⌋ — and summed per

@@ -337,4 +337,44 @@ class RankingCohortsSpec extends AnyFunSpec {
       assert(pLast < pFirst && pLast < 0.05)
     }
   }
+
+  describe("Cohorts.kaplanMeier") {
+    it("computes the textbook product-limit curve with censoring") {
+      def ts(d: Int, h: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+      // u1: hours 12-13 of day 1 then gone (churn at t=1h); u2: active
+      // through the panel end (censored, never an event); u3: one hour
+      // only (churn at t=0). S(0) = 1 - 1/3; S(1) = (2/3)(1/2) = 1/3.
+      val rows = Seq(
+        (1L, ts(1, 12)), (1L, ts(1, 13)),
+        (2L, ts(1, 12)), (2L, ts(30, 12)),
+        (3L, ts(1, 12)))
+        .toDF("user_id", "event_time")
+      val got = Cohorts.kaplanMeier(rows).orderBy("t_hours").collect()
+      assert(got.length == 2)
+      assert(got(0).getAs[Long]("t_hours") == 0L)
+      assert(got(0).getAs[Long]("n_risk") == 3L)
+      assert(got(0).getAs[Long]("n_churned") == 1L)
+      assert(got(0).getAs[Double]("survival") == 0.6667)
+      assert(got(1).getAs[Long]("t_hours") == 1L)
+      assert(got(1).getAs[Long]("n_risk") == 2L)
+      assert(got(1).getAs[Double]("survival") == 0.3333)
+    }
+  }
+
+  describe("Cohorts.markovTransitions") {
+    it("recovers exact conditional transition probabilities") {
+      def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+      val rows = Seq(
+        (1L, 10L, "a", ts(1)), (1L, 11L, "b", ts(2)),
+        (1L, 12L, "a", ts(3)), (1L, 13L, "c", ts(4)),
+        (2L, 20L, "b", ts(1)), (2L, 21L, "a", ts(2)))
+        .toDF("user_id", "event_id", "event_type", "event_time")
+      val got = Cohorts.markovTransitions(rows)
+        .collect().map(r => (r.getAs[String]("cur"), r.getAs[String]("nxt")) ->
+          (r.getAs[Long]("n"), r.getAs[Double]("p"))).toMap
+      assert(got(("a", "b")) == (1L, 0.5))
+      assert(got(("a", "c")) == (1L, 0.5))
+      assert(got(("b", "a")) == (2L, 1.0))
+    }
+  }
 }

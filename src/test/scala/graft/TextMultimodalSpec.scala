@@ -708,4 +708,25 @@ class TextMultimodalSpec extends AnyFunSpec {
       assert(r.getAs[Long]("sse") == 0L)
     }
   }
+
+  describe("TextAnalysis.sparseCosinePairs") {
+    it("identical docs through shared rare tokens score cosine 1; df-1 tokens never pair") {
+      val df = Seq((1L, "x y"), (2L, "x y"), (3L, "z w q"))
+        .toDF("doc_id", "text")
+      val got = TextAnalysis.sparseCosinePairs(df, "doc_id", "text",
+        minDf = 2, maxDf = 50, k = 10).collect()
+      assert(got.length == 1)
+      val r = got.head
+      assert(r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)
+      assert(r.getAs[Long]("dot") == 2L && r.getAs[Long]("n_shared") == 2L)
+      assert(r.getAs[Double]("cosine") == 1.0)
+    }
+    it("a stopword above maxDf generates no candidate pairs") {
+      val df = Seq((1L, "the aa"), (2L, "the bb"), (3L, "the cc"))
+        .toDF("doc_id", "text")
+      val got = TextAnalysis.sparseCosinePairs(df, "doc_id", "text",
+        minDf = 2, maxDf = 2, k = 10)
+      assert(got.isEmpty)
+    }
+  }
 }
