@@ -389,5 +389,42 @@ class PlanSpec extends AnyFunSpec {
       val p = plan(df)
       assert(p.contains("HashAggregate"), s"plan:\n$p")
     }
+    it("HITS rounds are equi joins — the only nested loop is the 1-row totals broadcast") {
+      val p = plan(SparkEntry.queries("q_hits")(spark, dir))
+      assert(!p.contains("CartesianProduct"), s"unexpected CartesianProduct, plan:\n$p")
+      // the share division crosses ONE 1-row aggregate by broadcast —
+      // every message-passing round must stay an equi join
+      assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1,
+        s"expected at most the scalar-totals cross, plan:\n$p")
+    }
+
+    it("Adamic-Adar wedges and sparse-cosine postings stay equi-join only") {
+      Seq("q_link_predict", "q_sparse_cosine").foreach { q =>
+        val p = plan(SparkEntry.queries(q)(spark, dir))
+        assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+          s"$q grew a nested-loop join:\n$p")
+      }
+    }
+
+    it("market-index joins (kendall/dimson/tracking) broadcast the day dimension") {
+      Seq("q_kendall_market", "q_dimson_beta", "q_tracking_error").foreach { q =>
+        val p = plan(SparkEntry.queries(q)(spark, dir))
+        assert(p.contains("BroadcastHashJoin"), s"$q expected broadcast index join:\n$p")
+      }
+    }
+
+    it("the wavelet lane is pure window arithmetic — no join of any kind") {
+      val p = plan(SparkEntry.queries("q_audio_wavelet")(spark, dir))
+      assert(!p.contains("Join"), s"wavelet must stay join-free:\n$p")
+    }
+
+    it("range volatility and Page-Hinkley reduce scan-to-aggregate with no join") {
+      Seq("q_range_vol", "q_page_hinkley").foreach { q =>
+        val p = plan(SparkEntry.queries(q)(spark, dir))
+        assert(!p.contains("Join"), s"$q must stay join-free:\n$p")
+        assert(p.contains("HashAggregate") || p.contains("Window"), s"plan:\n$p")
+      }
+    }
+
   }
 }
