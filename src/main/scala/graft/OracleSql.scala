@@ -4623,6 +4623,81 @@ object OracleSql {
     // top-20 lists (same 4-term query): per-system ranks by
     // (score DESC, doc_id), contribution FLOOR(1e9/(60+rank)) as an
     // exact long, fused by integer sum
+    // mirrors Graph.assortativity over the part co-purchase graph:
+    // both edge directions, HUGEINT moment sums, one Pearson rd(4)
+    "q_assortativity" ->
+      s"""WITH raw AS (
+         |  SELECT u, v FROM (
+         |    SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS n
+         |    FROM lineitem a JOIN lineitem b
+         |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |    GROUP BY a.l_partkey, b.l_partkey)
+         |  WHERE n >= 2),
+         |und AS (SELECT DISTINCT LEAST(CAST(u AS BIGINT), CAST(v AS BIGINT)) AS u,
+         |    GREATEST(CAST(u AS BIGINT), CAST(v AS BIGINT)) AS v FROM raw),
+         |sym AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+         |deg AS (SELECT u AS id, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY u),
+         |ends AS (
+         |  SELECT CAST(d1.deg AS HUGEINT) AS x, CAST(d2.deg AS HUGEINT) AS y
+         |  FROM sym JOIN deg d1 ON sym.u = d1.id JOIN deg d2 ON sym.v = d2.id),
+         |g AS (
+         |  SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+         |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+         |    SUM(x * x) AS sxx, SUM(y * y) AS syy
+         |  FROM ends)
+         |SELECT CAST(m AS BIGINT) AS n_edge_ends,
+         |  ${rd("""CAST(m * sxy - sx * sy AS DOUBLE) /
+         |    NULLIF(sqrt(CAST(m * sxx - sx * sx AS DOUBLE)) *
+         |           sqrt(CAST(m * syy - sy * sy AS DOUBLE)), 0)""", 4)} AS assortativity
+         |FROM g""".stripMargin,
+
+    // mirrors Cohorts.mantelHaenszel (treated = odd user, stratum =
+    // (user_id div 2) % 3, conversion = any 'purchase'): exact 2x2
+    // cells per stratum, per-stratum RR, MH-pooled via scaled(6) sums
+    "q_mh_lift" ->
+      s"""WITH pu AS (
+         |  SELECT user_id AS u, (user_id // 2) % 3 AS stratum,
+         |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+         |  FROM events GROUP BY 1, 2),
+         |cells AS (
+         |  SELECT stratum,
+         |    CAST(SUM(CASE WHEN u % 2 = 1 THEN conv ELSE 0 END) AS BIGINT) AS a,
+         |    CAST(SUM(CASE WHEN u % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(SUM(CASE WHEN u % 2 = 0 THEN conv ELSE 0 END) AS BIGINT) AS b,
+         |    CAST(SUM(CASE WHEN u % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0
+         |  FROM pu GROUP BY stratum),
+         |s AS (
+         |  SELECT stratum, a, n1, b, n0, n1 + n0 AS n,
+         |    ${rd("""CAST(a AS DOUBLE) / NULLIF(CAST(n1 AS DOUBLE), 0) /
+         |      NULLIF(CAST(b AS DOUBLE) / NULLIF(CAST(n0 AS DOUBLE), 0), 0)""", 4)} AS rr_stratum,
+         |    CAST(a AS DOUBLE) * CAST(n0 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE) AS num,
+         |    CAST(b AS DOUBLE) * CAST(n1 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE) AS den
+         |  FROM cells),
+         |pooled AS (
+         |  SELECT CAST(SUM(${sc("num", 6)}) AS BIGINT) AS num6,
+         |    CAST(SUM(${sc("den", 6)}) AS BIGINT) AS den6
+         |  FROM s)
+         |SELECT stratum, a AS conv_treat, n1 AS n_treat, b AS conv_ctrl, n0 AS n_ctrl,
+         |  rr_stratum,
+         |  ${rd("CAST(num6 AS DOUBLE) / NULLIF(CAST(den6 AS DOUBLE), 0)", 4)} AS rr_pooled
+         |FROM s CROSS JOIN pooled ORDER BY stratum""".stripMargin,
+
+    // mirrors TextAnalysis.tokenFertility: exact char/word/subword
+    // counts per language, two rd(4) ratios
+    "q_token_fertility" ->
+      s"""WITH d AS (
+         |  SELECT lang, CAST(length(text) AS BIGINT) AS chars,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+         |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS BIGINT) AS subwords
+         |  FROM documents)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(chars) AS BIGINT) AS n_chars,
+         |  CAST(SUM(words) AS BIGINT) AS n_words,
+         |  CAST(SUM(subwords) AS BIGINT) AS n_subwords,
+         |  ${rd("CAST(SUM(chars) AS DOUBLE) / NULLIF(CAST(SUM(words) AS DOUBLE), 0)", 4)} AS chars_per_word,
+         |  ${rd("CAST(SUM(chars) AS DOUBLE) / NULLIF(CAST(SUM(subwords) AS DOUBLE), 0)", 4)} AS chars_per_subword
+         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+
     // mirrors Cohorts.kaplanMeier (churnGapHours=24): hour-grain
     // duration histogram with right censoring at panel end,
     // suffix-sum risk sets, product-limit survival via exp of

@@ -1669,6 +1669,33 @@ object SparkEntry {
       .withColumnRenamed("id", "doc_id")
   }
 
+  /** Degree assortativity of the part co-purchase graph: do
+    * well-connected parts co-occur with each other, or with leaves. */
+  private def qAssortativity(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("p2")), "l_orderkey")
+      .filter(col("l_partkey") < col("p2"))
+      .groupBy(col("l_partkey").as("u"), col("p2").as("v"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+    Graph.assortativity(pairs, "u", "v")
+  }
+
+  /** Mantel–Haenszel stratified risk ratio: purchase conversion of
+    * treated vs control users pooled across user segments. */
+  private def qMhLift(s: SparkSession, dir: String): DataFrame =
+    Cohorts.mantelHaenszel(
+      Tables.events(s, dir).withColumn("segment", expr("(user_id div 2) % 3")),
+      "segment")
+      .orderBy("stratum")
+
+  /** Tokenizer fertility by language: chars per word / per subword —
+    * the multilingual sequence-length budget metric. */
+  private def qTokenFertility(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenFertility(Tables.documents(s, dir), "lang", "text")
+      .orderBy("lang")
+
   /** Kaplan–Meier survival of user lifetimes with right censoring:
     * churn events vs still-active censoring, exact risk sets. */
   private def qKaplanMeier(s: SparkSession, dir: String): DataFrame = {
@@ -2833,6 +2860,9 @@ object SparkEntry {
     "q_kaplan_meier" -> (qKaplanMeier _),
     "q_markov" -> (qMarkov _),
     "q_sparse_cosine" -> (qSparseCosine _),
+    "q_assortativity" -> (qAssortativity _),
+    "q_mh_lift" -> (qMhLift _),
+    "q_token_fertility" -> (qTokenFertility _),
     "q_communities" -> (qCommunities _),
     "q_ngram_lm" -> (qNgramLm _),
     "q_vocab_coverage" -> (qVocabCoverage _),

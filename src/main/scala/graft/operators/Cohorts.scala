@@ -413,6 +413,48 @@ object Cohorts {
         rd(least(lit(1.0), lit(1.0) / col("lam_max")), 4).as("p_always_valid"))
   }
 
+  /** Mantel–Haenszel pooled risk ratio across strata (Mantel &
+    * Haenszel, JNCI 1959): per-stratum conversion of treated vs
+    * control users plus the MH-pooled ratio
+    * RR = Σ(aᵢ·n₀ᵢ/nᵢ) / Σ(bᵢ·n₁ᵢ/nᵢ) — the stratified readout that
+    * survives Simpson's paradox where the crude pooled rate flips
+    * sign. Treated = odd user_id (the kit's assignment convention);
+    * strata = the `stratumCol` value; conversion = the user emitted
+    * `convType` at least once. Per-stratum cells are exact integer
+    * counts; per-stratum ratios and the pooled numerator/denominator
+    * run as fixed double trees over exact counts, rd(4). Shape: one
+    * per-user reduction, one stratum rollup, one 1-row pool. */
+  def mantelHaenszel(events: DataFrame, stratumCol: String,
+                     userCol: String = "user_id", typeCol: String = "event_type",
+                     convType: String = "purchase"): DataFrame = {
+    val perUser = events
+      .groupBy(col(userCol).as("u"), col(stratumCol).as("stratum"))
+      .agg(max(when(col(typeCol) === convType, 1L).otherwise(0L)).as("conv"))
+      .select(col("stratum"), (col("u") % 2 === 1).as("treated"), col("conv"))
+    val cells = perUser.groupBy("stratum").agg(
+      sum(when(col("treated"), col("conv")).otherwise(0L)).as("a"),
+      sum(when(col("treated"), 1L).otherwise(0L)).as("n1"),
+      sum(when(!col("treated"), col("conv")).otherwise(0L)).as("b"),
+      sum(when(!col("treated"), 1L).otherwise(0L)).as("n0"))
+    val strata = cells
+      .withColumn("n", col("n1") + col("n0"))
+      .select(col("stratum"), col("a"), col("n1"), col("b"), col("n0"),
+        rd(col("a").cast("double") / nullifZero(col("n1").cast("double")) /
+          nullifZero(col("b").cast("double") / nullifZero(col("n0").cast("double"))),
+          4).as("rr_stratum"),
+        (col("a").cast("double") * col("n0").cast("double") /
+          col("n").cast("double")).as("num"),
+        (col("b").cast("double") * col("n1").cast("double") /
+          col("n").cast("double")).as("den"))
+    val pooled = strata.agg(
+      sum(scaled(col("num"), 6)).as("num6"), sum(scaled(col("den"), 6)).as("den6"))
+    strata.crossJoin(broadcast(pooled))
+      .select(col("stratum"), col("a").as("conv_treat"), col("n1").as("n_treat"),
+        col("b").as("conv_ctrl"), col("n0").as("n_ctrl"), col("rr_stratum"),
+        rd(col("num6").cast("double") / nullifZero(col("den6").cast("double")), 4)
+          .as("rr_pooled"))
+  }
+
   /** Kaplan–Meier survival curve over user lifetimes (Kaplan & Meier,
     * JASA 1958) with right censoring: a user's lifetime runs from
     * their first to their last event day; users whose last activity

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.functions.Funcs.rd
+import graft.functions.Funcs.{nullifZero, rd}
 import graft.sources.Staging.Snapshottable
 
 /** Link-analysis operators over relational edge lists.
@@ -245,6 +245,45 @@ object Graph {
     val scored = wedges.groupBy(col("a").as("u"), col("b").as("v"))
       .agg(sum(col("wgt")).as("score"), count(lit(1)).as("n_common"))
     scored.join(und, Seq("u", "v"), "left_anti")
+  }
+
+  /** Degree assortativity coefficient (Newman, PRL 2002): the Pearson
+    * correlation of the degrees at the two ends of every edge —
+    * positive means hubs link to hubs (social nets), negative means
+    * hubs link to leaves (technological/bipartite nets). One number
+    * that fingerprints the graph's mixing pattern. Both edge
+    * directions enter the sum (the standard undirected convention).
+    * Exactness: degrees are exact counts, the five moment sums run in
+    * DECIMAL(38,0) (degree products at web scale outgrow BIGINT), and
+    * the one Pearson division rounds rd(4). Shape: one degree count +
+    * two equi joins + one 1-row rollup — linear in |E|. */
+  def assortativity(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val raw = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+    val und = raw
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .distinct()
+      .snapshot() // degree count AND both endpoint joins
+    val sym = und.union(und.select(col("v").as("u"), col("u").as("v")))
+    val deg = sym.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+    val ends = sym
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+      .select(col("du").cast("decimal(38,0)").as("x"),
+        col("dv").cast("decimal(38,0)").as("y"))
+    ends.agg(
+        count(lit(1)).cast("decimal(38,0)").as("m"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("m").cast("long").as("n_edge_ends"),
+        rd((col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          nullifZero(
+            sqrt((col("m") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("m") * col("syy") - col("sy") * col("sy")).cast("double"))),
+          4).as("assortativity"))
   }
 
   /** Bounded-round k-core peeling: repeatedly drop nodes whose degree

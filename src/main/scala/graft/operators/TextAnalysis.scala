@@ -927,6 +927,33 @@ object TextAnalysis {
         rd(sum(col("c12")).cast("double") / 2e12, 6).as("js_bits"))
   }
 
+  /** Tokenizer fertility by language: characters per whitespace word
+    * and per BPE-granularity subword ([[subwordPattern]]) — the
+    * compression-rate lens tokenizer teams budget by (a language
+    * whose fertility is 2× pays 2× the sequence length for the same
+    * text; the metric that drives vocab-allocation decisions in
+    * multilingual training). All counts are exact longs; the two
+    * ratios are exact-integer divisions rounded rd(4). Shape: one
+    * narrow scan + one partial-aggregable lang rollup. */
+  def tokenFertility(docs: DataFrame, langCol: String, textCol: String): DataFrame = {
+    val subs = regexp_extract_all(lower(col(textCol)), lit(subwordPattern), lit(0))
+    docs.select(col(langCol).as("lang"),
+        length(col(textCol)).cast("long").as("chars"),
+        size(tokens(col(textCol))).cast("long").as("words"),
+        size(subs).cast("long").as("subwords"))
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("chars")).as("n_chars"),
+        sum(col("words")).as("n_words"),
+        sum(col("subwords")).as("n_subwords"))
+      .select(col("lang"), col("n_docs"), col("n_chars"), col("n_words"),
+        col("n_subwords"),
+        rd(col("n_chars").cast("double") / nullifZero(col("n_words").cast("double")),
+          4).as("chars_per_word"),
+        rd(col("n_chars").cast("double") / nullifZero(col("n_subwords").cast("double")),
+          4).as("chars_per_subword"))
+  }
+
   /** Sparse TF-IDF cosine similarity join over the RARE-token
     * subspace: candidate pairs are generated only through tokens with
     * `minDf ≤ df ≤ maxDf` — the prefix-filtering insight (a stopword

@@ -185,4 +185,18 @@ class GraphVersioningSpec extends AnyFunSpec {
       assert(got == Set((4L, 5L)))
     }
   }
+
+  describe("Graph.assortativity") {
+    it("a star is perfectly disassortative; a balanced cycle is undefined") {
+      val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("u", "v")
+      val r = Graph.assortativity(star, "u", "v").collect().head
+      assert(r.getAs[Long]("n_edge_ends") == 8L)
+      assert(r.getAs[Double]("assortativity") == -1.0)
+
+      // every node degree 2 => zero variance => NULL, not a crash
+      val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("u", "v")
+      val c = Graph.assortativity(cycle, "u", "v").collect().head
+      assert(c.isNullAt(c.fieldIndex("assortativity")))
+    }
+  }
 }

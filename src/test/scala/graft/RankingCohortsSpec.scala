@@ -377,4 +377,29 @@ class RankingCohortsSpec extends AnyFunSpec {
       assert(got(("b", "a")) == (2L, 1.0))
     }
   }
+
+  describe("Cohorts.mantelHaenszel") {
+    it("recovers per-stratum and pooled risk ratios from planted cells") {
+      // stratum 0: treated u=1 converts, control u=2 does not;
+      // stratum 1 (u div 2 % 3 == 1): treated u=3 no, control u=4 no... build
+      // explicit: users 1(t),2(c) in stratum 0; 3(t),5(t),2? keep simple:
+      // users 1,3 treated / 2,4 control all in one stratum via ids 1,2 (s0) and 7,8 (s1? 7//2=3%3=0)
+      // use ids chosen so stratum = (u div 2) % 3: u=1->0, u=2->1, u=3->1, u=4->2, u=5->2, u=6->0, u=7->0
+      val ev = Seq(
+        (1L, "purchase"), (6L, "view"),   // stratum 0: treated u1 conv; control u6 not
+        (2L, "view"), (3L, "purchase"),   // stratum 1: control u2 not; treated u3 conv
+        (4L, "purchase"), (5L, "view"))   // stratum 2: control u4 conv; treated u5 not
+        .toDF("user_id", "event_type")
+      val got = Cohorts.mantelHaenszel(
+        ev.withColumn("segment", expr("(user_id div 2) % 3")), "segment")
+        .orderBy("stratum").collect()
+      assert(got.length == 3)
+      val s0 = got(0)
+      assert(s0.getAs[Long]("conv_treat") == 1L && s0.getAs[Long]("n_treat") == 1L)
+      assert(s0.getAs[Long]("conv_ctrl") == 0L && s0.getAs[Long]("n_ctrl") == 1L)
+      assert(s0.isNullAt(s0.fieldIndex("rr_stratum"))) // 1/0 -> NULL
+      // pooled: num = 1*1/2 + 1*1/2 + 0 = 1.0; den = 0 + 0 + 1*1/2 = 0.5
+      assert(s0.getAs[Double]("rr_pooled") == 2.0)
+    }
+  }
 }

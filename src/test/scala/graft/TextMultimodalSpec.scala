@@ -729,4 +729,21 @@ class TextMultimodalSpec extends AnyFunSpec {
       assert(got.isEmpty)
     }
   }
+
+  describe("TextAnalysis.tokenFertility") {
+    it("computes exact chars-per-word and chars-per-subword ratios") {
+      val df = Seq((1L, "en", "ab cd"), (2L, "en", "x1"), (3L, "de", "abc"))
+        .toDF("doc_id", "lang", "text")
+      val got = TextAnalysis.tokenFertility(df, "lang", "text")
+        .collect().map(r => r.getAs[String]("lang") -> r).toMap
+      val en = got("en")
+      // chars 5+2, words 2+1, subwords ab/cd + x,1 = 2+2
+      assert(en.getAs[Long]("n_chars") == 7L)
+      assert(en.getAs[Long]("n_words") == 3L)
+      assert(en.getAs[Long]("n_subwords") == 4L)
+      assert(en.getAs[Double]("chars_per_word") == 2.3333)
+      assert(en.getAs[Double]("chars_per_subword") == 1.75)
+      assert(got("de").getAs[Long]("n_subwords") == 1L)
+    }
+  }
 }
