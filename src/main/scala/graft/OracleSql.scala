@@ -4623,6 +4623,37 @@ object OracleSql {
     // top-20 lists (same 4-term query): per-system ranks by
     // (score DESC, doc_id), contribution FLOOR(1e9/(60+rank)) as an
     // exact long, fused by integer sum
+    // mirrors Similarity.pcaTopComponent (dim=64, iters=2): vectors
+    // quantized to scaled-1e4 longs, exact integer dots, HUGEINT
+    // per-dimension sums, and the same double renormalization
+    // v_j = FLOOR(w_j/max|w|*1e4 + 0.5) unrolled two rounds
+    "q_pca_power" ->
+      s"""WITH e AS (
+         |  SELECT list_transform(embedding,
+         |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)) AS xq
+         |  FROM embeddings WHERE len(embedding) = 64),
+         |d1 AS (SELECT xq, list_sum(list_transform(xq, x -> x * 10000)) AS dot FROM e),
+         |c1 AS (
+         |  SELECT i, SUM(CAST(xq[CAST(i + 1 AS INTEGER)] AS HUGEINT) * dot) AS w
+         |  FROM d1 CROSS JOIN range(64) t(i) GROUP BY i),
+         |m1 AS (SELECT MAX(ABS(CAST(w AS DOUBLE))) AS m FROM c1),
+         |v1 AS (
+         |  SELECT list(vj ORDER BY i) AS v FROM (
+         |    SELECT i, CAST(FLOOR(CAST(w AS DOUBLE) / m * 10000.0 + 0.5) AS BIGINT) AS vj
+         |    FROM c1 CROSS JOIN m1)),
+         |d2 AS (
+         |  SELECT xq, list_sum(list_transform(range(1, 65),
+         |    j -> xq[CAST(j AS INTEGER)] * v[CAST(j AS INTEGER)])) AS dot
+         |  FROM e CROSS JOIN v1),
+         |c2 AS (
+         |  SELECT i, SUM(CAST(xq[CAST(i + 1 AS INTEGER)] AS HUGEINT) * dot) AS w
+         |  FROM d2 CROSS JOIN range(64) t(i) GROUP BY i),
+         |m2 AS (SELECT MAX(ABS(CAST(w AS DOUBLE))) AS m FROM c2)
+         |SELECT CAST(i AS INTEGER) AS dim,
+         |  CAST(CAST(FLOOR(CAST(w AS DOUBLE) / m * 10000.0 + 0.5) AS BIGINT) AS DOUBLE)
+         |    / 10000.0 AS loading
+         |FROM c2 CROSS JOIN m2 ORDER BY dim""".stripMargin,
+
     // mirrors Graph.assortativity over the part co-purchase graph:
     // both edge directions, HUGEINT moment sums, one Pearson rd(4)
     "q_assortativity" ->

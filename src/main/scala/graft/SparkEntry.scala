@@ -1669,6 +1669,14 @@ object SparkEntry {
       .withColumnRenamed("id", "doc_id")
   }
 
+  /** Top principal component of the embedding cloud by matrix-free
+    * power iteration — exact-integer dot products, decimal
+    * accumulation, model-sized driver state only. */
+  private def qPcaPower(s: SparkSession, dir: String): DataFrame =
+    Similarity.pcaTopComponent(Tables.embeddings(s, dir), "embedding",
+      dim = 64, iters = 2)
+      .orderBy("dim")
+
   /** Degree assortativity of the part co-purchase graph: do
     * well-connected parts co-occur with each other, or with leaves. */
   private def qAssortativity(s: SparkSession, dir: String): DataFrame = {
@@ -2861,6 +2869,7 @@ object SparkEntry {
     "q_markov" -> (qMarkov _),
     "q_sparse_cosine" -> (qSparseCosine _),
     "q_assortativity" -> (qAssortativity _),
+    "q_pca_power" -> (qPcaPower _),
     "q_mh_lift" -> (qMhLift _),
     "q_token_fertility" -> (qTokenFertility _),
     "q_communities" -> (qCommunities _),

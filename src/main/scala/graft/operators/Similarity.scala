@@ -865,4 +865,52 @@ object Similarity {
             x => floor(x.cast("double") / (col("__amax") / 127.0) + 0.5).cast("int")))
           .as("q"))
   }
+
+  /** Top principal component of the embedding cloud by FIXED-ROUND
+    * power iteration on the (uncentered) Gram matrix A = Σ xxᵀ —
+    * v ← A·v, renormalized each round — without ever materializing
+    * A (the classic matrix-free trick: A·v = Σ x·(xᵀv), two passes
+    * of dot products over the data). The leading direction is the
+    * axis PCA whitening, ANN projection trees, and embedding-drift
+    * monitors all start from.
+    *
+    * Exactness discipline (the [[int8Quantize]] family's): vectors
+    * quantize to scaled-10⁴ longs at the scan, so every xᵀv dot and
+    * every per-row contribution x_j·(xᵀv) is an EXACT integer; the
+    * per-dimension accumulations run in DECIMAL(38,0) (order-free,
+    * overflow-safe past 10¹⁸); each round's renormalization
+    * v_j ← ⌊w_j/max|w|·10⁴ + ½⌋ divides two exact scalars in IEEE
+    * doubles — bit-identical on any engine. Sign and result are
+    * fully determined by v₀ = (10⁴,…,10⁴).
+    *
+    * Scale shape: each round is ONE narrow scan (dot + contributions
+    * fused into the same projection) and one partial-aggregable
+    * d-row reduction; the only driver-side value is the d-element
+    * direction itself — the model, broadcast back as literals.
+    * `iters` is fixed; convergence is geometric in λ₁/λ₂. */
+  def pcaTopComponent(embeddings: DataFrame, vecCol: String,
+                      dim: Int = 64, iters: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    val xq = transform(col(vecCol),
+      x => floor(x.cast("double") * 10000.0 + 0.5).cast("long"))
+    val base = embeddings.select(xq.as("xq")).filter(size(col("xq")) === dim)
+    var v: Array[Long] = Array.fill(dim)(10000L)
+    for (_ <- 1 to iters) {
+      val vLit = array(v.map(lit(_)): _*)
+      val dot = aggregate(zip_with(col("xq"), vLit, (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x)
+      val sums = base.select(col("xq"), dot.as("dot"))
+        .select(posexplode(col("xq")).as(Seq("pos", "x")), col("dot"))
+        .groupBy("pos")
+        .agg(sum(col("x").cast("decimal(38,0)") * col("dot")).as("w"))
+        .orderBy("pos")
+        .collect()
+      val w = sums.map(r => r.getDecimal(1).doubleValue())
+      val m = w.map(math.abs).max
+      v = w.map(x => math.floor(x / m * 10000.0 + 0.5).toLong)
+    }
+    import spark.implicits._
+    v.zipWithIndex.map { case (l, j) => (j, l / 10000.0) }
+      .toSeq.toDF("dim", "loading")
+  }
 }

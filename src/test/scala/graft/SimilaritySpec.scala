@@ -465,4 +465,29 @@ class SimilaritySpec extends AnyFunSpec {
       assert(r.getAs[Double]("mrr") == 0.5)
     }
   }
+
+  describe("pcaTopComponent") {
+    it("recovers the dominant axis of an axis-aligned cloud") {
+      // variance concentrated on dim 1: the top component must load
+      // ~fully on dim 1 (|loading| = 1.0 after max-normalization)
+      val rows = (1 to 50).map { i =>
+        (i.toLong, Array(0.01f * (i % 3), 1.0f * (if (i % 2 == 0) 1 else -1), 0.02f))
+      }
+      val df = rows.toDF("vec_id", "embedding")
+      val got = Similarity.pcaTopComponent(df, "embedding", dim = 3, iters = 2)
+        .orderBy("dim").collect()
+      assert(got.length == 3)
+      assert(math.abs(got(1).getAs[Double]("loading")) == 1.0)
+      assert(math.abs(got(0).getAs[Double]("loading")) < 0.2)
+      assert(math.abs(got(2).getAs[Double]("loading")) < 0.2)
+    }
+    it("is deterministic across runs") {
+      val rows = (1 to 30).map(i => (i.toLong,
+        Array(0.1f * i, 0.5f - 0.01f * i, 0.3f)))
+      val df = rows.toDF("vec_id", "embedding")
+      def run() = Similarity.pcaTopComponent(df, "embedding", dim = 3, iters = 2)
+        .orderBy("dim").collect().toSeq
+      assert(run() == run())
+    }
+  }
 }
