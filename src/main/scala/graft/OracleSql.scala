@@ -2945,6 +2945,69 @@ object OracleSql {
          |  ${rd("CAST(sa AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0 / NULLIF(te, 0) * sqrt(252.0)", 4)} AS info_ratio
          |FROM c ORDER BY symbol""".stripMargin,
 
+    // mirrors DailyAnalytics.cointegrationAdjacent: adjacent pairs by
+    // symbol rank, exact-moment cointegrating OLS, residuals rounded
+    // back to integer cents, then the DF stage on exact moments
+    "q_cointegration" ->
+      s"""${dailyChain("bars")},
+         |p AS (SELECT symbol, trade_date, ${sc("close_price", 2)} AS p FROM bars),
+         |syms AS (SELECT symbol, ROW_NUMBER() OVER (ORDER BY symbol) AS rk
+         |  FROM (SELECT DISTINCT symbol FROM p)),
+         |pairs AS (SELECT a.symbol AS s1, b.symbol AS s2
+         |  FROM syms a JOIN syms b ON b.rk = a.rk + 1),
+         |panel AS (
+         |  SELECT pr.s1, pr.s2, x.trade_date, x.p AS pa, y.p AS pb
+         |  FROM pairs pr
+         |  JOIN p x ON x.symbol = pr.s1
+         |  JOIN p y ON y.symbol = pr.s2 AND y.trade_date = x.trade_date),
+         |g1 AS (
+         |  SELECT s1, s2, CAST(COUNT(*) AS HUGEINT) AS n,
+         |    CAST(SUM(pa) AS HUGEINT) AS sa, CAST(SUM(pb) AS HUGEINT) AS sb,
+         |    SUM(CAST(pa AS HUGEINT) * pb) AS sab,
+         |    SUM(CAST(pa AS HUGEINT) * pa) AS saa
+         |  FROM panel GROUP BY s1, s2 HAVING COUNT(*) >= 30),
+         |co AS (
+         |  SELECT s1, s2,
+         |    CAST(n * sab - sa * sb AS DOUBLE) / CAST(n * saa - sa * sa AS DOUBLE) AS beta,
+         |    CAST(n AS DOUBLE) AS nd, CAST(sa AS DOUBLE) AS sad, CAST(sb AS DOUBLE) AS sbd
+         |  FROM g1),
+         |co2 AS (SELECT *, (sbd - beta * sad) / nd AS alpha FROM co),
+         |resid AS (
+         |  SELECT pn.s1, pn.s2, pn.trade_date,
+         |    CAST(FLOOR(CAST(pn.pb AS DOUBLE) - c.alpha - c.beta * CAST(pn.pa AS DOUBLE) + 0.5) AS BIGINT) AS e
+         |  FROM panel pn JOIN co2 c ON pn.s1 = c.s1 AND pn.s2 = c.s2),
+         |lg AS (SELECT s1, s2, e,
+         |    LAG(e) OVER (PARTITION BY s1, s2 ORDER BY trade_date) AS x
+         |  FROM resid),
+         |d AS (SELECT s1, s2, x, e - x AS y FROM lg WHERE x IS NOT NULL),
+         |g2 AS (
+         |  SELECT s1, s2, CAST(COUNT(*) AS HUGEINT) AS n,
+         |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+         |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         |    SUM(CAST(y AS HUGEINT) * y) AS syy
+         |  FROM d GROUP BY s1, s2),
+         |k AS (
+         |  SELECT s1, s2, CAST(n AS BIGINT) AS n_days, CAST(n AS DOUBLE) AS nd,
+         |    CAST(sx AS DOUBLE) AS dx, CAST(sy AS DOUBLE) AS dy,
+         |    CAST(sxy AS DOUBLE) AS dxy, CAST(sxx AS DOUBLE) AS dxx,
+         |    CAST(syy AS DOUBLE) AS dyy
+         |  FROM g2),
+         |m AS (
+         |  SELECT s1, s2, n_days,
+         |    (nd * dxy - dx * dy) / (nd * dxx - dx * dx) AS gamma,
+         |    dxx - dx * dx / nd AS sxx_c, dyy - dy * dy / nd AS syy_c, nd
+         |  FROM k),
+         |f AS (
+         |  SELECT s1, s2, n_days, gamma,
+         |    gamma * sqrt(sxx_c / ((syy_c - gamma * gamma * sxx_c) / (nd - 2.0))) AS t
+         |  FROM m)
+         |SELECT f.s1, f.s2, f.n_days,
+         |  ${rd("c.beta", 4)} AS beta, ${rd("gamma", 4)} AS gamma,
+         |  ${rd("t", 4)} AS t_stat, (t < -3.34) AS cointegrated
+         |FROM f JOIN co2 c ON f.s1 = c.s1 AND f.s2 = c.s2
+         |ORDER BY f.s1, f.s2""".stripMargin,
+
     // mirrors DailyAnalytics.dickeyFuller: five exact-long moments
     // (Sxx in HUGEINT — price-squared sums outgrow BIGINT), gamma and
     // the DF t-statistic in fixed double trees

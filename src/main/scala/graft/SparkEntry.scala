@@ -2179,6 +2179,12 @@ object SparkEntry {
       DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
       .orderBy("symbol")
 
+  /** Engle–Granger cointegration screen over adjacent symbol pairs:
+    * exact-moment cointegrating OLS + DF test on the residual. */
+  private def qCointegration(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.cointegrationAdjacent(Adapters.dailyBars(s, dir))
+      .orderBy("s1", "s2")
+
   /** Roll implied effective spread per symbol from the serial
     * covariance of close changes — the bid-ask bounce estimator. */
   private def qRollSpread(s: SparkSession, dir: String): DataFrame =
@@ -2905,6 +2911,7 @@ object SparkEntry {
     "q_range_vol" -> (qRangeVol _),
     "q_tracking_error" -> (qTrackingError _),
     "q_dickey_fuller" -> (qDickeyFuller _),
+    "q_cointegration" -> (qCointegration _),
     "q_theil_sen" -> (qTheilSen _),
     "q_spearman_market" -> (qSpearmanMarket _),
     "q_lorenz" -> (qLorenz _),

@@ -1266,6 +1266,83 @@ object DailyAnalytics {
         (t < -2.86).as("reject_unit_root"))
   }
 
+  /** Engle–Granger cointegration screen over ADJACENT symbol pairs
+    * (Engle & Granger, Econometrica 1987): for each lexicographic
+    * neighbor pair, (1) the cointegrating regression
+    * p_b = α + β·p_a by exact-moment OLS on the common date panel,
+    * (2) the Dickey–Fuller test on the RESIDUAL — a stationary
+    * residual (t below the EG critical value ≈ −3.34) means the two
+    * prices share a stochastic trend, the statistical license behind
+    * every pairs trade the [[pairsSpread]] z-scores. Pair set is the
+    * S−1 adjacent pairs (the [[pairsSpread]] convention), so cost is
+    * LINEAR in symbols — the screen composes, it does not re-fan the
+    * S² space.
+    *
+    * Exactness: prices are scaled longs; the five regression moments
+    * run in DECIMAL(38,0); residuals evaluate per row as one fixed
+    * double tree over exact ints and ROUND BACK to integer cents
+    * (⌊e+½⌋) before the DF pass, so the second regression's moments
+    * are again exact — the one pattern that keeps a TWO-STAGE
+    * estimator order-free end to end. Shape: two panel passes + two
+    * S-grain rollups, one broadcast of the per-pair coefficients. */
+  def cointegrationAdjacent(bars: DataFrame, minDays: Int = 30): DataFrame = {
+    val p = bars.select(col("symbol"), col("trade_date"),
+      scaled(col("close_price"), 2).as("p"))
+      .snapshot() // both pair legs
+    val syms = p.select(col("symbol")).distinct()
+      .withColumn("rk", row_number().over(Window.orderBy("symbol")))
+    val pairs = syms.select(col("symbol").as("s1"), col("rk"))
+      .join(syms.select(col("symbol").as("s2"), (col("rk") - 1).as("rk")), "rk")
+      .select(col("s1"), col("s2"))
+    val panel = pairs
+      .join(p.select(col("symbol").as("s1"), col("trade_date"), col("p").as("pa")), "s1")
+      .join(p.select(col("symbol").as("s2"), col("trade_date"), col("p").as("pb")),
+        Seq("s2", "trade_date"))
+      .snapshot() // regression pass AND residual pass
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val g1 = panel.groupBy("s1", "s2").agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(dec(col("pa"))).as("sa"), sum(dec(col("pb"))).as("sb"),
+      sum(dec(col("pa")) * col("pb")).as("sab"),
+      sum(dec(col("pa")) * col("pa")).as("saa"))
+      .filter(col("n") >= minDays)
+      .select(col("s1"), col("s2"),
+        ((col("n") * col("sab") - col("sa") * col("sb")).cast("double") /
+          (col("n") * col("saa") - col("sa") * col("sa")).cast("double")).as("beta"),
+        col("n").cast("double").as("nd"), col("sa").cast("double").as("sad"),
+        col("sb").cast("double").as("sbd"))
+      .withColumn("alpha", (col("sbd") - col("beta") * col("sad")) / col("nd"))
+    val resid = panel.join(broadcast(g1.select(col("s1"), col("s2"),
+        col("beta"), col("alpha"))), Seq("s1", "s2"))
+      .select(col("s1"), col("s2"), col("trade_date"),
+        floor(col("pb").cast("double") - col("alpha") -
+          col("beta") * col("pa").cast("double") + 0.5).cast("long").as("e"))
+    val w = Window.partitionBy("s1", "s2").orderBy("trade_date")
+    val d = resid
+      .withColumn("x", lag(col("e"), 1).over(w))
+      .filter(col("x").isNotNull)
+      .select(col("s1"), col("s2"), col("x"), (col("e") - col("x")).as("y"))
+    val g2 = d.groupBy("s1", "s2").agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+      sum(dec(col("x")) * col("y")).as("sxy"),
+      sum(dec(col("x")) * col("x")).as("sxx"),
+      sum(dec(col("y")) * col("y")).as("syy"))
+    val (n, sx, sy, sxy, sxx, syy) = (col("n").cast("double"),
+      col("sx").cast("double"), col("sy").cast("double"),
+      col("sxy").cast("double"), col("sxx").cast("double"), col("syy").cast("double"))
+    val gamma = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val sxxC = sxx - sx * sx / n
+    val syyC = syy - sy * sy / n
+    val t = gamma * sqrt(sxxC / ((syyC - gamma * gamma * sxxC) / (n - 2.0)))
+    g2.join(g1.select(col("s1"), col("s2"), col("beta")), Seq("s1", "s2"))
+      .select(col("s1"), col("s2"), col("n").cast("long").as("n_days"),
+        rd(col("beta"), 4).as("beta"),
+        rd(gamma, 4).as("gamma"),
+        rd(t, 4).as("t_stat"),
+        (t < -3.34).as("cointegrated"))
+  }
+
   /** Dimson thin-trading beta per symbol (Dimson, J. Financial
     * Economics 1979): OLS of the symbol's return on the CONCURRENT
     * and LAGGED market return, y = α + β₀·x_t + β₁·x_{t−1} — an

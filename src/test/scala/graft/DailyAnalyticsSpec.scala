@@ -1005,4 +1005,28 @@ class DailyAnalyticsSpec extends AnyFunSpec {
       assert(got.getAs[Double]("slope") == 1.5)
     }
   }
+
+  describe("cointegrationAdjacent") {
+    it("a shared random walk with a stationary spread cointegrates; independent trends do not") {
+      val base = Seq(100, 102, 99, 104, 101, 107, 103, 110, 106, 112,
+        108, 115, 111, 118, 113, 120, 116, 123, 119, 125,
+        121, 128, 124, 131, 127, 133, 129, 136, 132, 138,
+        134, 141, 137, 144, 140, 146)
+      // B = 2*A + alternating ±1 bounce: the spread is stationary
+      val rows =
+        base.zipWithIndex.map { case (p, i) =>
+          ("A", f"2024-${i / 28 + 1}%02d-${i % 28 + 1}%02d", p.toDouble) } ++
+        base.zipWithIndex.map { case (p, i) =>
+          ("B", f"2024-${i / 28 + 1}%02d-${i % 28 + 1}%02d",
+            2.0 * p + (if (i % 2 == 0) 1.0 else -1.0)) }
+      val got = DailyAnalytics.cointegrationAdjacent(
+        rows.toDF("symbol", "trade_date", "close_price"), minDays = 10)
+        .collect()
+      assert(got.length == 1)
+      val r = got.head
+      assert(r.getAs[String]("s1") == "A" && r.getAs[String]("s2") == "B")
+      assert(math.abs(r.getAs[Double]("beta") - 2.0) < 0.05)
+      assert(r.getAs[Boolean]("cointegrated"), s"t=${r.getAs[Double]("t_stat")}")
+    }
+  }
 }
