@@ -1785,6 +1785,40 @@ object OracleSql {
     // Streaming-computed twin of q_session_windows: SAME oracle —
     // session-state merging through the streaming engine must equal
     // the batch sessionization row for row.
+    // mirrors qStreamAb: the streaming per-metric state after
+    // AvailableNow equals the one-pass batch aggregate (order-free
+    // sums), so the oracle is the grouped aggregate + the identical
+    // mSPRT readout tree (tau^2 as the exact double literal)
+    "q_stream_ab" ->
+      s"""WITH g AS (
+         |  SELECT event_type AS metric,
+         |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl,
+         |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_treat,
+         |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN ${sc("value", 2)} ELSE 0 END) AS BIGINT) AS s_ctrl,
+         |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN ${sc("value", 2)} ELSE 0 END) AS BIGINT) AS s_treat,
+         |    CAST(SUM(${sc("value", 2)} * ${sc("value", 2)}) AS BIGINT) AS s_sq
+         |  FROM events GROUP BY 1),
+         |r AS (
+         |  SELECT metric, n_ctrl, n_treat,
+         |    CAST(CAST(n_ctrl + n_treat AS HUGEINT) * s_sq
+         |        - CAST(s_ctrl + s_treat AS HUGEINT) * (s_ctrl + s_treat) AS DOUBLE)
+         |      / CAST(CAST(n_ctrl + n_treat AS HUGEINT) * (n_ctrl + n_treat) AS DOUBLE)
+         |      / 10000.0 AS sigma2,
+         |    CAST(n_ctrl * n_treat AS DOUBLE) / CAST(n_ctrl + n_treat AS DOUBLE) AS h,
+         |    (CAST(s_treat AS DOUBLE) / CAST(n_treat AS DOUBLE)
+         |      - CAST(s_ctrl AS DOUBLE) / CAST(n_ctrl AS DOUBLE)) / 100.0 AS delta
+         |  FROM g WHERE n_ctrl > 0 AND n_treat > 0),
+         |lamt AS (
+         |  SELECT metric, n_ctrl, n_treat, delta,
+         |    sqrt(sigma2 / (sigma2 + h * CAST('0.010000000000000002' AS DOUBLE)))
+         |      * exp(h * h * CAST('0.010000000000000002' AS DOUBLE) * delta * delta
+         |          / (2.0 * sigma2 * (sigma2 + h * CAST('0.010000000000000002' AS DOUBLE)))) AS lambda
+         |  FROM r)
+         |SELECT metric, n_ctrl, n_treat,
+         |  ${rd("delta", 4)} AS delta, ${rd("lambda", 4)} AS lambda,
+         |  ${rd("LEAST(1.0, 1.0 / lambda)", 4)} AS p_final
+         |FROM lamt ORDER BY metric""".stripMargin,
+
     // mirrors qStreamTopk: the sharded space-saving summaries are
     // EXACT under capacity, so the merged top-10 per event_type is the
     // plain grouped count with the identical (cnt DESC, user_id) cut

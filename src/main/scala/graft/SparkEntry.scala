@@ -269,6 +269,52 @@ object SparkEntry {
     result
   }
 
+  /** Streaming A/B experiment monitor: per-metric sufficient
+    * statistics maintained in keyed state across micro-batches
+    * (TickStream.abMonitor), upserted per trigger; the final table's
+    * mSPRT readout equals the one-pass batch aggregate exactly —
+    * the always-on experiment dashboard, state O(|metrics|). */
+  private def qStreamAb(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.TickStream
+    import s.implicits._
+    val out = scratchDir("graft_stream_ab")
+    val evb = Tables.events(s, dir)
+    val ev = s.readStream.schema(evb.schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val typed = ev.select(col("event_type"), col("user_id"),
+        scaled(col("value"), 2).as("v2"))
+      .as[(String, Long, Long)]
+    val updates = TickStream.abMonitor(typed)
+    withStatePartitions(s, 4) {
+      val q = TickStream.upsertSink(updates.toDF(), s"$out/table", s"$out/ckpt",
+          Seq("metric"), "n_total")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val t = s.read.parquet(s"$out/table")
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val n = col("n_ctrl") + col("n_treat")
+    val ssum = col("s_ctrl") + col("s_treat")
+    val sigma2 = (dec(n) * col("s_sq") - dec(ssum) * ssum).cast("double") /
+      (dec(n) * n).cast("double") / 1e4
+    val h = (col("n_ctrl") * col("n_treat")).cast("double") / n.cast("double")
+    val delta = (col("s_treat").cast("double") / col("n_treat").cast("double") -
+      col("s_ctrl").cast("double") / col("n_ctrl").cast("double")) / 1e2
+    val t2 = 0.1 * 0.1
+    val lam = sqrt(sigma2 / (sigma2 + h * t2)) *
+      exp(h * h * t2 * delta * delta / (lit(2.0) * sigma2 * (sigma2 + h * t2)))
+    val result = t.filter(col("n_ctrl") > 0 && col("n_treat") > 0)
+      .select(col("metric"), col("n_ctrl"), col("n_treat"),
+        rd(delta, 4).as("delta"), rd(lam, 4).as("lambda"),
+        rd(least(lit(1.0), lit(1.0) / lam), 4).as("p_final"))
+      .orderBy("metric")
+      .snapshot()
+    deleteDir(out)
+    result
+  }
+
   /** Recursive temp-dir cleanup for the streaming snapshot queries —
     * repeated bench/correctness runs must not accumulate orphans. */
   private[graft] def deleteDir(path: String): Unit = {
@@ -2919,6 +2965,7 @@ object SparkEntry {
     "q_stream_sessions" -> (qStreamSessions _),
     "q_stream_dedup" -> (qStreamDedup _),
     "q_stream_topk" -> (qStreamTopk _),
+    "q_stream_ab" -> (qStreamAb _),
     "q_stream_join" -> (qStreamJoin _),
     "q_stream_join_outer" -> (qStreamJoinOuter _),
     "q_approx_topk" -> (qApproxTopK _),

@@ -403,4 +403,42 @@ object TickStream {
           Iterator.single(TopKShardUpdate(group, shard, total, top))
       }
   }
+
+  case class AbState(na: Long, nb: Long, sa: Long, sb: Long, ss: Long)
+  case class AbUpdate(metric: String, n_ctrl: Long, n_treat: Long,
+                      s_ctrl: Long, s_treat: Long, s_sq: Long, n_total: Long)
+
+  /** Continuously-maintained A/B experiment state per metric — the
+    * STREAMING half of the mSPRT monitor: each micro-batch folds its
+    * events into the per-metric sufficient statistics (arm counts,
+    * scaled-10² value sums, sum of squares) held in keyed state, and
+    * emits the updated statistics for the upsert sink. The emitted
+    * state after AvailableNow equals the one-pass batch aggregate
+    * EXACTLY (sums are order-free), so the final likelihood-ratio
+    * readout computed from the table is oracle-checkable while the
+    * lane itself proves incremental maintenance: O(|metrics|) state
+    * rows, O(batch) work per trigger, no reprocessing of history —
+    * the always-on experiment dashboard shape. Input tuples:
+    * (metric, user_id, v2 = scaled-10² outcome); treated = odd
+    * user_id (the experimentation kit's convention). */
+  def abMonitor(events: Dataset[(String, Long, Long)]): Dataset[AbUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[AbState, AbUpdate](
+        org.apache.spark.sql.streaming.OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        case (metric, rows, state) =>
+          var st = state.getOption.getOrElse(AbState(0L, 0L, 0L, 0L, 0L))
+          rows.foreach { case (_, u, v2) =>
+            st =
+              if (u % 2 == 1)
+                st.copy(nb = st.nb + 1, sb = st.sb + v2, ss = st.ss + v2 * v2)
+              else
+                st.copy(na = st.na + 1, sa = st.sa + v2, ss = st.ss + v2 * v2)
+          }
+          state.update(st)
+          Iterator.single(AbUpdate(metric, st.na, st.nb, st.sa, st.sb, st.ss,
+            st.na + st.nb))
+      }
+  }
 }

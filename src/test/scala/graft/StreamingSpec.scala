@@ -525,4 +525,33 @@ class StreamingSpec extends AnyFunSpec {
         s"snapshot after restart diverged from the continuous-run result: $got")
     }
   }
+
+  describe("abMonitor (streaming experiment state)") {
+    it("chunked arrival converges to the one-pass batch statistics") {
+      val source = MemoryStream[(String, Long, Long)](spark)
+      val q = TickStream.abMonitor(source.toDS())
+        .writeStream.format("memory").queryName("abmon")
+        .outputMode("update").start()
+      try {
+        // batch 1: metric m, control u2 pays 100, treated u1 pays 300
+        source.addData(("m", 2L, 100L), ("m", 1L, 300L))
+        q.processAllAvailable()
+        // batch 2: more of each arm, plus a second metric
+        source.addData(("m", 4L, 200L), ("m", 3L, 500L), ("k", 1L, 50L))
+        q.processAllAvailable()
+        val last = spark.table("abmon")
+          .orderBy(col("n_total").desc)
+          .collect()
+          .groupBy(_.getAs[String]("metric"))
+          .map { case (m, rows) => m -> rows.maxBy(_.getAs[Long]("n_total")) }
+        val mRow = last("m")
+        assert(mRow.getAs[Long]("n_ctrl") == 2L && mRow.getAs[Long]("n_treat") == 2L)
+        assert(mRow.getAs[Long]("s_ctrl") == 300L && mRow.getAs[Long]("s_treat") == 800L)
+        assert(mRow.getAs[Long]("s_sq") ==
+          100L * 100 + 300L * 300 + 200L * 200 + 500L * 500)
+        val kRow = last("k")
+        assert(kRow.getAs[Long]("n_treat") == 1L && kRow.getAs[Long]("s_treat") == 50L)
+      } finally q.stop()
+    }
+  }
 }
