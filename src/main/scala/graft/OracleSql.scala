@@ -3425,6 +3425,133 @@ object OracleSql {
          |  MIN(CASE WHEN ph > 50000 THEN trade_date END) AS first_alarm_date
          |FROM s4 GROUP BY symbol ORDER BY symbol""".stripMargin,
 
+    // mirrors Cohorts.welchTTest: per-(metric,user) cent totals,
+    // parity arms, exact HUGEINT moments, Welch t + Satterthwaite df
+    "q_welch_ttest" ->
+      s"""WITH pu AS (
+         |  SELECT event_type AS metric, user_id,
+         |    CAST(user_id % 2 AS INTEGER) AS v,
+         |    CAST(SUM(${sc("value", 2)}) AS BIGINT) AS y
+         |  FROM events GROUP BY 1, 2
+         |),
+         |m AS (
+         |  SELECT metric,
+         |    CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         |    CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(SUM(CASE WHEN v = 0 THEN y ELSE 0 END) AS BIGINT) AS s0,
+         |    CAST(SUM(CASE WHEN v = 1 THEN y ELSE 0 END) AS BIGINT) AS s1,
+         |    SUM(CASE WHEN v = 0 THEN CAST(y AS HUGEINT) * y ELSE 0 END) AS ss0,
+         |    SUM(CASE WHEN v = 1 THEN CAST(y AS HUGEINT) * y ELSE 0 END) AS ss1
+         |  FROM pu GROUP BY metric
+         |  HAVING SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) >= 2
+         |     AND SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) >= 2
+         |),
+         |w AS (
+         |  SELECT metric, n0, n1, s0, s1,
+         |    CAST(n0 * ss0 - CAST(s0 AS HUGEINT) * s0 AS DOUBLE)
+         |      / (CAST(n0 AS DOUBLE) * CAST(n0 - 1 AS DOUBLE)) / n0 AS se0,
+         |    CAST(n1 * ss1 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+         |      / (CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE)) / n1 AS se1
+         |  FROM m
+         |)
+         |SELECT metric, n0, n1,
+         |  ${rd("CAST(s0 AS DOUBLE) / n0 / 100.0", 4)} AS mean0,
+         |  ${rd("CAST(s1 AS DOUBLE) / n1 / 100.0", 4)} AS mean1,
+         |  ${rd("""(CAST(s0 AS DOUBLE) / n0 - CAST(s1 AS DOUBLE) / n1)
+         |    / NULLIF(sqrt(se0 + se1), 0)""", 4)} AS t_welch,
+         |  ${rd("""(se0 + se1) * (se0 + se1)
+         |    / NULLIF(se0 * se0 / (n0 - 1) + se1 * se1 / (n1 - 1), 0)""", 2)} AS df_welch
+         |FROM w ORDER BY metric""".stripMargin,
+
+    // mirrors Cohorts.kruskalWallis: per-day mid-ranks as exact 2r̄
+    // longs, HUGEINT-safe tie term, scale-6 Σ R²/n, tie-corrected H
+    "q_kruskal_wallis" ->
+      s"""WITH e AS (
+         |  SELECT CAST(ts AS DATE) AS d, event_type AS g,
+         |    ${sc("value", 2)} AS y
+         |  FROM events
+         |),
+         |r AS (
+         |  SELECT d, g, y,
+         |    RANK() OVER (PARTITION BY d ORDER BY y) AS rmin,
+         |    COUNT(*) OVER (PARTITION BY d, y) AS tcnt
+         |  FROM e
+         |),
+         |gr AS (
+         |  SELECT d, g, CAST(COUNT(*) AS BIGINT) AS nj,
+         |    CAST(SUM(2 * rmin + tcnt - 1) AS BIGINT) AS r2j
+         |  FROM r GROUP BY d, g
+         |),
+         |ti AS (
+         |  SELECT d, CAST(SUM(tcnt * tcnt * tcnt - tcnt) AS BIGINT) AS tie_sum
+         |  FROM (SELECT DISTINCT d, y, tcnt FROM r) GROUP BY d
+         |),
+         |nd AS (
+         |  SELECT d, CAST(SUM(nj) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+         |    CAST(SUM(${sc("CAST(r2j AS DOUBLE) * CAST(r2j AS DOUBLE) / (4.0 * nj)", 6)}) AS BIGINT) AS sr6
+         |  FROM gr GROUP BY d
+         |),
+         |hh AS (
+         |  SELECT nd.d, n, k,
+         |    12.0 * (CAST(sr6 AS DOUBLE) / 1000000.0)
+         |      / (CAST(n AS DOUBLE) * (n + 1)) - 3.0 * (n + 1) AS h,
+         |    1.0 - CAST(tie_sum AS DOUBLE)
+         |      / (CAST(n AS DOUBLE) * n * n - n) AS corr
+         |  FROM nd JOIN ti ON nd.d = ti.d
+         |  WHERE k >= 2 AND n >= k + 1
+         |)
+         |SELECT d, n, k, ${rd("h", 4)} AS h_stat,
+         |  ${rd("h / NULLIF(corr, 0)", 4)} AS h_tie_corrected
+         |FROM hh ORDER BY d""".stripMargin,
+
+    // mirrors DailyAnalytics.bhFdr: exact scale-4 moments → z, A&S
+    // 7.1.26 two-sided p (string-cast literals bit-match the Scala
+    // doubles), rank/step-up on the 6-dp-rounded p
+    "q_bh_fdr" ->
+      s"""${dailyChain("returns")},
+         |mom AS (
+         |  SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_days,
+         |    CAST(SUM(${sc4("daily_return_pct")}) AS BIGINT) AS sy,
+         |    SUM(CAST(${sc4("daily_return_pct")} AS HUGEINT) * ${sc4("daily_return_pct")}) AS syy
+         |  FROM returns WHERE daily_return_pct IS NOT NULL
+         |  GROUP BY symbol HAVING COUNT(*) >= 30
+         |),
+         |zz AS (
+         |  SELECT symbol, n_days,
+         |    (CAST(sy AS DOUBLE) / n_days) / NULLIF(
+         |      sqrt(CAST(n_days * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)
+         |        / (CAST(n_days AS DOUBLE) * CAST(n_days - 1 AS DOUBLE)))
+         |      / sqrt(CAST(n_days AS DOUBLE)), 0) AS z
+         |  FROM mom
+         |),
+         |pp AS (
+         |  SELECT symbol, n_days, z,
+         |    1.0 / (1.0 + CAST('0.2316419' AS DOUBLE) * abs(z)) AS t
+         |  FROM zz
+         |),
+         |pv AS (
+         |  SELECT symbol, n_days, z,
+         |    ${rd("""2.0 * CAST('0.3989422804014327' AS DOUBLE) * exp(-0.5 * abs(z) * abs(z))
+         |      * (t * (CAST('0.31938153' AS DOUBLE) + t * (CAST('-0.356563782' AS DOUBLE)
+         |        + t * (CAST('1.781477937' AS DOUBLE) + t * (CAST('-1.821255978' AS DOUBLE)
+         |        + t * CAST('1.330274429' AS DOUBLE))))))""", 6)} AS p_value
+         |  FROM pp
+         |),
+         |rk AS (
+         |  SELECT symbol, n_days, z, p_value,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY p_value, symbol) AS BIGINT) AS p_rank,
+         |    CAST(COUNT(*) OVER () AS BIGINT) AS m_tests
+         |  FROM pv
+         |),
+         |fl AS (
+         |  SELECT *, MAX(CASE WHEN p_value <= CAST('0.05' AS DOUBLE) * p_rank / m_tests
+         |    THEN p_rank END) OVER () AS k_max
+         |  FROM rk
+         |)
+         |SELECT symbol, n_days, ${rd("z", 4)} AS z_stat, p_value, p_rank, m_tests,
+         |  COALESCE(p_rank <= k_max, false) AS rejected
+         |FROM fl ORDER BY symbol""".stripMargin,
+
     "q_mann_whitney" ->
       s"""${dailyChain("returns")},
          |r AS (

@@ -2225,6 +2225,29 @@ object SparkEntry {
       DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
       .orderBy("symbol")
 
+  /** Welch unequal-variance t-test per metric between the parity
+    * arms — the analysis-time mean test beside q_mde's design-time
+    * power readout. */
+  private def qWelchTtest(s: SparkSession, dir: String): DataFrame =
+    Cohorts.welchTTest(Tables.events(s, dir)).orderBy("metric")
+
+  /** Kruskal–Wallis tie-corrected H per day across the event-type
+    * groups — rank-based one-way ANOVA, the k-group companion to
+    * q_mann_whitney. */
+  private def qKruskalWallis(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    Cohorts.kruskalWallis(ev.withColumn("event_time", Adapters.eventTime(ev)))
+      .orderBy("d")
+  }
+
+  /** Benjamini–Hochberg step-up FDR control over the per-symbol
+    * mean-return z-tests — the multiple-testing layer for the
+    * per-symbol screen lanes. */
+  private def qBhFdr(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.bhFdr(
+      DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+      .orderBy("symbol")
+
   /** Engle–Granger cointegration screen over adjacent symbol pairs:
     * exact-moment cointegrating OLS + DF test on the residual. */
   private def qCointegration(s: SparkSession, dir: String): DataFrame =
@@ -2946,6 +2969,9 @@ object SparkEntry {
     "q_gini" -> (qGini _),
     "q_ks_test" -> (qKsTest _),
     "q_mann_whitney" -> (qMannWhitney _),
+    "q_welch_ttest" -> (qWelchTtest _),
+    "q_kruskal_wallis" -> (qKruskalWallis _),
+    "q_bh_fdr" -> (qBhFdr _),
     "q_variance_ratio" -> (qVarianceRatio _),
     "q_page_hinkley" -> (qPageHinkley _),
     "q_kendall_market" -> (qKendallMarket _),

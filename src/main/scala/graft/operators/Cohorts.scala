@@ -564,4 +564,103 @@ object Cohorts {
       rd((col("treat_post") - col("treat_pre")) - (col("ctrl_post") - col("ctrl_pre")),
         4).as("did"))
   }
+
+  /** Welch's unequal-variance two-sample t-test per metric: for each
+    * event type, per-user total value is the unit-level outcome, arms
+    * are the same user-parity variants as [[sampleRatioCheck]]/
+    * [[cupedLift]], and the readout is the Welch t statistic with the
+    * Welch–Satterthwaite degrees of freedom — the default A/B mean
+    * test when arm variances differ (Welch 1947). Complements
+    * [[minimumDetectableEffect]] (design-time) with the analysis-time
+    * statistic.
+    *
+    * Exactness: per-user outcomes are cent-scaled longs; per-arm
+    * (n, Σy, Σy²) moments accumulate in DECIMAL(38,0) (HUGEINT in
+    * the mirror), so t and df are ONE fixed double tree over exact
+    * integers. Scale shape: one per-(metric,user) reduction, then a
+    * per-metric conditional rollup — both partial-aggregable, no
+    * user-dimension state or collect. */
+  def welchTTest(events: DataFrame, userCol: String = "user_id",
+                 typeCol: String = "event_type",
+                 valueCol: String = "value"): DataFrame = {
+    def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val perUser = events
+      .groupBy(col(typeCol).as("metric"), col(userCol).as("user_id"))
+      .agg(sum(scaled(col(valueCol), 2)).as("y"))
+      .withColumn("v", (col("user_id") % 2).cast("int"))
+    val m = perUser.groupBy("metric").agg(
+      sum(when(col("v") === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("v") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("v") === 0, col("y")).otherwise(0L)).as("s0"),
+      sum(when(col("v") === 1, col("y")).otherwise(0L)).as("s1"),
+      sum(when(col("v") === 0, d(col("y")) * d(col("y"))).otherwise(d(lit(0)))).as("ss0"),
+      sum(when(col("v") === 1, d(col("y")) * d(col("y"))).otherwise(d(lit(0)))).as("ss1"))
+      .filter(col("n0") >= 2 && col("n1") >= 2)
+    def svar(n: String, s: String, ss: String) =
+      (d(col(n)) * col(ss) - d(col(s)) * d(col(s))).cast("double") /
+        (col(n).cast("double") * (col(n) - 1).cast("double"))
+    val v0 = svar("n0", "s0", "ss0")
+    val v1 = svar("n1", "s1", "ss1")
+    val se0 = v0 / col("n0")
+    val se1 = v1 / col("n1")
+    val se2 = se0 + se1
+    val t = (col("s0").cast("double") / col("n0") -
+      col("s1").cast("double") / col("n1")) / nullifZero(sqrt(se2))
+    val dfW = se2 * se2 / nullifZero(
+      se0 * se0 / (col("n0") - 1) + se1 * se1 / (col("n1") - 1))
+    m.select(col("metric"), col("n0"), col("n1"),
+      rd(col("s0").cast("double") / col("n0") / 100.0, 4).as("mean0"),
+      rd(col("s1").cast("double") / col("n1") / 100.0, 4).as("mean1"),
+      rd(t, 4).as("t_welch"),
+      rd(dfW, 2).as("df_welch"))
+  }
+
+  /** Kruskal–Wallis H test per day: do the k event-type groups draw
+    * from the same value distribution? Rank-based one-way ANOVA
+    * (Kruskal & Wallis 1952) with the tie correction — the k-group
+    * companion to the per-symbol Mann–Whitney regime test.
+    *
+    * Exactness: with r̄ the mid-rank, 2·r̄ = 2·rank_min + (t−1) is an
+    * INTEGER, so per-group rank sums travel as exact longs (sum of
+    * 2r̄) and the tie term Σ(t³−t) is exact; H and its tie-corrected
+    * form are ONE fixed double tree at the end. Scale shape: ranks
+    * are per-day window sorts (range-partitioned at scale, never a
+    * global single-partition sort), then two partial-aggregable
+    * rollups. */
+  def kruskalWallis(events: DataFrame, tsCol: String = "event_time",
+                    typeCol: String = "event_type",
+                    valueCol: String = "value"): DataFrame = {
+    val day = to_date(col(tsCol))
+    val v = scaled(col(valueCol), 2)
+    val byDay = Window.partitionBy("d").orderBy("y")
+    val ranked = events.select(day.as("d"), col(typeCol).as("g"), v.as("y"))
+      .withColumn("rmin", rank().over(byDay))
+      .withColumn("tcnt", count(lit(1)).over(Window.partitionBy("d", "y")))
+      // 2·mid-rank, an exact integer even for even tie groups
+      .withColumn("r2", lit(2L) * col("rmin") + col("tcnt") - 1L)
+    val groups = ranked.groupBy("d", "g")
+      .agg(count(lit(1)).as("nj"), sum(col("r2")).as("r2j"))
+    val ties = ranked.select(col("d"), col("y"), col("tcnt")).distinct()
+      .groupBy("d")
+      .agg(sum(col("tcnt") * col("tcnt") * col("tcnt") - col("tcnt")).as("tie_sum"))
+    val nDay = groups.groupBy("d")
+      .agg(sum(col("nj")).as("n"), count(lit(1)).as("k"),
+        // Σ R_j²/n_j with R_j = r2j/2 ⇒ Σ r2j²/(4·n_j). Each term is
+        // an exact rational whose double image is correctly rounded
+        // (r2j² < 2⁵³), floor-scaled(6) to a long BEFORE the sum so
+        // the rollup is order-free; the ≤ 10⁻⁶-per-term quantization
+        // dies under the final rd(4) after H's 12/(N(N+1)) shrink.
+        sum(scaled(col("r2j").cast("double") * col("r2j").cast("double") /
+          (lit(4.0) * col("nj")), 6)).as("sr6"))
+    val h = lit(12.0) * (col("sr6").cast("double") / 1e6) /
+      (col("n").cast("double") * (col("n") + 1)) -
+      lit(3.0) * (col("n") + 1)
+    val corr = lit(1.0) - col("tie_sum").cast("double") /
+      (col("n").cast("double") * col("n") * col("n") - col("n"))
+    nDay.join(ties, Seq("d"))
+      .filter(col("k") >= 2 && col("n") >= col("k") + 1)
+      .select(col("d"), col("n"), col("k"),
+        rd(h, 4).as("h_stat"),
+        rd(h / nullifZero(corr), 4).as("h_tie_corrected"))
+  }
 }

@@ -2105,4 +2105,56 @@ object DailyAnalytics {
       count_if(col("ma_signal_5_20") === "DEATH_CROSS").as("death_cross_5_20_count")
     ).orderBy(col("trade_date").desc)
   }
+
+  /** Benjamini–Hochberg FDR control over the per-symbol "is the mean
+    * daily return nonzero" z-tests (Benjamini & Hochberg 1995): each
+    * symbol's one-sample z = m/(s/√n) from exact scale-4 moments, a
+    * two-sided normal p-value via the Abramowitz–Stegun 7.1.26
+    * polynomial (|ε| < 7.5·10⁻⁸, identical literals in the mirror),
+    * then the step-up rule — reject the ordered p₍₁₎…p₍ₖ₎ where k is
+    * the LARGEST rank with p₍ᵢ₎ ≤ α·i/m. The multiple-testing layer
+    * the per-symbol test lanes (Mann–Whitney, Dickey–Fuller) feed at
+    * fleet scale.
+    *
+    * Scale shape: the p-value frame is symbol-dimension-bounded (one
+    * row per symbol), so the rank / step-up windows run over a model-
+    * sized frame — the raw panel never reaches a single partition.
+    * Ranks tie-break by symbol for a total order. */
+  def bhFdr(returns: DataFrame, alpha: Double = 0.05,
+            minDays: Int = 30): DataFrame = {
+    def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val m = returns.filter(col("daily_return_pct").isNotNull)
+      .select(col("symbol"), scaled(col("daily_return_pct"), 4).as("y"))
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_days"), sum(col("y")).as("sy"),
+        sum(d(col("y")) * d(col("y"))).as("syy"))
+      .filter(col("n_days") >= minDays)
+    val sd = sqrt((d(col("n_days")) * col("syy") - d(col("sy")) * d(col("sy")))
+      .cast("double") / (col("n_days").cast("double") * (col("n_days") - lit(1L))))
+    val z = (col("sy").cast("double") / col("n_days")) /
+      nullifZero(sd / sqrt(col("n_days").cast("double")))
+    // Φ(|z|) upper tail via A&S 7.1.26: t = 1/(1+0.2316419|z|),
+    // tail = φ(z)·(b₁t+…+b₅t⁵); p = 2·tail (two-sided)
+    val az = abs(col("z"))
+    val tt = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+    val poly = tt * (lit(0.319381530) + tt * (lit(-0.356563782) +
+      tt * (lit(1.781477937) + tt * (lit(-1.821255978) + tt * lit(1.330274429)))))
+    val phi = lit(0.3989422804014327) * exp(lit(-0.5) * az * az)
+    // rank and threshold on the 6-dp-ROUNDED p so a last-ulp exp()
+    // disagreement between engines can neither reorder ranks nor flip
+    // the step-up comparison (the usual rd-boundary caveat applies)
+    val withP = m.withColumn("z", z)
+      .withColumn("p_value", rd(lit(2.0) * phi * poly, 6))
+    val ranked = withP
+      .withColumn("p_rank",
+        row_number().over(Window.orderBy(col("p_value"), col("symbol"))))
+      .withColumn("m_tests", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("passes",
+        col("p_value") <= lit(alpha) * col("p_rank") / col("m_tests"))
+    val kMax = max(when(col("passes"), col("p_rank"))).over(Window.partitionBy())
+    ranked
+      .withColumn("rejected", coalesce(col("p_rank") <= kMax, lit(false)))
+      .select(col("symbol"), col("n_days"), rd(col("z"), 4).as("z_stat"),
+        col("p_value"), col("p_rank"), col("m_tests"), col("rejected"))
+  }
 }
