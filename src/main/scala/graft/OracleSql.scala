@@ -3425,6 +3425,33 @@ object OracleSql {
          |  MIN(CASE WHEN ph > 50000 THEN trade_date END) AS first_alarm_date
          |FROM s4 GROUP BY symbol ORDER BY symbol""".stripMargin,
 
+    // mirrors SparkEntry.qIntervalOverlap; the oracle states the range
+    // join DIRECTLY as the inequality join (DuckDB's IEJoin), checking
+    // the engine's bucket-decomposed rewrite emits each overlapping
+    // pair exactly once
+    "q_interval_overlap" ->
+      """WITH base AS (
+        |  SELECT user_id, event_type, CAST(ts AS DATE) AS d,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS es
+        |  FROM events
+        |),
+        |ud AS (
+        |  SELECT user_id, d, MIN(es) AS u_start, MAX(es) AS u_end,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM base GROUP BY 1, 2
+        |),
+        |win AS (
+        |  SELECT event_type, d, MIN(es) AS w_start,
+        |    MIN(es) + 21600 AS w_end
+        |  FROM base GROUP BY 1, 2
+        |)
+        |SELECT u.user_id, w.event_type, w.d,
+        |  LEAST(u.u_end, w.w_end) - GREATEST(u.u_start, w.w_start) AS overlap_sec,
+        |  u.n_events
+        |FROM ud u JOIN win w
+        |  ON u.u_start <= w.w_end AND w.w_start <= u.u_end
+        |ORDER BY u.user_id, w.event_type, w.d""".stripMargin,
+
     // mirrors Cohorts.welchTTest: per-(metric,user) cent totals,
     // parity arms, exact HUGEINT moments, Welch t + Satterthwaite df
     "q_welch_ttest" ->

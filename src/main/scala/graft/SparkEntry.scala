@@ -2240,6 +2240,32 @@ object SparkEntry {
       .orderBy("d")
   }
 
+  /** Interval-overlap range join, bucket-decomposed: per-(user, day)
+    * activity spans against each event type's first-6-hours daily
+    * window — a shuffled equi join on hour buckets with exactly-once
+    * pair assignment, never a nested loop (see RangeJoin scaladoc). */
+  private def qIntervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val base = ev
+      .withColumn("event_time", Adapters.eventTime(ev))
+      .select(col("user_id"), col("event_type"),
+        to_date(col("event_time")).as("d"),
+        expr("unix_micros(cast(event_time as timestamp)) div 1000000L").as("es"))
+    val userDay = base.groupBy(col("user_id"), col("d").as("u_day"))
+      .agg(min(col("es")).as("u_start"), max(col("es")).as("u_end"),
+        count(lit(1)).as("n_events"))
+    val window6h = base.groupBy(col("event_type"), col("d"))
+      .agg(min(col("es")).as("w_start"))
+      .withColumn("w_end", col("w_start") + lit(6L * 3600L))
+    RangeJoin.overlapJoin(userDay, window6h,
+        "u_start", "u_end", "w_start", "w_end")
+      .select(col("user_id"), col("event_type"), col("d"),
+        (least(col("u_end"), col("w_end")) -
+          greatest(col("u_start"), col("w_start"))).as("overlap_sec"),
+        col("n_events"))
+      .orderBy("user_id", "event_type", "d")
+  }
+
   /** Benjamini–Hochberg step-up FDR control over the per-symbol
     * mean-return z-tests — the multiple-testing layer for the
     * per-symbol screen lanes. */
@@ -2970,6 +2996,7 @@ object SparkEntry {
     "q_ks_test" -> (qKsTest _),
     "q_mann_whitney" -> (qMannWhitney _),
     "q_welch_ttest" -> (qWelchTtest _),
+    "q_interval_overlap" -> (qIntervalOverlap _),
     "q_kruskal_wallis" -> (qKruskalWallis _),
     "q_bh_fdr" -> (qBhFdr _),
     "q_variance_ratio" -> (qVarianceRatio _),
