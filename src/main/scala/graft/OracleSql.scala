@@ -3425,6 +3425,90 @@ object OracleSql {
          |  MIN(CASE WHEN ph > 50000 THEN trade_date END) AS first_alarm_date
          |FROM s4 GROUP BY symbol ORDER BY symbol""".stripMargin,
 
+    // mirrors TextAnalysis.naiveBayesLang: Laplace log-likelihoods and
+    // log-priors floor-scaled(8) at the model grain, per-doc exact
+    // long sums, window argmax with (score, label) tie-break
+    "q_naive_bayes" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang AS label, unnest(string_split(text, ' ')) AS w
+         |  FROM documents
+         |),
+         |tr AS (SELECT * FROM tok WHERE doc_id % 2 = 0),
+         |te AS (
+         |  SELECT doc_id, label, w, CAST(COUNT(*) AS BIGINT) AS k
+         |  FROM tok WHERE doc_id % 2 = 1 GROUP BY 1, 2, 3
+         |),
+         |cl AS (SELECT label, w, CAST(COUNT(*) AS BIGINT) AS c FROM tr GROUP BY 1, 2),
+         |tl AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS t FROM tr GROUP BY 1),
+         |vocab AS (SELECT DISTINCT w FROM tr),
+         |vsz AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+         |model AS (
+         |  SELECT tl.label AS cand, vocab.w,
+         |    ${sc("ln(CAST(COALESCE(cl.c, 0) + 1 AS DOUBLE) / CAST(tl.t + vsz.v AS DOUBLE))", 8)} AS w8
+         |  FROM vocab CROSS JOIN tl CROSS JOIN vsz
+         |  LEFT JOIN cl ON cl.label = tl.label AND cl.w = vocab.w
+         |),
+         |prior AS (
+         |  SELECT lang AS cand,
+         |    ${sc("ln(CAST(COUNT(*) AS DOUBLE) / CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 2 = 0) AS DOUBLE))", 8)} AS p8
+         |  FROM documents WHERE doc_id % 2 = 0 GROUP BY lang
+         |),
+         |sc0 AS (
+         |  SELECT te.doc_id, te.label, m.cand,
+         |    CAST(SUM(te.k * m.w8) AS BIGINT) AS s8
+         |  FROM te JOIN model m ON te.w = m.w
+         |  GROUP BY 1, 2, 3
+         |),
+         |tot AS (
+         |  SELECT sc0.doc_id, sc0.label, sc0.cand, sc0.s8 + p.p8 AS total8
+         |  FROM sc0 JOIN prior p ON p.cand = sc0.cand
+         |),
+         |rk AS (
+         |  SELECT doc_id, label, cand, total8,
+         |    ROW_NUMBER() OVER w AS rn,
+         |    total8 - LEAD(total8, 1) OVER w AS margin8
+         |  FROM tot
+         |  WINDOW w AS (PARTITION BY doc_id ORDER BY total8 DESC, cand DESC)
+         |)
+         |SELECT doc_id, label AS lang, cand AS pred_lang,
+         |  label = cand AS correct, margin8
+         |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // mirrors TextAnalysis.chi2Features: presence-grain 2×2 marginals
+    // as exact BIGINTs, identical double tree for the statistic
+    "q_chi2_features" ->
+      s"""WITH pres AS (
+         |  SELECT DISTINCT doc_id, CAST(lang = 'en' AS INTEGER) AS y, w
+         |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+         |        FROM documents)
+         |),
+         |tot AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+         |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS npos
+         |  FROM documents
+         |),
+         |pt AS (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS df,
+         |    CAST(SUM(y) AS BIGINT) AS n11
+         |  FROM pres GROUP BY w HAVING COUNT(*) >= 5
+         |),
+         |mg AS (
+         |  SELECT w, df, n11, df - n11 AS n10, npos - n11 AS n01,
+         |    nd - npos - (df - n11) AS n00, nd
+         |  FROM pt CROSS JOIN tot
+         |),
+         |cx AS (
+         |  SELECT w, df, n11,
+         |    CAST(nd AS DOUBLE) * CAST(n11 * n00 - n10 * n01 AS DOUBLE)
+         |      * CAST(n11 * n00 - n10 * n01 AS DOUBLE)
+         |      / NULLIF(CAST((n11 + n10) * (n01 + n00) AS DOUBLE)
+         |               * CAST((n11 + n01) * (n10 + n00) AS DOUBLE), 0) AS chi2
+         |  FROM mg
+         |)
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY chi2 DESC, w) AS INTEGER) AS rnk,
+         |  w AS token, df, n11, ${rd("chi2", 4)} AS chi2
+         |FROM cx QUALIFY rnk <= 50 ORDER BY rnk""".stripMargin,
+
     // mirrors SparkEntry.qIntervalOverlap; the oracle states the range
     // join DIRECTLY as the inequality join (DuckDB's IEJoin), checking
     // the engine's bucket-decomposed rewrite emits each overlapping

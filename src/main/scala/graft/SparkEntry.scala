@@ -2240,6 +2240,20 @@ object SparkEntry {
       .orderBy("d")
   }
 
+  /** Multinomial naive Bayes language classifier: even doc_ids train,
+    * odd score; exact scaled-long log-likelihood sums, long-exact
+    * argmax and margin. */
+  private def qNaiveBayes(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.naiveBayesLang(Tables.documents(s, dir))
+      .orderBy("doc_id")
+
+  /** χ² feature ranking of tokens against the is-English label —
+    * exact 2×2 marginals, deterministic double tree, top-50. */
+  private def qChi2Features(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chi2Features(Tables.documents(s, dir),
+      labelExpr = col("lang") === "en")
+      .orderBy("rnk")
+
   /** Interval-overlap range join, bucket-decomposed: per-(user, day)
     * activity spans against each event type's first-6-hours daily
     * window — a shuffled equi join on hour buckets with exactly-once
@@ -2997,6 +3011,8 @@ object SparkEntry {
     "q_mann_whitney" -> (qMannWhitney _),
     "q_welch_ttest" -> (qWelchTtest _),
     "q_interval_overlap" -> (qIntervalOverlap _),
+    "q_naive_bayes" -> (qNaiveBayes _),
+    "q_chi2_features" -> (qChi2Features _),
     "q_kruskal_wallis" -> (qKruskalWallis _),
     "q_bh_fdr" -> (qBhFdr _),
     "q_variance_ratio" -> (qVarianceRatio _),

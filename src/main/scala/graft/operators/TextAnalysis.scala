@@ -1029,4 +1029,100 @@ object TextAnalysis {
       .orderBy(col("rrf_score").desc, col("id"))
       .limit(k)
   }
+
+  /** Multinomial naive Bayes language classifier, trained and scored
+    * in one relational pipeline: even doc_ids train, odd doc_ids
+    * test. Per-(label, token) Laplace-smoothed log-likelihoods
+    * ln((c+1)/(T_l+V)) and log-priors ln(N_l/N) round through
+    * scaled(8) to exact longs AT THE MODEL GRAIN, so every per-doc
+    * score is an order-free integer sum Σ k·w₈ + p₈ and the argmax /
+    * margin are exact long comparisons — no float accumulation
+    * anywhere past the model table. Out-of-vocabulary test tokens
+    * are ignored (the standard practical variant; an inner join
+    * drops them symmetrically for every label).
+    *
+    * Scale shape: the model is |V|·|labels| rows built by one
+    * train-side count pass; scoring is a token-grain equi join
+    * (shuffle on token — broadcastable when the vocab is bounded)
+    * followed by a per-(doc,label) partial-aggregable sum. The
+    * label dimension (not the corpus) bounds the argmax window. */
+  def naiveBayesLang(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text",
+                     labelCol: String = "lang"): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"), col(labelCol).as("label"),
+      explode(tokens(col(textCol))).as("w"))
+    val train = tok.filter(col("doc_id") % 2 === 0)
+    val test = tok.filter(col("doc_id") % 2 === 1)
+      .groupBy("doc_id", "label", "w").agg(count(lit(1)).as("k"))
+    val cl = train.groupBy("label", "w").agg(count(lit(1)).as("c"))
+    val tl = train.groupBy("label").agg(count(lit(1)).as("t"))
+    val vocab = train.select("w").distinct()
+    val vsz = vocab.agg(count(lit(1)).as("v"))
+    // labels × |V|: the corpus-scale side stays left, the label×1
+    // dimension table broadcasts — a BroadcastNestedLoop fan-out of
+    // exactly |labels| rows per vocab row, never a CartesianProduct
+    val model = vocab.crossJoin(broadcast(tl.crossJoin(broadcast(vsz))))
+      .join(cl, Seq("label", "w"), "left")
+      .select(col("label").as("cand"), col("w"),
+        scaled(log((coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") /
+          (col("t") + col("v")).cast("double")), 8).as("w8"))
+    val prior = docs.filter(col(idCol) % 2 === 0)
+      .groupBy(col(labelCol).as("cand")).agg(count(lit(1)).as("nl"))
+      .crossJoin(broadcast(docs.filter(col(idCol) % 2 === 0)
+        .agg(count(lit(1)).as("nd"))))
+      .select(col("cand"),
+        scaled(log(col("nl").cast("double") / col("nd").cast("double")), 8).as("p8"))
+    val scores = test.join(model, Seq("w"))
+      .groupBy("doc_id", "label", "cand")
+      .agg(sum(col("k") * col("w8")).as("s8"))
+      .join(broadcast(prior), Seq("cand"))
+      .withColumn("total8", col("s8") + col("p8"))
+    val byDoc = Window.partitionBy("doc_id")
+      .orderBy(col("total8").desc, col("cand").desc)
+    scores
+      .withColumn("rn", row_number().over(byDoc))
+      .withColumn("margin8", col("total8") - lead(col("total8"), 1).over(byDoc))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("label").as("lang"), col("cand").as("pred_lang"),
+        (col("label") === col("cand")).as("correct"), col("margin8"))
+  }
+
+  /** χ² feature selection against a binary document label: for each
+    * token (document-presence grain, min-df filtered), the 2×2
+    * independence χ² from EXACT marginal counts — the classic
+    * filter-method ranking for text features (Yang & Pedersen 1997).
+    * The statistic is one fixed double tree over exact longs (the
+    * inner determinant stays under 2⁶³; the large products run in
+    * double on BOTH engines with an identical tree, so the ordering
+    * is deterministic), ranked desc with a token tie-break.
+    *
+    * Scale shape: one distinct-(doc,token) reduction, one per-token
+    * count rollup joined against a 1-row broadcast of the label
+    * totals — no token×token interaction, linear in corpus size. */
+  def chi2Features(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", labelExpr: Column,
+                   minDf: Long = 5L, k: Int = 50): DataFrame = {
+    val present = docs.select(col(idCol).as("doc_id"), labelExpr.as("y"),
+        explode(array_distinct(tokens(col(textCol)))).as("w"))
+    val totals = docs.agg(count(lit(1)).as("nd"),
+      sum(labelExpr.cast("long")).as("npos"))
+    val perTok = present.groupBy("w").agg(
+      count(lit(1)).as("df"),
+      sum(col("y").cast("long")).as("n11"))
+      .filter(col("df") >= minDf)
+    val d = perTok.crossJoin(broadcast(totals))
+      .withColumn("n10", col("df") - col("n11"))
+      .withColumn("n01", col("npos") - col("n11"))
+      .withColumn("n00", col("nd") - col("npos") - col("n10"))
+    val det = (col("n11") * col("n00") - col("n10") * col("n01")).cast("double")
+    val chi2 = col("nd").cast("double") * det * det /
+      nullifZero(((col("n11") + col("n10")) * (col("n01") + col("n00"))).cast("double") *
+        ((col("n11") + col("n01")) * (col("n10") + col("n00"))).cast("double"))
+    d.withColumn("chi2", chi2)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("chi2").desc, col("w"))))
+      .filter(col("rnk") <= k)
+      .select(col("rnk"), col("w").as("token"), col("df"), col("n11"),
+        rd(col("chi2"), 4).as("chi2"))
+  }
 }
