@@ -3425,6 +3425,28 @@ object OracleSql {
          |  MIN(CASE WHEN ph > 50000 THEN trade_date END) AS first_alarm_date
          |FROM s4 GROUP BY symbol ORDER BY symbol""".stripMargin,
 
+    // mirrors TextAnalysis.readability: exact counts via list
+    // higher-order functions, string-cast formula constants
+    "q_readability" ->
+      s"""WITH c AS (
+         |  SELECT doc_id,
+         |    CAST(GREATEST(len(string_split(text, ' ')), 1) AS BIGINT) AS n_words,
+         |    CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+         |    CAST(list_sum(list_transform(string_split(text, ' '),
+         |      w -> GREATEST(len(regexp_extract_all(w, '[aeiouy]+')), 1))) AS BIGINT) AS n_syllables,
+         |    CAST(COALESCE(list_max(list_transform(
+         |      regexp_extract_all(text, '[^aeiouy ]+'), r -> len(r))), 0) AS INTEGER) AS max_consonant_run
+         |  FROM documents
+         |)
+         |SELECT doc_id, n_words, n_sentences, n_syllables, max_consonant_run,
+         |  ${rd("""CAST('206.835' AS DOUBLE)
+         |    - CAST('1.015' AS DOUBLE) * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+         |    - CAST('84.6' AS DOUBLE) * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))""", 4)} AS flesch,
+         |  ${rd("""CAST('0.39' AS DOUBLE) * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+         |    + CAST('11.8' AS DOUBLE) * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+         |    - CAST('15.59' AS DOUBLE)""", 4)} AS fk_grade
+         |FROM c ORDER BY doc_id""".stripMargin,
+
     // mirrors TextAnalysis.naiveBayesLang: Laplace log-likelihoods and
     // log-priors floor-scaled(8) at the model grain, per-doc exact
     // long sums, window argmax with (score, label) tie-break

@@ -2240,6 +2240,13 @@ object SparkEntry {
       .orderBy("d")
   }
 
+  /** Flesch / Flesch–Kincaid readability with the vowel-run syllable
+    * proxy and a longest-consonant-run gibberish signal — one narrow
+    * codegen'd scan, no shuffle. */
+  private def qReadability(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.readability(Tables.documents(s, dir))
+      .orderBy("doc_id")
+
   /** Multinomial naive Bayes language classifier: even doc_ids train,
     * odd score; exact scaled-long log-likelihood sums, long-exact
     * argmax and margin. */
@@ -3012,6 +3019,7 @@ object SparkEntry {
     "q_welch_ttest" -> (qWelchTtest _),
     "q_interval_overlap" -> (qIntervalOverlap _),
     "q_naive_bayes" -> (qNaiveBayes _),
+    "q_readability" -> (qReadability _),
     "q_chi2_features" -> (qChi2Features _),
     "q_kruskal_wallis" -> (qKruskalWallis _),
     "q_bh_fdr" -> (qBhFdr _),
