@@ -1789,6 +1789,41 @@ object OracleSql {
     // AvailableNow equals the one-pass batch aggregate (order-free
     // sums), so the oracle is the grouped aggregate + the identical
     // mSPRT readout tree (tau^2 as the exact double literal)
+    // mirrors SparkEntry.qStreamCusum / TickStream.cusumMonitor: the
+    // online detector's prefix-sum closed form as SQL windows —
+    // τ=5000, slack=200, h=150000 (cents), integer end to end
+    "q_stream_cusum" ->
+      s"""WITH t AS (
+         |  SELECT event_type AS symbol, ts, ${sc("value", 2)} AS x2 FROM events
+         |),
+         |p AS (
+         |  SELECT symbol, x2,
+         |    CAST(SUM(x2 - 5200) OVER w AS BIGINT) AS p1,
+         |    CAST(SUM(x2 - 4800) OVER w AS BIGINT) AS p2,
+         |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS n
+         |  FROM t
+         |  WINDOW w AS (PARTITION BY symbol ORDER BY ts, x2
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |),
+         |s AS (
+         |  SELECT symbol, n,
+         |    p1 - LEAST(MIN(p1) OVER w2, 0) AS splus,
+         |    GREATEST(MAX(p2) OVER w2, 0) - p2 AS sminus
+         |  FROM p
+         |  WINDOW w2 AS (PARTITION BY symbol ORDER BY n
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |),
+         |f AS (
+         |  SELECT symbol, MAX(n) AS n_events,
+         |    arg_max(splus, n) AS s_plus, arg_max(sminus, n) AS s_minus,
+         |    MAX(splus) AS max_s_plus, MAX(sminus) AS max_s_minus,
+         |    MIN(CASE WHEN splus > 150000 OR sminus > 150000 THEN n END) AS first_alarm_n
+         |  FROM s GROUP BY symbol
+         |)
+         |SELECT symbol, n_events, s_plus, s_minus, max_s_plus, max_s_minus,
+         |  first_alarm_n, first_alarm_n IS NOT NULL AS alarmed
+         |FROM f ORDER BY symbol""".stripMargin,
+
     "q_stream_ab" ->
       s"""WITH g AS (
          |  SELECT event_type AS metric,

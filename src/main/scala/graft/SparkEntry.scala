@@ -269,6 +269,47 @@ object SparkEntry {
     result
   }
 
+  /** Streaming two-sided Page CUSUM drift monitor: per-symbol prefix-
+    * sum state folded micro-batch by micro-batch over the shared
+    * 3-chunk ordered replay (TickStream.cusumMonitor), upserted per
+    * trigger; the final table equals the batch window computation
+    * exactly (integer arithmetic end to end), giving the online
+    * detector a full SQL-window oracle. τ=50.00, slack 2.00,
+    * h=1500.00 — fixed literals (near the tick-value scale, so both
+    * sides genuinely excurse) mirrored in the oracle. */
+  private def qStreamCusum(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.TickStream
+    import s.implicits._
+    val out = scratchDir("graft_stream_cusum")
+    val evb = Tables.events(s, dir)
+    val ev = s.readStream.schema(evb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(sharedEventStage(s, dir))
+    val tsMicros = evb.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => expr("unix_micros(cast(ts as timestamp))")
+    }
+    val input = ev.select(col("event_type"), tsMicros.as("tus"),
+        scaled(col("value"), 2).as("x2"))
+      .as[(String, Long, Long)]
+    val updates = TickStream.cusumMonitor(input,
+      target = 5000L, slack = 200L, threshold = 150000L)
+    withStatePartitions(s, 4) {
+      val q = TickStream.upsertSink(updates.toDF(), s"$out/table", s"$out/ckpt",
+          Seq("symbol"), "n_events")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val result = s.read.parquet(s"$out/table")
+      .select(col("symbol"), col("n_events"), col("s_plus"), col("s_minus"),
+        col("max_s_plus"), col("max_s_minus"), col("first_alarm_n"),
+        col("first_alarm_n").isNotNull.as("alarmed"))
+      .orderBy("symbol")
+      .snapshot()
+    deleteDir(out)
+    result
+  }
+
   /** Streaming A/B experiment monitor: per-metric sufficient
     * statistics maintained in keyed state across micro-batches
     * (TickStream.abMonitor), upserted per trigger; the final table's
@@ -423,10 +464,12 @@ object SparkEntry {
     *     removed at stage time. Checkpoint and sink stay fresh per run
     *     (exactly-once state is per-query, only the immutable input
     *     replay is shared). */
-  private[graft] def streamJoinRun(s: SparkSession, dir: String)
-      : (DataFrame, Array[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
+  /** The shared 3-chunk time-ordered replay stage of raw events,
+    * content-keyed and cached across queries/runs (the inner stream
+    * join, the streaming CUSUM): stage once, every ordered-replay
+    * consumer reads the same immutable chunk files. */
+  private[graft] def sharedEventStage(s: SparkSession, dir: String): String = {
     import graft.streaming.TickStream
-    val out = scratchDir("graft_stream_join")
     val events = Tables.events(s, dir)
     val src = new java.io.File(s"$dir/events.parquet")
     val staged = new java.io.File(
@@ -444,8 +487,16 @@ object SparkEntry {
       // ~0.7 s/micro-batch commit floor one less time than 4 chunks.
       TickStream.stageTimeChunks(events, "ts", 3, staged.toString)
     }
+    staged.toString
+  }
+
+  private[graft] def streamJoinRun(s: SparkSession, dir: String)
+      : (DataFrame, Array[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
+    import graft.streaming.TickStream
+    val out = scratchDir("graft_stream_join")
+    val events = Tables.events(s, dir)
     val src0 = s.readStream.schema(events.schema)
-      .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+      .option("maxFilesPerTrigger", "1").parquet(sharedEventStage(s, dir))
     val views = src0.filter(col("event_type") === "view")
       .select(col("user_id").as("symbol"),
         Adapters.eventTime(src0).cast("timestamp").as("event_time"),
@@ -3043,6 +3094,7 @@ object SparkEntry {
     "q_stream_dedup" -> (qStreamDedup _),
     "q_stream_topk" -> (qStreamTopk _),
     "q_stream_ab" -> (qStreamAb _),
+    "q_stream_cusum" -> (qStreamCusum _),
     "q_stream_join" -> (qStreamJoin _),
     "q_stream_join_outer" -> (qStreamJoinOuter _),
     "q_approx_topk" -> (qApproxTopK _),

@@ -404,6 +404,66 @@ object TickStream {
       }
   }
 
+  case class CusumState(n: Long, p1: Long, minP1: Long, maxUp: Long,
+                        p2: Long, maxP2: Long, maxDn: Long,
+                        firstAlarm: Long)
+  case class CusumUpdate(symbol: String, n_events: Long,
+                         s_plus: Long, s_minus: Long,
+                         max_s_plus: Long, max_s_minus: Long,
+                         first_alarm_n: Option[Long])
+
+  /** Online two-sided Page CUSUM per key (Page 1954), continuously
+    * maintained: S⁺ₜ = max(0, S⁺ₜ₋₁ + (xₜ−τ−c)), S⁻ₜ = max(0, S⁻ₜ₋₁ −
+    * (xₜ−τ+c)), alarm when either exceeds h — the always-on drift
+    * detector beside the batch lane's offline changepoint argmax.
+    * State uses the PREFIX-SUM closed form (S⁺ₜ = P₁ₜ − min(min P₁, 0)
+    * with P₁ the running Σ(x−τ−c)), so the keyed state is eight longs
+    * however long the stream runs, and the emitted statistics after
+    * AvailableNow equal a batch window computation EXACTLY — integer
+    * arithmetic end to end, which is what makes the streaming lane
+    * full-oracle-checkable against the SQL window mirror.
+    *
+    * Order: the recurrence is order-dependent, so each micro-batch's
+    * rows are sorted by (ts, x) inside the state function (batch-
+    * bounded buffer) and cross-batch order comes from the staged
+    * time-chunk replay — same contract as the stream-stream joins.
+    * Input tuples: (key, tsMicros, x scaled to cents). */
+  def cusumMonitor(events: Dataset[(String, Long, Long)],
+                   target: Long, slack: Long,
+                   threshold: Long): Dataset[CusumUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[CusumState, CusumUpdate](
+        org.apache.spark.sql.streaming.OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        case (symbol, rows, state) =>
+          var st = state.getOption.getOrElse(
+            CusumState(0L, 0L, 0L, 0L, 0L, 0L, 0L, -1L))
+          rows.toArray.sortBy(r => (r._2, r._3)).foreach { case (_, _, x2) =>
+            val p1 = st.p1 + (x2 - target - slack)
+            val p2 = st.p2 + (x2 - target + slack)
+            val minP1 = math.min(st.minP1, p1)
+            val maxP2 = math.max(st.maxP2, p2)
+            // identity: S⁺ₜ = Pₜ − min(min_{j≤t} Pⱼ, 0) — the min INCLUDES
+            // the current prefix (S⁺ₜ = 0 when Pₜ is the running min)
+            val sPlus = p1 - math.min(minP1, 0L)
+            val sMinus = math.max(maxP2, 0L) - p2
+            val n = st.n + 1
+            val alarm =
+              if (st.firstAlarm >= 0) st.firstAlarm
+              else if (sPlus > threshold || sMinus > threshold) n
+              else -1L
+            st = CusumState(n, p1, minP1, math.max(st.maxUp, sPlus),
+              p2, maxP2, math.max(st.maxDn, sMinus), alarm)
+          }
+          state.update(st)
+          Iterator.single(CusumUpdate(symbol, st.n,
+            st.p1 - math.min(st.minP1, 0L), math.max(st.maxP2, 0L) - st.p2,
+            st.maxUp, st.maxDn,
+            if (st.firstAlarm >= 0) Some(st.firstAlarm) else None))
+      }
+  }
+
   case class AbState(na: Long, nb: Long, sa: Long, sb: Long, ss: Long)
   case class AbUpdate(metric: String, n_ctrl: Long, n_treat: Long,
                       s_ctrl: Long, s_treat: Long, s_sq: Long, n_total: Long)

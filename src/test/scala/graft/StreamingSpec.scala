@@ -554,4 +554,52 @@ class StreamingSpec extends AnyFunSpec {
       } finally q.stop()
     }
   }
+
+  describe("cusumMonitor (streaming drift detector)") {
+    it("chunked arrival equals the hand-rolled Page recurrence, alarm included") {
+      val source = MemoryStream[(String, Long, Long)](spark)
+      // τ=10, c=0, h=5: xs drive S⁺ up past h then collapse
+      val q = TickStream.cusumMonitor(source.toDS(),
+          target = 10L, slack = 0L, threshold = 5L)
+        .writeStream.format("memory").queryName("cusum")
+        .outputMode("update").start()
+      try {
+        source.addData(("s", 1L, 13L), ("s", 2L, 14L)) // S⁺: 3 → 7 (alarm at n=2)
+        q.processAllAvailable()
+        source.addData(("s", 4L, 1L), ("s", 3L, 2L))   // out-of-order in-batch: sorted by ts
+        q.processAllAvailable()
+        val rows = spark.table("cusum").collect()
+          .map(r => r.getAs[Long]("n_events") ->
+            (r.getAs[Long]("s_plus"), r.getAs[Long]("max_s_plus"),
+              Option(r.getAs[java.lang.Long]("first_alarm_n")).map(_.toLong)))
+          .toMap
+        // after batch 1: P = 3, 7; S⁺ = 7, max 7, alarm at n=2
+        assert(rows(2L) == ((7L, 7L, Some(2L))))
+        // ts-sorted batch 2 folds 2 then 1: P = -1, -10 → S⁺ = 0
+        assert(rows(4L)._1 == 0L)
+        assert(rows(4L)._2 == 7L)             // running max survives the collapse
+        assert(rows(4L)._3.contains(2L))      // first alarm is sticky
+      } finally q.stop()
+    }
+
+    it("S⁻ side: a downward shift accumulates and the state stays eight longs") {
+      val source = MemoryStream[(String, Long, Long)](spark)
+      val q = TickStream.cusumMonitor(source.toDS(),
+          target = 10L, slack = 1L, threshold = 100L)
+        .writeStream.format("memory").queryName("cusumdn")
+        .outputMode("update").start()
+      try {
+        source.addData(("d", 1L, 5L), ("d", 2L, 4L))
+        q.processAllAvailable()
+        source.addData(("d", 3L, 3L))
+        q.processAllAvailable()
+        val r = spark.table("cusumdn").collect()
+          .maxBy(_.getAs[Long]("n_events"))
+        // d2 = x−9: −4, −5, −6 → P₂ = −4, −9, −15; S⁻ = 15
+        assert(r.getAs[Long]("s_minus") == 15L)
+        assert(r.getAs[Long]("s_plus") == 0L) // d1 = x−11 all negative
+        assert(r.getAs[java.lang.Long]("first_alarm_n") == null)
+      } finally q.stop()
+    }
+  }
 }
