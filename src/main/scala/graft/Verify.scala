@@ -23,6 +23,17 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Self-heal the README's generated verification block: queries can
+    // land in a round-end snapshot commit after the last manual regen
+    // (it happened in round 12) — Verify runs every round, so healing
+    // here makes the drift window one verify run at most.
+    try {
+      val readme = Paths.get("README.md")
+      if (Files.exists(readme) && graft.tools.ReadmeCounts.heal(readme))
+        System.err.println("[verify] README verification block was stale — regenerated")
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] README heal skipped: ${e.getMessage}")
+    }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

@@ -72,7 +72,26 @@ object CompositeScalingBench {
     ("q_winsorize", 1.5 * K),
     ("q_triangles", 1.5 * K),
     ("q_pagerank", 1.5 * K),
-    ("q_communities", 1.5 * K))
+    ("q_communities", 1.5 * K),
+    // round-12 families (r12 verdict task #3): the graph quartet and
+    // the bootstrap are row/edge-linear (K disjoint worlds ⇒ K bar);
+    // interval overlap is linear because the window side is keyed by
+    // (event_type, day) — a fixed dimension — so bucket candidates
+    // grow with the interval side only.
+    ("q_kcore", 1.5 * K),
+    ("q_hits", 1.5 * K),
+    ("q_link_predict", 1.5 * K),
+    ("q_assortativity", 1.5 * K),
+    ("q_hash_bootstrap", 1.5 * K),
+    ("q_interval_overlap", 1.5 * K),
+    // K-fold corpus duplication grows every df by K: posting lists of
+    // the surviving df∈[minDf,maxDf] tokens lengthen ×K, so the
+    // candidate-pair space the operator must score grows K² BY THE
+    // OPERATOR'S SEMANTICS (a corpus duplicated 10× really has ~100×
+    // the near-dup pairs) — same linear-in-pair-space bar as the S²
+    // lanes. The structural cap (≤ maxDf² pairs per token) is what
+    // keeps it off the all-pairs cliff.
+    ("q_sparse_cosine", 1.5 * K * K))
   val dateFamilies: Seq[(String, Double)] = Seq(
     ("q_pairs_spread", 1.5 * K),
     ("q_pair_correlation", 1.5 * K),
@@ -93,6 +112,18 @@ object CompositeScalingBench {
     Composite.amplify(Tables.orders(spark, sfDir), K,
         shiftKeys = Seq("o_orderkey", "o_custkey"))
       .write.mode("overwrite").parquet(s"$entityDir/orders.parquet")
+    // K disjoint user worlds for the interval lane (events.ts reads as
+    // nanos-long, so copies share the clock — the window side is
+    // day-keyed and stays fixed, which is exactly the linear shape the
+    // bound asserts) and K verbatim corpus copies for the sparse-
+    // cosine lane (doc_ids disjoint, text identical: df ×K, IDF
+    // invariant, pair space ×K² by semantics)
+    Composite.amplify(Tables.events(spark, sfDir), K,
+        shiftKeys = Seq("event_id", "user_id"))
+      .write.mode("overwrite").parquet(s"$entityDir/events.parquet")
+    Composite.amplify(Tables.documents(spark, sfDir), K,
+        shiftKeys = Seq("doc_id"))
+      .write.mode("overwrite").parquet(s"$entityDir/documents.parquet")
     // date direction: same symbols, K disjoint 8-year panels
     Composite.amplify(Tables.lineitem(spark, sfDir), K,
         shiftKeys = Nil, shiftDays = Seq("l_shipdate"))
@@ -162,7 +193,16 @@ object CompositeScalingBench {
     sb ++= "operators the candidate space grows K²=100× BY THE OPERATOR'S\n"
     sb ++= "SEMANTICS (10× symbols ⇒ 100× correlation pairs in the answer), so\n"
     sb ++= "the scalable property is time linear in PAIR SPACE (bound 1.5·K²);\n"
-    sb ++= "row-linear operators keep the ordinary 1.5·K bar.\n\n"
+    sb ++= "row-linear operators keep the ordinary 1.5·K bar. The round-12\n"
+    sb ++= "families join the table: the graph quartet (k-core, HITS,\n"
+    sb ++= "Adamic-Adar, assortativity) and the hash bootstrap are edge/row-\n"
+    sb ++= "linear over K disjoint worlds; interval overlap is linear because\n"
+    sb ++= "its window side is (event_type, day)-keyed — a fixed dimension;\n"
+    sb ++= "sparse TF-IDF cosine runs on K VERBATIM corpus copies (doc_ids\n"
+    sb ++= "shifted, text identical), where duplication grows every df ×K and\n"
+    sb ++= "hence the true near-dup pair space ×K² — it carries the 1.5·K²\n"
+    sb ++= "pair-space bar, kept off the all-pairs cliff by the maxDf² per-\n"
+    sb ++= "token structural cap.\n\n"
     sb ++= "| query | t(sf0.1) s | t(composite) s | ratio | bound | ok |\n"
     sb ++= "|---|---|---|---|---|---|\n"
     ent.foreach { case (n, t0, t1, r, b) =>
