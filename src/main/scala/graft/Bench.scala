@@ -49,13 +49,28 @@ object Bench {
     // (the hybrid picks min-label here) — benching it would just count
     // the operator twice at its worst-case configuration.
     val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "5").toInt
+    // SPARK_GRAFT_TRIAL_DEBUG=1: per-trial wall + GC-pause time to
+    // stderr — the dissection knob for spread_gt3 flags (is a slow
+    // trial GC, or plan-level?). Off for driver runs.
+    val trialDebug = sys.env.get("SPARK_GRAFT_TRIAL_DEBUG").contains("1")
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
     def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
     val trialsByQuery = selected.map { case (name, fn) =>
-      val times = (1 to trials).map(_ => timed(fn))
+      val times = (1 to trials).map { _ =>
+        val g0 = if (trialDebug) gcMillis else 0L
+        val t = timed(fn)
+        if (trialDebug)
+          System.err.println(f"[trial] $name $t%.3f s gc=${gcMillis - g0} ms")
+        t
+      }
       // Release this query's dead localCheckpoint blocks before the
       // NEXT query is timed: snapshot() panels are unpersisted by the
       // ContextCleaner only after a GC notices their references died,

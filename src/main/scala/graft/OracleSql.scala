@@ -1663,6 +1663,45 @@ object OracleSql {
     // over the same md5-chain hex; basis/table literals render from
     // the Scala arrays. Dead-reckons every pixel: one wrong constant,
     // clamp or rounding rule breaks the hash on every doc.
+    // mirrors qBoxFilter / Multimodal.boxFilterFeatures: the same
+    // md5-chain rasters, integral image as two window cumsums, box
+    // sums as 4 signed corner lookups, exact residual energy
+    "q_box_filter" ->
+      s"""WITH pay AS (
+         |  SELECT doc_id AS media_id,
+         |    md5(text) || md5(text || '1') || md5(text || '2') || md5(text || '3') AS hx
+         |  FROM documents),
+         |px AS (SELECT media_id, u.y AS y, u.x AS x, u.v AS v FROM (
+         |  SELECT media_id, unnest(list_transform(range(0, 64), i ->
+         |    {'y': i // 8, 'x': i % 8,
+         |     'v': ('0x' || substr(hx, CAST(i * 2 + 1 AS INTEGER), 2))::BIGINT})) AS u
+         |  FROM pay)),
+         |c1 AS (SELECT *, SUM(v) OVER (PARTITION BY media_id, y ORDER BY x
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cx FROM px),
+         |ii AS (SELECT *, SUM(cx) OVER (PARTITION BY media_id, x ORDER BY y
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ii FROM c1),
+         |corners AS (SELECT media_id, x, y, v,
+         |    CAST((LEAST(x + 1, 7) - GREATEST(x - 2, -1))
+         |       * (LEAST(y + 1, 7) - GREATEST(y - 2, -1)) AS BIGINT) AS cnt,
+         |    unnest([
+         |      {'cx': LEAST(x + 1, 7),     'cy': LEAST(y + 1, 7),     'sg': 1},
+         |      {'cx': GREATEST(x - 2, -1), 'cy': LEAST(y + 1, 7),     'sg': -1},
+         |      {'cx': LEAST(x + 1, 7),     'cy': GREATEST(y - 2, -1), 'sg': -1},
+         |      {'cx': GREATEST(x - 2, -1), 'cy': GREATEST(y - 2, -1), 'sg': 1}]) AS c
+         |  FROM ii),
+         |boxed AS (SELECT cor.media_id, cor.x, cor.y,
+         |    MAX(cor.v) AS v, MAX(cor.cnt) AS cnt,
+         |    CAST(SUM(cor.c.sg * COALESCE(i2.ii, 0)) AS BIGINT) AS box_sum
+         |  FROM corners cor LEFT JOIN ii i2
+         |    ON i2.media_id = cor.media_id AND i2.x = cor.c.cx AND i2.y = cor.c.cy
+         |  GROUP BY cor.media_id, cor.x, cor.y)
+         |SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_px,
+         |  CAST(SUM(v) AS BIGINT) AS sum_v,
+         |  CAST(SUM(box_sum) AS BIGINT) AS sum_box,
+         |  CAST(MAX(box_sum) AS BIGINT) AS max_box,
+         |  CAST(SUM((v * cnt - box_sum) * (v * cnt - box_sum)) AS BIGINT) AS hp_energy
+         |FROM boxed GROUP BY media_id ORDER BY media_id""".stripMargin,
+
     "q_image_dct" ->
       s"""WITH $dctFeatCtes
          |SELECT media_id, quality, dc_q, n_nonzero, max_abs_err, sse, recon_sum
@@ -1794,7 +1833,14 @@ object OracleSql {
     // τ=5000, slack=200, h=150000 (cents), integer end to end
     "q_stream_cusum" ->
       s"""WITH t AS (
-         |  SELECT event_type AS symbol, ts, ${sc("value", 2)} AS x2 FROM events
+         |  -- order at the engine's MICROSECOND grain (tus = ts div 1000,
+         |  -- see qStreamCusum), not raw TIMESTAMP_NS: two same-symbol
+         |  -- events in one microsecond but different nanoseconds must
+         |  -- sort identically on both sides of the order-dependent
+         |  -- CUSUM recurrence
+         |  SELECT event_type AS symbol,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+         |    ${sc("value", 2)} AS x2 FROM events
          |),
          |p AS (
          |  SELECT symbol, x2,
@@ -1802,7 +1848,7 @@ object OracleSql {
          |    CAST(SUM(x2 - 4800) OVER w AS BIGINT) AS p2,
          |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS n
          |  FROM t
-         |  WINDOW w AS (PARTITION BY symbol ORDER BY ts, x2
+         |  WINDOW w AS (PARTITION BY symbol ORDER BY tus, x2
          |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          |),
          |s AS (
@@ -3165,9 +3211,9 @@ object OracleSql {
          |  SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n,
          |    CAST(SUM(x) AS BIGINT) AS s0, CAST(SUM(x1) AS BIGINT) AS s1,
          |    CAST(SUM(y) AS BIGINT) AS sy,
-         |    CAST(SUM(x * x) AS BIGINT) AS s00, CAST(SUM(x * x1) AS BIGINT) AS s01,
-         |    CAST(SUM(x1 * x1) AS BIGINT) AS s11,
-         |    CAST(SUM(x * y) AS BIGINT) AS s0y, CAST(SUM(x1 * y) AS BIGINT) AS s1y
+         |    SUM(CAST(x AS HUGEINT) * x) AS s00, SUM(CAST(x AS HUGEINT) * x1) AS s01,
+         |    SUM(CAST(x1 AS HUGEINT) * x1) AS s11,
+         |    SUM(CAST(x AS HUGEINT) * y) AS s0y, SUM(CAST(x1 AS HUGEINT) * y) AS s1y
          |  FROM lagged GROUP BY symbol HAVING COUNT(*) >= 30),
          |d AS (
          |  SELECT symbol, n AS n_days,
@@ -3675,6 +3721,218 @@ object OracleSql {
     // mirrors DailyAnalytics.bhFdr: exact scale-4 moments → z, A&S
     // 7.1.26 two-sided p (string-cast literals bit-match the Scala
     // doubles), rank/step-up on the 6-dp-rounded p
+    // mirrors DailyAnalytics.ljungBox (h=5): one lag join serving all
+    // lags, full-sample-mean rho, fixed-order Q sum over pivoted rhos
+    "q_ljung_box" ->
+      s"""${dailyChain("returns")},
+         |r AS (SELECT symbol, trade_date, ${sc4("daily_return_pct")} AS y
+         |  FROM returns WHERE daily_return_pct IS NOT NULL),
+         |b AS (SELECT symbol, y,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY trade_date) AS BIGINT) AS idx
+         |  FROM r),
+         |tot AS (SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(y) AS BIGINT) AS sy, SUM(CAST(y AS HUGEINT) * y) AS syy
+         |  FROM b GROUP BY symbol),
+         |l AS (SELECT b.symbol, ks.k, b.y AS y, b2.y AS yl
+         |  FROM b CROSS JOIN (SELECT UNNEST([1, 2, 3, 4, 5]) AS k) ks
+         |  JOIN b b2 ON b2.symbol = b.symbol AND b2.idx = b.idx - ks.k),
+         |pl AS (SELECT symbol, k, CAST(COUNT(*) AS BIGINT) AS nk,
+         |    CAST(SUM(y) AS BIGINT) AS sa, CAST(SUM(yl) AS BIGINT) AS sb,
+         |    SUM(CAST(y AS HUGEINT) * yl) AS sab
+         |  FROM l GROUP BY symbol, k),
+         |t AS (SELECT symbol, n, k,
+         |    (CAST(sab AS DOUBLE)
+         |      - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(sa + sb AS DOUBLE)
+         |      + CAST(nk AS DOUBLE) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+         |          * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+         |    / NULLIF(CAST(syy AS DOUBLE)
+         |      - CAST(n AS DOUBLE) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+         |          * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)), 0) AS rho
+         |  FROM pl JOIN tot USING (symbol) WHERE n >= 40),
+         |p AS (SELECT symbol, MAX(n) AS n_days,
+         |    MAX(CASE WHEN k = 1 THEN rho END) AS r1,
+         |    MAX(CASE WHEN k = 2 THEN rho END) AS r2,
+         |    MAX(CASE WHEN k = 3 THEN rho END) AS r3,
+         |    MAX(CASE WHEN k = 4 THEN rho END) AS r4,
+         |    MAX(CASE WHEN k = 5 THEN rho END) AS r5
+         |  FROM t GROUP BY symbol)
+         |SELECT symbol, n_days,
+         |  ${rd("r1", 4)} AS rho_1, ${rd("r2", 4)} AS rho_2,
+         |  ${rd("r3", 4)} AS rho_3, ${rd("r4", 4)} AS rho_4,
+         |  ${rd("r5", 4)} AS rho_5,
+         |  ${rd("(r1 * r1 / (CAST(n_days AS DOUBLE) - 1.0) + r2 * r2 / (CAST(n_days AS DOUBLE) - 2.0) + r3 * r3 / (CAST(n_days AS DOUBLE) - 3.0) + r4 * r4 / (CAST(n_days AS DOUBLE) - 4.0) + r5 * r5 / (CAST(n_days AS DOUBLE) - 5.0)) * CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) + 2.0)", 4)} AS q_stat,
+         |  5 AS lb_df
+         |FROM p ORDER BY symbol""".stripMargin,
+
+    // mirrors DailyAnalytics.ewmaVolatility: λ=94/100 integer EWMA of
+    // scale-2 squared returns via list_reduce, seeded with r²_1
+    "q_ewma_vol" ->
+      s"""${dailyChain("returns")},
+         |g AS (SELECT symbol,
+         |    list(${sc("daily_return_pct", 2)} ORDER BY trade_date) AS ys
+         |  FROM returns WHERE daily_return_pct IS NOT NULL
+         |  GROUP BY symbol),
+         |f AS (SELECT symbol, CAST(len(ys) AS BIGINT) AS n_days,
+         |    list_reduce(
+         |      list_transform(ys, y -> [1::BIGINT, y * y]),
+         |      (acc, x) -> [acc[1] + 1, (94 * acc[2] + 6 * x[2]) // 100]) AS st
+         |  FROM g)
+         |SELECT symbol, n_days,
+         |  ${rd("sqrt(CAST(st[2] AS DOUBLE)) / 100.0", 4)} AS ewma_vol_pct
+         |FROM f WHERE n_days >= 30 ORDER BY symbol""".stripMargin,
+
+    // mirrors DailyAnalytics.grangerAdjacent: adjacent pairs, lag-1
+    // restricted/unrestricted centered OLS, HUGEINT second moments
+    "q_granger" ->
+      s"""${dailyChain("returns")},
+         |r AS (SELECT symbol, trade_date, ${sc4("daily_return_pct")} AS y
+         |  FROM returns WHERE daily_return_pct IS NOT NULL),
+         |syms AS (SELECT symbol,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY symbol) AS BIGINT) AS rk
+         |  FROM (SELECT DISTINCT symbol FROM r)),
+         |pairs AS (SELECT a.symbol AS s1, b.symbol AS s2
+         |  FROM syms a JOIN syms b ON b.rk = a.rk + 1),
+         |panel AS (SELECT p.s1, p.s2, ra.trade_date, ra.y AS ya, rb.y AS yb
+         |  FROM pairs p
+         |  JOIN r ra ON ra.symbol = p.s1
+         |  JOIN r rb ON rb.symbol = p.s2 AND rb.trade_date = ra.trade_date),
+         |lagged AS (SELECT s1, s2, ya,
+         |    LAG(ya) OVER w AS yl, LAG(yb) OVER w AS xl
+         |  FROM panel WINDOW w AS (PARTITION BY s1, s2 ORDER BY trade_date)),
+         |g AS (SELECT s1, s2, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(ya) AS BIGINT) AS my,
+         |    CAST(SUM(yl) AS BIGINT) AS m0, CAST(SUM(xl) AS BIGINT) AS m1,
+         |    SUM(CAST(yl AS HUGEINT) * yl) AS m00,
+         |    SUM(CAST(yl AS HUGEINT) * xl) AS m01,
+         |    SUM(CAST(xl AS HUGEINT) * xl) AS m11,
+         |    SUM(CAST(yl AS HUGEINT) * ya) AS m0y,
+         |    SUM(CAST(xl AS HUGEINT) * ya) AS m1y,
+         |    SUM(CAST(ya AS HUGEINT) * ya) AS myy
+         |  FROM lagged WHERE yl IS NOT NULL AND xl IS NOT NULL
+         |  GROUP BY s1, s2 HAVING COUNT(*) >= 40),
+         |d AS (SELECT s1, s2, n, CAST(n AS DOUBLE) AS nd,
+         |    CAST(my AS DOUBLE) AS sy, CAST(m0 AS DOUBLE) AS s0,
+         |    CAST(m1 AS DOUBLE) AS s1v, CAST(m00 AS DOUBLE) AS s00,
+         |    CAST(m01 AS DOUBLE) AS s01, CAST(m11 AS DOUBLE) AS s11,
+         |    CAST(m0y AS DOUBLE) AS s0y, CAST(m1y AS DOUBLE) AS s1y,
+         |    CAST(myy AS DOUBLE) AS syy
+         |  FROM g),
+         |c AS (SELECT *, s00 - s0 * s0 / nd AS s00c, s01 - s0 * s1v / nd AS s01c,
+         |    s11 - s1v * s1v / nd AS s11c, s0y - s0 * sy / nd AS s0yc,
+         |    s1y - s1v * sy / nd AS s1yc, syy - sy * sy / nd AS syyc
+         |  FROM d),
+         |k AS (SELECT *, syyc - s0yc * s0yc / NULLIF(s00c, 0) AS rss_r,
+         |    s00c * s11c - s01c * s01c AS det FROM c),
+         |k2 AS (SELECT *, (s00c * s1yc - s01c * s0yc) / NULLIF(det, 0) AS b1,
+         |    (s0yc * s11c - s01c * s1yc) / NULLIF(det, 0) AS b0 FROM k),
+         |k3 AS (SELECT *, syyc - (b0 * s0yc + b1 * s1yc) AS rss_u FROM k2),
+         |k4 AS (SELECT *, (rss_r - rss_u) / NULLIF(rss_u / (nd - 3.0), 0) AS f FROM k3)
+         |SELECT s1, s2, n AS n_days, ${rd("b1", 6)} AS cross_coef,
+         |  ${rd("f", 4)} AS f_stat, f > 3.8415 AS granger_sig
+         |FROM k4 ORDER BY s1, s2""".stripMargin,
+
+    // mirrors DailyAnalytics.chowBreak: midpoint split, per-segment
+    // and pooled centered trend-OLS SSRs, HUGEINT second moments
+    "q_chow_break" ->
+      s"""${dailyChain("returns")},
+         |r AS (SELECT symbol, trade_date, ${sc4("daily_return_pct")} AS y
+         |  FROM returns WHERE daily_return_pct IS NOT NULL),
+         |b AS (SELECT symbol, y,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY trade_date) AS BIGINT) AS t,
+         |    CAST(COUNT(*) OVER (PARTITION BY symbol) AS BIGINT) AS nn
+         |  FROM r),
+         |hh AS (SELECT *, CASE WHEN t <= nn // 2 THEN 1 ELSE 0 END AS h FROM b),
+         |g AS (SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN h = 1 THEN 1 END) AS BIGINT) AS c1,
+         |    CAST(SUM(CASE WHEN h = 0 THEN 1 END) AS BIGINT) AS c0,
+         |    CAST(SUM(CASE WHEN h = 1 THEN t END) AS BIGINT) AS st1,
+         |    CAST(SUM(CASE WHEN h = 0 THEN t END) AS BIGINT) AS st0,
+         |    CAST(SUM(CASE WHEN h = 1 THEN y END) AS BIGINT) AS sy1,
+         |    CAST(SUM(CASE WHEN h = 0 THEN y END) AS BIGINT) AS sy0,
+         |    SUM(CASE WHEN h = 1 THEN CAST(t AS HUGEINT) * t END) AS qtt1,
+         |    SUM(CASE WHEN h = 0 THEN CAST(t AS HUGEINT) * t END) AS qtt0,
+         |    SUM(CASE WHEN h = 1 THEN CAST(t AS HUGEINT) * y END) AS qty1,
+         |    SUM(CASE WHEN h = 0 THEN CAST(t AS HUGEINT) * y END) AS qty0,
+         |    SUM(CASE WHEN h = 1 THEN CAST(y AS HUGEINT) * y END) AS qyy1,
+         |    SUM(CASE WHEN h = 0 THEN CAST(y AS HUGEINT) * y END) AS qyy0
+         |  FROM hh GROUP BY symbol HAVING COUNT(*) >= 40),
+         |s AS (SELECT symbol, n, c1, c0,
+         |    (CAST(qyy1 AS DOUBLE) - CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE) / CAST(c1 AS DOUBLE))
+         |      - (CAST(qty1 AS DOUBLE) - CAST(st1 AS DOUBLE) * CAST(sy1 AS DOUBLE) / CAST(c1 AS DOUBLE))
+         |        * (CAST(qty1 AS DOUBLE) - CAST(st1 AS DOUBLE) * CAST(sy1 AS DOUBLE) / CAST(c1 AS DOUBLE))
+         |        / NULLIF(CAST(qtt1 AS DOUBLE) - CAST(st1 AS DOUBLE) * CAST(st1 AS DOUBLE) / CAST(c1 AS DOUBLE), 0) AS ssr1,
+         |    (CAST(qyy0 AS DOUBLE) - CAST(sy0 AS DOUBLE) * CAST(sy0 AS DOUBLE) / CAST(c0 AS DOUBLE))
+         |      - (CAST(qty0 AS DOUBLE) - CAST(st0 AS DOUBLE) * CAST(sy0 AS DOUBLE) / CAST(c0 AS DOUBLE))
+         |        * (CAST(qty0 AS DOUBLE) - CAST(st0 AS DOUBLE) * CAST(sy0 AS DOUBLE) / CAST(c0 AS DOUBLE))
+         |        / NULLIF(CAST(qtt0 AS DOUBLE) - CAST(st0 AS DOUBLE) * CAST(st0 AS DOUBLE) / CAST(c0 AS DOUBLE), 0) AS ssr2,
+         |    (CAST(qyy1 + qyy0 AS DOUBLE) - CAST(sy1 + sy0 AS DOUBLE) * CAST(sy1 + sy0 AS DOUBLE) / CAST(n AS DOUBLE))
+         |      - (CAST(qty1 + qty0 AS DOUBLE) - CAST(st1 + st0 AS DOUBLE) * CAST(sy1 + sy0 AS DOUBLE) / CAST(n AS DOUBLE))
+         |        * (CAST(qty1 + qty0 AS DOUBLE) - CAST(st1 + st0 AS DOUBLE) * CAST(sy1 + sy0 AS DOUBLE) / CAST(n AS DOUBLE))
+         |        / NULLIF(CAST(qtt1 + qtt0 AS DOUBLE) - CAST(st1 + st0 AS DOUBLE) * CAST(st1 + st0 AS DOUBLE) / CAST(n AS DOUBLE), 0) AS ssrp
+         |  FROM g),
+         |f AS (SELECT symbol, n, c1, c0,
+         |    ((ssrp - ssr1 - ssr2) / 2.0) / NULLIF((ssr1 + ssr2) / (CAST(n AS DOUBLE) - 4.0), 0) AS f
+         |  FROM s)
+         |SELECT symbol, n AS n_days, c1 AS n_pre, c0 AS n_post,
+         |  ${rd("f", 4)} AS f_stat, f > 2.9957 AS break_sig
+         |FROM f ORDER BY symbol""".stripMargin,
+
+    // mirrors Graph.clusteringCoefficient over the q_triangles edge
+    // construction: full node set, 2T/(d(d-1)), NULL under degree 2
+    "q_clustering_coef" ->
+      s"""WITH raw AS (
+         |  SELECT u, v FROM (
+         |    SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS n
+         |    FROM lineitem a JOIN lineitem b
+         |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |    GROUP BY a.l_partkey, b.l_partkey)
+         |  WHERE n >= 2),
+         |und AS (SELECT DISTINCT LEAST(u, v) AS u, GREATEST(u, v) AS v FROM raw),
+         |deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS degree
+         |  FROM (SELECT u AS id FROM und UNION ALL SELECT v AS id FROM und) GROUP BY id),
+         |o AS (
+         |  SELECT CASE WHEN d1.degree < d2.degree OR (d1.degree = d2.degree AND und.u < und.v)
+         |              THEN und.u ELSE und.v END AS a,
+         |         CASE WHEN d1.degree < d2.degree OR (d1.degree = d2.degree AND und.u < und.v)
+         |              THEN und.v ELSE und.u END AS b
+         |  FROM und JOIN deg d1 ON und.u = d1.id JOIN deg d2 ON und.v = d2.id),
+         |tri AS (
+         |  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+         |  FROM o e1 JOIN o e2 ON e1.a = e2.a AND e1.b <> e2.b
+         |  WHERE EXISTS (SELECT 1 FROM o o3 WHERE o3.a = e1.b AND o3.b = e2.b)),
+         |tv AS (SELECT unnest([a, b, c]) AS id FROM tri),
+         |tc AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS triangles FROM tv GROUP BY id)
+         |SELECT d.id, d.degree,
+         |  CAST(COALESCE(tc.triangles, 0) AS BIGINT) AS triangles,
+         |  ${rd("2.0 * CAST(COALESCE(tc.triangles, 0) AS DOUBLE) / NULLIF(CAST(d.degree * (d.degree - 1) AS DOUBLE), 0)", 4)} AS clustering_coef
+         |FROM deg d LEFT JOIN tc ON d.id = tc.id
+         |ORDER BY d.id""".stripMargin,
+
+    // mirrors TextAnalysis.pmiCollocations: adjacent bigrams by
+    // zip/range, exact totals, ln tree, top-50 by (pmi desc, w1, w2)
+    "q_pmi_collocations" ->
+      s"""WITH toks AS (SELECT string_split(text, ' ') AS tk FROM documents),
+         |uni AS (SELECT t AS w, CAST(COUNT(*) AS BIGINT) AS cw
+         |  FROM (SELECT unnest(tk) AS t FROM toks) GROUP BY t),
+         |bg0 AS (SELECT unnest(list_transform(range(1, len(tk)),
+         |    i -> {'w1': tk[i], 'w2': tk[i + 1]})) AS u FROM toks),
+         |bi AS (SELECT u.w1 AS w1, u.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS cab
+         |  FROM bg0 GROUP BY u.w1, u.w2),
+         |nb AS (SELECT CAST(SUM(cab) AS BIGINT) AS n_bi FROM bi),
+         |nu AS (SELECT CAST(SUM(cw) AS BIGINT) AS n_uni FROM uni),
+         |scd AS (SELECT b.w1, b.w2, b.cab,
+         |    ${rd("ln(CAST(b.cab AS DOUBLE) / CAST(nb.n_bi AS DOUBLE)) - ln(CAST(u1.cw AS DOUBLE) / CAST(nu.n_uni AS DOUBLE)) - ln(CAST(u2.cw AS DOUBLE) / CAST(nu.n_uni AS DOUBLE))", 4)} AS pmi
+         |  FROM bi b
+         |  JOIN uni u1 ON u1.w = b.w1
+         |  JOIN uni u2 ON u2.w = b.w2
+         |  CROSS JOIN nb CROSS JOIN nu
+         |  WHERE b.cab >= 5),
+         |rk AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, w1, w2) AS INTEGER) AS rank,
+         |    w1, w2, cab, pmi
+         |  FROM scd)
+         |SELECT rank, w1, w2, cab AS n_pair, pmi
+         |FROM rk WHERE rank <= 50 ORDER BY rank""".stripMargin,
+
     "q_bh_fdr" ->
       s"""${dailyChain("returns")},
          |mom AS (

@@ -282,8 +282,11 @@ object SparkEntry {
     import s.implicits._
     val out = scratchDir("graft_stream_cusum")
     val evb = Tables.events(s, dir)
+    // k=2: the monitor needs ordered multi-batch ACCUMULATION (state
+    // carried across a batch boundary), not the joins' watermark-
+    // eviction proof — see sharedEventStage's k contract
     val ev = s.readStream.schema(evb.schema)
-      .option("maxFilesPerTrigger", "1").parquet(sharedEventStage(s, dir))
+      .option("maxFilesPerTrigger", "1").parquet(sharedEventStage(s, dir, k = 2))
     val tsMicros = evb.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("ts div 1000")
       case _ => expr("unix_micros(cast(ts as timestamp))")
@@ -464,28 +467,35 @@ object SparkEntry {
     *     removed at stage time. Checkpoint and sink stay fresh per run
     *     (exactly-once state is per-query, only the immutable input
     *     replay is shared). */
-  /** The shared 3-chunk time-ordered replay stage of raw events,
-    * content-keyed and cached across queries/runs (the inner stream
-    * join, the streaming CUSUM): stage once, every ordered-replay
-    * consumer reads the same immutable chunk files. */
-  private[graft] def sharedEventStage(s: SparkSession, dir: String): String = {
+  /** The shared k-chunk time-ordered replay stage of raw events,
+    * content-keyed and cached across queries/runs: stage once, every
+    * ordered-replay consumer reads the same immutable chunk files.
+    *
+    * k is part of the cache key: the stream-stream JOINS need k=3 (the
+    * smallest replay that advances the watermark twice mid-query, so
+    * state EVICTION provably runs — StreamingSpec's >1-data-batch +
+    * <25%-state guards), while the keyed MONITORS (CUSUM) need only
+    * ordered multi-batch accumulation — k=2 proves state carries
+    * across a batch boundary and pays the fixed ~0.8 s/micro-batch
+    * commit floor one less time. */
+  private[graft] def sharedEventStage(s: SparkSession, dir: String,
+                                      k: Int = 3): String = {
     import graft.streaming.TickStream
     val events = Tables.events(s, dir)
     val src = new java.io.File(s"$dir/events.parquet")
+    val prefix = s"graft_sj_stage_k${k}_"
     val staged = new java.io.File(
-      scratchBase.toFile, s"graft_sj_stage_${contentKey(src)}")
+      scratchBase.toFile, s"$prefix${contentKey(src)}")
     if (!new java.io.File(staged, "_STAGED").exists) { // partial stage from a killed run → re-stage
-      // drop stage dirs keyed by inputs that no longer exist in this
-      // form (regenerated data ⇒ new digest ⇒ the old dir is garbage)
+      // drop stage dirs OF THIS k keyed by inputs that no longer exist
+      // in this form (regenerated data ⇒ new digest ⇒ garbage), plus
+      // any legacy un-k'd dirs from older builds
       Option(staged.getParentFile.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.startsWith("graft_sj_stage_")
-          && f.getName != staged.getName)
+        .filter(f => f.isDirectory && f.getName != staged.getName
+          && (f.getName.startsWith(prefix)
+            || f.getName.matches("graft_sj_stage_[0-9a-f]{32}")))
         .foreach(f => deleteDir(f.toString))
-      // 3 chunks: the smallest replay that still advances the watermark
-      // twice mid-query (so eviction provably runs, StreamingSpec's
-      // >1-data-batch + <25%-state guards), while paying the fixed
-      // ~0.7 s/micro-batch commit floor one less time than 4 chunks.
-      TickStream.stageTimeChunks(events, "ts", 3, staged.toString)
+      TickStream.stageTimeChunks(events, "ts", k, staged.toString)
     }
     staged.toString
   }
@@ -2338,6 +2348,55 @@ object SparkEntry {
       .orderBy("user_id", "event_type", "d")
   }
 
+  /** Ljung–Box white-noise portmanteau test per symbol: Q over the
+    * first 5 return autocorrelations — the ARMA-order screen. */
+  private def qLjungBox(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.ljungBox(
+      DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+      .orderBy("symbol")
+
+  /** RiskMetrics EWMA volatility (λ=0.94) per symbol via the exact
+    * integer fold — the recursive vol estimate beside the rolling
+    * stddev window. */
+  private def qEwmaVol(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.ewmaVolatility(
+      DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+      .orderBy("symbol")
+
+  /** Granger-causality screen over adjacent symbol pairs at lag 1:
+    * restricted-vs-unrestricted OLS F-test from exact moments. */
+  private def qGranger(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.grangerAdjacent(
+      DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+      .orderBy("s1", "s2")
+
+  /** Chow structural-break test per symbol at the panel midpoint:
+    * pooled-vs-split trend OLS F — the offline regime-shift screen. */
+  private def qChowBreak(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.chowBreak(
+      DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+      .orderBy("symbol")
+
+  /** Local clustering coefficient over the part co-purchase graph
+    * (same edge construction as [[qTriangles]]) — full node set. */
+  private def qClusteringCoef(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("p2")), "l_orderkey")
+      .filter(col("l_partkey") < col("p2"))
+      .groupBy(col("l_partkey").as("u"), col("p2").as("v"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+    Graph.clusteringCoefficient(pairs, "u", "v")
+      .orderBy("id")
+  }
+
+  /** PMI collocations over the corpus: top adjacent-bigram
+    * associations by pointwise mutual information. */
+  private def qPmiCollocations(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.pmiCollocations(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("rank")
+
   /** Benjamini–Hochberg step-up FDR control over the per-symbol
     * mean-return z-tests — the multiple-testing layer for the
     * per-symbol screen lanes. */
@@ -2640,6 +2699,24 @@ object SparkEntry {
 
   private def qImageDct(s: SparkSession, dir: String): DataFrame =
     imageDctFeats(s, dir).orderBy("media_id")
+
+  /** Integral-image 3×3 box filter over the same md5-chain rasters —
+    * the pure window/join formulation (no per-row closure): summed-
+    * area table as two cumulative windows, box sums as 4 signed
+    * corner lookups through one equi join, exact high-pass energy. */
+  private def qBoxFilter(s: SparkSession, dir: String): DataFrame = {
+    val hexCols = (0 until 4).map(i =>
+      if (i == 0) md5(col("text")) else md5(concat(col("text"), lit(i.toString))))
+    val px = Tables.documents(s, dir)
+      .select(col("doc_id").cast("long").as("media_id"),
+        concat(hexCols: _*).as("hx"))
+      .select(col("media_id"), explode(sequence(lit(0), lit(63))).as("i"), col("hx"))
+      .select(col("media_id"),
+        expr("i div 8").cast("long").as("y"),
+        (col("i") % 8).cast("long").as("x"),
+        conv(expr("substring(hx, i * 2 + 1, 2)"), 16, 10).cast("long").as("v"))
+    Multimodal.boxFilterFeatures(px).orderBy("media_id")
+  }
 
   /** Rate–distortion summary of the DCT lane: per quality level, the
     * exact entropy-cost proxy (total/mean nonzero coefficients) vs the
@@ -3074,6 +3151,12 @@ object SparkEntry {
     "q_chi2_features" -> (qChi2Features _),
     "q_kruskal_wallis" -> (qKruskalWallis _),
     "q_bh_fdr" -> (qBhFdr _),
+    "q_ljung_box" -> (qLjungBox _),
+    "q_ewma_vol" -> (qEwmaVol _),
+    "q_granger" -> (qGranger _),
+    "q_chow_break" -> (qChowBreak _),
+    "q_clustering_coef" -> (qClusteringCoef _),
+    "q_pmi_collocations" -> (qPmiCollocations _),
     "q_variance_ratio" -> (qVarianceRatio _),
     "q_page_hinkley" -> (qPageHinkley _),
     "q_kendall_market" -> (qKendallMarket _),
@@ -3105,6 +3188,7 @@ object SparkEntry {
     "q_audio_adpcm" -> (qAudioAdpcm _),
     "q_audio_wavelet" -> (qAudioWavelet _),
     "q_image_dct" -> (qImageDct _),
+    "q_box_filter" -> (qBoxFilter _),
     "q_image_rd" -> (qImageRd _),
     "q_video_frames" -> (qVideoFrames _),
     "q_video_motion" -> (qVideoMotion _),

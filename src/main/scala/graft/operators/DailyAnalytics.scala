@@ -1368,12 +1368,18 @@ object DailyAnalytics {
     val lagged = r.join(broadcast(mkt), "trade_date")
       .withColumn("x1", lag(col("x"), 1).over(w))
       .filter(col("x1").isNotNull)
+    // second-moment/cross sums in DECIMAL(38,0), the trackingError/
+    // dickeyFuller rule: per-row products reach ~1e18 on the scaled-1e4
+    // series and a LongType sum would WRAP silently at large panels
+    // (the DuckDB mirror errors loudly — the two sides must not fail
+    // differently); first moments stay long (≤ ~1e13)
+    def dm(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     val g = lagged.groupBy("symbol").agg(
       count(lit(1)).as("n"),
       sum(col("x")).as("s0"), sum(col("x1")).as("s1"), sum(col("y")).as("sy"),
-      sum(col("x") * col("x")).as("s00"), sum(col("x") * col("x1")).as("s01"),
-      sum(col("x1") * col("x1")).as("s11"),
-      sum(col("x") * col("y")).as("s0y"), sum(col("x1") * col("y")).as("s1y"))
+      sum(dm(col("x")) * col("x")).as("s00"), sum(dm(col("x")) * col("x1")).as("s01"),
+      sum(dm(col("x1")) * col("x1")).as("s11"),
+      sum(dm(col("x")) * col("y")).as("s0y"), sum(dm(col("x1")) * col("y")).as("s1y"))
     // Cramer over [[n,s0,s1],[s0,s00,s01],[s1,s01,s11]] — fixed trees
     val (n, s0, s1, sy) =
       (col("n").cast("double"), col("s0").cast("double"),
@@ -2156,5 +2162,231 @@ object DailyAnalytics {
       .withColumn("rejected", coalesce(col("p_rank") <= kMax, lit(false)))
       .select(col("symbol"), col("n_days"), rd(col("z"), 4).as("z_stat"),
         col("p_value"), col("p_rank"), col("m_tests"), col("rejected"))
+  }
+
+  /** Ljung–Box portmanteau test per symbol (Ljung & Box, Biometrika
+    * 1978): Q = n(n+2)·Σ_{k=1..h} ρ̂_k²/(n−k) over the daily-return
+    * autocorrelations — the standard "is this series white noise"
+    * screen behind ARMA order selection. ρ̂_k uses the FULL-sample
+    * mean and variance (the textbook estimator, not the pairwise
+    * [[autocorrelation]] correlation): num = S_ab − ȳ(S_a+S_b) + n_k·ȳ²
+    * over exact integer sums, fixed double tree, so both engines get
+    * bit-identical ρ̂ and Q.
+    *
+    * Scale shape: ONE equi join serves all h lags — the left leg
+    * explodes k=1..h and joins (symbol, idx−k) to (symbol, idx), so
+    * lag fan-out is h·rows (h fixed), shuffled once on the symbol-
+    * index key; the Q sum is a FIXED-ORDER expression over h pivoted
+    * columns (never a float groupBy-sum whose order could float). */
+  def ljungBox(returns: DataFrame, maxLag: Int = 5,
+               minDays: Int = 40): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 12, s"ljungBox: maxLag out of range: $maxLag")
+    def dd(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val base = returns.filter(col("daily_return_pct").isNotNull)
+      .select(col("symbol"), col("trade_date"),
+        scaled(col("daily_return_pct"), 4).as("y"))
+      .withColumn("idx", row_number().over(bySymbol).cast("long"))
+      .snapshot() // full-sample moments AND both legs of the lag join
+    val tot = base.groupBy("symbol").agg(count(lit(1)).as("n"),
+      sum(col("y")).as("sy"), sum(dd(col("y")) * col("y")).as("syy"))
+    val lagsLeft = base
+      .withColumn("k", explode(array((1 to maxLag).map(lit(_)): _*)))
+      .select(col("symbol"), col("k"), col("y"),
+        (col("idx") - col("k")).as("jdx"))
+    val paired = lagsLeft.join(
+      base.select(col("symbol"), col("idx").as("jdx"), col("y").as("yl")),
+      Seq("symbol", "jdx"))
+    val perLag = paired.groupBy("symbol", "k").agg(
+      count(lit(1)).as("nk"),
+      sum(col("y")).as("sa"), sum(col("yl")).as("sb"),
+      sum(dd(col("y")) * col("yl")).as("sab"))
+    val ybar = col("sy").cast("double") / col("n").cast("double")
+    val num = col("sab").cast("double") -
+      ybar * (col("sa") + col("sb")).cast("double") +
+      col("nk").cast("double") * ybar * ybar
+    val den = col("syy").cast("double") -
+      col("n").cast("double") * ybar * ybar
+    val terms = perLag.join(tot, "symbol")
+      .filter(col("n") >= minDays)
+      .select(col("symbol"), col("n"), col("k"),
+        (num / nullifZero(den)).as("rho"))
+    val pivoted = terms.groupBy("symbol").agg(
+      max(col("n")).as("n_days"),
+      (1 to maxLag).map(kk =>
+        max(when(col("k") === kk, col("rho"))).as(s"rho_$kk")): _*)
+    val nD = col("n_days").cast("double")
+    val q = (1 to maxLag).map { kk =>
+      col(s"rho_$kk") * col(s"rho_$kk") / (nD - lit(kk.toDouble))
+    }.reduce(_ + _) * nD * (nD + lit(2.0))
+    val outCols = Seq(col("symbol"), col("n_days")) ++
+      (1 to maxLag).map(kk => rd(col(s"rho_$kk"), 4).as(s"rho_$kk")) ++
+      Seq(rd(q, 4).as("q_stat"), lit(maxLag).as("lb_df"))
+    pivoted.select(outCols: _*)
+  }
+
+  /** RiskMetrics EWMA volatility per symbol: σ²_t = λ·σ²_{t−1} +
+    * (1−λ)·r²_t with λ = `lambdaPct`/100 (default 0.94, the
+    * RiskMetrics daily decay) — the recursive volatility estimate the
+    * rolling stddev window can't express. Same exact-fold discipline
+    * as [[wilderRsiExactFold]]: returns quantize to scale-2 longs
+    * (basis-point grain — keeps r⁴-free integer arithmetic in Long
+    * range: r²q ≤ 1e14, λ·v ≤ 1e16), the recursion is an integer
+    * `aggregate` fold over the date-sorted series (seeded with r²_1),
+    * so every state is an exact long and the DuckDB `list_reduce`
+    * twin is bit-identical. One per-symbol collect_list whose length
+    * is the DATE dimension, not the corpus. */
+  def ewmaVolatility(returns: DataFrame, lambdaPct: Int = 94,
+                     minDays: Int = 30): DataFrame = {
+    require(lambdaPct >= 1 && lambdaPct <= 99,
+      s"ewmaVolatility: lambdaPct out of range: $lambdaPct")
+    val L = lambdaPct
+    val step =
+      s"""(acc, q) -> array(element_at(acc, 1) + 1L,
+         |  ($L * element_at(acc, 2) + ${100 - L} * q) div 100)""".stripMargin
+    returns.filter(col("daily_return_pct").isNotNull)
+      .select(col("symbol"), struct(col("trade_date"),
+        scaled(col("daily_return_pct"), 2).as("yq")).as("ty"))
+      .groupBy("symbol")
+      .agg(sort_array(collect_list(col("ty"))).as("tys"))
+      .select(col("symbol"),
+        size(col("tys")).cast("long").as("n_days"),
+        expr(s"""aggregate(
+                   slice(transform(tys, t -> t.yq * t.yq), 2,
+                         greatest(size(tys) - 1, 0)),
+                   array(1L, element_at(transform(tys, t -> t.yq * t.yq), 1)),
+                   $step)""").as("st"))
+      .filter(col("n_days") >= minDays)
+      .select(col("symbol"), col("n_days"),
+        rd(sqrt(element_at(col("st"), 2).cast("double")) / 100.0, 4)
+          .as("ewma_vol_pct"))
+  }
+
+  /** Granger-causality screen over adjacent symbol pairs (Granger,
+    * Econometrica 1969), lag 1: does s2's YESTERDAY return predict
+    * s1's TODAY return beyond s1's own yesterday? Restricted model
+    * y_t = a + b·y_{t−1}, unrestricted adds c·x_{t−1}; F = (RSS_r −
+    * RSS_u)/(RSS_u/(n−3)) with 1 numerator df. Everything reduces to
+    * ten exact moment sums per pair (DECIMAL(38,0) second moments,
+    * the [[dimsonBeta]] rule) and a fixed centered-OLS double tree —
+    * closed form, no iteration, bit-portable.
+    *
+    * Scale shape: the ADJACENT-pair chain (the [[cointegrationAdjacent]]
+    * discipline) keeps the pair dimension linear in symbols — a full
+    * S² Granger matrix is a different query; one date-aligned equi
+    * join, one lag window, one grouped rollup. */
+  def grangerAdjacent(returns: DataFrame, minDays: Int = 40): DataFrame = {
+    def dd(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val r = returns.filter(col("daily_return_pct").isNotNull)
+      .select(col("symbol"), col("trade_date"),
+        scaled(col("daily_return_pct"), 4).as("y"))
+      .snapshot() // both pair legs
+    val syms = r.select(col("symbol")).distinct()
+      .withColumn("rk", row_number().over(Window.orderBy("symbol")))
+    val pairs = syms.select(col("symbol").as("s1"), col("rk"))
+      .join(syms.select(col("symbol").as("s2"), (col("rk") - 1).as("rk")), "rk")
+      .select(col("s1"), col("s2"))
+    val panel = pairs
+      .join(r.select(col("symbol").as("s1"), col("trade_date"), col("y").as("ya")), "s1")
+      .join(r.select(col("symbol").as("s2"), col("trade_date"), col("y").as("yb")),
+        Seq("s2", "trade_date"))
+    val w = Window.partitionBy("s1", "s2").orderBy("trade_date")
+    val lagged = panel
+      .withColumn("yl", lag(col("ya"), 1).over(w))
+      .withColumn("xl", lag(col("yb"), 1).over(w))
+      .filter(col("yl").isNotNull && col("xl").isNotNull)
+    val g = lagged.groupBy("s1", "s2").agg(
+      count(lit(1)).as("n"),
+      sum(col("ya")).as("my"), sum(col("yl")).as("m0"), sum(col("xl")).as("m1"),
+      sum(dd(col("yl")) * col("yl")).as("m00"),
+      sum(dd(col("yl")) * col("xl")).as("m01"),
+      sum(dd(col("xl")) * col("xl")).as("m11"),
+      sum(dd(col("yl")) * col("ya")).as("m0y"),
+      sum(dd(col("xl")) * col("ya")).as("m1y"),
+      sum(dd(col("ya")) * col("ya")).as("myy"))
+      .filter(col("n") >= minDays)
+    val n = col("n").cast("double")
+    val (sy, s0, s1v) = (col("my").cast("double"),
+      col("m0").cast("double"), col("m1").cast("double"))
+    val (s00, s01, s11) = (col("m00").cast("double"),
+      col("m01").cast("double"), col("m11").cast("double"))
+    val (s0y, s1y, syy) = (col("m0y").cast("double"),
+      col("m1y").cast("double"), col("myy").cast("double"))
+    val s00c = s00 - s0 * s0 / n
+    val s01c = s01 - s0 * s1v / n
+    val s11c = s11 - s1v * s1v / n
+    val s0yc = s0y - s0 * sy / n
+    val s1yc = s1y - s1v * sy / n
+    val syyc = syy - sy * sy / n
+    val rssR = syyc - s0yc * s0yc / nullifZero(s00c)
+    val det = s00c * s11c - s01c * s01c
+    val b1 = (s00c * s1yc - s01c * s0yc) / nullifZero(det)
+    val b0 = (s0yc * s11c - s01c * s1yc) / nullifZero(det)
+    val rssU = syyc - (b0 * s0yc + b1 * s1yc)
+    val f = (rssR - rssU) / nullifZero(rssU / (n - lit(3.0)))
+    g.select(col("s1"), col("s2"), col("n").as("n_days"),
+      rd(b1, 6).as("cross_coef"),
+      rd(f, 4).as("f_stat"),
+      // F(1, n−3) 5% critical value → 3.8415 as n → ∞ (χ²₁)
+      (f > lit(3.8415)).as("granger_sig"))
+  }
+
+  /** Chow structural-break test per symbol (Chow, Econometrica 1960)
+    * at the panel midpoint: fit the linear trend y = a + b·t on the
+    * pooled series and on each half; F = ((SSR_p − SSR_1 − SSR_2)/2) /
+    * ((SSR_1 + SSR_2)/(n − 4)) — the regime-shift screen behind the
+    * drift monitors (Page-Hinkley's offline cousin). Per-segment SSR
+    * is the centered closed form SSR = S_yy,c − S_ty,c²/S_tt,c over
+    * exact moment sums (time index t is the row_number — a small
+    * integer, so DECIMAL products stay modest); pooled moments are
+    * the SUMS of the two halves' raw moments, so one grouped pass
+    * computes everything.
+    *
+    * Scale shape: one window pass for t, one conditional rollup at
+    * the symbol grain — S·D rows in, S out, no joins, no collect. */
+  def chowBreak(returns: DataFrame, minDays: Int = 40): DataFrame = {
+    def dd(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val base = returns.filter(col("daily_return_pct").isNotNull)
+      .select(col("symbol"), col("trade_date"),
+        scaled(col("daily_return_pct"), 4).as("y"))
+      .withColumn("t", row_number().over(bySymbol).cast("long"))
+      .withColumn("nn", count(lit(1)).over(Window.partitionBy("symbol")))
+      .withColumn("h", (col("t") <= expr("nn div 2")).cast("int"))
+    // sum() skips the null else-branch, so each aggregate sees only
+    // its segment's rows; both segments are non-empty past minDays
+    def seg(h: Int, nm: String)(c: org.apache.spark.sql.Column) =
+      sum(when(col("h") === h, c)).as(s"$nm$h")
+    val g = base.groupBy("symbol").agg(
+      count(lit(1)).as("n"),
+      seg(1, "c")(lit(1L)), seg(0, "c")(lit(1L)),
+      seg(1, "st")(col("t")), seg(0, "st")(col("t")),
+      seg(1, "sy")(col("y")), seg(0, "sy")(col("y")),
+      seg(1, "qtt")(dd(col("t")) * col("t")), seg(0, "qtt")(dd(col("t")) * col("t")),
+      seg(1, "qty")(dd(col("t")) * col("y")), seg(0, "qty")(dd(col("t")) * col("y")),
+      seg(1, "qyy")(dd(col("y")) * col("y")), seg(0, "qyy")(dd(col("y")) * col("y")))
+      .filter(col("n") >= minDays)
+    def ssr(cn: org.apache.spark.sql.Column, st: org.apache.spark.sql.Column,
+            sy: org.apache.spark.sql.Column, stt: org.apache.spark.sql.Column,
+            sty: org.apache.spark.sql.Column, syy: org.apache.spark.sql.Column) = {
+      val n = cn.cast("double")
+      val sttc = stt.cast("double") - st.cast("double") * st.cast("double") / n
+      val styc = sty.cast("double") - st.cast("double") * sy.cast("double") / n
+      val syyc = syy.cast("double") - sy.cast("double") * sy.cast("double") / n
+      syyc - styc * styc / nullifZero(sttc)
+    }
+    val ssr1 = ssr(col("c1"), col("st1"), col("sy1"),
+      col("qtt1"), col("qty1"), col("qyy1"))
+    val ssr2 = ssr(col("c0"), col("st0"), col("sy0"),
+      col("qtt0"), col("qty0"), col("qyy0"))
+    val ssrP = ssr(col("n"),
+      col("st1") + col("st0"), col("sy1") + col("sy0"),
+      col("qtt1") + col("qtt0"), col("qty1") + col("qty0"),
+      col("qyy1") + col("qyy0"))
+    val f = ((ssrP - ssr1 - ssr2) / lit(2.0)) /
+      nullifZero((ssr1 + ssr2) / (col("n").cast("double") - lit(4.0)))
+    g.select(col("symbol"), col("n").as("n_days"),
+      col("c1").as("n_pre"), col("c0").as("n_post"),
+      rd(f, 4).as("f_stat"),
+      // F(2, n−4) 5% critical value → 2.9957 as n → ∞ (χ²₂/2)
+      (f > lit(2.9957)).as("break_sig"))
   }
 }

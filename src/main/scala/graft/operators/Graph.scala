@@ -317,4 +317,30 @@ object Graph {
     }
     sym.groupBy(col("u").as("id")).agg(count(lit(1)).as("degree"))
   }
+
+  /** Local clustering coefficient per node: c_i = 2·T_i / (d_i·(d_i−1))
+    * from exact triangle counts ([[triangleCounts]]'s degree-oriented
+    * wedge join — never the naive all-wedges form) and the undirected
+    * degree — the cohesion score beside the raw triangle lane: a node
+    * inside a clique scores 1, a star hub 0. Composition of the two
+    * existing rollups; nodes with degree < 2 carry NULL (the
+    * coefficient is undefined there), kept so the output covers the
+    * full node set. */
+  def clusteringCoefficient(edges: DataFrame, srcCol: String,
+                            dstCol: String): DataFrame = {
+    val und = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .distinct()
+    val deg = und.select(explode(array(col("u"), col("v"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    val tri = triangleCounts(edges, srcCol, dstCol)
+    deg.join(tri, Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        rd(lit(2.0) * coalesce(col("triangles"), lit(0L)).cast("double") /
+          nullifZero((col("degree") * (col("degree") - lit(1L))).cast("double")), 4)
+          .as("clustering_coef"))
+  }
 }

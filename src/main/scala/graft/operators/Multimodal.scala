@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.Funcs._
+import graft.sources.Staging.Snapshottable
 
 /** Multimodal-column plumbing: opaque `binary` payloads + typed
   * metadata, frame sampling, and a feature-extraction stage.
@@ -991,6 +992,60 @@ object Multimodal {
       }(enc)
   }
 
+  /** 3×3 box-filter features over per-media rasters via a 2-D
+    * INTEGRAL IMAGE computed entirely in window arithmetic — the
+    * summed-area table (Crow, SIGGRAPH 1984) that turns any
+    * rectangular convolution into 4 corner lookups: II is two
+    * cumulative-sum window passes (over x within each row, then over
+    * y within each column), and each pixel's clamped 3×3 box sum is
+    * II(x₂,y₂) − II(x₀−1,y₂) − II(x₂,y₀−1) + II(x₀−1,y₀−1), realized
+    * as a 4-row explode + ONE equi join back to II with signs (out-of-
+    * image corners at index −1 fall out of the left join as zero).
+    * Everything is exact integer: box sums, clamped window areas, and
+    * the high-pass residual energy Σ(v·area − box_sum)² — the
+    * blur/sharpness screen of an image-quality triage pass.
+    *
+    * Scale shape: two window exchanges + one equi join + two rollups,
+    * all at pixel grain — linear in total pixels, no per-image
+    * collect, box size independent (the integral-image point). Input:
+    * (media_id, y, x, v) with v an unsigned byte, w×w raster. */
+  def boxFilterFeatures(pixels: DataFrame, w: Int = 8): DataFrame = {
+    val wRow = Window.partitionBy("media_id", "y").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wCol = Window.partitionBy("media_id", "x").orderBy("y")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ii = pixels
+      .withColumn("cx", sum(col("v")).over(wRow))
+      .withColumn("ii", sum(col("cx")).over(wCol))
+      .snapshot() // the 4-corner join build side AND the pixel stream
+    val xHi = least(col("x") + 1, lit((w - 1).toLong))
+    val yHi = least(col("y") + 1, lit((w - 1).toLong))
+    val xLo = greatest(col("x") - 2, lit(-1L))
+    val yLo = greatest(col("y") - 2, lit(-1L))
+    val corners = ii.select(col("media_id"), col("x"), col("y"), col("v"),
+        ((xHi - xLo) * (yHi - yLo)).cast("long").as("cnt"),
+        explode(array(
+          struct(xHi.as("cx"), yHi.as("cy"), lit(1L).as("sg")),
+          struct(xLo.as("cx"), yHi.as("cy"), lit(-1L).as("sg")),
+          struct(xHi.as("cx"), yLo.as("cy"), lit(-1L).as("sg")),
+          struct(xLo.as("cx"), yLo.as("cy"), lit(1L).as("sg")))).as("c"))
+      .select(col("media_id"), col("x"), col("y"), col("v"), col("cnt"),
+        col("c.cx").as("cx"), col("c.cy").as("cy"), col("c.sg").as("sg"))
+    val boxed = corners
+      .join(ii.select(col("media_id"), col("x").as("cx"), col("y").as("cy"),
+        col("ii").as("cii")), Seq("media_id", "cx", "cy"), "left")
+      .groupBy("media_id", "x", "y")
+      .agg(max(col("v")).as("v"), max(col("cnt")).as("cnt"),
+        sum(col("sg") * coalesce(col("cii"), lit(0L))).as("box_sum"))
+    boxed.groupBy("media_id").agg(
+      count(lit(1)).as("n_px"),
+      sum(col("v")).as("sum_v"),
+      sum(col("box_sum")).as("sum_box"),
+      max(col("box_sum")).as("max_box"),
+      sum((col("v") * col("cnt") - col("box_sum")) *
+          (col("v") * col("cnt") - col("box_sum"))).as("hp_energy"))
+  }
+
   /** ===== Subband/wavelet codec class: LeGall 5/3 integer lifting =====
     * One DWT level of the JPEG2000 REVERSIBLE filter (LeGall & Tabatabai
     * 1988; the lossless path of ITU-T T.800) over a per-media sample
@@ -1013,6 +1068,13 @@ object Multimodal {
     * joins, no collect. */
   def wavelet53Features(samples: DataFrame, step: Int = 16): DataFrame = {
     require(step >= 1, "wavelet53Features: step must be >= 1")
+    // the mid-tread offset below is the integer `step / 2`: exact for
+    // even steps; an odd step would silently quantize with offset
+    // ⌊step/2⌋ — half a unit off the documented uniform mid-tread
+    // centering — so the contract rejects it rather than diverge from
+    // the docs (and from the oracle literal, which mirrors even steps)
+    require(step == 1 || step % 2 == 0,
+      s"wavelet53Features: step must be 1 or even for exact mid-tread centering: $step")
     val w = Window.partitionBy("media_id").orderBy("k")
     val paired = samples
       .select(col("media_id"), expr("i div 2").as("k"),

@@ -623,6 +623,56 @@ object TextAnalysis {
       .select(col("t1"), col("t2"), col("c_xy"), col("lift_scaled"))
   }
 
+  /** PMI collocations (Church & Hanks, CL 1990): the top ADJACENT
+    * bigram associations, pmi = ln p(ab) − ln p(a) − ln p(b), over
+    * exact corpus counts — the phrase-mining screen ("new york",
+    * "machine learning") that [[cooccurrenceLift]]'s document-level
+    * windows can't see. Bigrams come from one `zip_with` over each
+    * token array (no self-join, no explode-cross); unigram and bigram
+    * probabilities use their own exact totals (N_bi = N_uni − N_docs
+    * by construction — both measured, not assumed). The final ln tree
+    * is fixed-order over exact longs, rounded rd(4), and ranking
+    * follows the [[chi2Features]] discipline: per-partition top-k
+    * before the single-task global rank, bit-identical result. */
+  def pmiCollocations(docs: DataFrame, idCol: String, textCol: String,
+                      minCount: Long = 5L, k: Int = 50): DataFrame = {
+    val toks = Dedup.spreadById(docs, idCol, textCol)
+      .select(tokens(col(textCol)).as("ts"))
+    val uni = toks.select(explode(col("ts")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+      .snapshot() // two unigram join legs + the total
+    val biAll = toks
+      .select(explode(expr(
+        """zip_with(slice(ts, 1, greatest(size(ts) - 1, 0)),
+          |         slice(ts, 2, greatest(size(ts) - 1, 0)),
+          |         (a, b) -> struct(a AS w1, b AS w2))""".stripMargin)).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cab"))
+      .snapshot() // the minCount-filtered scoring pass + the total
+    val nBi = biAll.agg(sum(col("cab")).as("n_bi"))
+    val nUni = uni.agg(sum(col("cw")).as("n_uni"))
+    val scored = biAll.filter(col("cab") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("cw").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cw").as("c2")), "w2")
+      .crossJoin(broadcast(nBi)).crossJoin(broadcast(nUni))
+      .withColumn("pmi", rd(
+        log(col("cab").cast("double") / col("n_bi").cast("double")) -
+        log(col("c1").cast("double") / col("n_uni").cast("double")) -
+        log(col("c2").cast("double") / col("n_uni").cast("double")), 4))
+    val localTop = scored
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lr", row_number().over(Window.partitionBy("__pid")
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))))
+      .filter(col("__lr") <= k)
+      .drop("__pid", "__lr")
+    localTop
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("pmi").desc, col("w1"), col("w2"))))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("w1"), col("w2"),
+        col("cab").as("n_pair"), col("pmi"))
+  }
+
   /** Corpus-level boilerplate stripping: remove from every document
     * the word n-grams that repeat across ≥ `minDocs` DISTINCT
     * documents (navigation chrome, license headers, templated
@@ -1154,7 +1204,20 @@ object TextAnalysis {
     val chi2 = col("nd").cast("double") * det * det /
       nullifZero(((col("n11") + col("n10")) * (col("n01") + col("n00"))).cast("double") *
         ((col("n11") + col("n01")) * (col("n10") + col("n00"))).cast("double"))
-    d.withColumn("chi2", chi2)
+    // Per-partition top-k BEFORE the global rank: a token outside its
+    // partition's local top-k cannot be in the global top-k, so the
+    // un-partitioned window (one task by construction) sorts at most
+    // k·partitions rows instead of the whole ≥minDf vocabulary — the
+    // result is bit-identical, the single-task sort is dimension-
+    // bounded (same discipline as Profiling.tierSummary).
+    val scored = d.withColumn("chi2", chi2)
+    val localTop = scored
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lr", row_number().over(
+        Window.partitionBy("__pid").orderBy(col("chi2").desc, col("w"))))
+      .filter(col("__lr") <= k)
+      .drop("__pid", "__lr")
+    localTop
       .withColumn("rnk",
         row_number().over(Window.orderBy(col("chi2").desc, col("w"))))
       .filter(col("rnk") <= k)

@@ -167,22 +167,43 @@ object TickStream {
     * cost is O(affected partitions).
     */
   def upsertSink(updates: DataFrame, tablePath: String, checkpoint: String,
-                 keys: Seq[String], versionCol: String): DataStreamWriter[Row] =
+                 keys: Seq[String], versionCol: String): DataStreamWriter[Row] = {
+    // once batch 0 has swapped a table in, later micro-batches of THIS
+    // run can skip the filesystem existence probe (restarts re-probe:
+    // a fresh closure is built per query start)
+    var tableWritten = false
     updates.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val existing =
-          if (tableExists(spark, tablePath)) spark.read.parquet(tablePath)
+          if (tableWritten || tableExists(spark, tablePath)) spark.read.parquet(tablePath)
           else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], batch.schema)
         val merged = graft.operators.MergeUpsert
           .mergeUpsert(existing, batch, keys, versionCol)
-        // stage-then-swap: parquet can't be read and overwritten in place
-        val tmp = tablePath + "__staged"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(tablePath)
+        // stage-then-swap: parquet can't be read and overwritten in
+        // place, so write the merge to a staging dir and SWAP it in
+        // with a filesystem rename — one write job per trigger instead
+        // of write + read-back + rewrite (the read-back variant paid a
+        // second full Spark job per micro-batch for nothing). The
+        // delete→rename window is no wider than mode("overwrite")'s own
+        // delete→write; a crash inside either is healed by the
+        // checkpoint replaying the batch (merge is idempotent).
+        val conf = spark.sparkContext.hadoopConfiguration
+        val tmp = new org.apache.hadoop.fs.Path(tablePath + "__staged")
+        val dst = new org.apache.hadoop.fs.Path(tablePath)
+        // coalesce(1): the documented contract above restricts this sink
+        // to small control/dimension tables, so one write task + one
+        // output file beats shuffle-partition-many ~empty files (and the
+        // next batch's read-back lists a single file)
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val fs = dst.getFileSystem(conf)
+        if (fs.exists(dst)) fs.delete(dst, true)
+        require(fs.rename(tmp, dst), s"upsertSink: rename $tmp -> $dst failed")
+        tableWritten = true
       }
+  }
 
   /** Partition-pruned merge-upsert sink — the scale form of
     * [[upsertSink]]. The table is laid out by `partitionCol` (a

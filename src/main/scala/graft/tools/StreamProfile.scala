@@ -9,6 +9,7 @@ import org.apache.spark.sql.SparkSession
 object StreamProfile {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val qname = if (args.length > 1) args(1) else "q_stream_join_outer"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -25,11 +26,11 @@ object StreamProfile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm
-    graft.SparkEntry.queries("q_stream_join_outer")(spark, "/root/testdata/sf0.001").count()
+    graft.SparkEntry.queries(qname)(spark, "/root/testdata/sf0.001").count()
     for (i <- 1 to 3) {
       val t0 = System.nanoTime()
       spark.streams.resetTerminated()
-      graft.SparkEntry.queries("q_stream_join_outer")(spark, sfDir).count()
+      graft.SparkEntry.queries(qname)(spark, sfDir).count()
       println(f"trial $i total ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     // one more run with a progress listener attached
@@ -43,7 +44,7 @@ object StreamProfile {
       def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
     })
     val t0 = System.nanoTime()
-    graft.SparkEntry.queries("q_stream_join_outer")(spark, sfDir).count()
+    graft.SparkEntry.queries(qname)(spark, sfDir).count()
     println(f"listener trial total ${(System.nanoTime() - t0) / 1e9}%.2f s")
     Thread.sleep(500)
     progresses.foreach { p =>

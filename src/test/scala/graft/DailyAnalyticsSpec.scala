@@ -1029,4 +1029,56 @@ class DailyAnalyticsSpec extends AnyFunSpec {
       assert(r.getAs[Boolean]("cointegrated"), s"t=${r.getAs[Double]("t_stat")}")
     }
   }
+
+  describe("econometrics lane (round 13)") {
+    def rets(rows: Seq[(String, Int, Double)]) =
+      rows.map { case (s, i, r) =>
+        (s, java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)), r)
+      }.toDF("symbol", "trade_date", "daily_return_pct")
+
+    it("ljungBox: alternating series has rho_1 near -1 and a huge Q; rhos stay in [-1,1]") {
+      val alt = rets((0 until 60).map(i => ("A", i, if (i % 2 == 0) 1.0 else -1.0)))
+      val r = DailyAnalytics.ljungBox(alt, maxLag = 5, minDays = 30).collect().head
+      assert(r.getAs[Long]("n_days") == 60)
+      assert(r.getAs[Double]("rho_1") < -0.9)
+      (1 to 5).foreach { k =>
+        val rho = r.getAs[Double](s"rho_$k")
+        assert(rho >= -1.0001 && rho <= 1.0001, s"rho_$k=$rho") }
+      assert(r.getAs[Double]("q_stat") > 100.0)
+    }
+
+    it("ewmaVolatility: a constant-return series reproduces |r| exactly") {
+      val const = rets((0 until 40).map(i => ("A", i, 2.5)))
+      val r = DailyAnalytics.ewmaVolatility(const, minDays = 30).collect().head
+      // v_1 = yq², v_{t} = (94v + 6v) div 100 = v → vol = yq/100 = 2.5
+      assert(r.getAs[Double]("ewma_vol_pct") == 2.5)
+    }
+
+    it("grangerAdjacent: a lag-1 copy with a wiggle flags causality with coef ~1") {
+      def x(i: Int) = (i * 37 % 11 - 5).toDouble // deterministic pseudo-noise
+      val rows = (0 until 60).flatMap { i =>
+        Seq(("A", i, x(i - 1) + 0.01 * (i % 3)), // A_t ≈ B_{t-1}
+            ("B", i, x(i)))
+      }
+      val r = DailyAnalytics.grangerAdjacent(rets(rows), minDays = 30).collect().head
+      assert(r.getAs[String]("s1") == "A" && r.getAs[String]("s2") == "B")
+      assert(math.abs(r.getAs[Double]("cross_coef") - 1.0) < 0.01)
+      assert(r.getAs[Boolean]("granger_sig"), s"f=${r.getAs[Double]("f_stat")}")
+    }
+
+    it("chowBreak: a midpoint regime flip trips the break; a pure trend does not") {
+      def wig(i: Int) = 0.05 * (i % 5 - 2) // small noise so SSRs are nonzero
+      val rows =
+        (0 until 60).map(i => ("FLIP", i, (if (i < 30) 1.0 else -1.0) + wig(i))) ++
+        (0 until 60).map(i => ("TREND", i, 0.1 * i + wig(i)))
+      val got = DailyAnalytics.chowBreak(rets(rows), minDays = 30)
+        .collect().map(r => r.getAs[String]("symbol") -> r).toMap
+      assert(got("FLIP").getAs[Boolean]("break_sig"),
+        s"f=${got("FLIP").getAs[Double]("f_stat")}")
+      assert(!got("TREND").getAs[Boolean]("break_sig"),
+        s"f=${got("TREND").getAs[Double]("f_stat")}")
+      assert(got("FLIP").getAs[Long]("n_pre") == 30 &&
+        got("FLIP").getAs[Long]("n_post") == 30)
+    }
+  }
 }

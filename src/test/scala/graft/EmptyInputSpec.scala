@@ -190,5 +190,20 @@ class EmptyInputSpec extends AnyFunSpec {
       assert(Profiling.benfordDigits(
         Seq.empty[Double].toDF("v"), col("v")).isEmpty)
     }
+
+    it("round-13 operators degrade to empty output on empty input") {
+      val emptyReturns = Seq.empty[(String, java.sql.Date, Double)]
+        .toDF("symbol", "trade_date", "daily_return_pct")
+      assert(DailyAnalytics.ljungBox(emptyReturns).isEmpty)
+      assert(DailyAnalytics.ewmaVolatility(emptyReturns).isEmpty)
+      assert(DailyAnalytics.grangerAdjacent(emptyReturns).isEmpty)
+      assert(DailyAnalytics.chowBreak(emptyReturns).isEmpty)
+      val emptyEdges = Seq.empty[(Long, Long)].toDF("u", "v")
+      assert(Graph.clusteringCoefficient(emptyEdges, "u", "v").isEmpty)
+      assert(TextAnalysis.pmiCollocations(emptyDocs, "doc_id", "text").isEmpty)
+      val emptyPx = Seq.empty[(Long, Long, Long, Long)]
+        .toDF("media_id", "y", "x", "v")
+      assert(Multimodal.boxFilterFeatures(emptyPx).isEmpty)
+    }
   }
 }

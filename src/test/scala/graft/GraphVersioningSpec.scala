@@ -199,4 +199,55 @@ class GraphVersioningSpec extends AnyFunSpec {
       assert(c.isNullAt(c.fieldIndex("assortativity")))
     }
   }
+
+  describe("Graph.clusteringCoefficient") {
+    it("scores a triangle 1.0, its bridge node by its degree, a pendant NULL") {
+      // triangle {1,2,3} + pendant edge 3-4
+      val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("u", "v")
+      val got = Graph.clusteringCoefficient(edges, "u", "v")
+        .collect().map(r => r.getAs[Long]("id") -> r).toMap
+      assert(got(1L).getAs[Double]("clustering_coef") == 1.0)
+      assert(got(2L).getAs[Double]("clustering_coef") == 1.0)
+      // node 3: degree 3, 1 triangle → 2/(3·2) = 0.3333
+      assert(got(3L).getAs[Long]("degree") == 3)
+      assert(got(3L).getAs[Double]("clustering_coef") == 0.3333)
+      // degree-1 node: coefficient undefined → NULL, row kept
+      assert(got(4L).isNullAt(got(4L).fieldIndex("clustering_coef")))
+      assert(got(4L).getAs[Long]("triangles") == 0L)
+    }
+
+    it("a K4 scores 1.0 everywhere") {
+      val k4 = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)).toDF("u", "v")
+      val got = Graph.clusteringCoefficient(k4, "u", "v").collect()
+      assert(got.length == 4)
+      got.foreach(r => assert(r.getAs[Double]("clustering_coef") == 1.0))
+    }
+  }
+
+  describe("TextAnalysis.pmiCollocations") {
+    it("matches the hand-computed PMI of a templated corpus") {
+      // 10 docs of "alpha beta gamma": bigrams (alpha,beta) and
+      // (beta,gamma) 10x each; N_bi=20, N_uni=30, each unigram 10
+      // pmi = ln(10/20) − ln(10/30) − ln(10/30) = ln 4.5 = 1.5040…
+      val docs = (0 until 10).map(i => (i.toLong, "alpha beta gamma"))
+        .toDF("doc_id", "text")
+      val got = TextAnalysis.pmiCollocations(docs, "doc_id", "text",
+        minCount = 5L, k = 10).orderBy("rank").collect()
+      assert(got.length == 2)
+      assert(got(0).getAs[String]("w1") == "alpha") // tie → lexicographic w1
+      assert(got(1).getAs[String]("w1") == "beta")
+      got.foreach { r =>
+        assert(r.getAs[Long]("n_pair") == 10L)
+        assert(math.abs(r.getAs[Double]("pmi") - math.log(4.5)) < 0.001)
+      }
+    }
+
+    it("minCount suppresses rare pairs") {
+      val docs = ((0 until 6).map(i => (i.toLong, "x y")) :+ (9L, "rare pair"))
+        .toDF("doc_id", "text")
+      val got = TextAnalysis.pmiCollocations(docs, "doc_id", "text",
+        minCount = 5L, k = 10).collect()
+      assert(got.map(_.getAs[String]("w1")).toSet == Set("x"))
+    }
+  }
 }

@@ -324,5 +324,84 @@ class PropertySpec extends AnyFunSpec {
       assert(wk.filter($"open_price" > $"high_price" || $"open_price" < $"low_price" ||
         $"close_price" > $"high_price" || $"close_price" < $"low_price").isEmpty)
     }
+
+    it("BH-FDR rejections are exactly a prefix of the p-value order") {
+      // the step-up procedure's defining invariant: rejected(r) ⇔
+      // r ≤ k* where k* is the largest rank passing p ≤ α·r/m —
+      // sorted by rank, the flags are all-true then all-false
+      val rows = DailyAnalytics.bhFdr(
+          DailyAnalytics.dailyReturns(genBars), alpha = 0.3, minDays = 2)
+        .orderBy("p_rank")
+        .select($"p_rank", $"p_value", $"rejected")
+        .as[(Int, Double, Boolean)].collect()
+      assert(rows.nonEmpty)
+      val flags = rows.map(_._3)
+      assert(!flags.sliding(2).exists { case Array(a, b) => !a && b; case _ => false },
+        s"rejection set is not a rank prefix: ${flags.mkString(",")}")
+      // and p-values are non-decreasing in rank (the order BH ranks by)
+      assert(rows.map(_._2).sliding(2).forall {
+        case Array(a, b) => a <= b; case _ => true })
+    }
+  }
+
+  describe("round-12 statistics lane invariants") {
+    import graft.operators.{Cohorts, TextAnalysis}
+
+    /** Deterministic pseudo-random event stream: 30 users, 4 event
+      * types, hour-grain arrivals spread over ~3 weeks. */
+    lazy val genEvents = {
+      val rows = (0 until 600).map { i =>
+        val u = (i * 2654435761L % 30).toInt
+        val typ = s"t${(i * 40503 % 4)}"
+        val hour = (i * 7919 % 500).toInt
+        (i.toLong, u.toLong, typ,
+          java.sql.Timestamp.valueOf(
+            java.time.LocalDateTime.of(2024, 3, 1, 0, 0).plusHours(hour)))
+      }
+      rows.toDF("event_id", "user_id", "event_type", "event_time")
+    }
+
+    it("Kaplan-Meier survival is monotone non-increasing in time") {
+      val km = Cohorts.kaplanMeier(genEvents).orderBy("t_hours")
+        .select($"t_hours", $"survival").as[(Long, Double)].collect()
+      assert(km.nonEmpty)
+      assert(km.map(_._2).sliding(2).forall {
+        case Array(a, b) => b <= a; case _ => true },
+        s"survival increased: ${km.mkString(",")}")
+      assert(km.forall { case (_, s) => s >= 0.0 && s <= 1.0 })
+    }
+
+    it("Markov transition rows are exact count shares that sum to 1") {
+      val tm = Cohorts.markovTransitions(genEvents)
+      // exact invariant: per-cur bigram counts sum to the row total
+      val badN = tm.groupBy("cur")
+        .agg(sum($"n").as("sn"), max($"n_cur").as("nc"), min($"n_cur").as("nc2"))
+        .filter($"sn" =!= $"nc" || $"nc" =!= $"nc2")
+      assert(badN.isEmpty, badN.take(3).mkString(","))
+      // rounded probabilities sum to 1 within the rd(4) grain per row
+      val sums = tm.groupBy("cur")
+        .agg(sum($"p").as("sp"), count(lit(1)).as("k"))
+        .as[(String, Double, Long)].collect()
+      assert(sums.nonEmpty)
+      sums.foreach { case (cur, sp, k) =>
+        assert(math.abs(sp - 1.0) <= k * 5e-5 + 1e-9,
+          s"P(.|$cur) sums to $sp over $k rows") }
+    }
+
+    it("naive Bayes posteriors are row-order and partitioning stable") {
+      val docs = (0 until 120).map { i =>
+        val lang = s"L${i % 3}"
+        // language-skewed token mix from a tiny shared vocab
+        val toks = (0 until 12).map(j => s"w${(i * 31 + j * 7) % 5 + (i % 3) * 4}")
+        (i.toLong, toks.mkString(" "), lang)
+      }.toDF("doc_id", "text", "lang")
+      val base = TextAnalysis.naiveBayesLang(docs)
+        .orderBy("doc_id").collect().toSeq
+      val shuffled = TextAnalysis.naiveBayesLang(
+          docs.orderBy(hash($"doc_id", lit(17))).repartition(7))
+        .orderBy("doc_id").collect().toSeq
+      assert(base.nonEmpty && base == shuffled,
+        "naive Bayes output changed under input permutation/repartition")
+    }
   }
 }

@@ -746,4 +746,32 @@ class TextMultimodalSpec extends AnyFunSpec {
       assert(got("de").getAs[Long]("n_subwords") == 1L)
     }
   }
+
+  describe("Multimodal.boxFilterFeatures") {
+    def raster(f: (Long, Long) => Long) =
+      (for (y <- 0L until 8L; x <- 0L until 8L) yield (1L, y, x, f(y, x)))
+        .toDF("media_id", "y", "x", "v")
+
+    it("a uniform raster has zero high-pass energy and the exact clamped box sums") {
+      val got = Multimodal.boxFilterFeatures(raster((_, _) => 5L)).collect().head
+      assert(got.getAs[Long]("n_px") == 64L)
+      assert(got.getAs[Long]("sum_v") == 320L)
+      // Σ clamped 3x3 areas on 8x8: 4 corners·4 + 24 edges·6 + 36 interior·9 = 484
+      assert(got.getAs[Long]("sum_box") == 5L * 484L)
+      assert(got.getAs[Long]("max_box") == 45L)
+      assert(got.getAs[Long]("hp_energy") == 0L)
+    }
+
+    it("a single bright pixel's box sums match the 4-corner arithmetic by hand") {
+      // v=1 only at (3,3): box_sum is 1 exactly for the 9 pixels whose
+      // 3x3 window covers (3,3), else 0 — and hp at (3,3): v·9 − 1 = 8
+      val got = Multimodal.boxFilterFeatures(
+        raster((y, x) => if (y == 3 && x == 3) 1L else 0L)).collect().head
+      assert(got.getAs[Long]("sum_v") == 1L)
+      assert(got.getAs[Long]("sum_box") == 9L)
+      assert(got.getAs[Long]("max_box") == 1L)
+      // residuals: (3,3): 9·1−1 = 8 → 64; its 8 neighbours: 0·cnt−1 → 1 each
+      assert(got.getAs[Long]("hp_energy") == 64L + 8L)
+    }
+  }
 }
