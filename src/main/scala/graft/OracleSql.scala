@@ -1870,6 +1870,30 @@ object OracleSql {
          |  first_alarm_n, first_alarm_n IS NOT NULL AS alarmed
          |FROM f ORDER BY symbol""".stripMargin,
 
+    // mirrors SparkEntry.qStreamEwma / TickStream.ewmaMonitor: the
+    // online λ=0.94 integer EWMA of scaled tick energy as a DuckDB
+    // list_reduce over the µs-ordered series — seed [1, x², x²],
+    // step [n+1, (94v+6x²)//100, max so far]
+    "q_stream_ewma" ->
+      s"""WITH t AS (
+         |  SELECT event_type AS symbol,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+         |    ${sc("value", 2)} AS x2 FROM events
+         |),
+         |g AS (SELECT symbol, list(x2 ORDER BY tus, x2) AS xs
+         |  FROM t GROUP BY symbol),
+         |f AS (SELECT symbol, CAST(len(xs) AS BIGINT) AS n_events,
+         |    list_reduce(
+         |      list_transform(xs, x -> [1::BIGINT, x * x, x * x]),
+         |      (acc, e) -> [acc[1] + 1,
+         |        (94 * acc[2] + 6 * e[2]) // 100,
+         |        greatest(acc[3], (94 * acc[2] + 6 * e[2]) // 100)]) AS st
+         |  FROM g)
+         |SELECT symbol, n_events,
+         |  CAST(st[2] AS BIGINT) AS ewma2, CAST(st[3] AS BIGINT) AS max_ewma2,
+         |  ${rd("sqrt(CAST(st[2] AS DOUBLE)) / 100.0", 4)} AS ewma_val
+         |FROM f ORDER BY symbol""".stripMargin,
+
     "q_stream_ab" ->
       s"""WITH g AS (
          |  SELECT event_type AS metric,
@@ -5693,6 +5717,45 @@ object OracleSql {
         |r2 AS (SELECT n.id,
         |    (3 * 1000000000000) // (20 * nn.n) + (17 * COALESCE(c2.in_sum, 0)) // 20 AS rank
         |  FROM nodes n CROSS JOIN nn LEFT JOIN c2 ON n.id = c2.dst)
+        |SELECT id, CAST(rank AS BIGINT) AS rank,
+        |  CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+        |  id // 2 AS entity_id
+        |FROM r2 ORDER BY rank DESC, id LIMIT 20""".stripMargin,
+
+    // mirrors Graph.personalizedPageRank over the q_pagerank graph:
+    // restart mass pinned to the custkey%100==0 seed cohort, two
+    // unrolled integer iterations
+    "q_ppr" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS a, CAST(l_suppkey * 2 + 1 AS BIGINT) AS b
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e0 AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs),
+        |e AS (SELECT DISTINCT src, dst FROM e0
+        |  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |seeds AS (SELECT id FROM (
+        |    SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS id
+        |    FROM orders WHERE o_custkey % 100 = 0) s
+        |  WHERE id IN (SELECT id FROM nodes)),
+        |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM seeds),
+        |outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+        |r0 AS (SELECT n.id,
+        |    CASE WHEN s.id IS NOT NULL THEN 1000000000000 // ns.n ELSE 0 END AS rank
+        |  FROM nodes n CROSS JOIN ns LEFT JOIN seeds s ON n.id = s.id),
+        |c1 AS (SELECT e.dst, CAST(SUM(r.rank // o.outdeg) AS BIGINT) AS in_sum
+        |  FROM e JOIN r0 r ON e.src = r.id JOIN outdeg o ON e.src = o.src GROUP BY e.dst),
+        |r1 AS (SELECT n.id,
+        |    CASE WHEN s.id IS NOT NULL THEN (3 * 1000000000000) // (20 * ns.n) ELSE 0 END
+        |      + (17 * COALESCE(c1.in_sum, 0)) // 20 AS rank
+        |  FROM nodes n CROSS JOIN ns LEFT JOIN seeds s ON n.id = s.id
+        |  LEFT JOIN c1 ON n.id = c1.dst),
+        |c2 AS (SELECT e.dst, CAST(SUM(r.rank // o.outdeg) AS BIGINT) AS in_sum
+        |  FROM e JOIN r1 r ON e.src = r.id JOIN outdeg o ON e.src = o.src GROUP BY e.dst),
+        |r2 AS (SELECT n.id,
+        |    CASE WHEN s.id IS NOT NULL THEN (3 * 1000000000000) // (20 * ns.n) ELSE 0 END
+        |      + (17 * COALESCE(c2.in_sum, 0)) // 20 AS rank
+        |  FROM nodes n CROSS JOIN ns LEFT JOIN seeds s ON n.id = s.id
+        |  LEFT JOIN c2 ON n.id = c2.dst)
         |SELECT id, CAST(rank AS BIGINT) AS rank,
         |  CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
         |  id // 2 AS entity_id

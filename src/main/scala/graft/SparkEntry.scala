@@ -313,6 +313,42 @@ object SparkEntry {
     result
   }
 
+  /** Streaming EWMA energy control chart: per-symbol RiskMetrics
+    * recursion (λ=0.94) over scaled tick values, folded micro-batch
+    * by micro-batch in keyed state (TickStream.ewmaMonitor), upserted
+    * per trigger; the final table equals the batch list-fold exactly
+    * — the online twin of q_ewma_vol's offline estimate. */
+  private def qStreamEwma(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.TickStream
+    import s.implicits._
+    val out = scratchDir("graft_stream_ewma")
+    val evb = Tables.events(s, dir)
+    val ev = s.readStream.schema(evb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(sharedEventStage(s, dir, k = 2))
+    val tsMicros = evb.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => expr("unix_micros(cast(ts as timestamp))")
+    }
+    val input = ev.select(col("event_type"), tsMicros.as("tus"),
+        scaled(col("value"), 2).as("x2"))
+      .as[(String, Long, Long)]
+    val updates = TickStream.ewmaMonitor(input)
+    withStatePartitions(s, 4) {
+      val q = TickStream.upsertSink(updates.toDF(), s"$out/table", s"$out/ckpt",
+          Seq("symbol"), "n_events")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val result = s.read.parquet(s"$out/table")
+      .select(col("symbol"), col("n_events"), col("ewma2"), col("max_ewma2"),
+        rd(sqrt(col("ewma2").cast("double")) / 100.0, 4).as("ewma_val"))
+      .orderBy("symbol")
+      .snapshot()
+    deleteDir(out)
+    result
+  }
+
   /** Streaming A/B experiment monitor: per-metric sufficient
     * statistics maintained in keyed state across micro-batches
     * (TickStream.abMonitor), upserted per trigger; the final table's
@@ -1914,6 +1950,29 @@ object SparkEntry {
       .limit(20)
   }
 
+  /** Personalized PageRank: restart mass pinned to the cohort of
+    * round-number customers (custkey % 100 == 0) — which suppliers
+    * sit closest to THIS customer segment, vs [[qPagerank]]'s global
+    * rank. Same graph, same integer arithmetic, seed-restricted
+    * restart. */
+  private def qPpr(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, dir).select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
+        "o_orderkey")
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+    val seeds = Tables.orders(s, dir)
+      .filter(col("o_custkey") % 100 === 0)
+      .select((col("o_custkey") * 2).as("id")).distinct()
+    Graph.personalizedPageRank(edges, "a", "b", seeds, iters = 2)
+      .select(col("id"), col("rank"),
+        when(col("id") % 2 === 0, lit("customer")).otherwise(lit("supplier")).as("kind"),
+        expr("id div 2").as("entity_id"))
+      .orderBy(col("rank").desc, col("id"))
+      .limit(20)
+  }
+
   /** Compaction planning over the table's file inventory (per-ship-date
     * row counts stand in for file sizes; metadata-scale input). */
   private def qCompactionPlan(s: SparkSession, dir: String): DataFrame =
@@ -3106,6 +3165,7 @@ object SparkEntry {
     "q_boilerplate" -> (qBoilerplate _),
     "q_text_normalize" -> (qTextNormalize _),
     "q_pagerank" -> (qPagerank _),
+    "q_ppr" -> (qPpr _),
     "q_compaction_plan" -> (qCompactionPlan _),
     "q_semi_anti" -> (qSemiAnti _),
     "q_triangles" -> (qTriangles _),
@@ -3178,6 +3238,7 @@ object SparkEntry {
     "q_stream_topk" -> (qStreamTopk _),
     "q_stream_ab" -> (qStreamAb _),
     "q_stream_cusum" -> (qStreamCusum _),
+    "q_stream_ewma" -> (qStreamEwma _),
     "q_stream_join" -> (qStreamJoin _),
     "q_stream_join_outer" -> (qStreamJoinOuter _),
     "q_approx_topk" -> (qApproxTopK _),

@@ -63,6 +63,56 @@ object Graph {
     ranks
   }
 
+  /** Personalized PageRank from a seed set (Jeh & Widom, WWW'03 —
+    * random walk with restart): identical to [[pageRankScaled]] except
+    * the restart mass returns UNIFORMLY TO THE SEEDS instead of all
+    * nodes, turning the global importance rank into query-dependent
+    * proximity — "which suppliers sit closest to THESE customers" is
+    * a different question from "which suppliers matter overall". Same
+    * exact-integer discipline: r₀ = scale div |S| on seeds and 0
+    * elsewhere; per step, restart (3·scale) div (20·|S|) lands on
+    * seeds only while the flow term (17·in_sum) div 20 is unchanged —
+    * no doubles, order-insensitive, bit-portable. Seeds arrive as a
+    * one-column DataFrame and stay distributed (joined in, broadcast-
+    * able when small); the only driver scalar is |S∩V|. */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: DataFrame, iters: Int = 2,
+                           scale: Long = 1000000000000L): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+      .distinct()
+      .snapshot() // reused every iteration
+    val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+      .distinct()
+      .snapshot()
+    val seed = seeds
+      .select(col(seeds.columns.head).cast("long").as("id")).distinct()
+      .join(nodes, "id") // off-graph seeds carry no walk mass
+      .withColumn("is_seed", lit(true))
+      .snapshot() // the restart flag joins in every iteration
+    val ns = seed.count()
+    require(ns > 0, "personalizedPageRank: no seeds present in the graph")
+    val base = (3L * scale) / (20L * ns) // 0.15 · scale / |S|, exact
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    var ranks = nodes.join(seed, Seq("id"), "left")
+      .select(col("id"),
+        when(col("is_seed"), lit(scale / ns)).otherwise(lit(0L)).as("rank"))
+    for (i <- 1 to iters) {
+      val contrib = e.join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(outdeg, "src")
+        .select(col("dst"), expr("rank div outdeg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("in_sum"))
+      val next = nodes.join(seed, Seq("id"), "left")
+        .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"),
+          (when(col("is_seed"), lit(base)).otherwise(lit(0L)) +
+            expr("17 * coalesce(in_sum, 0L) div 20")).as("rank"))
+      ranks = if (i % 2 == 0 && i < iters) next.snapshot() else next
+    }
+    ranks
+  }
+
   /** Local (per-vertex) triangle counts over an undirected edge list —
     * the clustering-coefficient / community-density primitive (spam
     * and link-farm detection in web-graph curation; cohesion scoring

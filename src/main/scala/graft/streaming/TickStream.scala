@@ -485,6 +485,46 @@ object TickStream {
       }
   }
 
+  case class EwmaState(n: Long, v: Long, maxV: Long)
+  case class EwmaUpdate(symbol: String, n_events: Long,
+                        ewma2: Long, max_ewma2: Long)
+
+  /** Streaming EWMA energy control chart per key — the online twin of
+    * [[graft.operators.DailyAnalytics.ewmaVolatility]]'s RiskMetrics
+    * recursion, maintained tick by tick: v_t = (λ·v_{t−1} +
+    * (100−λ)·x²_t) div 100 with λ = `lambdaPct`/100, seeded v_1 = x²_1.
+    * Exact integer arithmetic end to end (x is the scaled-10² value,
+    * x² ≤ 1e14, λ·v ≤ 1e16 — Long-safe), so the state after an
+    * AvailableNow drain equals the batch list-fold EXACTLY and the
+    * lane is full-oracle-checkable against a DuckDB `list_reduce`
+    * twin. State is three longs per key however long the stream runs.
+    *
+    * Order: same contract as [[cusumMonitor]] — the recursion is
+    * order-dependent, each micro-batch sorts its rows by (ts, x)
+    * (batch-bounded buffer) and cross-batch order comes from the
+    * staged time-chunk replay. Input tuples: (key, tsMicros, x₂). */
+  def ewmaMonitor(events: Dataset[(String, Long, Long)],
+                  lambdaPct: Int = 94): Dataset[EwmaUpdate] = {
+    require(lambdaPct >= 1 && lambdaPct <= 99,
+      s"ewmaMonitor: lambdaPct out of range: $lambdaPct")
+    import events.sparkSession.implicits._
+    val L = lambdaPct
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[EwmaState, EwmaUpdate](
+        org.apache.spark.sql.streaming.OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        case (symbol, rows, state) =>
+          var st = state.getOption.getOrElse(EwmaState(0L, 0L, 0L))
+          rows.toArray.sortBy(r => (r._2, r._3)).foreach { case (_, _, x2) =>
+            val q = x2 * x2
+            val v = if (st.n == 0L) q else (L * st.v + (100 - L) * q) / 100
+            st = EwmaState(st.n + 1, v, math.max(st.maxV, v))
+          }
+          state.update(st)
+          Iterator.single(EwmaUpdate(symbol, st.n, st.v, st.maxV))
+      }
+  }
+
   case class AbState(na: Long, nb: Long, sa: Long, sb: Long, ss: Long)
   case class AbUpdate(metric: String, n_ctrl: Long, n_treat: Long,
                       s_ctrl: Long, s_treat: Long, s_sq: Long, n_total: Long)

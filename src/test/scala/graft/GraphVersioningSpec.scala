@@ -224,6 +224,36 @@ class GraphVersioningSpec extends AnyFunSpec {
     }
   }
 
+  describe("Graph.personalizedPageRank") {
+    it("seeding every node recovers plain PageRank exactly") {
+      val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      val edges = (pairs ++ pairs.map(_.swap)).toDF("u", "v")
+      val all = Seq(1L, 2L, 3L, 4L).toDF("id")
+      val ppr = Graph.personalizedPageRank(edges, "u", "v", all, iters = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val pr = Graph.pageRankScaled(edges, "u", "v", iters = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(ppr == pr)
+    }
+
+    it("restart mass concentrates around the seed; off-graph seeds are ignored") {
+      // path 1-2-3-4 (both directions), seed {1, 99 (off-graph)}
+      val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+      val edges = (pairs ++ pairs.map(_.swap)).toDF("u", "v")
+      val got = Graph.personalizedPageRank(edges, "u", "v",
+          Seq(1L, 99L).toDF("id"), iters = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(!got.contains(99L))
+      // exact integer fixpoint, hand-unrolled (note the length-2 walk
+      // parity: mass at distance 2 exceeds distance 1 after 2 iters —
+      // the correct random-walk behavior on a path, NOT monotone decay):
+      //   r1 = {1: 150e9 (restart), 2: 850e9, 3: 0, 4: 0}
+      //   r2 = {1: 150e9 + 17·425e9/20, 2: 17·150e9/20, 3: 17·425e9/20, 4: 0}
+      assert(got == Map(1L -> 511250000000L, 2L -> 127500000000L,
+        3L -> 361250000000L, 4L -> 0L))
+    }
+  }
+
   describe("TextAnalysis.pmiCollocations") {
     it("matches the hand-computed PMI of a templated corpus") {
       // 10 docs of "alpha beta gamma": bigrams (alpha,beta) and

@@ -602,4 +602,44 @@ class StreamingSpec extends AnyFunSpec {
       } finally q.stop()
     }
   }
+
+  describe("ewmaMonitor (streaming EWMA control chart)") {
+    it("chunked arrival equals the hand-rolled integer recursion, max tracked") {
+      val source = MemoryStream[(String, Long, Long)](spark)
+      val q = TickStream.ewmaMonitor(source.toDS())
+        .writeStream.format("memory").queryName("ewmamon")
+        .outputMode("update").start()
+      try {
+        source.addData(("s", 1L, 100L), ("s", 2L, 200L))
+        q.processAllAvailable()
+        // v1 = 100² = 10000; v2 = (94·10000 + 6·40000)/100 = 11800
+        source.addData(("s", 4L, 50L), ("s", 3L, 300L)) // out-of-order: sorted by ts
+        q.processAllAvailable()
+        val rows = spark.table("ewmamon").collect()
+          .map(r => r.getAs[Long]("n_events") ->
+            (r.getAs[Long]("ewma2"), r.getAs[Long]("max_ewma2"))).toMap
+        assert(rows(2L) == ((11800L, 11800L)))
+        // batch 2 folds ts=3 (x=300) first: v3 = (94·11800 + 6·90000)/100 = 16492
+        // then ts=4 (x=50): v4 = (94·16492 + 6·2500)/100 = 15652
+        assert(rows(4L)._1 == 15652L)
+        assert(rows(4L)._2 == 16492L) // running max survives the decay
+      } finally q.stop()
+    }
+
+    it("a constant stream is a fixed point: v stays x² across batches") {
+      val source = MemoryStream[(String, Long, Long)](spark)
+      val q = TickStream.ewmaMonitor(source.toDS())
+        .writeStream.format("memory").queryName("ewmaconst")
+        .outputMode("update").start()
+      try {
+        source.addData(("c", 1L, 250L), ("c", 2L, 250L))
+        q.processAllAvailable()
+        source.addData(("c", 3L, 250L))
+        q.processAllAvailable()
+        val r = spark.table("ewmaconst").collect()
+          .maxBy(_.getAs[Long]("n_events"))
+        assert(r.getAs[Long]("ewma2") == 62500L && r.getAs[Long]("max_ewma2") == 62500L)
+      } finally q.stop()
+    }
+  }
 }
