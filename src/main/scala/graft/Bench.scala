@@ -64,6 +64,18 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val trialsByQuery = selected.map { case (name, fn) =>
+      // One UNTIMED warm run at the target SF before the timed trials:
+      // r12/r13 trial dissection (SPARK_GRAFT_TRIAL_DEBUG) showed every
+      // spread>3 flag was a first-trial-only cold start (gc≈0, trials
+      // 2..N stable) whose burden rotates with QUERY POSITION across
+      // rounds (r12 flagged token_rarity/repetition/dedup_recall at
+      // 7-10x; r13 measured all three <2.8 with zero code change and a
+      // different random set flagged instead) — i.e. cross-query JVM
+      // pollution (broadcast eviction, code-cache churn), not plan
+      // bimodality. Warming at the target SF absorbs that position
+      // artifact so the spread metric flags REAL bimodal plans only;
+      // the min metric was never affected.
+      timed(fn)
       val times = (1 to trials).map { _ =>
         val g0 = if (trialDebug) gcMillis else 0L
         val t = timed(fn)

@@ -136,6 +136,21 @@ object OracleSql {
     * truth, so the tables cannot drift between engines. */
   private val imaStepList: String =
     graft.operators.Multimodal.imaStepTable.mkString("[", ",", "]")
+
+  /** English stopword list literal, rendered from THE list
+    * [[graft.operators.TextAnalysis.stopwords]] uses (one source of
+    * truth — the q_gopher_rules stopword rule cannot drift). */
+  private def enStopsList: String =
+    graft.operators.TextAnalysis.stopwords.toMap.apply("en")
+      .map(w => s"'$w'").mkString("[", ",", "]")
+
+  /** (k, Q14 coefficient) rows rendered from
+    * [[graft.operators.Multimodal.goertzelBins]] — same one-source
+    * rule for the q_audio_goertzel resonator. */
+  private def goertzelBinsValues: String =
+    graft.operators.Multimodal.goertzelBins
+      .map { case (k, c) => s"($k, ${c}::BIGINT)" }
+      .mkString("VALUES ", ", ", "")
   private val imaIndexList: String =
     graft.operators.Multimodal.imaIndexTable.mkString("[", ",", "]")
 
@@ -1701,6 +1716,55 @@ object OracleSql {
          |  CAST(MAX(box_sum) AS BIGINT) AS max_box,
          |  CAST(SUM((v * cnt - box_sum) * (v * cnt - box_sum)) AS BIGINT) AS hp_energy
          |FROM boxed GROUP BY media_id ORDER BY media_id""".stripMargin,
+
+    // mirrors Multimodal.gradientHistogram over the same raster CTE
+    // as q_box_filter: lead−lag central differences on the 6×6
+    // interior, octant by the identical nested sign/magnitude CASE,
+    // L1 votes, argmax bin with lowest-index ties
+    "q_image_gradients" ->
+      s"""WITH pay AS (
+         |  SELECT doc_id AS media_id,
+         |    md5(text) || md5(text || '1') || md5(text || '2') || md5(text || '3') AS hx
+         |  FROM documents),
+         |px AS (SELECT media_id, u.y AS y, u.x AS x, u.v AS v FROM (
+         |  SELECT media_id, unnest(list_transform(range(0, 64), i ->
+         |    {'y': i // 8, 'x': i % 8,
+         |     'v': ('0x' || substr(hx, CAST(i * 2 + 1 AS INTEGER), 2))::BIGINT})) AS u
+         |  FROM pay)),
+         |g AS (SELECT media_id, x, y,
+         |    LEAD(v) OVER (PARTITION BY media_id, y ORDER BY x)
+         |      - LAG(v) OVER (PARTITION BY media_id, y ORDER BY x) AS gx,
+         |    LEAD(v) OVER (PARTITION BY media_id, x ORDER BY y)
+         |      - LAG(v) OVER (PARTITION BY media_id, x ORDER BY y) AS gy
+         |  FROM px),
+         |i AS (SELECT * FROM g WHERE x > 0 AND x < 7 AND y > 0 AND y < 7),
+         |v AS (SELECT media_id, abs(gx) + abs(gy) AS mag,
+         |    CASE WHEN abs(gx) >= abs(gy)
+         |      THEN CASE WHEN gx >= 0
+         |        THEN CASE WHEN gy >= 0 THEN 0 ELSE 7 END
+         |        ELSE CASE WHEN gy >= 0 THEN 3 ELSE 4 END END
+         |      ELSE CASE WHEN gy >= 0
+         |        THEN CASE WHEN gx >= 0 THEN 1 ELSE 2 END
+         |        ELSE CASE WHEN gx >= 0 THEN 6 ELSE 5 END END
+         |    END AS bin
+         |  FROM i),
+         |h AS (SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_px,
+         |    CAST(SUM(mag) AS BIGINT) AS edge_energy,
+         |    CAST(SUM(CASE WHEN bin = 0 THEN mag ELSE 0 END) AS BIGINT) AS b0,
+         |    CAST(SUM(CASE WHEN bin = 1 THEN mag ELSE 0 END) AS BIGINT) AS b1,
+         |    CAST(SUM(CASE WHEN bin = 2 THEN mag ELSE 0 END) AS BIGINT) AS b2,
+         |    CAST(SUM(CASE WHEN bin = 3 THEN mag ELSE 0 END) AS BIGINT) AS b3,
+         |    CAST(SUM(CASE WHEN bin = 4 THEN mag ELSE 0 END) AS BIGINT) AS b4,
+         |    CAST(SUM(CASE WHEN bin = 5 THEN mag ELSE 0 END) AS BIGINT) AS b5,
+         |    CAST(SUM(CASE WHEN bin = 6 THEN mag ELSE 0 END) AS BIGINT) AS b6,
+         |    CAST(SUM(CASE WHEN bin = 7 THEN mag ELSE 0 END) AS BIGINT) AS b7
+         |  FROM v GROUP BY media_id),
+         |m AS (SELECT *, greatest(b0, b1, b2, b3, b4, b5, b6, b7) AS mx FROM h)
+         |SELECT media_id, n_px, edge_energy, b0, b1, b2, b3, b4, b5, b6, b7,
+         |  CASE WHEN b0 = mx THEN 0 WHEN b1 = mx THEN 1 WHEN b2 = mx THEN 2
+         |       WHEN b3 = mx THEN 3 WHEN b4 = mx THEN 4 WHEN b5 = mx THEN 5
+         |       WHEN b6 = mx THEN 6 ELSE 7 END AS dom_bin
+         |FROM m ORDER BY media_id""".stripMargin,
 
     "q_image_dct" ->
       s"""WITH $dctFeatCtes
@@ -3804,6 +3868,383 @@ object OracleSql {
          |SELECT symbol, n_days,
          |  ${rd("sqrt(CAST(st[2] AS DOUBLE)) / 100.0", 4)} AS ewma_vol_pct
          |FROM f WHERE n_days >= 30 ORDER BY symbol""".stripMargin,
+
+    // mirrors DailyAnalytics.garchFilter: variance-targeted GARCH(1,1)
+    // (α=6%, β=92%, ω=2%·v̄) as an integer list_reduce seeded v₀ = v̄
+    "q_garch_filter" ->
+      s"""${dailyChain("returns")},
+         |g AS (SELECT symbol,
+         |    list(${sc("daily_return_pct", 2)} ORDER BY trade_date) AS ys
+         |  FROM returns WHERE daily_return_pct IS NOT NULL
+         |  GROUP BY symbol),
+         |q AS (SELECT symbol, CAST(len(ys) AS BIGINT) AS n_days,
+         |    list_transform(ys, y -> y * y) AS qs FROM g),
+         |v AS (SELECT symbol, n_days, qs,
+         |    CAST(list_sum(qs) AS BIGINT) // n_days AS vbar
+         |  FROM q WHERE n_days >= 30),
+         |f AS (SELECT symbol, n_days, vbar,
+         |    list_reduce(
+         |      list_prepend([0::BIGINT, vbar],
+         |        list_transform(qs, q -> [1::BIGINT, q])),
+         |      (acc, e) -> [acc[1] + 1,
+         |        (2 * vbar + 6 * e[2] + 92 * acc[2]) // 100]) AS st
+         |  FROM v)
+         |SELECT symbol, n_days,
+         |  ${rd("sqrt(CAST(vbar AS DOUBLE)) / 100.0", 4)} AS long_run_vol_pct,
+         |  ${rd("sqrt(CAST(st[2] AS DOUBLE)) / 100.0", 4)} AS garch_vol_pct
+         |FROM f ORDER BY symbol""".stripMargin,
+
+    // mirrors DailyAnalytics.holtLinear: α=30/β=10 integer Holt fold
+    // over scale-2 closes, l₂=y₂, b₂=y₂−y₁, folded from t=3; DuckDB's
+    // // truncates toward zero exactly like Spark's div (measured)
+    "q_holt_linear" ->
+      s"""${dailyChain("bars")},
+         |g AS (SELECT symbol,
+         |    list(${sc("close_price", 2)} ORDER BY trade_date) AS ys
+         |  FROM bars GROUP BY symbol),
+         |n AS (SELECT symbol, CAST(len(ys) AS BIGINT) AS n_days, ys
+         |  FROM g WHERE len(ys) >= 30),
+         |f AS (SELECT symbol, n_days,
+         |    list_reduce(
+         |      list_prepend([ys[2], ys[2] - ys[1], 0::BIGINT, 2::BIGINT],
+         |        list_transform(ys[3:], y -> [y, 0::BIGINT, 0::BIGINT, 0::BIGINT])),
+         |      (acc, e) -> [
+         |        (30 * e[1] + 70 * (acc[1] + acc[2])) // 100,
+         |        (10 * ((30 * e[1] + 70 * (acc[1] + acc[2])) // 100 - acc[1])
+         |          + 90 * acc[2]) // 100,
+         |        acc[3] + abs(e[1] - (acc[1] + acc[2])),
+         |        acc[4] + 1]) AS st
+         |  FROM n)
+         |SELECT symbol, n_days,
+         |  ${rd("CAST(st[1] AS DOUBLE) / 100.0", 2)} AS level,
+         |  ${rd("CAST(st[2] AS DOUBLE) / 100.0", 4)} AS trend_per_day,
+         |  ${rd("CAST(st[1] + 5 * st[2] AS DOUBLE) / 100.0", 2)} AS forecast_5d,
+         |  ${rd("CAST(st[3] AS DOUBLE) / 100.0 / (CAST(n_days AS DOUBLE) - 1.0)", 4)} AS one_step_mae
+         |FROM f ORDER BY symbol""".stripMargin,
+
+    // mirrors DailyAnalytics.jarqueBera: exact power sums (HUGEINT
+    // 2nd-4th moments), one fixed double tree for skew/kurt/JB
+    "q_jarque_bera" ->
+      s"""${dailyChain("returns")},
+         |g AS (SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(y) AS BIGINT) AS s1,
+         |    SUM(CAST(y AS HUGEINT) * y) AS s2,
+         |    SUM(CAST(y AS HUGEINT) * y * y) AS s3,
+         |    SUM(CAST(y AS HUGEINT) * y * y * y) AS s4
+         |  FROM (SELECT symbol, ${sc4("daily_return_pct")} AS y FROM returns
+         |        WHERE daily_return_pct IS NOT NULL)
+         |  GROUP BY symbol HAVING COUNT(*) >= 30),
+         |d AS (SELECT symbol, n, CAST(n AS DOUBLE) AS nd,
+         |    CAST(s1 AS DOUBLE) AS d1, CAST(s2 AS DOUBLE) AS d2,
+         |    CAST(s3 AS DOUBLE) AS d3, CAST(s4 AS DOUBLE) AS d4 FROM g),
+         |m AS (SELECT symbol, n, nd, d1 / nd AS mu, d2, d3, d4 FROM d),
+         |c AS (SELECT symbol, n, nd,
+         |    d2 / nd - mu * mu AS m2,
+         |    d3 / nd - 3.0 * mu * (d2 / nd) + 2.0 * mu * mu * mu AS m3,
+         |    d4 / nd - 4.0 * mu * (d3 / nd) + 6.0 * mu * mu * (d2 / nd)
+         |      - 3.0 * mu * mu * mu * mu AS m4
+         |  FROM m),
+         |k AS (SELECT symbol, n, nd,
+         |    m3 / NULLIF(sqrt(m2 * m2 * m2), 0) AS skew,
+         |    m4 / NULLIF(m2 * m2, 0) AS kurt FROM c),
+         |j AS (SELECT symbol, n, skew, kurt,
+         |    nd / 6.0 * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0) AS jb
+         |  FROM k)
+         |SELECT symbol, n AS n_days, ${rd("skew", 4)} AS skewness,
+         |  ${rd("kurt", 4)} AS kurtosis, ${rd("jb", 4)} AS jb_stat,
+         |  jb > 5.9915 AS normal_rej
+         |FROM j ORDER BY symbol""".stripMargin,
+
+    // mirrors DailyAnalytics.leadLagAdjacent: adjacent pairs, one
+    // (pair, idx−k) join serving lags −2..2, exact moments per lag,
+    // best lag by |ρ| with nulls coalesced to −1 and earliest-lag ties
+    "q_lead_lag" ->
+      s"""${dailyChain("returns")},
+         |r AS (SELECT symbol, trade_date, ${sc4("daily_return_pct")} AS y
+         |  FROM returns WHERE daily_return_pct IS NOT NULL),
+         |syms AS (SELECT symbol,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY symbol) AS BIGINT) AS rk
+         |  FROM (SELECT DISTINCT symbol FROM r)),
+         |pairs AS (SELECT a.symbol AS s1, b.symbol AS s2
+         |  FROM syms a JOIN syms b ON b.rk = a.rk + 1),
+         |panel AS (SELECT s1, s2, ya, yb,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY s1, s2 ORDER BY trade_date) AS BIGINT) AS idx
+         |  FROM (SELECT p.s1, p.s2, ra.trade_date, ra.y AS ya, rb.y AS yb
+         |    FROM pairs p
+         |    JOIN r ra ON ra.symbol = p.s1
+         |    JOIN r rb ON rb.symbol = p.s2 AND rb.trade_date = ra.trade_date)),
+         |l AS (SELECT b.s1, b.s2, ks.k, b.ya AS a, b2.yb AS b
+         |  FROM panel b CROSS JOIN (SELECT UNNEST([-2, -1, 0, 1, 2]) AS k) ks
+         |  JOIN panel b2 ON b2.s1 = b.s1 AND b2.s2 = b.s2 AND b2.idx = b.idx - ks.k),
+         |g AS (SELECT s1, s2, k, CAST(COUNT(*) AS BIGINT) AS nk,
+         |    CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
+         |    SUM(CAST(a AS HUGEINT) * a) AS saa,
+         |    SUM(CAST(b AS HUGEINT) * b) AS sbb,
+         |    SUM(CAST(a AS HUGEINT) * b) AS sab
+         |  FROM l GROUP BY s1, s2, k),
+         |t AS (SELECT s1, s2, k, nk,
+         |    (CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(nk AS DOUBLE))
+         |    / NULLIF(sqrt((CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / CAST(nk AS DOUBLE))
+         |        * (CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(nk AS DOUBLE))), 0) AS rho
+         |  FROM g),
+         |p AS (SELECT s1, s2,
+         |    MAX(CASE WHEN k = 0 THEN nk END) AS n_days,
+         |    MAX(CASE WHEN k = -2 THEN rho END) AS rm2,
+         |    MAX(CASE WHEN k = -1 THEN rho END) AS rm1,
+         |    MAX(CASE WHEN k = 0 THEN rho END) AS r0,
+         |    MAX(CASE WHEN k = 1 THEN rho END) AS rp1,
+         |    MAX(CASE WHEN k = 2 THEN rho END) AS rp2
+         |  FROM t GROUP BY s1, s2 HAVING MAX(CASE WHEN k = 0 THEN nk END) >= 40),
+         |a AS (SELECT *, COALESCE(abs(rm2), -1.0) AS am2,
+         |    COALESCE(abs(rm1), -1.0) AS am1, COALESCE(abs(r0), -1.0) AS a0,
+         |    COALESCE(abs(rp1), -1.0) AS ap1, COALESCE(abs(rp2), -1.0) AS ap2
+         |  FROM p),
+         |b AS (SELECT *, greatest(am2, am1, a0, ap1, ap2) AS m FROM a)
+         |SELECT s1, s2, n_days,
+         |  ${rd("rm2", 4)} AS rho_m2, ${rd("rm1", 4)} AS rho_m1,
+         |  ${rd("r0", 4)} AS rho_0, ${rd("rp1", 4)} AS rho_p1,
+         |  ${rd("rp2", 4)} AS rho_p2,
+         |  CASE WHEN am2 = m THEN -2 WHEN am1 = m THEN -1 WHEN a0 = m THEN 0
+         |       WHEN ap1 = m THEN 1 ELSE 2 END AS best_lag,
+         |  ${rd("CASE WHEN am2 = m THEN rm2 WHEN am1 = m THEN rm1 WHEN a0 = m THEN r0 WHEN ap1 = m THEN rp1 ELSE rp2 END", 4)} AS best_rho
+         |FROM b ORDER BY s1, s2""".stripMargin,
+
+    // mirrors DailyAnalytics.neweyWest: Bartlett L=2 HAC variance of
+    // the mean return, γ_k from the shared lag join, each over full n
+    "q_newey_west" ->
+      s"""${dailyChain("returns")},
+         |r AS (SELECT symbol, trade_date, ${sc4("daily_return_pct")} AS y
+         |  FROM returns WHERE daily_return_pct IS NOT NULL),
+         |b AS (SELECT symbol, y,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY trade_date) AS BIGINT) AS idx
+         |  FROM r),
+         |tot AS (SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(y) AS BIGINT) AS sy, SUM(CAST(y AS HUGEINT) * y) AS syy
+         |  FROM b GROUP BY symbol),
+         |l AS (SELECT b.symbol, ks.k, b.y AS y, b2.y AS yl
+         |  FROM b CROSS JOIN (SELECT UNNEST([1, 2]) AS k) ks
+         |  JOIN b b2 ON b2.symbol = b.symbol AND b2.idx = b.idx - ks.k),
+         |pl AS (SELECT symbol, k, CAST(COUNT(*) AS BIGINT) AS nk,
+         |    CAST(SUM(y) AS BIGINT) AS sa, CAST(SUM(yl) AS BIGINT) AS sb,
+         |    SUM(CAST(y AS HUGEINT) * yl) AS sab
+         |  FROM l GROUP BY symbol, k),
+         |t AS (SELECT symbol, n, sy, syy, k,
+         |    (CAST(sab AS DOUBLE)
+         |      - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(sa + sb AS DOUBLE)
+         |      + CAST(nk AS DOUBLE) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+         |          * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+         |    / CAST(n AS DOUBLE) AS g
+         |  FROM pl JOIN tot USING (symbol) WHERE n >= 40),
+         |p AS (SELECT symbol, MAX(n) AS n, MAX(sy) AS sy, MAX(syy) AS syy,
+         |    MAX(CASE WHEN k = 1 THEN g END) AS g1,
+         |    MAX(CASE WHEN k = 2 THEN g END) AS g2
+         |  FROM t GROUP BY symbol),
+         |d AS (SELECT symbol, n, g1, g2, CAST(n AS DOUBLE) AS nd,
+         |    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+         |    CAST(syy AS DOUBLE) AS dyy FROM p),
+         |e AS (SELECT *, (dyy - nd * mu * mu) / nd AS g0 FROM d),
+         |f AS (SELECT *, sqrt((g0 + 2.0 * (2.0 * g1 + g2) / 3.0) / nd) AS se FROM e),
+         |h AS (SELECT *, mu / NULLIF(se, 0) AS t FROM f)
+         |SELECT symbol, n AS n_days,
+         |  ${rd("mu / 10000.0", 4)} AS mean_return_pct,
+         |  ${rd("se / 10000.0", 6)} AS hac_se_pct,
+         |  ${rd("t", 4)} AS t_stat,
+         |  abs(t) > 1.96 AS drift_sig
+         |FROM h ORDER BY symbol""".stripMargin,
+
+    // mirrors DailyAnalytics.runsTest: nonzero sign sequence, flip
+    // count by lag window, Wald–Wolfowitz moments in one double tree
+    "q_runs_test" ->
+      s"""${dailyChain("returns")},
+         |r AS (SELECT symbol, trade_date,
+         |    CASE WHEN ${sc4("daily_return_pct")} > 0 THEN 1 ELSE -1 END AS s
+         |  FROM returns WHERE daily_return_pct IS NOT NULL
+         |    AND ${sc4("daily_return_pct")} <> 0),
+         |b AS (SELECT symbol, s,
+         |    LAG(s) OVER (PARTITION BY symbol ORDER BY trade_date) AS prev
+         |  FROM r),
+         |g AS (SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |    CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+         |    CAST(SUM(CASE WHEN prev IS NOT NULL AND s <> prev THEN 1 ELSE 0 END) AS BIGINT) AS flips
+         |  FROM b GROUP BY symbol HAVING COUNT(*) >= 40),
+         |d AS (SELECT symbol, n, n_pos, n_neg, flips,
+         |    CAST(n AS DOUBLE) AS nd, CAST(n_pos AS DOUBLE) AS npd,
+         |    CAST(n_neg AS DOUBLE) AS nnd,
+         |    CAST(flips + 1 AS DOUBLE) AS rr FROM g),
+         |e AS (SELECT *,
+         |    1.0 + 2.0 * npd * nnd / nd AS mu_r,
+         |    2.0 * npd * nnd * (2.0 * npd * nnd - nd) / (nd * nd * (nd - 1.0)) AS sig2
+         |  FROM d),
+         |f AS (SELECT *, (rr - mu_r) / NULLIF(sqrt(sig2), 0) AS z FROM e)
+         |SELECT symbol, n AS n_days, n_pos, n_neg,
+         |  CAST(flips + 1 AS BIGINT) AS n_runs,
+         |  ${rd("z", 4)} AS z_stat, abs(z) > 1.96 AS random_rej
+         |FROM f ORDER BY symbol""".stripMargin,
+
+    // mirrors DailyAnalytics.upDownBeta: the q_market_beta index,
+    // conditional HUGEINT moments per regime, final scalars as in
+    // the marketBeta mirror, capture = β⁺/β⁻
+    "q_updown_beta" ->
+      s"""${dailyChain("returns")},
+         |r AS (SELECT symbol, trade_date, ${sc4("daily_return_pct")} AS y
+         |  FROM returns WHERE daily_return_pct IS NOT NULL),
+         |mkt AS (SELECT trade_date,
+         |    CAST(FLOOR(SUM(y) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS x
+         |  FROM r GROUP BY trade_date),
+         |g AS (SELECT symbol,
+         |    CAST(SUM(CASE WHEN x > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+         |    CAST(SUM(CASE WHEN x > 0 THEN x END) AS BIGINT) AS sx_up,
+         |    CAST(SUM(CASE WHEN x > 0 THEN y END) AS BIGINT) AS sy_up,
+         |    SUM(CASE WHEN x > 0 THEN CAST(x AS HUGEINT) * y END) AS sxy_up,
+         |    SUM(CASE WHEN x > 0 THEN CAST(x AS HUGEINT) * x END) AS sxx_up,
+         |    CAST(SUM(CASE WHEN x < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dn,
+         |    CAST(SUM(CASE WHEN x < 0 THEN x END) AS BIGINT) AS sx_dn,
+         |    CAST(SUM(CASE WHEN x < 0 THEN y END) AS BIGINT) AS sy_dn,
+         |    SUM(CASE WHEN x < 0 THEN CAST(x AS HUGEINT) * y END) AS sxy_dn,
+         |    SUM(CASE WHEN x < 0 THEN CAST(x AS HUGEINT) * x END) AS sxx_dn
+         |  FROM r JOIN mkt USING (trade_date)
+         |  GROUP BY symbol
+         |  HAVING SUM(CASE WHEN x > 0 THEN 1 ELSE 0 END) >= 10
+         |     AND SUM(CASE WHEN x < 0 THEN 1 ELSE 0 END) >= 10),
+         |k AS (SELECT symbol, n_up, n_dn,
+         |    CAST(CAST(n_up AS HUGEINT) * sxy_up - CAST(sx_up AS HUGEINT) * sy_up AS DOUBLE)
+         |      / NULLIF(CAST(CAST(n_up AS HUGEINT) * sxx_up - CAST(sx_up AS HUGEINT) * sx_up AS DOUBLE), 0) AS bu,
+         |    CAST(CAST(n_dn AS HUGEINT) * sxy_dn - CAST(sx_dn AS HUGEINT) * sy_dn AS DOUBLE)
+         |      / NULLIF(CAST(CAST(n_dn AS HUGEINT) * sxx_dn - CAST(sx_dn AS HUGEINT) * sx_dn AS DOUBLE), 0) AS bd
+         |  FROM g)
+         |SELECT symbol, n_up, n_dn,
+         |  ${rd("bu", 4)} AS beta_up, ${rd("bd", 4)} AS beta_down,
+         |  ${rd("bu / NULLIF(bd, 0)", 4)} AS capture_ratio
+         |FROM k ORDER BY symbol""".stripMargin,
+
+    // mirrors DailyAnalytics.woeIv: next-day direction by symbol
+    // lead, cross-sectional ntile(10) with symbol tiebreak, WOE/IV
+    // with scale-6 integer terms before the order-free window sum
+    "q_woe_iv" ->
+      s"""${dailyChain("returns")},
+         |r AS (SELECT symbol, trade_date, ${sc4("daily_return_pct")} AS y
+         |  FROM returns WHERE daily_return_pct IS NOT NULL),
+         |l AS (SELECT symbol, trade_date, y,
+         |    LEAD(y) OVER (PARTITION BY symbol ORDER BY trade_date) AS y_next
+         |  FROM r),
+         |d AS (SELECT *, NTILE(10) OVER (PARTITION BY trade_date ORDER BY y, symbol) AS decile
+         |  FROM l WHERE y_next IS NOT NULL),
+         |g AS (SELECT decile,
+         |    CAST(SUM(CASE WHEN y_next > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |    CAST(SUM(CASE WHEN y_next <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+         |  FROM d GROUP BY decile),
+         |w AS (SELECT decile, n_pos, n_neg,
+         |    CAST(n_pos AS DOUBLE) / CAST(SUM(n_pos) OVER () AS DOUBLE) AS p,
+         |    CAST(n_neg AS DOUBLE) / CAST(SUM(n_neg) OVER () AS DOUBLE) AS q
+         |  FROM g),
+         |t AS (SELECT decile, n_pos, n_neg,
+         |    CASE WHEN n_pos > 0 AND n_neg > 0 THEN ln(p / q) END AS woe,
+         |    CASE WHEN n_pos > 0 AND n_neg > 0
+         |      THEN ${sc("(p - q) * ln(p / q)", 6)} END AS iv6
+         |  FROM w)
+         |SELECT decile, n_pos, n_neg, ${rd("woe", 4)} AS woe,
+         |  CAST(iv6 AS DOUBLE) / 1000000.0 AS iv_term,
+         |  ${rd("CAST(SUM(iv6) OVER () AS DOUBLE) / 1000000.0", 4)} AS iv_total
+         |FROM t ORDER BY decile""".stripMargin,
+
+    // mirrors DailyAnalytics.omegaRatio: exact scale-4 gain/loss sums
+    "q_omega_ratio" ->
+      s"""${dailyChain("returns")},
+         |r AS (SELECT symbol, ${sc4("daily_return_pct")} AS y
+         |  FROM returns WHERE daily_return_pct IS NOT NULL),
+         |g AS (SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_days,
+         |    CAST(SUM(CASE WHEN y > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+         |    CAST(SUM(CASE WHEN y < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+         |    CAST(SUM(CASE WHEN y > 0 THEN y ELSE 0 END) AS BIGINT) AS gains,
+         |    CAST(SUM(CASE WHEN y < 0 THEN -y ELSE 0 END) AS BIGINT) AS losses
+         |  FROM r GROUP BY symbol HAVING COUNT(*) >= 30)
+         |SELECT symbol, n_days, n_up, n_down,
+         |  ${rd("CAST(gains AS DOUBLE) / 10000.0", 4)} AS sum_gains_pct,
+         |  ${rd("CAST(losses AS DOUBLE) / 10000.0", 4)} AS sum_losses_pct,
+         |  ${rd("CAST(gains AS DOUBLE) / NULLIF(CAST(losses AS DOUBLE), 0)", 4)} AS omega
+         |FROM g ORDER BY symbol""".stripMargin,
+
+    // mirrors DailyAnalytics.calmarRatio: running peak over the
+    // null-return-filtered rows, scale-4 drawdown before the min
+    "q_calmar" ->
+      s"""${dailyChain("returns")},
+         |d AS (SELECT symbol, ${sc4("daily_return_pct")} AS y,
+         |    ${sc("(close_price - MAX(close_price) OVER w) / NULLIF(MAX(close_price) OVER w, 0) * 100", 4)} AS dd4
+         |  FROM (SELECT * FROM returns WHERE daily_return_pct IS NOT NULL)
+         |  WINDOW w AS (PARTITION BY symbol ORDER BY trade_date ROWS UNBOUNDED PRECEDING)),
+         |g AS (SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_days,
+         |    CAST(SUM(y) AS BIGINT) AS sy, CAST(MIN(dd4) AS BIGINT) AS mdd4
+         |  FROM d GROUP BY symbol HAVING COUNT(*) >= 30),
+         |k AS (SELECT symbol, n_days,
+         |    CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE) / 10000.0 * 252.0 AS ann,
+         |    CAST(mdd4 AS DOUBLE) / 10000.0 AS mdd FROM g)
+         |SELECT symbol, n_days,
+         |  ${rd("ann", 4)} AS ann_return_pct,
+         |  ${rd("mdd", 4)} AS max_drawdown_pct,
+         |  ${rd("ann / NULLIF(abs(mdd), 0)", 4)} AS calmar
+         |FROM k ORDER BY symbol""".stripMargin,
+
+    // mirrors DailyAnalytics.ulcerIndex: scale-4 drawdowns, HUGEINT
+    // squared sum, one final sqrt
+    "q_ulcer_index" ->
+      s"""${dailyChain("returns")},
+         |d AS (SELECT symbol, ${sc4("daily_return_pct")} AS y,
+         |    ${sc("(close_price - MAX(close_price) OVER w) / NULLIF(MAX(close_price) OVER w, 0) * 100", 4)} AS dd4
+         |  FROM (SELECT * FROM returns WHERE daily_return_pct IS NOT NULL)
+         |  WINDOW w AS (PARTITION BY symbol ORDER BY trade_date ROWS UNBOUNDED PRECEDING)),
+         |g AS (SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_days,
+         |    CAST(SUM(y) AS BIGINT) AS sy,
+         |    SUM(CAST(dd4 AS HUGEINT) * dd4) AS sdd2
+         |  FROM d GROUP BY symbol HAVING COUNT(*) >= 30),
+         |k AS (SELECT symbol, n_days,
+         |    sqrt(CAST(sdd2 AS DOUBLE) / CAST(n_days AS DOUBLE)) / 10000.0 AS ui,
+         |    CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE) / 10000.0 * 252.0 AS ann
+         |  FROM g)
+         |SELECT symbol, n_days,
+         |  ${rd("ui", 4)} AS ulcer_index,
+         |  ${rd("ann", 4)} AS ann_return_pct,
+         |  ${rd("ann / NULLIF(ui, 0)", 4)} AS martin_ratio
+         |FROM k ORDER BY symbol""".stripMargin,
+
+    // mirrors qOuHalflife: the q_dickey_fuller chain, then θ and the
+    // half-life from the ROUNDED γ (the compose contract)
+    "q_ou_halflife" ->
+      s"""${dailyChain("bars")},
+         |d0 AS (
+         |  SELECT symbol, ${sc("close_price", 2)} AS p,
+         |    LAG(${sc("close_price", 2)}, 1) OVER w AS x
+         |  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY trade_date)),
+         |d AS (SELECT symbol, x, p - x AS y FROM d0 WHERE x IS NOT NULL),
+         |g AS (
+         |  SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+         |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         |    CAST(SUM(y * y) AS BIGINT) AS syy
+         |  FROM d GROUP BY symbol HAVING COUNT(*) >= 30),
+         |k AS (
+         |  SELECT symbol, n AS n_days,
+         |    CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS dx, CAST(sy AS DOUBLE) AS dy,
+         |    CAST(sxy AS DOUBLE) AS dxy, CAST(sxx AS DOUBLE) AS dxx, CAST(syy AS DOUBLE) AS dyy
+         |  FROM g),
+         |m AS (
+         |  SELECT symbol, n_days,
+         |    (nd * dxy - dx * dy) / (nd * dxx - dx * dx) AS gamma,
+         |    dxx - dx * dx / nd AS sxx_c,
+         |    dyy - dy * dy / nd AS syy_c,
+         |    nd
+         |  FROM k),
+         |f AS (
+         |  SELECT symbol, n_days, gamma,
+         |    gamma * sqrt(sxx_c / ((syy_c - gamma * gamma * sxx_c) / (nd - 2.0))) AS t
+         |  FROM m),
+         |r AS (SELECT symbol, n_days, ${rd("gamma", 4)} AS gr, t FROM f)
+         |SELECT symbol, n_days, gr AS gamma,
+         |  ${rd("CASE WHEN gr < 0 AND gr > -1 THEN -ln(1.0 + gr) END", 6)} AS reversion_theta,
+         |  ${rd("CASE WHEN gr < 0 AND gr > -1 THEN -ln(2.0) / ln(1.0 + gr) END", 4)} AS half_life_days,
+         |  t < -2.86 AS reject_unit_root
+         |FROM r ORDER BY symbol""".stripMargin,
 
     // mirrors DailyAnalytics.grangerAdjacent: adjacent pairs, lag-1
     // restricted/unrestricted centered OLS, HUGEINT second moments
@@ -6189,6 +6630,142 @@ object OracleSql {
         |y97 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997),
         |b AS (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96)
         |SELECT o_custkey FROM b EXCEPT SELECT o_custkey FROM y97
-        |ORDER BY o_custkey""".stripMargin
+        |ORDER BY o_custkey""".stripMargin,
+
+    // n² cancels: DW = n²ΣΔy² / (n²Σy² − n(Σy)²), all HUGEINT
+    "q_durbin_watson" ->
+      s"""${dailyChain("returns")},
+         |b AS (SELECT symbol, trade_date, ${sc4("daily_return_pct")} AS y
+         |  FROM returns WHERE daily_return_pct IS NOT NULL),
+         |c AS (SELECT symbol, y,
+         |    y - LAG(y) OVER (PARTITION BY symbol ORDER BY trade_date) AS dy
+         |  FROM b),
+         |g AS (SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(y) AS BIGINT) AS sy,
+         |    SUM(CAST(dy AS HUGEINT) * dy) AS sdd,
+         |    SUM(CAST(y AS HUGEINT) * y) AS syy
+         |  FROM c GROUP BY symbol HAVING COUNT(*) >= 30),
+         |k AS (SELECT symbol, n,
+         |    CAST(CAST(n AS HUGEINT) * n * sdd AS DOUBLE) /
+         |      NULLIF(CAST(CAST(n AS HUGEINT) * n * syy
+         |                  - CAST(n AS HUGEINT) * sy * sy AS DOUBLE), 0) AS dw
+         |  FROM g)
+         |SELECT symbol, n AS n_days, ${rd("dw", 4)} AS dw_stat,
+         |  dw < 1.5 AS positive_autocorr
+         |FROM k ORDER BY symbol""".stripMargin,
+
+    // PAA chunk means compare as truncated scale-4 integers (positive
+    // prices ⇒ trunc = floor in both engines); ties impossible past seg
+    "q_sax" ->
+      s"""${dailyChain("bars")},
+         |s AS (SELECT symbol, trade_date, ${sc("close_price", 2)} AS c2,
+         |    NTILE(8) OVER (PARTITION BY symbol ORDER BY trade_date) AS seg
+         |  FROM bars),
+         |g AS (SELECT symbol, seg, CAST(COUNT(*) AS BIGINT) AS n_seg,
+         |    CAST(SUM(c2) AS BIGINT) AS sc2
+         |  FROM s GROUP BY symbol, seg),
+         |m AS (SELECT symbol, seg, n_seg, (sc2 * 100) // n_seg AS mean4 FROM g),
+         |l AS (SELECT symbol, seg, n_seg,
+         |    NTILE(4) OVER (PARTITION BY symbol ORDER BY mean4, seg) - 1 AS li
+         |  FROM m),
+         |w AS (SELECT symbol, CAST(SUM(n_seg) AS BIGINT) AS n_days,
+         |    string_agg(chr(CAST(97 + li AS INTEGER)), '' ORDER BY seg) AS sax_word
+         |  FROM l GROUP BY symbol HAVING SUM(n_seg) >= 30)
+         |SELECT symbol, n_days, sax_word FROM w ORDER BY symbol""".stripMargin,
+
+    // rank means divide with TRUNCATING integer division on both
+    // sides (DuckDB // == Spark div, toward zero)
+    "q_quantile_norm" ->
+      s"""${dailyChain("returns")},
+         |b AS (SELECT symbol, trade_date, ${sc4("daily_return_pct")} AS y
+         |  FROM returns WHERE daily_return_pct IS NOT NULL),
+         |r AS (SELECT symbol, trade_date, y,
+         |    ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY y, trade_date) AS rnk
+         |  FROM b),
+         |m AS (SELECT rnk, CAST(COUNT(*) AS BIGINT) AS k,
+         |    CAST(SUM(y) AS BIGINT) AS sy FROM r GROUP BY rnk),
+         |q AS (SELECT rnk, sy // k AS qn4 FROM m)
+         |SELECT symbol, trade_date, CAST(y AS DOUBLE) / 1e4 AS return_pct,
+         |  CAST(qn4 AS DOUBLE) / 1e4 AS qn_return_pct
+         |FROM r JOIN q USING (rnk) ORDER BY symbol, trade_date""".stripMargin,
+
+    // every ratio rule is an integer cross-multiplication — no FP
+    // boundary for the two engines to disagree on
+    "q_gopher_rules" ->
+      s"""WITH t AS (SELECT doc_id, text,
+         |    string_split(text, ' ') AS toks,
+         |    string_split(text, chr(10)) AS lns FROM documents),
+         |d AS (SELECT doc_id,
+         |    CAST(len(toks) AS INTEGER) AS n_words,
+         |    CAST((length(text) - (len(toks) - 1)) * 10 AS BIGINT) AS mlen10,
+         |    CAST(len(list_filter(toks, w -> contains(w, '#')
+         |      OR contains(w, '...'))) AS INTEGER) AS n_symbol_words,
+         |    CAST(len(lns) AS INTEGER) AS n_lines,
+         |    CAST(len(list_filter(lns, l -> starts_with(l, '•')
+         |      OR starts_with(l, '- ') OR starts_with(l, '* '))) AS INTEGER)
+         |      AS n_bullet_lines,
+         |    CAST(len(list_filter(lns, l -> ends_with(l, '...'))) AS INTEGER)
+         |      AS n_ellipsis_lines,
+         |    CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+         |      AS INTEGER) AS n_alpha_words,
+         |    CAST(len(list_filter(${enStopsList},
+         |      sw -> list_contains(toks, sw))) AS INTEGER) AS n_stopwords
+         |  FROM t),
+         |e AS (SELECT doc_id, n_words,
+         |    ${rd("CAST(mlen10 AS DOUBLE) / n_words / 10.0", 4)} AS mean_word_len,
+         |    n_symbol_words, n_lines, n_bullet_lines, n_ellipsis_lines,
+         |    n_alpha_words, n_stopwords,
+         |    (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+         |    (mlen10 >= n_words * 30 AND mlen10 <= n_words * 100) AS ok_word_len,
+         |    (n_symbol_words * 10 <= n_words) AS ok_symbol_ratio,
+         |    (n_bullet_lines * 10 <= n_lines * 9) AS ok_bullets,
+         |    (n_ellipsis_lines * 10 <= n_lines * 3) AS ok_ellipsis,
+         |    (n_alpha_words * 10 >= n_words * 8) AS ok_alpha,
+         |    (n_stopwords >= 2) AS ok_stopwords
+         |  FROM d)
+         |SELECT *,
+         |  CASE WHEN NOT ok_word_count THEN 'word_count'
+         |       WHEN NOT ok_word_len THEN 'word_len'
+         |       WHEN NOT ok_symbol_ratio THEN 'symbol_ratio'
+         |       WHEN NOT ok_bullets THEN 'bullets'
+         |       WHEN NOT ok_ellipsis THEN 'ellipsis'
+         |       WHEN NOT ok_alpha THEN 'alpha'
+         |       WHEN NOT ok_stopwords THEN 'stopwords'
+         |       ELSE 'kept' END AS first_fail,
+         |  (ok_word_count AND ok_word_len AND ok_symbol_ratio AND ok_bullets
+         |    AND ok_ellipsis AND ok_alpha AND ok_stopwords) AS keep
+         |FROM e ORDER BY doc_id""".stripMargin,
+
+    // integer Goertzel replayed as a seeded list_reduce: after sample
+    // 1 the state is (x₁, 0), exactly the Scala loop's; >> is
+    // arithmetic shift on BIGINT in both engines
+    "q_audio_goertzel" ->
+      s"""WITH pay AS (
+         |  SELECT doc_id AS media_id,
+         |    md5(text) || md5(text || '1') || md5(text || '2') || md5(text || '3') ||
+         |    md5(text || '4') || md5(text || '5') || md5(text || '6') || md5(text || '7') AS hx
+         |  FROM documents),
+         |sv AS (
+         |  SELECT media_id,
+         |    list_transform(range(0, 64), i -> (
+         |      CASE WHEN ('0x' || substr(hx, CAST(i * 4 + 1 AS INTEGER), 2))::BIGINT
+         |                 + 256 * ('0x' || substr(hx, CAST(i * 4 + 3 AS INTEGER), 2))::BIGINT >= 32768
+         |           THEN ('0x' || substr(hx, CAST(i * 4 + 1 AS INTEGER), 2))::BIGINT
+         |                 + 256 * ('0x' || substr(hx, CAST(i * 4 + 3 AS INTEGER), 2))::BIGINT - 65536
+         |           ELSE ('0x' || substr(hx, CAST(i * 4 + 1 AS INTEGER), 2))::BIGINT
+         |                 + 256 * ('0x' || substr(hx, CAST(i * 4 + 3 AS INTEGER), 2))::BIGINT
+         |      END)) AS xs
+         |  FROM pay),
+         |st AS (
+         |  SELECT media_id, b.k, b.c,
+         |    list_reduce(
+         |      list_transform(xs, x -> [x, 0::BIGINT]),
+         |      (acc, e) -> [e[1] + ((b.c * acc[1]) >> 14) - acc[2], acc[1]]) AS s
+         |  FROM sv CROSS JOIN ($goertzelBinsValues) AS b(k, c))
+         |SELECT media_id, CAST(k AS INTEGER) AS bin_k,
+         |  CAST(64 AS INTEGER) AS n_samples,
+         |  CAST(s[1] * s[1] + s[2] * s[2] - ((c * s[1]) >> 14) * s[2] AS BIGINT)
+         |    AS power
+         |FROM st ORDER BY media_id, bin_k""".stripMargin
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Funcs._
 import graft.operators._
-import graft.sources.{Adapters, Tables}
+import graft.sources.{Adapters, Marts, Tables}
 import graft.sources.Staging.Snapshottable
 
 /** Driver contract — maps every operator in SURVEY.md §2 (plus the
@@ -20,7 +20,7 @@ object SparkEntry {
   /** Flagship query on sf0.001; driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
     DailyAnalytics.martStockPerformance(
-      Adapters.dailyBars(spark, "/root/testdata/sf0.001"))
+      Marts.dailyBars(spark, "/root/testdata/sf0.001"))
 
   // ──────────────────────────────────────────────────────────────────
   // Daily (batch) lane — SURVEY §2.2/2.3/2.4/2.5 on lineitem-bars
@@ -45,45 +45,45 @@ object SparkEntry {
       .orderBy("symbol", "trade_date", "return_flag")
 
   private def qDailyReturns(s: SparkSession, dir: String): DataFrame =
-    DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir))
+    Marts.dailyReturns(s, dir)
       .orderBy("symbol", "trade_date")
 
   private def qRollingMetrics(s: SparkSession, dir: String): DataFrame =
-    DailyAnalytics.rollingMetrics(DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+    DailyAnalytics.rollingMetrics(Marts.dailyReturns(s, dir))
       .select("symbol", "trade_date", "sma_5d", "sma_10d", "sma_20d", "sma_50d",
         "volatility_20d_pct", "annualised_volatility_pct",
         "avg_volume_20d", "volume_vs_avg_20d", "rsi_14")
       .orderBy("symbol", "trade_date")
 
   private def qMartStockPerformance(s: SparkSession, dir: String): DataFrame =
-    DailyAnalytics.martStockPerformance(Adapters.dailyBars(s, dir))
+    DailyAnalytics.martStockPerformance(Marts.dailyBars(s, dir))
       .orderBy("symbol", "trade_date")
 
   /** §2.3's implied seed-dim mart: stock performance ⋈ broadcast ticker
     * dim → day×sector×tier rollup. */
   private def qMartSectorSummary(s: SparkSession, dir: String): DataFrame =
     Enrichment.sectorSummary(
-      DailyAnalytics.martStockPerformance(Adapters.dailyBars(s, dir)),
+      DailyAnalytics.martStockPerformance(Marts.dailyBars(s, dir)),
       Enrichment.tickerDimFromSuppliers(s, dir))
       .orderBy("trade_date", "sector", "market_cap_tier")
 
   /** J2 — the literal returns ⋈ rolling equi join of the reference mart. */
   private def qReturnsJoinRolling(s: SparkSession, dir: String): DataFrame =
-    DailyAnalytics.joinedStockPerformance(Adapters.dailyBars(s, dir))
+    DailyAnalytics.joinedStockPerformance(Marts.dailyBars(s, dir))
       .select("symbol", "trade_date", "daily_return_pct", "sma_20d", "rsi_14",
         "volume_vs_avg_20d")
       .orderBy("symbol", "trade_date")
 
   private def qMartDailySummary(s: SparkSession, dir: String): DataFrame =
     DailyAnalytics.martDailySummary(
-      DailyAnalytics.martStockPerformance(Adapters.dailyBars(s, dir)))
+      DailyAnalytics.martStockPerformance(Marts.dailyBars(s, dir)))
 
   /** The reference's `dbt test` stage as a runtime module: every
     * mart_stock_performance schema test folded into ONE aggregate scan
     * ([[graft.quality.Invariants.audit]]) — counts per check, one row. */
   private def qQualityAudit(s: SparkSession, dir: String): DataFrame =
     graft.quality.Invariants.audit(
-      DailyAnalytics.martStockPerformance(Adapters.dailyBars(s, dir)),
+      DailyAnalytics.martStockPerformance(Marts.dailyBars(s, dir)),
       graft.quality.Invariants.martStockPerformanceChecks)
 
   // ──────────────────────────────────────────────────────────────────
@@ -414,7 +414,7 @@ object SparkEntry {
     * driver-generated immutable parquet, and any rewrite touches part
     * mtimes; hashing 100 K part STATS is cheap where hashing bytes
     * would re-read the table. */
-  private def contentKey(root: java.io.File): String = {
+  private[graft] def contentKey(root: java.io.File): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val base = root.toPath
     def walk(f: java.io.File): Unit =
@@ -978,14 +978,14 @@ object SparkEntry {
   /** Robust MAD outlier audit over the daily-returns lane. */
   private def qOutlierMad(s: SparkSession, dir: String): DataFrame =
     DailyAnalytics.madOutliers(
-      DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+      Marts.dailyReturns(s, dir))
       .orderBy("symbol")
 
   /** Incremental mart maintenance: stats of two disjoint history
     * slices MERGED, oracle = one pass over the full history — the
     * algebraic-merge law as a correctness gate, not a comment. */
   private def qIncrementalStats(s: SparkSession, dir: String): DataFrame = {
-    val bars = Adapters.dailyBars(s, dir)
+    val bars = Marts.dailyBars(s, dir)
     val cutoff = lit("1995-01-01").cast("date")
     val merged = DailyAnalytics.mergeSymbolStats(
       DailyAnalytics.symbolStats(bars.filter(col("trade_date") < cutoff)),
@@ -996,18 +996,18 @@ object SparkEntry {
   /** Winsorized returns: percentile clamping per symbol. */
   private def qWinsorize(s: SparkSession, dir: String): DataFrame =
     DailyAnalytics.winsorizeReturns(
-      DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+      Marts.dailyReturns(s, dir))
       .orderBy("symbol", "trade_date")
 
   /** Missing-day audit over the daily lane. */
   private def qTradingGaps(s: SparkSession, dir: String): DataFrame =
-    DailyAnalytics.tradingGaps(Adapters.dailyBars(s, dir), maxGapDays = 1)
+    DailyAnalytics.tradingGaps(Marts.dailyBars(s, dir), maxGapDays = 1)
       .orderBy("symbol", "trade_date")
 
   /** Pairwise return-correlation matrix from exact integer sums. */
   private def qPairCorrelation(s: SparkSession, dir: String): DataFrame =
     DailyAnalytics.pairCorrelation(
-      DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)), minDays = 30)
+      Marts.dailyReturns(s, dir), minDays = 30)
       .orderBy("s1", "s2")
 
   /** Grouped top-k with rank pushdown (WindowGroupLimit). */
@@ -1055,7 +1055,7 @@ object SparkEntry {
   private def qPercentRank(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("symbol").orderBy("daily_return_pct")
-    DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir))
+    Marts.dailyReturns(s, dir)
       .filter(col("daily_return_pct").isNotNull)
       .select(col("symbol"), col("trade_date"), col("daily_return_pct"),
         r4(percent_rank().over(w)).as("pr"),
@@ -1267,7 +1267,7 @@ object SparkEntry {
   /** FULL OUTER join: per-day bar volume vs per-day tick counts —
     * days present in EITHER lane survive with nulls on the other. */
   private def qFullOuter(s: SparkSession, dir: String): DataFrame = {
-    val barVol = Adapters.dailyBars(s, dir)
+    val barVol = Marts.dailyBars(s, dir)
       .groupBy("trade_date").agg(sum(col("volume")).as("bar_volume"))
     val tickCnt = Adapters.ticks(s, dir)
       .groupBy(to_date(col("event_time")).as("trade_date"))
@@ -1698,7 +1698,7 @@ object SparkEntry {
     * rows) — correct across date gaps where the ROWS-frame mart
     * deliberately replicates the reference's row-count lookback. */
   private def qCalendarRolling(s: SparkSession, dir: String): DataFrame =
-    DailyAnalytics.calendarRolling(Adapters.dailyBars(s, dir), days = 7)
+    DailyAnalytics.calendarRolling(Marts.dailyBars(s, dir), days = 7)
       .select("symbol", "trade_date", "avg_close_7d", "n_obs_7d", "vol_sum_7d")
       .orderBy("symbol", "trade_date")
 
@@ -2093,69 +2093,69 @@ object SparkEntry {
 
   /** Per-symbol OLS beta vs the equal-weight market index. */
   private def qMarketBeta(s: SparkSession, dir: String): DataFrame =
-    DailyAnalytics.marketBeta(DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+    DailyAnalytics.marketBeta(Marts.dailyReturns(s, dir))
       .orderBy("symbol")
 
   /** Per-symbol maximum drawdown off the running close peak. */
   private def qMaxDrawdown(s: SparkSession, dir: String): DataFrame =
-    DailyAnalytics.maxDrawdown(DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+    DailyAnalytics.maxDrawdown(Marts.dailyReturns(s, dir))
       .orderBy("symbol")
 
   /** Weekly OHLCV resample with first-open/last-close and exact VWAP. */
   private def qResampleWeekly(s: SparkSession, dir: String): DataFrame =
-    DailyAnalytics.resampleOhlc(Adapters.dailyBars(s, dir), "week")
+    DailyAnalytics.resampleOhlc(Marts.dailyBars(s, dir), "week")
       .orderBy("symbol", "period_start")
 
   /** Per-symbol annualized Sharpe ratio in exact integer sums. */
   private def qSharpe(s: SparkSession, dir: String): DataFrame =
-    DailyAnalytics.sharpeRatio(DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+    DailyAnalytics.sharpeRatio(Marts.dailyReturns(s, dir))
       .orderBy("symbol")
 
   /** On-balance volume: running signed-volume sum per symbol. */
   private def qObv(s: SparkSession, dir: String): DataFrame =
-    DailyAnalytics.obv(DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+    DailyAnalytics.obv(Marts.dailyReturns(s, dir))
       .orderBy("symbol", "trade_date")
 
   /** Stochastic oscillator %K/%D over the 14-day channel. */
   private def qStochastic(s: SparkSession, dir: String): DataFrame =
-    DailyAnalytics.stochastic(Adapters.dailyBars(s, dir))
+    DailyAnalytics.stochastic(Marts.dailyBars(s, dir))
       .orderBy("symbol", "trade_date")
 
   /** Integer-recursive EMA-12 of the close (aggregate fold ≡ DuckDB
     * list_reduce — the recursion no window frame can express). */
   private def qEma(s: SparkSession, dir: String): DataFrame =
-    DailyAnalytics.emaClose(Adapters.dailyBars(s, dir))
+    DailyAnalytics.emaClose(Marts.dailyBars(s, dir))
       .orderBy("symbol")
 
   /** MACD(12,26,9): one composite array-state integer fold per symbol. */
   private def qMacd(s: SparkSession, dir: String): DataFrame =
-    DailyAnalytics.macd(Adapters.dailyBars(s, dir))
+    DailyAnalytics.macd(Marts.dailyBars(s, dir))
       .orderBy("symbol")
 
   /** Bollinger/ATR/Keltner/Donchian band stack in one window pass. */
   private def qIndicatorBands(s: SparkSession, dir: String): DataFrame =
-    DailyAnalytics.indicatorBands(Adapters.dailyBars(s, dir))
+    DailyAnalytics.indicatorBands(Marts.dailyBars(s, dir))
       .orderBy("symbol", "trade_date")
 
   /** Textbook Wilder RSI-14 as an exact integer fold (vs the
     * reference's rolling-mean simplification in q_rolling_metrics). */
   private def qWilderRsi(s: SparkSession, dir: String): DataFrame =
-    DailyAnalytics.wilderRsiExactFold(DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+    DailyAnalytics.wilderRsiExactFold(Marts.dailyReturns(s, dir))
       .orderBy("symbol")
 
   /** Momentum-decile backtest: per-decile compounded portfolio return
     * (the factor-premium readout over q_momentum_deciles). */
   private def qDecileBacktest(s: SparkSession, dir: String): DataFrame =
-    DailyAnalytics.decileBacktest(Adapters.dailyBars(s, dir))
+    DailyAnalytics.decileBacktest(Marts.dailyBars(s, dir))
 
   /** Annualized Sortino (downside semideviation) per symbol. */
   private def qSortino(s: SparkSession, dir: String): DataFrame =
-    DailyAnalytics.sortinoRatio(DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+    DailyAnalytics.sortinoRatio(Marts.dailyReturns(s, dir))
       .orderBy("symbol")
 
   /** Daily momentum information coefficient (signal vs forward return). */
   private def qFactorIc(s: SparkSession, dir: String): DataFrame =
-    DailyAnalytics.factorIC(Adapters.dailyBars(s, dir))
+    DailyAnalytics.factorIC(Marts.dailyBars(s, dir))
 
   /** Intraday microstructure: realized vol + tick imbalance per day. */
   private def qMicrostructure(s: SparkSession, dir: String): DataFrame =
@@ -2186,17 +2186,17 @@ object SparkEntry {
 
   /** Calendar gap-fill with forward-filled closes. */
   private def qCalendarFill(s: SparkSession, dir: String): DataFrame =
-    DailyAnalytics.calendarFill(Adapters.dailyBars(s, dir))
+    DailyAnalytics.calendarFill(Marts.dailyBars(s, dir))
       .orderBy("symbol", "trade_date")
 
   /** Historical VaR(5%) + CVaR per symbol via exact order statistics. */
   private def qVarCvar(s: SparkSession, dir: String): DataFrame =
-    DailyAnalytics.varCvar(DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+    DailyAnalytics.varCvar(Marts.dailyReturns(s, dir))
       .orderBy("symbol")
 
   /** Lag-1 return autocorrelation per symbol (mean-reversion probe). */
   private def qAutocorrelation(s: SparkSession, dir: String): DataFrame =
-    DailyAnalytics.autocorrelation(DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+    DailyAnalytics.autocorrelation(Marts.dailyReturns(s, dir))
       .orderBy("symbol")
 
   /** Data-skipping estimate: the same synthetic file inventory probed
@@ -2227,35 +2227,35 @@ object SparkEntry {
 
   /** Pairs-trading spread z-score for the most-correlated pair. */
   private def qPairsSpread(s: SparkSession, dir: String): DataFrame =
-    DailyAnalytics.pairsSpread(DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+    DailyAnalytics.pairsSpread(Marts.dailyReturns(s, dir))
       .orderBy("trade_date")
 
   /** Amihud illiquidity (price impact per dollar volume). */
   private def qAmihud(s: SparkSession, dir: String): DataFrame =
-    DailyAnalytics.amihudIlliquidity(DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+    DailyAnalytics.amihudIlliquidity(Marts.dailyReturns(s, dir))
       .orderBy("symbol")
 
   /** Day-of-week seasonality (mean return / up-ratio per weekday). */
   private def qSeasonalityDow(s: SparkSession, dir: String): DataFrame =
-    DailyAnalytics.seasonalityDow(DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+    DailyAnalytics.seasonalityDow(Marts.dailyReturns(s, dir))
       .orderBy("dow")
 
   /** Purged walk-forward CV splits over the trading calendar. */
   private def qWalkForward(s: SparkSession, dir: String): DataFrame =
-    DailyAnalytics.walkForwardSplits(Adapters.dailyBars(s, dir))
+    DailyAnalytics.walkForwardSplits(Marts.dailyBars(s, dir))
       .orderBy("fold", "trade_date")
 
   /** Aroon(25) trend-age oscillator — windowed argmax via packed
     * integer keys, exact and codegen-friendly. */
   private def qAroon(s: SparkSession, dir: String): DataFrame =
-    DailyAnalytics.aroon(Adapters.dailyBars(s, dir))
+    DailyAnalytics.aroon(Marts.dailyBars(s, dir))
       .orderBy("symbol", "trade_date")
 
   /** SMA-5 vs naive forecast backtest scored by MASE per symbol —
     * integer-exact absolute-error sums, one division each. */
   private def qMase(s: SparkSession, dir: String): DataFrame =
     DailyAnalytics.forecastMase(
-      DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+      Marts.dailyReturns(s, dir))
       .orderBy("symbol")
 
   /** Markowitz minimum-variance weight for the first symbol pair with
@@ -2263,14 +2263,14 @@ object SparkEntry {
     * no-shorting weight. */
   private def qMinVariance(s: SparkSession, dir: String): DataFrame =
     DailyAnalytics.minVariancePair(
-      DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+      Marts.dailyReturns(s, dir))
 
   /** STL-lite additive decomposition of daily returns — trend
     * (centered MA-5), day-of-week seasonal, residual; the additive
     * identity holds to the rounding, under the full oracle. */
   private def qSeasonalDecompose(s: SparkSession, dir: String): DataFrame =
     DailyAnalytics.seasonalDecompose(
-      DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+      Marts.dailyReturns(s, dir))
       .orderBy("symbol", "trade_date")
 
   /** CUSUM changepoint per symbol: the most likely mean-shift day of
@@ -2278,7 +2278,7 @@ object SparkEntry {
     * peak location under the full oracle. */
   private def qCusum(s: SparkSession, dir: String): DataFrame =
     DailyAnalytics.cusumChangepoint(
-      DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+      Marts.dailyReturns(s, dir))
       .orderBy("symbol")
 
   /** Hurst exponent by R/S analysis over {8,16,32}-day blocks: the
@@ -2286,7 +2286,7 @@ object SparkEntry {
     * under the full oracle. */
   private def qHurst(s: SparkSession, dir: String): DataFrame =
     DailyAnalytics.hurstExponent(
-      DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+      Marts.dailyReturns(s, dir))
       .orderBy("symbol")
 
   /** Split-conformal calibration of the persistence forecast: per
@@ -2295,7 +2295,7 @@ object SparkEntry {
     * distribution-free interval calibration under the full oracle. */
   private def qConformal(s: SparkSession, dir: String): DataFrame =
     DailyAnalytics.conformalIntervals(
-      DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+      Marts.dailyReturns(s, dir))
       .orderBy("symbol")
 
   /** Int8 embedding quantization (per-vector symmetric scale).
@@ -2322,19 +2322,19 @@ object SparkEntry {
     * critical-value flag. */
   private def qKsTest(s: SparkSession, dir: String): DataFrame =
     DailyAnalytics.ksTwoSample(
-      DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+      Marts.dailyReturns(s, dir))
 
   /** Monotone market-dependence per symbol: Spearman ρ vs the
     * equal-weight index over exact doubled ranks. */
   private def qSpearmanMarket(s: SparkSession, dir: String): DataFrame =
     DailyAnalytics.spearmanVsMarket(
-      DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+      Marts.dailyReturns(s, dir))
       .orderBy("symbol")
 
   /** Theil-Sen robust price trend per symbol over the last 60 bars —
     * median-of-pairwise-slopes, pair fan-out bounded by the window. */
   private def qTheilSen(s: SparkSession, dir: String): DataFrame =
-    DailyAnalytics.theilSenTrend(Adapters.dailyBars(s, dir))
+    DailyAnalytics.theilSenTrend(Marts.dailyBars(s, dir))
       .orderBy("symbol")
 
   /** Rank-based regime-shift test per symbol: first vs second half of
@@ -2342,7 +2342,7 @@ object SparkEntry {
     * doubled statistic exact and AUC effect size. */
   private def qMannWhitney(s: SparkSession, dir: String): DataFrame =
     DailyAnalytics.mannWhitneySplit(
-      DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+      Marts.dailyReturns(s, dir))
       .orderBy("symbol")
 
   /** Welch unequal-variance t-test per metric between the parity
@@ -2411,7 +2411,7 @@ object SparkEntry {
     * first 5 return autocorrelations — the ARMA-order screen. */
   private def qLjungBox(s: SparkSession, dir: String): DataFrame =
     DailyAnalytics.ljungBox(
-      DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+      Marts.dailyReturns(s, dir))
       .orderBy("symbol")
 
   /** RiskMetrics EWMA volatility (λ=0.94) per symbol via the exact
@@ -2419,22 +2419,155 @@ object SparkEntry {
     * stddev window. */
   private def qEwmaVol(s: SparkSession, dir: String): DataFrame =
     DailyAnalytics.ewmaVolatility(
-      DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+      Marts.dailyReturns(s, dir))
       .orderBy("symbol")
 
   /** Granger-causality screen over adjacent symbol pairs at lag 1:
     * restricted-vs-unrestricted OLS F-test from exact moments. */
   private def qGranger(s: SparkSession, dir: String): DataFrame =
     DailyAnalytics.grangerAdjacent(
-      DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+      Marts.dailyReturns(s, dir))
       .orderBy("s1", "s2")
 
   /** Chow structural-break test per symbol at the panel midpoint:
     * pooled-vs-split trend OLS F — the offline regime-shift screen. */
   private def qChowBreak(s: SparkSession, dir: String): DataFrame =
     DailyAnalytics.chowBreak(
-      DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+      Marts.dailyReturns(s, dir))
       .orderBy("symbol")
+
+  /** GARCH(1,1) variance filter with variance targeting (α=6%, β=92%,
+    * ω=(1−α−β)·v̄): the mean-reverting sibling of q_ewma_vol. */
+  private def qGarchFilter(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.garchFilter(
+      Marts.dailyReturns(s, dir))
+      .orderBy("symbol")
+
+  /** Holt double exponential smoothing per symbol (level + linear
+    * trend): final state, 5-day forecast, in-sample one-step MAE. */
+  private def qHoltLinear(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.holtLinear(Marts.dailyBars(s, dir))
+      .orderBy("symbol")
+
+  /** Jarque–Bera normality test per symbol from exact power sums:
+    * skewness, kurtosis, JB vs the χ²₂ 5% critical value. */
+  private def qJarqueBera(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.jarqueBera(
+      Marts.dailyReturns(s, dir))
+      .orderBy("symbol")
+
+  /** Lead–lag CCF over adjacent symbol pairs at lags −2..+2 with the
+    * best-|ρ| lag — the price-discovery screen. */
+  private def qLeadLag(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.leadLagAdjacent(
+      Marts.dailyReturns(s, dir))
+      .orderBy("s1", "s2")
+
+  /** Newey–West HAC t-test of the mean daily return per symbol
+    * (Bartlett kernel, L=2): drift significance under autocorrelation. */
+  private def qNeweyWest(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.neweyWest(
+      Marts.dailyReturns(s, dir))
+      .orderBy("symbol")
+
+  /** Wald–Wolfowitz runs test per symbol: is the return-sign sequence
+    * random? z from exact run/sign counts. */
+  private def qRunsTest(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.runsTest(
+      Marts.dailyReturns(s, dir))
+      .orderBy("symbol")
+
+  /** Upside/downside beta split vs the equal-weight market index,
+    * with the β⁺/β⁻ capture ratio. */
+  private def qUpdownBeta(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.upDownBeta(
+      Marts.dailyReturns(s, dir))
+      .orderBy("symbol")
+
+  /** WOE / information value of the cross-sectional return decile as
+    * a next-day-direction predictor — the feature screen. */
+  private def qWoeIv(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.woeIv(
+      Marts.dailyReturns(s, dir))
+      .orderBy("decile")
+
+  /** Omega ratio at threshold 0: Σ gains / Σ |losses| per symbol. */
+  private def qOmegaRatio(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.omegaRatio(
+      Marts.dailyReturns(s, dir))
+      .orderBy("symbol")
+
+  /** Calmar ratio: annualized return over |max drawdown|. */
+  private def qCalmar(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.calmarRatio(
+      Marts.dailyReturns(s, dir))
+      .orderBy("symbol")
+
+  /** Durbin-Watson first-order serial-correlation diagnostic per
+    * symbol, exact integer moments. */
+  private def qDurbinWatson(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.durbinWatson(
+      Marts.dailyReturns(s, dir))
+      .orderBy("symbol")
+
+  /** SAX symbolic words: PAA chunks + equiprobable rank letters —
+    * the discrete shape sketch of each symbol's close series. */
+  private def qSax(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.saxWords(Marts.dailyBars(s, dir))
+      .orderBy("symbol")
+
+  /** Cross-sectional quantile normalization of the returns panel
+    * (rank-matched to the cross-symbol mean distribution). */
+  private def qQuantileNorm(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.quantileNormalize(
+      Marts.dailyReturns(s, dir))
+      .orderBy("symbol", "trade_date")
+
+  /** Gopher quality-rule panel over the corpus: the seven MassiveWeb
+    * heuristics as additive per-rule signals. */
+  private def qGopherRules(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherRules(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Fixed-point Goertzel tone energies over the PCM lane: 5 bins of
+    * a 64-sample window, integer resonator, bit-portable. */
+  private def qAudioGoertzel(s: SparkSession, dir: String): DataFrame = {
+    val parts = s.sessionState.conf.numShufflePartitions
+    val hexCols = (0 until 8).map(i =>
+      if (i == 0) md5(col("text")) else md5(concat(col("text"), lit(i.toString))))
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id").cast("long").as("media_id"),
+        unhex(concat(hexCols: _*)).as("payload"))
+      .repartition(parts, col("media_id"))
+    Multimodal.goertzelPower(media)
+      .orderBy("media_id", "bin_k")
+  }
+
+  /** Ulcer index + Martin ratio: RMS drawdown depth and the
+    * drawdown-denominated Sharpe analog. */
+  private def qUlcerIndex(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.ulcerIndex(
+      Marts.dailyReturns(s, dir))
+      .orderBy("symbol")
+
+  /** Ornstein–Uhlenbeck half-life of mean reversion per symbol,
+    * composed on the [[qDickeyFuller]] AR(1) coefficient: θ =
+    * −ln(1+γ), half-life = ln2/θ days — how long a price shock takes
+    * to decay halfway (the pairs-trading holding-period dial). Uses
+    * the ROUNDED γ the DF lane publishes, so the compose stays
+    * bit-stable across engines. */
+  private def qOuHalflife(s: SparkSession, dir: String): DataFrame = {
+    val df = DailyAnalytics.dickeyFuller(Marts.dailyBars(s, dir))
+    val gr = col("gamma")
+    // γ ∈ (−1, 0) only: at γ ≤ −1, 1+γ ≤ 0 and the log has no real
+    // value (DuckDB ln ERRORS there; Spark would silently NULL)
+    val mean = gr < 0 && gr > -1
+    df.select(col("symbol"), col("n_days"), col("gamma"),
+        rd(when(mean, -log(lit(1.0) + gr)), 6).as("reversion_theta"),
+        rd(when(mean, -log(lit(2.0)) / log(lit(1.0) + gr)), 4).as("half_life_days"),
+        col("reject_unit_root"))
+      .orderBy("symbol")
+  }
 
   /** Local clustering coefficient over the part co-purchase graph
     * (same edge construction as [[qTriangles]]) — full node set. */
@@ -2461,38 +2594,38 @@ object SparkEntry {
     * per-symbol screen lanes. */
   private def qBhFdr(s: SparkSession, dir: String): DataFrame =
     DailyAnalytics.bhFdr(
-      DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+      Marts.dailyReturns(s, dir))
       .orderBy("symbol")
 
   /** Engle–Granger cointegration screen over adjacent symbol pairs:
     * exact-moment cointegrating OLS + DF test on the residual. */
   private def qCointegration(s: SparkSession, dir: String): DataFrame =
-    DailyAnalytics.cointegrationAdjacent(Adapters.dailyBars(s, dir))
+    DailyAnalytics.cointegrationAdjacent(Marts.dailyBars(s, dir))
       .orderBy("s1", "s2")
 
   /** Roll implied effective spread per symbol from the serial
     * covariance of close changes — the bid-ask bounce estimator. */
   private def qRollSpread(s: SparkSession, dir: String): DataFrame =
-    DailyAnalytics.rollSpread(Adapters.dailyBars(s, dir))
+    DailyAnalytics.rollSpread(Marts.dailyBars(s, dir))
       .orderBy("symbol")
 
   /** Parkinson / Garman–Klass / Rogers–Satchell annualized range
     * volatility per symbol from the OHLC bars alone. */
   private def qRangeVol(s: SparkSession, dir: String): DataFrame =
-    DailyAnalytics.rangeVolatility(Adapters.dailyBars(s, dir))
+    DailyAnalytics.rangeVolatility(Marts.dailyBars(s, dir))
       .orderBy("symbol")
 
   /** Tracking error and information ratio of each symbol vs the
     * equal-weight market — exact-long active returns. */
   private def qTrackingError(s: SparkSession, dir: String): DataFrame =
     DailyAnalytics.trackingError(
-      DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+      Marts.dailyReturns(s, dir))
       .orderBy("symbol")
 
   /** Dickey–Fuller unit-root screen per symbol: Δp on lagged p,
     * exact-moment OLS with the DF t-statistic. */
   private def qDickeyFuller(s: SparkSession, dir: String): DataFrame =
-    DailyAnalytics.dickeyFuller(Adapters.dailyBars(s, dir))
+    DailyAnalytics.dickeyFuller(Marts.dailyBars(s, dir))
       .orderBy("symbol")
 
   /** Derandomized Poisson hash-bootstrap CI of each symbol's mean
@@ -2500,7 +2633,7 @@ object SparkEntry {
     * functions — replayable resampling, no RNG. */
   private def qHashBootstrap(s: SparkSession, dir: String): DataFrame =
     Sampling.hashBootstrapCi(
-      DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir))
+      Marts.dailyReturns(s, dir)
         .filter(col("daily_return_pct").isNotNull),
       "symbol", col("trade_date"), scaled(col("daily_return_pct"), 4))
       .withColumnRenamed("grp", "symbol")
@@ -2511,7 +2644,7 @@ object SparkEntry {
     * co-movement the plain beta understates. */
   private def qDimsonBeta(s: SparkSession, dir: String): DataFrame =
     DailyAnalytics.dimsonBeta(
-      DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+      Marts.dailyReturns(s, dir))
       .orderBy("symbol")
 
   /** Always-valid sequential A/B monitor over the event stream:
@@ -2527,7 +2660,7 @@ object SparkEntry {
     * O(S·W²) pair fan-out. */
   private def qKendallMarket(s: SparkSession, dir: String): DataFrame =
     DailyAnalytics.kendallVsMarket(
-      DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+      Marts.dailyReturns(s, dir))
       .orderBy("symbol")
 
   /** Difference-in-differences over the event stream: odd/even user
@@ -2540,14 +2673,14 @@ object SparkEntry {
   /** Lo–MacKinlay variance-ratio random-walk screen per symbol:
     * VR(5) over scaled close differences, exact second moments. */
   private def qVarianceRatio(s: SparkSession, dir: String): DataFrame =
-    DailyAnalytics.varianceRatio(Adapters.dailyBars(s, dir))
+    DailyAnalytics.varianceRatio(Marts.dailyBars(s, dir))
       .orderBy("symbol")
 
   /** Page–Hinkley sequential changepoint per symbol: integer-exact
     * drawdown-direction alarm statistic over scaled daily returns. */
   private def qPageHinkley(s: SparkSession, dir: String): DataFrame =
     DailyAnalytics.pageHinkley(
-      DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+      Marts.dailyReturns(s, dir))
       .orderBy("symbol")
 
   /** Lorenz curve of customer revenue at decile grain — "top decile
@@ -2616,12 +2749,12 @@ object SparkEntry {
 
   /** Cross-sectional z-scored returns (per-day standardization). */
   private def qCrossSectionalZ(s: SparkSession, dir: String): DataFrame =
-    DailyAnalytics.crossSectionalZ(DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+    DailyAnalytics.crossSectionalZ(Marts.dailyReturns(s, dir))
       .orderBy("symbol", "trade_date")
 
   /** 1-month momentum ranked into cross-sectional deciles per day. */
   private def qMomentumDeciles(s: SparkSession, dir: String): DataFrame =
-    DailyAnalytics.momentumDeciles(Adapters.dailyBars(s, dir))
+    DailyAnalytics.momentumDeciles(Marts.dailyBars(s, dir))
       .orderBy("symbol", "trade_date")
 
   /** Real PCM16 audio framing: 128 deterministic bytes per doc (8
@@ -2763,10 +2896,15 @@ object SparkEntry {
     * the pure window/join formulation (no per-row closure): summed-
     * area table as two cumulative windows, box sums as 4 signed
     * corner lookups through one equi join, exact high-pass energy. */
-  private def qBoxFilter(s: SparkSession, dir: String): DataFrame = {
+  private def qBoxFilter(s: SparkSession, dir: String): DataFrame =
+    Multimodal.boxFilterFeatures(rasterPixels(s, dir)).orderBy("media_id")
+
+  /** The md5-chain 8×8 raster at pixel grain — shared input of the
+    * pure-relational image lanes (box filter, gradient histogram). */
+  private def rasterPixels(s: SparkSession, dir: String): DataFrame = {
     val hexCols = (0 until 4).map(i =>
       if (i == 0) md5(col("text")) else md5(concat(col("text"), lit(i.toString))))
-    val px = Tables.documents(s, dir)
+    Tables.documents(s, dir)
       .select(col("doc_id").cast("long").as("media_id"),
         concat(hexCols: _*).as("hx"))
       .select(col("media_id"), explode(sequence(lit(0), lit(63))).as("i"), col("hx"))
@@ -2774,8 +2912,13 @@ object SparkEntry {
         expr("i div 8").cast("long").as("y"),
         (col("i") % 8).cast("long").as("x"),
         conv(expr("substring(hx, i * 2 + 1, 2)"), 16, 10).cast("long").as("v"))
-    Multimodal.boxFilterFeatures(px).orderBy("media_id")
   }
+
+  /** HOG-lite 8-bin gradient-orientation histogram per raster:
+    * lead−lag central differences, octant from sign/magnitude CASE,
+    * L1-magnitude votes — exact integers end to end. */
+  private def qImageGradients(s: SparkSession, dir: String): DataFrame =
+    Multimodal.gradientHistogram(rasterPixels(s, dir)).orderBy("media_id")
 
   /** Rate–distortion summary of the DCT lane: per quality level, the
     * exact entropy-cost proxy (total/mean nonzero coefficients) vs the
@@ -2984,7 +3127,7 @@ object SparkEntry {
     * cent closes. */
   private def qDrawdownDuration(s: SparkSession, dir: String): DataFrame =
     DailyAnalytics.drawdownDuration(
-      DailyAnalytics.dailyReturns(Adapters.dailyBars(s, dir)))
+      Marts.dailyReturns(s, dir))
       .orderBy("symbol")
 
   /** RAKE keyword extraction: top-3 stopword-delimited phrases per
@@ -3215,6 +3358,23 @@ object SparkEntry {
     "q_ewma_vol" -> (qEwmaVol _),
     "q_granger" -> (qGranger _),
     "q_chow_break" -> (qChowBreak _),
+    "q_garch_filter" -> (qGarchFilter _),
+    "q_holt_linear" -> (qHoltLinear _),
+    "q_jarque_bera" -> (qJarqueBera _),
+    "q_lead_lag" -> (qLeadLag _),
+    "q_newey_west" -> (qNeweyWest _),
+    "q_runs_test" -> (qRunsTest _),
+    "q_updown_beta" -> (qUpdownBeta _),
+    "q_woe_iv" -> (qWoeIv _),
+    "q_omega_ratio" -> (qOmegaRatio _),
+    "q_calmar" -> (qCalmar _),
+    "q_ulcer_index" -> (qUlcerIndex _),
+    "q_durbin_watson" -> (qDurbinWatson _),
+    "q_sax" -> (qSax _),
+    "q_quantile_norm" -> (qQuantileNorm _),
+    "q_gopher_rules" -> (qGopherRules _),
+    "q_audio_goertzel" -> (qAudioGoertzel _),
+    "q_ou_halflife" -> (qOuHalflife _),
     "q_clustering_coef" -> (qClusteringCoef _),
     "q_pmi_collocations" -> (qPmiCollocations _),
     "q_variance_ratio" -> (qVarianceRatio _),
@@ -3250,6 +3410,7 @@ object SparkEntry {
     "q_audio_wavelet" -> (qAudioWavelet _),
     "q_image_dct" -> (qImageDct _),
     "q_box_filter" -> (qBoxFilter _),
+    "q_image_gradients" -> (qImageGradients _),
     "q_image_rd" -> (qImageRd _),
     "q_video_frames" -> (qVideoFrames _),
     "q_video_motion" -> (qVideoMotion _),

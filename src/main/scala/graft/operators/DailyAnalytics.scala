@@ -2389,4 +2389,585 @@ object DailyAnalytics {
       // F(2, n−4) 5% critical value → 2.9957 as n → ∞ (χ²₂/2)
       (f > lit(2.9957)).as("break_sig"))
   }
+
+  /** GARCH(1,1) variance filter with variance targeting (Bollerslev
+    * 1986; targeting per Engle & Mezrich 1996): fixed α=6%, β=92%,
+    * and ω pinned to (1−α−β)·v̄ where v̄ is the symbol's unconditional
+    * mean squared return — so the recursion mean-reverts to the
+    * sample variance instead of carrying a free constant. Exact
+    * integer fold over scale-2 squared returns, v₀ = v̄:
+    *   v_t = (2·v̄ + 6·q_t + 92·v_{t−1}) div 100
+    * (all terms non-negative, so div == floor and the DuckDB
+    * `list_reduce` twin is bit-identical). Distinct from
+    * [[ewmaVolatility]] exactly by the ω pull — the EWMA is the
+    * α+β=1, ω=0 degenerate case.
+    *
+    * Scale shape: one groupBy(symbol) with a sorted collect of the
+    * per-symbol day series (D ≈ hundreds — the same bounded-panel
+    * contract every recursion lane here relies on), then a codegen'd
+    * `aggregate` fold; S·D rows in, S out, zero joins. */
+  def garchFilter(returns: DataFrame, minDays: Int = 30): DataFrame = {
+    returns.filter(col("daily_return_pct").isNotNull)
+      .select(col("symbol"), struct(col("trade_date"),
+        scaled(col("daily_return_pct"), 2).as("y")).as("ty"))
+      .groupBy("symbol")
+      .agg(sort_array(collect_list(col("ty"))).as("tys"))
+      .select(col("symbol"),
+        size(col("tys")).cast("long").as("n_days"),
+        expr("transform(tys, t -> t.y * t.y)").as("qs"))
+      .filter(col("n_days") >= minDays)
+      .withColumn("vbar", expr("aggregate(qs, 0L, (a, q) -> a + q) div n_days"))
+      .withColumn("vn", expr(
+        """element_at(aggregate(qs, array(0L, vbar),
+          |  (acc, q) -> array(element_at(acc, 1) + 1L,
+          |    (2 * vbar + 6 * q + 92 * element_at(acc, 2)) div 100)), 2)"""
+          .stripMargin))
+      .select(col("symbol"), col("n_days"),
+        rd(sqrt(col("vbar").cast("double")) / 100.0, 4).as("long_run_vol_pct"),
+        rd(sqrt(col("vn").cast("double")) / 100.0, 4).as("garch_vol_pct"))
+  }
+
+  /** Holt double exponential smoothing (Holt 1957 — level + linear
+    * trend, no seasonal term): α=30%, β=10% as integer percents over
+    * scale-2 close prices,
+    *   l_t = ⌊(30·y_t + 70·(l+b))/100⌋,  b_t = ⌊(10·(l_t−l_prev) +
+    *   90·b)/100⌋,
+    * seeded l₂=y₂, b₂=y₂−y₁ (the textbook init — the level starts AT
+    * the last seen point, so a perfect ramp folds with zero error),
+    * folded from t=3; the one-step absolute
+    * forecast error |y_t−(l+b)| accumulates alongside. The trend
+    * numerator GOES NEGATIVE, so the division convention matters:
+    * Spark's integer `div` and DuckDB's `//` BOTH truncate toward
+    * zero (measured: −7//2 = −3 in DuckDB 1.x — its docs' "round
+    * down" means magnitude, not floor), so plain `div` mirrors
+    * bit-exactly; do NOT "fix" either side to floor semantics.
+    *
+    * Scale shape: identical to [[garchFilter]] — one grouped sorted
+    * collect, one codegen'd fold, no joins. */
+  def holtLinear(bars: DataFrame, minDays: Int = 30): DataFrame = {
+    // acc = [l, b, sae, t]; e = y_t (scale-2 close)
+    val lNew = "(30 * y + 70 * (element_at(acc, 1) + element_at(acc, 2))) div 100"
+    val step =
+      s"""(acc, y) -> array(
+         |  $lNew,
+         |  (10 * ($lNew - element_at(acc, 1))
+         |    + 90 * element_at(acc, 2)) div 100,
+         |  element_at(acc, 3)
+         |    + abs(y - (element_at(acc, 1) + element_at(acc, 2))),
+         |  element_at(acc, 4) + 1L)""".stripMargin
+    bars
+      .select(col("symbol"), struct(col("trade_date"),
+        scaled(col("close_price"), 2).as("y")).as("ty"))
+      .groupBy("symbol")
+      .agg(sort_array(collect_list(col("ty"))).as("tys"))
+      .select(col("symbol"),
+        size(col("tys")).cast("long").as("n_days"),
+        expr("transform(tys, t -> t.y)").as("ys"))
+      .filter(col("n_days") >= minDays)
+      .withColumn("st", expr(
+        s"""aggregate(slice(ys, 3, greatest(size(ys) - 2, 0)),
+           |  array(element_at(ys, 2),
+           |        element_at(ys, 2) - element_at(ys, 1), 0L, 2L),
+           |  $step)""".stripMargin))
+      .select(col("symbol"), col("n_days"),
+        rd(element_at(col("st"), 1).cast("double") / 100.0, 2).as("level"),
+        rd(element_at(col("st"), 2).cast("double") / 100.0, 4).as("trend_per_day"),
+        rd((element_at(col("st"), 1) + lit(5) * element_at(col("st"), 2))
+          .cast("double") / 100.0, 2).as("forecast_5d"),
+        rd(element_at(col("st"), 3).cast("double") / 100.0 /
+          (col("n_days") - lit(1)).cast("double"), 4).as("one_step_mae"))
+  }
+
+  /** Jarque–Bera normality test per symbol (Jarque & Bera 1980):
+    * skewness and excess kurtosis from the first four EXACT power
+    * sums of scale-4 returns — y⁴ reaches ~1e21, so the third and
+    * fourth moments accumulate in DECIMAL(38,0) (HUGEINT mirror, the
+    * [[dimsonBeta]] rule); JB = n/6·(S² + (K−3)²/4) against the χ²₂
+    * 5% critical value. The double tree after the exact sums is
+    * written in one association order and mirrored verbatim.
+    *
+    * Scale shape: one partial-aggregable grouped pass, S·D rows in,
+    * S out, no windows, no joins. */
+  def jarqueBera(returns: DataFrame, minDays: Int = 30): DataFrame = {
+    def dd(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val g = returns.filter(col("daily_return_pct").isNotNull)
+      .select(col("symbol"), scaled(col("daily_return_pct"), 4).as("y"))
+      .groupBy("symbol").agg(
+        count(lit(1)).as("n"),
+        sum(col("y")).as("s1"),
+        sum(dd(col("y")) * col("y")).as("s2"),
+        sum(dd(col("y")) * col("y") * col("y")).as("s3"),
+        sum(dd(col("y")) * col("y") * col("y") * col("y")).as("s4"))
+      .filter(col("n") >= minDays)
+    val n = col("n").cast("double")
+    val mu = col("s1").cast("double") / n
+    val m2 = col("s2").cast("double") / n - mu * mu
+    val m3 = col("s3").cast("double") / n - lit(3.0) * mu * (col("s2").cast("double") / n) +
+      lit(2.0) * mu * mu * mu
+    val m4 = col("s4").cast("double") / n - lit(4.0) * mu * (col("s3").cast("double") / n) +
+      lit(6.0) * mu * mu * (col("s2").cast("double") / n) - lit(3.0) * mu * mu * mu * mu
+    val skew = m3 / nullifZero(sqrt(m2 * m2 * m2))
+    val kurt = m4 / nullifZero(m2 * m2)
+    val jb = n / lit(6.0) * (skew * skew + (kurt - lit(3.0)) * (kurt - lit(3.0)) / lit(4.0))
+    g.select(col("symbol"), col("n").as("n_days"),
+      rd(skew, 4).as("skewness"),
+      rd(kurt, 4).as("kurtosis"),
+      rd(jb, 4).as("jb_stat"),
+      // χ²₂ 5% critical value
+      (jb > lit(5.9915)).as("normal_rej"))
+  }
+
+  /** Lead–lag cross-correlation over adjacent symbol pairs: the CCF
+    * ρ(k) = corr(a_t, b_{t−k}) at k ∈ −L..L — positive best lag means
+    * b LEADS a (price-discovery screening, Hasbrouck-style, without
+    * the VECM machinery). Exact moment sums per (pair, lag) feed one
+    * fixed double tree; `best_lag` picks the largest |ρ| with the
+    * earliest lag winning ties via a fixed CASE order, and null ρ
+    * (degenerate variance) coalesces to −1 before the comparison so
+    * both engines agree on every branch.
+    *
+    * Scale shape: the adjacent-pair chain keeps pairs linear in
+    * symbols ([[grangerAdjacent]] discipline); ONE equi join on
+    * (pair, idx−k) serves all 2L+1 lags (the [[ljungBox]] trick), so
+    * the fan-out is (2L+1)·rows with L fixed — no per-lag passes. */
+  def leadLagAdjacent(returns: DataFrame, maxLag: Int = 2,
+                      minDays: Int = 40): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 5, s"leadLagAdjacent: maxLag out of range: $maxLag")
+    def dd(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    def knm(k: Int): String =
+      if (k < 0) s"rho_m${-k}" else if (k == 0) "rho_0" else s"rho_p$k"
+    val r = returns.filter(col("daily_return_pct").isNotNull)
+      .select(col("symbol"), col("trade_date"),
+        scaled(col("daily_return_pct"), 4).as("y"))
+      .snapshot() // both pair legs
+    val syms = r.select(col("symbol")).distinct()
+      .withColumn("rk", row_number().over(Window.orderBy("symbol")))
+    val pairs = syms.select(col("symbol").as("s1"), col("rk"))
+      .join(syms.select(col("symbol").as("s2"), (col("rk") - 1).as("rk")), "rk")
+      .select(col("s1"), col("s2"))
+    val panel = pairs
+      .join(r.select(col("symbol").as("s1"), col("trade_date"), col("y").as("ya")), "s1")
+      .join(r.select(col("symbol").as("s2"), col("trade_date"), col("y").as("yb")),
+        Seq("s2", "trade_date"))
+      .withColumn("idx", row_number()
+        .over(Window.partitionBy("s1", "s2").orderBy("trade_date")).cast("long"))
+      .snapshot() // left (exploded) and right legs of the lag join
+    val left = panel
+      .withColumn("k", explode(array((-maxLag to maxLag).map(lit(_)): _*)))
+      .select(col("s1"), col("s2"), col("k"), col("ya").as("a"),
+        (col("idx") - col("k")).as("jdx"))
+    val paired = left.join(
+      panel.select(col("s1"), col("s2"), col("idx").as("jdx"), col("yb").as("b")),
+      Seq("s1", "s2", "jdx"))
+    val g = paired.groupBy("s1", "s2", "k").agg(
+      count(lit(1)).as("nk"),
+      sum(col("a")).as("sa"), sum(col("b")).as("sb"),
+      sum(dd(col("a")) * col("a")).as("saa"),
+      sum(dd(col("b")) * col("b")).as("sbb"),
+      sum(dd(col("a")) * col("b")).as("sab"))
+    val nkD = col("nk").cast("double")
+    val (saD, sbD) = (col("sa").cast("double"), col("sb").cast("double"))
+    val (saaD, sbbD, sabD) = (col("saa").cast("double"),
+      col("sbb").cast("double"), col("sab").cast("double"))
+    val rho = (sabD - saD * sbD / nkD) /
+      nullifZero(sqrt((saaD - saD * saD / nkD) * (sbbD - sbD * sbD / nkD)))
+    val pivoted = g.select(col("s1"), col("s2"), col("k"), col("nk"), rho.as("rho"))
+      .groupBy("s1", "s2").agg(
+        max(when(col("k") === 0, col("nk"))).as("n_days"),
+        (-maxLag to maxLag).map(kk =>
+          max(when(col("k") === kk, col("rho"))).as(knm(kk))): _*)
+      .filter(col("n_days") >= minDays)
+    val absed = (-maxLag to maxLag).map(kk => kk ->
+      coalesce(abs(col(knm(kk))), lit(-1.0))).toMap
+    val m = greatest((-maxLag to maxLag).map(absed): _*)
+    val bestLag = (-maxLag until maxLag).foldRight(lit(maxLag)) {
+      case (kk, elseC) => when(absed(kk) === m, lit(kk)).otherwise(elseC)
+    }
+    val bestRho = (-maxLag until maxLag).foldRight(col(knm(maxLag))) {
+      case (kk, elseC) => when(absed(kk) === m, col(knm(kk))).otherwise(elseC)
+    }
+    val outCols = Seq(col("s1"), col("s2"), col("n_days")) ++
+      (-maxLag to maxLag).map(kk => rd(col(knm(kk)), 4).as(knm(kk))) ++
+      Seq(bestLag.as("best_lag"), rd(bestRho, 4).as("best_rho"))
+    pivoted.select(outCols: _*)
+  }
+
+  /** Newey–West HAC inference on the mean daily return per symbol
+    * (Newey & West, Econometrica 1987), Bartlett kernel at L=2:
+    * long-run variance Ω = γ₀ + 2·(2γ₁ + γ₂)/3 from exact moment
+    * sums (γ_k over the k-lagged products, each divided by the FULL
+    * n — the textbook estimator), se(ȳ) = √(Ω/n), t = ȳ/se — "is the
+    * drift real once serial correlation is priced in", the honest
+    * version of the naive t-test the [[sharpe]] lane implies.
+    *
+    * Scale shape: same single lag join serving both lags as
+    * [[ljungBox]]; everything else is one grouped pass. */
+  def neweyWest(returns: DataFrame, minDays: Int = 40): DataFrame = {
+    def dd(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val base = returns.filter(col("daily_return_pct").isNotNull)
+      .select(col("symbol"), col("trade_date"),
+        scaled(col("daily_return_pct"), 4).as("y"))
+      .withColumn("idx", row_number().over(bySymbol).cast("long"))
+      .snapshot() // full-sample moments AND both legs of the lag join
+    val tot = base.groupBy("symbol").agg(count(lit(1)).as("n"),
+      sum(col("y")).as("sy"), sum(dd(col("y")) * col("y")).as("syy"))
+    val lagsLeft = base
+      .withColumn("k", explode(array(lit(1), lit(2))))
+      .select(col("symbol"), col("k"), col("y"),
+        (col("idx") - col("k")).as("jdx"))
+    val paired = lagsLeft.join(
+      base.select(col("symbol"), col("idx").as("jdx"), col("y").as("yl")),
+      Seq("symbol", "jdx"))
+    val perLag = paired.groupBy("symbol", "k").agg(
+      count(lit(1)).as("nk"),
+      sum(col("y")).as("sa"), sum(col("yl")).as("sb"),
+      sum(dd(col("y")) * col("yl")).as("sab"))
+    val nD = col("n").cast("double")
+    val ybar = col("sy").cast("double") / nD
+    val num = col("sab").cast("double") -
+      ybar * (col("sa") + col("sb")).cast("double") +
+      col("nk").cast("double") * ybar * ybar
+    val gk = num / nD
+    val pivoted = perLag.join(tot, "symbol")
+      .filter(col("n") >= minDays)
+      .select(col("symbol"), col("n"), col("sy"), col("syy"), col("k"),
+        gk.as("g"))
+      .groupBy("symbol").agg(
+        max(col("n")).as("n"), max(col("sy")).as("sy"), max(col("syy")).as("syy"),
+        max(when(col("k") === 1, col("g"))).as("g1"),
+        max(when(col("k") === 2, col("g"))).as("g2"))
+    val n2 = col("n").cast("double")
+    val mu = col("sy").cast("double") / n2
+    val g0 = (col("syy").cast("double") - n2 * mu * mu) / n2
+    val lrv = g0 + lit(2.0) * (lit(2.0) * col("g1") + col("g2")) / lit(3.0)
+    val se = sqrt(lrv / n2)
+    val t = mu / nullifZero(se)
+    pivoted.select(col("symbol"), col("n").as("n_days"),
+      rd(mu / 10000.0, 4).as("mean_return_pct"),
+      rd(se / 10000.0, 6).as("hac_se_pct"),
+      rd(t, 4).as("t_stat"),
+      (abs(t) > lit(1.96)).as("drift_sig"))
+  }
+
+  /** Wald–Wolfowitz runs test per symbol (Wald & Wolfowitz 1940): is
+    * the SIGN sequence of daily returns random? Zero returns drop
+    * (the textbook convention), R = 1 + #{sign flips} over the
+    * remaining date-ordered sequence, and under H₀
+    * μ_R = 1 + 2n₊n₋/n, σ²_R = 2n₊n₋(2n₊n₋−n)/(n²(n−1)); z=(R−μ_R)/σ_R
+    * against ±1.96. The flip count is a lag window over the filtered
+    * sequence — exact integers in, one fixed double tree out.
+    *
+    * Scale shape: one symbol-partitioned window + one grouped
+    * rollup; S·D rows in, S out. */
+  def runsTest(returns: DataFrame, minDays: Int = 40): DataFrame = {
+    val base = returns.filter(col("daily_return_pct").isNotNull)
+      .select(col("symbol"), col("trade_date"),
+        scaled(col("daily_return_pct"), 4).as("y"))
+      .filter(col("y") =!= 0)
+      .withColumn("s", when(col("y") > 0, lit(1)).otherwise(lit(-1)))
+      .withColumn("prev", lag(col("s"), 1).over(bySymbol))
+    val g = base.groupBy("symbol").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("s") === 1, 1L).otherwise(0L)).as("n_pos"),
+      sum(when(col("s") === -1, 1L).otherwise(0L)).as("n_neg"),
+      sum(when(col("prev").isNotNull && col("s") =!= col("prev"), 1L)
+        .otherwise(0L)).as("flips"))
+      .filter(col("n") >= minDays)
+    val nD = col("n").cast("double")
+    val npD = col("n_pos").cast("double")
+    val nnD = col("n_neg").cast("double")
+    val rD = (col("flips") + lit(1L)).cast("double")
+    val muR = lit(1.0) + lit(2.0) * npD * nnD / nD
+    val sig2 = lit(2.0) * npD * nnD * (lit(2.0) * npD * nnD - nD) /
+      (nD * nD * (nD - lit(1.0)))
+    val z = (rD - muR) / nullifZero(sqrt(sig2))
+    g.select(col("symbol"), col("n").as("n_days"),
+      col("n_pos"), col("n_neg"),
+      (col("flips") + lit(1L)).as("n_runs"),
+      rd(z, 4).as("z_stat"),
+      (abs(z) > lit(1.96)).as("random_rej"))
+  }
+
+  /** Upside/downside beta decomposition (Ang, Chen & Xing, RFS 2006):
+    * the [[marketBeta]] OLS slope computed separately over market-up
+    * (x>0) and market-down (x<0) days — asymmetric market exposure,
+    * with capture_ratio = β⁺/β⁻ as the summary. Flat-market days
+    * (⌊x⌋=0) belong to neither regime. Same equal-weight integer
+    * market index, same DECIMAL(38,0) final scalars, conditional
+    * moment sums in ONE grouped pass (no second join).
+    *
+    * Scale shape: identical to [[marketBeta]] — one broadcast date
+    * join, one partial-aggregable rollup. */
+  def upDownBeta(returns: DataFrame, minSide: Int = 10): DataFrame = {
+    def dd(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val r = returns.filter(col("daily_return_pct").isNotNull)
+      .select(col("symbol"), col("trade_date"),
+        scaled(col("daily_return_pct"), 4).as("y"))
+      .snapshot() // feeds the index build AND the join probe
+    val mkt = r.groupBy("trade_date")
+      .agg(sum(col("y")).as("m"), count(lit(1)).as("nsym"))
+      .select(col("trade_date"),
+        floor(col("m").cast("double") / col("nsym").cast("double")).cast("long").as("x"))
+    def side(cond: org.apache.spark.sql.Column, nm: String) = Seq(
+      sum(when(cond, 1L).otherwise(0L)).as(s"n_$nm"),
+      sum(when(cond, col("x"))).as(s"sx_$nm"),
+      sum(when(cond, col("y"))).as(s"sy_$nm"),
+      sum(when(cond, dd(col("x")) * col("y"))).as(s"sxy_$nm"),
+      sum(when(cond, dd(col("x")) * col("x"))).as(s"sxx_$nm"))
+    val g = r.join(broadcast(mkt), "trade_date")
+      .groupBy("symbol")
+      .agg((side(col("x") > 0, "up") ++ side(col("x") < 0, "dn")).head,
+        (side(col("x") > 0, "up") ++ side(col("x") < 0, "dn")).tail: _*)
+      .filter(col("n_up") >= minSide && col("n_dn") >= minSide)
+    def beta(nm: String) =
+      (dd(col(s"n_$nm")) * col(s"sxy_$nm") - dd(col(s"sx_$nm")) * col(s"sy_$nm"))
+        .cast("double") /
+      nullifZero((dd(col(s"n_$nm")) * col(s"sxx_$nm") -
+        dd(col(s"sx_$nm")) * col(s"sx_$nm")).cast("double"))
+    g.select(col("symbol"), col("n_up"), col("n_dn"),
+      rd(beta("up"), 4).as("beta_up"),
+      rd(beta("dn"), 4).as("beta_down"),
+      rd(beta("up") / nullifZero(beta("dn")), 4).as("capture_ratio"))
+  }
+
+  /** Weight-of-evidence / information value of the cross-sectional
+    * return decile as a predictor of tomorrow's direction (the
+    * credit-scoring feature screen — Siddiqi 2006 — applied to the
+    * momentum signal): decile g of today's return (ntile 10 within
+    * each date, symbol tiebreak), outcome = next-day return > 0;
+    * WOE_g = ln((pos_g/P)/(neg_g/N)), IV = Σ_g (pos_g/P − neg_g/N)·
+    * WOE_g. Exact counts everywhere; ln only in the final tree.
+    *
+    * Scale shape: one symbol window (lead), one date window (ntile),
+    * one 10-row rollup — S·D in, 10 rows out; the IV total is a
+    * window sum over those 10 rows. */
+  def woeIv(returns: DataFrame): DataFrame = {
+    val base = returns.filter(col("daily_return_pct").isNotNull)
+      .select(col("symbol"), col("trade_date"),
+        scaled(col("daily_return_pct"), 4).as("y"))
+      .withColumn("y_next", lead(col("y"), 1).over(bySymbol))
+      .filter(col("y_next").isNotNull)
+      .withColumn("decile", ntile(10).over(
+        Window.partitionBy("trade_date").orderBy(col("y"), col("symbol"))))
+    val g = base.groupBy("decile").agg(
+      sum(when(col("y_next") > 0, 1L).otherwise(0L)).as("n_pos"),
+      sum(when(col("y_next") <= 0, 1L).otherwise(0L)).as("n_neg"))
+    val all = Window.partitionBy()
+    val p = col("n_pos").cast("double") / sum(col("n_pos")).over(all).cast("double")
+    val q = col("n_neg").cast("double") / sum(col("n_neg")).over(all).cast("double")
+    // zero-cell deciles NULL out explicitly (excluded from IV — the
+    // standard treatment): Spark's log(0) is NULL but DuckDB's ln(0)
+    // is −Infinity, so the guard must fire BEFORE the log on both
+    // engines, not rely on the log's own domain behavior
+    val woe = when(col("n_pos") > 0 && col("n_neg") > 0, log(p / q))
+    // IV terms quantize to scale-6 longs BEFORE the all-rows window
+    // sum (the "6 dp before the order-free sum" rule): integer
+    // addition is order-free, so the 10-row total is bit-stable
+    // under any window evaluation order on both engines
+    val withWoe = g.select(col("decile"), col("n_pos"), col("n_neg"),
+      woe.as("woe"), scaled((p - q) * woe, 6).as("iv6"))
+    withWoe.select(col("decile"), col("n_pos"), col("n_neg"),
+        rd(col("woe"), 4).as("woe"),
+        (col("iv6").cast("double") / 1000000.0).as("iv_term"),
+        rd(sum(col("iv6")).over(all).cast("double") / 1000000.0, 4).as("iv_total"))
+  }
+
+  /** Omega ratio at threshold 0 (Keating & Shadwick 2002): Σ gains /
+    * Σ |losses| — the whole-distribution risk ratio that needs no
+    * variance assumption. Gains and losses are exact scale-4 long
+    * sums; the ratio is one double division; `n_up`/`n_down` expose
+    * the hit rate alongside.
+    *
+    * Scale shape: one partial-aggregable grouped pass, no windows. */
+  def omegaRatio(returns: DataFrame, minDays: Int = 30): DataFrame = {
+    returns.filter(col("daily_return_pct").isNotNull)
+      .select(col("symbol"), scaled(col("daily_return_pct"), 4).as("y"))
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("y") > 0, 1L).otherwise(0L)).as("n_up"),
+        sum(when(col("y") < 0, 1L).otherwise(0L)).as("n_down"),
+        sum(when(col("y") > 0, col("y")).otherwise(lit(0L))).as("gains"),
+        sum(when(col("y") < 0, -col("y")).otherwise(lit(0L))).as("losses"))
+      .filter(col("n_days") >= minDays)
+      .select(col("symbol"), col("n_days"), col("n_up"), col("n_down"),
+        rd(col("gains").cast("double") / 10000.0, 4).as("sum_gains_pct"),
+        rd(col("losses").cast("double") / 10000.0, 4).as("sum_losses_pct"),
+        rd(col("gains").cast("double") / nullifZero(col("losses").cast("double")), 4)
+          .as("omega"))
+  }
+
+  /** Calmar ratio: annualized mean return over |max drawdown| — the
+    * drawdown-denominated performance ratio beside [[sharpeRatio]].
+    * The per-row drawdown quantizes to a scale-4 long (same running-
+    * peak window and double tree as [[maxDrawdown]], then ⌊·10⁴+½⌋)
+    * BEFORE the min, so the rollup is exact-integer; one pass serves
+    * both the return sum and the drawdown min.
+    *
+    * Scale shape: one symbol-ordered window (the shared returns-lane
+    * exchange) + one grouped rollup. */
+  def calmarRatio(returns: DataFrame, minDays: Int = 30): DataFrame = {
+    val peak = max(col("close_price"))
+      .over(bySymbol.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val dd4 = scaled((col("close_price") - peak) / nullifZero(peak) * 100, 4)
+    val g = returns.filter(col("daily_return_pct").isNotNull)
+      .select(col("symbol"), scaled(col("daily_return_pct"), 4).as("y"),
+        dd4.as("dd4"))
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_days"), sum(col("y")).as("sy"),
+        min(col("dd4")).as("mdd4"))
+      .filter(col("n_days") >= minDays)
+    val annRet = col("sy").cast("double") / col("n_days").cast("double") /
+      10000.0 * 252.0
+    val mdd = col("mdd4").cast("double") / 10000.0
+    g.select(col("symbol"), col("n_days"),
+      rd(annRet, 4).as("ann_return_pct"),
+      rd(mdd, 4).as("max_drawdown_pct"),
+      rd(annRet / nullifZero(abs(mdd)), 4).as("calmar"))
+  }
+
+  /** Ulcer index + Martin ratio (Martin & McCann 1989): UI =
+    * √(Σdd²/n) over the per-day drawdown-from-peak percentages, and
+    * Martin = annualized return / UI — the drawdown analog of Sharpe
+    * that weights HOW LONG and HOW DEEP the account sat underwater,
+    * not just the worst print. Drawdowns quantize to scale-4 longs
+    * ([[calmarRatio]] rule) and their squares accumulate in
+    * DECIMAL(38,0), so the mean-square is exact before the one final
+    * √ — order-free end to end.
+    *
+    * Scale shape: identical to [[calmarRatio]]. */
+  def ulcerIndex(returns: DataFrame, minDays: Int = 30): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val peak = max(col("close_price"))
+      .over(bySymbol.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val dd4 = scaled((col("close_price") - peak) / nullifZero(peak) * 100, 4)
+    val g = returns.filter(col("daily_return_pct").isNotNull)
+      .select(col("symbol"), scaled(col("daily_return_pct"), 4).as("y"),
+        dd4.as("dd4"))
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_days"), sum(col("y")).as("sy"),
+        sum(dec(col("dd4")) * col("dd4")).as("sdd2"))
+      .filter(col("n_days") >= minDays)
+    val ui = sqrt(col("sdd2").cast("double") /
+      col("n_days").cast("double")) / 10000.0
+    val annRet = col("sy").cast("double") / col("n_days").cast("double") /
+      10000.0 * 252.0
+    g.select(col("symbol"), col("n_days"),
+      rd(ui, 4).as("ulcer_index"),
+      rd(annRet, 4).as("ann_return_pct"),
+      rd(annRet / nullifZero(ui), 4).as("martin_ratio"))
+  }
+
+  /** Durbin-Watson serial-correlation statistic per symbol (Durbin &
+    * Watson 1950): DW = Σ(e_t−e_{t−1})² / Σe_t² over mean-centered
+    * returns, DW∈[0,4], ≈2 under no autocorrelation — the classic
+    * regression-residual diagnostic next to [[ljungBox]]'s
+    * portmanteau form (one lag, exact sampling bounds vs χ² on many).
+    *
+    * Exactness: center WITHOUT division — e_t·n = n·y_t − Σy, so
+    *   DW = Σ(n·Δy)² / Σ(n·y − Σy)²  (the n² factor cancels).
+    * Numerator/denominator accumulate in DECIMAL(38,0) (n·y reaches
+    * ~10⁴·10⁶, its square ~10²⁰ — past Long, the [[sharpeRatio]]
+    * rule), mirrored HUGEINT; one final double division.
+    *
+    * Scale shape: one lag window + one partial-aggregable groupBy on
+    * the already-reduced symbol×day panel — D·S grain, no joins. */
+  def durbinWatson(returns: DataFrame, minDays: Int = 30): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val base = returns.filter(col("daily_return_pct").isNotNull)
+      .select(col("symbol"), col("trade_date"),
+        scaled(col("daily_return_pct"), 4).as("y"))
+      .withColumn("dy", col("y") - lag(col("y"), 1).over(bySymbol))
+    val g = base.groupBy("symbol").agg(
+      count(lit(1)).as("n"), sum(col("y")).as("sy"),
+      sum(dec(col("dy")) * col("dy")).as("sdd"),
+      sum(dec(col("y")) * col("y")).as("syy"))
+      .filter(col("n") >= minDays)
+    // Σ(n·y−Σy)² = n²Σy² − n(Σy)²  (expand once, keep sums exact);
+    // Σ(n·Δy)² = n²ΣΔy² — the n² cancels against the denominator's
+    val den = dec(col("n")) * col("n") * col("syy") -
+      dec(col("n")) * col("sy") * col("sy")
+    val num = dec(col("n")) * col("n") * col("sdd")
+    g.select(col("symbol"), col("n").as("n_days"),
+      rd(num.cast("double") / nullifZero(den.cast("double")), 4).as("dw_stat"),
+      (num.cast("double") / nullifZero(den.cast("double")) < 1.5)
+        .as("positive_autocorr"))
+  }
+
+  /** SAX symbolic representation per symbol (Lin, Keogh et al. 2003):
+    * the close series is PAA-reduced to `segments` equal-count chunks
+    * (ntile over the date order), each chunk's mean price quantized to
+    * an `alphabet`-letter symbol by RANK among the symbol's own chunk
+    * means (equiprobable breakpoints via ntile again — the empirical
+    * twin of SAX's Gaussian breakpoints, no distribution assumption),
+    * concatenated into one word per symbol. The standard discrete
+    * sketch for motif/shape search over a price panel: symbols whose
+    * words match share coarse shape.
+    *
+    * Exactness: chunk means compare as ⌊10⁴·Σclose2 / n⌋ (truncating
+    * integer division over exact scale-2 sums — positive prices, so
+    * trunc = floor in both engines); ties in (mean4, seg) order are
+    * impossible past seg, making both ntiles deterministic.
+    *
+    * Scale shape: two window passes + one groupBy on the D·S panel;
+    * the word is `segments` chars — output is catalog-sized (one row
+    * per symbol). */
+  def saxWords(bars: DataFrame, segments: Int = 8, alphabet: Int = 4,
+               minDays: Int = 30): DataFrame = {
+    val seg = bars
+      .withColumn("seg",
+        ntile(segments).over(bySymbol.orderBy("trade_date")))
+      .groupBy("symbol", "seg")
+      .agg(count(lit(1)).as("n_seg"),
+        sum(scaled(col("close_price"), 2)).as("sc2"))
+      .withColumn("mean4", expr("(sc2 * 100) div n_seg"))
+    val lettered = seg
+      .withColumn("letter_idx",
+        ntile(alphabet).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("symbol")
+            .orderBy(col("mean4"), col("seg"))) - 1)
+      .withColumn("letter",
+        // 'a' + idx, built portably from the literal alphabet
+        element_at(array(('a' until ('a' + alphabet).toChar)
+          .map(c => lit(c.toString)): _*), col("letter_idx") + 1))
+    lettered.groupBy("symbol")
+      .agg(sum(col("n_seg")).as("n_days"),
+        concat_ws("",
+          array_sort(collect_list(struct(col("seg"), col("letter"))))
+            .getField("letter")).as("sax_word"))
+      .filter(col("n_days") >= minDays)
+      .select(col("symbol"), col("n_days").cast("long").as("n_days"),
+        col("sax_word"))
+  }
+
+  /** Cross-sectional quantile normalization of daily returns
+    * (Bolstad et al. 2003, the microarray standard): replace each
+    * symbol's r-th smallest return with the CROSS-SYMBOL mean of r-th
+    * smallest returns — after it, every symbol has an identical
+    * marginal distribution, the batch-effect correction a panel of
+    * heterogeneous instruments (or training-data feature columns)
+    * gets before pooled modeling.
+    *
+    * Exactness: ranks are row_number over (y, trade_date) — total
+    * order, no ties to break; the rank mean is ⌊Σy/k⌋ via `div`
+    * (TRUNCATING integer division, negative-capable, same operator
+    * semantics as DuckDB's `//` — both truncate toward zero, pinned
+    * by the r13 holt/ou investigation).
+    *
+    * Scale shape: one window + one groupBy(rank) + one broadcast-size
+    * join back on (rank) — the rank table holds max-days rows
+    * (time-dimension-sized, broadcastable at any S). */
+  def quantileNormalize(returns: DataFrame): DataFrame = {
+    val base = returns.filter(col("daily_return_pct").isNotNull)
+      .select(col("symbol"), col("trade_date"),
+        scaled(col("daily_return_pct"), 4).as("y"))
+      .withColumn("rnk",
+        row_number().over(bySymbol.orderBy(col("y"), col("trade_date"))))
+    val rankMeans = base.groupBy("rnk").agg(
+      count(lit(1)).as("k"), sum(col("y")).as("sy"))
+      .withColumn("qn4", expr("sy div k"))
+    base.join(broadcast(rankMeans.select(col("rnk"), col("qn4"))), Seq("rnk"))
+      .select(col("symbol"), col("trade_date"),
+        (col("y").cast("double") / 1e4).as("return_pct"),
+        (col("qn4").cast("double") / 1e4).as("qn_return_pct"))
+  }
 }

@@ -1046,6 +1046,54 @@ object Multimodal {
           (col("v") * col("cnt") - col("box_sum"))).as("hp_energy"))
   }
 
+  /** 8-bin gradient-orientation histogram per raster — the HOG cell
+    * descriptor (Dalal & Triggs, CVPR 2005) in pure window arithmetic
+    * and EXACT integers: central differences g_x = v(x+1,y)−v(x−1,y)
+    * and g_y = v(x,y+1)−v(x,y−1) are one lead−lag over the row window
+    * and one over the column window (edge pixels, whose stencil leaves
+    * the raster, are excluded — the (w−2)² interior); the 45° octant
+    * comes from SIGN AND MAGNITUDE COMPARISONS ALONE (sgn g_x, sgn
+    * g_y, |g_x|≥|g_y| — a 3-way nested CASE in one fixed order, no
+    * atan2, no floats), and each pixel votes its L1 magnitude
+    * |g_x|+|g_y| into its bin. `dom_bin` is the argmax bin with the
+    * lowest index winning ties through the same fixed CASE chain.
+    *
+    * Scale shape: two window exchanges (media×row, media×col) and one
+    * partial-aggregable rollup, all at pixel grain — linear in total
+    * pixels, no joins, no collect, fully codegen'd. Input: (media_id,
+    * y, x, v) with v an unsigned byte, w×w raster. */
+  def gradientHistogram(pixels: DataFrame, w: Int = 8): DataFrame = {
+    val wRow = Window.partitionBy("media_id", "y").orderBy("x")
+    val wCol = Window.partitionBy("media_id", "x").orderBy("y")
+    val g = pixels
+      .withColumn("gx", lead(col("v"), 1).over(wRow) - lag(col("v"), 1).over(wRow))
+      .withColumn("gy", lead(col("v"), 1).over(wCol) - lag(col("v"), 1).over(wCol))
+      .filter(col("x") > 0 && col("x") < (w - 1).toLong &&
+        col("y") > 0 && col("y") < (w - 1).toLong)
+    val bin = when(abs(col("gx")) >= abs(col("gy")),
+        when(col("gx") >= 0,
+          when(col("gy") >= 0, lit(0)).otherwise(lit(7)))
+        .otherwise(when(col("gy") >= 0, lit(3)).otherwise(lit(4))))
+      .otherwise(
+        when(col("gy") >= 0,
+          when(col("gx") >= 0, lit(1)).otherwise(lit(2)))
+        .otherwise(when(col("gx") >= 0, lit(6)).otherwise(lit(5))))
+    val aggs = Seq(
+      count(lit(1)).as("n_px"),
+      sum(col("mag")).as("edge_energy")) ++
+      (0 to 7).map(b =>
+        sum(when(col("bin") === b, col("mag")).otherwise(lit(0L))).as(s"b$b"))
+    val hist = g.select(col("media_id"),
+        (abs(col("gx")) + abs(col("gy"))).as("mag"), bin.as("bin"))
+      .groupBy("media_id").agg(aggs.head, aggs.tail: _*)
+    val m = greatest((0 to 7).map(b => col(s"b$b")): _*)
+    val dom = (0 until 7).foldRight(lit(7)) {
+      case (b, elseC) => when(col(s"b$b") === m, lit(b)).otherwise(elseC)
+    }
+    hist.select((Seq(col("media_id"), col("n_px"), col("edge_energy")) ++
+      (0 to 7).map(b => col(s"b$b")) ++ Seq(dom.as("dom_bin"))): _*)
+  }
+
   /** ===== Subband/wavelet codec class: LeGall 5/3 integer lifting =====
     * One DWT level of the JPEG2000 REVERSIBLE filter (LeGall & Tabatabai
     * 1988; the lossless path of ITU-T T.800) over a per-media sample
@@ -1109,5 +1157,66 @@ object Multimodal {
       max(abs(col("xo") - col("x1"))).as("max_err_odd"),
       sum((col("xe") - col("x0")) * (col("xe") - col("x0")) +
           (col("xo") - col("x1")) * (col("xo") - col("x1"))).as("sse"))
+  }
+
+  /** Goertzel bins evaluated per payload: (k over an N-sample window,
+    * Q14 coefficient ⌊2·cos(2πk/N)·2¹⁴+0.5⌉). Rendered into the
+    * DuckDB oracle verbatim ([[imaStepTable]] one-source-of-truth
+    * rule). */
+  private[graft] val goertzelN = 64
+  private[graft] val goertzelBins: Seq[(Int, Long)] =
+    Seq(1, 2, 4, 8, 16).map { k =>
+      k -> math.round(2.0 * math.cos(2.0 * math.Pi * k / goertzelN) *
+        (1L << 14)).toLong
+    }
+
+  /** Fixed-point Goertzel tone energies (Goertzel 1958, the embedded
+    * DTMF-detector form): for each target bin k the single-pole
+    * resonator s₀ = x + ((C·s₁)>>14) − s₂ runs over the payload's
+    * first N 16-bit PCM samples with the Q14 coefficient
+    * C = ⌊2cos(2πk/N)·2¹⁴+0.5⌉, and the bin power is the standard
+    * terminal form s₁² + s₂² − ((C·s₁)>>14)·s₂. INTEGER end to end —
+    * `>>` is arithmetic shift in the JVM and on DuckDB BIGINT alike,
+    * so the recursion is bit-portable and oracle-checkable (the
+    * oracle replays it as a list_reduce over the same samples, seeded
+    * by the first element: after sample 1, (s₁,s₂) = (x₁,0)). This is
+    * the cheap spectral probe of audio curation — tone/DTMF/hum
+    * detection without an FFT, one narrow map over blobs.
+    *
+    * Scale shape: mapPartitions, no shuffle; 5 bins × O(N) integer
+    * ops per payload; output is |media|×bins rows. Headroom: |s| grows
+    * ≤ ~2N·32768 ≈ 2²², powers ≤ ~2⁴⁵ — Long-safe by 2¹⁸. */
+  def goertzelPower(media: DataFrame, n: Int = goertzelN,
+                    bins: Seq[(Int, Long)] = goertzelBins): DataFrame = {
+    require(n > 0 && bins.nonEmpty, "goertzelPower: need samples and bins")
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("bin_k", IntegerType),
+      StructField("n_samples", IntegerType),
+      StructField("power", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val binArr = bins.toArray
+    media.select(col("media_id").cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val b = r.getAs[Array[Byte]](1)
+          val nSamp = math.min(b.length / 2, n)
+          binArr.iterator.map { case (k, c) =>
+            var s1 = 0L
+            var s2 = 0L
+            var i = 0
+            while (i < nSamp) {
+              val x = (((b(2 * i + 1): Int) << 8) | (b(2 * i) & 0xff)).toLong
+              val s0 = x + ((c * s1) >> 14) - s2
+              s2 = s1
+              s1 = s0
+              i += 1
+            }
+            val p = s1 * s1 + s2 * s2 - ((c * s1) >> 14) * s2
+            Row(id, k, nSamp, p)
+          }
+        }
+      }(enc)
   }
 }

@@ -212,10 +212,14 @@ object Sampling {
     * is the 2.5%/97.5% `percentile` over the B replicate means
     * (dyadic interpolation, identical in DuckDB's quantile_cont).
     *
-    * Shape at 100 TB: the rep dimension is a bounded explode (×B)
-    * over the already-reduced unit grain, every aggregate is
-    * partial-aggregable, and the final percentile holds B values per
-    * group — model-sized. */
+    * Shape at 100 TB: ONE pass over the unit grain — the B replicate
+    * weights are B extra aggregate column pairs (sum w·x, sum w) in a
+    * single partial-aggregable groupBy, so shuffle volume is B scalars
+    * per group, not B× the rows (an earlier explode(sequence(0,B-1))
+    * form paid that fan-out through the shuffle for nothing: the
+    * weight is a pure per-row function of (group, unit, rep), so it
+    * folds map-side). The final percentile holds B values per group —
+    * model-sized. */
   def hashBootstrapCi(df: DataFrame, groupCol: String, unitCol: Column,
                       value4: Column, reps: Int = 20): DataFrame = {
     require(reps >= 4, "hashBootstrapCi: need at least 4 replicates")
@@ -223,24 +227,30 @@ object Sampling {
     val t = Seq(367879L, 735758L, 919698L, 981011L, 996340L)
     val base = df.select(col(groupCol).as("grp"), unitCol.cast("string").as("unit"),
       value4.as("v4"))
-    val withRep = base
-      .select(col("grp"), col("unit"), col("v4"),
-        explode(sequence(lit(0), lit(reps - 1))).as("rep"))
-      .withColumn("h", hash60(concat_ws("|", col("grp"), col("unit"),
-        col("rep").cast("string"))) % 1000000L)
-      .withColumn("w",
-        when(col("h") < t(0), 0L).when(col("h") < t(1), 1L)
-          .when(col("h") < t(2), 2L).when(col("h") < t(3), 3L)
-          .when(col("h") < t(4), 4L).otherwise(5L))
-    val repMeans = withRep.groupBy("grp", "rep")
-      .agg(sum(col("w") * col("v4")).as("ws"), sum(col("w")).as("wn"))
-      .filter(col("wn") > 0L)
-      .select(col("grp"), col("rep"),
-        (col("ws").cast("double") / col("wn").cast("double") / 1e4).as("m"))
-    val point = base.groupBy("grp").agg(
+    def w(rep: Int): Column = {
+      val h = hash60(concat_ws("|", col("grp"), col("unit"),
+        lit(rep).cast("string"))) % 1000000L
+      when(h < t(0), 0L).when(h < t(1), 1L)
+        .when(h < t(2), 2L).when(h < t(3), 3L)
+        .when(h < t(4), 4L).otherwise(5L)
+    }
+    val repCols = (0 until reps).flatMap { b =>
+      Seq(sum(w(b) * col("v4")).as(s"ws_$b"), sum(w(b)).as(s"wn_$b"))
+    }
+    val aggs = Seq(
       count(lit(1)).as("n_units"),
-      (sum(col("v4")).cast("double") / count(lit(1)).cast("double") / 1e4).as("mean0"))
-    point.join(
+      (sum(col("v4")).cast("double") / count(lit(1)).cast("double") / 1e4)
+        .as("mean0")) ++ repCols
+    val perGroup = base.groupBy("grp").agg(aggs.head, aggs.tail: _*)
+    // rep dimension re-materializes here at GROUP grain (|grp|·B rows)
+    val repMeans = perGroup.select(col("grp"),
+        explode(array((0 until reps).map(b =>
+          struct(col(s"ws_$b").as("ws"), col(s"wn_$b").as("wn"))): _*)).as("r"))
+      .filter(col("r.wn") > 0L)
+      .select(col("grp"),
+        (col("r.ws").cast("double") / col("r.wn").cast("double") / 1e4).as("m"))
+    perGroup.select(col("grp"), col("n_units"), col("mean0"))
+      .join(
         repMeans.groupBy("grp").agg(
           count(lit(1)).as("n_reps"),
           expr("percentile(m, 0.025)").as("lo"),

@@ -1224,4 +1224,64 @@ object TextAnalysis {
       .select(col("rnk"), col("w").as("token"), col("df"), col("n11"),
         rd(col("chi2"), 4).as("chi2"))
   }
+
+  /** The Gopher quality-rule panel (Rae et al. 2021, appendix A1):
+    * the seven document heuristics MassiveWeb filtered on, each
+    * published as its own signal beside the keep decision so funnel
+    * accounting stays additive (first failing rule names the drop,
+    * the [[corpusFilter]] convention). Rules, with the paper's
+    * defaults as parameters:
+    *   1. word count in [minWords, maxWords]
+    *   2. mean word length in [3, 10]
+    *   3. symbol-to-word ratio (# or …) ≤ 0.1
+    *   4. ≤ 90% of lines start with a bullet
+    *   5. ≤ 30% of lines end with an ellipsis
+    *   6. ≥ 80% of words contain an alphabetic character
+    *   7. ≥ 2 distinct stopwords present
+    *
+    * One narrow codegen'd map over the corpus — no shuffle, no UDFs:
+    * counts come from split/filter/regexp built-ins. Ratio rules
+    * compare CROSS-MULTIPLIED integers (10·symbols ≤ words etc.), so
+    * there is no FP boundary to disagree on. */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+                  minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val words = tokens(col(textCol))
+    val nW = size(words)
+    val lines = split(col(textCol), "\n")
+    val nL = size(lines)
+    val meanLen10 = // 10·mean word length, exact integer
+      (length(col(textCol)) - (nW - 1)) * 10
+    val nSymbols = size(filter(words, w =>
+      w.contains("#") || w.contains("...")))
+    val nBullet = size(filter(lines, l =>
+      l.startsWith("•") || l.startsWith("- ") || l.startsWith("* ")))
+    val nEllipsis = size(filter(lines, l => l.endsWith("...")))
+    val nAlpha = size(filter(words, w => w.rlike("[A-Za-z]")))
+    val enStops = stopwords.toMap.apply("en")
+    val nStops = size(filter(
+      array(enStops.map(lit): _*), sw => array_contains(words, sw)))
+    docs.select(col(idCol), nW.as("n_words"),
+        rd(meanLen10.cast("double") / nW / 10.0, 4).as("mean_word_len"),
+        nSymbols.as("n_symbol_words"), nL.as("n_lines"),
+        nBullet.as("n_bullet_lines"), nEllipsis.as("n_ellipsis_lines"),
+        nAlpha.as("n_alpha_words"), nStops.as("n_stopwords"),
+        // integer cross-multiplied rule tests
+        (nW >= minWords && nW <= maxWords).as("ok_word_count"),
+        (meanLen10 >= nW * 30 && meanLen10 <= nW * 100).as("ok_word_len"),
+        (nSymbols * 10 <= nW).as("ok_symbol_ratio"),
+        (nBullet * 10 <= nL * 9).as("ok_bullets"),
+        (nEllipsis * 10 <= nL * 3).as("ok_ellipsis"),
+        (nAlpha * 10 >= nW * 8).as("ok_alpha"),
+        (nStops >= 2).as("ok_stopwords"))
+      .withColumn("first_fail",
+        when(!col("ok_word_count"), "word_count")
+          .when(!col("ok_word_len"), "word_len")
+          .when(!col("ok_symbol_ratio"), "symbol_ratio")
+          .when(!col("ok_bullets"), "bullets")
+          .when(!col("ok_ellipsis"), "ellipsis")
+          .when(!col("ok_alpha"), "alpha")
+          .when(!col("ok_stopwords"), "stopwords")
+          .otherwise("kept"))
+      .withColumn("keep", col("first_fail") === "kept")
+  }
 }

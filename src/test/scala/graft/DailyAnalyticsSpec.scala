@@ -1080,5 +1080,217 @@ class DailyAnalyticsSpec extends AnyFunSpec {
       assert(got("FLIP").getAs[Long]("n_pre") == 30 &&
         got("FLIP").getAs[Long]("n_post") == 30)
     }
+
+    it("garchFilter: a constant-|return| series is a fixed point at the long-run vol") {
+      // q_t ≡ q ⇒ vbar = q and (2q + 6q + 92q) div 100 = q forever
+      val const = rets((0 until 40).map(i => ("A", i, if (i % 2 == 0) 2.5 else -2.5)))
+      val r = DailyAnalytics.garchFilter(const, minDays = 30).collect().head
+      assert(r.getAs[Double]("long_run_vol_pct") == 2.5)
+      assert(r.getAs[Double]("garch_vol_pct") == 2.5)
+    }
+
+    it("garchFilter: after a vol burst the filter sits between EWMA decay and the target") {
+      val rows = (0 until 60).map(i =>
+        ("A", i, if (i >= 28 && i < 32) 8.0 else 1.0)) // 4-day burst mid-panel
+      val r = DailyAnalytics.garchFilter(rets(rows), minDays = 30).collect().head
+      val lr = r.getAs[Double]("long_run_vol_pct")
+      val gv = r.getAs[Double]("garch_vol_pct")
+      // post-burst the recursion decays toward the CONSTANT-INPUT fixed
+      // point v* = (2·v̄ + 6·q_low)/8 (=20500 here → 1.43%), which sits
+      // BELOW v̄ because current energy < mean energy; 28 days of
+      // 0.92^t leave it elevated above v* but already under v̄
+      assert(gv > 1.45 && gv < lr, s"garch $gv vs long-run $lr")
+    }
+
+    it("holtLinear: an exact linear price ramp is tracked with zero one-step error") {
+      val rows = (0 until 40).map(i => ("A", i, 100.0 + 10.0 * i))
+      val b = rows.map { case (s, i, c) =>
+        (s, java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)),
+          c, c, c, c, 10L)
+      }.toDF("symbol", "trade_date", "open_price", "high_price", "low_price",
+        "close_price", "volume")
+      val r = DailyAnalytics.holtLinear(b, minDays = 30).collect().head
+      // l_t = y_t, b_t = 1000 (scale-2) at every step: the ramp is the
+      // filter's fixed point, so MAE = 0 and the forecast extrapolates
+      assert(r.getAs[Double]("level") == 100.0 + 10.0 * 39)
+      assert(r.getAs[Double]("trend_per_day") == 10.0)
+      assert(r.getAs[Double]("forecast_5d") == 100.0 + 10.0 * 44)
+      assert(r.getAs[Double]("one_step_mae") == 0.0)
+    }
+
+    it("jarqueBera: a symmetric two-point series has skew 0, kurt 1, JB = n/6") {
+      val rows = (0 until 42).map(i => ("A", i, if (i % 2 == 0) 2.0 else -2.0))
+      val r = DailyAnalytics.jarqueBera(rets(rows), minDays = 30).collect().head
+      assert(r.getAs[Double]("skewness") == 0.0)
+      assert(r.getAs[Double]("kurtosis") == 1.0)
+      // JB = n/6 · (0 + (1−3)²/4) = n/6 = 7 > 5.99 ⇒ rejected
+      assert(r.getAs[Double]("jb_stat") == 7.0)
+      assert(r.getAs[Boolean]("normal_rej"))
+    }
+
+    it("leadLagAdjacent: a lag-1 copy puts |rho|≈1 at k=+1 and best_lag=1") {
+      def x(i: Int) = (i * 37 % 11 - 5).toDouble
+      val rows = (0 until 60).flatMap { i =>
+        Seq(("A", i, x(i - 1)), ("B", i, x(i))) // A_t = B_{t-1}: B leads A
+      }
+      val r = DailyAnalytics.leadLagAdjacent(rets(rows), minDays = 30).collect().head
+      assert(r.getAs[String]("s1") == "A" && r.getAs[String]("s2") == "B")
+      assert(r.getAs[Int]("best_lag") == 1)
+      assert(math.abs(r.getAs[Double]("rho_p1") - 1.0) < 1e-9)
+      assert(math.abs(r.getAs[Double]("best_rho") - 1.0) < 1e-9)
+      assert(math.abs(r.getAs[Double]("rho_0")) < 0.6)
+    }
+
+    it("neweyWest: positive autocorrelation widens the HAC se vs the naive se") {
+      // four-day persistent blocks: ++++−−−−… ⇒ γ1 ≈ +2, γ2 ≈ 0
+      // (a ±2-day block design would give γ1=0, γ2=−4 and SHRINK the se)
+      val rows = (0 until 64).map(i =>
+        ("A", i, 1.0 + (if (i % 8 < 4) 2.0 else -2.0)))
+      val r = DailyAnalytics.neweyWest(rets(rows), minDays = 40).collect().head
+      assert(r.getAs[Double]("mean_return_pct") == 1.0)
+      val se = r.getAs[Double]("hac_se_pct")
+      val n = r.getAs[Long]("n_days").toDouble
+      val naive = 2.0 / math.sqrt(n) // sd = 2 exactly for the block design
+      assert(se > naive, s"HAC se $se should exceed naive ${naive}")
+      assert(r.getAs[Double]("t_stat") > 0.0)
+    }
+
+    it("runsTest: a perfectly alternating sign sequence maximizes the runs z") {
+      val rows = (0 until 60).map(i => ("A", i, if (i % 2 == 0) 1.0 else -1.0))
+      val r = DailyAnalytics.runsTest(rets(rows), minDays = 40).collect().head
+      assert(r.getAs[Long]("n_pos") == 30 && r.getAs[Long]("n_neg") == 30)
+      assert(r.getAs[Long]("n_runs") == 60) // every step flips
+      // z = (60 − 31)/sqrt(14.7458…) = 7.55…
+      assert(r.getAs[Double]("z_stat") > 5.0)
+      assert(r.getAs[Boolean]("random_rej"))
+    }
+
+    it("runsTest: zeros drop before runs are counted") {
+      // +,0,+,0,… never flips once zeros are removed: one run
+      val rows = (0 until 80).map(i => ("A", i, if (i % 2 == 0) 1.0 else 0.0))
+      val r = DailyAnalytics.runsTest(rets(rows), minDays = 40).collect().head
+      assert(r.getAs[Long]("n_days") == 40 && r.getAs[Long]("n_runs") == 1)
+    }
+
+    it("upDownBeta: a symbol that amplifies only rallies splits the betas exactly") {
+      // d cycles ±{1,2,3}; A = 3d on up days / d on down, B = d always
+      // ⇒ market = 2d (up) / d (down); A: β⁺=1.5, β⁻=1; B: β⁺=0.5, β⁻=1
+      val rows = (0 until 60).flatMap { i =>
+        val mag = (i % 3 + 1).toDouble
+        val d = if (i % 2 == 0) mag else -mag
+        Seq(("A", i, if (d > 0) 3 * d else d), ("B", i, d))
+      }
+      val got = DailyAnalytics.upDownBeta(rets(rows), minSide = 10)
+        .collect().map(r => r.getAs[String]("symbol") -> r).toMap
+      assert(got("A").getAs[Double]("beta_up") == 1.5)
+      assert(got("A").getAs[Double]("beta_down") == 1.0)
+      assert(got("A").getAs[Double]("capture_ratio") == 1.5)
+      assert(got("B").getAs[Double]("beta_up") == 0.5)
+      assert(got("B").getAs[Double]("capture_ratio") == 0.5)
+    }
+
+    it("woeIv: terms are individually non-negative and the total is their sum") {
+      def x(s: Int, i: Int) = ((i * 37 + s * 13) % 11 - 5).toDouble
+      val rows = for (s <- 0 until 10; i <- 0 until 40)
+        yield (s"S$s", i, x(s, i) + 0.1)
+      val out = DailyAnalytics.woeIv(rets(rows)).collect()
+      assert(out.map(_.getAs[Int]("decile")).sorted.toSeq == (1 to 10))
+      // (p−q) and ln(p/q) share sign ⇒ every IV term ≥ 0
+      out.foreach { r =>
+        val t = r.getAs[Double]("iv_term")
+        assert(t >= 0.0, s"decile ${r.getAs[Int]("decile")} term $t")
+      }
+      val total = out.head.getAs[Double]("iv_total")
+      assert(out.forall(_.getAs[Double]("iv_total") == total))
+      assert(math.abs(out.map(_.getAs[Double]("iv_term")).sum - total) < 1e-3)
+      assert(total >= 0.0)
+    }
+
+    it("omegaRatio: hand-checked gain/loss sums; an all-gain series has null omega") {
+      val rows = (0 until 30).map(i => ("A", i, Seq(2.0, -1.0, 0.5)(i % 3))) ++
+        (0 until 30).map(i => ("B", i, 1.0))
+      val got = DailyAnalytics.omegaRatio(rets(rows), minDays = 30)
+        .collect().map(r => r.getAs[String]("symbol") -> r).toMap
+      // A: gains 10·(2+0.5) = 25, losses 10·1 = 10 ⇒ ω = 2.5
+      assert(got("A").getAs[Double]("sum_gains_pct") == 25.0)
+      assert(got("A").getAs[Double]("sum_losses_pct") == 10.0)
+      assert(got("A").getAs[Double]("omega") == 2.5)
+      assert(got("B").isNullAt(got("B").fieldIndex("omega")))
+    }
+
+    it("calmarRatio and ulcerIndex: a single 20% dip prices both drawdown ratios") {
+      // close: 100 → (dip to 80 for days 10..19) → back to 100
+      val bars = (0 until 40).map { i =>
+        val c = if (i >= 10 && i < 20) 80.0 else 100.0
+        ("A", java.sql.Date.valueOf(java.time.LocalDate.of(2024, 3, 1).plusDays(i)),
+          c, c, c, c, 10L)
+      }.toDF("symbol", "trade_date", "open_price", "high_price", "low_price",
+        "close_price", "volume")
+      val ret = DailyAnalytics.dailyReturns(bars)
+      val cal = DailyAnalytics.calmarRatio(ret, minDays = 30).collect().head
+      assert(cal.getAs[Double]("max_drawdown_pct") == -20.0)
+      val ui = DailyAnalytics.ulcerIndex(ret, minDays = 30).collect().head
+      // 10 of 39 counted days sit at −20%: UI = sqrt(10·400/39) = 10.1274
+      assert(ui.getAs[Double]("ulcer_index") == 10.1274)
+    }
+
+    it("ouHalflife math: theta and half-life invert the AR(1) decay") {
+      // pure arithmetic identity check on the compose formula
+      val gamma = -0.1
+      val hl = -math.log(2.0) / math.log(1.0 + gamma)
+      assert(math.abs(math.pow(1.0 + gamma, hl) - 0.5) < 1e-12)
+    }
+  }
+
+  describe("durbinWatson") {
+    def series(rets: Seq[Double]): org.apache.spark.sql.DataFrame =
+      rets.zipWithIndex.map { case (r, i) =>
+        ("A", java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)), r)
+      }.toDF("symbol", "trade_date", "daily_return_pct")
+
+    it("a perfectly alternating series drives DW toward 4") {
+      val alt = series((0 until 40).map(i => if (i % 2 == 0) 1.0 else -1.0))
+      val dw = DailyAnalytics.durbinWatson(alt, minDays = 30).collect().head
+      // Δy = ±2 for 39 steps; DW = 39·4·n² / (n²·Σy²−n(Σy)²) ≈ 3.9
+      assert(dw.getAs[Double]("dw_stat") > 3.8)
+      assert(!dw.getAs[Boolean]("positive_autocorr"))
+    }
+    it("a slow sign-held random-walk-ish series drives DW toward 0") {
+      // long runs of identical values: Δy = 0 inside runs
+      val runs = series((0 until 40).map(i => if (i < 20) 1.0 else -1.0))
+      val dw = DailyAnalytics.durbinWatson(runs, minDays = 30).collect().head
+      assert(dw.getAs[Double]("dw_stat") < 0.5)
+      assert(dw.getAs[Boolean]("positive_autocorr"))
+    }
+  }
+
+  describe("saxWords") {
+    it("a monotone close series symbolizes to the ascending word") {
+      val bars = (0 until 32).map { i =>
+        ("A", java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)),
+          10.0 + i, 10.0 + i, 10.0 + i, 10.0 + i, 10L)
+      }.toDF("symbol", "trade_date", "open_price", "high_price", "low_price",
+        "close_price", "volume")
+      val w = DailyAnalytics.saxWords(bars, minDays = 30).collect().head
+      assert(w.getAs[String]("sax_word") == "aabbccdd") // 8 segs, 4 letters
+      assert(w.getAs[Long]("n_days") == 32L)
+    }
+  }
+
+  describe("quantileNormalize") {
+    it("equal-length symbols end with identical sorted distributions") {
+      val rets = Seq(
+        ("A", 1, 5.0), ("A", 2, -3.0), ("A", 3, 1.0), ("A", 4, 9.0),
+        ("B", 1, 100.0), ("B", 2, 0.0), ("B", 3, -50.0), ("B", 4, 2.0))
+        .map { case (s, d, r) =>
+          (s, java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, d)), r) }
+        .toDF("symbol", "trade_date", "daily_return_pct")
+      val qn = DailyAnalytics.quantileNormalize(rets)
+      val bySym = qn.collect().groupBy(_.getAs[String]("symbol"))
+        .view.mapValues(_.map(_.getAs[Double]("qn_return_pct")).sorted.toSeq)
+      assert(bySym("A") == bySym("B"))
+      // rank-1 mean: trunc((−30000 + −500000)/2)/1e4 = −26.5
+      assert(bySym("A").head == -26.5)
+    }
   }
 }

@@ -205,5 +205,16 @@ class EmptyInputSpec extends AnyFunSpec {
         .toDF("media_id", "y", "x", "v")
       assert(Multimodal.boxFilterFeatures(emptyPx).isEmpty)
     }
+
+    it("r13 additions degrade to empty on empty input") {
+      val emptyReturns = Seq.empty[(String, java.sql.Date, Double)]
+        .toDF("symbol", "trade_date", "daily_return_pct")
+      assert(DailyAnalytics.durbinWatson(emptyReturns).isEmpty)
+      assert(DailyAnalytics.saxWords(emptyBars).isEmpty)
+      assert(DailyAnalytics.quantileNormalize(emptyReturns).isEmpty)
+      assert(TextAnalysis.gopherRules(emptyDocs, "doc_id", "text").isEmpty)
+      val emptyMedia = Seq.empty[(Long, Array[Byte])].toDF("media_id", "payload")
+      assert(Multimodal.goertzelPower(emptyMedia).isEmpty)
+    }
   }
 }

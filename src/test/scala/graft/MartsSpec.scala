@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funspec.AnyFunSpec
+import graft.sources.{Adapters, Marts}
+import graft.operators.DailyAnalytics
+
+/** The materialized-silver-marts contract: reading the content-keyed
+  * parquet mart is BIT-IDENTICAL to recomputing the panel from raw,
+  * and the kill-switch forces the recompute path. */
+class MartsSpec extends AnyFunSpec {
+  import SharedSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+
+  describe("Marts materialization") {
+    it("daily_bars mart equals the raw recompute exactly") {
+      val mart = Marts.dailyBars(spark, dir)
+      val raw = Adapters.dailyBars(spark, dir)
+      assert(mart.schema.map(f => (f.name, f.dataType)) ===
+        raw.schema.map(f => (f.name, f.dataType)))
+      assert(rows(mart) === rows(raw))
+    }
+
+    it("daily_returns mart equals the raw recompute exactly") {
+      val mart = Marts.dailyReturns(spark, dir)
+      val raw = DailyAnalytics.dailyReturns(Adapters.dailyBars(spark, dir))
+      assert(mart.schema.map(f => (f.name, f.dataType)) ===
+        raw.schema.map(f => (f.name, f.dataType)))
+      assert(rows(mart) === rows(raw))
+    }
+
+    it("second read serves the SAME cached files (no rebuild)") {
+      val first = Marts.dailyBars(spark, dir)
+      val files1 = first.inputFiles.toSet
+      assert(files1.nonEmpty && files1.forall(_.contains("graft_mart_daily_bars_")))
+      val files2 = Marts.dailyBars(spark, dir).inputFiles.toSet
+      assert(files2 === files1)
+    }
+
+    it("kill-switch graft.marts.materialize=false recomputes from raw") {
+      spark.conf.set("graft.marts.materialize", "false")
+      try {
+        val off = Marts.dailyBars(spark, dir)
+        assert(off.inputFiles.exists(_.contains("lineitem.parquet")))
+        assert(rows(off) === rows(Adapters.dailyBars(spark, dir)))
+      } finally spark.conf.unset("graft.marts.materialize")
+    }
+  }
+}

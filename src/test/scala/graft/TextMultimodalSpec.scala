@@ -774,4 +774,117 @@ class TextMultimodalSpec extends AnyFunSpec {
       assert(got.getAs[Long]("hp_energy") == 64L + 8L)
     }
   }
+
+  describe("Multimodal.gradientHistogram") {
+    def raster(f: (Long, Long) => Long) =
+      (for (y <- 0L until 8L; x <- 0L until 8L) yield (1L, y, x, f(y, x)))
+        .toDF("media_id", "y", "x", "v")
+
+    it("a horizontal ramp is pure bin-0 with gx = 2·slope everywhere") {
+      // v = 3x ⇒ central difference gx = 6, gy = 0 ⇒ octant 0, mag 6
+      val got = Multimodal.gradientHistogram(raster((_, x) => 3L * x)).collect().head
+      assert(got.getAs[Long]("n_px") == 36L) // 6×6 interior
+      assert(got.getAs[Long]("edge_energy") == 36L * 6L)
+      assert(got.getAs[Long]("b0") == 36L * 6L)
+      (1 to 7).foreach(b => assert(got.getAs[Long](s"b$b") == 0L, s"b$b"))
+      assert(got.getAs[Int]("dom_bin") == 0)
+    }
+
+    it("a vertical ramp votes bin 1; a falling vertical ramp votes bin 5") {
+      val up = Multimodal.gradientHistogram(raster((y, _) => 3L * y)).collect().head
+      assert(up.getAs[Long]("b1") == 36L * 6L && up.getAs[Int]("dom_bin") == 1)
+      val down = Multimodal.gradientHistogram(raster((y, _) => 30L - 3L * y)).collect().head
+      // gy = −6 < 0, gx = 0 ⇒ |gy| > |gx|, gy < 0, gx ≥ 0 ⇒ bin 6?  No:
+      // gx = 0 ≥ 0 and the CASE's gy<0/gx≥0 leaf is bin 6
+      assert(down.getAs[Long]("b6") == 36L * 6L && down.getAs[Int]("dom_bin") == 6)
+    }
+
+    it("a flat raster has zero energy and dom_bin falls to the first-bin tie rule") {
+      val got = Multimodal.gradientHistogram(raster((_, _) => 9L)).collect().head
+      assert(got.getAs[Long]("edge_energy") == 0L)
+      assert(got.getAs[Int]("dom_bin") == 0) // all-zero tie → lowest index
+    }
+
+    it("a diagonal ramp ties |gx|=|gy| and the >= rule sends it to bin 0") {
+      val got = Multimodal.gradientHistogram(raster((y, x) => 2L * (x + y))).collect().head
+      assert(got.getAs[Long]("b0") == 36L * 8L) // mag = |4|+|4| = 8
+      assert(got.getAs[Int]("dom_bin") == 0)
+    }
+  }
+
+  describe("gopherRules") {
+    def rules(text: String): org.apache.spark.sql.Row =
+      TextAnalysis.gopherRules(Seq((1L, text)).toDF("doc_id", "text"),
+        "doc_id", "text", minWords = 5).collect().head
+
+    it("a clean document passes every rule") {
+      val r = rules("the quick brown fox jumps over a lazy dog and it is fine")
+      assert(r.getAs[String]("first_fail") == "kept")
+      assert(r.getAs[Boolean]("keep"))
+    }
+    it("too-few words fails word_count first") {
+      assert(rules("the cat sat").getAs[String]("first_fail") == "word_count")
+    }
+    it("degenerate word lengths fail word_len") {
+      // 6 single-char words: mean length 1 < 3
+      assert(rules("a b c d e f").getAs[String]("first_fail") == "word_len")
+    }
+    it("symbol soup fails symbol_ratio") {
+      val r = rules("the cat ### and ### the dog ### sat ### here ### now ###")
+      assert(!r.getAs[Boolean]("ok_symbol_ratio"))
+      assert(r.getAs[String]("first_fail") == "symbol_ratio")
+    }
+    it("bullet-dominated lines fail bullets") {
+      val lines = (1 to 10).map(i => s"- item number $i here").mkString("\n")
+      val r = rules(lines)
+      assert(r.getAs[Int]("n_lines") == 10)
+      assert(r.getAs[Int]("n_bullet_lines") == 10)
+      assert(r.getAs[String]("first_fail") == "bullets")
+    }
+    it("ellipsis-heavy lines fail ellipsis") {
+      val lines = (1 to 10).map(i =>
+        if (i <= 4) s"and the part $i trails off..." else s"the part $i is ok")
+        .mkString("\n")
+      assert(rules(lines).getAs[String]("first_fail") == "ellipsis")
+    }
+    it("numeric soup fails alpha") {
+      val r = rules("the sum of 11 22 33 44 55 66 77 88 99 00 12 34 is big")
+      assert(!r.getAs[Boolean]("ok_alpha"))
+    }
+    it("a stopword-free document fails stopwords") {
+      assert(rules("cats dogs birds fish mice lions tigers bears wolves foxes")
+        .getAs[String]("first_fail") == "stopwords")
+    }
+  }
+
+  describe("goertzelPower") {
+    def pcm(xs: Seq[Int]): Array[Byte] = {
+      val b = new Array[Byte](xs.length * 2)
+      xs.zipWithIndex.foreach { case (x, i) =>
+        b(2 * i) = (x & 0xff).toByte
+        b(2 * i + 1) = ((x >> 8) & 0xff).toByte
+      }
+      b
+    }
+
+    it("a pure tone at bin 8 concentrates power there") {
+      val tone = (0 until 64).map(i =>
+        math.round(10000.0 * math.cos(2.0 * math.Pi * 8 * i / 64)).toInt)
+      val media = Seq((1L, pcm(tone))).toDF("media_id", "payload")
+      val p = Multimodal.goertzelPower(media).collect()
+        .map(r => r.getAs[Int]("bin_k") -> r.getAs[Long]("power")).toMap
+      assert(p(8) > 50L * math.max(1L, p.filter(_._1 != 8).values.max))
+    }
+    it("silence yields zero power in every bin") {
+      val media = Seq((1L, pcm(Seq.fill(64)(0)))).toDF("media_id", "payload")
+      assert(Multimodal.goertzelPower(media).collect()
+        .forall(_.getAs[Long]("power") == 0L))
+    }
+    it("a short payload reports its true sample count") {
+      val media = Seq((1L, pcm(Seq(100, -100, 50)))).toDF("media_id", "payload")
+      val rows = Multimodal.goertzelPower(media).collect()
+      assert(rows.forall(_.getAs[Int]("n_samples") == 3))
+      assert(rows.length == 5) // all bins still emitted
+    }
+  }
 }
