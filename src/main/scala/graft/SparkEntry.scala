@@ -1823,13 +1823,7 @@ object SparkEntry {
   /** Degree assortativity of the part co-purchase graph: do
     * well-connected parts co-occur with each other, or with leaves. */
   private def qAssortativity(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
-    val pairs = li
-      .join(li.select(col("l_orderkey"), col("l_partkey").as("p2")), "l_orderkey")
-      .filter(col("l_partkey") < col("p2"))
-      .groupBy(col("l_partkey").as("u"), col("p2").as("v"))
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") >= 2)
+    val pairs = Marts.copurchasePairs(s, dir)
     Graph.assortativity(pairs, "u", "v")
   }
 
@@ -1936,11 +1930,7 @@ object SparkEntry {
     * (both directions of every distinct (cust, supp) trading pair;
     * node id = 2·custkey / 2·suppkey+1). Top 20 by rank. */
   private def qPagerank(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.lineitem(s, dir).select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
-        "o_orderkey")
-      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
-      .distinct()
+    val pairs = Marts.bipartiteEdges(s, dir)
     val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
     Graph.pageRankScaled(edges, "a", "b", iters = 2)
       .select(col("id"), col("rank"),
@@ -1956,11 +1946,7 @@ object SparkEntry {
     * rank. Same graph, same integer arithmetic, seed-restricted
     * restart. */
   private def qPpr(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.lineitem(s, dir).select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
-        "o_orderkey")
-      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
-      .distinct()
+    val pairs = Marts.bipartiteEdges(s, dir)
     val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
     val seeds = Tables.orders(s, dir)
       .filter(col("o_custkey") % 100 === 0)
@@ -2572,13 +2558,7 @@ object SparkEntry {
   /** Local clustering coefficient over the part co-purchase graph
     * (same edge construction as [[qTriangles]]) — full node set. */
   private def qClusteringCoef(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
-    val pairs = li
-      .join(li.select(col("l_orderkey"), col("l_partkey").as("p2")), "l_orderkey")
-      .filter(col("l_partkey") < col("p2"))
-      .groupBy(col("l_partkey").as("u"), col("p2").as("v"))
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") >= 2)
+    val pairs = Marts.copurchasePairs(s, dir)
     Graph.clusteringCoefficient(pairs, "u", "v")
       .orderBy("id")
   }
@@ -3022,11 +3002,7 @@ object SparkEntry {
     * bipartite graph as q_pagerank: top-20 communities by size after
     * 2 deterministic synchronous rounds. */
   private def qCommunities(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.lineitem(s, dir).select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
-        "o_orderkey")
-      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
-      .distinct()
+    val pairs = Marts.bipartiteEdges(s, dir)
     Graph.labelPropagation(pairs, "a", "b", iters = 2)
       .groupBy(col("label").as("community"))
       .agg(count(lit(1)).as("n_members"))
@@ -3044,11 +3020,7 @@ object SparkEntry {
     * SQL, so round count, degree definition and the final surviving
     * degrees must all agree. */
   private def qKcore(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.lineitem(s, dir).select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
-        "o_orderkey")
-      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
-      .distinct()
+    val pairs = Marts.bipartiteEdges(s, dir)
     Graph.kCore(pairs, "a", "b", k = 30, rounds = 4)
       .withColumn("kind",
         when(col("id") % 2 === 0, lit("customer")).otherwise(lit("supplier")))
@@ -3061,11 +3033,7 @@ object SparkEntry {
     * authorities — the query-dependent companion to [[qPagerank]]'s
     * global rank, exact-integer through the final share division. */
   private def qHits(s: SparkSession, dir: String): DataFrame = {
-    val edges = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.lineitem(s, dir).select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
-        "o_orderkey")
-      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
-      .distinct()
+    val edges = Marts.bipartiteEdges(s, dir)
     Graph.hits(edges, "a", "b", iters = 2)
       .withColumn("kind",
         when(col("id") % 2 === 0, lit("customer")).otherwise(lit("supplier")))
@@ -3077,26 +3045,14 @@ object SparkEntry {
     * co-purchase graph: which part pairs that have NOT co-occurred in
     * any order are most likely to, by weighted common neighbors. */
   private def qLinkPredict(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
-    val pairs = li
-      .join(li.select(col("l_orderkey"), col("l_partkey").as("p2")), "l_orderkey")
-      .filter(col("l_partkey") < col("p2"))
-      .groupBy(col("l_partkey").as("u"), col("p2").as("v"))
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") >= 2)
+    val pairs = Marts.copurchasePairs(s, dir)
     Graph.adamicAdar(pairs, "u", "v", cap = 64)
       .orderBy(col("score").desc, col("u"), col("v"))
       .limit(50)
   }
 
   private def qTriangles(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
-    val pairs = li
-      .join(li.select(col("l_orderkey"), col("l_partkey").as("p2")), "l_orderkey")
-      .filter(col("l_partkey") < col("p2"))
-      .groupBy(col("l_partkey").as("u"), col("p2").as("v"))
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") >= 2)
+    val pairs = Marts.copurchasePairs(s, dir)
     Graph.triangleCounts(pairs, "u", "v")
       .orderBy(col("triangles").desc, col("id"))
       .limit(100)

@@ -56,25 +56,74 @@ object Marts {
     materialized(s, s"$dir/lineitem.parquet", "daily_returns")(
       graft.operators.DailyAnalytics.dailyReturns(dailyBars(s, dir)))
 
+  /** Bipartite customer–supplier co-purchase edge list (silver): the
+    * orders⋈lineitem distinct pair set all entity-graph queries
+    * (PageRank/PPR/k-core/LPA/HITS) walk — one join+distinct
+    * materialized instead of five. Node ids pack kind in the low bit
+    * (even = customer·2, odd = supplier·2+1). */
+  def bipartiteEdges(s: SparkSession, dir: String): DataFrame =
+    materialized(s, Seq(s"$dir/orders.parquet", s"$dir/lineitem.parquet"),
+      "bipartite_edges") {
+      import org.apache.spark.sql.functions._
+      Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
+          "o_orderkey")
+        .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+    }
+
+  /** Part co-purchase pair graph (silver): parts bought together in ≥2
+    * orders — the lineitem self-join the part-graph queries
+    * (triangles/clustering/Adamic-Adar/assortativity) share; the
+    * heaviest graph prep in the registry, materialized once. */
+  def copurchasePairs(s: SparkSession, dir: String): DataFrame =
+    materialized(s, s"$dir/lineitem.parquet", "copurchase_pairs") {
+      import org.apache.spark.sql.functions._
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+      li.join(li.select(col("l_orderkey"), col("l_partkey").as("p2")), "l_orderkey")
+        .filter(col("l_partkey") < col("p2"))
+        .groupBy(col("l_partkey").as("u"), col("p2").as("v"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+    }
+
   private def materialized(s: SparkSession, srcPath: String, name: String)(
+      build: => DataFrame): DataFrame =
+    materialized(s, Seq(srcPath), name)(build)
+
+  private def materialized(s: SparkSession, srcPaths: Seq[String], name: String)(
       build: => DataFrame): DataFrame = {
     if (!enabled(s)) return build
-    val src = new java.io.File(srcPath)
-    if (!src.exists) return build // non-standard layout → recompute path
+    val srcs = srcPaths.map(new java.io.File(_))
+    if (!srcs.forall(_.exists)) return build // non-standard layout → recompute
     val prefix = s"graft_mart_${name}_v${Version}_"
+    // multi-source key: md5 over the per-source content keys, in order
+    val md = java.security.MessageDigest.getInstance("MD5")
+    srcs.foreach(f => md.update(
+      graft.SparkEntry.contentKey(f).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
     val target = new java.io.File(
       graft.SparkEntry.scratchBase.toFile,
-      prefix + graft.SparkEntry.contentKey(src))
+      prefix + md.digest().map("%02x".format(_)).mkString)
     val marker = new java.io.File(target, "_MART")
     this.synchronized {
       if (!marker.exists) {
-        // drop stale caches of THIS mart (older content keys/versions)
+        // drop stale caches of THIS mart (older content keys/versions;
+        // .build dirs from a killed run are stale by definition)
         Option(target.getParentFile.listFiles()).getOrElse(Array.empty)
           .filter(f => f.isDirectory && f.getName != target.getName
             && f.getName.startsWith(s"graft_mart_${name}_"))
           .foreach(f => graft.SparkEntry.deleteDir(f.toString))
-        build.write.mode("overwrite").parquet(target.toString)
-        marker.createNewFile()
+        // build into a pid-suffixed temp dir, publish by ATOMIC rename:
+        // a concurrent JVM building the same mart cannot interleave
+        // part files with ours, and a reader never sees a half-written
+        // dir (the _MART marker only exists inside a completed build)
+        val tmp = new java.io.File(target.getParentFile,
+          target.getName + ".build" + ProcessHandle.current().pid())
+        build.write.mode("overwrite").parquet(tmp.toString)
+        new java.io.File(tmp, "_MART").createNewFile()
+        if (!tmp.renameTo(target)) // lost the cross-process race: theirs won
+          graft.SparkEntry.deleteDir(tmp.toString)
       }
     }
     s.read.parquet(target.toString)
