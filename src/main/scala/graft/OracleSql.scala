@@ -32,6 +32,139 @@ object OracleSql {
   }
   private def sc4(expr: String): String = sc(expr, 4)
 
+  /** mirrors Cohorts.markovAbsorption: `rounds` unrolled rounds of the
+    * exact-integer absorption recursion at scale 1e9 over a
+    * (removed, state) grid — aggregates are barred from recursive CTE
+    * terms, so the bounded recursion unrolls as chained plain CTEs. */
+  private def markovAttribSql(rounds: Int): String = {
+    val head =
+      s"""WITH ma_ev AS (
+         |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         |ma_sq AS MATERIALIZED (
+         |  SELECT event_type,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+         |  FROM ma_ev),
+         |ma_trans AS MATERIALIZED (SELECT event_type AS cur, nxt, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM ma_sq WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+         |ma_tot AS MATERIALIZED (SELECT cur, CAST(SUM(n) AS BIGINT) AS n_cur FROM ma_trans GROUP BY cur),
+         |ma_starts AS MATERIALIZED (SELECT event_type AS st, CAST(COUNT(*) AS BIGINT) AS ns
+         |  FROM ma_sq WHERE rn = 1 GROUP BY event_type),
+         |ma_nu AS (SELECT CAST(SUM(ns) AS BIGINT) AS n_users FROM ma_starts),
+         |ma_states AS MATERIALIZED (
+         |  SELECT cur AS a FROM ma_trans UNION SELECT nxt FROM ma_trans
+         |  UNION SELECT st FROM ma_starts),
+         |ma_rem AS (SELECT CAST('none' AS VARCHAR) AS removed
+         |  UNION ALL SELECT a FROM ma_states WHERE a <> 'purchase'),
+         |ma_p0 AS MATERIALIZED (
+         |  SELECT r.removed, s.a AS state,
+         |    CAST(CASE WHEN s.a = 'purchase' THEN 1000000000 ELSE 0 END AS BIGINT) AS p
+         |  FROM ma_rem r CROSS JOIN ma_states s)""".stripMargin
+    val steps = (1 to rounds).map { k =>
+      s"""ma_p$k AS MATERIALIZED (
+         |  SELECT pk.removed, pk.state,
+         |    CAST(CASE WHEN pk.state = 'purchase' THEN 1000000000
+         |         WHEN pk.state = pk.removed THEN 0
+         |         WHEN t.n_cur IS NULL THEN 0
+         |         ELSE COALESCE(m.acc, 0) // t.n_cur END AS BIGINT) AS p
+         |  FROM ma_p${k - 1} pk
+         |  LEFT JOIN (
+         |    SELECT pb.removed, tr.cur, SUM(tr.n * pb.p) AS acc
+         |    FROM ma_trans tr JOIN ma_p${k - 1} pb ON pb.state = tr.nxt
+         |    GROUP BY pb.removed, tr.cur) m
+         |    ON m.removed = pk.removed AND m.cur = pk.state
+         |  LEFT JOIN ma_tot t ON t.cur = pk.state)""".stripMargin
+    }
+    val tail =
+      s"""ma_conv AS (
+         |  SELECT p.removed,
+         |    CAST(CAST(SUM(s.ns * p.p) AS BIGINT) // (SELECT n_users FROM ma_nu) AS BIGINT) AS conv9
+         |  FROM ma_p$rounds p JOIN ma_starts s ON s.st = p.state
+         |  GROUP BY p.removed),
+         |ma_base AS (SELECT conv9 AS full9 FROM ma_conv WHERE removed = 'none'),
+         |ma_ch AS (SELECT removed AS channel, conv9 FROM ma_conv WHERE removed <> 'none'),
+         |ma_td AS (
+         |  SELECT CAST(SUM(b.full9 - c.conv9) AS BIGINT) AS td
+         |  FROM ma_ch c CROSS JOIN ma_base b)
+         |SELECT c.channel,
+         |  ${rd("CAST(b.full9 AS DOUBLE) / 1e9", 6)} AS p_conv_full,
+         |  ${rd("CAST(c.conv9 AS DOUBLE) / 1e9", 6)} AS p_conv_removed,
+         |  ${rd("CAST(b.full9 - c.conv9 AS DOUBLE) / NULLIF(CAST(b.full9 AS DOUBLE), 0)", 4)} AS removal_effect,
+         |  ${rd("CAST(b.full9 - c.conv9 AS DOUBLE) / NULLIF(CAST(t.td AS DOUBLE), 0)", 4)} AS attribution_share
+         |FROM ma_ch c CROSS JOIN ma_base b CROSS JOIN ma_td t
+         |ORDER BY c.channel""".stripMargin
+    (Seq(head) ++ steps :+ tail).mkString(",\n")
+  }
+
+  /** mirrors Graph.stronglyConnected over the intra-order part
+    * sequence graph: `rounds` unrolled forward min-label rounds, the
+    * color-restricted edge set, `rounds` unrolled backward
+    * confirmation rounds — chained plain CTEs for the same reason as
+    * [[markovAttribSql]]. */
+  private def sccSql(rounds: Int, phases: Int): String = {
+    // AS MATERIALIZED throughout: each round references the previous
+    // round TWICE (the carry and the message join) — DuckDB inlines
+    // plain CTEs, so without materialization the expression tree
+    // doubles per round (2^rounds re-evaluations of the window base)
+    val head =
+      s"""WITH scc_sq AS MATERIALIZED (
+         |  SELECT l_partkey AS src,
+         |    LEAD(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst
+         |  FROM lineitem WHERE l_quantity >= 35),
+         |scc_p1_e AS MATERIALIZED (SELECT DISTINCT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst
+         |  FROM scc_sq WHERE dst IS NOT NULL AND dst <> src),
+         |scc_p1_f0 AS MATERIALIZED (
+         |  SELECT id, id AS f FROM (SELECT src AS id FROM scc_p1_e UNION SELECT dst FROM scc_p1_e))""".stripMargin
+    def phase(p: Int): Seq[String] = {
+      val fwd = (1 to rounds).map { r =>
+        s"""scc_p${p}_f$r AS MATERIALIZED (
+           |  SELECT n.id, LEAST(n.f, COALESCE(m.mf, n.f)) AS f
+           |  FROM scc_p${p}_f${r - 1} n LEFT JOIN (
+           |    SELECT e.dst AS id, MIN(fp.f) AS mf
+           |    FROM scc_p${p}_e e JOIN scc_p${p}_f${r - 1} fp ON e.src = fp.id
+           |    GROUP BY e.dst) m USING (id))""".stripMargin
+      }
+      val mid =
+        s"""scc_p${p}_ce AS MATERIALIZED (
+           |  SELECT e.src, e.dst FROM scc_p${p}_e e
+           |  JOIN scc_p${p}_f$rounds fa ON e.src = fa.id
+           |  JOIN scc_p${p}_f$rounds fb ON e.dst = fb.id
+           |  WHERE fa.f = fb.f),
+           |scc_p${p}_r0 AS MATERIALIZED (SELECT id, f, (f = id) AS rc FROM scc_p${p}_f$rounds)""".stripMargin
+      val bwd = (1 to rounds).map { r =>
+        s"""scc_p${p}_r$r AS MATERIALIZED (
+           |  SELECT a.id, a.f, (a.rc OR COALESCE(m.hit, false)) AS rc
+           |  FROM scc_p${p}_r${r - 1} a LEFT JOIN (
+           |    SELECT DISTINCT ce.src AS id, true AS hit
+           |    FROM scc_p${p}_ce ce JOIN scc_p${p}_r${r - 1} b ON ce.dst = b.id AND b.rc) m USING (id))""".stripMargin
+      }
+      // peel: confirmed components leave, the remainder seeds phase p+1
+      val next =
+        if (p == phases) Nil
+        else Seq(
+          s"""scc_p${p}_rem AS MATERIALIZED (SELECT id FROM scc_p${p}_r$rounds WHERE NOT rc),
+             |scc_p${p + 1}_e AS MATERIALIZED (
+             |  SELECT e.src, e.dst FROM scc_p${p}_e e
+             |  JOIN scc_p${p}_rem a ON e.src = a.id
+             |  JOIN scc_p${p}_rem b ON e.dst = b.id),
+             |scc_p${p + 1}_f0 AS MATERIALIZED (SELECT id, id AS f FROM scc_p${p}_rem)""".stripMargin)
+      (fwd :+ mid) ++ bwd ++ next
+    }
+    val confirmed = (1 until phases).map(p =>
+      s"SELECT id, f AS scc_id FROM scc_p${p}_r$rounds WHERE rc")
+    val last =
+      s"""SELECT id, CASE WHEN rc THEN f ELSE id END AS scc_id FROM scc_p${phases}_r$rounds"""
+    val tail =
+      s"""scc_out AS MATERIALIZED (
+         |  ${(confirmed :+ last).mkString("\n  UNION ALL ")}),
+         |scc_sizes AS (SELECT scc_id, CAST(COUNT(*) AS BIGINT) AS n_members
+         |  FROM scc_out GROUP BY scc_id HAVING COUNT(*) >= 2)
+         |SELECT o.scc_id, o.id, z.n_members
+         |FROM scc_out o JOIN scc_sizes z USING (scc_id)
+         |ORDER BY o.scc_id, o.id""".stripMargin
+    (Seq(head) ++ (1 to phases).flatMap(phase)).mkString(",\n") + ",\n" + tail
+  }
+
   // ── daily lane CTE chain ──────────────────────────────────────────
 
   private val returnsSql: String =
@@ -5892,6 +6025,71 @@ object OracleSql {
          |SELECT g.cur, g.nxt, g.n, t.n_cur,
          |  ${rd("CAST(g.n AS DOUBLE) / CAST(t.n_cur AS DOUBLE)", 4)} AS p
          |FROM g JOIN tot t USING (cur) ORDER BY g.cur, g.nxt""".stripMargin,
+
+    // mirrors Cohorts.markovAbsorption: the SAME unrolled 8-round
+    // exact-integer power recursion at scale 1e9, one (removed, state)
+    // grid per removal variant, floor division every round
+    "q_markov_attrib" -> markovAttribSql(8),
+
+    // mirrors DailyAnalytics.mannKendall (W=120, minDays=30): scale-2
+    // close tail, exact S and tie-corrected 18·VarS, one rd(4) z
+    "q_mann_kendall" ->
+      s"""${dailyChain("bars")},
+         |mk_t AS (SELECT symbol, ${sc("close_price", 2)} AS p,
+         |    ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY trade_date DESC) AS rn
+         |  FROM bars),
+         |mk_tail AS (SELECT symbol, rn, p FROM mk_t WHERE rn <= 120),
+         |mk_s AS (
+         |  SELECT a.symbol,
+         |    CAST(SUM(CASE WHEN a.p > b.p THEN 1 WHEN a.p < b.p THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+         |  FROM mk_tail a JOIN mk_tail b ON a.symbol = b.symbol AND a.rn < b.rn
+         |  GROUP BY a.symbol),
+         |mk_n AS (SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_days FROM mk_tail GROUP BY symbol),
+         |mk_ties AS (
+         |  SELECT symbol, CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18
+         |  FROM (SELECT symbol, p, CAST(COUNT(*) AS BIGINT) AS t FROM mk_tail GROUP BY symbol, p)
+         |  GROUP BY symbol),
+         |mk_g AS (
+         |  SELECT symbol, n_days, s_stat,
+         |    n_days * (n_days - 1) * (2 * n_days + 5) - tie18 AS var18
+         |  FROM mk_n JOIN mk_s USING (symbol) JOIN mk_ties USING (symbol)
+         |  WHERE n_days >= 30),
+         |mk_z AS (
+         |  SELECT symbol, n_days, s_stat, CAST(var18 AS BIGINT) AS var18,
+         |    ${rd("""CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+         |         WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) ELSE 0.0 END
+         |      / NULLIF(sqrt(CAST(var18 AS DOUBLE) / 18.0), 0)""", 4)} AS z
+         |  FROM mk_g)
+         |SELECT symbol, n_days, s_stat, var18, z,
+         |  CASE WHEN z >= 1.96 THEN 'UP' WHEN z <= -1.96 THEN 'DOWN' ELSE 'FLAT' END AS trend
+         |FROM mk_z ORDER BY symbol""".stripMargin,
+
+    // mirrors Graph.stronglyConnected over the intra-order part
+    // sequence graph: the SAME unrolled 6+6 bounded FW-BW rounds
+    "q_scc" -> sccSql(6, 2),
+
+    // mirrors Enrichment.revenueGroupingSets: asymmetric GROUPING SETS
+    // ((nation, year), (nation, priority), (year)), per-dimension
+    // grouping() flags, exact scale-2 totalprice sums
+    "q_grouping_sets" ->
+      s"""WITH gs_base AS (
+         |  SELECT n_name AS nation,
+         |    CAST(year(o_orderdate) AS INTEGER) AS order_year,
+         |    o_orderpriority AS priority,
+         |    ${sc("o_totalprice", 2)} AS tp2
+         |  FROM orders
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey)
+         |SELECT nation, order_year, priority,
+         |  CAST(GROUPING(nation) AS INTEGER) AS g_nation,
+         |  CAST(GROUPING(order_year) AS INTEGER) AS g_year,
+         |  CAST(GROUPING(priority) AS INTEGER) AS g_priority,
+         |  ${rd("SUM(tp2) / 100.0", 2)} AS revenue,
+         |  CAST(COUNT(*) AS BIGINT) AS n_orders
+         |FROM gs_base
+         |GROUP BY GROUPING SETS ((nation, order_year), (nation, priority), (order_year))
+         |ORDER BY g_nation, g_year, g_priority,
+         |  nation NULLS FIRST, order_year NULLS FIRST, priority NULLS FIRST""".stripMargin,
 
     // mirrors TextAnalysis.sparseCosinePairs (df in [2,50], k=50):
     // rare-token postings self-join, exact integer dot products and

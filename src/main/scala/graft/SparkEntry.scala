@@ -1857,6 +1857,54 @@ object SparkEntry {
       .orderBy("cur", "nxt")
   }
 
+  /** Markov removal-effect attribution: each channel credited by the
+    * drop in the journey chain's absorption probability into
+    * 'purchase' when the channel is removed. */
+  private def qMarkovAttrib(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    Cohorts.markovAbsorption(ev.withColumn("event_time", Adapters.eventTime(ev)))
+      .orderBy("channel")
+  }
+
+  /** Mann–Kendall monotonic-trend test over each symbol's last 120
+    * closes — the nonparametric "is it trending" screen next to
+    * [[qTheilSen]]'s slope estimate. */
+  private def qMannKendall(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.mannKendall(Marts.dailyBars(s, dir))
+      .orderBy("symbol")
+
+  /** Strongly connected components of the DIRECTED intra-order part
+    * sequence graph (part on line k → part on line k+1): which parts
+    * sit in mutually-reachable "bought before and after" cycles.
+    * Bounded FW-BW coloring — the directed sibling of q_dedup_groups. */
+  private def qScc(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    // the >= 35 quantity screen keeps the graph near its percolation
+    // point (full lineitem is so dense every part lands in ONE giant
+    // SCC — a correct but structureless answer)
+    val e = Tables.lineitem(s, dir)
+      .filter(col("l_quantity") >= 35)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      .withColumn("dst", lead(col("l_partkey"), 1).over(w))
+      .filter(col("dst").isNotNull && col("dst") =!= col("l_partkey"))
+      .select(col("l_partkey").as("src"), col("dst"))
+    val comp = Graph.stronglyConnected(e, "src", "dst", rounds = 6)
+    val sizes = comp.groupBy("scc_id").agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") >= 2)
+    comp.join(sizes, "scc_id")
+      .select(col("scc_id"), col("id"), col("n_members"))
+      .orderBy("scc_id", "id")
+  }
+
+  /** Explicit GROUPING SETS with an asymmetric set list ROLLUP/CUBE
+    * can't express, grouping() flags per dimension. */
+  private def qGroupingSets(s: SparkSession, dir: String): DataFrame =
+    Enrichment.revenueGroupingSets(s, dir)
+      .orderBy(col("g_nation"), col("g_year"), col("g_priority"),
+        col("nation").asc_nulls_first, col("order_year").asc_nulls_first,
+        col("priority").asc_nulls_first)
+
   /** Sparse TF-IDF cosine similarity join through the rare-token
     * subspace — lexical near-dup pairs with bounded fan-out. */
   private def qSparseCosine(s: SparkSession, dir: String): DataFrame =
@@ -3276,6 +3324,10 @@ object SparkEntry {
     "q_js_divergence" -> (qJsDivergence _),
     "q_kaplan_meier" -> (qKaplanMeier _),
     "q_markov" -> (qMarkov _),
+    "q_markov_attrib" -> (qMarkovAttrib _),
+    "q_mann_kendall" -> (qMannKendall _),
+    "q_scc" -> (qScc _),
+    "q_grouping_sets" -> (qGroupingSets _),
     "q_sparse_cosine" -> (qSparseCosine _),
     "q_assortativity" -> (qAssortativity _),
     "q_pca_power" -> (qPcaPower _),

@@ -525,6 +525,92 @@ object Cohorts {
         rd(col("n").cast("double") / col("n_cur").cast("double"), 4).as("p"))
   }
 
+  /** Markov removal-effect attribution (Anderl, Becker, von Wangenheim
+    * & Schumann 2014 — the de-facto data-driven multi-touch
+    * attribution model): build the empirical event-type Markov chain
+    * from per-user journeys ([[markovTransitions]]'s bigrams), make
+    * `target` absorbing, and credit each channel by how much the
+    * chain's conversion probability DROPS when that channel is
+    * removed (its transitions contribute nothing — lost mass, no
+    * renormalization, per the model).
+    *
+    * Absorption probabilities run `rounds` rounds of the exact-integer
+    * power recursion at scale 1e9 (the [[graft.operators.Graph]]
+    * bounded-round discipline):
+    *   p₀(a)   = S·[a = target]
+    *   pᵣ₊₁(a) = S                         if a = target
+    *           = 0                          if a = removed
+    *           = (Σ_b n_ab · pᵣ(b)) div n_a otherwise
+    * — longs end to end (n_ab·p < 2⁶³ while |events| < 9·10⁹ at this
+    * scale), order-free sums, floor division each round, so the whole
+    * recursion is bit-portable and the DuckDB mirror unrolls the SAME
+    * rounds. Conversion = Σ_a s_a·p_R(a) div n_users over the
+    * empirical first-touch distribution s; removal effect and the
+    * normalized attribution share divide the exact integer deltas.
+    *
+    * Scale shape: ONE pass over events builds the bigram counts and
+    * first-touch counts (two partial-aggregable shuffles); the chain
+    * itself is model-sized (|event types|² cells — a catalog
+    * dimension, like the IVF centroid collects), so the (1+K)-variant
+    * recursion runs on broadcast-scale data. Nothing user- or
+    * event-grain ever iterates. */
+  def markovAbsorption(events: DataFrame, target: String = "purchase",
+                       rounds: Int = 8, tsCol: String = "event_time",
+                       userCol: String = "user_id",
+                       typeCol: String = "event_type"): DataFrame = {
+    val S = 1000000000L
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col("event_id"))
+    val seq = events
+      .withColumn("rn", row_number().over(w))
+      .withColumn("nxt", lead(col(typeCol), 1).over(w))
+      .snapshot() // bigrams AND first-touch read the same window pass
+    // model-sized collects (≤ |types|² + |types| rows): the chain is a
+    // catalog dimension, the exact recursion runs on the driver
+    val trans = seq.filter(col("nxt").isNotNull)
+      .groupBy(col(typeCol).as("cur"), col("nxt"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val starts = seq.filter(col("rn") === 1)
+      .groupBy(col(typeCol).as("st")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val states = (trans.keysIterator.flatMap(k => Iterator(k._1, k._2)) ++
+      starts.keysIterator).toSeq.distinct.sorted
+    val outTotal = states.map(a => a ->
+      states.iterator.map(b => trans.getOrElse((a, b), 0L)).sum).toMap
+    val nUsers = starts.valuesIterator.sum
+    require(nUsers > 0 && states.contains(target),
+      s"markovAbsorption: no journeys or no '$target' state")
+    def converge(removed: Option[String]): Long = {
+      var p = states.map(a => a -> (if (a == target) S else 0L)).toMap
+      for (_ <- 1 to rounds) {
+        p = states.map { a =>
+          a -> (if (a == target) S
+                else if (removed.contains(a)) 0L
+                else if (outTotal(a) == 0L) 0L
+                else states.iterator
+                  .map(b => trans.getOrElse((a, b), 0L) * p(b)).sum / outTotal(a))
+        }.toMap
+      }
+      states.iterator.map(a => starts.getOrElse(a, 0L) * p(a)).sum / nUsers
+    }
+    val full = converge(None)
+    val rows = states.filterNot(_ == target).map { c =>
+      val without = converge(Some(c))
+      (c, full, without, full - without)
+    }
+    val totalDelta = rows.iterator.map(_._4).sum
+    val spark = events.sparkSession
+    import spark.implicits._
+    rows.toDF("channel", "conv9", "conv9_removed", "delta9")
+      .select(col("channel"),
+        rd(col("conv9").cast("double") / 1e9, 6).as("p_conv_full"),
+        rd(col("conv9_removed").cast("double") / 1e9, 6).as("p_conv_removed"),
+        rd(col("delta9").cast("double") /
+          nullifZero(col("conv9").cast("double")), 4).as("removal_effect"),
+        rd(col("delta9").cast("double") / nullifZero(lit(totalDelta.toDouble)), 4)
+          .as("attribution_share"))
+  }
+
   /** Difference-in-differences estimator over the event stream: users
     * split into treatment (odd user_id) and control (even), periods
     * split at the panel's midpoint timestamp, outcome = mean event

@@ -1454,6 +1454,62 @@ object DailyAnalytics {
             sqrt((col("n0") - col("ty")).cast("double"))), 4).as("tau_b"))
   }
 
+  /** Mann–Kendall monotonic-trend test per symbol over the last
+    * `window` closes (Mann 1945; Kendall 1975) — the nonparametric
+    * "is this series trending" answer beside [[theilSenTrend]]'s slope
+    * (the two are the classic pairing: MK decides, Theil–Sen sizes).
+    *
+    *   S = Σ_{i<j in time} sgn(p_j − p_i)          (exact long)
+    *   18·Var S = n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)   (tie-
+    *   corrected variance, exact long; groups g = tied close values)
+    *   z = (S ∓ 1) / √(var18/18)                   (continuity-
+    *   corrected normal score, the only double, rd(4))
+    *
+    * Everything through var18 is integer arithmetic over scale-2
+    * closes — order-free and bit-portable; ties are REAL here (prices
+    * quantize to cents), which is why the correction term is wired in
+    * rather than assumed zero.
+    *
+    * BOUNDED pair fan-out BY CONSTRUCTION (the [[kendallVsMarket]]
+    * discipline): pairs live inside each symbol's `window`-row tail,
+    * ≤ W(W−1)/2 per symbol (7 140 at W=120), total O(S·W²) — linear
+    * in the symbol universe, constant in panel length. */
+  def mannKendall(bars: DataFrame, window: Int = 120,
+                  minDays: Int = 30): DataFrame = {
+    val tail = bars
+      .select(col("symbol"), col("trade_date"), scaled(col("close_price"), 2).as("p"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("symbol").orderBy(col("trade_date").desc)))
+      .filter(col("rn") <= window)
+      .select(col("symbol"), col("rn"), col("p"))
+      .snapshot() // both sides of the pair join AND the tie rollup
+    // rn DESC in time: a.rn < b.rn means a is the LATER observation,
+    // so sgn(later − earlier) = sgn(a.p − b.p)
+    val s = tail.select(col("symbol"), col("rn").as("i"), col("p").as("pi"))
+      .join(tail.select(col("symbol"), col("rn").as("j"), col("p").as("pj")), "symbol")
+      .filter(col("i") < col("j"))
+      .groupBy("symbol").agg(
+        count(lit(1)).as("n_pairs"),
+        sum(signum((col("pi") - col("pj")).cast("double")).cast("long")).as("s_stat"))
+    val n = tail.groupBy("symbol").agg(count(lit(1)).as("n_days"))
+    val ties = tail.groupBy("symbol", "p").agg(count(lit(1)).as("t"))
+      .groupBy("symbol").agg(
+        sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)).as("tie18"))
+    val g = n.join(s, "symbol").join(ties, "symbol")
+      .filter(col("n_days") >= minDays)
+      .withColumn("var18",
+        col("n_days") * (col("n_days") - 1) * (col("n_days") * 2 + 5) - col("tie18"))
+    g.select(col("symbol"), col("n_days"), col("s_stat"), col("var18"),
+        rd(when(col("s_stat") > 0, (col("s_stat") - 1).cast("double"))
+          .when(col("s_stat") < 0, (col("s_stat") + 1).cast("double"))
+          .otherwise(lit(0.0)) /
+          nullifZero(sqrt(col("var18").cast("double") / 18.0)), 4).as("z"))
+      .withColumn("trend",
+        when(col("z") >= 1.96, lit("UP"))
+          .when(col("z") <= -1.96, lit("DOWN"))
+          .otherwise(lit("FLAT")))
+  }
+
   /** Lo–MacKinlay variance-ratio random-walk test per symbol, in the
     * price-difference form: with p the scaled close and q the
     * aggregation horizon, x_t = p_t − p_{t−1} and y_t = p_t − p_{t−q}

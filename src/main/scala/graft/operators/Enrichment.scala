@@ -107,4 +107,38 @@ object Enrichment {
       .cube(col("region"), col("nation"))
       .agg(r2(sum(rev) / 1e4).as("revenue"), count(lit(1)).as("line_count"))
   }
+
+  /** Explicit GROUPING SETS — the general form ROLLUP/CUBE are sugar
+    * for, with an ASYMMETRIC set list neither can express:
+    * ((nation, year), (nation, priority), (year)). One pass, one
+    * Expand before the exchange (3 grouping-set rows per input), the
+    * same partial-aggregable shape as [[revenueRollup]]. `grouping()`
+    * flags disambiguate a real NULL from an aggregated-out dimension —
+    * emitted per dimension (not the combined grouping_id) so the
+    * oracle compare is engine-convention-free. Order totals join the
+    * customer→nation dim broadcast; o_totalprice sums exactly at
+    * 2-decimal fixed point. */
+  def revenueGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val nationDim = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("nation"))
+    val base = Tables.orders(spark, dir)
+      .join(broadcast(nationDim), col("o_custkey") === col("c_custkey"))
+      .select(col("nation"),
+        year(col("o_orderdate")).as("order_year"),
+        col("o_orderpriority").as("priority"),
+        scaled(col("o_totalprice"), 2).as("tp2"))
+    base.groupingSets(
+        Seq(Seq(col("nation"), col("order_year")),
+            Seq(col("nation"), col("priority")),
+            Seq(col("order_year"))),
+        col("nation"), col("order_year"), col("priority"))
+      .agg(
+        grouping(col("nation")).cast("int").as("g_nation"),
+        grouping(col("order_year")).cast("int").as("g_year"),
+        grouping(col("priority")).cast("int").as("g_priority"),
+        r2(sum(col("tp2")) / 1e2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+  }
 }

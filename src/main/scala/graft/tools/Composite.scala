@@ -73,6 +73,12 @@ object CompositeScalingBench {
     ("q_triangles", 1.5 * K),
     ("q_pagerank", 1.5 * K),
     ("q_communities", 1.5 * K),
+    // round-13 graph lanes: PPR is bounded-round push over the same
+    // bipartite edges (row-linear); clustering coefficient counts the
+    // same degree-capped wedges as triangles — K disjoint worlds keep
+    // both edge-linear.
+    ("q_ppr", 1.5 * K),
+    ("q_clustering_coef", 1.5 * K),
     // round-12 families (r12 verdict task #3): the graph quartet and
     // the bootstrap are row/edge-linear (K disjoint worlds ⇒ K bar);
     // interval overlap is linear because the window side is keyed by
@@ -149,6 +155,12 @@ object CompositeScalingBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // measure the FULL recompute path: with the silver marts on, the
+    // first trial pays the edge-list/panel build and the min-of-N
+    // timing then reads a parquet cache — the ratio would measure the
+    // post-prep algorithm only. The probe's claim is about the whole
+    // operator including its heaviest join, so marts are disabled here.
+    spark.conf.set("graft.marts.materialize", "false")
     val base = graft.SparkEntry.scratchDir("graft_composite")
     val (entityDir, dateDir) = buildComposites(spark, sfDir, base)
 
