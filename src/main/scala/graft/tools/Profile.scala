@@ -4,11 +4,14 @@ import org.apache.spark.sql.SparkSession
 import graft.operators.Dedup
 import graft.sources.Tables
 
-/** Ad-hoc profiler for the heavy dedup queries (not part of the driver
-  * contract; run manually: runMain graft.tools.Profile <sfDir>). */
+/** Ad-hoc profiler (not part of the driver contract):
+  *   runMain graft.tools.Profile <sfDir>              — the dedup lanes
+  *   runMain graft.tools.Profile <sfDir> q_a q_b ...  — named registry
+  *     queries, 3 timed reps each after a warm-up rep */
 object Profile {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val named = args.drop(1).toSeq
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-profile")
@@ -19,6 +22,9 @@ object Profile {
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.ui.enabled", false)
       .config("spark.sql.legacy.parquet.nanosAsLong", true)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -26,6 +32,16 @@ object Profile {
       val t0 = System.nanoTime()
       val n = f
       println(f"[profile] $label%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+    }
+
+    if (named.nonEmpty) {
+      named.foreach { q =>
+        graft.SparkEntry.queries(q)(spark, dir).count() // warm
+        (1 to 3).foreach(rep => time(s"$q #$rep")(
+          graft.SparkEntry.queries(q)(spark, dir).count()))
+      }
+      spark.stop()
+      return
     }
 
     val docs = Tables.documents(spark, dir)
