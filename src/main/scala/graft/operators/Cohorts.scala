@@ -578,8 +578,14 @@ object Cohorts {
     val outTotal = states.map(a => a ->
       states.iterator.map(b => trans.getOrElse((a, b), 0L)).sum).toMap
     val nUsers = starts.valuesIterator.sum
-    require(nUsers > 0 && states.contains(target),
-      s"markovAbsorption: no journeys or no '$target' state")
+    val spark = events.sparkSession
+    import spark.implicits._
+    // no journeys / no target state: degrade to an empty attribution
+    // (at 100 TB some day-partition is always empty), schema intact
+    if (nUsers == 0 || !states.contains(target))
+      return Seq.empty[(String, Double, Double, Double, Double)]
+        .toDF("channel", "p_conv_full", "p_conv_removed",
+          "removal_effect", "attribution_share")
     def converge(removed: Option[String]): Long = {
       var p = states.map(a => a -> (if (a == target) S else 0L)).toMap
       for (_ <- 1 to rounds) {
@@ -599,8 +605,6 @@ object Cohorts {
       (c, full, without, full - without)
     }
     val totalDelta = rows.iterator.map(_._4).sum
-    val spark = events.sparkSession
-    import spark.implicits._
     rows.toDF("channel", "conv9", "conv9_removed", "delta9")
       .select(col("channel"),
         rd(col("conv9").cast("double") / 1e9, 6).as("p_conv_full"),

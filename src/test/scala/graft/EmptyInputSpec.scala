@@ -216,5 +216,19 @@ class EmptyInputSpec extends AnyFunSpec {
       val emptyMedia = Seq.empty[(Long, Array[Byte])].toDF("media_id", "payload")
       assert(Multimodal.goertzelPower(emptyMedia).isEmpty)
     }
+
+    it("SCC / attribution / Mann-Kendall / grouping sets degrade to empty") {
+      val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+      assert(Graph.stronglyConnected(noEdges, "src", "dst", rounds = 2).isEmpty)
+      val noJourneys = Seq.empty[(Long, Long, java.sql.Timestamp, String)]
+        .toDF("event_id", "user_id", "event_time", "event_type")
+      assert(Cohorts.markovAbsorption(noJourneys).isEmpty)
+      // journeys that never reach the absorbing target also degrade
+      val noTarget = Seq((1L, 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "view"),
+        (2L, 1L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), "click"))
+        .toDF("event_id", "user_id", "event_time", "event_type")
+      assert(Cohorts.markovAbsorption(noTarget).isEmpty)
+      assert(DailyAnalytics.mannKendall(emptyBars).isEmpty)
+    }
   }
 }
