@@ -47,5 +47,19 @@ class MartsSpec extends AnyFunSpec {
         assert(rows(off) === rows(Adapters.dailyBars(spark, dir)))
       } finally spark.conf.unset("graft.marts.materialize")
     }
+
+    it("graph edge-list marts equal their recompute path exactly") {
+      def recomputed(build: => org.apache.spark.sql.DataFrame) = {
+        spark.conf.set("graft.marts.materialize", "false")
+        try rows(build) finally spark.conf.unset("graft.marts.materialize")
+      }
+      assert(rows(Marts.bipartiteEdges(spark, dir)) ===
+        recomputed(Marts.bipartiteEdges(spark, dir)))
+      assert(rows(Marts.copurchasePairs(spark, dir)) ===
+        recomputed(Marts.copurchasePairs(spark, dir)))
+      // the multi-source mart serves from its cache on the second read
+      val files = Marts.bipartiteEdges(spark, dir).inputFiles.toSet
+      assert(files.nonEmpty && files.forall(_.contains("graft_mart_bipartite_edges_")))
+    }
   }
 }

@@ -157,6 +157,19 @@ class PlanSpec extends AnyFunSpec {
       assert("Expand".r.findAllIn(p).size == 1, s"expected 1 Expand:\n$p")
     }
 
+    it("GROUPING SETS is one pass: a single Expand feeds one aggregation, dims broadcast") {
+      val p = plan(Enrichment.revenueGroupingSets(spark, dir))
+      assert("Expand".r.findAllIn(p).size == 1, s"expected 1 Expand:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"dims must broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"fact side must not sort-merge:\n$p")
+    }
+
+    it("Mann-Kendall pairs stay an equi join inside the bounded tail (no nested loop)") {
+      val p = plan(SparkEntry.queries("q_mann_kendall")(spark, dir))
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"pair join must be symbol-keyed:\n$p")
+    }
+
     it("decile backtest windows are all partitioned (no global sort over the panel)") {
       val df = SparkEntry.queries("q_decile_backtest")(spark, dir)
       val windows = df.queryExecution.sparkPlan.collectWithSubqueries {
