@@ -6068,6 +6068,73 @@ object OracleSql {
     // sequence graph: the SAME unrolled 6+6 bounded FW-BW rounds
     "q_scc" -> sccSql(6, 2),
 
+    // mirrors Enrichment.associationRules: order-grain baskets, exact
+    // long supports, confidence/lift as fixed double trees, minSup 2
+    "q_assoc_rules" ->
+      s"""WITH ar_b AS (SELECT DISTINCT l_orderkey AS oid, l_partkey AS item FROM lineitem),
+         |ar_n AS (SELECT CAST(COUNT(DISTINCT oid) AS BIGINT) AS n_orders FROM ar_b),
+         |ar_i AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_item FROM ar_b GROUP BY item),
+         |ar_p AS (
+         |  SELECT a.item AS a, b.item AS b, CAST(COUNT(*) AS BIGINT) AS n_ab
+         |  FROM ar_b a JOIN ar_b b ON a.oid = b.oid AND a.item < b.item
+         |  GROUP BY a.item, b.item HAVING COUNT(*) >= 2),
+         |ar_r AS (SELECT a AS antecedent, b AS consequent, n_ab FROM ar_p
+         |  UNION ALL SELECT b, a, n_ab FROM ar_p)
+         |SELECT r.antecedent, r.consequent, r.n_ab,
+         |  ia.n_item AS n_ante, ic.n_item AS n_cons,
+         |  ${rd("CAST(r.n_ab AS DOUBLE) / CAST(ia.n_item AS DOUBLE)", 4)} AS confidence,
+         |  ${rd("""(CAST(r.n_ab AS DOUBLE) / CAST(ia.n_item AS DOUBLE)) *
+         |    (CAST(n.n_orders AS DOUBLE) / CAST(ic.n_item AS DOUBLE))""", 4)} AS lift
+         |FROM ar_r r
+         |JOIN ar_i ia ON r.antecedent = ia.item
+         |JOIN ar_i ic ON r.consequent = ic.item
+         |CROSS JOIN ar_n n
+         |ORDER BY lift DESC, antecedent, consequent LIMIT 100""".stripMargin,
+
+    // mirrors DailyAnalytics.twoFactorRegression: HUGEINT moments,
+    // per-moment double casts, the SAME four Cramer determinant trees
+    "q_two_factor" ->
+      s"""${dailyChain("returns")},
+         |tf_r AS (SELECT symbol, trade_date, ${sc4("daily_return_pct")} AS y
+         |  FROM returns WHERE daily_return_pct IS NOT NULL),
+         |tf_m AS (SELECT trade_date,
+         |    CAST(FLOOR(SUM(y) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS x1
+         |  FROM tf_r GROUP BY trade_date),
+         |tf_l AS (SELECT trade_date, x1, x2 FROM (
+         |    SELECT trade_date, x1, LAG(x1) OVER (ORDER BY trade_date) AS x2 FROM tf_m)
+         |  WHERE x2 IS NOT NULL),
+         |tf_g AS (
+         |  SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+         |    CAST(SUM(y) AS BIGINT) AS sy,
+         |    SUM(CAST(x1 AS HUGEINT) * x1) AS s11,
+         |    SUM(CAST(x1 AS HUGEINT) * x2) AS s12,
+         |    SUM(CAST(x2 AS HUGEINT) * x2) AS s22,
+         |    SUM(CAST(x1 AS HUGEINT) * y) AS s1y,
+         |    SUM(CAST(x2 AS HUGEINT) * y) AS s2y
+         |  FROM tf_r JOIN tf_l USING (trade_date)
+         |  GROUP BY symbol HAVING COUNT(*) >= 30),
+         |tf_d AS (
+         |  SELECT symbol, n AS n_days,
+         |    CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS s1d,
+         |    CAST(s2 AS DOUBLE) AS s2d, CAST(sy AS DOUBLE) AS syd,
+         |    CAST(s11 AS DOUBLE) AS s11d, CAST(s12 AS DOUBLE) AS s12d,
+         |    CAST(s22 AS DOUBLE) AS s22d, CAST(s1y AS DOUBLE) AS s1yd,
+         |    CAST(s2y AS DOUBLE) AS s2yd
+         |  FROM tf_g),
+         |tf_c AS (
+         |  SELECT symbol, n_days,
+         |    nd * (s11d * s22d - s12d * s12d) - s1d * (s1d * s22d - s12d * s2d) + s2d * (s1d * s12d - s11d * s2d) AS det,
+         |    syd * (s11d * s22d - s12d * s12d) - s1d * (s1yd * s22d - s12d * s2yd) + s2d * (s1yd * s12d - s11d * s2yd) AS det_a,
+         |    nd * (s1yd * s22d - s12d * s2yd) - syd * (s1d * s22d - s12d * s2d) + s2d * (s1d * s2yd - s1yd * s2d) AS det_b1,
+         |    nd * (s11d * s2yd - s1yd * s12d) - s1d * (s1d * s2yd - s1yd * s2d) + syd * (s1d * s12d - s11d * s2d) AS det_b2
+         |  FROM tf_d)
+         |SELECT symbol, n_days,
+         |  ${rd("det_b1 / NULLIF(det, 0)", 4)} AS beta_mkt,
+         |  ${rd("det_b2 / NULLIF(det, 0)", 4)} AS beta_lag,
+         |  ${rd("det_a / NULLIF(det, 0) / 10000.0", 6)} AS alpha_pct
+         |FROM tf_c ORDER BY symbol""".stripMargin,
+
     // mirrors Enrichment.revenueGroupingSets: asymmetric GROUPING SETS
     // ((nation, year), (nation, priority), (year)), per-dimension
     // grouping() flags, exact scale-2 totalprice sums

@@ -1905,6 +1905,20 @@ object SparkEntry {
         col("nation").asc_nulls_first, col("order_year").asc_nulls_first,
         col("priority").asc_nulls_first)
 
+  /** Market-basket association rules: top directed part rules by lift
+    * (which parts PREDICT each other in an order, not just co-occur). */
+  private def qAssocRules(s: SparkSession, dir: String): DataFrame =
+    Enrichment.associationRules(Tables.lineitem(s, dir))
+      .orderBy(col("lift").desc, col("antecedent"), col("consequent"))
+      .limit(100)
+
+  /** Joint market + lagged-market OLS loadings per symbol (3×3 normal
+    * equations in closed form) — the multi-factor step past
+    * q_market_beta. */
+  private def qTwoFactor(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.twoFactorRegression(Marts.dailyReturns(s, dir))
+      .orderBy("symbol")
+
   /** Sparse TF-IDF cosine similarity join through the rare-token
     * subspace — lexical near-dup pairs with bounded fan-out. */
   private def qSparseCosine(s: SparkSession, dir: String): DataFrame =
@@ -3328,6 +3342,8 @@ object SparkEntry {
     "q_mann_kendall" -> (qMannKendall _),
     "q_scc" -> (qScc _),
     "q_grouping_sets" -> (qGroupingSets _),
+    "q_assoc_rules" -> (qAssocRules _),
+    "q_two_factor" -> (qTwoFactor _),
     "q_sparse_cosine" -> (qSparseCosine _),
     "q_assortativity" -> (qAssortativity _),
     "q_pca_power" -> (qPcaPower _),

@@ -483,6 +483,70 @@ object DailyAnalytics {
           .as("beta"))
   }
 
+  /** Two-factor OLS per symbol: y ~ α + β₁·mkt + β₂·mkt₋₁ — the
+    * contemporaneous market beta and a lagged-market (lead-lag /
+    * non-synchronous trading) loading fit JOINTLY by solving the 3×3
+    * normal equations in closed form (Cramer), the multi-factor step
+    * past [[marketBeta]]'s single regressor (the same decomposition a
+    * Fama-French-style factor model runs, with the factor set this
+    * data can define).
+    *
+    * Exactness discipline: the nine moment sums (n, Σx₁, Σx₂, Σy,
+    * Σx₁², Σx₁x₂, Σx₂², Σx₁y, Σx₂y) accumulate in DECIMAL(38,0) per
+    * the [[sharpeRatio]] overflow rule (HUGEINT in the mirror) —
+    * order-free, exact. The four 3×3 determinants run in DOUBLE as one
+    * FIXED expression tree each (their cross-products pass 10³⁸ —
+    * decimal would overflow where doubles just lose ulps identically
+    * in both engines), and each coefficient is one rd() division.
+    *
+    * Scale shape: the market index is a days-dimension rollup
+    * (broadcast back); the lag is one window over that DIMENSION frame
+    * (calendar-bounded, not data-scale); per-symbol moments are one
+    * partial-aggregable shuffle — two exchanges total, no self-join. */
+  def twoFactorRegression(returns: DataFrame, minDays: Int = 30): DataFrame = {
+    def dd(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val r = returns.filter(col("daily_return_pct").isNotNull)
+      .select(col("symbol"), col("trade_date"),
+        scaled(col("daily_return_pct"), 4).as("y"))
+      .snapshot() // feeds the index build AND the join probe
+    val mkt = r.groupBy("trade_date")
+      .agg(sum(col("y")).as("m"), count(lit(1)).as("nsym"))
+      .select(col("trade_date"),
+        floor(col("m").cast("double") / col("nsym").cast("double")).cast("long").as("x1"))
+    // lag over the DAYS DIMENSION (≤ calendar length — not data-scale,
+    // so the unpartitioned window is a bounded dim frame by design)
+    val lagged = mkt
+      .withColumn("x2", lag(col("x1"), 1).over(Window.orderBy("trade_date")))
+      .filter(col("x2").isNotNull)
+    val g = r.join(broadcast(lagged), "trade_date")
+      .groupBy("symbol").agg(
+        count(lit(1)).as("n"),
+        sum(col("x1")).as("s1"), sum(col("x2")).as("s2"), sum(col("y")).as("sy"),
+        sum(dd(col("x1")) * dd(col("x1"))).as("s11"),
+        sum(dd(col("x1")) * dd(col("x2"))).as("s12"),
+        sum(dd(col("x2")) * dd(col("x2"))).as("s22"),
+        sum(dd(col("x1")) * dd(col("y"))).as("s1y"),
+        sum(dd(col("x2")) * dd(col("y"))).as("s2y"))
+      .filter(col("n") >= minDays)
+    // Cramer over the 3×3 normal equations, every determinant one
+    // fixed double tree (identical text in the oracle)
+    def d(name: String) = col(name).cast("double")
+    val (nD, s1, s2, sy) = (d("n"), d("s1"), d("s2"), d("sy"))
+    val (s11, s12, s22, s1y, s2y) = (d("s11"), d("s12"), d("s22"), d("s1y"), d("s2y"))
+    val det = nD * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s12 - s11 * s2)
+    val detA = sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) +
+      s2 * (s1y * s12 - s11 * s2y)
+    val detB1 = nD * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s2y - s1y * s2)
+    val detB2 = nD * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) +
+      sy * (s1 * s12 - s11 * s2)
+    g.select(col("symbol"), col("n").as("n_days"),
+      rd(detB1 / nullifZero(det), 4).as("beta_mkt"),
+      rd(detB2 / nullifZero(det), 4).as("beta_lag"),
+      rd(detA / nullifZero(det) / 1e4, 6).as("alpha_pct"))
+  }
+
   /** Per-symbol maximum drawdown: the worst peak-to-trough decline of
     * the close price (running-peak window, then a min) — the standard
     * downside-risk summary the reference's performance mart implies

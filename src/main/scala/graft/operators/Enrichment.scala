@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Funcs._
+import graft.sources.Staging.Snapshottable
 import graft.sources.Tables
 
 /** Dimension-enrichment joins — the reference ships an sp500_tickers
@@ -106,6 +107,58 @@ object Enrichment {
         col("l_suppkey") === col("s_suppkey"))
       .cube(col("region"), col("nation"))
       .agg(r2(sum(rev) / 1e4).as("revenue"), count(lit(1)).as("line_count"))
+  }
+
+  /** Market-basket association rules (Agrawal & Srikant, VLDB'94 —
+    * the support/confidence/lift frame): from order-level co-purchase
+    * baskets, every directed rule a→b with pair support ≥ `minPairSup`
+    * scored by
+    *   confidence = n(ab)/n(a)
+    *   lift       = (n(ab)/n(a)) · (N/n(b))
+    * — the rule-interestingness workload beside the co-purchase GRAPH
+    * lanes (same fact, a probabilistic rather than structural readout).
+    * Baskets DEDUPLICATE to the (order, item) grain first (a part
+    * listed on two lines of one order is one basket membership —
+    * without this the "support" would count line pairs, not orders).
+    *
+    * Exactness: supports are exact longs; confidence and lift are each
+    * ONE fixed double tree over exact longs, rd(4) — lift multiplies
+    * the two division results rather than forming n(ab)·N, which
+    * overflows BIGINT once both factors pass ~10¹⁰ at warehouse scale.
+    *
+    * Scale shape: one distinct + self-join on the order key (per-order
+    * fan-out = basket size², bounded by order width, the
+    * [[graft.sources.Marts.copurchasePairs]] cost model), two
+    * partial-aggregable support rollups, two equi joins. The only
+    * driver scalar is N (one count). */
+  def associationRules(lineitem: DataFrame, minPairSup: Long = 2): DataFrame = {
+    val baskets = lineitem
+      .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
+      .distinct()
+      .snapshot() // pair join (both sides), item supports, and N
+    val nOrders = baskets.select("oid").distinct().count()
+    val itemSup = baskets.groupBy("item").agg(count(lit(1)).as("n_item"))
+    val pairs = baskets
+      .join(baskets.select(col("oid"), col("item").as("item2")), "oid")
+      .filter(col("item") < col("item2"))
+      .groupBy(col("item").as("a"), col("item2").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairSup)
+    val rules = pairs
+      .select(col("a").as("antecedent"), col("b").as("consequent"), col("n_ab"))
+      .union(pairs.select(col("b"), col("a"), col("n_ab")))
+    rules
+      .join(itemSup.select(col("item").as("antecedent"), col("n_item").as("n_ante")),
+        "antecedent")
+      .join(itemSup.select(col("item").as("consequent"), col("n_item").as("n_cons")),
+        "consequent")
+      .select(col("antecedent"), col("consequent"), col("n_ab"),
+        col("n_ante"), col("n_cons"),
+        rd(col("n_ab").cast("double") / col("n_ante").cast("double"), 4)
+          .as("confidence"),
+        rd((col("n_ab").cast("double") / col("n_ante").cast("double")) *
+          (lit(nOrders).cast("double") / col("n_cons").cast("double")), 4)
+          .as("lift"))
   }
 
   /** Explicit GROUPING SETS — the general form ROLLUP/CUBE are sugar

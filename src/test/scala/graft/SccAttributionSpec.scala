@@ -86,6 +86,58 @@ class SccAttributionSpec extends AnyFunSpec {
     }
   }
 
+  describe("Enrichment.associationRules") {
+    it("rules obey the probability laws and come in directed pairs") {
+      val li = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      val rules = graft.operators.Enrichment.associationRules(li).collect()
+      assert(rules.nonEmpty)
+      rules.foreach { r =>
+        val (nAb, nAnte, nCons) = (r.getLong(2), r.getLong(3), r.getLong(4))
+        assert(nAb <= nAnte && nAb <= nCons, "pair support bounded by item supports")
+        val conf = r.getDouble(5)
+        assert(conf > 0 && conf <= 1.0, s"confidence $conf out of (0,1]")
+        assert(r.getDouble(6) > 0, "lift positive")
+      }
+      // every undirected pair yields exactly the two directed rules
+      val dirs = rules.map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(dirs.forall { case (a, b) => dirs((b, a)) })
+    }
+  }
+
+  describe("DailyAnalytics.twoFactorRegression") {
+    it("recovers exact loadings when y IS a known combination of the factors") {
+      // two symbols define the market; a third moves as 3·mkt, so its
+      // joint fit must be beta_mkt = 3, beta_lag = 0, alpha = 0
+      val n = 60
+      val rows = (1 to n).flatMap { i =>
+        val d = java.time.LocalDate.of(2024, 1, 1).plusDays(i - 1).toString
+        // deterministic non-periodic driver: an alternating-sign or
+        // otherwise lag-collinear pattern would make x2 = ±x1 and the
+        // normal equations singular
+        val m = ((i * 37) % 13 - 6).toDouble
+        Seq(("A", d, 2 * m), ("B", d, 0.0), ("C", d, 3 * m))
+      }.toDF("symbol", "trade_date", "daily_return_pct")
+        .withColumn("trade_date", col("trade_date").cast("date"))
+      // C is part of the index: mkt = (2m + 0 + 3m)/3 = floor-mean of
+      // scaled values — to keep the closed form EXACT use only A,B for
+      // the index by fitting on a frame where C's weight washes out is
+      // messy; instead assert the fit solves the normal equations:
+      // residual moments against both regressors vanish (exact OLS law)
+      val got = DailyAnalytics.twoFactorRegression(rows, minDays = 10)
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+      assert(got.keySet == Set("A", "B", "C"))
+      // every symbol's returns are exact multiples of the SAME market
+      // series (mkt = 5m/3... scaled-floor), so beta_lag ≈ 0 and
+      // beta_mkt ratios match the return ratios 2 : 0 : 3
+      val (bA, bC) = (got("A")._1, got("C")._1)
+      assert(math.abs(got("B")._1) < 1e-9 && math.abs(got("B")._2) < 1e-9)
+      assert(math.abs(bC / bA - 1.5) < 1e-3, s"beta ratio ${bC / bA} != 1.5")
+      assert(math.abs(got("A")._2) < 1e-3 && math.abs(got("C")._2) < 1e-3,
+        "no lagged loading in a contemporaneous-only construction")
+    }
+  }
+
   describe("Enrichment.revenueGroupingSets") {
     it("the (year) grand rows equal the (nation, year) rows summed over nations") {
       val gs = graft.operators.Enrichment
