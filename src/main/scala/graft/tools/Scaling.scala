@@ -57,7 +57,12 @@ object Scaling {
     // attribution as-of joins the full event stream to itself
     ("q_attribution",         "events",     10.0),
     // two LPA rounds = two message-passing joins, linear in |E|
-    ("q_communities",         "lineitem",   10.0))
+    ("q_communities",         "lineitem",   10.0),
+    // round-13: SCC is 2 phases × 2×6 bounded message-passing rounds,
+    // linear in |E|; association rules self-join on the order key with
+    // per-order fan-out bounded by basket width²
+    ("q_scc",                 "lineitem",   10.0),
+    ("q_assoc_rules",         "lineitem",   10.0))
 
   final case class Growth(name: String, table: String, inputGrowth: Double,
                           tSmall: Double, tLarge: Double) {
@@ -148,9 +153,20 @@ object ScalingBench {
     val rows = Scaling.measure(spark, Scaling.scaleSensitive,
       "/root/testdata/sf0.01", "/root/testdata/sf0.1", trials)
     val md = Scaling.markdown(rows, trials, cpus)
-    java.nio.file.Files.write(java.nio.file.Paths.get("SCALING.md"),
-      md.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    print(md)
+    // preserve CompositeScalingBench's generated section: this tool
+    // owns only the head table, and a full-file write would silently
+    // drop the composite rows whenever the two tools run out of order
+    val path = java.nio.file.Paths.get("SCALING.md")
+    val existing =
+      if (java.nio.file.Files.exists(path))
+        new String(java.nio.file.Files.readAllBytes(path),
+          java.nio.charset.StandardCharsets.UTF_8)
+      else ""
+    val begin = existing.indexOf(CompositeScalingBench.BeginMarker)
+    val out = if (begin >= 0) md + "\n" + existing.substring(begin) else md
+    java.nio.file.Files.write(path,
+      out.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    print(out)
     val worst = rows.maxBy(r => r.ratio / r.bound)
     println(f"""{"metric":"scaling_worst","query":"${worst.name}","ratio":${worst.ratio}%.2f,"bound":${worst.bound}%.0f,"all_ok":${rows.forall(_.ok)}}""")
     spark.stop()
