@@ -2685,7 +2685,7 @@ object OracleSql {
          |  SELECT b.vec_id AS query_id, a.vec_id AS corpus_id,
          |    ${cosExpr(pairDot, "a.nq", "b.nq")} AS cosine
          |  FROM en a, en b
-         |  WHERE b.vec_id % 50 = 0 AND b.vec_id != a.vec_id
+         |  WHERE b.vec_id % 50 = 0 AND b.vec_id < 500 AND b.vec_id != a.vec_id
          |),
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rn FROM sc)
          |SELECT query_id, corpus_id, cosine, CAST(rn AS INTEGER) AS rank
@@ -2701,7 +2701,7 @@ object OracleSql {
          |  SELECT b.vec_id AS query_id, a.vec_id AS corpus_id,
          |    ${cosExpr(pairDot, "a.nq", "b.nq")} AS cosine
          |  FROM en a, en b
-         |  WHERE b.vec_id % 50 = 0 AND b.vec_id != a.vec_id
+         |  WHERE b.vec_id % 50 = 0 AND b.vec_id < 500 AND b.vec_id != a.vec_id
          |),
          |f AS (SELECT * FROM sc WHERE cosine < 0.40),
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rn FROM f)
@@ -2724,7 +2724,7 @@ object OracleSql {
          |  SELECT b.vec_id AS query_id, a.vec_id AS corpus_id,
          |    ${cosExpr(pairDot, "a.nq", "b.nq")} AS cosine
          |  FROM bk a JOIN bk b ON a.bucket = b.bucket
-         |  WHERE b.vec_id % 50 = 0 AND b.vec_id != a.vec_id
+         |  WHERE b.vec_id % 50 = 0 AND b.vec_id < 500 AND b.vec_id != a.vec_id
          |),
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rn FROM sc)
          |SELECT query_id, corpus_id, cosine, CAST(rn AS INTEGER) AS rank
@@ -2745,7 +2745,7 @@ object OracleSql {
          |  SELECT b.vec_id AS query_id, a.vec_id AS corpus_id,
          |    ${cosExpr(pairDot, "a.nq", "b.nq")} AS cosine
          |  FROM en a, en b
-         |  WHERE b.vec_id % 50 = 0 AND b.vec_id != a.vec_id
+         |  WHERE b.vec_id % 50 = 0 AND b.vec_id < 500 AND b.vec_id != a.vec_id
          |),
          |ex AS (
          |  SELECT query_id, corpus_id FROM (
@@ -2761,7 +2761,7 @@ object OracleSql {
          |  SELECT b.vec_id AS query_id, a.vec_id AS corpus_id,
          |    ${cosExpr(pairDot, "a.nq", "b.nq")} AS cosine
          |  FROM bk a JOIN bk b ON a.bucket = b.bucket
-         |  WHERE b.vec_id % 50 = 0 AND b.vec_id != a.vec_id
+         |  WHERE b.vec_id % 50 = 0 AND b.vec_id < 500 AND b.vec_id != a.vec_id
          |),
          |ap AS (
          |  SELECT query_id, corpus_id FROM (
@@ -2799,7 +2799,7 @@ object OracleSql {
          |  SELECT b.vec_id AS query_id, a.vec_id AS corpus_id,
          |    ${cosExpr(pairDot, "a.nq", "b.nq")} AS cosine
          |  FROM en a, en b
-         |  WHERE b.vec_id % 50 = 0 AND b.vec_id != a.vec_id
+         |  WHERE b.vec_id % 50 = 0 AND b.vec_id < 500 AND b.vec_id != a.vec_id
          |),
          |ex AS (
          |  SELECT query_id, corpus_id, rn AS erank, 11 - rn AS rel FROM (
@@ -2816,7 +2816,7 @@ object OracleSql {
          |  SELECT b.vec_id AS query_id, a.vec_id AS corpus_id,
          |    ${cosExpr(pairDot, "a.nq", "b.nq")} AS cosine
          |  FROM bk a JOIN bk b ON a.bucket = b.bucket
-         |  WHERE b.vec_id % 50 = 0 AND b.vec_id != a.vec_id
+         |  WHERE b.vec_id % 50 = 0 AND b.vec_id < 500 AND b.vec_id != a.vec_id
          |),
          |ap AS (
          |  SELECT query_id, corpus_id, rn AS arank FROM (
@@ -2876,7 +2876,7 @@ object OracleSql {
            |)""".stripMargin
       }.mkString(",\n")
       s"""WITH $embSql,
-         |q AS (SELECT vec_id, vq, nq FROM en WHERE vec_id % 25 = 0),
+         |q AS (SELECT vec_id, vq, nq FROM en WHERE vec_id % 25 = 0 AND vec_id < 500),
          |ex AS (
          |  SELECT query_id, corpus_id FROM (
          |    SELECT b.vec_id AS query_id, a.vec_id AS corpus_id,
@@ -5468,7 +5468,7 @@ object OracleSql {
          |  FROM dist
          |),
          |ca AS (SELECT vec_id, vq, nq, cell FROM ranked WHERE rn = 1),
-         |qa AS (SELECT vec_id, vq, nq, cell FROM ranked WHERE rn <= 2 AND vec_id % 50 = 0),
+         |qa AS (SELECT vec_id, vq, nq, cell FROM ranked WHERE rn <= 2 AND vec_id % 50 = 0 AND vec_id < 500),
          |sc AS (
          |  SELECT DISTINCT b.vec_id AS query_id, a.vec_id AS corpus_id,
          |    ${cosExpr(pairDot, "a.nq", "b.nq")} AS cosine
@@ -5494,7 +5494,7 @@ object OracleSql {
          |  FROM dist2
          |),
          |ca AS (SELECT vec_id, vq, nq, cell FROM ranked2 WHERE rn = 1),
-         |qa AS (SELECT vec_id, vq, nq, cell FROM ranked2 WHERE rn <= 2 AND vec_id % 50 = 0),
+         |qa AS (SELECT vec_id, vq, nq, cell FROM ranked2 WHERE rn <= 2 AND vec_id % 50 = 0 AND vec_id < 500),
          |sc AS (
          |  SELECT DISTINCT b.vec_id AS query_id, a.vec_id AS corpus_id,
          |    ${cosExpr(pairDot, "a.nq", "b.nq")} AS cosine
@@ -6880,7 +6880,7 @@ object OracleSql {
          |score AS (
          |  SELECT qd.vec_id AS query_id, c.vec_id AS corpus_id, CAST(SUM(qd.d) AS BIGINT) AS adc_dist
          |  FROM codes c JOIN subdist qd ON qd.s = c.s AND qd.j = c.code
-         |  WHERE qd.vec_id % 50 = 0 AND qd.vec_id <> c.vec_id
+         |  WHERE qd.vec_id % 50 = 0 AND qd.vec_id < 500 AND qd.vec_id <> c.vec_id
          |  GROUP BY qd.vec_id, c.vec_id
          |),
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist, corpus_id) AS rn FROM score)

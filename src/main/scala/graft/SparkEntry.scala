@@ -1412,9 +1412,30 @@ object SparkEntry {
       maxHamming = 3, bands = 4)
       .orderBy("id1", "id2")
 
+  /** FIXED retrieval-evaluation panel: every embedding-retrieval lane
+    * (brute baseline, ANN variants, recall/nDCG/MRL eval) issues its
+    * queries from this set — `vec_id % modulus == 0` capped at
+    * `vec_id < 500`, i.e. the sf0.01 panel frozen across scale
+    * factors. Two reasons, both scale-architecture:
+    *
+    *  - retrieval quality is measured against a BENCHMARK query set;
+    *    a panel that grows with the corpus conflates "corpus got
+    *    bigger" with "queries got more numerous", and
+    *  - brute-force exact ranking is O(panel × corpus) — linear in
+    *    the corpus for a fixed panel, quadratic for a proportional
+    *    one. The r13 ScalingSpec run caught exactly that: uncapped,
+    *    q_retrieval_ndcg's work grew 16× on a 4× corpus.
+    *
+    * All vec_ids at sf0.01 are < 500, so the cap changes nothing at
+    * the correctness gate's scale factor; at larger SFs the panel
+    * stays 10 (modulus 50) / 20 (modulus 25) queries while the corpus
+    * side keeps growing. Oracle mirrors carry the same predicate. */
+  private def evalPanel(emb: DataFrame, modulus: Int = 50): DataFrame =
+    emb.filter(col("vec_id") % modulus === 0 && col("vec_id") < 500)
+
   private def qSimTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") % 50 === 0),
+    Similarity.bruteForceTopK(emb, evalPanel(emb),
       "vec_id", "embedding", k = 5)
       .orderBy("query_id", "rank")
   }
@@ -1428,14 +1449,14 @@ object SparkEntry {
     * exercise the cut — production near-dup bands sit at ~0.9. */
   private def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    Similarity.hardNegatives(emb, emb.filter(col("vec_id") % 50 === 0),
+    Similarity.hardNegatives(emb, evalPanel(emb),
       "vec_id", "embedding", k = 5, dupThreshold = 0.40)
       .orderBy("query_id", "rank")
   }
 
   private def qSimAnnLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    Similarity.annTopK(emb, emb.filter(col("vec_id") % 50 === 0),
+    Similarity.annTopK(emb, evalPanel(emb),
       "vec_id", "embedding", k = 5, numPlanes = 6)
       .orderBy("query_id", "rank")
   }
@@ -1449,7 +1470,7 @@ object SparkEntry {
     // otherwise re-scan the parquet six times (recall is typically
     // measured on a sample, so the staged panel is bounded)
     val emb = Tables.embeddings(s, dir).snapshot()
-    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val queries = evalPanel(emb)
     Similarity.recallAtK(
       Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5),
       Similarity.annTopK(emb, queries, "vec_id", "embedding", k = 5, numPlanes = 6))
@@ -1464,7 +1485,7 @@ object SparkEntry {
     * literals). */
   private def qRetrievalNdcg(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir).snapshot()
-    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val queries = evalPanel(emb)
     Similarity.rankedEval(
       Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10),
       Similarity.annTopK(emb, queries, "vec_id", "embedding", k = 10, numPlanes = 6),
@@ -1477,7 +1498,7 @@ object SparkEntry {
     * per dim — the truncate-how-far gauge for MRL embeddings. */
   private def qMrlRecall(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir).snapshot()
-    val queries = emb.filter(col("vec_id") % 25 === 0)
+    val queries = evalPanel(emb, modulus = 25)
     Similarity.mrlTruncationSweep(emb, queries, "vec_id", "embedding",
       k = 5, dims = Seq(8, 16, 32, 64))
   }
@@ -1514,7 +1535,7 @@ object SparkEntry {
     * SimilaritySpec. */
   private def qSimIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 50 === 0),
+    Similarity.ivfTopK(emb, evalPanel(emb),
       "vec_id", "embedding", k = 5, numCells = 16, nprobe = 2)
       .orderBy("query_id", "rank")
   }
@@ -1523,7 +1544,7 @@ object SparkEntry {
     * variant of q_sim_ivf, end-to-end under one oracle. */
   private def qSimIvfRefined(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 50 === 0),
+    Similarity.ivfTopK(emb, evalPanel(emb),
       "vec_id", "embedding", k = 5, numCells = 16, nprobe = 2, refineIters = 1)
       .orderBy("query_id", "rank")
   }
@@ -3181,7 +3202,7 @@ object SparkEntry {
     * as q_sim_ivf. */
   private def qSimPq(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    Similarity.pqTopK(emb, emb.filter(col("vec_id") % 50 === 0),
+    Similarity.pqTopK(emb, evalPanel(emb),
       "vec_id", "embedding", k = 5, m = 32, ksub = 16, dim = 64, refineIters = 1)
       .orderBy("query_id", "rank")
   }

@@ -96,10 +96,18 @@ object Scaling {
       queries.foreach { case (n, _, _) =>
         try timed(n, warmDir) catch { case _: Throwable => () }
       }
+    // Same dead-block discipline as Bench: snapshot() panels from the
+    // previous query (or, in-suite, from 400 earlier tests on the
+    // shared session) are unpersisted only after a GC notices their
+    // references died; without this the LARGE-side trials of later
+    // queries run with squeezed execution memory and the growth ratio
+    // measures memory pressure, not the plan (r13 in-suite flake:
+    // q_retrieval_ndcg 0.36 s isolated vs 2.77 s mid-suite).
+    def gcThen(t: => Double): Double = { System.gc(); t }
     val small = queries.map { case (n, _, _) =>
-      n -> (1 to trials).map(_ => timed(n, smallDir)).min }.toMap
+      n -> gcThen((1 to trials).map(_ => timed(n, smallDir)).min) }.toMap
     val large = queries.map { case (n, _, _) =>
-      n -> (1 to trials).map(_ => timed(n, largeDir)).min }.toMap
+      n -> gcThen((1 to trials).map(_ => timed(n, largeDir)).min) }.toMap
     queries.map { case (n, t, g) => Growth(n, t, g, small(n), large(n)) }
     } finally prevMarts match {
       case Some(v) => spark.conf.set("graft.marts.materialize", v)
