@@ -1899,17 +1899,10 @@ object SparkEntry {
     * sit in mutually-reachable "bought before and after" cycles.
     * Bounded FW-BW coloring — the directed sibling of q_dedup_groups. */
   private def qScc(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
-    // the >= 35 quantity screen keeps the graph near its percolation
-    // point (full lineitem is so dense every part lands in ONE giant
-    // SCC — a correct but structureless answer)
-    val e = Tables.lineitem(s, dir)
-      .filter(col("l_quantity") >= 35)
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
-      .withColumn("dst", lead(col("l_partkey"), 1).over(w))
-      .filter(col("dst").isNotNull && col("dst") =!= col("l_partkey"))
-      .select(col("l_partkey").as("src"), col("dst"))
+    // the >= 35 quantity screen (inside the mart) keeps the graph near
+    // its percolation point (full lineitem is so dense every part
+    // lands in ONE giant SCC — a correct but structureless answer)
+    val e = Marts.sequenceEdges(s, dir)
     val comp = Graph.stronglyConnected(e, "src", "dst", rounds = 6)
     val sizes = comp.groupBy("scc_id").agg(count(lit(1)).as("n_members"))
       .filter(col("n_members") >= 2)

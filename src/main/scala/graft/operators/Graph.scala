@@ -443,15 +443,23 @@ object Graph {
     var remaining = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
       .distinct()
     val resolved = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    for (p <- 1 to phases) {
+    var p = 1
+    var settled = false
+    while (p <= phases && !settled) {
       // forward min-label: f(v) = min id reaching v within `rounds` hops
+      // Snapshot every THIRD round, not every other: each eager
+      // snapshot is its own job, and on bounded-round loops the fixed
+      // job overhead (schedule + checkpoint write) dominates the tiny
+      // per-round data — r13 probe: 24 rounds ≈ 0.25-0.5 s each at
+      // sf0.1, nearly all overhead. Three chained rounds ≈ 9 operators
+      // of lineage, still flat enough for Catalyst.
       var f = remaining.withColumn("f", col("id"))
       for (r <- 1 to rounds) {
         val msg = e.join(f.select(col("id").as("src"), col("f")), "src")
           .groupBy(col("dst").as("id")).agg(min(col("f")).as("mf"))
         val next = f.join(msg, Seq("id"), "left")
           .select(col("id"), least(col("f"), coalesce(col("mf"), col("f"))).as("f"))
-        f = if (r % 2 == 0 || r == rounds) next.snapshot() else next
+        f = if (r % 3 == 0 || r == rounds) next.snapshot() else next
       }
       // color-restricted edges: both endpoints share the forward color
       val ce = e
@@ -470,7 +478,7 @@ object Graph {
         val next = reach.join(msg, Seq("id"), "left")
           .select(col("id"), col("f"),
             (col("rc") || coalesce(col("hit"), lit(false))).as("rc"))
-        reach = if (r % 2 == 0 || r == rounds) next.snapshot() else next
+        reach = if (r % 3 == 0 || r == rounds) next.snapshot() else next
       }
       val confirmed = reach.filter(col("rc"))
         .select(col("id"), col("f").as("scc_id"))
@@ -481,12 +489,18 @@ object Graph {
       } else {
         resolved += confirmed.snapshot()
         remaining = reach.filter(!col("rc")).select(col("id")).snapshot()
-        e = e
+        // nothing unresolved: every later phase would run its rounds
+        // on empty frames and contribute zero rows — identical result
+        // (the oracle's unrolled later phases are no-ops on the same
+        // empty remainder), so skip the empty phases
+        if (remaining.isEmpty) settled = true
+        else e = e
           .join(remaining.select(col("id").as("src")), Seq("src"), "left_semi")
           .join(remaining.select(col("id").as("dst")), Seq("dst"), "left_semi")
           .select(col("src"), col("dst"))
           .snapshot()
       }
+      p += 1
     }
     resolved.reduce(_ union _)
   }

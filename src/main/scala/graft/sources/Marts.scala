@@ -88,6 +88,26 @@ object Marts {
         .filter(col("n") >= 2)
     }
 
+  /** Directed intra-order part SEQUENCE edge list (silver): part on
+    * line k → part on line k+1 within each order, restricted to
+    * quantity ≥ 35 line items (the percolation screen q_scc documents
+    * — unscreened, the graph collapses into one giant SCC). The
+    * lineitem scan + per-order window is the expensive prep of the
+    * directed-graph lane; materialized once like [[copurchasePairs]]. */
+  def sequenceEdges(s: SparkSession, dir: String): DataFrame =
+    materialized(s, s"$dir/lineitem.parquet", "sequence_edges") {
+      import org.apache.spark.sql.functions._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+      Tables.lineitem(s, dir)
+        .filter(col("l_quantity") >= 35)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        .withColumn("dst", lead(col("l_partkey"), 1).over(w))
+        .filter(col("dst").isNotNull && col("dst") =!= col("l_partkey"))
+        .select(col("l_partkey").as("src"), col("dst"))
+        .distinct()
+    }
+
   private def materialized(s: SparkSession, srcPath: String, name: String)(
       build: => DataFrame): DataFrame =
     materialized(s, Seq(srcPath), name)(build)

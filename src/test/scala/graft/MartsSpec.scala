@@ -57,6 +57,8 @@ class MartsSpec extends AnyFunSpec {
         recomputed(Marts.bipartiteEdges(spark, dir)))
       assert(rows(Marts.copurchasePairs(spark, dir)) ===
         recomputed(Marts.copurchasePairs(spark, dir)))
+      assert(rows(Marts.sequenceEdges(spark, dir)) ===
+        recomputed(Marts.sequenceEdges(spark, dir)))
       // the multi-source mart serves from its cache on the second read
       val files = Marts.bipartiteEdges(spark, dir).inputFiles.toSet
       assert(files.nonEmpty && files.forall(_.contains("graft_mart_bipartite_edges_")))
