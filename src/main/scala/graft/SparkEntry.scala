@@ -296,7 +296,11 @@ object SparkEntry {
       .as[(String, Long, Long)]
     val updates = TickStream.cusumMonitor(input,
       target = 5000L, slack = 200L, threshold = 150000L)
-    withStatePartitions(s, 4) {
+    // 2 state partitions, not 4: the keyed monitors hold one state row
+    // per symbol (5 here) — every extra partition is a RocksDB store
+    // instance opened+committed per micro-batch for zero keys. (The
+    // joins/windows keep 4: their state is row-granular.)
+    withStatePartitions(s, 2) {
       val q = TickStream.upsertSink(updates.toDF(), s"$out/table", s"$out/ckpt",
           Seq("symbol"), "n_events")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -333,7 +337,7 @@ object SparkEntry {
         scaled(col("value"), 2).as("x2"))
       .as[(String, Long, Long)]
     val updates = TickStream.ewmaMonitor(input)
-    withStatePartitions(s, 4) {
+    withStatePartitions(s, 2) {
       val q = TickStream.upsertSink(updates.toDF(), s"$out/table", s"$out/ckpt",
           Seq("symbol"), "n_events")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -366,7 +370,7 @@ object SparkEntry {
         scaled(col("value"), 2).as("v2"))
       .as[(String, Long, Long)]
     val updates = TickStream.abMonitor(typed)
-    withStatePartitions(s, 4) {
+    withStatePartitions(s, 2) {
       val q = TickStream.upsertSink(updates.toDF(), s"$out/table", s"$out/ckpt",
           Seq("metric"), "n_total")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
