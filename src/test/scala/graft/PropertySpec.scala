@@ -403,5 +403,83 @@ class PropertySpec extends AnyFunSpec {
       assert(base.nonEmpty && base == shuffled,
         "naive Bayes output changed under input permutation/repartition")
     }
+
+    it("SCC output is a partition whose group label is the min member") {
+      import graft.operators.Graph
+      // random planted instance: one directed cycle (the only SCC,
+      // radius ≤ 4 < rounds) + acyclic forward tail edges off it
+      val cases = sampled(for {
+        m    <- Gen.choose(2, 5)            // cycle size
+        tail <- Gen.choose(0, 6)            // acyclic tail length
+        skip <- Gen.choose(1, 3)            // extra forward (acyclic) chords
+      } yield (m, tail, skip), 12)
+      cases.foreach { case (m, tail, skip) =>
+        val cycle = (0 until m).map(i => (i.toLong, ((i + 1) % m).toLong))
+        val chain = (0 until tail).map(i => ((m + i - 1).max(m - 1).toLong, (m + i).toLong))
+        val chords = (0 until tail - skip).map(i => ((m + i).toLong, (m + i + skip).toLong))
+        val edges = (cycle ++ chain ++ chords).toDF("src", "dst")
+        val out = Graph.stronglyConnected(edges, "src", "dst", rounds = 6)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val nodes = (cycle ++ chain ++ chords).flatMap(e => Seq(e._1, e._2)).distinct
+        // partition: every node labeled exactly once
+        assert(out.map(_._1).sorted.toSeq == nodes.sorted.toSeq,
+          s"not a partition (m=$m tail=$tail skip=$skip)")
+        val groups = out.groupBy(_._2).map { case (id, ms) => id -> ms.map(_._1).toSet }
+        // group label = min member, label is itself a member
+        groups.foreach { case (id, ms) =>
+          assert(ms.contains(id) && id == ms.min,
+            s"scc_id $id not min-member of $ms (m=$m tail=$tail skip=$skip)")
+        }
+        // the planted cycle is the unique non-singleton component
+        assert(groups(0L) == (0L until m).toSet,
+          s"planted cycle not recovered (m=$m tail=$tail skip=$skip)")
+        assert(groups.forall { case (id, ms) => id == 0L || ms.size == 1 },
+          s"spurious non-singleton SCC (m=$m tail=$tail skip=$skip)")
+      }
+    }
+
+    it("association rules: bounded confidence, symmetric rule set, symmetric lift") {
+      import graft.operators.Enrichment
+      val rows = sampled(for {
+        oid  <- Gen.choose(0L, 19L)
+        item <- Gen.choose(0L, 7L)
+      } yield (oid, item), 300)
+      val li = rows.toDF("l_orderkey", "l_partkey")
+      val rules = Enrichment.associationRules(li)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)),
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))))
+        .toMap
+      assert(rules.nonEmpty, "generator produced no co-purchase pairs")
+      rules.foreach { case ((a, b), (nab, nante, ncons, conf, lift)) =>
+        assert(nab <= math.min(nante, ncons), s"support bound violated for ($a,$b)")
+        assert(conf > 0.0 && conf <= 1.0, s"confidence out of (0,1] for ($a,$b): $conf")
+        val rev = rules.get((b, a))
+        assert(rev.isDefined, s"rule ($a,$b) lacks its reverse")
+        // lift is symmetric in (a,b); both sides round through rd(4)
+        assert(math.abs(lift - rev.get._5) <= 2e-4,
+          s"lift asymmetry for ($a,$b): $lift vs ${rev.get._5}")
+      }
+    }
+
+    it("personalized PageRank conserves bounded non-negative mass on the seeds' graph") {
+      import graft.operators.Graph
+      val scale = 1000000000000L
+      val cases = sampled(for {
+        n     <- Gen.choose(4, 12)
+        extra <- Gen.choose(0, 10)
+      } yield (n, extra), 8)
+      cases.foreach { case (n, extra) =>
+        val ring = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong))
+        val chords = (0 until extra).map(i =>
+          ((i * 7 % n).toLong, ((i * 11 + 3) % n).toLong))
+        val edges = (ring ++ chords).toDF("src", "dst")
+        val seeds = Seq(0L, (n / 2).toLong).toDF("id")
+        val ranks = Graph.personalizedPageRank(edges, "src", "dst", seeds, iters = 3)
+          .collect().map(_.getLong(1))
+        assert(ranks.forall(_ >= 0L), s"negative rank (n=$n extra=$extra)")
+        // integer div truncation + dangling loss only ever REMOVE mass
+        assert(ranks.sum <= scale, s"mass grew past scale (n=$n extra=$extra)")
+      }
+    }
   }
 }
