@@ -354,14 +354,28 @@ object DailyAnalytics {
   def pairCorrelation(returns: DataFrame, minDays: Int = 30): DataFrame =
     pairCorrelationFromReduced(reducedReturns(returns), minDays)
 
-  /** Symbol-block count for the 2-D blocked pair join: per-task
-    * aggregation state is bounded by (S/B)² per block-pair instead of
-    * S² per date, which is what keeps the hash aggregate map-side at
-    * ANY symbol cardinality. Measured failure mode without blocking
-    * (K=10 entity composite, S=1 000): the date-partitioned agg's map
-    * starves, Spark falls back to sort-based aggregation, and the RAW
-    * S²·D fan-out (~5.7 B rows, ~10² GB) spills to disk. */
-  private val PairBlocks = 4
+  /** Symbol-block count for the 2-D blocked pair join, ADAPTIVE in the
+    * measured symbol cardinality S: per-task aggregation state is
+    * bounded by (S/B)² per block-pair instead of S² per date, which is
+    * what keeps the hash aggregate map-side at ANY symbol cardinality.
+    * Measured failure mode without blocking (K=10 entity composite,
+    * S=1 000): the date-partitioned agg's map starves, Spark falls
+    * back to sort-based aggregation, and the RAW S²·D fan-out
+    * (~5.7 B rows, ~10² GB) spills to disk.
+    *
+    * Blocking is replication: each side shuffles B copies, so paying
+    * B=4 on a 100-symbol panel buys key-space bounding the panel never
+    * needed (S²·G/parts ≈ 2 500 keys/task fits any hash agg) at ~0.5 s
+    * per lane at sf0.1. B therefore derives from S — 1 while the
+    * unblocked per-task key space is safely map-side (S ≤ 512 ⇒
+    * ≤ 65 K keys/task at the 32/8 dials), then ⌈S/256⌉ capped at 8
+    * (S=1 000 ⇒ 4, the composite-probe-validated setting). Blocking is
+    * a PHYSICAL partitioning strategy — every (s1,s2) pair still
+    * matches exactly once at any B, so results are bit-identical and
+    * the oracle is untouched; the one extra driver-side scalar is a
+    * distinct-count on the already-checkpointed reduced panel. */
+  private def pairBlocks(symbols: Long): Int =
+    if (symbols <= 512) 1 else math.min(8, math.ceil(symbols / 256.0).toInt)
 
   /** Date-group count: adds partition-dial parallelism WITHOUT extra
     * replication (B²·G hash groups feed the cores) while keeping the
@@ -391,7 +405,7 @@ object DailyAnalytics {
     // joins as a derived key so the subset partitioning is legal; the
     // explicit count defeats AQE's byte-based coalescing (tiny-BYTES
     // frame, CPU-bound fan-out; PlanSpec-pinned behavior).
-    val B = PairBlocks
+    val B = pairBlocks(r.select("symbol").distinct().count())
     val G = PairDateGroups
     val parts = r.sparkSession.sessionState.conf.numShufflePartitions
     val bvals = array((0 until B).map(lit): _*)
