@@ -128,11 +128,21 @@ object Marts {
     val marker = new java.io.File(target, "_MART")
     this.synchronized {
       if (!marker.exists) {
-        // drop stale caches of THIS mart (older content keys/versions;
-        // .build dirs from a killed run are stale by definition)
-        Option(target.getParentFile.listFiles()).getOrElse(Array.empty)
+        // Evict stale caches of THIS mart, keeping the newest few
+        // content keys: several inputs legitimately coexist (the three
+        // sf dirs, a composite amplification), and evicting every
+        // other key on each build made alternating workloads thrash —
+        // a composite run would delete all sf0.1 marts, so the next
+        // bench rebuilt them. Old VERSIONS and .build dirs from a
+        // killed run are stale by definition and always go.
+        val siblings = Option(target.getParentFile.listFiles())
+          .getOrElse(Array.empty)
           .filter(f => f.isDirectory && f.getName != target.getName
             && f.getName.startsWith(s"graft_mart_${name}_"))
+        val (current, stale) = siblings.partition(f =>
+          f.getName.startsWith(prefix) && !f.getName.contains(".build"))
+        stale.foreach(f => graft.SparkEntry.deleteDir(f.toString))
+        current.sortBy(-_.lastModified()).drop(5)
           .foreach(f => graft.SparkEntry.deleteDir(f.toString))
         // build into a pid-suffixed temp dir, publish by ATOMIC rename:
         // a concurrent JVM building the same mart cannot interleave

@@ -39,6 +39,17 @@ class MartsSpec extends AnyFunSpec {
       assert(files2 === files1)
     }
 
+    it("marts for different inputs coexist (no cross-key eviction)") {
+      // building the same mart for ANOTHER sf dir must not evict this
+      // one — the r13 thrash: a composite build deleted every sf0.1
+      // mart, so the next bench paid a rebuild per mart consumer
+      val files1 = Marts.dailyBars(spark, dir).inputFiles.toSet
+      assume(new java.io.File("/root/testdata/sf0.01").isDirectory)
+      Marts.dailyBars(spark, "/root/testdata/sf0.01").count()
+      assert(Marts.dailyBars(spark, dir).inputFiles.toSet === files1,
+        "building a second content key evicted the first")
+    }
+
     it("kill-switch graft.marts.materialize=false recomputes from raw") {
       spark.conf.set("graft.marts.materialize", "false")
       try {
