@@ -374,7 +374,7 @@ object DailyAnalytics {
     * matches exactly once at any B, so results are bit-identical and
     * the oracle is untouched; the one extra driver-side scalar is a
     * distinct-count on the already-checkpointed reduced panel. */
-  private def pairBlocks(symbols: Long): Int =
+  private[graft] def pairBlocks(symbols: Long): Int =
     if (symbols <= 512) 1 else math.min(8, math.ceil(symbols / 256.0).toInt)
 
   /** Date-group count: adds partition-dial parallelism WITHOUT extra

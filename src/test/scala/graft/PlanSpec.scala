@@ -204,6 +204,27 @@ class PlanSpec extends AnyFunSpec {
       assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
     }
 
+    it("the fixed eval panel's cap reaches the embeddings scan (PushedFilters)") {
+      // the panel predicate (vec_id % 50 = 0 AND vec_id < 500) is what
+      // keeps brute-force eval linear in the corpus — the CAP must
+      // prune at the scan, not post-scan (the modulus can't push down,
+      // the range can and does)
+      val p = plan(SparkEntry.queries("q_sim_topk")(spark, dir))
+      assert(p.contains("LessThan(vec_id,500)"),
+        "vec_id < 500 did not reach the parquet scan:\n" + p.take(2000))
+    }
+
+    it("the pair-join block dial follows the measured regimes") {
+      // 1 while the unblocked key space is map-side; 4 at sf0.1's
+      // S=1000 (B=2 measured ~45% slower — too few join groups); 8 at
+      // the 10x composite's S=10,000 (composite-probe-validated)
+      assert(DailyAnalytics.pairBlocks(100) == 1)
+      assert(DailyAnalytics.pairBlocks(512) == 1)
+      assert(DailyAnalytics.pairBlocks(1000) == 4)
+      assert(DailyAnalytics.pairBlocks(10000) == 8)
+      assert(DailyAnalytics.pairBlocks(1000000) == 8) // capped
+    }
+
     it("the fused mart computes all window frames over ONE exchange") {
       val df = DailyAnalytics.martStockPerformance(Adapters.dailyBars(spark, dir))
       val exchanges = "Exchange hashpartitioning".r.findAllIn(plan(df)).size
