@@ -405,6 +405,17 @@ object DailyAnalytics {
     // joins as a derived key so the subset partitioning is legal; the
     // explicit count defeats AQE's byte-based coalescing (tiny-BYTES
     // frame, CPU-bound fan-out; PlanSpec-pinned behavior).
+    // This distinct-count is an EAGER action at DataFrame-construction
+    // time — safe only because the input is a materialized snapshot
+    // (both callers pass the snapshot'd reduced panel). Guard the
+    // contract: an un-checkpointed frame here would silently pay a
+    // full upstream recompute just to size the block dial, and would
+    // make plan-only inspection trigger a job.
+    require(r.queryExecution.logical.collectFirst {
+      case _: org.apache.spark.sql.execution.LogicalRDD => ()
+    }.isDefined,
+      "pairCorrelationFromReduced: input must be a materialized snapshot " +
+        "(Staging.snapshot) — the block dial runs an eager distinct-count on it")
     val B = pairBlocks(r.select("symbol").distinct().count())
     val G = PairDateGroups
     val parts = r.sparkSession.sessionState.conf.numShufflePartitions

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.functions.Funcs.{nullifZero, rd}
+import graft.sources.Staging
 import graft.sources.Staging.Snapshottable
 
 /** Link-analysis operators over relational edge lists.
@@ -11,8 +12,34 @@ import graft.sources.Staging.Snapshottable
   * corpus-level importance scoring (site/domain ranking feeds crawl
   * prioritization and quality weighting in pretraining pipelines —
   * the original application of PageRank, Brin & Page, WWW'98).
+  *
+  * Staging regime for the bounded-round loops: each loop probes the
+  * measured size of its NODE/LABEL frame ([[Staging.wantsPin]]) and
+  * picks per scale. Small labels (they broadcast) → plain snapshots;
+  * every per-round join broadcasts the label side and the edge frame
+  * never moves — the optimal small-data plan. Labels past the
+  * broadcast threshold → the loop pins hash layouts
+  * ([[Staging.snapshotKeyed]]) on its edge AND label frames once, and
+  * every round's join/aggregate then reuses the layout instead of
+  * re-exchanging — the optimal big-data plan (at 100 TB, one message
+  * shuffle per round instead of two-plus). Same code, both regimes.
   */
 object Graph {
+
+  /** Big-regime re-key: replace an existing snapshot with a pinned
+    * hash(keys) copy (one pass over its materialized blocks) and free
+    * the original. No-op in the broadcast regime. */
+  private def rekeyIf(big: Boolean, df: DataFrame, keys: String*): DataFrame =
+    if (!big) df else {
+      val keyed = Staging.snapshotKeyed(df, keys: _*)
+      Staging.release(df)
+      keyed
+    }
+
+  /** Loop-carried staging: pinned in the big regime, plain otherwise. */
+  private def stageIf(big: Boolean, df: DataFrame, keys: String*): DataFrame =
+    if (big) Staging.snapshotKeyed(df, keys: _*) else Staging.snapshot(df)
+
 
   /** Fixed-iteration PageRank in EXACT integer arithmetic.
     *
@@ -37,14 +64,17 @@ object Graph {
     */
   def pageRankScaled(edges: DataFrame, srcCol: String, dstCol: String,
                      iters: Int = 2, scale: Long = 1000000000000L): DataFrame = {
-    val e = edges
+    val e0 = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
       .distinct()
       .snapshot() // reused every iteration
-    val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+    val nodes0 = e0.select(col("src").as("id")).union(e0.select(col("dst").as("id")))
       .distinct()
-      .snapshot()
+      .snapshot() // joined on id twice per round; its size SETS the regime
+    val big = Staging.wantsPin(nodes0)
+    val e = rekeyIf(big, e0, "src") // per-round message join keys on src
+    val nodes = rekeyIf(big, nodes0, "id")
     val n = nodes.count()
     require(n > 0, "pageRankScaled: empty graph")
     val base = (3L * scale) / (20L * n) // 0.15 · scale / N, exact
@@ -58,7 +88,7 @@ object Graph {
       val next = nodes.join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
         .select(col("id"),
           (lit(base) + expr("17 * coalesce(in_sum, 0L) div 20")).as("rank"))
-      ranks = if (i % 2 == 0 && i < iters) next.snapshot() else next
+      ranks = if (i % 2 == 0 && i < iters) stageIf(big, next, "id") else next
     }
     ranks
   }
@@ -78,19 +108,22 @@ object Graph {
   def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
                            seeds: DataFrame, iters: Int = 2,
                            scale: Long = 1000000000000L): DataFrame = {
-    val e = edges
+    val e0 = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
       .distinct()
       .snapshot() // reused every iteration
-    val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+    val nodes0 = e0.select(col("src").as("id")).union(e0.select(col("dst").as("id")))
       .distinct()
-      .snapshot()
-    val seed = seeds
+      .snapshot() // joined on id twice per round; its size SETS the regime
+    val big = Staging.wantsPin(nodes0)
+    val e = rekeyIf(big, e0, "src") // per-round message join keys on src
+    val nodes = rekeyIf(big, nodes0, "id")
+    val seed = stageIf(big, seeds
       .select(col(seeds.columns.head).cast("long").as("id")).distinct()
       .join(nodes, "id") // off-graph seeds carry no walk mass
-      .withColumn("is_seed", lit(true))
-      .snapshot() // the restart flag joins in every iteration
+      .withColumn("is_seed", lit(true)),
+      "id") // the restart flag joins (on id) every iteration
     val ns = seed.count()
     require(ns > 0, "personalizedPageRank: no seeds present in the graph")
     val base = (3L * scale) / (20L * ns) // 0.15 · scale / |S|, exact
@@ -108,7 +141,7 @@ object Graph {
         .select(col("id"),
           (when(col("is_seed"), lit(base)).otherwise(lit(0L)) +
             expr("17 * coalesce(in_sum, 0L) div 20")).as("rank"))
-      ranks = if (i % 2 == 0 && i < iters) next.snapshot() else next
+      ranks = if (i % 2 == 0 && i < iters) stageIf(big, next, "id") else next
     }
     ranks
   }
@@ -148,12 +181,17 @@ object Graph {
     val oriented = withDeg
       .select(when(uFirst, col("u")).otherwise(col("v")).as("a"),
         when(uFirst, col("v")).otherwise(col("u")).as("b"))
-      .snapshot() // three plan appearances (2× wedge, closure)
-    val wedges = oriented
-      .join(oriented.select(col("a"), col("b").as("c")), "a")
+      .snapshot() // three plan appearances (2x wedge, closure)
+    // SELF-join staging: the wedge join's other side is this same frame,
+    // so the frame's own measured size is the regime probe — small
+    // oriented lists broadcast (AQE), big ones get the pinned hash(a)
+    // layout that makes both wedge sides exchange-free
+    val orientedStaged = rekeyIf(Staging.wantsPin(oriented), oriented, "a")
+    val wedges = orientedStaged
+      .join(orientedStaged.select(col("a"), col("b").as("c")), "a")
       .filter(col("b") =!= col("c"))
     val tri = wedges.join(
-      oriented.select(col("a").as("b"), col("b").as("c")), Seq("b", "c"), "left_semi")
+      orientedStaged.select(col("a").as("b"), col("b").as("c")), Seq("b", "c"), "left_semi")
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("triangles"))
   }
@@ -183,7 +221,7 @@ object Graph {
                        iters: Int = 2): DataFrame = {
     val M = 10000000L
     val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
-    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val sym0 = e.union(e.select(col("v").as("u"), col("u").as("v")))
       .distinct().snapshot()
     // the packed (count, label) argmax key is only injective for
     // 0 <= id < M; an out-of-domain id would silently corrupt labels,
@@ -193,8 +231,11 @@ object Graph {
       .otherwise(raise_error(concat(
         lit(s"labelPropagation: node id outside [0, $M): "),
         col("id").cast("string"))).cast("long"))
-    var labels = sym.select(col("u").as("id")).distinct()
+    var labels = sym0.select(col("u").as("id")).distinct()
       .withColumn("label", guarded)
+      .snapshot() // materialized to set the regime (labels = the join's small side)
+    val big = Staging.wantsPin(labels)
+    val sym = rekeyIf(big, sym0, "v") // the per-round message join keys on v
     for (_ <- 1 to iters) {
       labels = sym
         .join(labels.select(col("id").as("v"), col("label")), "v")
@@ -202,7 +243,8 @@ object Graph {
         .groupBy(col("u").as("id"))
         .agg(max(col("c") * M + (lit(M - 1) - col("label"))).as("key"))
         .select(col("id"), (lit(M - 1) - col("key") % M).as("label"))
-        .snapshot()
+      labels = stageIf(big, labels, "id") // renamed id->v next round; in
+      // the big regime the alias-preserved pin keeps the round exchange-free
     }
     labels
   }
@@ -231,21 +273,37 @@ object Graph {
       .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
       .distinct()
       .snapshot() // reused in every half-round
-    val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+    val nodes0 = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
       .distinct().snapshot()
+    val big = Staging.wantsPin(nodes0)
+    val nodes = rekeyIf(big, nodes0, "id")
+    // big regime: TWO pinned edge copies — the auth half-round joins
+    // edges on src, the hub half-round on dst; one extra pass over the
+    // materialized checkpoint each buys an exchange-free |E| side in
+    // both shapes. Broadcast regime: the score frames broadcast, the
+    // edge frame never moves, one copy suffices.
+    val eSrc = if (big) Staging.snapshotKeyed(e, "src") else e
+    val eDst = if (big) { val k = Staging.snapshotKeyed(e, "dst"); Staging.release(e); k } else e
     var hubs = nodes.select(col("id"), expr(dec).as("h"))
     var auths: DataFrame = null
     for (i <- 1 to iters) {
-      val a = e.join(hubs.withColumnRenamed("id", "src"), "src")
+      val a = eSrc.join(hubs.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(sum(col("h")).as("a"))
-      auths = nodes.join(a, Seq("id"), "left")
+      // measured staging (small regime): auths/hubs join the big edge
+      // side EVERY half-round, and the engine estimate for them is a
+      // join-output blowup — the measured size restores the static
+      // broadcast pick (HITS −40%, see Staging's object doc)
+      val aFrame = nodes.join(a, Seq("id"), "left")
         .select(col("id"), coalesce(col("a"), expr("CAST(0 AS DECIMAL(38,0))")).as("a"))
-        .snapshot() // feeds the hub half-round AND the final output
-      val h = e.join(auths.withColumnRenamed("id", "dst"), "dst")
+      auths = if (big) Staging.snapshotKeyed(aFrame, "id")
+        else Staging.snapshotMeasured(aFrame) // feeds hub half-round + output
+      val h = eDst.join(auths.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id")).agg(sum(col("a")).as("h"))
       hubs = nodes.join(h, Seq("id"), "left")
         .select(col("id"), coalesce(col("h"), expr("CAST(0 AS DECIMAL(38,0))")).as("h"))
-      if (i < iters) hubs = hubs.snapshot()
+      if (i < iters)
+        hubs = if (big) Staging.snapshotKeyed(hubs, "id")
+          else Staging.snapshotMeasured(hubs)
     }
     val totals = hubs.join(auths, "id")
       .agg(sum(col("h")).as("th"), sum(col("a")).as("ta"))
@@ -288,9 +346,12 @@ object Graph {
       .join(deg.filter(col("deg") <= cap && col("deg") >= 2), "w")
       .withColumn("wgt", floor(lit(1000000.0) / log(col("deg").cast("double")))
         .cast("long"))
-      .snapshot() // both sides of the wedge self-join
-    val wedges = apex.select(col("w"), col("n").as("a"), col("wgt"))
-      .join(apex.select(col("w"), col("n").as("b")), "w")
+      .snapshot()
+    // self-join staging, probed by the frame's own size (see
+    // triangleCounts) — degree-capped apexes usually stay broadcastable
+    val apexStaged = rekeyIf(Staging.wantsPin(apex), apex, "w")
+    val wedges = apexStaged.select(col("w"), col("n").as("a"), col("wgt"))
+      .join(apexStaged.select(col("w"), col("n").as("b")), "w")
       .filter(col("a") < col("b"))
     val scored = wedges.groupBy(col("a").as("u"), col("b").as("v"))
       .agg(sum(col("wgt")).as("score"), count(lit(1)).as("n_common"))
@@ -355,15 +416,23 @@ object Graph {
     val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
     var sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       .distinct().snapshot()
+    // Round 1's degree frame, hoisted: it is exactly the node-sized
+    // frame the semi joins broadcast in the small regime, so its
+    // measured size IS the regime probe — no extra work, round 1 needs
+    // it anyway.
+    val deg1 = sym.groupBy(col("u")).agg(count(lit(1)).as("deg")).snapshot()
+    val big = Staging.wantsPin(deg1)
+    sym = rekeyIf(big, sym, "u") // degree count + first semi join key on u
     for (r <- 1 to rounds) {
-      val keep = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      val keep = (if (r == 1) deg1
+        else sym.groupBy(col("u")).agg(count(lit(1)).as("deg")))
         .filter(col("deg") >= k)
         .select(col("u").as("kept"))
       val pruned = sym
         .join(keep.select(col("kept").as("u")), "u", "left_semi")
         .join(keep.select(col("kept").as("v")), "v", "left_semi")
         .select(col("u"), col("v"))
-      sym = if (r % 2 == 0 && r < rounds) pruned.snapshot() else pruned
+      sym = if (r % 2 == 0 && r < rounds) stageIf(big, pruned, "u") else pruned
     }
     sym.groupBy(col("u").as("id")).agg(count(lit(1)).as("degree"))
   }
@@ -442,6 +511,9 @@ object Graph {
       .snapshot() // reused every round, both passes
     var remaining = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
       .distinct()
+      .snapshot() // phase-1 label init + the regime probe
+    val big = Staging.wantsPin(remaining)
+    e = rekeyIf(big, e, "src") // forward rounds join edges on src
     val resolved = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var p = 1
     var settled = false
@@ -459,15 +531,15 @@ object Graph {
           .groupBy(col("dst").as("id")).agg(min(col("f")).as("mf"))
         val next = f.join(msg, Seq("id"), "left")
           .select(col("id"), least(col("f"), coalesce(col("mf"), col("f"))).as("f"))
-        f = if (r % 3 == 0 || r == rounds) next.snapshot() else next
+        f = if (r % 3 == 0 || r == rounds) stageIf(big, next, "id") else next
       }
       // color-restricted edges: both endpoints share the forward color
-      val ce = e
+      val ce = stageIf(big, e
         .join(f.select(col("id").as("src"), col("f").as("fs")), "src")
         .join(f.select(col("id").as("dst"), col("f").as("fd")), "dst")
         .filter(col("fs") === col("fd"))
-        .select(col("src"), col("dst"))
-        .snapshot()
+        .select(col("src"), col("dst")),
+        "dst") // backward rounds join the color edges on dst
       // backward confirmation: reach(v) = v reaches its color root
       // through same-color nodes within `rounds` hops
       var reach = f.withColumn("rc", col("f") === col("id"))
@@ -478,7 +550,7 @@ object Graph {
         val next = reach.join(msg, Seq("id"), "left")
           .select(col("id"), col("f"),
             (col("rc") || coalesce(col("hit"), lit(false))).as("rc"))
-        reach = if (r % 3 == 0 || r == rounds) next.snapshot() else next
+        reach = if (r % 3 == 0 || r == rounds) stageIf(big, next, "id") else next
       }
       val confirmed = reach.filter(col("rc"))
         .select(col("id"), col("f").as("scc_id"))
@@ -488,17 +560,17 @@ object Graph {
           .select(col("id"), col("id").as("scc_id")))
       } else {
         resolved += confirmed.snapshot()
-        remaining = reach.filter(!col("rc")).select(col("id")).snapshot()
+        remaining = stageIf(big, reach.filter(!col("rc")).select(col("id")), "id")
         // nothing unresolved: every later phase would run its rounds
         // on empty frames and contribute zero rows — identical result
         // (the oracle's unrolled later phases are no-ops on the same
         // empty remainder), so skip the empty phases
         if (remaining.isEmpty) settled = true
-        else e = e
+        else e = stageIf(big, e
           .join(remaining.select(col("id").as("src")), Seq("src"), "left_semi")
           .join(remaining.select(col("id").as("dst")), Seq("dst"), "left_semi")
-          .select(col("src"), col("dst"))
-          .snapshot()
+          .select(col("src"), col("dst")),
+          "src")
       }
       p += 1
     }

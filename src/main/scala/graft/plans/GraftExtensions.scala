@@ -16,7 +16,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * surface needs no custom Catalyst rules/strategies (SURVEY §4
   * conclusion) — this hook exists for the scale-path primitives that
   * built-ins can't express without interpreted lambdas or blown-up
-  * row counts.
+  * row counts, plus ONE planner strategy: [[PinPartitioningStrategy]],
+  * which restores the hash-layout fact that `localCheckpoint` drops
+  * under AQE so iterative graph loops stop re-exchanging their label
+  * frames every round.
   *
   * Builders validate like Spark's own registry entries: wrong arity
   * and non-literal config arguments raise an `AnalysisException` with
@@ -28,6 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Planner strategy for the one custom logical node: the staging
+    // layer's partitioning pin (see PinHashPartitioning's soundness
+    // contract — only Staging.snapshotKeyed constructs it).
+    ext.injectPlannerStrategy(_ => new PinPartitioningStrategy)
     ext.injectFunction((
       FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),

@@ -127,6 +127,14 @@ object Marts {
       prefix + md.digest().map("%02x".format(_)).mkString)
     val marker = new java.io.File(target, "_MART")
     this.synchronized {
+      if (marker.exists) {
+        // LRU touch on cache HITS: eviction below ranks siblings by
+        // lastModified, which otherwise only reflects build time — a
+        // hot mart could be evicted from under a concurrent JVM once
+        // >5 content keys coexist. Bumping the dir mtime on every read
+        // makes the keep-newest-5 rank approximate least-recently-USED.
+        target.setLastModified(System.currentTimeMillis())
+      }
       if (!marker.exists) {
         // Evict stale caches of THIS mart, keeping the newest few
         // content keys: several inputs legitimately coexist (the three

@@ -21,6 +21,8 @@ object Profile {
       // the bucketed-join dial
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.ui.enabled", false)
+      .config("spark.sql.adaptive.enabled",
+        !sys.env.get("PROFILE_NO_AQE").contains("1"))
       .config("spark.sql.legacy.parquet.nanosAsLong", true)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
@@ -28,10 +30,35 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Execution-shape counters (jobs/stages/task-time/shuffle volume):
+    // wall time says WHETHER a variant regressed, these say WHY — more
+    // jobs (driver round trips), more shuffled bytes, or more task work.
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val stages = new java.util.concurrent.atomic.AtomicLong
+    val taskMs = new java.util.concurrent.atomic.AtomicLong
+    val shufW = new java.util.concurrent.atomic.AtomicLong
+    val shufR = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+      override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet()
+        taskMs.addAndGet(s.stageInfo.taskMetrics.executorRunTime)
+        shufW.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        shufR.addAndGet(s.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead)
+      }
+    })
+
     def time(label: String)(f: => Long): Unit = {
+      val (j0, s0, t0m, w0, r0) = (jobs.get, stages.get, taskMs.get, shufW.get, shufR.get)
       val t0 = System.nanoTime()
       val n = f
-      println(f"[profile] $label%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+      val dt = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(150) // let stage-completed events drain
+      println(f"[profile] $label%-30s $dt%8.2f s  rows=$n  " +
+        f"jobs=${jobs.get - j0} stages=${stages.get - s0} " +
+        f"taskSec=${(taskMs.get - t0m) / 1e3}%.1f " +
+        f"shufW=${(shufW.get - w0) / 1e6}%.1fMB shufR=${(shufR.get - r0) / 1e6}%.1fMB")
     }
 
     if (named.nonEmpty) {

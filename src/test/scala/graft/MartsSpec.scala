@@ -59,6 +59,33 @@ class MartsSpec extends AnyFunSpec {
       } finally spark.conf.unset("graft.marts.materialize")
     }
 
+    it("scratch footprint stays bounded across alternating inputs") {
+      // Simulated alternation: 7 distinct content keys of the SAME mart
+      // (copies of sf0.001 — contentKey hashes path+size+mtime, so each
+      // copy keys differently). Eviction keeps the newest 5 siblings
+      // BEFORE publishing the new build, so the steady-state footprint
+      // is 5 kept + 1 just-built = 6 dirs per mart name, never growth
+      // linear in the number of inputs a long session touches.
+      val scratch = graft.SparkEntry.scratchBase.toFile
+      def martDirs = Option(scratch.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("graft_mart_daily_bars_"))
+      val tmp = java.nio.file.Files.createTempDirectory("marts_alt").toFile
+      try {
+        (0 until 7).foreach { k =>
+          val in = new java.io.File(tmp, s"in$k")
+          in.mkdirs()
+          val src = java.nio.file.Paths.get(dir, "lineitem.parquet")
+          val dst = java.nio.file.Paths.get(in.toString, "lineitem.parquet")
+          java.nio.file.Files.copy(src, dst)
+          dst.toFile.setLastModified(1700000000000L + k * 60000L) // distinct keys
+          Marts.dailyBars(spark, in.toString).count()
+          assert(martDirs.length <= 6,
+            s"mart footprint grew past keep-5+current after input $k: " +
+              martDirs.map(_.getName).mkString(", "))
+        }
+      } finally graft.SparkEntry.deleteDir(tmp.toString)
+    }
+
     it("graph edge-list marts equal their recompute path exactly") {
       def recomputed(build: => org.apache.spark.sql.DataFrame) = {
         spark.conf.set("graft.marts.materialize", "false")

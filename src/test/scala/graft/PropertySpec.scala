@@ -482,4 +482,87 @@ class PropertySpec extends AnyFunSpec {
       }
     }
   }
+
+  describe("round-13 recursive-filter invariants") {
+    import graft.operators.DailyAnalytics
+
+    def barsOf(closesCents: Seq[Long]): org.apache.spark.sql.DataFrame =
+      closesCents.zipWithIndex.map { case (c, i) =>
+        ("S0", java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)),
+          c / 100.0)
+      }.toDF("symbol", "trade_date", "close_price")
+
+    def returnsOf(pcts: Seq[Double]): org.apache.spark.sql.DataFrame =
+      pcts.zipWithIndex.map { case (r, i) =>
+        ("S0", java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)), r)
+      }.toDF("symbol", "trade_date", "daily_return_pct")
+
+    it("GARCH variance is strictly positive, exact at the fixpoint, and mean-reverts to omega/(1-alpha-beta)") {
+      // fixpoint: constant squared returns make every step
+      // (2vbar + 6q + 92v) div 100 = v exactly, so garch == long-run
+      val flat = DailyAnalytics.garchFilter(returnsOf(Seq.fill(40)(1.25)))
+        .select($"long_run_vol_pct", $"garch_vol_pct").as[(Double, Double)].head()
+      assert(flat._1 == flat._2, s"constant series must sit at the fixpoint: $flat")
+      // mean reversion: one early shock, long constant tail — the
+      // 0.92-decay leaves < 0.92^200 of the shock, so v converges to
+      // the filter's fixpoint for tail level c: v* = (omega + alpha c)
+      // / (1 - beta) = (2 vbar + 6 c)/8 in the scaled-integer units
+      // (equals vbar itself exactly when c = vbar — the flat case above)
+      val shocked = DailyAnalytics.garchFilter(
+        returnsOf(8.0 +: Seq.fill(200)(1.0)))
+        .select($"garch_vol_pct").as[Double].head()
+      assert(shocked > 0.0)
+      val qs = 640000L +: Seq.fill(200)(10000L) // scale-2 squared returns
+      val vbar = qs.sum / qs.length
+      val vStar = (2 * vbar + 6 * 10000L) / 8
+      val wantVol = math.sqrt(vStar.toDouble) / 100.0
+      assert(math.abs(shocked - wantVol) < 0.01,
+        s"did not revert to the fixpoint: got $shocked want $wantVol")
+      // positivity on an arbitrary generated series
+      val gen = sampled(Gen.choose(-300, 300), 60).map(_ / 100.0)
+      val anyV = DailyAnalytics.garchFilter(returnsOf(gen))
+        .select($"garch_vol_pct").as[Double].head()
+      assert(anyV >= 0.0)
+    }
+
+    it("Holt is exact on a noiseless linear ramp: level = last close, trend = slope, MAE = 0") {
+      val a = 10000L; val b = 25L // 100.00 start, +0.25/day, exact cents
+      val n = 40
+      val row = DailyAnalytics.holtLinear(barsOf((0 until n).map(i => a + b * i)))
+        .select($"level", $"trend_per_day", $"forecast_5d", $"one_step_mae")
+        .as[(Double, Double, Double, Double)].head()
+      val last = (a + b * (n - 1)) / 100.0
+      assert(row._1 == last, s"level drifted off the ramp: $row")
+      assert(row._2 == b / 100.0, s"trend != slope: $row")
+      assert(row._3 == last + 5 * b / 100.0, s"5d forecast != last + 5b: $row")
+      assert(row._4 == 0.0, s"nonzero one-step error on a perfect ramp: $row")
+    }
+
+    it("OU half-life = ln2/theta on a noiseless AR(1) decay") {
+      // y_t - mu = phi (y_{t-1} - mu): every (y_{t-1}, dy) point sits on
+      // the line dy = gamma (y - mu), so the DF OLS recovers gamma = phi-1
+      // exactly up to the cent grain; half-life = ln 2 / -ln(phi)
+      val phi = 0.9; val mu = 10000.0; val dev0 = 5000.0
+      val closes = (0 until 80).map(t => math.rint(mu + dev0 * math.pow(phi, t)).toLong)
+      val gammaRow = DailyAnalytics.dickeyFuller(barsOf(closes))
+        .select($"gamma").as[Double].head()
+      assert(math.abs(gammaRow - (phi - 1.0)) < 0.005, s"gamma off: $gammaRow")
+      val halfLife = -math.log(2.0) / math.log1p(gammaRow)
+      val want = -math.log(2.0) / math.log(phi)
+      assert(math.abs(halfLife - want) < 0.35, s"half-life $halfLife != $want")
+    }
+
+    it("SAX letters respect breakpoint order: a monotone series spells a sorted word") {
+      val closes = (0 until 32).map(i => 5000L + 100L * i)
+      val word = DailyAnalytics.saxWords(barsOf(closes), segments = 8, alphabet = 4)
+        .select($"sax_word").as[String].head()
+      assert(word == "aabbccdd", s"monotone ramp must spell aabbccdd, got $word")
+      // and on any generated series the word only uses the alphabet,
+      // one letter per segment
+      val gen = sampled(Gen.choose(1000L, 9000L), 32)
+      val w2 = DailyAnalytics.saxWords(barsOf(gen), segments = 8, alphabet = 4)
+        .select($"sax_word").as[String].head()
+      assert(w2.length == 8 && w2.forall(c => c >= 'a' && c <= 'd'), w2)
+    }
+  }
 }
