@@ -7031,6 +7031,282 @@ object OracleSql {
          |  CAST(64 AS INTEGER) AS n_samples,
          |  CAST(s[1] * s[1] + s[2] * s[2] - ((c * s[1]) >> 14) * s[2] AS BIGINT)
          |    AS power
-         |FROM st ORDER BY media_id, bin_k""".stripMargin
+         |FROM st ORDER BY media_id, bin_k""".stripMargin,
+
+    // mirrors DailyAnalytics.famaMacbeth: full-lookback 20-day momentum
+    // signal, per-day cross-sectional OLS slope re-quantized to scale 6,
+    // then exact time-series mean/t over the slope series
+    "q_fama_macbeth" ->
+      s"""${dailyChain("returns")},
+         |fb AS (SELECT symbol, trade_date, ${sc4("daily_return_pct")} AS y
+         |  FROM returns WHERE daily_return_pct IS NOT NULL),
+         |fw AS (SELECT trade_date, y,
+         |    CAST(SUM(y) OVER w AS BIGINT) AS x, COUNT(*) OVER w AS nw
+         |  FROM fb WINDOW w AS (PARTITION BY symbol ORDER BY trade_date
+         |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+         |fd AS (SELECT trade_date, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |    SUM(CAST(x AS HUGEINT) * x) AS sxx, SUM(CAST(x AS HUGEINT) * y) AS sxy
+         |  FROM fw WHERE nw = 20 GROUP BY trade_date HAVING COUNT(*) >= 10),
+         |fg AS (SELECT CAST(FLOOR(
+         |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |    / NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0)
+         |    * 1000000.0 + 0.5) AS BIGINT) AS g FROM fd),
+         |fa AS (SELECT CAST(COUNT(*) AS BIGINT) AS d, CAST(SUM(g) AS BIGINT) AS sg,
+         |    SUM(CAST(g AS HUGEINT) * g) AS sgg,
+         |    CAST(SUM(CASE WHEN g > 0 THEN 1 ELSE 0 END) AS BIGINT) AS npos
+         |  FROM fg WHERE g IS NOT NULL)
+         |SELECT d AS n_days,
+         |  ${rd("CAST(sg AS DOUBLE) / CAST(d AS DOUBLE) / 1e6", 6)} AS gamma_mean,
+         |  ${rd("(CAST(sg AS DOUBLE) / CAST(d AS DOUBLE) / 1e6) / sqrt((CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(d AS DOUBLE)) / (CAST(d AS DOUBLE) - 1.0) / 1e12 / CAST(d AS DOUBLE))", 4)} AS t_stat,
+         |  ${rd("CAST(npos AS DOUBLE) / CAST(d AS DOUBLE)", 4)} AS pct_days_positive
+         |FROM fa""".stripMargin,
+
+    // mirrors DailyAnalytics.kpss: integer partial sums T_t = n·P_t −
+    // t·Σy (= n·S_t exactly), demeaned autocovariances over u_t =
+    // n·y_t − Σy, Bartlett lag-2 long-run variance, η = ΣT²/(n·s2*)
+    "q_kpss" ->
+      s"""${dailyChain("returns")},
+         |kb AS (SELECT symbol, trade_date, ${sc4("daily_return_pct")} AS y
+         |  FROM returns WHERE daily_return_pct IS NOT NULL),
+         |kw0 AS (SELECT symbol, trade_date, y,
+         |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS t,
+         |    CAST(SUM(y) OVER (PARTITION BY symbol ORDER BY trade_date
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p,
+         |    CAST(COUNT(*) OVER (PARTITION BY symbol) AS BIGINT) AS n,
+         |    CAST(SUM(y) OVER (PARTITION BY symbol) AS BIGINT) AS sy
+         |  FROM kb WINDOW w AS (PARTITION BY symbol ORDER BY trade_date)),
+         |kw AS (SELECT symbol, y, t, p, n, sy,
+         |    LEAD(n * y - sy, 1) OVER w AS u1,
+         |    LEAD(n * y - sy, 2) OVER w AS u2
+         |  FROM kw0 WINDOW w AS (PARTITION BY symbol ORDER BY trade_date)),
+         |kg AS (SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n,
+         |    SUM(CAST(n * p - t * sy AS HUGEINT) * (n * p - t * sy)) AS st2,
+         |    SUM(CAST(n * y - sy AS HUGEINT) * (n * y - sy)) AS g0,
+         |    SUM(CAST(n * y - sy AS HUGEINT) * u1) AS g1,
+         |    SUM(CAST(n * y - sy AS HUGEINT) * u2) AS g2
+         |  FROM kw GROUP BY symbol HAVING COUNT(*) >= 30),
+         |kd AS (SELECT symbol, n, CAST(n AS DOUBLE) AS nd,
+         |    CAST(st2 AS DOUBLE) AS st2d,
+         |    (3.0 * CAST(g0 AS DOUBLE) + 4.0 * COALESCE(CAST(g1 AS DOUBLE), 0.0)
+         |      + 2.0 * COALESCE(CAST(g2 AS DOUBLE), 0.0)) / 3.0 AS s2
+         |  FROM kg)
+         |SELECT symbol, n AS n_days,
+         |  ${rd("st2d / NULLIF(nd * s2, 0)", 4)} AS kpss_stat,
+         |  (st2d / NULLIF(nd * s2, 0) < 0.463) AS stationary
+         |FROM kd ORDER BY symbol""".stripMargin,
+
+    // mirrors DailyAnalytics.archLm: q_t = y² // 10⁴ on its own lag,
+    // LM = n·R² from the five exact moment sums
+    "q_arch_lm" ->
+      s"""${dailyChain("returns")},
+         |ab AS (SELECT symbol, trade_date, ${sc4("daily_return_pct")} AS y
+         |  FROM returns WHERE daily_return_pct IS NOT NULL),
+         |aq AS (SELECT symbol, trade_date, (y * y) // 10000 AS q FROM ab),
+         |al AS (SELECT symbol, q,
+         |    LAG(q, 1) OVER (PARTITION BY symbol ORDER BY trade_date) AS x
+         |  FROM aq),
+         |ag AS (SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(q) AS BIGINT) AS sq,
+         |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         |    SUM(CAST(x AS HUGEINT) * q) AS sxq,
+         |    SUM(CAST(q AS HUGEINT) * q) AS sqq
+         |  FROM al WHERE x IS NOT NULL GROUP BY symbol HAVING COUNT(*) >= 30),
+         |ad AS (SELECT symbol, n, CAST(n AS DOUBLE) AS nd,
+         |    CAST(sx AS DOUBLE) AS sxd, CAST(sq AS DOUBLE) AS sqd,
+         |    CAST(sxx AS DOUBLE) AS sxxd, CAST(sxq AS DOUBLE) AS sxqd,
+         |    CAST(sqq AS DOUBLE) AS sqqd
+         |  FROM ag),
+         |ar AS (SELECT symbol, n, nd,
+         |    (nd * sxqd - sxd * sqd) * (nd * sxqd - sxd * sqd)
+         |      / NULLIF((nd * sxxd - sxd * sxd) * (nd * sqqd - sqd * sqd), 0) AS r2
+         |  FROM ad)
+         |SELECT symbol, n AS n_days,
+         |  ${rd("r2", 6)} AS r2,
+         |  ${rd("nd * r2", 4)} AS lm_stat,
+         |  (nd * r2 > 3.8415) AS arch_sig
+         |FROM ar ORDER BY symbol""".stripMargin,
+
+    // mirrors DailyAnalytics.permutationEntropy: 3-bit ordinal pattern
+    // key over return triples, six exact counts, fixed-order entropy
+    // sum; ln(6) injected as the bit-exact Scala double literal
+    "q_perm_entropy" -> {
+      val terms = Seq(0, 2, 3, 4, 5, 7).map(p =>
+        s"CASE WHEN c$p > 0 THEN CAST(c$p AS DOUBLE) / nd * ln(nd / CAST(c$p AS DOUBLE)) ELSE 0.0 END")
+        .mkString("(", "\n      + ", ")")
+      val cnts = Seq(0, 2, 3, 4, 5, 7).map(p =>
+        s"CAST(SUM(CASE WHEN pat = $p THEN 1 ELSE 0 END) AS BIGINT) AS c$p").mkString(",\n    ")
+      val ln6 = s"CAST('${math.log(6.0)}' AS DOUBLE)"
+      s"""${dailyChain("returns")},
+         |pb AS (SELECT symbol, trade_date, ${sc4("daily_return_pct")} AS c
+         |  FROM returns WHERE daily_return_pct IS NOT NULL),
+         |pl AS (SELECT symbol, c,
+         |    LAG(c, 2) OVER w AS a, LAG(c, 1) OVER w AS b
+         |  FROM pb WINDOW w AS (PARTITION BY symbol ORDER BY trade_date)),
+         |pp AS (SELECT symbol,
+         |    (CASE WHEN a <= b THEN 4 ELSE 0 END
+         |     + CASE WHEN b <= c THEN 2 ELSE 0 END
+         |     + CASE WHEN a <= c THEN 1 ELSE 0 END) AS pat
+         |  FROM pl WHERE a IS NOT NULL),
+         |pg AS (SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n,
+         |    $cnts
+         |  FROM pp GROUP BY symbol HAVING COUNT(*) >= 30),
+         |pd AS (SELECT *, CAST(n AS DOUBLE) AS nd FROM pg),
+         |ph AS (SELECT symbol, n, nd,
+         |    $terms AS h,
+         |    GREATEST(c0, c2, c3, c4, c5, c7) AS mc
+         |  FROM pd)
+         |SELECT symbol, n AS n_triples,
+         |  ${rd("h", 6)} AS perm_entropy,
+         |  ${rd(s"h / $ln6", 6)} AS h_normalized,
+         |  ${rd("CAST(mc AS DOUBLE) / nd", 4)} AS max_pattern_share
+         |FROM ph ORDER BY symbol""".stripMargin
+    },
+
+    // mirrors DailyAnalytics.rollingVwap: exact 20-row Σ close₂·vol /
+    // Σ vol band, close deviation, last 100 sessions per symbol
+    "q_rolling_vwap" ->
+      s"""${dailyChain("bars")},
+         |vb AS (SELECT symbol, trade_date, ${sc("close_price", 2)} AS c2, volume
+         |  FROM bars),
+         |vw AS (SELECT symbol, trade_date, c2,
+         |    CAST(SUM(c2 * volume) OVER w AS BIGINT) AS vnum,
+         |    CAST(SUM(volume) OVER w AS BIGINT) AS vden,
+         |    COUNT(*) OVER w AS nw,
+         |    ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY trade_date DESC) AS rnd
+         |  FROM vb WINDOW w AS (PARTITION BY symbol ORDER BY trade_date
+         |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+         |SELECT symbol, trade_date, vden AS volume_20d,
+         |  ${rd("CAST(vnum AS DOUBLE) / CAST(vden AS DOUBLE) / 100.0", 4)} AS vwap_20d,
+         |  ${rd("(CAST(c2 AS DOUBLE) - CAST(vnum AS DOUBLE) / CAST(vden AS DOUBLE)) / (CAST(vnum AS DOUBLE) / CAST(vden AS DOUBLE)) * 100.0", 4)} AS dev_pct
+         |FROM vw WHERE nw = 20 AND rnd <= 100
+         |ORDER BY symbol, trade_date""".stripMargin,
+
+    // mirrors DailyAnalytics.adxFilter: integer Wilder smoothing of
+    // the ±DM split, DX at scale 4 (true range cancels), Wilder-
+    // smoothed DX as the ADX state — one list_reduce fold per symbol
+    "q_adx" -> {
+      val spN = "((13 * acc[1]) // 14 + e[1])"
+      val smN = "((13 * acc[2]) // 14 + e[2])"
+      s"""${dailyChain("bars")},
+         |xb AS (SELECT symbol,
+         |    list({'h': ${sc("high_price", 2)}, 'l': ${sc("low_price", 2)}}
+         |      ORDER BY trade_date) AS hl
+         |  FROM bars GROUP BY symbol),
+         |xn AS (SELECT symbol, CAST(len(hl) AS BIGINT) AS n_days,
+         |    list_transform(hl, e -> e.h) AS hs,
+         |    list_transform(hl, e -> e.l) AS ls
+         |  FROM xb WHERE len(hl) >= 30),
+         |xd AS (SELECT symbol, n_days,
+         |    list_transform(range(2, CAST(len(hs) AS BIGINT) + 1), i -> [
+         |      CASE WHEN hs[i] - hs[i-1] > ls[i-1] - ls[i]
+         |            AND hs[i] - hs[i-1] > 0
+         |           THEN hs[i] - hs[i-1] ELSE 0::BIGINT END,
+         |      CASE WHEN ls[i-1] - ls[i] > hs[i] - hs[i-1]
+         |            AND ls[i-1] - ls[i] > 0
+         |           THEN ls[i-1] - ls[i] ELSE 0::BIGINT END,
+         |      0::BIGINT]) AS dms
+         |  FROM xn),
+         |xs AS (SELECT symbol, n_days,
+         |    list_reduce(list_prepend([0::BIGINT, 0::BIGINT, 0::BIGINT], dms),
+         |      (acc, e) -> [$spN, $smN,
+         |        (13 * acc[3]) // 14 +
+         |          CASE WHEN $spN + $smN > 0
+         |               THEN (1000000 * abs($spN - $smN)) // ($spN + $smN)
+         |               ELSE 0::BIGINT END]) AS st
+         |  FROM xd)
+         |SELECT symbol, n_days,
+         |  st[1] AS smoothed_dm_plus, st[2] AS smoothed_dm_minus,
+         |  ${rd("100.0 * CAST(abs(st[1] - st[2]) AS DOUBLE) / NULLIF(CAST(st[1] + st[2] AS DOUBLE), 0)", 4)} AS dx_last,
+         |  ${rd("CAST(st[3] AS DOUBLE) / 10000.0 / 14.0", 4)} AS adx
+         |FROM xs ORDER BY symbol""".stripMargin
+    },
+
+    // mirrors Graph.bfsHops over the q_triangles co-purchase edge CTE:
+    // 4 unrolled min-hop relaxation rounds from the 8 smallest ids,
+    // hop histogram + the hops = −1 unreached row
+    "q_bfs_hops" -> {
+      def step(k: Int) =
+        s"""bh_d$k AS (SELECT id, MIN(hops) AS hops FROM (
+           |    SELECT id, hops FROM bh_d${k - 1}
+           |    UNION ALL
+           |    SELECT e.v AS id, d.hops + 1 AS hops
+           |    FROM bh_d${k - 1} d JOIN bh_und e ON e.u = d.id)
+           |  GROUP BY id)""".stripMargin
+      s"""WITH bh_raw AS (
+         |  SELECT u, v FROM (
+         |    SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS n
+         |    FROM lineitem a JOIN lineitem b
+         |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |    GROUP BY a.l_partkey, b.l_partkey)
+         |  WHERE n >= 2),
+         |bh_und AS (SELECT DISTINCT u, v FROM (
+         |    SELECT u, v FROM bh_raw UNION ALL SELECT v AS u, u AS v FROM bh_raw)),
+         |bh_nodes AS (SELECT DISTINCT u AS id FROM bh_und),
+         |bh_seeds AS (SELECT id FROM bh_nodes ORDER BY id LIMIT 8),
+         |bh_d0 AS (SELECT id, CAST(0 AS BIGINT) AS hops FROM bh_seeds),
+         |${step(1)},
+         |${step(2)},
+         |${step(3)},
+         |${step(4)}
+         |SELECT CAST(hops AS BIGINT) AS hops, CAST(COUNT(*) AS BIGINT) AS n_nodes
+         |FROM bh_d4 GROUP BY hops
+         |UNION ALL
+         |SELECT CAST(-1 AS BIGINT) AS hops, CAST(COUNT(*) AS BIGINT) AS n_nodes
+         |FROM bh_nodes n WHERE NOT EXISTS (SELECT 1 FROM bh_d4 d WHERE d.id = n.id)
+         |HAVING COUNT(*) > 0
+         |ORDER BY hops""".stripMargin
+    },
+
+    // mirrors Multimodal.histogramEqualize over the q_box_filter
+    // raster CTE: 16-bin histogram, windowed CDF, the classic integer
+    // remap, per-image checksum + contrast-stretch gain
+    "q_image_histeq" ->
+      s"""WITH pay AS (
+         |  SELECT doc_id AS media_id,
+         |    md5(text) || md5(text || '1') || md5(text || '2') || md5(text || '3') AS hx
+         |  FROM documents),
+         |px AS (SELECT media_id, u.y AS y, u.x AS x, u.v AS v FROM (
+         |  SELECT media_id, unnest(list_transform(range(0, 64), i ->
+         |    {'y': i // 8, 'x': i % 8,
+         |     'v': ('0x' || substr(hx, CAST(i * 2 + 1 AS INTEGER), 2))::BIGINT})) AS u
+         |  FROM pay)),
+         |hb AS (SELECT media_id, y, x, v, v // 16 AS bin FROM px),
+         |hh AS (SELECT media_id, bin, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM hb GROUP BY media_id, bin),
+         |hc AS (SELECT media_id, bin, c,
+         |    CAST(SUM(c) OVER (PARTITION BY media_id ORDER BY bin
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cdf
+         |  FROM hh),
+         |hm AS (SELECT media_id, bin, cdf,
+         |    MIN(CASE WHEN c > 0 THEN cdf END) OVER (PARTITION BY media_id) AS cdf_min
+         |  FROM hc),
+         |hr AS (SELECT b.media_id, b.y, b.x, b.v,
+         |    CASE WHEN 64 > m.cdf_min
+         |         THEN ((m.cdf - m.cdf_min) * 255) // (64 - m.cdf_min)
+         |         ELSE 0 END AS nv
+         |  FROM hb b JOIN hm m ON m.media_id = b.media_id AND m.bin = b.bin)
+         |SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_px,
+         |  CAST(SUM(nv * (y * 8 + x + 1)) AS BIGINT) AS checksum,
+         |  CAST(MIN(nv) AS BIGINT) AS nv_min, CAST(MAX(nv) AS BIGINT) AS nv_max,
+         |  CAST((MAX(nv) - MIN(nv)) - (MAX(v) - MIN(v)) AS BIGINT) AS stretch_gain
+         |FROM hr GROUP BY media_id ORDER BY media_id""".stripMargin,
+
+    // mirrors Multimodal.resamplePcm over the shared audio sample CTE:
+    // pair-average 2:1 decimation with truncating //, exact output
+    // energy / position checksum / peak per frame
+    "q_audio_resample" ->
+      s"""${audioSvCte(withRate = false)},
+         |rs AS (SELECT media_id, frame_idx,
+         |    list_transform(range(0, 8), j -> (xs[CAST(2 * j + 1 AS INTEGER)]
+         |      + xs[CAST(2 * j + 2 AS INTEGER)]) // 2) AS os
+         |  FROM sv)
+         |SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+         |  CAST(8 AS INTEGER) AS n_out,
+         |  CAST(list_sum(list_transform(os, o -> o * o)) AS BIGINT) AS energy_out,
+         |  CAST(list_sum(list_transform(range(0, 8), j ->
+         |    os[CAST(j + 1 AS INTEGER)] * (j + 1))) AS BIGINT) AS checksum,
+         |  CAST(list_max(list_transform(os, o -> abs(o))) AS INTEGER) AS peak_out
+         |FROM rs ORDER BY media_id, frame_idx""".stripMargin
   )
 }

@@ -3214,6 +3214,68 @@ object SparkEntry {
       .orderBy("o_custkey")
   }
 
+  /** Fama–MacBeth two-pass regression of returns on 20-day momentum:
+    * per-day cross-sectional slopes, then their time-series mean and
+    * t-stat — the standard risk-premium screen. */
+  private def qFamaMacbeth(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.famaMacbeth(Marts.dailyReturns(s, dir))
+
+  /** KPSS level-stationarity test per symbol (Bartlett lag 2) — the
+    * stationary-null complement of q_dickey_fuller. */
+  private def qKpss(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.kpss(Marts.dailyReturns(s, dir))
+      .orderBy("symbol")
+
+  /** Engle ARCH-LM heteroskedasticity test per symbol at lag 1 —
+    * the pre-test gate for the GARCH/EWMA variance lane. */
+  private def qArchLm(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.archLm(Marts.dailyReturns(s, dir))
+      .orderBy("symbol")
+
+  /** Order-3 permutation entropy per symbol — the model-free
+    * complexity/randomness score of the return sequence. */
+  private def qPermEntropy(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.permutationEntropy(Marts.dailyReturns(s, dir))
+      .orderBy("symbol")
+
+  /** Rolling 20-day VWAP band with close deviation, each symbol's
+    * last 100 sessions — the execution-quality benchmark. */
+  private def qRollingVwap(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.rollingVwap(Marts.dailyBars(s, dir))
+      .orderBy("symbol", "trade_date")
+
+  /** Wilder ADX trend-strength filter per symbol (integer Wilder
+    * smoothing of ±DM, true range cancels in DX). */
+  private def qAdx(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.adxFilter(Marts.dailyBars(s, dir))
+      .orderBy("symbol")
+
+  /** Bounded multi-source BFS over the co-purchase graph: hop
+    * histogram from the 8 smallest part ids within 4 hops — the
+    * seed-coverage profile of the part graph. */
+  private def qBfsHops(s: SparkSession, dir: String): DataFrame =
+    Graph.bfsHops(Marts.copurchasePairs(s, dir), "u", "v")
+      .orderBy("hops")
+
+  /** Histogram equalization over the md5-chain rasters: 16-bin CDF
+    * remap, full-raster checksum + contrast-stretch gain. */
+  private def qImageHisteq(s: SparkSession, dir: String): DataFrame =
+    Multimodal.histogramEqualize(rasterPixels(s, dir)).orderBy("media_id")
+
+  /** 2:1 PCM decimation (pair-average anti-alias) over the audio
+    * lane: per-frame output energy, checksum, peak. */
+  private def qAudioResample(s: SparkSession, dir: String): DataFrame = {
+    val parts = s.sessionState.conf.numShufflePartitions
+    val hexCols = (0 until 8).map(i =>
+      if (i == 0) md5(col("text")) else md5(concat(col("text"), lit(i.toString))))
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id").cast("long").as("media_id"),
+        unhex(concat(hexCols: _*)).as("payload"))
+      .repartition(parts, col("media_id")) // CPU-bound parse stage
+    Multimodal.resamplePcm(media, frameSamples = 16)
+      .orderBy("media_id", "frame_idx")
+  }
+
   // ──────────────────────────────────────────────────────────────────
   // Registry
   // ──────────────────────────────────────────────────────────────────
@@ -3420,6 +3482,15 @@ object SparkEntry {
     "q_clustering_coef" -> (qClusteringCoef _),
     "q_pmi_collocations" -> (qPmiCollocations _),
     "q_variance_ratio" -> (qVarianceRatio _),
+    "q_fama_macbeth" -> (qFamaMacbeth _),
+    "q_kpss" -> (qKpss _),
+    "q_arch_lm" -> (qArchLm _),
+    "q_perm_entropy" -> (qPermEntropy _),
+    "q_rolling_vwap" -> (qRollingVwap _),
+    "q_adx" -> (qAdx _),
+    "q_bfs_hops" -> (qBfsHops _),
+    "q_image_histeq" -> (qImageHisteq _),
+    "q_audio_resample" -> (qAudioResample _),
     "q_page_hinkley" -> (qPageHinkley _),
     "q_kendall_market" -> (qKendallMarket _),
     "q_did" -> (qDid _),

@@ -3115,4 +3115,289 @@ object DailyAnalytics {
         (col("y").cast("double") / 1e4).as("return_pct"),
         (col("qn4").cast("double") / 1e4).as("qn_return_pct"))
   }
+
+  /** Fama–MacBeth two-pass cross-sectional regression (Fama &
+    * MacBeth, JPE 1973) of daily returns on a `lookback`-day momentum
+    * signal: pass 1 fits, PER TRADING DAY, the closed-form OLS slope
+    * γ_d of return on signal across symbols; pass 2 treats the γ_d
+    * series as i.i.d. draws and reports its mean and t-statistic —
+    * the standard risk-premium test, robust to cross-sectional
+    * correlation because each day contributes exactly one draw.
+    *
+    * Exactness: signal and return are scale-4 longs; per-day moment
+    * sums run in DECIMAL(38,0) (the [[dimsonBeta]] rule — per-row
+    * products reach ~1e18); each γ_d evaluates one fixed double tree
+    * then re-quantizes to a scale-6 long, so the PASS-2 sums are
+    * exact integers again and the grand mean is aggregation-order
+    * free. Scale shape: one window pass (S·D rows), one
+    * groupBy(trade_date) partial agg, one global 1-row agg — no
+    * joins, no pair space. */
+  def famaMacbeth(returns: DataFrame, lookback: Int = 20,
+                  minSymbols: Int = 10): DataFrame = {
+    val mom = bySymbol.rowsBetween(-lookback, -1)
+    val base = returns.filter(col("daily_return_pct").isNotNull)
+      .select(col("symbol"), col("trade_date"),
+        scaled(col("daily_return_pct"), 4).as("y"))
+      .withColumn("x", sum(col("y")).over(mom))
+      .withColumn("nw", count(lit(1)).over(mom))
+      .filter(col("nw") === lookback) // full-lookback signals only
+    def dm(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val daily = base.groupBy("trade_date").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(dm(col("x")) * col("x")).as("sxx"),
+      sum(dm(col("x")) * col("y")).as("sxy"))
+      .filter(col("n") >= minSymbols)
+    val (n, sx, sy, sxx, sxy) = (col("n").cast("double"),
+      col("sx").cast("double"), col("sy").cast("double"),
+      col("sxx").cast("double"), col("sxy").cast("double"))
+    val gamma = (n * sxy - sx * sy) / nullifZero(n * sxx - sx * sx)
+    val g6 = daily
+      .select(floor(gamma * 1e6 + 0.5).cast("long").as("g"))
+      .filter(col("g").isNotNull)
+    val agg = g6.agg(
+      count(lit(1)).as("d"),
+      sum(col("g")).as("sg"),
+      sum(dm(col("g")) * col("g")).as("sgg"),
+      sum(when(col("g") > 0, 1L).otherwise(0L)).as("npos"))
+    val (d, sg, sgg) = (col("d").cast("double"),
+      col("sg").cast("double"), col("sgg").cast("double"))
+    val mean = sg / d / 1e6
+    val varG = (sgg - sg * sg / d) / (d - 1.0) / 1e12
+    val t = mean / sqrt(varG / d)
+    agg.select(col("d").cast("long").as("n_days"),
+      rd(mean, 6).as("gamma_mean"),
+      rd(t, 4).as("t_stat"),
+      rd(col("npos").cast("double") / d, 4).as("pct_days_positive"))
+  }
+
+  /** KPSS level-stationarity test per symbol (Kwiatkowski, Phillips,
+    * Schmidt & Shin, J. Econometrics 1992): η = Σ_t S_t² / (n²·s²)
+    * where S_t are partial sums of demeaned returns and s² is the
+    * Bartlett long-run variance at lag 2 — the null is STATIONARY,
+    * the complement of [[dickeyFuller]]'s unit-root null; a series
+    * rejected by both is the classic "neither I(0) nor I(1)" flag.
+    *
+    * Exactness: with y the scale-4 return, T_t := n·P_t − t·Σy
+    * (P_t the running prefix sum) equals n·S_t exactly in integers —
+    * prefix sums of longs are associative, so window internals can't
+    * perturb them; demeaned autocovariances use u_t := n·y_t − Σy.
+    * Substituting: η = Σ T_t² / (n · s2*) with s2* = γ0* + 2·(⅔γ1* +
+    * ⅓γ2*) over the u-series — every input to the final one-line
+    * double tree is an exact integer (squares in DECIMAL(38,0)).
+    * Scale shape: two window passes + one grouped rollup per symbol,
+    * no joins. */
+  def kpss(returns: DataFrame, minDays: Int = 30): DataFrame = {
+    val base = returns.filter(col("daily_return_pct").isNotNull)
+      .select(col("symbol"), col("trade_date"),
+        scaled(col("daily_return_pct"), 4).as("y"))
+      .withColumn("t", row_number().over(bySymbol).cast("long"))
+      .withColumn("p", sum(col("y")).over(
+        bySymbol.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("symbol")))
+      .withColumn("sy", sum(col("y")).over(Window.partitionBy("symbol")))
+      .withColumn("u1", lead(col("n") * col("y") - col("sy"), 1).over(bySymbol))
+      .withColumn("u2", lead(col("n") * col("y") - col("sy"), 2).over(bySymbol))
+    def dm(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val g = base.groupBy("symbol").agg(
+      count(lit(1)).as("n"),
+      sum(dm(col("n") * col("p") - col("t") * col("sy"))
+        * (col("n") * col("p") - col("t") * col("sy"))).as("st2"),
+      sum(dm(col("n") * col("y") - col("sy"))
+        * (col("n") * col("y") - col("sy"))).as("g0"),
+      sum(dm(col("n") * col("y") - col("sy")) * col("u1")).as("g1"),
+      sum(dm(col("n") * col("y") - col("sy")) * col("u2")).as("g2"))
+      .filter(col("n") >= minDays)
+    val (n, st2, g0, g1, g2) = (col("n").cast("double"),
+      col("st2").cast("double"), col("g0").cast("double"),
+      col("g1").cast("double"), col("g2").cast("double"))
+    val s2 = (lit(3.0) * g0 + lit(4.0) * coalesce(g1, lit(0.0))
+      + lit(2.0) * coalesce(g2, lit(0.0))) / lit(3.0)
+    val eta = st2 / nullifZero(n * s2)
+    g.select(col("symbol"), col("n").cast("long").as("n_days"),
+      rd(eta, 4).as("kpss_stat"),
+      // 5% critical value for level stationarity (KPSS Table 1)
+      (eta < 0.463).as("stationary"))
+  }
+
+  /** Engle's ARCH-LM test per symbol (Engle, Econometrica 1982) at
+    * lag 1: regress squared returns on their own lag, LM = n·R²,
+    * reject homoskedasticity past χ²₁(5%) = 3.8415 — the standard
+    * pre-test before fitting [[garchFilter]]-style variance models.
+    *
+    * Exactness: q_t := y_t² div 10⁴ re-quantizes the squared scale-4
+    * return back to scale 4; all five moment sums of (q_{t−1}, q_t)
+    * are exact (DECIMAL(38,0) for the quadratics) and R² is one
+    * fixed double tree. Scale shape: one lag window + one grouped
+    * rollup, no joins. */
+  def archLm(returns: DataFrame, minDays: Int = 30): DataFrame = {
+    val base = returns.filter(col("daily_return_pct").isNotNull)
+      .select(col("symbol"), col("trade_date"),
+        scaled(col("daily_return_pct"), 4).as("y"))
+      .withColumn("q", expr("(y * y) div 10000"))
+      .withColumn("x", lag(col("q"), 1).over(bySymbol))
+      .filter(col("x").isNotNull)
+    def dm(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val g = base.groupBy("symbol").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("q")).as("sq"),
+      sum(dm(col("x")) * col("x")).as("sxx"),
+      sum(dm(col("x")) * col("q")).as("sxq"),
+      sum(dm(col("q")) * col("q")).as("sqq"))
+      .filter(col("n") >= minDays)
+    val (n, sx, sq, sxx, sxq, sqq) = (col("n").cast("double"),
+      col("sx").cast("double"), col("sq").cast("double"),
+      col("sxx").cast("double"), col("sxq").cast("double"),
+      col("sqq").cast("double"))
+    val num = (n * sxq - sx * sq) * (n * sxq - sx * sq)
+    val den = (n * sxx - sx * sx) * (n * sqq - sq * sq)
+    val r2 = num / nullifZero(den)
+    g.select(col("symbol"), col("n").cast("long").as("n_days"),
+      rd(r2, 6).as("r2"),
+      rd(n * r2, 4).as("lm_stat"),
+      (n * r2 > 3.8415).as("arch_sig"))
+  }
+
+  /** Permutation entropy per symbol (Bandt & Pompe, PRL 2002), order
+    * 3: the Shannon entropy of the distribution of ordinal patterns
+    * of consecutive return triples — a model-free complexity score
+    * (trending ramps concentrate on one pattern → low H; i.i.d.
+    * noise spreads over all six → H ≈ ln 6).
+    *
+    * Ties break toward the EARLIER observation (a ≤ b counts as
+    * ascending — the convention Bandt–Pompe state for discretized
+    * data). Patterns are encoded by the 3-bit comparison key
+    * (a≤b)·4 + (b≤c)·2 + (a≤c); keys 1 and 6 are logically
+    * impossible, leaving the 6 permutations. Exactness: the six
+    * counts are exact longs; the entropy is a FIXED-ORDER six-term
+    * double sum (no order-dependent aggregation of doubles — the
+    * six terms are written out and added in a pinned order).
+    * Scale shape: two lag windows + one grouped rollup, no joins. */
+  def permutationEntropy(returns: DataFrame, minDays: Int = 30): DataFrame = {
+    val base = returns.filter(col("daily_return_pct").isNotNull)
+      .select(col("symbol"), col("trade_date"),
+        scaled(col("daily_return_pct"), 4).as("c"))
+      .withColumn("a", lag(col("c"), 2).over(bySymbol))
+      .withColumn("b", lag(col("c"), 1).over(bySymbol))
+      .filter(col("a").isNotNull)
+      .withColumn("pat",
+        when(col("a") <= col("b"), 4).otherwise(0) +
+          when(col("b") <= col("c"), 2).otherwise(0) +
+          when(col("a") <= col("c"), 1).otherwise(0))
+    val validPats = Seq(0, 2, 3, 4, 5, 7)
+    val cnts = count(lit(1)).as("n") +: validPats.map(p =>
+      sum(when(col("pat") === p, 1L).otherwise(0L)).as(s"c$p"))
+    val g = base.groupBy("symbol")
+      .agg(cnts.head, cnts.tail: _*)
+      .filter(col("n") >= minDays)
+    val nD = col("n").cast("double")
+    // fixed-order entropy sum: term_p = (c_p/n)·ln(n/c_p), zero when empty
+    val h = validPats.map { p =>
+      val c = col(s"c$p").cast("double")
+      when(col(s"c$p") > 0, c / nD * log(nD / c)).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    val maxC = greatest(validPats.map(p => col(s"c$p")): _*)
+    g.select(col("symbol"), col("n").cast("long").as("n_triples"),
+      rd(h, 6).as("perm_entropy"),
+      rd(h / math.log(6.0), 6).as("h_normalized"),
+      rd(maxC.cast("double") / nD, 4).as("max_pattern_share"))
+  }
+
+  /** Rolling 20-day volume-weighted average price per symbol-day with
+    * the close's deviation from it — the execution-quality benchmark
+    * ([[q_rolling_metrics]]'s SMA weights days equally; VWAP weights
+    * them by traded volume, so high-volume days anchor the band).
+    * Output is bounded to each symbol's LAST `keepDays` rows (the
+    * screen a monitoring mart publishes), full-window rows only.
+    *
+    * Exactness: numerator Σ close₂·vol and denominator Σ vol are
+    * exact longs over the 20-row frame; the only doubles are the two
+    * final rd(4) divisions with fixed trees. Scale shape: two window
+    * passes over the bars panel, no joins, S·D rows in, S·keepDays
+    * out. */
+  def rollingVwap(bars: DataFrame, window: Int = 20,
+                  keepDays: Int = 100): DataFrame = {
+    val w = bySymbol.rowsBetween(-(window - 1), 0)
+    val base = bars
+      .select(col("symbol"), col("trade_date"),
+        scaled(col("close_price"), 2).as("c2"), col("volume"))
+      .withColumn("vnum", sum(col("c2") * col("volume")).over(w))
+      .withColumn("vden", sum(col("volume")).over(w))
+      .withColumn("nw", count(lit(1)).over(w))
+      .withColumn("rn_desc", row_number().over(
+        Window.partitionBy("symbol").orderBy(col("trade_date").desc)))
+      .filter(col("nw") === window && col("rn_desc") <= keepDays)
+    val vw = col("vnum").cast("double") / col("vden").cast("double")
+    base.select(col("symbol"), col("trade_date"),
+      col("vden").cast("long").as("volume_20d"),
+      rd(vw / 100.0, 4).as("vwap_20d"),
+      rd((col("c2").cast("double") - vw) / vw * 100.0, 4).as("dev_pct"))
+  }
+
+  /** Wilder's Average Directional Index per symbol (Wilder, *New
+    * Concepts in Technical Trading Systems*, 1978) — the
+    * trend-STRENGTH gauge next to [[q_wilder_rsi]]'s momentum and
+    * [[q_macd]]'s direction: +DM/−DM split each day's range
+    * expansion, Wilder-smooth (s ← (13·s) div 14 + x, the integer
+    * form of s − s/14 + x), DX = 100·|S⁺−S⁻|/(S⁺+S⁻) (the true-range
+    * denominator cancels), ADX = Wilder-smoothed DX. Seeds are zero
+    * state folded from the second row — the simplified contract
+    * (documented bug-for-bug with the oracle, like the two-RSI
+    * note): no 14-day SMA warm-up period.
+    *
+    * Exactness: close₂/high₂/low₂ are scale-2 longs; the fold is
+    * integer-only ([[garchFilter]]'s sorted-collect + `aggregate`
+    * shape) with truncating `div` (mirrors DuckDB `//`); DX at
+    * scale 4. Scale shape: one grouped sorted collect + one
+    * codegen'd fold; S·D rows in, S out, zero joins. */
+  def adxFilter(bars: DataFrame, minDays: Int = 30): DataFrame = {
+    val base = bars
+      .select(col("symbol"), struct(col("trade_date"),
+        scaled(col("high_price"), 2).as("h"),
+        scaled(col("low_price"), 2).as("l")).as("thl"))
+      .groupBy("symbol")
+      .agg(sort_array(collect_list(col("thl"))).as("thls"))
+      .select(col("symbol"),
+        size(col("thls")).cast("long").as("n_days"),
+        expr("transform(thls, t -> t.h)").as("hs"),
+        expr("transform(thls, t -> t.l)").as("ls"))
+      .filter(col("n_days") >= minDays)
+      // per-step directional movement: up = h_t − h_{t−1},
+      // dn = l_{t−1} − l_t; +DM = up if up > dn and up > 0 else 0
+      .withColumn("dms", expr(
+        """transform(sequence(2, cast(size(hs) as int)), i -> array(
+          |  CASE WHEN element_at(hs, i) - element_at(hs, i - 1)
+          |            > element_at(ls, i - 1) - element_at(ls, i)
+          |        AND element_at(hs, i) - element_at(hs, i - 1) > 0
+          |       THEN element_at(hs, i) - element_at(hs, i - 1) ELSE 0L END,
+          |  CASE WHEN element_at(ls, i - 1) - element_at(ls, i)
+          |            > element_at(hs, i) - element_at(hs, i - 1)
+          |        AND element_at(ls, i - 1) - element_at(ls, i) > 0
+          |       THEN element_at(ls, i - 1) - element_at(ls, i) ELSE 0L END))"""
+          .stripMargin))
+      // fold state: [s_plus, s_minus, adx4] — Wilder-smooth both DM
+      // sides, then Wilder-smooth the scale-4 DX of the NEW state
+      .withColumn("st", expr(
+        """aggregate(dms, array(0L, 0L, 0L), (acc, dm) -> array(
+          |  (13 * element_at(acc, 1)) div 14 + element_at(dm, 1),
+          |  (13 * element_at(acc, 2)) div 14 + element_at(dm, 2),
+          |  (13 * element_at(acc, 3)) div 14 +
+          |    CASE WHEN ((13 * element_at(acc, 1)) div 14 + element_at(dm, 1))
+          |            + ((13 * element_at(acc, 2)) div 14 + element_at(dm, 2)) > 0
+          |         THEN (1000000 * abs(
+          |             ((13 * element_at(acc, 1)) div 14 + element_at(dm, 1))
+          |           - ((13 * element_at(acc, 2)) div 14 + element_at(dm, 2))))
+          |           div (((13 * element_at(acc, 1)) div 14 + element_at(dm, 1))
+          |              + ((13 * element_at(acc, 2)) div 14 + element_at(dm, 2)))
+          |         ELSE 0L END))""".stripMargin))
+    val (sp, sm, adx) = (element_at(col("st"), 1), element_at(col("st"), 2),
+      element_at(col("st"), 3))
+    base.select(col("symbol"), col("n_days"),
+      sp.as("smoothed_dm_plus"), sm.as("smoothed_dm_minus"),
+      rd(lit(100.0) * abs(sp - sm).cast("double") /
+        nullifZero((sp + sm).cast("double")), 4).as("dx_last"),
+      // the smoothed-DX state divided by its own Wilder gain (14): a
+      // long-run-average DX in [0, 100] at scale 4 → points
+      rd(adx.cast("double") / 1e4 / 14.0, 4).as("adx"))
+  }
 }

@@ -576,4 +576,53 @@ object Graph {
     }
     resolved.reduce(_ union _)
   }
+
+  /** Bounded multi-source BFS hop histogram: min-hop distance from
+    * the `nSeeds` smallest node ids (a deterministic landmark set —
+    * the standard seed choice for landmark-based distance estimation,
+    * Potamias et al., CIKM 2009) to every node within `rounds` hops,
+    * rolled up to (hops → node count); unreached nodes report
+    * hops = −1. This is the reachability/coverage profile a crawl or
+    * link-graph curation pass publishes: how much of the graph sits
+    * within r hops of the seed set, and how fast the frontier decays.
+    *
+    * Scale shape: the frontier relaxation is `rounds` message rounds
+    * (edges ⋈ dist on src, grouped min on dst — linear in |E| per
+    * round, the [[pageRankScaled]] shape) under the same
+    * measured-size staging regime as every loop here: label frames
+    * broadcast at small scale, pinned hash layouts past the
+    * threshold. Seeds come from ONE bounded `limit` (no driver
+    * collect); the final histogram is a partial-aggregable rollup. */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+              rounds: Int = 4, nSeeds: Int = 8): DataFrame = {
+    require(rounds >= 1 && nSeeds >= 1, "bfsHops: rounds and seeds must be positive")
+    val und0 = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+    val e = und0.union(und0.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .snapshot() // reused every round
+    val nodes = e.select(col("u").as("id")).distinct().snapshot()
+    val big = Staging.wantsPin(nodes)
+    val eK = rekeyIf(big, e, "u") // rounds join edges on u
+    val seeds = nodes.orderBy("id").limit(nSeeds)
+    var dist = seeds.select(col("id"), lit(0L).as("hops")).snapshot()
+    for (r <- 1 to rounds) {
+      val msg = eK.join(dist.select(col("id").as("u"), col("hops")), "u")
+        .select(col("v").as("id"), (col("hops") + 1L).as("hops"))
+      val next = dist.union(msg)
+        .groupBy("id").agg(min(col("hops")).as("hops"))
+      // frontier can only shrink the min — stage every other round
+      // (the loop is shallow; lineage stays flat)
+      dist = if (r % 2 == 0 || r == rounds) stageIf(big, next, "id") else next
+    }
+    val reached = dist.groupBy("hops").agg(count(lit(1)).as("n_nodes"))
+    val unreached = nodes.join(dist.select(col("id")), Seq("id"), "left_anti")
+      .agg(count(lit(1)).as("n_nodes"))
+      .select(lit(-1L).as("hops"), col("n_nodes"))
+      .filter(col("n_nodes") > 0)
+    reached.union(unreached)
+      .select(col("hops").cast("long").as("hops"),
+        col("n_nodes").cast("long").as("n_nodes"))
+  }
 }

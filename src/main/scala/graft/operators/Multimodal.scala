@@ -1219,4 +1219,105 @@ object Multimodal {
         }
       }(enc)
   }
+
+  /** Histogram equalization per raster (Gonzalez & Woods §3.3, the
+    * standard contrast-normalization pass an image-curation pipeline
+    * runs before feature extraction): 16-bin intensity histogram →
+    * cumulative distribution → the classic integer remap
+    * v' = ((cdf(bin(v)) − cdf_min) · 255) div (n_px − cdf_min),
+    * reported as a per-image summary (full-raster checksum of the
+    * remapped pixels + the contrast-stretch gain) rather than the
+    * remapped raster itself. Every step is EXACT integer arithmetic —
+    * counts, prefix sums over the 16 ordered bins, one truncating
+    * div — so the checksum is bit-portable.
+    *
+    * Scale shape: one pixel→bin rollup, one 16-row-per-image window,
+    * one equi join back to pixel grain, one final rollup — linear in
+    * total pixels, no collect, join build side is 16 rows per image.
+    * Input: (media_id, y, x, v) with v an unsigned byte, w×w raster. */
+  def histogramEqualize(pixels: DataFrame, w: Int = 8): DataFrame = {
+    val nPx = (w * w).toLong
+    val binned = pixels.withColumn("bin", expr("v div 16"))
+    val hist = binned.groupBy("media_id", "bin")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cdf", sum(col("c")).over(
+        Window.partitionBy("media_id").orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cdf_min", min(when(col("c") > 0, col("cdf"))).over(
+        Window.partitionBy("media_id")))
+    val remapped = binned
+      .join(hist.select(col("media_id"), col("bin"), col("cdf"), col("cdf_min")),
+        Seq("media_id", "bin"))
+      .withColumn("nv",
+        when(lit(nPx) > col("cdf_min"),
+          expr(s"((cdf - cdf_min) * 255) div (${nPx}L - cdf_min)"))
+          .otherwise(lit(0L)))
+    remapped.groupBy("media_id").agg(
+      count(lit(1)).as("n_px"),
+      // position-weighted checksum pins the full remapped raster
+      sum(col("nv") * (col("y") * w + col("x") + 1)).as("checksum"),
+      min(col("v")).as("v_min"), max(col("v")).as("v_max"),
+      min(col("nv")).as("nv_min"), max(col("nv")).as("nv_max"))
+      .select(col("media_id"), col("n_px").cast("long").as("n_px"),
+        col("checksum").cast("long").as("checksum"),
+        col("nv_min").cast("long").as("nv_min"),
+        col("nv_max").cast("long").as("nv_max"),
+        ((col("nv_max") - col("nv_min")) - (col("v_max") - col("v_min")))
+          .cast("long").as("stretch_gain"))
+  }
+
+  /** 2:1 PCM decimation with pair averaging — the cheapest correct
+    * resampler (average-then-drop is a 2-tap box low-pass, the
+    * anti-alias minimum) and the plumbing shape of every
+    * sample-rate-normalization stage an audio-curation pipeline runs:
+    * out[i] = (x[2i] + x[2i+1]) div 2 with TRUNCATING division
+    * (negative-capable, mirrors DuckDB `//` — the holt/ou
+    * convention), per input frame of `frameSamples`; emits the exact
+    * output energy, a position-weighted checksum pinning every
+    * output sample, and the peak. Narrow mapPartitions over the
+    * payload bytes (one pass, no shuffle), like [[pcmFrameFeatures]];
+    * a trailing odd sample within a frame is dropped (documented
+    * contract — resamplers own their edge policy). */
+  def resamplePcm(media: DataFrame, frameSamples: Int = 16): DataFrame = {
+    require(frameSamples >= 2 && frameSamples % 2 == 0,
+      "resamplePcm: frameSamples must be even and >= 2")
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("n_out", IntegerType),
+      StructField("energy_out", LongType),
+      StructField("checksum", LongType),
+      StructField("peak_out", IntegerType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select(col("media_id").cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val b = r.getAs[Array[Byte]](1)
+          val nSamp = b.length / 2
+          val nFrames = (nSamp + frameSamples - 1) / frameSamples
+          (0 until nFrames).iterator.map { f =>
+            val start = f * frameSamples
+            val end = math.min(start + frameSamples, nSamp)
+            var i = start
+            var k = 0
+            var energy = 0L
+            var checksum = 0L
+            var peak = 0
+            while (i + 1 < end) {
+              val v0 = ((b(2 * i + 1): Int) << 8) | (b(2 * i) & 0xff)
+              val v1 = ((b(2 * i + 3): Int) << 8) | (b(2 * i + 2) & 0xff)
+              val o = (v0 + v1) / 2 // truncates toward zero, like `//`
+              energy += o.toLong * o
+              checksum += o.toLong * (k + 1)
+              val a = if (o < 0) -o else o
+              if (a > peak) peak = a
+              i += 2
+              k += 1
+            }
+            Row(id, f, k, energy, checksum, peak)
+          }
+        }
+      }(enc)
+  }
 }

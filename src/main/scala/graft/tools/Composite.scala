@@ -29,17 +29,23 @@ object Composite {
     * by copy·(max−min+1) of that column (computed in ONE aggregate
     * pass), and each `shiftDays` timestamp column offset by
     * copy·`dayStep` days. Copy 0 is the identity, so the composite is
-    * a strict superset of the original. */
+    * a strict superset of the original. `boundsOverride` pins a key's
+    * offset explicitly — REQUIRED when the same logical key shifts in
+    * two tables (fact fk ⊆ dim pk means their max−min spans differ;
+    * shifting both by the dim's span keeps every copy's joins
+    * aligned). */
   def amplify(df: DataFrame, copies: Int, shiftKeys: Seq[String],
-              shiftDays: Seq[String] = Nil, dayStep: Int = 3000): DataFrame = {
+              shiftDays: Seq[String] = Nil, dayStep: Int = 3000,
+              boundsOverride: Map[String, Long] = Map.empty): DataFrame = {
     require(copies >= 1, "amplify: copies must be >= 1")
-    val bounds: Map[String, Long] = if (shiftKeys.isEmpty) Map.empty else {
-      val aggs = shiftKeys.flatMap(c =>
+    val toMeasure = shiftKeys.filterNot(boundsOverride.contains)
+    val bounds: Map[String, Long] = (if (toMeasure.isEmpty) Map.empty[String, Long] else {
+      val aggs = toMeasure.flatMap(c =>
         Seq(max(col(c)).cast("long").as(s"max_$c"), min(col(c)).cast("long").as(s"min_$c")))
       val row = df.agg(aggs.head, aggs.tail: _*).collect().head
-      shiftKeys.map(c => c ->
+      toMeasure.map(c => c ->
         (row.getAs[Long](s"max_$c") - row.getAs[Long](s"min_$c") + 1L)).toMap
-    }
+    }) ++ boundsOverride
     (0 until copies).map { k =>
       df.select(df.columns.map {
         case c if shiftKeys.contains(c) =>
@@ -97,11 +103,36 @@ object CompositeScalingBench {
     // the near-dup pairs) — same linear-in-pair-space bar as the S²
     // lanes. The structural cap (≤ maxDf² pairs per token) is what
     // keeps it off the all-pairs cliff.
-    ("q_sparse_cosine", 1.5 * K * K))
+    ("q_sparse_cosine", 1.5 * K * K),
+    // round-13 join shapes (r13 verdict task #4): the econometrics
+    // lag joins (Granger, lead-lag CCF) pair ADJACENT symbols only —
+    // S−1 pairs, row-linear in S, no pair-space blowup; two-factor OLS
+    // is a per-symbol closed-form regression against a day-grain
+    // market factor (one agg + one equi join); Markov attribution runs
+    // K disjoint user worlds (journeys never cross copies); GROUPING
+    // SETS is a fixed 4-set expansion of a row-linear agg; Gopher
+    // rules are a single scan over K disjoint doc copies.
+    ("q_granger", 1.5 * K),
+    ("q_lead_lag", 1.5 * K),
+    ("q_two_factor", 1.5 * K),
+    ("q_markov_attrib", 1.5 * K),
+    ("q_grouping_sets", 1.5 * K),
+    ("q_gopher_rules", 1.5 * K),
+    // round-14 shapes: BFS is bounded-round message passing over the
+    // co-purchase graph (edge-linear, like the quartet); the
+    // econometrics fold/window lanes (Fama–MacBeth, ADX) are
+    // row-linear single-pass panels.
+    ("q_bfs_hops", 1.5 * K),
+    ("q_fama_macbeth", 1.5 * K),
+    ("q_adx", 1.5 * K))
   val dateFamilies: Seq[(String, Double)] = Seq(
     ("q_pairs_spread", 1.5 * K),
     ("q_pair_correlation", 1.5 * K),
-    ("q_winsorize", 1.5 * K))
+    ("q_winsorize", 1.5 * K),
+    // the lag joins' own growth axis is panel LENGTH — lag windows and
+    // the cross-symbol equi join are row-linear in D
+    ("q_granger", 1.5 * K),
+    ("q_lead_lag", 1.5 * K))
 
   val BeginMarker = "<!-- GENERATED:composite-scaling -->"
   val EndMarker = "<!-- /GENERATED:composite-scaling -->"
@@ -115,8 +146,15 @@ object CompositeScalingBench {
     Composite.amplify(Tables.lineitem(spark, sfDir), K,
         shiftKeys = Seq("l_orderkey", "l_partkey", "l_suppkey"))
       .write.mode("overwrite").parquet(s"$entityDir/lineitem.parquet")
+    // customer pk span pins BOTH custkey shifts (o_custkey ⊆ c_custkey
+    // makes their measured spans differ — see amplify's boundsOverride)
+    val custRow = Tables.customer(spark, sfDir)
+      .agg(max(col("c_custkey")).cast("long").as("mx"),
+        min(col("c_custkey")).cast("long").as("mn")).collect().head
+    val custSpan = custRow.getAs[Long]("mx") - custRow.getAs[Long]("mn") + 1L
     Composite.amplify(Tables.orders(spark, sfDir), K,
-        shiftKeys = Seq("o_orderkey", "o_custkey"))
+        shiftKeys = Seq("o_orderkey", "o_custkey"),
+        boundsOverride = Map("o_custkey" -> custSpan))
       .write.mode("overwrite").parquet(s"$entityDir/orders.parquet")
     // K disjoint user worlds for the interval lane (events.ts reads as
     // nanos-long, so copies share the clock — the window side is
@@ -130,6 +168,16 @@ object CompositeScalingBench {
     Composite.amplify(Tables.documents(spark, sfDir), K,
         shiftKeys = Seq("doc_id"))
       .write.mode("overwrite").parquet(s"$entityDir/documents.parquet")
+    // the GROUPING SETS lane joins orders → customer → nation:
+    // customer shifts on the SAME custkey offsets as orders (so every
+    // copy's orders still find their customer), nation is a fixed
+    // dimension and ships verbatim
+    Composite.amplify(Tables.customer(spark, sfDir), K,
+        shiftKeys = Seq("c_custkey"),
+        boundsOverride = Map("c_custkey" -> custSpan))
+      .write.mode("overwrite").parquet(s"$entityDir/customer.parquet")
+    Tables.nation(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$entityDir/nation.parquet")
     // date direction: same symbols, K disjoint 8-year panels
     Composite.amplify(Tables.lineitem(spark, sfDir), K,
         shiftKeys = Nil, shiftDays = Seq("l_shipdate"))
@@ -214,7 +262,11 @@ object CompositeScalingBench {
     sb ++= "shifted, text identical), where duplication grows every df ×K and\n"
     sb ++= "hence the true near-dup pair space ×K² — it carries the 1.5·K²\n"
     sb ++= "pair-space bar, kept off the all-pairs cliff by the maxDf² per-\n"
-    sb ++= "token structural cap.\n\n"
+    sb ++= "token structural cap. The round-13 join shapes are row-linear by\n"
+    sb ++= "construction: Granger/lead-lag pair ADJACENT symbols only (S−1\n"
+    sb ++= "pairs), two-factor OLS is one day-grain factor agg + an equi\n"
+    sb ++= "join, Markov attribution runs K disjoint user worlds, GROUPING\n"
+    sb ++= "SETS is a fixed 4-set expansion, Gopher rules a single scan.\n\n"
     sb ++= "| query | t(sf0.1) s | t(composite) s | ratio | bound | ok |\n"
     sb ++= "|---|---|---|---|---|---|\n"
     ent.foreach { case (n, t0, t1, r, b) =>
