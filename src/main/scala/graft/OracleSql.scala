@@ -7307,6 +7307,266 @@ object OracleSql {
          |  CAST(list_sum(list_transform(range(0, 8), j ->
          |    os[CAST(j + 1 AS INTEGER)] * (j + 1))) AS BIGINT) AS checksum,
          |  CAST(list_max(list_transform(os, o -> abs(o))) AS INTEGER) AS peak_out
-         |FROM rs ORDER BY media_id, frame_idx""".stripMargin
+         |FROM rs ORDER BY media_id, frame_idx""".stripMargin,
+
+    // mirrors Multimodal.otsuThreshold over the shared raster CTE:
+    // exact integer cumulatives, one double division per candidate,
+    // argmax with lowest-bin tie-break
+    "q_image_otsu" ->
+      s"""WITH pay AS (
+         |  SELECT doc_id AS media_id,
+         |    md5(text) || md5(text || '1') || md5(text || '2') || md5(text || '3') AS hx
+         |  FROM documents),
+         |px AS (SELECT media_id, u.y AS y, u.x AS x, u.v AS v FROM (
+         |  SELECT media_id, unnest(list_transform(range(0, 64), i ->
+         |    {'y': i // 8, 'x': i % 8,
+         |     'v': ('0x' || substr(hx, CAST(i * 2 + 1 AS INTEGER), 2))::BIGINT})) AS u
+         |  FROM pay)),
+         |ob AS (SELECT media_id, v, v // 16 AS bin FROM px),
+         |oh AS (SELECT media_id, bin, CAST(COUNT(*) AS BIGINT) AS c,
+         |    CAST(SUM(v) AS BIGINT) AS s
+         |  FROM ob GROUP BY media_id, bin),
+         |oc AS (SELECT media_id, bin,
+         |    CAST(SUM(c) OVER wb AS BIGINT) AS w0,
+         |    CAST(SUM(s) OVER wb AS BIGINT) AS s0,
+         |    CAST(SUM(s) OVER (PARTITION BY media_id) AS BIGINT) AS stot
+         |  FROM oh WINDOW wb AS (PARTITION BY media_id ORDER BY bin
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |og AS (SELECT media_id, bin, w0,
+         |    CAST((s0 * 64 - stot * w0) * (s0 * 64 - stot * w0) AS DOUBLE)
+         |      / (CAST(w0 * (64 - w0) AS DOUBLE) * 4096.0) AS sigma
+         |  FROM oc WHERE w0 > 0 AND w0 < 64),
+         |ork AS (SELECT media_id, bin, w0, sigma,
+         |    ROW_NUMBER() OVER (PARTITION BY media_id
+         |      ORDER BY sigma DESC, bin ASC) AS rn
+         |  FROM og)
+         |SELECT media_id, CAST(bin AS BIGINT) AS thr_bin,
+         |  CAST((bin + 1) * 16 AS BIGINT) AS thr_value,
+         |  CAST(w0 AS BIGINT) AS n_bg, CAST(64 - w0 AS BIGINT) AS n_fg,
+         |  ${rd("sigma", 4)} AS between_var
+         |FROM ork WHERE rn = 1 ORDER BY media_id""".stripMargin,
+
+    // mirrors Multimodal.morphology3x3: v >= 128 mask, separable 3x3
+    // neighborhood count via two window sums, interior-only rollup
+    "q_image_morphology" ->
+      s"""WITH pay AS (
+         |  SELECT doc_id AS media_id,
+         |    md5(text) || md5(text || '1') || md5(text || '2') || md5(text || '3') AS hx
+         |  FROM documents),
+         |px AS (SELECT media_id, u.y AS y, u.x AS x, u.v AS v FROM (
+         |  SELECT media_id, unnest(list_transform(range(0, 64), i ->
+         |    {'y': i // 8, 'x': i % 8,
+         |     'v': ('0x' || substr(hx, CAST(i * 2 + 1 AS INTEGER), 2))::BIGINT})) AS u
+         |  FROM pay)),
+         |mf AS (SELECT media_id, y, x,
+         |    CASE WHEN v >= 128 THEN 1::BIGINT ELSE 0::BIGINT END AS f
+         |  FROM px),
+         |mr AS (SELECT media_id, y, x, f,
+         |    CAST(SUM(f) OVER (PARTITION BY media_id, y ORDER BY x
+         |      ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS r3
+         |  FROM mf),
+         |mn AS (SELECT media_id, y, x, f,
+         |    CAST(SUM(r3) OVER (PARTITION BY media_id, x ORDER BY y
+         |      ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS n9
+         |  FROM mr),
+         |mi AS (SELECT * FROM mn
+         |  WHERE x >= 1 AND x <= 6 AND y >= 1 AND y <= 6)
+         |SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_interior,
+         |  CAST(SUM(f) AS BIGINT) AS n_fg,
+         |  CAST(SUM(CASE WHEN n9 = 9 THEN 1 ELSE 0 END) AS BIGINT) AS n_erode,
+         |  CAST(SUM(CASE WHEN n9 >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dilate,
+         |  CAST(SUM(CASE WHEN n9 >= 1 THEN 1 ELSE 0 END)
+         |    - SUM(CASE WHEN n9 = 9 THEN 1 ELSE 0 END) AS BIGINT) AS gradient_px,
+         |  CAST(SUM(CASE WHEN n9 = 9 THEN y * 8 + x + 1 ELSE 0 END) AS BIGINT)
+         |    AS erode_checksum,
+         |  CAST(SUM(CASE WHEN n9 >= 1 THEN y * 8 + x + 1 ELSE 0 END) AS BIGINT)
+         |    AS dilate_checksum
+         |FROM mi GROUP BY media_id ORDER BY media_id""".stripMargin,
+
+    // mirrors Multimodal.zcrFrames over the shared audio sample CTE:
+    // sign-class flips (v >= 0 non-negative, zero positive) + exact
+    // sum of |v| per frame
+    "q_audio_zcr" ->
+      s"""${audioSvCte(withRate = false)}
+         |SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+         |  CAST(16 AS INTEGER) AS n_samples,
+         |  CAST(list_sum(list_transform(range(2, 17), i ->
+         |    CASE WHEN (xs[i] >= 0) <> (xs[i - 1] >= 0) THEN 1 ELSE 0 END))
+         |    AS INTEGER) AS crossings,
+         |  CAST(list_sum(list_transform(xs, v -> abs(v))) AS BIGINT) AS sum_abs
+         |FROM sv ORDER BY media_id, frame_idx""".stripMargin,
+
+    // mirrors DailyAnalytics.kyleLambda: signed dollar volume regressor,
+    // HUGEINT moment sums (the dimsonBeta rule), one double tree per
+    // output
+    "q_kyle_lambda" ->
+      s"""${dailyChain("returns")},
+         |kb AS (SELECT symbol,
+         |    ${sc("daily_return_pct", 4)} AS y,
+         |    (CASE WHEN daily_return_pct < 0 THEN -1 ELSE 1 END)
+         |      * volume * ${sc("close_price", 2)} AS x
+         |  FROM returns WHERE daily_return_pct IS NOT NULL),
+         |kg AS (SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_days,
+         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         |    SUM(CAST(y AS HUGEINT) * y) AS syy
+         |  FROM kb GROUP BY symbol HAVING COUNT(*) >= 30)
+         |SELECT symbol, n_days,
+         |  ${rd("CAST(n_days * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) / NULLIF(CAST(n_days * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE), 0) * 10000.0", 6)} AS lambda_per_musd,
+         |  ${rd("CAST(n_days * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) / NULLIF(sqrt(CAST(n_days * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) * CAST(n_days * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)), 0)", 6)} AS flow_corr
+         |FROM kg ORDER BY symbol""".stripMargin,
+
+    // mirrors DailyAnalytics.holtWinters: 9-slot integer list_reduce
+    // (level, trend, rotating 5-slot seasonal queue, SAE, n) with
+    // truncating //; simplified seeds l0 = mean of first five closes
+    "q_holt_winters" -> {
+      val sOld = "acc[3]"
+      val lNew = s"(30 * (e[1] - $sOld) + 70 * (acc[1] + acc[2])) // 100"
+      val bNew = s"(10 * (($lNew) - acc[1]) + 90 * acc[2]) // 100"
+      val sNew = s"(20 * (e[1] - ($lNew)) + 80 * $sOld) // 100"
+      val l0 = "((ys[1] + ys[2] + ys[3] + ys[4] + ys[5]) // 5)"
+      s"""${dailyChain("bars")},
+         |hg AS (SELECT symbol,
+         |    list(${sc("close_price", 2)} ORDER BY trade_date) AS ys
+         |  FROM bars GROUP BY symbol),
+         |hn AS (SELECT symbol, CAST(len(ys) AS BIGINT) AS n_days, ys
+         |  FROM hg WHERE len(ys) >= 40),
+         |hf AS (SELECT symbol, n_days,
+         |    list_reduce(
+         |      list_prepend([$l0, 0::BIGINT,
+         |          ys[1] - $l0, ys[2] - $l0, ys[3] - $l0,
+         |          ys[4] - $l0, ys[5] - $l0, 0::BIGINT, 5::BIGINT],
+         |        list_transform(ys[6:], y -> [y, 0::BIGINT, 0::BIGINT,
+         |          0::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT,
+         |          0::BIGINT, 0::BIGINT])),
+         |      (acc, e) -> [$lNew, $bNew,
+         |        acc[4], acc[5], acc[6], acc[7],
+         |        $sNew,
+         |        acc[8] + abs(e[1] - (acc[1] + acc[2] + $sOld)),
+         |        acc[9] + 1]) AS st
+         |  FROM hn)
+         |SELECT symbol, n_days,
+         |  ${rd("CAST(st[1] AS DOUBLE) / 100.0", 2)} AS level,
+         |  ${rd("CAST(st[2] AS DOUBLE) / 100.0", 4)} AS trend_per_day,
+         |  ${rd("CAST(greatest(st[3], st[4], st[5], st[6], st[7]) AS DOUBLE) / 100.0 - CAST(least(st[3], st[4], st[5], st[6], st[7]) AS DOUBLE) / 100.0", 2)} AS seasonal_amplitude,
+         |  ${rd("CAST(st[1] + st[2] + st[3] AS DOUBLE) / 100.0", 2)} AS forecast_1d,
+         |  ${rd("CAST(st[8] AS DOUBLE) / 100.0 / CAST(n_days - 5 AS DOUBLE)", 4)} AS one_step_mae
+         |FROM hf ORDER BY symbol""".stripMargin
+    },
+
+    // mirrors Graph.closenessSample over the q_bfs_hops co-purchase
+    // edge CTEs: 4 unrolled min-hop rounds with the SEED carried in
+    // the state grain; harmonic sums exact scale-12 1/d longs
+    "q_closeness" -> {
+      def step(k: Int) =
+        s"""cl_d$k AS (SELECT seed, id, MIN(hops) AS hops FROM (
+           |    SELECT seed, id, hops FROM cl_d${k - 1}
+           |    UNION ALL
+           |    SELECT d.seed, e.v AS id, d.hops + 1 AS hops
+           |    FROM cl_d${k - 1} d JOIN bh_und e ON e.u = d.id)
+           |  GROUP BY seed, id)""".stripMargin
+      s"""WITH bh_raw AS (
+         |  SELECT u, v FROM (
+         |    SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS n
+         |    FROM lineitem a JOIN lineitem b
+         |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |    GROUP BY a.l_partkey, b.l_partkey)
+         |  WHERE n >= 2),
+         |bh_und AS (SELECT DISTINCT u, v FROM (
+         |    SELECT u, v FROM bh_raw UNION ALL SELECT v AS u, u AS v FROM bh_raw)),
+         |bh_nodes AS (SELECT DISTINCT u AS id FROM bh_und),
+         |cl_seeds AS (SELECT id FROM bh_nodes ORDER BY id LIMIT 8),
+         |cl_d0 AS (SELECT id AS seed, id, CAST(0 AS BIGINT) AS hops FROM cl_seeds),
+         |${step(1)},
+         |${step(2)},
+         |${step(3)},
+         |${step(4)},
+         |cl_g AS (SELECT seed, CAST(COUNT(*) AS BIGINT) AS n_reached,
+         |    CAST(SUM(hops) AS BIGINT) AS sum_hops,
+         |    CAST(SUM(1000000000000 // hops) AS BIGINT) AS h12
+         |  FROM cl_d4 WHERE hops > 0 GROUP BY seed)
+         |SELECT CAST(seed AS BIGINT) AS seed, n_reached, sum_hops,
+         |  ${rd("CAST(n_reached AS DOUBLE) / CAST(sum_hops AS DOUBLE)", 6)} AS closeness,
+         |  ${rd("CAST(h12 AS DOUBLE) / 1000000000000.0", 6)} AS harmonic
+         |FROM cl_g ORDER BY seed""".stripMargin
+    },
+
+    // mirrors TextAnalysis.textRank: length-filtered adjacency graph,
+    // two unrolled exact-integer weighted-PageRank iterations at
+    // scale 1e9 (the q_pagerank // discipline), top 20
+    "q_textrank" ->
+      s"""WITH tr_tk AS (
+         |  SELECT list_filter(string_split(text, ' '),
+         |    t -> length(t) >= 4) AS tk FROM documents),
+         |tr_bg AS (SELECT unnest(list_transform(range(1, len(tk)),
+         |    i -> {'w1': least(tk[i], tk[i + 1]),
+         |          'w2': greatest(tk[i], tk[i + 1])})) AS u FROM tr_tk),
+         |tr_p AS (SELECT u.w1 AS w1, u.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS w
+         |  FROM tr_bg WHERE u.w1 <> u.w2 GROUP BY u.w1, u.w2
+         |  HAVING COUNT(*) >= 2),
+         |tr_e AS (SELECT w1 AS src, w2 AS dst, w FROM tr_p
+         |  UNION ALL SELECT w2, w1, w FROM tr_p),
+         |tr_d AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wdeg,
+         |    CAST(COUNT(*) AS BIGINT) AS n_neighbors
+         |  FROM tr_e GROUP BY src),
+         |tr_r0 AS (SELECT src AS id, CAST(1000000000 AS BIGINT) AS rank FROM tr_d),
+         |tr_c1 AS (SELECT e.dst, CAST(SUM((r.rank // d.wdeg) * e.w) AS BIGINT) AS in_sum
+         |  FROM tr_e e JOIN tr_r0 r ON r.id = e.src
+         |  JOIN tr_d d ON d.src = e.src GROUP BY e.dst),
+         |tr_r1 AS (SELECT d.src AS id,
+         |    CAST(150000000 + (17 * COALESCE(c.in_sum, 0)) // 20 AS BIGINT) AS rank
+         |  FROM tr_d d LEFT JOIN tr_c1 c ON c.dst = d.src),
+         |tr_c2 AS (SELECT e.dst, CAST(SUM((r.rank // d.wdeg) * e.w) AS BIGINT) AS in_sum
+         |  FROM tr_e e JOIN tr_r1 r ON r.id = e.src
+         |  JOIN tr_d d ON d.src = e.src GROUP BY e.dst),
+         |tr_r2 AS (SELECT d.src AS id,
+         |    CAST(150000000 + (17 * COALESCE(c.in_sum, 0)) // 20 AS BIGINT) AS rank
+         |  FROM tr_d d LEFT JOIN tr_c2 c ON c.dst = d.src),
+         |tr_f AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY r.rank DESC, r.id ASC)
+         |      AS INTEGER) AS rank_pos,
+         |    r.id AS word, r.rank AS score, d.wdeg, d.n_neighbors
+         |  FROM tr_r2 r JOIN tr_d d ON d.src = r.id)
+         |SELECT rank_pos, word, score, wdeg, n_neighbors
+         |FROM tr_f WHERE rank_pos <= 20 ORDER BY rank_pos""".stripMargin,
+
+    // mirrors Profiling.cramersV over region x (mktsegment,
+    // orderpriority): full-grid chi^2 with HUGEINT cell squares and
+    // scale-9 quantized contributions (the jsDivergence device)
+    "q_cramers_v" ->
+      s"""WITH cv_b AS (
+         |  SELECT r_name AS grp, c_mktsegment AS a, o_orderpriority AS b
+         |  FROM orders
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey),
+         |cv_cells AS (SELECT grp, a, b, CAST(COUNT(*) AS BIGINT) AS o
+         |  FROM cv_b GROUP BY grp, a, b),
+         |cv_ra AS (SELECT grp, a, CAST(COUNT(*) AS BIGINT) AS na
+         |  FROM cv_b GROUP BY grp, a),
+         |cv_cb AS (SELECT grp, b, CAST(COUNT(*) AS BIGINT) AS nb
+         |  FROM cv_b GROUP BY grp, b),
+         |cv_tot AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM cv_b GROUP BY grp),
+         |cv_grid AS (SELECT ra.grp, ra.na, cb.nb, t.n, COALESCE(c.o, 0) AS o
+         |  FROM cv_ra ra
+         |  JOIN cv_cb cb ON cb.grp = ra.grp
+         |  JOIN cv_tot t ON t.grp = ra.grp
+         |  LEFT JOIN cv_cells c ON c.grp = ra.grp AND c.a = ra.a AND c.b = cb.b),
+         |cv_q AS (SELECT grp, n,
+         |    ${sc("CAST((CAST(o * n AS HUGEINT) - CAST(na AS HUGEINT) * nb) * (CAST(o * n AS HUGEINT) - CAST(na AS HUGEINT) * nb) AS DOUBLE) / CAST(CAST(n AS HUGEINT) * na * nb AS DOUBLE)", 9)} AS c9
+         |  FROM cv_grid),
+         |cv_g AS (SELECT grp, MAX(n) AS n, CAST(SUM(c9) AS BIGINT) AS chi9
+         |  FROM cv_q GROUP BY grp),
+         |cv_r AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS r FROM cv_ra GROUP BY grp),
+         |cv_c AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS c FROM cv_cb GROUP BY grp)
+         |SELECT g.grp AS region, CAST(g.n AS BIGINT) AS n,
+         |  r.r AS n_levels_a, c.c AS n_levels_b,
+         |  ${rd("CAST(g.chi9 AS DOUBLE) / 1000000000.0", 4)} AS chi2,
+         |  ${rd("sqrt(CAST(g.chi9 AS DOUBLE) / 1000000000.0 / NULLIF(CAST(g.n * least(r.r - 1, c.c - 1) AS DOUBLE), 0))", 6)} AS cramers_v
+         |FROM cv_g g
+         |JOIN cv_r r ON r.grp = g.grp
+         |JOIN cv_c c ON c.grp = g.grp
+         |ORDER BY region""".stripMargin
   )
 }

@@ -3276,6 +3276,70 @@ object SparkEntry {
       .orderBy("media_id", "frame_idx")
   }
 
+  /** Otsu automatic threshold per raster: exact between-class
+    * variance argmax over the 16-bin histogram, lowest-bin ties. */
+  private def qImageOtsu(s: SparkSession, dir: String): DataFrame =
+    Multimodal.otsuThreshold(rasterPixels(s, dir)).orderBy("media_id")
+
+  /** 3×3 binary erosion/dilation over the v ≥ 128 mask (separable
+    * window counting, interior-only) + morphological gradient. */
+  private def qImageMorphology(s: SparkSession, dir: String): DataFrame =
+    Multimodal.morphology3x3(rasterPixels(s, dir)).orderBy("media_id")
+
+  /** Per-frame zero-crossing rate + Σ|v| over the PCM16 audio lane —
+    * the voiced/unvoiced/noise discriminator next to frame energy. */
+  private def qAudioZcr(s: SparkSession, dir: String): DataFrame = {
+    val parts = s.sessionState.conf.numShufflePartitions
+    val hexCols = (0 until 8).map(i =>
+      if (i == 0) md5(col("text")) else md5(concat(col("text"), lit(i.toString))))
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id").cast("long").as("media_id"),
+        unhex(concat(hexCols: _*)).as("payload"))
+      .repartition(parts, col("media_id")) // CPU-bound parse stage
+    Multimodal.zcrFrames(media, frameSamples = 16)
+      .orderBy("media_id", "frame_idx")
+  }
+
+  /** Kyle's lambda price-impact slope per symbol: OLS of signed
+    * return on signed dollar volume, exact decimal moments. */
+  private def qKyleLambda(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.kyleLambda(Marts.dailyReturns(s, dir))
+      .orderBy("symbol")
+
+  /** Additive Holt–Winters (5-session trading-week season) per
+    * symbol as one integer fold: level/trend/seasonal + 1-day
+    * forecast and one-step MAE. */
+  private def qHoltWinters(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.holtWinters(Marts.dailyBars(s, dir))
+      .orderBy("symbol")
+
+  /** Sampled closeness + harmonic centrality from the 8 smallest
+    * part ids over the co-purchase graph (4-hop landmark BFS). */
+  private def qCloseness(s: SparkSession, dir: String): DataFrame =
+    Graph.closenessSample(Marts.copurchasePairs(s, dir), "u", "v")
+      .orderBy("seed")
+
+  /** TextRank keywords: exact-integer PageRank over the length-≥4
+    * word co-occurrence graph, top 20. */
+  private def qTextrank(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.textRank(Tables.documents(s, dir), "text")
+      .orderBy("rank_pos")
+
+  /** Cramér's V between market segment and order priority per
+    * region: full-grid χ² with scale-9 quantized cell terms. */
+  private def qCramersV(s: SparkSession, dir: String): DataFrame = {
+    val df = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+    Profiling.cramersV(df, "r_name", "c_mktsegment", "o_orderpriority")
+      .withColumnRenamed("grp", "region")
+      .orderBy("region")
+  }
+
   // ──────────────────────────────────────────────────────────────────
   // Registry
   // ──────────────────────────────────────────────────────────────────
@@ -3491,6 +3555,14 @@ object SparkEntry {
     "q_bfs_hops" -> (qBfsHops _),
     "q_image_histeq" -> (qImageHisteq _),
     "q_audio_resample" -> (qAudioResample _),
+    "q_image_otsu" -> (qImageOtsu _),
+    "q_image_morphology" -> (qImageMorphology _),
+    "q_audio_zcr" -> (qAudioZcr _),
+    "q_kyle_lambda" -> (qKyleLambda _),
+    "q_holt_winters" -> (qHoltWinters _),
+    "q_closeness" -> (qCloseness _),
+    "q_textrank" -> (qTextrank _),
+    "q_cramers_v" -> (qCramersV _),
     "q_page_hinkley" -> (qPageHinkley _),
     "q_kendall_market" -> (qKendallMarket _),
     "q_did" -> (qDid _),

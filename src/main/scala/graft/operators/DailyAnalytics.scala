@@ -3400,4 +3400,109 @@ object DailyAnalytics {
       // long-run-average DX in [0, 100] at scale 4 → points
       rd(adx.cast("double") / 1e4 / 14.0, 4).as("adx"))
   }
+
+  /** Kyle's lambda per symbol (Kyle, *Econometrica* 1985) — the
+    * price-IMPACT slope: OLS of the signed daily return on the signed
+    * dollar volume (sign(r)·volume·close as the order-flow proxy, the
+    * daily-data convention). Complements [[q_amihud]]'s ratio
+    * estimator with the regression form, and [[q_roll_spread]]'s
+    * effective-spread lens with the depth lens — together the
+    * microstructure triptych a liquidity screen ranks by.
+    *
+    * Exactness: y is the scale-4 return, x the scale-2 signed dollar
+    * volume (exact long ≤ ~1e10/day); all five moment sums accumulate
+    * in DECIMAL(38,0) per the [[dimsonBeta]] overflow rule. The slope
+    * and the flow correlation are each ONE double tree over the exact
+    * moments, mirrored verbatim. Scale shape: one partial-aggregable
+    * grouped pass over the returns panel — S·D rows in, S out, no
+    * joins, no windows. */
+  def kyleLambda(returns: DataFrame, minDays: Int = 30): DataFrame = {
+    def dd(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val y = scaled(col("daily_return_pct"), 4)
+    val x = (when(col("daily_return_pct") < 0, -1L).otherwise(1L) *
+      col("volume") * scaled(col("close_price"), 2))
+    val g = returns.filter(col("daily_return_pct").isNotNull)
+      .select(col("symbol"), y.as("y"), x.as("x"))
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(dd(col("x")) * dd(col("y"))).as("sxy"),
+        sum(dd(col("x")) * dd(col("x"))).as("sxx"),
+        sum(dd(col("y")) * dd(col("y"))).as("syy"))
+      .filter(col("n_days") >= minDays)
+    val n = dd(col("n_days"))
+    val covN = (n * col("sxy") - dd(col("sx")) * dd(col("sy"))).cast("double")
+    val varXN = (n * col("sxx") - dd(col("sx")) * dd(col("sx"))).cast("double")
+    val varYN = (n * col("syy") - dd(col("sy")) * dd(col("sy"))).cast("double")
+    g.select(col("symbol"), col("n_days"),
+      // slope in scaled units × 1e4 = pct-return per million dollars
+      rd(covN / nullifZero(varXN) * 1e4, 6).as("lambda_per_musd"),
+      rd(covN / nullifZero(sqrt(varXN * varYN)), 6).as("flow_corr"))
+  }
+
+  /** Additive Holt–Winters triple exponential smoothing per symbol
+    * (Winters, *Management Science* 1960) with the 5-session trading
+    * week as the season — the seasonal step past [[holtLinear]]'s
+    * level+trend, fit as the same integer `aggregate` fold. Percent
+    * gains in integer form: α=0.30, β=0.10, γ=0.20 with truncating
+    * `div` (DuckDB `//`). Seeds are the simplified documented
+    * contract (the [[adxFilter]] convention): l₀ = mean of the first
+    * five closes (truncating), b₀ = 0, sᵢ = yᵢ − l₀; the fold starts
+    * at the sixth observation. The 7-slot state rotates the seasonal
+    * queue in-array: slot 3 is always NEXT step's seasonal, so the
+    * one-step forecast is l + b + s₃.
+    *
+    * Exactness: scale-2 closes, integer-only recursion, exact SAE
+    * accumulator; the only doubles are final rd() divisions. Scale
+    * shape: one grouped sorted collect + one codegen'd fold — S·D
+    * rows in, S out, zero joins ([[garchFilter]]'s envelope). */
+  def holtWinters(bars: DataFrame, minDays: Int = 40): DataFrame = {
+    val sOld = "element_at(acc, 3)"
+    val lNew = s"(30 * (element_at(e, 1) - $sOld)" +
+      " + 70 * (element_at(acc, 1) + element_at(acc, 2))) div 100"
+    val bNew = s"(10 * (($lNew) - element_at(acc, 1))" +
+      " + 90 * element_at(acc, 2)) div 100"
+    val sNew = s"(20 * (element_at(e, 1) - ($lNew)) + 80 * $sOld) div 100"
+    val step =
+      s"""(acc, e) -> array(
+         |  $lNew,
+         |  $bNew,
+         |  element_at(acc, 4), element_at(acc, 5),
+         |  element_at(acc, 6), element_at(acc, 7),
+         |  $sNew,
+         |  element_at(acc, 8) + abs(element_at(e, 1)
+         |    - (element_at(acc, 1) + element_at(acc, 2) + $sOld)),
+         |  element_at(acc, 9) + 1L)""".stripMargin
+    val l0 = "((element_at(ys, 1) + element_at(ys, 2) + element_at(ys, 3)" +
+      " + element_at(ys, 4) + element_at(ys, 5)) div 5)"
+    bars
+      .select(col("symbol"), struct(col("trade_date"),
+        scaled(col("close_price"), 2).as("y")).as("ty"))
+      .groupBy("symbol")
+      .agg(sort_array(collect_list(col("ty"))).as("tys"))
+      .select(col("symbol"),
+        size(col("tys")).cast("long").as("n_days"),
+        expr("transform(tys, t -> t.y)").as("ys"))
+      .filter(col("n_days") >= minDays)
+      .withColumn("st", expr(
+        s"""aggregate(
+           |  transform(slice(ys, 6, greatest(size(ys) - 5, 0)),
+           |    y -> array(y, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)),
+           |  array($l0, 0L,
+           |    element_at(ys, 1) - $l0, element_at(ys, 2) - $l0,
+           |    element_at(ys, 3) - $l0, element_at(ys, 4) - $l0,
+           |    element_at(ys, 5) - $l0, 0L, 5L),
+           |  $step)""".stripMargin))
+      .select(col("symbol"), col("n_days"),
+        rd(element_at(col("st"), 1).cast("double") / 100.0, 2).as("level"),
+        rd(element_at(col("st"), 2).cast("double") / 100.0, 4).as("trend_per_day"),
+        rd(greatest((3 to 7).map(i => element_at(col("st"), i)): _*)
+          .cast("double") / 100.0 -
+          least((3 to 7).map(i => element_at(col("st"), i)): _*)
+            .cast("double") / 100.0, 2).as("seasonal_amplitude"),
+        rd((element_at(col("st"), 1) + element_at(col("st"), 2)
+          + element_at(col("st"), 3)).cast("double") / 100.0, 2).as("forecast_1d"),
+        rd(element_at(col("st"), 8).cast("double") / 100.0 /
+          (col("n_days") - lit(5)).cast("double"), 4).as("one_step_mae"))
+  }
 }

@@ -625,4 +625,59 @@ object Graph {
       .select(col("hops").cast("long").as("hops"),
         col("n_nodes").cast("long").as("n_nodes"))
   }
+
+  /** Sampled closeness + harmonic centrality: per-seed shortest-path
+    * profiles from the `nSeeds` smallest node ids within `rounds`
+    * hops — [[bfsHops]]'s frontier machinery with the seed identity
+    * CARRIED through the relaxation (state grain (seed, node) instead
+    * of node), which is exactly the landmark/pivot scheme large-graph
+    * centrality estimation uses (Eppstein & Wang, SODA 2001: sampled
+    * sources estimate closeness within ε at O(log n / ε²) seeds).
+    * Closeness is the disconnected-safe variant (reached−1)/Σd over
+    * the ≤`rounds`-hop ball; harmonic sums 1/d as EXACT scale-12
+    * longs (d ≤ rounds, so 1/d quantizes losslessly — no
+    * order-dependent double accumulation).
+    *
+    * Scale shape: state is nSeeds× the node frame (a fixed small
+    * factor, 8 here), each round one edges⋈state join + one
+    * (seed,node) min rollup under the same measured-size staging
+    * regime as every loop here; output is nSeeds rows. */
+  def closenessSample(edges: DataFrame, srcCol: String, dstCol: String,
+                      rounds: Int = 4, nSeeds: Int = 8): DataFrame = {
+    require(rounds >= 1 && nSeeds >= 1,
+      "closenessSample: rounds and seeds must be positive")
+    val und0 = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+    val e = und0.union(und0.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .snapshot() // reused every round
+    val nodes = e.select(col("u").as("id")).distinct().snapshot()
+    val big = Staging.wantsPin(nodes)
+    val eK = rekeyIf(big, e, "u")
+    val seeds = nodes.orderBy("id").limit(nSeeds)
+    var dist = seeds.select(col("id").as("seed"), col("id"),
+      lit(0L).as("hops")).snapshot()
+    for (r <- 1 to rounds) {
+      val msg = eK.join(dist.select(col("id").as("u"), col("seed"), col("hops")), "u")
+        .select(col("seed"), col("v").as("id"), (col("hops") + 1L).as("hops"))
+      val next = dist.union(msg)
+        .groupBy("seed", "id").agg(min(col("hops")).as("hops"))
+      dist = if (r % 2 == 0 || r == rounds) stageIf(big, next, "id") else next
+    }
+    // 1/d at scale 12 is exact for d ≤ rounds (≤ 12 digits repeat-free
+    // only for d ∈ {1,2,4,5,8,10,…}; for d = 3/6/… the TRUNCATED
+    // quantization is itself the two-engine contract: 1e12 div d)
+    dist.filter(col("hops") > 0L)
+      .groupBy("seed").agg(
+        count(lit(1)).as("n_reached"),
+        sum(col("hops")).as("sum_hops"),
+        sum(expr("1000000000000L div hops")).as("h12"))
+      .select(col("seed").cast("long").as("seed"),
+        col("n_reached").cast("long").as("n_reached"),
+        col("sum_hops").cast("long").as("sum_hops"),
+        rd(col("n_reached").cast("double") /
+          col("sum_hops").cast("double"), 6).as("closeness"),
+        rd(col("h12").cast("double") / 1e12, 6).as("harmonic"))
+  }
 }

@@ -1320,4 +1320,137 @@ object Multimodal {
         }
       }(enc)
   }
+
+  /** Otsu's automatic threshold (Otsu, IEEE TSMC 1979) per raster over
+    * the shared 16-bin histogram lane ([[histogramEqualize]]'s bins) —
+    * the classic foreground/background split a binarization stage
+    * (document scans, masks, VAD-style silence gates) runs before any
+    * morphology. For every candidate split t the between-class
+    * variance is evaluated EXACTLY from integer cumulatives:
+    * σ²_B(t) = (s0·N − S·w0)² / (N²·w0·(N−w0)) with w0/s0 the pixel
+    * count/intensity sum of bins ≤ t — the numerator square stays
+    * under ~1.1e12 (exact in a long AND under 2⁵³, so the single
+    * double division is bit-deterministic), and the argmax breaks
+    * ties to the LOWEST bin through one row_number ordering mirrored
+    * verbatim by the oracle.
+    *
+    * Scale shape: one pixel→bin rollup, two cumulative windows at
+    * (media × 16-bin) grain, one argmax window — linear in pixels,
+    * no joins. Rasters whose 64 pixels land in a single bin have no
+    * valid split and drop out (both engines agree). */
+  def otsuThreshold(pixels: DataFrame, w: Int = 8): DataFrame = {
+    val nPx = (w * w).toLong
+    val binned = pixels.withColumn("bin", expr("v div 16"))
+    val wBin = Window.partitionBy("media_id").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = binned.groupBy("media_id", "bin")
+      .agg(count(lit(1)).as("c"), sum(col("v")).as("s"))
+      .withColumn("w0", sum(col("c")).over(wBin))
+      .withColumn("s0", sum(col("s")).over(wBin))
+      .withColumn("stot", sum(col("s")).over(Window.partitionBy("media_id")))
+    val num = col("s0") * nPx - col("stot") * col("w0")
+    val sigma = (num * num).cast("double") /
+      ((col("w0") * (lit(nPx) - col("w0"))).cast("double") * (nPx * nPx).toDouble)
+    cum.filter(col("w0") > 0L && col("w0") < nPx)
+      .withColumn("sigma", sigma)
+      .withColumn("rn", row_number().over(Window.partitionBy("media_id")
+        .orderBy(col("sigma").desc, col("bin").asc)))
+      .filter(col("rn") === 1)
+      .select(col("media_id"),
+        col("bin").cast("long").as("thr_bin"),
+        ((col("bin") + 1L) * 16L).cast("long").as("thr_value"),
+        col("w0").cast("long").as("n_bg"),
+        (lit(nPx) - col("w0")).cast("long").as("n_fg"),
+        rd(col("sigma"), 4).as("between_var"))
+  }
+
+  /** 3×3 binary erosion / dilation over the thresholded raster — the
+    * denoise/solidify pass that follows a binarization like
+    * [[otsuThreshold]] in every mask-cleanup pipeline. Foreground is
+    * v ≥ `thr`; the 3×3 neighborhood count n9 comes from two
+    * SEPARABLE window sums (a ±1 row window along x, then a ±1
+    * column window along y over the row sums — the O(w²) separable
+    * min/max-filter trick in its counting form), so erosion is
+    * n9 = 9 and dilation n9 ≥ 1 with zero joins. Border pixels whose
+    * stencil leaves the raster are excluded (the (w−2)² interior,
+    * [[gradientHistogram]]'s edge policy); position-weighted
+    * checksums pin both output masks exactly, and the
+    * dilate−erode difference is the morphological gradient (the
+    * boundary-thickness signal).
+    *
+    * Scale shape: two window exchanges at pixel grain (media×row,
+    * media×col) + one partial-aggregable rollup — linear in total
+    * pixels, the [[boxFilterFeatures]] cost envelope. */
+  def morphology3x3(pixels: DataFrame, w: Int = 8, thr: Int = 128): DataFrame = {
+    val wRow = Window.partitionBy("media_id", "y").orderBy("x").rowsBetween(-1, 1)
+    val wCol = Window.partitionBy("media_id", "x").orderBy("y").rowsBetween(-1, 1)
+    val pos = col("y") * w + col("x") + 1L
+    pixels
+      .withColumn("f", when(col("v") >= thr, 1L).otherwise(0L))
+      .withColumn("r3", sum(col("f")).over(wRow))
+      .withColumn("n9", sum(col("r3")).over(wCol))
+      .filter(col("x") >= 1 && col("x") <= w - 2 &&
+        col("y") >= 1 && col("y") <= w - 2)
+      .groupBy("media_id").agg(
+        count(lit(1)).as("n_interior"),
+        sum(col("f")).as("n_fg"),
+        sum(when(col("n9") === 9L, 1L).otherwise(0L)).as("n_erode"),
+        sum(when(col("n9") >= 1L, 1L).otherwise(0L)).as("n_dilate"),
+        sum(when(col("n9") === 9L, pos).otherwise(0L)).as("erode_checksum"),
+        sum(when(col("n9") >= 1L, pos).otherwise(0L)).as("dilate_checksum"))
+      .select(col("media_id"),
+        col("n_interior").cast("long").as("n_interior"),
+        col("n_fg").cast("long").as("n_fg"),
+        col("n_erode").cast("long").as("n_erode"),
+        col("n_dilate").cast("long").as("n_dilate"),
+        (col("n_dilate") - col("n_erode")).cast("long").as("gradient_px"),
+        col("erode_checksum").cast("long").as("erode_checksum"),
+        col("dilate_checksum").cast("long").as("dilate_checksum"))
+  }
+
+  /** Per-frame zero-crossing rate + mean-absolute amplitude over the
+    * PCM16 lane — THE cheap voiced/unvoiced/noise discriminator
+    * (high ZCR + low energy ⇒ fricatives/noise; low ZCR + high
+    * energy ⇒ voiced speech) every audio-curation pass runs next to
+    * [[pcmFrameFeatures]]'s energy. A crossing is a sign-class flip
+    * between consecutive samples within the frame, with v ≥ 0 as the
+    * non-negative class (zero counts as positive — the documented
+    * edge contract); sum_abs is the exact Σ|v| long. Narrow
+    * mapPartitions over payload bytes, one pass, no shuffle. */
+  def zcrFrames(media: DataFrame, frameSamples: Int = 16): DataFrame = {
+    require(frameSamples > 0, "zcrFrames: frameSamples must be positive")
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("n_samples", IntegerType),
+      StructField("crossings", IntegerType),
+      StructField("sum_abs", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select(col("media_id").cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val b = r.getAs[Array[Byte]](1)
+          val nSamp = b.length / 2
+          val nFrames = (nSamp + frameSamples - 1) / frameSamples
+          (0 until nFrames).iterator.map { f =>
+            val start = f * frameSamples
+            val end = math.min(start + frameSamples, nSamp)
+            var i = start
+            var crossings = 0
+            var sumAbs = 0L
+            var prevNonNeg = false
+            while (i < end) {
+              val v = ((b(2 * i + 1): Int) << 8) | (b(2 * i) & 0xff)
+              val nonNeg = v >= 0
+              if (i > start && nonNeg != prevNonNeg) crossings += 1
+              prevNonNeg = nonNeg
+              sumAbs += (if (v < 0) -v else v).toLong
+              i += 1
+            }
+            Row(id, f, end - start, crossings, sumAbs)
+          }
+        }
+      }(enc)
+  }
 }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.Funcs.r4
+import graft.functions.Funcs.{nullifZero, r4, rd, scaled}
 import graft.sources.Staging.Snapshottable
 
 /** Data-profiling operators: fixed-width histograms and quantile-tier
@@ -554,5 +554,55 @@ object Profiling {
       .select(col("n_classes"), col("min_diversity"), col("n_homogeneous"),
         col("n_exposed_rows"),
         r4(col("n_exposed_rows").cast("double") / col("n_rows")).as("exposed_frac"))
+  }
+
+  /** Cramér's V association between two categorical columns, per
+    * group (Cramér, *Mathematical Methods of Statistics* 1946) — the
+    * normalized-χ² "are these two dimensions related" screen a data
+    * profiler runs across column pairs before trusting a stratified
+    * split or a segment rollup ([[q_chi2_features]] is the per-term
+    * feature-selection form; this is the column-pair form with the
+    * V normalization that makes strengths comparable across grids).
+    * χ² runs over the FULL level grid including zero cells (a zero
+    * cell still contributes its expected count): per cell,
+    * (o·N − nₐ·n_b)² / (N·nₐ·n_b) with the square in DECIMAL(38,0)
+    * (it passes 2⁶³ at ~1e5-row groups), each contribution quantized
+    * to a scale-9 long ([[TextAnalysis.jsDivergence]]'s device), so
+    * the sum is order-free; V = √(χ²/(N·min(r−1, c−1))).
+    *
+    * Scale shape: one grouped pass for cells + two margin rollups
+    * (all partial-aggregable at fact grain), then everything else
+    * lives on the (group × r × c) GRID — a bounded dimension frame,
+    * broadcast-joined. No fact-side windows, no fact re-sorts. */
+  def cramersV(df: DataFrame, groupCol: String, aCol: String,
+               bCol: String): DataFrame = {
+    def dd(c: Column) = c.cast("decimal(38,0)")
+    val base = df
+      .select(col(groupCol).as("grp"), col(aCol).as("a"), col(bCol).as("b"))
+      .snapshot() // feeds cells + both margins + totals
+    val cells = base.groupBy("grp", "a", "b").agg(count(lit(1)).as("o"))
+    val ra = base.groupBy("grp", "a").agg(count(lit(1)).as("na"))
+    val cb = base.groupBy("grp", "b").agg(count(lit(1)).as("nb"))
+    val tot = base.groupBy("grp").agg(count(lit(1)).as("n"))
+    val diff = dd(col("o") * col("n")) - dd(col("na")) * dd(col("nb"))
+    val contrib = (diff * diff).cast("double") /
+      (dd(col("n")) * dd(col("na")) * dd(col("nb"))).cast("double")
+    val grid = ra.join(cb, "grp").join(broadcast(tot), "grp")
+      .join(cells, Seq("grp", "a", "b"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .withColumn("c9", scaled(contrib, 9))
+    val rdim = ra.groupBy("grp").agg(count(lit(1)).as("r"))
+    val cdim = cb.groupBy("grp").agg(count(lit(1)).as("c"))
+    val chi = grid.groupBy("grp")
+      .agg(max(col("n")).as("n"), sum(col("c9")).as("chi9"))
+      .join(broadcast(rdim), "grp").join(broadcast(cdim), "grp")
+    val dof = nullifZero(
+      (col("n") * least(col("r") - 1L, col("c") - 1L)).cast("double"))
+    chi.select(col("grp"), col("n").cast("long").as("n"),
+      col("r").cast("long").as("n_levels_a"),
+      col("c").cast("long").as("n_levels_b"),
+      rd(col("chi9").cast("double") / 1e9, 4).as("chi2"),
+      rd(
+        sqrt(col("chi9").cast("double") / 1e9 / dof), 6).as("cramers_v"))
   }
 }

@@ -1284,4 +1284,76 @@ object TextAnalysis {
           .otherwise("kept"))
       .withColumn("keep", col("first_fail") === "kept")
   }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004) —
+    * PageRank over the word CO-OCCURRENCE graph, the graph-centrality
+    * complement to [[rakeKeywords]]'s degree/frequency score: a word
+    * matters if it co-occurs with words that matter. Candidate words
+    * are length ≥ `minLen` (the content-word proxy for this corpus —
+    * no stopword list dependency); edges are adjacent candidate pairs
+    * over the FILTERED sequence (the standard TextRank window after
+    * candidate selection), undirected, weighted by corpus
+    * co-occurrence count and thresholded at `minWeight` to bound the
+    * graph. Two exact-integer iterations in the [[Graph.pageRankScaled]]
+    * discipline — s ← (3·scale) div 20 + (17·Σ w·(s div wdeg)) div 20,
+    * TextRank's (1−d) form without the 1/N restart — no doubles,
+    * order-insensitive, bit-portable.
+    *
+    * Scale shape: tokenization is a narrow scan; the edge rollup is
+    * one shuffle linear in corpus tokens; the iterations join on the
+    * VOCABULARY grain, which grows sublinearly in the corpus (Heaps'
+    * law — [[q_heaps_law]] measures it), so the loop side shrinks
+    * relative to the corpus as data grows. At 1e8-word vocabulary the
+    * loop would pin layouts like the entity-graph family; at this
+    * corpus's vocab the broadcast plan is optimal. */
+  def textRank(docs: DataFrame, textCol: String, iters: Int = 2,
+               minLen: Int = 4, minWeight: Long = 2L, topK: Int = 20,
+               scale: Long = 1000000000L): DataFrame = {
+    val pairs = docs
+      .select(expr(s"filter(split($textCol, ' '), t -> length(t) >= $minLen)")
+        .as("ts"))
+      .select(explode(expr(
+        """zip_with(slice(ts, 1, greatest(size(ts) - 1, 0)),
+          |         slice(ts, 2, greatest(size(ts) - 1, 0)),
+          |         (a, b) -> struct(least(a, b) AS w1, greatest(a, b) AS w2))"""
+          .stripMargin)).as("p"))
+      .filter(col("p.w1") =!= col("p.w2"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minWeight)
+    val e = pairs.select(col("w1").as("src"), col("w2").as("dst"), col("w"))
+      .union(pairs.select(col("w2").as("src"), col("w1").as("dst"), col("w")))
+      .snapshot() // reused every iteration (join leg + degree build)
+    val deg = e.groupBy("src").agg(sum(col("w")).as("wdeg"),
+      count(lit(1)).as("n_neighbors"))
+      .snapshot() // the node frame: degree join each round + the base
+    var ranks = deg.select(col("src").as("id"), lit(scale).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(deg.select(col("src"), col("wdeg")), "src")
+        .select(col("dst"), expr("(rank div wdeg) * w").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("in_sum"))
+      ranks = deg.select(col("src").as("id"))
+        .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"),
+          (lit((3L * scale) / 20L) +
+            expr("17 * coalesce(in_sum, 0L) div 20")).as("rank"))
+    }
+    // partition-local pre-top before the global k-row sort (the
+    // [[pmiCollocations]] pattern: never single-partition the vocab)
+    val localTop = ranks.join(deg.withColumnRenamed("src", "id"), "id")
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lr", row_number().over(Window.partitionBy("__pid")
+        .orderBy(col("rank").desc, col("id").asc)))
+      .filter(col("__lr") <= topK)
+      .drop("__pid", "__lr")
+    localTop
+      .withColumn("rank_pos", row_number().over(
+        Window.orderBy(col("rank").desc, col("id").asc)))
+      .filter(col("rank_pos") <= topK)
+      .select(col("rank_pos").cast("int").as("rank_pos"),
+        col("id").as("word"), col("rank").cast("long").as("score"),
+        col("wdeg").cast("long").as("wdeg"),
+        col("n_neighbors").cast("long").as("n_neighbors"))
+  }
 }

@@ -124,7 +124,19 @@ object CompositeScalingBench {
     // row-linear single-pass panels.
     ("q_bfs_hops", 1.5 * K),
     ("q_fama_macbeth", 1.5 * K),
-    ("q_adx", 1.5 * K))
+    ("q_adx", 1.5 * K),
+    // round-14 wave 2: closeness is the bfs machinery at (seed, node)
+    // grain — still edge-linear over K disjoint worlds; Kyle's lambda
+    // and Holt–Winters are single-pass per-symbol panels; Cramér's V
+    // is a fact-grain rollup onto a bounded level grid; TextRank on K
+    // VERBATIM corpus copies keeps the vocabulary graph fixed while
+    // the tokenize/rollup side grows ×K — corpus-linear by
+    // construction (the Heaps'-law sublinearity claim, measured)
+    ("q_closeness", 1.5 * K),
+    ("q_kyle_lambda", 1.5 * K),
+    ("q_holt_winters", 1.5 * K),
+    ("q_cramers_v", 1.5 * K),
+    ("q_textrank", 1.5 * K))
   val dateFamilies: Seq[(String, Double)] = Seq(
     ("q_pairs_spread", 1.5 * K),
     ("q_pair_correlation", 1.5 * K),
@@ -132,7 +144,10 @@ object CompositeScalingBench {
     // the lag joins' own growth axis is panel LENGTH — lag windows and
     // the cross-symbol equi join are row-linear in D
     ("q_granger", 1.5 * K),
-    ("q_lead_lag", 1.5 * K))
+    ("q_lead_lag", 1.5 * K),
+    // Holt–Winters' own growth axis is fold LENGTH (one sorted
+    // collect + one linear fold per symbol)
+    ("q_holt_winters", 1.5 * K))
 
   val BeginMarker = "<!-- GENERATED:composite-scaling -->"
   val EndMarker = "<!-- /GENERATED:composite-scaling -->"
@@ -178,6 +193,10 @@ object CompositeScalingBench {
       .write.mode("overwrite").parquet(s"$entityDir/customer.parquet")
     Tables.nation(spark, sfDir)
       .write.mode("overwrite").parquet(s"$entityDir/nation.parquet")
+    // cramers_v walks orders → customer → nation → region; region is
+    // a fixed 5-row dimension and ships verbatim
+    Tables.region(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$entityDir/region.parquet")
     // date direction: same symbols, K disjoint 8-year panels
     Composite.amplify(Tables.lineitem(spark, sfDir), K,
         shiftKeys = Nil, shiftDays = Seq("l_shipdate"))
