@@ -7567,6 +7567,100 @@ object OracleSql {
          |FROM cv_g g
          |JOIN cv_r r ON r.grp = g.grp
          |JOIN cv_c c ON c.grp = g.grp
-         |ORDER BY region""".stripMargin
+         |ORDER BY region""".stripMargin,
+
+    // mirrors TickAnalytics.vpin: tick-rule sign with LAST_VALUE
+    // IGNORE NULLS carry (flat prefix defaults buy), 50-trade buckets,
+    // mean |buy − sell| over full buckets
+    "q_vpin" ->
+      s"""WITH vt AS (SELECT event_type AS symbol, ts, event_id,
+         |    ${sc("value", 2)} AS pfp FROM events),
+         |vw AS (SELECT symbol, ts, event_id, pfp,
+         |    ROW_NUMBER() OVER w AS rn,
+         |    pfp - LAG(pfp, 1) OVER w AS dp
+         |  FROM vt WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id)),
+         |vs AS (SELECT symbol, rn,
+         |    COALESCE(LAST_VALUE(
+         |        CASE WHEN dp > 0 THEN 1 WHEN dp < 0 THEN -1 END IGNORE NULLS)
+         |      OVER (PARTITION BY symbol ORDER BY ts, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1) AS sgn
+         |  FROM vw),
+         |vb AS (SELECT symbol, (rn - 1) // 50 AS bucket,
+         |    CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS buys,
+         |    CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS sells
+         |  FROM vs GROUP BY symbol, (rn - 1) // 50
+         |  HAVING COUNT(*) = 50)
+         |SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         |  CAST(SUM(abs(buys - sells)) AS BIGINT) AS sum_imbalance,
+         |  CAST(MAX(abs(buys - sells)) AS BIGINT) AS max_imbalance,
+         |  ${rd("CAST(SUM(abs(buys - sells)) AS DOUBLE) / CAST(COUNT(*) * 50 AS DOUBLE)", 6)} AS vpin
+         |FROM vb GROUP BY symbol ORDER BY symbol""".stripMargin,
+
+    // mirrors Cohorts.entropyRate: bigram rollup on the (ts, event_id)
+    // user order, per-cell scale-12 quantized entropy terms
+    "q_entropy_rate" ->
+      s"""WITH er_sq AS (SELECT event_type AS cur,
+         |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+         |  FROM events),
+         |er_t AS (SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS nij
+         |  FROM er_sq WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+         |er_r AS (SELECT cur, CAST(SUM(nij) AS BIGINT) AS ni FROM er_t GROUP BY cur),
+         |er_n AS (SELECT CAST(SUM(nij) AS BIGINT) AS nn FROM er_t),
+         |er_c AS (SELECT t.cur, r.ni, n.nn,
+         |    ${sc("CAST(t.nij AS DOUBLE) / CAST(r.ni AS DOUBLE) * log2(CAST(r.ni AS DOUBLE) / CAST(t.nij AS DOUBLE))", 12)} AS h12,
+         |    ${sc("CAST(t.nij AS DOUBLE) / CAST(n.nn AS DOUBLE) * log2(CAST(r.ni AS DOUBLE) / CAST(t.nij AS DOUBLE))", 12)} AS r12
+         |  FROM er_t t JOIN er_r r ON r.cur = t.cur CROSS JOIN er_n n)
+         |SELECT cur AS state, CAST(COUNT(*) AS BIGINT) AS n_next_states,
+         |  CAST(MAX(ni) AS BIGINT) AS n_out,
+         |  ${rd("CAST(MAX(ni) AS DOUBLE) / CAST(MAX(nn) AS DOUBLE)", 6)} AS pi,
+         |  ${rd("CAST(SUM(h12) AS DOUBLE) / 1000000000000.0", 6)} AS h_bits,
+         |  ${rd("CAST(SUM(r12) AS DOUBLE) / 1000000000000.0", 6)} AS rate_contrib_bits
+         |FROM er_c GROUP BY cur ORDER BY state""".stripMargin,
+
+    // mirrors TextAnalysis.qlmTopK: Dirichlet-smoothed query
+    // likelihood (mu = 2000) on the candidate x query-term grid,
+    // scale-9 quantized cell scores
+    "q_qlm_dirichlet" ->
+      s"""WITH qd AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |qe AS (SELECT doc_id, dl, t FROM (
+         |    SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, unnest(tk) AS t FROM qd)
+         |  WHERE t IN ('spark', 'vector', 'stream', 'hash')),
+         |qtf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf,
+         |    CAST(MAX(dl) AS BIGINT) AS dl
+         |  FROM qe GROUP BY doc_id, t),
+         |qctf AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS ctf
+         |  FROM (SELECT unnest(tk) AS t FROM qd)
+         |  WHERE t IN ('spark', 'vector', 'stream', 'hash') GROUP BY t),
+         |qct AS (SELECT CAST(SUM(len(tk)) AS BIGINT) AS ctot FROM qd),
+         |qcand AS (SELECT doc_id, CAST(MAX(dl) AS BIGINT) AS dl
+         |  FROM qtf GROUP BY doc_id),
+         |qgrid AS (SELECT c.doc_id, c.dl, f.t, f.ctf, qct.ctot,
+         |    COALESCE(x.tf, 0) AS tf
+         |  FROM qcand c CROSS JOIN qctf f CROSS JOIN qct
+         |  LEFT JOIN qtf x ON x.doc_id = c.doc_id AND x.t = f.t),
+         |qsc AS (SELECT doc_id,
+         |    ${sc("ln((CAST(tf AS DOUBLE) + 2000.0 * CAST(ctf AS DOUBLE) / CAST(ctot AS DOUBLE)) / (CAST(dl AS DOUBLE) + 2000.0))", 9)} AS c9,
+         |    CASE WHEN tf > 0 THEN 1 ELSE 0 END AS m
+         |  FROM qgrid),
+         |qagg AS (SELECT doc_id, CAST(SUM(c9) AS BIGINT) AS score9,
+         |    CAST(SUM(m) AS BIGINT) AS n_matched
+         |  FROM qsc GROUP BY doc_id),
+         |qrk AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY score9 DESC, doc_id ASC)
+         |      AS INTEGER) AS rank, doc_id, n_matched, score9
+         |  FROM qagg)
+         |SELECT rank, doc_id, n_matched,
+         |  ${rd("CAST(score9 AS DOUBLE) / 1000000000.0", 6)} AS qlm_score
+         |FROM qrk WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    // mirrors DailyAnalytics.hhiConcentration: HHI = exact HUGEINT
+    // sum-of-squares over exact squared total, one double division
+    "q_hhi" ->
+      s"""${dailyChain("bars")}
+         |SELECT trade_date, CAST(COUNT(*) AS BIGINT) AS n_symbols,
+         |  CAST(SUM(volume) AS BIGINT) AS total_volume,
+         |  ${rd("CAST(SUM(CAST(volume AS HUGEINT) * volume) AS DOUBLE) / CAST(CAST(SUM(volume) AS HUGEINT) * SUM(volume) AS DOUBLE)", 6)} AS hhi,
+         |  ${rd("CAST(MAX(volume) AS DOUBLE) / CAST(SUM(volume) AS DOUBLE)", 4)} AS top_share
+         |FROM bars GROUP BY trade_date ORDER BY trade_date""".stripMargin
   )
 }

@@ -3340,6 +3340,38 @@ object SparkEntry {
       .orderBy("region")
   }
 
+  /** VPIN flow toxicity per event-type "symbol": tick-rule
+    * classification with carried sign, 50-trade buckets, mean
+    * absolute order-flow imbalance over full buckets. */
+  private def qVpin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    TickAnalytics.vpin(ev.select(col("event_type").as("symbol"),
+        Adapters.eventTime(ev).as("ts"), col("event_id"),
+        col("value").as("price")))
+      .orderBy("symbol")
+  }
+
+  /** Entropy rate of the event-type journey chain: per-state row
+    * entropy, stationary weight, and rate contribution (bits). */
+  private def qEntropyRate(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    Cohorts.entropyRate(ev.withColumn("event_time", Adapters.eventTime(ev)))
+      .orderBy("state")
+  }
+
+  /** Dirichlet-smoothed query-likelihood top-20 for the shared
+    * 4-term query — the LM-retrieval baseline beside BM25. */
+  private def qQlmDirichlet(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qlmTopK(Tables.documents(s, dir), "doc_id", "text",
+      terms = Seq("spark", "vector", "stream", "hash"), k = 20)
+      .orderBy("rank")
+
+  /** Daily HHI volume concentration across symbols + top share —
+    * the market-breadth screen. */
+  private def qHhi(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.hhiConcentration(Marts.dailyBars(s, dir))
+      .orderBy("trade_date")
+
   // ──────────────────────────────────────────────────────────────────
   // Registry
   // ──────────────────────────────────────────────────────────────────
@@ -3563,6 +3595,10 @@ object SparkEntry {
     "q_closeness" -> (qCloseness _),
     "q_textrank" -> (qTextrank _),
     "q_cramers_v" -> (qCramersV _),
+    "q_vpin" -> (qVpin _),
+    "q_entropy_rate" -> (qEntropyRate _),
+    "q_qlm_dirichlet" -> (qQlmDirichlet _),
+    "q_hhi" -> (qHhi _),
     "q_page_hinkley" -> (qPageHinkley _),
     "q_kendall_market" -> (qKendallMarket _),
     "q_did" -> (qDid _),

@@ -753,4 +753,53 @@ object Cohorts {
         rd(h, 4).as("h_stat"),
         rd(h / nullifZero(corr), 4).as("h_tie_corrected"))
   }
+
+  /** Entropy rate of the empirical event-type Markov chain (Shannon
+    * 1948; Ĥ = Σᵢ πᵢ·H(row i) with the EMPIRICAL stationary weights
+    * πᵢ = nᵢ/N) — the "how predictable is the next user action"
+    * scalar that complements [[markovAbsorption]]'s conversion lens
+    * and [[q_markov]]'s raw transition matrix: a near-zero rate means
+    * journeys are deterministic (sessionization/funnels will model
+    * them well), a rate near log₂|S| means the chain carries no
+    * signal. Per-state rows: the row entropy H_i (bits), the weight
+    * πᵢ, and the rate contribution πᵢ·H_i — their sum IS the rate.
+    *
+    * Exactness: every cell term (nᵢⱼ/nᵢ)·log₂(nᵢ/nᵢⱼ) and
+    * (nᵢⱼ/N)·log₂(nᵢ/nᵢⱼ) is one fixed double tree over exact longs,
+    * quantized to a scale-12 long ([[TextAnalysis.jsDivergence]]'s
+    * device) so the per-state sums are order-free. Scale shape: one
+    * user-partitioned lead window at event grain, one bigram rollup,
+    * then everything lives on the |S|²-bounded transition dimension
+    * (broadcast-joined totals). */
+  def entropyRate(events: DataFrame, tsCol: String = "event_time",
+                  userCol: String = "user_id",
+                  typeCol: String = "event_type"): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col("event_id"))
+    val trans = events
+      .withColumn("nxt", lead(col(typeCol), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col(typeCol).as("cur"), col("nxt"))
+      .agg(count(lit(1)).as("nij"))
+      .snapshot() // feeds row totals, the grand total, and the score pass
+    val rowTot = trans.groupBy("cur").agg(sum(col("nij")).as("ni"))
+    val grand = trans.agg(sum(col("nij")).as("nn"))
+    val hTerm = col("nij").cast("double") / col("ni").cast("double") *
+      log2(col("ni").cast("double") / col("nij").cast("double"))
+    val rTerm = col("nij").cast("double") / col("nn").cast("double") *
+      log2(col("ni").cast("double") / col("nij").cast("double"))
+    trans.join(broadcast(rowTot), "cur")
+      .crossJoin(broadcast(grand))
+      .withColumn("h12", scaled(hTerm, 12))
+      .withColumn("r12", scaled(rTerm, 12))
+      .groupBy("cur")
+      .agg(count(lit(1)).as("n_next_states"),
+        max(col("ni")).as("ni"), max(col("nn")).as("nn"),
+        sum(col("h12")).as("h12"), sum(col("r12")).as("r12"))
+      .select(col("cur").as("state"),
+        col("n_next_states").cast("long").as("n_next_states"),
+        col("ni").cast("long").as("n_out"),
+        rd(col("ni").cast("double") / col("nn").cast("double"), 6).as("pi"),
+        rd(col("h12").cast("double") / 1e12, 6).as("h_bits"),
+        rd(col("r12").cast("double") / 1e12, 6).as("rate_contrib_bits"))
+  }
 }

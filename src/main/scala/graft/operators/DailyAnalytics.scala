@@ -3505,4 +3505,34 @@ object DailyAnalytics {
         rd(element_at(col("st"), 8).cast("double") / 100.0 /
           (col("n_days") - lit(5)).cast("double"), 4).as("one_step_mae"))
   }
+
+  /** Herfindahl–Hirschman volume concentration per trading day —
+    * "how concentrated was today's flow across symbols": HHI =
+    * Σ_s (v_s/V)² = (Σ v_s²)/(Σ v_s)², the antitrust-grade
+    * concentration index applied to market volume, plus the top
+    * symbol's share — the market-breadth screen next to
+    * [[q_activity_heatmap]]'s raw volume grid. A day where one
+    * symbol trades everything scores 1; N equal symbols score 1/N.
+    *
+    * Exactness: Σv² and V² run in DECIMAL(38,0) (HUGEINT mirror);
+    * HHI is ONE double division of the two exact sums — no per-share
+    * rounding, no order dependence at all. Scale shape: one
+    * partial-aggregable rollup at (symbol, day) input grain → D rows
+    * out, no windows, no joins. */
+  def hhiConcentration(bars: DataFrame): DataFrame = {
+    def dd(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    bars.groupBy("trade_date")
+      .agg(count(lit(1)).as("n_symbols"),
+        sum(col("volume")).as("total_volume"),
+        sum(dd(col("volume")) * dd(col("volume"))).as("sumsq"),
+        max(col("volume")).as("max_volume"))
+      .select(col("trade_date"),
+        col("n_symbols").cast("long").as("n_symbols"),
+        col("total_volume").cast("long").as("total_volume"),
+        rd(col("sumsq").cast("double") /
+          (dd(col("total_volume")) * dd(col("total_volume"))).cast("double"), 6)
+          .as("hhi"),
+        rd(col("max_volume").cast("double") /
+          col("total_volume").cast("double"), 4).as("top_share"))
+  }
 }

@@ -1341,13 +1341,13 @@ object TextAnalysis {
     }
     // partition-local pre-top before the global k-row sort (the
     // [[pmiCollocations]] pattern: never single-partition the vocab)
-    val localTop = ranks.join(deg.withColumnRenamed("src", "id"), "id")
+    val localTopTr = ranks.join(deg.withColumnRenamed("src", "id"), "id")
       .withColumn("__pid", spark_partition_id())
       .withColumn("__lr", row_number().over(Window.partitionBy("__pid")
         .orderBy(col("rank").desc, col("id").asc)))
       .filter(col("__lr") <= topK)
       .drop("__pid", "__lr")
-    localTop
+    localTopTr
       .withColumn("rank_pos", row_number().over(
         Window.orderBy(col("rank").desc, col("id").asc)))
       .filter(col("rank_pos") <= topK)
@@ -1355,5 +1355,62 @@ object TextAnalysis {
         col("id").as("word"), col("rank").cast("long").as("score"),
         col("wdeg").cast("long").as("wdeg"),
         col("n_neighbors").cast("long").as("n_neighbors"))
+  }
+
+  /** Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty,
+    * SIGIR 2001) — the language-modeling lens beside [[bm25TopK]]'s
+    * probabilistic-relevance one: score(q,d) = Σ_{t∈q}
+    * ln((tf_t,d + μ·ctf_t/|C|) / (dl_d + μ)), μ = 2000. Candidates
+    * are docs matching ≥ 1 query term; each candidate is then scored
+    * against the FULL query on the (candidate × |q|) grid, so absent
+    * terms contribute their background probability — that is what
+    * makes QL a likelihood, not a term-match heuristic, and it's the
+    * standard smoothing the LM-retrieval baselines in every IR suite
+    * run.
+    *
+    * Exactness: tf/ctf/dl/|C| are exact longs; each grid cell is ONE
+    * fixed double tree quantized to a scale-9 long, so per-doc sums
+    * are order-free. Scale shape: the corpus-side passes (tf, ctf,
+    * |C|) are partial-aggregable scans; the grid is candidates × a
+    * ≤|q|-row broadcast dimension; top-k goes through the
+    * partition-local pre-top ([[pmiCollocations]] pattern). */
+  def qlmTopK(docs: DataFrame, idCol: String, textCol: String,
+              terms: Seq[String], k: Int = 20, mu: Double = 2000.0): DataFrame = {
+    val toks = tokens(col(textCol))
+    val ex = Dedup.spreadById(docs, idCol, textCol)
+      .select(col(idCol), size(toks).cast("long").as("dl"), explode(toks).as("t"))
+      .filter(col("t").isInCollection(terms))
+    val tf = ex.groupBy(col(idCol), col("t"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .snapshot() // feeds the candidate set AND the grid probe
+    val ctf = docs.select(explode(tokens(col(textCol))).as("t"))
+      .filter(col("t").isInCollection(terms))
+      .groupBy("t").agg(count(lit(1)).as("ctf"))
+    val ctot = docs.agg(sum(size(tokens(col(textCol))).cast("long")).as("ctot"))
+    val cand = tf.groupBy(col(idCol)).agg(max(col("dl")).as("dl"))
+    val grid = cand
+      .crossJoin(broadcast(ctf.crossJoin(ctot))) // ≤ |q| rows × 1-row total
+      .join(tf.select(col(idCol), col("t"), col("tf")), Seq(idCol, "t"), "left")
+      .withColumn("tf", coalesce(col("tf"), lit(0L)))
+    val contrib = log((col("tf").cast("double")
+      + lit(mu) * col("ctf").cast("double") / col("ctot").cast("double"))
+      / (col("dl").cast("double") + lit(mu)))
+    val scoredQl = grid.withColumn("c9", scaled(contrib, 9))
+      .groupBy(col(idCol))
+      .agg(sum(col("c9")).as("score9"),
+        sum(when(col("tf") > 0L, 1L).otherwise(0L)).as("n_matched"))
+    val localTopQl = scoredQl
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lr", row_number().over(Window.partitionBy("__pid")
+        .orderBy(col("score9").desc, col(idCol).asc)))
+      .filter(col("__lr") <= k)
+      .drop("__pid", "__lr")
+    localTopQl
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score9").desc, col(idCol).asc)))
+      .filter(col("rank") <= k)
+      .select(col("rank").cast("int").as("rank"), col(idCol),
+        col("n_matched").cast("long").as("n_matched"),
+        rd(col("score9").cast("double") / 1e9, 6).as("qlm_score"))
   }
 }

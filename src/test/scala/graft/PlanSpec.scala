@@ -460,5 +460,35 @@ class PlanSpec extends AnyFunSpec {
       }
     }
 
+    it("VPIN pays exactly ONE tick exchange: windows and both rollups share hash(symbol)") {
+      // the tick-rule window partitions by symbol; the bucket rollup's
+      // (symbol, bucket) clustering and the final (symbol) rollup are
+      // both satisfied by that same layout (subset co-partitioning) —
+      // at 100 TB of ticks the operator moves the data ONCE
+      val p = plan(SparkEntry.queries("q_vpin")(spark, dir))
+      assert(!p.contains("Join"), s"VPIN must stay join-free:\n$p")
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(exchanges == 1, s"VPIN expected 1 exchange, got $exchanges:\n$p")
+    }
+
+    it("the otsu/morphology raster lanes stay join-free window arithmetic") {
+      Seq("q_image_otsu", "q_image_morphology").foreach { q =>
+        val p = plan(SparkEntry.queries(q)(spark, dir))
+        assert(!p.contains("Join"), s"$q must stay join-free:\n$p")
+      }
+    }
+
+    it("cramers_v broadcasts its dims; the fact side rollups are hash aggregates") {
+      val p = plan(SparkEntry.queries("q_cramers_v")(spark, dir))
+      assert(p.contains("BroadcastHashJoin"), s"expected broadcast dims:\n$p")
+      assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    }
+
+    it("HHI is one partial-aggregable rollup — no window, no join") {
+      val p = plan(SparkEntry.queries("q_hhi")(spark, dir))
+      assert(!p.contains("Join") && !p.contains("Window"), s"plan:\n$p")
+      assert(p.contains("HashAggregate"), s"plan:\n$p")
+    }
+
   }
 }
