@@ -7661,6 +7661,98 @@ object OracleSql {
          |  CAST(SUM(volume) AS BIGINT) AS total_volume,
          |  ${rd("CAST(SUM(CAST(volume AS HUGEINT) * volume) AS DOUBLE) / CAST(CAST(SUM(volume) AS HUGEINT) * SUM(volume) AS DOUBLE)", 6)} AS hhi,
          |  ${rd("CAST(MAX(volume) AS DOUBLE) / CAST(SUM(volume) AS DOUBLE)", 4)} AS top_share
-         |FROM bars GROUP BY trade_date ORDER BY trade_date""".stripMargin
+         |FROM bars GROUP BY trade_date ORDER BY trade_date""".stripMargin,
+
+    // mirrors TextAnalysis.cohensKappa over the q_lang_confusion
+    // prediction CTE: HUGEINT margin products, one double division
+    "q_cohens_kappa" -> {
+      import TextSignalSql._
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents
+         |),
+         |st AS (
+         |  SELECT doc_id, lang,
+         |    $hitCols
+         |  FROM tok
+         |),
+         |p AS (
+         |  SELECT lang,
+         |    CASE $pred
+         |         ELSE 'und' END AS lang_pred
+         |  FROM st
+         |),
+         |g AS (
+         |  SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM p GROUP BY lang, lang_pred
+         |),
+         |km AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS r FROM g GROUP BY lang),
+         |kc AS (SELECT lang_pred, CAST(SUM(n) AS BIGINT) AS c
+         |  FROM g GROUP BY lang_pred),
+         |kt AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+         |    CAST(SUM(CASE WHEN lang = lang_pred THEN n ELSE 0 END) AS BIGINT)
+         |      AS agree
+         |  FROM g),
+         |kp AS (SELECT SUM(CAST(r AS HUGEINT) * c) AS src
+         |  FROM km JOIN kc ON km.lang = kc.lang_pred)
+         |SELECT kt.nn AS n_docs, kt.agree AS n_agree,
+         |  ${rd("CAST(agree AS DOUBLE) / CAST(nn AS DOUBLE)", 6)} AS p_o,
+         |  ${rd("CAST(src AS DOUBLE) / CAST(CAST(nn AS HUGEINT) * nn AS DOUBLE)", 6)} AS p_e,
+         |  ${rd("CAST(CAST(nn AS HUGEINT) * agree - src AS DOUBLE) / NULLIF(CAST(CAST(nn AS HUGEINT) * nn - src AS DOUBLE), 0)", 6)} AS kappa
+         |FROM kt CROSS JOIN kp""".stripMargin
+    },
+
+    // mirrors DailyAnalytics.anovaDow: exact power sums per weekday
+    // group, floor-quantized S_g^2/n_g terms, fixed F/eta^2 trees
+    // (dow keying differs between engines but any bijection of group
+    // labels yields identical SSB/SSW)
+    "q_anova_dow" ->
+      s"""${dailyChain("returns")},
+         |av AS (SELECT dayofweek(trade_date) AS dow,
+         |    ${sc("daily_return_pct", 4)} AS y
+         |  FROM returns WHERE daily_return_pct IS NOT NULL),
+         |ag AS (SELECT dow, CAST(COUNT(*) AS BIGINT) AS ng,
+         |    CAST(SUM(y) AS BIGINT) AS sg,
+         |    SUM(CAST(y AS HUGEINT) * y) AS qg
+         |  FROM av GROUP BY dow),
+         |aq AS (SELECT dow, ng, sg, qg,
+         |    ${sc("CAST(CAST(sg AS HUGEINT) * sg AS DOUBLE) / CAST(ng AS DOUBLE)", 0)} AS a_g
+         |  FROM ag),
+         |at AS (SELECT CAST(SUM(ng) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+         |    CAST(SUM(sg) AS BIGINT) AS s, SUM(qg) AS q,
+         |    CAST(SUM(a_g) AS BIGINT) AS a
+         |  FROM aq),
+         |ab AS (SELECT n, k, s, q, a,
+         |    ${sc("CAST(CAST(s AS HUGEINT) * s AS DOUBLE) / CAST(n AS DOUBLE)", 0)} AS b
+         |  FROM at)
+         |SELECT n AS n_days, k AS k_groups,
+         |  ${rd("CAST(a - b AS DOUBLE) / 100000000.0", 4)} AS ss_between,
+         |  ${rd("CAST(q - a AS DOUBLE) / 100000000.0", 4)} AS ss_within,
+         |  ${rd("CAST(a - b AS DOUBLE) / CAST(k - 1 AS DOUBLE) / (CAST(q - a AS DOUBLE) / CAST(n - k AS DOUBLE))", 4)} AS f_stat,
+         |  ${rd("CAST(a - b AS DOUBLE) / NULLIF(CAST(q - b AS DOUBLE), 0)", 6)} AS eta_sq
+         |FROM ab""".stripMargin,
+
+    // mirrors Cohorts.mcnemar: within-user half split on the
+    // (ts, event_id) order, discordant-pair chi^2, all-integer 5% gate
+    "q_mcnemar" ->
+      s"""WITH mc_m AS (SELECT user_id,
+         |    ROW_NUMBER() OVER w AS rn,
+         |    COUNT(*) OVER (PARTITION BY user_id) AS cnt,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS hit
+         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |mc_u AS (SELECT user_id,
+         |    MAX(CASE WHEN rn * 2 <= cnt THEN hit ELSE 0 END) AS h1,
+         |    MAX(CASE WHEN rn * 2 > cnt THEN hit ELSE 0 END) AS h2
+         |  FROM mc_m GROUP BY user_id),
+         |mc_g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         |    CAST(SUM(CASE WHEN h1 = 1 AND h2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+         |    CAST(SUM(CASE WHEN h1 = 0 AND h2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neither,
+         |    CAST(SUM(CASE WHEN h1 = 1 AND h2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_lost,
+         |    CAST(SUM(CASE WHEN h1 = 0 AND h2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_gained
+         |  FROM mc_u)
+         |SELECT n_users, n_both, n_neither, n_lost, n_gained,
+         |  ${rd("CAST((n_lost - n_gained) * (n_lost - n_gained) AS DOUBLE) / NULLIF(CAST(n_lost + n_gained AS DOUBLE), 0)", 4)} AS chi2,
+         |  CAST(n_lost - n_gained AS HUGEINT) * (n_lost - n_gained) * 10000
+         |    > CAST(n_lost + n_gained AS HUGEINT) * 38415 AS significant
+         |FROM mc_g""".stripMargin
   )
 }

@@ -3372,6 +3372,23 @@ object SparkEntry {
     DailyAnalytics.hhiConcentration(Marts.dailyBars(s, dir))
       .orderBy("trade_date")
 
+  /** Cohen's κ between the stored lang label and the n-gram lang-ID
+    * prediction — the chance-corrected agreement scalar. */
+  private def qCohensKappa(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.cohensKappa(Tables.documents(s, dir), "lang", "text")
+
+  /** One-way ANOVA F across day-of-week return groups — the
+    * parametric weekday-seasonality test. */
+  private def qAnovaDow(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.anovaDow(Marts.dailyReturns(s, dir))
+
+  /** McNemar paired conversion change within user journeys:
+    * discordant-pair χ² with an all-integer significance gate. */
+  private def qMcnemar(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    Cohorts.mcnemar(ev.withColumn("event_time", Adapters.eventTime(ev)))
+  }
+
   // ──────────────────────────────────────────────────────────────────
   // Registry
   // ──────────────────────────────────────────────────────────────────
@@ -3599,6 +3616,9 @@ object SparkEntry {
     "q_entropy_rate" -> (qEntropyRate _),
     "q_qlm_dirichlet" -> (qQlmDirichlet _),
     "q_hhi" -> (qHhi _),
+    "q_cohens_kappa" -> (qCohensKappa _),
+    "q_anova_dow" -> (qAnovaDow _),
+    "q_mcnemar" -> (qMcnemar _),
     "q_page_hinkley" -> (qPageHinkley _),
     "q_kendall_market" -> (qKendallMarket _),
     "q_did" -> (qDid _),

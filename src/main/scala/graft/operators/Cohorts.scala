@@ -802,4 +802,53 @@ object Cohorts {
         rd(col("h12").cast("double") / 1e12, 6).as("h_bits"),
         rd(col("r12").cast("double") / 1e12, 6).as("rate_contrib_bits"))
   }
+
+  /** McNemar's paired-proportion test (McNemar, 1947) on within-user
+    * conversion change: did users who converted in the FIRST half of
+    * their own journey keep converting in the second half? Each user
+    * is their own control — the b/c discordant pair counts (lost =
+    * converted early only, gained = late only) drive
+    * χ² = (b−c)²/(b+c); the concordant cells cancel out, which is the
+    * whole point of the paired design and what a two-sample test on
+    * the same data gets wrong. The within-subject complement of the
+    * A/B lane ([[q_welch_ttest]], [[q_mh_lift]]).
+    *
+    * Exactness: the half split is rn·2 ≤ count (pure integers), cell
+    * counts exact; χ² is ONE double division, and the 5% significance
+    * gate is the all-integer cross-multiplication
+    * 10000·(b−c)² > 38415·(b+c) in DECIMAL/HUGEINT (the
+    * [[Profiling.rateAnomaly]] device — no engine's sqrt or division
+    * enters the decision). Scale shape: one user-partitioned window
+    * pass + one user rollup + one 1-row rollup. The uncorrected
+    * statistic is the documented contract (no continuity
+    * correction), mirrored verbatim by the oracle. */
+  def mcnemar(events: DataFrame, target: String = "purchase",
+              tsCol: String = "event_time", userCol: String = "user_id",
+              typeCol: String = "event_type"): DataFrame = {
+    def dd(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col("event_id"))
+    val marked = events
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(userCol)))
+      .withColumn("hit", when(col(typeCol) === target, 1L).otherwise(0L))
+    val users = marked.groupBy(col(userCol))
+      .agg(max(when(col("rn") * 2 <= col("cnt"), col("hit")).otherwise(0L)).as("h1"),
+        max(when(col("rn") * 2 > col("cnt"), col("hit")).otherwise(0L)).as("h2"))
+    val d = col("lost") - col("gained")
+    users.agg(
+      count(lit(1)).as("n_users"),
+      sum(when(col("h1") === 1L && col("h2") === 1L, 1L).otherwise(0L)).as("both"),
+      sum(when(col("h1") === 0L && col("h2") === 0L, 1L).otherwise(0L)).as("neither"),
+      sum(when(col("h1") === 1L && col("h2") === 0L, 1L).otherwise(0L)).as("lost"),
+      sum(when(col("h1") === 0L && col("h2") === 1L, 1L).otherwise(0L)).as("gained"))
+      .select(col("n_users").cast("long").as("n_users"),
+        col("both").cast("long").as("n_both"),
+        col("neither").cast("long").as("n_neither"),
+        col("lost").cast("long").as("n_lost"),
+        col("gained").cast("long").as("n_gained"),
+        rd((d * d).cast("double") /
+          nullifZero((col("lost") + col("gained")).cast("double")), 4).as("chi2"),
+        (dd(d) * dd(d) * lit(10000L) >
+          dd(col("lost") + col("gained")) * lit(38415L)).as("significant"))
+  }
 }

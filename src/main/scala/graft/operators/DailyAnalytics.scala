@@ -3535,4 +3535,44 @@ object DailyAnalytics {
         rd(col("max_volume").cast("double") /
           col("total_volume").cast("double"), 4).as("top_share"))
   }
+
+  /** One-way ANOVA F across day-of-week return groups (Fisher) — the
+    * parametric "does the weekday matter" test beside
+    * [[q_seasonality_dow]]'s per-day means and [[q_kruskal_wallis]]'s
+    * rank-based form: SSB = Σ_g S_g²/n_g − S²/n, SSW = Q − Σ_g S_g²/n_g
+    * from the exact power sums, F = (SSB/(k−1))/(SSW/(n−k)).
+    *
+    * Exactness: y is the scale-4 return; S_g (long) and Q (DECIMAL —
+    * y² passes 1e8·rows) are exact; each S_g²/n_g lands as ONE
+    * floor-quantized long in scaled² units (the group frame is
+    * ≤ 7 rows, so the quantized sum is order-free and tiny), S²/n
+    * the same; F and η² are fixed double trees over those longs.
+    * Scale shape: one partial-aggregable (dow) rollup at panel grain;
+    * everything after lives on the ≤7-row group frame. */
+  def anovaDow(returns: DataFrame): DataFrame = {
+    def dd(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val g = returns.filter(col("daily_return_pct").isNotNull)
+      .select(dayofweek(col("trade_date")).cast("long").as("dow"),
+        scaled(col("daily_return_pct"), 4).as("y"))
+      .groupBy("dow")
+      .agg(count(lit(1)).as("ng"), sum(col("y")).as("sg"),
+        sum(dd(col("y")) * dd(col("y"))).as("qg"))
+      // S_g²/n_g quantized once per group (scaled² units, scale 0)
+      .withColumn("ag", scaled((dd(col("sg")) * dd(col("sg"))).cast("double") /
+        col("ng").cast("double"), 0))
+    g.agg(sum(col("ng")).as("n"), count(lit(1)).as("k"),
+        sum(col("sg")).as("s"), sum(col("qg")).as("q"),
+        sum(col("ag")).as("a"))
+      .withColumn("b", scaled((dd(col("s")) * dd(col("s"))).cast("double") /
+        col("n").cast("double"), 0))
+      .select(col("n").cast("long").as("n_days"),
+        col("k").cast("long").as("k_groups"),
+        rd((col("a") - col("b")).cast("double") / 1e8, 4).as("ss_between"),
+        rd((col("q") - col("a")).cast("double") / 1e8, 4).as("ss_within"),
+        rd((col("a") - col("b")).cast("double") / (col("k") - lit(1)).cast("double") /
+          ((col("q") - col("a")).cast("double") / (col("n") - col("k")).cast("double")),
+          4).as("f_stat"),
+        rd((col("a") - col("b")).cast("double") /
+          nullifZero((col("q") - col("b")).cast("double")), 6).as("eta_sq"))
+  }
 }

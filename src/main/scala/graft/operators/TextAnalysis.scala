@@ -1413,4 +1413,43 @@ object TextAnalysis {
         col("n_matched").cast("long").as("n_matched"),
         rd(col("score9").cast("double") / 1e9, 6).as("qlm_score"))
   }
+
+  /** Cohen's κ agreement between the stored language label and the
+    * n-gram language-ID prediction (Cohen, 1960) — the
+    * chance-corrected summary scalar of [[langConfusion]]'s matrix:
+    * raw agreement p_o flatters a skewed label distribution, κ
+    * subtracts what agreement chance alone would produce
+    * (p_e = Σᵢ rᵢcᵢ/N²). The one-number answer to "can the cheap
+    * heuristic stand in for the stored labels" that a labeling-audit
+    * pass publishes.
+    *
+    * Exactness: κ = (N·Σnᵢᵢ − Σrᵢcᵢ) / (N² − Σrᵢcᵢ) — every product
+    * in DECIMAL(38,0) (count×count clears int64 at corpus scale), ONE
+    * double division. Scale shape: the corpus pays one
+    * partial-aggregable (label, pred) rollup; everything after lives
+    * on the k²-bounded confusion frame. */
+  def cohensKappa(docs: DataFrame, labelCol: String,
+                  textCol: String): DataFrame = {
+    def dd(c: Column) = c.cast("decimal(38,0)")
+    val cells = languageId(docs, textCol)
+      .groupBy(col(labelCol).as("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .snapshot() // margins + diagonal + total all read the k² frame
+    val rMarg = cells.groupBy("lang").agg(sum(col("n")).as("r"))
+    val cMarg = cells.groupBy("lang_pred").agg(sum(col("n")).as("c"))
+    val tot = cells.agg(sum(col("n")).as("nn"),
+      sum(when(col("lang") === col("lang_pred"), col("n")).otherwise(0L))
+        .as("agree"))
+    val pe = rMarg.join(cMarg, col("lang") === col("lang_pred"))
+      .agg(sum(dd(col("r")) * dd(col("c"))).as("src"))
+    tot.crossJoin(broadcast(pe))
+      .select(col("nn").cast("long").as("n_docs"),
+        col("agree").cast("long").as("n_agree"),
+        rd(col("agree").cast("double") / col("nn").cast("double"), 6).as("p_o"),
+        rd(col("src").cast("double") /
+          (dd(col("nn")) * dd(col("nn"))).cast("double"), 6).as("p_e"),
+        rd((dd(col("nn")) * dd(col("agree")) - col("src")).cast("double") /
+          nullifZero((dd(col("nn")) * dd(col("nn")) - col("src")).cast("double")),
+          6).as("kappa"))
+  }
 }

@@ -136,7 +136,19 @@ object CompositeScalingBench {
     ("q_kyle_lambda", 1.5 * K),
     ("q_holt_winters", 1.5 * K),
     ("q_cramers_v", 1.5 * K),
-    ("q_textrank", 1.5 * K))
+    ("q_textrank", 1.5 * K),
+    // round-14 waves 3-4: VPIN and McNemar are one user/symbol window
+    // pass + bounded rollups over K disjoint user worlds; entropy rate
+    // and kappa reduce to fixed |S|²/k² dimension frames after one
+    // fact rollup; QLM's candidate set grows with matching docs
+    // (row-linear, grid side is a fixed |q|-row dim); ANOVA is one
+    // 7-group rollup
+    ("q_vpin", 1.5 * K),
+    ("q_mcnemar", 1.5 * K),
+    ("q_entropy_rate", 1.5 * K),
+    ("q_cohens_kappa", 1.5 * K),
+    ("q_qlm_dirichlet", 1.5 * K),
+    ("q_anova_dow", 1.5 * K))
   val dateFamilies: Seq[(String, Double)] = Seq(
     ("q_pairs_spread", 1.5 * K),
     ("q_pair_correlation", 1.5 * K),
