@@ -565,4 +565,103 @@ class PropertySpec extends AnyFunSpec {
       assert(w2.length == 8 && w2.forall(c => c >= 'a' && c <= 'd'), w2)
     }
   }
+
+  describe("round-14 operator invariants on generated inputs") {
+    import graft.operators.{Cohorts, Multimodal, TickAnalytics}
+
+    def rasters(n: Int): org.apache.spark.sql.DataFrame = {
+      val vs = sampled(Gen.choose(0L, 255L), n * 64)
+      (0 until n).flatMap { m =>
+        for { y <- 0 until 8; x <- 0 until 8 }
+          yield (m.toLong, y.toLong, x.toLong, vs(m * 64 + y * 8 + x))
+      }.toDF("media_id", "y", "x", "v")
+    }
+
+    it("otsu returns THE argmax split: no other candidate beats it") {
+      val px = rasters(10)
+      val out = Multimodal.otsuThreshold(px).collect()
+        .map(r => r.getAs[Long]("media_id") ->
+          (r.getAs[Long]("thr_bin"), r.getAs[Double]("between_var"))).toMap
+      val pixels = px.collect()
+        .groupBy(_.getAs[Long]("media_id"))
+        .view.mapValues(_.map(_.getAs[Long]("v")).toSeq).toMap
+      pixels.foreach { case (m, vs) =>
+        val byBin = vs.groupBy(_ / 16).view
+          .mapValues(g => (g.size.toLong, g.sum)).toMap
+        val s = vs.sum
+        val cands = (0L to 14L).flatMap { t =>
+          val (w0, s0) = (0L to t).foldLeft((0L, 0L)) { case ((w, ss), b) =>
+            byBin.get(b).map(c => (w + c._1, ss + c._2)).getOrElse((w, ss))
+          }
+          if (w0 > 0 && w0 < 64) {
+            val num = s0 * 64 - s * w0
+            Some((num.toDouble * num) / (w0 * (64 - w0)).toDouble / 4096.0)
+          } else None
+        }
+        assert(out(m)._2 >= math.floor(cands.max * 1e4) / 1e4 - 1e-4,
+          s"media $m: returned ${out(m)} vs best ${cands.max}")
+      }
+    }
+
+    it("morphology nests: erosion <= foreground <= dilation on the interior") {
+      Multimodal.morphology3x3(rasters(10)).collect().foreach { r =>
+        val (fg, er, di) = (r.getAs[Long]("n_fg"),
+          r.getAs[Long]("n_erode"), r.getAs[Long]("n_dilate"))
+        assert(er <= fg && fg <= di,
+          s"nesting violated: erode=$er fg=$fg dilate=$di")
+        assert(r.getAs[Long]("gradient_px") == di - er)
+      }
+    }
+
+    it("vpin is a [0,1] mean of bucket imbalances with full buckets only") {
+      val steps = sampled(Gen.choose(-3, 3), 5 * 300)
+      val rows = (0 until 5).flatMap { s =>
+        var p = 500L
+        (0 until 300).map { i =>
+          p = math.max(1L, p + steps(s * 300 + i))
+          (s"S$s", (i + 1).toLong, p / 1.0)
+        }
+      }
+      val df = rows.toDF("symbol", "event_id", "price")
+        .withColumn("ts", expr("timestamp_seconds(event_id)"))
+      TickAnalytics.vpin(df).collect().foreach { r =>
+        val v = r.getAs[Double]("vpin")
+        assert(v >= 0.0 && v <= 1.0, s"vpin out of range: $v")
+        assert(r.getAs[Long]("n_buckets") == 6L) // 300 ticks → 6 full buckets
+        assert(r.getAs[Long]("max_imbalance") <= 50L)
+      }
+    }
+
+    it("entropy-rate rows: pi sums to 1 and every row entropy <= log2(branching)") {
+      val types = sampled(Gen.oneOf("a", "b", "c", "d"), 400)
+      val rows = types.zipWithIndex.map { case (t, i) =>
+        ((i % 8).toLong, i.toLong, t)
+      }
+      val df = rows.toDF("user_id", "event_id", "event_type")
+        .withColumn("event_time", expr("timestamp_seconds(event_id)"))
+      val out = Cohorts.entropyRate(df).collect()
+      val piSum = out.map(_.getAs[Double]("pi")).sum
+      assert(math.abs(piSum - 1.0) < 1e-4, s"pi sums to $piSum")
+      out.foreach { r =>
+        val hMax = math.log(r.getAs[Long]("n_next_states").toDouble) / math.log(2.0)
+        assert(r.getAs[Double]("h_bits") <= hMax + 1e-6,
+          s"row entropy ${r.getAs[Double]("h_bits")} exceeds log2(k)=$hMax")
+        assert(r.getAs[Double]("rate_contrib_bits") <=
+          r.getAs[Double]("pi") * hMax + 1e-4)
+      }
+    }
+
+    it("hhi stays within [1/n, 1] and top share at least 1/n") {
+      val vols = sampled(Gen.choose(1L, 1000L), 40)
+      val bars = vols.zipWithIndex.map { case (v, i) =>
+        (s"S${i % 8}", java.sql.Date.valueOf("2024-01-0" + (i % 5 + 1)), v)
+      }.toDF("symbol", "trade_date", "volume")
+      graft.operators.DailyAnalytics.hhiConcentration(bars).collect().foreach { r =>
+        val n = r.getAs[Long]("n_symbols").toDouble
+        val h = r.getAs[Double]("hhi")
+        assert(h >= 1.0 / n - 1e-6 && h <= 1.0 + 1e-6, s"hhi $h outside [1/$n, 1]")
+        assert(r.getAs[Double]("top_share") >= 1.0 / n - 1e-4)
+      }
+    }
+  }
 }
