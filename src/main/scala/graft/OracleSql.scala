@@ -7554,7 +7554,7 @@ object OracleSql {
          |  JOIN cv_tot t ON t.grp = ra.grp
          |  LEFT JOIN cv_cells c ON c.grp = ra.grp AND c.a = ra.a AND c.b = cb.b),
          |cv_q AS (SELECT grp, n,
-         |    ${sc("CAST((CAST(o * n AS HUGEINT) - CAST(na AS HUGEINT) * nb) * (CAST(o * n AS HUGEINT) - CAST(na AS HUGEINT) * nb) AS DOUBLE) / CAST(CAST(n AS HUGEINT) * na * nb AS DOUBLE)", 9)} AS c9
+         |    ${sc("CAST((CAST(o AS HUGEINT) * n - CAST(na AS HUGEINT) * nb) * (CAST(o AS HUGEINT) * n - CAST(na AS HUGEINT) * nb) AS DOUBLE) / CAST(CAST(n AS HUGEINT) * na * nb AS DOUBLE)", 9)} AS c9
          |  FROM cv_grid),
          |cv_g AS (SELECT grp, MAX(n) AS n, CAST(SUM(c9) AS BIGINT) AS chi9
          |  FROM cv_q GROUP BY grp),
@@ -7727,7 +7727,7 @@ object OracleSql {
          |SELECT n AS n_days, k AS k_groups,
          |  ${rd("CAST(a - b AS DOUBLE) / 100000000.0", 4)} AS ss_between,
          |  ${rd("CAST(q - a AS DOUBLE) / 100000000.0", 4)} AS ss_within,
-         |  ${rd("CAST(a - b AS DOUBLE) / CAST(k - 1 AS DOUBLE) / (CAST(q - a AS DOUBLE) / CAST(n - k AS DOUBLE))", 4)} AS f_stat,
+         |  ${rd("CAST(a - b AS DOUBLE) / NULLIF(CAST(k - 1 AS DOUBLE), 0) / NULLIF(CAST(q - a AS DOUBLE) / CAST(n - k AS DOUBLE), 0)", 4)} AS f_stat,
          |  ${rd("CAST(a - b AS DOUBLE) / NULLIF(CAST(q - b AS DOUBLE), 0)", 6)} AS eta_sq
          |FROM ab""".stripMargin,
 

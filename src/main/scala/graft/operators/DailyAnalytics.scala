@@ -3569,8 +3569,10 @@ object DailyAnalytics {
         col("k").cast("long").as("k_groups"),
         rd((col("a") - col("b")).cast("double") / 1e8, 4).as("ss_between"),
         rd((col("q") - col("a")).cast("double") / 1e8, 4).as("ss_within"),
-        rd((col("a") - col("b")).cast("double") / (col("k") - lit(1)).cast("double") /
-          ((col("q") - col("a")).cast("double") / (col("n") - col("k")).cast("double")),
+        rd((col("a") - col("b")).cast("double") /
+          nullifZero((col("k") - lit(1)).cast("double")) /
+          nullifZero((col("q") - col("a")).cast("double") /
+            (col("n") - col("k")).cast("double")),
           4).as("f_stat"),
         rd((col("a") - col("b")).cast("double") /
           nullifZero((col("q") - col("b")).cast("double")), 6).as("eta_sq"))

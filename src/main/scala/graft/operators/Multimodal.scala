@@ -1415,7 +1415,12 @@ object Multimodal {
     * [[pcmFrameFeatures]]'s energy. A crossing is a sign-class flip
     * between consecutive samples within the frame, with v ≥ 0 as the
     * non-negative class (zero counts as positive — the documented
-    * edge contract); sum_abs is the exact Σ|v| long. Narrow
+    * edge contract); sum_abs is the exact Σ|v| long. FULL FRAMES
+    * ONLY: a trailing partial frame (payload length not a multiple
+    * of 2·frameSamples) is dropped, so every emitted row has
+    * n_samples = frameSamples — the contract the DuckDB mirror
+    * assumes, and the one every fixed-frame audio featurizer uses
+    * (a 7-sample "frame" has no comparable ZCR). Narrow
     * mapPartitions over payload bytes, one pass, no shuffle. */
   def zcrFrames(media: DataFrame, frameSamples: Int = 16): DataFrame = {
     require(frameSamples > 0, "zcrFrames: frameSamples must be positive")
@@ -1432,10 +1437,10 @@ object Multimodal {
           val id = r.getLong(0)
           val b = r.getAs[Array[Byte]](1)
           val nSamp = b.length / 2
-          val nFrames = (nSamp + frameSamples - 1) / frameSamples
+          val nFrames = nSamp / frameSamples // full frames only
           (0 until nFrames).iterator.map { f =>
             val start = f * frameSamples
-            val end = math.min(start + frameSamples, nSamp)
+            val end = start + frameSamples
             var i = start
             var crossings = 0
             var sumAbs = 0L

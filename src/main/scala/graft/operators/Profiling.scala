@@ -565,8 +565,10 @@ object Profiling {
     * V normalization that makes strengths comparable across grids).
     * χ² runs over the FULL level grid including zero cells (a zero
     * cell still contributes its expected count): per cell,
-    * (o·N − nₐ·n_b)² / (N·nₐ·n_b) with the square in DECIMAL(38,0)
-    * (it passes 2⁶³ at ~1e5-row groups), each contribution quantized
+    * (o·N − nₐ·n_b)² / (N·nₐ·n_b) with the o·N product AND the
+    * square both in DECIMAL(38,0) (o·N alone passes 2⁶³ once a
+    * group holds ~3e9 rows; the square passes it at ~1e5 — neither
+    * may touch LONG arithmetic), each contribution quantized
     * to a scale-9 long ([[TextAnalysis.jsDivergence]]'s device), so
     * the sum is order-free; V = √(χ²/(N·min(r−1, c−1))).
     *
@@ -584,7 +586,7 @@ object Profiling {
     val ra = base.groupBy("grp", "a").agg(count(lit(1)).as("na"))
     val cb = base.groupBy("grp", "b").agg(count(lit(1)).as("nb"))
     val tot = base.groupBy("grp").agg(count(lit(1)).as("n"))
-    val diff = dd(col("o") * col("n")) - dd(col("na")) * dd(col("nb"))
+    val diff = dd(col("o")) * dd(col("n")) - dd(col("na")) * dd(col("nb"))
     val contrib = (diff * diff).cast("double") /
       (dd(col("n")) * dd(col("na")) * dd(col("nb"))).cast("double")
     val grid = ra.join(cb, "grp").join(broadcast(tot), "grp")

@@ -89,6 +89,15 @@ class R14Wave2Spec extends AnyFunSpec {
       assert(out.getAs[Int]("crossings") == 2)
       assert(out.getAs[Long]("sum_abs") == 10L)
     }
+    it("drops a trailing partial frame (full-frame contract)") {
+      // 7 samples at frameSamples=4 → exactly one 4-sample frame
+      val bytes = (0 until 7).flatMap(_ => Seq(0x01.toByte, 0x00.toByte)).toArray
+      val out = Multimodal.zcrFrames(Seq((1L, bytes)).toDF("media_id", "payload"),
+        frameSamples = 4).collect()
+      assert(out.length == 1)
+      assert(out.head.getAs[Int]("n_samples") == 4)
+      assert(out.head.getAs[Long]("sum_abs") == 4L)
+    }
   }
 
   describe("kyleLambda") {
