@@ -1,5 +1,30 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Fixed host-speed canary shared by [[Bench]] and
+  * [[graft.tools.CompositeScalingBench]]: a registry-independent
+  * CPU-bound fold (1e9-row codegen'd range aggregation over 32 tasks,
+  * zero I/O) timed best-of-3 after one codegen warm. `Ref` is the
+  * steady-state cost of THIS code path measured on the r15 build host
+  * (in-bench readings 0.18-0.21 s; a fresh JVM reads ~2x slower, so
+  * the reference must come from the same in-bench context):
+  * host_factor = canary/Ref, 1.0 ≈ that host, 2.0 ≈ a host running
+  * everything 2x slower. Lets a reader normalize recorded numbers
+  * across rounds taken on differently-loaded hosts. */
+object HostCanary {
+  val Ref = 0.20
+  def measure(spark: SparkSession): Double = {
+    def one(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 1000000000L, 1L, 32)
+        .selectExpr("sum((id * 2654435761) % 1000003)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    one() // codegen warm (first execution compiles the fold)
+    (1 to 3).map(_ => one()).min
+  }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -80,7 +105,22 @@ object Bench {
       releaseNewBlocks(before)
       dt
     }
-    val trialsByQuery = selected.map { case (name, fn) =>
+    // Fixed host canary ([[HostCanary]]) at run START / MIDDLE / END.
+    // Purpose: the r14 driver record was taken during sustained
+    // multi-second host stalls that min-of-5 could not dodge
+    // (q_cross_doc_ngrams recorded 6.37 s vs 0.97 s isolated steady
+    // state); the canary line lets a reader (a) normalize totals
+    // across rounds taken on differently-loaded hosts and (b) see
+    // WHEN in the run the host was stalled. host_factor =
+    // median(canary)/HostCanary.Ref.
+    val CanaryRef = HostCanary.Ref
+    def canary(): Double = HostCanary.measure(spark)
+    val canaryStart = canary()
+    val selSeq = selected.toSeq
+    val mid = selSeq.size / 2
+    var canaryMid = -1.0
+    val trialsByQuery = selSeq.zipWithIndex.map { case ((name, fn), idx) =>
+      if (idx == mid) canaryMid = canary()
       // One UNTIMED warm run at the target SF before the timed trials:
       // r12/r13 trial dissection (SPARK_GRAFT_TRIAL_DEBUG) showed every
       // spread>3 flag was a first-trial-only cold start (gc≈0, trials
@@ -105,16 +145,47 @@ object Bench {
       // residue (code cache, broadcast cleanup) — outside timed region.
       System.gc()
       name -> times
+    }.toMap
+    val canaryEnd = canary()
+    val canaries = Seq(canaryStart, canaryMid, canaryEnd).filter(_ > 0)
+    val hostFactor =
+      math.rint(canaries.sorted.apply(canaries.size / 2) / CanaryRef * 100) / 100
+    def spreadOf(ts: Seq[Double]): Double =
+      if (ts.min > 0) math.rint(ts.max / ts.min * 100) / 100 else -1.0
+    // Stall defense (r14 finding): a SUSTAINED host stall covering all
+    // warm+N trials of a query defeats min-of-N — BENCH_r14's top line
+    // recorded 6.6x its isolated steady state this way. Every query
+    // whose first block is spread-flagged (>3x) gets ONE extra full
+    // trial block at END of run (different wall-clock window → a
+    // transient stall has moved on); the reported min spans both
+    // blocks and the reported spread is the BETTER block's own
+    // dispersion (min of the two spreads — a stall-free retry clears
+    // the flag; a genuinely bimodal plan stays flagged in both).
+    // Bounded: ≤12 retried queries x (1 warm + N trials).
+    val flaggedFirstPass = trialsByQuery.collect {
+      case (k, ts) if spreadOf(ts) > 3.0 => k
+    }.toSeq.sortBy(k => -spreadOf(trialsByQuery(k))).take(12)
+    val retriedBlocks = flaggedFirstPass.map { name =>
+      val fn = selected(name)
+      timed(fn) // warm (same contract as the first block)
+      val ts2 = (1 to trials).map(_ => timed(fn))
+      System.gc()
+      name -> ts2
+    }.toMap
+    val results = trialsByQuery.map { case (k, ts) =>
+      k -> (ts ++ retriedBlocks.getOrElse(k, Nil)).min
     }
-    val results = trialsByQuery.map { case (k, ts) => k -> ts.min }
     // Dispersion alongside the min: max/min over the same trials. The
     // min stays the reported metric (steady-state plan cost), but a
     // spread >> 1 marks a bimodal timing whose min may not reproduce —
     // the r10 q_bm25 episode (0.40 vs 1.27 s across rounds, zero code
     // change) would have carried spread ~3 instead of costing a round
-    // of plan archaeology.
+    // of plan archaeology. Retried queries report the better block's
+    // spread (see stall defense above).
     val spread = trialsByQuery.map { case (k, ts) =>
-      k -> (if (ts.min > 0) math.rint(ts.max / ts.min * 100) / 100 else -1.0)
+      k -> retriedBlocks.get(k)
+        .map(ts2 => math.min(spreadOf(ts), spreadOf(ts2)))
+        .getOrElse(spreadOf(ts))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -141,8 +212,13 @@ object Bench {
     val baselineSubsetTotal =
       results.collect { case (k, v) if baseline29.contains(k) => v }.sum
     val baselineSubsetN = results.keySet.count(baseline29.contains)
+    def r3j(v: Double): Double = math.rint(v * 1000) / 1000
+    val canaryJson =
+      s"""{"start":${r3j(canaryStart)},"mid":${r3j(canaryMid)},"end":${r3j(canaryEnd)},"ref":$CanaryRef}"""
+    val retriedJson =
+      retriedBlocks.keys.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","trials":$trials,"baseline29_total":$baselineSubsetTotal,"baseline29_n":$baselineSubsetN,"queries":$qs,"spread":$spreadJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","trials":$trials,"host_factor":$hostFactor,"canary":$canaryJson,"retried":$retriedJson,"baseline29_total":$baselineSubsetTotal,"baseline29_n":$baselineSubsetN,"queries":$qs,"spread":$spreadJson,"sf":"$sfDir"}"""
     // The harness that collects this output keeps only a bounded TAIL
     // of stdout (~2 KB), and the full per-query map is ~3x that — so
     // the summary is emitted three ways:
@@ -167,7 +243,7 @@ object Bench {
     // line so a suspicious min is visible without opening the full map
     val flagged = spread.filter(_._2 > 3.0).toSeq.sortBy(-_._2).take(8)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","trials":$trials,"baseline29_total":${r3(baselineSubsetTotal)},"baseline29_n":$baselineSubsetN,"queries":$qsCompact,"spread_gt3":$flagged,"sf":"$sfDir","n_queries":${results.size},"queries_shown":${kept.size},"full":"bench_out.json"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","trials":$trials,"host_factor":$hostFactor,"canary":$canaryJson,"retried":$retriedJson,"baseline29_total":${r3(baselineSubsetTotal)},"baseline29_n":$baselineSubsetN,"queries":$qsCompact,"spread_gt3":$flagged,"sf":"$sfDir","n_queries":${results.size},"queries_shown":${kept.size},"full":"bench_out.json"}""")
     spark.stop()
   }
 }

@@ -148,7 +148,21 @@ object CompositeScalingBench {
     ("q_entropy_rate", 1.5 * K),
     ("q_cohens_kappa", 1.5 * K),
     ("q_qlm_dirichlet", 1.5 * K),
-    ("q_anova_dow", 1.5 * K))
+    ("q_anova_dow", 1.5 * K),
+    // round-15 shapes: URL canonicalization is a scan projection +
+    // one rollup over K doc copies (row-linear); the Aho-Corasick
+    // sweep gets K× docs AND K× needles simultaneously — the
+    // automaton absorbs needle growth, so the bar is CORPUS-linear
+    // (1.5·K), i.e. sublinear in the needles×docs product the naive
+    // per-needle scan would pay (K² here); Theil runs one key rollup
+    // + a 1-row broadcast; the tick impact panel is one symbol-window
+    // pass over K disjoint event worlds; the reservoir sample is
+    // per-partition top-k + a k·P driver merge (row-linear scan)
+    ("q_url_dedup", 1.5 * K),
+    ("q_decontamination_multi", 1.5 * K),
+    ("q_theil_inequality", 1.5 * K),
+    ("q_tick_impact", 1.5 * K),
+    ("q_reservoir_sample", 1.5 * K))
   val dateFamilies: Seq[(String, Double)] = Seq(
     ("q_pairs_spread", 1.5 * K),
     ("q_pair_correlation", 1.5 * K),
@@ -159,7 +173,10 @@ object CompositeScalingBench {
     ("q_lead_lag", 1.5 * K),
     // Holt–Winters' own growth axis is fold LENGTH (one sorted
     // collect + one linear fold per symbol)
-    ("q_holt_winters", 1.5 * K))
+    ("q_holt_winters", 1.5 * K),
+    // MASE's growth axis is panel length too: two lags sharing one
+    // window sort + a symbol rollup
+    ("q_mase_seasonal", 1.5 * K))
 
   val BeginMarker = "<!-- GENERATED:composite-scaling -->"
   val EndMarker = "<!-- /GENERATED:composite-scaling -->"
@@ -260,16 +277,29 @@ object CompositeScalingBench {
       spark.conf.set("spark.sql.shuffle.partitions", n.toString)
       try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
+    // per-row SPREAD (max/min over the trials at each scale) makes
+    // regens comparable: the r14 wave-3 commit cited a pairs ratio
+    // (11.2) that a later regen on a drifting host measured at 46.9 —
+    // with the spread and the host canary in the table, a reader can
+    // tell a tight measurement from a stall-inflated one instead of
+    // trusting whichever regen ran last.
+    def spreadOf(ts: Seq[Double]): Double =
+      if (ts.min > 0) math.rint(ts.max / ts.min * 100) / 100 else -1.0
     def series(fams: Seq[(String, Double)], dir: String) = fams.map { case (n, bound) =>
-      val t0 = (1 to trials).map(_ => { System.gc(); timed(n, sfDir) }).min
-      println(f"[composite] $n sf0.1 $t0%.2f s")
-      val t1 = withParts(128) {
-        (1 to trials).map(_ => { System.gc(); timed(n, dir) }).min }
+      val ts0 = (1 to trials).map(_ => { System.gc(); timed(n, sfDir) })
+      val t0 = ts0.min
+      println(f"[composite] $n sf0.1 $t0%.2f s (spread ${spreadOf(ts0)}%.2f)")
+      val ts1 = withParts(128) {
+        (1 to trials).map(_ => { System.gc(); timed(n, dir) }) }
+      val t1 = ts1.min
       println(f"[composite] $n composite $t1%.2f s (ratio ${t1 / math.max(t0, 0.15)}%.1f)")
-      (n, t0, t1, t1 / math.max(t0, 0.15), bound)
+      (n, t0, t1, t1 / math.max(t0, 0.15), bound, spreadOf(ts0), spreadOf(ts1))
     }
+    val canaryStart = graft.HostCanary.measure(spark)
     val ent = series(entityFamilies, entityDir)
     val dat = series(dateFamilies, dateDir)
+    val canaryEnd = graft.HostCanary.measure(spark)
+    def hf(c: Double) = math.rint(c / graft.HostCanary.Ref * 100) / 100
 
     val sb = new StringBuilder
     sb ++= BeginMarker + "\n\n"
@@ -277,6 +307,12 @@ object CompositeScalingBench {
     sb ++= s"Generated by `runMain graft.tools.CompositeScalingBench` (local[$cpus],\n"
     sb ++= s"min-of-$trials per scale, K=$K key-shifted copies of sf0.1 built\n"
     sb ++= "in-engine by `Composite.amplify` — testdata itself caps at sf0.1).\n"
+    sb ++= f"Host canary (fixed CPU fold, ref ${graft.HostCanary.Ref}%.2f s): " +
+      f"host_factor ${hf(canaryStart)}%.2f at start, ${hf(canaryEnd)}%.2f at end —\n"
+    sb ++= "ratios from runs whose factors differ are NOT directly comparable.\n"
+    sb ++= "Per-row `spr` columns are max/min over that row's trials at each\n"
+    sb ++= "scale; a ratio whose spread is large was measured under host noise\n"
+    sb ++= "and should be re-read against an isolated re-run, not trusted raw.\n"
     sb ++= "The 10× span in the table above probes where fixed costs dominate;\n"
     sb ++= "this section drives the S²/graph families ~100× past sf0.01.\n\n"
     sb ++= "**Entity direction** (symbols/nodes ×10 — lineitem 6 M rows,\n"
@@ -298,20 +334,20 @@ object CompositeScalingBench {
     sb ++= "pairs), two-factor OLS is one day-grain factor agg + an equi\n"
     sb ++= "join, Markov attribution runs K disjoint user worlds, GROUPING\n"
     sb ++= "SETS is a fixed 4-set expansion, Gopher rules a single scan.\n\n"
-    sb ++= "| query | t(sf0.1) s | t(composite) s | ratio | bound | ok |\n"
-    sb ++= "|---|---|---|---|---|---|\n"
-    ent.foreach { case (n, t0, t1, r, b) =>
-      sb ++= f"| $n | $t0%.2f | $t1%.2f | $r%.1f | $b%.0f | ${if (r <= b) "yes" else "NO"} |\n"
+    sb ++= "| query | t(sf0.1) s | spr | t(composite) s | spr | ratio | bound | ok |\n"
+    sb ++= "|---|---|---|---|---|---|---|---|\n"
+    ent.foreach { case (n, t0, t1, r, b, s0, s1) =>
+      sb ++= f"| $n | $t0%.2f | $s0%.2f | $t1%.2f | $s1%.2f | $r%.1f | $b%.0f | ${if (r <= b) "yes" else "NO"} |\n"
     }
     sb ++= "\n**Date direction** (panel length ×10, symbols fixed — the\n"
     sb ++= "direction where D·S² is row-linear; same 1.5·K bar as the main\n"
     sb ++= "table):\n\n"
-    sb ++= "| query | t(sf0.1) s | t(composite) s | ratio | bound | ok |\n"
-    sb ++= "|---|---|---|---|---|---|\n"
-    dat.foreach { case (n, t0, t1, r, b) =>
-      sb ++= f"| $n | $t0%.2f | $t1%.2f | $r%.1f | $b%.0f | ${if (r <= b) "yes" else "NO"} |\n"
+    sb ++= "| query | t(sf0.1) s | spr | t(composite) s | spr | ratio | bound | ok |\n"
+    sb ++= "|---|---|---|---|---|---|---|---|\n"
+    dat.foreach { case (n, t0, t1, r, b, s0, s1) =>
+      sb ++= f"| $n | $t0%.2f | $s0%.2f | $t1%.2f | $s1%.2f | $r%.1f | $b%.0f | ${if (r <= b) "yes" else "NO"} |\n"
     }
-    val allOk = (ent ++ dat).forall { case (_, _, _, r, b) => r <= b }
+    val allOk = (ent ++ dat).forall { case (_, _, _, r, b, _, _) => r <= b }
     sb ++= s"\nAll within bounds: $allOk.\n\n"
     sb ++= EndMarker
     val path = java.nio.file.Paths.get("SCALING.md")
