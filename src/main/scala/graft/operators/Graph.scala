@@ -552,6 +552,15 @@ object Graph {
             (col("rc") || coalesce(col("hit"), lit(false))).as("rc"))
         reach = if (r % 3 == 0 || r == rounds) stageIf(big, next, "id") else next
       }
+      // confirm + peel are FILTERS over the staged `reach` frame (the
+      // r == rounds staging above is the phase's one materialization
+      // point), so neither needs its own checkpoint job: the r14
+      // profile showed the lane is driver-job-latency bound (~110
+      // sequential jobs moving ~6 MB), and the two per-phase
+      // confirm/peel checkpoints were pure job count — a filter over
+      // cached blocks re-reads them in-process. A filter also
+      // preserves the staged frame's pinned hash layout in the big
+      // regime (FilterExec keeps child outputPartitioning).
       val confirmed = reach.filter(col("rc"))
         .select(col("id"), col("f").as("scc_id"))
       if (p == phases) {
@@ -559,8 +568,8 @@ object Graph {
         resolved += confirmed.union(reach.filter(!col("rc"))
           .select(col("id"), col("id").as("scc_id")))
       } else {
-        resolved += confirmed.snapshot()
-        remaining = stageIf(big, reach.filter(!col("rc")).select(col("id")), "id")
+        resolved += confirmed
+        remaining = reach.filter(!col("rc")).select(col("id"))
         // nothing unresolved: every later phase would run its rounds
         // on empty frames and contribute zero rows — identical result
         // (the oracle's unrolled later phases are no-ops on the same
