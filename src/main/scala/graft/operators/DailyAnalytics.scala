@@ -3163,7 +3163,9 @@ object DailyAnalytics {
     val (d, sg, sgg) = (col("d").cast("double"),
       col("sg").cast("double"), col("sgg").cast("double"))
     val mean = sg / d / 1e6
-    val varG = (sgg - sg * sg / d) / (d - 1.0) / 1e12
+    // d = 1 (a single cross-section) has no slope variance: t is NULL
+    // there, not an engine-dependent 0/0 (the anovaDow convention)
+    val varG = (sgg - sg * sg / d) / nullifZero(d - 1.0) / 1e12
     val t = mean / sqrt(varG / d)
     agg.select(col("d").cast("long").as("n_days"),
       rd(mean, 6).as("gamma_mean"),
@@ -3576,5 +3578,44 @@ object DailyAnalytics {
           4).as("f_stat"),
         rd((col("a") - col("b")).cast("double") /
           nullifZero((col("q") - col("b")).cast("double")), 6).as("eta_sq"))
+  }
+
+  /** Seasonal-naive MASE panel per symbol (Hyndman & Koehler, IJF
+    * 2006): the scale-free forecast-accuracy denominator every
+    * M-competition metric standardizes on. Scores the naive-1
+    * forecast (ŷ_t = y_{t−1}) against the seasonal-naive benchmark
+    * (ŷ_t = y_{t−season}, season = 5 trading days): MASE < 1 means
+    * yesterday's close beats last week's same-weekday close — the
+    * go/no-go gate before shipping any fancier model
+    * ([[holtWinters]], [[holtLinear]]) whose MAE plugs into the same
+    * denominator. Both error sums run over the SAME rows (t > season,
+    * where both lags exist), so the count cancels and MASE is the
+    * exact ratio of two integer SAE sums.
+    *
+    * Exactness: scale-2 closes; both SAEs are exact long sums;
+    * the three outputs are fixed double trees. Scale shape: one
+    * window pass (two lags share the sort) + one partial-aggregable
+    * symbol rollup — S·D rows in, S out, no joins. */
+  def maseSeasonalNaive(bars: DataFrame, season: Int = 5,
+                        minDays: Int = 30): DataFrame = {
+    require(season >= 1, "maseSeasonalNaive: season must be positive")
+    val base = bars
+      .select(col("symbol"), col("trade_date"),
+        scaled(col("close_price"), 2).as("y"))
+      .withColumn("l1", lag(col("y"), 1).over(bySymbol))
+      .withColumn("ls", lag(col("y"), season).over(bySymbol))
+      .filter(col("ls").isNotNull) // both lags defined from t = season+1
+    base.groupBy("symbol")
+      .agg(count(lit(1)).as("n_scored"),
+        sum(abs(col("y") - col("l1"))).as("sae1"),
+        sum(abs(col("y") - col("ls"))).as("saes"))
+      .filter(col("n_scored") >= minDays)
+      .select(col("symbol"), col("n_scored").cast("long").as("n_scored"),
+        rd(col("sae1").cast("double") / col("n_scored").cast("double") / 100.0, 4)
+          .as("mae_naive"),
+        rd(col("saes").cast("double") / col("n_scored").cast("double") / 100.0, 4)
+          .as("mae_seasonal"),
+        rd(col("sae1").cast("double") /
+          nullifZero(col("saes").cast("double")), 6).as("mase"))
   }
 }

@@ -86,6 +86,42 @@ class MartsSpec extends AnyFunSpec {
       } finally graft.SparkEntry.deleteDir(tmp.toString)
     }
 
+    it("a cache READ refreshes eviction order — the touched mart survives, the untouched oldest goes") {
+      // 6 distinct content keys, then a READ of key #0 (LRU touch),
+      // then a 7th build: eviction keeps the newest-5 by mtime, so
+      // the victim must be the UNTOUCHED oldest (#1), not the
+      // least-recently-built (#0) — pins the Marts.scala:131 hit-touch
+      val scratch = graft.SparkEntry.scratchBase.toFile
+      def martDirs = Option(scratch.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("graft_mart_daily_bars_"))
+        .map(_.getName).toSet
+      val tmp = java.nio.file.Files.createTempDirectory("marts_lru").toFile
+      try {
+        val ins = (0 until 7).map { k =>
+          val in = new java.io.File(tmp, s"in$k")
+          in.mkdirs()
+          val dst = java.nio.file.Paths.get(in.toString, "lineitem.parquet")
+          java.nio.file.Files.copy(
+            java.nio.file.Paths.get(dir, "lineitem.parquet"), dst)
+          dst.toFile.setLastModified(1710000000000L + k * 60000L) // distinct keys
+          in.toString
+        }
+        val dirOf = (0 until 6).map { k =>
+          val before = martDirs
+          Marts.dailyBars(spark, ins(k)).count()
+          val added = martDirs -- before
+          assert(added.size == 1, s"build $k added ${added.size} dirs")
+          k -> added.head
+        }.toMap
+        Marts.dailyBars(spark, ins(0)).count() // cache HIT → mtime touch
+        Marts.dailyBars(spark, ins(6)).count() // 7th key → evicts one
+        val now = martDirs
+        assert(now.contains(dirOf(0)), "touched mart #0 was evicted — LRU touch lost")
+        assert(!now.contains(dirOf(1)), "victim should be the untouched oldest (#1): " +
+          now.mkString(", "))
+      } finally graft.SparkEntry.deleteDir(tmp.toString)
+    }
+
     it("graph edge-list marts equal their recompute path exactly") {
       def recomputed(build: => org.apache.spark.sql.DataFrame) = {
         spark.conf.set("graft.marts.materialize", "false")
