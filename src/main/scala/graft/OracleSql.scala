@@ -2519,6 +2519,53 @@ object OracleSql {
          |WHERE id1 % 5 = 0 OR id2 % 5 = 0
          |ORDER BY id1, id2""".stripMargin,
 
+    // mirrors Dedup.urlCanonicalize + urlGrainRollup over the
+    // deterministic messy-URL synthesis in SparkEntry.qUrlDedup:
+    // same regexp trees, same utm filter, same host/port rules
+    "q_url_dedup" ->
+      s"""WITH ud_url AS (SELECT doc_id,
+         |    (CASE WHEN doc_id % 5 = 0 THEN 'HTTP'
+         |          WHEN doc_id % 5 = 1 THEN 'http'
+         |          WHEN doc_id % 5 = 2 THEN 'HTTPS' ELSE 'https' END)
+         |    || '://'
+         |    || (CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END)
+         |    || '.Example.COM'
+         |    || (CASE WHEN doc_id % 4 = 0 THEN ':443'
+         |             WHEN doc_id % 4 = 1 THEN ':80' ELSE '' END)
+         |    || '/d/' || CAST(doc_id % 50 AS VARCHAR)
+         |    || (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&utm_campaign=x&ref=a'
+         |             WHEN doc_id % 7 = 0 THEN '?ref=home&utm_medium=em' ELSE '' END)
+         |    || (CASE WHEN doc_id % 6 = 0 THEN '#sec2' ELSE '' END) AS url
+         |  FROM documents),
+         |ud_nf AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS u_nofrag
+         |  FROM ud_url),
+         |ud_p AS (SELECT doc_id,
+         |    lower(regexp_extract(u_nofrag, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS u_scheme,
+         |    lower(regexp_extract(u_nofrag, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)) AS u_host0,
+         |    regexp_extract(u_nofrag, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1) AS u_path,
+         |    COALESCE(array_to_string(list_filter(
+         |      string_split(COALESCE(regexp_extract(u_nofrag, '\\?([^#]*)', 1), ''), '&'),
+         |      p -> p <> '' AND NOT regexp_matches(p, '^utm_')), '&'), '') AS u_q
+         |  FROM ud_nf),
+         |ud_h AS (SELECT doc_id, u_scheme, u_path, u_q,
+         |    CASE WHEN u_scheme = 'http' THEN regexp_replace(u_host0, ':80$$', '')
+         |         WHEN u_scheme = 'https' THEN regexp_replace(u_host0, ':443$$', '')
+         |         ELSE u_host0 END AS host
+         |  FROM ud_p),
+         |ud_c AS (SELECT doc_id, host,
+         |    u_scheme || '://' || host || u_path
+         |      || (CASE WHEN u_q = '' THEN '' ELSE '?' || u_q END) AS canonical_url,
+         |    regexp_extract(regexp_replace(host, ':[0-9]+$$', ''),
+         |      '[^.]+\\.[^.]+$$', 0) AS registered_domain
+         |  FROM ud_h)
+         |SELECT host, registered_domain,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(DISTINCT canonical_url) AS BIGINT) AS n_urls,
+         |  MIN(doc_id) AS first_doc_id,
+         |  ${rd("CAST(COUNT(*) - COUNT(DISTINCT canonical_url) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)", 6)} AS dup_ratio
+         |FROM ud_c GROUP BY host, registered_domain
+         |ORDER BY host""".stripMargin,
+
     "q_dedup_groups" ->
       s"""WITH RECURSIVE $minhashPairsCtes,
          |edges AS (
@@ -5304,6 +5351,21 @@ object OracleSql {
     // one oracle states both
     "q_decontamination_bloom" -> decontaminationSql,
 
+    // mirrors Decontamination.multiNeedleHits (Aho-Corasick broadcast
+    // automaton) as its semantic equivalent: a contains() join — the
+    // automaton reports exactly the verbatim-substring pairs
+    "q_decontamination_multi" ->
+      s"""WITH mn_needles AS (SELECT doc_id AS needle_id,
+         |    substr(text, CAST(doc_id % 7 AS INTEGER) + 1, 20) AS needle
+         |  FROM documents WHERE doc_id % 17 = 3),
+         |mn_n AS (SELECT needle_id, needle FROM mn_needles
+         |  WHERE length(needle) >= 10),
+         |mn_hits AS (SELECT d.doc_id, n.needle_id
+         |  FROM documents d JOIN mn_n n ON contains(d.text, n.needle))
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched,
+         |  MIN(needle_id) AS first_needle_id
+         |FROM mn_hits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // mirrors Packing.paddingEfficiency(batchSize = 32, per source):
     // per-shard row_number batches, padded = count * batch max
     "q_padding_efficiency" -> {
@@ -7058,7 +7120,7 @@ object OracleSql {
          |  FROM fg WHERE g IS NOT NULL)
          |SELECT d AS n_days,
          |  ${rd("CAST(sg AS DOUBLE) / CAST(d AS DOUBLE) / 1e6", 6)} AS gamma_mean,
-         |  ${rd("(CAST(sg AS DOUBLE) / CAST(d AS DOUBLE) / 1e6) / sqrt((CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(d AS DOUBLE)) / (CAST(d AS DOUBLE) - 1.0) / 1e12 / CAST(d AS DOUBLE))", 4)} AS t_stat,
+         |  ${rd("(CAST(sg AS DOUBLE) / CAST(d AS DOUBLE) / 1e6) / sqrt((CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(d AS DOUBLE)) / NULLIF(CAST(d AS DOUBLE) - 1.0, 0) / 1e12 / CAST(d AS DOUBLE))", 4)} AS t_stat,
          |  ${rd("CAST(npos AS DOUBLE) / CAST(d AS DOUBLE)", 4)} AS pct_days_positive
          |FROM fa""".stripMargin,
 
@@ -7662,6 +7724,84 @@ object OracleSql {
          |  ${rd("CAST(SUM(CAST(volume AS HUGEINT) * volume) AS DOUBLE) / CAST(CAST(SUM(volume) AS HUGEINT) * SUM(volume) AS DOUBLE)", 6)} AS hhi,
          |  ${rd("CAST(MAX(volume) AS DOUBLE) / CAST(SUM(volume) AS DOUBLE)", 4)} AS top_share
          |FROM bars GROUP BY trade_date ORDER BY trade_date""".stripMargin,
+
+    // mirrors Profiling.theilInequality over customer order totals:
+    // scale-12/scale-9 quantized r*ln r / ln r contributions (the
+    // jsDivergence device), fixed double index trees
+    "q_theil_inequality" ->
+      s"""WITH ti_per AS (SELECT o_custkey AS k,
+         |    CAST(SUM(${sc("o_totalprice", 2)}) AS BIGINT) AS x
+         |  FROM orders GROUP BY o_custkey),
+         |ti_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(x) AS BIGINT) AS sx FROM ti_per WHERE x > 0),
+         |ti_ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_excluded
+         |  FROM ti_per WHERE NOT (x > 0)),
+         |ti_c AS (SELECT n, sx,
+         |    ${sc("(CAST(x AS DOUBLE) * CAST(n AS DOUBLE) / CAST(sx AS DOUBLE)) * ln(CAST(x AS DOUBLE) * CAST(n AS DOUBLE) / CAST(sx AS DOUBLE))", 12)} AS t12,
+         |    ${sc("ln(CAST(x AS DOUBLE) * CAST(n AS DOUBLE) / CAST(sx AS DOUBLE))", 9)} AS l9
+         |  FROM ti_per CROSS JOIN ti_tot WHERE x > 0),
+         |ti_g AS (SELECT MAX(n) AS n, MAX(sx) AS sx,
+         |    CAST(SUM(t12) AS BIGINT) AS st, CAST(SUM(l9) AS BIGINT) AS sl
+         |  FROM ti_c)
+         |SELECT n AS n_keys,
+         |  (SELECT n_excluded FROM ti_ex) AS n_excluded,
+         |  sx AS total_cents,
+         |  ${rd("CAST(st AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000000.0", 6)} AS theil_t,
+         |  ${rd("-(CAST(sl AS DOUBLE)) / CAST(n AS DOUBLE) / 1000000000.0", 6)} AS mld,
+         |  ${rd("1.0 - exp(CAST(sl AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000.0)", 6)} AS atkinson_1
+         |FROM ti_g""".stripMargin,
+
+    // mirrors DailyAnalytics.maseSeasonalNaive: naive-1 vs 5-day
+    // seasonal-naive SAE over the shared scored window, exact longs
+    "q_mase_seasonal" ->
+      s"""${dailyChain("bars")},
+         |ms_b AS (SELECT symbol, trade_date, ${sc("close_price", 2)} AS y
+         |  FROM bars),
+         |ms_l AS (SELECT symbol, y,
+         |    LAG(y, 1) OVER w AS l1, LAG(y, 5) OVER w AS ls
+         |  FROM ms_b WINDOW w AS (PARTITION BY symbol ORDER BY trade_date)),
+         |ms_g AS (SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_scored,
+         |    CAST(SUM(ABS(y - l1)) AS BIGINT) AS sae1,
+         |    CAST(SUM(ABS(y - ls)) AS BIGINT) AS saes
+         |  FROM ms_l WHERE ls IS NOT NULL GROUP BY symbol)
+         |SELECT symbol, n_scored,
+         |  ${rd("CAST(sae1 AS DOUBLE) / CAST(n_scored AS DOUBLE) / 100.0", 4)} AS mae_naive,
+         |  ${rd("CAST(saes AS DOUBLE) / CAST(n_scored AS DOUBLE) / 100.0", 4)} AS mae_seasonal,
+         |  ${rd("CAST(sae1 AS DOUBLE) / NULLIF(CAST(saes AS DOUBLE), 0)", 6)} AS mase
+         |FROM ms_g WHERE n_scored >= 30 ORDER BY symbol""".stripMargin,
+
+    // mirrors TickAnalytics.tickImpactPanel: 50-trade buckets, net
+    // move vs total variation, cross-bucket deltas excluded, full
+    // buckets only (the vpin contract)
+    "q_tick_impact" ->
+      s"""WITH tp_t AS (SELECT event_type AS symbol, ts, event_id,
+         |    ${sc("value", 2)} AS pfp FROM events),
+         |tp_w AS (SELECT symbol, pfp, ROW_NUMBER() OVER w AS rn,
+         |    pfp - LAG(pfp, 1) OVER w AS dp
+         |  FROM tp_t WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id)),
+         |tp_b AS (SELECT symbol, (rn - 1) // 50 AS bucket,
+         |    CAST(COUNT(*) AS BIGINT) AS n,
+         |    MIN_BY(pfp, rn) AS p_first, MAX_BY(pfp, rn) AS p_last,
+         |    CAST(SUM(CASE WHEN (rn - 1) % 50 = 0 THEN 0 ELSE ABS(dp) END) AS BIGINT) AS tv
+         |  FROM tp_w GROUP BY symbol, (rn - 1) // 50),
+         |tp_g AS (SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         |    CAST(SUM(ABS(p_last - p_first)) AS BIGINT) AS si,
+         |    CAST(SUM(tv) AS BIGINT) AS stv
+         |  FROM tp_b WHERE n = 50 GROUP BY symbol)
+         |SELECT symbol, n_buckets,
+         |  ${rd("CAST(si AS DOUBLE) / CAST(n_buckets AS DOUBLE) / 100.0", 4)} AS mean_impact,
+         |  ${rd("CAST(stv AS DOUBLE) / CAST(n_buckets AS DOUBLE) / 100.0", 4)} AS mean_total_variation,
+         |  ${rd("CAST(si AS DOUBLE) / NULLIF(CAST(stv AS DOUBLE), 0)", 6)} AS impact_efficiency
+         |FROM tp_g ORDER BY symbol""".stripMargin,
+
+    // mirrors Sampling.reservoirFixedK: bottom-100 events by id hash
+    // — the hash IS the random tape, so LIMIT is deterministic
+    "q_reservoir_sample" ->
+      s"""WITH rs AS (SELECT event_id, user_id, event_type,
+         |    ${h60("CAST(event_id AS VARCHAR)")} AS h
+         |  FROM events)
+         |SELECT event_id, user_id, event_type, h
+         |FROM rs ORDER BY h, event_id LIMIT 100""".stripMargin,
 
     // mirrors TextAnalysis.cohensKappa over the q_lang_confusion
     // prediction CTE: HUGEINT margin products, one double division

@@ -890,6 +890,32 @@ object SparkEntry {
       .orderBy("user_id", "event_type")
   }
 
+  /** URL/host-grain dedup: a deterministic messy URL is synthesized
+    * per doc (mixed-case scheme/host, default and non-default ports,
+    * utm params, fragments — keyed off doc_id so both engines build
+    * the identical string), canonicalized by [[Dedup.urlCanonicalize]]
+    * (pure scan-projection string ops), and rolled up per host. */
+  private def qUrlDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val url = concat(
+      when(col("doc_id") % 5 === 0, lit("HTTP"))
+        .when(col("doc_id") % 5 === 1, lit("http"))
+        .when(col("doc_id") % 5 === 2, lit("HTTPS")).otherwise(lit("https")),
+      lit("://"),
+      when(col("doc_id") % 3 === 0, upper(col("source"))).otherwise(col("source")),
+      lit(".Example.COM"),
+      when(col("doc_id") % 4 === 0, lit(":443"))
+        .when(col("doc_id") % 4 === 1, lit(":80")).otherwise(lit("")),
+      lit("/d/"), (col("doc_id") % 50).cast("string"),
+      when(col("doc_id") % 2 === 0, lit("?utm_source=feed&utm_campaign=x&ref=a"))
+        .when(col("doc_id") % 7 === 0, lit("?ref=home&utm_medium=em"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 6 === 0, lit("#sec2")).otherwise(lit("")))
+    Dedup.urlGrainRollup(
+      Dedup.urlCanonicalize(d.withColumn("url", url), "url"))
+      .orderBy("host")
+  }
+
   private def qTextAnalysis(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select("doc_id", "lang", "text")
     TextAnalysis.fingerprint(
@@ -1302,6 +1328,27 @@ object SparkEntry {
   /** Decontamination: corpus docs scored by n-gram overlap against a
     * (broadcast) eval set — here the deterministic doc_id%50 slice
     * plays the benchmark. */
+  /** Aho–Corasick multi-needle sweep: every doc whose doc_id % 17 = 3
+    * contributes a 20-char needle (its own text from offset
+    * doc_id % 7 + 1 — deterministic in both engines), needles shorter
+    * than 10 chars are dropped, and ONE broadcast automaton pass
+    * reports each (doc, needle) verbatim inclusion, rolled up per
+    * doc. The oracle is the equivalent contains() join. */
+  private def qDecontaminationMulti(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val needles = docs.filter(col("doc_id") % 17 === 3)
+      .select(col("doc_id").as("needle_id"),
+        expr("substring(text, cast(doc_id % 7 as int) + 1, 20)").as("needle"))
+      .filter(length(col("needle")) >= 10)
+    Decontamination.multiNeedleHits(
+      docs, "doc_id", "text", needles, "needle_id", "needle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matched"), min(col("needle_id")).as("first_needle_id"))
+      .select(col("doc_id"), col("n_matched").cast("long").as("n_matched"),
+        col("first_needle_id").cast("long").as("first_needle_id"))
+      .orderBy("doc_id")
+  }
+
   private def qDecontamination(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     Decontamination.contaminationScores(
@@ -3372,6 +3419,38 @@ object SparkEntry {
     DailyAnalytics.hhiConcentration(Marts.dailyBars(s, dir))
       .orderBy("trade_date")
 
+  /** Theil-T / MLD / Atkinson(1) revenue inequality across customers
+    * (per-key totals of scale-2 order value). */
+  private def qTheilInequality(s: SparkSession, dir: String): DataFrame =
+    Profiling.theilInequality(
+      Tables.orders(s, dir), "o_custkey", scaled(col("o_totalprice"), 2))
+
+  /** Seasonal-naive MASE gate per symbol: naive-1 vs same-weekday
+    * benchmark over the shared scored window ([[qMase]] is the SMA-5
+    * sibling; this one scores against the 5-day SEASONAL benchmark). */
+  private def qMaseSeasonal(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.maseSeasonalNaive(Marts.dailyBars(s, dir))
+      .orderBy("symbol")
+
+  /** Tick-grain price-impact panel: 50-trade buckets, net move vs
+    * total variation ([[TickAnalytics.tickImpactPanel]]). */
+  private def qTickImpact(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    TickAnalytics.tickImpactPanel(ev.select(col("event_type").as("symbol"),
+        Adapters.eventTime(ev).as("ts"), col("event_id"),
+        col("value").as("price")))
+      .orderBy("symbol")
+  }
+
+  /** Deterministic fixed-k reservoir sample of events (bottom-100 by
+    * id hash), hash-ordered output. */
+  private def qReservoirSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.reservoirFixedK(
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type")),
+      "event_id", 100)
+      .orderBy("h", "event_id")
+
   /** Cohen's κ between the stored lang label and the n-gram lang-ID
     * prediction — the chance-corrected agreement scalar. */
   private def qCohensKappa(s: SparkSession, dir: String): DataFrame =
@@ -3459,9 +3538,11 @@ object SparkEntry {
     "q_dedup_canonical" -> (qDedupCanonical _),
     "q_dedup_report" -> (qDedupReport _),
     "q_dedup_incremental" -> (qDedupIncremental _),
+    "q_url_dedup" -> (qUrlDedup _),
     "q_sample_split" -> (qSampleSplit _),
     "q_decontamination" -> (qDecontamination _),
     "q_decontamination_bloom" -> (qDecontaminationBloom _),
+    "q_decontamination_multi" -> (qDecontaminationMulti _),
     "q_doc_packing" -> (qDocPacking _),
     "q_padding_efficiency" -> (qPaddingEfficiency _),
     "q_doc_chunks" -> (qDocChunks _),
@@ -3616,6 +3697,10 @@ object SparkEntry {
     "q_entropy_rate" -> (qEntropyRate _),
     "q_qlm_dirichlet" -> (qQlmDirichlet _),
     "q_hhi" -> (qHhi _),
+    "q_theil_inequality" -> (qTheilInequality _),
+    "q_mase_seasonal" -> (qMaseSeasonal _),
+    "q_tick_impact" -> (qTickImpact _),
+    "q_reservoir_sample" -> (qReservoirSample _),
     "q_cohens_kappa" -> (qCohensKappa _),
     "q_anova_dow" -> (qAnovaDow _),
     "q_mcnemar" -> (qMcnemar _),

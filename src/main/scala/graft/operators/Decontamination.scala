@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import graft.functions.Funcs._
 
 /** Eval-set decontamination: flag corpus documents that share too much
@@ -89,5 +90,115 @@ object Decontamination {
       .select(col(idCol), col("n_shingles"),
         coalesce(col("matched"), lit(0L)).as("matched"),
         r4(coalesce(col("matched"), lit(0L)) / col("n_shingles").cast("double")).as("overlap_ratio"))
+  }
+
+  /** Aho–Corasick automaton over a fixed needle set (Aho & Corasick,
+    * CACM 1975): one linear pass over a text reports every needle
+    * that occurs as a SUBSTRING, in time O(|text| + matches) —
+    * independent of how many needles the automaton holds. Standard
+    * goto/fail construction with dictionary-suffix links, so the
+    * match walk touches only nodes that actually end a needle (never
+    * the full fail chain). Duplicate needle strings each keep their
+    * own slot (a hit reports all of them — the contains-join
+    * contract). Serializable: built once on the driver, broadcast to
+    * executors. */
+  final class AhoCorasick(needles: Array[String]) extends Serializable {
+    import scala.collection.mutable
+    private val goto_ = mutable.ArrayBuffer(mutable.HashMap.empty[Char, Int])
+    private val ends = mutable.ArrayBuffer(List.empty[Int])
+    needles.zipWithIndex.foreach { case (s, i) =>
+      var u = 0
+      s.foreach { c =>
+        u = goto_(u).getOrElseUpdate(c, {
+          goto_ += mutable.HashMap.empty[Char, Int]
+          ends += Nil
+          goto_.length - 1
+        })
+      }
+      ends(u) = i :: ends(u)
+    }
+    private val fail = Array.fill(goto_.length)(0)
+    private val dict = Array.fill(goto_.length)(0) // nearest match-ending fail ancestor
+    locally {
+      val q = mutable.Queue.empty[Int]
+      goto_(0).valuesIterator.foreach(q.enqueue)
+      while (q.nonEmpty) {
+        val u = q.dequeue()
+        dict(u) = if (ends(fail(u)).nonEmpty) fail(u) else dict(fail(u))
+        goto_(u).foreach { case (c, v) =>
+          var f = fail(u)
+          while (f != 0 && !goto_(f).contains(c)) f = fail(f)
+          fail(v) = goto_(f).get(c).filter(_ != v).getOrElse(0)
+          q.enqueue(v)
+        }
+      }
+    }
+    /** Distinct needle slots occurring in `text`, ascending. */
+    def matchedIn(text: String): Array[Int] = {
+      val hit = new java.util.BitSet(needles.length)
+      var s = 0
+      var i = 0
+      while (i < text.length) {
+        val c = text.charAt(i)
+        while (s != 0 && !goto_(s).contains(c)) s = fail(s)
+        s = goto_(s).getOrElse(c, 0)
+        var u = if (ends(s).nonEmpty) s else dict(s)
+        while (u != 0) {
+          ends(u).foreach(hit.set)
+          u = dict(u)
+        }
+        i += 1
+      }
+      val out = Array.newBuilder[Int]
+      var b = hit.nextSetBit(0)
+      while (b >= 0) { out += b; b = hit.nextSetBit(b + 1) }
+      out.result()
+    }
+  }
+
+  /** Multi-needle contamination scan: every (doc, needle) pair where
+    * the needle occurs verbatim in the doc — the sweep a release runs
+    * against its WHOLE benchmark stack at once. The n-gram lanes
+    * above pay one explode per shingle length per needle set; this
+    * lane builds ONE [[AhoCorasick]] automaton from all needles
+    * (driver-side, bounded by `maxNeedles` — benchmark suites are
+    * 10³-10⁵ strings, the same documented driver bound as
+    * [[Sampling]]'s per-stratum maps), broadcasts it, and scans each
+    * doc in a single narrow mapPartitions pass: corpus cost is
+    * O(total text length), SUBLINEAR in needle count (the automaton
+    * absorbs needle growth; the scan does not slow down).
+    *
+    * Returns distinct (doc_id, needle_id) hit pairs — grain chosen so
+    * callers roll up per doc (contamination score), per needle
+    * (which benchmark leaked), or per (source × benchmark) without
+    * re-scanning. */
+  def multiNeedleHits(corpus: DataFrame, idCol: String, textCol: String,
+                      needles: DataFrame, needleIdCol: String, needleCol: String,
+                      maxNeedles: Int = 200000): DataFrame = {
+    val nd = needles
+      .select(col(needleIdCol).cast("long"), col(needleCol).cast("string"))
+      .filter(col(needleCol).isNotNull && length(col(needleCol)) > 0)
+      .collect() // bounded: maxNeedles needle strings (require below)
+    require(nd.length <= maxNeedles,
+      s"multiNeedleHits: ${nd.length} needles exceed maxNeedles=$maxNeedles")
+    val ids = nd.map(_.getLong(0))
+    val ac = new AhoCorasick(nd.map(_.getString(1)))
+    val bc = corpus.sparkSession.sparkContext.broadcast((ac, ids))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("needle_id", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    Dedup.spreadById(corpus, idCol, textCol)
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .mapPartitions { rows =>
+        val (auto, nids) = bc.value
+        rows.flatMap { r =>
+          if (r.isNullAt(1)) Iterator.empty
+          else {
+            val id = r.getLong(0)
+            auto.matchedIn(r.getString(1)).iterator.map(s => Row(id, nids(s)))
+          }
+        }
+      }(enc)
+      .distinct() // duplicate needle STRINGS may share an id space hit
   }
 }

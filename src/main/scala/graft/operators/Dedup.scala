@@ -998,4 +998,74 @@ object Dedup {
         array_distinct(split(col(textCol), " ")), lit(60)).as("simhash"))
     simhashBandedPairs(sig, idCol, maxHamming, bands)
   }
+
+  /** URL canonicalization — the grain every web-scale pretraining
+    * pipeline dedups at BEFORE content grain (CCNet, Gopher, and
+    * Dolma all key their first dedup pass on a normalized URL;
+    * Penedo et al.'s RefinedWeb §3.2 strips exactly this class of
+    * superficial variation). Appends three columns:
+    *
+    *  - `canonical_url`: scheme and host lowercased; the scheme's
+    *    default port stripped (`:80` for http, `:443` for https —
+    *    a NON-default port is a different origin and stays);
+    *    fragment dropped (never sent to the server); `utm_*`
+    *    tracking params dropped, remaining params kept in order
+    *    (param order is significant to generic servers — sorting
+    *    would over-merge);
+    *  - `host`: the canonical authority (lowercased, default port
+    *    stripped);
+    *  - `registered_domain`: last two host labels (the rollup grain
+    *    crawl budgets and robots policies key on; a public-suffix
+    *    list refines multi-label TLDs and can be swapped in here).
+    *
+    * Everything is built-in string/regexp functions evaluated in the
+    * SCAN projection — no UDF, no shuffle, no driver state — so at
+    * 100 TB canonicalization is free: it rides the parquet scan and
+    * the only shuffle anywhere downstream is whatever dedup rollup
+    * the caller runs on the new columns. */
+  def urlCanonicalize(df: DataFrame, urlCol: String): DataFrame = {
+    df.withColumn("u_nofrag", regexp_replace(col(urlCol), "#.*", ""))
+      .withColumn("u_scheme",
+        lower(regexp_extract(col("u_nofrag"), "^([A-Za-z][A-Za-z0-9+.\\-]*)://", 1)))
+      .withColumn("u_host0",
+        lower(regexp_extract(col("u_nofrag"),
+          "^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)", 1)))
+      .withColumn("u_path",
+        regexp_extract(col("u_nofrag"),
+          "^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)", 1))
+      .withColumn("u_q", expr(
+        "array_join(filter(split(regexp_extract(u_nofrag, '\\\\?([^#]*)', 1), '&')," +
+          " p -> p != '' AND NOT p rlike '^utm_'), '&')"))
+      .withColumn("host",
+        when(col("u_scheme") === "http", regexp_replace(col("u_host0"), ":80$", ""))
+          .when(col("u_scheme") === "https",
+            regexp_replace(col("u_host0"), ":443$", ""))
+          .otherwise(col("u_host0")))
+      .withColumn("canonical_url",
+        concat(col("u_scheme"), lit("://"), col("host"), col("u_path"),
+          when(col("u_q") === "", lit(""))
+            .otherwise(concat(lit("?"), col("u_q")))))
+      .withColumn("registered_domain",
+        regexp_extract(regexp_replace(col("host"), ":[0-9]+$", ""),
+          "[^.]+\\.[^.]+$", 0))
+      .drop("u_nofrag", "u_scheme", "u_host0", "u_path", "u_q")
+  }
+
+  /** Host-grain dedup rollup over [[urlCanonicalize]]'s columns — the
+    * frame a crawl-dedup pass publishes per host: how many raw docs,
+    * how many DISTINCT canonical URLs they collapse to, and the
+    * duplicate ratio. One hash-partial rollup on (host, domain);
+    * `n_urls` is an exact distinct count (partial-aggregable via
+    * Spark's two-phase distinct rewrite), never a collected set. */
+  def urlGrainRollup(canon: DataFrame): DataFrame =
+    canon.groupBy("host", "registered_domain")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("canonical_url")).as("n_urls"),
+        min(col("doc_id")).as("first_doc_id"))
+      .select(col("host"), col("registered_domain"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("n_urls").cast("long").as("n_urls"),
+        col("first_doc_id").cast("long").as("first_doc_id"),
+        rd((col("n_docs") - col("n_urls")).cast("double") /
+          col("n_docs").cast("double"), 6).as("dup_ratio"))
 }

@@ -607,4 +607,49 @@ object Profiling {
       rd(
         sqrt(col("chi9").cast("double") / 1e9 / dof), 6).as("cramers_v"))
   }
+
+  /** Generalized-entropy inequality indices over per-key totals
+    * (Theil, *Economics and Information Theory* 1967; Atkinson, JET
+    * 1970): Theil-T = (1/n)Σ r·ln r with r = x/μ, MLD (Theil-L) =
+    * −(1/n)Σ ln r, and Atkinson(ε=1) = 1 − exp(−MLD) = 1 − gm/μ —
+    * the decomposable complements of [[giniConcentration]]'s rank
+    * form (GE indices split into within/between-group terms exactly;
+    * Gini does not). Zero/negative keys are excluded (ln undefined —
+    * the standard GE-index domain), with the excluded count reported.
+    *
+    * Exactness: per-key contributions r·ln r and ln r are quantized
+    * to scale-12/scale-9 longs ([[TextAnalysis.jsDivergence]]'s
+    * device), so both sums are order-free integers; the index trees
+    * are fixed double expressions over those longs, mirrored
+    * verbatim. Scale shape: one partial-aggregable key rollup, one
+    * 1-row broadcast of (n, Σx), one final 1-row rollup — no sort,
+    * no pair space, key-count-independent memory. */
+  def theilInequality(df: DataFrame, keyCol: String,
+                      valueCents: Column): DataFrame = {
+    val per = df.groupBy(col(keyCol).as("k")).agg(sum(valueCents).as("x"))
+      .snapshot() // feeds totals, the excluded count, and the contribution pass
+    val tot = per.filter(col("x") > 0)
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    val excluded = per.filter(!(col("x") > 0))
+      .agg(count(lit(1)).as("n_excluded"))
+    val r = col("x").cast("double") * col("n").cast("double") /
+      col("sx").cast("double")
+    val g = per.filter(col("x") > 0)
+      .crossJoin(broadcast(tot))
+      .withColumn("t12", scaled(r * log(r), 12))
+      .withColumn("l9", scaled(log(r), 9))
+      .groupBy()
+      .agg(max(col("n")).as("n"), max(col("sx")).as("sx"),
+        sum(col("t12")).as("st"), sum(col("l9")).as("sl"))
+    g.crossJoin(broadcast(excluded))
+      .select(col("n").cast("long").as("n_keys"),
+        col("n_excluded").cast("long").as("n_excluded"),
+        col("sx").cast("long").as("total_cents"),
+        rd(col("st").cast("double") / col("n").cast("double") / 1e12, 6)
+          .as("theil_t"),
+        rd(-col("sl").cast("double") / col("n").cast("double") / 1e9, 6)
+          .as("mld"),
+        rd(lit(1.0) - exp(col("sl").cast("double") /
+          col("n").cast("double") / 1e9), 6).as("atkinson_1"))
+  }
 }

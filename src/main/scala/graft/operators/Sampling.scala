@@ -260,4 +260,27 @@ object Sampling {
         rd(col("mean0"), 4).as("mean"),
         rd(col("lo"), 4).as("ci_lo"), rd(col("hi"), 4).as("ci_hi"))
   }
+
+  /** Fixed-k reservoir sample, hash-ordered: the k rows with the
+    * SMALLEST `hash60(id)` — the deterministic equivalent of
+    * single-pass reservoir sampling (Vitter, TOMS 1985: bottom-k
+    * under a random tape IS a uniform k-subset; here the tape is the
+    * id hash, so membership is reproducible, engine-portable, and
+    * STABLE under corpus growth in the bottom-k sense: a new row
+    * only enters by displacing the current max, exactly the
+    * reservoir update rule). Complements [[sampleFraction]]-style
+    * rate sampling when the contract is "exactly k rows" (a fixed
+    * eval panel, a human-review batch) rather than a rate.
+    *
+    * Scale shape: Spark plans orderBy+limit as TakeOrderedAndProject
+    * — each partition keeps its own top-k heap and the driver merges
+    * partitions×k candidate rows, k·P bounded and tiny; the fact
+    * table is never globally sorted and never shuffled. Ties are
+    * impossible at equal hash because `id` itself breaks them. */
+  def reservoirFixedK(df: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k > 0, "reservoirFixedK: k must be positive")
+    df.withColumn("h", hash60(col(idCol).cast("string")))
+      .orderBy(col("h"), col(idCol))
+      .limit(k)
+  }
 }

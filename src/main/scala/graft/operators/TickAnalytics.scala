@@ -278,4 +278,54 @@ object TickAnalytics {
           (col("n_buckets") * lit(bucketTrades.toLong)).cast("double"), 6)
           .as("vpin"))
   }
+
+  /** Amihud-style price-impact panel at TICK grain (Amihud, J. Fin.
+    * Markets 2002, moved from the daily ratio to [[vpin]]'s
+    * volume-clock): per `bucketTrades`-trade bucket, the NET price
+    * move |p_last − p_first| against the bucket's total variation
+    * Σ|Δp| — their ratio is the signature-plot efficiency ("how much
+    * of the churn became displacement"), ~1 for trending one-way flow
+    * and ~0 for pure bid-ask bounce; the tick-grain companion to
+    * [[graft.operators.DailyAnalytics.kyleLambda]]'s regression
+    * slope. Cross-bucket deltas are excluded (each bucket's first
+    * row contributes no |Δp|); partial trailing buckets are dropped
+    * (the [[vpin]] full-bucket contract).
+    *
+    * Exactness: scale-`priceScale` integer prices; per-bucket net
+    * move and total variation are exact long sums; the three outputs
+    * are fixed double trees. Scale shape: one symbol-window pass
+    * (shared sort with the bucket assignment) + two partial-
+    * aggregable rollups — tick rows in, S rows out, ONE exchange on
+    * hash(symbol) shared by window and both rollups. */
+  def tickImpactPanel(ticks: DataFrame, bucketTrades: Int = 50,
+                      priceScale: Int = 2): DataFrame = {
+    require(bucketTrades > 1, "tickImpactPanel: bucketTrades must exceed 1")
+    val w = Window.partitionBy("symbol").orderBy(col("ts"), col("event_id"))
+    val base = ticks
+      .select(col("symbol"), col("ts"), col("event_id"),
+        scaled(col("price"), priceScale).as("pfp"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("dp", col("pfp") - lag(col("pfp"), 1).over(w))
+      .withColumn("bucket", expr(s"(rn - 1) div $bucketTrades"))
+      .withColumn("infirst", expr(s"(rn - 1) % $bucketTrades = 0"))
+    val buckets = base.groupBy("symbol", "bucket")
+      .agg(count(lit(1)).as("n"),
+        min_by(col("pfp"), col("rn")).as("p_first"),
+        max_by(col("pfp"), col("rn")).as("p_last"),
+        sum(when(!col("infirst"), abs(col("dp"))).otherwise(0L)).as("tv"))
+      .filter(col("n") === bucketTrades) // full buckets only
+    val unit = lit(math.pow(10, priceScale))
+    buckets.groupBy("symbol").agg(
+      count(lit(1)).as("n_buckets"),
+      sum(abs(col("p_last") - col("p_first"))).as("si"),
+      sum(col("tv")).as("stv"))
+      .select(col("symbol"),
+        col("n_buckets").cast("long").as("n_buckets"),
+        rd(col("si").cast("double") / col("n_buckets").cast("double") / unit, 4)
+          .as("mean_impact"),
+        rd(col("stv").cast("double") / col("n_buckets").cast("double") / unit, 4)
+          .as("mean_total_variation"),
+        rd(col("si").cast("double") /
+          nullifZero(col("stv").cast("double")), 6).as("impact_efficiency"))
+  }
 }

@@ -397,4 +397,60 @@ class DedupSpec extends AnyFunSpec {
       }
     }
   }
+
+  describe("urlCanonicalize") {
+    def canon(urls: (Long, String)*): Map[Long, (String, String, String)] =
+      Dedup.urlCanonicalize(urls.toDF("doc_id", "url"), "url")
+        .select($"doc_id", $"canonical_url", $"host", $"registered_domain")
+        .as[(Long, String, String, String)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+
+    it("lowercases scheme+host, strips default port/fragment/utm, keeps real params") {
+      val got = canon(
+        (1L, "HTTPS://News.Example.COM:443/a/b?utm_source=x&ref=home&utm_campaign=y#top"),
+        (2L, "https://news.example.com/a/b?ref=home"),
+        (3L, "HTTP://news.example.com:80/a/b"),
+        (4L, "http://news.example.com:8080/a/b"),
+        (5L, "https://cdn.static.example.co/x"))
+      // 1 and 2 collapse to the same canonical URL
+      assert(got(1L) == got(2L))
+      assert(got(1L)._1 == "https://news.example.com/a/b?ref=home")
+      assert(got(3L)._1 == "http://news.example.com/a/b")
+      // a NON-default port is a different origin and must survive
+      assert(got(4L)._2 == "news.example.com:8080")
+      assert(got(4L)._1 == "http://news.example.com:8080/a/b")
+      // registered domain = last two labels, port-free
+      assert(got(1L)._3 == "example.com")
+      assert(got(4L)._3 == "example.com")
+      assert(got(5L)._3 == "example.co")
+    }
+
+    it("drops a query that is ONLY utm params (no dangling '?')") {
+      val got = canon((1L, "https://a.example.com/p?utm_source=x&utm_medium=y"))
+      assert(got(1L)._1 == "https://a.example.com/p")
+    }
+
+    it("keeps param order — reordered params stay distinct URLs") {
+      val got = canon(
+        (1L, "https://a.example.com/p?a=1&b=2"),
+        (2L, "https://a.example.com/p?b=2&a=1"))
+      assert(got(1L)._1 != got(2L)._1)
+    }
+
+    it("the host rollup counts docs vs distinct canonical urls") {
+      val df = Seq(
+        (1L, "https://a.example.com/p?utm_source=x"),
+        (2L, "HTTPS://A.Example.Com/p"),
+        (3L, "https://a.example.com/q"),
+        (4L, "https://b.example.com/p"))
+        .toDF("doc_id", "url")
+      val got = Dedup.urlGrainRollup(Dedup.urlCanonicalize(df, "url"))
+        .orderBy("host")
+        .select($"host", $"n_docs", $"n_urls", $"first_doc_id", $"dup_ratio")
+        .as[(String, Long, Long, Long, Double)].collect().toSeq
+      assert(got == Seq(
+        ("a.example.com", 3L, 2L, 1L, 0.333333),
+        ("b.example.com", 1L, 1L, 4L, 0.0)))
+    }
+  }
 }

@@ -490,5 +490,17 @@ class PlanSpec extends AnyFunSpec {
       assert(p.contains("HashAggregate"), s"plan:\n$p")
     }
 
+    it("url canonicalization rides the documents scan — regexps below every exchange") {
+      val p = plan(SparkEntry.queries("q_url_dedup")(spark, dir))
+      assert(!p.contains("Join") && !p.contains("Window"), s"plan:\n$p")
+      // the canonicalization projection must sit in the scan stage:
+      // in the printed tree (parents first) that means the regexp
+      // project appears BELOW the bottom-most exchange
+      val lastEx = p.lastIndexOf("Exchange")
+      val rex = p.indexOf("regexp_replace")
+      assert(rex >= 0 && rex > lastEx,
+        s"canonicalization left the scan stage:\n$p")
+    }
+
   }
 }

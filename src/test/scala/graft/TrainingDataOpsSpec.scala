@@ -390,4 +390,45 @@ class TrainingDataOpsSpec extends AnyFunSpec {
       assert(got.getAs[Long]("n_exposed_rows") == 1L)
     }
   }
+
+  describe("Decontamination.AhoCorasick / multiNeedleHits") {
+    it("matches exactly the brute-force substring relation on generated inputs") {
+      val rnd = new scala.util.Random(42)
+      val alphabet = "abc" // small alphabet → dense overlaps + fail-link traffic
+      def randStr(n: Int) =
+        (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val needles = (0 until 64).map(i => randStr(1 + rnd.nextInt(5)))
+      val texts = (0 until 40).map(_ => randStr(30))
+      val ac = new Decontamination.AhoCorasick(needles.toArray)
+      texts.foreach { t =>
+        val got = ac.matchedIn(t).toSet
+        val want = needles.zipWithIndex.collect {
+          case (n, i) if t.contains(n) => i
+        }.toSet
+        assert(got == want, s"text=$t got=$got want=$want")
+      }
+    }
+
+    it("reports overlapping, nested, and duplicate needles") {
+      val ac = new Decontamination.AhoCorasick(Array("ab", "bab", "b", "ab"))
+      // "xbab": contains "b" (2), "ab" (0 and its duplicate 3), "bab" (1)
+      assert(ac.matchedIn("xbab").toSet == Set(0, 1, 2, 3))
+      assert(ac.matchedIn("a").toSet == Set.empty)
+    }
+
+    it("the distributed scan equals a contains join on real documents") {
+      val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+        .select($"doc_id", $"text")
+      val needles = docs.filter($"doc_id" % 7 === 0)
+        .select($"doc_id".as("needle_id"),
+          expr("substring(text, 3, 15)").as("needle"))
+        .filter(length($"needle") >= 10)
+      val got = Decontamination.multiNeedleHits(
+        docs, "doc_id", "text", needles, "needle_id", "needle")
+      val want = docs.join(needles, expr("contains(text, needle)"))
+        .select($"doc_id", $"needle_id")
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+      assert(got.count() > 0, "fixture produced no hits — needles too strict")
+    }
+  }
 }
