@@ -533,7 +533,10 @@ object Graph {
           .select(col("id"), least(col("f"), coalesce(col("mf"), col("f"))).as("f"))
         f = if (r % 3 == 0 || r == rounds) stageIf(big, next, "id") else next
       }
-      // color-restricted edges: both endpoints share the forward color
+      // color-restricted edges: both endpoints share the forward
+      // color. Staged in BOTH regimes — measured (r15): un-staging it
+      // grew the lane 109 → 124 jobs and +40% wall, because all six
+      // backward rounds re-ran the two joins per consuming job.
       val ce = stageIf(big, e
         .join(f.select(col("id").as("src"), col("f").as("fs")), "src")
         .join(f.select(col("id").as("dst"), col("f").as("fd")), "dst")
