@@ -7803,6 +7803,73 @@ object OracleSql {
          |SELECT event_id, user_id, event_type, h
          |FROM rs ORDER BY h, event_id LIMIT 100""".stripMargin,
 
+    // mirrors DailyAnalytics.corwinSchultz: per-pair spread as one
+    // double tree quantized scale-9, order-free symbol mean
+    "q_corwin_schultz" ->
+      s"""${dailyChain("bars")},
+         |cs_b AS (SELECT symbol, trade_date, ${sc("high_price", 2)} AS h,
+         |    ${sc("low_price", 2)} AS l FROM bars),
+         |cs_l AS (SELECT symbol, h, l,
+         |    LEAD(h, 1) OVER w AS h2, LEAD(l, 1) OVER w AS l2
+         |  FROM cs_b WHERE l > 0
+         |  WINDOW w AS (PARTITION BY symbol ORDER BY trade_date)),
+         |cs_m AS (SELECT symbol,
+         |    ln(CAST(h AS DOUBLE) / CAST(l AS DOUBLE)) * ln(CAST(h AS DOUBLE) / CAST(l AS DOUBLE))
+         |      + ln(CAST(h2 AS DOUBLE) / CAST(l2 AS DOUBLE)) * ln(CAST(h2 AS DOUBLE) / CAST(l2 AS DOUBLE)) AS b,
+         |    ln(CAST(GREATEST(h, h2) AS DOUBLE) / CAST(LEAST(l, l2) AS DOUBLE))
+         |      * ln(CAST(GREATEST(h, h2) AS DOUBLE) / CAST(LEAST(l, l2) AS DOUBLE)) AS g
+         |  FROM cs_l WHERE h2 IS NOT NULL),
+         |cs_a AS (SELECT symbol,
+         |    (sqrt(2.0 * b) - sqrt(b)) / (3.0 - 2.0 * sqrt(2.0))
+         |      - sqrt(g / (3.0 - 2.0 * sqrt(2.0))) AS a
+         |  FROM cs_m),
+         |cs_p AS (SELECT symbol,
+         |    ${sc("2.0 * (exp(a) - 1.0) / (1.0 + exp(a))", 9)} AS s9
+         |  FROM cs_a),
+         |cs_g AS (SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |    CAST(SUM(s9) AS BIGINT) AS ss,
+         |    CAST(SUM(CASE WHEN s9 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS npos
+         |  FROM cs_p GROUP BY symbol)
+         |SELECT symbol, n_pairs,
+         |  ${rd("CAST(ss AS DOUBLE) / CAST(n_pairs AS DOUBLE) / 1000000000.0 * 100.0", 4)} AS cs_spread_pct,
+         |  ${rd("CAST(npos AS DOUBLE) / CAST(n_pairs AS DOUBLE)", 4)} AS pct_positive
+         |FROM cs_g WHERE n_pairs >= 30 ORDER BY symbol""".stripMargin,
+
+    // mirrors Profiling.tCloseness over (lang, source) x n_chars//100:
+    // ordered-EMD on the class x value grid, scale-9 quantized
+    // cumulative-share gaps
+    "q_t_closeness" ->
+      s"""WITH tc_b AS (SELECT concat_ws('', lang, source) AS cls,
+         |    n_chars // 100 AS v FROM documents WHERE n_chars // 100 IS NOT NULL),
+         |tc_cells AS (SELECT cls, v, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM tc_b GROUP BY cls, v),
+         |tc_cl AS (SELECT cls, CAST(COUNT(*) AS BIGINT) AS nc FROM tc_b GROUP BY cls),
+         |tc_val AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS q FROM tc_b GROUP BY v),
+         |tc_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM tc_b),
+         |tc_grid AS (SELECT cl.cls, cl.nc, va.v, va.q, COALESCE(ce.c, 0) AS c
+         |  FROM tc_cl cl CROSS JOIN tc_val va
+         |  LEFT JOIN tc_cells ce ON ce.cls = cl.cls AND ce.v = va.v),
+         |tc_cum AS (SELECT cls, nc,
+         |    SUM(c) OVER w AS cp, SUM(q) OVER w AS cq
+         |  FROM tc_grid
+         |  WINDOW w AS (PARTITION BY cls ORDER BY v
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |tc_d AS (SELECT cls, nc,
+         |    ${sc("ABS(CAST(cp AS DOUBLE) / CAST(nc AS DOUBLE) - CAST(cq AS DOUBLE) / CAST(nn AS DOUBLE))", 9)} AS d9
+         |  FROM tc_cum CROSS JOIN tc_tot),
+         |tc_c AS (SELECT cls, MAX(nc) AS nc, CAST(COUNT(*) AS BIGINT) AS m,
+         |    CAST(SUM(d9) AS BIGINT) AS sd
+         |  FROM tc_d GROUP BY cls),
+         |tc_e AS (SELECT cls, nc, m,
+         |    CAST(sd AS DOUBLE) / NULLIF(CAST(m - 1 AS DOUBLE), 0) / 1000000000.0 AS emd
+         |  FROM tc_c)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+         |  CAST(MAX(m) AS BIGINT) AS m_values,
+         |  ${rd("MAX(emd)", 6)} AS max_emd,
+         |  CAST(SUM(CASE WHEN emd > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+         |  CAST(SUM(CASE WHEN emd > 0.2 THEN nc ELSE 0 END) AS BIGINT) AS n_exposed_rows
+         |FROM tc_e""".stripMargin,
+
     // mirrors TextAnalysis.cohensKappa over the q_lang_confusion
     // prediction CTE: HUGEINT margin products, one double division
     "q_cohens_kappa" -> {

@@ -3442,6 +3442,16 @@ object SparkEntry {
       .orderBy("symbol")
   }
 
+  /** Corwin–Schultz high-low spread estimator per symbol. */
+  private def qCorwinSchultz(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.corwinSchultz(Marts.dailyBars(s, dir)).orderBy("symbol")
+
+  /** t-closeness audit over (lang, source) classes with the n_chars
+    * century bucket as the ordered sensitive attribute. */
+  private def qTCloseness(s: SparkSession, dir: String): DataFrame =
+    Profiling.tCloseness(Tables.documents(s, dir),
+      Seq("lang", "source"), expr("n_chars div 100"))
+
   /** Deterministic fixed-k reservoir sample of events (bottom-100 by
     * id hash), hash-ordered output. */
   private def qReservoirSample(s: SparkSession, dir: String): DataFrame =
@@ -3701,6 +3711,8 @@ object SparkEntry {
     "q_mase_seasonal" -> (qMaseSeasonal _),
     "q_tick_impact" -> (qTickImpact _),
     "q_reservoir_sample" -> (qReservoirSample _),
+    "q_corwin_schultz" -> (qCorwinSchultz _),
+    "q_t_closeness" -> (qTCloseness _),
     "q_cohens_kappa" -> (qCohensKappa _),
     "q_anova_dow" -> (qAnovaDow _),
     "q_mcnemar" -> (qMcnemar _),

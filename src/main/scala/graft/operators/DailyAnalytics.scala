@@ -3580,6 +3580,54 @@ object DailyAnalytics {
           nullifZero((col("q") - col("b")).cast("double")), 6).as("eta_sq"))
   }
 
+  /** Corwin–Schultz high-low spread estimator per symbol (Corwin &
+    * Schultz, JF 2012): bid-ask spread recovered from DAILY high/low
+    * ranges alone — highs are buys, lows are sells, so the range
+    * embeds the spread once the 2-day variance component is netted
+    * out. The third leg of the liquidity triptych next to
+    * [[q_roll_spread]]'s autocovariance and [[kyleLambda]]'s impact
+    * slope, usable where tick data doesn't exist.
+    *
+    * Per overlapping day pair (t, t+1): β = ln²(H_t/L_t) +
+    * ln²(H_{t+1}/L_{t+1}), γ = ln²(H_pair/L_pair),
+    * α = (√(2β) − √β)/(3 − 2√2) − √(γ/(3 − 2√2)),
+    * spread_t = 2(e^α − 1)/(1 + e^α) — negative estimates KEPT in
+    * the mean (the paper's Table-1 convention; `pct_positive` shows
+    * how often the estimator lands in-domain).
+    *
+    * Exactness: H/L are scale-2 longs; each pair's spread is one
+    * fixed double tree quantized to a scale-9 long (the jsDivergence
+    * device), so the symbol mean is an order-free integer sum. Scale
+    * shape: one lead window + one partial-aggregable rollup. */
+  def corwinSchultz(bars: DataFrame, minDays: Int = 30): DataFrame = {
+    val base = bars
+      .select(col("symbol"), col("trade_date"),
+        scaled(col("high_price"), 2).as("h"), scaled(col("low_price"), 2).as("l"))
+      .filter(col("l") > 0)
+      .withColumn("h2", lead(col("h"), 1).over(bySymbol))
+      .withColumn("l2", lead(col("l"), 1).over(bySymbol))
+      .filter(col("h2").isNotNull)
+    def ln2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+      val r = log(a.cast("double") / b.cast("double"))
+      r * r
+    }
+    val k = lit(3.0) - lit(2.0) * sqrt(lit(2.0))
+    val beta = ln2(col("h"), col("l")) + ln2(col("h2"), col("l2"))
+    val gamma = ln2(greatest(col("h"), col("h2")), least(col("l"), col("l2")))
+    val alpha = (sqrt(lit(2.0) * beta) - sqrt(beta)) / k - sqrt(gamma / k)
+    val s = lit(2.0) * (exp(alpha) - lit(1.0)) / (lit(1.0) + exp(alpha))
+    base.withColumn("s9", scaled(s, 9))
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("s9")).as("ss"),
+        sum(when(col("s9") > 0, 1L).otherwise(0L)).as("npos"))
+      .filter(col("n_pairs") >= minDays)
+      .select(col("symbol"), col("n_pairs").cast("long").as("n_pairs"),
+        rd(col("ss").cast("double") / col("n_pairs").cast("double") / 1e9 * 100.0, 4)
+          .as("cs_spread_pct"),
+        rd(col("npos").cast("double") / col("n_pairs").cast("double"), 4)
+          .as("pct_positive"))
+  }
+
   /** Seasonal-naive MASE panel per symbol (Hyndman & Koehler, IJF
     * 2006): the scale-free forecast-accuracy denominator every
     * M-competition metric standardizes on. Scores the naive-1

@@ -608,6 +608,68 @@ object Profiling {
         sqrt(col("chi9").cast("double") / 1e9 / dof), 6).as("cramers_v"))
   }
 
+  /** t-closeness audit over an ORDERED sensitive attribute (Li, Li &
+    * Venkatasubramanian, ICDE 2007) — the step past [[kAnonymity]]
+    * (class size) and [[lDiversity]] (distinct sensitive values):
+    * a class can be large and diverse yet still leak because its
+    * sensitive DISTRIBUTION deviates from the corpus (all its values
+    * sit in the top buckets). Distance is the paper's ordered-EMD:
+    * EMD(P, Q) = (1/(m−1)) Σᵢ |ΣΡ_≤i − ΣQ_≤i| over the m ordered
+    * values; a class with EMD > t violates.
+    *
+    * Exactness: class/global counts are exact longs; the two
+    * cumulative shares per grid row are each ONE double division,
+    * their absolute difference quantized to a scale-9 long (the
+    * jsDivergence device), so the per-class sum is order-free; the
+    * EMD and the violation flag are fixed trees over those longs.
+    *
+    * Scale shape: two partial-aggregable rollups at fact grain (class
+    * × value, value), then everything lives on the classes × m GRID —
+    * a bounded dimension frame (the value dimension broadcast), with
+    * the cumulative windows partitioned BY CLASS over ≤m rows each —
+    * never a fact-side window. */
+  def tCloseness(df: DataFrame, qiCols: Seq[String], valueCol: Column,
+                 t: Double = 0.2): DataFrame = {
+    require(qiCols.nonEmpty, "tCloseness: at least one quasi-identifier")
+    val base = df.select(
+      concat_ws("", qiCols.map(col): _*).as("cls"),
+      valueCol.cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .snapshot() // feeds the class grid AND the global margin
+    val cells = base.groupBy("cls", "v").agg(count(lit(1)).as("c"))
+    val classes = base.groupBy("cls").agg(count(lit(1)).as("nc"))
+    val values = base.groupBy("v").agg(count(lit(1)).as("q"))
+    val total = base.agg(count(lit(1)).as("nn"))
+    val grid = classes.crossJoin(broadcast(values))
+      .join(cells, Seq("cls", "v"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("cp", sum(col("c")).over(
+        Window.partitionBy("cls").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cq", sum(col("q")).over(
+        Window.partitionBy("cls").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(total))
+    val contrib = abs(col("cp").cast("double") / col("nc").cast("double") -
+      col("cq").cast("double") / col("nn").cast("double"))
+    val perClass = grid.withColumn("d9", scaled(contrib, 9))
+      .groupBy("cls")
+      .agg(max(col("nc")).as("nc"), count(lit(1)).as("m"), sum(col("d9")).as("sd"))
+      .withColumn("emd", col("sd").cast("double") /
+        nullifZero((col("m") - lit(1L)).cast("double")) / 1e9)
+    perClass.agg(
+      count(lit(1)).as("n_classes"),
+      max(col("m")).as("m_values"),
+      max(col("emd")).as("max_emd"),
+      sum(when(col("emd") > t, 1L).otherwise(0L)).as("n_violating"),
+      sum(when(col("emd") > t, col("nc")).otherwise(0L)).as("n_exposed_rows"))
+      .select(col("n_classes").cast("long").as("n_classes"),
+        col("m_values").cast("long").as("m_values"),
+        rd(col("max_emd"), 6).as("max_emd"),
+        col("n_violating").cast("long").as("n_violating"),
+        col("n_exposed_rows").cast("long").as("n_exposed_rows"))
+  }
+
   /** Generalized-entropy inequality indices over per-key totals
     * (Theil, *Economics and Information Theory* 1967; Atkinson, JET
     * 1970): Theil-T = (1/n)Σ r·ln r with r = x/μ, MLD (Theil-L) =

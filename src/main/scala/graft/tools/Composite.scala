@@ -234,6 +234,11 @@ object CompositeScalingBench {
   }
 
   def main(args: Array[String]): Unit = {
+    // Diagnostic mode: `runMain ... q_a q_b` measures only the named
+    // families and prints to stdout WITHOUT rewriting SCALING.md (the
+    // generated table stays a full-run artifact; partial patches would
+    // mix hosts). Used to re-read a flagged row in isolation.
+    val only = args.toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "2").toInt
     val sfDir = "/root/testdata/sf0.1"
@@ -260,13 +265,26 @@ object CompositeScalingBench {
     val base = graft.SparkEntry.scratchDir("graft_composite")
     val (entityDir, dateDir) = buildComposites(spark, sfDir, base)
 
+    // Deterministic block release per timed run — the same fix the
+    // main bench took in r13 (Bench.scala releaseNewBlocks): snapshot
+    // localCheckpoint blocks otherwise ACCUMULATE across the ~45
+    // families of a full regen, and by mid-run the composite-scale
+    // trials measure executor memory pressure instead of the plan
+    // (r15: q_hits recorded 64 s / ratio 31 in the full sweep vs
+    // 27.5 s / ratio 9.6 isolated on the same code and host).
     def timed(name: String, dir: String): Double = {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, dir).count()
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!before.contains(id)) rdd.unpersist(blocking = true)
+      }
+      dt
     }
     // warm codegen/JIT at the bench scale itself
     (entityFamilies.map(_._1) ++ dateFamilies.map(_._1)).distinct
+      .filter(n => only.isEmpty || only(n))
       .foreach(n => timed(n, "/root/testdata/sf0.01"))
     // the partition dial scales WITH the volume (the same knob a
     // cluster turns): 10× the input at the session's 32 partitions
@@ -296,10 +314,21 @@ object CompositeScalingBench {
       (n, t0, t1, t1 / math.max(t0, 0.15), bound, spreadOf(ts0), spreadOf(ts1))
     }
     val canaryStart = graft.HostCanary.measure(spark)
-    val ent = series(entityFamilies, entityDir)
-    val dat = series(dateFamilies, dateDir)
+    val entFams =
+      if (only.isEmpty) entityFamilies else entityFamilies.filter(f => only(f._1))
+    val datFams =
+      if (only.isEmpty) dateFamilies else dateFamilies.filter(f => only(f._1))
+    val ent = series(entFams, entityDir)
+    val dat = series(datFams, dateDir)
     val canaryEnd = graft.HostCanary.measure(spark)
     def hf(c: Double) = math.rint(c / graft.HostCanary.Ref * 100) / 100
+    if (only.nonEmpty) {
+      println(f"[composite] diagnostic mode: host_factor ${hf(canaryStart)}%.2f" +
+        f" -> ${hf(canaryEnd)}%.2f; SCALING.md NOT rewritten")
+      graft.SparkEntry.deleteDir(base)
+      spark.stop()
+      return
+    }
 
     val sb = new StringBuilder
     sb ++= BeginMarker + "\n\n"
