@@ -653,6 +653,34 @@ object OracleSql {
 
   // ── per-query statements ──────────────────────────────────────────
 
+  /** One degree-oriented per-edge triangle-support pass over the edge
+    * CTE `edges`, producing CTE `$out(u, v, support)` — mirrors
+    * [[graft.operators.Graph.edgeSupport]] (q_triangles' enumeration
+    * at edge grain). MATERIALIZED: every piece is referenced more
+    * than once and DuckDB inlines plain CTEs. */
+  private def ktSupportSql(edges: String, out: String): String =
+    s"""${out}_d AS MATERIALIZED (SELECT id, CAST(COUNT(*) AS BIGINT) AS deg
+       |  FROM (SELECT u AS id FROM $edges UNION ALL SELECT v AS id FROM $edges)
+       |  GROUP BY id),
+       |${out}_o AS MATERIALIZED (
+       |  SELECT CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND e.u < e.v)
+       |              THEN e.u ELSE e.v END AS a,
+       |         CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND e.u < e.v)
+       |              THEN e.v ELSE e.u END AS b
+       |  FROM $edges e JOIN ${out}_d d1 ON e.u = d1.id
+       |  JOIN ${out}_d d2 ON e.v = d2.id),
+       |${out}_t AS (
+       |  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+       |  FROM ${out}_o e1 JOIN ${out}_o e2 ON e1.a = e2.a AND e1.b <> e2.b
+       |  WHERE EXISTS (SELECT 1 FROM ${out}_o o3 WHERE o3.a = e1.b AND o3.b = e2.b)),
+       |$out AS MATERIALIZED (
+       |  SELECT e.eu AS u, e.ev AS v, CAST(COUNT(*) AS BIGINT) AS support
+       |  FROM (SELECT unnest([
+       |      {'eu': LEAST(a, b), 'ev': GREATEST(a, b)},
+       |      {'eu': LEAST(a, c), 'ev': GREATEST(a, c)},
+       |      {'eu': LEAST(b, c), 'ev': GREATEST(b, c)}]) AS e FROM ${out}_t)
+       |  GROUP BY e.eu, e.ev)""".stripMargin
+
   val all: Map[String, String] = Map(
     "q_clean_project" ->
       """SELECT DISTINCT UPPER(TRIM(l_returnflag)) AS return_flag, l_suppkey AS symbol,
@@ -7834,6 +7862,82 @@ object OracleSql {
          |  ${rd("CAST(ss AS DOUBLE) / CAST(n_pairs AS DOUBLE) / 1000000000.0 * 100.0", 4)} AS cs_spread_pct,
          |  ${rd("CAST(npos AS DOUBLE) / CAST(n_pairs AS DOUBLE)", 4)} AS pct_positive
          |FROM cs_g WHERE n_pairs >= 30 ORDER BY symbol""".stripMargin,
+
+    // mirrors Cohorts.cochranQ: per-user presence marks across the k
+    // event types, HUGEINT moment squares, all-integer 5% gate
+    // (chi^2_4 x 10^4 = 94877), NULLed when k differs from 5
+    "q_cochran_q" ->
+      s"""WITH cq_x AS (SELECT DISTINCT user_id AS uid, event_type AS t
+         |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+         |cq_c AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         |    CAST(SUM(c) AS BIGINT) AS n, SUM(CAST(c AS HUGEINT) * c) AS sc2
+         |  FROM (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM cq_x GROUP BY t)),
+         |cq_r AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         |    SUM(CAST(r AS HUGEINT) * r) AS sr2
+         |  FROM (SELECT uid, CAST(COUNT(*) AS BIGINT) AS r FROM cq_x GROUP BY uid))
+         |SELECT n_users, k AS k_treatments, n AS n_marks,
+         |  ${rd("CAST(CAST(k - 1 AS HUGEINT) * (CAST(k AS HUGEINT) * sc2 - CAST(n AS HUGEINT) * n) AS DOUBLE) / NULLIF(CAST(CAST(k AS HUGEINT) * n - sr2 AS DOUBLE), 0)", 4)} AS q,
+         |  CASE WHEN k = 5 THEN
+         |    CAST(k - 1 AS HUGEINT) * (CAST(k AS HUGEINT) * sc2 - CAST(n AS HUGEINT) * n) * 10000
+         |      > (CAST(k AS HUGEINT) * n - sr2) * 94877
+         |  ELSE NULL END AS significant
+         |FROM cq_c CROSS JOIN cq_r""".stripMargin,
+
+    // mirrors DailyAnalytics.friedmanDow: truncating-mean scale-4
+    // block values, total-order ranks, all-integer gate; DuckDB
+    // dayofweek is 0-based (Sunday 0) vs Spark's 1-based, so +1
+    // aligns Page's L weights
+    "q_friedman" ->
+      s"""${dailyChain("returns")},
+         |fr_c AS (SELECT symbol, dayofweek(trade_date) + 1 AS dow,
+         |    CAST(COUNT(*) AS BIGINT) AS ng,
+         |    CAST(SUM(${sc4("daily_return_pct")}) AS BIGINT) AS sy
+         |  FROM returns WHERE daily_return_pct IS NOT NULL
+         |  GROUP BY symbol, dayofweek(trade_date) + 1),
+         |fr_m AS (SELECT symbol, dow, sy // ng AS m FROM fr_c),
+         |fr_k AS (SELECT CAST(COUNT(DISTINCT dow) AS BIGINT) AS k FROM fr_m),
+         |fr_q AS (SELECT symbol, dow, m,
+         |    COUNT(*) OVER (PARTITION BY symbol) AS ndow FROM fr_m),
+         |fr_r AS (SELECT symbol, dow,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY m, dow) AS BIGINT) AS rnk
+         |  FROM fr_q CROSS JOIN fr_k WHERE ndow = k),
+         |fr_j AS (SELECT dow, CAST(SUM(rnk) AS BIGINT) AS rj FROM fr_r GROUP BY dow),
+         |fr_n AS (SELECT CAST(COUNT(DISTINCT symbol) AS BIGINT) AS n FROM fr_r),
+         |fr_g AS (SELECT SUM(CAST(rj AS HUGEINT) * rj) AS sr2,
+         |    CAST(SUM(dow * rj) AS BIGINT) AS page_l FROM fr_j)
+         |SELECT n AS n_blocks, k AS k_treatments,
+         |  CAST(sr2 AS BIGINT) AS sum_r2, page_l,
+         |  ${rd("12.0 * CAST(sr2 AS DOUBLE) / NULLIF(CAST(n AS DOUBLE) * CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0), 0) - 3.0 * CAST(n AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0)", 4)} AS chi2_f,
+         |  CASE WHEN k = 7 THEN
+         |    CAST(120000 AS HUGEINT) * sr2
+         |      - CAST(30000 AS HUGEINT) * n * n * (k * (k + 1) * (k + 1))
+         |      > CAST(125916 AS HUGEINT) * n * (k * (k + 1))
+         |  ELSE NULL END AS significant
+         |FROM fr_g CROSS JOIN fr_k CROSS JOIN fr_n""".stripMargin,
+
+    // mirrors Graph.kTruss(k=3, rounds=2) over the co-purchase graph:
+    // two unrolled support-and-peel rounds + one final support pass,
+    // each via the q_triangles degree-oriented enumeration
+    "q_ktruss" ->
+      s"""WITH raw AS (
+         |  SELECT u, v FROM (
+         |    SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS n
+         |    FROM lineitem a JOIN lineitem b
+         |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |    GROUP BY a.l_partkey, b.l_partkey)
+         |  WHERE n >= 2),
+         |kt0 AS MATERIALIZED (
+         |  SELECT DISTINCT LEAST(u, v) AS u, GREATEST(u, v) AS v FROM raw),
+         |${ktSupportSql("kt0", "kts1")},
+         |kt1 AS MATERIALIZED (SELECT kt0.u, kt0.v FROM kt0
+         |  LEFT JOIN kts1 USING (u, v) WHERE COALESCE(support, 0) >= 1),
+         |${ktSupportSql("kt1", "kts2")},
+         |kt2 AS MATERIALIZED (SELECT kt1.u, kt1.v FROM kt1
+         |  LEFT JOIN kts2 USING (u, v) WHERE COALESCE(support, 0) >= 1),
+         |${ktSupportSql("kt2", "kts3")}
+         |SELECT kt2.u, kt2.v, COALESCE(kts3.support, 0) AS support
+         |FROM kt2 LEFT JOIN kts3 USING (u, v)
+         |ORDER BY u, v""".stripMargin,
 
     // mirrors Profiling.tCloseness over (lang, source) x n_chars//100:
     // ordered-EMD on the class x value grid, scale-9 quantized

@@ -3478,6 +3478,25 @@ object SparkEntry {
     Cohorts.mcnemar(ev.withColumn("event_time", Adapters.eventTime(ev)))
   }
 
+  /** Cochran's Q across the five event-type treatments — the
+    * k-treatment McNemar over per-user presence marks. */
+  private def qCochranQ(s: SparkSession, dir: String): DataFrame =
+    Cohorts.cochranQ(Tables.events(s, dir))
+
+  /** Friedman rank test + Page's L across day-of-week treatments
+    * with symbols as blocks. */
+  private def qFriedman(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.friedmanDow(Marts.dailyReturns(s, dir))
+
+  /** Bounded 2-round 3-truss peel of the co-purchase graph (the
+    * triangle core: every surviving edge sits in >= 1 triangle among
+    * survivors — k=3 because the co-purchase graph at the gate SFs is
+    * too sparse for a non-empty 4-truss, and an always-empty gate
+    * result would verify nothing). */
+  private def qKtruss(s: SparkSession, dir: String): DataFrame =
+    Graph.kTruss(Marts.copurchasePairs(s, dir), "u", "v", k = 3)
+      .orderBy("u", "v")
+
   // ──────────────────────────────────────────────────────────────────
   // Registry
   // ──────────────────────────────────────────────────────────────────
@@ -3713,6 +3732,9 @@ object SparkEntry {
     "q_reservoir_sample" -> (qReservoirSample _),
     "q_corwin_schultz" -> (qCorwinSchultz _),
     "q_t_closeness" -> (qTCloseness _),
+    "q_cochran_q" -> (qCochranQ _),
+    "q_friedman" -> (qFriedman _),
+    "q_ktruss" -> (qKtruss _),
     "q_cohens_kappa" -> (qCohensKappa _),
     "q_anova_dow" -> (qAnovaDow _),
     "q_mcnemar" -> (qMcnemar _),

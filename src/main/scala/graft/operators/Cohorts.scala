@@ -851,4 +851,49 @@ object Cohorts {
         (dd(d) * dd(d) * lit(10000L) >
           dd(col("lost") + col("gained")) * lit(38415L)).as("significant"))
   }
+
+  /** Cochran's Q across the k event-type "treatments" (Cochran,
+    * Biometrika 1950) — the k-treatment generalization of
+    * [[mcnemar]]: per user, a binary "ever performed type t" per
+    * type; Q asks whether the k per-type conversion rates differ
+    * beyond per-user heterogeneity. Convention: ALL users enter the
+    * panel (non-discriminating all-zero rows cancel exactly; the raw
+    * full-panel Q is the mirrored contract).
+    *
+    *   Q = (k−1)·(k·ΣC_j² − N²) / (k·N − ΣR_i²)
+    *
+    * with C_j the per-type totals, R_i the per-user totals,
+    * N = ΣR_i. All moments are exact longs; Q is ONE double
+    * division. The 5% gate is ALL-INTEGER (the [[mcnemar]] device):
+    * (k−1)(kΣC²−N²)·10⁴ > crit·(kN−ΣR²) with `chi2Crit4` the
+    * χ²_{k−1} 5% critical value ×10⁴ — the caller supplies it
+    * because it depends on k (df = k−1); the gate NULLs when the
+    * panel's k differs from `expectK` rather than comparing against
+    * the wrong distribution. */
+  def cochranQ(events: DataFrame, userCol: String = "user_id",
+               typeCol: String = "event_type", expectK: Int = 5,
+               chi2Crit4: Long = 94877L): DataFrame = {
+    def dd(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val x = events
+      .select(col(userCol).as("uid"), col(typeCol).as("t"))
+      .filter(col("uid").isNotNull && col("t").isNotNull)
+      .distinct() // presence grain: did user ever perform type t
+      .snapshot() // feeds both margins
+    // squares in DECIMAL(38,0): C_j is user-count-sized, so ΣC_j²
+    // passes 2^63 near 1e9 users (the dimsonBeta overflow rule)
+    val cj = x.groupBy("t").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("k"), sum(col("c")).as("n"),
+        sum(dd(col("c")) * dd(col("c"))).as("sc2"))
+    val ri = x.groupBy("uid").agg(count(lit(1)).as("r"))
+      .agg(count(lit(1)).as("n_users"), sum(dd(col("r")) * dd(col("r"))).as("sr2"))
+    val g = cj.crossJoin(broadcast(ri))
+    val num = dd(col("k") - 1L) * (dd(col("k")) * col("sc2") - dd(col("n")) * dd(col("n")))
+    val den = dd(col("k")) * dd(col("n")) - col("sr2")
+    g.select(col("n_users").cast("long").as("n_users"),
+      col("k").cast("long").as("k_treatments"),
+      col("n").cast("long").as("n_marks"),
+      rd(num.cast("double") / nullifZero(den.cast("double")), 4).as("q"),
+      when(col("k") === expectK.toLong,
+        num * lit(10000L) > den * lit(chi2Crit4)).as("significant"))
+  }
 }

@@ -3628,6 +3628,69 @@ object DailyAnalytics {
           .as("pct_positive"))
   }
 
+  /** Friedman rank test across day-of-week "treatments" with symbols
+    * as blocks (Friedman, JASA 1937), plus Page's L trend statistic
+    * over the same ranks (Page, JASA 1963) — the nonparametric
+    * repeated-measures complement to [[anovaDow]]'s parametric F: F
+    * asks "do weekday MEAN returns differ", Friedman asks it after
+    * reducing each symbol to within-block ranks (so one volatile
+    * symbol can't dominate), and Page's L adds "do they TREND
+    * monotonically across the week".
+    *
+    * Block value = the symbol's truncating-mean scale-4 return per
+    * dow (Σy div n — the quantileNormalize div convention); only
+    * COMPLETE blocks (all k dows present) enter, so every block
+    * contributes the same rank budget. Ranks are row_number over
+    * (value, dow) — a total order, ties broken by dow identically in
+    * both engines (the [[spearmanVsMarket]] convention).
+    *
+    *   χ²_F = 12/(n·k·(k+1)) · Σ_j R_j² − 3·n·(k+1)
+    *   L    = Σ_j j·R_j (j = the dow label 1..7)
+    *
+    * R_j, ΣR_j², and L are exact longs; χ²_F is a fixed double tree;
+    * the 5% significance gate is ALL-INTEGER ([[Cohorts.mcnemar]]'s
+    * device): 12·10⁴·ΣR² − 3·10⁴·n²·k·(k+1)² > crit4·n·k·(k+1) with
+    * crit4 = χ²₆(5%)·10⁴ = 125916, NULLed when the panel's k ≠ 7.
+    * Scale shape: one (symbol, dow) rollup at panel grain, one
+    * ≤7-row-per-symbol rank window, two bounded rollups. */
+  def friedmanDow(returns: DataFrame, expectK: Int = 7,
+                  chi2Crit4: Long = 125916L): DataFrame = {
+    val cell = returns.filter(col("daily_return_pct").isNotNull)
+      .select(col("symbol"), dayofweek(col("trade_date")).cast("long").as("dow"),
+        scaled(col("daily_return_pct"), 4).as("y"))
+      .groupBy("symbol", "dow")
+      .agg(count(lit(1)).as("ng"), sum(col("y")).as("sy"))
+      .withColumn("m", expr("sy div ng"))
+    val k = cell.select(col("dow")).distinct().count()
+    val complete = cell
+      .withColumn("ndow", count(lit(1)).over(Window.partitionBy("symbol")))
+      .filter(col("ndow") === k)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("symbol").orderBy(col("m"), col("dow"))).cast("long"))
+    def dd(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val nb = complete.select(col("symbol")).distinct()
+      .agg(count(lit(1)).as("n"))
+    val rj = complete.groupBy("dow")
+      .agg(sum(col("rnk")).as("rj"))
+    val g = rj.agg(sum(dd(col("rj")) * col("rj")).as("sr2"),
+        sum(col("dow") * col("rj")).as("page_l"))
+      .crossJoin(broadcast(nb))
+    val (n, kk) = (col("n").cast("double"), lit(k.toDouble))
+    g.select(col("n").cast("long").as("n_blocks"),
+      lit(k).cast("long").as("k_treatments"),
+      col("sr2").cast("long").as("sum_r2"),
+      col("page_l").cast("long").as("page_l"),
+      rd(lit(12.0) * col("sr2").cast("double") /
+        nullifZero(n * kk * (kk + lit(1.0))) -
+        lit(3.0) * n * (kk + lit(1.0)), 4).as("chi2_f"),
+      when(lit(k) === expectK.toLong,
+        lit(120000L).cast("decimal(38,0)") * col("sr2") -
+          dd(lit(30000L)) * dd(col("n")) * dd(col("n")) *
+            lit(k * (k + 1) * (k + 1)) >
+          dd(lit(chi2Crit4)) * dd(col("n")) * lit(k * (k + 1)))
+        .as("significant"))
+  }
+
   /** Seasonal-naive MASE panel per symbol (Hyndman & Koehler, IJF
     * 2006): the scale-free forecast-accuracy denominator every
     * M-competition metric standardizes on. Scores the naive-1

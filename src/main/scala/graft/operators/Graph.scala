@@ -196,6 +196,76 @@ object Graph {
       .groupBy("id").agg(count(lit(1)).as("triangles"))
   }
 
+  /** Per-edge triangle support over the canonical undirected edge
+    * set — [[triangleCounts]]'s degree-oriented enumeration (same
+    * orientation rule, same wedge join, same skew safety) with the
+    * rollup moved from NODE grain to EDGE grain: each triangle
+    * (a,b,c) credits its three canonical (min,max) edges. The
+    * building block [[kTruss]] peels on. */
+  private def edgeSupport(und: DataFrame): DataFrame = {
+    val deg = und.select(explode(array(col("u"), col("v"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+    val uFirst = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = withDeg
+      .select(when(uFirst, col("u")).otherwise(col("v")).as("a"),
+        when(uFirst, col("v")).otherwise(col("u")).as("b"))
+      .snapshot() // three plan appearances (2x wedge, closure)
+    val oS = rekeyIf(Staging.wantsPin(oriented), oriented, "a")
+    val tri = oS
+      .join(oS.select(col("a"), col("b").as("c")), "a")
+      .filter(col("b") =!= col("c"))
+      .join(oS.select(col("a").as("b"), col("b").as("c")), Seq("b", "c"), "left_semi")
+    tri.select(explode(array(
+        struct(least(col("a"), col("b")).as("eu"), greatest(col("a"), col("b")).as("ev")),
+        struct(least(col("a"), col("c")).as("eu"), greatest(col("a"), col("c")).as("ev")),
+        struct(least(col("b"), col("c")).as("eu"), greatest(col("b"), col("c")).as("ev"))))
+        .as("e"))
+      .select(col("e.eu").as("u"), col("e.ev").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("support"))
+  }
+
+  /** Bounded-round k-truss peel (Cohen, *Trusses: cohesive subgraphs
+    * for social network analysis*, NSA tech report 2008): the
+    * maximal subgraph where every edge sits in ≥ k−2 triangles — the
+    * EDGE-grain cohesion standard between triangle counting (too
+    * local) and clique finding (too hard); communities survive it,
+    * bridges and spam links don't. Each round recomputes per-edge
+    * support on the CURRENT edge set ([[edgeSupport]]) and drops
+    * edges below k−2; `rounds` is a declared bounded contract (the
+    * [[stronglyConnected]] convention — the oracle unrolls the same
+    * rounds, so results are pinned, not approximate; real graphs
+    * stabilize in 2-3 peels because each peel only removes edges
+    * whose support DEPENDED on removed edges). Output is the
+    * surviving edge set with support measured in the SURVIVING
+    * subgraph (one final [[edgeSupport]] pass).
+    *
+    * Scale shape: rounds+1 triangle enumerations, each the
+    * degree-oriented wedge join (linear in Σ min-degree work, the
+    * [[triangleCounts]] cost model) plus an edge-grain rollup; the
+    * edge set only shrinks, so later rounds are cheaper. */
+  def kTruss(edges: DataFrame, srcCol: String, dstCol: String,
+             k: Int = 4, rounds: Int = 2): DataFrame = {
+    require(k >= 3 && rounds >= 1, "kTruss: k >= 3 and rounds >= 1")
+    var und = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .distinct()
+      .snapshot() // peeled in place each round
+    for (_ <- 1 to rounds) {
+      und = und.join(edgeSupport(und), Seq("u", "v"), "left")
+        .filter(coalesce(col("support"), lit(0L)) >= lit((k - 2).toLong))
+        .select(col("u"), col("v"))
+        .snapshot() // next round's degree + orientation input
+    }
+    und.join(edgeSupport(und), Seq("u", "v"), "left")
+      .select(col("u"), col("v"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+
   /** Synchronous label-propagation communities (Raghavan, Albert &
     * Kumara 2007), `iters` UNROLLED rounds, fully deterministic:
     * every node starts as its own label and each round adopts the

@@ -490,6 +490,13 @@ class PlanSpec extends AnyFunSpec {
       assert(p.contains("HashAggregate"), s"plan:\n$p")
     }
 
+    it("k-truss rounds stay on the degree-oriented wedge join — semi closure, no nested loop") {
+      val p = plan(SparkEntry.queries("q_ktruss")(spark, dir))
+      assert(p.contains("LeftSemi"), s"expected LeftSemi closure, plan:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"unexpected nested-loop join, plan:\n$p")
+    }
+
     it("url canonicalization rides the documents scan — regexps below every exchange") {
       val p = plan(SparkEntry.queries("q_url_dedup")(spark, dir))
       assert(!p.contains("Join") && !p.contains("Window"), s"plan:\n$p")
