@@ -162,7 +162,14 @@ object CompositeScalingBench {
     ("q_decontamination_multi", 1.5 * K),
     ("q_theil_inequality", 1.5 * K),
     ("q_tick_impact", 1.5 * K),
-    ("q_reservoir_sample", 1.5 * K))
+    ("q_reservoir_sample", 1.5 * K),
+    // wave 3: k-truss is rounds+1 degree-oriented triangle passes over
+    // K disjoint worlds (edge-linear, the triangles bar); Cochran's Q
+    // and Friedman are one/two partial-aggregable rollups + bounded
+    // dimension frames
+    ("q_ktruss", 1.5 * K),
+    ("q_cochran_q", 1.5 * K),
+    ("q_friedman", 1.5 * K))
   val dateFamilies: Seq[(String, Double)] = Seq(
     ("q_pairs_spread", 1.5 * K),
     ("q_pair_correlation", 1.5 * K),
