@@ -4640,7 +4640,7 @@ object OracleSql {
          |  SELECT symbol, n_days, z, p_value,
          |    CAST(ROW_NUMBER() OVER (ORDER BY p_value, symbol) AS BIGINT) AS p_rank,
          |    CAST(COUNT(*) OVER () AS BIGINT) AS m_tests
-         |  FROM pv
+         |  FROM pv WHERE p_value IS NOT NULL
          |),
          |fl AS (
          |  SELECT *, MAX(CASE WHEN p_value <= CAST('0.05' AS DOUBLE) * p_rank / m_tests
@@ -7914,6 +7914,111 @@ object OracleSql {
          |      > CAST(125916 AS HUGEINT) * n * (k * (k + 1))
          |  ELSE NULL END AS significant
          |FROM fr_g CROSS JOIN fr_k CROSS JOIN fr_n""".stripMargin,
+
+    // mirrors Profiling.mutualInfo over the q_cramers_v grid: scale-12
+    // quantized p*ln contributions over OCCUPIED cells + margin
+    // entropies, fixed MI/H/NMI trees
+    "q_mutual_info" ->
+      s"""WITH mi_b AS (
+         |  SELECT r_name AS grp, c_mktsegment AS a, o_orderpriority AS b
+         |  FROM orders
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey),
+         |mi_cells AS (SELECT grp, a, b, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM mi_b GROUP BY grp, a, b),
+         |mi_ra AS (SELECT grp, a, CAST(COUNT(*) AS BIGINT) AS na
+         |  FROM mi_b GROUP BY grp, a),
+         |mi_cb AS (SELECT grp, b, CAST(COUNT(*) AS BIGINT) AS nb
+         |  FROM mi_b GROUP BY grp, b),
+         |mi_tot AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS nn
+         |  FROM mi_b GROUP BY grp),
+         |mi_m AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_cells,
+         |    CAST(SUM(m12) AS BIGINT) AS mi12
+         |  FROM (SELECT c.grp,
+         |      ${sc("CAST(c AS DOUBLE) / CAST(nn AS DOUBLE) * ln(CAST(c AS DOUBLE) * CAST(nn AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))", 12)} AS m12
+         |    FROM mi_cells c
+         |    JOIN mi_ra USING (grp, a) JOIN mi_cb USING (grp, b)
+         |    JOIN mi_tot USING (grp))
+         |  GROUP BY grp),
+         |mi_ha AS (SELECT grp, CAST(SUM(h12) AS BIGINT) AS ha12
+         |  FROM (SELECT mi_ra.grp,
+         |      ${sc("-(CAST(na AS DOUBLE) / CAST(nn AS DOUBLE)) * ln(CAST(na AS DOUBLE) / CAST(nn AS DOUBLE))", 12)} AS h12
+         |    FROM mi_ra JOIN mi_tot USING (grp))
+         |  GROUP BY grp),
+         |mi_hb AS (SELECT grp, CAST(SUM(h12) AS BIGINT) AS hb12
+         |  FROM (SELECT mi_cb.grp,
+         |      ${sc("-(CAST(nb AS DOUBLE) / CAST(nn AS DOUBLE)) * ln(CAST(nb AS DOUBLE) / CAST(nn AS DOUBLE))", 12)} AS h12
+         |    FROM mi_cb JOIN mi_tot USING (grp))
+         |  GROUP BY grp)
+         |SELECT m.grp AS region, nn AS n, n_cells,
+         |  ${rd("CAST(mi12 AS DOUBLE) / 1000000000000.0", 6)} AS mi_nats,
+         |  ${rd("CAST(ha12 AS DOUBLE) / 1000000000000.0", 6)} AS h_a,
+         |  ${rd("CAST(hb12 AS DOUBLE) / 1000000000000.0", 6)} AS h_b,
+         |  ${rd("2.0 * CAST(mi12 AS DOUBLE) / NULLIF(CAST(ha12 + hb12 AS DOUBLE), 0)", 6)} AS nmi
+         |FROM mi_m m
+         |JOIN mi_ha USING (grp) JOIN mi_hb USING (grp) JOIN mi_tot USING (grp)
+         |ORDER BY region""".stripMargin,
+
+    // mirrors Graph.richClub over the co-purchase graph: fixed degree
+    // ladder, one explode per edge/node, one double tree per rung
+    "q_rich_club" ->
+      s"""WITH raw AS (
+         |  SELECT u, v FROM (
+         |    SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS n
+         |    FROM lineitem a JOIN lineitem b
+         |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |    GROUP BY a.l_partkey, b.l_partkey)
+         |  WHERE n >= 2),
+         |rc_u AS (SELECT DISTINCT LEAST(u, v) AS u, GREATEST(u, v) AS v FROM raw),
+         |rc_d AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS deg
+         |  FROM (SELECT u AS id FROM rc_u UNION ALL SELECT v AS id FROM rc_u)
+         |  GROUP BY id),
+         |rc_k AS (SELECT unnest([2, 4, 8, 16]) AS k),
+         |rc_n AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_nodes
+         |  FROM rc_d CROSS JOIN rc_k WHERE deg > k GROUP BY k),
+         |rc_e AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_edges
+         |  FROM rc_u e JOIN rc_d du ON e.u = du.id
+         |  JOIN rc_d dv ON e.v = dv.id CROSS JOIN rc_k
+         |  WHERE du.deg > k AND dv.deg > k GROUP BY k)
+         |SELECT CAST(n.k AS BIGINT) AS k, n.n_nodes,
+         |  COALESCE(e.n_edges, 0) AS n_edges,
+         |  ${rd("2.0 * CAST(COALESCE(e.n_edges, 0) AS DOUBLE) / NULLIF(CAST(n.n_nodes * (n.n_nodes - 1) AS DOUBLE), 0)", 6)} AS phi
+         |FROM rc_n n LEFT JOIN rc_e e USING (k)
+         |ORDER BY k""".stripMargin,
+
+    // mirrors TickAnalytics.interarrivalFit: exact nanosecond gaps
+    // (epoch_ns — the data's sub-microsecond bits are zero, so this
+    // equals Spark's raw nanos long), MLE rate, two-sided KS step
+    "q_interarrival" ->
+      s"""WITH ia_t AS (SELECT event_type AS symbol, epoch_ns(ts) AS tns, event_id
+         |  FROM events),
+         |ia_g AS (SELECT symbol, event_id,
+         |    tns - LAG(tns, 1) OVER w AS dt
+         |  FROM ia_t WINDOW w AS (PARTITION BY symbol ORDER BY tns, event_id)),
+         |ia_f AS (SELECT symbol, event_id, dt FROM ia_g
+         |  WHERE dt IS NOT NULL AND dt >= 0),
+         |ia_r AS (SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(dt) AS BIGINT) AS sdt
+         |  FROM ia_f GROUP BY symbol),
+         |ia_k AS (SELECT f.symbol, f.dt, r.n, r.sdt,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY f.symbol ORDER BY f.dt, f.event_id) AS BIGINT) AS i
+         |  FROM ia_f f JOIN ia_r r ON r.symbol = f.symbol AND r.n >= 30),
+         |ia_d AS (SELECT symbol, n, sdt,
+         |    GREATEST(
+         |      ABS(CAST(i AS DOUBLE) / CAST(n AS DOUBLE)
+         |        - (1.0 - exp(-(CAST(n AS DOUBLE) / NULLIF(CAST(sdt AS DOUBLE), 0)) * CAST(dt AS DOUBLE)))),
+         |      ABS(CAST(i - 1 AS DOUBLE) / CAST(n AS DOUBLE)
+         |        - (1.0 - exp(-(CAST(n AS DOUBLE) / NULLIF(CAST(sdt AS DOUBLE), 0)) * CAST(dt AS DOUBLE))))) AS kst
+         |  FROM ia_k),
+         |ia_x AS (SELECT symbol, MAX(n) AS n, MAX(sdt) AS sdt, MAX(kst) AS d
+         |  FROM ia_d GROUP BY symbol)
+         |SELECT symbol, n AS n_gaps,
+         |  ${rd("CAST(sdt AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000.0", 4)} AS mean_gap_sec,
+         |  ${rd("CAST(n AS DOUBLE) / NULLIF(CAST(sdt AS DOUBLE) / 1000000000.0, 0)", 6)} AS lambda_per_sec,
+         |  ${rd("d", 6)} AS ks_d,
+         |  d < 1.358 / sqrt(CAST(n AS DOUBLE)) AS exponential_ok
+         |FROM ia_x ORDER BY symbol""".stripMargin,
 
     // mirrors Graph.kTruss(k=3, rounds=2) over the co-purchase graph:
     // two unrolled support-and-peel rounds + one final support pass,

@@ -3387,6 +3387,44 @@ object SparkEntry {
       .orderBy("region")
   }
 
+  /** Mutual information between market segment and order priority per
+    * region — the info-theoretic sibling of [[qCramersV]] on the same
+    * grid: MI/H_a/H_b/NMI in nats from occupied cells only. */
+  private def qMutualInfo(s: SparkSession, dir: String): DataFrame = {
+    val df = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+    Profiling.mutualInfo(df, "r_name", "c_mktsegment", "o_orderpriority")
+      .withColumnRenamed("r_name", "region")
+      .orderBy("region")
+  }
+
+  /** Rich-club coefficient ladder over the co-purchase graph: do the
+    * hub parts preferentially co-occur with each other. */
+  private def qRichClub(s: SparkSession, dir: String): DataFrame =
+    Graph.richClub(Marts.copurchasePairs(s, dir), "u", "v")
+      .orderBy("k")
+
+  /** Exponential inter-arrival fit + one-sample KS per event-type
+    * "symbol": is the tick flow Poisson, gap-wise. The ts column is
+    * normalized to epoch NANOS whether the session read it as a raw
+    * long (nanosAsLong) or as TIMESTAMP_NTZ (the data's
+    * sub-microsecond bits are zero, so micros*1000 is exact). */
+  private def qInterarrival(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val tns = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => col("ts")
+      case _ => expr("unix_micros(cast(ts as timestamp)) * 1000")
+    }
+    TickAnalytics.interarrivalFit(
+      ev.select(col("event_type").as("symbol"), tns.as("ts"), col("event_id")))
+      .orderBy("symbol")
+  }
+
   /** VPIN flow toxicity per event-type "symbol": tick-rule
     * classification with carried sign, 50-trade buckets, mean
     * absolute order-flow imbalance over full buckets. */
@@ -3735,6 +3773,9 @@ object SparkEntry {
     "q_cochran_q" -> (qCochranQ _),
     "q_friedman" -> (qFriedman _),
     "q_ktruss" -> (qKtruss _),
+    "q_mutual_info" -> (qMutualInfo _),
+    "q_rich_club" -> (qRichClub _),
+    "q_interarrival" -> (qInterarrival _),
     "q_cohens_kappa" -> (qCohensKappa _),
     "q_anova_dow" -> (qAnovaDow _),
     "q_mcnemar" -> (qMcnemar _),

@@ -2296,6 +2296,11 @@ object DailyAnalytics {
     // the step-up comparison (the usual rd-boundary caveat applies)
     val withP = m.withColumn("z", z)
       .withColumn("p_value", rd(lit(2.0) * phi * poly, 6))
+      // a zero-variance symbol has no test statistic (0/0 z): it must
+      // not enter the family at all — before this filter its NULL p
+      // sorted FIRST (rank 1, counted in m_tests), silently loosening
+      // every threshold; surfaced by the generated-input prefix test
+      .filter(col("p_value").isNotNull)
     val ranked = withP
       .withColumn("p_rank",
         row_number().over(Window.orderBy(col("p_value"), col("symbol"))))

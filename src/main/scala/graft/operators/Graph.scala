@@ -227,6 +227,52 @@ object Graph {
       .groupBy("u", "v").agg(count(lit(1)).as("support"))
   }
 
+  /** Rich-club coefficient ladder (Zhou & Mondragón, IEEE Comm.
+    * Letters 2004): φ(k) = 2·E_k / (N_k·(N_k−1)) where N_k counts
+    * nodes of degree > k and E_k the edges BETWEEN them — "do the
+    * hubs preferentially link to each other", the structural question
+    * behind assortativity's single number, answered at every rung of
+    * a fixed degree ladder. φ → 1 means the top of the degree
+    * distribution forms a near-clique (a spam ring, an exchange
+    * backbone); φ → 0 means hubs are mutually avoided (a bipartite
+    * catalog shape).
+    *
+    * Scale shape: one degree rollup, one edge⋈degree join (broadcast
+    * — the degree frame is node-sized), then ONE explode of the
+    * |ks|-entry ladder per edge/node and two partial-aggregable
+    * rollups at (k) grain — no pair space, no windows; output is
+    * |ks| rows. Exact longs into one double tree per rung. */
+  def richClub(edges: DataFrame, srcCol: String, dstCol: String,
+               ks: Seq[Int] = Seq(2, 4, 8, 16)): DataFrame = {
+    require(ks.nonEmpty, "richClub: at least one degree rung")
+    val und = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .distinct()
+      .snapshot() // feeds the degree rollup AND the edge-grain ladder
+    val deg = und.select(explode(array(col("u"), col("v"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+      .snapshot() // joined twice + the node-grain ladder
+    val ladder = array(ks.map(k => lit(k.toLong)): _*)
+    val nk = deg.select(col("deg"), explode(ladder).as("k"))
+      .filter(col("deg") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_nodes"))
+    val ek = und
+      .join(broadcast(deg.select(col("id").as("u"), col("deg").as("du"))), "u")
+      .join(broadcast(deg.select(col("id").as("v"), col("deg").as("dv"))), "v")
+      .select(explode(ladder).as("k"), col("du"), col("dv"))
+      .filter(col("du") > col("k") && col("dv") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_edges"))
+    nk.join(ek, Seq("k"), "left")
+      .select(col("k").cast("long").as("k"),
+        col("n_nodes").cast("long").as("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).cast("long").as("n_edges"),
+        rd(lit(2.0) * coalesce(col("n_edges"), lit(0L)).cast("double") /
+          nullifZero((col("n_nodes") * (col("n_nodes") - lit(1L))).cast("double")),
+          6).as("phi"))
+  }
+
   /** Bounded-round k-truss peel (Cohen, *Trusses: cohesive subgraphs
     * for social network analysis*, NSA tech report 2008): the
     * maximal subgraph where every edge sits in ≥ k−2 triangles — the

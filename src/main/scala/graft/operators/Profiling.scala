@@ -608,6 +608,59 @@ object Profiling {
         sqrt(col("chi9").cast("double") / 1e9 / dof), 6).as("cramers_v"))
   }
 
+  /** Mutual information between two categorical columns, per group
+    * (Shannon 1948; the feature-selection form in Cover & Thomas
+    * ch. 2) — the information-theoretic sibling of [[cramersV]]:
+    * V normalizes χ²'s quadratic deviation, MI measures the actual
+    * bits (here nats) one column carries about the other, which is
+    * the quantity a feature-selection or leakage screen actually
+    * budgets. NMI = 2·MI/(H_a+H_b) makes it comparable across grids.
+    *
+    * Exactness: only OCCUPIED cells contribute (p·ln(…) with p = 0 is
+    * 0, so no zero-cell grid is needed — unlike χ²); each cell's
+    * (c/N)·ln(c·N/(n_a·n_b)) and each margin's −(n/N)·ln(n/N) are
+    * quantized to scale-12 longs ([[TextAnalysis.jsDivergence]]'s
+    * device), so all three sums are order-free integers and MI/H/NMI
+    * are fixed double trees.
+    *
+    * Scale shape: one grouped cell rollup + two margin rollups (all
+    * partial-aggregable at fact grain), then everything lives on the
+    * occupied-cell frame with the 1-row-per-group totals broadcast. */
+  def mutualInfo(df: DataFrame, groupCol: String, aCol: String,
+                 bCol: String): DataFrame = {
+    val base = df
+      .select(col(groupCol).as("grp"), col(aCol).as("a"), col(bCol).as("b"))
+      .snapshot() // feeds cells + both margins + totals
+    val cells = base.groupBy("grp", "a", "b").agg(count(lit(1)).as("c"))
+    val ra = base.groupBy("grp", "a").agg(count(lit(1)).as("na"))
+    val cb = base.groupBy("grp", "b").agg(count(lit(1)).as("nb"))
+    val tot = base.groupBy("grp").agg(count(lit(1)).as("nn"))
+    val contrib = col("c").cast("double") / col("nn").cast("double") *
+      log(col("c").cast("double") * col("nn").cast("double") /
+        (col("na").cast("double") * col("nb").cast("double")))
+    val mi = cells
+      .join(ra, Seq("grp", "a"))
+      .join(cb, Seq("grp", "b"))
+      .join(broadcast(tot), "grp")
+      .withColumn("m12", scaled(contrib, 12))
+      .groupBy("grp").agg(count(lit(1)).as("n_cells"), sum(col("m12")).as("mi12"))
+    def entropy(margin: DataFrame, cnt: String, out: String) = margin
+      .join(broadcast(tot), "grp")
+      .withColumn("h12", scaled(-(col(cnt).cast("double") / col("nn").cast("double")) *
+        log(col(cnt).cast("double") / col("nn").cast("double")), 12))
+      .groupBy("grp").agg(sum(col("h12")).as(out))
+    mi.join(entropy(ra, "na", "ha12"), "grp")
+      .join(entropy(cb, "nb", "hb12"), "grp")
+      .join(broadcast(tot), "grp")
+      .select(col("grp").as(groupCol), col("nn").cast("long").as("n"),
+        col("n_cells").cast("long").as("n_cells"),
+        rd(col("mi12").cast("double") / 1e12, 6).as("mi_nats"),
+        rd(col("ha12").cast("double") / 1e12, 6).as("h_a"),
+        rd(col("hb12").cast("double") / 1e12, 6).as("h_b"),
+        rd(lit(2.0) * col("mi12").cast("double") /
+          nullifZero((col("ha12") + col("hb12")).cast("double")), 6).as("nmi"))
+  }
+
   /** t-closeness audit over an ORDERED sensitive attribute (Li, Li &
     * Venkatasubramanian, ICDE 2007) — the step past [[kAnonymity]]
     * (class size) and [[lDiversity]] (distinct sensitive values):

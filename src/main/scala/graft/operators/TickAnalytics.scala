@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Funcs._
+import graft.sources.Staging.Snapshottable
 
 /** Realtime (tick-lane) analytics: the reference's
   * `spark_stream_batch_processor.py` window aggregations + the
@@ -297,6 +298,60 @@ object TickAnalytics {
     * (shared sort with the bucket assignment) + two partial-
     * aggregable rollups — tick rows in, S rows out, ONE exchange on
     * hash(symbol) shared by window and both rollups. */
+  /** Exponential inter-arrival fit + KS goodness per symbol: MLE rate
+    * λ̂ = n/Σdt over the tick gaps, then the one-sample
+    * Kolmogorov–Smirnov distance between the empirical gap CDF and
+    * Exp(λ̂) — the "is this flow Poisson" screen behind every
+    * burstiness/clustering claim ([[graft.operators.Cohorts]]'s Fano
+    * factor asks it on counts; this asks it on GAPS, where clustering
+    * shows up as heavy small-gap mass). D uses both step edges
+    * (max(|i/n − F|, |(i−1)/n − F|) — the standard two-sided form);
+    * ranks come from row_number over (dt, event_id), a total order.
+    *
+    * Exactness: gaps are exact nanosecond longs; λ̂ and each row's
+    * KS term are fixed double trees over exact integers; the symbol
+    * rollup takes MAX (order-free — no quantization needed, unlike
+    * sums). `exponential_ok` gates D against the asymptotic 5%
+    * critical value 1.358/√n, the same tree in both engines.
+    *
+    * Scale shape: one symbol-window pass (lag + rank share the sort)
+    * + one partial-aggregable rollup; tick rows in, S rows out. */
+  def interarrivalFit(ticks: DataFrame, minGaps: Int = 30): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy(col("tns"), col("event_id"))
+    val gaps = ticks
+      .select(col("symbol"), col("ts").cast("long").as("tns"), col("event_id"))
+      .withColumn("dt", col("tns") - lag(col("tns"), 1).over(w))
+      .filter(col("dt").isNotNull && col("dt") >= 0L)
+      .snapshot() // feeds the rate rollup AND the ranked KS pass
+    val rate = gaps.groupBy("symbol")
+      .agg(count(lit(1)).as("n"), sum(col("dt")).as("sdt"))
+      .filter(col("n") >= minGaps)
+    val ranked = gaps
+      .withColumn("i", row_number().over(
+        Window.partitionBy("symbol").orderBy(col("dt"), col("event_id")))
+        .cast("long"))
+      .join(broadcast(rate), "symbol")
+    // zero total gap time (all ticks in one nanosecond) nulls the fit
+    // in BOTH engines rather than NaN-ing in one (anovaDow convention)
+    val fexp = lit(1.0) - exp(-(col("n").cast("double") /
+      nullifZero(col("sdt").cast("double"))) * col("dt").cast("double"))
+    val term = greatest(
+      abs(col("i").cast("double") / col("n").cast("double") - fexp),
+      abs((col("i") - lit(1L)).cast("double") / col("n").cast("double") - fexp))
+    ranked.withColumn("kst", term)
+      .groupBy("symbol")
+      .agg(max(col("n")).as("n"), max(col("sdt")).as("sdt"),
+        max(col("kst")).as("d"))
+      .select(col("symbol"), col("n").cast("long").as("n_gaps"),
+        rd(col("sdt").cast("double") / col("n").cast("double") / 1e9, 4)
+          .as("mean_gap_sec"),
+        rd(col("n").cast("double") /
+          nullifZero(col("sdt").cast("double") / 1e9), 6)
+          .as("lambda_per_sec"),
+        rd(col("d"), 6).as("ks_d"),
+        (col("d") < lit(1.358) / sqrt(col("n").cast("double"))).as("exponential_ok"))
+  }
+
   def tickImpactPanel(ticks: DataFrame, bucketTrades: Int = 50,
                       priceScale: Int = 2): DataFrame = {
     require(bucketTrades > 1, "tickImpactPanel: bucketTrades must exceed 1")

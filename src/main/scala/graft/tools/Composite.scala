@@ -169,7 +169,14 @@ object CompositeScalingBench {
     // dimension frames
     ("q_ktruss", 1.5 * K),
     ("q_cochran_q", 1.5 * K),
-    ("q_friedman", 1.5 * K))
+    ("q_friedman", 1.5 * K),
+    // wave 4: rich-club is a degree rollup + one ladder explode
+    // (edge-linear); mutual information is the cramers_v fact-rollup
+    // shape on occupied cells; the inter-arrival fit is one symbol
+    // window pass + bounded rollups over K disjoint user worlds
+    ("q_rich_club", 1.5 * K),
+    ("q_mutual_info", 1.5 * K),
+    ("q_interarrival", 1.5 * K))
   val dateFamilies: Seq[(String, Double)] = Seq(
     ("q_pairs_spread", 1.5 * K),
     ("q_pair_correlation", 1.5 * K),

@@ -325,6 +325,20 @@ class PropertySpec extends AnyFunSpec {
         $"close_price" > $"high_price" || $"close_price" < $"low_price").isEmpty)
     }
 
+    it("BH-FDR excludes zero-variance symbols from the test family") {
+      // constant returns have no test statistic: before the fix their
+      // NULL p sorted FIRST (rank 1, counted in m_tests), silently
+      // loosening every step-up threshold
+      val rows = (0 until 10).flatMap { d =>
+        val date = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(d))
+        Seq(("FLAT", date, 0.5), // zero variance -> must be excluded
+          ("VAR", date, if (d % 2 == 0) 1.0 else -0.4))
+      }.toDF("symbol", "trade_date", "daily_return_pct")
+      val out = DailyAnalytics.bhFdr(rows, alpha = 0.3, minDays = 2).collect()
+      assert(out.map(_.getAs[String]("symbol")).toSet == Set("VAR"))
+      assert(out.head.getAs[Long]("m_tests") == 1L)
+    }
+
     it("BH-FDR rejections are exactly a prefix of the p-value order") {
       // the step-up procedure's defining invariant: rejected(r) ⇔
       // r ≤ k* where k* is the largest rank passing p ≤ α·r/m —
