@@ -2552,10 +2552,12 @@ object OracleSql {
     // same regexp trees, same utm filter, same host/port rules
     "q_url_dedup" ->
       s"""WITH ud_url AS (SELECT doc_id,
-         |    (CASE WHEN doc_id % 5 = 0 THEN 'HTTP'
-         |          WHEN doc_id % 5 = 1 THEN 'http'
-         |          WHEN doc_id % 5 = 2 THEN 'HTTPS' ELSE 'https' END)
-         |    || '://'
+         |    (CASE WHEN doc_id % 9 = 4 THEN ''
+         |          WHEN doc_id % 9 = 8 THEN '//'
+         |          ELSE (CASE WHEN doc_id % 5 = 0 THEN 'HTTP'
+         |                     WHEN doc_id % 5 = 1 THEN 'http'
+         |                     WHEN doc_id % 5 = 2 THEN 'HTTPS' ELSE 'https' END)
+         |               || '://' END)
          |    || (CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END)
          |    || '.Example.COM'
          |    || (CASE WHEN doc_id % 4 = 0 THEN ':443'
@@ -2565,9 +2567,9 @@ object OracleSql {
          |             WHEN doc_id % 7 = 0 THEN '?ref=home&utm_medium=em' ELSE '' END)
          |    || (CASE WHEN doc_id % 6 = 0 THEN '#sec2' ELSE '' END) AS url
          |  FROM documents),
-         |ud_nf AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS u_nofrag
+         |ud_nf AS (SELECT doc_id, url, regexp_replace(url, '#.*', '') AS u_nofrag
          |  FROM ud_url),
-         |ud_p AS (SELECT doc_id,
+         |ud_p AS (SELECT doc_id, url,
          |    lower(regexp_extract(u_nofrag, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS u_scheme,
          |    lower(regexp_extract(u_nofrag, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)) AS u_host0,
          |    regexp_extract(u_nofrag, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1) AS u_path,
@@ -2575,14 +2577,16 @@ object OracleSql {
          |      string_split(COALESCE(regexp_extract(u_nofrag, '\\?([^#]*)', 1), ''), '&'),
          |      p -> p <> '' AND NOT regexp_matches(p, '^utm_')), '&'), '') AS u_q
          |  FROM ud_nf),
-         |ud_h AS (SELECT doc_id, u_scheme, u_path, u_q,
-         |    CASE WHEN u_scheme = 'http' THEN regexp_replace(u_host0, ':80$$', '')
+         |ud_h AS (SELECT doc_id, url, u_scheme, u_path, u_q,
+         |    CASE WHEN u_scheme IS NULL OR u_scheme = '' THEN NULL
+         |         WHEN u_scheme = 'http' THEN regexp_replace(u_host0, ':80$$', '')
          |         WHEN u_scheme = 'https' THEN regexp_replace(u_host0, ':443$$', '')
          |         ELSE u_host0 END AS host
          |  FROM ud_p),
          |ud_c AS (SELECT doc_id, host,
-         |    u_scheme || '://' || host || u_path
-         |      || (CASE WHEN u_q = '' THEN '' ELSE '?' || u_q END) AS canonical_url,
+         |    CASE WHEN u_scheme IS NULL OR u_scheme = '' THEN url
+         |         ELSE u_scheme || '://' || host || u_path
+         |           || (CASE WHEN u_q = '' THEN '' ELSE '?' || u_q END) END AS canonical_url,
          |    regexp_extract(regexp_replace(host, ':[0-9]+$$', ''),
          |      '[^.]+\\.[^.]+$$', 0) AS registered_domain
          |  FROM ud_h)
@@ -7981,10 +7985,11 @@ object OracleSql {
          |  FROM rc_u e JOIN rc_d du ON e.u = du.id
          |  JOIN rc_d dv ON e.v = dv.id CROSS JOIN rc_k
          |  WHERE du.deg > k AND dv.deg > k GROUP BY k)
-         |SELECT CAST(n.k AS BIGINT) AS k, n.n_nodes,
+         |SELECT CAST(r.k AS BIGINT) AS k,
+         |  COALESCE(n.n_nodes, 0) AS n_nodes,
          |  COALESCE(e.n_edges, 0) AS n_edges,
-         |  ${rd("2.0 * CAST(COALESCE(e.n_edges, 0) AS DOUBLE) / NULLIF(CAST(n.n_nodes * (n.n_nodes - 1) AS DOUBLE), 0)", 6)} AS phi
-         |FROM rc_n n LEFT JOIN rc_e e USING (k)
+         |  ${rd("2.0 * CAST(COALESCE(e.n_edges, 0) AS DOUBLE) / NULLIF(CAST(COALESCE(n.n_nodes, 0) * (COALESCE(n.n_nodes, 0) - 1) AS DOUBLE), 0)", 6)} AS phi
+         |FROM rc_k r LEFT JOIN rc_n n USING (k) LEFT JOIN rc_e e USING (k)
          |ORDER BY k""".stripMargin,
 
     // mirrors TickAnalytics.interarrivalFit: exact nanosecond gaps

@@ -898,10 +898,16 @@ object SparkEntry {
   private def qUrlDedup(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select(col("doc_id"), col("source"))
     val url = concat(
-      when(col("doc_id") % 5 === 0, lit("HTTP"))
-        .when(col("doc_id") % 5 === 1, lit("http"))
-        .when(col("doc_id") % 5 === 2, lit("HTTPS")).otherwise(lit("https")),
-      lit("://"),
+      // doc_id % 9 ∈ {4, 8}: scheme-less / protocol-relative inputs —
+      // exercises urlCanonicalize's pass-through guard (host NULL,
+      // canonical_url = raw) alongside the well-formed majority.
+      when(col("doc_id") % 9 === 4, lit(""))
+        .when(col("doc_id") % 9 === 8, lit("//"))
+        .otherwise(concat(
+          when(col("doc_id") % 5 === 0, lit("HTTP"))
+            .when(col("doc_id") % 5 === 1, lit("http"))
+            .when(col("doc_id") % 5 === 2, lit("HTTPS")).otherwise(lit("https")),
+          lit("://"))),
       when(col("doc_id") % 3 === 0, upper(col("source"))).otherwise(col("source")),
       lit(".Example.COM"),
       when(col("doc_id") % 4 === 0, lit(":443"))

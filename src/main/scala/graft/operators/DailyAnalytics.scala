@@ -3666,10 +3666,15 @@ object DailyAnalytics {
       .groupBy("symbol", "dow")
       .agg(count(lit(1)).as("ng"), sum(col("y")).as("sy"))
       .withColumn("m", expr("sy div ng"))
-    val k = cell.select(col("dow")).distinct().count()
+    // k stays DATA-DRIVEN and LAZY (the oracle's fr_k CTE shape): a
+    // 1-row aggregate broadcast-crossed into the plan, never an eager
+    // count() action at construction time — the plan re-derives k on
+    // every execution, like every other operator here.
+    val kf = cell.agg(countDistinct(col("dow")).cast("long").as("k"))
     val complete = cell
       .withColumn("ndow", count(lit(1)).over(Window.partitionBy("symbol")))
-      .filter(col("ndow") === k)
+      .crossJoin(broadcast(kf))
+      .filter(col("ndow") === col("k"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("symbol").orderBy(col("m"), col("dow"))).cast("long"))
     def dd(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
@@ -3680,19 +3685,20 @@ object DailyAnalytics {
     val g = rj.agg(sum(dd(col("rj")) * col("rj")).as("sr2"),
         sum(col("dow") * col("rj")).as("page_l"))
       .crossJoin(broadcast(nb))
-    val (n, kk) = (col("n").cast("double"), lit(k.toDouble))
+      .crossJoin(broadcast(kf))
+    val (n, kk) = (col("n").cast("double"), col("k").cast("double"))
     g.select(col("n").cast("long").as("n_blocks"),
-      lit(k).cast("long").as("k_treatments"),
+      col("k").as("k_treatments"),
       col("sr2").cast("long").as("sum_r2"),
       col("page_l").cast("long").as("page_l"),
       rd(lit(12.0) * col("sr2").cast("double") /
         nullifZero(n * kk * (kk + lit(1.0))) -
         lit(3.0) * n * (kk + lit(1.0)), 4).as("chi2_f"),
-      when(lit(k) === expectK.toLong,
+      when(col("k") === expectK.toLong,
         lit(120000L).cast("decimal(38,0)") * col("sr2") -
           dd(lit(30000L)) * dd(col("n")) * dd(col("n")) *
-            lit(k * (k + 1) * (k + 1)) >
-          dd(lit(chi2Crit4)) * dd(col("n")) * lit(k * (k + 1)))
+            dd(col("k") * (col("k") + lit(1L)) * (col("k") + lit(1L))) >
+          dd(lit(chi2Crit4)) * dd(col("n")) * dd(col("k") * (col("k") + lit(1L))))
         .as("significant"))
   }
 

@@ -192,7 +192,9 @@ object Decontamination {
       .mapPartitions { rows =>
         val (auto, nids) = bc.value
         rows.flatMap { r =>
-          if (r.isNullAt(1)) Iterator.empty
+          // NULL doc_id rows are dropped like NULL text (the needle
+          // side already filters its NULLs) — never an NPE mid-scan.
+          if (r.isNullAt(0) || r.isNullAt(1)) Iterator.empty
           else {
             val id = r.getLong(0)
             auto.matchedIn(r.getString(1)).iterator.map(s => Row(id, nids(s)))

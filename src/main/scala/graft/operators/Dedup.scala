@@ -1018,6 +1018,15 @@ object Dedup {
     *    crawl budgets and robots policies key on; a public-suffix
     *    list refines multi-label TLDs and can be swapped in here).
     *
+    * Precondition: canonicalization only applies to WELL-FORMED
+    * absolute URLs (`scheme://…`). A scheme-less or protocol-relative
+    * input (`example.com/p`, `//host/p`) has no authority the regexes
+    * can trust, so it passes through UNCHANGED as its own
+    * `canonical_url` (never merged with anything it didn't byte-equal)
+    * with `host`/`registered_domain` NULL — the conservative choice
+    * for a dedup KEY, where over-merging loses data and under-merging
+    * only costs a later pass. A NULL url yields NULL in all three.
+    *
     * Everything is built-in string/regexp functions evaluated in the
     * SCAN projection — no UDF, no shuffle, no driver state — so at
     * 100 TB canonicalization is free: it rides the parquet scan and
@@ -1037,14 +1046,17 @@ object Dedup {
         "array_join(filter(split(regexp_extract(u_nofrag, '\\\\?([^#]*)', 1), '&')," +
           " p -> p != '' AND NOT p rlike '^utm_'), '&')"))
       .withColumn("host",
-        when(col("u_scheme") === "http", regexp_replace(col("u_host0"), ":80$", ""))
+        when(col("u_scheme").isNull || col("u_scheme") === "",
+          lit(null).cast("string"))
+          .when(col("u_scheme") === "http", regexp_replace(col("u_host0"), ":80$", ""))
           .when(col("u_scheme") === "https",
             regexp_replace(col("u_host0"), ":443$", ""))
           .otherwise(col("u_host0")))
       .withColumn("canonical_url",
-        concat(col("u_scheme"), lit("://"), col("host"), col("u_path"),
-          when(col("u_q") === "", lit(""))
-            .otherwise(concat(lit("?"), col("u_q")))))
+        when(col("u_scheme").isNull || col("u_scheme") === "", col(urlCol))
+          .otherwise(concat(col("u_scheme"), lit("://"), col("host"), col("u_path"),
+            when(col("u_q") === "", lit(""))
+              .otherwise(concat(lit("?"), col("u_q"))))))
       .withColumn("registered_domain",
         regexp_extract(regexp_replace(col("host"), ":[0-9]+$", ""),
           "[^.]+\\.[^.]+$", 0))

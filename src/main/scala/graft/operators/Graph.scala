@@ -241,7 +241,11 @@ object Graph {
     * — the degree frame is node-sized), then ONE explode of the
     * |ks|-entry ladder per edge/node and two partial-aggregable
     * rollups at (k) grain — no pair space, no windows; output is
-    * |ks| rows. Exact longs into one double tree per rung. */
+    * EXACTLY |ks| rows (the ladder dimension is left-joined, so a
+    * rung no node exceeds still yields a row with n_nodes = 0,
+    * n_edges = 0 and NULL phi — fixed output cardinality, callers
+    * never special-case missing rungs). Exact longs into one double
+    * tree per rung. */
   def richClub(edges: DataFrame, srcCol: String, dstCol: String,
                ks: Seq[Int] = Seq(2, 4, 8, 16)): DataFrame = {
     require(ks.nonEmpty, "richClub: at least one degree rung")
@@ -255,6 +259,7 @@ object Graph {
       .groupBy("id").agg(count(lit(1)).as("deg"))
       .snapshot() // joined twice + the node-grain ladder
     val ladder = array(ks.map(k => lit(k.toLong)): _*)
+    val rungs = edges.sparkSession.range(1).select(explode(ladder).as("k"))
     val nk = deg.select(col("deg"), explode(ladder).as("k"))
       .filter(col("deg") > col("k"))
       .groupBy("k").agg(count(lit(1)).as("n_nodes"))
@@ -264,12 +269,13 @@ object Graph {
       .select(explode(ladder).as("k"), col("du"), col("dv"))
       .filter(col("du") > col("k") && col("dv") > col("k"))
       .groupBy("k").agg(count(lit(1)).as("n_edges"))
-    nk.join(ek, Seq("k"), "left")
+    rungs.join(nk, Seq("k"), "left").join(ek, Seq("k"), "left")
       .select(col("k").cast("long").as("k"),
-        col("n_nodes").cast("long").as("n_nodes"),
+        coalesce(col("n_nodes"), lit(0L)).cast("long").as("n_nodes"),
         coalesce(col("n_edges"), lit(0L)).cast("long").as("n_edges"),
         rd(lit(2.0) * coalesce(col("n_edges"), lit(0L)).cast("double") /
-          nullifZero((col("n_nodes") * (col("n_nodes") - lit(1L))).cast("double")),
+          nullifZero((coalesce(col("n_nodes"), lit(0L)) *
+            (coalesce(col("n_nodes"), lit(0L)) - lit(1L))).cast("double")),
           6).as("phi"))
   }
 

@@ -48,8 +48,16 @@ object JobProbe {
     val t0 = System.nanoTime()
     fn(spark, sfDir).count()
     val wall = (System.nanoTime() - t0) / 1e9
-    // listener bus is async (private): give it a beat to drain
-    Thread.sleep(500)
+    // The listener bus is async (and private API): poll until the
+    // duration count is stable across two consecutive checks (or a
+    // 10 s ceiling) instead of a fixed sleep, so tail job-end events
+    // on a loaded host are never dropped from the count.
+    val drainDeadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    var prevSize = -1
+    while (prevSize != durations.size() && System.nanoTime() < drainDeadline) {
+      prevSize = durations.size()
+      Thread.sleep(200)
+    }
     spark.sparkContext.removeSparkListener(listener)
     import scala.jdk.CollectionConverters._
     val ds = durations.asScala.map(_.toDouble / 1000).toSeq.sorted

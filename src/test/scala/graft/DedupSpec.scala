@@ -437,6 +437,25 @@ class DedupSpec extends AnyFunSpec {
       assert(got(1L)._1 != got(2L)._1)
     }
 
+    it("passes scheme-less / protocol-relative URLs through UNCHANGED") {
+      // No trustworthy authority → never merged with anything it
+      // didn't byte-equal; host/registered_domain NULL.
+      val got = canon(
+        (1L, "example.com/p?utm_source=x"),
+        (2L, "//other.example.com/p#frag"),
+        (3L, "https://a.example.com/p"))
+      assert(got(1L) == (("example.com/p?utm_source=x", null, null)))
+      assert(got(2L) == (("//other.example.com/p#frag", null, null)))
+      assert(got(3L)._2 == "a.example.com")
+      // distinct scheme-less URLs on different hosts stay distinct
+      // through the rollup (the over-merge hazard this guard closes)
+      val roll = Dedup.urlGrainRollup(Dedup.urlCanonicalize(
+        Seq((1L, "hostA.example.com/p"), (2L, "hostB.example.com/p"))
+          .toDF("doc_id", "url"), "url"))
+        .select($"n_docs", $"n_urls").as[(Long, Long)].collect().toSeq
+      assert(roll == Seq((2L, 2L)))
+    }
+
     it("the host rollup counts docs vs distinct canonical urls") {
       val df = Seq(
         (1L, "https://a.example.com/p?utm_source=x"),

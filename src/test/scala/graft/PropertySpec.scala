@@ -805,4 +805,142 @@ class PropertySpec extends AnyFunSpec {
       }
     }
   }
+
+  describe("round-15 wave invariants on generated inputs") {
+    import graft.operators.{DailyAnalytics, Graph, Profiling, TickAnalytics}
+
+    def dates(n: Int): Seq[java.sql.Date] = (0 until n).map(d =>
+      java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(d)))
+
+    it("corwinSchultz: constant H = L series estimates exactly zero spread") {
+      // H = L ⇒ β = γ = 0 ⇒ α = 0 ⇒ s = 0 for every pair; and s9 = 0
+      // is not > 0, so pct_positive = 0 too
+      val bars = dates(40).map(d => ("A", d, 50.0, 50.0))
+        .toDF("symbol", "trade_date", "high_price", "low_price")
+      val r = DailyAnalytics.corwinSchultz(bars).collect().head
+      assert(r.getAs[Long]("n_pairs") == 39L)
+      assert(r.getAs[Double]("cs_spread_pct") == 0.0, s"$r")
+      assert(r.getAs[Double]("pct_positive") == 0.0, s"$r")
+    }
+
+    it("corwinSchultz: pct_positive stays in [0, 1] on arbitrary positive ranges") {
+      val hl = sampled(for {
+        l <- Gen.choose(100L, 10000L)
+        spread <- Gen.choose(0L, 500L)
+      } yield (l, l + spread), 120)
+      val bars = hl.zip(dates(120)).zipWithIndex.map { case (((l, h), d), i) =>
+        (s"S${i % 3}", d, h / 100.0, l / 100.0)
+      }.toDF("symbol", "trade_date", "high_price", "low_price")
+      DailyAnalytics.corwinSchultz(bars, minDays = 10).collect().foreach { r =>
+        val p = r.getAs[Double]("pct_positive")
+        assert(p >= 0.0 && p <= 1.0, s"$r")
+      }
+    }
+
+    it("tCloseness: a class mirroring the corpus has EMD 0; EMD in [0,1]; violations monotone in t") {
+      // Single class: its distribution IS the corpus distribution
+      val one = (1 to 50).map(i => ("only", i.toLong % 5))
+        .toDF("qi", "v")
+      val r0 = Profiling.tCloseness(one, Seq("qi"), col("v")).collect().head
+      assert(r0.getAs[Double]("max_emd") == 0.0, s"$r0")
+      assert(r0.getAs[Long]("n_violating") == 0L)
+      // Arbitrary classes: EMD bounded, violation count monotone in t
+      val rows = sampled(for {
+        c <- Gen.oneOf("a", "b", "c", "d")
+        v <- Gen.choose(0L, 9L)
+      } yield (c, v), 300).toDF("qi", "v")
+      val loose = Profiling.tCloseness(rows, Seq("qi"), col("v"), t = 0.5)
+        .collect().head
+      val tight = Profiling.tCloseness(rows, Seq("qi"), col("v"), t = 0.001)
+        .collect().head
+      val emd = loose.getAs[Double]("max_emd")
+      assert(emd >= 0.0 && emd <= 1.0 + 1e-9, s"$loose")
+      assert(tight.getAs[Long]("n_violating") >= loose.getAs[Long]("n_violating"))
+      assert(tight.getAs[Long]("n_exposed_rows") >= loose.getAs[Long]("n_exposed_rows"))
+    }
+
+    it("mutualInfo: MI >= 0 and MI <= min(H_a, H_b) on arbitrary contingency data") {
+      val rows = sampled(for {
+        a <- Gen.oneOf("x", "y", "z")
+        b <- Gen.oneOf("p", "q", "r", "s")
+      } yield ("G", a, b), 400).toDF("g", "a", "b")
+      val r = Profiling.mutualInfo(rows, "g", "a", "b").collect().head
+      val (mi, ha, hb) = (r.getAs[Double]("mi_nats"),
+        r.getAs[Double]("h_a"), r.getAs[Double]("h_b"))
+      // quantization headroom: each cell contributes a scale-12 long
+      assert(mi >= -1e-6, s"$r")
+      assert(mi <= math.min(ha, hb) + 1e-6, s"$r")
+      val nmi = r.getAs[Double]("nmi")
+      assert(nmi >= -1e-6 && nmi <= 1.0 + 1e-6, s"$r")
+    }
+
+    it("interarrivalFit: KS D in [0,1] always, and seeded exponential gaps pass the gate") {
+      val rnd = new scala.util.Random(7)
+      // 200 Exp(λ=2/s) gaps via inverse CDF on seeded uniforms
+      val gaps = (1 to 200).map(_ =>
+        (-math.log(1.0 - rnd.nextDouble()) / 2.0 * 1e9).toLong.max(1L))
+      val ts = gaps.scanLeft(0L)(_ + _)
+      val expTicks = ts.zipWithIndex.map { case (t, i) => ("E", t, i.toLong) }
+      // adversarial non-exponential: constant gaps (tested golden) plus
+      // a heavy two-point mixture
+      val mix = (0 until 100).map(i =>
+        ("M", i.toLong * (if (i % 2 == 0) 1000000L else 4000000000L) + i, (500 + i).toLong))
+      val got = TickAnalytics.interarrivalFit(
+        (expTicks ++ mix).toDF("symbol", "ts", "event_id")).collect()
+        .map(r => r.getAs[String]("symbol") -> r).toMap
+      got.values.foreach { r =>
+        val d = r.getAs[Double]("ks_d")
+        assert(d >= 0.0 && d <= 1.0, s"$r")
+      }
+      assert(got("E").getAs[Boolean]("exponential_ok"),
+        s"true-exponential sample rejected: ${got("E")}")
+    }
+
+    it("richClub: exactly |ks| rows, phi in [0,1] or NULL, counts non-increasing in k") {
+      val rnd = new scala.util.Random(11)
+      val edges = (1 to 150).map(_ =>
+        (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter(e => e._1 != e._2)
+      val rows = Graph.richClub(edges.toDF("u", "v"), "u", "v")
+        .orderBy("k").collect()
+      assert(rows.length == 4)
+      rows.sliding(2).foreach { case Array(lo, hi) =>
+        assert(lo.getAs[Long]("n_nodes") >= hi.getAs[Long]("n_nodes"))
+        assert(lo.getAs[Long]("n_edges") >= hi.getAs[Long]("n_edges"))
+      }
+      rows.foreach { r =>
+        if (!r.isNullAt(r.fieldIndex("phi"))) {
+          val phi = r.getAs[Double]("phi")
+          assert(phi >= 0.0 && phi <= 1.0 + 1e-9, s"$r")
+        } else assert(r.getAs[Long]("n_nodes") <= 1L, s"NULL phi needs n<=1: $r")
+      }
+    }
+
+    it("kTruss: survivors are an input subset with support >= k-2 inside the survivor graph") {
+      val rnd = new scala.util.Random(23)
+      val raw = ((1 to 120).map(_ =>
+        (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong)) ++
+        // plant a K5 so the 4-truss is non-empty
+        (for (a <- 30L to 34L; b <- 30L to 34L if a < b) yield (a, b)))
+        .filter(e => e._1 != e._2)
+      val input = raw.map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+      val out = Graph.kTruss(raw.toDF("u", "v"), "u", "v", k = 4, rounds = 8)
+        .collect().map(r => (r.getAs[Long]("u"), r.getAs[Long]("v"),
+          r.getAs[Long]("support")))
+      assert(out.nonEmpty, "planted K5 must survive the 4-truss")
+      val surv = out.map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+      assert(surv.subsetOf(input), "truss emitted an edge not in the input")
+      // brute-force support inside the survivor graph
+      def common(a: Long, b: Long): Int = {
+        val na = surv.collect { case (x, y) if x == a => y; case (x, y) if y == a => x }
+        val nb = surv.collect { case (x, y) if x == b => y; case (x, y) if y == b => x }
+        (na intersect nb).size
+      }
+      out.foreach { case (u, v, s) =>
+        val bf = common(math.min(u, v), math.max(u, v))
+        assert(s == bf, s"support mismatch on ($u,$v): op=$s brute=$bf")
+        assert(s >= 2, s"4-truss edge ($u,$v) has support $s < k-2")
+      }
+    }
+  }
 }

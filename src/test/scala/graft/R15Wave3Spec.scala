@@ -69,6 +69,17 @@ class R15Wave3Spec extends AnyFunSpec {
         rows.toDF("symbol", "trade_date", "daily_return_pct")).collect().head
       assert(out.getAs[Double]("chi2_f") == 12.0, s"$out") // n(k-1) = 2*6
     }
+    it("stays lazy: constructing the frame runs no Spark job, and k is data-driven") {
+      val tracker = spark.sparkContext.statusTracker
+      val before = tracker.getJobIdsForGroup(null).length
+      val rows = Seq(("A", java.sql.Date.valueOf("2024-01-01"), 0.5))
+      val df = DailyAnalytics.friedmanDow(
+        rows.toDF("symbol", "trade_date", "daily_return_pct"))
+      assert(tracker.getJobIdsForGroup(null).length == before,
+        "friedmanDow construction must not run an eager Spark action")
+      // k re-derives at EXECUTION time from the plan's own aggregate
+      assert(df.collect().head.getAs[Long]("k_treatments") == 1L)
+    }
   }
 
   describe("kTruss") {

@@ -26,8 +26,12 @@ class R15Wave4Spec extends AnyFunSpec {
       assert(got(4L).getAs[Long]("n_nodes") == 1L)
       assert(got(4L).isNullAt(got(4L).fieldIndex("phi")))
       assert(got(8L).getAs[Long]("n_nodes") == 1L)
-      // k=16: nobody qualifies -> no row at all
-      assert(!got.contains(16L))
+      // k=16: nobody qualifies -> the rung STILL yields a row (the
+      // ladder dimension is left-joined: fixed |ks| cardinality)
+      assert(got.size == 4)
+      assert(got(16L).getAs[Long]("n_nodes") == 0L)
+      assert(got(16L).getAs[Long]("n_edges") == 0L)
+      assert(got(16L).isNullAt(got(16L).fieldIndex("phi")))
     }
   }
 

@@ -430,5 +430,18 @@ class TrainingDataOpsSpec extends AnyFunSpec {
       assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
       assert(got.count() > 0, "fixture produced no hits — needles too strict")
     }
+
+    it("drops corpus rows with a NULL doc_id or NULL text (no NPE mid-scan)") {
+      val corpus = Seq(
+        (java.lang.Long.valueOf(1L), "alpha beta"),
+        (null.asInstanceOf[java.lang.Long], "alpha beta"), // NULL id
+        (java.lang.Long.valueOf(3L), null.asInstanceOf[String])) // NULL text
+        .toDF("doc_id", "text")
+      val needles = Seq((10L, "alpha")).toDF("needle_id", "needle")
+      val got = Decontamination.multiNeedleHits(
+          corpus, "doc_id", "text", needles, "needle_id", "needle")
+        .as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 10L)))
+    }
   }
 }
