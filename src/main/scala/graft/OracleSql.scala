@@ -8049,6 +8049,122 @@ object OracleSql {
          |FROM kt2 LEFT JOIN kts3 USING (u, v)
          |ORDER BY u, v""".stripMargin,
 
+    // mirrors Dedup.paragraphDedup over the 12-token-chunk
+    // re-paragraphing: hash60 paragraph keys, one occurrence rollup,
+    // duplicated = corpus-wide count >= 2 (within-doc repeats count)
+    "q_dedup_paragraph" ->
+      s"""WITH pp_w AS (SELECT doc_id, string_split(text, ' ') AS w
+         |  FROM documents),
+         |pp_t AS (SELECT doc_id, array_to_string(list_transform(
+         |    range(0, (len(w) + 11) // 12),
+         |    i -> array_to_string(w[(i * 12 + 1):(i * 12 + 12)], ' ')),
+         |    chr(10)) AS ptext
+         |  FROM pp_w),
+         |pp_p AS (SELECT doc_id, para FROM (
+         |    SELECT doc_id, unnest(string_split(ptext, chr(10))) AS para
+         |    FROM pp_t)
+         |  WHERE para <> ''),
+         |pp_h AS (SELECT doc_id, ${h60("para")} AS ph,
+         |    CAST(length(para) AS BIGINT) AS plen
+         |  FROM pp_p),
+         |pp_o AS (SELECT ph, CAST(COUNT(*) AS BIGINT) AS n_occ
+         |  FROM pp_h GROUP BY ph)
+         |SELECT doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_paras,
+         |  CAST(SUM(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_paras,
+         |  CAST(SUM(plen) AS BIGINT) AS n_chars,
+         |  ${rd("CAST(SUM(CASE WHEN n_occ >= 2 THEN plen ELSE 0 END) AS DOUBLE) / NULLIF(CAST(SUM(plen) AS DOUBLE), 0)", 6)} AS dup_char_frac
+         |FROM pp_h JOIN pp_o USING (ph)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // mirrors TextAnalysis.goodTuring: corpus unigram rollup, then a
+    // 1-row reduction over the count-of-counts; fixed double trees
+    "q_good_turing" ->
+      s"""WITH gt_t AS (SELECT unnest(string_split(text, ' ')) AS t
+         |  FROM documents),
+         |gt_c AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM gt_t WHERE t <> '' GROUP BY t)
+         |SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |  CAST(COUNT(*) AS BIGINT) AS vocab,
+         |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n1_singletons,
+         |  CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n2_doubletons,
+         |  ${rd("CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / NULLIF(CAST(SUM(c) AS DOUBLE), 0)", 6)} AS p0_unseen,
+         |  ${rd("2.0 * CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS DOUBLE) / NULLIF(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE), 0)", 6)} AS gt_singleton_count,
+         |  ${rd("CAST(COUNT(*) AS DOUBLE) + CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) * (CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) - 1.0) / (2.0 * (CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS DOUBLE) + 1.0))", 4)} AS chao1_vocab
+         |FROM gt_c""".stripMargin,
+
+    // mirrors TickAnalytics.realizedKernel(h=5, minMoves=5): exact
+    // HUGEINT autocovariances of scale-2 tick moves, Parzen weights
+    // shared from the same Scala computation (Double.toString
+    // round-trip); minMoves=5 so sf0.001's ~7-tick days still verify
+    "q_realized_kernel" -> {
+      val wts = graft.operators.TickAnalytics.parzenWeights(5)
+        .map(v => s"CAST('$v' AS DOUBLE)")
+      s"""WITH ${Adapters.ticksSql},
+         |rk_d AS (SELECT symbol, CAST(event_time AS DATE) AS trade_date,
+         |    event_time,
+         |    ${sc("price", 2)} - LAG(${sc("price", 2)}) OVER w AS dp
+         |  FROM ticks
+         |  WINDOW w AS (PARTITION BY symbol, CAST(event_time AS DATE)
+         |               ORDER BY event_time)),
+         |rk_l AS (SELECT symbol, trade_date, dp,
+         |    LAG(dp, 1) OVER w AS dp1, LAG(dp, 2) OVER w AS dp2,
+         |    LAG(dp, 3) OVER w AS dp3, LAG(dp, 4) OVER w AS dp4,
+         |    LAG(dp, 5) OVER w AS dp5
+         |  FROM (SELECT * FROM rk_d WHERE dp IS NOT NULL)
+         |  WINDOW w AS (PARTITION BY symbol, trade_date ORDER BY event_time)),
+         |rk_g AS (SELECT symbol, trade_date,
+         |    CAST(COUNT(*) AS BIGINT) AS n_moves,
+         |    SUM(CAST(dp AS HUGEINT) * dp) AS g0,
+         |    SUM(CAST(dp AS HUGEINT) * dp1) AS g1,
+         |    SUM(CAST(dp AS HUGEINT) * dp2) AS g2,
+         |    SUM(CAST(dp AS HUGEINT) * dp3) AS g3,
+         |    SUM(CAST(dp AS HUGEINT) * dp4) AS g4,
+         |    SUM(CAST(dp AS HUGEINT) * dp5) AS g5
+         |  FROM rk_l GROUP BY symbol, trade_date),
+         |rk_x AS (SELECT symbol, trade_date, n_moves,
+         |    CAST(g0 AS DOUBLE) AS g0d,
+         |    CAST(g0 AS DOUBLE) + 2.0 * (${wts(0)} * CAST(g1 AS DOUBLE)
+         |      + ${wts(1)} * CAST(g2 AS DOUBLE)
+         |      + ${wts(2)} * CAST(g3 AS DOUBLE)
+         |      + ${wts(3)} * CAST(g4 AS DOUBLE)
+         |      + ${wts(4)} * CAST(g5 AS DOUBLE)) AS rk
+         |  FROM rk_g WHERE n_moves >= 5)
+         |SELECT symbol, trade_date, n_moves,
+         |  ${rd("g0d / 10000.0", 6)} AS rv_var,
+         |  ${rd("rk / 10000.0", 6)} AS rk_var,
+         |  ${rd("SQRT(GREATEST(rk, 0.0)) / 100.0", 4)} AS rk_vol
+         |FROM rk_x ORDER BY symbol, trade_date""".stripMargin
+    },
+
+    // mirrors DailyAnalytics.hillTail(kTop=20, minLosses=40): ranked
+    // scale-4 losses, threshold at rank k+1, scale-9 quantized log
+    // ratios summed as exact longs
+    "q_hill_tail" ->
+      s"""${dailyChain("returns")},
+         |ht_l AS (SELECT symbol, trade_date, ${sc4("-daily_return_pct")} AS x
+         |  FROM returns WHERE daily_return_pct < 0),
+         |ht_r AS (SELECT symbol, trade_date, x,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY symbol
+         |      ORDER BY x DESC, trade_date) AS BIGINT) AS rn,
+         |    COUNT(*) OVER (PARTITION BY symbol) AS nl
+         |  FROM ht_l WHERE x > 0),
+         |ht_k AS (SELECT symbol, x AS xk FROM ht_r WHERE rn = 21),
+         |ht_c AS (SELECT t.symbol, t.nl,
+         |    ${sc("ln(CAST(x AS DOUBLE) / CAST(xk AS DOUBLE))", 9)} AS l9
+         |  FROM ht_r t JOIN ht_k USING (symbol)
+         |  WHERE t.rn <= 20 AND t.nl >= 40),
+         |ht_g AS (SELECT symbol, MAX(nl) AS nl, CAST(COUNT(*) AS BIGINT) AS k,
+         |    CAST(SUM(l9) AS BIGINT) AS sl
+         |  FROM ht_c GROUP BY symbol)
+         |SELECT symbol, CAST(nl AS BIGINT) AS n_losses, k AS k_top,
+         |  ${rd("CAST(sl AS DOUBLE) / 1000000000.0 / CAST(k AS DOUBLE)", 6)} AS xi_hill,
+         |  ${rd("CAST(k AS DOUBLE) * 1000000000.0 / NULLIF(CAST(sl AS DOUBLE), 0)", 6)} AS alpha_tail
+         |FROM ht_g ORDER BY symbol""".stripMargin,
+
     // mirrors Profiling.tCloseness over (lang, source) x n_chars//100:
     // ordered-EMD on the class x value grid, scale-9 quantized
     // cumulative-share gaps

@@ -3541,6 +3541,39 @@ object SparkEntry {
     Graph.kTruss(Marts.copurchasePairs(s, dir), "u", "v", k = 3)
       .orderBy("u", "v")
 
+  /** Dolma-style paragraph-grain dedup over documents re-chunked into
+    * 12-token newline-joined paragraphs (the corpus has no natural
+    * paragraph breaks; the fixed chunking is mirrored in the oracle,
+    * and near-dup docs make ~4% of chunks genuinely repeat). */
+  private def qDedupParagraph(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), array_join(
+        transform(sequence(lit(0), expr("(size(w) + 11) div 12 - 1")),
+          i => concat_ws(" ", slice(col("w"), i * lit(12) + lit(1), lit(12)))),
+        "\n").as("para_text"))
+    Dedup.paragraphDedup(d, "doc_id", "para_text").orderBy("doc_id")
+  }
+
+  /** Good-Turing unseen-mass + Chao1 vocabulary estimate over the
+    * corpus unigram counts. */
+  private def qGoodTuring(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.goodTuring(Tables.documents(s, dir), "doc_id", "text")
+
+  /** Noise-robust realized-kernel variance per (symbol, day) beside
+    * q_microstructure's plain realized vol. Registered at minMoves=5
+    * (operator default 30) because sf0.001 has a ~7-tick median
+    * symbol-day — an always-empty gate result would verify nothing
+    * (the q_ktruss k=3 convention). */
+  private def qRealizedKernel(s: SparkSession, dir: String): DataFrame =
+    TickAnalytics.realizedKernel(Adapters.ticks(s, dir), minMoves = 5)
+      .orderBy("symbol", "trade_date")
+
+  /** Hill tail-index over daily losses per symbol. */
+  private def qHillTail(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.hillTail(Marts.dailyReturns(s, dir))
+      .orderBy("symbol")
+
   // ──────────────────────────────────────────────────────────────────
   // Registry
   // ──────────────────────────────────────────────────────────────────
@@ -3782,6 +3815,10 @@ object SparkEntry {
     "q_mutual_info" -> (qMutualInfo _),
     "q_rich_club" -> (qRichClub _),
     "q_interarrival" -> (qInterarrival _),
+    "q_dedup_paragraph" -> (qDedupParagraph _),
+    "q_good_turing" -> (qGoodTuring _),
+    "q_realized_kernel" -> (qRealizedKernel _),
+    "q_hill_tail" -> (qHillTail _),
     "q_cohens_kappa" -> (qCohensKappa _),
     "q_anova_dow" -> (qAnovaDow _),
     "q_mcnemar" -> (qMcnemar _),

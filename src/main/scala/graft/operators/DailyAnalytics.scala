@@ -3740,4 +3740,54 @@ object DailyAnalytics {
         rd(col("sae1").cast("double") /
           nullifZero(col("saes").cast("double")), 6).as("mase"))
   }
+
+  /** Hill tail-index estimator over daily LOSSES per symbol (Hill,
+    * "A simple general approach to inference about the tail of a
+    * distribution", Annals of Statistics 1975): ξ̂ = (1/k)·Σ_{i≤k}
+    * ln(x₍ᵢ₎ / x₍ₖ₊₁₎) over the k largest losses, α = 1/ξ̂ the
+    * power-law tail exponent — the standard heavy-tail gauge behind
+    * [[q_var_cvar]]'s empirical quantiles: α < 2 means infinite
+    * variance, α < 4 means the CLT-based risk numbers understate tails.
+    * Losses (−return where return < 0) at scale 4; zero-scaled losses
+    * are excluded (ln 0 undefined — sub-half-bp moves carry no tail
+    * information at this scale).
+    *
+    * Determinism: the order statistics are a row_number over the
+    * total order (x DESC, trade_date) — ties broken identically in
+    * both engines (the [[spearmanVsMarket]] convention); each ln
+    * ratio is quantized to a scale-9 long so the sum is order-free.
+    *
+    * Scale shape: one symbol-partitioned rank window over the loss
+    * subset (a fraction of day-grain rows), a symbol-sized threshold
+    * frame broadcast back, one partial-aggregable rollup. */
+  def hillTail(returns: DataFrame, kTop: Int = 20,
+               minLosses: Int = 40): DataFrame = {
+    require(kTop >= 1 && minLosses > kTop,
+      "hillTail: need minLosses > kTop >= 1")
+    val losses = returns.filter(col("daily_return_pct") < 0)
+      .select(col("symbol"), col("trade_date"),
+        scaled(-col("daily_return_pct"), 4).as("x"))
+      .filter(col("x") > 0)
+    val ranked = losses
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("symbol")
+          .orderBy(col("x").desc, col("trade_date"))).cast("long"))
+      .withColumn("nl", count(lit(1)).over(Window.partitionBy("symbol")))
+      .snapshot() // feeds the threshold frame AND the top-k rollup
+    val thr = ranked.filter(col("rn") === (kTop + 1).toLong)
+      .select(col("symbol"), col("x").as("xk"))
+    ranked.filter(col("rn") <= kTop.toLong && col("nl") >= minLosses.toLong)
+      .join(broadcast(thr), "symbol")
+      .withColumn("l9",
+        scaled(log(col("x").cast("double") / col("xk").cast("double")), 9))
+      .groupBy("symbol")
+      .agg(max(col("nl")).as("nl"), count(lit(1)).as("k"),
+        sum(col("l9")).as("sl"))
+      .select(col("symbol"), col("nl").cast("long").as("n_losses"),
+        col("k").cast("long").as("k_top"),
+        rd(col("sl").cast("double") / 1e9 /
+          col("k").cast("double"), 6).as("xi_hill"),
+        rd(col("k").cast("double") * 1e9 /
+          nullifZero(col("sl").cast("double")), 6).as("alpha_tail"))
+  }
 }

@@ -1080,4 +1080,46 @@ object Dedup {
         col("first_doc_id").cast("long").as("first_doc_id"),
         rd((col("n_docs") - col("n_urls")).cast("double") /
           col("n_docs").cast("double"), 6).as("dup_ratio"))
+
+  /** Paragraph-grain exact dedup signal (the Dolma pipeline's second
+    * dedup pass — Soldaini et al. 2024 §2.3 mark PARAGRAPHS seen more
+    * than once corpus-wide, because boilerplate repeats at paragraph
+    * grain even when no two documents match as wholes; CCNet and
+    * RefinedWeb run the same line/paragraph-grain pass). For every
+    * document: how many of its paragraphs (split on `sep`, taken as a
+    * LITERAL separator; empties dropped) occur ≥ 2 times in the whole
+    * corpus — within-doc repeats count, they are duplication too —
+    * and what fraction of the document's paragraph characters that
+    * duplicated subset covers (`dup_char_frac` is the quantity a
+    * paragraph-dedup remover would actually cut).
+    *
+    * Scale shape: paragraphs reduce to [[graft.functions.Funcs.hash60]]
+    * keys inside the scan projection (the full text never shuffles —
+    * only (id, hash, length) triples); ONE partial-aggregable
+    * occurrence rollup on the hash, one co-partitioned join back on
+    * the same key, one per-doc rollup. No windows, no pair space. */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+                     sep: String = "\n"): DataFrame = {
+    val paras = spreadById(df, idCol, textCol)
+      .select(col(idCol),
+        explode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as("para"))
+      .filter(col("para") =!= "")
+      .select(col(idCol), hash60(col("para")).as("ph"),
+        length(col("para")).cast("long").as("plen"))
+      .snapshot() // feeds the occurrence rollup AND the per-doc rollup
+    val occ = paras.groupBy("ph").agg(count(lit(1)).as("n_occ"))
+    paras.join(occ, "ph")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("n_occ") >= 2, 1L).otherwise(0L)).as("n_dup_paras"),
+        sum(col("plen")).as("n_chars"),
+        sum(when(col("n_occ") >= 2, col("plen")).otherwise(0L)).as("dup_chars"))
+      .select(col(idCol),
+        col("n_paras").cast("long").as("n_paras"),
+        col("n_dup_paras").cast("long").as("n_dup_paras"),
+        col("n_chars").cast("long").as("n_chars"),
+        rd(col("dup_chars").cast("double") /
+          nullifZero(col("n_chars").cast("double")), 6).as("dup_char_frac"))
+  }
 }

@@ -826,6 +826,49 @@ object TextAnalysis {
     }.reduce(_ unionByName _)
   }
 
+  /** Good-Turing frequency-of-frequencies + Chao1 vocabulary-richness
+    * estimate over the corpus unigram distribution (Good, Biometrika
+    * 1953; Chao, Scand. J. Statistics 1984): N₁ (singletons) and N₂
+    * (doubletons) summarize the distribution's unseen tail —
+    * p₀ = N₁/N is the Good-Turing probability mass of tokens the
+    * corpus has NEVER seen (what more data will spend its tokens on),
+    * c*₁ = 2N₂/N₁ the smoothed true count of a once-seen token, and
+    * Chao1 V̂ = V + N₁(N₁−1)/(2(N₂+1)) the bias-corrected estimate of
+    * the TOTAL vocabulary including unseen types — the measurements
+    * behind "is this corpus big enough for this tokenizer", beside
+    * [[heapsLaw]]'s empirical growth curve ([[zipfFit]] gives the
+    * same tail a slope). All five inputs are exact integer aggregates;
+    * the three estimates are fixed double trees.
+    *
+    * Scale shape: one exploded token pass into a partial-aggregable
+    * vocabulary rollup (the [[heapsLaw]] shuffle), then a 1-row
+    * reduction over the count-of-counts — no windows, no sort,
+    * memory independent of vocabulary size. */
+  def goodTuring(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = Dedup.spreadById(docs, idCol, textCol)
+      .select(explode(tokens(col(textCol))).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    counts.agg(
+      sum(col("c")).as("n"),
+      count(lit(1)).as("v"),
+      sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("c") === 2, 1L).otherwise(0L)).as("n2"))
+      .select(
+        col("n").cast("long").as("n_tokens"),
+        col("v").cast("long").as("vocab"),
+        col("n1").cast("long").as("n1_singletons"),
+        col("n2").cast("long").as("n2_doubletons"),
+        rd(col("n1").cast("double") /
+          nullifZero(col("n").cast("double")), 6).as("p0_unseen"),
+        rd(lit(2.0) * col("n2").cast("double") /
+          nullifZero(col("n1").cast("double")), 6).as("gt_singleton_count"),
+        rd(col("v").cast("double") +
+          col("n1").cast("double") * (col("n1").cast("double") - lit(1.0)) /
+            (lit(2.0) * (col("n2").cast("double") + lit(1.0))), 4)
+          .as("chao1_vocab"))
+  }
+
   /** The default RAKE stopword/delimiter set — the boundary tokens
     * phrases break on. Embedded as the same literal list in the
     * DuckDB oracle. */

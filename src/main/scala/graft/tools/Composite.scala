@@ -176,7 +176,16 @@ object CompositeScalingBench {
     // window pass + bounded rollups over K disjoint user worlds
     ("q_rich_club", 1.5 * K),
     ("q_mutual_info", 1.5 * K),
-    ("q_interarrival", 1.5 * K))
+    ("q_interarrival", 1.5 * K),
+    // round-16 shapes: paragraph dedup is one hash rollup + one
+    // co-partitioned join back (paragraph-linear; K doc copies also
+    // multiply every occurrence count ×K without changing the plan);
+    // Good-Turing is a vocabulary rollup + 1-row reduction; the
+    // realized kernel is the microstructure window pass + rollup
+    // over K disjoint event worlds
+    ("q_dedup_paragraph", 1.5 * K),
+    ("q_good_turing", 1.5 * K),
+    ("q_realized_kernel", 1.5 * K))
   val dateFamilies: Seq[(String, Double)] = Seq(
     ("q_pairs_spread", 1.5 * K),
     ("q_pair_correlation", 1.5 * K),
@@ -190,7 +199,10 @@ object CompositeScalingBench {
     ("q_holt_winters", 1.5 * K),
     // MASE's growth axis is panel length too: two lags sharing one
     // window sort + a symbol rollup
-    ("q_mase_seasonal", 1.5 * K))
+    ("q_mase_seasonal", 1.5 * K),
+    // Hill's growth axis is loss-panel length: one rank window over
+    // the loss subset + a broadcast threshold join + one rollup
+    ("q_hill_tail", 1.5 * K))
 
   val BeginMarker = "<!-- GENERATED:composite-scaling -->"
   val EndMarker = "<!-- /GENERATED:composite-scaling -->"
