@@ -8165,6 +8165,90 @@ object OracleSql {
          |  ${rd("CAST(k AS DOUBLE) * 1000000000.0 / NULLIF(CAST(sl AS DOUBLE), 0)", 6)} AS alpha_tail
          |FROM ht_g ORDER BY symbol""".stripMargin,
 
+    // mirrors DailyAnalytics.brownForsythe: exact 2x-median deviations
+    // (median of scale-4 longs is (a+b)/2, so 2*median is an exact
+    // integer), then the q_anova_dow SS machinery; SS outputs return
+    // to return-pct^2 units via /4e8
+    "q_brown_forsythe" ->
+      s"""${dailyChain("returns")},
+         |bf_y AS (SELECT dayofweek(trade_date) AS dow,
+         |    ${sc("daily_return_pct", 4)} AS y
+         |  FROM returns WHERE daily_return_pct IS NOT NULL),
+         |bf_m AS (SELECT dow, CAST(median(y) * 2.0 AS BIGINT) AS med2
+         |  FROM bf_y GROUP BY dow),
+         |bf_z AS (SELECT b.dow, ABS(2 * y - med2) AS z
+         |  FROM bf_y b JOIN bf_m USING (dow)),
+         |bf_g AS (SELECT dow, CAST(COUNT(*) AS BIGINT) AS ng,
+         |    CAST(SUM(z) AS BIGINT) AS sg,
+         |    SUM(CAST(z AS HUGEINT) * z) AS qg
+         |  FROM bf_z GROUP BY dow),
+         |bf_a AS (SELECT dow, ng, sg, qg,
+         |    ${sc("CAST(CAST(sg AS HUGEINT) * sg AS DOUBLE) / CAST(ng AS DOUBLE)", 0)} AS a_g
+         |  FROM bf_g),
+         |bf_t AS (SELECT CAST(SUM(ng) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+         |    CAST(SUM(sg) AS BIGINT) AS s, SUM(qg) AS q,
+         |    CAST(SUM(a_g) AS BIGINT) AS a
+         |  FROM bf_a),
+         |bf_b AS (SELECT n, k, s, q, a,
+         |    ${sc("CAST(CAST(s AS HUGEINT) * s AS DOUBLE) / CAST(n AS DOUBLE)", 0)} AS b
+         |  FROM bf_t)
+         |SELECT n AS n_days, k AS k_groups,
+         |  ${rd("CAST(a - b AS DOUBLE) / 400000000.0", 4)} AS ss_between,
+         |  ${rd("CAST(q - a AS DOUBLE) / 400000000.0", 4)} AS ss_within,
+         |  ${rd("CAST(a - b AS DOUBLE) / NULLIF(CAST(k - 1 AS DOUBLE), 0) / NULLIF(CAST(q - a AS DOUBLE) / CAST(n - k AS DOUBLE), 0)", 4)} AS f_stat,
+         |  ${rd("CAST(a - b AS DOUBLE) / NULLIF(CAST(q - b AS DOUBLE), 0)", 6)} AS eta_sq
+         |FROM bf_b""".stripMargin,
+
+    // mirrors DailyAnalytics.pettittTest: doubled average-tie ranks
+    // (2*RANK + ties - 1, exact integers), U_t = prefix-sum - t(n+1),
+    // earliest argmax of |U_t| over t < n, all-integer 5% gate
+    "q_pettitt" ->
+      s"""${dailyChain("returns")},
+         |pt_x AS (SELECT symbol, trade_date,
+         |    ${sc("daily_return_pct", 4)} AS x
+         |  FROM returns WHERE daily_return_pct IS NOT NULL),
+         |pt_r AS (SELECT symbol, trade_date,
+         |    CAST(2 * RANK() OVER (PARTITION BY symbol ORDER BY x)
+         |      + COUNT(*) OVER (PARTITION BY symbol, x) - 1 AS BIGINT) AS r2,
+         |    CAST(COUNT(*) OVER (PARTITION BY symbol) AS BIGINT) AS n,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY trade_date) AS BIGINT) AS t
+         |  FROM pt_x),
+         |pt_u AS (SELECT symbol, trade_date, n, t,
+         |    SUM(r2) OVER (PARTITION BY symbol ORDER BY trade_date
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      - t * (n + 1) AS u
+         |  FROM pt_r),
+         |pt_a AS (SELECT symbol, trade_date, n, ABS(u) AS au,
+         |    MAX(ABS(u)) OVER (PARTITION BY symbol) AS kmax
+         |  FROM pt_u WHERE t < n),
+         |pt_g AS (SELECT symbol, MAX(n) AS n, CAST(MAX(au) AS BIGINT) AS k,
+         |    MIN(CASE WHEN au = kmax THEN trade_date END) AS change_date
+         |  FROM pt_a GROUP BY symbol HAVING MAX(n) >= 60)
+         |SELECT symbol, n AS n_days, k AS k_stat, change_date,
+         |  ${rd("LEAST(1.0, 2.0 * exp(-6.0 * CAST(k AS DOUBLE) * CAST(k AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) + CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))", 6)} AS p_approx,
+         |  CAST(60000 AS HUGEINT) * k * k
+         |    > CAST(36889 AS HUGEINT) * (n * n * n + n * n) AS significant
+         |FROM pt_g ORDER BY symbol""".stripMargin,
+
+    // mirrors TextAnalysis.tokenDispersion(topK=50): exact
+    // (token, source) counts, population CV over m parts (zeros via
+    // m), top-50 by (count DESC, token)
+    "q_token_dispersion" ->
+      s"""WITH td_m AS (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS m
+         |  FROM documents),
+         |td_c AS (SELECT t, source, CAST(COUNT(*) AS BIGINT) AS f FROM (
+         |    SELECT source, unnest(string_split(text, ' ')) AS t
+         |    FROM documents)
+         |  WHERE t <> '' GROUP BY t, source),
+         |td_g AS (SELECT t, CAST(SUM(f) AS BIGINT) AS ft,
+         |    SUM(CAST(f AS HUGEINT) * f) AS qt,
+         |    CAST(COUNT(*) AS BIGINT) AS ns
+         |  FROM td_c GROUP BY t)
+         |SELECT t AS token, ft AS n_occ, ns AS n_sources,
+         |  ${rd("1.0 - SQRT(GREATEST(CAST(qt AS DOUBLE) / CAST(m AS DOUBLE) - (CAST(ft AS DOUBLE) / CAST(m AS DOUBLE)) * (CAST(ft AS DOUBLE) / CAST(m AS DOUBLE)), 0.0)) / (CAST(ft AS DOUBLE) / CAST(m AS DOUBLE)) / SQRT(CAST(m AS DOUBLE) - 1.0)", 6)} AS juilland_d
+         |FROM td_g CROSS JOIN td_m
+         |ORDER BY ft DESC, t LIMIT 50""".stripMargin,
+
     // mirrors Profiling.tCloseness over (lang, source) x n_chars//100:
     // ordered-EMD on the class x value grid, scale-9 quantized
     // cumulative-share gaps

@@ -3574,6 +3574,22 @@ object SparkEntry {
     DailyAnalytics.hillTail(Marts.dailyReturns(s, dir))
       .orderBy("symbol")
 
+  /** Brown–Forsythe weekday variance-homogeneity test (the robust
+    * Levene, beside q_anova_dow's mean test). */
+  private def qBrownForsythe(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.brownForsythe(Marts.dailyReturns(s, dir))
+
+  /** Pettitt rank change-point scan per symbol. */
+  private def qPettitt(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.pettittTest(Marts.dailyReturns(s, dir))
+      .orderBy("symbol")
+
+  /** Juilland's D dispersion for the top-50 corpus tokens across
+    * sources. */
+  private def qTokenDispersion(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenDispersion(Tables.documents(s, dir),
+      "doc_id", "text", "source")
+
   // ──────────────────────────────────────────────────────────────────
   // Registry
   // ──────────────────────────────────────────────────────────────────
@@ -3819,6 +3835,9 @@ object SparkEntry {
     "q_good_turing" -> (qGoodTuring _),
     "q_realized_kernel" -> (qRealizedKernel _),
     "q_hill_tail" -> (qHillTail _),
+    "q_brown_forsythe" -> (qBrownForsythe _),
+    "q_pettitt" -> (qPettitt _),
+    "q_token_dispersion" -> (qTokenDispersion _),
     "q_cohens_kappa" -> (qCohensKappa _),
     "q_anova_dow" -> (qAnovaDow _),
     "q_mcnemar" -> (qMcnemar _),

@@ -3741,6 +3741,114 @@ object DailyAnalytics {
           nullifZero(col("saes").cast("double")), 6).as("mase"))
   }
 
+  /** Brown–Forsythe variance-homogeneity test across day-of-week
+    * groups (Brown & Forsythe, JASA 1974): [[anovaDow]] asks "do
+    * weekday MEAN returns differ"; this asks "do weekday
+    * VOLATILITIES differ" — the Levene family with the MEDIAN center
+    * (the robust variant that keeps its size under heavy tails,
+    * which daily returns have): transform each return to its
+    * absolute deviation from the group median, then run the
+    * one-way-ANOVA F on the deviations.
+    *
+    * Exactness: the group median of scale-4 longs is (a+b)/2 — so
+    * 2·median is an EXACT integer in both engines (the interpolated
+    * double is exact for longs ≪ 2⁵²), and z = |2y − 2·med| is an
+    * exact long in HALF scale-4 units. The SS decomposition is then
+    * [[anovaDow]]'s machinery verbatim (exact HUGEINT/DECIMAL sums,
+    * S²/n quantized once per group); the SS outputs divide by 4·10⁸
+    * to return to return-pct² units, and F / eta² are scale-free.
+    * NULL conventions follow the [[anovaDow]] r15 fix (zero SSW /
+    * single group → NULL F).
+    *
+    * Scale shape: one 7-group rollup for the medians (a sort-based
+    * exact median over day-grain rows), one broadcast join of the
+    * 7-row median frame, one 7-group rollup, one 1-row reduction. */
+  def brownForsythe(returns: DataFrame): DataFrame = {
+    def dd(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val y = returns.filter(col("daily_return_pct").isNotNull)
+      .select(dayofweek(col("trade_date")).cast("long").as("dow"),
+        scaled(col("daily_return_pct"), 4).as("y"))
+      .snapshot() // feeds the median rollup AND the deviation join
+    val med = y.groupBy("dow")
+      .agg((median(col("y")) * lit(2.0)).cast("long").as("med2"))
+    val z = y.join(broadcast(med), "dow")
+      .select(col("dow"), abs(lit(2L) * col("y") - col("med2")).as("z"))
+    val g = z.groupBy("dow")
+      .agg(count(lit(1)).as("ng"), sum(col("z")).as("sg"),
+        sum(dd(col("z")) * col("z")).as("qg"))
+      .withColumn("ag", scaled((dd(col("sg")) * dd(col("sg"))).cast("double") /
+        col("ng").cast("double"), 0))
+    g.agg(sum(col("ng")).as("n"), count(lit(1)).as("k"),
+        sum(col("sg")).as("s"), sum(col("qg")).as("q"), sum(col("ag")).as("a"))
+      .withColumn("b", scaled((dd(col("s")) * dd(col("s"))).cast("double") /
+        col("n").cast("double"), 0))
+      .select(col("n").cast("long").as("n_days"),
+        col("k").cast("long").as("k_groups"),
+        rd((col("a") - col("b")).cast("double") / 4.0e8, 4).as("ss_between"),
+        rd((col("q") - col("a")).cast("double") / 4.0e8, 4).as("ss_within"),
+        rd((col("a") - col("b")).cast("double") /
+          nullifZero((col("k") - lit(1)).cast("double")) /
+          nullifZero((col("q") - col("a")).cast("double") /
+            (col("n") - col("k")).cast("double")),
+          4).as("f_stat"),
+        rd((col("a") - col("b")).cast("double") /
+          nullifZero((col("q") - col("b")).cast("double")), 6).as("eta_sq"))
+  }
+
+  /** Pettitt change-point test per symbol (Pettitt, "A non-parametric
+    * approach to the change-point problem", Applied Statistics 1979):
+    * finds the single most likely UNKNOWN shift point in a series'
+    * distribution — where [[chowBreak]] tests a break at a KNOWN
+    * date, Pettitt scans all of them rank-wise. The statistic is
+    * U_t = Σ_{i≤t}Σ_{j>t} sgn(x_i − x_j), computed in O(n log n) via
+    * global ranks: with R_i = 2·rank_i + ties_i − 1 (twice the
+    * average tie rank, an exact integer), U_t = Σ_{i≤t} R_i −
+    * t·(n+1); K = max_{t<n} |U_t| and the change date is the
+    * earliest argmax. The p-value uses the paper's approximation
+    * 2·exp(−6K²/(n³+n²)) (capped at 1), and the 5% flag is
+    * ALL-INTEGER: 6·10⁴·K² > crit4·(n³+n²) with crit4 =
+    * ⌈ln(40)·10⁴⌉ = 36889 (ln 40 because 2e^{−x} < 0.05 ⟺
+    * x > ln 40).
+    *
+    * Scale shape: one rank window + one tie-count window + one
+    * cumulative-sum window, all symbol-partitioned over day-grain
+    * rows, then one partial-aggregable symbol rollup. */
+  def pettittTest(returns: DataFrame, minDays: Int = 60,
+                  crit4: Long = 36889L): DataFrame = {
+    def dd(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val x = returns.filter(col("daily_return_pct").isNotNull)
+      .select(col("symbol"), col("trade_date"),
+        scaled(col("daily_return_pct"), 4).as("x"))
+    val base = x
+      .withColumn("r2", lit(2L) * rank().over(
+          Window.partitionBy("symbol").orderBy("x")).cast("long") +
+        count(lit(1)).over(Window.partitionBy("symbol", "x")) - lit(1L))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("symbol")))
+      .withColumn("t", row_number().over(
+        Window.partitionBy("symbol").orderBy("trade_date")).cast("long"))
+    val u = base
+      .withColumn("u", sum(col("r2")).over(
+          Window.partitionBy("symbol").orderBy("trade_date")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)) -
+        col("t") * (col("n") + lit(1L)))
+      .filter(col("t") < col("n")) // U_n = 0 by construction
+      .withColumn("au", abs(col("u")))
+      .withColumn("kmax", max(abs(col("u"))).over(Window.partitionBy("symbol")))
+    val g = u.groupBy("symbol")
+      .agg(max(col("n")).as("n"), max(col("au")).as("k"),
+        min(when(col("au") === col("kmax"), col("trade_date"))).as("cd"))
+      .filter(col("n") >= minDays)
+    val nD = col("n").cast("double")
+    g.select(col("symbol"), col("n").cast("long").as("n_days"),
+      col("k").cast("long").as("k_stat"), col("cd").as("change_date"),
+      rd(least(lit(1.0), lit(2.0) * exp(lit(-6.0) *
+        col("k").cast("double") * col("k").cast("double") /
+        (nD * nD * nD + nD * nD))), 6).as("p_approx"),
+      (dd(lit(60000L)) * dd(col("k")) * col("k") >
+        dd(lit(crit4)) * (dd(col("n")) * col("n") * col("n") +
+          dd(col("n")) * col("n"))).as("significant"))
+  }
+
   /** Hill tail-index estimator over daily LOSSES per symbol (Hill,
     * "A simple general approach to inference about the tail of a
     * distribution", Annals of Statistics 1975): ξ̂ = (1/k)·Σ_{i≤k}

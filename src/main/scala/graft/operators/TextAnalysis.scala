@@ -869,6 +869,52 @@ object TextAnalysis {
           .as("chao1_vocab"))
   }
 
+  /** Juilland's D dispersion coefficient for the top-k corpus tokens
+    * (Juilland & Chang-Rodríguez, *Frequency Dictionary of Spanish
+    * Words* 1964; Gries, "Dispersions and adjusted frequencies in
+    * corpora" 2008 is the modern survey): how EVENLY a token's
+    * occurrences spread across the corpus parts (here: sources) —
+    * D = 1 − CV/√(m−1) over the per-part counts, zeros included,
+    * where CV is the population coefficient of variation and m the
+    * part count. D → 1 means the token appears uniformly everywhere
+    * (a function word, safe to downweight); D → 0 means it is
+    * bursty/source-local (a topical or boilerplate marker — raw
+    * frequency overstates its importance, the corpus-curation signal
+    * beside [[TextAnalysis.repetitionSignals]]). Requires m ≥ 2.
+    *
+    * Exactness: per-(token, source) counts are exact longs; Σf and
+    * Σf² (DECIMAL/HUGEINT) are exact, so CV is one fixed double tree
+    * with zeros entering only through m. Scale shape: one exploded
+    * token pass into a (token, source) rollup, one token rollup, a
+    * 1-row broadcast of m, then the house partition-local top-k
+    * (orderBy+limit → TakeOrderedAndProject, bounded driver merge). */
+  def tokenDispersion(docs: DataFrame, idCol: String, textCol: String,
+                      sourceCol: String, topK: Int = 50): DataFrame = {
+    require(topK >= 1, "tokenDispersion: topK must be positive")
+    def dd(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val mf = docs.agg(countDistinct(col(sourceCol)).cast("long").as("m"))
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val cells = docs
+      .select(col(idCol), col(sourceCol).as("source"), col(textCol))
+      .repartition(parts, col(idCol)) // spreadById, keeping the source column
+      .select(col("source"), explode(tokens(col(textCol))).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy("t", "source").agg(count(lit(1)).as("f"))
+    val g = cells.groupBy("t")
+      .agg(sum(col("f")).as("ft"), sum(dd(col("f")) * col("f")).as("qt"),
+        count(lit(1)).as("ns"))
+      .crossJoin(broadcast(mf))
+    val mean = col("ft").cast("double") / col("m").cast("double")
+    val varp = greatest(
+      col("qt").cast("double") / col("m").cast("double") - mean * mean,
+      lit(0.0))
+    g.orderBy(col("ft").desc, col("t")).limit(topK)
+      .select(col("t").as("token"), col("ft").cast("long").as("n_occ"),
+        col("ns").cast("long").as("n_sources"),
+        rd(lit(1.0) - sqrt(varp) / mean /
+          sqrt(col("m").cast("double") - lit(1.0)), 6).as("juilland_d"))
+  }
+
   /** The default RAKE stopword/delimiter set — the boundary tokens
     * phrases break on. Embedded as the same literal list in the
     * DuckDB oracle. */

@@ -185,7 +185,10 @@ object CompositeScalingBench {
     // over K disjoint event worlds
     ("q_dedup_paragraph", 1.5 * K),
     ("q_good_turing", 1.5 * K),
-    ("q_realized_kernel", 1.5 * K))
+    ("q_realized_kernel", 1.5 * K),
+    // token dispersion is the (token, source) rollup + a token rollup
+    // over K doc copies (row-linear; the grid only widens with m)
+    ("q_token_dispersion", 1.5 * K))
   val dateFamilies: Seq[(String, Double)] = Seq(
     ("q_pairs_spread", 1.5 * K),
     ("q_pair_correlation", 1.5 * K),
@@ -202,7 +205,12 @@ object CompositeScalingBench {
     ("q_mase_seasonal", 1.5 * K),
     // Hill's growth axis is loss-panel length: one rank window over
     // the loss subset + a broadcast threshold join + one rollup
-    ("q_hill_tail", 1.5 * K))
+    ("q_hill_tail", 1.5 * K),
+    // Pettitt is three symbol-partitioned windows + one rollup
+    // (panel-length-linear); Brown-Forsythe is two 7-group rollups
+    // around a broadcast median join
+    ("q_pettitt", 1.5 * K),
+    ("q_brown_forsythe", 1.5 * K))
 
   val BeginMarker = "<!-- GENERATED:composite-scaling -->"
   val EndMarker = "<!-- /GENERATED:composite-scaling -->"

@@ -139,4 +139,87 @@ class R16WaveSpec extends AnyFunSpec {
         rows.toDF("symbol", "trade_date", "daily_return_pct")).collect().isEmpty)
     }
   }
+
+  describe("brownForsythe") {
+    // Mondays / Tuesdays of Jan 2024 (2024-01-01 is a Monday)
+    def mon(i: Int) = java.sql.Date.valueOf(f"2024-01-${1 + 7 * i}%02d")
+    def tue(i: Int) = java.sql.Date.valueOf(f"2024-01-${2 + 7 * i}%02d")
+
+    it("recovers the exact closed-form decomposition on a 2-group panel") {
+      // Mon returns {1,2,4}%: z = {20000, 0, 40000} (2x scale-4 units)
+      // Tue returns {1,2,3}%: z = {20000, 0, 20000}
+      val rows = Seq(mon(0) -> 1.0, mon(1) -> 2.0, mon(2) -> 4.0,
+        tue(0) -> 1.0, tue(1) -> 2.0, tue(2) -> 3.0)
+        .map { case (d, r) => ("A", d, r) }
+      val out = DailyAnalytics.brownForsythe(
+        rows.toDF("symbol", "trade_date", "daily_return_pct")).collect().head
+      assert(out.getAs[Long]("n_days") == 6L)
+      assert(out.getAs[Long]("k_groups") == 2L)
+      assert(out.getAs[Double]("ss_between") == 0.1667, s"$out")
+      assert(out.getAs[Double]("ss_within") == 2.6667, s"$out")
+      assert(out.getAs[Double]("f_stat") == 0.25, s"$out")
+      assert(out.getAs[Double]("eta_sq") == 0.058824, s"$out")
+    }
+
+    it("zero within-group deviation NULLs the F (anovaDow convention)") {
+      val rows = Seq(mon(0), mon(1), tue(0), tue(1))
+        .map(d => ("A", d, 0.5))
+      val out = DailyAnalytics.brownForsythe(
+        rows.toDF("symbol", "trade_date", "daily_return_pct")).collect().head
+      assert(out.isNullAt(out.fieldIndex("f_stat")), s"$out")
+    }
+  }
+
+  describe("pettittTest") {
+    it("a clean level shift puts the change point at the boundary with the exact K") {
+      // 30 days at -1% then 30 at +1%: doubled tie ranks 31 / 91,
+      // U_t = -30t up to the break -> K = 900 at t = 30
+      val rows = (0 until 60).map(j =>
+        ("A", java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1)
+          .plusDays(j)), if (j < 30) -1.0 else 1.0))
+      val r = DailyAnalytics.pettittTest(
+        rows.toDF("symbol", "trade_date", "daily_return_pct")).collect().head
+      assert(r.getAs[Long]("n_days") == 60L)
+      assert(r.getAs[Long]("k_stat") == 900L)
+      assert(r.getAs[java.sql.Date]("change_date") ==
+        java.sql.Date.valueOf("2024-01-30"))
+      assert(r.getAs[Double]("p_approx") == 0.0) // 2e^-22 floors to 0
+      assert(r.getAs[Boolean]("significant"))
+    }
+
+    it("a constant series carries zero K and is never significant") {
+      val rows = (0 until 80).map(j =>
+        ("A", java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1)
+          .plusDays(j)), 0.7))
+      val r = DailyAnalytics.pettittTest(
+        rows.toDF("symbol", "trade_date", "daily_return_pct")).collect().head
+      // all ties: R_i = n+1 for every row -> U_t = 0 everywhere
+      assert(r.getAs[Long]("k_stat") == 0L)
+      assert(r.getAs[Double]("p_approx") == 1.0)
+      assert(!r.getAs[Boolean]("significant"))
+    }
+  }
+
+  describe("tokenDispersion") {
+    it("computes Juilland's D with zeros counted through m") {
+      val docs = Seq((1L, "a a b", "s1"), (2L, "a c", "s2"))
+        .toDF("doc_id", "text", "source")
+      val got = TextAnalysis.tokenDispersion(docs, "doc_id", "text", "source")
+        .as[(String, Long, Long, Double)].collect().toSeq
+      // a: f = {2, 1} over m = 2 -> CV = (1/2)/(3/2) -> D = 2/3
+      // b, c: f = {1, 0} -> CV = 1 -> D = 0; order (ft DESC, token)
+      assert(got == Seq(
+        ("a", 3L, 2L, 0.666667),
+        ("b", 1L, 1L, 0.0),
+        ("c", 1L, 1L, 0.0)))
+    }
+
+    it("a perfectly even token scores D = 1") {
+      val docs = Seq((1L, "x x", "s1"), (2L, "x x", "s2"), (3L, "x x", "s3"))
+        .toDF("doc_id", "text", "source")
+      val got = TextAnalysis.tokenDispersion(docs, "doc_id", "text", "source")
+        .collect().head
+      assert(got.getAs[Double]("juilland_d") == 1.0)
+    }
+  }
 }
