@@ -8230,6 +8230,72 @@ object OracleSql {
          |    > CAST(36889 AS HUGEINT) * (n * n * n + n * n) AS significant
          |FROM pt_g ORDER BY symbol""".stripMargin,
 
+    // mirrors DailyAnalytics.kupiecPof(alpha=0.05): varCvar-convention
+    // threshold on the first half, violation LR on the second;
+    // ln(0.95)/ln(0.05) are Scala literals shared with the Spark plan
+    "q_kupiec_pof" -> {
+      val lnq = s"CAST('${math.log(1 - 0.05)}' AS DOUBLE)"
+      val lnp = s"CAST('${math.log(0.05)}' AS DOUBLE)"
+      s"""${dailyChain("returns")},
+         |kp_x AS (SELECT symbol, trade_date, ${sc4("daily_return_pct")} AS y,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY trade_date) AS BIGINT) AS t,
+         |    CAST(COUNT(*) OVER (PARTITION BY symbol) AS BIGINT) AS n
+         |  FROM returns WHERE daily_return_pct IS NOT NULL),
+         |kp_tr AS (SELECT symbol, y, n // 2 AS ntr,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY y, t) AS BIGINT) AS r
+         |  FROM kp_x WHERE t <= n // 2),
+         |kp_v AS (SELECT symbol, MAX(ntr) AS ntr,
+         |    MIN(CASE WHEN r = CAST(FLOOR(0.05 * CAST(ntr - 1 AS DOUBLE)) AS BIGINT) + 1
+         |             THEN y END) AS vk
+         |  FROM kp_tr GROUP BY symbol),
+         |kp_t AS (SELECT k.symbol, MAX(vk) AS vk,
+         |    CAST(COUNT(*) AS BIGINT) AS m,
+         |    CAST(SUM(CASE WHEN y < vk THEN 1 ELSE 0 END) AS BIGINT) AS x
+         |  FROM kp_x JOIN kp_v k USING (symbol) WHERE t > n // 2
+         |  GROUP BY k.symbol HAVING COUNT(*) >= 30),
+         |kp_l AS (SELECT symbol, m, x, vk,
+         |    -2.0 * (CAST(m - x AS DOUBLE) * $lnq + CAST(x AS DOUBLE) * $lnp
+         |      - (CASE WHEN m - x = 0 THEN 0.0
+         |              ELSE CAST(m - x AS DOUBLE) * ln(CAST(m - x AS DOUBLE) / CAST(m AS DOUBLE)) END)
+         |      - (CASE WHEN x = 0 THEN 0.0
+         |              ELSE CAST(x AS DOUBLE) * ln(CAST(x AS DOUBLE) / CAST(m AS DOUBLE)) END)) AS lr
+         |  FROM kp_t)
+         |SELECT symbol, m AS n_test, x AS n_violations,
+         |  ${rd("CAST(vk AS DOUBLE) / 10000.0", 4)} AS var_pct,
+         |  ${rd("CAST(x AS DOUBLE) / CAST(m AS DOUBLE)", 6)} AS violation_rate,
+         |  ${rd("lr", 4)} AS lr_pof,
+         |  lr > 3.8415 AS reject_model
+         |FROM kp_l ORDER BY symbol""".stripMargin
+    },
+
+    // mirrors TextAnalysis.rboDrift(depth=50, q=0.9): per-token
+    // S(max rank) lookups from the SAME Scala-computed literal table,
+    // scale-12 quantized, one fixed normalization tree
+    "q_rbo_drift" -> {
+      val d = 10
+      val s = graft.operators.TextAnalysis.rboPartialSums(d, 0.9)
+      val sArr = dlist(s)
+      val norm = s"CAST('${(1 to d).map(i => math.pow(0.9, i - 1)).sum}' AS DOUBLE)"
+      s"""WITH rb_a AS (SELECT t, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, t) AS BIGINT) AS r FROM (
+         |    SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM (
+         |      SELECT unnest(string_split(text, ' ')) AS t
+         |      FROM documents WHERE doc_id % 2 = 0)
+         |    WHERE t <> '' GROUP BY t)),
+         |rb_b AS (SELECT t, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, t) AS BIGINT) AS r FROM (
+         |    SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM (
+         |      SELECT unnest(string_split(text, ' ')) AS t
+         |      FROM documents WHERE doc_id % 2 = 1)
+         |    WHERE t <> '' GROUP BY t)),
+         |rb_j AS (SELECT GREATEST(a.r, b.r) AS m
+         |  FROM rb_a a JOIN rb_b b USING (t)
+         |  WHERE a.r <= $d AND b.r <= $d),
+         |rb_q AS (SELECT ${sc(s"($sArr)[m]", 12)} AS s12 FROM rb_j)
+         |SELECT CAST($d AS BIGINT) AS depth,
+         |  CAST(COUNT(*) AS BIGINT) AS n_common,
+         |  ${rd(s"CAST(SUM(s12) AS DOUBLE) / 1000000000000.0 / $norm", 6)} AS rbo
+         |FROM rb_q""".stripMargin
+    },
+
     // mirrors TextAnalysis.tokenDispersion(topK=50): exact
     // (token, source) counts, population CV over m parts (zeros via
     // m), top-50 by (count DESC, token)

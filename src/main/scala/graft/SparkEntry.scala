@@ -3590,6 +3590,21 @@ object SparkEntry {
     TextAnalysis.tokenDispersion(Tables.documents(s, dir),
       "doc_id", "text", "source")
 
+  /** Kupiec POF VaR backtest: 5% VaR fit on each symbol's first half,
+    * violation-rate LR scored on the second. */
+  private def qKupiecPof(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.kupiecPof(Marts.dailyReturns(s, dir))
+      .orderBy("symbol")
+
+  /** Rank-biased overlap between the doc-parity halves' top-10 token
+    * rankings (order-sensitive vocabulary drift). depth=10 because the
+    * synthetic vocabulary is ~31 tokens — under the truncated-RBO
+    * contract identical rankings must be able to score 1, which needs
+    * depth ≤ list length. */
+  private def qRboDrift(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.rboDrift(Tables.documents(s, dir), "doc_id", "text",
+      depth = 10)
+
   // ──────────────────────────────────────────────────────────────────
   // Registry
   // ──────────────────────────────────────────────────────────────────
@@ -3838,6 +3853,8 @@ object SparkEntry {
     "q_brown_forsythe" -> (qBrownForsythe _),
     "q_pettitt" -> (qPettitt _),
     "q_token_dispersion" -> (qTokenDispersion _),
+    "q_kupiec_pof" -> (qKupiecPof _),
+    "q_rbo_drift" -> (qRboDrift _),
     "q_cohens_kappa" -> (qCohensKappa _),
     "q_anova_dow" -> (qAnovaDow _),
     "q_mcnemar" -> (qMcnemar _),

@@ -3849,6 +3849,68 @@ object DailyAnalytics {
           dd(col("n")) * col("n"))).as("significant"))
   }
 
+  /** Kupiec proportion-of-failures VaR backtest per symbol (Kupiec,
+    * "Techniques for verifying the accuracy of risk measurement
+    * models", Journal of Derivatives 1995): the regulatory-standard
+    * check that a VaR model's violation RATE matches its confidence
+    * level. The 5% VaR is estimated on the FIRST half of each
+    * symbol's history (the [[varCvar]] order-statistic convention,
+    * k = ⌊α·(n_train−1)⌋ + 1 on ascending scale-4 returns) and
+    * backtested on the SECOND half: x violations (return strictly
+    * below the threshold) in m days give the likelihood ratio
+    * LR = −2[(m−x)·ln(1−α) + x·ln α − (m−x)·ln((m−x)/m) −
+    * x·ln(x/m)] ~ χ²₁; LR > 3.8415 rejects the model at 5% (too
+    * many OR too few violations — POF is two-sided in rate). The
+    * x = 0 / x = m boundary terms take their 0·ln 0 = 0 limits.
+    *
+    * Exactness: counts and the threshold are exact integers;
+    * ln(1−α)/ln α are Scala-computed literals shared with the mirror
+    * (Double.toString round-trip); the two data-dependent ln terms
+    * are fixed double trees (documented 1-ulp libm tolerance, far
+    * below the rd quantum). Scale shape: two symbol windows sharing
+    * one rank sort, a symbol-sized broadcast threshold frame, one
+    * partial-aggregable rollup. */
+  def kupiecPof(returns: DataFrame, alpha: Double = 0.05,
+                minTest: Int = 30, chi2Crit: Double = 3.8415): DataFrame = {
+    require(alpha > 0 && alpha < 1, "kupiecPof: alpha in (0,1)")
+    val x0 = returns.filter(col("daily_return_pct").isNotNull)
+      .select(col("symbol"), col("trade_date"),
+        scaled(col("daily_return_pct"), 4).as("y"))
+      .withColumn("t", row_number().over(
+        Window.partitionBy("symbol").orderBy("trade_date")).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("symbol")))
+      .snapshot() // feeds the training rank pass AND the test scan
+    val tr = x0.filter(col("t") <= expr("n div 2"))
+      .withColumn("ntr", expr("n div 2"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("symbol").orderBy(col("y"), col("t"))).cast("long"))
+    val v = tr.groupBy("symbol").agg(max(col("ntr")).as("ntr"),
+      min(when(col("r") ===
+        floor(lit(alpha) * (col("ntr") - lit(1L)).cast("double")).cast("long") +
+          lit(1L), col("y"))).as("vk"))
+    val g = x0.filter(col("t") > expr("n div 2"))
+      .join(broadcast(v), "symbol")
+      .groupBy("symbol")
+      .agg(max(col("ntr")).as("ntr"), max(col("vk")).as("vk"),
+        count(lit(1)).as("m"),
+        sum(when(col("y") < col("vk"), 1L).otherwise(0L)).as("x"))
+      .filter(col("m") >= minTest)
+    val (lnq, lnp) = (math.log(1 - alpha), math.log(alpha))
+    val md = (col("m") - col("x")).cast("double")
+    val xd = col("x").cast("double")
+    val mm = col("m").cast("double")
+    val lr = lit(-2.0) * (md * lit(lnq) + xd * lit(lnp) -
+      when(col("m") - col("x") === 0, lit(0.0)).otherwise(md * log(md / mm)) -
+      when(col("x") === 0, lit(0.0)).otherwise(xd * log(xd / mm)))
+    g.select(col("symbol"),
+      col("m").cast("long").as("n_test"),
+      col("x").cast("long").as("n_violations"),
+      rd(col("vk").cast("double") / 10000.0, 4).as("var_pct"),
+      rd(xd / mm, 6).as("violation_rate"),
+      rd(lr, 4).as("lr_pof"),
+      (lr > lit(chi2Crit)).as("reject_model"))
+  }
+
   /** Hill tail-index estimator over daily LOSSES per symbol (Hill,
     * "A simple general approach to inference about the tail of a
     * distribution", Annals of Statistics 1975): ξ̂ = (1/k)·Σ_{i≤k}

@@ -915,6 +915,75 @@ object TextAnalysis {
           sqrt(col("m").cast("double") - lit(1.0)), 6).as("juilland_d"))
   }
 
+  /** Per-token tail of the truncated rank-biased-overlap sum,
+    * S(m) = Σ_{i=m..d} q^{i−1}/i: a token whose WORSE rank across the
+    * two lists is m contributes exactly S(m) to Σᵢ q^{i−1}·|A_i∩B_i|/i
+    * (it sits in every prefix intersection from depth m on). Computed
+    * once in Scala so both engines read the SAME double literals. */
+  def rboPartialSums(depth: Int, q: Double): Seq[Double] = {
+    val s = new Array[Double](depth + 2)
+    for (m <- depth to 1 by -1) s(m) = s(m + 1) + math.pow(q, m - 1) / m
+    (1 to depth).map(s(_)).toSeq
+  }
+
+  /** Truncated rank-biased overlap between the top-`depth` token lists
+    * of the two doc-id-parity corpus halves (Webber, Moffat & Zobel,
+    * "A similarity measure for indefinite rankings", TOIS 2010) — the
+    * drift gauge for RANKINGS that set-based drift misses: two corpus
+    * snapshots can share 100% of their top-k vocabulary while the
+    * ORDER reshuffles completely (a distribution shift a frequency
+    * cut cares about). RBO@d = Σ_{i=1..d} q^{i−1}·|A_i∩B_i|/i
+    * normalized by Σ q^{i−1} ∈ [0,1]; the top-weighted geometric
+    * decay (persistence q) makes rank-1 churn cost more than rank-50
+    * churn. Ranks are (count DESC, token) row_numbers — the
+    * [[pmiCollocations]] total-order convention.
+    *
+    * Contract: this is the TRUNCATED form scored against a
+    * full-depth ideal — identical rankings of length ≥ `depth` score
+    * exactly 1; lists that exhaust before `depth` are penalized for
+    * the missing tail (prefix intersections stop growing), so pick
+    * `depth` ≤ the expected vocabulary size when "identical ⇒ 1"
+    * matters (Webber's RBO_EXT extrapolation is the alternative;
+    * truncation keeps the sum exact).
+    *
+    * Exactness: every token's contribution is a lookup into the
+    * Scala-computed [[rboPartialSums]] literal array (identical bits
+    * in both engines), quantized to a scale-12 long so the sum is
+    * order-free; RBO is one fixed double tree. Scale shape: two
+    * vocabulary rollups, each topped with the house partition-local
+    * pre-top before the ≤(parts·d)-row global rank window, then a
+    * d-bounded join and a 1-row reduction. */
+  def rboDrift(docs: DataFrame, idCol: String, textCol: String,
+               depth: Int = 50, q: Double = 0.9): DataFrame = {
+    require(depth >= 1 && q > 0 && q < 1, "rboDrift: depth >= 1, q in (0,1)")
+    val s = rboPartialSums(depth, q)
+    val sLit = array(s.map(lit): _*)
+    val norm = (1 to depth).map(i => math.pow(q, i - 1)).sum
+    def ranked(parity: Int) = {
+      val c = Dedup.spreadById(docs.filter(col(idCol) % 2 === parity),
+          idCol, textCol)
+        .select(explode(tokens(col(textCol))).as("t"))
+        .filter(col("t") =!= "")
+        .groupBy("t").agg(count(lit(1)).as("c"))
+      c.withColumn("pr", row_number().over(Window
+          .partitionBy(spark_partition_id())
+          .orderBy(col("c").desc, col("t"))))
+        .filter(col("pr") <= depth) // partition-local pre-top
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("c").desc, col("t"))).cast("long"))
+        .filter(col("r") <= depth)
+        .select(col("t"), col("r"))
+    }
+    ranked(0).withColumnRenamed("r", "ra")
+      .join(ranked(1).withColumnRenamed("r", "rb"), "t")
+      .select(greatest(col("ra"), col("rb")).as("m"))
+      .select(scaled(element_at(sLit, col("m").cast("int")), 12).as("s12"))
+      .agg(count(lit(1)).as("n_common"), sum(col("s12")).as("ss"))
+      .select(lit(depth.toLong).as("depth"),
+        col("n_common").cast("long").as("n_common"),
+        rd(col("ss").cast("double") / 1e12 / lit(norm), 6).as("rbo"))
+  }
+
   /** The default RAKE stopword/delimiter set — the boundary tokens
     * phrases break on. Embedded as the same literal list in the
     * DuckDB oracle. */

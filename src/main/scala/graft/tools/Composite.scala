@@ -187,8 +187,11 @@ object CompositeScalingBench {
     ("q_good_turing", 1.5 * K),
     ("q_realized_kernel", 1.5 * K),
     // token dispersion is the (token, source) rollup + a token rollup
-    // over K doc copies (row-linear; the grid only widens with m)
-    ("q_token_dispersion", 1.5 * K))
+    // over K doc copies (row-linear; the grid only widens with m);
+    // RBO is two vocabulary rollups + a depth-bounded join — the
+    // pre-top keeps the rank window off the full vocabulary
+    ("q_token_dispersion", 1.5 * K),
+    ("q_rbo_drift", 1.5 * K))
   val dateFamilies: Seq[(String, Double)] = Seq(
     ("q_pairs_spread", 1.5 * K),
     ("q_pair_correlation", 1.5 * K),
@@ -208,9 +211,11 @@ object CompositeScalingBench {
     ("q_hill_tail", 1.5 * K),
     // Pettitt is three symbol-partitioned windows + one rollup
     // (panel-length-linear); Brown-Forsythe is two 7-group rollups
-    // around a broadcast median join
+    // around a broadcast median join; Kupiec is two symbol windows
+    // sharing one sort + a broadcast threshold join + one rollup
     ("q_pettitt", 1.5 * K),
-    ("q_brown_forsythe", 1.5 * K))
+    ("q_brown_forsythe", 1.5 * K),
+    ("q_kupiec_pof", 1.5 * K))
 
   val BeginMarker = "<!-- GENERATED:composite-scaling -->"
   val EndMarker = "<!-- /GENERATED:composite-scaling -->"

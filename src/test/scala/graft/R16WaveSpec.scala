@@ -222,4 +222,76 @@ class R16WaveSpec extends AnyFunSpec {
       assert(got.getAs[Double]("juilland_d") == 1.0)
     }
   }
+
+  describe("kupiecPof") {
+    def panel(test: Seq[Double], symbol: String = "A") = {
+      // train: 3 marker losses then 47 flat -> VaR = 3rd smallest = -1%
+      val train = Seq(-3.0, -2.0, -1.0) ++ Seq.fill(47)(0.5)
+      (train ++ test).zipWithIndex.map { case (r, i) =>
+        (symbol, java.sql.Date.valueOf(java.time.LocalDate.of(2023, 1, 1)
+          .plusDays(i)), r)
+      }
+    }
+
+    it("counts strict violations of the train-half VaR and matches the LR closed form") {
+      // test half: 5 violations, one AT the threshold (not a violation)
+      val test = Seq.fill(5)(-2.0) ++ Seq(-1.0) ++ Seq.fill(44)(0.0)
+      val r = DailyAnalytics.kupiecPof(
+        panel(test).toDF("symbol", "trade_date", "daily_return_pct"))
+        .collect().head
+      assert(r.getAs[Long]("n_test") == 50L)
+      assert(r.getAs[Long]("n_violations") == 5L)
+      assert(r.getAs[Double]("var_pct") == -1.0)
+      assert(r.getAs[Double]("violation_rate") == 0.1)
+      val exp = -2.0 * (45.0 * math.log(0.95) + 5.0 * math.log(0.05) -
+        45.0 * math.log(45.0 / 50.0) - 5.0 * math.log(5.0 / 50.0))
+      assert(math.abs(r.getAs[Double]("lr_pof") -
+        math.floor(exp * 1e4 + 0.5) / 1e4) <= 1e-9, s"$r")
+      assert(!r.getAs[Boolean]("reject_model")) // LR ~2.07 < 3.8415
+    }
+
+    it("gross violation-rate mismatch rejects; zero violations takes the 0*ln0 limit") {
+      val hot = Seq.fill(20)(-5.0) ++ Seq.fill(30)(0.0)
+      val cold = Seq.fill(50)(0.0)
+      val rows = panel(hot, "H") ++ panel(cold, "C")
+      val got = DailyAnalytics.kupiecPof(
+        rows.toDF("symbol", "trade_date", "daily_return_pct"))
+        .collect().map(r => r.getAs[String]("symbol") -> r).toMap
+      assert(got("H").getAs[Boolean]("reject_model"), s"${got("H")}")
+      assert(got("C").getAs[Long]("n_violations") == 0L)
+      val expC = -2.0 * (50.0 * math.log(0.95) + 0.0 * math.log(0.05) -
+        50.0 * math.log(50.0 / 50.0) - 0.0)
+      assert(math.abs(got("C").getAs[Double]("lr_pof") -
+        math.floor(expC * 1e4 + 0.5) / 1e4) <= 1e-9, s"${got("C")}")
+    }
+  }
+
+  describe("rboDrift") {
+    it("identical half rankings score RBO 1 at depth <= list length") {
+      val docs = Seq((0L, "a a a b b c"), (1L, "a a a b b c"),
+        (2L, "a a a b b c"), (3L, "a a a b b c")).toDF("doc_id", "text")
+      val r = TextAnalysis.rboDrift(docs, "doc_id", "text", depth = 3)
+        .collect().head
+      assert(r.getAs[Long]("n_common") == 3L)
+      assert(r.getAs[Double]("rbo") == 1.0, s"$r")
+      // the truncated contract: the SAME identical lists scored
+      // against a deeper ideal are penalized for exhausting early
+      val deep = TextAnalysis.rboDrift(docs, "doc_id", "text", depth = 50)
+        .collect().head
+      assert(deep.getAs[Double]("rbo") < 1.0)
+    }
+
+    it("a rank swap at the top costs exactly the missing depth-1 term") {
+      // half A ranks (a, b); half B ranks (b, a): prefixes agree from
+      // depth 2 on -> RBO = 2*S(2)/norm
+      val docs = Seq((0L, "a a b"), (1L, "b b a")).toDF("doc_id", "text")
+      val r = TextAnalysis.rboDrift(docs, "doc_id", "text").collect().head
+      val s = TextAnalysis.rboPartialSums(50, 0.9)
+      val norm = (1 to 50).map(i => math.pow(0.9, i - 1)).sum
+      val exp = (math.floor(s(1) * 1e12 + 0.5) * 2) / 1e12 / norm
+      assert(r.getAs[Long]("n_common") == 2L)
+      assert(math.abs(r.getAs[Double]("rbo") -
+        math.floor(exp * 1e6 + 0.5) / 1e6) <= 1e-9, s"$r")
+    }
+  }
 }
