@@ -8230,6 +8230,52 @@ object OracleSql {
          |    > CAST(36889 AS HUGEINT) * (n * n * n + n * n) AS significant
          |FROM pt_g ORDER BY symbol""".stripMargin,
 
+    // mirrors Cohorts.bradleyTerry(rounds=2) over daily head-to-head
+    // outperformance: scale-9 strengths, scale-12 quantized pair
+    // terms, two unrolled MM rounds as chained CTEs
+    "q_bradley_terry" ->
+      s"""${dailyChain("returns")},
+         |bt_x AS (SELECT symbol, trade_date, ${sc4("daily_return_pct")} AS y
+         |  FROM returns WHERE daily_return_pct IS NOT NULL),
+         |bt_p AS (SELECT a.symbol AS i, b.symbol AS j,
+         |    CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN a.y > b.y THEN 1 ELSE 0 END) AS BIGINT) AS wi
+         |  FROM bt_x a JOIN bt_x b
+         |    ON a.trade_date = b.trade_date AND a.symbol < b.symbol
+         |  WHERE a.y <> b.y GROUP BY 1, 2),
+         |bt_g AS (SELECT i, j, n, wi FROM bt_p
+         |  UNION ALL SELECT j AS i, i AS j, n, n - wi AS wi FROM bt_p),
+         |bt_w AS (SELECT i AS symbol, CAST(SUM(wi) AS BIGINT) AS wins,
+         |    CAST(SUM(n) AS BIGINT) AS games
+         |  FROM bt_g GROUP BY i),
+         |bt_w0 AS (SELECT symbol, CAST(1000000000 AS BIGINT) AS w9 FROM bt_w),
+         |bt_r1 AS (SELECT g.i, CAST(SUM(${sc("CAST(n AS DOUBLE) * 1000000000.0 / CAST(wi9.w9 + wj9.w9 AS DOUBLE)", 12)}) AS BIGINT) AS t12
+         |  FROM bt_g g JOIN bt_w0 wi9 ON wi9.symbol = g.i
+         |  JOIN bt_w0 wj9 ON wj9.symbol = g.j GROUP BY g.i),
+         |bt_w1 AS (SELECT w.symbol, ${sc("CAST(wins AS DOUBLE) * 1000000000000.0 / CAST(t12 AS DOUBLE)", 9)} AS w9
+         |  FROM bt_w w JOIN bt_r1 ON bt_r1.i = w.symbol),
+         |bt_r2 AS (SELECT g.i, CAST(SUM(${sc("CAST(n AS DOUBLE) * 1000000000.0 / CAST(wi9.w9 + wj9.w9 AS DOUBLE)", 12)}) AS BIGINT) AS t12
+         |  FROM bt_g g JOIN bt_w1 wi9 ON wi9.symbol = g.i
+         |  JOIN bt_w1 wj9 ON wj9.symbol = g.j GROUP BY g.i),
+         |bt_w2 AS (SELECT w.symbol, ${sc("CAST(wins AS DOUBLE) * 1000000000000.0 / CAST(t12 AS DOUBLE)", 9)} AS w9
+         |  FROM bt_w w JOIN bt_r2 ON bt_r2.i = w.symbol),
+         |bt_t AS (SELECT CAST(SUM(w9) AS BIGINT) AS sw FROM bt_w2)
+         |SELECT w.symbol, b.games, b.wins,
+         |  ${rd("CAST(w.w9 AS DOUBLE) / CAST(sw AS DOUBLE)", 6)} AS bt_strength
+         |FROM bt_w2 w JOIN bt_w b USING (symbol) CROSS JOIN bt_t
+         |ORDER BY symbol""".stripMargin,
+
+    // mirrors Cohorts.passAtK(k=5): exact task rollup, the
+    // without-replacement k-term product, n-c < k => exactly 1
+    "q_pass_at_k" ->
+      s"""WITH pk AS (SELECT user_id AS task, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN value > 10 THEN 1 ELSE 0 END) AS BIGINT) AS c
+         |  FROM events GROUP BY user_id HAVING COUNT(*) >= 5)
+         |SELECT task, n AS n_samples, c AS n_correct,
+         |  ${rd("CAST(c AS DOUBLE) / CAST(n AS DOUBLE)", 6)} AS pass_at_1,
+         |  ${rd("CASE WHEN n - c >= 5 THEN 1.0 - (CAST(n - c - 0 AS DOUBLE) / CAST(n - 0 AS DOUBLE)) * (CAST(n - c - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)) * (CAST(n - c - 2 AS DOUBLE) / CAST(n - 2 AS DOUBLE)) * (CAST(n - c - 3 AS DOUBLE) / CAST(n - 3 AS DOUBLE)) * (CAST(n - c - 4 AS DOUBLE) / CAST(n - 4 AS DOUBLE)) ELSE 1.0 END", 6)} AS pass_at_5
+         |FROM pk ORDER BY task""".stripMargin,
+
     // mirrors DailyAnalytics.kupiecPof(alpha=0.05): varCvar-convention
     // threshold on the first half, violation LR on the second;
     // ln(0.95)/ln(0.05) are Scala literals shared with the Spark plan

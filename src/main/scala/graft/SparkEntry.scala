@@ -3590,6 +3590,32 @@ object SparkEntry {
     TextAnalysis.tokenDispersion(Tables.documents(s, dir),
       "doc_id", "text", "source")
 
+  /** Bradley–Terry strengths over daily head-to-head outperformance:
+    * symbol i "beats" j on every day its scale-4 return is strictly
+    * higher (ties dropped); 2 unrolled MM rounds. */
+  private def qBradleyTerry(s: SparkSession, dir: String): DataFrame = {
+    val r = Marts.dailyReturns(s, dir)
+      .filter(col("daily_return_pct").isNotNull)
+      .select(col("symbol"), col("trade_date"),
+        graft.functions.Funcs.scaled(col("daily_return_pct"), 4).as("y"))
+    val a = r.select(col("symbol").as("i"), col("trade_date"), col("y").as("yi"))
+    val b = r.select(col("symbol").as("j"), col("trade_date"), col("y").as("yj"))
+    val p = a.join(b, Seq("trade_date"))
+      .filter(col("i") < col("j") && col("yi") =!= col("yj"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("yi") > col("yj"), 1L).otherwise(0L)).as("wi"))
+    val both = p.select(col("i"), col("j"), col("n"), col("wi"))
+      .unionByName(p.select(col("j").as("i"), col("i").as("j"), col("n"),
+        (col("n") - col("wi")).as("wi")))
+    Cohorts.bradleyTerry(both).orderBy("symbol")
+  }
+
+  /** Unbiased pass@5 per user-task over events (success = value > 10). */
+  private def qPassAtK(s: SparkSession, dir: String): DataFrame =
+    Cohorts.passAtK(Tables.events(s, dir), "user_id", col("value") > 10)
+      .orderBy("task")
+
   /** Kupiec POF VaR backtest: 5% VaR fit on each symbol's first half,
     * violation-rate LR scored on the second. */
   private def qKupiecPof(s: SparkSession, dir: String): DataFrame =
@@ -3855,6 +3881,8 @@ object SparkEntry {
     "q_token_dispersion" -> (qTokenDispersion _),
     "q_kupiec_pof" -> (qKupiecPof _),
     "q_rbo_drift" -> (qRboDrift _),
+    "q_bradley_terry" -> (qBradleyTerry _),
+    "q_pass_at_k" -> (qPassAtK _),
     "q_cohens_kappa" -> (qCohensKappa _),
     "q_anova_dow" -> (qAnovaDow _),
     "q_mcnemar" -> (qMcnemar _),

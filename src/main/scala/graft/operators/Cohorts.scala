@@ -896,4 +896,93 @@ object Cohorts {
       when(col("k") === expectK.toLong,
         num * lit(10000L) > den * lit(chi2Crit4)).as("significant"))
   }
+
+  /** Bradley–Terry preference strengths by `rounds` unrolled
+    * minorization–maximization updates (Bradley & Terry, Biometrika
+    * 1952; Hunter, "MM algorithms for generalized Bradley-Terry
+    * models", Annals of Statistics 2004) — THE pairwise-preference
+    * model RLHF reward modeling standardizes on: given head-to-head
+    * records (n_ij comparisons, w_ij wins of i over j), the MM step
+    * w_i ← W_i / Σ_j n_ij/(w_i + w_j) converges to the maximum-
+    * likelihood strengths from any positive start. `rounds` is the
+    * house bounded-iteration contract ([[graft.operators.Graph
+    * .pageRankScaled]]): the oracle unrolls the SAME rounds, so
+    * results are pinned, not approximate.
+    *
+    * Input `games`: one row per ORDERED pair (i, j) with columns
+    * (i, j, n, wi) — both orientations present, n comparisons and
+    * wi wins of i within them. Requires every item to have ≥ 1 win
+    * and ≥ 1 loss overall (the standard BT existence condition;
+    * all-win items diverge to ∞ under MM).
+    *
+    * Exactness: strengths live as scale-9 longs; each pair term
+    * n/(w_i + w_j) is quantized to a scale-12 long so the per-item
+    * denominator is an order-free integer sum; the update is one
+    * fixed double tree per item per round. Scale shape: per round,
+    * two broadcast joins of the item-sized strength frame onto the
+    * pair grid plus one partial-aggregable rollup — pair-grid-linear
+    * with bounded rounds. */
+  def bradleyTerry(games: DataFrame, rounds: Int = 2): DataFrame = {
+    require(rounds >= 1, "bradleyTerry: at least one MM round")
+    val grid = games.select(col("i"), col("j"),
+      col("n").cast("long").as("n"), col("wi").cast("long").as("wi"))
+      .snapshot() // joined every round
+    val totals = grid.groupBy(col("i").as("symbol"))
+      .agg(sum(col("wi")).as("wins"), sum(col("n")).as("games"))
+      .snapshot()
+    var w = totals.select(col("symbol"), lit(1000000000L).as("w9"))
+    for (_ <- 1 to rounds) {
+      val t = grid
+        .join(broadcast(w.select(col("symbol").as("i"), col("w9").as("wi9"))), "i")
+        .join(broadcast(w.select(col("symbol").as("j"), col("w9").as("wj9"))), "j")
+        .withColumn("t12", scaled(col("n").cast("double") * lit(1.0e9) /
+          (col("wi9") + col("wj9")).cast("double"), 12))
+        .groupBy(col("i").as("symbol"))
+        .agg(sum(col("t12")).as("t12"))
+      w = totals.join(t, "symbol")
+        .select(col("symbol"),
+          scaled(col("wins").cast("double") * lit(1.0e12) /
+            col("t12").cast("double"), 9).as("w9"))
+    }
+    val tot = w.agg(sum(col("w9")).as("sw"))
+    w.join(totals, "symbol")
+      .crossJoin(broadcast(tot))
+      .select(col("symbol"),
+        col("games").cast("long").as("games"),
+        col("wins").cast("long").as("wins"),
+        rd(col("w9").cast("double") / col("sw").cast("double"), 6)
+          .as("bt_strength"))
+  }
+
+  /** Unbiased pass@k per task (Chen et al., "Evaluating Large
+    * Language Models Trained on Code", 2021, eq. 1): from n sampled
+    * attempts with c successes, the probability that at least one of
+    * k DRAWN-WITHOUT-REPLACEMENT samples succeeds is
+    * 1 − C(n−c,k)/C(n,k) = 1 − Π_{t=0..k−1} (n−c−t)/(n−t) — the
+    * plain success rate c/n estimates pass@1; the naive
+    * 1−(1−c/n)^k OVERESTIMATES pass@k (sampling with replacement).
+    * Tasks with fewer than k attempts are dropped; n−c < k means
+    * some k-subset is all-failures-impossible → pass@k = 1 exactly.
+    *
+    * Exactness: n and c are exact longs; the k-term product is a
+    * fixed double tree (k is a plan-time constant). Scale shape: one
+    * partial-aggregable task rollup, then scalar math — no joins,
+    * no windows. */
+  def passAtK(events: DataFrame, taskCol: String, successCol: org.apache.spark.sql.Column,
+              k: Int = 5): DataFrame = {
+    require(k >= 1, "passAtK: k must be positive")
+    val g = events.groupBy(col(taskCol).as("task"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(successCol, 1L).otherwise(0L)).as("c"))
+      .filter(col("n") >= k.toLong)
+    val prod = (0 until k).map(t =>
+      (col("n") - col("c") - lit(t.toLong)).cast("double") /
+        (col("n") - lit(t.toLong)).cast("double")).reduce(_ * _)
+    g.select(col("task"),
+      col("n").cast("long").as("n_samples"),
+      col("c").cast("long").as("n_correct"),
+      rd(col("c").cast("double") / col("n").cast("double"), 6).as("pass_at_1"),
+      rd(when(col("n") - col("c") >= k.toLong, lit(1.0) - prod)
+        .otherwise(lit(1.0)), 6).as(s"pass_at_$k"))
+  }
 }

@@ -191,7 +191,12 @@ object CompositeScalingBench {
     // RBO is two vocabulary rollups + a depth-bounded join — the
     // pre-top keeps the rank window off the full vocabulary
     ("q_token_dispersion", 1.5 * K),
-    ("q_rbo_drift", 1.5 * K))
+    ("q_rbo_drift", 1.5 * K),
+    // Bradley-Terry's day-grain self-join grows K² in the symbol
+    // axis BY THE OPERATOR'S SEMANTICS (the pair_correlation bar);
+    // pass@k is one task rollup over K disjoint user worlds
+    ("q_bradley_terry", 1.5 * K * K),
+    ("q_pass_at_k", 1.5 * K))
   val dateFamilies: Seq[(String, Double)] = Seq(
     ("q_pairs_spread", 1.5 * K),
     ("q_pair_correlation", 1.5 * K),

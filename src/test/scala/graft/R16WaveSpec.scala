@@ -294,4 +294,51 @@ class R16WaveSpec extends AnyFunSpec {
         math.floor(exp * 1e6 + 0.5) / 1e6) <= 1e-9, s"$r")
     }
   }
+
+  describe("bradleyTerry") {
+    import graft.operators.Cohorts
+
+    it("recovers the closed-form 3:1 strength split for two items") {
+      // A beats B 3 of 4: MLE strengths 0.75 / 0.25, and the MM
+      // reaches the fixpoint in one round (4/(wA+wB) stays 2)
+      val games = Seq(("A", "B", 4L, 3L), ("B", "A", 4L, 1L))
+        .toDF("i", "j", "n", "wi")
+      val got = Cohorts.bradleyTerry(games).collect()
+        .map(r => r.getAs[String]("symbol") -> r).toMap
+      assert(got("A").getAs[Double]("bt_strength") == 0.75, s"${got("A")}")
+      assert(got("B").getAs[Double]("bt_strength") == 0.25)
+      assert(got("A").getAs[Long]("wins") == 3L)
+      assert(got("A").getAs[Long]("games") == 4L)
+    }
+
+    it("a rock-paper-scissors cycle is perfectly symmetric: all strengths equal") {
+      val p = Seq(("A", "B", 3L, 2L), ("B", "C", 3L, 2L), ("C", "A", 3L, 2L))
+      val games = (p ++ p.map { case (i, j, n, w) => (j, i, n, n - w) })
+        .toDF("i", "j", "n", "wi")
+      val got = Cohorts.bradleyTerry(games).collect()
+      assert(got.length == 3)
+      got.foreach(r =>
+        assert(r.getAs[Double]("bt_strength") == 0.333333, s"$r"))
+    }
+  }
+
+  describe("passAtK") {
+    import graft.operators.Cohorts
+
+    it("matches the closed forms: c=1/n=10 gives exactly 0.5 at k=5") {
+      val ev = ((1 to 10).map(i => ("t1", i == 1)) ++   // 1 of 10
+        (1 to 5).map(_ => ("t2", true)) ++              // all pass
+        (1 to 10).map(_ => ("t3", false)) ++            // none pass
+        (1 to 4).map(_ => ("t4", true)))                // n < k: dropped
+        .toDF("task_id", "ok")
+      val got = Cohorts.passAtK(ev, "task_id", col("ok"), k = 5)
+        .collect().map(r => r.getAs[String]("task") -> r).toMap
+      assert(!got.contains("t4"))
+      // 1 - (9/10)(8/9)(7/8)(6/7)(5/6) = 1 - 5/10
+      assert(got("t1").getAs[Double]("pass_at_5") == 0.5, s"${got("t1")}")
+      assert(got("t1").getAs[Double]("pass_at_1") == 0.1)
+      assert(got("t2").getAs[Double]("pass_at_5") == 1.0) // n-c < k branch
+      assert(got("t3").getAs[Double]("pass_at_5") == 0.0)
+    }
+  }
 }
