@@ -8314,9 +8314,12 @@ object OracleSql {
          |FROM kp_l ORDER BY symbol""".stripMargin
     },
 
-    // mirrors TextAnalysis.rboDrift(depth=50, q=0.9): per-token
-    // S(max rank) lookups from the SAME Scala-computed literal table,
-    // scale-12 quantized, one fixed normalization tree
+    // mirrors TextAnalysis.rboDrift(depth=10, q=0.9) — d pinned to 10
+    // to match the registered driver: the synthetic vocabulary is ~31
+    // tokens, and truncated RBO can only score identical rankings at 1
+    // when depth ≤ list length (rationale in SparkEntry.qRboDrift).
+    // Per-token S(max rank) lookups from the SAME Scala-computed
+    // literal table, scale-12 quantized, one fixed normalization tree
     "q_rbo_drift" -> {
       val d = 10
       val s = graft.operators.TextAnalysis.rboPartialSums(d, 0.9)
@@ -8486,6 +8489,145 @@ object OracleSql {
          |  ${rd("CAST((n_lost - n_gained) * (n_lost - n_gained) AS DOUBLE) / NULLIF(CAST(n_lost + n_gained AS DOUBLE), 0)", 4)} AS chi2,
          |  CAST(n_lost - n_gained AS HUGEINT) * (n_lost - n_gained) * 10000
          |    > CAST(n_lost + n_gained AS HUGEINT) * 38415 AS significant
-         |FROM mc_g""".stripMargin
+         |FROM mc_g""".stripMargin,
+
+    // mirrors DailyAnalytics.eloVsMarket(k=16, base=1500): marketBeta
+    // index convention, s = 2/1/0 outcome vs the day mean, scale-6
+    // long rating folded in trade-date order (pow/div inside E are
+    // IEEE-identical in both engines — probed bit-exact; the floor
+    // quantization absorbs any residual ulp)
+    "q_elo_market" ->
+      s"""${dailyChain("returns")},
+         |el_x AS (SELECT symbol, trade_date, ${sc4("daily_return_pct")} AS y
+         |  FROM returns WHERE daily_return_pct IS NOT NULL),
+         |el_m AS (SELECT trade_date,
+         |    CAST(FLOOR(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS x
+         |  FROM el_x GROUP BY trade_date),
+         |el_s AS (SELECT e.symbol, e.trade_date,
+         |    CAST(CASE WHEN e.y > m.x THEN 2 WHEN e.y = m.x THEN 1 ELSE 0 END AS BIGINT) AS s
+         |  FROM el_x e JOIN el_m m USING (trade_date)),
+         |el_g AS (SELECT symbol, list(s ORDER BY trade_date) AS ss,
+         |    CAST(COUNT(*) AS BIGINT) AS n_days,
+         |    CAST(SUM(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS BIGINT) AS wins,
+         |    CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS draws
+         |  FROM el_s GROUP BY symbol HAVING COUNT(*) >= 30)
+         |SELECT symbol, n_days, wins, draws,
+         |  ${rd("CAST(list_reduce(list_prepend(CAST(1500000000 AS BIGINT), ss), (acc, s) -> acc + CAST(FLOOR(16.0 * (s / 2.0 - 1.0 / (1.0 + pow(10.0, (1500000000 - acc) / 4.0e8))) * 1.0e6) AS BIGINT)) AS DOUBLE) / 1.0e6", 2)} AS elo_rating
+         |FROM el_g ORDER BY symbol""".stripMargin,
+
+    // mirrors DailyAnalytics.brierSkill(window=20): trailing-rate
+    // probability forecast, all-integer Brier numerator, closed-form
+    // climatology reference p(1-p)
+    "q_brier_skill" ->
+      s"""${dailyChain("returns")},
+         |bk_x AS (SELECT symbol, trade_date, ${sc4("daily_return_pct")} AS y
+         |  FROM returns WHERE daily_return_pct IS NOT NULL),
+         |bk_w AS (SELECT symbol, trade_date,
+         |    CASE WHEN y > 0 THEN 1 ELSE 0 END AS o,
+         |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS t,
+         |    CAST(SUM(CASE WHEN y > 0 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY symbol ORDER BY trade_date
+         |            ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS BIGINT) AS c
+         |  FROM bk_x WINDOW w AS (PARTITION BY symbol ORDER BY trade_date)),
+         |bk_g AS (SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(o) AS BIGINT) AS p,
+         |    CAST(SUM((c - 20 * o) * (c - 20 * o)) AS BIGINT) AS s1
+         |  FROM bk_w WHERE t > 20 GROUP BY symbol HAVING COUNT(*) >= 30)
+         |SELECT symbol, n AS n_scored,
+         |  ${rd("CAST(p AS DOUBLE) / CAST(n AS DOUBLE)", 6)} AS base_rate,
+         |  ${rd("CAST(s1 AS DOUBLE) / (400.0 * CAST(n AS DOUBLE))", 6)} AS brier,
+         |  ${rd("CAST(p AS DOUBLE) * CAST(n - p AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))", 6)} AS brier_ref,
+         |  ${rd("1.0 - CAST(s1 AS DOUBLE) * CAST(n AS DOUBLE) / NULLIF(400.0 * CAST(p AS DOUBLE) * CAST(n - p AS DOUBLE), 0)", 6)} AS bss
+         |FROM bk_g ORDER BY symbol""".stripMargin,
+
+    // mirrors DailyAnalytics.pinballEval: kupiecPof train/test split,
+    // tau = t/20 ladder order statistics, exact 20L integer loss
+    "q_pinball_loss" -> {
+      val taus = Seq(1, 5, 10, 15, 19)
+      val vks = taus.map(t =>
+        s"""MIN(CASE WHEN r = ($t * (ntr - 1)) // 20 + 1 THEN y END) AS vk$t""")
+        .mkString(",\n         |    ")
+      val melt = taus.map(t =>
+        s"SELECT symbol, CAST($t AS BIGINT) AS t20, vk$t AS vk FROM pb_v")
+        .mkString("\n         |  UNION ALL ")
+      s"""${dailyChain("returns")},
+         |pb_x AS (SELECT symbol, trade_date, ${sc4("daily_return_pct")} AS y,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY trade_date) AS BIGINT) AS t,
+         |    CAST(COUNT(*) OVER (PARTITION BY symbol) AS BIGINT) AS n
+         |  FROM returns WHERE daily_return_pct IS NOT NULL),
+         |pb_tr AS (SELECT symbol, y, n // 2 AS ntr,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY y, t) AS BIGINT) AS r
+         |  FROM pb_x WHERE t <= n // 2),
+         |pb_v AS (SELECT symbol,
+         |    $vks
+         |  FROM (SELECT symbol, y, r, MAX(ntr) OVER (PARTITION BY symbol) AS ntr FROM pb_tr)
+         |  GROUP BY symbol),
+         |pb_m AS ($melt),
+         |pb_t AS (SELECT x.symbol, m.t20, CAST(COUNT(*) AS BIGINT) AS m,
+         |    MAX(m.vk) AS vk,
+         |    CAST(SUM(GREATEST(x.y - m.vk, 0)) AS BIGINT) AS up,
+         |    CAST(SUM(GREATEST(m.vk - x.y, 0)) AS BIGINT) AS dn
+         |  FROM pb_x x JOIN pb_m m USING (symbol) WHERE x.t > x.n // 2
+         |  GROUP BY x.symbol, m.t20 HAVING COUNT(*) >= 30)
+         |SELECT symbol,
+         |  ${rd("CAST(t20 AS DOUBLE) / 20.0", 2)} AS tau,
+         |  m AS n_test,
+         |  ${rd("CAST(vk AS DOUBLE) / 10000.0", 4)} AS q_forecast_pct,
+         |  ${rd("CAST(t20 * up + (20 - t20) * dn AS DOUBLE) / (20.0 * CAST(m AS DOUBLE) * 10000.0)", 6)} AS pinball_pct
+         |FROM pb_t ORDER BY symbol, tau""".stripMargin
+    },
+
+    // mirrors Profiling.wassersteinDrift: CDF-difference integral over
+    // the merged doc-length support, HUGEINT numerator, one division
+    "q_wasserstein_drift" ->
+      s"""WITH wd_d AS (SELECT source,
+         |    CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS len
+         |  FROM documents),
+         |wd_c AS (SELECT source, len, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM wd_d GROUP BY source, len),
+         |wd_s AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM wd_c GROUP BY source),
+         |wd_l AS (SELECT len, CAST(SUM(c) AS BIGINT) AS c_all FROM wd_c GROUP BY len),
+         |wd_corp AS (SELECT len, c_all,
+         |    CAST(SUM(c_all) OVER (ORDER BY len ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_all,
+         |    CAST(SUM(c_all) OVER () AS BIGINT) AS nn,
+         |    LEAD(len) OVER (ORDER BY len) - len AS delta
+         |  FROM wd_l),
+         |wd_grid AS (SELECT s.source, p.len, p.cum_all, p.nn, s.n_s, p.delta,
+         |    COALESCE(c.c, 0) AS cs
+         |  FROM wd_corp p CROSS JOIN wd_s s
+         |  LEFT JOIN wd_c c ON c.source = s.source AND c.len = p.len
+         |  WHERE p.delta IS NOT NULL),
+         |wd_cum AS (SELECT *,
+         |    CAST(SUM(cs) OVER (PARTITION BY source ORDER BY len
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_s
+         |  FROM wd_grid),
+         |wd_g AS (SELECT source, MAX(n_s) AS n_docs, MAX(nn) AS nn,
+         |    SUM(abs(CAST(cum_s AS HUGEINT) * nn - CAST(cum_all AS HUGEINT) * n_s) * delta) AS num
+         |  FROM wd_cum GROUP BY source)
+         |SELECT source, n_docs,
+         |  ${rd("CAST(num AS DOUBLE) / (CAST(n_docs AS DOUBLE) * CAST(nn AS DOUBLE))", 6)} AS w1_tokens
+         |FROM wd_g ORDER BY source""".stripMargin,
+
+    // mirrors TextAnalysis.diversityIndex: exact HUGEINT Simpson,
+    // scale-12-quantized Shannon terms (jsDivergence device), Pielou
+    // via data-dependent ln on source-grain rows (documented 1-ulp)
+    "q_diversity_index" ->
+      s"""WITH dv_t AS (SELECT source, unnest(string_split(text, ' ')) AS t
+         |  FROM documents),
+         |dv_c AS (SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM dv_t WHERE t <> '' GROUP BY source, t),
+         |dv_n AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM dv_c GROUP BY source),
+         |dv_h AS (SELECT c.source, n, c,
+         |    ${sc("(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))) * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))", 12)} AS h12
+         |  FROM dv_c c JOIN dv_n USING (source)),
+         |dv_g AS (SELECT source, MAX(n) AS n, CAST(COUNT(*) AS BIGINT) AS v,
+         |    CAST(SUM(h12) AS BIGINT) AS sh,
+         |    SUM(CAST(c AS HUGEINT) * (c - 1)) AS sq
+         |  FROM dv_h GROUP BY source)
+         |SELECT source, n AS n_tokens, v AS vocab,
+         |  ${rd("CAST(sh AS DOUBLE) / 1000000000000.0", 6)} AS shannon_nats,
+         |  ${rd("CAST(sq AS DOUBLE) / NULLIF(CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE), 0)", 6)} AS simpson_concentration,
+         |  ${rd("CAST(sh AS DOUBLE) / 1000000000000.0 / NULLIF(ln(CAST(v AS DOUBLE)), 0)", 6)} AS pielou_evenness
+         |FROM dv_g ORDER BY source""".stripMargin
   )
 }

@@ -3592,19 +3592,12 @@ object SparkEntry {
 
   /** Bradley–Terry strengths over daily head-to-head outperformance:
     * symbol i "beats" j on every day its scale-4 return is strictly
-    * higher (ties dropped); 2 unrolled MM rounds. */
+    * higher (ties dropped); 2 unrolled MM rounds. The pair grid comes
+    * from the blocked co-partitioned device
+    * ([[graft.operators.DailyAnalytics.headToHead]]) — the naive
+    * day-grain self-join was the r16 composite-scaling miss. */
   private def qBradleyTerry(s: SparkSession, dir: String): DataFrame = {
-    val r = Marts.dailyReturns(s, dir)
-      .filter(col("daily_return_pct").isNotNull)
-      .select(col("symbol"), col("trade_date"),
-        graft.functions.Funcs.scaled(col("daily_return_pct"), 4).as("y"))
-    val a = r.select(col("symbol").as("i"), col("trade_date"), col("y").as("yi"))
-    val b = r.select(col("symbol").as("j"), col("trade_date"), col("y").as("yj"))
-    val p = a.join(b, Seq("trade_date"))
-      .filter(col("i") < col("j") && col("yi") =!= col("yj"))
-      .groupBy("i", "j")
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("yi") > col("yj"), 1L).otherwise(0L)).as("wi"))
+    val p = DailyAnalytics.headToHead(Marts.dailyReturns(s, dir))
     val both = p.select(col("i"), col("j"), col("n"), col("wi"))
       .unionByName(p.select(col("j").as("i"), col("i").as("j"), col("n"),
         (col("n") - col("wi")).as("wi")))
@@ -3630,6 +3623,34 @@ object SparkEntry {
   private def qRboDrift(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.rboDrift(Tables.documents(s, dir), "doc_id", "text",
       depth = 10)
+
+  /** Online Elo ratings per symbol vs the equal-weight market. */
+  private def qEloMarket(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.eloVsMarket(Marts.dailyReturns(s, dir))
+      .orderBy("symbol")
+
+  /** Brier score + skill vs climatology for the trailing-20-day
+    * positive-return-rate forecast. */
+  private def qBrierSkill(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.brierSkill(Marts.dailyReturns(s, dir))
+      .orderBy("symbol")
+
+  /** Pinball loss of train-half quantile forecasts across the τ
+    * ladder, scored on the test half. */
+  private def qPinballLoss(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.pinballEval(Marts.dailyReturns(s, dir))
+      .orderBy("symbol", "tau")
+
+  /** 1-D Wasserstein distance of each source's doc-length
+    * distribution from the corpus. */
+  private def qWassersteinDrift(s: SparkSession, dir: String): DataFrame =
+    Profiling.wassersteinDrift(Tables.documents(s, dir), "source", "text")
+      .orderBy("source")
+
+  /** Shannon/Simpson token diversity + Pielou evenness per source. */
+  private def qDiversityIndex(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.diversityIndex(Tables.documents(s, dir), "source", "text")
+      .orderBy("source")
 
   // ──────────────────────────────────────────────────────────────────
   // Registry
@@ -3956,7 +3977,12 @@ object SparkEntry {
     "q_prune_estimate" -> (qPruneEstimate _),
     "q_seasonality_dow" -> (qSeasonalityDow _),
     "q_amihud" -> (qAmihud _),
-    "q_pairs_spread" -> (qPairsSpread _)
+    "q_pairs_spread" -> (qPairsSpread _),
+    "q_elo_market" -> (qEloMarket _),
+    "q_brier_skill" -> (qBrierSkill _),
+    "q_pinball_loss" -> (qPinballLoss _),
+    "q_wasserstein_drift" -> (qWassersteinDrift _),
+    "q_diversity_index" -> (qDiversityIndex _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

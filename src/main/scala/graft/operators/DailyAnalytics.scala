@@ -384,37 +384,45 @@ object DailyAnalytics {
     * but lets the partitioning legally drop the raw date. */
   private val PairDateGroups = 8
 
-  private def pairCorrelationFromReduced(r: DataFrame, minDays: Int): DataFrame = {
-    // 2-D BLOCKED self-join (block-partitioned matmul shape): each
-    // side is replicated B ways so every symbol-block PAIR (bi, bj) is
-    // one co-located join group — the pair (s1, s2) matches exactly
-    // once, at key (date, block(s1), block(s2)). Replication costs
-    // B·|panel| shuffled rows (trivial next to the S²·D join output);
-    // in exchange the partial agg behind the join holds only its
-    // partition's block-pairs' (S/B)² keys, so it can NEVER fall back
-    // to sort-based aggregation and spill the fan-out — the property
-    // that survives growing S.
-    //
-    // THE PARTITIONING KEY IS THE POINT: both sides repartition by
-    // (bi, bj, dg) — NOT by date — so one partition holds a
-    // block-pair's whole day range and the partial agg sees each pair
-    // ~once. Hashing the raw date in (an earlier form of this
-    // operator, and what the join would do left to itself) scatters
-    // every block-pair across ALL partitions, the per-task key count
-    // collapses back to ~all pairs, and the fallback returns. dg
-    // joins as a derived key so the subset partitioning is legal; the
-    // explicit count defeats AQE's byte-based coalescing (tiny-BYTES
-    // frame, CPU-bound fan-out; PlanSpec-pinned behavior).
-    // This distinct-count is an EAGER action at DataFrame-construction
-    // time — safe only because the input is a materialized snapshot
-    // (both callers pass the snapshot'd reduced panel). Guard the
-    // contract: an un-checkpointed frame here would silently pay a
-    // full upstream recompute just to size the block dial, and would
-    // make plan-only inspection trigger a job.
+  /** The 2-D blocked co-partitioned pair self-join — the device both
+    * all-pairs lanes ([[pairCorrelation]]/[[pairsSpread]] and
+    * [[headToHead]]) are built on. Input is the reduced panel
+    * (symbol, trade_date, xs); output is one row per (s1 < s2, day)
+    * with both sides' values as (x, y), each pair matched EXACTLY
+    * once.
+    *
+    * 2-D BLOCKED self-join (block-partitioned matmul shape): each
+    * side is replicated B ways so every symbol-block PAIR (bi, bj) is
+    * one co-located join group — the pair (s1, s2) matches exactly
+    * once, at key (date, block(s1), block(s2)). Replication costs
+    * B·|panel| shuffled rows (trivial next to the S²·D join output);
+    * in exchange the partial agg behind the join holds only its
+    * partition's block-pairs' (S/B)² keys, so it can NEVER fall back
+    * to sort-based aggregation and spill the fan-out — the property
+    * that survives growing S.
+    *
+    * THE PARTITIONING KEY IS THE POINT: both sides repartition by
+    * (bi, bj, dg) — NOT by date — so one partition holds a
+    * block-pair's whole day range and the partial agg sees each pair
+    * ~once. Hashing the raw date in (an earlier form of this
+    * operator, and what the join would do left to itself) scatters
+    * every block-pair across ALL partitions, the per-task key count
+    * collapses back to ~all pairs, and the fallback returns. dg
+    * joins as a derived key so the subset partitioning is legal; the
+    * explicit count defeats AQE's byte-based coalescing (tiny-BYTES
+    * frame, CPU-bound fan-out; PlanSpec-pinned behavior).
+    * The block-dial distinct-count is an EAGER action at
+    * DataFrame-construction time — safe only because the input is a
+    * materialized snapshot (every caller passes the snapshot'd
+    * reduced panel). Guard the contract: an un-checkpointed frame
+    * here would silently pay a full upstream recompute just to size
+    * the block dial, and would make plan-only inspection trigger a
+    * job. */
+  private def blockedPairJoin(r: DataFrame): DataFrame = {
     require(r.queryExecution.logical.collectFirst {
       case _: org.apache.spark.sql.execution.LogicalRDD => ()
     }.isDefined,
-      "pairCorrelationFromReduced: input must be a materialized snapshot " +
+      "blockedPairJoin: input must be a materialized snapshot " +
         "(Staging.snapshot) — the block dial runs an eager distinct-count on it")
     val B = pairBlocks(r.select("symbol").distinct().count())
     val G = PairDateGroups
@@ -437,8 +445,12 @@ object DailyAnalytics {
     // task's build side is |panel|·B/parts rows — bounded by the
     // partition dial, while sort-merge would pay an O(n log n) sort
     // for a join whose groups need no order.
-    val j = left.join(right.hint("shuffle_hash"), Seq("trade_date", "dg", "bi", "bj"))
+    left.join(right.hint("shuffle_hash"), Seq("trade_date", "dg", "bi", "bj"))
       .filter(col("s1") < col("s2"))
+  }
+
+  private def pairCorrelationFromReduced(r: DataFrame, minDays: Int): DataFrame = {
+    val j = blockedPairJoin(r)
     // RANGE CONTRACT (deliberately LONG, not the [[sharpeRatio]]
     // DECIMAL(38,0) rule): this is the S²·D hot path — the fan-out
     // aggregation runs once per (pair, day) — and decimal sums here
@@ -469,6 +481,28 @@ object DailyAnalytics {
           sqrt((dec(col("n_days")) * col("syy") - dec(col("sy")) * col("sy")).cast("double"))))
         .as("return_corr"))
   }
+
+  /** Head-to-head outperformance grid for pairwise-preference models
+    * ([[graft.operators.Cohorts.bradleyTerry]]): per ordered-canonical
+    * pair (i < j), the count of non-tied days and the days i's exact
+    * scale-4 return was strictly higher. Built on [[blockedPairJoin]]
+    * — the same co-partitioned device that holds the S²·D
+    * correlation/spread lanes linear in the pair space — because the
+    * grid's construction IS an all-pairs day-grain self-join: the
+    * naive `join(Seq("trade_date"))` form measured 178× on the 150
+    * composite entity bound (r16 SCALING.md miss) from the
+    * date-partitioned agg starving exactly as the [[pairBlocks]] doc
+    * describes. Pair semantics are identical (each pair matches once),
+    * so results are bit-equal to the naive form and the oracle is
+    * untouched. */
+  def headToHead(returns: DataFrame): DataFrame =
+    blockedPairJoin(reducedReturns(returns))
+      .filter(col("x") =!= col("y"))
+      .select(col("s1").as("i"), col("s2").as("j"),
+        col("x").as("yi"), col("y").as("yj"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("yi") > col("yj"), 1L).otherwise(0L)).as("wi"))
 
   /** Per-symbol market beta: the OLS slope of each symbol's daily
     * returns against an equal-weighted market index built from the
@@ -3959,5 +3993,159 @@ object DailyAnalytics {
           col("k").cast("double"), 6).as("xi_hill"),
         rd(col("k").cast("double") * 1e9 /
           nullifZero(col("sl").cast("double")), 6).as("alpha_tail"))
+  }
+
+  /** Online Elo rating per symbol against the equal-weight market
+    * index (Elo, *The Rating of Chessplayers* 1978): each day is one
+    * game vs the benchmark — win if the symbol's exact scale-4 return
+    * beats the day's market mean ⌊Σy/n⌋ (the [[marketBeta]] index
+    * convention), draw on equality — and the rating folds
+    * R ← R + K·(S − E), E = 1/(1 + 10^((base−R)/400)) with a FIXED
+    * base-rated opponent, in trade-date order from R₀ = base = 1500,
+    * K = 16. The vs-benchmark form is the standard online-rating
+    * shape that stays distributed: pairwise Elo is inherently
+    * sequential ACROSS the whole S² game stream (every update feeds
+    * every later pair), while vs-market folds are per-symbol
+    * independent — [[Cohorts.bradleyTerry]] covers the pairwise
+    * preference structure in its order-free MM form.
+    *
+    * Exactness: outcomes 2S ∈ {0,1,2} are exact integers; the rating
+    * lives as a scale-6 long and each update adds
+    * ⌊K·(S−E)·10⁶⌋ — pow/division inside E are IEEE-evaluated on
+    * identical operands in both engines (JVM Math.pow and libm pow
+    * agreed bit-for-bit on a 2000-sample probe of this expression;
+    * the floor quantization makes any residual ulp flip a ~1e-10/step
+    * event rather than a hash break). Scale shape: the index is a
+    * days-dimension partial agg broadcast back; the fold buffers one
+    * outcome byte per calendar day per symbol (the [[varCvar]]
+    * collect discipline), no windows. */
+  def eloVsMarket(returns: DataFrame, k: Int = 16,
+                  baseRating: Int = 1500, minDays: Int = 30): DataFrame = {
+    val r = returns.filter(col("daily_return_pct").isNotNull)
+      .select(col("symbol"), col("trade_date"),
+        scaled(col("daily_return_pct"), 4).as("y"))
+      .snapshot() // feeds the index build AND the game join
+    val mkt = r.groupBy("trade_date")
+      .agg(sum(col("y")).as("m"), count(lit(1)).as("nsym"))
+      .select(col("trade_date"),
+        floor(col("m").cast("double") / col("nsym").cast("double")).cast("long").as("x"))
+    val base6 = baseRating.toLong * 1000000L
+    val step =
+      s"""(acc, s) -> acc + CAST(floor($k.0 * (s / 2.0 -
+         |  1.0 / (1.0 + pow(10.0, ($base6 - acc) / 4.0e8))) * 1.0e6) AS BIGINT)"""
+        .stripMargin
+    r.join(broadcast(mkt), "trade_date")
+      .select(col("symbol"), struct(col("trade_date"),
+        when(col("y") > col("x"), 2L).when(col("y") === col("x"), 1L)
+          .otherwise(0L).as("s")).as("ts"))
+      .groupBy("symbol")
+      .agg(sort_array(collect_list(col("ts"))).as("tss"))
+      .select(col("symbol"),
+        size(col("tss")).cast("long").as("n_days"),
+        expr("transform(tss, t -> t.s)").as("ss"))
+      .filter(col("n_days") >= minDays)
+      .withColumn("r6", expr(s"aggregate(ss, ${base6}L, $step)"))
+      .select(col("symbol"), col("n_days"),
+        expr("aggregate(ss, 0L, (a, s) -> a + CASE WHEN s = 2 THEN 1 ELSE 0 END)")
+          .as("wins"),
+        expr("aggregate(ss, 0L, (a, s) -> a + CASE WHEN s = 1 THEN 1 ELSE 0 END)")
+          .as("draws"),
+        rd(col("r6").cast("double") / 1.0e6, 2).as("elo_rating"))
+  }
+
+  /** Brier score + skill vs climatology per symbol (Brier, "Verif-
+    * ication of forecasts expressed in terms of probability", Monthly
+    * Weather Review 1950): the trailing-`window`-day positive-return
+    * rate forecasts P(tomorrow's return > 0), scored against the
+    * realized sign. The probability forecast is the exact rational
+    * c/window, so the score is PURE INTEGER arithmetic:
+    * BS = Σ(c − w·o)² / (w²·N), and the climatology reference
+    * collapses in closed form to p̂(1−p̂) = P(N−P)/N², giving
+    * BSS = 1 − BS/BS_ref = 1 − Σ(c−w·o)²·N / (w²·P·(N−P)) as exact
+    * integer ratios with ONE final double division each —
+    * [[Profiling.calibrationBins]] is the rank-diagram companion;
+    * this is the proper-score companion with a REAL probability
+    * forecast.
+    *
+    * Scale shape: one symbol-ordered window (the shared [[bySymbol]]
+    * sort) carries both the trailing count and the row index; one
+    * partial-aggregable symbol rollup after it. Numerators stay in
+    * long range while w²·N < 2⁶³ (w=20 ⇒ N < 2e16 days/symbol). */
+  def brierSkill(returns: DataFrame, window: Int = 20,
+                 minScored: Int = 30): DataFrame = {
+    val w = window
+    val o = when(col("y") > 0, 1L).otherwise(0L)
+    val scored = returns.filter(col("daily_return_pct").isNotNull)
+      .select(col("symbol"), col("trade_date"),
+        scaled(col("daily_return_pct"), 4).as("y"))
+      .withColumn("o", o)
+      .withColumn("t", row_number().over(bySymbol).cast("long"))
+      .withColumn("c", sum(col("o")).over(bySymbol.rowsBetween(-w, -1)))
+      .filter(col("t") > w.toLong)
+    val g = scored.groupBy("symbol")
+      .agg(count(lit(1)).as("n"), sum(col("o")).as("p"),
+        sum((col("c") - lit(w.toLong) * col("o")) *
+          (col("c") - lit(w.toLong) * col("o"))).as("s1"))
+      .filter(col("n") >= minScored.toLong)
+    val nD = col("n").cast("double")
+    g.select(col("symbol"), col("n").cast("long").as("n_scored"),
+      rd(col("p").cast("double") / nD, 6).as("base_rate"),
+      rd(col("s1").cast("double") / (lit((w * w).toDouble) * nD), 6).as("brier"),
+      rd(col("p").cast("double") * (col("n") - col("p")).cast("double") /
+        (nD * nD), 6).as("brier_ref"),
+      rd(lit(1.0) - col("s1").cast("double") * nD /
+        nullifZero(lit((w * w).toDouble) * col("p").cast("double") *
+          (col("n") - col("p")).cast("double")), 6).as("bss"))
+  }
+
+  /** Pinball (quantile) loss evaluation per symbol across the
+    * standard τ ladder {0.05, 0.25, 0.5, 0.75, 0.95} (Koenker &
+    * Bassett, "Regression quantiles", Econometrica 1978): the
+    * τ-quantile forecast is fit on each symbol's FIRST half (the
+    * [[kupiecPof]] train/test convention, order statistic
+    * k = (t·(n_train−1)) div 20 + 1 on ascending scale-4 returns
+    * with τ = t/20) and scored on the SECOND half with
+    * L_τ(ŷ,y) = τ·(y−ŷ)⁺ + (1−τ)·(ŷ−y)⁺ — the proper scoring rule
+    * for quantiles, turning [[kupiecPof]]'s hit-rate view into a
+    * magnitude-sensitive one.
+    *
+    * Exactness: with τ = t/20 every loss is the exact integer
+    * 20·L = t·(y−ŷ)⁺ + (20−t)·(ŷ−y)⁺ over scale-4 longs; the mean
+    * divides once at the end. Scale shape: one train-half rank
+    * window (shared sort), a symbol×5 threshold frame broadcast
+    * back, one partial-aggregable (symbol, τ) rollup — the τ ladder
+    * fans the test scan out 5×, still day-grain-linear. */
+  def pinballEval(returns: DataFrame, minTest: Int = 30): DataFrame = {
+    val taus = Seq(1, 5, 10, 15, 19) // τ·20
+    val x0 = returns.filter(col("daily_return_pct").isNotNull)
+      .select(col("symbol"), col("trade_date"),
+        scaled(col("daily_return_pct"), 4).as("y"))
+      .withColumn("t", row_number().over(bySymbol).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("symbol")))
+      .snapshot() // feeds the training rank pass AND the test scan
+    val tr = x0.filter(col("t") <= expr("n div 2"))
+      .withColumn("ntr", expr("n div 2"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("symbol").orderBy(col("y"), col("t"))).cast("long"))
+    val thr = tr.groupBy("symbol").agg(max(col("ntr")).as("ntr"),
+        taus.map(t => min(when(col("r") ===
+          expr(s"($t * (ntr - 1)) div 20") + lit(1L), col("y"))).as(s"vk$t")): _*)
+      .select(col("symbol"), explode(array(taus.map(t =>
+        struct(lit(t.toLong).as("t20"), col(s"vk$t").as("vk"))): _*)).as("tv"))
+      .select(col("symbol"), col("tv.t20").as("t20"), col("tv.vk").as("vk"))
+    x0.filter(col("t") > expr("n div 2"))
+      .join(broadcast(thr), "symbol")
+      .groupBy("symbol", "t20")
+      .agg(count(lit(1)).as("m"), max(col("vk")).as("vk"),
+        sum(greatest(col("y") - col("vk"), lit(0L))).as("up"),
+        sum(greatest(col("vk") - col("y"), lit(0L))).as("dn"))
+      .filter(col("m") >= minTest.toLong)
+      .select(col("symbol"),
+        rd(col("t20").cast("double") / 20.0, 2).as("tau"),
+        col("m").cast("long").as("n_test"),
+        rd(col("vk").cast("double") / 10000.0, 4).as("q_forecast_pct"),
+        rd((col("t20") * col("up") + (lit(20L) - col("t20")) * col("dn"))
+          .cast("double") / (lit(20.0) * col("m").cast("double") * 1.0e4), 6)
+          .as("pinball_pct"))
   }
 }

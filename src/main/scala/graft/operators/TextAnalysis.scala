@@ -1610,4 +1610,52 @@ object TextAnalysis {
           nullifZero((dd(col("nn")) * dd(col("nn")) - col("src")).cast("double")),
           6).as("kappa"))
   }
+
+  /** Shannon + Simpson token diversity per source (Shannon 1948;
+    * Simpson, "Measurement of diversity", Nature 1949; Pielou 1966
+    * for the evenness normalization): the corpus-mix dashboard a
+    * curation pass reads before rebalancing — a source whose token
+    * diversity collapses is boilerplate ([[repetitionSignals]] is the
+    * within-doc lens; this is the across-source one). Per source over
+    * its unigram distribution: H = −Σ p·ln p nats, Simpson's
+    * UNBIASED concentration λ = Σ c(c−1) / (N(N−1)) (the probability
+    * two drawn tokens coincide; 1−λ is the Gini–Simpson diversity),
+    * and Pielou evenness J = H / ln V.
+    *
+    * Exactness: λ is pure integer arithmetic in DECIMAL(38,0) with
+    * one final division; each H term is quantized to a scale-12 long
+    * (the [[jsDivergence]] device) so the sum is order-free; J's
+    * ln V is a data-dependent libm call on a source-grain row
+    * (documented 1-ulp tolerance, the [[Profiling.mutualInfo]] nmi
+    * convention). Scale shape: one exploded token pass to
+    * (source, token) cells, a token-total broadcast back, one
+    * partial-aggregable source rollup — no windows, no sort. */
+  def diversityIndex(docs: DataFrame, sourceCol: String,
+                     textCol: String): DataFrame = {
+    def dd(c: Column) = c.cast("decimal(38,0)")
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val cells = docs
+      .select(col(sourceCol).as("source"), col(textCol))
+      .repartition(parts, col("source"), col(textCol))
+      .select(col("source"), explode(tokens(col(textCol))).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy("source", "t").agg(count(lit(1)).as("c"))
+    val totals = cells.groupBy("source").agg(sum(col("c")).as("n"))
+    val p = col("c").cast("double") / col("n").cast("double")
+    cells.join(broadcast(totals), "source")
+      .withColumn("h12", scaled(-p * log(p), 12))
+      .groupBy("source")
+      .agg(max(col("n")).as("n"), count(lit(1)).as("v"),
+        sum(col("h12")).as("sh"),
+        sum(dd(col("c")) * (col("c") - lit(1L))).as("sq"))
+      .select(col("source"),
+        col("n").cast("long").as("n_tokens"),
+        col("v").cast("long").as("vocab"),
+        rd(col("sh").cast("double") / 1.0e12, 6).as("shannon_nats"),
+        rd(col("sq").cast("double") /
+          nullifZero((dd(col("n")) * (col("n") - lit(1L))).cast("double")), 6)
+          .as("simpson_concentration"),
+        rd(col("sh").cast("double") / 1.0e12 /
+          nullifZero(log(col("v").cast("double"))), 6).as("pielou_evenness"))
+  }
 }

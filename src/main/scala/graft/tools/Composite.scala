@@ -192,16 +192,14 @@ object CompositeScalingBench {
     // pre-top keeps the rank window off the full vocabulary
     ("q_token_dispersion", 1.5 * K),
     ("q_rbo_drift", 1.5 * K),
-    // Bradley-Terry's day-grain self-join grows K² in the symbol
-    // axis BY THE OPERATOR'S SEMANTICS (the pair_correlation bar);
-    // pass@k is one task rollup over K disjoint user worlds.
-    // KNOWN MISS (r16, quiet host hf 0.99): BT measured 178.4 on
-    // this 150 bound, spread 1.04 — a real 1.78x/pair overhead from
-    // the NAIVE day-grain self-join, not noise and not superlinear.
-    // Fix shape: build the pair grid with the q_pairs_spread blocked
-    // co-partitioned join (bucket symbols, join block pairs) so the
-    // per-pair constant drops to that lane's ~0.7x. Bound kept at
-    // 150 deliberately: it is the target the rewrite must meet.
+    // Bradley-Terry's pair grid grows K² in the symbol axis BY THE
+    // OPERATOR'S SEMANTICS (the pair_correlation bar); pass@k is one
+    // task rollup over K disjoint user worlds. The r16 regen measured
+    // the then-NAIVE day-grain self-join at 178.4 on this 150 bound
+    // (quiet host hf 0.99, spread 1.04 — the table's one miss); r17
+    // rebuilt the grid on the blocked co-partitioned device
+    // (DailyAnalytics.headToHead) that holds q_pairs_spread at ~71x
+    // on the same axis. Bound kept at 150: the bar the rewrite meets.
     ("q_bradley_terry", 1.5 * K * K),
     ("q_pass_at_k", 1.5 * K))
   val dateFamilies: Seq[(String, Double)] = Seq(

@@ -943,4 +943,191 @@ class PropertySpec extends AnyFunSpec {
       }
     }
   }
+
+  describe("round-16 wave invariants on generated inputs") {
+    import graft.operators.{Cohorts, DailyAnalytics, TextAnalysis}
+
+    def dates(n: Int): Seq[java.sql.Date] = (0 until n).map(d =>
+      java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(d)))
+
+    // INTEGER-percent return panels: scaled(y, 4) is exact on integer
+    // doubles, so multiplying by an integer constant scales the
+    // fixed-point longs EXACTLY — the precondition the scale/shift
+    // invariance cases below rely on.
+    def intPanel(seed: Int, symbols: Int, days: Int,
+                 lo: Int = -50, hi: Int = 50): Seq[(String, java.sql.Date, Double)] = {
+      val rnd = new scala.util.Random(seed)
+      val ds = dates(days)
+      for (s <- 0 until symbols; d <- 0 until days)
+        yield (s"S$s", ds(d), (lo + rnd.nextInt(hi - lo + 1)).toDouble)
+    }
+
+    it("bradleyTerry: strengths are a distribution and permutation-equivariant") {
+      val rnd = new scala.util.Random(31)
+      val items = (0 until 6).map(i => s"I$i")
+      // every unordered pair plays: n in [3,10], wi in [1, n-1] keeps
+      // each item with >= 1 win and >= 1 loss (the BT existence
+      // condition the operator documents)
+      val grid = for {
+        i <- items.indices; j <- items.indices if i < j
+        n = 3 + rnd.nextInt(8); wi = 1 + rnd.nextInt(n - 1)
+      } yield (items(i), items(j), n.toLong, wi.toLong)
+      val both = (grid ++ grid.map { case (i, j, n, w) => (j, i, n, n - w) })
+        .toDF("i", "j", "n", "wi")
+      val out = Cohorts.bradleyTerry(both).collect()
+        .map(r => r.getAs[String]("symbol") -> r.getAs[Double]("bt_strength")).toMap
+      assert(out.size == items.size)
+      assert(math.abs(out.values.sum - 1.0) <= items.size * 1e-6,
+        s"strengths must sum to 1: $out")
+      out.values.foreach(s => assert(s > 0.0 && s < 1.0))
+      // relabel the items by a permutation: strengths must follow the
+      // labels bit-for-bit (nothing in the MM update depends on names)
+      val perm = items.zip(scala.util.Random.javaRandomToRandom(
+        new java.util.Random(7)).shuffle(items)).toMap
+      val permuted = (grid ++ grid.map { case (i, j, n, w) => (j, i, n, n - w) })
+        .map { case (i, j, n, w) => (perm(i), perm(j), n, w) }
+        .toDF("i", "j", "n", "wi")
+      val out2 = Cohorts.bradleyTerry(permuted).collect()
+        .map(r => r.getAs[String]("symbol") -> r.getAs[Double]("bt_strength")).toMap
+      items.foreach(i => assert(out2(perm(i)) == out(i),
+        s"permutation changed ${i}'s strength: ${out(i)} -> ${out2(perm(i))}"))
+    }
+
+    it("passAtK: pass@k in [pass@1, 1] and monotone non-decreasing in k") {
+      val rnd = new scala.util.Random(41)
+      val events = (0 until 40).flatMap { t =>
+        val n = 6 + rnd.nextInt(20)
+        (0 until n).map(_ => (s"T$t", rnd.nextInt(30).toLong))
+      }.toDF("user_id", "value")
+      val succ = col("value") > 20
+      val byK = Seq(2, 3, 5).map { k =>
+        k -> Cohorts.passAtK(events, "user_id", succ, k).collect()
+          .map(r => r.getAs[String]("task") ->
+            (r.getAs[Double]("pass_at_1"), r.getAs[Double](s"pass_at_$k"))).toMap
+      }.toMap
+      byK.foreach { case (k, m) => m.foreach { case (t, (p1, pk)) =>
+        assert(pk >= p1 - 1e-9 && pk <= 1.0 + 1e-9, s"k=$k task=$t p1=$p1 pk=$pk")
+      } }
+      // monotone in k on tasks present at every k (n >= 5)
+      byK(5).keySet.foreach { t =>
+        val (p2, p3, p5) = (byK(2)(t)._2, byK(3)(t)._2, byK(5)(t)._2)
+        assert(p2 <= p3 + 1e-6 && p3 <= p5 + 1e-6, s"$t: $p2 $p3 $p5 not monotone")
+      }
+    }
+
+    it("kupiecPof: zero-violation and all-violation boundaries stay finite") {
+      val ds = dates(120)
+      // train half deeply negative -> VaR threshold far below zero;
+      // test half positive -> x = 0. Swap the halves' signs for x = m.
+      val zero = ds.zipWithIndex.map { case (d, t) =>
+        ("Z", d, if (t < 60) -80.0 - (t % 7) else 5.0 + (t % 3)) }
+      val all = ds.zipWithIndex.map { case (d, t) =>
+        ("A", d, if (t < 60) 5.0 + (t % 3) else -80.0 - (t % 7)) }
+      val out = DailyAnalytics.kupiecPof(
+        (zero ++ all).toDF("symbol", "trade_date", "daily_return_pct"))
+        .collect().map(r => r.getAs[String]("symbol") -> r).toMap
+      val z = out("Z"); val a = out("A")
+      assert(z.getAs[Long]("n_violations") == 0L)
+      assert(a.getAs[Long]("n_violations") == a.getAs[Long]("n_test"))
+      Seq(z, a).foreach { r =>
+        val lr = r.getAs[Double]("lr_pof")
+        assert(!lr.isNaN && !lr.isInfinite && lr >= -1e-9, s"$r")
+        assert(r.getAs[Boolean]("reject_model"), s"boundary rate must reject: $r")
+      }
+    }
+
+    it("pettittTest: location shift leaves the statistic and split point unchanged") {
+      val panel = intPanel(53, symbols = 4, days = 90)
+      def run(shift: Int) = DailyAnalytics.pettittTest(
+        panel.map { case (s, d, y) => (s, d, y + shift) }
+          .toDF("symbol", "trade_date", "daily_return_pct"), minDays = 60)
+        .collect().map(r => r.getAs[String]("symbol") ->
+          (r.getAs[Long]("k_stat"), r.getAs[java.sql.Date]("change_date").toString,
+            r.getAs[Boolean]("significant"))).toMap
+      val base = run(0)
+      assert(base.size == 4)
+      assert(run(17) == base, "ranks are shift-invariant; Pettitt must be too")
+      assert(run(-9) == base)
+    }
+
+    it("hillTail: alpha > 0 and exact scale invariance of xi on integer panels") {
+      val panel = intPanel(67, symbols = 3, days = 200, lo = -60, hi = 40)
+      def run(mult: Int) = DailyAnalytics.hillTail(
+        panel.map { case (s, d, y) => (s, d, y * mult) }
+          .toDF("symbol", "trade_date", "daily_return_pct"),
+        kTop = 10, minLosses = 20)
+        .collect().map(r => r.getAs[String]("symbol") ->
+          (r.getAs[Double]("xi_hill"), r.getAs[Double]("alpha_tail"))).toMap
+      val base = run(1)
+      assert(base.nonEmpty)
+      base.values.foreach { case (xi, alpha) =>
+        assert(xi > 0.0 && alpha > 0.0, s"xi=$xi alpha=$alpha") }
+      // losses x -> 3x exactly at scale 4, so every ln(x_i/x_k) ratio
+      // and hence xi is bit-identical
+      assert(run(3) == base, "Hill xi must be scale-free")
+    }
+
+    it("rboDrift: in [0,1]; identical parity halves score exactly 1") {
+      // doc 2i and 2i+1 carry the same text -> both halves' token
+      // rankings are identical and >= depth long
+      val words = (0 until 12).map(i => s"w$i")
+      val docs = (0 until 30).flatMap { i =>
+        val text = (0 to i % 5).flatMap(k =>
+          words.take(12 - k)).mkString(" ")
+        Seq((2L * i, text), (2L * i + 1, text))
+      }.toDF("doc_id", "text")
+      val r = TextAnalysis.rboDrift(docs, "doc_id", "text", depth = 8)
+        .collect().head
+      assert(r.getAs[Double]("rbo") == 1.0, s"$r")
+      // arbitrary asymmetric halves stay bounded
+      val rnd = new scala.util.Random(73)
+      val docs2 = (0 until 60).map { i =>
+        (i.toLong, (0 until 20).map(_ => words(rnd.nextInt(words.size)))
+          .mkString(" "))
+      }.toDF("doc_id", "text")
+      val r2 = TextAnalysis.rboDrift(docs2, "doc_id", "text", depth = 8)
+        .collect().head
+      val v = r2.getAs[Double]("rbo")
+      assert(v >= 0.0 && v <= 1.0, s"$r2")
+    }
+
+    it("goodTuring: p0 is a probability, chao1 >= observed vocabulary") {
+      val rnd = new scala.util.Random(83)
+      val words = (0 until 40).map(i => s"t$i")
+      val docs = (0 until 50).map { i =>
+        // Zipf-ish draw so singletons and doubletons both exist
+        (i.toLong, (0 until 15).map(_ =>
+          words(math.min(39, (math.pow(rnd.nextDouble(), 2) * 40).toInt)))
+          .mkString(" "))
+      }.toDF("doc_id", "text")
+      val r = TextAnalysis.goodTuring(docs, "doc_id", "text").collect().head
+      val p0 = r.getAs[Double]("p0_unseen")
+      assert(p0 >= 0.0 && p0 <= 1.0, s"$r")
+      assert(r.getAs[Double]("chao1_vocab") >= r.getAs[Long]("vocab").toDouble - 1e-9,
+        s"Chao1 is a bias CORRECTION upward: $r")
+      assert(r.getAs[Long]("n1_singletons") + r.getAs[Long]("n2_doubletons")
+        <= r.getAs[Long]("vocab"))
+    }
+
+    it("brownForsythe: F and eta_sq are exactly scale-invariant on integer panels") {
+      val rnd = new scala.util.Random(97)
+      val ds = dates(140)
+      val panel = ds.map(d => ("X", d, (rnd.nextInt(81) - 40).toDouble))
+      def run(mult: Int) = {
+        val r = DailyAnalytics.brownForsythe(
+          panel.map { case (s, d, y) => (s, d, y * mult) }
+            .toDF("symbol", "trade_date", "daily_return_pct")).collect().head
+        (r.getAs[Double]("f_stat"), r.getAs[Double]("eta_sq"),
+          r.getAs[Long]("n_days"), r.getAs[Long]("k_groups"))
+      }
+      val (f1, e1, n1, k1) = run(1)
+      assert(n1 == 140L && k1 == 7L)
+      assert(!f1.isNaN && f1 >= 0.0 && e1 >= 0.0 && e1 <= 1.0 + 1e-9)
+      // y -> 5y scales every exact sum by 25; the F and eta ratios are
+      // the same real number and the double divisions see exactly
+      // scaled operands, so the rounded outputs are bit-identical
+      val (f5, e5, _, _) = run(5)
+      assert(f5 == f1 && e5 == e1, s"F $f1->$f5 eta $e1->$e5 not scale-free")
+    }
+  }
 }
