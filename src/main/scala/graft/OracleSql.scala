@@ -8608,6 +8608,82 @@ object OracleSql {
          |  ${rd("CAST(num AS DOUBLE) / (CAST(n_docs AS DOUBLE) * CAST(nn AS DOUBLE))", 6)} AS w1_tokens
          |FROM wd_g ORDER BY source""".stripMargin,
 
+    // mirrors DailyAnalytics.cdar(alpha=5%): running-peak drawdown
+    // percent quantized scale-6 per day, varCvar-convention top-k
+    // pick, exact integer mean
+    "q_cdar" ->
+      s"""${dailyChain("returns")},
+         |cd_p AS (SELECT symbol, trade_date, ${sc("close_price", 2)} AS cp,
+         |    MAX(${sc("close_price", 2)}) OVER (PARTITION BY symbol ORDER BY trade_date
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pk
+         |  FROM returns),
+         |cd_d AS (SELECT symbol, trade_date,
+         |    ${sc("CAST(pk - cp AS DOUBLE) / NULLIF(CAST(pk AS DOUBLE), 0) * 100.0", 6)} AS dd6,
+         |    CAST(COUNT(*) OVER (PARTITION BY symbol) AS BIGINT) AS n
+         |  FROM cd_p),
+         |cd_r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY symbol
+         |    ORDER BY dd6 DESC, trade_date) AS BIGINT) AS rn FROM cd_d),
+         |cd_g AS (SELECT symbol, MAX(n) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+         |    MIN(dd6) AS dar6, CAST(SUM(dd6) AS BIGINT) AS s6
+         |  FROM cd_r WHERE n >= 60 AND rn <= (5 * (n - 1)) // 100 + 1
+         |  GROUP BY symbol)
+         |SELECT symbol, n AS n_days, k AS k_worst,
+         |  ${rd("CAST(dar6 AS DOUBLE) / 1000000.0", 4)} AS dar_pct,
+         |  ${rd("CAST(s6 AS DOUBLE) / CAST(k AS DOUBLE) / 1000000.0", 4)} AS cdar_pct
+         |FROM cd_g ORDER BY symbol""".stripMargin,
+
+    // mirrors DailyAnalytics.energyDistanceSplit: the sorted-pass
+    // order-statistic identity for all three pairwise sums, HUGEINT
+    // exact, fixed double E tree
+    "q_energy_distance" ->
+      s"""${dailyChain("returns")},
+         |ed_x AS (SELECT symbol, ${sc4("daily_return_pct")} AS y,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY trade_date) AS BIGINT) AS t,
+         |    CAST(COUNT(*) OVER (PARTITION BY symbol) AS BIGINT) AS n
+         |  FROM returns WHERE daily_return_pct IS NOT NULL),
+         |ed_g AS (SELECT symbol, y, t, n,
+         |    CASE WHEN t * 2 <= n THEN 1 ELSE 2 END AS g FROM ed_x),
+         |ed_r AS (SELECT *,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY y, t) AS BIGINT) AS j,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY symbol, g ORDER BY y, t) AS BIGINT) AS jg,
+         |    CAST(COUNT(*) OVER (PARTITION BY symbol, g) AS BIGINT) AS mg
+         |  FROM ed_g),
+         |ed_s AS (SELECT symbol, MAX(n) AS n,
+         |    CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    SUM(CAST(2 * j - n - 1 AS HUGEINT) * y) AS pooled,
+         |    SUM(CASE WHEN g = 1 THEN CAST(2 * jg - mg - 1 AS HUGEINT) * y ELSE 0 END) AS w1,
+         |    SUM(CASE WHEN g = 2 THEN CAST(2 * jg - mg - 1 AS HUGEINT) * y ELSE 0 END) AS w2
+         |  FROM ed_r GROUP BY symbol HAVING MAX(n) >= 60),
+         |ed_f AS (SELECT symbol, n, n1, n - n1 AS n2,
+         |    pooled - w1 - w2 AS crx, w1, w2 FROM ed_s)
+         |SELECT symbol, n1, n2,
+         |  ${rd("(2.0 * (CAST(crx AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)) - 2.0 * CAST(w1 AS DOUBLE) / CAST(n1 * n1 AS DOUBLE) - 2.0 * CAST(w2 AS DOUBLE) / CAST(n2 * n2 AS DOUBLE)) / 10000.0", 6)} AS e_dist_pct,
+         |  ${rd("CAST(n1 * n2 AS DOUBLE) / CAST(n AS DOUBLE) * (2.0 * (CAST(crx AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)) - 2.0 * CAST(w1 AS DOUBLE) / CAST(n1 * n1 AS DOUBLE) - 2.0 * CAST(w2 AS DOUBLE) / CAST(n2 * n2 AS DOUBLE)) / 10000.0", 4)} AS t_energy
+         |FROM ed_f ORDER BY symbol""".stripMargin,
+
+    // mirrors TextAnalysis.mattr(window=25): per-doc sliding-window
+    // distinct counts as pure list expressions, scale-12 quantized
+    // per-doc ratio, exact source mean
+    "q_mattr" ->
+      s"""WITH mt_b AS (SELECT source,
+         |    list_filter(string_split(text, ' '), t -> t <> '') AS ts
+         |  FROM documents),
+         |mt_n AS (SELECT source, CAST(len(ts) AS BIGINT) AS n, ts
+         |  FROM mt_b WHERE len(ts) > 0),
+         |mt_d AS (SELECT source, n,
+         |    CASE WHEN n >= 25 THEN ${sc("CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+               "list_transform(range(1, n - 23), i -> CAST(len(list_distinct(list_slice(ts, i, i + 24))) AS BIGINT))), " +
+               "(a, x) -> a + x) AS DOUBLE) / (25.0 * CAST(n - 24 AS DOUBLE))", 12)}
+         |         ELSE ${sc("CAST(len(list_distinct(ts)) AS DOUBLE) / CAST(n AS DOUBLE)", 12)} END AS m12
+         |  FROM mt_n),
+         |mt_g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(CASE WHEN n < 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+         |    CAST(SUM(m12) AS BIGINT) AS s12
+         |  FROM mt_d GROUP BY source)
+         |SELECT source, n_docs, n_short,
+         |  ${rd("CAST(s12 AS DOUBLE) / CAST(n_docs AS DOUBLE) / 1000000000000.0", 6)} AS mattr
+         |FROM mt_g ORDER BY source""".stripMargin,
+
     // mirrors TextAnalysis.diversityIndex: exact HUGEINT Simpson,
     // scale-12-quantized Shannon terms (jsDivergence device), Pielou
     // via data-dependent ln on source-grain rows (documented 1-ulp)

@@ -3652,6 +3652,21 @@ object SparkEntry {
     TextAnalysis.diversityIndex(Tables.documents(s, dir), "source", "text")
       .orderBy("source")
 
+  /** Conditional Drawdown-at-Risk (5%) per symbol. */
+  private def qCdar(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.cdar(Marts.dailyReturns(s, dir))
+      .orderBy("symbol")
+
+  /** Energy distance between each symbol's history halves. */
+  private def qEnergyDistance(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.energyDistanceSplit(Marts.dailyReturns(s, dir))
+      .orderBy("symbol")
+
+  /** Moving-average type-token ratio per source (window 25). */
+  private def qMattr(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.mattr(Tables.documents(s, dir), "source", "text")
+      .orderBy("source")
+
   // ──────────────────────────────────────────────────────────────────
   // Registry
   // ──────────────────────────────────────────────────────────────────
@@ -3982,7 +3997,10 @@ object SparkEntry {
     "q_brier_skill" -> (qBrierSkill _),
     "q_pinball_loss" -> (qPinballLoss _),
     "q_wasserstein_drift" -> (qWassersteinDrift _),
-    "q_diversity_index" -> (qDiversityIndex _)
+    "q_diversity_index" -> (qDiversityIndex _),
+    "q_cdar" -> (qCdar _),
+    "q_energy_distance" -> (qEnergyDistance _),
+    "q_mattr" -> (qMattr _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -4098,6 +4098,102 @@ object DailyAnalytics {
           (col("n") - col("p")).cast("double")), 6).as("bss"))
   }
 
+  /** Conditional Drawdown-at-Risk per symbol (Chekhlov, Uryasev &
+    * Zabarankin, "Drawdown measure in portfolio optimization", IJTAF
+    * 2005): the CVaR idea applied to the DRAWDOWN path —
+    * DaR_α is the k-th worst daily drawdown (k = ⌊α·(n−1)⌋ + 1, the
+    * [[varCvar]] order-statistic convention) and CDaR_α the mean of
+    * the k worst — the allocator's "how bad do the bad underwater
+    * days get" number that [[maxDrawdown]]'s single minimum and
+    * [[drawdownDuration]]'s clock both miss.
+    *
+    * Exactness: closes are scale-2 longs, so the running peak is
+    * exact; each day's drawdown PERCENT pays one division and is
+    * immediately quantized to a scale-6 long (the [[jsDivergence]]
+    * device), so the top-k mean is an exact integer sum with one
+    * final division. Scale shape: the running peak shares the
+    * [[bySymbol]] sort; the top-k pick is one rank window over the
+    * same partition; one partial-aggregable rollup. */
+  def cdar(returns: DataFrame, alphaPct: Int = 5, minDays: Int = 60): DataFrame = {
+    require(alphaPct > 0 && alphaPct < 100, "cdar: alphaPct in (0,100)")
+    val base = returns
+      .select(col("symbol"), col("trade_date"), scaled(col("close_price"), 2).as("cp"))
+      .withColumn("pk", max(col("cp")).over(
+        bySymbol.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("dd6", scaled((col("pk") - col("cp")).cast("double") /
+        nullifZero(col("pk").cast("double")) * 100.0, 6))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("symbol")))
+      .withColumn("rn", row_number().over(Window.partitionBy("symbol")
+        .orderBy(col("dd6").desc, col("trade_date"))).cast("long"))
+      .filter(col("n") >= minDays.toLong &&
+        col("rn") <= expr(s"($alphaPct * (n - 1)) div 100") + lit(1L))
+    base.groupBy("symbol")
+      .agg(max(col("n")).as("n"), count(lit(1)).as("k"),
+        min(col("dd6")).as("dar6"), sum(col("dd6")).as("s6"))
+      .select(col("symbol"), col("n").cast("long").as("n_days"),
+        col("k").cast("long").as("k_worst"),
+        rd(col("dar6").cast("double") / 1.0e6, 4).as("dar_pct"),
+        rd(col("s6").cast("double") / col("k").cast("double") / 1.0e6, 4)
+          .as("cdar_pct"))
+  }
+
+  /** 1-D energy distance between each symbol's history halves
+    * (Székely & Rizzo, "Energy statistics", J. Stat. Plann. Inference
+    * 2013): E = 2·E|X−Y| − E|X−X′| − E|Y−Y′| — zero iff the two
+    * distributions coincide, sensitive to ANY difference (location,
+    * scale, shape), the metric companion to [[mannWhitneySplit]]'s
+    * rank shift and [[ksTwoSample]]'s sup-gap. The O(n²) pairwise
+    * sums collapse to ONE sorted pass via the order-statistic
+    * identity Σ_{i<j}(z_(j) − z_(i)) = Σ_j (2j − m − 1)·z_(j):
+    * the pooled pair sum and the two within-half pair sums come from
+    * two rank windows sharing the symbol partition, and the cross
+    * term is their exact difference.
+    *
+    * Exactness: returns are scale-4 longs, ranks exact (tie order is
+    * irrelevant — tied pairs contribute zero), every pair sum an
+    * exact DECIMAL(38,0) ([[dimsonBeta]] rule: coefficient×value
+    * products reach y_max·n²); the E tree is fixed doubles. Scale
+    * shape: two symbol-partitioned windows + one rollup — D·S grain,
+    * NO pair fan-out despite the O(n²) semantics. */
+  def energyDistanceSplit(returns: DataFrame, minDays: Int = 60): DataFrame = {
+    def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val r = returns.filter(col("daily_return_pct").isNotNull)
+      .select(col("symbol"), col("trade_date"),
+        scaled(col("daily_return_pct"), 4).as("y"))
+      .withColumn("t", row_number().over(bySymbol).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("symbol")))
+      .withColumn("g", when(col("t") * 2 <= col("n"), lit(1L)).otherwise(lit(2L)))
+      .withColumn("j", row_number().over(Window.partitionBy("symbol")
+        .orderBy(col("y"), col("t"))).cast("long"))
+      .withColumn("jg", row_number().over(Window.partitionBy("symbol", "g")
+        .orderBy(col("y"), col("t"))).cast("long"))
+      .withColumn("mg", count(lit(1)).over(Window.partitionBy("symbol", "g")))
+    val gr = r.groupBy("symbol").agg(
+      max(col("n")).as("n"),
+      sum(when(col("g") === 1L, 1L).otherwise(0L)).as("n1"),
+      sum(d(lit(2L) * col("j") - col("n") - lit(1L)) * col("y")).as("pooled"),
+      sum(when(col("g") === 1L,
+        d(lit(2L) * col("jg") - col("mg") - lit(1L)) * col("y"))
+        .otherwise(lit(0L).cast("decimal(38,0)"))).as("w1"),
+      sum(when(col("g") === 2L,
+        d(lit(2L) * col("jg") - col("mg") - lit(1L)) * col("y"))
+        .otherwise(lit(0L).cast("decimal(38,0)"))).as("w2"))
+      .filter(col("n") >= minDays.toLong)
+      .withColumn("n2", col("n") - col("n1"))
+      .withColumn("cross", col("pooled") - col("w1") - col("w2"))
+    val aT = col("cross").cast("double") / (col("n1") * col("n2")).cast("double")
+    val bT = lit(2.0) * col("w1").cast("double") /
+      (col("n1") * col("n1")).cast("double")
+    val cT = lit(2.0) * col("w2").cast("double") /
+      (col("n2") * col("n2")).cast("double")
+    val e = lit(2.0) * aT - bT - cT
+    gr.select(col("symbol"),
+      col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+      rd(e / 1.0e4, 6).as("e_dist_pct"),
+      rd((col("n1") * col("n2")).cast("double") / col("n").cast("double") *
+        e / 1.0e4, 4).as("t_energy"))
+  }
+
   /** Pinball (quantile) loss evaluation per symbol across the
     * standard τ ladder {0.05, 0.25, 0.5, 0.75, 0.95} (Koenker &
     * Bassett, "Regression quantiles", Econometrica 1978): the

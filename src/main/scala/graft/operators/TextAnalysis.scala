@@ -1630,6 +1630,50 @@ object TextAnalysis {
     * convention). Scale shape: one exploded token pass to
     * (source, token) cells, a token-total broadcast back, one
     * partial-aggregable source rollup — no windows, no sort. */
+  /** Moving-average type-token ratio per source (Covington & McFall,
+    * "Cutting the Gordian knot: the moving-average type-token ratio",
+    * J. Quantitative Linguistics 2010): plain TTR = V/N falls with
+    * document LENGTH (Heaps' law), so cross-length comparisons lie;
+    * MATTR fixes the measurement window — the mean over all W-token
+    * sliding windows of (distinct types in window)/W — making the
+    * lexical-diversity number length-invariant. Docs shorter than W
+    * fall back to their plain TTR (the paper's convention) and are
+    * counted separately. [[diversityIndex]] is the source-grain
+    * unigram-distribution lens; this is the within-doc lens rolled up.
+    *
+    * Exactness: per-window distinct counts are exact ints from pure
+    * array expressions (no explode, no shuffle — one codegen'd map
+    * per doc); the per-doc ratio pays one division and is quantized
+    * to a scale-12 long so the source mean is an exact integer sum
+    * with one final division. Scale shape: one narrow doc scan + one
+    * partial-aggregable source rollup. Cost is O(N·W) array work per
+    * doc — W is a constant dial. */
+  def mattr(docs: DataFrame, sourceCol: String, textCol: String,
+            window: Int = 25): DataFrame = {
+    require(window >= 2, "mattr: window must be >= 2")
+    val w = window
+    val base = docs.select(col(sourceCol).as("source"),
+        expr(s"filter(split(${textCol}, ' '), t -> t <> '')").as("ts"))
+      .select(col("source"), size(col("ts")).cast("long").as("n"), col("ts"))
+      .filter(col("n") > 0L)
+      .withColumn("m12",
+        when(col("n") >= w.toLong, scaled(
+          expr(s"aggregate(transform(sequence(1, size(ts) - ${w - 1}), " +
+            s"i -> CAST(size(array_distinct(slice(ts, i, $w))) AS BIGINT)), " +
+            "0L, (a, x) -> a + x)").cast("double") /
+            (lit(w.toDouble) * (col("n") - lit((w - 1).toLong)).cast("double")), 12))
+          .otherwise(scaled(size(array_distinct(col("ts"))).cast("double") /
+            col("n").cast("double"), 12)))
+    base.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n") < w.toLong, 1L).otherwise(0L)).as("n_short"),
+        sum(col("m12")).as("s12"))
+      .select(col("source"), col("n_docs").cast("long").as("n_docs"),
+        col("n_short").cast("long").as("n_short"),
+        rd(col("s12").cast("double") / col("n_docs").cast("double") / 1.0e12, 6)
+          .as("mattr"))
+  }
+
   def diversityIndex(docs: DataFrame, sourceCol: String,
                      textCol: String): DataFrame = {
     def dd(c: Column) = c.cast("decimal(38,0)")

@@ -201,7 +201,16 @@ object CompositeScalingBench {
     // (DailyAnalytics.headToHead) that holds q_pairs_spread at ~71x
     // on the same axis. Bound kept at 150: the bar the rewrite meets.
     ("q_bradley_terry", 1.5 * K * K),
-    ("q_pass_at_k", 1.5 * K))
+    ("q_pass_at_k", 1.5 * K),
+    // round-17 corpus shapes over K doc copies: Wasserstein runs a
+    // doc-grain length pass then lives on the LENGTHS×SOURCES grid
+    // (support widens sub-linearly; the fact pass is row-linear);
+    // diversity is a (source, token) rollup + source rollup
+    ("q_wasserstein_drift", 1.5 * K),
+    ("q_diversity_index", 1.5 * K),
+    // MATTR is one narrow doc scan of O(W)-bounded array work per doc
+    // + a source rollup (row-linear over K doc copies)
+    ("q_mattr", 1.5 * K))
   val dateFamilies: Seq[(String, Double)] = Seq(
     ("q_pairs_spread", 1.5 * K),
     ("q_pair_correlation", 1.5 * K),
@@ -225,7 +234,20 @@ object CompositeScalingBench {
     // sharing one sort + a broadcast threshold join + one rollup
     ("q_pettitt", 1.5 * K),
     ("q_brown_forsythe", 1.5 * K),
-    ("q_kupiec_pof", 1.5 * K))
+    ("q_kupiec_pof", 1.5 * K),
+    // round-17 returns shapes, all panel-length-linear in D: Elo is a
+    // days-dimension index broadcast + one sorted collect + a linear
+    // quantized fold per symbol (the Holt-Winters fold bar); Brier is
+    // one symbol-ordered window + a rollup; pinball is the Kupiec
+    // train-rank/test-rollup split with a 5-row-per-symbol ladder
+    ("q_elo_market", 1.5 * K),
+    ("q_brier_skill", 1.5 * K),
+    ("q_pinball_loss", 1.5 * K),
+    // CDaR is the running-peak window + one rank window + a rollup;
+    // energy distance is two rank windows sharing the symbol
+    // partition + a rollup — both panel-length-linear, no fan-out
+    ("q_cdar", 1.5 * K),
+    ("q_energy_distance", 1.5 * K))
 
   val BeginMarker = "<!-- GENERATED:composite-scaling -->"
   val EndMarker = "<!-- /GENERATED:composite-scaling -->"
