@@ -8608,6 +8608,86 @@ object OracleSql {
          |  ${rd("CAST(num AS DOUBLE) / (CAST(n_docs AS DOUBLE) * CAST(nn AS DOUBLE))", 6)} AS w1_tokens
          |FROM wd_g ORDER BY source""".stripMargin,
 
+    // mirrors DailyAnalytics.tailDependence(tailPct=5): marketBeta
+    // index, varCvar integer-div order-statistic thresholds on both
+    // axes, exact conditional count ratios
+    "q_tail_dependence" ->
+      s"""${dailyChain("returns")},
+         |td_x AS (SELECT symbol, trade_date, ${sc4("daily_return_pct")} AS y
+         |  FROM returns WHERE daily_return_pct IS NOT NULL),
+         |td_m AS (SELECT trade_date,
+         |    CAST(FLOOR(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS x
+         |  FROM td_x GROUP BY trade_date),
+         |td_mr AS (SELECT x,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY x, trade_date) AS BIGINT) AS rx,
+         |    CAST(COUNT(*) OVER () AS BIGINT) AS nd FROM td_m),
+         |td_mt AS (SELECT
+         |    MIN(CASE WHEN rx = (5 * (nd - 1)) // 100 + 1 THEN x END) AS lx,
+         |    MIN(CASE WHEN rx = (95 * (nd - 1)) // 100 + 1 THEN x END) AS ux
+         |  FROM td_mr),
+         |td_sr AS (SELECT symbol, y,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY y, trade_date) AS BIGINT) AS ry,
+         |    CAST(COUNT(*) OVER (PARTITION BY symbol) AS BIGINT) AS n FROM td_x),
+         |td_st AS (SELECT symbol, MAX(n) AS n,
+         |    MIN(CASE WHEN ry = (5 * (n - 1)) // 100 + 1 THEN y END) AS ly,
+         |    MIN(CASE WHEN ry = (95 * (n - 1)) // 100 + 1 THEN y END) AS uy
+         |  FROM td_sr GROUP BY symbol HAVING MAX(n) >= 60),
+         |td_g AS (SELECT e.symbol, MAX(s.n) AS n,
+         |    CAST(SUM(CASE WHEN m.x > t.ux THEN 1 ELSE 0 END) AS BIGINT) AS mu,
+         |    CAST(SUM(CASE WHEN m.x > t.ux AND e.y > s.uy THEN 1 ELSE 0 END) AS BIGINT) AS ju,
+         |    CAST(SUM(CASE WHEN m.x < t.lx THEN 1 ELSE 0 END) AS BIGINT) AS ml,
+         |    CAST(SUM(CASE WHEN m.x < t.lx AND e.y < s.ly THEN 1 ELSE 0 END) AS BIGINT) AS jl
+         |  FROM td_x e JOIN td_m m USING (trade_date)
+         |  JOIN td_st s ON s.symbol = e.symbol CROSS JOIN td_mt t
+         |  GROUP BY e.symbol)
+         |SELECT symbol, n AS n_days, mu AS n_mkt_up,
+         |  ${rd("CAST(ju AS DOUBLE) / NULLIF(CAST(mu AS DOUBLE), 0)", 4)} AS lambda_upper,
+         |  ml AS n_mkt_down,
+         |  ${rd("CAST(jl AS DOUBLE) / NULLIF(CAST(ml AS DOUBLE), 0)", 4)} AS lambda_lower
+         |FROM td_g ORDER BY symbol""".stripMargin,
+
+    // mirrors TextAnalysis.keynessLlr(topK=25): Dunning G^2 over the
+    // doc-parity 2x2 with pooled-rate expecteds, 0*ln0 limits, exact
+    // cross-product direction flag; cut on the unrounded g2
+    "q_keyness_llr" -> {
+      val pooled = "((CAST(a AS DOUBLE) + CAST(b AS DOUBLE)) / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))"
+      s"""WITH kl_c AS (SELECT t,
+         |    CAST(SUM(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         |    CAST(SUM(CASE WHEN h <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS b
+         |  FROM (SELECT doc_id % 2 AS h, unnest(string_split(text, ' ')) AS t
+         |        FROM documents)
+         |  WHERE t <> '' GROUP BY t),
+         |kl_n AS (SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb FROM kl_c),
+         |kl_g AS (SELECT t, a, b, na, nb,
+         |    2.0 * ((CASE WHEN CAST(a AS DOUBLE) = 0.0 THEN 0.0
+         |             ELSE CAST(a AS DOUBLE) * ln(CAST(a AS DOUBLE) / (CAST(na AS DOUBLE) * $pooled)) END)
+         |         + (CASE WHEN CAST(b AS DOUBLE) = 0.0 THEN 0.0
+         |             ELSE CAST(b AS DOUBLE) * ln(CAST(b AS DOUBLE) / (CAST(nb AS DOUBLE) * $pooled)) END)) AS g2
+         |  FROM kl_c CROSS JOIN kl_n),
+         |kl_t AS (SELECT t AS token, a AS count_a, b AS count_b,
+         |    ${rd("g2", 4)} AS g2_llr,
+         |    CASE WHEN a * nb > b * na THEN 'even_ids' ELSE 'odd_ids' END AS overused_in
+         |  FROM kl_g ORDER BY g2 DESC, t LIMIT 25)
+         |SELECT * FROM kl_t ORDER BY g2_llr DESC, token""".stripMargin
+    },
+
+    // mirrors TextAnalysis.tokenBurstiness(topK=50): exact
+    // variance-to-mean ratio over per-doc counts (zeros through the
+    // document-total broadcast), HUGEINT squares
+    "q_token_burstiness" ->
+      s"""WITH tb_dc AS (SELECT d, t, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM (SELECT doc_id AS d, unnest(string_split(text, ' ')) AS t
+         |        FROM documents)
+         |  WHERE t <> '' GROUP BY d, t),
+         |tb_g AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS m,
+         |    CAST(SUM(c) AS BIGINT) AS sc, SUM(CAST(c AS HUGEINT) * c) AS sq
+         |  FROM tb_dc GROUP BY t),
+         |tb_n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+         |tb_t AS (SELECT t AS token, sc AS n_occ, m AS n_docs_with,
+         |    ${rd("CAST(CAST(nd AS HUGEINT) * sq - CAST(sc AS HUGEINT) * sc AS DOUBLE) / NULLIF(CAST(CAST(nd AS HUGEINT) * sc AS DOUBLE), 0)", 6)} AS vmr_burstiness
+         |  FROM tb_g CROSS JOIN tb_n ORDER BY sc DESC, t LIMIT 50)
+         |SELECT * FROM tb_t ORDER BY n_occ DESC, token""".stripMargin,
+
     // mirrors DailyAnalytics.cdar(alpha=5%): running-peak drawdown
     // percent quantized scale-6 per day, varCvar-convention top-k
     // pick, exact integer mean

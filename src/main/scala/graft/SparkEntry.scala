@@ -3667,6 +3667,21 @@ object SparkEntry {
     TextAnalysis.mattr(Tables.documents(s, dir), "source", "text")
       .orderBy("source")
 
+  /** Upper/lower tail dependence vs the equal-weight market. */
+  private def qTailDependence(s: SparkSession, dir: String): DataFrame =
+    DailyAnalytics.tailDependence(Marts.dailyReturns(s, dir))
+      .orderBy("symbol")
+
+  /** Dunning G² keyness between the doc-parity halves, top 25. */
+  private def qKeynessLlr(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.keynessLlr(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("g2_llr").desc, col("token"))
+
+  /** Church-Gale variance-to-mean token burstiness, top 50. */
+  private def qTokenBurstiness(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenBurstiness(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("n_occ").desc, col("token"))
+
   // ──────────────────────────────────────────────────────────────────
   // Registry
   // ──────────────────────────────────────────────────────────────────
@@ -4000,7 +4015,10 @@ object SparkEntry {
     "q_diversity_index" -> (qDiversityIndex _),
     "q_cdar" -> (qCdar _),
     "q_energy_distance" -> (qEnergyDistance _),
-    "q_mattr" -> (qMattr _)
+    "q_mattr" -> (qMattr _),
+    "q_tail_dependence" -> (qTailDependence _),
+    "q_keyness_llr" -> (qKeynessLlr _),
+    "q_token_burstiness" -> (qTokenBurstiness _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

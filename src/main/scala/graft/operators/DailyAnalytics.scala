@@ -4194,6 +4194,75 @@ object DailyAnalytics {
         e / 1.0e4, 4).as("t_energy"))
   }
 
+  /** Empirical tail-dependence coefficients of each symbol against
+    * the equal-weight market (Sibuya 1960 introduced the coefficient;
+    * Joe, *Multivariate Models and Dependence Concepts* 1997, ch. 2 is
+    * the standard treatment): λ_U = P(Y > q_Y^{95} | M > q_M^{95})
+    * and λ_L with the 5% lower tails — "when the market has a
+    * top-decile day, how often does this symbol too", the
+    * crash-co-movement number a correlation ([[marketBeta]],
+    * [[pairCorrelation]]) structurally understates because Gaussian
+    * dependence has λ = 0.
+    *
+    * Exactness: both thresholds are exact order statistics
+    * (k = (p·(n−1)) div 100 + 1 on ascending scale-4 values, the
+    * [[kupiecPof]]/[[varCvar]] integer-div convention — market over
+    * the days dimension, per-symbol over its history); the
+    * conditional probabilities are exact count ratios with one
+    * division. Scale shape: one symbol rank window (shared sort),
+    * one days-dimension rank, two broadcast threshold joins, one
+    * partial-aggregable symbol rollup. */
+  def tailDependence(returns: DataFrame, tailPct: Int = 5,
+                     minDays: Int = 60): DataFrame = {
+    require(tailPct > 0 && tailPct < 50, "tailDependence: tailPct in (0,50)")
+    val p = tailPct
+    val r = returns.filter(col("daily_return_pct").isNotNull)
+      .select(col("symbol"), col("trade_date"),
+        scaled(col("daily_return_pct"), 4).as("y"))
+      .snapshot() // feeds the index build, both rank passes, AND the probe
+    val mkt = r.groupBy("trade_date")
+      .agg(sum(col("y")).as("m"), count(lit(1)).as("nsym"))
+      .select(col("trade_date"),
+        floor(col("m").cast("double") / col("nsym").cast("double")).cast("long").as("x"))
+    val mr = mkt
+      .withColumn("rx", row_number().over(
+        Window.orderBy(col("x"), col("trade_date"))).cast("long"))
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy()))
+    val mThr = mr.agg(
+      min(when(col("rx") === expr(s"($p * (nd - 1)) div 100") + lit(1L),
+        col("x"))).as("lx"),
+      min(when(col("rx") === expr(s"((100 - $p) * (nd - 1)) div 100") + lit(1L),
+        col("x"))).as("ux"))
+    val sr = r
+      .withColumn("ry", row_number().over(Window.partitionBy("symbol")
+        .orderBy(col("y"), col("trade_date"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("symbol")))
+    val sThr = sr.groupBy("symbol").agg(max(col("n")).as("n"),
+        min(when(col("ry") === expr(s"($p * (n - 1)) div 100") + lit(1L),
+          col("y"))).as("ly"),
+        min(when(col("ry") === expr(s"((100 - $p) * (n - 1)) div 100") + lit(1L),
+          col("y"))).as("uy"))
+      .filter(col("n") >= minDays.toLong)
+    r.join(broadcast(mkt), "trade_date")
+      .join(broadcast(sThr), "symbol")
+      .crossJoin(broadcast(mThr))
+      .groupBy("symbol")
+      .agg(max(col("n")).as("n"),
+        sum(when(col("x") > col("ux"), 1L).otherwise(0L)).as("mu"),
+        sum(when(col("x") > col("ux") && col("y") > col("uy"), 1L)
+          .otherwise(0L)).as("ju"),
+        sum(when(col("x") < col("lx"), 1L).otherwise(0L)).as("ml"),
+        sum(when(col("x") < col("lx") && col("y") < col("ly"), 1L)
+          .otherwise(0L)).as("jl"))
+      .select(col("symbol"), col("n").cast("long").as("n_days"),
+        col("mu").cast("long").as("n_mkt_up"),
+        rd(col("ju").cast("double") / nullifZero(col("mu").cast("double")), 4)
+          .as("lambda_upper"),
+        col("ml").cast("long").as("n_mkt_down"),
+        rd(col("jl").cast("double") / nullifZero(col("ml").cast("double")), 4)
+          .as("lambda_lower"))
+  }
+
   /** Pinball (quantile) loss evaluation per symbol across the
     * standard τ ladder {0.05, 0.25, 0.5, 0.75, 0.95} (Koenker &
     * Bassett, "Regression quantiles", Econometrica 1978): the

@@ -1630,6 +1630,88 @@ object TextAnalysis {
     * convention). Scale shape: one exploded token pass to
     * (source, token) cells, a token-total broadcast back, one
     * partial-aggregable source rollup — no windows, no sort. */
+  /** Dunning log-likelihood keyness between the doc-id-parity corpus
+    * halves (Dunning, "Accurate methods for the statistics of
+    * surprise and coincidence", Computational Linguistics 1993): per
+    * token the G² = 2·Σ O·ln(O/E) statistic over the 2×2
+    * (half × token) table — THE standard "which words characterize
+    * corpus A vs corpus B" measure, robust at the low counts where
+    * χ² breaks (Dunning's point), and the keyword-drift companion to
+    * [[rboDrift]]'s rank view and [[jsDivergence]]'s whole-
+    * distribution view. Expected counts use the pooled rate:
+    * E_a = N_A·(a+b)/(N_A+N_B). Zero cells take the 0·ln 0 = 0
+    * limit. `overused_in` marks the direction (exact cross-product
+    * comparison a·N_B vs b·N_A — no division).
+    *
+    * Exactness: counts are exact longs; G² is one fixed double tree
+    * per token row (data-dependent ln on the token grain, the
+    * [[Profiling.mutualInfo]] convention — both engines run the same
+    * libm). Scale shape: one exploded pass to (token, half) counts,
+    * a 1-row totals broadcast, then the house partition-local
+    * top-k. */
+  def keynessLlr(docs: DataFrame, idCol: String, textCol: String,
+                 topK: Int = 25): DataFrame = {
+    require(topK >= 1, "keynessLlr: topK must be positive")
+    val cells = Dedup.spreadById(docs, idCol, textCol)
+      .select((col(idCol) % 2).as("h"), explode(tokens(col(textCol))).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy("t")
+      .agg(sum(when(col("h") === 0, 1L).otherwise(0L)).as("a"),
+        sum(when(col("h") =!= 0, 1L).otherwise(0L)).as("b"))
+    val totals = cells.agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
+    val (aD, bD) = (col("a").cast("double"), col("b").cast("double"))
+    val (naD, nbD) = (col("na").cast("double"), col("nb").cast("double"))
+    val pooled = (aD + bD) / (naD + nbD)
+    val term = (o: org.apache.spark.sql.Column, e: org.apache.spark.sql.Column) =>
+      when(o === 0.0, lit(0.0)).otherwise(o * log(o / e))
+    cells.crossJoin(broadcast(totals))
+      .withColumn("g2", lit(2.0) *
+        (term(aD, naD * pooled) + term(bD, nbD * pooled)))
+      .orderBy(col("g2").desc, col("t")).limit(topK)
+      .select(col("t").as("token"),
+        col("a").cast("long").as("count_a"),
+        col("b").cast("long").as("count_b"),
+        rd(col("g2"), 4).as("g2_llr"),
+        when(col("a") * col("nb") > col("b") * col("na"), lit("even_ids"))
+          .otherwise(lit("odd_ids")).as("overused_in"))
+  }
+
+  /** Token burstiness via the variance-to-mean ratio of per-document
+    * counts (Church & Gale, "Poisson mixtures", Natural Language
+    * Engineering 1995; Katz 1996): a Poisson-scattered token has
+    * VMR = 1; VMR ≫ 1 means the token CLUMPS — when it appears it
+    * appears many times (topical/boilerplate), the within-corpus
+    * burstiness lens beside [[tokenDispersion]]'s across-source
+    * evenness. Zero-count docs enter through the document total N:
+    * VMR = (N·Σc² − (Σc)²) / (N·Σc) — population variance over mean,
+    * an EXACT integer ratio with one final division.
+    *
+    * Scale shape: one exploded pass to (doc, token) counts, a token
+    * rollup (Σc, Σc², doc frequency) with DECIMAL(38,0) squares
+    * ([[sharpeRatio]] rule), a 1-row N broadcast, then the house
+    * partition-local top-k by total count. */
+  def tokenBurstiness(docs: DataFrame, idCol: String, textCol: String,
+                      topK: Int = 50): DataFrame = {
+    require(topK >= 1, "tokenBurstiness: topK must be positive")
+    def dd(c: Column) = c.cast("decimal(38,0)")
+    val dc = Dedup.spreadById(docs, idCol, textCol)
+      .select(col(idCol).as("d"), explode(tokens(col(textCol))).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy("d", "t").agg(count(lit(1)).as("c"))
+    val g = dc.groupBy("t")
+      .agg(count(lit(1)).as("m"), sum(col("c")).as("sc"),
+        sum(dd(col("c")) * col("c")).as("sq"))
+    val nDocs = docs.agg(count(lit(1)).as("nd"))
+    g.crossJoin(broadcast(nDocs))
+      .orderBy(col("sc").desc, col("t")).limit(topK)
+      .select(col("t").as("token"),
+        col("sc").cast("long").as("n_occ"),
+        col("m").cast("long").as("n_docs_with"),
+        rd((dd(col("nd")) * col("sq") - dd(col("sc")) * col("sc")).cast("double") /
+          nullifZero((dd(col("nd")) * col("sc")).cast("double")), 6)
+          .as("vmr_burstiness"))
+  }
+
   /** Moving-average type-token ratio per source (Covington & McFall,
     * "Cutting the Gordian knot: the moving-average type-token ratio",
     * J. Quantitative Linguistics 2010): plain TTR = V/N falls with

@@ -210,7 +210,12 @@ object CompositeScalingBench {
     ("q_diversity_index", 1.5 * K),
     // MATTR is one narrow doc scan of O(W)-bounded array work per doc
     // + a source rollup (row-linear over K doc copies)
-    ("q_mattr", 1.5 * K))
+    ("q_mattr", 1.5 * K),
+    // keyness is one exploded pass to (token, half) + a 1-row totals
+    // broadcast + the house pre-top; burstiness is the (doc, token)
+    // rollup + token rollup — both row-linear over K doc copies
+    ("q_keyness_llr", 1.5 * K),
+    ("q_token_burstiness", 1.5 * K))
   val dateFamilies: Seq[(String, Double)] = Seq(
     ("q_pairs_spread", 1.5 * K),
     ("q_pair_correlation", 1.5 * K),
@@ -247,7 +252,10 @@ object CompositeScalingBench {
     // energy distance is two rank windows sharing the symbol
     // partition + a rollup — both panel-length-linear, no fan-out
     ("q_cdar", 1.5 * K),
-    ("q_energy_distance", 1.5 * K))
+    ("q_energy_distance", 1.5 * K),
+    // tail dependence is one symbol rank window + a days-dimension
+    // rank + broadcast threshold joins + a rollup (panel-linear)
+    ("q_tail_dependence", 1.5 * K))
 
   val BeginMarker = "<!-- GENERATED:composite-scaling -->"
   val EndMarker = "<!-- /GENERATED:composite-scaling -->"

@@ -175,6 +175,67 @@ class R17WaveSpec extends AnyFunSpec {
     }
   }
 
+  describe("tailDependence") {
+    it("a market-driving pair has lambda 1, a flat symbol lambda 0") {
+      // A and B carry a distinct permutation, C is flat: the index is
+      // floor(2a/3), strictly monotone in a — so the market's tail
+      // days ARE A's (and B's) tail days, and never C's
+      val rnd = new scala.util.Random(19)
+      val perm = rnd.shuffle((1 to 100).toList)
+      val panel = dates(100).zipWithIndex.flatMap { case (d, t) =>
+        Seq(("A", d, perm(t).toDouble), ("B", d, perm(t).toDouble),
+          ("C", d, 0.0)) }
+        .toDF("symbol", "trade_date", "daily_return_pct")
+      val got = DailyAnalytics.tailDependence(panel).collect()
+        .map(r => r.getAs[String]("symbol") ->
+          (r.getAs[Long]("n_mkt_up"), r.getAs[Double]("lambda_upper"),
+            r.getAs[Long]("n_mkt_down"), r.getAs[Double]("lambda_lower"))).toMap
+      // ux = 95th smallest of 100 distinct -> 5 exceedances; lx = 5th -> 4
+      assert(got("A") == (5L, 1.0, 4L, 1.0), s"$got")
+      assert(got("B") == (5L, 1.0, 4L, 1.0), s"$got")
+      assert(got("C") == (5L, 0.0, 4L, 0.0), s"$got")
+    }
+
+    it("a constant market has empty tails: counts 0, lambdas NULL") {
+      // A = -B makes every day's index floor(0/2) = 0
+      val panel = dates(80).zipWithIndex.flatMap { case (d, t) =>
+        Seq(("A", d, (t % 7 + 1).toDouble), ("B", d, -(t % 7 + 1).toDouble)) }
+        .toDF("symbol", "trade_date", "daily_return_pct")
+      val rows = DailyAnalytics.tailDependence(panel).collect()
+      rows.foreach { r =>
+        assert(r.getAs[Long]("n_mkt_up") == 0L && r.getAs[Long]("n_mkt_down") == 0L)
+        assert(r.isNullAt(r.fieldIndex("lambda_upper")))
+        assert(r.isNullAt(r.fieldIndex("lambda_lower")))
+      }
+    }
+  }
+
+  describe("keynessLlr") {
+    it("a balanced token scores 0; a one-sided token scores 2 ln 2 with the right direction") {
+      val docs = Seq((0L, "aa bb"), (1L, "aa cc")).toDF("doc_id", "text")
+      val got = TextAnalysis.keynessLlr(docs, "doc_id", "text")
+        .collect().map(r => r.getAs[String]("token") ->
+          (r.getAs[Double]("g2_llr"), r.getAs[String]("overused_in"))).toMap
+      assert(got("aa")._1 == 0.0, s"$got")
+      assert(got("bb") == (1.3863, "even_ids"), s"$got") // 2 ln 2
+      assert(got("cc") == (1.3863, "odd_ids"), s"$got")
+    }
+  }
+
+  describe("tokenBurstiness") {
+    it("a clumped token has VMR (N s2 - s^2)/(N s); an evenly spread one has 0") {
+      val docs = Seq((1L, "z z z z u"), (2L, "u"), (3L, "u"), (4L, "u"))
+        .toDF("doc_id", "text")
+      val got = TextAnalysis.tokenBurstiness(docs, "doc_id", "text")
+        .collect().map(r => r.getAs[String]("token") ->
+          (r.getAs[Long]("n_occ"), r.getAs[Long]("n_docs_with"),
+            r.getAs[Double]("vmr_burstiness"))).toMap
+      // z: N=4, sum=4, sumsq=16 -> (64-16)/16 = 3; u: (4*4-16)/16 = 0
+      assert(got("z") == (4L, 1L, 3.0), s"$got")
+      assert(got("u") == (4L, 4L, 0.0), s"$got")
+    }
+  }
+
   describe("diversityIndex") {
     it("uniform vocabulary: Shannon = ln V, Simpson = 0, evenness = 1") {
       val docs = Seq((1L, "a b", "u"), (2L, "c d", "u"))
