@@ -3597,7 +3597,12 @@ object SparkEntry {
     * ([[graft.operators.DailyAnalytics.headToHead]]) — the naive
     * day-grain self-join was the r16 composite-scaling miss. */
   private def qBradleyTerry(s: SparkSession, dir: String): DataFrame = {
-    val p = DailyAnalytics.headToHead(Marts.dailyReturns(s, dir))
+    // snapshot the pair grid BEFORE the orientation union: both union
+    // branches read the S²/2-row materialized grid instead of each
+    // re-running the blocked S²·D fan-out (unsnapshotted, the union
+    // doubled the lane's task time — r17 profile: 87 task-s vs the
+    // single-pass lanes' ~40 on the same device)
+    val p = DailyAnalytics.headToHead(Marts.dailyReturns(s, dir)).snapshot()
     val both = p.select(col("i"), col("j"), col("n"), col("wi"))
       .unionByName(p.select(col("j").as("i"), col("i").as("j"), col("n"),
         (col("n") - col("wi")).as("wi")))

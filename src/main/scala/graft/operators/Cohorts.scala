@@ -918,35 +918,74 @@ object Cohorts {
     * Exactness: strengths live as scale-9 longs; each pair term
     * n/(w_i + w_j) is quantized to a scale-12 long so the per-item
     * denominator is an order-free integer sum; the update is one
-    * fixed double tree per item per round. Scale shape: per round,
-    * two broadcast joins of the item-sized strength frame onto the
-    * pair grid plus one partial-aggregable rollup — pair-grid-linear
-    * with bounded rounds. */
+    * fixed double tree per item per round.
+    *
+    * Scale shape (r17 restructure, guide §2.4 "remove shuffles
+    * outright"): the strength vector is ITEM-dimension-sized — the
+    * same boundedness the previous form already leaned on to
+    * broadcast it twice per round — so the whole MM loop runs with
+    * ZERO per-round shuffles: the grid is grouped ONCE to per-item
+    * partner arrays (S rows, S-1 entries each; one pair-grid-linear
+    * pass), the strengths travel as a single broadcast 1-row map,
+    * and each round is a projection whose order-free long fold
+    * (`aggregate` over the partner array) reproduces the previous
+    * join+rollup bit-for-bit. The join form paid, per round, two
+    * broadcast builds + a pair-grid-sized partial-agg exchange and
+    * ~4 driver job barriers (measured r17: the lane is job-chain
+    * bound — 29 sequential jobs, median 66 ms); this form pays one
+    * 1-row map build per round. */
   def bradleyTerry(games: DataFrame, rounds: Int = 2): DataFrame = {
     require(rounds >= 1, "bradleyTerry: at least one MM round")
     val grid = games.select(col("i"), col("j"),
       col("n").cast("long").as("n"), col("wi").cast("long").as("wi"))
-      .snapshot() // joined every round
-    val totals = grid.groupBy(col("i").as("symbol"))
-      .agg(sum(col("wi")).as("wins"), sum(col("n")).as("games"))
-      .snapshot()
-    var w = totals.select(col("symbol"), lit(1000000000L).as("w9"))
+    // Dense 1-based item ids (deterministic: ordered by item key).
+    // The strength vector then travels as a plain ARRAY positioned by
+    // id — element_at(array, id) is O(1), where a Spark map value
+    // lookup is a LINEAR scan of the (array-backed) MapData, which
+    // measured O(S³) per round on the first cut of this restructure.
+    val ids = grid.select(col("i").as("symbol")).distinct()
+      .withColumn("id", row_number().over(Window.orderBy("symbol")))
+      .snapshot() // S rows; consumed by TWO broadcast builds below
+    // ONE pair-grid pass: per-item totals + the partner list (jid, n).
+    // S is an item dimension (the existing broadcast-strengths
+    // contract), so S-1 entries per row is bounded catalog data.
+    val byI = grid
+      .join(broadcast(ids.select(col("symbol").as("j"), col("id").as("jid"))), "j")
+      .groupBy(col("i").as("symbol"))
+      .agg(sum(col("wi")).as("wins"), sum(col("n")).as("games"),
+        collect_list(struct(col("jid"), col("n"))).as("ps"))
+      .join(broadcast(ids), "symbol")
+      .snapshot() // consumed once per round + the readout
+    // 1-row strength array, position = id (sort_array on the unique
+    // leading id makes the order deterministic).
+    def warr(strengths: DataFrame): DataFrame =
+      strengths.agg(transform(
+        sort_array(collect_list(struct(col("id"), col("w9")))),
+        e => e.getField("w9")).as("wa"))
+    var m = warr(byI.select(col("id"), lit(1000000000L).as("w9")))
     for (_ <- 1 to rounds) {
-      val t = grid
-        .join(broadcast(w.select(col("symbol").as("i"), col("w9").as("wi9"))), "i")
-        .join(broadcast(w.select(col("symbol").as("j"), col("w9").as("wj9"))), "j")
-        .withColumn("t12", scaled(col("n").cast("double") * lit(1.0e9) /
-          (col("wi9") + col("wj9")).cast("double"), 12))
-        .groupBy(col("i").as("symbol"))
-        .agg(sum(col("t12")).as("t12"))
-      w = totals.join(t, "symbol")
-        .select(col("symbol"),
-          scaled(col("wins").cast("double") * lit(1.0e12) /
-            col("t12").cast("double"), 9).as("w9"))
+      // t12_i = Σ_j scaled(n_ij·1e9/(w_i+w_j), 12): the same scale-12
+      // long terms as the join form, summed by an order-free integer
+      // fold — bit-identical at any evaluation order.
+      val t = byI.crossJoin(broadcast(m))
+        .select(col("symbol"), col("id"), col("wins"),
+          aggregate(col("ps"), lit(0L), (acc, p) =>
+            acc + scaled(p.getField("n").cast("double") * lit(1.0e9) /
+              (element_at(col("wa"), col("id")) +
+                element_at(col("wa"), p.getField("jid"))).cast("double"), 12))
+            .as("t12"))
+      m = warr(t.select(col("id"),
+        scaled(col("wins").cast("double") * lit(1.0e12) /
+          col("t12").cast("double"), 9).as("w9")))
     }
+    // Readout: per-item strength from the final array, normalized by
+    // the same Σw9 long sum as before (sum over the S-row frame).
+    val w = byI.crossJoin(broadcast(m))
+      .select(col("symbol"), col("wins"), col("games"),
+        element_at(col("wa"), col("id")).as("w9"))
+      .snapshot() // feeds the global sum AND the final projection
     val tot = w.agg(sum(col("w9")).as("sw"))
-    w.join(totals, "symbol")
-      .crossJoin(broadcast(tot))
+    w.crossJoin(broadcast(tot))
       .select(col("symbol"),
         col("games").cast("long").as("games"),
         col("wins").cast("long").as("wins"),

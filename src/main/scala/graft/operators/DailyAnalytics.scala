@@ -424,20 +424,47 @@ object DailyAnalytics {
     }.isDefined,
       "blockedPairJoin: input must be a materialized snapshot " +
         "(Staging.snapshot) — the block dial runs an eager distinct-count on it")
-    val B = pairBlocks(r.select("symbol").distinct().count())
-    val G = PairDateGroups
+    // ONE probe job for both cardinality dials (the input is a
+    // materialized snapshot, so this scans checkpoint blocks only)
+    val card = r.agg(countDistinct(col("symbol")),
+      countDistinct(col("trade_date"))).head()
+    val (symbols, days) = (card.getLong(0), card.getLong(1))
+    val B = pairBlocks(symbols)
     val parts = r.sparkSession.sessionState.conf.numShufflePartitions
+    // Group and partition dials, derived from the session partition
+    // dial and the measured panel (scale-adaptive, nothing pinned):
+    //  - G grows until B²·G ≈ 4·parts, so the group space always
+    //    oversubscribes the cores (guide §2.5: a synthetic key with
+    //    too few distinct values leaves cores idle — at the fixed
+    //    G=8, B=4, parts=32 dials the 128 groups hashed into 32
+    //    partitions loaded the max task ~2× the mean; measured r17:
+    //    fan-out wall 2.87 s → 2.00 s at one group per partition);
+    //  - but G is CAPPED at ⌈days/8⌉: each (s1,s2) key emits one
+    //    partial-agg row per date-group it meets, so the partial
+    //    reduction factor is days/G — uncapped (a cluster-scale
+    //    `parts` would push G past the date cardinality) the "partial"
+    //    exchange would carry the raw S²·D fan-out. The cap keeps
+    //    ≥8× map-side reduction at any scale, guide §2.3.
+    //  - the pair exchange gets B²·G partitions (≥ parts) — one group
+    //    per partition in expectation, so tasks are group-sized and
+    //    wave scheduling absorbs hash collisions; the per-task partial
+    //    agg keeps the (S/B)²-keys-per-block-pair bound that prevents
+    //    the sort-agg fallback at ANY symbol cardinality.
+    val G = math.max(PairDateGroups,
+      math.min(math.ceil(4.0 * parts / (B.toDouble * B)).toInt,
+        math.max(PairDateGroups, math.ceil(days / 8.0).toInt)))
+    val pairParts = math.max(parts, B * B * G)
     val bvals = array((0 until B).map(lit): _*)
     val left = r.select(col("symbol").as("s1"), col("trade_date"), col("xs").as("x"))
       .withColumn("bi", pmod(hash(col("s1")), lit(B)))
       .withColumn("bj", explode(bvals))
       .withColumn("dg", pmod(hash(col("trade_date")), lit(G)))
-      .repartition(parts, col("bi"), col("bj"), col("dg"))
+      .repartition(pairParts, col("bi"), col("bj"), col("dg"))
     val right = r.select(col("symbol").as("s2"), col("trade_date"), col("xs").as("y"))
       .withColumn("bj", pmod(hash(col("s2")), lit(B)))
       .withColumn("bi", explode(bvals))
       .withColumn("dg", pmod(hash(col("trade_date")), lit(G)))
-      .repartition(parts, col("bi"), col("bj"), col("dg"))
+      .repartition(pairParts, col("bi"), col("bj"), col("dg"))
     // SHUFFLE_HASH, not broadcast and not sort-merge: the replicated
     // panel is small in estimated BYTES, so Spark would broadcast it —
     // a B·|panel|-entry hash map rebuilt in every task (and an OOM
