@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.Funcs._
+import graft.sources.Staging.Snapshottable
 
 /** Deterministic sampling and split assignment for training-data
   * pipelines.
@@ -234,14 +235,44 @@ object Sampling {
         .when(h < t(2), 2L).when(h < t(3), 3L)
         .when(h < t(4), 4L).otherwise(5L)
     }
+    // Weights PROJECTED once per (row, rep) ahead of the aggregate, on
+    // a frame SPREAD across the cores first when the input's file-split
+    // layout under-parallelizes it (the [[graft.operators.Dedup
+    // .spreadById]] rationale, guide §1.2 "per-task work" / §2.5 input
+    // skew): B md5s per row is the lane's dominant CPU, and a compact
+    // (grp, unit, v4) mart read arrives as a handful of splits
+    // (measured sf0.1: an 11-task scan-fused stage walls 1.4 s with
+    // 11 taskSec of md5; spread over 32 it walls ~0.6 s). The exchange
+    // ships only the narrow input rows, and ONLY when the scan has
+    // fewer splits than the session dial — at real scale the scan is
+    // already ≥ cores-many tasks and no exchange is added. Keyed by
+    // the fine (grp, unit) grain, so no hot group serializes a task.
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val spread =
+      if (base.rdd.getNumPartitions < parts)
+        base.repartition(parts, col("grp"), col("unit"))
+      else base
+    val projected = spread.select(
+        col("grp") +: col("v4") +:
+          (0 until reps).map(b => w(b).as(s"w_$b")): _*)
     val repCols = (0 until reps).flatMap { b =>
-      Seq(sum(w(b) * col("v4")).as(s"ws_$b"), sum(w(b)).as(s"wn_$b"))
+      Seq(sum(col(s"w_$b") * col("v4")).as(s"ws_$b"),
+        sum(col(s"w_$b")).as(s"wn_$b"))
     }
     val aggs = Seq(
       count(lit(1)).as("n_units"),
       (sum(col("v4")).cast("double") / count(lit(1)).cast("double") / 1e4)
         .as("mean0")) ++ repCols
-    val perGroup = base.groupBy("grp").agg(aggs.head, aggs.tail: _*)
+    // SNAPSHOT the per-group frame (|grp| rows × 2+2·B longs — model-
+    // sized): it feeds TWO consumers (the readout projection and the
+    // replicate-mean explode), and without materialization each
+    // consumer re-runs the whole scan → weight-projection → aggregate
+    // chain — the B-md5s-per-row pass, the lane's dominant CPU, paid
+    // twice (measured sf0.1: two 32-task ~1 s stages with ~12-20
+    // taskSec each; AQE exchange reuse did not dedupe them). Guide
+    // §2.4 / §3.3: materialize the branch point.
+    val perGroup = projected.groupBy("grp").agg(aggs.head, aggs.tail: _*)
+      .snapshot()
     // rep dimension re-materializes here at GROUP grain (|grp|·B rows)
     val repMeans = perGroup.select(col("grp"),
         explode(array((0 until reps).map(b =>
