@@ -913,7 +913,11 @@ object Cohorts {
     * (i, j, n, wi) — both orientations present, n comparisons and
     * wi wins of i within them. Requires every item to have ≥ 1 win
     * and ≥ 1 loss overall (the standard BT existence condition;
-    * all-win items diverge to ∞ under MM).
+    * all-win items diverge to ∞ under MM). NOTE (r17 restructure):
+    * the item set is the DISTINCT i VALUES — an item appearing only
+    * as j (a violation of the both-orientations contract) is excluded
+    * from the output entirely, where the pre-r17 join form still
+    * counted it in wins/games totals.
     *
     * Exactness: strengths live as scale-9 longs; each pair term
     * n/(w_i + w_j) is quantized to a scale-12 long so the per-item
@@ -926,7 +930,7 @@ object Cohorts {
     * broadcast it twice per round — so the whole MM loop runs with
     * ZERO per-round shuffles: the grid is grouped ONCE to per-item
     * partner arrays (S rows, S-1 entries each; one pair-grid-linear
-    * pass), the strengths travel as a single broadcast 1-row map,
+    * pass), the strengths travel as a single broadcast 1-row array,
     * and each round is a projection whose order-free long fold
     * (`aggregate` over the partner array) reproduces the previous
     * join+rollup bit-for-bit. The join form paid, per round, two

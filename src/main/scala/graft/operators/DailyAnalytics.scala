@@ -443,8 +443,12 @@ object DailyAnalytics {
     //    partial-agg row per date-group it meets, so the partial
     //    reduction factor is days/G — uncapped (a cluster-scale
     //    `parts` would push G past the date cardinality) the "partial"
-    //    exchange would carry the raw S²·D fan-out. The cap keeps
-    //    ≥8× map-side reduction at any scale, guide §2.3.
+    //    exchange would carry the raw S²·D fan-out. On LONG panels
+    //    (days ≥ 64) the cap keeps ≥8× map-side reduction; on short
+    //    panels the PairDateGroups=8 floor wins instead and the
+    //    reduction factor is days/8 (< 8× when days < 64 — the floor
+    //    trades reduction for group-space parallelism there). Guide
+    //    §2.3.
     //  - the pair exchange gets B²·G partitions (≥ parts) — one group
     //    per partition in expectation, so tasks are group-sized and
     //    wave scheduling absorbs hash collisions; the per-task partial

@@ -240,6 +240,38 @@ object Profiling {
     * The offsets cumulative window is a total order over the
     * partitions-sized count table — bounded by the shuffle-partition
     * setting, not by data. */
+  /** EXACT global row number over a TOTAL order without a single-task
+    * window — [[tierSummary]]'s offset device, factored out (r18) so
+    * the two remaining row-scale `Window.orderBy` sites
+    * ([[calibrationBins]], [[TextAnalysis.heapsLaw]]) stop funneling
+    * the full frame through one WindowExec task: range-partition on
+    * the order, rank locally per partition (parallel), and add each
+    * partition's cumulative predecessor count via a broadcast of the
+    * partitions-sized offset table. `order` must be a total order
+    * (include a unique tiebreak) — equal keys land in one range
+    * partition, so local rank + offset IS `row_number() OVER (ORDER BY
+    * order)`, value-identical at any partition count (range boundaries
+    * only move WHERE ranks are computed, never what they are). Output:
+    * input columns + `rankCol` (1-based global rank) + `totalCol`
+    * (global row count). The frame is snapshotted before the fan-out:
+    * range partitioning SAMPLES boundaries, and the offset branch and
+    * rank branch must see identical assignment. */
+  private[operators] def globalRank(df: DataFrame, order: Seq[Column],
+                                    rankCol: String, totalCol: String): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val rp = graft.sources.Staging.snapshot(
+      df.repartitionByRange(parts, order: _*).withColumn("__pid", spark_partition_id()))
+    val wOff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    val off = rp.groupBy("__pid").agg(count(lit(1)).as("__pn"))
+      .withColumn("__off", coalesce(sum(col("__pn")).over(wOff), lit(0L)))
+      .withColumn(totalCol, sum(col("__pn")).over(Window.partitionBy()))
+      .select(col("__pid"), col("__off"), col(totalCol))
+    val wLocal = Window.partitionBy("__pid").orderBy(order: _*)
+    rp.join(broadcast(off), "__pid")
+      .withColumn(rankCol, col("__off") + row_number().over(wLocal))
+      .drop("__pid", "__off")
+  }
+
   def tierSummary(df: DataFrame, key: String, value: Column,
                   tiles: Int = 10): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
@@ -504,19 +536,17 @@ object Profiling {
     * integer: Σr / ((n−1)·count) — rank sums never touch doubles
     * until the one final division.
     *
-    * Scale note: the global rank is ONE total-order window over the
-    * scored docs — same deliberate dimension-sized sort as
-    * q_percent_rank/ntile (scores are one row per doc, already
-    * reduced); at 100 TB run it per shard or swap in the closed-form
-    * distributed ntile ([[tierSummary]]'s machinery). */
+    * Scale note (r18): the global rank runs on [[globalRank]]'s
+    * range-partitioned offset device — the doc-grain frame is never
+    * funneled through a single WindowExec task (the pre-r18 form's one
+    * row-scale total-order window; rank values are identical). */
   def calibrationBins(df: DataFrame, idCol: String, scoreCol: String,
                       labelCol: String, bins: Int = 10): DataFrame = {
-    val w = Window.orderBy(col(scoreCol), col(idCol))
-    val wAll = Window.partitionBy()
     val denom = greatest(col("nn") - 1, lit(1L)) * col("n_docs")
-    df.select(col(idCol), col(scoreCol), col(labelCol).cast("long").as("pos"))
-      .withColumn("r0", (row_number().over(w) - 1).cast("long"))
-      .withColumn("nn", count(lit(1)).over(wAll))
+    globalRank(
+      df.select(col(idCol), col(scoreCol), col(labelCol).cast("long").as("pos")),
+      Seq(col(scoreCol), col(idCol)), "rn", "nn")
+      .withColumn("r0", (col("rn") - 1).cast("long"))
       .withColumn("bin", least(expr(s"(r0 * $bins) DIV greatest(nn - 1, 1)"),
         lit(bins - 1).cast("long")).cast("int"))
       .groupBy("bin")

@@ -801,17 +801,17 @@ object TextAnalysis {
     * 100); the β exponent fit is left to the consumer (log-free
     * house rule).
     *
-    * Scale shape: the doc rank is a window over the doc DIMENSION
-    * (one row per doc, same deliberate shape as the ntile/percentile
-    * queries), joined onto one exploded token pass that feeds every
-    * prefix's aggregate from a single snapshot — |pcts| aggregates,
-    * one scan. */
+    * Scale shape (r18): the doc rank runs on [[Profiling.globalRank]]'s
+    * range-partitioned offset device — the doc-id frame is never
+    * funneled through one WindowExec task (the pre-r18 form's one
+    * row-scale total-order window; rank values are identical) — then
+    * joins onto one exploded token pass that feeds every prefix's
+    * aggregate from a single snapshot — |pcts| aggregates, one scan. */
   def heapsLaw(docs: DataFrame, idCol: String, textCol: String,
                pcts: Seq[Int] = Seq(25, 50, 75, 100)): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ranked = docs.select(col(idCol).as("id"))
-      .withColumn("rn", row_number().over(Window.orderBy("id")).cast("long"))
-      .withColumn("nd", count(lit(1)).over(Window.partitionBy()))
+    val ranked = Profiling.globalRank(docs.select(col(idCol).as("id")),
+      Seq(col("id")), "rn", "nd")
+      .withColumn("rn", col("rn").cast("long"))
     val exr = Dedup.spreadById(docs, idCol, textCol)
       .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
       .join(ranked, "id")
