@@ -1026,11 +1026,17 @@ object TextAnalysis {
       .filter(!col("is_stop"))
       .select("doc_id", "phrase_id", "pos", "word")
       .snapshot() // feeds phrase texts, word stats AND the score join
+    // snapshotted: consumed TWICE (the word-score degree join and the
+    // final phrase-text join) — without materialization each consumer
+    // re-runs the phrase-assembly aggregate over the checkpointed
+    // word frame (measured r18: a duplicated ~7-15 taskSec 32-task
+    // stage per run; guide §2.4/§3.3, materialize the branch point)
     val phrases = phrased.groupBy("doc_id", "phrase_id")
       .agg(count(lit(1)).as("phrase_len"),
         array_join(transform(
           array_sort(collect_list(struct(col("pos"), col("word")))),
           s => s.getField("word")), " ").as("phrase"))
+      .snapshot()
     val wordScores = phrased
       .join(phrases.select(col("doc_id"), col("phrase_id"), col("phrase_len")),
         Seq("doc_id", "phrase_id"))
